@@ -1,0 +1,37 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Deterministic-aggregation policy shared by every query that is
+  * differentially checked against the DuckDB oracle.
+  *
+  * Floating-point `SUM` is order-dependent; a distributed Spark plan and
+  * a single-threaded DuckDB plan will legitimately disagree in the last
+  * ulp. To make results bit-identical (and therefore hash-comparable)
+  * regardless of partitioning, parallelism, or AQE decisions, money-like
+  * doubles are cast to `DECIMAL(38,6)` *per row* (a single, deterministic
+  * rounding — the synthetic data is 2-decimal quantized, so the cast is
+  * never at a rounding boundary), summed exactly in decimal space (order
+  * independent), and cast back to double once at the end.
+  *
+  * The oracle mirrors this: `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)`.
+  * This also holds at 100 TB: decimal partial aggregates are map-side
+  * combinable and the per-row cast is codegen'd.
+  */
+object Parity {
+  val Exact: DecimalType = DecimalType(38, 6)
+
+  /** Order-independent double SUM (see class doc). */
+  def dsum(c: Column): Column = sum(c.cast(Exact)).cast(DoubleType)
+
+  /** Order-independent double AVG = exact decimal sum / count. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Oracle-side SQL fragment equivalent to [[dsum]]. */
+  def DSUM(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
+
+  /** Oracle-side SQL fragment equivalent to [[davg]]. */
+  def DAVG(e: String): String = s"(${DSUM(e)} / COUNT(*))"
+}

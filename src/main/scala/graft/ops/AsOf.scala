@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (the "latest right row at or before each left row" join).
+  *
+  * Spark has no built-in as-of join, and the naive formulation —
+  * range-join then max — is a cross-join blowup. This implementation is
+  * the scalable union–scan form: tag both inputs, union them, and take a
+  * running `last(payload, ignoreNulls)` over one window partitioned by
+  * the join keys. Cost is a single shuffle on the key plus a sort —
+  * linear in |L|+|R|, no pair explosion, and safe at 100 TB as long as a
+  * single key group fits a partition (keys are expected to be
+  * high-cardinality entities such as user/session ids; for skewed keys,
+  * pre-split by time range before joining).
+  */
+object AsOf {
+
+  /** For each row of `left`, attach the payload of the latest `right` row
+    * with `right.ts <= left.ts` (inclusive) within the same `keys` group.
+    * Right rows with identical timestamps are disambiguated by
+    * `rightTieBreak` (the greatest wins), making the result deterministic.
+    * Payload columns are emitted as `{outPrefix}{col}`.
+    */
+  def joinAtOrBefore(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      payloadCols: Seq[String],
+      rightTieBreak: String,
+      outPrefix: String = "asof_",
+  ): DataFrame = {
+    val rsel = right.select(
+      keys.map(col) ++ Seq(
+        col(ts).as("__ts"),
+        lit(0).as("__lft"),
+        struct(payloadCols.map(col): _*).as("__p"),
+      ): _*
+    )
+    val payloadType = rsel.schema("__p").dataType
+    val lsel = left.select(
+      keys.map(col) ++ Seq(
+        col(ts).as("__ts"),
+        lit(1).as("__lft"),
+        lit(null).cast(payloadType).as("__p"),
+        struct(left.columns.map(col): _*).as("__row"),
+      ): _*
+    )
+    val rowType = lsel.schema("__row").dataType
+    val unioned = lsel.unionByName(rsel.withColumn("__row", lit(null).cast(rowType)))
+    // Right rows sort before left rows at equal ts => inclusive match.
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__lft"), col("__p").getField(rightTieBreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__lft") === 1)
+      .select(
+        col("__row.*") +:
+          payloadCols.map(c => col("__match").getField(c).as(s"$outPrefix$c")): _*
+      )
+  }
+}

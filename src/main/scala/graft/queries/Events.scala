@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.Tables._
+import graft.expr.Parity._
+import graft.ops.AsOf
+import org.apache.spark.sql.functions._
+
+/** Event-table operators: schema-on-read JSON extraction (P1), time
+  * bucketing (the batch shape of the streaming pipeline), severity
+  * mapping (F5), pivot, per-entity first-match (A5/T3 as higher-order
+  * functions over within-group arrays — the SURVEY §4.2 rewrite of the
+  * reference's correlated `LIMIT 1` subqueries), and the as-of join
+  * ([[graft.ops.AsOf]]).
+  */
+object Events {
+
+  /** P1 dynamic JSON path extraction from a string column. */
+  private val jsonExtractGroup = Q(
+    "evt_json_extract_group",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS n
+      |FROM events GROUP BY k""".stripMargin,
+  ) { (s, d) =>
+    events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** F5: the SARIF level → OCSF severity CASE map, keyed on event_type. */
+  private val severityCaseMap = Q(
+    "evt_severity_case_map",
+    """SELECT event_type,
+      |  CASE event_type WHEN 'error' THEN 5 WHEN 'signup' THEN 4 WHEN 'purchase' THEN 3
+      |       WHEN 'click' THEN 2 ELSE 1 END AS severity_id,
+      |  CASE event_type WHEN 'error' THEN 'High' WHEN 'signup' THEN 'Medium'
+      |       WHEN 'purchase' THEN 'Low' WHEN 'click' THEN 'Informational'
+      |       ELSE 'Unknown' END AS severity,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1, 2, 3""".stripMargin,
+  ) { (s, d) =>
+    val sevId = when(col("event_type") === "error", 5)
+      .when(col("event_type") === "signup", 4)
+      .when(col("event_type") === "purchase", 3)
+      .when(col("event_type") === "click", 2)
+      .otherwise(1)
+    val sevName = when(col("event_type") === "error", "High")
+      .when(col("event_type") === "signup", "Medium")
+      .when(col("event_type") === "purchase", "Low")
+      .when(col("event_type") === "click", "Informational")
+      .otherwise("Unknown")
+    events(s, d)
+      .groupBy(col("event_type"), sevId.as("severity_id"), sevName.as("severity"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Calendar bucketing via date_trunc. */
+  private val dateTruncHour = Q(
+    "evt_date_trunc_hour",
+    s"""SELECT date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n, ${DSUM("value")} AS total
+       |FROM events GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+  }
+
+  /** Tumbling event-time window — the batch equivalent of the Structured
+    * Streaming windowed aggregation (both are epoch-aligned). */
+  private val tumbling15min = Q(
+    "evt_tumbling_15min",
+    s"""SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_start, event_type,
+       |  COUNT(*) AS n, ${DSUM("value")} AS total
+       |FROM events GROUP BY 1, 2""".stripMargin,
+  ) { (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("window.start").as("bucket_start"), col("event_type"), col("n"), col("total"))
+  }
+
+  /** Pivot (event_type counts per user). Spark's pivot yields NULL for
+    * absent cells; the oracle mirrors with NULLIF(count_if). */
+  private val pivotUserCounts = Q(
+    "evt_pivot_user_counts",
+    """SELECT user_id,
+      |  NULLIF(count_if(event_type = 'click'), 0) AS click,
+      |  NULLIF(count_if(event_type = 'view'), 0) AS view,
+      |  NULLIF(count_if(event_type = 'purchase'), 0) AS purchase,
+      |  NULLIF(count_if(event_type = 'signup'), 0) AS signup,
+      |  NULLIF(count_if(event_type = 'error'), 0) AS error
+      |FROM events GROUP BY user_id""".stripMargin,
+  ) { (s, d) =>
+    events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+  }
+
+  /** A5/T3: first array element matching a predicate, per entity — the
+    * reference's `(SELECT ... WHERE name = '...' LIMIT 1)` correlated
+    * subquery, rewritten to sorted collect + higher-order filter
+    * (within-group, no extra join; see SURVEY §4.2). */
+  private val firstMatchPerUser = Q(
+    "evt_first_match_per_user",
+    """SELECT user_id, fp.value AS first_purchase_value, fp.event_id AS first_purchase_event
+      |FROM (
+      |  SELECT user_id,
+      |    list_filter(list(struct_pack(ts := ts, event_id := event_id, event_type := event_type,
+      |                                 value := value) ORDER BY ts, event_id),
+      |                x -> x.event_type = 'purchase')[1] AS fp
+      |  FROM events GROUP BY user_id)""".stripMargin,
+  ) { (s, d) =>
+    events(s, d)
+      .groupBy("user_id")
+      .agg(
+        sort_array(
+          collect_list(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
+        ).as("evts")
+      )
+      .select(
+        col("user_id"),
+        try_element_at(filter(col("evts"), x => x.getField("event_type") === "purchase"), lit(1))
+          .as("fp"),
+      )
+      .select(
+        col("user_id"),
+        col("fp.value").as("first_purchase_value"),
+        col("fp.event_id").as("first_purchase_event"),
+      )
+  }
+
+  /** As-of join: each error event picks up the latest click by the same
+    * user at or before it. Linear union–scan plan, not a range cross
+    * join ([[graft.ops.AsOf]]). */
+  private val asofErrorClick = Q(
+    "evt_asof_error_click",
+    """SELECT e.event_id, e.user_id, c.event_id AS click_event_id, c.value AS click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+  ) { (s, d) =>
+    val ev     = events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+    val clicks = ev.filter(col("event_type") === "click")
+    AsOf
+      .joinAtOrBefore(
+        errors,
+        clicks,
+        keys = Seq("user_id"),
+        ts = "ts",
+        payloadCols = Seq("event_id", "value"),
+        rightTieBreak = "event_id",
+        outPrefix = "click_",
+      )
+      .select("event_id", "user_id", "click_event_id", "click_value")
+  }
+
+  val all: Seq[Q] = Seq(
+    jsonExtractGroup,
+    severityCaseMap,
+    dateTruncHour,
+    tumbling15min,
+    pivotUserCounts,
+    firstMatchPerUser,
+    asofErrorClick,
+  )
+}

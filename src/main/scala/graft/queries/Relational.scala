@@ -1,0 +1,334 @@
+package graft.queries
+
+import graft.Tables._
+import graft.expr.Parity._
+import org.apache.spark.sql.functions._
+
+/** Core relational operator surface: scans with pushdown, projections,
+  * filters, aggregations, joins of every flavor, set operations, sorts
+  * and top-k. Mirrors SURVEY.md §2.2–2.5 (P1–P10, J1–J3, A1–A5, T1–T4)
+  * re-expressed over the synthetic star schema, plus the §2.7 built-ins
+  * the reference's downstream layers assume.
+  *
+  * Scale posture: every query here is a declarative Catalyst plan —
+  * filters/projections reach the parquet scan, small dimension tables are
+  * broadcast explicitly, and aggregations use map-side-combinable exact
+  * decimal sums (see [[graft.expr.Parity]]).
+  */
+object Relational {
+
+  /** P1/P9-style scan: filter + narrow projection, both pushed to the
+    * parquet reader (`PushedFilters`/`ReadSchema` in explain). */
+  private val scanFilterProject = Q(
+    "rel_scan_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05""".stripMargin,
+  ) { (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_shipdate") < to_timestamp(lit("1996-01-01")) && col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+  }
+
+  /** TPC-H Q1 shape: the reference's staging-layer aggregation pattern
+    * (grouped sums/avgs/counts) at full width. Exercises map-side partial
+    * aggregation; group cardinality is tiny so the shuffle is negligible. */
+  private val aggPricingSummary = Q(
+    "rel_agg_pricing_summary",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${DSUM("l_quantity")} AS sum_qty,
+       |  ${DSUM("l_extendedprice")} AS sum_base_price,
+       |  ${DSUM("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       |  ${DSUM("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       |  ${DAVG("l_quantity")} AS avg_qty,
+       |  ${DAVG("l_extendedprice")} AS avg_price,
+       |  ${DAVG("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+  ) { (s, d) =>
+    val disc   = lit(1) - col("l_discount")
+    val charge = col("l_extendedprice") * disc * (lit(1) + col("l_tax"))
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * disc).as("sum_disc_price"),
+        dsum(charge).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"),
+      )
+  }
+
+  /** A1: scalar min/max/count — the incremental high-watermark lookup
+    * (`MAX(staging_loaded_at)`) from the reference's staging model. */
+  private val aggWatermark = Q(
+    "rel_agg_watermark",
+    """SELECT max(o_orderdate) AS hi_watermark, min(o_orderdate) AS lo_watermark,
+      |  count(*) AS n_rows
+      |FROM orders""".stripMargin,
+  ) { (s, d) =>
+    orders(s, d).agg(
+      max("o_orderdate").as("hi_watermark"),
+      min("o_orderdate").as("lo_watermark"),
+      count(lit(1)).as("n_rows"),
+    )
+  }
+
+  /** GROUP BY + HAVING over a shuffled aggregation. */
+  private val aggHaving = Q(
+    "rel_agg_having",
+    s"""SELECT o_custkey, ${DSUM("o_totalprice")} AS total_spent, COUNT(*) AS n_orders
+       |FROM orders
+       |GROUP BY o_custkey
+       |HAVING COUNT(*) >= 18""".stripMargin,
+  ) { (s, d) =>
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(dsum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 18)
+  }
+
+  /** Exact COUNT(DISTINCT) (expands to a two-stage aggregate in Spark). */
+  private val aggCountDistinct = Q(
+    "rel_agg_count_distinct",
+    """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers
+      |FROM customer GROUP BY c_mktsegment""".stripMargin,
+  ) { (s, d) =>
+    customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(countDistinct("c_nationkey").as("n_nations"), count(lit(1)).as("n_customers"))
+  }
+
+  /** A3: distinct array re-aggregation with deterministic ordering —
+    * Postgres `jsonb_agg(DISTINCT ...)` parity is `array_sort∘collect_set`,
+    * serialized to a string so the oracle compare is type-stable. */
+  private val aggCollectSetSorted = Q(
+    "rel_agg_collect_set_sorted",
+    """SELECT c_nationkey, string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+      |FROM customer GROUP BY c_nationkey""".stripMargin,
+  ) { (s, d) =>
+    customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"))
+  }
+
+  /** J1: broadcast hash join — small `part` dimension broadcast to every
+    * lineitem partition (the reference's build-once rules lookup). */
+  private val joinBroadcastRevenue = Q(
+    "rel_join_broadcast_revenue",
+    s"""SELECT p_brand, ${DSUM("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand""".stripMargin,
+  ) { (s, d) =>
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"),
+      )
+  }
+
+  /** TPC-H Q5 shape: 6-table multiway join. Fact-fact join (orders ⋈
+    * lineitem) shuffles on the key; all dimensions broadcast. */
+  private val joinMultiwayRegionRevenue = Q(
+    "rel_join_multiway_region_revenue",
+    s"""SELECT n_name, ${DSUM("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM customer
+       |  JOIN orders ON c_custkey = o_custkey
+       |  JOIN lineitem ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY n_name""".stripMargin,
+  ) { (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(
+        broadcast(supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"),
+      )
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  /** Left outer join preserving unmatched build-side rows (zero-order
+    * customers), `COUNT(col)` null-skipping semantics. */
+  private val joinLeftOuterCounts = Q(
+    "rel_join_left_outer_counts",
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey""".stripMargin,
+  ) { (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+  }
+
+  /** Left-semi join = EXISTS. */
+  private val joinSemiExists = Q(
+    "rel_join_semi_exists",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
+  ) { (s, d) =>
+    val big = orders(s, d).filter(col("o_totalprice") > 300000)
+    customer(s, d)
+      .join(big, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Left-anti join = NOT EXISTS. */
+  private val joinAntiNotExists = Q(
+    "rel_join_anti_not_exists",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
+  ) { (s, d) =>
+    val big = orders(s, d).filter(col("o_totalprice") > 400000)
+    customer(s, d)
+      .join(big, col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Equi join + range (interval) predicate: late shipments. */
+  private val joinRangeInterval = Q(
+    "rel_join_range_interval",
+    """SELECT o_orderkey, COUNT(*) AS n_late
+      |FROM orders JOIN lineitem
+      |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY o_orderkey""".stripMargin,
+  ) { (s, d) =>
+    orders(s, d)
+      .join(
+        lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+      )
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_late"))
+  }
+
+  /** Correlated-scalar-subquery semantics (orders above their customer's
+    * average), decorrelated at authoring time into agg + join — the shape
+    * Catalyst would rewrite to anyway, with the per-customer averages
+    * broadcast back onto the fact table. */
+  private val aboveAvgOrders = Q(
+    "rel_above_avg_orders",
+    s"""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+       |FROM orders o
+       |JOIN (SELECT o_custkey AS ck, ${DAVG("o_totalprice")} AS avg_price
+       |      FROM orders GROUP BY o_custkey) a
+       |  ON o.o_custkey = a.ck
+       |WHERE o.o_totalprice > a.avg_price""".stripMargin,
+  ) { (s, d) =>
+    val avgs = orders(s, d)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(davg(col("o_totalprice")).as("avg_price"))
+    orders(s, d)
+      .join(broadcast(avgs), col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  /** T1: UNION ALL of two aggregated branches. */
+  private val setUnionAll = Q(
+    "rel_set_union_all",
+    """SELECT c_nationkey AS nationkey, 'customer' AS side, COUNT(*) AS n
+      |FROM customer GROUP BY c_nationkey
+      |UNION ALL
+      |SELECT s_nationkey AS nationkey, 'supplier' AS side, COUNT(*) AS n
+      |FROM supplier GROUP BY s_nationkey""".stripMargin,
+  ) { (s, d) =>
+    val c = customer(s, d)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("nationkey"), lit("customer").as("side"), col("n"))
+    val p = supplier(s, d)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("nationkey"), lit("supplier").as("side"), col("n"))
+    c.unionAll(p)
+  }
+
+  /** INTERSECT (distinct semantics on both engines). */
+  private val setIntersect = Q(
+    "rel_set_intersect",
+    """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+      |INTERSECT
+      |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+  ) { (s, d) =>
+    customer(s, d)
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_nationkey").as("nationkey"))
+      .intersect(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+  }
+
+  /** EXCEPT (distinct semantics on both engines). */
+  private val setExcept = Q(
+    "rel_set_except",
+    """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+      |EXCEPT
+      |SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9500""".stripMargin,
+  ) { (s, d) =>
+    customer(s, d)
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_nationkey").as("nationkey"))
+      .except(
+        supplier(s, d).filter(col("s_acctbal") > 9500).select(col("s_nationkey").as("nationkey"))
+      )
+  }
+
+  /** DISTINCT projection. */
+  private val distinctPairs = Q(
+    "rel_distinct_pairs",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+  ) { (s, d) => orders(s, d).select("o_orderstatus", "o_orderpriority").distinct() }
+
+  /** Top-k with a total order (unique tiebreak ⇒ deterministic). Spark
+    * plans this as TakeOrderedAndProject — no global sort. */
+  private val topkOrders = Q(
+    "rel_topk_orders",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+  ) { (s, d) =>
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice")
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(
+    scanFilterProject,
+    aggPricingSummary,
+    aggWatermark,
+    aggHaving,
+    aggCountDistinct,
+    aggCollectSetSorted,
+    joinBroadcastRevenue,
+    joinMultiwayRegionRevenue,
+    joinLeftOuterCounts,
+    joinSemiExists,
+    joinAntiNotExists,
+    joinRangeInterval,
+    aboveAvgOrders,
+    setUnionAll,
+    setIntersect,
+    setExcept,
+    distinctPairs,
+    topkOrders,
+  )
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.Tables._
+import graft.expr.OcsfColumns
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY.md §2.6, F1–F17) exercised over the
+  * synthetic tables: SHA-256 UIDs, name normalization, newline-joined
+  * hash inputs, path basename, calendar parts, null-tolerant concat.
+  * The Column implementations live in [[graft.expr.OcsfColumns]] — the
+  * same library the OCSF conversion pipeline uses.
+  */
+object Scalars {
+
+  /** F3: the reference's name-normalization slug (lowercase, collapse
+    * non-alphanumerics to '-', strip edge dashes). */
+  private val slugNormalize = Q(
+    "str_slug_normalize",
+    """SELECT p_partkey,
+      |  regexp_replace(regexp_replace(lower(p_type), '[^a-z0-9]+', '-', 'g'),
+      |                 '^-+|-+$', '', 'g') AS slug
+      |FROM part""".stripMargin,
+  ) { (s, d) => part(s, d).select(col("p_partkey"), OcsfColumns.slug(col("p_type")).as("slug")) }
+
+  /** F1+F2+F4: boann-style UID = prefix + normalized tool + sha256 of a
+    * newline-joined component list (null-safe via coalesce-to-empty). */
+  private val shaUid = Q(
+    "str_sha_uid",
+    """SELECT s_suppkey,
+      |  'boann:sast:' || regexp_replace(regexp_replace(lower(s_name), '[^a-z0-9]+', '-', 'g'),
+      |                                  '^-+|-+$', '', 'g')
+      |   || ':hash:' || sha256(s_name || chr(10) || n_name) AS finding_uid
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+  ) { (s, d) =>
+    supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(
+        col("s_suppkey"),
+        OcsfColumns
+          .findingUid("sast", OcsfColumns.slug(col("s_name")), "hash",
+            OcsfColumns.sha256Hex(Seq(col("s_name"), col("n_name"))))
+          .as("finding_uid"),
+      )
+  }
+
+  /** F8: path basename via regex (split-last-element equivalent). */
+  private val basename = Q(
+    "str_basename",
+    """SELECT doc_id,
+      |  regexp_extract('data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt',
+      |                 '[^/]+$') AS file_name
+      |FROM documents""".stripMargin,
+  ) { (s, d) =>
+    val path = concat(
+      lit("data/"), col("source"), lit("/doc_"), col("doc_id").cast("string"), lit(".txt"))
+    documents(s, d).select(col("doc_id"), regexp_extract(path, "[^/]+$", 0).as("file_name"))
+  }
+
+  /** F6/F7 family: calendar part extraction + grouping. */
+  private val datetimeParts = Q(
+    "str_datetime_parts",
+    """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1, 2""".stripMargin,
+  ) { (s, d) =>
+    orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** F2 parity shape: concat_ws over a nullable column with an explicit
+    * empty-string default (both engines' concat_ws skips NULL; the
+    * reference always supplies "" defaults — coalesce reproduces it). */
+  private val concatCoalesce = Q(
+    "str_concat_coalesce",
+    """SELECT c_custkey,
+      |  concat_ws(':', c_name, coalesce(NULLIF(c_mktsegment, 'BUILDING'), '')) AS tagged
+      |FROM customer""".stripMargin,
+  ) { (s, d) =>
+    customer(s, d)
+      .select(
+        col("c_custkey"),
+        concat_ws(
+          ":",
+          col("c_name"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("")),
+        ).as("tagged"),
+      )
+  }
+
+  val all: Seq[Q] = Seq(slugNormalize, shaUid, basename, datetimeParts, concatCoalesce)
+}

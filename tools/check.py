@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Local differential harness mimicking the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir] [--skip-verify] [names...]
+
+1. sbt "runMain graft.Verify <sfDir> <outDir>"  (unless --skip-verify)
+2. For each query: load Spark parquet result + run the oracle SQL in
+   DuckDB over the same tables; sort columns by name, sort rows, compare
+   values (timestamps as epoch-ms, exact floats).
+"""
+import json
+import math
+import subprocess
+import sys
+from datetime import datetime, date
+from decimal import Decimal
+from pathlib import Path
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime):
+        return int(v.timestamp() * 1000) if v.tzinfo is None else int(v.timestamp() * 1000)
+    if isinstance(v, date):
+        return str(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    return v
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return [cols[i] for i in order], out
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    skip_verify = "--skip-verify" in sys.argv
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out_dir = args[1] if len(args) > 1 else "/tmp/verify_out"
+    only = set(args[2:])
+
+    if not skip_verify:
+        r = subprocess.run(
+            ["sbt", "--error", f'runMain graft.Verify {sf_dir} {out_dir}'],
+            cwd="/root/repo", capture_output=True, text=True)
+        sys.stdout.write(r.stdout[-4000:])
+        sys.stderr.write(r.stderr[-4000:])
+        if r.returncode != 0:
+            print("VERIFY FAILED rc", r.returncode)
+            return 1
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
+        if only and name not in only:
+            continue
+        try:
+            rel = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols = [dd[0] for dd in rel.description]
+            got = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark result: {e}")
+            n_fail += 1
+            continue
+        if name not in oracle:
+            print(f"SKIP {name}: no oracle ({len(got)} rows)")
+            continue
+        try:
+            rel = con.execute(oracle[name])
+            exp_cols = [dd[0] for dd in rel.description]
+            exp = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        gc, g = canon(got_cols, got)
+        ec, e = canon(exp_cols, exp)
+        if gc != ec:
+            print(f"FAIL {name}: columns differ spark={gc} duck={ec}")
+            n_fail += 1
+            continue
+        if len(g) != len(e):
+            print(f"FAIL {name}: rowcount spark={len(g)} duck={len(e)}")
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(g, e) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(g)} rows differ; first: spark={bad[0][0]} duck={bad[0][1]}")
+            n_fail += 1
+        else:
+            if len(g) == 0:
+                print(f"WARN {name}: PASS but 0 rows (weak test)")
+            else:
+                print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 0 if n_fail == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
