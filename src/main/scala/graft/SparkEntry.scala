@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registries: Seq[Q] =
-    Relational.all ++ Windows.all ++ Grouping.all ++ Events.all ++ Scalars.all
+    Relational.all ++ Windows.all ++ Grouping.all ++ Events.all ++ Scalars.all ++
+      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

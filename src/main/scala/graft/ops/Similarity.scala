@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search operators: deterministic cosine scoring
+  * and brute-force top-k (the exactness baseline ANN variants are
+  * measured against).
+  *
+  * The dot product is a strict left-to-right fold (`aggregate` over
+  * `zip_with`) in double precision, which makes the score bit-identical
+  * across engines that fold in order — the property the differential
+  * oracle relies on. IEEE sqrt/division are correctly rounded, so the
+  * full cosine is deterministic too.
+  *
+  * Scale notes: brute-force top-k broadcasts the (small) query set and
+  * keeps candidates partitioned — the per-partition cross product never
+  * shuffles the big side, and the final top-k is a per-query window over
+  * q×N scored rows. For q×N beyond that, bucket candidates first (LSH by
+  * random hyperplane signs, or IVF by coarse centroid assignment) and
+  * score only within buckets.
+  */
+object Similarity {
+
+  /** Left-to-right fold dot product of two float-array columns, in
+    * double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v,
+    )
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Add a precomputed `nrm` column (norms are reused across every pair
+    * a row participates in — never recompute them inside the join). */
+  def withNorm(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("nrm", l2Norm(col(embCol)))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param queries    small query side: (idCol, embCol) — broadcast
+    * @param candidates large candidate side: (idCol, embCol)
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+  ): DataFrame = {
+    val q = withNorm(queries, embCol)
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"), col("nrm").as("q_nrm"))
+    val c = withNorm(candidates, embCol)
+      .select(col(idCol).as("n_id"), col(embCol).as("n_emb"), col("nrm").as("n_nrm"))
+    val scored = c
+      .join(broadcast(q), col("n_id") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("cos"),
+      )
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, n-gram shingling, stopword statistics, quality ratios,
+  * language-ID heuristics, and content fingerprints.
+  *
+  * Everything is a pure Column expression over built-ins (regexes and
+  * higher-order array functions) — no UDFs, fully parallel, no state —
+  * so the operators cost one scan at any scale.
+  */
+object Text {
+
+  /** Word tokens (`\w+` runs; robust to repeated/trailing whitespace,
+    * unlike a split-on-space). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\w+"), lit(0))
+
+  /** Number of word tokens. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of word characters (token lengths summed). */
+  def wordChars(text: Column): Column = length(regexp_replace(text, "\\W", ""))
+
+  /** Contiguous n-gram shingles over the token array, space-joined.
+    * Documents shorter than `n` tokens yield an empty set. */
+  def shingles(toks: Column, n: Int): Column = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*),
+        )
+      )
+  }
+
+  /** Occurrences of any of `words` as whole words. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(text, lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+
+  /** Function-word marker sets for the n-gram/stopword language-ID
+    * heuristic. Tiny by design: language ID at corpus scale is a
+    * per-row scorer, not a model lookup. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is"),
+    "es" -> Seq("el", "la", "de", "los", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+  )
+
+  /** Heuristic language ID: argmax of marker-word hit counts with a
+    * fixed precedence order (first listed language wins ties); "und"
+    * when nothing matches. Deterministic by construction. */
+  def langId(text: Column): Column = {
+    val hits = langMarkers.map { case (lang, words) => lang -> stopwordHits(text, words) }
+    hits.zipWithIndex
+      .foldRight(lit("und")) { case (((lang, h), i), acc) =>
+        val laterHits = hits.drop(i + 1).map(_._2)
+        val isMax     = laterHits.foldLeft(h > 0)((c, other) => c && h >= other)
+        when(isMax, lit(lang)).otherwise(acc)
+      }
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized text. The
+    * normalization makes the fingerprint stable under formatting-only
+    * edits — the cheap first pass of exact deduplication. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(text, "\\s+", " ")))
+}

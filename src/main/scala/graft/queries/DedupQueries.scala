@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.Tables._
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator queries (SURVEY.md §2.10): exact hash groups,
+  * n-gram Jaccard pairs, MinHash+LSH near-dup detection, SimHash.
+  * Implementations in [[graft.ops.Dedup]]; every oracle mirrors the
+  * dataflow step by step (same md5-based hashes, so signatures are
+  * byte-identical across engines).
+  */
+object DedupQueries {
+
+  /** Shared oracle CTEs: distinct 3-gram shingle sets + set sizes. */
+  private val shingCte =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents),
+      |shing AS (SELECT doc_id,
+      |    unnest(list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id)""".stripMargin
+
+  /** Exact dedup over a corpus with planted duplicates (the table
+    * unioned with itself — the synthetic corpus has no exact dups). */
+  private val exactGroups = Q(
+    "ddp_exact_groups",
+    """SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+      |GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    val docs = documents(s, d)
+    Dedup.exactGroups(docs.unionAll(docs), "doc_id", "text")
+  }
+
+  /** Brute-force n-gram Jaccard near-dup pairs (τ = 0.5): the exactness
+    * baseline that LSH is checked against. */
+  private val jaccardPairs = Q(
+    "ddp_jaccard_pairs",
+    s"""$shingCte,
+       |common AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+       |  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+       |FROM common JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
+       |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5""".stripMargin,
+  ) { (s, d) =>
+    Dedup.jaccardPairs(Dedup.shingleSets(documents(s, d), "doc_id", "text", 3), 0.5)
+  }
+
+  /** MinHash(k=16) + LSH(4 bands × 4 rows) candidates, verified with
+    * true Jaccard (τ = 0.5). Only band-colliding docs are ever paired. */
+  private val minhashLsh = Q(
+    "ddp_minhash_lsh_pairs",
+    s"""$shingCte,
+       |mh AS (
+       |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+       |  FROM shing CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+       |  GROUP BY doc_id, seed),
+       |bands AS (
+       |  SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+       |  FROM mh GROUP BY doc_id, seed // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |common AS (
+       |  SELECT a_id, b_id, count(*) AS c
+       |  FROM cand JOIN shing sa ON sa.doc_id = a_id
+       |       JOIN shing sb ON sb.doc_id = b_id AND sa.sh = sb.sh
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+       |FROM common JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
+       |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5""".stripMargin,
+  ) { (s, d) =>
+    Dedup.minhashLshPairs(
+      Dedup.shingleSets(documents(s, d), "doc_id", "text", 3),
+      k = 16,
+      rowsPerBand = 4,
+      minJaccard = 0.5,
+    )
+  }
+
+  /** Per-document 32-bit SimHash signatures. */
+  private val simhashSigs = Q(
+    "ddp_simhash_sigs",
+    s"""$shingCte,
+       |bits AS (
+       |  SELECT doc_id, pos,
+       |    SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(sh), pos, 1)) - 1 >= 8
+       |        THEN 1 ELSE -1 END) AS s
+       |  FROM shing CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS pos) p
+       |  GROUP BY doc_id, pos)
+       |SELECT doc_id,
+       |  SUM(CASE WHEN s > 0 THEN (1::BIGINT << (pos - 1)) ELSE 0 END) AS simhash
+       |FROM bits GROUP BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    Dedup.simhash32(Dedup.shingleSets(documents(s, d), "doc_id", "text", 3))
+  }
+
+  /** SimHash near-dup pairs at Hamming distance <= 4. */
+  private val simhashPairs = Q(
+    "ddp_simhash_pairs",
+    s"""$shingCte,
+       |bits AS (
+       |  SELECT doc_id, pos,
+       |    SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(sh), pos, 1)) - 1 >= 8
+       |        THEN 1 ELSE -1 END) AS s
+       |  FROM shing CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS pos) p
+       |  GROUP BY doc_id, pos),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN s > 0 THEN (1::BIGINT << (pos - 1)) ELSE 0 END) AS simhash
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin,
+  ) { (s, d) =>
+    Dedup.simhashPairs(
+      Dedup.simhash32(Dedup.shingleSets(documents(s, d), "doc_id", "text", 3)),
+      maxHamming = 4,
+    )
+  }
+
+  val all: Seq[Q] = Seq(exactGroups, jaccardPairs, minhashLsh, simhashSigs, simhashPairs)
+}

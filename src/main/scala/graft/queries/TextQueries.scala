@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.Tables._
+import graft.ops.Text
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator queries over the `documents` table
+  * (SURVEY.md §2.10 extension inventory): token statistics, quality
+  * ratios, language ID, shingling. Implementations in [[graft.ops.Text]].
+  */
+object TextQueries {
+
+  /** Shared oracle CTE: tokenized documents. */
+  private val toksCte =
+    "WITH toks AS (SELECT doc_id, lang, regexp_extract_all(text, '\\w+') AS toks FROM documents)"
+
+  private val tokenStats = Q(
+    "txt_token_stats",
+    """SELECT doc_id, len(regexp_extract_all(text, '\w+')) AS n_tokens,
+      |  length(text) AS n_chars
+      |FROM documents""".stripMargin,
+  ) { (s, d) =>
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+      )
+  }
+
+  private val quality = Q(
+    "txt_quality",
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\w+')) AS n_tokens,
+      |  len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS n_stop,
+      |  CAST(len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS DOUBLE)
+      |    / len(regexp_extract_all(text, '\w+')) AS stop_ratio,
+      |  CAST(length(regexp_replace(text, '\W', '', 'g')) AS DOUBLE)
+      |    / len(regexp_extract_all(text, '\w+')) AS avg_token_len
+      |FROM documents""".stripMargin,
+  ) { (s, d) =>
+    val enWords = Text.langMarkers.head._2
+    val nTok    = Text.tokenCount(col("text"))
+    val nStop   = Text.stopwordHits(col("text"), enWords)
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        nStop.as("n_stop"),
+        (nStop.cast("double") / nTok).as("stop_ratio"),
+        (Text.wordChars(col("text")).cast("double") / nTok).as("avg_token_len"),
+      )
+  }
+
+  private val langIdAgreement = Q(
+    "txt_langid_agreement",
+    """WITH h AS (SELECT lang,
+      |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS h_en,
+      |    len(regexp_extract_all(text, '\b(el|la|de|los|que|y)\b')) AS h_es,
+      |    len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS h_de,
+      |    len(regexp_extract_all(text, '\b(le|la|les|et|est)\b')) AS h_fr
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+      |       WHEN h_es > 0 AND h_es >= h_de AND h_es >= h_fr THEN 'es'
+      |       WHEN h_de > 0 AND h_de >= h_fr THEN 'de'
+      |       WHEN h_fr > 0 THEN 'fr'
+      |       ELSE 'und' END AS lang_pred,
+      |  COUNT(*) AS n
+      |FROM h GROUP BY 1, 2""".stripMargin,
+  ) { (s, d) =>
+    documents(s, d)
+      .groupBy(col("lang"), Text.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val shingleStats = Q(
+    "txt_shingle_stats",
+    s"""$toksCte
+       |SELECT doc_id,
+       |  len(sh_all) AS n_shingles, len(list_distinct(sh_all)) AS n_distinct
+       |FROM (SELECT doc_id,
+       |        list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh_all
+       |      FROM toks)""".stripMargin,
+  ) { (s, d) =>
+    val sh = Text.shingles(Text.tokens(col("text")), 3)
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(sh).as("n_shingles"),
+        size(array_distinct(sh)).as("n_distinct"),
+      )
+  }
+
+  val all: Seq[Q] = Seq(tokenStats, quality, langIdAgreement, shingleStats)
+}
