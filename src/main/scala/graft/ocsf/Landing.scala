@@ -1,0 +1,41 @@
+package graft.ocsf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Landing layer: append-only table of raw OCSF findings
+  * (`dbt_project/models/landing/raw_ocsf_findings.sql:24-40`,
+  * `scripts/ingest_raw_ocsf_findings.py:78-129`).
+  *
+  * Postgres heap + one-INSERT-per-row becomes a columnar Parquet append
+  * partitioned by `loaded_date`: the batch commit replaces the per-row
+  * transactions (the reference's own anti-pattern, SURVEY §4.1), and
+  * date partitioning gives the staging watermark scan partition pruning
+  * at 100 TB. Duplicates are allowed by contract — no dedup here.
+  */
+object Landing {
+
+  /** Landing columns: finding_uid, raw (typed struct), raw_json (full
+    * fidelity, mirroring the reference keeping the complete document),
+    * loaded_at, loaded_date (partition key). */
+  def prepare(findings: DataFrame): DataFrame =
+    findings
+      .select(
+        col("finding_info.uid").as("finding_uid"),
+        struct(findings.columns.map(col): _*).as("raw"),
+        to_json(struct(findings.columns.map(col): _*)).as("raw_json"),
+      )
+      .withColumn("loaded_at", current_timestamp())
+      .withColumn("loaded_date", to_date(col("loaded_at")))
+
+  /** S7: batch append (replaces row-at-a-time INSERT). */
+  def append(findings: DataFrame, path: String): Unit =
+    prepare(findings)
+      .write
+      .mode("append")
+      .partitionBy("loaded_date")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,70 @@
+package graft.ocsf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** ST1–ST4: the file-monitoring ingestion pipeline
+  * (`scripts/ocsf_monitor.py:120-342`) as one Structured Streaming
+  * query.
+  *
+  * The reference's scan → validate → ingest → move loop becomes: file
+  * source (sorted listing, schema-validated read) → `foreachBatch`
+  * landing append → `cleanSource=archive`. `Trigger.AvailableNow`
+  * reproduces the one-shot batch mode; a processing-time trigger gives
+  * the daemon mode. Checkpointing makes ingestion exactly-once per file
+  * where the reference is at-least-once.
+  *
+  * Validation (ST3): the reference shells out to an external schema
+  * validator per file; natively, the strict schema plus a corrupt-record
+  * column routes malformed documents. Rows whose parse failed are
+  * counted per batch and land in `failed/` as JSON for triage — file
+  * moves to `processed/` vs `failed/` become row-level routing with the
+  * same at-rest outcome.
+  */
+object Monitor {
+
+  /** One finding per row; `_corrupt` carries unparseable documents. */
+  def readStream(spark: SparkSession, srcDir: String, archiveDir: Option[String]): DataFrame = {
+    val base = spark.readStream
+      .schema(OcsfModel.ocsfFinding.add("_corrupt", "string"))
+      .option("multiLine", value = true)
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("pathGlobFilter", "*.ocsf.json")
+    val withArchive = archiveDir match {
+      case Some(dir) =>
+        base
+          .option("cleanSource", "archive")
+          .option("sourceArchiveDir", dir)
+      case None => base
+    }
+    withArchive.json(srcDir)
+  }
+
+  /** Run the pipeline: good rows append to the landing table, corrupt
+    * rows are routed to `failedDir`. Returns the started query (call
+    * `awaitTermination` / `processAllAvailable`). */
+  def run(
+      spark: SparkSession,
+      srcDir: String,
+      landingPath: String,
+      failedDir: String,
+      checkpointDir: String,
+      archiveDir: Option[String] = None,
+      oneShot: Boolean = true,
+  ): StreamingQuery = {
+    val stream = readStream(spark, srcDir, archiveDir)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val good = batch.filter(col("_corrupt").isNull).drop("_corrupt")
+        val bad  = batch.filter(col("_corrupt").isNotNull).select(col("_corrupt"))
+        Landing.append(good, landingPath)
+        if (!bad.isEmpty) {
+          bad.write.mode("append").text(s"$failedDir/batch_$batchId")
+        }
+        ()
+      }
+    (if (oneShot) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}

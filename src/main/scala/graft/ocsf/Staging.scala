@@ -1,0 +1,194 @@
+package graft.ocsf
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Staging layer: the reference's dbt model
+  * `dbt_project/models/staging/stg_ocsf_findings.sql:31-163` re-expressed
+  * as one Spark projection.
+  *
+  * Every correlated `LIMIT 1` scalar subquery (A5) and lateral unnest
+  * (J2) of the Postgres model is a within-row higher-order function here
+  * — no joins, no decorrelation, one scan (SURVEY §4.2). Postgres
+  * `jsonb_agg(DISTINCT)` ordering is reproduced with
+  * `array_sort∘array_distinct` (A3), and `jsonb_agg` over zero rows
+  * yields NULL — mirrored with empty⇒NULL guards.
+  */
+object Staging {
+
+  private def raw(field: String): Column = col(s"raw.$field")
+
+  /** A5: first enrichments[] entry with the given name (the reference's
+    * correlated `LIMIT 1` subquery, stg:40-45 / 138-160). */
+  private def firstEnrichment(name: String): Column =
+    try_element_at(
+      filter(
+        coalesce(raw("enrichments"), Enrichment.emptyEnrichments),
+        e => e.getField("name") === name,
+      ),
+      lit(1),
+    )
+
+  private def vulns: Column =
+    coalesce(raw("vulnerabilities"), array().cast(OcsfModel.ocsfFinding("vulnerabilities").dataType))
+
+  /** Postgres `jsonb_agg` over zero rows is NULL, not an empty array. */
+  private def nullIfEmpty(arr: Column): Column =
+    when(size(arr) > 0, arr)
+
+  /** The 20-column staging projection over a landing DataFrame. */
+  def transform(landing: DataFrame): DataFrame = {
+    val directCwes = transform_(
+      filter(vulns, v => v.getField("cwe").getField("uid").isNotNull),
+      _.getField("cwe").getField("uid"),
+    )
+    val relatedCwes = flatten(
+      transform_(
+        filter(vulns, v => v.getField("cve").getField("related_cwes").isNotNull),
+        v =>
+          transform_(
+            filter(v.getField("cve").getField("related_cwes"), c => c.getField("uid").isNotNull),
+            _.getField("uid"),
+          ),
+      )
+    )
+
+    landing.select(
+      col("finding_uid"),
+      // P1 json path projections (stg:35-36).
+      raw("metadata.product.name").as("tool_name"),
+      raw("metadata.product.version").as("tool_version"),
+      // A5 (stg:40-45).
+      try_element_at(firstEnrichment("scan_metadata").getField("data"), lit("scan_run_id"))
+        .as("scan_run_id"),
+      // P2 epoch-ms with zero guard (stg:47-51).
+      graft.expr.OcsfColumns
+        .msToTimestampZeroGuard(raw("finding_info.created_time"))
+        .cast(TimestampType)
+        .as("detected_at"),
+      // P4 (stg:53).
+      col("loaded_at").as("staging_loaded_at"),
+      raw("finding_info.title").as("finding_title"),
+      raw("finding_info.desc").as("finding_description"),
+      raw("finding_info.src_url").as("finding_src_url"),
+      raw("severity").as("finding_severity"),
+      raw("status").as("finding_status"),
+      raw("activity_name").as("finding_activity_name"),
+      raw("remediation.desc").as("finding_remediation"),
+      // P3 (stg:67).
+      coalesce(raw("resources"), array().cast(OcsfModel.ocsfFinding("resources").dataType))
+        .as("resources_jsonb"),
+      // A2 lateral flatten (stg:70-77).
+      nullIfEmpty(
+        flatten(
+          transform_(
+            filter(vulns, v => v.getField("affected_packages").isNotNull),
+            _.getField("affected_packages"),
+          )
+        )
+      ).as("affected_packages_jsonb"),
+      // F15 per-vuln projection (stg:84-94).
+      nullIfEmpty(
+        transform_(
+          filter(
+            vulns,
+            v => v.getField("affected_packages").isNotNull || v.getField("affected_code").isNotNull,
+          ),
+          v =>
+            struct(
+              v.getField("affected_code").as("affected_code"),
+              v.getField("affected_packages").as("affected_packages"),
+            ),
+        )
+      ).as("vulnerabilities_subset_jsonb"),
+      // T1 + A3: direct ∪ CVE-related CWEs, distinct, sorted (stg:96-116).
+      nullIfEmpty(array_sort(array_distinct(concat(directCwes, relatedCwes)))).as("finding_cwes"),
+      // A3 (stg:118-126).
+      nullIfEmpty(
+        array_sort(
+          array_distinct(
+            transform_(
+              filter(vulns, v => v.getField("cve").getField("uid").isNotNull),
+              _.getField("cve").getField("uid"),
+            )
+          )
+        )
+      ).as("finding_cves"),
+      // F14 + A3 (stg:128-136).
+      nullIfEmpty(
+        array_sort(
+          array_distinct(
+            flatten(
+              transform_(
+                filter(vulns, v => v.getField("references").isNotNull),
+                _.getField("references"),
+              )
+            )
+          )
+        )
+      ).as("finding_references"),
+      // A5 (stg:138-160).
+      firstEnrichment("rh_sdlc_source").getField("value").as("finding_source"),
+      firstEnrichment("affected_components").as("enrichments_affected_components_jsonb"),
+      firstEnrichment("jira_status").as("enrichments_jira_status_jsonb"),
+    )
+  }
+
+  // `transform` name collides with this object's method.
+  private def transform_(arr: Column, f: Column => Column): Column =
+    org.apache.spark.sql.functions.transform(arr, f)
+
+  /** P5/ST4: incremental high-watermark materialization. Reads the
+    * current staging max(staging_loaded_at) (driver-side scalar — the
+    * one place the reference's incremental runner genuinely needs an
+    * action), filters the landing scan above it (min/max-pruned by
+    * parquet + partition pruning on loaded_date), appends.
+    */
+  def incrementalRun(spark: SparkSession, landingPath: String, stagingPath: String): Long = {
+    val landing = Landing.read(spark, landingPath)
+    val watermark: Option[java.sql.Timestamp] =
+      if (exists(spark, stagingPath))
+        Option(
+          spark.read.parquet(stagingPath).agg(max("staging_loaded_at")).head().getTimestamp(0)
+        )
+      else None
+
+    val fresh = watermark match {
+      case Some(w) =>
+        landing
+          .filter(col("loaded_date") >= to_date(lit(w)))
+          .filter(col("loaded_at") > lit(w))
+      case None => landing
+    }
+    val out = transform(fresh)
+    out.write.mode("append").parquet(stagingPath)
+    spark.read.parquet(stagingPath).count()
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p  = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** P7: the reference's accepted-values data tests
+    * (`dbt_project/tests/generic/severity_levels.sql`, `status.sql`) —
+    * returns the failing rows (empty = pass). */
+  val SeverityLevels: Seq[String] =
+    Seq("Critical", "High", "Medium", "Low", "Informational", "Unknown", "Other")
+  val StatusNames: Seq[String] =
+    Seq("Unknown", "New", "InProgress", "Suppressed", "Resolved", "Archived", "Other")
+
+  def failingSeverities(staging: DataFrame): DataFrame =
+    staging.filter(!col("finding_severity").isin(SeverityLevels: _*))
+
+  def failingStatuses(staging: DataFrame): DataFrame =
+    staging.filter(!col("finding_status").isin(StatusNames: _*))
+
+  /** P6: the configurable finding_uid format check
+    * (`dbt_project/macros/add_finding_uid_constraint.sql:59-95`) as a
+    * validation filter — returns violating rows. */
+  def failingUidFormat(staging: DataFrame, pattern: String): DataFrame =
+    staging.filter(!col("finding_uid").rlike(pattern))
+}

@@ -1,0 +1,146 @@
+package graft.ocsf
+
+import graft.SparkTestBase
+import graft.SparkTestBase.tmpDir
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Landing → staging transformation against the 20-column contract
+  * (`dbt_project/models/schema.yaml:74-182`; FIXTURES.md §4), including
+  * the richer document shapes (CVEs, related CWEs, packages, references,
+  * downstream enrichments) the converter alone does not produce.
+  */
+class StagingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  /** A hand-built OCSF document exercising every staging column. */
+  private val richFinding =
+    """{
+      |  "severity": "High", "status": "New", "activity_name": "Update",
+      |  "metadata": {"product": {"name": "snyk", "version": "9.9"}, "version": "1.5.0"},
+      |  "finding_info": {"uid": "boann:sast:snyk:fingerprint:abc", "title": "T", "desc": "D",
+      |                    "created_time": 1709287200000, "src_url": "https://example.com/f/1"},
+      |  "remediation": {"desc": "upgrade the dependency"},
+      |  "vulnerabilities": [
+      |    {"cwe": {"uid": "CWE-89"},
+      |     "cve": {"uid": "CVE-2024-0001", "related_cwes": [{"uid": "CWE-79"}, {"uid": "CWE-20"}]},
+      |     "affected_code": [{"file": {"name": "a.c", "path": "src/a.c", "type_id": 1}, "start_line": 1, "end_line": 2}],
+      |     "affected_packages": [{"name": "libfoo"}],
+      |     "references": ["https://nvd.example/CVE-2024-0001", "https://osv.example/x"]},
+      |    {"cwe": {"uid": "CWE-89"},
+      |     "cve": {"uid": "CVE-2024-0001"},
+      |     "affected_packages": [{"name": "libbar"}],
+      |     "references": ["https://nvd.example/CVE-2024-0001"]}
+      |  ],
+      |  "enrichments": [
+      |    {"name": "scan_metadata", "type": "custom", "value": "Scan metadata", "data": {"scan_run_id": "run-7"}},
+      |    {"name": "rh_sdlc_source", "value": "sast"},
+      |    {"name": "affected_components", "value": "comp-a"},
+      |    {"name": "jira_status", "value": "In Progress"}
+      |  ]
+      |}""".stripMargin.replaceAll("\n", " ")
+
+  private lazy val stagingRows: Array[Row] = {
+    import spark.implicits._
+    val docs = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
+    val landingDir = tmpDir("landing")
+    val stagingDir = tmpDir("staging")
+    Landing.append(docs, landingDir)
+    Staging.incrementalRun(spark, landingDir, stagingDir)
+    spark.read.parquet(stagingDir).collect()
+  }
+
+  test("scalar extractions") {
+    val r = stagingRows.head
+    assert(r.getAs[String]("finding_uid") === "boann:sast:snyk:fingerprint:abc")
+    assert(r.getAs[String]("tool_name") === "snyk")
+    assert(r.getAs[String]("tool_version") === "9.9")
+    assert(r.getAs[String]("scan_run_id") === "run-7")
+    assert(r.getAs[java.sql.Timestamp]("detected_at").toInstant.toEpochMilli === 1709287200000L)
+    assert(r.getAs[String]("finding_title") === "T")
+    assert(r.getAs[String]("finding_description") === "D")
+    assert(r.getAs[String]("finding_src_url") === "https://example.com/f/1")
+    assert(r.getAs[String]("finding_severity") === "High")
+    assert(r.getAs[String]("finding_status") === "New")
+    assert(r.getAs[String]("finding_activity_name") === "Update")
+    assert(r.getAs[String]("finding_remediation") === "upgrade the dependency")
+    assert(r.getAs[String]("finding_source") === "sast")
+  }
+
+  test("array re-aggregations: distinct + sorted (A2/A3/T1)") {
+    val r = stagingRows.head
+    // direct CWE-89 (x2, deduped) ∪ related CWE-79, CWE-20 — sorted
+    assert(r.getAs[scala.collection.Seq[String]]("finding_cwes") === Seq("CWE-20", "CWE-79", "CWE-89"))
+    assert(r.getAs[scala.collection.Seq[String]]("finding_cves") === Seq("CVE-2024-0001"))
+    assert(
+      r.getAs[scala.collection.Seq[String]]("finding_references") ===
+        Seq("https://nvd.example/CVE-2024-0001", "https://osv.example/x")
+    )
+    val pkgs = r.getAs[scala.collection.Seq[Row]]("affected_packages_jsonb")
+    assert(pkgs.map(_.getAs[String]("name")) === Seq("libfoo", "libbar"))
+    val subset = r.getAs[scala.collection.Seq[Row]]("vulnerabilities_subset_jsonb")
+    assert(subset.length === 2)
+    assert(subset.head.getAs[scala.collection.Seq[Row]]("affected_code").nonEmpty)
+    assert(subset(1).getAs[scala.collection.Seq[Row]]("affected_code") === null)
+  }
+
+  test("first-match enrichment extracts (A5)") {
+    val r  = stagingRows.head
+    val ac = r.getAs[Row]("enrichments_affected_components_jsonb")
+    assert(ac.getAs[String]("name") === "affected_components")
+    assert(ac.getAs[String]("value") === "comp-a")
+    val js = r.getAs[Row]("enrichments_jira_status_jsonb")
+    assert(js.getAs[String]("value") === "In Progress")
+  }
+
+  test("jsonb_agg-over-zero-rows is NULL; resources defaults to []") {
+    import spark.implicits._
+    val bare =
+      """{"severity":"Low","status":"New","metadata":{"product":{"name":"t"},"version":"1.5.0"},
+        |"finding_info":{"uid":"u","title":"t","desc":"d","created_time":0}}""".stripMargin
+        .replaceAll("\n", " ")
+    val docs = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(bare).toDS())
+    val landingDir = tmpDir("landing2")
+    Landing.append(docs, landingDir)
+    val row = Staging.transform(Landing.read(spark, landingDir)).head()
+    assert(row.getAs[scala.collection.Seq[Row]]("resources_jsonb") === Seq.empty)
+    assert(row.getAs[scala.collection.Seq[Row]]("affected_packages_jsonb") === null)
+    assert(row.getAs[scala.collection.Seq[Row]]("vulnerabilities_subset_jsonb") === null)
+    assert(row.getAs[scala.collection.Seq[String]]("finding_cwes") === null)
+    assert(row.getAs[java.sql.Timestamp]("detected_at") === null) // created_time=0 ⇒ NULL
+    assert(row.getAs[String]("scan_run_id") === null)
+  }
+
+  test("incremental watermark: re-running without new data appends nothing") {
+    import spark.implicits._
+    val docs = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
+    val landingDir = tmpDir("landing3")
+    val stagingDir = tmpDir("staging3")
+    Landing.append(docs, landingDir)
+    val n1 = Staging.incrementalRun(spark, landingDir, stagingDir)
+    val n2 = Staging.incrementalRun(spark, landingDir, stagingDir)
+    assert(n1 === 1L)
+    assert(n2 === 1L) // watermark filtered everything; no duplicates
+    // new landing rows flow through on the next run
+    Landing.append(docs, landingDir)
+    val n3 = Staging.incrementalRun(spark, landingDir, stagingDir)
+    assert(n3 === 2L)
+  }
+
+  test("accepted-values and uid-format validators (P6/P7)") {
+    val staged = stagingRows
+    val df     = spark.createDataFrame(spark.sparkContext.parallelize(staged.toSeq), stagingRowsSchema)
+    assert(Staging.failingSeverities(df).count() === 0)
+    assert(Staging.failingStatuses(df).count() === 0)
+    assert(Staging.failingUidFormat(df, "^boann:[a-z0-9-]+:.*$").count() === 0)
+    assert(Staging.failingUidFormat(df, "^other:.*$").count() === 1)
+  }
+
+  private lazy val stagingRowsSchema = {
+    import spark.implicits._
+    val docs = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
+    val landingDir = tmpDir("landing4")
+    Landing.append(docs, landingDir)
+    Staging.transform(Landing.read(spark, landingDir)).schema
+  }
+}
