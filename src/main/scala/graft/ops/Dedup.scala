@@ -25,12 +25,20 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct (doc_id, shingle) pairs: the set representation used by
-    * every fuzzy-dedup operator below. */
+    * every fuzzy-dedup operator below.
+    *
+    * Tokenization is materialized as its own projection before the
+    * shingling lambda: higher-order functions are interpreted, so an
+    * inlined `tokens(text)` would re-run the tokenizer regex for every
+    * `element_at` reference (~3× per shingle). A separate non-cheap
+    * alias survives CollapseProject and runs once per document. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(
-      col(idCol).as("doc_id"),
-      explode(array_distinct(Text.shingles(Text.tokens(col(textCol)), n))).as("sh"),
-    )
+    docs
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(
+        col("doc_id"),
+        explode(array_distinct(Text.shingles(col("__toks"), n))).as("sh"),
+      )
 
   /** Exact dedup groups: normalize-and-hash fingerprint → smallest id
     * kept as the canonical representative, copy count retained. */
@@ -41,19 +49,26 @@ object Dedup {
 
   /** All pairs with shingle-set Jaccard >= `minJaccard` (a < b).
     * `maxDocFreq` drops shingles occurring in more documents than the
-    * cap before the self-join — the standard skew guard at scale. */
+    * cap before the self-join — the standard skew guard at scale.
+    *
+    * Set sizes are computed over ALL shingles, but the self-join runs
+    * only over shingles with document frequency >= 2: singleton shingles
+    * cannot contribute to any pair's intersection, and they are the bulk
+    * of a natural corpus — this prunes most of the quadratic join input
+    * without changing any result. */
   def jaccardPairs(
       shingles: DataFrame,
       minJaccard: Double,
       maxDocFreq: Option[Long] = None,
   ): DataFrame = {
-    val pruned = maxDocFreq match {
-      case Some(cap) =>
-        val df = shingles.groupBy("sh").agg(count(lit(1)).as("__df")).filter(col("__df") <= cap)
-        shingles.join(df.select("sh"), "sh")
-      case None => shingles
-    }
-    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val docFreq = shingles.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val joinable = maxDocFreq
+      .map(cap => docFreq.filter(col("__df") <= cap))
+      .getOrElse(docFreq)
+      .filter(col("__df") >= 2)
+      .select("sh")
+    val pruned = shingles.join(joinable, "sh")
     val common = pruned
       .as("a")
       .join(pruned.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -70,31 +85,37 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** MinHash signatures: one row per (doc, seed), `mh` = min over the
-    * doc's shingles of md5(seed ':' shingle). md5 keeps the signature
-    * engine-independent (byte-identical in any SQL engine) — the scale
-    * path swaps in xxhash64 without changing the dataflow. */
+  /** MinHash signatures, wide form: one row per doc with columns
+    * `mh0..mh{k-1}`, each the min over the doc's shingles of
+    * md5(seed ':' shingle). One aggregation pass — no k× row
+    * amplification — and md5 keeps the signature engine-independent
+    * (byte-identical in any SQL engine); the scale path swaps in
+    * xxhash64 without changing the dataflow. */
   def minhashSignatures(shingles: DataFrame, k: Int): DataFrame =
     shingles
-      .withColumn("seed", explode(sequence(lit(0), lit(k - 1))))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("mh"))
-
-  /** LSH banding: group each doc's signature into bands of
-    * `rowsPerBand` consecutive seeds; `band_hash` = md5 of the
-    * seed-ordered minhashes in the band. */
-  def lshBands(signatures: DataFrame, rowsPerBand: Int): DataFrame =
-    signatures
-      .withColumn("band", expr(s"seed div $rowsPerBand"))
-      .groupBy("doc_id", "band")
+      .groupBy(col("doc_id"))
       .agg(
-        md5(
-          array_join(
-            transform(array_sort(collect_list(struct(col("seed"), col("mh")))), _.getField("mh")),
-            ",",
-          )
-        ).as("band_hash")
+        min(md5(concat(lit("0:"), col("sh")))).as("mh0"),
+        (1 until k).map(seed => min(md5(concat(lit(s"$seed:"), col("sh")))).as(s"mh$seed")): _*
       )
+
+  /** LSH banding over a wide signature: `band_hash` = md5 of the
+    * seed-ordered minhashes in each band of `rowsPerBand` consecutive
+    * seeds, unpivoted to one row per (doc, band) for the collision join. */
+  def lshBands(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+    val k = signatures.columns.count(_.startsWith("mh"))
+    require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
+    val nBands = k / rowsPerBand
+    val bandHashes = (0 until nBands).map { b =>
+      val members = (b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"mh$s"))
+      md5(concat_ws(",", members: _*))
+    }
+    val stackArgs = (0 until nBands).flatMap(b => Seq(lit(b), bandHashes(b)))
+    signatures.select(
+      col("doc_id"),
+      stack(lit(nBands) +: stackArgs: _*).as(Seq("band", "band_hash")),
+    )
+  }
 
   /** Candidate pairs: docs sharing any LSH band (a < b, distinct).
     * This is the only pair-producing join and it is keyed on
@@ -139,36 +160,64 @@ object Dedup {
   /** 32-bit SimHash over the shingle set. Bit j of md5(shingle) (taken
     * as hex-nibble high bits) votes ±1; the sign of each position's vote
     * sum becomes signature bit j. Pure integer arithmetic — identical in
-    * any engine, and order-independent (sums). */
-  def simhash32(shingles: DataFrame): DataFrame =
-    shingles
-      .withColumn("pos", explode(sequence(lit(1), lit(32))))
-      .groupBy("doc_id", "pos")
-      .agg(
-        sum(
-          when(
-            expr("instr('0123456789abcdef', substring(md5(sh), pos, 1)) - 1") >= 8,
-            1,
-          ).otherwise(-1)
-        ).as("s")
-      )
+    * any engine, and order-independent (sums).
+    *
+    * Computed as one aggregation pass with 32 vote-sum columns over a
+    * pre-hashed shingle column (no 32× row amplification, md5 evaluated
+    * once per shingle). */
+  def simhash32(shingles: DataFrame): DataFrame = {
+    val hashed = shingles.select(col("doc_id"), md5(col("sh")).as("h"))
+    val votes = (1 to 32).map { pos =>
+      sum(
+        when(expr(s"instr('0123456789abcdef', substring(h, $pos, 1)) - 1") >= 8, 1).otherwise(-1)
+      ).as(s"s$pos")
+    }
+    val sig = (1 to 32)
+      .map(pos => when(col(s"s$pos") > 0, lit(1L << (pos - 1))).otherwise(0L))
+      .reduce(_ + _)
+    hashed
       .groupBy("doc_id")
-      .agg(
-        sum(
-          when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), pos - 1)")).otherwise(0L)
-        ).as("simhash")
-      )
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
 
-  /** Near-dup pairs by SimHash Hamming distance (a < b). All-pairs form
-    * for verifiable correctness; bucket by signature prefix at scale. */
-  def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame =
-    sigs
+  /** Near-dup pairs by SimHash Hamming distance (a < b), via banded
+    * self-join: the 32-bit signature is split into `maxHamming + 1`
+    * bit-bands — by pigeonhole, any pair within the Hamming threshold
+    * agrees on at least one full band, so joining per band on band
+    * equality finds every qualifying pair (identical results to the
+    * all-pairs form) while only colliding signatures ever meet. This is
+    * the standard scale-out for SimHash dedup. */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val bounds = (0 until nBands).map(b => (b * 32 / nBands, (b + 1) * 32 / nBands))
+    val stackArgs = bounds.zipWithIndex.flatMap { case ((s, e), i) =>
+      Seq(lit(i), shiftright(col("simhash"), s).bitwiseAND(lit((1L << (e - s)) - 1)))
+    }
+    val banded = sigs.select(
+      col("doc_id"),
+      col("simhash"),
+      stack(lit(nBands) +: stackArgs: _*).as(Seq("band", "bv")),
+    )
+    banded
       .as("a")
-      .join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .join(
+        banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"),
+      )
       .select(
         col("a.doc_id").as("a_id"),
         col("b.doc_id").as("b_id"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"),
+        col("a.simhash").as("__sa"),
+        col("b.simhash").as("__sb"),
+      )
+      .distinct()
+      .select(
+        col("a_id"),
+        col("b_id"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"),
       )
       .filter(col("hamming") <= maxHamming)
+  }
 }

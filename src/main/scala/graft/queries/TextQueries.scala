@@ -84,12 +84,14 @@ object TextQueries {
        |                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh_all
        |      FROM toks)""".stripMargin,
   ) { (s, d) =>
-    val sh = Text.shingles(Text.tokens(col("text")), 3)
+    // Tokens materialized first — see Dedup.shingleSets for why.
     documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), Text.shingles(col("__toks"), 3).as("__sh"))
       .select(
         col("doc_id"),
-        size(sh).as("n_shingles"),
-        size(array_distinct(sh)).as("n_distinct"),
+        size(col("__sh")).as("n_shingles"),
+        size(array_distinct(col("__sh"))).as("n_distinct"),
       )
   }
 
