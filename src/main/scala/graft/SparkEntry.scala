@@ -13,7 +13,8 @@ object SparkEntry {
 
   private def registries: Seq[Q] =
     Relational.all ++ Windows.all ++ Grouping.all ++ Events.all ++ Scalars.all ++
-      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
+      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      StreamingQueries.all ++ MultimodalQueries.all ++ MiscQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

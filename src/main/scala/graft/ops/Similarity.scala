@@ -24,21 +24,28 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Left-to-right fold dot product of two float-array columns, in
-    * double precision. */
-  def dot(a: Column, b: Column): Column =
+    * double precision — the composed-builtins reference form. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v,
     )
 
+  /** Native codegen'd dot product ([[graft.functions.FloatVecDot]]) —
+    * bit-identical to [[dotFold]], ~interpreter-free. This is the form
+    * every operator here uses. */
+  def dot(a: Column, b: Column): Column = graft.functions.FloatVecDot.float_dot(a, b)
+
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Add a precomputed `nrm` column (norms are reused across every pair
     * a row participates in — never recompute them inside the join). */
-  def withNorm(df: DataFrame, embCol: String): DataFrame =
+  def withNorm(df: DataFrame, embCol: String): DataFrame = {
+    graft.functions.FloatVecDot.registerOn(df.sparkSession)
     df.withColumn("nrm", l2Norm(col(embCol)))
+  }
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -52,6 +59,7 @@ object Similarity {
       embCol: String,
       k: Int,
   ): DataFrame = {
+    graft.functions.FloatVecDot.registerOn(queries.sparkSession)
     val q = withNorm(queries, embCol)
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"), col("nrm").as("q_nrm"))
     val c = withNorm(candidates, embCol)
@@ -67,5 +75,74 @@ object Similarity {
     scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+  }
+
+  /** Signed-random-projection (SRP) LSH bucket per vector: `nPlanes`
+    * Rademacher hyperplanes with entries derived deterministically from
+    * md5(plane ':' dim) — reproducible in any engine, no RNG state.
+    * Bucket id packs the sign bits of the plane dot products.
+    *
+    * This is the ANN scale path: scoring happens only within buckets, so
+    * the q×N cross product becomes q×(N / 2^nPlanes) expected. */
+  def srpBuckets(df: DataFrame, idCol: String, embCol: String, nPlanes: Int): DataFrame = {
+    val sign = (p: Column, i: Column) =>
+      when(
+        ascii(md5(concat(p.cast("string"), lit(":"), i.cast("string"))).substr(lit(1), lit(1))) >= 56,
+        lit(1.0),
+      ).otherwise(lit(-1.0))
+    df.select(col(idCol), col(embCol))
+      .withColumn("__p", explode(sequence(lit(0), lit(nPlanes - 1))))
+      .withColumn(
+        "__dot",
+        aggregate(
+          transform(
+            sequence(lit(1), size(col(embCol))),
+            i => element_at(col(embCol), i).cast("double") * sign(col("__p"), i),
+          ),
+          lit(0.0),
+          (acc, v) => acc + v,
+        ),
+      )
+      .groupBy(col(idCol))
+      .agg(sum(when(col("__dot") >= 0, expr("shiftleft(1, __p)")).otherwise(0)).as("bucket"))
+  }
+
+  /** Approximate top-k: exact cosine ranking restricted to each query's
+    * SRP bucket. Same output shape as [[bruteForceTopK]]; recall trades
+    * against `nPlanes`. */
+  def srpTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nPlanes: Int,
+      queryPred: Column,
+  ): DataFrame = {
+    val base = withNorm(df, embCol)
+      .join(srpBuckets(df, idCol, embCol, nPlanes), idCol)
+    val q = base
+      .filter(queryPred)
+      .select(
+        col(idCol).as("q_id"),
+        col(embCol).as("q_emb"),
+        col("nrm").as("q_nrm"),
+        col("bucket"),
+      )
+    val c = base.select(
+      col(idCol).as("n_id"),
+      col(embCol).as("n_emb"),
+      col("nrm").as("n_nrm"),
+      col("bucket"),
+    )
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("cos"),
+      )
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 }

@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Operators whose output is legitimately engine-specific (sketches,
+  * sampling): registered without an oracle, so the driver records the
+  * weaker rows-only check. Exact counterparts are oracle-checked
+  * elsewhere (`rel_agg_count_distinct`, full scans).
+  */
+object MiscQueries {
+
+  /** HyperLogLog++ approximate distinct (mergeable sketch — the
+    * scalable form of COUNT(DISTINCT) at 100 TB). */
+  private val approxDistinct = Q.noOracle("misc_approx_count_distinct") { (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        count(lit(1)).as("n"),
+      )
+  }
+
+  /** Seeded Bernoulli sample (deterministic per partitioning, but not
+    * reproducible across engines — rows-only check). */
+  private val sample = Q.noOracle("misc_sample") { (s, d) =>
+    orders(s, d).sample(withReplacement = false, fraction = 0.1, seed = 42)
+  }
+
+  /** Native SQL surface of the custom codegen'd expression
+    * ([[graft.functions.FloatVecDot]] via GraftExtensions /
+    * registerOn): self dot products through SQL text. */
+  private val floatDotSql = Q(
+    "misc_float_dot_sql",
+    s"""SELECT vec_id,
+       |  list_reduce(list_transform(generate_series(1, len(embedding)),
+       |              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+       |              (x, y) -> x + y) AS self_dot
+       |FROM embeddings""".stripMargin,
+  ) { (s, d) =>
+    graft.functions.FloatVecDot.registerOn(s)
+    embeddings(s, d).createOrReplaceTempView("v_embeddings")
+    s.sql("SELECT vec_id, float_dot(embedding, embedding) AS self_dot FROM v_embeddings")
+  }
+
+  val all: Seq[Q] = Seq(approxDistinct, sample, floatDotSql)
+}

@@ -1,0 +1,42 @@
+package graft.queries
+
+import graft.Tables._
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries (SURVEY.md §2.10): binary payloads beside
+  * relational columns, metadata projection, and the batched
+  * feature-extraction pipeline ([[graft.ops.Multimodal]]). The stub
+  * decoder derives features from raw bytes, so even the mapPartitions
+  * path is oracle-checkable (md5/byte arithmetic match any engine).
+  */
+object MultimodalQueries {
+
+  /** Metadata projection over the packed binary column — queries that
+    * only touch metadata never read the payload bytes. */
+  private val binaryMeta = Q(
+    "mm_binary_meta",
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes, 'text/plain' AS mime
+      |FROM documents""".stripMargin,
+  ) { (s, d) =>
+    Multimodal
+      .packDocuments(documents(s, d))
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"), col("meta.mime").as("mime"))
+  }
+
+  /** Batched (mapPartitions) feature extraction over binary payloads —
+    * the stub decode emits byte-derived features the oracle reproduces
+    * with plain SQL. */
+  private val features = Q(
+    "mm_features",
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |  ascii(substr(text, 1, 1)) AS head_byte, md5(text) AS checksum
+      |FROM documents""".stripMargin,
+  ) { (s, d) =>
+    Multimodal
+      .extractFeatures(Multimodal.packDocuments(documents(s, d)))
+      .toDF()
+  }
+
+  val all: Seq[Q] = Seq(binaryMeta, features)
+}

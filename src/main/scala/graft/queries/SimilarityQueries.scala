@@ -54,5 +54,48 @@ object SimilarityQueries {
       .select("q_id", "n_id", "cos", "rnk")
   }
 
-  val all: Seq[Q] = Seq(norms, cosineTopK)
+  /** SRP-LSH approximate nearest neighbors: exact cosine ranking within
+    * each query's random-hyperplane bucket (8 planes). The hyperplanes
+    * are md5-derived Rademacher vectors, so both engines build the exact
+    * same index — the oracle checks the approximation itself. */
+  private val annSrpTopK = Q(
+    "sim_ann_srp_topk",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT vec_id, p,
+       |    list_reduce(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(embedding[i] AS DOUBLE) *
+       |           (CASE WHEN ascii(substr(md5(p || ':' || i), 1, 1)) >= 56
+       |                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) AS dotp
+       |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS p) pl),
+       |bk AS (
+       |  SELECT vec_id, SUM(CASE WHEN dotp >= 0 THEN (1 << p) ELSE 0 END) AS bucket
+       |  FROM d GROUP BY vec_id),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (qe.nrm * ce.nrm) AS cos
+       |  FROM bk qb JOIN bk cb ON qb.bucket = cb.bucket AND cb.vec_id <> qb.vec_id
+       |    JOIN e q ON q.vec_id = qb.vec_id JOIN e c ON c.vec_id = cb.vec_id
+       |    JOIN e qe ON qe.vec_id = qb.vec_id JOIN e ce ON ce.vec_id = cb.vec_id
+       |  WHERE qb.vec_id < 10)
+       |SELECT q_id, n_id, cos, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM pairs)
+       |WHERE rnk <= 3""".stripMargin,
+  ) { (s, d) =>
+    Similarity
+      .srpTopK(
+        embeddings(s, d),
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+        nPlanes = 8,
+        queryPred = col("vec_id") < 10,
+      )
+      .select("q_id", "n_id", "cos", "rnk")
+  }
+
+  val all: Seq[Q] = Seq(norms, cosineTopK, annSrpTopK)
 }

@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.expr.Parity._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators (SURVEY.md §2.8), executed as real
+  * streaming queries inside the correctness gate: the events table is
+  * replayed through a file stream source into a windowed aggregation
+  * and a memory sink, and the sink's contents are the query result —
+  * checked against the same DuckDB oracle as the batch form. With
+  * `Trigger.AvailableNow` + complete mode this is deterministic.
+  */
+object StreamingQueries {
+
+  private val eventsNanosSchema = StructType(
+    Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw nanos
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType),
+    )
+  )
+
+  private var streamN = 0
+
+  /** ST1/ST4 + tumbling event-time window: streaming replay of the
+    * 15-minute bucket aggregation. */
+  private val tumblingStream = Q(
+    "stream_tumbling_event_counts",
+    s"""SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_start, event_type,
+       |  COUNT(*) AS n, ${DSUM("value")} AS total
+       |FROM events GROUP BY 1, 2""".stripMargin,
+  ) { (s, d) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source requires a directory; expose the single
+    // events file through a temp dir symlink (read-only testdata).
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath,
+    )
+    val stream = s.readStream
+      .schema(eventsNanosSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("window.start").as("bucket_start"), col("event_type"), col("n"), col("total"))
+    val name = synchronized { streamN += 1; s"graft_stream_$streamN" }
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val all: Seq[Q] = Seq(tumblingStream)
+}

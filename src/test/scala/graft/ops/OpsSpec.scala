@@ -1,0 +1,164 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.FloatVecDot
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior tests for the extension operators: as-of join semantics,
+  * dedup invariants, native-vs-composed dot product equality, text ops,
+  * and the multimodal batch pipeline.
+  */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("as-of join: latest right row at or before, inclusive, per key") {
+    val left = Seq(
+      (1L, 10L, "l1"),
+      (1L, 20L, "l2"),
+      (2L, 15L, "l3"),
+      (3L, 5L, "l4"), // key with no right rows at all
+    ).toDF("k", "t", "lv").withColumn("t", timestamp_millis(col("t") * 1000))
+    val right = Seq(
+      (1L, 10L, 1.0), // equal ts => inclusive match for l1
+      (1L, 18L, 2.0),
+      (2L, 99L, 3.0), // after l3 => no match
+    ).toDF("k", "t", "rv").withColumn("t", timestamp_millis(col("t") * 1000))
+
+    val got = AsOf
+      .joinAtOrBefore(left, right, keys = Seq("k"), ts = "t", payloadCols = Seq("rv"),
+        rightTieBreak = "rv", outPrefix = "m_")
+      .select("lv", "m_rv")
+      .collect()
+      .map(r => r.getString(0) -> Option(r.get(1)))
+      .toMap
+    assert(got("l1") === Some(1.0)) // inclusive at equal ts
+    assert(got("l2") === Some(2.0)) // latest earlier click
+    assert(got("l3") === None)      // right row is later
+    assert(got("l4") === None)      // no right rows for key
+  }
+
+  test("exact dedup groups duplicates and keeps smallest id") {
+    val docs = Seq((1L, "hello world"), (2L, "hello  world"), (3L, "unique")).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    // whitespace-normalized fingerprint merges 1 and 2
+    val byKeep = groups.map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(byKeep === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("minhash LSH finds a planted near-duplicate and skips unrelated docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup
+      .minhashLshPairs(Dedup.shingleSets(docs, "doc_id", "text", 3), k = 16, rowsPerBand = 4, minJaccard = 0.5)
+      .collect()
+    assert(pairs.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet === Set((1L, 2L)))
+    assert(pairs.head.getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("simhash: identical docs distance 0; banded pairs == all-pairs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, (100 to 160).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash32(Dedup.shingleSets(docs, "doc_id", "text", 3))
+    val pairs = Dedup.simhashPairs(sigs, maxHamming = 4).collect()
+    assert(pairs.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Int]("hamming"))).toSet
+      === Set((1L, 2L, 0)))
+  }
+
+  test("native float_dot is bit-identical to the composed fold") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f), Array.fill(64)(rnd.nextFloat() - 0.5f))
+    }
+    val df = vecs.toDF("id", "a", "b")
+    FloatVecDot.registerOn(spark)
+    val rows = df
+      .select(
+        Similarity.dotFold(col("a"), col("b")).as("fold"),
+        Similarity.dot(col("a"), col("b")).as("native"),
+      )
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("brute-force top-k ranks an exact duplicate vector first") {
+    val rnd  = new scala.util.Random(11)
+    val vs   = (0L until 20L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val dupd = vs :+ (99L, vs.head._2.clone()) // vec 99 duplicates vec 0
+    val df   = dupd.toDF("vec_id", "embedding")
+    val top = Similarity
+      .bruteForceTopK(df.filter(col("vec_id") === 0), df, "vec_id", "embedding", k = 1)
+      .collect()
+    assert(top.length === 1)
+    assert(top.head.getAs[Long]("n_id") === 99L)
+    assert(math.abs(top.head.getAs[Double]("cos") - 1.0) < 1e-9)
+  }
+
+  test("text ops: tokens, shingles, langId precedence, slug idempotence") {
+    val df = Seq("the quick brown fox jumps the fence").toDF("text")
+    val toks = df.select(Text.tokens(col("text"))).head().getSeq[String](0)
+    assert(toks.length === 7)
+    val sh = df
+      .select(Text.tokens(col("text")).as("t"))
+      .select(Text.shingles(col("t"), 3))
+      .head()
+      .getSeq[String](0)
+    assert(sh.length === 5)
+    assert(sh.head === "the quick brown")
+    assert(df.select(Text.langId(col("text"))).head().getString(0) === "en")
+    // shorter than n => empty
+    val empty = Seq("one two").toDF("text")
+      .select(Text.tokens(col("text")).as("t")).select(Text.shingles(col("t"), 3))
+      .head().getSeq[String](0)
+    assert(empty.isEmpty)
+    // slug idempotence over arbitrary strings
+    val gen = new scala.util.Random(3)
+    (1 to 200).foreach { _ =>
+      val s    = (1 to gen.nextInt(20)).map(_ => gen.nextPrintableChar()).mkString
+      val once = graft.ocsf.FindingUidGenerator.normalizeJvm(s)
+      assert(graft.ocsf.FindingUidGenerator.normalizeJvm(once) === once, s"input: $s")
+    }
+  }
+
+  test("multimodal: packed binary + batched stub decode round-trips deterministically") {
+    val docs = Seq((1L, "hello", "s0"), (2L, "", "s1"), (3L, "wide world", "s2"))
+      .toDF("doc_id", "text", "source")
+    val media = Multimodal.packDocuments(docs)
+    assert(media.schema("content").dataType.typeName === "binary")
+    val feats = Multimodal.extractFeatures(media, batchSize = 2).collect().sortBy(_.doc_id)
+    assert(feats.map(_.n_bytes).toSeq === Seq(5, 0, 10))
+    assert(feats.head.head_byte === 'h'.toInt)
+    assert(feats(1).head_byte === -1)
+    assert(feats.head.checksum === "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+    // frame sampling yields n fixed-width binary slices
+    val frames = media
+      .filter(col("doc_id") === 3)
+      .select(Multimodal.frameSample(col("content"), 3, 4).as("f"))
+      .head()
+      .getSeq[Array[Byte]](0)
+    assert(frames.length === 3)
+    assert(new String(frames.head, "UTF-8") === "wide")
+  }
+
+  test("enrichment registry: specs, parameterization, broken-plugin tolerance") {
+    import graft.ocsf.EnrichmentRegistry
+    val (ok, errs) = EnrichmentRegistry.createAll(
+      Seq(
+        "FindingUIDGenerator:sdlc_type=dast",
+        "ScanMetadataEnrichment:scan_run_id=run-1",
+        "ScanMetadataEnrichment", // missing required arg => reported, not thrown
+        "NoSuchPlugin",
+      )
+    )
+    assert(ok.length === 2)
+    assert(errs.length === 2)
+    assert(errs.exists(_.contains("scan_run_id")))
+    assert(errs.exists(_.contains("Unknown enrichment")))
+    assert(EnrichmentRegistry.known.contains("FindingUIDGenerator"))
+  }
+}
