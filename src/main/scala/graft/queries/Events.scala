@@ -155,6 +155,30 @@ object Events {
       .select("event_id", "user_id", "click_event_id", "click_value")
   }
 
+  /** Gap-based sessionization (30-min inactivity), declarative batch
+    * form ([[graft.ops.Sessionize.batchSessions]]); the streaming
+    * `flatMapGroupsWithState` twin is asserted equivalent in
+    * SessionizeSpec. */
+  private val sessionize = Q(
+    "evt_sessionize",
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+       |              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |numbered AS (
+       |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                              ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       |  COUNT(*) AS n_events, ${DSUM("value")} AS total_value
+       |FROM numbered GROUP BY user_id, session_id""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Sessionize.batchSessions(events(s, d), gapMs = 1800000L)
+  }
+
   val all: Seq[Q] = Seq(
     jsonExtractGroup,
     severityCaseMap,
@@ -163,5 +187,6 @@ object Events {
     pivotUserCounts,
     firstMatchPerUser,
     asofErrorClick,
+    sessionize,
   )
 }

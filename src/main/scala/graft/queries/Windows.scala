@@ -142,6 +142,56 @@ object Windows {
       )
   }
 
+  /** percent_rank / cume_dist (exact rank-derived ratios). */
+  private val pctRankCume = Q(
+    "win_pct_rank_cume",
+    """SELECT s_suppkey,
+      |  percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)""".stripMargin,
+  ) { (s, d) =>
+    val w = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal").desc)
+    supplier(s, d)
+      .select(
+        col("s_suppkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+      )
+  }
+
+  /** Exact interpolated percentiles (sort-based; both engines use the
+    * standard (1-f)·a + f·b interpolation over the same doubles). */
+  private val percentiles = Q(
+    "win_percentiles",
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.5) AS p50, quantile_cont(o_totalprice, 0.9) AS p90
+      |FROM orders GROUP BY o_orderstatus""".stripMargin,
+  ) { (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+      )
+  }
+
+  /** Unpivot (wide metrics → long form). */
+  private val unpivotPartMetrics = Q(
+    "win_unpivot_part_metrics",
+    """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part""".stripMargin,
+  ) { (s, d) =>
+    part(s, d)
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"), col("p_retailprice"))
+      .unpivot(
+        ids = Array(col("p_partkey")),
+        values = Array(col("p_size"), col("p_retailprice")),
+        variableColumnName = "metric",
+        valueColumnName = "value",
+      )
+  }
+
   val all: Seq[Q] = Seq(
     latestOrderPerCustomer,
     rankSuppliers,
@@ -150,5 +200,8 @@ object Windows {
     runningSum,
     rangeHourCount,
     firstLastPerNation,
+    pctRankCume,
+    percentiles,
+    unpivotPartMetrics,
   )
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: these lock in the *shape* of the plans, not
+  * just their results — filter/projection pushdown reaching the parquet
+  * scan, broadcast joins where a side is small, top-k without a global
+  * sort, no cartesian products anywhere, and whole-stage codegen over
+  * the hot expression pipelines. A regression here is a 100 TB
+  * performance bug even when correctness stays green.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def df(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  private def planOf(name: String): String =
+    df(name).queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("scan query pushes filters and prunes columns at the parquet scan") {
+    val p = planOf("rel_scan_filter_project")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThan(l_discount,0.05)"), "discount filter not pushed:\n" + p)
+    assert(p.contains("LessThan(l_shipdate"), "shipdate filter not pushed:\n" + p)
+    // projection pruning: the read schema must not include unused columns
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_returnflag"),
+      "scan reads unused columns: " + readSchema)
+  }
+
+  test("small dimensions are broadcast; fact-fact joins are not cartesian") {
+    val multiway = planOf("rel_join_multiway_region_revenue")
+    assert(multiway.contains("BroadcastHashJoin"), multiway)
+    assert(!multiway.contains("CartesianProduct"), multiway)
+    val bcast = planOf("rel_join_broadcast_revenue")
+    assert(bcast.contains("BroadcastHashJoin"), bcast)
+  }
+
+  test("semi/anti joins plan as join strategies, not subquery re-execution") {
+    assert(planOf("rel_join_semi_exists").contains("LeftSemi"))
+    assert(planOf("rel_join_anti_not_exists").contains("LeftAnti"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = planOf("rel_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("wide aggregation does map-side partial aggregation with one shuffle") {
+    val p = planOf("rel_agg_pricing_summary")
+    assert(p.contains("partial_sum"), p) // map-side combine before the exchange
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length === 1, p)
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).length === 2, p)
+  }
+
+  test("as-of join is a single window pass — no range cross join") {
+    val p = planOf("evt_asof_error_click")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("LSH candidate joins are equi-joins on collision keys, not all-pairs") {
+    Seq("ddp_minhash_lsh_pairs", "ddp_simhash_pairs").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+    }
+  }
+
+  test("native float_dot participates in codegen (no interpreted fallback marker)") {
+    graft.functions.FloatVecDot.registerOn(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val d = emb.select(graft.functions.FloatVecDot.float_dot(
+      org.apache.spark.sql.functions.col("embedding"),
+      org.apache.spark.sql.functions.col("embedding")).as("v"))
+    val p = d.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("codegen id"), p) // the Project evaluating float_dot is codegen'd
+    // and it evaluates
+    assert(d.head().getDouble(0) > 0.0)
+  }
+}
