@@ -44,5 +44,16 @@ object MiscQueries {
     s.sql("SELECT vec_id, float_dot(embedding, embedding) AS self_dot FROM v_embeddings")
   }
 
-  val all: Seq[Q] = Seq(approxDistinct, sample, floatDotSql)
+  /** Mergeable HLL sketches: per-group sketches unioned into a global
+    * estimate — the composable form of distinct counting across
+    * partitions/tables at 100 TB (sketch values are engine-specific:
+    * rows-only check; the exact counterpart is rel_agg_count_distinct). */
+  private val hllSketchUnion = Q.noOracle("misc_hll_sketch_union") { (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_parts_estimate"))
+  }
+
+  val all: Seq[Q] = Seq(approxDistinct, sample, floatDotSql, hllSketchUnion)
 }

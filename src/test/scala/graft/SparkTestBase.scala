@@ -13,6 +13,10 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config(
+        "spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString,
+      )
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
