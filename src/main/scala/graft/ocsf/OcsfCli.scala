@@ -33,8 +33,14 @@ object OcsfCli {
   private def run(spark: SparkSession, args: List[String]): Unit = args match {
     case "convert" :: input :: output :: Nil =>
       val findings = SarifToOcsf.convertFile(spark, input)
-      findings.write.mode("overwrite").json(output)
-      println(s"[ocsf] converted ${spark.read.json(output).count()} findings -> $output")
+      if (output.endsWith(".ocsf.json")) {
+        // single-file JSON array, the monitor's ingest format (S6)
+        SarifToOcsf.writeFindingsArray(findings, output)
+        println(s"[ocsf] converted ${spark.read.option("multiLine", true).json(output).count()} findings -> $output")
+      } else {
+        findings.write.mode("overwrite").json(output)
+        println(s"[ocsf] converted ${spark.read.json(output).count()} findings -> $output")
+      }
 
     case "monitor" :: src :: landing :: failed :: checkpoint :: rest if rest.size <= 1 =>
       val q = Monitor.run(spark, src, landing, failed, checkpoint, archiveDir = rest.headOption)

@@ -230,4 +230,24 @@ object SarifToOcsf {
       nowMillis: Option[Long] = None,
   ): DataFrame =
     convert(readSarif(spark, path), enrichments, nowMillis = nowMillis)
+
+  /** S6: the reference's JSON-array findings file
+    * (`scripts/converters/base_converter.py:110-125`) — one `.ocsf.json`
+    * file holding a JSON array, the format [[Monitor]] ingests.
+    *
+    * A JSON array is inherently a single-file framing, so this is a
+    * driver-side write guarded by `maxRows` — it exists for per-scan
+    * outputs (the reference's unit of work, thousands of findings at
+    * most), not for corpus-scale exports, which use the partitioned
+    * line-JSON/parquet sinks. */
+  def writeFindingsArray(findings: DataFrame, path: String, maxRows: Int = 100000): Unit = {
+    val rows = findings.toJSON.collect()
+    require(
+      rows.length <= maxRows,
+      s"${rows.length} findings exceed maxRows=$maxRows; use a partitioned sink for bulk exports",
+    )
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p, rows.mkString("[\n", ",\n", "\n]").getBytes("UTF-8"))
+  }
 }

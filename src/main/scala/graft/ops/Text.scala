@@ -69,4 +69,29 @@ object Text {
     * edits — the cheap first pass of exact deduplication. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
+    * the ordered n-gram sequence, slide a window of `w` consecutive
+    * hashes, keep each window's minimum — the selected distinct minima
+    * are position-robust fingerprints (guaranteed to share a value with
+    * any document that shares an n-gram run of length >= w+n-1).
+    * Variant note: tail windows shorter than `w` are kept.
+    */
+  def winnowFingerprints(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      w: Int,
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shingled = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), posexplode(shingles(col("__toks"), n)).as(Seq("pos", "sh")))
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    shingled
+      .withColumn("wmin", min(md5(col("sh"))).over(win))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("wmin")).as("n_fingerprints"), min(col("wmin")).as("min_fp"))
+  }
 }

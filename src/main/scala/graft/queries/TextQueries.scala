@@ -95,5 +95,27 @@ object TextQueries {
       )
   }
 
-  val all: Seq[Q] = Seq(tokenStats, quality, langIdAgreement, shingleStats)
+  /** Winnowing fingerprints (rolling min-hash window over the ordered
+    * shingle sequence) — [[graft.ops.Text.winnowFingerprints]]. */
+  private val winnow = Q(
+    "txt_winnow_fingerprints",
+    s"""$toksCte,
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS pos,
+       |    unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM toks),
+       |wm AS (
+       |  SELECT doc_id,
+       |    min(md5(sh)) OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+       |  FROM sh)
+       |SELECT doc_id, COUNT(DISTINCT wmin) AS n_fingerprints, min(wmin) AS min_fp
+       |FROM wm GROUP BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    Text.winnowFingerprints(documents(s, d), "doc_id", "text", n = 3, w = 4)
+  }
+
+  val all: Seq[Q] = Seq(tokenStats, quality, langIdAgreement, shingleStats, winnow)
 }

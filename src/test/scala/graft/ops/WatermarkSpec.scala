@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ST6: event-time watermarking — the Spark-native generalization of the
+  * reference's sorted-file late-data discipline. Append-mode windowed
+  * aggregation emits a window only once the watermark passes it, and
+  * rows older than the watermark are dropped, bounding state.
+  */
+class WatermarkSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+
+  test("append-mode windowed agg: watermark closes windows and drops late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = input
+      .toDS()
+      .toDF("ts", "v")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "10 seconds"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      .select(col("window.start").as("w_start"), col("n"), col("total"))
+    val q = agg.writeStream.format("memory").queryName("wm_out").outputMode("append").start()
+
+    // window [0,10) gets two rows; the 25s row advances the watermark to 15s
+    input.addData((ts(1), 1.0), (ts(5), 2.0), (ts(25), 4.0))
+    q.processAllAvailable()
+    // an extra trigger finalizes windows below the new watermark
+    input.addData((ts(26), 0.5))
+    q.processAllAvailable()
+    val afterFirst = spark.table("wm_out").collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getLong(1)).toMap
+    assert(afterFirst === Map(0L -> 2L)) // [0,10) emitted exactly once; [20,30) still open
+
+    // a late row for the already-closed [0,10) window must be dropped;
+    // 45s advances the watermark past [20,30)
+    input.addData((ts(2), 100.0), (ts(45), 8.0))
+    q.processAllAvailable()
+    input.addData((ts(46), 0.1))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wm_out").collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1), r.getDouble(2)))
+    val byWindow = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byWindow(0L) === ((2L, 3.0)))   // late 100.0 row NOT included
+    assert(byWindow(20L) === ((2L, 4.5)))  // 25s + 26s rows
+    assert(rows.count(_._1 == 0L) === 1)   // emitted exactly once (append mode)
+  }
+}
