@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.FloatVecDot
+import graft.functions.{FloatVecDot, SimHash32Expr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -9,21 +9,27 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`.
   *
-  * Registers the engine's native expressions (currently `float_dot`,
-  * [[graft.functions.FloatVecDot]]) in the session function registry so
-  * they resolve from both SQL text and the Column API.
+  * Registers the engine's native expressions (`float_dot` —
+  * [[graft.functions.FloatVecDot]]; `simhash32` —
+  * [[graft.functions.SimHash32Expr]]) in the session function registry
+  * so they resolve from both SQL text and the Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(
       (
         FunctionIdentifier("float_dot"),
-        new ExpressionInfo(
-          classOf[FloatVecDot].getName,
-          "float_dot",
-        ),
+        new ExpressionInfo(classOf[FloatVecDot].getName, "float_dot"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           FloatVecDot(exprs.head, exprs(1)),
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("simhash32"),
+        new ExpressionInfo(classOf[SimHash32Expr].getName, "simhash32"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          SimHash32Expr(exprs.head),
       )
     )
   }

@@ -114,7 +114,12 @@ object DedupQueries {
        |  SUM(CASE WHEN s > 0 THEN (1::BIGINT << (pos - 1)) ELSE 0 END) AS simhash
        |FROM bits GROUP BY doc_id""".stripMargin,
   ) { (s, d) =>
-    Dedup.simhash32(sharedShingles(s, d))
+    // Native single-pass expression — proven bit-equal to
+    // Dedup.simhash32(shingles) in FunctionsSpec; the oracle stays the
+    // relational SQL. Map-only: no shuffle at all for signatures.
+    graft.functions.SimHash32Expr.registerOn(s)
+    documents(s, d)
+      .select(col("doc_id"), graft.functions.SimHash32Expr.simhash32(col("text")).as("simhash"))
   }
 
   /** SimHash near-dup pairs at Hamming distance <= 4. */
@@ -136,10 +141,10 @@ object DedupQueries {
        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin,
   ) { (s, d) =>
-    Dedup.simhashPairs(
-      Dedup.simhash32(sharedShingles(s, d)),
-      maxHamming = 4,
-    )
+    graft.functions.SimHash32Expr.registerOn(s)
+    val sigs = documents(s, d)
+      .select(col("doc_id"), graft.functions.SimHash32Expr.simhash32(col("text")).as("simhash"))
+    Dedup.simhashPairs(sigs, maxHamming = 4)
   }
 
   val all: Seq[Q] = Seq(exactGroups, jaccardPairs, minhashLsh, simhashSigs, simhashPairs)

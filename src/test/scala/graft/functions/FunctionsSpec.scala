@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native expressions must be drop-in equal to their composed-builtin
+  * twins — that equivalence is what lets the fast path serve
+  * oracle-checked queries.
+  */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("simhash32 expression is bit-equal to the relational pipeline on real documents") {
+    SimHash32Expr.registerOn(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val native = docs
+      .select(col("doc_id"), SimHash32Expr.simhash32(col("text")).as("simhash"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val relational = Dedup
+      .simhash32(Dedup.shingleSets(docs, "doc_id", "text", 3))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+      .toMap
+    assert(relational.nonEmpty)
+    relational.foreach { case (id, sig) => assert(native(id) === sig, s"doc $id") }
+  }
+
+  test("simhash32 via SQL text; short documents yield 0 (no shingles)") {
+    SimHash32Expr.registerOn(spark)
+    Seq((1L, "one two"), (2L, "a b c d")).toDF("id", "text").createOrReplaceTempView("v_sh")
+    val rows = spark.sql("SELECT id, simhash32(text) AS s FROM v_sh").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(1L) === 0L) // < 3 tokens
+    assert(rows(2L) !== 0L)
+  }
+
+  test("float_dot resolves from SQL text through the function registry") {
+    // (withExtensions only takes effect on a fresh SparkSession; the
+    // shared test session uses the imperative registration path, which
+    // installs the same builder GraftExtensions injects.)
+    FloatVecDot.registerOn(spark)
+    val v = spark
+      .sql("SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .head()
+      .getDouble(0)
+    assert(v === 11.0)
+  }
+}
