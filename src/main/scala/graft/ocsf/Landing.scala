@@ -36,6 +36,10 @@ object Landing {
       .partitionBy("loaded_date")
       .parquet(path)
 
+  /** Reads with schema merging: the reference's
+    * `on_schema_change='append_new_columns'` (SURVEY §1.4 regime 3) —
+    * an append that carries new columns widens the read schema; old
+    * rows surface NULL for them. */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.option("mergeSchema", value = true).parquet(path)
 }

@@ -119,6 +119,38 @@ class SarifConvertSpec extends AnyFunSuite {
     assert(e3.map(_.getAs[String]("name")) === Seq("scan_metadata"))
   }
 
+  test("enable_uid_generation=false leaves every UID as the placeholder") {
+    val path = getClass.getResource("/sample.sarif").getPath
+    val fs = SarifToOcsf.convert(
+      SarifToOcsf.readSarif(spark, path),
+      enableUidGeneration = false,
+      nowMillis = Some(Now),
+    )
+    val uids = fs.collect().map(_.getAs[Row]("finding_info").getAs[String]("uid"))
+    assert(uids.forall(_ == "PLACEHOLDER_UID"))
+  }
+
+  test("U7: custom uidSuffix generator overrides the SAST strategy (finding_uid_generator.py:59-97)") {
+    import org.apache.spark.sql.functions._
+    val path = getClass.getResource("/sample.sarif").getPath
+    val custom = FindingUidGenerator(
+      sdlcType = "pentest",
+      uidSuffix = Some(df => concat(lit("jira:key:"), upper(col("severity")))),
+    )
+    val fs = SarifToOcsf.convert(
+      SarifToOcsf.readSarif(spark, path),
+      enrichments = Seq(custom),
+      enableUidGeneration = false,
+      nowMillis = Some(Now),
+    )
+    val uids = fs.collect().map(_.getAs[Row]("finding_info").getAs[String]("uid")).sorted
+    assert(uids === Array(
+      "boann:pentest:jira:key:HIGH",
+      "boann:pentest:jira:key:INFORMATIONAL",
+      "boann:pentest:jira:key:MEDIUM",
+    ))
+  }
+
   test("user-supplied ScanMetadataEnrichment suppresses auto-injection (sarif_to_ocsf.py:112-127)") {
     import org.apache.spark.sql.functions.lit
     val path = getClass.getResource("/sample.sarif").getPath
