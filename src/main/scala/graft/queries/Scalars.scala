@@ -88,5 +88,36 @@ object Scalars {
       )
   }
 
-  val all: Seq[Q] = Seq(slugNormalize, shaUid, basename, datetimeParts, concatCoalesce)
+  /** Edit distance (fuzzy string matching — the scalar complement to
+    * the set-based dedup operators). */
+  private val levenshteinNations = Q(
+    "str_levenshtein_nations",
+    """SELECT a.n_name AS a_name, b.n_name AS b_name, levenshtein(a.n_name, b.n_name) AS dist
+      |FROM nation a JOIN nation b ON a.n_name < b.n_name
+      |WHERE levenshtein(a.n_name, b.n_name) <= 3""".stripMargin,
+  ) { (s, d) =>
+    val a = nation(s, d).select(col("n_name").as("a_name"))
+    val b = nation(s, d).select(col("n_name").as("b_name"))
+    a.join(b, col("a_name") < col("b_name"))
+      .select(col("a_name"), col("b_name"), levenshtein(col("a_name"), col("b_name")).as("dist"))
+      .filter(col("dist") <= 3)
+  }
+
+  /** Calendar-day difference (order-to-ship latency histogram). */
+  private val shipDelayHistogram = Q(
+    "str_ship_delay_histogram",
+    """SELECT date_diff('day', o_orderdate, l_shipdate) AS delay_days, COUNT(*) AS n
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    orders(s, d)
+      .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(datediff(col("l_shipdate"), col("o_orderdate")).as("delay_days"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val all: Seq[Q] = Seq(
+    slugNormalize, shaUid, basename, datetimeParts, concatCoalesce,
+    levenshteinNations, shipDelayHistogram,
+  )
 }
