@@ -32,5 +32,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SimHash32Expr(exprs.head),
       )
     )
+    Seq(2, 3, 4).foreach { n =>
+      e.injectFunction(
+        (
+          FunctionIdentifier(s"shingle_set_$n"),
+          new ExpressionInfo(classOf[graft.functions.ShingleSetExpr].getName, s"shingle_set_$n"),
+          (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            graft.functions.ShingleSetExpr(exprs.head, n),
+        )
+      )
+    }
   }
 }

@@ -25,14 +25,21 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct (doc_id, shingle) pairs: the set representation used by
-    * every fuzzy-dedup operator below.
-    *
-    * Tokenization is materialized as its own projection before the
-    * shingling lambda: higher-order functions are interpreted, so an
-    * inlined `tokens(text)` would re-run the tokenizer regex for every
-    * `element_at` reference (~3× per shingle). A separate non-cheap
-    * alias survives CollapseProject and runs once per document. */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    * every fuzzy-dedup operator below. Shingling runs through the
+    * native [[graft.functions.ShingleSetExpr]] (set-equal to the
+    * composed-builtins form, asserted in FunctionsSpec; the builtins'
+    * interpreted higher-order evaluation dominated every dedup query). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    graft.functions.ShingleSetExpr.registerOn(docs.sparkSession, Seq(n))
+    docs.select(
+      col(idCol).as("doc_id"),
+      explode(graft.functions.ShingleSetExpr.shingle_set(col(textCol), n)).as("sh"),
+    )
+  }
+
+  /** The composed-builtins shingle form (reference semantics the native
+    * expression is tested against; see shingleSets). */
+  def shingleSetsComposed(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__toks"))
       .select(

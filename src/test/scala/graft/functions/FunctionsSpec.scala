@@ -41,6 +41,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(2L) !== 0L)
   }
 
+  test("shingle_set expression is set-equal to the composed-builtins form on real documents") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val native = Dedup
+      .shingleSets(docs, "doc_id", "text", 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("sh")))
+      .toSet
+    val composed = Dedup
+      .shingleSetsComposed(docs, "doc_id", "text", 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("sh")))
+      .toSet
+    assert(native.nonEmpty)
+    assert(native === composed)
+  }
+
+  test("shingle_set: short documents yield empty set; n respected") {
+    ShingleSetExpr.registerOn(spark, Seq(2, 3))
+    Seq((1L, "one two"), (2L, "a b c a b c")).toDF("id", "text").createOrReplaceTempView("v_shs")
+    val r3 = spark.sql("SELECT id, shingle_set_3(text) AS s FROM v_shs").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(r3(1L).isEmpty)
+    assert(r3(2L).toSet === Set("a b c", "b c a", "c a b"))
+    val r2 = spark.sql("SELECT shingle_set_2(text) AS s FROM v_shs WHERE id = 1").head().getSeq[String](0)
+    assert(r2 === Seq("one two"))
+  }
+
   test("float_dot resolves from SQL text through the function registry") {
     // (withExtensions only takes effect on a fresh SparkSession; the
     // shared test session uses the imperative registration path, which
