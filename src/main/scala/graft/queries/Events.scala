@@ -179,6 +179,36 @@ object Events {
     graft.ops.Sessionize.batchSessions(events(s, d), gapMs = 1800000L)
   }
 
+  /** Array set operations (intersect/except) over per-user event-type
+    * sets from two time slices, serialized sorted for type-stable
+    * comparison. */
+  private val typeOverlap = Q(
+    "evt_type_overlap",
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    list_sort(list_distinct(list(event_type) FILTER (WHERE ts <  TIMESTAMP '2024-01-16'))) AS early,
+      |    list_sort(list_distinct(list(event_type) FILTER (WHERE ts >= TIMESTAMP '2024-01-16'))) AS late
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id,
+      |  coalesce(array_to_string(list_sort(list_intersect(early, late)), ','), '') AS common_types,
+      |  coalesce(array_to_string(list_sort(list_filter(early, x -> NOT list_contains(late, x))), ','), '')
+      |    AS early_only
+      |FROM per_user""".stripMargin,
+  ) { (s, d) =>
+    val cut = to_timestamp(lit("2024-01-16"))
+    events(s, d)
+      .groupBy("user_id")
+      .agg(
+        array_sort(collect_set(when(col("ts") < cut, col("event_type")))).as("early"),
+        array_sort(collect_set(when(col("ts") >= cut, col("event_type")))).as("late"),
+      )
+      .select(
+        col("user_id"),
+        array_join(array_sort(array_intersect(col("early"), col("late"))), ",").as("common_types"),
+        array_join(array_sort(array_except(col("early"), col("late"))), ",").as("early_only"),
+      )
+  }
+
   val all: Seq[Q] = Seq(
     jsonExtractGroup,
     severityCaseMap,
@@ -188,5 +218,6 @@ object Events {
     firstMatchPerUser,
     asofErrorClick,
     sessionize,
+    typeOverlap,
   )
 }
