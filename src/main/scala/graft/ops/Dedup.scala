@@ -188,6 +188,62 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every document in a component converges to the
+    * smallest doc_id reachable from it (that id is the canonical
+    * representative to keep). Converges in component-diameter
+    * iterations — near-dup clusters are small and dense, so a handful —
+    * with `localCheckpoint` cutting plan lineage per round (iterative
+    * DataFrame loops otherwise grow an exponential plan). Each round is
+    * one join + one aggregation: the standard large-graph CC dataflow.
+    */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist()
+    var labels = edges
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var changed = true
+    var i       = 0
+    while (changed && i < maxIter) {
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src").as("n2"))
+        .agg(min("component").as("nbr_component"))
+      val updated = labels
+        .join(nbrMin, labels("node") === nbrMin("n2"), "left")
+        .select(
+          col("node"),
+          least(col("component"), coalesce(col("nbr_component"), col("component")))
+            .as("component"),
+        )
+        .localCheckpoint()
+      changed = updated
+        .join(labels.withColumnRenamed("component", "old"), "node")
+        .filter(col("component") =!= col("old"))
+        .limit(1)
+        .count() > 0
+      labels = updated
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("component"))
+  }
+
+  /** End-to-end corpus dedup: keep every document that is the canonical
+    * (minimum-id) member of its near-dup component, plus all documents
+    * in no component. */
+  def dedupByPairs(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val dropIds = clusterPairs(pairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("__drop_id"))
+    docs.join(dropIds, docs(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Near-dup pairs by SimHash Hamming distance (a < b), via banded
     * self-join: the 32-bit signature is split into `maxHamming + 1`
     * bit-bands — by pigeonhole, any pair within the Hamming threshold

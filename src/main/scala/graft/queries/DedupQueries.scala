@@ -147,5 +147,31 @@ object DedupQueries {
     Dedup.simhashPairs(sigs, maxHamming = 4)
   }
 
-  val all: Seq[Q] = Seq(exactGroups, jaccardPairs, minhashLsh, simhashSigs, simhashPairs)
+  /** Connected components over the Jaccard near-dup pairs (min-label
+    * propagation vs the oracle's recursive-CTE transitive closure):
+    * each near-dup document mapped to its canonical representative. */
+  private val jaccardComponents = Q(
+    "ddp_jaccard_components",
+    s"""${shingCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |common AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+       |  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT a_id, b_id
+       |  FROM common JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
+       |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM jp UNION SELECT b_id, a_id FROM jp),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+       |SELECT s AS doc_id, least(s, min(d)) AS component
+       |FROM reach GROUP BY s""".stripMargin,
+  ) { (s, d) =>
+    Dedup.clusterPairs(Dedup.jaccardPairs(sharedShingles(s, d), 0.5).select("a_id", "b_id"))
+  }
+
+  val all: Seq[Q] =
+    Seq(exactGroups, jaccardPairs, minhashLsh, simhashSigs, simhashPairs, jaccardComponents)
 }

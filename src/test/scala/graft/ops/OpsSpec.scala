@@ -70,6 +70,18 @@ class OpsSpec extends AnyFunSuite {
       === Set((1L, 2L, 0)))
   }
 
+  test("clusterPairs: min-label propagation finds components; dedupByPairs keeps canonicals") {
+    // components: {1,2,3,7} (chain with a long path), {4,5}; 6 isolated
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 7L), (4L, 5L)).toDF("a_id", "b_id")
+    val comps = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 4L -> 4L, 5L -> 4L))
+
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs).collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 4L, 6L)) // canonical members + isolated doc
+  }
+
   test("native float_dot is bit-identical to the composed fold") {
     val rnd = new scala.util.Random(7)
     val vecs = (1 to 50).map { i =>
