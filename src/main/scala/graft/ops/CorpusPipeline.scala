@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation: the operator suites composed
+  * the way a 100 TB data pipeline uses them —
+  *
+  *   quality filter → language filter → exact dedup → fuzzy dedup
+  *
+  * Each stage is DataFrame-in/DataFrame-out; the quality and language
+  * gates are pure Column predicates (scan-local, pushdown-friendly, run
+  * before anything shuffles), exact dedup is one hash-groupBy, and the
+  * fuzzy stage pairs only LSH-colliding documents before clustering and
+  * canonical selection.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      languages: Set[String] = Set("en"),
+      shingleN: Int = 3,
+      minhashK: Int = 16,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.8,
+  )
+
+  /** Returns the cleaned corpus (same schema as `docs`). */
+  def prepare(docs: DataFrame, idCol: String, textCol: String, cfg: Config = Config()): DataFrame = {
+    // 1. quality gate: token-count bounds (scan-local predicate)
+    val nTok    = Text.tokenCount(col(textCol))
+    val quality = docs.filter(nTok >= cfg.minTokens && nTok <= cfg.maxTokens)
+
+    // 2. language gate: heuristic marker-word ID
+    val inLang = quality.filter(Text.langId(col(textCol)).isin(cfg.languages.toSeq: _*))
+
+    // 3. exact dedup: keep the smallest id per normalized fingerprint
+    val keep = Dedup
+      .exactGroups(inLang, idCol, textCol)
+      .select(col("keep_id").as("__keep_id"))
+    val exactDeduped = inLang.join(keep, inLang(idCol) === col("__keep_id"), "left_semi")
+
+    // 4. fuzzy dedup: MinHash-LSH candidates → verified pairs →
+    //    components → canonical member per component
+    val pairs = Dedup
+      .minhashLshPairs(
+        Dedup.shingleSets(exactDeduped, idCol, textCol, cfg.shingleN),
+        cfg.minhashK,
+        cfg.rowsPerBand,
+        cfg.minJaccard,
+      )
+      .select("a_id", "b_id")
+    Dedup.dedupByPairs(exactDeduped, idCol, pairs)
+  }
+}

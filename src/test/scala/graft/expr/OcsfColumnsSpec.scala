@@ -75,6 +75,18 @@ class OcsfColumnsSpec extends AnyFunSuite {
     assert(got(2).toString === "2024-03-01 10:00:00.0")
   }
 
+  test("ISO-8601 parse with now() fallback (sarif_to_ocsf.py:236-259)") {
+    val good = Seq(1).toDF("x")
+      .select(OcsfColumns.isoToMillisOrNow(lit("2024-03-01T10:00:00Z")))
+      .head().getLong(0)
+    assert(good === 1709287200000L)
+    val before = System.currentTimeMillis()
+    val bad = Seq(1).toDF("x")
+      .select(OcsfColumns.isoToMillisOrNow(lit("not-a-timestamp")))
+      .head().getLong(0)
+    assert(bad >= before && bad <= System.currentTimeMillis() + 1000)
+  }
+
   test("latest map value = alphabetically last key (finding_uid_generator.py:205-220)") {
     val df = Seq(Map("csdiff/v0" -> "h0", "csdiff/v2" -> "h2", "csdiff/v1" -> "h1")).toDF("m")
     assert(df.select(OcsfColumns.latestMapValue(col("m"))).head().getString(0) === "h2")

@@ -157,6 +157,25 @@ class OpsSpec extends AnyFunSuite {
     assert(new String(frames.head, "UTF-8") === "wide")
   }
 
+  test("corpus pipeline: quality + language gates, exact and fuzzy dedup composed") {
+    val base    = "the data pipeline processes " + (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = "the data pipeline processes " + (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                  // exact duplicate of 1 -> dropped
+      (3L, nearDup),               // near-duplicate of 1 -> dropped
+      (4L, "too short"),           // quality gate -> dropped
+      (5L, "the unrelated corpus " + (100 to 140).map(i => s"w$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val kept = CorpusPipeline
+      .prepare(docs, "doc_id", "text", CorpusPipeline.Config(minTokens = 10, minJaccard = 0.5))
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    assert(kept === Array(1L, 5L))
+  }
+
   test("enrichment registry: specs, parameterization, broken-plugin tolerance") {
     import graft.ocsf.EnrichmentRegistry
     val (ok, errs) = EnrichmentRegistry.createAll(
