@@ -29,6 +29,19 @@ object DedupQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
     )
 
+  /** Verified Jaccard pairs (τ = 0.5) are likewise consumed twice (pair
+    * listing + clustering) — materialized once. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sharedJaccardPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate(
+      (s, d),
+      Dedup
+        .jaccardPairs(sharedShingles(s, d), 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+    )
+
   /** Shared oracle CTEs: distinct 3-gram shingle sets + set sizes. */
   private val shingCte =
     """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents),
@@ -63,9 +76,7 @@ object DedupQueries {
        |SELECT a_id, b_id, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
        |FROM common JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
        |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5""".stripMargin,
-  ) { (s, d) =>
-    Dedup.jaccardPairs(sharedShingles(s, d), 0.5)
-  }
+  ) { (s, d) => sharedJaccardPairs(s, d) }
 
   /** MinHash(k=16) + LSH(4 bands × 4 rows) candidates, verified with
     * true Jaccard (τ = 0.5). Only band-colliding docs are ever paired. */
@@ -169,7 +180,7 @@ object DedupQueries {
        |SELECT s AS doc_id, least(s, min(d)) AS component
        |FROM reach GROUP BY s""".stripMargin,
   ) { (s, d) =>
-    Dedup.clusterPairs(Dedup.jaccardPairs(sharedShingles(s, d), 0.5).select("a_id", "b_id"))
+    Dedup.clusterPairs(sharedJaccardPairs(s, d).select("a_id", "b_id"))
   }
 
   val all: Seq[Q] =
