@@ -311,8 +311,30 @@ object Relational {
       .limit(10)
   }
 
+  /** Explicit small-dimension cross join (the one place a cartesian
+    * product is legitimate: tiny × tiny enumeration). */
+  private val crossJoinRegions = Q(
+    "rel_cross_join_regions",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation""".stripMargin,
+  ) { (s, d) => region(s, d).crossJoin(nation(s, d)).select("r_name", "n_name") }
+
+  /** UNION with distinct semantics (vs rel_set_union_all). */
+  private val setUnionDistinct = Q(
+    "rel_set_union_distinct",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION
+      |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+  ) { (s, d) =>
+    customer(s, d)
+      .select(col("c_nationkey").as("nationkey"))
+      .union(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+  }
+
   val all: Seq[Q] = Seq(
     scanFilterProject,
+    crossJoinRegions,
+    setUnionDistinct,
     aggPricingSummary,
     aggWatermark,
     aggHaving,

@@ -52,6 +52,27 @@ object Windows {
       )
   }
 
+  /** nth_value over the full partition frame. */
+  private val nthValue = Q(
+    "win_nth_value",
+    """SELECT s_suppkey, s_nationkey,
+      |  nth_value(s_name, 2) OVER (PARTITION BY s_nationkey
+      |      ORDER BY s_acctbal DESC, s_suppkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_richest
+      |FROM supplier""".stripMargin,
+  ) { (s, d) =>
+    val w = Window
+      .partitionBy("s_nationkey")
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    supplier(s, d)
+      .select(
+        col("s_suppkey"),
+        col("s_nationkey"),
+        nth_value(col("s_name"), 2).over(w).as("second_richest"),
+      )
+  }
+
   /** ntile over a total order (unique tiebreak keeps bucket assignment
     * deterministic). Single global window — inherently one partition;
     * fine for ranked-report output sizes, not for fact-table scale. */
@@ -195,6 +216,7 @@ object Windows {
   val all: Seq[Q] = Seq(
     latestOrderPerCustomer,
     rankSuppliers,
+    nthValue,
     ntileOrders,
     lagLeadEvents,
     runningSum,
