@@ -67,9 +67,13 @@ object OcsfColumns {
   /** F10: CWE list → "CWE-457, CWE-789". */
   def cweListJoin(cwes: Column): Column = array_join(cwes, ", ")
 
-  /** F11: title = ruleId or "ruleId: shortDescription". */
+  /** F11: title = ruleId or "ruleId: shortDescription". The reference
+    * gates on Python truthiness (`if short_desc:`,
+    * sarif_to_ocsf.py:341-348), so an empty-string shortDescription
+    * falls back to the bare ruleId — not "ruleId: ". */
   def titleBuild(ruleId: Column, shortDesc: Column): Column =
-    when(shortDesc.isNotNull, concat(ruleId, lit(": "), shortDesc)).otherwise(ruleId)
+    when(shortDesc.isNotNull && shortDesc =!= "", concat(ruleId, lit(": "), shortDesc))
+      .otherwise(ruleId)
 
   /** T2: alphabetically-last map key's value (the reference's
     * `sorted(fingerprints.keys())[-1]` fingerprint selection). */

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native dot product over two `array<float>` columns, accumulated
   * left-to-right in double precision.
@@ -26,6 +27,21 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
 
   override def dataType: DataType = DoubleType
 
+  // getFloat reinterprets raw bytes, so anything but array<float> must
+  // fail analysis rather than silently return garbage doubles.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"float_dot requires two array<float> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}"
+      )
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -43,14 +59,22 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
     nullSafeCodeGen(
       ctx,
       ev,
-      (a, b) => s"""
-        |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double graft_acc = 0.0;
-        |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-        |  graft_acc += ((double) $a.getFloat(graft_i)) * ((double) $b.getFloat(graft_i));
+      (a, b) => {
+        // Fresh names: with non-nullable inputs the block is inlined
+        // unbraced at method scope, so two float_dot calls in one stage
+        // would otherwise declare duplicate locals and break Janino.
+        val n   = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val i   = ctx.freshName("i")
+        s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $acc = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
         |}
-        |${ev.value} = graft_acc;
-        |""".stripMargin,
+        |${ev.value} = $acc;
+        |""".stripMargin
+      },
     )
 
   override protected def withNewChildrenInternal(

@@ -89,15 +89,18 @@ final case class ScanMetadataEnrichment(scanRunId: Column) extends Enrichment {
   *     non-empty data → alphabetically-last key's value → sha256 →
   *     `boann:<sdlc>:<tool>:fingerprint:<hash>`, plus a `uid_generation`
   *     traceability enrichment.
-  *  2. otherwise the reference attempts its hash strategy, which on
-  *     converter-produced documents dereferences `affected_code` (an
-  *     array) as an object, raises, and is swallowed — the finding keeps
-  *     its placeholder UID and gains no `uid_generation` entry
-  *     (`finding_uid_generator.py:106-118,268-276`). This implementation
-  *     reproduces that observable behavior bug-for-bug; the hash
-  *     algorithm itself is available as [[FindingUidGenerator.hashUid]]
-  *     for documents whose `affected_code.file` is a plain string (the
-  *     shape the reference's unit tests exercise).
+  *  2. hash fallback (`finding_uid_generator.py:142-145,224-286`): when
+  *     `vulnerabilities` is absent/empty (`finding.get(..., [])` is
+  *     falsy) or `vulnerabilities[0]` has no `affected_code`
+  *     (`.get("affected_code", {})` yields `{}` for CWE-only findings),
+  *     the reference's `file_uri` defaults to `""` and the hash path
+  *     succeeds: `boann:<sdlc>:<tool>:hash:<sha256(title\n""\ndesc)>`
+  *     plus a `uid_generation` (method=hash) enrichment.
+  *  3. only when `affected_code` IS present (always a list in
+  *     converter output) does the reference's dict access raise; the
+  *     exception is swallowed (`finding_uid_generator.py:106-118`) and
+  *     the finding keeps its placeholder UID with no `uid_generation`
+  *     entry. Reproduced bug-for-bug.
   *
   * U7: `uidSuffix` injects custom UID logic for non-SAST SDLC types —
   * a Column producing everything after `boann:<sdlc>:`.
@@ -141,30 +144,34 @@ final case class FindingUidGenerator(
       lit("fingerprint"),
       fpHash,
     )
-    val traceEntry = Enrichment.entry(
-      "uid_generation",
-      None,
-      "UID generated using fingerprint method",
-      map(
-        lit("method"),
-        lit("fingerprint"),
-        lit("version"),
-        lit("v1"),
-        lit("algorithm"),
-        lit("sha256"),
-      ),
+    val traceEntry = FindingUidGenerator.uidGenerationEntry("fingerprint")
+
+    // Hash fallback: applies exactly when the first vulnerability's
+    // affected_code is absent (covers vulnerabilities null/empty too —
+    // try_element_at(null/empty, 1) is NULL, and getField on NULL is
+    // NULL). file_uri is the reference's "" default in all these cases.
+    val hashApplies =
+      try_element_at(col("vulnerabilities"), lit(1)).getField("affected_code").isNull
+    val hashUidCol = FindingUidGenerator.hashUid(
+      sdlcType,
+      tool,
+      col("finding_info.title"),
+      lit(""),
+      col("finding_info.desc"),
     )
+    val hashTrace = FindingUidGenerator.uidGenerationEntry("hash")
+
     findings
       .withColumn(
         "finding_info",
-        when(
-          fpData.isNotNull,
-          col("finding_info").withField("uid", uid),
-        ).otherwise(col("finding_info")),
+        when(fpData.isNotNull, col("finding_info").withField("uid", uid))
+          .when(hashApplies, col("finding_info").withField("uid", hashUidCol))
+          .otherwise(col("finding_info")),
       )
       .withColumn(
         "enrichments",
         when(fpData.isNotNull, Enrichment.appendEntry(col("enrichments"), traceEntry))
+          .when(hashApplies, Enrichment.appendEntry(col("enrichments"), hashTrace))
           .otherwise(col("enrichments")),
       )
   }
@@ -177,15 +184,33 @@ object FindingUidGenerator {
   def normalizeJvm(name: String): String =
     name.toLowerCase.replaceAll("[^a-z0-9]+", "-").replaceAll("^-+|-+$", "")
 
-  /** The reference's hash-based UID column for documents where
-    * `vulnerabilities[0].affected_code.file` is a plain string
+  /** The reference's hash-based UID column
     * (`finding_uid_generator.py:224-286`): sha256 of
-    * title \n fileUri \n desc with `""` defaults. */
+    * title \n fileUri \n desc with `""` defaults. On converter-produced
+    * documents the fallback only ever fires with `fileUri = ""` (see
+    * [[FindingUidGenerator]] strategy note 2). */
   def hashUid(sdlc: String, tool: Column, title: Column, fileUri: Column, desc: Column): Column =
     OcsfColumns.findingUid(
       normalizeJvm(sdlc),
       tool,
       "hash",
       OcsfColumns.sha256Hex(Seq(title, fileUri, desc)),
+    )
+
+  /** The `uid_generation` traceability entry
+    * (`finding_uid_generator.py:300-323`). */
+  private[ocsf] def uidGenerationEntry(method: String): Column =
+    Enrichment.entry(
+      "uid_generation",
+      None,
+      s"UID generated using $method method",
+      map(
+        lit("method"),
+        lit(method),
+        lit("version"),
+        lit("v1"),
+        lit("algorithm"),
+        lit("sha256"),
+      ),
     )
 }

@@ -56,25 +56,31 @@ object Dedup {
 
   /** All pairs with shingle-set Jaccard >= `minJaccard` (a < b).
     * `maxDocFreq` drops shingles occurring in more documents than the
-    * cap before the self-join — the standard skew guard at scale.
+    * cap — the standard skew guard at scale. The cap is applied to the
+    * whole computation, so the score is the exact Jaccard of the CAPPED
+    * shingle sets (both intersection counts and set sizes exclude the
+    * dropped ubiquitous shingles) — a consistent similarity measure, not
+    * a mixed-denominator underestimate.
     *
-    * Set sizes are computed over ALL shingles, but the self-join runs
-    * only over shingles with document frequency >= 2: singleton shingles
-    * cannot contribute to any pair's intersection, and they are the bulk
-    * of a natural corpus — this prunes most of the quadratic join input
-    * without changing any result. */
+    * Independently, the self-join runs only over shingles with document
+    * frequency >= 2: singleton shingles cannot contribute to any pair's
+    * intersection (they still count toward set sizes), and they are the
+    * bulk of a natural corpus — this prunes most of the quadratic join
+    * input without changing any result. */
   def jaccardPairs(
       shingles: DataFrame,
       minJaccard: Double,
       maxDocFreq: Option[Long] = None,
   ): DataFrame = {
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val docFreq = shingles.groupBy("sh").agg(count(lit(1)).as("__df"))
-    val joinable = maxDocFreq
+    val cappedFreq = maxDocFreq
       .map(cap => docFreq.filter(col("__df") <= cap))
       .getOrElse(docFreq)
-      .filter(col("__df") >= 2)
-      .select("sh")
+    val capped = maxDocFreq
+      .map(_ => shingles.join(cappedFreq.select("sh"), "sh"))
+      .getOrElse(shingles)
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val joinable = cappedFreq.filter(col("__df") >= 2).select("sh")
     val pruned = shingles.join(joinable, "sh")
     val common = pruned
       .as("a")

@@ -122,7 +122,8 @@ object DedupQueries {
        |  FROM shing CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS pos) p
        |  GROUP BY doc_id, pos)
        |SELECT doc_id,
-       |  SUM(CASE WHEN s > 0 THEN (1::BIGINT << (pos - 1)) ELSE 0 END) AS simhash
+       |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << (pos - 1)) ELSE 0 END)
+       |       AS BIGINT) AS simhash
        |FROM bits GROUP BY doc_id""".stripMargin,
   ) { (s, d) =>
     // Native single-pass expression — proven bit-equal to

@@ -83,11 +83,11 @@ object Events {
   private val pivotUserCounts = Q(
     "evt_pivot_user_counts",
     """SELECT user_id,
-      |  NULLIF(count_if(event_type = 'click'), 0) AS click,
-      |  NULLIF(count_if(event_type = 'view'), 0) AS view,
-      |  NULLIF(count_if(event_type = 'purchase'), 0) AS purchase,
-      |  NULLIF(count_if(event_type = 'signup'), 0) AS signup,
-      |  NULLIF(count_if(event_type = 'error'), 0) AS error
+      |  CAST(NULLIF(count_if(event_type = 'click'), 0) AS BIGINT) AS click,
+      |  CAST(NULLIF(count_if(event_type = 'view'), 0) AS BIGINT) AS view,
+      |  CAST(NULLIF(count_if(event_type = 'purchase'), 0) AS BIGINT) AS purchase,
+      |  CAST(NULLIF(count_if(event_type = 'signup'), 0) AS BIGINT) AS signup,
+      |  CAST(NULLIF(count_if(event_type = 'error'), 0) AS BIGINT) AS error
       |FROM events GROUP BY user_id""".stripMargin,
   ) { (s, d) =>
     events(s, d)
@@ -169,8 +169,8 @@ object Events {
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |numbered AS (
-       |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |                              ROWS UNBOUNDED PRECEDING) AS session_id
+       |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
        |  FROM flagged)
        |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
        |  COUNT(*) AS n_events, ${DSUM("value")} AS total_value

@@ -69,17 +69,52 @@ class SarifConvertSpec extends AnyFunSuite {
     assert(fi2.getAs[String]("desc") === "SQL injection detected")
   }
 
-  test("fingerprint-based UIDs; placeholder survives without fingerprints") {
+  test("fingerprint-based UIDs; hash fallback without fingerprints") {
     // RULE001: fingerprints, latest key csdiff/v1 -> value "bbb"
     val uid1 = byRule("RULE001").getAs[Row]("finding_info").getAs[String]("uid")
     assert(uid1 === s"boann:sast:my-tool:fingerprint:${sha256Hex("bbb")}")
     // RULE002: partialFingerprints fallback -> "xyz"
     val uid2 = byRule("RULE002").getAs[Row]("finding_info").getAs[String]("uid")
     assert(uid2 === s"boann:sast:my-tool:fingerprint:${sha256Hex("xyz")}")
-    // RULE003: no fingerprints -> reference's hash path fails on
-    // converter-shaped docs; placeholder retained (finding_uid_generator.py:106-118)
+    // RULE003: no fingerprints, no vulnerabilities -> hash fallback with
+    // file_uri="" succeeds (finding_uid_generator.py:142-145,270-286):
+    // sha256(title \n "" \n desc)
     val uid3 = byRule("RULE003").getAs[Row]("finding_info").getAs[String]("uid")
-    assert(uid3 === "PLACEHOLDER_UID")
+    assert(uid3 === s"boann:sast:my-tool:hash:${sha256Hex("RULE003\n\nInformational note")}")
+  }
+
+  test("hash fallback raises (placeholder kept) only when affected_code is present") {
+    // RULE001 without its fingerprints would keep the placeholder: its
+    // vulnerabilities[0].affected_code is a list, and the reference's
+    // `.get("file", "")` on a list raises -> swallowed -> placeholder
+    // (finding_uid_generator.py:106-118). Simulate by stripping the
+    // fingerprints enrichment before UID generation.
+    import org.apache.spark.sql.functions._
+    val path = getClass.getResource("/sample.sarif").getPath
+    val noFp = new Enrichment {
+      override def name: String = "StripFingerprints"
+      override def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        df.withColumn(
+          "enrichments",
+          filter(col("enrichments"), e => e.getField("name") =!= "fingerprints"),
+        )
+    }
+    val fs = SarifToOcsf.convert(
+      SarifToOcsf.readSarif(spark, path),
+      enrichments = Seq(noFp, FindingUidGenerator()),
+      enableUidGeneration = false,
+      nowMillis = Some(Now),
+    )
+    val uidByRule = fs
+      .collect()
+      .map(r => r.getAs[Row]("finding_info").getAs[String]("title").split(":")(0) ->
+        r.getAs[Row]("finding_info").getAs[String]("uid"))
+      .toMap
+    // RULE001/RULE002 have affected_code -> reference hash path raises -> placeholder
+    assert(uidByRule("RULE001") === "PLACEHOLDER_UID")
+    assert(uidByRule("RULE002") === "PLACEHOLDER_UID")
+    // RULE003 has no vulnerabilities -> hash fallback
+    assert(uidByRule("RULE003") === s"boann:sast:my-tool:hash:${sha256Hex("RULE003\n\nInformational note")}")
   }
 
   test("vulnerabilities: rule CWE, properties CWE, UNKNOWN, absent (sarif_to_ocsf.py:370-446)") {
@@ -114,9 +149,11 @@ class SarifConvertSpec extends AnyFunSuite {
       ug.getAs[Map[String, String]]("data") ===
         Map("method" -> "fingerprint", "version" -> "v1", "algorithm" -> "sha256")
     )
-    // RULE003: no fingerprints, no uid_generation — scan_metadata only
+    // RULE003: no fingerprints -> hash-method uid_generation after the
+    // auto scan_metadata (finding_uid_generator.py:142-145,300-323)
     val e3 = byRule("RULE003").getAs[scala.collection.Seq[Row]]("enrichments")
-    assert(e3.map(_.getAs[String]("name")) === Seq("scan_metadata"))
+    assert(e3.map(_.getAs[String]("name")) === Seq("scan_metadata", "uid_generation"))
+    assert(e3(1).getAs[Map[String, String]]("data")("method") === "hash")
   }
 
   test("enable_uid_generation=false leaves every UID as the placeholder") {

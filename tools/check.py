@@ -89,6 +89,15 @@ def main():
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
+        # Driver's hash is type-sensitive: a DuckDB HUGEINT/DECIMAL
+        # column (e.g. SUM(BIGINT)) hash-mismatches a Spark int64 even
+        # when values agree. Flag it here so it can't pass locally.
+        dec_cols = [exp_cols[i] for i, r0 in [(i, exp[0]) for i in range(len(exp_cols))]
+                    if exp and isinstance(exp[0][i], Decimal)] if exp else []
+        if dec_cols:
+            print(f"FAIL {name}: oracle returns Decimal column(s) {dec_cols} — add CAST(... AS BIGINT/DOUBLE) in oracle SQL")
+            n_fail += 1
+            continue
         gc, g = canon(got_cols, got)
         ec, e = canon(exp_cols, exp)
         if gc != ec:
