@@ -98,6 +98,67 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Exact Jaccard pairs via prefix filtering (AllPairs/PPJoin family):
+    * identical results to [[jaccardPairs]], computed with a much smaller
+    * self-join. Under a global rarest-first shingle order (ascending
+    * document frequency, shingle as tiebreak), any pair with
+    * J >= tau shares its globally-smallest common shingle within both
+    * docs' `n - ceil(tau*n) + 1` prefixes — so joining only prefixes
+    * finds every qualifying pair. Candidates are then verified with an
+    * `array_intersect` over per-doc sorted shingle arrays (one linear
+    * merge per candidate, no quadratic groupBy over the full join
+    * output).
+    *
+    * Scale notes: the prefix join's key distribution is exactly the
+    * LOW-frequency end of the shingle vocabulary, so the self-join's
+    * output is bounded by sum(df^2) over rare shingles — the term that
+    * explodes in the naive join is gone. Verification joins are keyed
+    * on doc_id (uniform). This is the form to run at corpus scale;
+    * [[jaccardPairs]] remains as the directly-relational reference. */
+  def jaccardPairsPrefix(
+      shingles: DataFrame,
+      minJaccard: Double,
+      maxDocFreq: Option[Long] = None,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docFreq = shingles.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val cappedFreq = maxDocFreq
+      .map(cap => docFreq.filter(col("__df") <= cap))
+      .getOrElse(docFreq)
+    val capped = maxDocFreq
+      .map(_ => shingles.join(cappedFreq.select("sh"), "sh"))
+      .getOrElse(shingles)
+    val docSets = capped
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("shs"), count(lit(1)).as("n"))
+    // alpha = ceil(tau*n) computed with a small negative epsilon so fp
+    // noise can only LENGTHEN the prefix (extra candidates are filtered
+    // by verification; a shortened prefix would drop true pairs).
+    val byDoc  = Window.partitionBy("doc_id")
+    val ranked = capped
+      .join(cappedFreq, "sh")
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("__df"), col("sh"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - ceil(lit(minJaccard) * col("n") - lit(1e-9)) + lit(1))
+      .select("doc_id", "sh")
+    val cands = prefix
+      .as("a")
+      .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cands
+      .join(docSets.as("da"), col("a_id") === col("da.doc_id"))
+      .join(docSets.as("db"), col("b_id") === col("db.doc_id"))
+      .withColumn("__c", size(array_intersect(col("da.shs"), col("db.shs"))).cast("long"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        (col("__c").cast("double") / (col("da.n") + col("db.n") - col("__c"))).as("jaccard"),
+      )
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** MinHash signatures, wide form: one row per doc with columns
     * `mh0..mh{k-1}`, each the min over the doc's shingles of
     * md5(seed ':' shingle). One aggregation pass — no k× row
@@ -153,6 +214,65 @@ object Dedup {
       minJaccard: Double,
   ): DataFrame = {
     val cands = lshCandidates(lshBands(minhashSignatures(shingles, k), rowsPerBand))
+    verifyJaccard(cands, shingles, minJaccard)
+  }
+
+  /** Production-path MinHash signatures: xxhash64 (codegen'd, integer
+    * output, no string materialization) instead of md5 hex. Same
+    * dataflow as [[minhashSignatures]] — one aggregation pass, k min
+    * columns — but each hash is a single 64-bit mix instead of a full
+    * digest over a concatenated string. Signatures are engine-specific
+    * (Spark's xxhash64 seeding), so this path has no cross-engine
+    * oracle; the md5 path remains the differential-gate twin. */
+  def minhashSignaturesXx(shingles: DataFrame, k: Int): DataFrame =
+    shingles
+      .groupBy(col("doc_id"))
+      .agg(
+        min(xxhash64(lit(0), col("sh"))).as("mh0"),
+        (1 until k).map(seed => min(xxhash64(lit(seed), col("sh"))).as(s"mh$seed")): _*
+      )
+
+  /** LSH banding for xxhash64 signatures: band key = xxhash64 of the
+    * band's member minhashes (long columns hash directly — no string
+    * concat). Produces the same (doc_id, band, band_hash) shape as
+    * [[lshBands]], so [[lshCandidates]] and the true-Jaccard
+    * verification compose unchanged. */
+  def lshBandsXx(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+    val k = signatures.columns.count(_.startsWith("mh"))
+    require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
+    val nBands = k / rowsPerBand
+    val stackArgs = (0 until nBands).flatMap { b =>
+      val members = (b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"mh$s"))
+      Seq(lit(b), xxhash64(members: _*))
+    }
+    signatures.select(
+      col("doc_id"),
+      stack(lit(nBands) +: stackArgs: _*).as(Seq("band", "band_hash")),
+    )
+  }
+
+  /** Production-path MinHash-LSH near-dup pairs: xxhash64 candidate
+    * generation, exact shingle-Jaccard verification. Output pairs all
+    * truly satisfy `jaccard >= minJaccard` (verification is exact);
+    * only LSH recall depends on the hash family. */
+  def minhashLshPairsXx(
+      shingles: DataFrame,
+      k: Int,
+      rowsPerBand: Int,
+      minJaccard: Double,
+  ): DataFrame = {
+    val cands = lshCandidates(lshBandsXx(minhashSignaturesXx(shingles, k), rowsPerBand))
+    verifyJaccard(cands, shingles, minJaccard)
+  }
+
+  /** Exact shingle-Jaccard scores for a candidate pair table
+    * (a_id, b_id): intersections computed only for candidates, sizes
+    * joined in. Shared by every LSH-candidate path. */
+  private[ops] def verifyJaccard(
+      cands: DataFrame,
+      shingles: DataFrame,
+      minJaccard: Double,
+  ): DataFrame = {
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = cands
       .join(shingles.as("sa"), col("a_id") === col("sa.doc_id"))
@@ -250,18 +370,40 @@ object Dedup {
     docs.join(dropIds, docs(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Production-path 64-bit SimHash: bit j of xxhash64(shingle) votes
+    * ±1 directly (no hex-nibble decode), one aggregation pass with 64
+    * vote sums. Twice the signature bits of [[simhash32]] at lower
+    * hashing cost; engine-specific, so no cross-engine oracle — pair it
+    * with `simhashPairs(_, maxHamming, bits = 64)`. */
+  def simhash64Xx(shingles: DataFrame): DataFrame = {
+    val hashed = shingles.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val votes = (0 until 64).map { pos =>
+      sum(when(shiftright(col("h"), pos).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$pos")
+    }
+    val sig = (0 until 64)
+      .map(pos => when(col(s"s$pos") > 0, lit(1L << pos)).otherwise(0L))
+      .reduce(_ + _)
+    hashed
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
   /** Near-dup pairs by SimHash Hamming distance (a < b), via banded
-    * self-join: the 32-bit signature is split into `maxHamming + 1`
+    * self-join: the `bits`-bit signature is split into `maxHamming + 1`
     * bit-bands — by pigeonhole, any pair within the Hamming threshold
     * agrees on at least one full band, so joining per band on band
     * equality finds every qualifying pair (identical results to the
     * all-pairs form) while only colliding signatures ever meet. This is
     * the standard scale-out for SimHash dedup. */
-  def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairs(sigs: DataFrame, maxHamming: Int, bits: Int = 32): DataFrame = {
     val nBands = maxHamming + 1
-    val bounds = (0 until nBands).map(b => (b * 32 / nBands, (b + 1) * 32 / nBands))
+    val bounds = (0 until nBands).map(b => (b * bits / nBands, (b + 1) * bits / nBands))
     val stackArgs = bounds.zipWithIndex.flatMap { case ((s, e), i) =>
-      Seq(lit(i), shiftright(col("simhash"), s).bitwiseAND(lit((1L << (e - s)) - 1)))
+      // (1L << 64) wraps to 1 in JVM shift semantics; a full-width band
+      // (maxHamming=0, bits=64) needs the all-ones mask spelled out.
+      val mask = if (e - s == 64) -1L else (1L << (e - s)) - 1
+      Seq(lit(i), shiftright(col("simhash"), s).bitwiseAND(lit(mask)))
     }
     val banded = sigs.select(
       col("doc_id"),

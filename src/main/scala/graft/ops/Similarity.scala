@@ -145,4 +145,109 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  /** IVF coarse centroids: the first `c` vectors by id. Sampled data
+    * points are the standard coarse quantizer when no trained codebook
+    * exists, and taking the id-ordered head keeps the index
+    * deterministic across engines (no RNG state). Output:
+    * (cent_id, cent_emb, cent_nrm). */
+  def ivfCentroids(df: DataFrame, idCol: String, embCol: String, c: Int): DataFrame =
+    withNorm(df, embCol)
+      .orderBy(col(idCol))
+      .limit(c)
+      .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"), col("nrm").as("cent_nrm"))
+
+  /** Nearest-`nprobe` centroid assignment by cosine (ties broken by
+    * cent_id). The centroid table is tiny and broadcast; assignment is
+    * a map-side cross product plus a per-vector window — no shuffle of
+    * the big side beyond the window's hash partition by id. Input rows
+    * need a precomputed `nrm` ([[withNorm]]). */
+  def ivfAssign(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      embCol: String,
+      nprobe: Int,
+  ): DataFrame = {
+    val scored = df
+      .join(broadcast(centroids))
+      .withColumn("__ccos", dot(col(embCol), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__ccos").desc, col("cent_id"))
+    scored
+      .withColumn("__crk", row_number().over(w))
+      .filter(col("__crk") <= nprobe)
+      .drop("__ccos", "__crk", "cent_emb", "cent_nrm")
+  }
+
+  /** IVF approximate top-k: candidates live in exactly one cell
+    * (nearest centroid); each query probes its `nprobe` nearest cells
+    * and ranks exact cosine within them. Same output shape as
+    * [[bruteForceTopK]].
+    *
+    * Scale notes: with C cells the scoring join touches ~nprobe/C of
+    * the corpus per query instead of all of it; the join is keyed on
+    * cent_id, so cells are co-partitioned and only the (small) probed
+    * query side replicates. Cell skew (a hot centroid) is bounded by
+    * the quantizer; refine with [[ivfRefine]] when sampled centroids
+    * cluster badly. */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      centroids: DataFrame,
+      nprobe: Int,
+      queryPred: Column,
+  ): DataFrame = {
+    val base = withNorm(df, embCol)
+    val cand = ivfAssign(base, centroids, idCol, embCol, nprobe = 1)
+      .select(col(idCol).as("n_id"), col(embCol).as("n_emb"), col("nrm").as("n_nrm"), col("cent_id"))
+    val qry = ivfAssign(base.filter(queryPred), centroids, idCol, embCol, nprobe = nprobe)
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"), col("nrm").as("q_nrm"), col("cent_id"))
+    val scored = cand
+      .join(broadcast(qry), Seq("cent_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("cos"),
+      )
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Lloyd refinement of an IVF codebook: `iters` rounds of
+    * assign-to-nearest + per-cell dimension-wise mean. Sums run through
+    * DECIMAL(38,12), so the means are order-independent — the refined
+    * codebook is bit-deterministic under any partitioning (plain double
+    * sums would float with shuffle order). Means are cast back to
+    * float, matching the corpus embedding type. */
+  def ivfRefine(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      embCol: String,
+      iters: Int,
+  ): DataFrame = {
+    val base = withNorm(df, embCol).localCheckpoint()
+    var cents = centroids
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(base, cents, idCol, embCol, nprobe = 1)
+      cents = assigned
+        .select(col("cent_id"), posexplode(col(embCol)).as(Seq("__pos", "__v")))
+        .groupBy("cent_id", "__pos")
+        .agg(
+          (expr("CAST(SUM(CAST(__v AS DECIMAL(38,12))) AS DOUBLE)") / count(lit(1))).as("__m")
+        )
+        .groupBy("cent_id")
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ms"))
+        .select(
+          col("cent_id"),
+          transform(col("__ms"), m => m.getField("__m").cast("float")).as("cent_emb"),
+        )
+        .withColumn("cent_nrm", l2Norm(col("cent_emb")))
+        .localCheckpoint()
+    }
+    cents
+  }
 }

@@ -97,5 +97,51 @@ object SimilarityQueries {
       .select("q_id", "n_id", "cos", "rnk")
   }
 
-  val all: Seq[Q] = Seq(norms, cosineTopK, annSrpTopK)
+  /** IVF approximate nearest neighbors: 16 deterministic sampled
+    * centroids (the id-ordered head of the table), candidates in their
+    * single nearest cell, queries probing their 2 nearest cells, exact
+    * cosine ranking within the probed cells. The whole index build is
+    * deterministic arithmetic, so the oracle checks the approximation
+    * structure itself — cell assignment, probing, and in-cell ranking. */
+  private val annIvfTopK = Q(
+    "sim_ann_ivf_topk",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT vec_id, cent_id, ccos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |  FROM (
+       |    SELECT e.vec_id, cent_id,
+       |      ${duckDot("e.embedding", "cemb")} / (e.nrm * cnrm) AS ccos
+       |    FROM e CROSS JOIN cent)),
+       |cand AS (SELECT vec_id, cent_id FROM asg WHERE crk = 1),
+       |qry AS (SELECT vec_id, cent_id FROM asg WHERE crk <= 2 AND vec_id < 10),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${duckDot("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm) AS cos
+       |  FROM qry q JOIN cand c ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+       |    JOIN e qe ON qe.vec_id = q.vec_id JOIN e ce ON ce.vec_id = c.vec_id)
+       |SELECT q_id, n_id, cos, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM pairs)
+       |WHERE rnk <= 3""".stripMargin,
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    Similarity
+      .ivfTopK(
+        emb,
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+        centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16),
+        nprobe = 2,
+        queryPred = col("vec_id") < 10,
+      )
+      .select("q_id", "n_id", "cos", "rnk")
+  }
+
+  val all: Seq[Q] = Seq(norms, cosineTopK, annSrpTopK, annIvfTopK)
 }
