@@ -24,13 +24,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object Monitor {
 
-  /** One finding per row; `_corrupt` carries unparseable documents. */
-  def readStream(spark: SparkSession, srcDir: String, archiveDir: Option[String]): DataFrame = {
-    val base = spark.readStream
+  /** One finding per row; `_corrupt` carries unparseable documents.
+    *
+    * `maxFilesPerTrigger` is the ingestion backpressure valve: it caps
+    * each micro-batch's file count so a backlog (an outage, a bulk
+    * re-drop) drains in bounded-size batches instead of one giant batch
+    * that overwhelms executor memory — the knob to size against
+    * executor heap at production scale. */
+  def readStream(
+      spark: SparkSession,
+      srcDir: String,
+      archiveDir: Option[String],
+      maxFilesPerTrigger: Option[Int] = None,
+  ): DataFrame = {
+    val base0 = spark.readStream
       .schema(OcsfModel.ocsfFinding.add("_corrupt", "string"))
       .option("multiLine", value = true)
       .option("columnNameOfCorruptRecord", "_corrupt")
       .option("pathGlobFilter", "*.ocsf.json")
+    val base = maxFilesPerTrigger.fold(base0)(n => base0.option("maxFilesPerTrigger", n))
     val withArchive = archiveDir match {
       case Some(dir) =>
         base
@@ -52,8 +64,10 @@ object Monitor {
       checkpointDir: String,
       archiveDir: Option[String] = None,
       oneShot: Boolean = true,
+      pollInterval: String = "30 seconds",
+      maxFilesPerTrigger: Option[Int] = None,
   ): StreamingQuery = {
-    val stream = readStream(spark, srcDir, archiveDir)
+    val stream = readStream(spark, srcDir, archiveDir, maxFilesPerTrigger)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -65,6 +79,25 @@ object Monitor {
         }
         ()
       }
-    (if (oneShot) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    val triggered =
+      if (oneShot) writer.trigger(Trigger.AvailableNow())
+      // Daemon mode (the reference's `--daemon` watch loop,
+      // ocsf_monitor.py:120-342): poll the directory on a processing
+      // -time cadence until stopped.
+      else writer.trigger(Trigger.ProcessingTime(pollInterval))
+    triggered.start()
+  }
+
+  /** ST2: graceful shutdown — let in-flight work finish, then stop.
+    * `processAllAvailable` drains everything the source has listed
+    * (bounded, since new files past the call are not waited on), then
+    * `stop()` halts the trigger loop. The checkpoint guarantees that a
+    * non-graceful kill at any point replays the interrupted batch
+    * exactly-once on restart — graceful stop is an operator courtesy,
+    * not a correctness requirement. */
+  def stopGracefully(query: StreamingQuery, timeoutMs: Long = 60000L): Boolean = {
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(timeoutMs)
   }
 }

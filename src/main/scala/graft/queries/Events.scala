@@ -209,6 +209,84 @@ object Events {
       )
   }
 
+  /** Map construction + map_filter: per-user event_type→count map kept
+    * to entries with count >= 5, serialized as sorted `k=v` pairs (maps
+    * are unordered — the string form is the type-stable comparison,
+    * same policy as arrays). The oracle never builds a map: it filters
+    * grouped counts and string_aggs them in key order — same result. */
+  private val mapFilterCounts = Q(
+    "evt_map_filter_counts",
+    """WITH per AS (
+      |  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2)
+      |SELECT user_id,
+      |  coalesce(string_agg(CASE WHEN c >= 5 THEN event_type || '=' || c END,
+      |                      ',' ORDER BY event_type), '') AS frequent
+      |FROM per GROUP BY user_id""".stripMargin,
+  ) { (s, d) =>
+    events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("c")))).as("m"))
+      .select(
+        col("user_id"),
+        array_join(
+          transform(
+            array_sort(map_entries(map_filter(col("m"), (_, v) => v >= 5))),
+            e => concat(e.getField("key"), lit("="), e.getField("value")),
+          ),
+          ",",
+        ).as("frequent"),
+      )
+  }
+
+  /** map_zip_with: per-user event_type→count maps for the month's two
+    * halves, zipped with null-tolerant addition, serialized sorted. The
+    * oracle reproduces the zip as a grouped conditional sum. */
+  private val mapZipSum = Q(
+    "evt_map_zip_sum",
+    """WITH per AS (
+      |  SELECT user_id, event_type,
+      |    count(*) FILTER (WHERE ts <  TIMESTAMP '2024-01-16') AS c1,
+      |    count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16') AS c2
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id,
+      |  string_agg(event_type || '=' || (c1 + c2), ',' ORDER BY event_type) AS combined
+      |FROM per GROUP BY user_id""".stripMargin,
+  ) { (s, d) =>
+    val cut = to_timestamp(lit("2024-01-16"))
+    val halves = events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(
+        count(when(col("ts") < cut, 1)).as("c1"),
+        count(when(col("ts") >= cut, 1)).as("c2"),
+      )
+    // Each half's map only carries types seen in that half (collect_list
+    // drops the null structs), so the zip really hits absent keys.
+    halves
+      .groupBy("user_id")
+      .agg(
+        map_from_entries(
+          collect_list(when(col("c1") > 0, struct(col("event_type"), col("c1"))))
+        ).as("m1"),
+        map_from_entries(
+          collect_list(when(col("c2") > 0, struct(col("event_type"), col("c2"))))
+        ).as("m2"),
+      )
+      .select(
+        col("user_id"),
+        array_join(
+          transform(
+            array_sort(map_entries(
+              map_zip_with(col("m1"), col("m2"), (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L)))
+            )),
+            e => concat(e.getField("key"), lit("="), e.getField("value")),
+          ),
+          ",",
+        ).as("combined"),
+      )
+  }
+
   val all: Seq[Q] = Seq(
     jsonExtractGroup,
     severityCaseMap,
@@ -219,5 +297,7 @@ object Events {
     asofErrorClick,
     sessionize,
     typeOverlap,
+    mapFilterCounts,
+    mapZipSum,
   )
 }

@@ -116,8 +116,30 @@ object Scalars {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Interval arithmetic edge cases: month addition clamps to the
+    * target month's last day in both engines (2024-01-31 + 1 month =
+    * 2024-02-29), day addition is calendar-exact, last_day and a
+    * day-difference round-trip exercise boundary handling. */
+  private val intervalShift = Q(
+    "str_interval_shift",
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS due_3m,
+      |  CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS due_45d,
+      |  last_day(o_orderdate) AS month_end,
+      |  date_diff('day', o_orderdate, last_day(o_orderdate)) AS days_left
+      |FROM orders""".stripMargin,
+  ) { (s, d) =>
+    orders(s, d).select(
+      col("o_orderkey"),
+      add_months(col("o_orderdate"), 3).as("due_3m"),
+      date_add(col("o_orderdate"), 45).as("due_45d"),
+      last_day(col("o_orderdate")).as("month_end"),
+      datediff(last_day(col("o_orderdate")), col("o_orderdate")).as("days_left"),
+    )
+  }
+
   val all: Seq[Q] = Seq(
     slugNormalize, shaUid, basename, datetimeParts, concatCoalesce,
-    levenshteinNations, shipDelayHistogram,
+    levenshteinNations, shipDelayHistogram, intervalShift,
   )
 }

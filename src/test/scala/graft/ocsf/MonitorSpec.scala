@@ -52,4 +52,48 @@ class MonitorSpec extends AnyFunSuite {
     q2.awaitTermination()
     assert(Landing.read(spark, landing).count() === 3)
   }
+
+  test("daemon mode: processing-time polling picks up late files; graceful stop drains") {
+    val src        = tmpDir("mond_src")
+    val landing    = tmpDir("mond_landing")
+    val failed     = tmpDir("mond_failed")
+    val checkpoint = tmpDir("mond_ckpt")
+
+    writeFile(src, "a.ocsf.json", s"[${finding("d-1")}]")
+    val q = Monitor.run(
+      spark, src, landing, failed, checkpoint,
+      oneShot = false, pollInterval = "100 milliseconds",
+    )
+    try {
+      q.processAllAvailable()
+      assert(Landing.read(spark, landing).count() === 1)
+
+      // a file arriving AFTER the stream started is picked up by a
+      // later trigger — the watch-loop behavior one-shot mode lacks
+      writeFile(src, "b.ocsf.json", s"[${finding("d-2")}, ${finding("d-3")}]")
+      q.processAllAvailable()
+      assert(Landing.read(spark, landing).count() === 3)
+    } finally {
+      assert(Monitor.stopGracefully(q), "query did not stop within timeout")
+    }
+    assert(!q.isActive)
+  }
+
+  test("backpressure: maxFilesPerTrigger=1 drains a backlog in bounded batches") {
+    val src        = tmpDir("monb_src")
+    val landing    = tmpDir("monb_landing")
+    val failed     = tmpDir("monb_failed")
+    val checkpoint = tmpDir("monb_ckpt")
+
+    (1 to 3).foreach(i => writeFile(src, s"f$i.ocsf.json", s"[${finding(s"b-$i")}]"))
+    val q = Monitor.run(
+      spark, src, landing, failed, checkpoint,
+      maxFilesPerTrigger = Some(1),
+    )
+    q.awaitTermination()
+    assert(Landing.read(spark, landing).count() === 3)
+    // AvailableNow honors the cap by splitting the backlog into one
+    // batch per file: batch ids 0..2 all committed in one run.
+    assert(q.lastProgress.batchId >= 2, s"backlog not split: ${q.lastProgress.batchId}")
+  }
 }
