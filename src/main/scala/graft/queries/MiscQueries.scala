@@ -55,5 +55,22 @@ object MiscQueries {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_parts_estimate"))
   }
 
-  val all: Seq[Q] = Seq(approxDistinct, sample, floatDotSql, hllSketchUnion)
+  /** Deterministic hash-bucket sampling: ~10% of orders selected by a
+    * stable content hash, so the sample is reproducible across engines
+    * and runs (the repeatable-experiment form of sampling; Bernoulli
+    * `sample()` above stays engine-specific). Exact-oracle-checked. */
+  private val sampleHash = Q(
+    "misc_sample_hash",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)) AS BIGINT) % 10 = 0
+      |""".stripMargin,
+  ) { (s, d) =>
+    orders(s, d)
+      .filter(conv(substring(md5(col("o_orderkey").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 10 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  val all: Seq[Q] = Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash)
 }

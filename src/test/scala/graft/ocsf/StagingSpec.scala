@@ -127,6 +127,45 @@ class StagingSpec extends AnyFunSuite {
     assert(n3 === 2L)
   }
 
+  test("mergeRun upserts on (finding_uid, scan_run_id): reingestion replaces, not duplicates") {
+    import spark.implicits._
+    val docs = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
+    val landingDir  = tmpDir("landing_m")
+    val stagingRoot = tmpDir("staging_m")
+    Landing.append(docs, landingDir)
+    val n1 = Staging.mergeRun(spark, landingDir, stagingRoot)
+    assert(n1 === 1L)
+    assert(Staging.currentVersion(spark, stagingRoot) === Some(0L))
+
+    // reingest the same finding (same uid + scan_run_id, fresh loaded_at):
+    // incrementalRun would duplicate; mergeRun replaces
+    Landing.append(docs, landingDir)
+    val n2 = Staging.mergeRun(spark, landingDir, stagingRoot)
+    assert(n2 === 1L)
+    assert(Staging.currentVersion(spark, stagingRoot) === Some(1L))
+    val cur = Staging.readCurrent(spark, stagingRoot).get
+    // the surviving row is the NEW load (latest staging_loaded_at)
+    val reloaded = cur.select("staging_loaded_at").head().getTimestamp(0)
+    val landingMax = Landing.read(spark, landingDir)
+      .agg(org.apache.spark.sql.functions.max("loaded_at")).head().getTimestamp(0)
+    assert(reloaded === landingMax)
+
+    // a different scan_run_id is a NEW row, not a replacement
+    val otherRun = richFinding.replace("run-7", "run-8")
+    val docs2 = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(otherRun).toDS())
+    Landing.append(docs2, landingDir)
+    val n3 = Staging.mergeRun(spark, landingDir, stagingRoot)
+    assert(n3 === 2L)
+
+    // no-new-data run is a no-op version that still reads consistently
+    val n4 = Staging.mergeRun(spark, landingDir, stagingRoot)
+    assert(n4 === 2L)
+
+    // vacuum keeps the active version readable
+    Staging.vacuumVersions(spark, stagingRoot, keep = 1)
+    assert(Staging.readCurrent(spark, stagingRoot).get.count() === 2L)
+  }
+
   test("accepted-values and uid-format validators (P6/P7)") {
     val staged = stagingRows
     val df     = spark.createDataFrame(spark.sparkContext.parallelize(staged.toSeq), stagingRowsSchema)
