@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Custom typed UDAF (the `Aggregator[IN, BUF, OUT]` extension point
+  * SURVEY §2.9 reserves for aggregation plugins): bounded-state top-k
+  * by score.
+  *
+  * This is the scale-safe form of "collect and sort": `collect_list` +
+  * `sort_array` + `slice` carries EVERY group element through the
+  * shuffle and into one buffer — unbounded state that breaks on a hot
+  * group. This aggregator's buffer never exceeds k entries on any
+  * partition, partial aggregation happens map-side, and merges are
+  * k-bounded — the same reason approximate sketches are mergeable, but
+  * exact for top-k.
+  *
+  * Determinism: ordered by (score desc, id asc), so ties cannot
+  * reorder under different partitionings.
+  *
+  * Output is the sorted array of ids (top score first).
+  */
+object TopKAgg {
+
+  type Entry = (Long, Double) // (id, score)
+
+  final case class Buf(var entries: List[Entry]) // invariant: sorted, size <= k
+
+  private def ord: Ordering[Entry] =
+    Ordering.by[Entry, (Double, Long)] { case (id, score) => (-score, id) }
+
+  def aggregator(k: Int): Aggregator[Entry, Buf, Array[Long]] =
+    new Aggregator[Entry, Buf, Array[Long]] {
+      override def zero: Buf = Buf(Nil)
+
+      override def reduce(b: Buf, a: Entry): Buf = {
+        // insert + trim: O(k) per row, state bounded at k
+        b.entries = (a :: b.entries).sorted(ord).take(k)
+        b
+      }
+
+      override def merge(b1: Buf, b2: Buf): Buf = {
+        b1.entries = (b1.entries ++ b2.entries).sorted(ord).take(k)
+        b1
+      }
+
+      override def finish(r: Buf): Array[Long] = r.entries.map(_._1).toArray
+
+      override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      override def outputEncoder: Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    }
+
+  /** Column API: `top_k_ids(struct(id, score))` per group. */
+  def top_k_ids(k: Int)(id: Column, score: Column): Column = {
+    val fn = udaf(aggregator(k), Encoders.product[Entry])
+    fn(id, score)
+  }
+}

@@ -131,22 +131,7 @@ object Dedup {
     val docSets = capped
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("sh"))).as("shs"), count(lit(1)).as("n"))
-    // alpha = ceil(tau*n) computed with a small negative epsilon so fp
-    // noise can only LENGTHEN the prefix (extra candidates are filtered
-    // by verification; a shortened prefix would drop true pairs).
-    val byDoc  = Window.partitionBy("doc_id")
-    val ranked = capped
-      .join(cappedFreq, "sh")
-      .withColumn("rk", row_number().over(byDoc.orderBy(col("__df"), col("sh"))))
-      .withColumn("n", count(lit(1)).over(byDoc))
-    val prefix = ranked
-      .filter(col("rk") <= col("n") - ceil(lit(minJaccard) * col("n") - lit(1e-9)) + lit(1))
-      .select("doc_id", "sh")
-    val cands = prefix
-      .as("a")
-      .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+    val cands = prefixCandidates(capped, cappedFreq, minJaccard)
     cands
       .join(docSets.as("da"), col("a_id") === col("da.doc_id"))
       .join(docSets.as("db"), col("b_id") === col("db.doc_id"))
@@ -157,6 +142,35 @@ object Dedup {
         (col("__c").cast("double") / (col("da.n") + col("db.n") - col("__c"))).as("jaccard"),
       )
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** The prefix-join candidate stage of [[jaccardPairsPrefix]]: each
+    * doc keeps its `n - ceil(tau*n) + 1` globally-rarest shingles
+    * (ascending document frequency, shingle tiebreak) and only
+    * prefixes join. Package-visible so specs can measure candidate
+    * counts against the naive join. */
+  private[ops] def prefixCandidates(
+      shingles: DataFrame,
+      docFreq: DataFrame,
+      minJaccard: Double,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // alpha = ceil(tau*n) computed with a small negative epsilon so fp
+    // noise can only LENGTHEN the prefix (extra candidates are filtered
+    // by verification; a shortened prefix would drop true pairs).
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = shingles
+      .join(docFreq, "sh")
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("__df"), col("sh"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - ceil(lit(minJaccard) * col("n") - lit(1e-9)) + lit(1))
+      .select("doc_id", "sh")
+    prefix
+      .as("a")
+      .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
   }
 
   /** MinHash signatures, wide form: one row per doc with columns

@@ -331,7 +331,53 @@ object Relational {
       .distinct()
   }
 
+  /** argmax/argmin aggregation: the order row with the highest/lowest
+    * price per customer (`max_by`/`min_by` ↔ DuckDB `arg_max`/
+    * `arg_min`). Ties cannot occur on (custkey, totalprice) in the
+    * generated data at tested SFs — guarded by the unique-orderkey
+    * tiebreak inside the struct ordering both engines apply to
+    * identical doubles. */
+  private val aggArgmax = Q(
+    "rel_agg_argmax",
+    """SELECT o_custkey,
+      |  arg_max(o_orderkey, o_totalprice) AS best_order,
+      |  arg_min(o_orderkey, o_totalprice) AS worst_order,
+      |  max(o_totalprice) AS best_price
+      |FROM orders GROUP BY o_custkey""".stripMargin,
+  ) { (s, d) =>
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
+        max(col("o_totalprice")).as("best_price"),
+      )
+  }
+
+  /** Custom bounded-state UDAF ([[graft.functions.TopKAgg]], the
+    * Aggregator extension point): top-3 order ids by price per
+    * customer, serialized. The oracle is DuckDB's ordered-list
+    * aggregate sliced to 3 — same (price desc, id asc) order. */
+  private val aggTopkUdaf = Q(
+    "rel_agg_topk_udaf",
+    """SELECT o_custkey,
+      |  array_to_string((list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3], ',')
+      |    AS top_orders
+      |FROM orders GROUP BY o_custkey""".stripMargin,
+  ) { (s, d) =>
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(
+        array_join(
+          graft.functions.TopKAgg.top_k_ids(3)(col("o_orderkey"), col("o_totalprice")),
+          ",",
+        ).as("top_orders")
+      )
+  }
+
   val all: Seq[Q] = Seq(
+    aggArgmax,
+    aggTopkUdaf,
     scanFilterProject,
     crossJoinRegions,
     setUnionDistinct,

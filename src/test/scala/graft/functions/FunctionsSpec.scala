@@ -13,6 +13,39 @@ class FunctionsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
+  test("TopKAgg: bounded-state top-k equals the window form; hot group stays k-bounded") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val viaAgg = orders
+      .groupBy("o_custkey")
+      .agg(TopKAgg.top_k_ids(3)(col("o_orderkey"), col("o_totalprice")).as("ids"))
+      .collect()
+      .map(r => r.getAs[Long]("o_custkey") -> r.getAs[Seq[Long]]("ids").toList)
+      .toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("o_custkey")
+      .agg(collect_list(struct(col("rn"), col("o_orderkey"))).as("xs"))
+      .collect()
+      .map { r =>
+        r.getAs[Long]("o_custkey") ->
+          r.getAs[Seq[org.apache.spark.sql.Row]]("xs").sortBy(_.getInt(0)).map(_.getLong(1)).toList
+      }
+      .toMap
+    assert(viaAgg === viaWindow)
+
+    // one hot group across many partitions: result is exact and ordered
+    // even though no buffer ever holds more than k entries
+    val hot = spark.range(100000).select(lit(1L).as("g"), col("id"), (col("id") % 97).cast("double").as("s"))
+    val top = hot.groupBy("g").agg(TopKAgg.top_k_ids(2)(col("id"), col("s")).as("ids"))
+      .head().getAs[Seq[Long]]("ids").toList
+    // score 96.0 is shared by ids 96, 193, 290... -> smallest two ids win
+    assert(top === List(96L, 193L))
+  }
+
   test("simhash32 expression is bit-equal to the relational pipeline on real documents") {
     SimHash32Expr.registerOn(spark)
     val docs = spark.read

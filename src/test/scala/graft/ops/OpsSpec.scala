@@ -60,6 +60,41 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.head.getAs[Double]("jaccard") > 0.8)
   }
 
+  test("prefix join collapses the quadratic term on a skewed corpus (and stays exact)") {
+    // Boilerplate-heavy corpus: every doc opens with the same 15-token
+    // preamble (shingle df = nDocs — the hot keys that make the naive
+    // self-join quadratic), then a unique tail. Docs 0 and 1 share
+    // their tail too (the planted near-dup).
+    val nDocs    = 120
+    val preamble = (1 to 15).map(i => s"common$i").mkString(" ")
+    val docs = (0 until nDocs).map { d =>
+      val tail =
+        if (d <= 1) (1 to 15).map(i => s"dup$i").mkString(" ")
+        else (1 to 15).map(i => s"u${d}_$i").mkString(" ")
+      (d.toLong, s"$preamble $tail")
+    }.toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3).persist()
+
+    val naive  = Dedup.jaccardPairs(sh, 0.5)
+    val prefix = Dedup.jaccardPairsPrefix(sh, 0.5)
+    assert(prefix.exceptAll(naive).isEmpty && naive.exceptAll(prefix).isEmpty)
+    assert(naive.count() === 1) // only the planted pair clears tau=0.5
+
+    // the measurement: naive join output is quadratic in the hot
+    // shingles' document frequency; the rarest-first prefix join never
+    // touches them
+    val naiveJoinRows = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val prefixCands = Dedup.prefixCandidates(sh, docFreq, 0.5).count()
+    sh.unpersist()
+    assert(
+      prefixCands * 50 < naiveJoinRows,
+      s"prefix candidates $prefixCands not << naive join rows $naiveJoinRows",
+    )
+  }
+
   test("xxhash64 production paths: LSH pairs are verified-exact; 64-bit simhash finds dups") {
     // Candidate generation differs from the md5 path (hash family), but
     // verification is exact shingle Jaccard: every emitted pair must be
@@ -119,6 +154,25 @@ class OpsSpec extends AnyFunSuite {
     // Refined codebook still drives the ANN search end to end.
     val refined = Similarity.ivfTopK(emb, "vec_id", "embedding", 3, r1, 2, pred)
     assert(refined.count() > 0)
+  }
+
+  test("IVF recall is monotone in nprobe and exact at nprobe = C") {
+    import graft.ops.Similarity
+    val emb  = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") < 20
+    val exact = Similarity
+      .bruteForceTopK(emb.filter(pred), emb, "vec_id", "embedding", k = 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    val recalls = Seq(1, 2, 8).map { nprobe =>
+      val approx = Similarity
+        .ivfTopK(emb, "vec_id", "embedding", 3, cents, nprobe, pred)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      nprobe -> (exact & approx).size.toDouble / exact.size
+    }
+    assert(recalls.map(_._2) === recalls.map(_._2).sorted, s"recall not monotone: $recalls")
+    // probing every cell searches every candidate: identical to brute force
+    assert(recalls.last._2 === 1.0, s"nprobe=C not exact: $recalls")
   }
 
   test("prefix-filtered Jaccard join equals the naive self-join form") {

@@ -51,4 +51,32 @@ class WatermarkSpec extends AnyFunSuite {
     assert(byWindow(20L) === ((2L, 4.5)))  // 25s + 26s rows
     assert(rows.count(_._1 == 0L) === 1)   // emitted exactly once (append mode)
   }
+
+  test("streaming dedup: duplicates dropped within watermark, state evicted after it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = StreamDedup.dedupWithinWatermark(
+      input.toDS().toDF("ts", "uid"),
+      eventTimeCol = "ts",
+      delay = "10 seconds",
+      keys = Seq("uid"),
+    )
+    val q = deduped.writeStream.format("memory").queryName("sd_out").outputMode("append").start()
+
+    // duplicate within the watermark delay -> suppressed
+    input.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"))
+    q.processAllAvailable()
+    assert(spark.table("sd_out").count() === 2)
+
+    // advance the watermark far past uid "a"'s state...
+    input.addData((ts(60), "c"))
+    q.processAllAvailable()
+    // ...then the SAME uid arrives again: its dedup state was evicted
+    // (bounded state), so it is admitted as a new record
+    input.addData((ts(61), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val uids = spark.table("sd_out").collect().map(_.getString(1)).sorted.toList
+    assert(uids === List("a", "a", "b", "c"))
+  }
 }
