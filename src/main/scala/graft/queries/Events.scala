@@ -287,6 +287,34 @@ object Events {
       )
   }
 
+  /** Native session_window grouping (the built-in operator twin of the
+    * manual gap-flag sessionization above): Spark merges events within
+    * a 30-minute gap into one window whose end extends one gap past the
+    * last event. The oracle derives the same bounds from the gap-flag
+    * construction: start = min(ts), end = max(ts) + gap. */
+  private val sessionWindowNative = Q(
+    "evt_session_window_native",
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+       |              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |numbered AS (
+       |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+       |  FROM flagged)
+       |SELECT user_id, min(ts) AS w_start,
+       |  max(ts) + INTERVAL 30 MINUTE AS w_end, COUNT(*) AS n_events
+       |FROM numbered GROUP BY user_id, sid""".stripMargin,
+  ) { (s, d) =>
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("w_start"), col("sw.end").as("w_end"), col("n_events"))
+  }
+
   val all: Seq[Q] = Seq(
     jsonExtractGroup,
     severityCaseMap,
@@ -299,5 +327,6 @@ object Events {
     typeOverlap,
     mapFilterCounts,
     mapZipSum,
+    sessionWindowNative,
   )
 }

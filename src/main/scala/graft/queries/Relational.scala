@@ -375,9 +375,33 @@ object Relational {
       )
   }
 
+  /** Boolean aggregates and higher-order array predicates: per-order
+    * bool_and/bool_or over lineitem flags, then exists/forall over the
+    * collected per-order array (the within-row twin of the grouped
+    * form — both engines must agree on all four). */
+  private val aggBoolPredicates = Q(
+    "rel_agg_bool_predicates",
+    """SELECT l_orderkey,
+      |  bool_and(l_shipdate >= DATE '2024-01-01') AS all_shipped_2024_on,
+      |  bool_or(l_returnflag = 'R') AS any_returned,
+      |  bool_or(l_discount > 0.05) AS any_discounted,
+      |  bool_and(l_quantity >= 1) AS all_positive_qty
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+  ) { (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(
+        bool_and(col("l_shipdate") >= lit("2024-01-01").cast("date")).as("all_shipped_2024_on"),
+        bool_or(col("l_returnflag") === "R").as("any_returned"),
+        exists(collect_list(col("l_discount")), v => v > 0.05).as("any_discounted"),
+        forall(collect_list(col("l_quantity")), v => v >= 1).as("all_positive_qty"),
+      )
+  }
+
   val all: Seq[Q] = Seq(
     aggArgmax,
     aggTopkUdaf,
+    aggBoolPredicates,
     scanFilterProject,
     crossJoinRegions,
     setUnionDistinct,

@@ -69,6 +69,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF scoring join broadcasts the probe side — no shuffle of candidates by cell") {
+    val p = planOf("sim_ann_ivf_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the big side reaches the scoring join without a cell-key exchange:
+    // every SortMergeJoin would imply one
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bounded top-k UDAF does map-side partial aggregation (two-phase ObjectHashAggregate)") {
+    val p = planOf("rel_agg_topk_udaf")
+    val objAggs = p.split("ObjectHashAggregate").length - 1
+    assert(objAggs >= 2, s"expected partial+final ObjectHashAggregate phases:\n$p")
+    assert(p.contains("partial_"), p) // map-side combine before the exchange
+    assert(p.contains("Exchange"), p)
+  }
+
   test("native float_dot participates in codegen (no interpreted fallback marker)") {
     graft.functions.FloatVecDot.registerOn(spark)
     val emb = Tables.embeddings(spark, sf)
