@@ -72,5 +72,43 @@ object MiscQueries {
       .select("o_orderkey", "o_custkey", "o_totalprice")
   }
 
-  val all: Seq[Q] = Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash)
+  /** Generator surface (UDTF-shaped): sequence construction + explode,
+    * one output row per generated element (DuckDB: unnest of
+    * generate_series). */
+  private val sequenceExplode = Q(
+    "misc_sequence_explode",
+    """SELECT n_nationkey, unnest(generate_series(0, n_nationkey % 5)) AS i
+      |FROM nation""".stripMargin,
+  ) { (s, d) =>
+    nation(s, d)
+      .select(col("n_nationkey"), explode(sequence(lit(0L), col("n_nationkey") % 5)).as("i"))
+  }
+
+  /** JSON round trip: from_json with an explicit schema, field access on
+    * the parsed struct, and to_json re-serialization — the full
+    * string→struct→string path (DuckDB mirrors with json_extract +
+    * json_object; both engines emit compact `{"k":v}` framing). */
+  private val jsonRoundtrip = Q(
+    "misc_json_roundtrip",
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      |  CAST(json_object('k', CAST(json_extract(props, '$.k') AS BIGINT),
+      |                   'type', event_type) AS VARCHAR) AS reframed
+      |FROM events""".stripMargin,
+  ) { (s, d) =>
+    graft.Tables.events(s, d)
+      .select(
+        col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("k"),
+        to_json(
+          struct(
+            from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("k"),
+            col("event_type").as("type"),
+          )
+        ).as("reframed"),
+      )
+  }
+
+  val all: Seq[Q] =
+    Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode, jsonRoundtrip)
 }
