@@ -128,20 +128,7 @@ object Dedup {
     val capped = maxDocFreq
       .map(_ => shingles.join(cappedFreq.select("sh"), "sh"))
       .getOrElse(shingles)
-    val docSets = capped
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("sh"))).as("shs"), count(lit(1)).as("n"))
-    val cands = prefixCandidates(capped, cappedFreq, minJaccard)
-    cands
-      .join(docSets.as("da"), col("a_id") === col("da.doc_id"))
-      .join(docSets.as("db"), col("b_id") === col("db.doc_id"))
-      .withColumn("__c", size(array_intersect(col("da.shs"), col("db.shs"))).cast("long"))
-      .select(
-        col("a_id"),
-        col("b_id"),
-        (col("__c").cast("double") / (col("da.n") + col("db.n") - col("__c"))).as("jaccard"),
-      )
-      .filter(col("jaccard") >= minJaccard)
+    verifyJaccard(prefixCandidates(capped, cappedFreq, minJaccard), capped, minJaccard)
   }
 
   /** The prefix-join candidate stage of [[jaccardPairsPrefix]]: each
@@ -280,26 +267,29 @@ object Dedup {
   }
 
   /** Exact shingle-Jaccard scores for a candidate pair table
-    * (a_id, b_id): intersections computed only for candidates, sizes
-    * joined in. Shared by every LSH-candidate path. */
+    * (a_id, b_id). Work is candidate-proportional: per-doc sorted
+    * shingle arrays are built once (one groupBy of the shingle table),
+    * then each candidate pair costs two doc_id-keyed joins and one
+    * linear `array_intersect` — no re-join of the full shingle table
+    * per pair and no groupBy over the pair×shingle blowup. Shared by
+    * every candidate-generating path (MinHash-LSH md5/xx, prefix
+    * join). */
   private[ops] def verifyJaccard(
       cands: DataFrame,
       shingles: DataFrame,
       minJaccard: Double,
   ): DataFrame = {
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = cands
-      .join(shingles.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(shingles.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.as("na"), col("a_id") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("b_id") === col("nb.doc_id"))
+    val docSets = shingles
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("shs"), count(lit(1)).as("n"))
+    cands
+      .join(docSets.as("da"), col("a_id") === col("da.doc_id"))
+      .join(docSets.as("db"), col("b_id") === col("db.doc_id"))
+      .withColumn("__c", size(array_intersect(col("da.shs"), col("db.shs"))).cast("long"))
       .select(
         col("a_id"),
         col("b_id"),
-        (col("c").cast("double") / (col("na.n") + col("nb.n") - col("c"))).as("jaccard"),
+        (col("__c").cast("double") / (col("da.n") + col("db.n") - col("__c"))).as("jaccard"),
       )
       .filter(col("jaccard") >= minJaccard)
   }
