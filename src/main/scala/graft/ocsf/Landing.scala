@@ -42,4 +42,32 @@ object Landing {
     * rows surface NULL for them. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", value = true).parquet(path)
+
+  /** Retention cleanup the reference documents as required but leaves
+    * unimplemented (`raw_ocsf_findings.sql:33-34` "Data retention
+    * policies should be implemented based on loaded_at timestamps"):
+    * drop whole `loaded_date=` partitions strictly older than
+    * `cutoff`. Partition-level deletion is the 100 TB form — a
+    * metadata/directory operation per day, never a row scan — and is
+    * safe against the staging watermark, which only ever reads
+    * forward. Returns the dropped partition dates. */
+  def retentionVacuum(
+      spark: SparkSession,
+      path: String,
+      cutoff: java.time.LocalDate,
+  ): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val dropped = fs
+      .listStatus(root)
+      .toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("loaded_date="))
+      .filter { s =>
+        val date = s.getPath.getName.stripPrefix("loaded_date=")
+        scala.util.Try(java.time.LocalDate.parse(date)).toOption.exists(_.isBefore(cutoff))
+      }
+    dropped.foreach(s => fs.delete(s.getPath, true))
+    dropped.map(_.getPath.getName.stripPrefix("loaded_date="))
+  }
 }

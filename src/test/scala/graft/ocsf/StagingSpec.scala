@@ -166,6 +166,29 @@ class StagingSpec extends AnyFunSuite {
     assert(Staging.readCurrent(spark, stagingRoot).get.count() === 2L)
   }
 
+  test("landing retention vacuum drops only partitions older than the cutoff") {
+    import spark.implicits._
+    val path = tmpDir("landing_ret")
+    Seq(
+      ("uid-old", "2024-01-05"),
+      ("uid-mid", "2024-02-10"),
+      ("uid-new", "2024-03-01"),
+    ).toDF("finding_uid", "d")
+      .withColumn("loaded_date", org.apache.spark.sql.functions.to_date($"d"))
+      .drop("d")
+      .write
+      .mode("append")
+      .partitionBy("loaded_date")
+      .parquet(path)
+
+    val dropped = Landing.retentionVacuum(spark, path, java.time.LocalDate.parse("2024-02-01"))
+    assert(dropped === Seq("2024-01-05"))
+    val remaining = spark.read.parquet(path).select("finding_uid").collect().map(_.getString(0)).sorted
+    assert(remaining === Array("uid-mid", "uid-new"))
+    // idempotent: nothing else to drop
+    assert(Landing.retentionVacuum(spark, path, java.time.LocalDate.parse("2024-02-01")).isEmpty)
+  }
+
   test("accepted-values and uid-format validators (P6/P7)") {
     val staged = stagingRows
     val df     = spark.createDataFrame(spark.sparkContext.parallelize(staged.toSeq), stagingRowsSchema)
