@@ -51,13 +51,38 @@ object OcsfCli {
       val total = Staging.incrementalRun(spark, landing, staging)
       println(s"[ocsf] staging rows: $total")
 
+    case "stage-merge" :: landing :: stagingRoot :: Nil =>
+      val total = Staging.mergeRun(spark, landing, stagingRoot)
+      println(
+        s"[ocsf] staging rows: $total (version ${Staging.currentVersion(spark, stagingRoot).getOrElse(-1L)})"
+      )
+
+    case "daemon" :: src :: landing :: failed :: checkpoint :: rest if rest.size <= 1 =>
+      val q = Monitor.run(
+        spark, src, landing, failed, checkpoint,
+        archiveDir = rest.headOption,
+        oneShot = false,
+        pollInterval = sys.env.getOrElse("GRAFT_POLL_INTERVAL", "30 seconds"),
+        maxFilesPerTrigger = sys.env.get("GRAFT_MAX_FILES_PER_TRIGGER").map(_.toInt),
+      )
+      sys.addShutdownHook { Monitor.stopGracefully(q); () }
+      q.awaitTermination()
+
+    case "vacuum" :: landing :: cutoff :: Nil =>
+      val dropped = Landing.retentionVacuum(spark, landing, java.time.LocalDate.parse(cutoff))
+      println(s"[ocsf] dropped partitions: ${dropped.mkString(", ")}")
+
     case other =>
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
            |Usage:
            |  convert <input.sarif> <output-dir>
            |  monitor <src-dir> <landing> <failed> <checkpoint> [archive]
-           |  stage <landing> <staging>""".stripMargin
+           |  daemon  <src-dir> <landing> <failed> <checkpoint> [archive]
+           |          (env: GRAFT_POLL_INTERVAL, GRAFT_MAX_FILES_PER_TRIGGER)
+           |  stage <landing> <staging>
+           |  stage-merge <landing> <staging-root>
+           |  vacuum <landing> <cutoff-date>""".stripMargin
       )
       sys.exit(2)
   }
