@@ -34,4 +34,23 @@ object Parity {
 
   /** Oracle-side SQL fragment equivalent to [[davg]]. */
   def DAVG(e: String): String = s"(${DSUM(e)} / COUNT(*))"
+
+  /** Exact decimal for second moments: products of 2-decimal-quantized
+    * inputs. Casting each FACTOR to decimal is exact (the data is
+    * quantized), so the product (scale 4) and its sum are exact in
+    * both engines — unlike squaring in double and rounding the result
+    * to decimal, where the engines' rounding modes can differ at the
+    * 6th decimal. DECIMAL(12,2) keeps DuckDB's int64 decimal
+    * multiplication in range (scaled squares < 2^63) and the Spark
+    * product at DECIMAL(25,4). */
+  val Factor: DecimalType = DecimalType(12, 2)
+
+  /** Order-independent double SUM of a product of two quantized
+    * columns (for variance/covariance/correlation power sums). */
+  def dprodsum(a: Column, b: Column): Column =
+    sum(a.cast(Factor) * b.cast(Factor)).cast(DoubleType)
+
+  /** Oracle-side SQL fragment equivalent to [[dprodsum]]. */
+  def DPRODSUM(a: String, b: String): String =
+    s"CAST(SUM(CAST($a AS DECIMAL(12,2)) * CAST($b AS DECIMAL(12,2))) AS DOUBLE)"
 }

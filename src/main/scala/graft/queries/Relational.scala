@@ -398,10 +398,50 @@ object Relational {
       )
   }
 
+  /** Statistical moments and correlation computed from order-independent
+    * decimal power sums (the [[graft.expr.Parity]] discipline extended
+    * to second moments): both engines derive variance and Pearson
+    * correlation from identical exact sums via identical double
+    * arithmetic, so results are bit-equal — unlike the built-in
+    * stddev/corr aggregates, whose merge order varies with
+    * partitioning. */
+  private val aggStatsMoments = Q(
+    "rel_agg_stats_moments",
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${DAVG("l_extendedprice")} AS mean_price,
+       |  (${DPRODSUM("l_extendedprice", "l_extendedprice")}
+       |    - ${DSUM("l_extendedprice")} * ${DSUM("l_extendedprice")} / COUNT(*)) / COUNT(*)
+       |    AS var_pop_price,
+       |  (COUNT(*) * ${DPRODSUM("l_extendedprice", "l_quantity")}
+       |    - ${DSUM("l_extendedprice")} * ${DSUM("l_quantity")})
+       |  / (sqrt(COUNT(*) * ${DPRODSUM("l_extendedprice", "l_extendedprice")}
+       |          - ${DSUM("l_extendedprice")} * ${DSUM("l_extendedprice")})
+       |     * sqrt(COUNT(*) * ${DPRODSUM("l_quantity", "l_quantity")}
+       |            - ${DSUM("l_quantity")} * ${DSUM("l_quantity")}))
+       |    AS corr_price_qty
+       |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+  ) { (s, d) =>
+    val x  = col("l_extendedprice")
+    val y  = col("l_quantity")
+    val n  = count(lit(1)).cast("double")
+    val sx = dsum(x); val sy = dsum(y)
+    val sxx = dprodsum(x, x); val syy = dprodsum(y, y); val sxy = dprodsum(x, y)
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        (dsum(x) / count(lit(1))).as("mean_price"),
+        ((sxx - sx * sx / n) / n).as("var_pop_price"),
+        ((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+          .as("corr_price_qty"),
+      )
+  }
+
   val all: Seq[Q] = Seq(
     aggArgmax,
     aggTopkUdaf,
     aggBoolPredicates,
+    aggStatsMoments,
     scanFilterProject,
     crossJoinRegions,
     setUnionDistinct,
