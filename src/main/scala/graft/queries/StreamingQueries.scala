@@ -62,5 +62,52 @@ object StreamingQueries {
     s.table(name)
   }
 
-  val all: Seq[Q] = Seq(tumblingStream)
+  /** Stream-stream interval join with watermarks on both sides: each
+    * error event joined to the same user's click events in the
+    * preceding 45 minutes. The time bound plus both watermarks is what
+    * lets Spark evict join state (unbounded otherwise — the condition
+    * every production stream-stream join must satisfy); replaying the
+    * full table with AvailableNow makes the emitted matches exactly the
+    * batch join's rows, which is what the oracle checks. */
+  private val intervalJoinStream = Q(
+    "stream_interval_join",
+    """SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id
+      |FROM events e JOIN events c
+      |  ON e.user_id = c.user_id AND e.event_type = 'error' AND c.event_type = 'click'
+      | AND c.ts >= e.ts - INTERVAL 45 MINUTE AND c.ts < e.ts""".stripMargin,
+  ) { (s, d) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_join_src")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath,
+    )
+    def side(alias: String) = s.readStream
+      .schema(eventsNanosSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .as(alias)
+    val errors = side("e").filter(col("event_type") === "error")
+    val clicks = side("c").filter(col("event_type") === "click")
+    val joined = errors
+      .join(
+        clicks,
+        col("e.user_id") === col("c.user_id") &&
+          col("c.ts") >= col("e.ts") - expr("INTERVAL 45 MINUTES") &&
+          col("c.ts") < col("e.ts"),
+      )
+      .select(col("e.event_id").as("err_id"), col("c.event_id").as("click_id"), col("e.user_id"))
+    val name = synchronized { streamN += 1; s"graft_stream_join_$streamN" }
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val all: Seq[Q] = Seq(tumblingStream, intervalJoinStream)
 }
