@@ -184,6 +184,38 @@ object DedupQueries {
     Dedup.clusterPairs(sharedJaccardPairs(s, d).select("a_id", "b_id"))
   }
 
+  /** End-to-end corpus dedup: keep canonical (minimum-id) members of
+    * every near-dup component plus all unpaired documents — the actual
+    * "write the deduplicated corpus" operation. Oracle: anti-join
+    * against the recursive-closure components that are not their own
+    * canonical. */
+  private val dedupKeep = Q(
+    "ddp_dedup_keep",
+    s"""${shingCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |common AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+       |  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT a_id, b_id
+       |  FROM common JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
+       |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM jp UNION SELECT b_id, a_id FROM jp),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+       |SELECT doc_id, source FROM documents
+       |WHERE doc_id NOT IN (
+       |  SELECT s FROM (SELECT s, least(s, min(d)) AS component FROM reach GROUP BY s)
+       |  WHERE s <> component)""".stripMargin,
+  ) { (s, d) =>
+    Dedup
+      .dedupByPairs(documents(s, d), "doc_id", sharedJaccardPairs(s, d).select("a_id", "b_id"))
+      .select("doc_id", "source")
+  }
+
   val all: Seq[Q] =
-    Seq(exactGroups, jaccardPairs, minhashLsh, simhashSigs, simhashPairs, jaccardComponents)
+    Seq(exactGroups, jaccardPairs, minhashLsh, simhashSigs, simhashPairs, jaccardComponents,
+      dedupKeep)
 }
