@@ -131,6 +131,39 @@ object Dedup {
     verifyJaccard(prefixCandidates(capped, cappedFreq, minJaccard), capped, minJaccard)
   }
 
+  /** Skew-aware Jaccard join: probes the shingle document-frequency
+    * distribution (p99/median ratio — one tiny aggregate over the
+    * docFreq table, the same driver-side-scalar pattern as the staging
+    * watermark) and picks the naive self-join for flat distributions
+    * or the prefix-filtered join once boilerplate shingles would make
+    * the naive join quadratic. Both branches return identical results;
+    * only the plan differs. `skewThreshold` ~8 separates the measured
+    * regimes: the synthetic corpus probes ~2-3, a boilerplate-preamble
+    * corpus probes 20+. */
+  def jaccardPairsAuto(
+      shingles: DataFrame,
+      minJaccard: Double,
+      maxDocFreq: Option[Long] = None,
+      skewThreshold: Double = 8.0,
+  ): DataFrame =
+    if (dfSkewProbe(shingles) >= skewThreshold) jaccardPairsPrefix(shingles, minJaccard, maxDocFreq)
+    else jaccardPairs(shingles, minJaccard, maxDocFreq)
+
+  /** The [[jaccardPairsAuto]] probe: p99/median of the shingle
+    * document-frequency distribution. ~1 on a flat vocabulary; grows
+    * with boilerplate (the shingles that blow up the naive join). */
+  def dfSkewProbe(shingles: DataFrame): Double = {
+    val row = shingles
+      .groupBy("sh")
+      .agg(count(lit(1)).as("__df"))
+      .agg(
+        expr("percentile_approx(__df, 0.99)").cast("double").as("p99"),
+        expr("percentile_approx(__df, 0.5)").cast("double").as("med"),
+      )
+      .head()
+    row.getDouble(0) / math.max(row.getDouble(1), 1.0)
+  }
+
   /** The prefix-join candidate stage of [[jaccardPairsPrefix]]: each
     * doc keeps its `n - ceil(tau*n) + 1` globally-rarest shingles
     * (ascending document frequency, shingle tiebreak) and only

@@ -216,6 +216,16 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Persist an IVF codebook (e.g. a [[ivfRefine]] result) so ANN
+    * queries reuse a trained index across sessions — the codebook is a
+    * few KB of parquet; training cost is paid once per corpus
+    * generation, not per query. */
+  def saveCentroids(centroids: DataFrame, path: String): Unit =
+    centroids.coalesce(1).write.mode("overwrite").parquet(path)
+
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Lloyd refinement of an IVF codebook: `iters` rounds of
     * assign-to-nearest + per-cell dimension-wise mean. Sums run through
     * DECIMAL(38,12), so the means are order-independent — the refined

@@ -95,6 +95,48 @@ class OpsSpec extends AnyFunSuite {
     )
   }
 
+  test("jaccardPairsAuto picks naive on flat df, prefix on skewed df, same results") {
+    // flat distribution: real sf0.001 documents (probe ~2-3)
+    val flat = Dedup.shingleSets(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text", 3).persist()
+    assert(Dedup.dfSkewProbe(flat) < 8.0) // flat regime -> naive branch
+    val auto1 = Dedup.jaccardPairsAuto(flat, 0.5)
+    val naive = Dedup.jaccardPairs(flat, 0.5)
+    assert(auto1.exceptAll(naive).isEmpty && naive.exceptAll(auto1).isEmpty)
+    flat.unpersist()
+
+    // boilerplate-heavy corpus (probe 20+): still the same pairs
+    val preamble = (1 to 15).map(i => s"common$i").mkString(" ")
+    val docs = (0 until 60).map { d =>
+      val tail =
+        if (d <= 1) (1 to 15).map(i => s"dup$i").mkString(" ")
+        else (1 to 15).map(i => s"u${d}_$i").mkString(" ")
+      (d.toLong, s"$preamble $tail")
+    }.toDF("doc_id", "text")
+    val skewed = Dedup.shingleSets(docs, "doc_id", "text", 3).persist()
+    assert(Dedup.dfSkewProbe(skewed) >= 8.0) // boilerplate regime -> prefix branch
+    val auto2  = Dedup.jaccardPairsAuto(skewed, 0.5)
+    val naive2 = Dedup.jaccardPairs(skewed, 0.5)
+    assert(auto2.exceptAll(naive2).isEmpty && naive2.exceptAll(auto2).isEmpty)
+    assert(naive2.count() === 1)
+    skewed.unpersist()
+  }
+
+  test("IVF codebook round-trips through parquet and drives the same search") {
+    import graft.ops.Similarity
+    val emb   = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.ivfRefine(
+      emb, Similarity.ivfCentroids(emb, "vec_id", "embedding", 8), "vec_id", "embedding", 1)
+    val path = graft.SparkTestBase.tmpDir("ivf_codebook")
+    Similarity.saveCentroids(cents, path)
+    val loaded = Similarity.loadCentroids(spark, path)
+    assert(loaded.exceptAll(cents).isEmpty && cents.exceptAll(loaded).isEmpty)
+    val pred = col("vec_id") < 10
+    val a = Similarity.ivfTopK(emb, "vec_id", "embedding", 3, cents, 2, pred)
+    val b = Similarity.ivfTopK(emb, "vec_id", "embedding", 3, loaded, 2, pred)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("xxhash64 production paths: LSH pairs are verified-exact; 64-bit simhash finds dups") {
     // Candidate generation differs from the md5 path (hash family), but
     // verification is exact shingle Jaccard: every emitted pair must be
