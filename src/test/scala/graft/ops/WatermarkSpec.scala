@@ -52,6 +52,45 @@ class WatermarkSpec extends AnyFunSuite {
     assert(rows.count(_._1 == 0L) === 1)   // emitted exactly once (append mode)
   }
 
+  test("left-outer stream-stream join emits unmatched rows only after the watermark closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val errors = MemoryStream[(java.sql.Timestamp, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val e = errors.toDS().toDF("e_ts", "e_user").withWatermark("e_ts", "10 seconds")
+    val c = clicks.toDS().toDF("c_ts", "c_user").withWatermark("c_ts", "10 seconds")
+    // click within 20s BEFORE the error; outer side = errors
+    val joined = e.join(
+      c,
+      expr("e_user = c_user AND c_ts >= e_ts - INTERVAL 20 SECONDS AND c_ts < e_ts"),
+      "left_outer",
+    )
+    val q = joined.writeStream.format("memory").queryName("soj_out").outputMode("append").start()
+
+    // user 1: matched; user 2: no click (outer candidate)
+    clicks.addData((ts(5), 1L))
+    errors.addData((ts(10), 1L), (ts(10), 2L))
+    q.processAllAvailable()
+    val matched = spark.table("soj_out").collect()
+    // matched row can emit immediately; the unmatched one must NOT yet
+    // (its join window is still open)
+    assert(matched.count(r => !r.isNullAt(2)) === 1)
+    assert(matched.count(r => r.isNullAt(2)) === 0)
+
+    // advance both watermarks far past user 2's window...
+    clicks.addData((ts(100), 9L))
+    errors.addData((ts(100), 9L))
+    q.processAllAvailable()
+    // ...the no-data/final batches then close the window and emit the
+    // outer row with nulls
+    clicks.addData((ts(101), 9L))
+    errors.addData((ts(101), 9L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("soj_out").collect()
+    val outer = rows.filter(r => r.isNullAt(2))
+    assert(outer.length === 1 && outer.head.getLong(1) === 2L)
+  }
+
   test("streaming dedup: duplicates dropped within watermark, state evicted after it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
