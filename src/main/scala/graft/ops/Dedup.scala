@@ -26,14 +26,16 @@ object Dedup {
 
   /** Distinct (doc_id, shingle) pairs: the set representation used by
     * every fuzzy-dedup operator below. Shingling runs through the
-    * native [[graft.functions.ShingleSetExpr]] (set-equal to the
-    * composed-builtins form, asserted in FunctionsSpec; the builtins'
-    * interpreted higher-order evaluation dominated every dedup query). */
+    * native [[graft.functions.ShingleGen]] generator (row-equal to
+    * `explode(shingle_set_n(text))` and to the composed-builtins form,
+    * asserted in FunctionsSpec) — one native pass that streams rows
+    * instead of materializing each document's full shingle array
+    * across an explode boundary. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    graft.functions.ShingleSetExpr.registerOn(docs.sparkSession, Seq(n))
+    graft.functions.ShingleGen.registerOn(docs.sparkSession, Seq(n))
     docs.select(
       col(idCol).as("doc_id"),
-      explode(graft.functions.ShingleSetExpr.shingle_set(col(textCol), n)).as("sh"),
+      graft.functions.ShingleGen.shingle_gen(col(textCol), n).as("sh"),
     )
   }
 

@@ -46,6 +46,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(top === List(96L, 193L))
   }
 
+  test("ShingleGen generator rows equal the shingle_set+explode form on real documents") {
+    ShingleGen.registerOn(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaGen = docs.select(col("doc_id"), ShingleGen.shingle_gen(col("text"), 3).as("sh"))
+    val viaSet = graft.ops.Dedup.shingleSets(docs, "doc_id", "text", 3)
+    assert(viaGen.exceptAll(viaSet).isEmpty && viaSet.exceptAll(viaGen).isEmpty)
+    assert(viaGen.count() > 0)
+    // null / too-short text emits no rows (and no nulls)
+    val edge = Seq((1L, null: String), (2L, "a b")).toDF("doc_id", "text")
+    assert(edge.select(ShingleGen.shingle_gen(col("text"), 3)).count() === 0)
+  }
+
   test("simhash32 expression is bit-equal to the relational pipeline on real documents") {
     SimHash32Expr.registerOn(spark)
     val docs = spark.read
