@@ -50,7 +50,13 @@ object Parity {
   def dprodsum(a: Column, b: Column): Column =
     sum(a.cast(Factor) * b.cast(Factor)).cast(DoubleType)
 
-  /** Oracle-side SQL fragment equivalent to [[dprodsum]]. */
+  /** Oracle-side SQL fragment equivalent to [[dprodsum]]. The final
+    * cast routes through VARCHAR: DuckDB's direct decimal-to-double
+    * cast double-rounds (int128 to double, then divide by 10^scale)
+    * once the scaled integer exceeds 2^53 — power sums do at any real
+    * size — while string-to-double parsing is correctly rounded,
+    * matching Spark's Decimal.toDouble exactly. DSUM never hits this:
+    * its scale-6 money sums stay under 2^53 at tested SFs. */
   def DPRODSUM(a: String, b: String): String =
-    s"CAST(SUM(CAST($a AS DECIMAL(12,2)) * CAST($b AS DECIMAL(12,2))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($a AS DECIMAL(12,2)) * CAST($b AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)"
 }
