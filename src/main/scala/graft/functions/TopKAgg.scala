@@ -34,14 +34,23 @@ object TopKAgg {
     new Aggregator[Entry, Buf, Array[Long]] {
       override def zero: Buf = Buf(Nil)
 
+      // single linear ordered insert into an (already sorted) <=k list;
+      // the common case on large groups — a row below the current k-th
+      // — is rejected without allocation
+      private def insert(entries: List[Entry], a: Entry): List[Entry] =
+        if (entries.lengthCompare(k) >= 0 && ord.compare(a, entries.last) >= 0) entries
+        else {
+          val (before, after) = entries.span(e => ord.compare(e, a) <= 0)
+          (before ::: a :: after).take(k)
+        }
+
       override def reduce(b: Buf, a: Entry): Buf = {
-        // insert + trim: O(k) per row, state bounded at k
-        b.entries = (a :: b.entries).sorted(ord).take(k)
+        b.entries = insert(b.entries, a)
         b
       }
 
       override def merge(b1: Buf, b2: Buf): Buf = {
-        b1.entries = (b1.entries ++ b2.entries).sorted(ord).take(k)
+        b1.entries = b2.entries.foldLeft(b1.entries)(insert)
         b1
       }
 

@@ -47,10 +47,11 @@ object Landing {
     * unimplemented (`raw_ocsf_findings.sql:33-34` "Data retention
     * policies should be implemented based on loaded_at timestamps"):
     * drop whole `loaded_date=` partitions strictly older than
-    * `cutoff`. Partition-level deletion is the 100 TB form — a
-    * metadata/directory operation per day, never a row scan — and is
-    * safe against the staging watermark, which only ever reads
-    * forward. Returns the dropped partition dates. */
+    * `cutoff`, always retaining the newest partition. Partition-level
+    * deletion is the 100 TB form — a metadata/directory operation per
+    * day, never a row scan — and is safe against the staging
+    * watermark, which only ever reads forward. Returns the dropped
+    * partition dates, oldest first. */
   def retentionVacuum(
       spark: SparkSession,
       path: String,
@@ -59,15 +60,20 @@ object Landing {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
-    val dropped = fs
+    val partitions = fs
       .listStatus(root)
       .toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("loaded_date="))
-      .filter { s =>
+      .flatMap { s =>
         val date = s.getPath.getName.stripPrefix("loaded_date=")
-        scala.util.Try(java.time.LocalDate.parse(date)).toOption.exists(_.isBefore(cutoff))
+        scala.util.Try(java.time.LocalDate.parse(date)).toOption.map(_ -> s.getPath)
       }
-    dropped.foreach(s => fs.delete(s.getPath, true))
-    dropped.map(_.getPath.getName.stripPrefix("loaded_date="))
+      .sortBy(_._1)
+    // Never drop the newest partition even when it predates the cutoff:
+    // an empty landing directory cannot be read back (no schema), which
+    // would wedge the next staging run until new data arrives.
+    val dropped = partitions.dropRight(1).filter(_._1.isBefore(cutoff))
+    dropped.foreach { case (_, path) => fs.delete(path, true) }
+    dropped.map(_._1.toString)
   }
 }

@@ -88,16 +88,20 @@ object Monitor {
     triggered.start()
   }
 
-  /** ST2: graceful shutdown — let in-flight work finish, then stop.
-    * `processAllAvailable` drains everything the source has listed
-    * (bounded, since new files past the call are not waited on), then
-    * `stop()` halts the trigger loop. The checkpoint guarantees that a
-    * non-graceful kill at any point replays the interrupted batch
-    * exactly-once on restart — graceful stop is an operator courtesy,
-    * not a correctness requirement. */
+  /** ST2: graceful shutdown — drain briefly, then stop, all bounded by
+    * `timeoutMs`. `processAllAvailable` is deliberately NOT used: under
+    * continuous file arrivals (daemon mode's whole purpose) it can
+    * block forever, since each trigger re-advances the offsets it
+    * waits on. Instead the drain polls until the source reports no
+    * available data or the deadline passes, then `stop()` halts the
+    * trigger loop. The checkpoint guarantees that a stop at any point
+    * replays the interrupted batch exactly-once on restart — graceful
+    * stop is an operator courtesy, not a correctness requirement. */
   def stopGracefully(query: StreamingQuery, timeoutMs: Long = 60000L): Boolean = {
-    query.processAllAvailable()
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (query.isActive && query.status.isDataAvailable && System.nanoTime() < deadline)
+      Thread.sleep(50)
     query.stop()
-    query.awaitTermination(timeoutMs)
+    query.awaitTermination(math.max(1L, (deadline - System.nanoTime()) / 1000000L))
   }
 }

@@ -65,7 +65,11 @@ object OcsfCli {
         pollInterval = sys.env.getOrElse("GRAFT_POLL_INTERVAL", "30 seconds"),
         maxFilesPerTrigger = sys.env.get("GRAFT_MAX_FILES_PER_TRIGGER").map(_.toInt),
       )
-      sys.addShutdownHook { Monitor.stopGracefully(q); () }
+      // Shutdown hooks run concurrently with Spark's own (which tears
+      // down the context), so the hook must only issue a quick bounded
+      // stop — the checkpoint makes any interrupted batch replay
+      // exactly-once on restart.
+      sys.addShutdownHook { scala.util.Try(Monitor.stopGracefully(q, timeoutMs = 5000L)); () }
       q.awaitTermination()
 
     case "vacuum" :: landing :: cutoff :: Nil =>

@@ -56,6 +56,25 @@ object Dedup {
       .groupBy(Text.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Per-shingle document frequency — shared input of the cap, the
+    * df>=2 pruning, the prefix ranking, and the skew probe. */
+  private def docFreq(shingles: DataFrame): DataFrame =
+    shingles.groupBy("sh").agg(count(lit(1)).as("__df"))
+
+  /** The shared maxDocFreq preamble: (capped shingle table, capped
+    * document-frequency table). Single definition so the naive and
+    * prefix joins cannot silently diverge on capped-set semantics. */
+  private def cappedShingles(
+      shingles: DataFrame,
+      freq: DataFrame,
+      maxDocFreq: Option[Long],
+  ): (DataFrame, DataFrame) = maxDocFreq match {
+    case Some(cap) =>
+      val cappedFreq = freq.filter(col("__df") <= cap)
+      (shingles.join(cappedFreq.select("sh"), "sh"), cappedFreq)
+    case None => (shingles, freq)
+  }
+
   /** All pairs with shingle-set Jaccard >= `minJaccard` (a < b).
     * `maxDocFreq` drops shingles occurring in more documents than the
     * cap — the standard skew guard at scale. The cap is applied to the
@@ -74,13 +93,7 @@ object Dedup {
       minJaccard: Double,
       maxDocFreq: Option[Long] = None,
   ): DataFrame = {
-    val docFreq = shingles.groupBy("sh").agg(count(lit(1)).as("__df"))
-    val cappedFreq = maxDocFreq
-      .map(cap => docFreq.filter(col("__df") <= cap))
-      .getOrElse(docFreq)
-    val capped = maxDocFreq
-      .map(_ => shingles.join(cappedFreq.select("sh"), "sh"))
-      .getOrElse(shingles)
+    val (capped, cappedFreq) = cappedShingles(shingles, docFreq(shingles), maxDocFreq)
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val joinable = cappedFreq.filter(col("__df") >= 2).select("sh")
     val pruned = shingles.join(joinable, "sh")
@@ -122,14 +135,7 @@ object Dedup {
       minJaccard: Double,
       maxDocFreq: Option[Long] = None,
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docFreq = shingles.groupBy("sh").agg(count(lit(1)).as("__df"))
-    val cappedFreq = maxDocFreq
-      .map(cap => docFreq.filter(col("__df") <= cap))
-      .getOrElse(docFreq)
-    val capped = maxDocFreq
-      .map(_ => shingles.join(cappedFreq.select("sh"), "sh"))
-      .getOrElse(shingles)
+    val (capped, cappedFreq) = cappedShingles(shingles, docFreq(shingles), maxDocFreq)
     verifyJaccard(prefixCandidates(capped, cappedFreq, minJaccard), capped, minJaccard)
   }
 
@@ -147,23 +153,51 @@ object Dedup {
       minJaccard: Double,
       maxDocFreq: Option[Long] = None,
       skewThreshold: Double = 8.0,
-  ): DataFrame =
-    if (dfSkewProbe(shingles) >= skewThreshold) jaccardPairsPrefix(shingles, minJaccard, maxDocFreq)
-    else jaccardPairs(shingles, minJaccard, maxDocFreq)
+  ): DataFrame = {
+    // One docFreq aggregate feeds the probe AND the chosen branch
+    // (persisted across the probe action and the branch's reuse).
+    val freq = docFreq(shingles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val skew = dfSkewProbeFromFreq(freq)
+    val (capped, cappedFreq) = cappedShingles(shingles, freq, maxDocFreq)
+    if (skew >= skewThreshold)
+      verifyJaccard(prefixCandidates(capped, cappedFreq, minJaccard), capped, minJaccard)
+    else {
+      val sizes    = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val joinable = cappedFreq.filter(col("__df") >= 2).select("sh")
+      val pruned   = shingles.join(joinable, "sh")
+      val common = pruned
+        .as("a")
+        .join(pruned.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.as("na"), col("a_id") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("b_id") === col("nb.doc_id"))
+        .select(
+          col("a_id"),
+          col("b_id"),
+          (col("c").cast("double") / (col("na.n") + col("nb.n") - col("c"))).as("jaccard"),
+        )
+        .filter(col("jaccard") >= minJaccard)
+    }
+  }
 
   /** The [[jaccardPairsAuto]] probe: p99/median of the shingle
     * document-frequency distribution. ~1 on a flat vocabulary; grows
-    * with boilerplate (the shingles that blow up the naive join). */
-  def dfSkewProbe(shingles: DataFrame): Double = {
-    val row = shingles
-      .groupBy("sh")
-      .agg(count(lit(1)).as("__df"))
+    * with boilerplate (the shingles that blow up the naive join). An
+    * empty corpus probes as 1.0 (flat). */
+  def dfSkewProbe(shingles: DataFrame): Double = dfSkewProbeFromFreq(docFreq(shingles))
+
+  private def dfSkewProbeFromFreq(freq: DataFrame): Double = {
+    val row = freq
       .agg(
         expr("percentile_approx(__df, 0.99)").cast("double").as("p99"),
         expr("percentile_approx(__df, 0.5)").cast("double").as("med"),
       )
       .head()
-    row.getDouble(0) / math.max(row.getDouble(1), 1.0)
+    if (row.isNullAt(0) || row.isNullAt(1)) 1.0
+    else row.getDouble(0) / math.max(row.getDouble(1), 1.0)
   }
 
   /** The prefix-join candidate stage of [[jaccardPairsPrefix]]: each

@@ -100,11 +100,15 @@ object MiscQueries {
       .select(
         col("event_id"),
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("k"),
+        // ignoreNullFields=false: Spark's default DROPS null fields
+        // while the oracle's json_object emits "k":null — latent until
+        // a props row without k appears
         to_json(
           struct(
             from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("k"),
             col("event_type").as("type"),
-          )
+          ),
+          java.util.Map.of("ignoreNullFields", "false"),
         ).as("reframed"),
       )
   }

@@ -187,6 +187,14 @@ class StagingSpec extends AnyFunSuite {
     assert(remaining === Array("uid-mid", "uid-new"))
     // idempotent: nothing else to drop
     assert(Landing.retentionVacuum(spark, path, java.time.LocalDate.parse("2024-02-01")).isEmpty)
+
+    // a cutoff past every partition still keeps the newest one — an
+    // empty landing dir would be unreadable (no schema) and wedge the
+    // next staging run
+    val dropped2 = Landing.retentionVacuum(spark, path, java.time.LocalDate.parse("2030-01-01"))
+    assert(dropped2 === Seq("2024-02-10"))
+    assert(spark.read.parquet(path).select("finding_uid").collect().map(_.getString(0)) ===
+      Array("uid-new"))
   }
 
   test("accepted-values and uid-format validators (P6/P7)") {

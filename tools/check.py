@@ -85,17 +85,22 @@ def main():
             rel = con.execute(oracle[name])
             exp_cols = [dd[0] for dd in rel.description]
             exp = rel.fetchall()
+            # Driver's hash is type-sensitive: a DuckDB HUGEINT/DECIMAL
+            # column (e.g. SUM(BIGINT), count_if) surfaces as
+            # decimal128 in the driver's arrow-level compare and
+            # hash-mismatches Spark's int64 even when values agree.
+            # fetchall() maps HUGEINT to plain int and NULL rows hide
+            # value sniffing, so check the ARROW schema — the exact
+            # types the driver sees.
+            arrow_schema = con.execute(oracle[name]).fetch_arrow_table().schema
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        # Driver's hash is type-sensitive: a DuckDB HUGEINT/DECIMAL
-        # column (e.g. SUM(BIGINT)) hash-mismatches a Spark int64 even
-        # when values agree. Flag it here so it can't pass locally.
-        dec_cols = [exp_cols[i] for i, r0 in [(i, exp[0]) for i in range(len(exp_cols))]
-                    if exp and isinstance(exp[0][i], Decimal)] if exp else []
+        dec_cols = [f.name for f in arrow_schema
+                    if str(f.type).startswith("decimal")]
         if dec_cols:
-            print(f"FAIL {name}: oracle returns Decimal column(s) {dec_cols} — add CAST(... AS BIGINT/DOUBLE) in oracle SQL")
+            print(f"FAIL {name}: oracle returns decimal-typed column(s) {dec_cols} — add CAST(... AS BIGINT/DOUBLE) in oracle SQL")
             n_fail += 1
             continue
         gc, g = canon(got_cols, got)
