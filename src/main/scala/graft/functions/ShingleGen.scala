@@ -29,6 +29,16 @@ case class ShingleGen(child: Expression, n: Int)
   override def elementSchema: StructType =
     StructType(Seq(StructField("sh", StringType, nullable = false)))
 
+  // a non-string child must fail analysis, not throw ClassCastException
+  // per row on the executors
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_gen requires a string argument, got ${child.dataType.simpleString}"
+      )
+
   private val tokenRe = java.util.regex.Pattern.compile("\\w+")
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {

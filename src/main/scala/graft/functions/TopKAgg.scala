@@ -30,7 +30,8 @@ object TopKAgg {
   private def ord: Ordering[Entry] =
     Ordering.by[Entry, (Double, Long)] { case (id, score) => (-score, id) }
 
-  def aggregator(k: Int): Aggregator[Entry, Buf, Array[Long]] =
+  def aggregator(k: Int): Aggregator[Entry, Buf, Array[Long]] = {
+    require(k >= 1, s"top-k requires k >= 1, got $k")
     new Aggregator[Entry, Buf, Array[Long]] {
       override def zero: Buf = Buf(Nil)
 
@@ -60,6 +61,7 @@ object TopKAgg {
       override def outputEncoder: Encoder[Array[Long]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     }
+  }
 
   /** Column API: `top_k_ids(struct(id, score))` per group. */
   def top_k_ids(k: Int)(id: Column, score: Column): Column = {

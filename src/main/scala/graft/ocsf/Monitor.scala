@@ -88,20 +88,20 @@ object Monitor {
     triggered.start()
   }
 
-  /** ST2: graceful shutdown — drain briefly, then stop, all bounded by
-    * `timeoutMs`. `processAllAvailable` is deliberately NOT used: under
-    * continuous file arrivals (daemon mode's whole purpose) it can
-    * block forever, since each trigger re-advances the offsets it
-    * waits on. Instead the drain polls until the source reports no
-    * available data or the deadline passes, then `stop()` halts the
-    * trigger loop. The checkpoint guarantees that a stop at any point
-    * replays the interrupted batch exactly-once on restart — graceful
-    * stop is an operator courtesy, not a correctness requirement. */
+  /** ST2: graceful shutdown, bounded by `timeoutMs`. Deliberately no
+    * drain: `processAllAvailable` can block forever under continuous
+    * arrivals (each trigger re-advances the offsets it waits on), and
+    * `status.isDataAvailable` is a per-trigger snapshot that goes
+    * stale between polls — any drain loop built on either is
+    * unbounded or a no-op depending on timing. `stop()` interrupts
+    * the current batch; the checkpoint replays it exactly-once on
+    * restart, so nothing is lost — graceful stop is an operator
+    * courtesy, not a correctness requirement. Callers that want a
+    * fully-drained stop at a quiescent point should call
+    * `processAllAvailable()` themselves when they KNOW arrivals have
+    * stopped (as the tests do). */
   def stopGracefully(query: StreamingQuery, timeoutMs: Long = 60000L): Boolean = {
-    val deadline = System.nanoTime() + timeoutMs * 1000000L
-    while (query.isActive && query.status.isDataAvailable && System.nanoTime() < deadline)
-      Thread.sleep(50)
     query.stop()
-    query.awaitTermination(math.max(1L, (deadline - System.nanoTime()) / 1000000L))
+    query.awaitTermination(timeoutMs)
   }
 }

@@ -94,6 +94,18 @@ object Dedup {
       maxDocFreq: Option[Long] = None,
   ): DataFrame = {
     val (capped, cappedFreq) = cappedShingles(shingles, docFreq(shingles), maxDocFreq)
+    naiveJaccard(shingles, capped, cappedFreq, minJaccard)
+  }
+
+  /** The naive self-join body shared by [[jaccardPairs]] and
+    * [[jaccardPairsAuto]]'s flat branch — one definition so the two
+    * entry points cannot diverge. */
+  private def naiveJaccard(
+      shingles: DataFrame,
+      capped: DataFrame,
+      cappedFreq: DataFrame,
+      minJaccard: Double,
+  ): DataFrame = {
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val joinable = cappedFreq.filter(col("__df") >= 2).select("sh")
     val pruned = shingles.join(joinable, "sh")
@@ -154,33 +166,18 @@ object Dedup {
       maxDocFreq: Option[Long] = None,
       skewThreshold: Double = 8.0,
   ): DataFrame = {
-    // One docFreq aggregate feeds the probe AND the chosen branch
-    // (persisted across the probe action and the branch's reuse).
+    // The probe is one extra map-side-combinable aggregate over the
+    // shingle table, executed eagerly; the chosen branch re-derives
+    // docFreq lazily in its own plan. Deliberately NOT persisted here:
+    // a cached table with no unpersist point would leak across
+    // repeated calls — callers doing parameter sweeps should persist
+    // the SHINGLE table, which both the probe and the branch scan.
     val freq = docFreq(shingles)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val skew = dfSkewProbeFromFreq(freq)
     val (capped, cappedFreq) = cappedShingles(shingles, freq, maxDocFreq)
     if (skew >= skewThreshold)
       verifyJaccard(prefixCandidates(capped, cappedFreq, minJaccard), capped, minJaccard)
-    else {
-      val sizes    = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val joinable = cappedFreq.filter(col("__df") >= 2).select("sh")
-      val pruned   = shingles.join(joinable, "sh")
-      val common = pruned
-        .as("a")
-        .join(pruned.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("c"))
-      common
-        .join(sizes.as("na"), col("a_id") === col("na.doc_id"))
-        .join(sizes.as("nb"), col("b_id") === col("nb.doc_id"))
-        .select(
-          col("a_id"),
-          col("b_id"),
-          (col("c").cast("double") / (col("na.n") + col("nb.n") - col("c"))).as("jaccard"),
-        )
-        .filter(col("jaccard") >= minJaccard)
-    }
+    else naiveJaccard(shingles, capped, cappedFreq, minJaccard)
   }
 
   /** The [[jaccardPairsAuto]] probe: p99/median of the shingle

@@ -82,17 +82,17 @@ def main():
             print(f"SKIP {name}: no oracle ({len(got)} rows)")
             continue
         try:
-            rel = con.execute(oracle[name])
-            exp_cols = [dd[0] for dd in rel.description]
-            exp = rel.fetchall()
-            # Driver's hash is type-sensitive: a DuckDB HUGEINT/DECIMAL
-            # column (e.g. SUM(BIGINT), count_if) surfaces as
-            # decimal128 in the driver's arrow-level compare and
-            # hash-mismatches Spark's int64 even when values agree.
-            # fetchall() maps HUGEINT to plain int and NULL rows hide
-            # value sniffing, so check the ARROW schema — the exact
-            # types the driver sees.
-            arrow_schema = con.execute(oracle[name]).fetch_arrow_table().schema
+            # Single execution via arrow: rows AND schema from one
+            # materialization. Driver's hash is type-sensitive: a
+            # DuckDB HUGEINT/DECIMAL column (e.g. SUM(BIGINT),
+            # count_if) surfaces as decimal128 in the driver's
+            # arrow-level compare and hash-mismatches Spark's int64
+            # even when values agree; fetchall() would hide that
+            # (HUGEINT -> plain int), so the guard reads arrow types.
+            tbl = con.execute(oracle[name]).fetch_arrow_table()
+            arrow_schema = tbl.schema
+            exp_cols = tbl.column_names
+            exp = [tuple(d[c] for c in exp_cols) for d in tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
