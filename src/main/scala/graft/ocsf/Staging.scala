@@ -144,6 +144,10 @@ object Staging {
     * one place the reference's incremental runner genuinely needs an
     * action), filters the landing scan above it (min/max-pruned by
     * parquet + partition pruning on loaded_date), appends.
+    *
+    * Returns the APPENDED batch's row count, observed on the write job
+    * itself (`Dataset.observe`) — no post-write rescan of the staging
+    * table, which at 100 TB would be a gratuitous extra pass.
     */
   def incrementalRun(spark: SparkSession, landingPath: String, stagingPath: String): Long = {
     val landing = Landing.read(spark, landingPath)
@@ -161,9 +165,10 @@ object Staging {
           .filter(col("loaded_at") > lit(w))
       case None => landing
     }
-    val out = transform(fresh)
+    val obs = org.apache.spark.sql.Observation()
+    val out = transform(fresh).observe(obs, count(lit(1)).as("rows"))
     out.write.mode("append").parquet(stagingPath)
-    spark.read.parquet(stagingPath).count()
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** ST5 hardening: idempotent reingestion. [[incrementalRun]] is the
@@ -218,9 +223,13 @@ object Staging {
       case None    => freshT
     }
     val next = currentVersion(spark, stagingRoot).getOrElse(-1L) + 1
-    merged.write.mode("overwrite").parquet(s"$stagingRoot/v=$next")
+    // Snapshot row count observed on the compaction write itself — the
+    // new version is never rescanned just for the return value.
+    val obs     = org.apache.spark.sql.Observation()
+    val mergedO = merged.observe(obs, count(lit(1)).as("rows"))
+    mergedO.write.mode("overwrite").parquet(s"$stagingRoot/v=$next")
     swapPointer(spark, stagingRoot, next)
-    spark.read.parquet(s"$stagingRoot/v=$next").count()
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** The active staging snapshot under a [[mergeRun]] root: `_CURRENT`
