@@ -48,8 +48,8 @@ object OcsfCli {
       println(s"[ocsf] landing rows: ${Landing.read(spark, landing).count()}")
 
     case "stage" :: landing :: staging :: Nil =>
-      val total = Staging.incrementalRun(spark, landing, staging)
-      println(s"[ocsf] staging rows: $total")
+      val appended = Staging.incrementalRun(spark, landing, staging)
+      println(s"[ocsf] appended rows: $appended")
 
     case "stage-merge" :: landing :: stagingRoot :: Nil =>
       val total = Staging.mergeRun(spark, landing, stagingRoot)

@@ -188,6 +188,29 @@ class SarifConvertSpec extends AnyFunSuite {
     ))
   }
 
+  test("writeFindingsArray: oversized input fails on the bounded probe, before any collect") {
+    // 5e9 rows would OOM/hang any driver-side collect; the bounded
+    // limit(maxRows+1).count() probe makes the guard trip in O(maxRows).
+    val huge = spark.range(5000000000L).toDF("id")
+    val ex = intercept[IllegalArgumentException] {
+      SarifToOcsf.writeFindingsArray(huge, tmpNioPath("huge.ocsf.json"), maxRows = 10)
+    }
+    assert(ex.getMessage.contains("maxRows=10"))
+  }
+
+  test("writeFindingsArray: writes a JSON array the monitor format expects") {
+    val out = tmpNioPath("small.ocsf.json")
+    SarifToOcsf.writeFindingsArray(findings, out, maxRows = 10)
+    val back = spark.read.option("multiLine", true).json(out)
+    assert(back.count() === 3)
+  }
+
+  private def tmpNioPath(name: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("sarif-spec").toFile
+    dir.deleteOnExit()
+    new java.io.File(dir, name).getPath
+  }
+
   test("user-supplied ScanMetadataEnrichment suppresses auto-injection (sarif_to_ocsf.py:112-127)") {
     import org.apache.spark.sql.functions.lit
     val path = getClass.getResource("/sample.sarif").getPath

@@ -119,12 +119,16 @@ class StagingSpec extends AnyFunSuite {
     Landing.append(docs, landingDir)
     val n1 = Staging.incrementalRun(spark, landingDir, stagingDir)
     val n2 = Staging.incrementalRun(spark, landingDir, stagingDir)
+    // incrementalRun returns the APPENDED batch's count (observed on the
+    // write itself), so a no-op run is distinguishable from a 1-row run.
     assert(n1 === 1L)
-    assert(n2 === 1L) // watermark filtered everything; no duplicates
+    assert(n2 === 0L) // watermark filtered everything; nothing appended
+    assert(spark.read.parquet(stagingDir).count() === 1L) // and no duplicates
     // new landing rows flow through on the next run
     Landing.append(docs, landingDir)
     val n3 = Staging.incrementalRun(spark, landingDir, stagingDir)
-    assert(n3 === 2L)
+    assert(n3 === 1L)
+    assert(spark.read.parquet(stagingDir).count() === 2L)
   }
 
   test("mergeRun upserts on (finding_uid, scan_run_id): reingestion replaces, not duplicates") {
