@@ -109,5 +109,79 @@ object StreamingQueries {
     s.table(name)
   }
 
-  val all: Seq[Q] = Seq(tumblingStream, intervalJoinStream)
+  /** Left-outer stream-stream join with deterministic outer emission
+    * (BACKLOG #3, reference's late-data intent at
+    * `scripts/helpers/gcs_utils.py:80-84`). Unmatched left rows emit
+    * only once the watermark passes their join window, which needs the
+    * watermark to actually ADVANCE between micro-batches — a single
+    * AvailableNow batch never closes anything. So the replay time-splits
+    * the events table into three files (days 1-10 / 11-20 / 21-30) with
+    * staggered mtimes and `maxFilesPerTrigger=1`, giving three ordered
+    * micro-batches. The left side is restricted to errors before Jan 11
+    * (file 1): batch 2 runs with watermark ≈ Jan 10 23:00 - 1h and
+    * batch 3 with watermark ≈ Jan 20 23:00 - 1h, so by batch 3 every
+    * left row's window is closed and every unmatched error has emitted
+    * its null-extended row — making the streaming result exactly the
+    * batch LEFT JOIN the oracle runs. */
+  private val leftOuterJoinStream = Q(
+    "stream_left_outer_join",
+    """SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id
+      |FROM (SELECT * FROM events
+      |      WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-11 00:00:00') e
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON e.user_id = c.user_id
+      | AND c.ts >= e.ts - INTERVAL 45 MINUTE AND c.ts < e.ts""".stripMargin,
+  ) { (s, d) =>
+    import java.nio.file.{Files, Paths}
+    val events = graft.Tables.events(s, d)
+    val streamDir = Files.createTempDirectory("graft_stream_louter_src")
+    val cuts = Seq(
+      ("events_0", "ts < timestamp'2024-01-11 00:00:00'"),
+      ("events_1", "ts >= timestamp'2024-01-11 00:00:00' AND ts < timestamp'2024-01-21 00:00:00'"),
+      ("events_2", "ts >= timestamp'2024-01-21 00:00:00'"),
+    )
+    cuts.zipWithIndex.foreach { case ((name, cond), i) =>
+      val tmpOut = streamDir.resolve(s"_tmp_$name")
+      events.filter(cond).coalesce(1).write.parquet(tmpOut.toString)
+      val part = Files.list(tmpOut).filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val dest = streamDir.resolve(s"$name.parquet")
+      Files.move(part, dest)
+      // mtime order IS the micro-batch order for the file source
+      Files.setLastModifiedTime(
+        dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L),
+      )
+      org.apache.commons.io.FileUtils.deleteDirectory(tmpOut.toFile)
+    }
+    val rewrittenSchema = events.schema // ts already TIMESTAMP(MICROS) after rewrite
+    def side(alias: String) = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .withWatermark("ts", "1 hour")
+      .as(alias)
+    val errors = side("e")
+      .filter(col("event_type") === "error" && col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"))
+    val clicks = side("c").filter(col("event_type") === "click")
+    val joined = errors
+      .join(
+        clicks,
+        col("e.user_id") === col("c.user_id") &&
+          col("c.ts") >= col("e.ts") - expr("INTERVAL 45 MINUTES") &&
+          col("c.ts") < col("e.ts"),
+        "left_outer",
+      )
+      .select(col("e.event_id").as("err_id"), col("c.event_id").as("click_id"), col("e.user_id"))
+    val name = synchronized { streamN += 1; s"graft_stream_louter_$streamN" }
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val all: Seq[Q] = Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream)
 }
