@@ -21,6 +21,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * counted per batch and land in `failed/` as JSON for triage — file
   * moves to `processed/` vs `failed/` become row-level routing with the
   * same at-rest outcome.
+  *
+  * Object stores (S4/S5, `scripts/ocsf_monitor.py:210-342`,
+  * `scripts/helpers/gcs_utils.py:64-108`): every path here goes through
+  * the Hadoop `FileSystem` API, so `gs://`/`s3a://` sources work by
+  * pointing `srcDir`/`archiveDir` at the bucket URI with the connector
+  * on the classpath — no code change. MonitorSpec drives the full
+  * pipeline (listing, batched iteration, archive renames, checkpoint
+  * recovery) through a registered non-`file:` scheme to pin exactly
+  * that property.
   */
 object Monitor {
 
