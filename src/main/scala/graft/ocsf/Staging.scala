@@ -166,7 +166,8 @@ object Staging {
       case None => landing
     }
     val obs = org.apache.spark.sql.Observation()
-    val out = transform(fresh).observe(obs, count(lit(1)).as("rows"))
+    val out = enforceUidPattern(transform(fresh), storedUidPattern(spark, stagingPath))
+      .observe(obs, count(lit(1)).as("rows"))
     out.write.mode("append").parquet(stagingPath)
     obs.get("rows").asInstanceOf[Long]
   }
@@ -209,7 +210,7 @@ object Staging {
       case None => landing
     }
     val keys = Seq("finding_uid", "scan_run_id")
-    val freshT = transform(fresh)
+    val freshT = enforceUidPattern(transform(fresh), storedUidPattern(spark, stagingRoot))
       .withColumn(
         "__rn",
         row_number().over(
@@ -314,4 +315,88 @@ object Staging {
     * validation filter — returns violating rows. */
   def failingUidFormat(staging: DataFrame, pattern: String): DataFrame =
     staging.filter(!col("finding_uid").rlike(pattern))
+
+  /** The UID pattern currently "installed" on a staging root — the
+    * CHECK constraint's pattern in the reference
+    * (`add_finding_uid_constraint.sql:66-76` reads it back from
+    * `pg_constraint`). Stored as an underscore-prefixed side file so
+    * parquet readers skip it, like `_CURRENT`. */
+  def storedUidPattern(spark: SparkSession, stagingPath: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(stagingPath)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f    = new org.apache.hadoop.fs.Path(root, "_UID_PATTERN")
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim).filter(_.nonEmpty)
+      finally in.close()
+    } else None
+  }
+
+  /** Constraint reconciliation, the full lifecycle of the reference's
+    * post-hook macro (`add_finding_uid_constraint.sql:59-95`):
+    *
+    *  - `pattern=None`  → skip entirely (generic upstream usage; an
+    *    already-installed constraint is left in place, as the macro
+    *    leaves the Postgres constraint).
+    *  - unchanged       → no-op (`existing_pattern LIKE '%pattern%'`).
+    *  - changed/new     → re-validate ALL existing rows against the new
+    *    pattern and FAIL LOUD with a sample of violating UIDs if any —
+    *    the macro's intentional CHECK-violation on ALTER TABLE — else
+    *    atomically store the new pattern.
+    *
+    * Works on both staging layouts: a plain incremental parquet dir and
+    * a [[mergeRun]] version root. Returns true iff the constraint
+    * changed. */
+  def reconcileUidConstraint(
+      spark: SparkSession,
+      stagingPath: String,
+      pattern: Option[String],
+      sampleSize: Int = 5,
+  ): Boolean = pattern match {
+    case None => false
+    case Some(p) if storedUidPattern(spark, stagingPath).contains(p) => false
+    case Some(p) =>
+      readStagingAny(spark, stagingPath).foreach { existing =>
+        val bad = failingUidFormat(existing, p).select("finding_uid").limit(sampleSize)
+        val sample = bad.collect().map(_.getString(0))
+        if (sample.nonEmpty)
+          throw new IllegalStateException(
+            s"cannot install finding_uid pattern '$p': existing rows violate it " +
+              s"(sample: ${sample.mkString(", ")}); fix the data or full-refresh the table"
+          )
+      }
+      val root = new org.apache.hadoop.fs.Path(stagingPath)
+      val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) fs.mkdirs(root)
+      val tmp = new org.apache.hadoop.fs.Path(root, "_UID_PATTERN.tmp")
+      val ptr = new org.apache.hadoop.fs.Path(root, "_UID_PATTERN")
+      val out = fs.create(tmp, true)
+      try out.write(p.getBytes("UTF-8"))
+      finally out.close()
+      if (fs.exists(ptr)) fs.delete(ptr, false)
+      fs.rename(tmp, ptr)
+      true
+  }
+
+  /** Either staging layout, for reconciliation reads: a [[mergeRun]]
+    * version root resolves through `_CURRENT`, a plain incremental dir
+    * reads directly. */
+  private def readStagingAny(spark: SparkSession, stagingPath: String): Option[DataFrame] =
+    readCurrent(spark, stagingPath)
+      .orElse(if (exists(spark, stagingPath)) Some(spark.read.parquet(stagingPath)) else None)
+
+  /** Insert-time enforcement of the installed constraint — the half
+    * Postgres does on every INSERT. `assert_true` rides the write job's
+    * own scan (codegen'd, no extra pass over the batch); a violation
+    * aborts the job before any file is committed, so the table is left
+    * untouched, like an aborted transaction. */
+  private def enforceUidPattern(df: DataFrame, pattern: Option[String]): DataFrame =
+    pattern.fold(df) { p =>
+      df.filter(
+        assert_true(
+          col("finding_uid").isNull || col("finding_uid").rlike(p),
+          concat(lit(s"finding_uid violates stored pattern '$p': "), col("finding_uid")),
+        ).isNull
+      )
+    }
 }

@@ -131,6 +131,56 @@ class StagingSpec extends AnyFunSuite {
     assert(spark.read.parquet(stagingDir).count() === 2L)
   }
 
+  test("UID constraint reconciliation: install, no-op, tightened pattern surfaces existing rows") {
+    import spark.implicits._
+    val docs = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
+    val landingDir = tmpDir("landing_c")
+    val stagingDir = tmpDir("staging_c")
+    Landing.append(docs, landingDir)
+    Staging.incrementalRun(spark, landingDir, stagingDir)
+
+    // None → skip entirely (generic upstream: no constraint installed)
+    assert(!Staging.reconcileUidConstraint(spark, stagingDir, None))
+    assert(Staging.storedUidPattern(spark, stagingDir) === None)
+
+    // install: existing row matches → pattern stored
+    val loose = "^boann:[^:]+:[^:]+:[^:]+:.+$"
+    assert(Staging.reconcileUidConstraint(spark, stagingDir, Some(loose)))
+    assert(Staging.storedUidPattern(spark, stagingDir) === Some(loose))
+    // unchanged → no-op
+    assert(!Staging.reconcileUidConstraint(spark, stagingDir, Some(loose)))
+
+    // tightening to a pattern the existing row violates fails loud with
+    // a sample, and leaves the old pattern installed (macro's
+    // intentional CHECK violation on ALTER TABLE)
+    val ex = intercept[IllegalStateException] {
+      Staging.reconcileUidConstraint(spark, stagingDir, Some("^acme:.+$"))
+    }
+    assert(ex.getMessage.contains("boann:sast:snyk:fingerprint:abc"))
+    assert(Staging.storedUidPattern(spark, stagingDir) === Some(loose))
+  }
+
+  test("installed UID pattern is enforced on insert: violating batch aborts, table untouched") {
+    import spark.implicits._
+    val docs = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
+    val landingDir = tmpDir("landing_e")
+    val stagingDir = tmpDir("staging_e")
+    Landing.append(docs, landingDir)
+    Staging.incrementalRun(spark, landingDir, stagingDir)
+    Staging.reconcileUidConstraint(spark, stagingDir, Some("^boann:sast:.+$"))
+
+    // a violating finding arrives: the write job itself must fail...
+    val badDoc = richFinding.replace("boann:sast:snyk:fingerprint:abc", "rogue:uid")
+    Landing.append(spark.read.schema(OcsfModel.ocsfFinding).json(Seq(badDoc).toDS()), landingDir)
+    val ex = intercept[Exception] {
+      Staging.incrementalRun(spark, landingDir, stagingDir)
+    }
+    assert(ex.getMessage.contains("rogue:uid") ||
+      Option(ex.getCause).exists(_.getMessage.contains("rogue:uid")))
+    // ...and abort BEFORE commit: nothing appended
+    assert(spark.read.parquet(stagingDir).count() === 1L)
+  }
+
   test("mergeRun upserts on (finding_uid, scan_run_id): reingestion replaces, not duplicates") {
     import spark.implicits._
     val docs = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
