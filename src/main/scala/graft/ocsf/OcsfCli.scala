@@ -26,11 +26,28 @@ object OcsfCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args.toList)
-    finally spark.stop()
+    val code =
+      try run(spark, args.toList)
+      finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 
-  private def run(spark: SparkSession, args: List[String]): Unit = args match {
+  private val usage =
+    """Usage:
+      |  convert <input.sarif> <output-dir>
+      |  monitor <src-dir> <landing> <failed> <checkpoint> [archive]
+      |  daemon  <src-dir> <landing> <failed> <checkpoint> [archive]
+      |          (env: GRAFT_POLL_INTERVAL, GRAFT_MAX_FILES_PER_TRIGGER)
+      |  stage <landing> <staging>
+      |  stage-merge <landing> <staging-root>
+      |  vacuum <landing> <cutoff-date>
+      |  help""".stripMargin
+
+  /** Dispatch, returning the process exit code — separated from [[main]]
+    * so specs can drive every subcommand in-JVM (the reference
+    * smoke-tests its CLIs the same way,
+    * `scripts/tests/test_base_cli.py:64-138`). */
+  private[ocsf] def run(spark: SparkSession, args: List[String]): Int = args match {
     case "convert" :: input :: output :: Nil =>
       val findings = SarifToOcsf.convertFile(spark, input)
       if (output.endsWith(".ocsf.json")) {
@@ -41,21 +58,25 @@ object OcsfCli {
         findings.write.mode("overwrite").json(output)
         println(s"[ocsf] converted ${spark.read.json(output).count()} findings -> $output")
       }
+      0
 
     case "monitor" :: src :: landing :: failed :: checkpoint :: rest if rest.size <= 1 =>
       val q = Monitor.run(spark, src, landing, failed, checkpoint, archiveDir = rest.headOption)
       q.awaitTermination()
       println(s"[ocsf] landing rows: ${Landing.read(spark, landing).count()}")
+      0
 
     case "stage" :: landing :: staging :: Nil =>
       val appended = Staging.incrementalRun(spark, landing, staging)
       println(s"[ocsf] appended rows: $appended")
+      0
 
     case "stage-merge" :: landing :: stagingRoot :: Nil =>
       val total = Staging.mergeRun(spark, landing, stagingRoot)
       println(
         s"[ocsf] staging rows: $total (version ${Staging.currentVersion(spark, stagingRoot).getOrElse(-1L)})"
       )
+      0
 
     case "daemon" :: src :: landing :: failed :: checkpoint :: rest if rest.size <= 1 =>
       val q = Monitor.run(
@@ -71,23 +92,25 @@ object OcsfCli {
       // exactly-once on restart.
       sys.addShutdownHook { scala.util.Try(Monitor.stopGracefully(q, timeoutMs = 5000L)); () }
       q.awaitTermination()
+      0
 
     case "vacuum" :: landing :: cutoff :: Nil =>
-      val dropped = Landing.retentionVacuum(spark, landing, java.time.LocalDate.parse(cutoff))
-      println(s"[ocsf] dropped partitions: ${dropped.mkString(", ")}")
+      scala.util.Try(java.time.LocalDate.parse(cutoff)).toOption match {
+        case Some(date) =>
+          val dropped = Landing.retentionVacuum(spark, landing, date)
+          println(s"[ocsf] dropped partitions: ${dropped.mkString(", ")}")
+          0
+        case None =>
+          System.err.println(s"Invalid cutoff date (want yyyy-MM-dd): $cutoff\n$usage")
+          2
+      }
+
+    case cmd :: _ if cmd == "help" || cmd == "--help" || cmd == "-h" =>
+      println(usage)
+      0
 
     case other =>
-      System.err.println(
-        s"""Unknown command: ${other.mkString(" ")}
-           |Usage:
-           |  convert <input.sarif> <output-dir>
-           |  monitor <src-dir> <landing> <failed> <checkpoint> [archive]
-           |  daemon  <src-dir> <landing> <failed> <checkpoint> [archive]
-           |          (env: GRAFT_POLL_INTERVAL, GRAFT_MAX_FILES_PER_TRIGGER)
-           |  stage <landing> <staging>
-           |  stage-merge <landing> <staging-root>
-           |  vacuum <landing> <cutoff-date>""".stripMargin
-      )
-      sys.exit(2)
+      System.err.println(s"Unknown command: ${other.mkString(" ")}\n$usage")
+      2
   }
 }
