@@ -273,6 +273,52 @@ object Staging {
     ()
   }
 
+  /** Age-based retention for [[mergeRun]] version directories — the
+    * time-travel twin of the landing layer's date-based
+    * [[Landing.retentionVacuum]] (the reference's documented retention
+    * requirement, `raw_ocsf_findings.sql:33-34`): drop superseded
+    * versions whose snapshot write time is older than `maxAge`. The
+    * active version and the newest version are never dropped, whatever
+    * their age — a reader must always have a snapshot to resolve.
+    * Directory-level deletes only, never a row scan. Returns the
+    * dropped version numbers, oldest first. */
+  def vacuumVersionsByAge(
+      spark: SparkSession,
+      stagingRoot: String,
+      maxAge: java.time.Duration,
+      nowMillis: Long = System.currentTimeMillis(),
+  ): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(stagingRoot)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val cutoff = nowMillis - maxAge.toMillis
+    val versions = fs
+      .listStatus(root)
+      .toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(s => s.getPath.getName.stripPrefix("v=").toLong -> s)
+      .sortBy(_._1)
+    val active = currentVersion(spark, stagingRoot)
+    val dropped = versions
+      .dropRight(1) // newest survives even if the pointer file is lost
+      .filterNot { case (v, _) => active.contains(v) }
+      .filter { case (_, s) => versionWriteTime(fs, s) < cutoff }
+    dropped.foreach { case (_, s) => fs.delete(s.getPath, true) }
+    dropped.map(_._1)
+  }
+
+  /** A version's snapshot time = its commit marker's (`_SUCCESS`)
+    * modification time; falls back to the directory's own mtime for
+    * uncommitted leftovers so aborted writes still age out. */
+  private def versionWriteTime(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.FileStatus,
+  ): Long = {
+    val marker = new org.apache.hadoop.fs.Path(dir.getPath, "_SUCCESS")
+    if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
+    else dir.getModificationTime
+  }
+
   /** Drop superseded version directories, keeping the newest `keep`. */
   def vacuumVersions(spark: SparkSession, stagingRoot: String, keep: Int = 2): Unit = {
     val root = new org.apache.hadoop.fs.Path(stagingRoot)

@@ -131,6 +131,42 @@ class StagingSpec extends AnyFunSuite {
     assert(spark.read.parquet(stagingDir).count() === 2L)
   }
 
+  test("age-based version vacuum drops old superseded versions, never the active or newest") {
+    import spark.implicits._
+    val docs = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
+    val landingDir  = tmpDir("landing_av")
+    val stagingRoot = tmpDir("staging_av")
+    Landing.append(docs, landingDir)
+    (1 to 3).foreach(_ => Staging.mergeRun(spark, landingDir, stagingRoot))
+    assert(Staging.currentVersion(spark, stagingRoot) === Some(2L))
+
+    // age every snapshot 10 days, then point _CURRENT at v=1: v=1 is
+    // active, v=2 is newest — only v=0 may be vacuumed
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - java.time.Duration.ofDays(10).toMillis
+    )
+    (0 to 2).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(stagingRoot, s"v=$v", "_SUCCESS"), old)
+    }
+    // rewrite the pointer through the Hadoop FS so its .crc sidecar stays valid
+    val fs = new org.apache.hadoop.fs.Path(stagingRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(stagingRoot, "_CURRENT"), true)
+    out.write("1".getBytes); out.close()
+
+    val dropped =
+      Staging.vacuumVersionsByAge(spark, stagingRoot, java.time.Duration.ofDays(7))
+    assert(dropped === Seq(0L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stagingRoot, "v=0")))
+    assert(Staging.readCurrent(spark, stagingRoot).get.count() === 1L)
+
+    // fresh snapshots are untouched even with maxAge=0 … except
+    // superseded ones older than the cutoff; here nothing qualifies
+    // once only active+newest remain
+    assert(Staging.vacuumVersionsByAge(spark, stagingRoot, java.time.Duration.ZERO) === Seq.empty)
+  }
+
   test("UID constraint reconciliation: install, no-op, tightened pattern surfaces existing rows") {
     import spark.implicits._
     val docs = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
