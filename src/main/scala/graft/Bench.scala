@@ -25,8 +25,10 @@ object Bench {
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     // A throwing query must not hide inside a normal-looking wall time:
-    // it is excluded from `queries`, listed in `failed`, and fails the run.
+    // every-repeat failures go to `failed`, intermittent ones to
+    // `flaky` (still timed from the surviving runs); either fails the run.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val flaky  = scala.collection.mutable.ListBuffer.empty[String]
     val results = selected.flatMap { case (name, fn) =>
       val times = (1 to repeat).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -39,14 +41,19 @@ object Bench {
             None
         }
       }
-      if (times.isEmpty) { failed += name; None } else Some(name -> times.min)
+      if (times.isEmpty) { failed += name; None }
+      else {
+        if (times.size < repeat) flaky += name
+        Some(name -> times.min)
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fl = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"flaky":$fl,"sf":"$sfDir"}""")
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    if (failed.nonEmpty || flaky.nonEmpty) sys.exit(1)
   }
 }
