@@ -77,6 +77,15 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** The Rademacher hyperplane entry for (plane `p`, 1-based dim `i`):
+    * ±1 derived deterministically from md5(p ':' i) — reproducible in
+    * any engine, no RNG state. */
+  private def srpSign(p: Column, i: Column): Column =
+    when(
+      ascii(md5(concat(p.cast("string"), lit(":"), i.cast("string"))).substr(lit(1), lit(1))) >= 56,
+      lit(1.0),
+    ).otherwise(lit(-1.0))
+
   /** Signed-random-projection (SRP) LSH bucket per vector: `nPlanes`
     * Rademacher hyperplanes with entries derived deterministically from
     * md5(plane ':' dim) — reproducible in any engine, no RNG state.
@@ -85,11 +94,7 @@ object Similarity {
     * This is the ANN scale path: scoring happens only within buckets, so
     * the q×N cross product becomes q×(N / 2^nPlanes) expected. */
   def srpBuckets(df: DataFrame, idCol: String, embCol: String, nPlanes: Int): DataFrame = {
-    val sign = (p: Column, i: Column) =>
-      when(
-        ascii(md5(concat(p.cast("string"), lit(":"), i.cast("string"))).substr(lit(1), lit(1))) >= 56,
-        lit(1.0),
-      ).otherwise(lit(-1.0))
+    val sign = srpSign _
     df.select(col(idCol), col(embCol))
       .withColumn("__p", explode(sequence(lit(0), lit(nPlanes - 1))))
       .withColumn(
@@ -105,6 +110,99 @@ object Similarity {
       )
       .groupBy(col(idCol))
       .agg(sum(when(col("__dot") >= 0, expr("shiftleft(1, __p)")).otherwise(0)).as("bucket"))
+  }
+
+  /** Banded SRP signature: `nPlanes` plane sign bits split into `bands`
+    * bands of `nPlanes / bands` bits each; output one (id, band, key)
+    * row per band. Two vectors collide when ANY band key matches, so
+    * recall grows with `bands` while candidate volume stays ∝ corpus ×
+    * collision rate — the cosine analog of MinHash banding.
+    *
+    * The whole signature is a single projection (nested higher-order
+    * functions over the embedding array) followed by `posexplode`:
+    * zero shuffle — signatures parallelize with the scan, and only the
+    * (band, key)-keyed candidate join exchanges data. The md5-derived
+    * planes are the cross-engine-parity path; at production scale
+    * precompute the ±1 plane matrix once and broadcast it as a literal
+    * (the [[graft.ops.Dedup]] xxhash64-twin pattern) so the per-row
+    * cost is pure arithmetic. */
+  def srpBandKeys(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      nPlanes: Int,
+      bands: Int,
+  ): DataFrame = {
+    require(nPlanes % bands == 0, s"nPlanes ($nPlanes) must divide into bands ($bands)")
+    val r = nPlanes / bands
+    val emb = col(embCol)
+    // dot(plane p, emb) as a strict left-to-right double fold
+    val planeDot = (p: Column) =>
+      aggregate(
+        transform(
+          sequence(lit(1), size(emb)),
+          i => element_at(emb, i).cast("double") * srpSign(p, i),
+        ),
+        lit(0.0),
+        (acc, v) => acc + v,
+      )
+    // key of band b = sign bits of planes [b*r, (b+1)*r) packed little-endian
+    val bandKey = (b: Column) =>
+      aggregate(
+        sequence(lit(0), lit(r - 1)),
+        lit(0L),
+        (acc, j) =>
+          acc + when(planeDot(b * r + j) >= 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L)),
+      )
+    df.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bandKey)).as(Seq("band", "key")),
+    )
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+    * cosine ≥ `tau` among SRP band-collision candidates — the
+    * embedding-space member of the [[graft.ops.Dedup]] family.
+    *
+    * Dataflow: map-only banded signatures ([[srpBandKeys]]) → candidate
+    * pairs keyed on (band, key) — a hash join on the collision key,
+    * never an all-pairs product — → `distinct` → exact cosine verify
+    * proportional to the candidate count. Collision probability per
+    * plane is 1 − θ/π, so for the near-dup regime (τ ≥ 0.9, θ ≤ 26°)
+    * the default 6-bit × 12-band config detects a true pair with
+    * p ≥ 0.99; random pairs collide per band at ~2⁻⁶, keeping the
+    * verify step ∝ corpus, not corpus². */
+  def embeddingDupPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      tau: Double,
+      nPlanes: Int = 72,
+      bands: Int = 12,
+  ): DataFrame = {
+    val keys = srpBandKeys(df, idCol, embCol, nPlanes, bands)
+    val cand = keys
+      .select(col(idCol).as("a_id"), col("band"), col("key"))
+      .join(
+        keys.select(col(idCol).as("b_id"), col("band"), col("key")),
+        Seq("band", "key"),
+      )
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    val e = withNorm(df, embCol)
+    cand
+      .join(
+        e.select(col(idCol).as("a_id"), col(embCol).as("__ea"), col("nrm").as("__na")),
+        "a_id",
+      )
+      .join(
+        e.select(col(idCol).as("b_id"), col(embCol).as("__eb"), col("nrm").as("__nb")),
+        "b_id",
+      )
+      .withColumn("cos", dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")))
+      .filter(col("cos") >= tau)
+      .select("a_id", "b_id", "cos")
   }
 
   /** Approximate top-k: exact cosine ranking restricted to each query's

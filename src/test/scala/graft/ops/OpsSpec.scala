@@ -165,6 +165,53 @@ class OpsSpec extends AnyFunSuite {
       .toSet === Set((1L, 2L, 0)))
   }
 
+  test("embedding near-dup pairs: exact on planted dups at tau=0.9, candidates pruned") {
+    import graft.ops.Similarity
+    // 40 near-orthogonal base vectors + 10 noisy copies (cos >= ~0.95
+    // vs their source). Deterministic seed => fixed outcome.
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val base = (0 until 40).map(id => id.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val copies = (0 until 10).map { i =>
+      val src = base(i)._2
+      (100L + i) -> src.map(v => v + (rnd.nextGaussian() * 0.05f).toFloat)
+    }
+    val vecs = base ++ copies
+    val df   = vecs.toDF("vec_id", "embedding")
+
+    // local ground truth with the same left-to-right double fold
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val truth = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      c = cos(va, vb) if c >= 0.9
+    } yield (ia, ib) -> c).toMap
+    assert(truth.size === 10) // every planted copy pairs with its source, nothing else
+
+    val got = Similarity
+      .embeddingDupPairs(df, "vec_id", "embedding", tau = 0.9)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("cos"))
+      .toMap
+    assert(got.keySet === truth.keySet)
+    got.foreach { case (k, c) => assert(math.abs(c - truth(k)) < 1e-12) }
+
+    // the banded join prunes: collision candidates well under all-pairs
+    val keys = Similarity.srpBandKeys(df, "vec_id", "embedding", nPlanes = 72, bands = 12)
+    val cand = keys
+      .select(col("vec_id").as("a_id"), col("band"), col("key"))
+      .join(keys.select(col("vec_id").as("b_id"), col("band"), col("key")), Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+      .count()
+    val allPairs = vecs.size.toLong * (vecs.size - 1) / 2
+    assert(cand < allPairs / 2, s"candidates $cand vs all-pairs $allPairs")
+  }
+
   test("IVF top-k: recall vs brute force, and Lloyd refinement is deterministic") {
     import graft.ops.Similarity
     val emb  = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
