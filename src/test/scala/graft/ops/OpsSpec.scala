@@ -304,6 +304,24 @@ class OpsSpec extends AnyFunSuite {
     assert(kept === Array(1L, 4L, 6L)) // canonical members + isolated doc
   }
 
+  test("star-contraction CC equals label propagation, incl. a diameter-200 chain") {
+    // random graph: 120 nodes, 90 seeded-random edges
+    val rnd  = new scala.util.Random(11)
+    val rand = (1 to 90).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("a_id", "b_id")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert(toMap(Dedup.clusterPairs(rand)) === toMap(Dedup.clusterPairsPropagate(rand)))
+
+    // pathological chain 0-1-…-200: diameter far beyond the default
+    // round budget of label propagation; star contraction closes it
+    // inside its O(log² n) budget and labels every node 0
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comps = toMap(Dedup.clusterPairs(chain))
+    assert(comps.size === 201 && comps.values.forall(_ === 0L))
+  }
+
   test("native float_dot is bit-identical to the composed fold") {
     val rnd = new scala.util.Random(7)
     val vecs = (1 to 50).map { i =>
