@@ -69,6 +69,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding near-dup: banded signature is shuffle-free; candidate join is keyed") {
+    // the SRP band-key signature must be a pure projection — shuffles
+    // appear only at the (band, key) candidate join and the distinct
+    val sig = graft.ops.Similarity
+      .srpBandKeys(Tables.embeddings(spark, sf), "vec_id", "embedding", 72, 12)
+    val sigPlan = sig.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!sigPlan.contains("Exchange"), s"signature computation shuffles:\n$sigPlan")
+    val p = planOf("ddp_embedding_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup pair join is not collision-keyed:\n$p")
+  }
+
   test("IVF scoring join broadcasts the probe side — no shuffle of candidates by cell") {
     val p = planOf("sim_ann_ivf_topk")
     assert(p.contains("BroadcastHashJoin"), p)
