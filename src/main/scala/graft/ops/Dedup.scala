@@ -430,11 +430,12 @@ object Dedup {
       val mins = both
         .groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // duplicates left to the final distinct — they only thin out there
       val large = both
         .filter(col("v") > col("u"))
         .join(mins, "u")
         .select(col("v").as("u"), col("m").as("v")) // v > u >= m, so u > v holds
-        .distinct()
+        .persist()
       // small-star: each node relinks its smaller neighbors (and
       // itself) to its minimum neighbor
       val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
@@ -445,6 +446,7 @@ object Dedup {
         .unionAll(minsS.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint()
+      large.unpersist()
       val fp2 = fingerprint(small)
       changed = fp2 != fp
       fp = fp2

@@ -118,45 +118,46 @@ object Similarity {
     * recall grows with `bands` while candidate volume stays ∝ corpus ×
     * collision rate — the cosine analog of MinHash banding.
     *
-    * The whole signature is a single projection (nested higher-order
-    * functions over the embedding array) followed by `posexplode`:
-    * zero shuffle — signatures parallelize with the scan, and only the
-    * (band, key)-keyed candidate join exchanges data. The md5-derived
-    * planes are the cross-engine-parity path; at production scale
-    * precompute the ±1 plane matrix once and broadcast it as a literal
-    * (the [[graft.ops.Dedup]] xxhash64-twin pattern) so the per-row
-    * cost is pure arithmetic. */
+    * The whole signature is a single projection followed by
+    * `posexplode`: zero shuffle — signatures parallelize with the
+    * scan, and only the (band, key)-keyed candidate join exchanges
+    * data. `dim` sizes the plane literals and must match the
+    * embedding length (uniform-dimension corpora, the normal case). */
   def srpBandKeys(
       df: DataFrame,
       idCol: String,
       embCol: String,
       nPlanes: Int,
       bands: Int,
+      dim: Int = 64,
   ): DataFrame = {
     require(nPlanes % bands == 0, s"nPlanes ($nPlanes) must divide into bands ($bands)")
+    graft.functions.FloatVecDot.registerOn(df.sparkSession)
     val r = nPlanes / bands
+    // The md5-derived ±1 plane entries are data-independent, so they are
+    // computed once here — with the exact md5 formula the relational
+    // oracle uses — and injected as array<float> literals. Each plane
+    // dot is then one codegen'd float_dot call (±1.0f casts to ±1.0
+    // double exactly, so the left-fold arithmetic is bit-identical to
+    // evaluating the sign expression per element). 72 planes × dim
+    // multiply-adds per row, zero runtime hashing, zero shuffle.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def signOf(p: Int, i: Int): Float = {
+      val hex = md.digest(s"$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (hex.head.toInt >= 56) 1.0f else -1.0f
+    }
+    val planes: IndexedSeq[Column] =
+      (0 until nPlanes).map(p => lit((1 to dim).map(i => signOf(p, i)).toArray))
     val emb = col(embCol)
-    // dot(plane p, emb) as a strict left-to-right double fold
-    val planeDot = (p: Column) =>
-      aggregate(
-        transform(
-          sequence(lit(1), size(emb)),
-          i => element_at(emb, i).cast("double") * srpSign(p, i),
-        ),
-        lit(0.0),
-        (acc, v) => acc + v,
-      )
+    val planeDot = (p: Int) => graft.functions.FloatVecDot.float_dot(emb, planes(p))
     // key of band b = sign bits of planes [b*r, (b+1)*r) packed little-endian
-    val bandKey = (b: Column) =>
-      aggregate(
-        sequence(lit(0), lit(r - 1)),
-        lit(0L),
-        (acc, j) =>
-          acc + when(planeDot(b * r + j) >= 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L)),
-      )
+    val bandKey = (b: Int) =>
+      (0 until r)
+        .map(j => when(planeDot(b * r + j) >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
     df.select(
       col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), bandKey)).as(Seq("band", "key")),
+      posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "key")),
     )
   }
 
@@ -179,8 +180,9 @@ object Similarity {
       tau: Double,
       nPlanes: Int = 72,
       bands: Int = 12,
+      dim: Int = 64,
   ): DataFrame = {
-    val keys = srpBandKeys(df, idCol, embCol, nPlanes, bands)
+    val keys = srpBandKeys(df, idCol, embCol, nPlanes, bands, dim)
     val cand = keys
       .select(col(idCol).as("a_id"), col("band"), col("key"))
       .join(

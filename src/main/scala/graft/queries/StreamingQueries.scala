@@ -27,6 +27,23 @@ object StreamingQueries {
 
   private var streamN = 0
 
+  /** Run `body` with the session's shuffle-partition count temporarily
+    * lowered to `n`. Stateful streaming operators create one state
+    * store per shuffle partition per operator per micro-batch — at
+    * replay scale (a few MB of join state) 32 partitions are pure
+    * commit overhead. The count is locked into each query's (fresh)
+    * checkpoint at start, so this right-sizes state stores without
+    * touching the session default; production jobs size it to state
+    * volume the same way. */
+  private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int)(
+      body: => T
+  ): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** ST1/ST4 + tumbling event-time window: streaming replay of the
     * 15-minute bucket aggregation. */
   private val tumblingStream = Q(
@@ -52,13 +69,15 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
       .select(col("window.start").as("bucket_start"), col("event_type"), col("n"), col("total"))
     val name = synchronized { streamN += 1; s"graft_stream_$streamN" }
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
   }
 
@@ -99,13 +118,15 @@ object StreamingQueries {
       )
       .select(col("e.event_id").as("err_id"), col("c.event_id").as("click_id"), col("e.user_id"))
     val name = synchronized { streamN += 1; s"graft_stream_join_$streamN" }
-    val q = joined.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
   }
 
@@ -135,24 +156,37 @@ object StreamingQueries {
     import java.nio.file.{Files, Paths}
     val events = graft.Tables.events(s, d)
     val streamDir = Files.createTempDirectory("graft_stream_louter_src")
-    val cuts = Seq(
-      ("events_0", "ts < timestamp'2024-01-11 00:00:00'"),
-      ("events_1", "ts >= timestamp'2024-01-11 00:00:00' AND ts < timestamp'2024-01-21 00:00:00'"),
-      ("events_2", "ts >= timestamp'2024-01-21 00:00:00'"),
-    )
-    cuts.zipWithIndex.foreach { case ((name, cond), i) =>
-      val tmpOut = streamDir.resolve(s"_tmp_$name")
-      events.filter(cond).coalesce(1).write.parquet(tmpOut.toString)
-      val part = Files.list(tmpOut).filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
-      val dest = streamDir.resolve(s"$name.parquet")
+    // one scan, one parallel write: bucket by time range, partitionBy
+    // emits one file per bucket (each bucket value lives in exactly one
+    // repartition output), then the files get the staggered mtimes that
+    // define micro-batch order for the file source
+    val tmpOut = streamDir.resolve("_tmp_split")
+    events
+      .withColumn(
+        "__b",
+        when(col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"), 0)
+          .when(col("ts") < lit("2024-01-21 00:00:00").cast("timestamp"), 1)
+          .otherwise(2),
+      )
+      .repartition(3, col("__b"))
+      .write
+      .partitionBy("__b")
+      .parquet(tmpOut.toString)
+    (0 to 2).foreach { i =>
+      val part = Files
+        .list(tmpOut.resolve(s"__b=$i"))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst()
+        .get()
+      val dest = streamDir.resolve(s"events_$i.parquet")
       Files.move(part, dest)
       // mtime order IS the micro-batch order for the file source
       Files.setLastModifiedTime(
         dest,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L),
       )
-      org.apache.commons.io.FileUtils.deleteDirectory(tmpOut.toFile)
     }
+    org.apache.commons.io.FileUtils.deleteDirectory(tmpOut.toFile)
     val rewrittenSchema = events.schema // ts already TIMESTAMP(MICROS) after rewrite
     def side(alias: String) = s.readStream
       .schema(rewrittenSchema)
@@ -173,13 +207,15 @@ object StreamingQueries {
       )
       .select(col("e.event_id").as("err_id"), col("c.event_id").as("click_id"), col("e.user_id"))
     val name = synchronized { streamN += 1; s"graft_stream_louter_$streamN" }
-    val q = joined.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
   }
 

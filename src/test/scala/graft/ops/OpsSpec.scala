@@ -192,7 +192,7 @@ class OpsSpec extends AnyFunSuite {
     assert(truth.size === 10) // every planted copy pairs with its source, nothing else
 
     val got = Similarity
-      .embeddingDupPairs(df, "vec_id", "embedding", tau = 0.9)
+      .embeddingDupPairs(df, "vec_id", "embedding", tau = 0.9, dim = dim)
       .collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("cos"))
       .toMap
@@ -200,7 +200,8 @@ class OpsSpec extends AnyFunSuite {
     got.foreach { case (k, c) => assert(math.abs(c - truth(k)) < 1e-12) }
 
     // the banded join prunes: collision candidates well under all-pairs
-    val keys = Similarity.srpBandKeys(df, "vec_id", "embedding", nPlanes = 72, bands = 12)
+    val keys =
+      Similarity.srpBandKeys(df, "vec_id", "embedding", nPlanes = 72, bands = 12, dim = dim)
     val cand = keys
       .select(col("vec_id").as("a_id"), col("band"), col("key"))
       .join(keys.select(col("vec_id").as("b_id"), col("band"), col("key")), Seq("band", "key"))
