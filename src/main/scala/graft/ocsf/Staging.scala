@@ -287,6 +287,33 @@ object Staging {
       stagingRoot: String,
       maxAge: java.time.Duration,
       nowMillis: Long = System.currentTimeMillis(),
+  ): Seq[Long] =
+    vacuumVersionsPolicy(spark, stagingRoot, keep = 1, maxAge, nowMillis)
+
+  /** A version's snapshot time = its commit marker's (`_SUCCESS`)
+    * modification time; falls back to the directory's own mtime for
+    * uncommitted leftovers so aborted writes still age out. */
+  private def versionWriteTime(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.FileStatus,
+  ): Long = {
+    val marker = new org.apache.hadoop.fs.Path(dir.getPath, "_SUCCESS")
+    if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
+    else dir.getModificationTime
+  }
+
+  /** Composed retention in one listing pass: always retain the active
+    * version and the newest `keep` versions; among the rest, drop only
+    * those older than `maxAge`. The count bound caps storage growth,
+    * the age bound preserves a recent-history time-travel window — the
+    * usual pairing for snapshot stores. Returns dropped versions,
+    * oldest first. */
+  def vacuumVersionsPolicy(
+      spark: SparkSession,
+      stagingRoot: String,
+      keep: Int,
+      maxAge: java.time.Duration,
+      nowMillis: Long = System.currentTimeMillis(),
   ): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(stagingRoot)
     val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -300,23 +327,11 @@ object Staging {
       .sortBy(_._1)
     val active = currentVersion(spark, stagingRoot)
     val dropped = versions
-      .dropRight(1) // newest survives even if the pointer file is lost
+      .dropRight(math.max(keep, 1)) // never drop the newest
       .filterNot { case (v, _) => active.contains(v) }
       .filter { case (_, s) => versionWriteTime(fs, s) < cutoff }
     dropped.foreach { case (_, s) => fs.delete(s.getPath, true) }
     dropped.map(_._1)
-  }
-
-  /** A version's snapshot time = its commit marker's (`_SUCCESS`)
-    * modification time; falls back to the directory's own mtime for
-    * uncommitted leftovers so aborted writes still age out. */
-  private def versionWriteTime(
-      fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.FileStatus,
-  ): Long = {
-    val marker = new org.apache.hadoop.fs.Path(dir.getPath, "_SUCCESS")
-    if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
-    else dir.getModificationTime
   }
 
   /** Drop superseded version directories, keeping the newest `keep`. */

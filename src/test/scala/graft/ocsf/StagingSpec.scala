@@ -167,6 +167,28 @@ class StagingSpec extends AnyFunSuite {
     assert(Staging.vacuumVersionsByAge(spark, stagingRoot, java.time.Duration.ZERO) === Seq.empty)
   }
 
+  test("composed retention policy: count window shields versions the age bound would drop") {
+    import spark.implicits._
+    val docs = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
+    val landingDir  = tmpDir("landing_pol")
+    val stagingRoot = tmpDir("staging_pol")
+    Landing.append(docs, landingDir)
+    (1 to 4).foreach(_ => Staging.mergeRun(spark, landingDir, stagingRoot))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - java.time.Duration.ofDays(10).toMillis
+    )
+    (0 to 3).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(stagingRoot, s"v=$v", "_SUCCESS"), old)
+    }
+    // all four versions exceed maxAge, but keep=3 shields v=1..3 (and
+    // v=3 is active anyway); only v=0 goes
+    val dropped =
+      Staging.vacuumVersionsPolicy(spark, stagingRoot, keep = 3, java.time.Duration.ofDays(7))
+    assert(dropped === Seq(0L))
+    assert(Staging.readCurrent(spark, stagingRoot).get.count() === 1L)
+  }
+
   test("UID constraint reconciliation: install, no-op, tightened pattern surfaces existing rows") {
     import spark.implicits._
     val docs = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
