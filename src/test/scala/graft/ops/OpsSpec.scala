@@ -213,6 +213,44 @@ class OpsSpec extends AnyFunSuite {
     assert(cand < allPairs / 2, s"candidates $cand vs all-pairs $allPairs")
   }
 
+  test("multi-probe SRP: superset of exact-band pairs, only true pairs, better recall") {
+    import graft.ops.Similarity
+    // moderate-similarity pairs (cos ≈ 0.55): the regime where exact
+    // band equality misses and Hamming-1 probing recovers
+    val rnd = new scala.util.Random(13)
+    val dim = 32
+    val base = (0 until 30).map(id => id.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val copies = (0 until 20).map { i =>
+      val src = base(i)._2
+      (100L + i) -> src.map(v => v + (rnd.nextGaussian() * 1.1f).toFloat)
+    }
+    val vecs = base ++ copies
+    val df   = vecs.toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val truth = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      c = cos(va, vb) if c >= 0.4
+    } yield (ia, ib)).toSet
+    assert(truth.size >= 10) // enough moderate pairs for the comparison to mean something
+
+    def pairsWith(probes: Int) = Similarity
+      .embeddingDupPairs(df, "vec_id", "embedding", tau = 0.4,
+        nPlanes = 24, bands = 4, dim = dim, probes = probes)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    val exact = pairsWith(0)
+    val multi = pairsWith(1)
+    assert(exact.subsetOf(multi), "multi-probe lost an exact-band pair")
+    assert(multi.subsetOf(truth), "multi-probe emitted a below-threshold pair")
+    assert(multi.size > exact.size,
+      s"multi-probe found nothing new (exact ${exact.size}, multi ${multi.size})")
+  }
+
   test("IVF top-k: recall vs brute force, and Lloyd refinement is deterministic") {
     import graft.ops.Similarity
     val emb  = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
