@@ -21,6 +21,26 @@ object Text {
   /** Number of word tokens. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to constructs RE2
+    * also supports (no lookahead — trailing-space merging is a
+    * tokenizer-training nicety, not a counting semantic): common
+    * English contractions, space-prefixed letter runs, digit runs,
+    * punctuation runs, then residual whitespace runs. This is the
+    * "BPE-ish" token count — a far better LLM-token proxy than `\w+`
+    * because punctuation and contractions count the way a trained BPE
+    * vocabulary splits them. */
+  val bpeishPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish pre-tokens (see [[bpeishPattern]]). */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeishPattern), lit(0))
+
+  /** BPE-ish token count, whitespace runs excluded (a whitespace run
+    * separates tokens; only a leading single space is part of one). */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(bpeishTokens(text), t => t.rlike("\\S")))
+
   /** Count of word characters (token lengths summed). */
   def wordChars(text: Column): Column = length(regexp_replace(text, "\\W", ""))
 

@@ -28,6 +28,28 @@ object TextQueries {
       )
   }
 
+  /** BPE-ish token counting (GPT-2-style pre-tokenizer, RE2-compatible
+    * subset): the LLM-token proxy next to the plain `\w+` count. Both
+    * engines run the identical pattern; whitespace runs are delimiters,
+    * not tokens. */
+  private val bpeishTokens = Q(
+    "txt_bpeish_tokens",
+    """SELECT doc_id,
+      |  len(list_filter(
+      |    regexp_extract_all(text,
+      |      '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+      |    t -> regexp_matches(t, '\S'))) AS n_bpeish,
+      |  len(regexp_extract_all(text, '\w+')) AS n_words
+      |FROM documents""".stripMargin,
+  ) { (s, d) =>
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        Text.bpeishTokenCount(col("text")).as("n_bpeish"),
+        Text.tokenCount(col("text")).as("n_words"),
+      )
+  }
+
   private val quality = Q(
     "txt_quality",
     """SELECT doc_id,
@@ -117,5 +139,5 @@ object TextQueries {
     Text.winnowFingerprints(documents(s, d), "doc_id", "text", n = 3, w = 4)
   }
 
-  val all: Seq[Q] = Seq(tokenStats, quality, langIdAgreement, shingleStats, winnow)
+  val all: Seq[Q] = Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow)
 }
