@@ -68,6 +68,34 @@ class MonitorSpec extends AnyFunSuite {
     assert(Landing.read(spark, landing).count() === 3)
   }
 
+  test("empty findings array ingests as success: zero rows, nothing failed, file archived") {
+    // the reference's test_ingest_file_empty semantics
+    // (scripts/tests/test_ingest_raw_ocsf_findings.py:189): an empty
+    // array is a valid, successfully-processed file
+    val src        = tmpDir("mon_empty_src")
+    val landing    = tmpDir("mon_empty_landing")
+    val failed     = tmpDir("mon_empty_failed")
+    val checkpoint = tmpDir("mon_empty_ckpt")
+    val archive    = tmpDir("mon_empty_archive")
+
+    writeFile(src, "empty.ocsf.json", "[]")
+    writeFile(src, "good.ocsf.json", s"[${finding("uid-e1")}]")
+
+    val q = Monitor.run(spark, src, landing, failed, checkpoint, archiveDir = Some(archive))
+    q.awaitTermination()
+
+    assert(Landing.read(spark, landing).count() === 1) // only the good row
+    assert(!Files.exists(Paths.get(failed)) || Files.list(Paths.get(failed)).count() === 0)
+    // the empty file is recorded processed (not stuck, not retried):
+    // a checkpointed restart re-ingests nothing from either file
+    // (archive placement itself is asynchronous, so exactly-once
+    // accounting is the reliable success signal)
+    val q2 = Monitor.run(spark, src, landing, failed, checkpoint, archiveDir = Some(archive))
+    q2.awaitTermination()
+    assert(Landing.read(spark, landing).count() === 1)
+    assert(!Files.exists(Paths.get(failed)) || Files.list(Paths.get(failed)).count() === 0)
+  }
+
   test("daemon mode: processing-time polling picks up late files; graceful stop drains") {
     val src        = tmpDir("mond_src")
     val landing    = tmpDir("mond_landing")
