@@ -197,7 +197,12 @@ object Staging {
     * pattern (rewrite partitions, not rows in place); a transactional
     * table format replaces the swap with a metadata commit, same
     * dataflow. */
-  def mergeRun(spark: SparkSession, landingPath: String, stagingRoot: String): Long = {
+  def mergeRun(
+      spark: SparkSession,
+      landingPath: String,
+      stagingRoot: String,
+      clusterFiles: Option[Int] = None,
+  ): Long = {
     import org.apache.spark.sql.expressions.Window
     val landing = Landing.read(spark, landingPath)
     val current = readCurrent(spark, stagingRoot)
@@ -229,16 +234,21 @@ object Staging {
     // new version is never rescanned just for the return value.
     val obs     = org.apache.spark.sql.Observation()
     val mergedO = merged.observe(obs, count(lit(1)).as("rows"))
-    // Cluster each file by finding_uid at compaction time — the Spark
-    // analog of the reference's btree indexes
-    // (`add_new_indexes.sql:19-26` at `raw_ocsf_findings.sql:12-15`):
-    // parquet row-group min/max stats then skip on uid point lookups,
-    // and staging_loaded_at arrives naturally clustered because the
-    // merge appends fresh batches. At real scale the compaction would
-    // `repartitionByRange(finding_uid)` first so whole FILES cover
-    // disjoint uid ranges; within-partition sort keeps the test-scale
-    // file count stable while exercising the same skipping mechanics.
-    mergedO
+    // Cluster by finding_uid at compaction time — the Spark analog of
+    // the reference's btree indexes (`add_new_indexes.sql:19-26` at
+    // `raw_ocsf_findings.sql:12-15`). Default: within-partition sort,
+    // so parquet row-group min/max stats skip on uid point lookups
+    // with no extra shuffle and a stable file count.
+    // `clusterFiles = Some(n)`: full range-partitioned layout — one
+    // shuffle producing n files covering DISJOINT uid ranges, so a uid
+    // lookup prunes whole files, not just row groups. That is the
+    // production compaction layout; size n to the snapshot (target
+    // ~128 MB–1 GB per file at scale).
+    val clustered = clusterFiles match {
+      case Some(n) => mergedO.repartitionByRange(n, col("finding_uid"))
+      case None    => mergedO
+    }
+    clustered
       .sortWithinPartitions("finding_uid")
       .write
       .mode("overwrite")

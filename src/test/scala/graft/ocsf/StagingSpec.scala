@@ -167,6 +167,39 @@ class StagingSpec extends AnyFunSuite {
     assert(Staging.vacuumVersionsByAge(spark, stagingRoot, java.time.Duration.ZERO) === Seq.empty)
   }
 
+  test("clustered compaction: range-partitioned files cover disjoint uid ranges, same table") {
+    import spark.implicits._
+    val findings = ('a' to 'h').map(c =>
+      richFinding.replace("boann:sast:snyk:fingerprint:abc", s"boann:sast:snyk:fingerprint:$c"))
+    val docs = spark.read.schema(OcsfModel.ocsfFinding).json(findings.toDS())
+    val landingDir  = tmpDir("landing_cl")
+    val plainRoot   = tmpDir("staging_cl_plain")
+    val clusterRoot = tmpDir("staging_cl_ranged")
+    Landing.append(docs, landingDir)
+    Staging.mergeRun(spark, landingDir, plainRoot)
+    Staging.mergeRun(spark, landingDir, clusterRoot, clusterFiles = Some(2))
+
+    val plain  = Staging.readCurrent(spark, plainRoot).get
+    val ranged = Staging.readCurrent(spark, clusterRoot).get
+    assert(ranged.count() === 8L)
+    def uids(df: org.apache.spark.sql.DataFrame) =
+      df.select("finding_uid").collect().map(_.getString(0)).sorted.toSeq
+    assert(uids(ranged) === uids(plain))
+
+    // exactly 2 data files, and their uid ranges do not overlap
+    val parts = java.nio.file.Files
+      .list(java.nio.file.Paths.get(clusterRoot, "v=0"))
+      .toArray.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+      .sorted
+    assert(parts.length === 2, parts.mkString(", "))
+    val ranges = parts.map { p =>
+      val uids = spark.read.parquet(p).select("finding_uid").collect().map(_.getString(0))
+      (uids.min, uids.max)
+    }.sortBy(_._1)
+    assert(ranges(0)._2 < ranges(1)._1, s"file uid ranges overlap: ${ranges.toSeq}")
+  }
+
   test("composed retention policy: count window shields versions the age bound would drop") {
     import spark.implicits._
     val docs = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
