@@ -77,39 +77,48 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
-  /** The Rademacher hyperplane entry for (plane `p`, 1-based dim `i`):
-    * ±1 derived deterministically from md5(p ':' i) — reproducible in
-    * any engine, no RNG state. */
-  private def srpSign(p: Column, i: Column): Column =
-    when(
-      ascii(md5(concat(p.cast("string"), lit(":"), i.cast("string"))).substr(lit(1), lit(1))) >= 56,
-      lit(1.0),
-    ).otherwise(lit(-1.0))
-
   /** Signed-random-projection (SRP) LSH bucket per vector: `nPlanes`
     * Rademacher hyperplanes with entries derived deterministically from
     * md5(plane ':' dim) — reproducible in any engine, no RNG state.
     * Bucket id packs the sign bits of the plane dot products.
     *
+    * The plane entries are data-independent, so they are materialized
+    * once driver-side (same md5 formula the relational oracle runs)
+    * and the per-row work is `nPlanes` codegen'd float_dot calls in
+    * one projection — no runtime hashing, no explode/groupBy shuffle.
+    *
     * This is the ANN scale path: scoring happens only within buckets, so
     * the q×N cross product becomes q×(N / 2^nPlanes) expected. */
-  def srpBuckets(df: DataFrame, idCol: String, embCol: String, nPlanes: Int): DataFrame = {
-    val sign = srpSign _
-    df.select(col(idCol), col(embCol))
-      .withColumn("__p", explode(sequence(lit(0), lit(nPlanes - 1))))
-      .withColumn(
-        "__dot",
-        aggregate(
-          transform(
-            sequence(lit(1), size(col(embCol))),
-            i => element_at(col(embCol), i).cast("double") * sign(col("__p"), i),
-          ),
-          lit(0.0),
-          (acc, v) => acc + v,
-        ),
+  def srpBuckets(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      nPlanes: Int,
+      dim: Int = 64,
+  ): DataFrame = {
+    graft.functions.FloatVecDot.registerOn(df.sparkSession)
+    val planes  = srpPlaneLiterals(nPlanes, dim)
+    val bucket = (0 until nPlanes)
+      .map(p =>
+        when(graft.functions.FloatVecDot.float_dot(col(embCol), planes(p)) >= 0, lit(1L << p))
+          .otherwise(lit(0L))
       )
-      .groupBy(col(idCol))
-      .agg(sum(when(col("__dot") >= 0, expr("shiftleft(1, __p)")).otherwise(0)).as("bucket"))
+      .reduce(_ + _)
+    df.select(col(idCol), bucket.as("bucket"))
+  }
+
+  /** The ±1 plane matrix as `array<float>` literal columns — entry
+    * (p, i) = +1 iff the first md5("p:i") nibble ≥ 8 (1-based dim
+    * index i), the exact expression the relational oracle evaluates:
+    * `CASE WHEN ascii(substr(md5(p || ':' || i), 1, 1)) >= 56
+    *  THEN 1.0 ELSE -1.0 END`. */
+  private def srpPlaneLiterals(nPlanes: Int, dim: Int): IndexedSeq[Column] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def signOf(p: Int, i: Int): Float = {
+      val hex = md.digest(s"$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (hex.head.toInt >= 56) 1.0f else -1.0f
+    }
+    (0 until nPlanes).map(p => lit((1 to dim).map(i => signOf(p, i)).toArray))
   }
 
   /** Banded SRP signature: `nPlanes` plane sign bits split into `bands`
@@ -134,20 +143,12 @@ object Similarity {
     require(nPlanes % bands == 0, s"nPlanes ($nPlanes) must divide into bands ($bands)")
     graft.functions.FloatVecDot.registerOn(df.sparkSession)
     val r = nPlanes / bands
-    // The md5-derived ±1 plane entries are data-independent, so they are
-    // computed once here — with the exact md5 formula the relational
-    // oracle uses — and injected as array<float> literals. Each plane
-    // dot is then one codegen'd float_dot call (±1.0f casts to ±1.0
-    // double exactly, so the left-fold arithmetic is bit-identical to
-    // evaluating the sign expression per element). 72 planes × dim
-    // multiply-adds per row, zero runtime hashing, zero shuffle.
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def signOf(p: Int, i: Int): Float = {
-      val hex = md.digest(s"$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
-      if (hex.head.toInt >= 56) 1.0f else -1.0f
-    }
-    val planes: IndexedSeq[Column] =
-      (0 until nPlanes).map(p => lit((1 to dim).map(i => signOf(p, i)).toArray))
+    // Precomputed ±1 planes as array<float> literals: each plane dot is
+    // one codegen'd float_dot call (±1.0f casts to ±1.0 double exactly,
+    // so the left-fold arithmetic is bit-identical to evaluating the
+    // oracle's sign expression per element). nPlanes × dim multiply-adds
+    // per row, zero runtime hashing, zero shuffle.
+    val planes = srpPlaneLiterals(nPlanes, dim)
     val emb = col(embCol)
     val planeDot = (p: Int) => graft.functions.FloatVecDot.float_dot(emb, planes(p))
     // key of band b = sign bits of planes [b*r, (b+1)*r) packed little-endian
