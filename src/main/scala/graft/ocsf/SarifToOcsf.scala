@@ -241,15 +241,15 @@ object SarifToOcsf {
     * most), not for corpus-scale exports, which use the partitioned
     * line-JSON/parquet sinks. */
   def writeFindingsArray(findings: DataFrame, path: String, maxRows: Int = 100000): Unit = {
-    // Guard BEFORE materializing: limit(maxRows+1) caps the probe at one
-    // row over budget, so an oversized corpus fails without ever
-    // collecting to the driver.
-    val probe = findings.limit(maxRows + 1).count()
+    // Bounded single-pass collect: at most maxRows+1 JSON strings ever
+    // reach the driver, and the oversized case fails before writing —
+    // same guarantee as a separate count probe without executing the
+    // findings plan twice.
+    val rows = findings.toJSON.limit(maxRows + 1).collect()
     require(
-      probe <= maxRows,
+      rows.length <= maxRows,
       s"findings exceed maxRows=$maxRows; use a partitioned sink for bulk exports",
     )
-    val rows = findings.toJSON.collect()
     val p = java.nio.file.Paths.get(path)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(p, rows.mkString("[\n", ",\n", "\n]").getBytes("UTF-8"))

@@ -229,11 +229,8 @@ object Staging {
       case Some(c) => freshT.unionByName(c.join(freshT.select(keys.map(col): _*), keys, "left_anti"))
       case None    => freshT
     }
-    val next = currentVersion(spark, stagingRoot).getOrElse(-1L) + 1
-    // Snapshot row count observed on the compaction write itself — the
-    // new version is never rescanned just for the return value.
-    val obs     = org.apache.spark.sql.Observation()
-    val mergedO = merged.observe(obs, count(lit(1)).as("rows"))
+    val next       = currentVersion(spark, stagingRoot).getOrElse(-1L) + 1
+    val versionDir = s"$stagingRoot/v=$next"
     // Cluster by finding_uid at compaction time — the Spark analog of
     // the reference's btree indexes (`add_new_indexes.sql:19-26` at
     // `raw_ocsf_findings.sql:12-15`). Default: within-partition sort,
@@ -244,17 +241,34 @@ object Staging {
     // lookup prunes whole files, not just row groups. That is the
     // production compaction layout; size n to the snapshot (target
     // ~128 MB–1 GB per file at scale).
-    val clustered = clusterFiles match {
-      case Some(n) => mergedO.repartitionByRange(n, col("finding_uid"))
-      case None    => mergedO
+    val written: Long = clusterFiles match {
+      case Some(n) =>
+        // No Observation here: repartitionByRange's boundary-sampling
+        // job executes the plan (and would bump a CollectMetrics
+        // accumulator) a second time — observed counts double. Count
+        // from the written files instead; parquet count() is answered
+        // from footer metadata, no data pages are read.
+        merged
+          .repartitionByRange(n, col("finding_uid"))
+          .sortWithinPartitions("finding_uid")
+          .write
+          .mode("overwrite")
+          .parquet(versionDir)
+        spark.read.parquet(versionDir).count()
+      case None =>
+        // Snapshot row count observed on the compaction write itself —
+        // the new version is never rescanned just for the return value.
+        val obs = org.apache.spark.sql.Observation()
+        merged
+          .observe(obs, count(lit(1)).as("rows"))
+          .sortWithinPartitions("finding_uid")
+          .write
+          .mode("overwrite")
+          .parquet(versionDir)
+        obs.get("rows").asInstanceOf[Long]
     }
-    clustered
-      .sortWithinPartitions("finding_uid")
-      .write
-      .mode("overwrite")
-      .parquet(s"$stagingRoot/v=$next")
     swapPointer(spark, stagingRoot, next)
-    obs.get("rows").asInstanceOf[Long]
+    written
   }
 
   /** The active staging snapshot under a [[mergeRun]] root: `_CURRENT`
@@ -266,35 +280,59 @@ object Staging {
   def currentVersion(spark: SparkSession, stagingRoot: String): Option[Long] = {
     val root = new org.apache.hadoop.fs.Path(stagingRoot)
     val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ptr  = new org.apache.hadoop.fs.Path(root, "_CURRENT")
-    if (fs.exists(ptr)) {
-      val in = fs.open(ptr)
-      try Some(scala.io.Source.fromInputStream(in).mkString.trim.toLong)
+    readSideFile(fs, root, "_CURRENT") match {
+      case Some(v) => Some(v.toLong)
+      case None if fs.exists(root) =>
+        fs.listStatus(root)
+          .toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+          .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+          .map(_.getPath.getName.stripPrefix("v=").toLong)
+          .sorted
+          .lastOption
+      case None => None
+    }
+  }
+
+  /** Atomic side-file swap shared by every underscore-prefixed metadata
+    * file (`_CURRENT`, `_UID_PATTERN`): write to `.tmp`, delete the old
+    * file, rename into place. Rename is atomic; each caller covers the
+    * delete→rename gap with its own fallback (highest-complete-version
+    * for the pointer, absent-pattern for the constraint). */
+  private def writeSideFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      name: String,
+      value: String,
+  ): Unit = {
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"$name.tmp")
+    val ptr = new org.apache.hadoop.fs.Path(root, name)
+    val out = fs.create(tmp, true)
+    try out.write(value.getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    fs.rename(tmp, ptr)
+    ()
+  }
+
+  private def readSideFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      name: String,
+  ): Option[String] = {
+    val f = new org.apache.hadoop.fs.Path(root, name)
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim).filter(_.nonEmpty)
       finally in.close()
-    } else if (fs.exists(root)) {
-      fs.listStatus(root)
-        .toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-        .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-        .map(_.getPath.getName.stripPrefix("v=").toLong)
-        .sorted
-        .lastOption
     } else None
   }
 
   private def swapPointer(spark: SparkSession, stagingRoot: String, version: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(stagingRoot)
     val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp  = new org.apache.hadoop.fs.Path(root, s"_CURRENT.tmp")
-    val ptr  = new org.apache.hadoop.fs.Path(root, "_CURRENT")
-    val out  = fs.create(tmp, true)
-    try out.write(version.toString.getBytes("UTF-8"))
-    finally out.close()
-    if (fs.exists(ptr)) fs.delete(ptr, false)
-    // rename is atomic; the delete→rename gap is covered by the
-    // highest-complete-version fallback in currentVersion.
-    fs.rename(tmp, ptr)
-    ()
+    writeSideFile(fs, root, "_CURRENT", version.toString)
   }
 
   /** Age-based retention for [[mergeRun]] version directories — the
@@ -358,27 +396,29 @@ object Staging {
     dropped.map(_._1)
   }
 
-  /** Drop superseded version directories, keeping the newest `keep`. */
+  /** Drop superseded version directories, keeping the newest `keep` —
+    * the count-only case of [[vacuumVersionsPolicy]] (age bound ZERO:
+    * every superseded version outside the window qualifies). */
   def vacuumVersions(spark: SparkSession, stagingRoot: String, keep: Int = 2): Unit = {
-    val root = new org.apache.hadoop.fs.Path(stagingRoot)
-    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    val versions = fs
-      .listStatus(root)
-      .toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .sortBy(_.getPath.getName.stripPrefix("v=").toLong)
-    val active = currentVersion(spark, stagingRoot)
-    versions
-      .dropRight(keep)
-      .filterNot(s => active.contains(s.getPath.getName.stripPrefix("v=").toLong))
-      .foreach(s => fs.delete(s.getPath, true))
+    vacuumVersionsPolicy(spark, stagingRoot, keep, java.time.Duration.ZERO)
+    ()
   }
 
+  /** "Has data" = contains something a parquet reader would not skip.
+    * Underscore/dot-prefixed entries (`_UID_PATTERN`, `_CURRENT`,
+    * `_SUCCESS`, checksums) are metadata: a directory holding only
+    * those must read as empty, or the watermark read would throw
+    * UNABLE_TO_INFER_SCHEMA on e.g. a fresh root that only has a
+    * constraint installed. */
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p  = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    fs.exists(p) && fs
+      .listStatus(p)
+      .exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
   }
 
   /** P7: the reference's accepted-values data tests
@@ -409,12 +449,7 @@ object Staging {
   def storedUidPattern(spark: SparkSession, stagingPath: String): Option[String] = {
     val root = new org.apache.hadoop.fs.Path(stagingPath)
     val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val f    = new org.apache.hadoop.fs.Path(root, "_UID_PATTERN")
-    if (fs.exists(f)) {
-      val in = fs.open(f)
-      try Some(scala.io.Source.fromInputStream(in).mkString.trim).filter(_.nonEmpty)
-      finally in.close()
-    } else None
+    readSideFile(fs, root, "_UID_PATTERN")
   }
 
   /** Constraint reconciliation, the full lifecycle of the reference's
@@ -452,14 +487,7 @@ object Staging {
       }
       val root = new org.apache.hadoop.fs.Path(stagingPath)
       val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(root)) fs.mkdirs(root)
-      val tmp = new org.apache.hadoop.fs.Path(root, "_UID_PATTERN.tmp")
-      val ptr = new org.apache.hadoop.fs.Path(root, "_UID_PATTERN")
-      val out = fs.create(tmp, true)
-      try out.write(p.getBytes("UTF-8"))
-      finally out.close()
-      if (fs.exists(ptr)) fs.delete(ptr, false)
-      fs.rename(tmp, ptr)
+      writeSideFile(fs, root, "_UID_PATTERN", p)
       true
   }
 

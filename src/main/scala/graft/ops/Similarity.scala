@@ -87,6 +87,10 @@ object Similarity {
     * and the per-row work is `nPlanes` codegen'd float_dot calls in
     * one projection — no runtime hashing, no explode/groupBy shuffle.
     *
+    * `dim` MUST equal the embedding length: the dot folds over
+    * min(plane, embedding) elements, so an undersized `dim` silently
+    * projects only a prefix of each vector.
+    *
     * This is the ANN scale path: scoring happens only within buckets, so
     * the q×N cross product becomes q×(N / 2^nPlanes) expected. */
   def srpBuckets(
@@ -192,8 +196,12 @@ object Similarity {
       probes: Int = 0,
   ): DataFrame = {
     require(probes == 0 || probes == 1, "probes must be 0 (exact) or 1 (single-bit flips)")
-    val r    = nPlanes / bands
-    val keys = srpBandKeys(df, idCol, embCol, nPlanes, bands, dim)
+    val r = nPlanes / bands
+    // The signature table feeds both sides of the candidate self-join;
+    // localCheckpoint materializes it once (nPlanes dots per row) so the
+    // probe and exact sides read cached partitions instead of
+    // recomputing the projection.
+    val keys = srpBandKeys(df, idCol, embCol, nPlanes, bands, dim).localCheckpoint()
     val probeSide =
       if (probes == 0) keys.select(col(idCol).as("a_id"), col("band"), col("key"))
       else {
@@ -231,7 +239,8 @@ object Similarity {
 
   /** Approximate top-k: exact cosine ranking restricted to each query's
     * SRP bucket. Same output shape as [[bruteForceTopK]]; recall trades
-    * against `nPlanes`. */
+    * against `nPlanes`. `dim` must match the embedding length (see
+    * [[srpBuckets]]). */
   def srpTopK(
       df: DataFrame,
       idCol: String,
@@ -239,9 +248,10 @@ object Similarity {
       k: Int,
       nPlanes: Int,
       queryPred: Column,
+      dim: Int = 64,
   ): DataFrame = {
     val base = withNorm(df, embCol)
-      .join(srpBuckets(df, idCol, embCol, nPlanes), idCol)
+      .join(srpBuckets(df, idCol, embCol, nPlanes, dim), idCol)
     val q = base
       .filter(queryPred)
       .select(

@@ -173,18 +173,24 @@ object StreamingQueries {
       .partitionBy("__b")
       .parquet(tmpOut.toString)
     (0 to 2).foreach { i =>
-      val part = Files
-        .list(tmpOut.resolve(s"__b=$i"))
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst()
-        .get()
-      val dest = streamDir.resolve(s"events_$i.parquet")
-      Files.move(part, dest)
-      // mtime order IS the micro-batch order for the file source
-      Files.setLastModifiedTime(
-        dest,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L),
-      )
+      val bucketDir = tmpOut.resolve(s"__b=$i")
+      // an empty time range writes no partition directory — that bucket
+      // simply contributes no micro-batch
+      if (Files.exists(bucketDir)) {
+        val listing = Files.list(bucketDir)
+        val part =
+          try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst()
+          finally listing.close()
+        if (part.isPresent) {
+          val dest = streamDir.resolve(s"events_$i.parquet")
+          Files.move(part.get(), dest)
+          // mtime order IS the micro-batch order for the file source
+          Files.setLastModifiedTime(
+            dest,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L),
+          )
+        }
+      }
     }
     org.apache.commons.io.FileUtils.deleteDirectory(tmpOut.toFile)
     val rewrittenSchema = events.schema // ts already TIMESTAMP(MICROS) after rewrite

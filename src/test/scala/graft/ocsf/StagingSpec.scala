@@ -177,7 +177,10 @@ class StagingSpec extends AnyFunSuite {
     val clusterRoot = tmpDir("staging_cl_ranged")
     Landing.append(docs, landingDir)
     Staging.mergeRun(spark, landingDir, plainRoot)
-    Staging.mergeRun(spark, landingDir, clusterRoot, clusterFiles = Some(2))
+    val written = Staging.mergeRun(spark, landingDir, clusterRoot, clusterFiles = Some(2))
+    // guards the Observation/repartitionByRange double-count: the range
+    // boundary-sampling job must not inflate the returned row count
+    assert(written === 8L)
 
     val plain  = Staging.readCurrent(spark, plainRoot).get
     val ranged = Staging.readCurrent(spark, clusterRoot).get
@@ -220,6 +223,23 @@ class StagingSpec extends AnyFunSuite {
       Staging.vacuumVersionsPolicy(spark, stagingRoot, keep = 3, java.time.Duration.ofDays(7))
     assert(dropped === Seq(0L))
     assert(Staging.readCurrent(spark, stagingRoot).get.count() === 1L)
+  }
+
+  test("constraint installed on a fresh root does not brick ingestion") {
+    import spark.implicits._
+    // natural Postgres-macro order: install the constraint first, then
+    // ingest — the dir then holds only the _UID_PATTERN side file, which
+    // must read as an empty table, not UNABLE_TO_INFER_SCHEMA
+    val landingDir = tmpDir("landing_fresh")
+    val stagingDir = tmpDir("staging_fresh") + "/tbl"
+    assert(Staging.reconcileUidConstraint(spark, stagingDir, Some("^boann:.*$")))
+    // re-install a different pattern on the still-empty root: no rows to
+    // violate, must succeed rather than crash reading the side file as parquet
+    assert(Staging.reconcileUidConstraint(spark, stagingDir, Some("^boann:sast:.*$")))
+    val docs = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
+    Landing.append(docs, landingDir)
+    assert(Staging.incrementalRun(spark, landingDir, stagingDir) === 1L)
+    assert(spark.read.parquet(stagingDir).count() === 1L)
   }
 
   test("UID constraint reconciliation: install, no-op, tightened pattern surfaces existing rows") {
