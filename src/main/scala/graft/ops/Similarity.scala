@@ -237,6 +237,41 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** Embedding near-dup pairs keyed on IVF cells instead of SRP bands:
+    * candidates are pairs where one side's `nprobe` nearest cells
+    * include the other side's home cell (symmetric via least/greatest
+    * canonicalization), verified with the exact cosine. Reuses a
+    * trained codebook ([[ivfCentroids]]/[[ivfRefine]]) — the variant to
+    * pick when an IVF index already exists for ANN search; recall
+    * tunes with `nprobe` and the cell count. The scoring join is keyed
+    * on cent_id (broadcast codebook, no all-pairs product), candidates
+    * ∝ Σ|cell|² — bounded by the quantizer, not corpus². */
+  def embeddingDupPairsIvf(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      tau: Double,
+      centroids: DataFrame,
+      nprobe: Int = 2,
+  ): DataFrame = {
+    val base = withNorm(df, embCol)
+    val cand = ivfAssign(base, centroids, idCol, embCol, nprobe = 1)
+      .select(col(idCol).as("b_id"), col(embCol).as("__eb"), col("nrm").as("__nb"), col("cent_id"))
+    val probe = ivfAssign(base, centroids, idCol, embCol, nprobe = nprobe)
+      .select(col(idCol).as("a_id"), col(embCol).as("__ea"), col("nrm").as("__na"), col("cent_id"))
+    probe
+      .join(cand, Seq("cent_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos", dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")))
+      .filter(col("cos") >= tau)
+      .select(
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        col("cos"),
+      )
+      .distinct()
+  }
+
   /** Approximate top-k: exact cosine ranking restricted to each query's
     * SRP bucket. Same output shape as [[bruteForceTopK]]; recall trades
     * against `nPlanes`. `dim` must match the embedding length (see

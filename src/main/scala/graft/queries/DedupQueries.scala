@@ -313,7 +313,56 @@ object DedupQueries {
     )
   }
 
+  /** IVF-cell-keyed embedding near-dup pairs (16 deterministic sampled
+    * centroids, nprobe=2): candidate pairs share a probed cell, exact
+    * cosine verify. The variant that reuses an existing ANN codebook;
+    * the whole index is deterministic arithmetic, so the oracle checks
+    * cell assignment, probing, and the verify threshold. */
+  private val embeddingPairsIvf = Q(
+    "ddp_embedding_pairs_ivf",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y)) AS nrm
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |  FROM (
+       |    SELECT e.vec_id, cent_id,
+       |      list_reduce(list_transform(generate_series(1, len(e.embedding)),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)),
+       |        (x, y) -> x + y) / (e.nrm * cnrm) AS ccos
+       |    FROM e CROSS JOIN cent)),
+       |cand AS (SELECT vec_id, cent_id FROM asg WHERE crk = 1),
+       |probe AS (SELECT vec_id, cent_id FROM asg WHERE crk <= 2),
+       |pairs AS (
+       |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS a_id,
+       |         greatest(a.vec_id, b.vec_id) AS b_id
+       |  FROM probe a JOIN cand b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id)
+       |SELECT a_id, b_id, cos FROM (
+       |  SELECT a_id, b_id,
+       |    list_reduce(list_transform(generate_series(1, len(ea.embedding)),
+       |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y) / (ea.nrm * eb.nrm) AS cos
+       |  FROM pairs JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id)
+       |WHERE cos >= 0.45""".stripMargin,
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    graft.ops.Similarity.embeddingDupPairsIvf(
+      emb,
+      idCol = "vec_id",
+      embCol = "embedding",
+      tau = 0.45,
+      centroids = graft.ops.Similarity.ivfCentroids(emb, "vec_id", "embedding", 16),
+      nprobe = 2,
+    )
+  }
+
   val all: Seq[Q] =
     Seq(exactGroups, jaccardPairs, minhashLsh, simhashSigs, simhashPairs, jaccardComponents,
-      dedupKeep, embeddingPairs, embeddingPairsMp)
+      dedupKeep, embeddingPairs, embeddingPairsMp, embeddingPairsIvf)
 }

@@ -199,6 +199,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got.keySet === truth.keySet)
     got.foreach { case (k, c) => assert(math.abs(c - truth(k)) < 1e-12) }
 
+    // IVF-cell-keyed variant: emits only true pairs, and a noisy copy
+    // lands in (or probes into) its source's cell, so the planted set
+    // is fully recovered here too
+    val ivf = Similarity
+      .embeddingDupPairsIvf(df, "vec_id", "embedding", tau = 0.9,
+        centroids = Similarity.ivfCentroids(df, "vec_id", "embedding", 8), nprobe = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    assert(ivf.subsetOf(truth.keySet), "IVF variant emitted a below-threshold pair")
+    assert(ivf === truth.keySet, s"IVF variant recall: ${ivf.size}/${truth.size}")
+
     // the banded join prunes: collision candidates well under all-pairs
     val keys =
       Similarity.srpBandKeys(df, "vec_id", "embedding", nPlanes = 72, bands = 12, dim = dim)
