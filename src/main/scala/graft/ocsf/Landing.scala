@@ -56,6 +56,25 @@ object Landing {
       spark: SparkSession,
       path: String,
       cutoff: java.time.LocalDate,
+  ): Seq[String] =
+    // keepDays=1: never drop the newest partition even when it predates
+    // the cutoff — an empty landing directory cannot be read back (no
+    // schema), which would wedge the next staging run until new data
+    // arrives.
+    retentionVacuumPolicy(spark, path, keepDays = 1, cutoff)
+
+  /** Composed retention in one listing pass, the landing twin of
+    * [[Staging.vacuumVersionsPolicy]]: always retain the newest
+    * `keepDays` date partitions; among the rest, drop only those
+    * strictly older than `cutoff`. The count bound guarantees a
+    * replay/debug window regardless of ingest cadence; the date bound
+    * enforces the retention policy. Returns dropped dates, oldest
+    * first. */
+  def retentionVacuumPolicy(
+      spark: SparkSession,
+      path: String,
+      keepDays: Int,
+      cutoff: java.time.LocalDate,
   ): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -69,11 +88,10 @@ object Landing {
         scala.util.Try(java.time.LocalDate.parse(date)).toOption.map(_ -> s.getPath)
       }
       .sortBy(_._1)
-    // Never drop the newest partition even when it predates the cutoff:
-    // an empty landing directory cannot be read back (no schema), which
-    // would wedge the next staging run until new data arrives.
-    val dropped = partitions.dropRight(1).filter(_._1.isBefore(cutoff))
-    dropped.foreach { case (_, path) => fs.delete(path, true) }
+    val dropped = partitions
+      .dropRight(math.max(keepDays, 1))
+      .filter(_._1.isBefore(cutoff))
+    dropped.foreach { case (_, p) => fs.delete(p, true) }
     dropped.map(_._1.toString)
   }
 }

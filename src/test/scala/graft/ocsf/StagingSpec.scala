@@ -362,6 +362,31 @@ class StagingSpec extends AnyFunSuite {
       Array("uid-new"))
   }
 
+  test("landing composed retention: keepDays window shields partitions past the cutoff") {
+    import spark.implicits._
+    val path = tmpDir("landing_ret_pol")
+    Seq(
+      ("uid-1", "2024-01-05"),
+      ("uid-2", "2024-02-10"),
+      ("uid-3", "2024-03-01"),
+      ("uid-4", "2024-03-02"),
+    ).toDF("finding_uid", "d")
+      .withColumn("loaded_date", org.apache.spark.sql.functions.to_date($"d"))
+      .drop("d")
+      .write
+      .mode("append")
+      .partitionBy("loaded_date")
+      .parquet(path)
+
+    // cutoff beyond everything, but keepDays=3 shields the newest three
+    val dropped = Landing
+      .retentionVacuumPolicy(spark, path, keepDays = 3, java.time.LocalDate.parse("2030-01-01"))
+    assert(dropped === Seq("2024-01-05"))
+    val remaining =
+      spark.read.parquet(path).select("finding_uid").collect().map(_.getString(0)).sorted
+    assert(remaining === Array("uid-2", "uid-3", "uid-4"))
+  }
+
   test("accepted-values and uid-format validators (P6/P7)") {
     val staged = stagingRows
     val df     = spark.createDataFrame(spark.sparkContext.parallelize(staged.toSeq), stagingRowsSchema)
