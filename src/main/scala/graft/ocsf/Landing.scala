@@ -68,8 +68,10 @@ object Landing {
     * `keepDays` date partitions; among the rest, drop only those
     * strictly older than `cutoff`. The count bound guarantees a
     * replay/debug window regardless of ingest cadence; the date bound
-    * enforces the retention policy. Returns dropped dates, oldest
-    * first. */
+    * enforces the retention policy. `keepDays` is clamped to ≥ 1: the
+    * newest partition is never dropped, whatever the arguments — an
+    * empty landing dir is unreadable (no schema) and would wedge the
+    * next staging run. Returns dropped dates, oldest first. */
   def retentionVacuumPolicy(
       spark: SparkSession,
       path: String,

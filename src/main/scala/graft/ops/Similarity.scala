@@ -255,9 +255,15 @@ object Similarity {
       nprobe: Int = 2,
   ): DataFrame = {
     val base = withNorm(df, embCol)
-    val cand = ivfAssign(base, centroids, idCol, embCol, nprobe = 1)
+    // One full-corpus assignment, materialized once: the home cell is
+    // just rank 1 of the nprobe assignment, so the cand side is a
+    // filter, not a second N×C scoring pass.
+    val asg = ivfAssign(base, centroids, idCol, embCol, nprobe = nprobe, keepRank = true)
+      .localCheckpoint()
+    val cand = asg
+      .filter(col("cent_rank") === 1)
       .select(col(idCol).as("b_id"), col(embCol).as("__eb"), col("nrm").as("__nb"), col("cent_id"))
-    val probe = ivfAssign(base, centroids, idCol, embCol, nprobe = nprobe)
+    val probe = asg
       .select(col(idCol).as("a_id"), col(embCol).as("__ea"), col("nrm").as("__na"), col("cent_id"))
     probe
       .join(cand, Seq("cent_id"))
@@ -335,15 +341,18 @@ object Similarity {
       idCol: String,
       embCol: String,
       nprobe: Int,
+      keepRank: Boolean = false,
   ): DataFrame = {
     val scored = df
       .join(broadcast(centroids))
       .withColumn("__ccos", dot(col(embCol), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__ccos").desc, col("cent_id"))
-    scored
+    val ranked = scored
       .withColumn("__crk", row_number().over(w))
       .filter(col("__crk") <= nprobe)
-      .drop("__ccos", "__crk", "cent_emb", "cent_nrm")
+      .drop("__ccos", "cent_emb", "cent_nrm")
+    if (keepRank) ranked.withColumnRenamed("__crk", "cent_rank")
+    else ranked.drop("__crk")
   }
 
   /** IVF approximate top-k: candidates live in exactly one cell

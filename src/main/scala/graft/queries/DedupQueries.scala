@@ -215,6 +215,43 @@ object DedupQueries {
       .select("doc_id", "source")
   }
 
+  /** Shared oracle CTE: embeddings with their left-fold L2 norm. */
+  private val embCte =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |      (x, y) -> x + y)) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  /** Shared oracle CTEs: md5-Rademacher SRP band keys (72 planes in 12
+    * bands of 6 bits) — the identical index the Spark side builds from
+    * precomputed plane literals. */
+  private val srpBandCte =
+    """d AS (
+      |  SELECT vec_id, p,
+      |    list_reduce(list_transform(generate_series(1, len(embedding)),
+      |      i -> CAST(embedding[i] AS DOUBLE) *
+      |           (CASE WHEN ascii(substr(md5(p || ':' || i), 1, 1)) >= 56
+      |                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) AS dotp
+      |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 71)) AS p) pl),
+      |bk AS (
+      |  SELECT vec_id, p // 6 AS band,
+      |         SUM(CASE WHEN dotp >= 0 THEN (1 << (p % 6)) ELSE 0 END) AS key
+      |  FROM d GROUP BY 1, 2)""".stripMargin
+
+  /** Shared oracle tail: exact-cosine verify of a `cand(a_id, b_id)`
+    * CTE at τ = 0.45. A change to the fold or threshold must hit every
+    * embedding-pairs oracle at once. */
+  private val cosVerifyTail =
+    """SELECT a_id, b_id, cos FROM (
+      |  SELECT a_id, b_id,
+      |    list_reduce(list_transform(generate_series(1, len(ea.embedding)),
+      |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
+      |      (x, y) -> x + y) / (ea.nrm * eb.nrm) AS cos
+      |  FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id)
+      |WHERE cos >= 0.45""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs (τ = 0.45; 72 md5-Rademacher
     * planes in 12 bands of 6 bits): SRP band-collision candidates,
     * verified with the exact left-fold cosine. Both engines build the
@@ -222,36 +259,15 @@ object DedupQueries {
     * candidate generation and the verify threshold. The synthetic
     * embeddings are near-orthogonal (max pairwise cos ≈ 0.51), hence
     * the low demo τ; production near-dup (τ ≥ 0.9) recall for this
-    * config is ≥ 0.99 (see `SimilaritySpec`). */
+    * config is ≥ 0.99 (see OpsSpec). */
   private val embeddingPairs = Q(
     "ddp_embedding_pairs",
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding,
-       |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
-       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-       |      (x, y) -> x + y)) AS nrm
-       |  FROM embeddings),
-       |d AS (
-       |  SELECT vec_id, p,
-       |    list_reduce(list_transform(generate_series(1, len(embedding)),
-       |      i -> CAST(embedding[i] AS DOUBLE) *
-       |           (CASE WHEN ascii(substr(md5(p || ':' || i), 1, 1)) >= 56
-       |                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) AS dotp
-       |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 71)) AS p) pl),
-       |bk AS (
-       |  SELECT vec_id, p // 6 AS band,
-       |         SUM(CASE WHEN dotp >= 0 THEN (1 << (p % 6)) ELSE 0 END) AS key
-       |  FROM d GROUP BY 1, 2),
+    s"""$embCte,
+       |$srpBandCte,
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
-       |SELECT a_id, b_id, cos FROM (
-       |  SELECT a_id, b_id,
-       |    list_reduce(list_transform(generate_series(1, len(ea.embedding)),
-       |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
-       |      (x, y) -> x + y) / (ea.nrm * eb.nrm) AS cos
-       |  FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id)
-       |WHERE cos >= 0.45""".stripMargin,
+       |$cosVerifyTail""".stripMargin,
   ) { (s, d) =>
     graft.ops.Similarity.embeddingDupPairs(
       embeddings(s, d),
@@ -271,36 +287,15 @@ object DedupQueries {
     * approximation itself is what's checked. */
   private val embeddingPairsMp = Q(
     "ddp_embedding_pairs_mp",
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding,
-       |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
-       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-       |      (x, y) -> x + y)) AS nrm
-       |  FROM embeddings),
-       |d AS (
-       |  SELECT vec_id, p,
-       |    list_reduce(list_transform(generate_series(1, len(embedding)),
-       |      i -> CAST(embedding[i] AS DOUBLE) *
-       |           (CASE WHEN ascii(substr(md5(p || ':' || i), 1, 1)) >= 56
-       |                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) AS dotp
-       |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 71)) AS p) pl),
-       |bk AS (
-       |  SELECT vec_id, p // 6 AS band,
-       |         SUM(CASE WHEN dotp >= 0 THEN (1 << (p % 6)) ELSE 0 END) AS key
-       |  FROM d GROUP BY 1, 2),
+    s"""$embCte,
+       |$srpBandCte,
        |probe AS (
        |  SELECT vec_id, band, xor(key, m) AS key
        |  FROM bk CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS m) flips),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |  FROM probe a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
-       |SELECT a_id, b_id, cos FROM (
-       |  SELECT a_id, b_id,
-       |    list_reduce(list_transform(generate_series(1, len(ea.embedding)),
-       |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
-       |      (x, y) -> x + y) / (ea.nrm * eb.nrm) AS cos
-       |  FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id)
-       |WHERE cos >= 0.45""".stripMargin,
+       |$cosVerifyTail""".stripMargin,
   ) { (s, d) =>
     graft.ops.Similarity.embeddingDupPairs(
       embeddings(s, d),
@@ -320,12 +315,7 @@ object DedupQueries {
     * cell assignment, probing, and the verify threshold. */
   private val embeddingPairsIvf = Q(
     "ddp_embedding_pairs_ivf",
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding,
-       |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
-       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-       |      (x, y) -> x + y)) AS nrm
-       |  FROM embeddings),
+    s"""$embCte,
        |cent AS (
        |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16),
        |asg AS (
@@ -337,19 +327,13 @@ object DedupQueries {
        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(cemb[i] AS DOUBLE)),
        |        (x, y) -> x + y) / (e.nrm * cnrm) AS ccos
        |    FROM e CROSS JOIN cent)),
-       |cand AS (SELECT vec_id, cent_id FROM asg WHERE crk = 1),
+       |home AS (SELECT vec_id, cent_id FROM asg WHERE crk = 1),
        |probe AS (SELECT vec_id, cent_id FROM asg WHERE crk <= 2),
-       |pairs AS (
+       |cand AS (
        |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS a_id,
        |         greatest(a.vec_id, b.vec_id) AS b_id
-       |  FROM probe a JOIN cand b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id)
-       |SELECT a_id, b_id, cos FROM (
-       |  SELECT a_id, b_id,
-       |    list_reduce(list_transform(generate_series(1, len(ea.embedding)),
-       |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
-       |      (x, y) -> x + y) / (ea.nrm * eb.nrm) AS cos
-       |  FROM pairs JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id)
-       |WHERE cos >= 0.45""".stripMargin,
+       |  FROM probe a JOIN home b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id)
+       |$cosVerifyTail""".stripMargin,
   ) { (s, d) =>
     val emb = embeddings(s, d)
     graft.ops.Similarity.embeddingDupPairsIvf(

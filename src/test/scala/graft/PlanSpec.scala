@@ -79,6 +79,16 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("ddp_embedding_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"near-dup pair join is not collision-keyed:\n$p")
+    // multi-probe expands keys but must still join hash-keyed
+    val mp = planOf("ddp_embedding_pairs_mp")
+    assert(!mp.contains("CartesianProduct") && !mp.contains("BroadcastNestedLoopJoin"),
+      s"multi-probe pair join is not collision-keyed:\n$mp")
+    // IVF variant: both pair sides are corpus-sized, so the correct
+    // plan is a cent_id-keyed shuffle join — anything unkeyed
+    // (cartesian / nested-loop on the pair sides) is the regression
+    val ivf = planOf("ddp_embedding_pairs_ivf")
+    assert(!ivf.contains("CartesianProduct") && !ivf.contains("BroadcastNestedLoopJoin"),
+      s"IVF pair join is not cell-keyed:\n$ivf")
   }
 
   test("IVF scoring join broadcasts the probe side — no shuffle of candidates by cell") {
