@@ -346,7 +346,76 @@ object DedupQueries {
     )
   }
 
+  /** The composed training-corpus pipeline, end to end in the gate:
+    * quality gate (token bounds) → language gate (marker heuristic) →
+    * exact dedup (normalized fingerprint, keep min id) → fuzzy dedup
+    * (MinHash-LSH candidates verified at Jaccard ≥ 0.8, components,
+    * canonical keep). Every stage reuses an oracle expression already
+    * proven by its standalone query; this checks their composition —
+    * the actual "write the cleaned corpus" operation. */
+  private val corpusPrepare = Q(
+    "ddp_corpus_prepare",
+    """WITH RECURSIVE filt AS (
+      |  SELECT doc_id, text, source FROM (
+      |    SELECT doc_id, text, source,
+      |      len(regexp_extract_all(text, '\w+')) AS n_tok,
+      |      len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS h_en,
+      |      len(regexp_extract_all(text, '\b(el|la|de|los|que|y)\b')) AS h_es,
+      |      len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS h_de,
+      |      len(regexp_extract_all(text, '\b(le|la|les|et|est)\b')) AS h_fr
+      |    FROM documents)
+      |  WHERE n_tok BETWEEN 10 AND 100000
+      |    AND (CASE WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+      |              WHEN h_es > 0 AND h_es >= h_de AND h_es >= h_fr THEN 'es'
+      |              WHEN h_de > 0 AND h_de >= h_fr THEN 'de'
+      |              WHEN h_fr > 0 THEN 'fr'
+      |              ELSE 'und' END) = 'en'),
+      |keepx AS (
+      |  SELECT min(doc_id) AS keep_id
+      |  FROM filt GROUP BY md5(trim(regexp_replace(text, '\s+', ' ', 'g')))),
+      |ex AS (SELECT f.* FROM filt f JOIN keepx ON doc_id = keep_id),
+      |toks AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM ex),
+      |shing AS (SELECT doc_id,
+      |    unnest(list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+      |mh AS (
+      |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+      |  FROM shing CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+      |  GROUP BY doc_id, seed),
+      |bands AS (
+      |  SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+      |  FROM mh GROUP BY doc_id, seed // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      |common AS (
+      |  SELECT a_id, b_id, count(*) AS c
+      |  FROM cand JOIN shing sa ON sa.doc_id = a_id
+      |       JOIN shing sb ON sb.doc_id = b_id AND sa.sh = sb.sh
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT a_id, b_id
+      |  FROM common JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
+      |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.8),
+      |edges AS (SELECT a_id AS s, b_id AS d FROM jp UNION SELECT b_id, a_id FROM jp),
+      |reach(s, d) AS (
+      |  SELECT s, d FROM edges
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+      |SELECT doc_id, source FROM ex
+      |WHERE doc_id NOT IN (
+      |  SELECT s FROM (SELECT s, least(s, min(d)) AS component FROM reach GROUP BY s)
+      |  WHERE s <> component)""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.CorpusPipeline
+      .prepare(documents(s, d), "doc_id", "text")
+      .select("doc_id", "source")
+  }
+
   val all: Seq[Q] =
     Seq(exactGroups, jaccardPairs, minhashLsh, simhashSigs, simhashPairs, jaccardComponents,
-      dedupKeep, embeddingPairs, embeddingPairsMp, embeddingPairsIvf)
+      dedupKeep, embeddingPairs, embeddingPairsMp, embeddingPairsIvf, corpusPrepare)
 }
