@@ -35,21 +35,28 @@ object CorpusPipeline {
     // 2. language gate: heuristic marker-word ID
     val inLang = quality.filter(Text.langId(col(textCol)).isin(cfg.languages.toSeq: _*))
 
-    // 3. exact dedup: keep the smallest id per normalized fingerprint
+    // 3. exact dedup: keep the smallest id per normalized fingerprint.
+    // The surviving subset feeds two downstream consumers (the shingle
+    // build and the final canonical anti-join); localCheckpoint
+    // materializes the gates + dedup once instead of re-running the
+    // regex predicates and fingerprint groupBy per consumer.
     val keep = Dedup
       .exactGroups(inLang, idCol, textCol)
       .select(col("keep_id").as("__keep_id"))
-    val exactDeduped = inLang.join(keep, inLang(idCol) === col("__keep_id"), "left_semi")
+    val exactDeduped = inLang
+      .join(keep, inLang(idCol) === col("__keep_id"), "left_semi")
+      .localCheckpoint()
 
     // 4. fuzzy dedup: MinHash-LSH candidates → verified pairs →
-    //    components → canonical member per component
+    //    components → canonical member per component. The shingle table
+    //    feeds both the signature aggregation and the Jaccard verify —
+    //    materialized once, the "write the shingle table before the
+    //    dedup suite" pattern at pipeline scope.
+    val shingles = Dedup
+      .shingleSets(exactDeduped, idCol, textCol, cfg.shingleN)
+      .localCheckpoint()
     val pairs = Dedup
-      .minhashLshPairs(
-        Dedup.shingleSets(exactDeduped, idCol, textCol, cfg.shingleN),
-        cfg.minhashK,
-        cfg.rowsPerBand,
-        cfg.minJaccard,
-      )
+      .minhashLshPairs(shingles, cfg.minhashK, cfg.rowsPerBand, cfg.minJaccard)
       .select("a_id", "b_id")
     Dedup.dedupByPairs(exactDeduped, idCol, pairs)
   }
