@@ -40,7 +40,8 @@ object OcsfCli {
       |          (env: GRAFT_POLL_INTERVAL, GRAFT_MAX_FILES_PER_TRIGGER)
       |  stage <landing> <staging>
       |  stage-merge <landing> <staging-root>
-      |  vacuum <landing> <cutoff-date>
+      |  vacuum <landing> <cutoff-date> [keep-days]
+      |  vacuum-versions <staging-root> <keep> [max-age-days]
       |  help""".stripMargin
 
   /** Dispatch, returning the process exit code — separated from [[main]]
@@ -94,14 +95,39 @@ object OcsfCli {
       q.awaitTermination()
       0
 
-    case "vacuum" :: landing :: cutoff :: Nil =>
-      scala.util.Try(java.time.LocalDate.parse(cutoff)).toOption match {
-        case Some(date) =>
-          val dropped = Landing.retentionVacuum(spark, landing, date)
+    case "vacuum" :: landing :: cutoff :: rest if rest.size <= 1 =>
+      (
+        scala.util.Try(java.time.LocalDate.parse(cutoff)).toOption,
+        scala.util.Try(rest.headOption.map(_.toInt)).toOption,
+      ) match {
+        case (Some(date), Some(keepDays)) =>
+          val dropped = keepDays match {
+            case Some(k) => Landing.retentionVacuumPolicy(spark, landing, k, date)
+            case None    => Landing.retentionVacuum(spark, landing, date)
+          }
           println(s"[ocsf] dropped partitions: ${dropped.mkString(", ")}")
           0
+        case _ =>
+          System.err.println(
+            s"Invalid vacuum args (want <landing> yyyy-MM-dd [keep-days]): " +
+              s"${(cutoff :: rest).mkString(" ")}\n$usage"
+          )
+          2
+      }
+
+    case "vacuum-versions" :: stagingRoot :: keep :: rest if rest.size <= 1 =>
+      scala.util.Try((keep.toInt, rest.headOption.map(_.toInt))).toOption match {
+        case Some((k, Some(ageDays))) =>
+          val dropped = Staging
+            .vacuumVersionsPolicy(spark, stagingRoot, k, java.time.Duration.ofDays(ageDays.toLong))
+          println(s"[ocsf] dropped versions: ${dropped.mkString(", ")}")
+          0
+        case Some((k, None)) =>
+          Staging.vacuumVersions(spark, stagingRoot, k)
+          println(s"[ocsf] vacuumed to newest $k versions")
+          0
         case None =>
-          System.err.println(s"Invalid cutoff date (want yyyy-MM-dd): $cutoff\n$usage")
+          System.err.println(s"Invalid vacuum-versions args: $keep ${rest.mkString(" ")}\n$usage")
           2
       }
 

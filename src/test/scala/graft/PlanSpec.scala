@@ -91,6 +91,12 @@ class PlanSpec extends AnyFunSuite {
       s"IVF pair join is not cell-keyed:\n$ivf")
   }
 
+  test("corpus pipeline composes without cartesian products") {
+    val p = planOf("ddp_corpus_prepare")
+    assert(!p.contains("CartesianProduct"),
+      s"pipeline stage degenerated to a cartesian product:\n$p")
+  }
+
   test("IVF scoring join broadcasts the probe side — no shuffle of candidates by cell") {
     val p = planOf("sim_ann_ivf_topk")
     assert(p.contains("BroadcastHashJoin"), p)

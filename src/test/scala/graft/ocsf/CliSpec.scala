@@ -33,6 +33,8 @@ class CliSpec extends AnyFunSuite {
     assert(run("convert", "a", "b", "too-many") === 2)
     assert(run("monitor", "src") === 2)
     assert(run("vacuum", tmpDir("cli_v"), "not-a-date") === 2)
+    assert(run("vacuum", tmpDir("cli_v"), "2020-01-01", "not-a-number") === 2)
+    assert(run("vacuum-versions", tmpDir("cli_vv"), "not-a-number") === 2)
   }
 
   test("convert → monitor → stage → stage-merge → vacuum, end to end") {
@@ -60,6 +62,16 @@ class CliSpec extends AnyFunSuite {
 
     // nothing is old enough to drop, but the command itself must succeed
     assert(run("vacuum", landing, "2020-01-01") === 0)
+    assert(run("vacuum", landing, "2020-01-01", "2") === 0) // composed policy form
     assert(Landing.read(spark, landing).count() === 3)
+
+    // version vacuum: a second merge makes v=1; count-based keep=1
+    // drops the superseded v=0, and the composed form also succeeds
+    assert(run("stage-merge", landing, mergeRoot) === 0)
+    assert(Staging.currentVersion(spark, mergeRoot) === Some(1L))
+    assert(run("vacuum-versions", mergeRoot, "1") === 0)
+    assert(!Files.exists(Paths.get(mergeRoot, "v=0")))
+    assert(run("vacuum-versions", mergeRoot, "1", "7") === 0)
+    assert(Staging.readCurrent(spark, mergeRoot).get.count() === 3)
   }
 }
