@@ -98,18 +98,17 @@ object OcsfCli {
     case "vacuum" :: landing :: cutoff :: rest if rest.size <= 1 =>
       (
         scala.util.Try(java.time.LocalDate.parse(cutoff)).toOption,
-        scala.util.Try(rest.headOption.map(_.toInt)).toOption,
+        scala.util.Try(rest.headOption.map(_.toInt)).toOption.flatten.orElse(
+          if (rest.isEmpty) Some(1) else None
+        ),
       ) match {
-        case (Some(date), Some(keepDays)) =>
-          val dropped = keepDays match {
-            case Some(k) => Landing.retentionVacuumPolicy(spark, landing, k, date)
-            case None    => Landing.retentionVacuum(spark, landing, date)
-          }
+        case (Some(date), Some(keepDays)) if keepDays >= 1 =>
+          val dropped = Landing.retentionVacuumPolicy(spark, landing, keepDays, date)
           println(s"[ocsf] dropped partitions: ${dropped.mkString(", ")}")
           0
         case _ =>
           System.err.println(
-            s"Invalid vacuum args (want <landing> yyyy-MM-dd [keep-days]): " +
+            s"Invalid vacuum args (want <landing> yyyy-MM-dd [keep-days >= 1]): " +
               s"${(cutoff :: rest).mkString(" ")}\n$usage"
           )
           2
@@ -117,17 +116,18 @@ object OcsfCli {
 
     case "vacuum-versions" :: stagingRoot :: keep :: rest if rest.size <= 1 =>
       scala.util.Try((keep.toInt, rest.headOption.map(_.toInt))).toOption match {
-        case Some((k, Some(ageDays))) =>
-          val dropped = Staging
-            .vacuumVersionsPolicy(spark, stagingRoot, k, java.time.Duration.ofDays(ageDays.toLong))
+        case Some((k, ageDays)) if k >= 1 && ageDays.forall(_ >= 0) =>
+          // no age argument = count-only retention (age bound ZERO:
+          // every superseded version beyond the window qualifies)
+          val maxAge = java.time.Duration.ofDays(ageDays.getOrElse(0).toLong)
+          val dropped = Staging.vacuumVersionsPolicy(spark, stagingRoot, k, maxAge)
           println(s"[ocsf] dropped versions: ${dropped.mkString(", ")}")
           0
-        case Some((k, None)) =>
-          Staging.vacuumVersions(spark, stagingRoot, k)
-          println(s"[ocsf] vacuumed to newest $k versions")
-          0
-        case None =>
-          System.err.println(s"Invalid vacuum-versions args: $keep ${rest.mkString(" ")}\n$usage")
+        case _ =>
+          System.err.println(
+            s"Invalid vacuum-versions args (want <staging-root> <keep >= 1> " +
+              s"[max-age-days >= 0]): $keep ${rest.mkString(" ")}\n$usage"
+          )
           2
       }
 

@@ -43,9 +43,11 @@ object CorpusPipeline {
     val keep = Dedup
       .exactGroups(inLang, idCol, textCol)
       .select(col("keep_id").as("__keep_id"))
+    // lazy: materializes at the first action, not at plan construction,
+    // so prepare() keeps its DataFrame-in/DataFrame-out laziness
     val exactDeduped = inLang
       .join(keep, inLang(idCol) === col("__keep_id"), "left_semi")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // 4. fuzzy dedup: MinHash-LSH candidates → verified pairs →
     //    components → canonical member per component. The shingle table
@@ -54,7 +56,7 @@ object CorpusPipeline {
     //    dedup suite" pattern at pipeline scope.
     val shingles = Dedup
       .shingleSets(exactDeduped, idCol, textCol, cfg.shingleN)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val pairs = Dedup
       .minhashLshPairs(shingles, cfg.minhashK, cfg.rowsPerBand, cfg.minJaccard)
       .select("a_id", "b_id")

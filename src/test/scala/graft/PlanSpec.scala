@@ -91,11 +91,10 @@ class PlanSpec extends AnyFunSuite {
       s"IVF pair join is not cell-keyed:\n$ivf")
   }
 
-  test("corpus pipeline composes without cartesian products") {
-    val p = planOf("ddp_corpus_prepare")
-    assert(!p.contains("CartesianProduct"),
-      s"pipeline stage degenerated to a cartesian product:\n$p")
-  }
+  // NOTE: no plan pin for ddp_corpus_prepare — its checkpointed stages
+  // surface as LogicalRDD scans in explain output, so a whole-pipeline
+  // assertion would be vacuous. The component joins are pinned by the
+  // LSH / exact-dedup / embedding tests above on their own queries.
 
   test("IVF scoring join broadcasts the probe side — no shuffle of candidates by cell") {
     val p = planOf("sim_ann_ivf_topk")

@@ -34,7 +34,11 @@ class CliSpec extends AnyFunSuite {
     assert(run("monitor", "src") === 2)
     assert(run("vacuum", tmpDir("cli_v"), "not-a-date") === 2)
     assert(run("vacuum", tmpDir("cli_v"), "2020-01-01", "not-a-number") === 2)
+    assert(run("vacuum", tmpDir("cli_v"), "2020-01-01", "0") === 2)
     assert(run("vacuum-versions", tmpDir("cli_vv"), "not-a-number") === 2)
+    assert(run("vacuum-versions", tmpDir("cli_vv"), "0") === 2)
+    // a negative max-age would silently destroy the retention window
+    assert(run("vacuum-versions", tmpDir("cli_vv"), "2", "-1") === 2)
   }
 
   test("convert → monitor → stage → stage-merge → vacuum, end to end") {
