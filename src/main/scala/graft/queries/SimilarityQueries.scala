@@ -143,5 +143,78 @@ object SimilarityQueries {
       .select("q_id", "n_id", "cos", "rnk")
   }
 
-  val all: Seq[Q] = Seq(norms, cosineTopK, annSrpTopK, annIvfTopK)
+  /** IVF ANN over a Lloyd-REFINED codebook: one refinement iteration
+    * (assign to the 16 sampled seeds, per-cell per-dimension mean
+    * through DECIMAL(38,12) sums — order-independent, so the refined
+    * codebook is bit-deterministic — cast back to float), then the
+    * same probe/rank dataflow as `sim_ann_ivf_topk`. The oracle
+    * replays the identical refinement arithmetic (decimal sums cast
+    * via VARCHAR: DuckDB's direct decimal→double cast double-rounds
+    * past 2^53), so index training, not just search, is
+    * differential-checked end to end. */
+  private val annIvfRefinedTopK = Q(
+    "sim_ann_ivf_refined_topk",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |seed AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16),
+       |seedasg AS (
+       |  SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |  FROM (
+       |    SELECT e.vec_id, cent_id, ${duckDot("e.embedding", "cemb")} / (e.nrm * cnrm) AS ccos
+       |    FROM e CROSS JOIN seed)),
+       |members AS (
+       |  SELECT a.cent_id, e.embedding
+       |  FROM seedasg a JOIN e ON e.vec_id = a.vec_id WHERE a.crk = 1),
+       |dims AS (
+       |  SELECT cent_id, i.i AS pos,
+       |    CAST(CAST(SUM(CAST(embedding[i.i] AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+       |      / COUNT(*) AS m
+       |  FROM members CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT cent_id, cemb, sqrt(${duckDot("cemb", "cemb")}) AS cnrm
+       |  FROM (SELECT cent_id, list(CAST(m AS REAL) ORDER BY pos) AS cemb
+       |        FROM dims GROUP BY cent_id)),
+       |asg AS (
+       |  SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |  FROM (
+       |    SELECT e.vec_id, cent_id, ${duckDot("e.embedding", "cemb")} / (e.nrm * cnrm) AS ccos
+       |    FROM e CROSS JOIN cent)),
+       |cand AS (SELECT vec_id, cent_id FROM asg WHERE crk = 1),
+       |qry AS (SELECT vec_id, cent_id FROM asg WHERE crk <= 2 AND vec_id < 10),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${duckDot("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm) AS cos
+       |  FROM qry q JOIN cand c ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+       |    JOIN e qe ON qe.vec_id = q.vec_id JOIN e ce ON ce.vec_id = c.vec_id)
+       |SELECT q_id, n_id, cos, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM pairs)
+       |WHERE rnk <= 3""".stripMargin,
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    Similarity
+      .ivfTopK(
+        emb,
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+        centroids = Similarity.ivfRefine(
+          emb,
+          Similarity.ivfCentroids(emb, "vec_id", "embedding", 16),
+          "vec_id",
+          "embedding",
+          iters = 1,
+        ),
+        nprobe = 2,
+        queryPred = col("vec_id") < 10,
+      )
+      .select("q_id", "n_id", "cos", "rnk")
+  }
+
+  val all: Seq[Q] = Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK)
 }
