@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
   * fuzzy: content-hash groups, n-gram Jaccard, MinHash+LSH banding, and
   * SimHash. All are DataFrame-in/DataFrame-out compositions of built-in
   * operators (hash-aggregate + shuffle joins), so they inherit Spark's
-  * partial aggregation, AQE, and skew handling — nothing collects to the
-  * driver.
+  * partial aggregation, AQE, and skew handling. The only driver-side
+  * materializations are scalar probes and [[clusterPairs]]'s
+  * probe-bounded small-graph branch.
   *
   * Scale notes (100 TB posture):
   *  - exact dedup: one hash-groupBy shuffle on the 128-bit fingerprint.
@@ -399,8 +400,26 @@ object Dedup {
     * a handful of rounds. Convergence is detected with one scalar
     * fingerprint aggregate per round (count + order-independent hash
     * xor) — no edge-set diff join.
+    *
+    * Hybrid round budget: each star round pays a fixed
+    * persist/checkpoint/fingerprint cost (~1s on local[32]) that
+    * dwarfs tiny pair graphs. The initial fingerprint already counts
+    * the deduplicated edges for free, so when the graph has at most
+    * `driverEdgeCutoff` edges (and ids are LongType, keeping the
+    * output schema identical) we solve it with an exact union-find on
+    * the driver instead — the same "the small side fits in one
+    * process" reasoning Spark applies when broadcasting a join side.
+    * The collect is bounded by the probe, never speculative. Past the
+    * cutoff — the regime a 100 TB corpus is in — the distributed
+    * star-contraction rounds run unchanged. Both paths are
+    * result-identical (spec-pinned on random graphs and a
+    * diameter-200 chain).
     */
-  def clusterPairs(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def clusterPairs(
+      pairs: DataFrame,
+      maxIter: Int = 25,
+      driverEdgeCutoff: Long = 500000L,
+  ): DataFrame = {
     import org.apache.spark.sql.Row
     val spark = pairs.sparkSession
     // canonical directed edges: u -> v with u > v
@@ -419,7 +438,24 @@ object Dedup {
         case Row(c: Long, null)    => (c, 0L)
       }
 
-    var fp      = fingerprint(e)
+    var fp = fingerprint(e)
+
+    val idsAreLong = e.schema("u").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (idsAreLong && fp._1 <= driverEdgeCutoff) {
+      import spark.implicits._
+      // bounded by the probe above: at most driverEdgeCutoff edges
+      val edges = e.select(col("u"), col("v")).as[(Long, Long)].collect()
+      val labels = unionFindMinLabels(edges)
+      val stars  = labels.toSeq.toDF("doc_id", "__comp")
+      return pairs
+        .select(col("a_id").as("doc_id"))
+        .unionAll(pairs.select(col("b_id").as("doc_id")))
+        .distinct()
+        .join(broadcast(stars), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("__comp"), col("doc_id")).as("component"))
+    }
+
     var changed = true
     var i       = 0
     while (changed && i < maxIter) {
@@ -463,6 +499,32 @@ object Dedup {
     allNodes
       .join(stars, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("__comp"), col("doc_id")).as("component"))
+  }
+
+  /** Exact union-find (path halving + union by root value) over a
+    * driver-resident edge list; returns every node mapped to the
+    * minimum id in its component. Only reachable through the bounded
+    * small-graph branch of [[clusterPairs]]. */
+  private def unionFindMinLabels(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent(r)
+        parent(r) = parent.getOrElse(p, p) // path halving
+        r = p
+      }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      // root at the smaller id so roots are already component minima
+      if (ru < rv) parent(rv) = ru
+      else if (rv < ru) parent(ru) = rv
+    }
+    parent.keysIterator.map(n => n -> find(n)).toMap
   }
 
   /** Min-label-propagation connected components — the composed-builtins

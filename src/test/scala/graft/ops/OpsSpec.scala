@@ -363,14 +363,20 @@ class OpsSpec extends AnyFunSuite {
       .toDF("a_id", "b_id")
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
-    assert(toMap(Dedup.clusterPairs(rand)) === toMap(Dedup.clusterPairsPropagate(rand)))
+    // all three regimes agree: driver union-find (default cutoff),
+    // distributed star contraction (cutoff 0), label propagation
+    val viaUnionFind = toMap(Dedup.clusterPairs(rand))
+    val viaStars     = toMap(Dedup.clusterPairs(rand, driverEdgeCutoff = 0L))
+    assert(viaUnionFind === viaStars)
+    assert(viaUnionFind === toMap(Dedup.clusterPairsPropagate(rand)))
 
     // pathological chain 0-1-…-200: diameter far beyond the default
     // round budget of label propagation; star contraction closes it
     // inside its O(log² n) budget and labels every node 0
     val chain = (0L until 200L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val comps = toMap(Dedup.clusterPairs(chain))
+    val comps = toMap(Dedup.clusterPairs(chain, driverEdgeCutoff = 0L))
     assert(comps.size === 201 && comps.values.forall(_ === 0L))
+    assert(toMap(Dedup.clusterPairs(chain)) === comps) // union-find path agrees
   }
 
   test("native float_dot is bit-identical to the composed fold") {
