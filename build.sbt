@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep sbt's "[success] Total time: ..." epilogue out of stdout and the
+// "[info] " logger prefix off the forked process's lines: the driver
+// parses graft.Bench's single JSON line from the tail of the run output,
+// and either decoration breaks last-line JSON parsing (pass/fail still
+// travels through the exit code).
+showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Both settings are consumed by the forked-run machinery at task time;
+// sbt's unused-setting lint can't see that.
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
