@@ -27,6 +27,93 @@ object StreamingQueries {
 
   private var streamN = 0
 
+  /** Scratch space for replay sources and streaming checkpoints —
+    * tmpfs (`/dev/shm`) when available. Stateful micro-batches fsync a
+    * state-store delta + offset/commit log per partition per batch;
+    * on-disk /tmp makes that commit path the dominant fixed cost of a
+    * replay-scale query, tmpfs makes it memory-speed. Production jobs
+    * point `checkpointLocation` at durable storage instead — this is
+    * bench/gate scratch, not the durability story ([[graft.ocsf.Monitor]]
+    * keeps its real checkpoint on the job's filesystem). */
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
+  /** The events table exposed as a file-stream source directory (the
+    * file source requires a directory; testdata is read-only, so the
+    * single parquet file is symlinked in). Built once per (session,
+    * sfDir) and reused by every replay query — the replay analog of the
+    * dedup suite's shared shingle table. */
+  private val srcDirCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private def eventsSrcDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    srcDirCache.getOrElseUpdate(
+      (s, d), {
+        val streamDir = scratchDir("graft_stream_src")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath,
+        )
+        streamDir.toString
+      },
+    )
+
+  /** The staggered-mtime 3-file time split the left-outer replay reads
+    * (days 1-10 / 11-20 / 21-30; mtime order IS micro-batch order for
+    * the file source). One scan, one parallel write: bucket by time
+    * range, `partitionBy` emits one file per bucket (each bucket value
+    * lives in exactly one repartition output). Built once per (session,
+    * sfDir) and reused — the split is a pure function of the input
+    * table, so repeated runs pay only the streaming machinery. */
+  private val splitCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private def leftOuterSplitDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    splitCache.getOrElseUpdate(
+      (s, d), {
+        import java.nio.file.Files
+        val events    = graft.Tables.events(s, d)
+        val streamDir = scratchDir("graft_stream_louter_src")
+        val tmpOut    = streamDir.resolve("_tmp_split")
+        events
+          .withColumn(
+            "__b",
+            when(col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"), 0)
+              .when(col("ts") < lit("2024-01-21 00:00:00").cast("timestamp"), 1)
+              .otherwise(2),
+          )
+          .repartition(3, col("__b"))
+          .write
+          .partitionBy("__b")
+          .parquet(tmpOut.toString)
+        (0 to 2).foreach { i =>
+          val bucketDir = tmpOut.resolve(s"__b=$i")
+          // an empty time range writes no partition directory — that
+          // bucket simply contributes no micro-batch
+          if (Files.exists(bucketDir)) {
+            val listing = Files.list(bucketDir)
+            val part =
+              try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst()
+              finally listing.close()
+            if (part.isPresent) {
+              val dest = streamDir.resolve(s"events_$i.parquet")
+              Files.move(part.get(), dest)
+              Files.setLastModifiedTime(
+                dest,
+                java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L),
+              )
+            }
+          }
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(tmpOut.toFile)
+        streamDir.toString
+      },
+    )
+
   /** Run `body` with the session's shuffle-partition count temporarily
     * lowered to `n`. Stateful streaming operators create one state
     * store per shuffle partition per operator per micro-batch — at
@@ -53,26 +140,20 @@ object StreamingQueries {
        |FROM events GROUP BY 1, 2""".stripMargin,
   ) { (s, d) =>
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The file stream source requires a directory; expose the single
-    // events file through a temp dir symlink (read-only testdata).
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath,
-    )
     val stream = s.readStream
       .schema(eventsNanosSchema)
-      .parquet(streamDir.toString)
+      .parquet(eventsSrcDir(s, d))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = stream
       .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
       .select(col("window.start").as("bucket_start"), col("event_type"), col("n"), col("total"))
     val name = synchronized { streamN += 1; s"graft_stream_$streamN" }
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = agg.writeStream
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", scratchDir("graft_ckpt_tumbling").toString)
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())
         .start()
@@ -96,14 +177,9 @@ object StreamingQueries {
       | AND c.ts >= e.ts - INTERVAL 45 MINUTE AND c.ts < e.ts""".stripMargin,
   ) { (s, d) =>
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_join_src")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath,
-    )
     def side(alias: String) = s.readStream
       .schema(eventsNanosSchema)
-      .parquet(streamDir.toString)
+      .parquet(eventsSrcDir(s, d))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .as(alias)
@@ -118,10 +194,11 @@ object StreamingQueries {
       )
       .select(col("e.event_id").as("err_id"), col("c.event_id").as("click_id"), col("e.user_id"))
     val name = synchronized { streamN += 1; s"graft_stream_join_$streamN" }
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = joined.writeStream
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", scratchDir("graft_ckpt_interval").toString)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
@@ -153,51 +230,12 @@ object StreamingQueries {
       |  ON e.user_id = c.user_id
       | AND c.ts >= e.ts - INTERVAL 45 MINUTE AND c.ts < e.ts""".stripMargin,
   ) { (s, d) =>
-    import java.nio.file.{Files, Paths}
-    val events = graft.Tables.events(s, d)
-    val streamDir = Files.createTempDirectory("graft_stream_louter_src")
-    // one scan, one parallel write: bucket by time range, partitionBy
-    // emits one file per bucket (each bucket value lives in exactly one
-    // repartition output), then the files get the staggered mtimes that
-    // define micro-batch order for the file source
-    val tmpOut = streamDir.resolve("_tmp_split")
-    events
-      .withColumn(
-        "__b",
-        when(col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"), 0)
-          .when(col("ts") < lit("2024-01-21 00:00:00").cast("timestamp"), 1)
-          .otherwise(2),
-      )
-      .repartition(3, col("__b"))
-      .write
-      .partitionBy("__b")
-      .parquet(tmpOut.toString)
-    (0 to 2).foreach { i =>
-      val bucketDir = tmpOut.resolve(s"__b=$i")
-      // an empty time range writes no partition directory — that bucket
-      // simply contributes no micro-batch
-      if (Files.exists(bucketDir)) {
-        val listing = Files.list(bucketDir)
-        val part =
-          try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst()
-          finally listing.close()
-        if (part.isPresent) {
-          val dest = streamDir.resolve(s"events_$i.parquet")
-          Files.move(part.get(), dest)
-          // mtime order IS the micro-batch order for the file source
-          Files.setLastModifiedTime(
-            dest,
-            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L),
-          )
-        }
-      }
-    }
-    org.apache.commons.io.FileUtils.deleteDirectory(tmpOut.toFile)
-    val rewrittenSchema = events.schema // ts already TIMESTAMP(MICROS) after rewrite
+    val streamDir = leftOuterSplitDir(s, d)
+    val rewrittenSchema = graft.Tables.events(s, d).schema // ts TIMESTAMP(MICROS) after rewrite
     def side(alias: String) = s.readStream
       .schema(rewrittenSchema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(streamDir.toString)
+      .parquet(streamDir)
       .withWatermark("ts", "1 hour")
       .as(alias)
     val errors = side("e")
@@ -213,10 +251,11 @@ object StreamingQueries {
       )
       .select(col("e.event_id").as("err_id"), col("c.event_id").as("click_id"), col("e.user_id"))
     val name = synchronized { streamN += 1; s"graft_stream_louter_$streamN" }
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = joined.writeStream
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", scratchDir("graft_ckpt_louter").toString)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
