@@ -202,8 +202,29 @@ object Staging {
       landingPath: String,
       stagingRoot: String,
       clusterFiles: Option[Int] = None,
+  ): Long = mergeRun(spark, landingPath, stagingRoot, clusterFiles, () => ())
+
+  /** [[mergeRun]] with a test seam: `beforeCommit` runs after the new
+    * version directory is fully written, immediately before the commit
+    * (lock + CAS pointer swap) — the window a concurrent writer's
+    * commit must be detected in. */
+  private[ocsf] def mergeRun(
+      spark: SparkSession,
+      landingPath: String,
+      stagingRoot: String,
+      clusterFiles: Option[Int],
+      beforeCommit: () => Unit,
   ): Long = {
     import org.apache.spark.sql.expressions.Window
+    val rootPath = new org.apache.hadoop.fs.Path(stagingRoot)
+    val rootFs   = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Single-writer enforcement (the transactionality the reference
+    // inherits from Postgres): remember the raw pointer as of this
+    // run's read, and commit only if it has not moved since (CAS),
+    // under a short exclusive-create lock. A concurrent writer that
+    // committed while this run was compacting fails THIS run loudly
+    // instead of letting it silently clobber the newer snapshot.
+    val basePtr = readSideFile(rootFs, rootPath, "_CURRENT")
     val landing = Landing.read(spark, landingPath)
     val current = readCurrent(spark, stagingRoot)
     val watermark: Option[java.sql.Timestamp] =
@@ -229,7 +250,25 @@ object Staging {
       case Some(c) => freshT.unionByName(c.join(freshT.select(keys.map(col): _*), keys, "left_anti"))
       case None    => freshT
     }
-    val next       = currentVersion(spark, stagingRoot).getOrElse(-1L) + 1
+    // Version numbers are never reused: `next` is one past BOTH the
+    // committed version and any version directory already on disk
+    // (abandoned pre-commit leftovers of a crashed/aborted run, or a
+    // concurrent writer's in-flight compaction). No run ever overwrites
+    // another run's directory, so a failed commit can always be retried,
+    // and the commit CAS below decides which writer's version becomes
+    // current.
+    val existingMax =
+      if (rootFs.exists(rootPath))
+        rootFs
+          .listStatus(rootPath)
+          .collect {
+            case s if s.isDirectory && s.getPath.getName.startsWith("v=") =>
+              s.getPath.getName.stripPrefix("v=").toLong
+          }
+          .maxOption
+      else None
+    val next =
+      (currentVersion(spark, stagingRoot).getOrElse(-1L) max existingMax.getOrElse(-1L)) + 1
     val versionDir = s"$stagingRoot/v=$next"
     // Cluster by finding_uid at compaction time — the Spark analog of
     // the reference's btree indexes (`add_new_indexes.sql:19-26` at
@@ -267,8 +306,48 @@ object Staging {
           .parquet(versionDir)
         obs.get("rows").asInstanceOf[Long]
     }
-    swapPointer(spark, stagingRoot, next)
+    beforeCommit()
+    commitPointer(rootFs, rootPath, next, basePtr)
     written
+  }
+
+  /** Commit = exclusive-create lock + compare-and-swap on `_CURRENT`.
+    * The lock (`create` with overwrite=false is atomic on HDFS-semantics
+    * filesystems) closes the check→rename window; the CAS detects a
+    * writer that committed any time since this run read its base
+    * version. Either conflict aborts THIS run with the other writer's
+    * snapshot intact. A crash between lock and unlock leaks the lock
+    * file — remove `_COMMIT_LOCK` manually after verifying no writer is
+    * live (the lock guards milliseconds of pointer swap, not the
+    * multi-minute compaction, so a leaked lock is visible, not
+    * corrupting). */
+  private def commitPointer(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      version: Long,
+      expected: Option[String],
+  ): Unit = {
+    val lock = new org.apache.hadoop.fs.Path(root, "_COMMIT_LOCK")
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new java.util.ConcurrentModificationException(
+            s"commit lock $lock is held — another writer is mid-commit (or crashed holding " +
+              s"it; verify and remove the lock file): ${e.getMessage}"
+          )
+      }
+    try {
+      out.close()
+      val now = readSideFile(fs, root, "_CURRENT")
+      if (now != expected)
+        throw new java.util.ConcurrentModificationException(
+          s"_CURRENT moved from ${expected.getOrElse("<absent>")} to ${now.getOrElse("<absent>")} " +
+            "while this mergeRun was compacting — another writer committed; aborting instead of " +
+            "clobbering its snapshot"
+        )
+      writeSideFile(fs, root, "_CURRENT", version.toString)
+    } finally fs.delete(lock, false)
   }
 
   /** The active staging snapshot under a [[mergeRun]] root: `_CURRENT`
@@ -327,12 +406,6 @@ object Staging {
       try Some(scala.io.Source.fromInputStream(in).mkString.trim).filter(_.nonEmpty)
       finally in.close()
     } else None
-  }
-
-  private def swapPointer(spark: SparkSession, stagingRoot: String, version: Long): Unit = {
-    val root = new org.apache.hadoop.fs.Path(stagingRoot)
-    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    writeSideFile(fs, root, "_CURRENT", version.toString)
   }
 
   /** Age-based retention for [[mergeRun]] version directories — the

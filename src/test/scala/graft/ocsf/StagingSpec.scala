@@ -331,6 +331,87 @@ class StagingSpec extends AnyFunSuite {
     assert(Staging.readCurrent(spark, stagingRoot).get.count() === 2L)
   }
 
+  test("mergeRun single-writer CAS: a concurrent commit fails the late writer loudly") {
+    import spark.implicits._
+    val docs        = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
+    val landingDir  = tmpDir("landing_cas")
+    val stagingRoot = tmpDir("staging_cas")
+    Landing.append(docs, landingDir)
+    assert(Staging.mergeRun(spark, landingDir, stagingRoot) === 1L) // v=0, ptr=0
+
+    // Another writer commits while this run is compacting: simulated by
+    // moving the pointer inside the pre-commit window (through the
+    // Hadoop FS — the local fs is checksummed, a raw java.nio write
+    // would leave a stale .crc). The late writer must abort loudly,
+    // leaving the other writer's pointer intact.
+    def movePointer(): Unit = {
+      val root = new org.apache.hadoop.fs.Path(stagingRoot)
+      val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out  = fs.create(new org.apache.hadoop.fs.Path(root, "_CURRENT"), true)
+      out.write("7".getBytes("UTF-8"))
+      out.close()
+    }
+    Landing.append(docs, landingDir)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Staging.mergeRun(spark, landingDir, stagingRoot, None, () => movePointer())
+    }
+    assert(ex.getMessage.contains("_CURRENT moved"))
+    assert(Staging.currentVersion(spark, stagingRoot) === Some(7L))
+  }
+
+  test("mergeRun commit lock: a held _COMMIT_LOCK aborts the commit, then releases cleanly") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val docs        = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
+    val landingDir  = tmpDir("landing_lock")
+    val stagingRoot = tmpDir("staging_lock")
+    Landing.append(docs, landingDir)
+    assert(Staging.mergeRun(spark, landingDir, stagingRoot) === 1L)
+
+    Files.createDirectories(Paths.get(stagingRoot))
+    Files.createFile(Paths.get(stagingRoot, "_COMMIT_LOCK"))
+    Landing.append(docs, landingDir)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Staging.mergeRun(spark, landingDir, stagingRoot)
+    }
+    assert(ex.getMessage.contains("_COMMIT_LOCK"))
+    // pointer unmoved by the failed commit
+    assert(Staging.currentVersion(spark, stagingRoot) === Some(0L))
+
+    // lock released (crash-cleanup path): the next run commits normally
+    Files.delete(Paths.get(stagingRoot, "_COMMIT_LOCK"))
+    assert(Staging.mergeRun(spark, landingDir, stagingRoot) === 1L)
+    assert(Staging.currentVersion(spark, stagingRoot).exists(_ > 0L))
+  }
+
+  test("installed UID pattern is enforced at mergeRun compaction time too") {
+    import spark.implicits._
+    val docs        = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
+    val landingDir  = tmpDir("landing_mpat")
+    val stagingRoot = tmpDir("staging_mpat")
+    Landing.append(docs, landingDir)
+    Staging.mergeRun(spark, landingDir, stagingRoot)
+    Staging.reconcileUidConstraint(spark, stagingRoot, Some("^boann:sast:.+$"))
+
+    val badDoc = richFinding.replace("boann:sast:snyk:fingerprint:abc", "rogue:uid")
+    Landing.append(spark.read.schema(OcsfModel.ocsfFinding).json(Seq(badDoc).toDS()), landingDir)
+    val ex = intercept[Exception] {
+      Staging.mergeRun(spark, landingDir, stagingRoot)
+    }
+    assert(ex.getMessage.contains("rogue:uid") ||
+      Option(ex.getCause).exists(_.getMessage.contains("rogue:uid")))
+    // failed compaction never committed: still on v=0, snapshot intact
+    assert(Staging.currentVersion(spark, stagingRoot) === Some(0L))
+    assert(Staging.readCurrent(spark, stagingRoot).get.count() === 1L)
+
+    // recovery: loosen the constraint to admit the quarantined uid —
+    // the retry then succeeds, and the failed attempt's leftover
+    // version dir never collides (version numbers are not reused)
+    Staging.reconcileUidConstraint(spark, stagingRoot, Some("^(boann|rogue):.+$"))
+    assert(Staging.mergeRun(spark, landingDir, stagingRoot) === 2L)
+    assert(Staging.readCurrent(spark, stagingRoot).get.count() === 2L)
+  }
+
   test("landing retention vacuum drops only partitions older than the cutoff") {
     import spark.implicits._
     val path = tmpDir("landing_ret")
