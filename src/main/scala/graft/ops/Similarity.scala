@@ -87,9 +87,9 @@ object Similarity {
     * and the per-row work is `nPlanes` codegen'd float_dot calls in
     * one projection — no runtime hashing, no explode/groupBy shuffle.
     *
-    * `dim` MUST equal the embedding length: the dot folds over
-    * min(plane, embedding) elements, so an undersized `dim` silently
-    * projects only a prefix of each vector.
+    * `dim <= 0` (the default) infers the plane dimension from the data;
+    * an explicit `dim` is validated against it and a mismatch fails
+    * fast (see [[resolveDim]]).
     *
     * This is the ANN scale path: scoring happens only within buckets, so
     * the q×N cross product becomes q×(N / 2^nPlanes) expected. */
@@ -98,10 +98,10 @@ object Similarity {
       idCol: String,
       embCol: String,
       nPlanes: Int,
-      dim: Int = 64,
+      dim: Int = 0,
   ): DataFrame = {
     graft.functions.FloatVecDot.registerOn(df.sparkSession)
-    val planes  = srpPlaneLiterals(nPlanes, dim)
+    val planes  = srpPlaneLiterals(nPlanes, resolveDim(df, embCol, dim))
     val bucket = (0 until nPlanes)
       .map(p =>
         when(graft.functions.FloatVecDot.float_dot(col(embCol), planes(p)) >= 0, lit(1L << p))
@@ -109,6 +109,32 @@ object Similarity {
       )
       .reduce(_ + _)
     df.select(col(idCol), bucket.as("bucket"))
+  }
+
+  /** Resolve the SRP plane dimension against the data. `dim <= 0`
+    * infers it from one row (a LIMIT-1 probe — the same bounded
+    * driver-scalar pattern as the staging watermark); an explicit `dim`
+    * is validated against the same probe, and a mismatch fails fast
+    * instead of silently projecting a prefix of every vector (the
+    * footgun the old contract documented). One-row probe ⇒ uniform
+    * vector length is still the caller's contract; an empty input with
+    * an explicit `dim` passes (nothing to contradict), an empty input
+    * with `dim <= 0` cannot infer and throws. */
+  private def resolveDim(df: DataFrame, embCol: String, dim: Int): Int = {
+    val probe = df.select(size(col(embCol)).cast("int").as("n")).head(1).headOption.map(_.getInt(0))
+    (dim, probe) match {
+      case (d, Some(p)) if d > 0 && d != p =>
+        throw new IllegalArgumentException(
+          s"dim=$d does not match the length $p of '$embCol' — an undersized dim silently " +
+            s"projects a prefix of each vector; pass dim=$p or dim <= 0 to infer"
+        )
+      case (d, _) if d > 0 => d
+      case (_, Some(p))    => p
+      case _ =>
+        throw new IllegalArgumentException(
+          s"cannot infer dim from an empty input — pass dim explicitly"
+        )
+    }
   }
 
   /** The ±1 plane matrix as `array<float>` literal columns — entry
@@ -134,15 +160,16 @@ object Similarity {
     * The whole signature is a single projection followed by
     * `posexplode`: zero shuffle — signatures parallelize with the
     * scan, and only the (band, key)-keyed candidate join exchanges
-    * data. `dim` sizes the plane literals and must match the
-    * embedding length (uniform-dimension corpora, the normal case). */
+    * data. `dim` sizes the plane literals: `dim <= 0` (default) infers
+    * it from the data, an explicit value is validated against it
+    * ([[resolveDim]]; uniform-dimension corpora, the normal case). */
   def srpBandKeys(
       df: DataFrame,
       idCol: String,
       embCol: String,
       nPlanes: Int,
       bands: Int,
-      dim: Int = 64,
+      dim: Int = 0,
   ): DataFrame = {
     require(nPlanes % bands == 0, s"nPlanes ($nPlanes) must divide into bands ($bands)")
     graft.functions.FloatVecDot.registerOn(df.sparkSession)
@@ -152,7 +179,7 @@ object Similarity {
     // so the left-fold arithmetic is bit-identical to evaluating the
     // oracle's sign expression per element). nPlanes × dim multiply-adds
     // per row, zero runtime hashing, zero shuffle.
-    val planes = srpPlaneLiterals(nPlanes, dim)
+    val planes = srpPlaneLiterals(nPlanes, resolveDim(df, embCol, dim))
     val emb = col(embCol)
     val planeDot = (p: Int) => graft.functions.FloatVecDot.float_dot(emb, planes(p))
     // key of band b = sign bits of planes [b*r, (b+1)*r) packed little-endian
@@ -192,7 +219,7 @@ object Similarity {
       tau: Double,
       nPlanes: Int = 72,
       bands: Int = 12,
-      dim: Int = 64,
+      dim: Int = 0,
       probes: Int = 0,
   ): DataFrame = {
     require(probes == 0 || probes == 1, "probes must be 0 (exact) or 1 (single-bit flips)")
@@ -280,8 +307,8 @@ object Similarity {
 
   /** Approximate top-k: exact cosine ranking restricted to each query's
     * SRP bucket. Same output shape as [[bruteForceTopK]]; recall trades
-    * against `nPlanes`. `dim` must match the embedding length (see
-    * [[srpBuckets]]). */
+    * against `nPlanes`. `dim <= 0` (default) is inferred, an explicit
+    * value validated (see [[srpBuckets]]). */
   def srpTopK(
       df: DataFrame,
       idCol: String,
@@ -289,7 +316,7 @@ object Similarity {
       k: Int,
       nPlanes: Int,
       queryPred: Column,
-      dim: Int = 64,
+      dim: Int = 0,
   ): DataFrame = {
     val base = withNorm(df, embCol)
       .join(srpBuckets(df, idCol, embCol, nPlanes, dim), idCol)

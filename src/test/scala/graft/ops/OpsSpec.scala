@@ -263,6 +263,38 @@ class OpsSpec extends AnyFunSuite {
       s"multi-probe found nothing new (exact ${exact.size}, multi ${multi.size})")
   }
 
+  test("SRP dim: inferred by default, explicit mismatch fails fast") {
+    import graft.ops.Similarity
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+    // inference (dim <= 0, the default) produces the same signatures as
+    // the correct explicit dim — the oracle-checked path is unchanged
+    val inferred = Similarity.srpBandKeys(emb, "vec_id", "embedding", 72, 12).collect().toSet
+    val explicit = Similarity.srpBandKeys(emb, "vec_id", "embedding", 72, 12, dim = 64)
+      .collect().toSet
+    assert(inferred === explicit && inferred.nonEmpty)
+
+    // an undersized (or oversized) dim used to silently project a
+    // prefix; now it must throw at operator build
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.srpBandKeys(emb, "vec_id", "embedding", 72, 12, dim = 32)
+    }
+    assert(ex.getMessage.contains("dim=32") && ex.getMessage.contains("64"))
+    intercept[IllegalArgumentException] {
+      Similarity.srpBuckets(emb, "vec_id", "embedding", nPlanes = 16, dim = 100)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.embeddingDupPairs(emb, "vec_id", "embedding", tau = 0.9, dim = 16)
+    }
+
+    // empty input: explicit dim passes through, inference throws
+    val empty = emb.filter(col("vec_id") < 0)
+    assert(Similarity.srpBuckets(empty, "vec_id", "embedding", 16, dim = 64).count() === 0)
+    intercept[IllegalArgumentException] {
+      Similarity.srpBuckets(empty, "vec_id", "embedding", 16)
+    }
+  }
+
   test("IVF top-k: recall vs brute force, and Lloyd refinement is deterministic") {
     import graft.ops.Similarity
     val emb  = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
