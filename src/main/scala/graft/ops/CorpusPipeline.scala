@@ -62,4 +62,42 @@ object CorpusPipeline {
       .select("a_id", "b_id")
     Dedup.dedupByPairs(exactDeduped, idCol, pairs)
   }
+
+  /** [[prepare]] chained with an embedding near-duplicate stage — the
+    * order a real LLM corpus pipeline runs: text-level dedup first
+    * (cheap signals, removes exact/boilerplate copies), then
+    * embedding-cosine near-dup over the survivors (catches semantic
+    * duplicates that share few shingles). The embedding stage pairs
+    * only SRP band-collision candidates
+    * ([[Similarity.embeddingDupPairs]] — map-only signatures, a join
+    * keyed on (band, key), never an all-pairs product), clusters them,
+    * and keeps each component's minimum-id member. Survivors without an
+    * embedding row pass through the stage untouched (they can never be
+    * a candidate), so a partially-embedded corpus degrades to
+    * text-only dedup rather than dropping documents.
+    *
+    * The survivor set feeds both the embedding join and the final
+    * anti-join; it is lazily checkpointed once, the same
+    * twice-consumed-stage pattern [[prepare]] uses internally. */
+  def prepareWithEmbeddings(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      textCol: String,
+      embIdCol: String,
+      embCol: String,
+      embTau: Double,
+      cfg: Config = Config(),
+      nPlanes: Int = 72,
+      bands: Int = 12,
+  ): DataFrame = {
+    val survivors = prepare(docs, idCol, textCol, cfg).localCheckpoint(eager = false)
+    val embedded = survivors
+      .join(embeddings, survivors(idCol) === embeddings(embIdCol))
+      .select(survivors(idCol), col(embCol))
+    val pairs = Similarity
+      .embeddingDupPairs(embedded, idCol, embCol, embTau, nPlanes, bands)
+      .select("a_id", "b_id")
+    Dedup.dedupByPairs(survivors, idCol, pairs)
+  }
 }

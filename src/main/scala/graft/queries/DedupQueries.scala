@@ -353,9 +353,12 @@ object DedupQueries {
     * canonical keep). Every stage reuses an oracle expression already
     * proven by its standalone query; this checks their composition —
     * the actual "write the cleaned corpus" operation. */
-  private val corpusPrepare = Q(
-    "ddp_corpus_prepare",
-    """WITH RECURSIVE filt AS (
+  /** Shared oracle CTEs for the text-level corpus pipeline (quality →
+    * language → exact dedup → MinHash-LSH fuzzy dedup): everything up
+    * to the recursive near-dup closure. Consumed by both
+    * `ddp_corpus_prepare` and the embedding-chained variant. */
+  private val corpusTextCtes =
+    """filt AS (
       |  SELECT doc_id, text, source FROM (
       |    SELECT doc_id, text, source,
       |      len(regexp_extract_all(text, '\w+')) AS n_tok,
@@ -387,13 +390,13 @@ object DedupQueries {
       |bands AS (
       |  SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
       |  FROM mh GROUP BY doc_id, seed // 4),
-      |cand AS (
+      |mcand AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
       |common AS (
       |  SELECT a_id, b_id, count(*) AS c
-      |  FROM cand JOIN shing sa ON sa.doc_id = a_id
+      |  FROM mcand JOIN shing sa ON sa.doc_id = a_id
       |       JOIN shing sb ON sb.doc_id = b_id AND sa.sh = sb.sh
       |  GROUP BY 1, 2),
       |jp AS (
@@ -404,18 +407,73 @@ object DedupQueries {
       |reach(s, d) AS (
       |  SELECT s, d FROM edges
       |  UNION
-      |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
-      |SELECT doc_id, source FROM ex
+      |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)""".stripMargin
+
+  /** Shared oracle tail: the text pipeline's surviving documents. */
+  private val corpusSurvSelect =
+    """SELECT doc_id, source FROM ex
       |WHERE doc_id NOT IN (
       |  SELECT s FROM (SELECT s, least(s, min(d)) AS component FROM reach GROUP BY s)
-      |  WHERE s <> component)""".stripMargin,
+      |  WHERE s <> component)""".stripMargin
+
+  private val corpusPrepare = Q(
+    "ddp_corpus_prepare",
+    s"WITH RECURSIVE $corpusTextCtes\n$corpusSurvSelect",
   ) { (s, d) =>
     graft.ops.CorpusPipeline
       .prepare(documents(s, d), "doc_id", "text")
       .select("doc_id", "source")
   }
 
+  /** The corpus pipeline chained with the embedding near-dup stage
+    * (text survivors → SRP band-collision candidates → exact-cosine
+    * verify at τ = 0.45 → components → canonical keep). The oracle
+    * replays the full composition: the text pipeline's CTEs, the
+    * identical SRP band index restricted to the survivors' embeddings,
+    * and a second recursive closure over the verified pairs — so what's
+    * differentially checked is the chaining itself (a document dropped
+    * by the text stage must never resurface as an embedding candidate,
+    * and vice versa). */
+  private val corpusPrepareEmb = Q(
+    "ddp_corpus_prepare_emb",
+    s"""WITH RECURSIVE $corpusTextCtes,
+       |surv AS ($corpusSurvSelect),
+       |e AS (
+       |  SELECT em.vec_id, em.embedding,
+       |    sqrt(list_reduce(list_transform(generate_series(1, len(em.embedding)),
+       |      i -> CAST(em.embedding[i] AS DOUBLE) * CAST(em.embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y)) AS nrm
+       |  FROM embeddings em JOIN surv ON em.vec_id = surv.doc_id),
+       |$srpBandCte,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |ep AS ($cosVerifyTail),
+       |eedges AS (SELECT a_id AS s, b_id AS t FROM ep UNION SELECT b_id, a_id FROM ep),
+       |reach2(s, t) AS (
+       |  SELECT s, t FROM eedges
+       |  UNION
+       |  SELECT r.s, x.t FROM reach2 r JOIN eedges x ON r.t = x.s)
+       |SELECT doc_id, source FROM surv
+       |WHERE doc_id NOT IN (
+       |  SELECT s FROM (SELECT s, least(s, min(t)) AS component FROM reach2 GROUP BY s)
+       |  WHERE s <> component)""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.CorpusPipeline
+      .prepareWithEmbeddings(
+        documents(s, d),
+        embeddings(s, d),
+        idCol = "doc_id",
+        textCol = "text",
+        embIdCol = "vec_id",
+        embCol = "embedding",
+        embTau = 0.45,
+      )
+      .select("doc_id", "source")
+  }
+
   val all: Seq[Q] =
     Seq(exactGroups, jaccardPairs, minhashLsh, simhashSigs, simhashPairs, jaccardComponents,
-      dedupKeep, embeddingPairs, embeddingPairsMp, embeddingPairsIvf, corpusPrepare)
+      dedupKeep, embeddingPairs, embeddingPairsMp, embeddingPairsIvf, corpusPrepare,
+      corpusPrepareEmb)
 }
