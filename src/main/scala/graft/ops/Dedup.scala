@@ -422,8 +422,13 @@ object Dedup {
   ): DataFrame = {
     import org.apache.spark.sql.Row
     val spark = pairs.sparkSession
+    // The pair-producing chain upstream (LSH candidates + similarity
+    // verify) is consumed twice here — once for the canonical edge set
+    // and once for the node universe. Materialize the (small, verified)
+    // pair list once so the expensive chain never re-executes.
+    val p0 = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
     // canonical directed edges: u -> v with u > v
-    var e = pairs
+    var e = p0
       .filter(col("a_id") =!= col("b_id"))
       .select(
         greatest(col("a_id"), col("b_id")).as("u"),
@@ -448,9 +453,9 @@ object Dedup {
       val edges = e.select(col("u"), col("v")).as[(Long, Long)].collect()
       val labels = unionFindMinLabels(edges)
       val stars  = labels.toSeq.toDF("doc_id", "__comp")
-      return pairs
+      return p0
         .select(col("a_id").as("doc_id"))
-        .unionAll(pairs.select(col("b_id").as("doc_id")))
+        .unionAll(p0.select(col("b_id").as("doc_id")))
         .distinct()
         .join(broadcast(stars), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("__comp"), col("doc_id")).as("component"))
@@ -491,9 +496,9 @@ object Dedup {
     }
     // at convergence every edge is (node, component-min); min nodes
     // label themselves
-    val allNodes = pairs
+    val allNodes = p0
       .select(col("a_id").as("doc_id"))
-      .unionAll(pairs.select(col("b_id").as("doc_id")))
+      .unionAll(p0.select(col("b_id").as("doc_id")))
       .distinct()
     val stars = e.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("__comp"))
     allNodes

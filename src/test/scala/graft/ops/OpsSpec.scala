@@ -505,6 +505,36 @@ class OpsSpec extends AnyFunSuite {
     assert(kept === Array(1L, 5L))
   }
 
+  test("corpus pipeline embedding stage: collapses semantic dups, passes unembedded docs through") {
+    // Four docs that all survive the text stage (distinct vocab, no
+    // shared shingles), two of which are embedding near-duplicates.
+    def words(r: Range) = r.map(i => s"the w$i of t$i in p$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(1 to 20)),
+      (2L, words(30 to 50)),
+      (3L, words(60 to 80)),
+      (4L, words(90 to 110)), // no embedding row: must pass through
+    ).toDF("doc_id", "text")
+    val rnd  = new scala.util.Random(7)
+    val v1   = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val v2   = v1.map(v => v + (rnd.nextGaussian() * 0.01f).toFloat) // cos ≈ 1 with v1
+    val v3   = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val embs = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+
+    val textOnly = CorpusPipeline
+      .prepare(docs, "doc_id", "text", CorpusPipeline.Config(minTokens = 10))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(textOnly === Array(1L, 2L, 3L, 4L), "text stage should keep all four")
+
+    val kept = CorpusPipeline
+      .prepareWithEmbeddings(docs, embs, "doc_id", "text", "vec_id", "embedding",
+        embTau = 0.9, cfg = CorpusPipeline.Config(minTokens = 10))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // doc 2 collapses into doc 1 (canonical = min id); 3 is far; 4 has
+    // no embedding and survives untouched
+    assert(kept === Array(1L, 3L, 4L))
+  }
+
   test("enrichment registry: specs, parameterization, broken-plugin tolerance") {
     import graft.ocsf.EnrichmentRegistry
     val (ok, errs) = EnrichmentRegistry.createAll(
