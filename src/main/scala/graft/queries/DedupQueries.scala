@@ -64,10 +64,10 @@ object DedupQueries {
     Dedup.exactGroups(docs.unionAll(docs), "doc_id", "text")
   }
 
-  /** Brute-force n-gram Jaccard near-dup pairs (τ = 0.5): the exactness
-    * baseline that LSH is checked against. */
-  private val jaccardPairs = Q(
-    "ddp_jaccard_pairs",
+  /** Shared oracle body for the exact Jaccard-pairs operators: the
+    * naive, prefix-filtered, and auto-selected forms are result-
+    * identical by construction, so one SQL checks all three. */
+  private val jaccardPairsSql =
     s"""$shingCte,
        |common AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
@@ -75,8 +75,26 @@ object DedupQueries {
        |  GROUP BY 1, 2)
        |SELECT a_id, b_id, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
        |FROM common JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
-       |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5""".stripMargin,
-  ) { (s, d) => sharedJaccardPairs(s, d) }
+       |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5""".stripMargin
+
+  /** Brute-force n-gram Jaccard near-dup pairs (τ = 0.5): the exactness
+    * baseline that LSH is checked against. */
+  private val jaccardPairs = Q("ddp_jaccard_pairs", jaccardPairsSql) { (s, d) =>
+    sharedJaccardPairs(s, d)
+  }
+
+  /** Prefix-filtered (AllPairs/PPJoin) exact Jaccard pairs in the gate:
+    * same oracle as the naive join — the candidate pruning must be
+    * invisible in the result. */
+  private val jaccardPairsPrefix = Q("ddp_jaccard_pairs_prefix", jaccardPairsSql) { (s, d) =>
+    Dedup.jaccardPairsPrefix(sharedShingles(s, d), 0.5)
+  }
+
+  /** Skew-probe auto-selection in the gate: whichever branch the probe
+    * picks must still match the relational oracle exactly. */
+  private val jaccardPairsAuto = Q("ddp_jaccard_pairs_auto", jaccardPairsSql) { (s, d) =>
+    Dedup.jaccardPairsAuto(sharedShingles(s, d), 0.5)
+  }
 
   /** MinHash(k=16) + LSH(4 bands × 4 rows) candidates, verified with
     * true Jaccard (τ = 0.5). Only band-colliding docs are ever paired. */
@@ -473,7 +491,7 @@ object DedupQueries {
   }
 
   val all: Seq[Q] =
-    Seq(exactGroups, jaccardPairs, minhashLsh, simhashSigs, simhashPairs, jaccardComponents,
-      dedupKeep, embeddingPairs, embeddingPairsMp, embeddingPairsIvf, corpusPrepare,
-      corpusPrepareEmb)
+    Seq(exactGroups, jaccardPairs, jaccardPairsPrefix, jaccardPairsAuto, minhashLsh,
+      simhashSigs, simhashPairs, jaccardComponents, dedupKeep, embeddingPairs,
+      embeddingPairsMp, embeddingPairsIvf, corpusPrepare, corpusPrepareEmb)
 }
