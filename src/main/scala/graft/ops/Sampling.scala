@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation. Every
+  * keep/drop decision is a pure function of row content (an md5 hash
+  * fraction — portable across engines, no RNG state, no seed
+  * plumbing), so samples are exactly reproducible, differentially
+  * checkable against any engine computing the same expression, and
+  * stable under retries and re-partitioning — the properties
+  * `Dataset.sample`'s per-partition RNG cannot give
+  * (cf. `misc_sample`, rows-only by nature, vs `misc_sample_hash`).
+  *
+  * Scale notes: at 100 TB a sampling pass must be map-only — both
+  * operators here are pure filters over one scan (predicate
+  * scan-local, nothing shuffles, parallelism = input splits). The
+  * hash fraction is uniform on [0, 1) with 2^-24 granularity (6 md5
+  * hex chars), plenty for corpus mixing ratios.
+  */
+object Sampling {
+
+  private val HashSpace = (1L << 24).toDouble
+
+  /** Uniform-[0, 1) content-hash fraction of a key column — the
+    * decision variable both samplers threshold. */
+  def hashFraction(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long") / lit(HashSpace)
+
+  /** Deterministic Bernoulli sample: keep each row iff
+    * hashFraction(key) < rate. */
+  def bernoulli(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(hashFraction(col(keyCol)) < lit(rate))
+
+  /** Stratified deterministic sample — the corpus-mixing operation:
+    * re-balance a training mix by keeping each stratum (source,
+    * language, quality band, ...) at its own rate. `rates` compiles to
+    * a literal CASE chain inside the predicate (no join, no shuffle);
+    * strata absent from the map keep `defaultRate`. Within every
+    * stratum the kept set is a prefix of the same hash ordering, so
+    * LOWERING a stratum's rate always yields a subset of the higher
+    * rate's sample — mix ratios can be retuned without resampling
+    * churn. */
+  def stratified(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+  ): DataFrame = {
+    val rateCol = rates.toSeq
+      .sortBy(_._1) // deterministic CASE order
+      .foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+        when(col(strataCol) === lit(k), lit(r)).otherwise(acc)
+      }
+    df.filter(hashFraction(col(keyCol)) < rateCol)
+  }
+}

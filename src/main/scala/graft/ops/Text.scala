@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -97,6 +97,39 @@ object Text {
     * any document that shares an n-gram run of length >= w+n-1).
     * Variant note: tail windows shorter than `w` are kept.
     */
+  /** Greedy sequence packing by token budget — the operation that turns
+    * a cleaned corpus into fixed-size training context windows:
+    * documents are concatenated in (`partitionCol`, `idCol`) order and
+    * each document is assigned the index of the `budget`-token window
+    * its FIRST token lands in (`pack_id`), plus its token offset within
+    * the stream (`start_tok`). A document longer than the remaining
+    * window straddles into the next one — the standard concatenate-
+    * then-chunk packing LLM pipelines use, not bin packing (which is
+    * order-sensitive and not relational).
+    *
+    * One window function over (`partitionCol`) — the shuffle is by the
+    * stream key (source/shard), which is exactly how a 100 TB packing
+    * job parallelizes: each stream packs independently; window order is
+    * the deterministic `idCol`. */
+  def packByBudget(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      partitionCol: String,
+  ): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCol)
+      .orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tok", tokenCount(col(textCol)).cast("long"))
+      .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("start_tok") / budget))
+      .select(col(idCol), col(partitionCol), col("n_tok"), col("start_tok"), col("pack_id"))
+  }
+
   def winnowFingerprints(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String,

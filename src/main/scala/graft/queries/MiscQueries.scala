@@ -113,6 +113,31 @@ object MiscQueries {
       )
   }
 
+  /** Stratified deterministic sampling over the documents corpus — the
+    * training-mix re-balancing operation ([[graft.ops.Sampling]]):
+    * per-source keep rates as a literal CASE inside a scan-local
+    * predicate, content-hash decision variable, so the kept set is
+    * exactly reproducible in any engine (src2 dropped entirely, src0
+    * quartered, src1 halved, src3 at 3/4, everything else kept). */
+  private val sampleStratified = Q(
+    "misc_sample_stratified",
+    """SELECT doc_id, source FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) / 16777216.0
+      |  < (CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5
+      |                 WHEN 'src2' THEN 0.0 WHEN 'src3' THEN 0.75 ELSE 1.0 END)
+      |""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Sampling
+      .stratified(
+        graft.Tables.documents(s, d),
+        keyCol = "doc_id",
+        strataCol = "source",
+        rates = Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0, "src3" -> 0.75),
+      )
+      .select("doc_id", "source")
+  }
+
   val all: Seq[Q] =
-    Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode, jsonRoundtrip)
+    Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
+      jsonRoundtrip, sampleStratified)
 }

@@ -139,5 +139,25 @@ object TextQueries {
     Text.winnowFingerprints(documents(s, d), "doc_id", "text", n = 3, w = 4)
   }
 
-  val all: Seq[Q] = Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow)
+  /** Greedy sequence packing into 512-token context windows, one
+    * stream per source (concatenate-then-chunk — the LLM training
+    * packing op): each document's window index and token offset,
+    * differential down to the window arithmetic. */
+  private val packBudget = Q(
+    "txt_pack_budget",
+    """SELECT doc_id, source, n_tok, start_tok,
+      |  CAST(floor(start_tok / 512.0) AS BIGINT) AS pack_id
+      |FROM (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tok,
+      |    CAST(COALESCE(SUM(CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT))
+      |      OVER (PARTITION BY source ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+      |  FROM documents)""".stripMargin,
+  ) { (s, d) =>
+    Text.packByBudget(documents(s, d), "doc_id", "text", budget = 512, partitionCol = "source")
+  }
+
+  val all: Seq[Q] =
+    Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget)
 }

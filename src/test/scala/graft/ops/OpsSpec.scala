@@ -535,6 +535,48 @@ class OpsSpec extends AnyFunSuite {
     assert(kept === Array(1L, 3L, 4L))
   }
 
+  test("deterministic sampling: reproducible, rate-monotone subsets, zero-rate stratum drops") {
+    import graft.ops.Sampling
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val half  = ids(Sampling.bernoulli(docs, "doc_id", 0.5))
+    val half2 = ids(Sampling.bernoulli(docs, "doc_id", 0.5))
+    assert(half === half2, "content-hash sample must be run-reproducible")
+    val tenth = ids(Sampling.bernoulli(docs, "doc_id", 0.1))
+    assert(tenth.subsetOf(half), "lowering the rate must shrink, not reshuffle, the sample")
+    assert(tenth.nonEmpty && half.size < ids(docs.toDF()).size)
+
+    val strat = Sampling.stratified(docs, "doc_id", "source",
+      Map("src0" -> 0.0, "src1" -> 1.0), defaultRate = 0.5)
+    val bySource = strat.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySource.contains("src0"), "rate-0 stratum must vanish")
+    val src1Total = docs.filter(col("source") === "src1").count()
+    assert(bySource("src1") === src1Total, "rate-1 stratum must be complete")
+  }
+
+  test("packByBudget: stream order, straddling documents take their first token's window") {
+    import graft.ops.Text
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // per-source streams: src A packs 300+300+300 into 512-token
+    // windows (doc 3 starts at 600 -> window 1); src B independent
+    val docs = Seq(
+      (1L, "A", doc(300)), (2L, "A", doc(300)), (3L, "A", doc(300)),
+      (10L, "B", doc(600)), (11L, "B", doc(10)),
+    ).toDF("doc_id", "source", "text")
+    val got = Text.packByBudget(docs, "doc_id", "text", budget = 512, partitionCol = "source")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(1L) === ((300L, 0L, 0L)))
+    assert(got(2L) === ((300L, 300L, 0L))) // straddles 512 but starts in window 0
+    assert(got(3L) === ((300L, 600L, 1L)))
+    assert(got(10L) === ((600L, 0L, 0L))) // oversized doc owns window 0 of its stream
+    assert(got(11L) === ((10L, 600L, 1L)))
+  }
+
   test("enrichment registry: specs, parameterization, broken-plugin tolerance") {
     import graft.ocsf.EnrichmentRegistry
     val (ok, errs) = EnrichmentRegistry.createAll(
