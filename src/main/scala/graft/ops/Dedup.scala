@@ -577,6 +577,48 @@ object Dedup {
   /** End-to-end corpus dedup: keep every document that is the canonical
     * (minimum-id) member of its near-dup component, plus all documents
     * in no component. */
+  /** Benchmark decontamination — the eval-leakage guard every serious
+    * training pipeline runs: drop any corpus document sharing at least
+    * one word `n`-gram with the benchmark/eval set (the n-gram-overlap
+    * rule popularized by the GPT-3/Pile decontamination procedures;
+    * `n` ≈ 8–13 for natural text, lower for short or synthetic docs).
+    *
+    * Dataflow: distinct `n`-gram shingles of both sides, a semi-join
+    * keyed on the shingle, anti-join the flagged ids. The benchmark
+    * side is an eval set — tiny by definition — so its shingle table is
+    * broadcast: the corpus side never shuffles, making this one
+    * map-side-filtered scan at any corpus scale. */
+  def decontaminate(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+  ): DataFrame = {
+    val flagged = contaminatedIds(docs, benchmark, idCol, textCol, n)
+      .withColumnRenamed("doc_id", "__contam_id")
+    docs.join(flagged, docs(idCol) === col("__contam_id"), "left_anti")
+  }
+
+  /** The flagged side of [[decontaminate]]: distinct corpus ids sharing
+    * an `n`-gram with the benchmark (for reporting/audit, one row per
+    * contaminated document). */
+  def contaminatedIds(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+  ): DataFrame = {
+    val benchShingles = shingleSets(benchmark, idCol, textCol, n)
+      .select(col("sh"))
+      .distinct()
+    shingleSets(docs, idCol, textCol, n)
+      .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+      .select(col("doc_id"))
+      .distinct()
+  }
+
   def dedupByPairs(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val dropIds = clusterPairs(pairs)
       .filter(col("doc_id") =!= col("component"))

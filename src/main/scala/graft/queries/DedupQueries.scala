@@ -364,6 +364,34 @@ object DedupQueries {
     )
   }
 
+  /** Benchmark decontamination (eval-leakage guard): the corpus with
+    * every document sharing a 5-gram with the held-out benchmark split
+    * (doc_id % 50 = 0 stands in for an eval set) removed. The oracle
+    * rebuilds the identical distinct-shingle semi-join relationally;
+    * 5-grams (not the natural-text 8–13) because the synthetic docs
+    * are short word-salad — the rule, not the n, is what's checked. */
+  private val decontaminate = Q(
+    "ddp_decontaminate",
+    """WITH bench AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+      |corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+      |btoks AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM bench),
+      |bsh AS (SELECT DISTINCT unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+      |  FROM btoks),
+      |ctoks AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM corpus),
+      |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS sh
+      |  FROM ctoks),
+      |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh))
+      |SELECT doc_id, source FROM corpus
+      |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+  ) { (s, d) =>
+    val all    = documents(s, d)
+    val bench  = all.filter(col("doc_id") % 50 === 0)
+    val corpus = all.filter(col("doc_id") % 50 =!= 0)
+    Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 5).select("doc_id", "source")
+  }
+
   /** The composed training-corpus pipeline, end to end in the gate:
     * quality gate (token bounds) → language gate (marker heuristic) →
     * exact dedup (normalized fingerprint, keep min id) → fuzzy dedup
@@ -493,5 +521,5 @@ object DedupQueries {
   val all: Seq[Q] =
     Seq(exactGroups, jaccardPairs, jaccardPairsPrefix, jaccardPairsAuto, minhashLsh,
       simhashSigs, simhashPairs, jaccardComponents, dedupKeep, embeddingPairs,
-      embeddingPairsMp, embeddingPairsIvf, corpusPrepare, corpusPrepareEmb)
+      embeddingPairsMp, embeddingPairsIvf, decontaminate, corpusPrepare, corpusPrepareEmb)
 }

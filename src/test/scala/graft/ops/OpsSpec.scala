@@ -535,6 +535,26 @@ class OpsSpec extends AnyFunSuite {
     assert(kept === Array(1L, 3L, 4L))
   }
 
+  test("decontamination: n-gram overlap with the benchmark drops the doc, clean docs survive") {
+    import graft.ops.Dedup
+    val benchSeq = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench = Seq((100L, s"held out eval item $benchSeq end")).toDF("doc_id", "text")
+    val docs = Seq(
+      // contains the benchmark 8-word run verbatim -> contaminated
+      (1L, s"training doc with leaked span $benchSeq and trailing words"),
+      // shares vocabulary but never 5 consecutive words -> clean
+      (2L, "alpha beta gamma x delta epsilon zeta y eta theta iota"),
+      (3L, "entirely unrelated content about spark query planning internals"),
+    ).toDF("doc_id", "text")
+
+    val flagged = Dedup.contaminatedIds(docs, bench, "doc_id", "text", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(1L))
+    val kept = Dedup.decontaminate(docs, bench, "doc_id", "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(2L, 3L))
+  }
+
   test("deterministic sampling: reproducible, rate-monotone subsets, zero-rate stratum drops") {
     import graft.ops.Sampling
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
