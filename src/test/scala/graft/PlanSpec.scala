@@ -96,6 +96,26 @@ class PlanSpec extends AnyFunSuite {
   // assertion would be vacuous. The component joins are pinned by the
   // LSH / exact-dedup / embedding tests above on their own queries.
 
+  test("stratified sampling is one shuffle-free scan; packing shuffles once by stream key") {
+    // the sampler is a pure predicate over the scan — any Exchange
+    // means the map-only contract broke
+    val sp = planOf("misc_sample_stratified")
+    assert(!sp.contains("Exchange"), s"sampling shuffles:\n$sp")
+    // packing = exactly one hash exchange (the per-stream window);
+    // a second one would mean the window spec re-partitions
+    val pp = planOf("txt_pack_budget")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(pp).length === 1, pp)
+  }
+
+  test("decontamination broadcasts the benchmark shingles; corpus side never shuffles") {
+    val p = planOf("ddp_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // left-semi against the broadcast eval set, left-anti for the keep;
+    // no SortMergeJoin means the corpus-sized side stayed in place
+    assert(!p.contains("SortMergeJoin"), s"corpus side shuffled for the join:\n$p")
+  }
+
   test("IVF scoring join broadcasts the probe side — no shuffle of candidates by cell") {
     val p = planOf("sim_ann_ivf_topk")
     assert(p.contains("BroadcastHashJoin"), p)
