@@ -97,6 +97,32 @@ object Text {
     * any document that shares an n-gram run of length >= w+n-1).
     * Variant note: tail windows shorter than `w` are kept.
     */
+  /** Type-token ratio (distinct tokens / tokens) — the simplest
+    * repetition signal in the Gopher-rule quality family; low values
+    * mean boilerplate/looped text. Null on empty docs. */
+  def typeTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(null))
+      .otherwise(size(array_distinct(toks)) / size(toks).cast("double"))
+  }
+
+  /** Fraction of all bigram occurrences taken by the single most
+    * frequent bigram — the "top n-gram fraction" repetition rule. Pure
+    * per-row higher-order expressions (O(distinct² ) per doc, which is
+    * trivial at document length): no explode, no shuffle, the whole
+    * metric rides the scan like every other quality signal. Null when
+    * the doc has fewer than two tokens. */
+  def topBigramFraction(text: Column): Column = {
+    val toks = tokens(text)
+    val bg = transform(
+      sequence(lit(1), greatest(size(toks) - 1, lit(0))),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)),
+    )
+    val counts = transform(array_distinct(bg), x => size(filter(bg, y => y === x)))
+    when(size(bg) === 0, lit(null))
+      .otherwise(array_max(counts) / size(bg).cast("double"))
+  }
+
   /** Greedy sequence packing by token budget — the operation that turns
     * a cleaned corpus into fixed-size training context windows:
     * documents are concatenated in (`partitionCol`, `idCol`) order and

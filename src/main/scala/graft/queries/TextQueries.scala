@@ -158,6 +158,33 @@ object TextQueries {
     Text.packByBudget(documents(s, d), "doc_id", "text", budget = 512, partitionCol = "source")
   }
 
+  /** Gopher-family repetition metrics per document: type-token ratio
+    * and top-bigram occurrence fraction, both pure per-row list
+    * expressions (the oracle replays the identical lambdas). */
+  private val repetition = Q(
+    "txt_repetition",
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents),
+      |b AS (SELECT doc_id, toks,
+      |    list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+      |      i -> toks[i] || ' ' || toks[i+1]) AS bg
+      |  FROM t)
+      |SELECT doc_id,
+      |  CASE WHEN len(toks) = 0 THEN NULL
+      |       ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS ttr,
+      |  CASE WHEN len(bg) = 0 THEN NULL
+      |       ELSE list_aggregate(list_transform(list_distinct(bg),
+      |              x -> len(list_filter(bg, y -> y = x))), 'max') / CAST(len(bg) AS DOUBLE)
+      |       END AS top_bigram_frac
+      |FROM b""".stripMargin,
+  ) { (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      Text.typeTokenRatio(col("text")).as("ttr"),
+      Text.topBigramFraction(col("text")).as("top_bigram_frac"),
+    )
+  }
+
   val all: Seq[Q] =
-    Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget)
+    Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
+      repetition)
 }
