@@ -226,7 +226,15 @@ object Staging {
     // instead of letting it silently clobber the newer snapshot.
     val basePtr = readSideFile(rootFs, rootPath, "_CURRENT")
     val landing = Landing.read(spark, landingPath)
-    val current = readCurrent(spark, stagingRoot)
+    // Writers resolve the current snapshot ONLY through the pointer —
+    // never [[currentVersion]]'s highest-complete-version fallback.
+    // With never-reused version numbers, a CAS-aborted run can leave a
+    // complete-but-never-committed directory numbered above the
+    // pointer; a writer that fell back to it would merge (and then
+    // commit) data that was never current. Readers keep the fallback
+    // as a recovery heuristic for pointer loss.
+    val current: Option[DataFrame] =
+      basePtr.map(v => spark.read.parquet(s"$stagingRoot/v=$v"))
     val watermark: Option[java.sql.Timestamp] =
       current.map(c => c.agg(max("staging_loaded_at")).head().getTimestamp(0)).filter(_ != null)
     val fresh = watermark match {
@@ -253,22 +261,42 @@ object Staging {
     // Version numbers are never reused: `next` is one past BOTH the
     // committed version and any version directory already on disk
     // (abandoned pre-commit leftovers of a crashed/aborted run, or a
-    // concurrent writer's in-flight compaction). No run ever overwrites
-    // another run's directory, so a failed commit can always be retried,
-    // and the commit CAS below decides which writer's version becomes
-    // current.
+    // concurrent writer's in-flight compaction), and the number is
+    // CLAIMED via an exclusive-create side file before anything is
+    // written — two writers racing from the same base settle on
+    // different directories at claim time, so no run ever overwrites
+    // another run's directory and a failed commit can always be
+    // retried. The commit CAS below then decides which claimed version
+    // becomes current.
     val existingMax =
       if (rootFs.exists(rootPath))
         rootFs
           .listStatus(rootPath)
           .collect {
-            case s if s.isDirectory && s.getPath.getName.startsWith("v=") =>
+            // strict `v=<digits>` match: stray operator-created entries
+            // (v=backup, v=3.old) must not crash version allocation
+            case s if s.isDirectory && s.getPath.getName.matches("v=\\d+") =>
               s.getPath.getName.stripPrefix("v=").toLong
           }
           .maxOption
       else None
-    val next =
-      (currentVersion(spark, stagingRoot).getOrElse(-1L) max existingMax.getOrElse(-1L)) + 1
+    var next = (basePtr.map(_.toLong).getOrElse(-1L) max existingMax.getOrElse(-1L)) + 1
+    if (!rootFs.exists(rootPath)) rootFs.mkdirs(rootPath)
+    var claimed   = false
+    var attempts  = 0
+    while (!claimed) {
+      attempts += 1
+      if (attempts > 1000)
+        throw new IllegalStateException(
+          s"could not claim a version number under $stagingRoot after 1000 attempts"
+        )
+      try {
+        rootFs.create(new org.apache.hadoop.fs.Path(rootPath, s"_CLAIM_v$next"), false).close()
+        claimed = true
+      } catch {
+        case _: java.io.IOException => next += 1 // another writer holds this number
+      }
+    }
     val versionDir = s"$stagingRoot/v=$next"
     // Cluster by finding_uid at compaction time — the Spark analog of
     // the reference's btree indexes (`add_new_indexes.sql:19-26` at
@@ -280,35 +308,42 @@ object Staging {
     // lookup prunes whole files, not just row groups. That is the
     // production compaction layout; size n to the snapshot (target
     // ~128 MB–1 GB per file at scale).
-    val written: Long = clusterFiles match {
-      case Some(n) =>
-        // No Observation here: repartitionByRange's boundary-sampling
-        // job executes the plan (and would bump a CollectMetrics
-        // accumulator) a second time — observed counts double. Count
-        // from the written files instead; parquet count() is answered
-        // from footer metadata, no data pages are read.
-        merged
-          .repartitionByRange(n, col("finding_uid"))
-          .sortWithinPartitions("finding_uid")
-          .write
-          .mode("overwrite")
-          .parquet(versionDir)
-        spark.read.parquet(versionDir).count()
-      case None =>
-        // Snapshot row count observed on the compaction write itself —
-        // the new version is never rescanned just for the return value.
-        val obs = org.apache.spark.sql.Observation()
-        merged
-          .observe(obs, count(lit(1)).as("rows"))
-          .sortWithinPartitions("finding_uid")
-          .write
-          .mode("overwrite")
-          .parquet(versionDir)
-        obs.get("rows").asInstanceOf[Long]
-    }
-    beforeCommit()
-    commitPointer(rootFs, rootPath, next, basePtr)
-    written
+    try {
+      val written: Long = clusterFiles match {
+        case Some(n) =>
+          // No Observation here: repartitionByRange's boundary-sampling
+          // job executes the plan (and would bump a CollectMetrics
+          // accumulator) a second time — observed counts double. Count
+          // from the written files instead; parquet count() is answered
+          // from footer metadata, no data pages are read.
+          merged
+            .repartitionByRange(n, col("finding_uid"))
+            .sortWithinPartitions("finding_uid")
+            .write
+            .mode("overwrite")
+            .parquet(versionDir)
+          spark.read.parquet(versionDir).count()
+        case None =>
+          // Snapshot row count observed on the compaction write itself —
+          // the new version is never rescanned just for the return value.
+          val obs = org.apache.spark.sql.Observation()
+          merged
+            .observe(obs, count(lit(1)).as("rows"))
+            .sortWithinPartitions("finding_uid")
+            .write
+            .mode("overwrite")
+            .parquet(versionDir)
+          obs.get("rows").asInstanceOf[Long]
+      }
+      beforeCommit()
+      commitPointer(rootFs, rootPath, next, basePtr)
+      written
+    } finally
+      // The claim file's job ends once the outcome is on disk: either
+      // the version directory now exists (and guards the number through
+      // existingMax) or nothing was written (and the number is free to
+      // reuse). Always releasing keeps the root free of stale claims.
+      rootFs.delete(new org.apache.hadoop.fs.Path(rootPath, s"_CLAIM_v$next"), false)
   }
 
   /** Commit = exclusive-create lock + compare-and-swap on `_CURRENT`.
@@ -364,7 +399,7 @@ object Staging {
       case None if fs.exists(root) =>
         fs.listStatus(root)
           .toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+          .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d+"))
           .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
           .map(_.getPath.getName.stripPrefix("v=").toLong)
           .sorted
@@ -374,10 +409,12 @@ object Staging {
   }
 
   /** Atomic side-file swap shared by every underscore-prefixed metadata
-    * file (`_CURRENT`, `_UID_PATTERN`): write to `.tmp`, delete the old
-    * file, rename into place. Rename is atomic; each caller covers the
-    * delete→rename gap with its own fallback (highest-complete-version
-    * for the pointer, absent-pattern for the constraint). */
+    * file (`_CURRENT`, `_UID_PATTERN`): write to `.tmp`, rename into
+    * place with OVERWRITE — a single atomic replacement, so readers
+    * never observe the file absent mid-swap. (The pre-FileContext form
+    * deleted then renamed, leaving a gap the pointer's
+    * highest-complete-version fallback had to cover; the fallback now
+    * only matters for genuine pointer loss.) */
   private def writeSideFile(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
@@ -390,8 +427,8 @@ object Staging {
     val out = fs.create(tmp, true)
     try out.write(value.getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(ptr)) fs.delete(ptr, false)
-    fs.rename(tmp, ptr)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, fs.getConf)
+    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     ()
   }
 

@@ -92,12 +92,28 @@ object CorpusPipeline {
       bands: Int = 12,
   ): DataFrame = {
     val survivors = prepare(docs, idCol, textCol, cfg).localCheckpoint(eager = false)
-    val embedded = survivors
-      .join(embeddings, survivors(idCol) === embeddings(embIdCol))
-      .select(survivors(idCol), col(embCol))
-    val pairs = Similarity
-      .embeddingDupPairs(embedded, idCol, embCol, embTau, nPlanes, bands)
-      .select("a_id", "b_id")
-    Dedup.dedupByPairs(survivors, idCol, pairs)
+    // The embedding dimension is a property of the embeddings input
+    // alone — probe it there (LIMIT 1 on one table) instead of letting
+    // the operator infer through the survivors join, which would
+    // materialize the whole text pipeline at construction time. An
+    // embeddings side with no non-null vector degrades to text-only
+    // dedup, as documented: nothing can be an embedding candidate.
+    val dim = embeddings
+      .filter(col(embCol).isNotNull)
+      .select(size(col(embCol)).cast("int").as("n"))
+      .head(1)
+      .headOption
+      .map(_.getInt(0))
+    dim match {
+      case None => survivors
+      case Some(d) =>
+        val embedded = survivors
+          .join(embeddings, survivors(idCol) === embeddings(embIdCol))
+          .select(survivors(idCol), col(embCol))
+        val pairs = Similarity
+          .embeddingDupPairs(embedded, idCol, embCol, embTau, nPlanes, bands, dim = d)
+          .select("a_id", "b_id")
+        Dedup.dedupByPairs(survivors, idCol, pairs)
+    }
   }
 }

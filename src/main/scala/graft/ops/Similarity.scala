@@ -121,7 +121,14 @@ object Similarity {
     * an explicit `dim` passes (nothing to contradict), an empty input
     * with `dim <= 0` cannot infer and throws. */
   private def resolveDim(df: DataFrame, embCol: String, dim: Int): Int = {
-    val probe = df.select(size(col(embCol)).cast("int").as("n")).head(1).headOption.map(_.getInt(0))
+    // null embeddings are skipped by the probe — a null first row must
+    // not NPE the inference, and a null vector can't define the dim
+    val probe = df
+      .filter(col(embCol).isNotNull)
+      .select(size(col(embCol)).cast("int").as("n"))
+      .head(1)
+      .headOption
+      .map(_.getInt(0))
     (dim, probe) match {
       case (d, Some(p)) if d > 0 && d != p =>
         throw new IllegalArgumentException(

@@ -113,11 +113,10 @@ object Text {
     * metric rides the scan like every other quality signal. Null when
     * the doc has fewer than two tokens. */
   def topBigramFraction(text: Column): Column = {
-    val toks = tokens(text)
-    val bg = transform(
-      sequence(lit(1), greatest(size(toks) - 1, lit(0))),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)),
-    )
+    // shingles() guards the short-doc case (< 2 tokens -> empty array);
+    // a raw sequence(1, size-1) would DESCEND for size <= 1 under
+    // Spark's default step and evaluate out-of-bounds element_at.
+    val bg = shingles(tokens(text), 2)
     val counts = transform(array_distinct(bg), x => size(filter(bg, y => y === x)))
     when(size(bg) === 0, lit(null))
       .otherwise(array_max(counts) / size(bg).cast("double"))

@@ -37,9 +37,30 @@ object StreamingQueries {
     * keeps its real checkpoint on the job's filesystem). */
   private def scratchDir(prefix: String): java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-      java.nio.file.Files.createTempDirectory(shm, prefix)
-    else java.nio.file.Files.createTempDirectory(prefix)
+    val dir =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, prefix)
+      else java.nio.file.Files.createTempDirectory(prefix)
+    // tmpfs outlives the JVM: without cleanup every run leaks RAM-backed
+    // directories until reboot. Cached dirs (sources, splits) live for
+    // the session and are reaped at exit; per-query checkpoint dirs are
+    // additionally deleted right after their query terminates.
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      catch { case _: Throwable => () }
+    ))
+    dir
+  }
+
+  /** Run a streaming body against a fresh scratch checkpoint dir and
+    * delete the dir as soon as the query has terminated — checkpoints
+    * of a completed AvailableNow replay have no replay value. */
+  private def withScratchCheckpoint[T](prefix: String)(body: String => T): T = {
+    val dir = scratchDir(prefix)
+    try body(dir.toString)
+    finally
+      try org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      catch { case _: Throwable => () }
   }
 
   /** The events table exposed as a file-stream source directory (the
@@ -150,14 +171,16 @@ object StreamingQueries {
       .select(col("window.start").as("bucket_start"), col("event_type"), col("n"), col("total"))
     val name = synchronized { streamN += 1; s"graft_stream_$streamN" }
     withStatePartitions(s, 4) {
-      val q = agg.writeStream
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", scratchDir("graft_ckpt_tumbling").toString)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withScratchCheckpoint("graft_ckpt_tumbling") { ckpt =>
+        val q = agg.writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
     s.table(name)
   }
@@ -195,14 +218,16 @@ object StreamingQueries {
       .select(col("e.event_id").as("err_id"), col("c.event_id").as("click_id"), col("e.user_id"))
     val name = synchronized { streamN += 1; s"graft_stream_join_$streamN" }
     withStatePartitions(s, 4) {
-      val q = joined.writeStream
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", scratchDir("graft_ckpt_interval").toString)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withScratchCheckpoint("graft_ckpt_interval") { ckpt =>
+        val q = joined.writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
     s.table(name)
   }
@@ -252,14 +277,16 @@ object StreamingQueries {
       .select(col("e.event_id").as("err_id"), col("c.event_id").as("click_id"), col("e.user_id"))
     val name = synchronized { streamN += 1; s"graft_stream_louter_$streamN" }
     withStatePartitions(s, 4) {
-      val q = joined.writeStream
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", scratchDir("graft_ckpt_louter").toString)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withScratchCheckpoint("graft_ckpt_louter") { ckpt =>
+        val q = joined.writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
     s.table(name)
   }

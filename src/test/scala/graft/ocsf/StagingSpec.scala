@@ -384,6 +384,26 @@ class StagingSpec extends AnyFunSuite {
     assert(Staging.currentVersion(spark, stagingRoot).exists(_ > 0L))
   }
 
+  test("version allocation: held claims are skipped, stray v= entries don't crash") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val docs        = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
+    val landingDir  = tmpDir("landing_claim")
+    val stagingRoot = tmpDir("staging_claim")
+    Landing.append(docs, landingDir)
+    Staging.mergeRun(spark, landingDir, stagingRoot) // v=0
+    // another writer holds the claim on v=1; a stray non-numeric v=
+    // entry (operator backup) must be ignored, not parsed
+    Files.createFile(Paths.get(stagingRoot, "_CLAIM_v1"))
+    Files.createDirectories(Paths.get(stagingRoot, "v=backup"))
+    Landing.append(docs, landingDir)
+    assert(Staging.mergeRun(spark, landingDir, stagingRoot) === 1L)
+    // the held claim pushed this run to v=2; pointer follows
+    assert(Staging.currentVersion(spark, stagingRoot) === Some(2L))
+    assert(Files.exists(Paths.get(stagingRoot, "_CLAIM_v1")), "foreign claim must not be released")
+    assert(!Files.exists(Paths.get(stagingRoot, "_CLAIM_v2")), "own claim must be released")
+  }
+
   test("installed UID pattern is enforced at mergeRun compaction time too") {
     import spark.implicits._
     val docs        = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())

@@ -535,6 +535,36 @@ class OpsSpec extends AnyFunSuite {
     assert(kept === Array(1L, 3L, 4L))
   }
 
+  test("repetition metrics: null (not a crash) on empty and single-token docs") {
+    import graft.ops.Text
+    val df = Seq((1L, ""), (2L, "single"), (3L, "a b a b a b"), (4L, "w1 w2 w3 w4"))
+      .toDF("doc_id", "text")
+      .select(
+        col("doc_id"),
+        Text.typeTokenRatio(col("text")).as("ttr"),
+        Text.topBigramFraction(col("text")).as("tbf"),
+      )
+    val rows = df.collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(rows(1L) === ((None, None)))
+    assert(rows(2L)._1 === Some(1.0) && rows(2L)._2 === None)
+    // "a b" occurs 3 of 5 bigrams
+    assert(rows(3L)._2 === Some(0.6))
+    // 4 tokens -> 3 bigrams, all distinct -> top fraction 1/3
+    assert(rows(4L)._1 === Some(1.0) && rows(4L)._2 === Some(1.0 / 3))
+  }
+
+  test("prepareWithEmbeddings degrades to text-only dedup when embeddings are empty") {
+    import graft.ops.CorpusPipeline
+    def words(r: Range) = r.map(i => s"the w$i of t$i in p$i").mkString(" ")
+    val docs = Seq((1L, words(1 to 20)), (2L, words(30 to 50))).toDF("doc_id", "text")
+    val noEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val kept = CorpusPipeline
+      .prepareWithEmbeddings(docs, noEmb, "doc_id", "text", "vec_id", "embedding",
+        embTau = 0.9, cfg = CorpusPipeline.Config(minTokens = 10))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 2L))
+  }
+
   test("decontamination: n-gram overlap with the benchmark drops the doc, clean docs survive") {
     import graft.ops.Dedup
     val benchSeq = "alpha beta gamma delta epsilon zeta eta theta"
