@@ -271,6 +271,39 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** Banding ladder for [[embeddingDupPairsAuto]]: (nPlanes, bands)
+    * sized to the corpus. The candidate join has a RANDOM-collision
+    * floor of ≈ bands × N² / 2^r pairs (r = bits per band): with the
+    * demo config (r = 6, 64 buckets) the floor turns quadratic past a
+    * few thousand vectors — measured 1.6s → 92s for 2k → 20k on
+    * local[32]. Keeping the floor ∝ N means growing r with log₂ N;
+    * each rung roughly doubles r as N grows 25×, trading a few more
+    * map-side plane dots (nPlanes ≤ 120) for an exponentially smaller
+    * collision divisor. Recall at τ ≥ 0.9 stays ≥ 0.99 on every rung
+    * (per-band hit p^r with p ≈ 1 − θ/π; more bands offset larger r). */
+  def chooseBanding(n: Long): (Int, Int) =
+    if (n <= 4000L) (72, 12) //  r = 6,  64 buckets — the demo/gate config
+    else if (n <= 100000L) (96, 8) //  r = 12, 4096 buckets
+    else if (n <= 4000000L) (108, 6) //  r = 18, 262k buckets
+    else (120, 5) //  r = 24, 16M buckets
+
+  /** [[embeddingDupPairs]] with the banding chosen by a corpus-count
+    * probe — the embedding twin of [[Dedup.jaccardPairsAuto]]'s
+    * skew-probe selection. Same results as the fixed config on small
+    * corpora (the first rung IS the default 72/12); on large corpora
+    * only the approximation's candidate set changes, never a reported
+    * pair's exactness (the cosine verify is exact on every rung). */
+  def embeddingDupPairsAuto(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      tau: Double,
+      probes: Int = 0,
+  ): DataFrame = {
+    val (nPlanes, bands) = chooseBanding(df.count())
+    embeddingDupPairs(df, idCol, embCol, tau, nPlanes, bands, dim = 0, probes = probes)
+  }
+
   /** Embedding near-dup pairs keyed on IVF cells instead of SRP bands:
     * candidates are pairs where one side's `nprobe` nearest cells
     * include the other side's home cell (symmetric via least/greatest

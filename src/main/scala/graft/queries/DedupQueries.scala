@@ -326,6 +326,29 @@ object DedupQueries {
     )
   }
 
+  /** Count-probed banding selection in the gate: at gate scale the
+    * ladder's first rung IS the fixed 72-plane/12-band config, so the
+    * auto variant shares `ddp_embedding_pairs`' oracle verbatim — what
+    * the row checks is that auto-selection is invisible in the result
+    * at its small-corpus rung (the large-corpus rungs change only the
+    * candidate set's size bound, spec-pinned separately). */
+  private val embeddingPairsAuto = Q(
+    "ddp_embedding_pairs_auto",
+    s"""$embCte,
+       |$srpBandCte,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+       |$cosVerifyTail""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Similarity.embeddingDupPairsAuto(
+      embeddings(s, d),
+      idCol = "vec_id",
+      embCol = "embedding",
+      tau = 0.45,
+    )
+  }
+
   /** IVF-cell-keyed embedding near-dup pairs (16 deterministic sampled
     * centroids, nprobe=2): candidate pairs share a probed cell, exact
     * cosine verify. The variant that reuses an existing ANN codebook;
@@ -521,5 +544,6 @@ object DedupQueries {
   val all: Seq[Q] =
     Seq(exactGroups, jaccardPairs, jaccardPairsPrefix, jaccardPairsAuto, minhashLsh,
       simhashSigs, simhashPairs, jaccardComponents, dedupKeep, embeddingPairs,
-      embeddingPairsMp, embeddingPairsIvf, decontaminate, corpusPrepare, corpusPrepareEmb)
+      embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, decontaminate, corpusPrepare,
+      corpusPrepareEmb)
 }

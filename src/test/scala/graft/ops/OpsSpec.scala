@@ -263,6 +263,43 @@ class OpsSpec extends AnyFunSuite {
       s"multi-probe found nothing new (exact ${exact.size}, multi ${multi.size})")
   }
 
+  test("embedding banding ladder: r grows with N, rung 1 equals the fixed config, recall holds") {
+    import graft.ops.Similarity
+    // the ladder itself: bits per band (nPlanes/bands) must be
+    // non-decreasing in N — the random-collision floor bands·N²/2^r
+    // stays ∝ N only if r grows with log2 N
+    val rungs = Seq(1000L, 4000L, 4001L, 100000L, 100001L, 4000000L, 4000001L)
+      .map(Similarity.chooseBanding)
+    rungs.foreach { case (np, b) => assert(np % b === 0) }
+    val rs = rungs.map { case (np, b) => np / b }
+    assert(rs === Seq(6, 6, 12, 12, 18, 18, 24))
+
+    // auto == fixed at gate scale (rung 1 IS 72/12)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val auto = Similarity.embeddingDupPairsAuto(emb, "vec_id", "embedding", tau = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = Similarity
+      .embeddingDupPairs(emb, "vec_id", "embedding", tau = 0.45, nPlanes = 72, bands = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === fixed)
+
+    // a larger rung (r = 12) still recovers planted near-dups: the
+    // per-band hit rate drops but 8 bands compensate at high cosine
+    val rnd = new scala.util.Random(99)
+    val dim = 64
+    val base = (0 until 40).map(id => id.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val copies = (0 until 25).map { i =>
+      val src = base(i)._2
+      (500L + i) -> src.map(v => v + (rnd.nextGaussian() * 0.05f).toFloat)
+    }
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val found = Similarity
+      .embeddingDupPairs(df, "vec_id", "embedding", tau = 0.9, nPlanes = 96, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 25).forall(i => found.contains((i.toLong, 500L + i))),
+      s"r=12 banding lost a planted pair: ${found.size}/25")
+  }
+
   test("SRP dim: inferred by default, explicit mismatch fails fast") {
     import graft.ops.Similarity
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
