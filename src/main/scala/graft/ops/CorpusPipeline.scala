@@ -88,8 +88,8 @@ object CorpusPipeline {
       embCol: String,
       embTau: Double,
       cfg: Config = Config(),
-      nPlanes: Int = 72,
-      bands: Int = 12,
+      nPlanes: Int = 0,
+      bands: Int = 0,
   ): DataFrame = {
     val survivors = prepare(docs, idCol, textCol, cfg).localCheckpoint(eager = false)
     // The embedding dimension is a property of the embeddings input
@@ -110,8 +110,16 @@ object CorpusPipeline {
         val embedded = survivors
           .join(embeddings, survivors(idCol) === embeddings(embIdCol))
           .select(survivors(idCol), col(embCol))
+          .localCheckpoint(eager = false)
+        // nPlanes/bands <= 0 (the default): size the banding to the
+        // embedded-survivor count ([[Similarity.chooseBanding]]) — the
+        // fixed demo config saturates quadratically past a few thousand
+        // vectors. Explicit values are honored unchanged.
+        val (np, b) =
+          if (nPlanes > 0 && bands > 0) (nPlanes, bands)
+          else Similarity.chooseBanding(embedded.count())
         val pairs = Similarity
-          .embeddingDupPairs(embedded, idCol, embCol, embTau, nPlanes, bands, dim = d)
+          .embeddingDupPairs(embedded, idCol, embCol, embTau, np, b, dim = d)
           .select("a_id", "b_id")
         Dedup.dedupByPairs(survivors, idCol, pairs)
     }
