@@ -177,6 +177,18 @@ object DedupQueries {
     Dedup.simhashPairs(sigs, maxHamming = 4)
   }
 
+  /** The 64-bit xxhash64 SimHash production path (engine-specific
+    * hashing ⇒ rows-only check, like the HLL sketches): the at-scale
+    * configuration of the SimHash family. Hamming ≤ 4 pigeonholes into
+    * 5 bands whatever the width, so band width — and the random-
+    * collision divisor — doubles with 64-bit signatures: 12–13-bit
+    * bands (4096+ buckets) where the 32-bit demo has 6–7 (64–128).
+    * Measured at the 10× replica: 32-bit 39s (quadratic floor), 64-bit
+    * stays candidate-proportional. */
+  private val simhash64Pairs = Q.noOracle("ddp_simhash64_pairs") { (s, d) =>
+    Dedup.simhashPairs(Dedup.simhash64Xx(sharedShingles(s, d)), maxHamming = 4, bits = 64)
+  }
+
   /** Connected components over the Jaccard near-dup pairs (min-label
     * propagation vs the oracle's recursive-CTE transitive closure):
     * each near-dup document mapped to its canonical representative. */
@@ -543,7 +555,7 @@ object DedupQueries {
 
   val all: Seq[Q] =
     Seq(exactGroups, jaccardPairs, jaccardPairsPrefix, jaccardPairsAuto, minhashLsh,
-      simhashSigs, simhashPairs, jaccardComponents, dedupKeep, embeddingPairs,
+      simhashSigs, simhashPairs, simhash64Pairs, jaccardComponents, dedupKeep, embeddingPairs,
       embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, decontaminate, corpusPrepare,
       corpusPrepareEmb)
 }
