@@ -155,6 +155,98 @@ object Text {
       .select(col(idCol), col(partitionCol), col("n_tok"), col("start_tok"), col("pack_id"))
   }
 
+  /** Top-k characteristic terms per document by tf-idf with a LINEAR
+    * inverse document frequency: score = tf · (N / df), no log damping.
+    * Every step — counts, one double division, one multiplication — is
+    * exactly rounded under IEEE-754, so the score (and therefore the
+    * top-k cut) is bit-identical across engines; a log-based idf cannot
+    * promise that (libm `log` differs in the last ulp between
+    * runtimes). Ties order by (score DESC, term ASC) — deterministic.
+    *
+    * Dataflow at corpus scale: explode → tf aggregate keyed
+    * (doc, term) → document frequency as a second aggregate DERIVED
+    * from the tf frame (identical subtree on both join branches, so
+    * the tf shuffle is reused rather than re-scanned) → tf ⋈ df
+    * shuffle join on term (the vocabulary is long-tailed at web scale
+    * — not broadcastable; AQE demotes to broadcast when it is small) →
+    * corpus size joined as a broadcast 1-row aggregate (stays in-plan,
+    * no driver collect) → one per-doc window for the top-k.
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf    = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n     = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w     = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * (col("n_docs") / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rnk")
+  }
+
+  /** Per-document rare-token statistics — the unigram-frequency quality
+    * filter (CCNet-style: documents dominated by tokens the corpus has
+    * barely seen are OCR junk, codes, or noise). A token is "rare" when
+    * its corpus occurrence count is under `pctThreshold` percent of all
+    * token occurrences; the test is pure integer arithmetic
+    * (c · 100 < pct · total), so no float crosses an engine boundary
+    * except the final exactly-rounded rare fraction.
+    *
+    * Dataflow: explode → corpus unigram counts (one aggregate keyed by
+    * term) → corpus total as a second 1-row aggregate over the counts
+    * (reuses the counts, not the scan) → occurrences ⋈ counts on term
+    * (long-tailed at web scale: shuffle join, AQE may broadcast) → one
+    * per-doc aggregate. Documents with zero tokens have no occurrence
+    * rows and drop out — same semantics in the SQL oracle.
+    */
+  def rareTokenStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pctThreshold: Int,
+  ): DataFrame = {
+    require(pctThreshold >= 1 && pctThreshold <= 100, s"pctThreshold out of range: $pctThreshold")
+    val terms = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val cnt   = terms.groupBy("term").agg(count(lit(1)).as("c"))
+    val tot   = cnt.agg(sum(col("c")).as("total"))
+    terms
+      .join(cnt, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("is_rare", when(col("c") * 100 < col("total") * pctThreshold, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(col("is_rare")).as("n_rare"),
+        (sum(col("is_rare")).cast("double") / count(lit(1))).as("rare_frac"),
+      )
+  }
+
+  /** Digit masking that keeps the last `keep` characters intact: every
+    * digit in the prefix becomes 'X'. The PII-redaction primitive for
+    * identifiers (account numbers, phone digits) where the tail is kept
+    * for human cross-checking. Strings of length <= `keep` pass
+    * through unmasked. */
+  def maskDigitsKeepLast(c: Column, keep: Int): Column = {
+    require(keep >= 0, s"keep must be >= 0, got $keep")
+    when(length(c) <= keep, c).otherwise(
+      concat(
+        regexp_replace(substring(c, lit(1), length(c) - keep), "[0-9]", "X"),
+        substring(c, length(c) - (keep - 1), lit(keep)),
+      )
+    )
+  }
+
+  /** Salted sha256 pseudonym (lowercase hex) — the reversible-only-with-
+    * the-salt replacement for a direct identifier. The salt keeps the
+    * pseudonym join-stable within a pipeline run while blocking
+    * rainbow-table reversal of the bare value. */
+  def pseudonym(c: Column, salt: String): Column =
+    sha2(concat(lit(salt), c), 256)
+
   def winnowFingerprints(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String,

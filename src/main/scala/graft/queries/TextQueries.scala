@@ -184,7 +184,77 @@ object TextQueries {
     )
   }
 
+  /** Top-5 characteristic terms per document by linear-idf tf-idf
+    * (score = tf · N/df — exactly-rounded IEEE ops only, see
+    * [[graft.ops.Text.tfIdfTopK]] for why the log is omitted). The
+    * oracle replays the identical arithmetic; ties break on term. */
+  private val tfidfTopk = Q(
+    "txt_tfidf_topk",
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df, tf * (n_docs / df) AS score
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, tf, df, score, rnk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                               ORDER BY score DESC, term ASC) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 5""".stripMargin,
+  ) { (s, d) =>
+    Text.tfIdfTopK(documents(s, d), "doc_id", "text", k = 5)
+  }
+
+  /** Rare-token quality filter: per-doc count/fraction of tokens whose
+    * corpus frequency is under 1% of all occurrences (integer-exact
+    * threshold test; [[graft.ops.Text.rareTokenStats]]). */
+  private val rareTokens = Q(
+    "txt_rare_tokens",
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS term FROM documents),
+      |cnt AS (SELECT term, COUNT(*) AS c FROM terms GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt)
+      |SELECT doc_id, COUNT(*) AS n_tok,
+      |  CAST(SUM(CASE WHEN c * 100 < total THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |  CAST(SUM(CASE WHEN c * 100 < total THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS rare_frac
+      |FROM terms JOIN cnt USING (term) CROSS JOIN tot
+      |GROUP BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    Text.rareTokenStats(documents(s, d), "doc_id", "text", pctThreshold = 1)
+  }
+
+  /** PII masking over the customer dimension: digits masked except the
+    * last two, salted sha256 pseudonym for joining without the raw
+    * identifier ([[graft.ops.Text.maskDigitsKeepLast]]/[[Text.pseudonym]]).
+    * The customer names carry real digit identifiers, so the masking
+    * path is genuinely exercised (not an identity pass). */
+  private val piiMask = Q(
+    "txt_pii_mask",
+    """SELECT c_custkey,
+      |  CASE WHEN length(c_name) <= 2 THEN c_name
+      |       ELSE regexp_replace(substring(c_name, 1, length(c_name) - 2),
+      |                           '[0-9]', 'X', 'g')
+      |            || substring(c_name, length(c_name) - 1, 2) END AS masked_name,
+      |  length(regexp_replace(
+      |    substring(c_name, 1, length(c_name) - 2), '[^0-9]', '', 'g')) AS n_masked,
+      |  sha256('graft-salt' || c_name) AS pseudonym
+      |FROM customer""".stripMargin,
+  ) { (s, d) =>
+    graft.Tables
+      .customer(s, d)
+      .select(
+        col("c_custkey"),
+        Text.maskDigitsKeepLast(col("c_name"), keep = 2).as("masked_name"),
+        length(regexp_replace(substring(col("c_name"), lit(1), length(col("c_name")) - 2),
+          "[^0-9]", "")).cast("long").as("n_masked"),
+        Text.pseudonym(col("c_name"), "graft-salt").as("pseudonym"),
+      )
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
-      repetition)
+      repetition, tfidfTopk, rareTokens, piiMask)
 }

@@ -133,6 +133,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Exchange"), p)
   }
 
+  test("tf-idf: corpus size is broadcast, no cartesian blowup, a single per-doc window") {
+    val p = planOf("txt_tfidf_topk")
+    // the 1-row corpus-count side joins via broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one window pass computes the per-doc top-k cut, and the
+    // rnk <= k filter is pushed into WindowGroupLimit (partial+final:
+    // per-partition top-k before the shuffle — full ranks never
+    // materialize)
+    assert("\\(\\d+\\) Window\\b".r.findAllIn(p).length === 1, p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("rare-token filter: vocab join is keyed, corpus total is broadcast") {
+    val p = planOf("txt_rare_tokens")
+    assert(!p.contains("CartesianProduct"), p)
+    // occurrences ⋈ counts is an equi-join on term (SMJ or broadcast
+    // under AQE) — never a nested-loop over occurrences
+    assert(p.contains("Join") && !p.contains("BroadcastNestedLoopJoin Inner BuildLeft, false"),
+      p)
+  }
+
   test("native float_dot participates in codegen (no interpreted fallback marker)") {
     graft.functions.FloatVecDot.registerOn(spark)
     val emb = Tables.embeddings(spark, sf)

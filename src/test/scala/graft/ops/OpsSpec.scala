@@ -664,6 +664,71 @@ class OpsSpec extends AnyFunSuite {
     assert(got(11L) === ((10L, 600L, 1L)))
   }
 
+  test("tfIdfTopK: rare terms outrank frequent ones; ties break on term; k bounds rows") {
+    import graft.ops.Text
+    // "common" is in all 3 docs (df=3, idf=1); "rare" only in doc 1
+    // (df=1, idf=3). In doc 1, rare (tf=1, score=3) must beat common
+    // (tf=2, score=2).
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common other other"),
+      (3L, "common"),
+    ).toDF("doc_id", "text")
+    val got = Text.tfIdfTopK(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(5)) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .toMap
+    assert(got((1L, 1)) === (("rare", 1L, 1L, 3.0)))
+    assert(got((1L, 2)) === (("common", 2L, 3L, 2.0)))
+    // doc 2: other tf=2 df=1 score=6 beats common tf=1 df=3 score=1
+    assert(got((2L, 1))._1 === "other")
+    assert(got((2L, 2))._1 === "common")
+    // doc 3 has one term only -> one row, not padded to k
+    assert(got.keySet.count(_._1 == 3L) === 1)
+  }
+
+  test("rareTokenStats: integer threshold flags the long tail; zero-token docs drop") {
+    import graft.ops.Text
+    // 100 tokens total: "filler" x96, "odd" x2 in doc 2, "x"/"y" in doc 3.
+    // At 1%: rare iff count*100 < 100 -> count < 1 -> nothing; use the
+    // 3% threshold so odd (2) and x/y (1 each) are rare, filler is not.
+    val docs = Seq(
+      (1L, Seq.fill(48)("filler").mkString(" ")),
+      (2L, (Seq.fill(48)("filler") ++ Seq("odd", "odd")).mkString(" ")),
+      (3L, "x y"),
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val got = Text.rareTokenStats(docs, "doc_id", "text", pctThreshold = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((48L, 0L, 0.0)))
+    assert(got(2L) === ((50L, 2L, 0.04)))
+    assert(got(3L) === ((2L, 2L, 1.0)))
+    assert(!got.contains(4L), "zero-token docs have no occurrence rows")
+  }
+
+  test("maskDigitsKeepLast + pseudonym: prefix digits masked, tail kept, salt changes hash") {
+    import graft.ops.Text
+    val df = Seq("acct-12345", "ab", "9", "no-digits", "12").toDF("s")
+      .select(
+        col("s"),
+        Text.maskDigitsKeepLast(col("s"), keep = 2).as("masked"),
+        Text.pseudonym(col("s"), "salt-a").as("pa"),
+        Text.pseudonym(col("s"), "salt-b").as("pb"),
+      )
+    val rows = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("acct-12345").getString(1) === "acct-XXX45")
+    assert(rows("ab").getString(1) === "ab", "short strings pass through")
+    assert(rows("9").getString(1) === "9")
+    assert(rows("12").getString(1) === "12", "length == keep passes through")
+    assert(rows("no-digits").getString(1) === "no-digits")
+    val r = rows("acct-12345")
+    assert(r.getString(2) !== r.getString(3), "different salts must not collide")
+    assert(r.getString(2).matches("[0-9a-f]{64}"))
+  }
+
   test("enrichment registry: specs, parameterization, broken-plugin tolerance") {
     import graft.ocsf.EnrichmentRegistry
     val (ok, errs) = EnrichmentRegistry.createAll(
