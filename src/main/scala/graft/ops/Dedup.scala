@@ -57,6 +57,31 @@ object Dedup {
       .groupBy(Text.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Frequency-capped dedup ("soft dedup"): keep at most `maxCopies`
+    * rows per exact-fingerprint group instead of collapsing to one —
+    * the curation policy when bounded duplication is signal (a popular
+    * page sampled twice is fine; 10k boilerplate copies are not).
+    * Copy rank is deterministic (`idCol` order within a group; rows
+    * that are bit-identical in full are interchangeable, so the kept
+    * multiset is deterministic even under rank ties). Spark plans the
+    * `copy_rank <= maxCopies` filter as partial+final WindowGroupLimit:
+    * each map task truncates its local groups before the fingerprint
+    * shuffle, so unbounded-duplication skew never travels the wire. */
+  def dedupCapCopies(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxCopies: Int,
+  ): DataFrame = {
+    require(maxCopies >= 1, s"maxCopies must be >= 1, got $maxCopies")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Text.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    docs
+      .withColumn("copy_rank", row_number().over(w))
+      .filter(col("copy_rank") <= maxCopies)
+  }
+
   /** Per-shingle document frequency — shared input of the cap, the
     * df>=2 pruning, the prefix ranking, and the skew probe. */
   private def docFreq(shingles: DataFrame): DataFrame =

@@ -55,4 +55,29 @@ object Sampling {
       }
     df.filter(hashFraction(col(keyCol)) < rateCol)
   }
+
+  /** Fixed-SIZE deterministic sample per stratum — the reservoir shape
+    * (exactly min(k, |stratum|) rows each), where rate samplers can
+    * only promise an expectation: keep the k rows with the smallest
+    * content-hash per stratum, ties broken by the key itself. Shares
+    * the rate samplers' determinism (pure content function, no RNG),
+    * and the kept set for k' < k is always a prefix of k's — shrinking
+    * a quota never reshuffles the sample.
+    *
+    * One window pass partitioned by stratum; the rank <= k filter
+    * plans as partial+final WindowGroupLimit, so every map task keeps
+    * at most k rows per local stratum before the shuffle — a bounded
+    * sample of an unbounded corpus never materializes full ranks. */
+  def reservoirPerStratum(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      k: Int,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k).drop("__rk")
+  }
 }

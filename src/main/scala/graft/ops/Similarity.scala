@@ -47,6 +47,29 @@ object Similarity {
     df.withColumn("nrm", l2Norm(col(embCol)))
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * 4× memory cut that makes a 100 TB vector corpus cache-resident for
+    * ANN scoring. Per vector: scale = max|x_i| (widened to double —
+    * exact), q_i = floor(x_i·127/scale + 0.5). Every step is an
+    * exactly-rounded IEEE op or an exact integer, so quantized codes
+    * are bit-reproducible across engines (no libm, no RNG). All-zero
+    * vectors quantize to all zeros (guarded divisor; scale reported
+    * as 0). Map-only: one scan, no shuffle, no state.
+    *
+    * Output adds `q_emb` (array<bigint> in [-127, 127]), `q_scale`
+    * (the max-abs, i.e. the dequantization step ×1/127), and `n_sat`
+    * (saturated |q| = 127 element count — the quantization-health
+    * signal worth monitoring in a pipeline).
+    */
+  def quantizeInt8(df: DataFrame, embCol: String): DataFrame = {
+    val x      = col(embCol)
+    val maxabs = array_max(transform(x, v => abs(v.cast("double"))))
+    val denom  = when(col("q_scale") === 0d, lit(1d)).otherwise(col("q_scale"))
+    df.withColumn("q_scale", maxabs)
+      .withColumn("q_emb", transform(x, v => floor(v.cast("double") * 127d / denom + 0.5d)))
+      .withColumn("n_sat", size(filter(col("q_emb"), q => abs(q) === 127L)))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * @param queries    small query side: (idCol, embCol) — broadcast

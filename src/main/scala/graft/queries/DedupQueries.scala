@@ -64,6 +64,30 @@ object DedupQueries {
     Dedup.exactGroups(docs.unionAll(docs), "doc_id", "text")
   }
 
+  /** Frequency-capped dedup ([[graft.ops.Dedup.dedupCapCopies]]): the
+    * corpus doubled plus a tripled 1-in-5 slice gives groups of 2 and
+    * 3 copies; capping at 2 must drop exactly the third copies. Rank
+    * ties only occur between bit-identical rows, so the kept multiset
+    * is deterministic. */
+  private val dedupCapped = Q(
+    "ddp_dedup_capped",
+    """SELECT doc_id, copy_rank FROM (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY md5(trim(regexp_replace(text, '\s+', ' ', 'g')))
+      |      ORDER BY doc_id) AS copy_rank
+      |  FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents
+      |        UNION ALL SELECT * FROM documents WHERE doc_id % 5 = 0))
+      |WHERE copy_rank <= 2""".stripMargin,
+  ) { (s, d) =>
+    val docs = documents(s, d)
+    Dedup
+      .dedupCapCopies(
+        docs.unionAll(docs).unionAll(docs.filter(col("doc_id") % 5 === 0)),
+        "doc_id", "text", maxCopies = 2)
+      .select("doc_id", "copy_rank")
+  }
+
   /** Shared oracle body for the exact Jaccard-pairs operators: the
     * naive, prefix-filtered, and auto-selected forms are result-
     * identical by construction, so one SQL checks all three. */
@@ -554,7 +578,7 @@ object DedupQueries {
   }
 
   val all: Seq[Q] =
-    Seq(exactGroups, jaccardPairs, jaccardPairsPrefix, jaccardPairsAuto, minhashLsh,
+    Seq(exactGroups, dedupCapped, jaccardPairs, jaccardPairsPrefix, jaccardPairsAuto, minhashLsh,
       simhashSigs, simhashPairs, simhash64Pairs, jaccardComponents, dedupKeep, embeddingPairs,
       embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, decontaminate, corpusPrepare,
       corpusPrepareEmb)

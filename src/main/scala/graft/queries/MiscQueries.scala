@@ -137,7 +137,26 @@ object MiscQueries {
       .select("doc_id", "source")
   }
 
+  /** Fixed-size deterministic per-stratum sample (reservoir shape,
+    * [[graft.ops.Sampling.reservoirPerStratum]]): exactly
+    * min(k, |stratum|) docs per source (k below the stratum size, so the
+    * quota genuinely cuts), selected by smallest content
+    * hash — the per-source quota form of corpus mixing. */
+  private val sampleReservoir = Q(
+    "misc_sample_reservoir",
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 10""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Sampling
+      .reservoirPerStratum(graft.Tables.documents(s, d), "doc_id", "source", k = 10)
+      .select("doc_id", "source")
+  }
+
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
-      jsonRoundtrip, sampleStratified)
+      jsonRoundtrip, sampleStratified, sampleReservoir)
 }

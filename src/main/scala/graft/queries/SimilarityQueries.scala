@@ -216,5 +216,33 @@ object SimilarityQueries {
       .select("q_id", "n_id", "cos", "rnk")
   }
 
-  val all: Seq[Q] = Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK)
+  /** Symmetric int8 scalar quantization
+    * ([[graft.ops.Similarity.quantizeInt8]]): exactly-rounded
+    * double ops only, so codes are engine-reproducible; the oracle
+    * replays the identical widen-scale-floor chain. */
+  private val quantizeInt8 = Q(
+    "sim_quantize_int8",
+    """WITH m AS (
+      |  SELECT vec_id, embedding,
+      |    list_aggregate(list_transform(embedding,
+      |      v -> abs(CAST(v AS DOUBLE))), 'max') AS q_scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, q_scale,
+      |    list_transform(embedding,
+      |      v -> CAST(floor(CAST(v AS DOUBLE) * 127
+      |                      / (CASE WHEN q_scale = 0 THEN 1 ELSE q_scale END)
+      |                      + 0.5) AS BIGINT)) AS q_emb
+      |  FROM m)
+      |SELECT vec_id, q_scale, q_emb,
+      |  len(list_filter(q_emb, x -> abs(x) = 127)) AS n_sat
+      |FROM q""".stripMargin,
+  ) { (s, d) =>
+    Similarity
+      .quantizeInt8(embeddings(s, d), "embedding")
+      .select("vec_id", "q_scale", "q_emb", "n_sat")
+  }
+
+  val all: Seq[Q] =
+    Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8)
 }

@@ -729,6 +729,51 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getString(2).matches("[0-9a-f]{64}"))
   }
 
+  test("dedupCapCopies: groups truncate at the cap in id order; singletons untouched") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "same   text"), // whitespace-normalized fingerprint collides too
+      (5L, "unique"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupCapCopies(docs, "doc_id", "text", maxCopies = 2)
+      .select("doc_id", "copy_rank")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 1, 2L -> 2, 5L -> 1), "ids 3 and 4 exceed the cap")
+  }
+
+  test("quantizeInt8: max element saturates at 127, zero vector is all zeros, codes bounded") {
+    import graft.ops.Similarity
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(df, "embedding")
+      .select("vec_id", "q_scale", "q_emb", "n_sat")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = rows(1L)
+    assert(r1.getDouble(1) === 1.0)
+    assert(r1.getSeq[Long](2) === Seq(64L, -127L, 32L)) // floor(0.5*127+0.5)=64
+    assert(r1.getInt(3) === 1)
+    val r2 = rows(2L)
+    assert(r2.getDouble(1) === 0.0)
+    assert(r2.getSeq[Long](2) === Seq(0L, 0L))
+    assert(r2.getInt(3) === 0)
+  }
+
+  test("reservoirPerStratum: exact quota per stratum, subset-monotone in k, reproducible") {
+    import graft.ops.Sampling
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def ids(k: Int) = Sampling.reservoirPerStratum(docs, "doc_id", "source", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k5 = ids(5)
+    val bySource = Sampling.reservoirPerStratum(docs, "doc_id", "source", 5)
+      .groupBy("source").count().collect().map(_.getLong(1)).toSet
+    assert(bySource === Set(5L), "every stratum must hit its quota exactly")
+    assert(ids(2).subsetOf(k5), "shrinking the quota must not reshuffle the sample")
+    assert(ids(5) === k5, "content-hash reservoir must be run-reproducible")
+  }
+
   test("enrichment registry: specs, parameterization, broken-plugin tolerance") {
     import graft.ocsf.EnrichmentRegistry
     val (ok, errs) = EnrichmentRegistry.createAll(
