@@ -70,6 +70,41 @@ object Similarity {
       .withColumn("n_sat", size(filter(col("q_emb"), q => abs(q) === 127L)))
   }
 
+  /** Brute-force top-k by QUANTIZED dot product: both sides
+    * int8-quantized ([[quantizeInt8]]) and scored with an integer dot —
+    * the memory-bound scoring kernel of a quantized ANN system (the
+    * codes are 4× smaller than floats, so 4× more corpus fits the
+    * scan cache), and — because the arithmetic is all-integer — the one
+    * ANN scoring path whose complete ranking is bit-checkable against
+    * any engine with no floating-point caveat at all. The raw
+    * inner-product ranking is scale-free (it drops the per-vector
+    * dequantization scales, the standard symmetric-ADC trade); ties
+    * break on candidate id. Query side broadcast, candidates stay
+    * partitioned, per-query WindowGroupLimit top-k.
+    */
+  def bruteForceTopKInt8(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+  ): DataFrame = {
+    val q = quantizeInt8(queries, embCol)
+      .select(col(idCol).as("q_id"), col("q_emb").as("__qq"))
+    val c = quantizeInt8(candidates, embCol)
+      .select(col(idCol).as("n_id"), col("q_emb").as("__nq"))
+    val score = aggregate(
+      zip_with(col("__qq"), col("__nq"), (a, b) => a * b),
+      lit(0L),
+      (acc, v) => acc + v,
+    )
+    val w = Window.partitionBy("q_id").orderBy(col("qdot").desc, col("n_id"))
+    c.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), score.as("qdot"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * @param queries    small query side: (idCol, embCol) — broadcast

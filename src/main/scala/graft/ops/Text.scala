@@ -164,26 +164,29 @@ object Text {
     * runtimes). Ties order by (score DESC, term ASC) — deterministic.
     *
     * Dataflow at corpus scale: explode → tf aggregate keyed
-    * (doc, term) → document frequency as a second aggregate DERIVED
-    * from the tf frame (identical subtree on both join branches, so
-    * the tf shuffle is reused rather than re-scanned) → tf ⋈ df
-    * shuffle join on term (the vocabulary is long-tailed at web scale
-    * — not broadcastable; AQE demotes to broadcast when it is small) →
-    * corpus size joined as a broadcast 1-row aggregate (stays in-plan,
-    * no driver collect) → one per-doc window for the top-k.
+    * (doc, term) → document frequency as a COUNT window over the tf
+    * frame partitioned by term (tf rows are distinct (doc, term), so
+    * the windowed count IS the document frequency) → corpus size
+    * joined as a broadcast 1-row aggregate (stays in-plan, no driver
+    * collect) → one per-doc window for the top-k. The window-based df
+    * keeps the whole operator a single linear pipeline over ONE
+    * explode — the naive tf ⋈ (tf groupBy term) self-join recomputes
+    * the explode on both branches (column pruning rewrites the two
+    * subtrees differently, defeating exchange reuse), which at web
+    * scale doubles the heaviest stage.
     */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
     val terms = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
     val tf    = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n     = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val w     = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
-    tf.join(dfreq, "term")
+    val wTerm = Window.partitionBy("term")
+    val wDoc  = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * (col("n_docs") / col("df")))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(wDoc))
       .filter(col("rnk") <= k)
       .select("doc_id", "term", "tf", "df", "score", "rnk")
   }

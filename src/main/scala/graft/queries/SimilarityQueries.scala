@@ -243,6 +243,46 @@ object SimilarityQueries {
       .select("vec_id", "q_scale", "q_emb", "n_sat")
   }
 
+  /** Quantized-dot top-3 for the first 10 vectors
+    * ([[graft.ops.Similarity.bruteForceTopKInt8]]): all-integer
+    * scoring, so the oracle checks the complete ranking — codes,
+    * scores, and cut — with zero float tolerance. */
+  private val annInt8TopK = Q(
+    "sim_ann_int8_topk",
+    """WITH m AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      v -> CAST(floor(CAST(v AS DOUBLE) * 127
+      |                      / (CASE WHEN s = 0 THEN 1 ELSE s END)
+      |                      + 0.5) AS BIGINT)) AS q
+      |  FROM (SELECT vec_id, embedding,
+      |          list_aggregate(list_transform(embedding,
+      |            v -> abs(CAST(v AS DOUBLE))), 'max') AS s
+      |        FROM embeddings)),
+      |pairs AS (
+      |  SELECT qs.vec_id AS q_id, c.vec_id AS n_id,
+      |    list_reduce(list_transform(generate_series(1, len(qs.q)),
+      |      i -> qs.q[i] * c.q[i]), (x, y) -> x + y) AS qdot
+      |  FROM m qs JOIN m c ON c.vec_id <> qs.vec_id
+      |  WHERE qs.vec_id < 10)
+      |SELECT q_id, n_id, qdot, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |                               ORDER BY qdot DESC, n_id) AS rnk
+      |  FROM pairs)
+      |WHERE rnk <= 3""".stripMargin,
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    Similarity
+      .bruteForceTopKInt8(
+        queries = emb.filter(col("vec_id") < 10),
+        candidates = emb,
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+      )
+      .select("q_id", "n_id", "qdot", "rnk")
+  }
+
   val all: Seq[Q] =
-    Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8)
+    Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK)
 }

@@ -138,12 +138,17 @@ class PlanSpec extends AnyFunSuite {
     // the 1-row corpus-count side joins via broadcast, never a shuffle
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // exactly one window pass computes the per-doc top-k cut, and the
-    // rnk <= k filter is pushed into WindowGroupLimit (partial+final:
-    // per-partition top-k before the shuffle — full ranks never
-    // materialize)
-    assert("\\(\\d+\\) Window\\b".r.findAllIn(p).length === 1, p)
+    // two window passes: the per-term document-frequency count and the
+    // per-doc top-k cut, whose rnk <= k filter is pushed into
+    // WindowGroupLimit (partial+final: per-partition top-k before the
+    // shuffle — full ranks never materialize)
+    assert("\\(\\d+\\) Window\\b".r.findAllIn(p).length === 2, p)
     assert(p.contains("WindowGroupLimit"), p)
+    // document frequency rides a window over the tf frame, so the
+    // whole operator is one linear pipeline: exactly ONE explode — a
+    // tf ⋈ dfreq self-join would recompute it per branch (pruning
+    // defeats exchange reuse) and double the heaviest stage at scale
+    assert("\\(\\d+\\) Generate\\b".r.findAllIn(p).length === 1, p)
   }
 
   test("rare-token filter: vocab join is keyed, corpus total is broadcast") {

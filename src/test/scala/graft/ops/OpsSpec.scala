@@ -761,6 +761,25 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getInt(3) === 0)
   }
 
+  test("bruteForceTopKInt8: integer ranking matches expected order; self excluded") {
+    import graft.ops.Similarity
+    // query (1,0): codes (127,0). near (0.9,0.1)->(127,14); mid
+    // (0.5,0.5)->(127,127); far (-1,0)->(-127,0). qdots: 16129, 16129,
+    // -16129 — near and mid TIE on qdot (both 127*127), id breaks it.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(-1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity
+      .bruteForceTopKInt8(vecs.filter(col("vec_id") === 0L), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rnk")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got === Array((1L, 16129L, 1), (2L, 16129L, 2), (3L, -16129L, 3)))
+  }
+
   test("reservoirPerStratum: exact quota per stratum, subset-monotone in k, reproducible") {
     import graft.ops.Sampling
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
