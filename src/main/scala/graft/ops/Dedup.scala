@@ -82,6 +82,35 @@ object Dedup {
       .filter(col("copy_rank") <= maxCopies)
   }
 
+  /** Distinct content-fingerprint index of a corpus — the narrow
+    * (16-byte-per-doc) state that [[dedupIncremental]] carries across
+    * ingestion runs instead of re-scanning the corpus. */
+  def fingerprintIndex(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(Text.fingerprint(col(textCol)).as("fp")).distinct()
+
+  /** Incremental (cross-run) exact dedup — the ingestion-time form: a
+    * 100 TB corpus is not re-deduped per batch; each incoming batch
+    * (1) collapses within itself per fingerprint (min-id canonical, so
+    * one batch cannot insert two copies of a new fingerprint), then
+    * (2) anti-joins the persisted fingerprint index. Both steps key on
+    * the 128-bit fingerprint; the index side carries ONLY fingerprints
+    * — orders of magnitude narrower than the corpus it stands for.
+    * Survivors come back with their `fp`, which IS the index delta to
+    * append for the next run. */
+  def dedupIncremental(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+  ): DataFrame = {
+    require(index.columns.contains("fp"), "index must carry an 'fp' column")
+    batch
+      .groupBy(Text.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .join(index.select("fp").distinct(), Seq("fp"), "left_anti")
+      .select(idCol, "fp")
+  }
+
   /** Per-shingle document frequency — shared input of the cap, the
     * df>=2 pruning, the prefix ranking, and the skew probe. */
   private def docFreq(shingles: DataFrame): DataFrame =

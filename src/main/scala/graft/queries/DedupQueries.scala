@@ -88,6 +88,31 @@ object DedupQueries {
       .select("doc_id", "copy_rank")
   }
 
+  /** Incremental cross-run dedup ([[graft.ops.Dedup.dedupIncremental]]):
+    * the 1-in-3 slice plays the previously-ingested index, the full
+    * corpus plus a doubled 1-in-7 slice plays the incoming batch —
+    * survivors are the batch's new fingerprints, once each. */
+  private val dedupIncremental = Q(
+    "ddp_dedup_incremental",
+    """WITH idx AS (
+      |  SELECT DISTINCT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |batch AS (SELECT * FROM documents
+      |          UNION ALL SELECT * FROM documents WHERE doc_id % 7 = 0),
+      |keep AS (
+      |  SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+      |    min(doc_id) AS doc_id
+      |  FROM batch GROUP BY 1)
+      |SELECT doc_id, fp FROM keep k
+      |WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = k.fp)""".stripMargin,
+  ) { (s, d) =>
+    val docs  = documents(s, d)
+    val index = Dedup.fingerprintIndex(docs.filter(col("doc_id") % 3 === 0), "text")
+    Dedup.dedupIncremental(
+      docs.unionAll(docs.filter(col("doc_id") % 7 === 0)),
+      "doc_id", "text", index)
+  }
+
   /** Shared oracle body for the exact Jaccard-pairs operators: the
     * naive, prefix-filtered, and auto-selected forms are result-
     * identical by construction, so one SQL checks all three. */
@@ -578,7 +603,8 @@ object DedupQueries {
   }
 
   val all: Seq[Q] =
-    Seq(exactGroups, dedupCapped, jaccardPairs, jaccardPairsPrefix, jaccardPairsAuto, minhashLsh,
+    Seq(exactGroups, dedupCapped, dedupIncremental, jaccardPairs, jaccardPairsPrefix,
+      jaccardPairsAuto, minhashLsh,
       simhashSigs, simhashPairs, simhash64Pairs, jaccardComponents, dedupKeep, embeddingPairs,
       embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, decontaminate, corpusPrepare,
       corpusPrepareEmb)

@@ -742,6 +742,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1, 2L -> 2, 5L -> 1), "ids 3 and 4 exceed the cap")
   }
 
+  test("dedupIncremental: known fingerprints dropped, intra-batch dups collapse, delta is new fps") {
+    import graft.ops.Dedup
+    val known = Seq((100L, "already ingested")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "already   ingested"), // known (whitespace-normalized) -> dropped
+      (2L, "fresh content"),
+      (3L, "fresh content"),      // intra-batch dup -> collapses to id 2
+      (4L, "also new"),
+    ).toDF("doc_id", "text")
+    val idx = Dedup.fingerprintIndex(known, "text")
+    val got = Dedup.dedupIncremental(batch, "doc_id", "text", idx)
+      .collect().map(_.getLong(0)).sorted
+    assert(got === Array(2L, 4L))
+    // appending the survivors' fps makes a rerun of the same batch a no-op
+    val idx2 = idx.union(Dedup.dedupIncremental(batch, "doc_id", "text", idx).select("fp"))
+    assert(Dedup.dedupIncremental(batch, "doc_id", "text", idx2).count() === 0L)
+  }
+
   test("quantizeInt8: max element saturates at 127, zero vector is all zeros, codes bounded") {
     import graft.ops.Similarity
     val df = Seq(
