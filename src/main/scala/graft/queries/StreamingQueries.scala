@@ -291,5 +291,100 @@ object StreamingQueries {
     s.table(name)
   }
 
-  val all: Seq[Q] = Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream)
+  /** The documents table as a 3-file doc_id-tertile split with
+    * staggered mtimes (micro-batch order), for stateful-sampling
+    * replays. Built once per (session, sfDir). */
+  private val docSplitCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private def documentsSplitDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    docSplitCache.getOrElseUpdate(
+      (s, d), {
+        import java.nio.file.Files
+        val docs      = graft.Tables.documents(s, d)
+        val n         = docs.count()
+        val streamDir = scratchDir("graft_stream_docs_src")
+        val tmpOut    = streamDir.resolve("_tmp_split")
+        docs
+          .withColumn(
+            "__b",
+            when(col("doc_id") < lit(n / 3), 0)
+              .when(col("doc_id") < lit(2 * n / 3), 1)
+              .otherwise(2),
+          )
+          .repartition(3, col("__b"))
+          .write
+          .partitionBy("__b")
+          .parquet(tmpOut.toString)
+        (0 to 2).foreach { i =>
+          val bucketDir = tmpOut.resolve(s"__b=$i")
+          if (Files.exists(bucketDir)) {
+            val listing = Files.list(bucketDir)
+            val part =
+              try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst()
+              finally listing.close()
+            if (part.isPresent) {
+              val dest = streamDir.resolve(s"documents_$i.parquet")
+              Files.move(part.get(), dest)
+              Files.setLastModifiedTime(
+                dest,
+                java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L),
+              )
+            }
+          }
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(tmpOut.toFile)
+        streamDir.toString
+      },
+    )
+
+  /** Streaming fixed-quota reservoir ([[graft.ops.StreamSample]]): the
+    * documents corpus replayed as three doc_id-tertile micro-batches
+    * through a flatMapGroupsWithState reservoir (state = k (hash, id)
+    * pairs per source — never the stream). Hash order is independent
+    * of doc_id order, so later batches genuinely displace earlier
+    * state members. The Update-mode emissions accumulate in the memory
+    * sink; the k-smallest post-selection over that bounded superset
+    * (≤ batches·k rows per stratum) is exactly the final reservoir —
+    * checked against the same batch SQL as `misc_sample_reservoir`. */
+  private val reservoirStream = Q(
+    "stream_reservoir_sample",
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 10""".stripMargin,
+  ) { (s, d) =>
+    val docsSchema = graft.Tables.documents(s, d).schema
+    val stream = s.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(documentsSplitDir(s, d))
+    val sampled = graft.ops.StreamSample.reservoirStream(stream, "doc_id", "source", k = 10)
+    val name    = synchronized { streamN += 1; s"graft_stream_reservoir_$streamN" }
+    withStatePartitions(s, 4) {
+      withScratchCheckpoint("graft_ckpt_reservoir") { ckpt =>
+        val q = sampled.writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("strata")
+      .orderBy(col("h"), col("id"))
+    s.table(name)
+      .distinct()
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 10)
+      .select(col("id").as("doc_id"), col("strata").as("source"))
+  }
+
+  val all: Seq[Q] =
+    Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream)
 }

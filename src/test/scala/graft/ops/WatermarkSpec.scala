@@ -118,4 +118,38 @@ class WatermarkSpec extends AnyFunSuite {
     val uids = spark.table("sd_out").collect().map(_.getString(1)).sorted.toList
     assert(uids === List("a", "a", "b", "c"))
   }
+
+  test("streaming reservoir: cross-batch state merge equals the batch sample; state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val res = StreamSample
+      .reservoirStream(in.toDS().toDF("source", "doc_id"), "doc_id", "source", k = 2)
+    val q = res.writeStream.format("memory").queryName("res_out").outputMode("update").start()
+    // batch 1 fills stratum a beyond k; batch 2 must displace by hash,
+    // not arrival order
+    in.addData(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L))
+    q.processAllAvailable()
+    val perBatch = spark.table("res_out").groupBy("strata").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perBatch("a") === 2L, "emission is the capped reservoir, never the batch")
+    in.addData(("a", 4L), ("a", 5L), ("b", 11L))
+    q.processAllAvailable()
+    q.stop()
+
+    // reconstruct the final sample the way the gate query does: the
+    // k-smallest over the accumulated Update emissions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("strata").orderBy(col("h"), col("id"))
+    val got = spark.table("res_out").distinct()
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= 2)
+      .select(col("id"), col("strata"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // differential: the batch reservoir over the union of both batches
+    val all = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L), ("a", 4L), ("a", 5L), ("b", 11L))
+      .toDF("source", "doc_id")
+    val expected = Sampling.reservoirPerStratum(all, "doc_id", "source", 2)
+      .collect().map(r => (r.getLong(1), r.getString(0))).toSet
+    assert(got === expected)
+  }
 }
