@@ -673,6 +673,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Quality-aware corpus dedup (the SemDeDup-style keep rule): from
+    * each near-dup component keep the member with the HIGHEST
+    * `scoreCol` (ties → smallest id) instead of [[dedupByPairs]]'s
+    * min-id canonical — when near-duplicates differ in quality
+    * (truncation, OCR noise, boilerplate wrapping), the keep decision
+    * should prefer the best copy, not an arbitrary one. Documents in
+    * no component are kept unchanged.
+    *
+    * Dataflow: components from [[clusterPairs]] (collision-keyed
+    * pairs in, so component count ≪ corpus), an inner join to pull
+    * members' scores (component side is the small one — AQE
+    * broadcasts it at real scale), one per-component
+    * WindowGroupLimit argmax, then a left-anti to drop the losers.
+    * The corpus never shuffles on anything wider than the id. */
+  def dedupKeepBest(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairs: DataFrame,
+  ): DataFrame = {
+    val comp = clusterPairs(pairs).withColumnRenamed("doc_id", "__member_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col("__member_id").asc)
+    val losers = docs
+      .join(comp, docs(idCol) === col("__member_id"))
+      .select(col("__member_id"), col("component"), col(scoreCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .select(col("__member_id").as("__drop_id"))
+    docs.join(losers, docs(idCol) === col("__drop_id"), "left_anti")
+  }
+
   def dedupByPairs(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val dropIds = clusterPairs(pairs)
       .filter(col("doc_id") =!= col("component"))

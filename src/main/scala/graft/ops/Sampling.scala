@@ -56,6 +56,43 @@ object Sampling {
     df.filter(hashFraction(col(keyCol)) < rateCol)
   }
 
+  /** Token-BUDGET deterministic sample per stratum — the corpus-mixing
+    * form that targets a token (or byte/char) budget instead of a row
+    * count: within each stratum, rows are taken in content-hash order
+    * until the running sum of `costCol` would exceed the stratum's
+    * budget (a mixture recipe compiles per-source weights × a global
+    * token target into this map). The admission test is pure integer
+    * arithmetic on exact cumulative sums — no float crosses an engine
+    * boundary — and, like the other samplers, budgets are monotone: a
+    * smaller budget always selects a prefix of a larger budget's
+    * sample, so mixes can be retuned without churn.
+    *
+    * One cumulative-sum window partitioned by stratum (each stratum
+    * sums independently — the same parallelism a 100 TB mixing job
+    * needs); strata absent from the map get `defaultBudget`. */
+  def tokenBudgetPerStratum(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      costCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long,
+  ): DataFrame = {
+    require(defaultBudget >= 0, s"defaultBudget must be >= 0, got $defaultBudget")
+    val budgetCol = budgets.toSeq
+      .sortBy(_._1) // deterministic CASE order
+      .foldLeft(lit(defaultBudget)) { case (acc, (k, b)) =>
+        when(col(strataCol) === lit(k), lit(b)).otherwise(acc)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__cum", sum(col(costCol)).over(w))
+      .filter(col("__cum") <= budgetCol)
+      .drop("__cum")
+  }
+
   /** Fixed-SIZE deterministic sample per stratum — the reservoir shape
     * (exactly min(k, |stratum|) rows each), where rate samplers can
     * only promise an expectation: keep the k rows with the smallest

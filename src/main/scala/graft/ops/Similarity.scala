@@ -105,6 +105,46 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Two-stage retrieve-then-rerank top-k — the production ANN shape:
+    * a cheap quantized first stage over-fetches `k × mult` candidates
+    * per query by integer dot ([[bruteForceTopKInt8]] — 4× smaller
+    * codes, all-integer scoring), then only those candidates are
+    * re-scored with the exact float inner product and cut to `k`.
+    * Final ties break on candidate id. The precision loss of
+    * quantization is confined to the CUT of stage 1 (what makes it
+    * into the rerank pool), never the final ranking — the standard
+    * accuracy/cost trade of IVF/PQ systems, here in its simplest
+    * bit-checkable form.
+    *
+    * Scale posture: stage 1 scans the corpus in quantized form (the
+    * memory-bound pass); stage 2 touches `k·mult` rows per query — the
+    * float embeddings are fetched by an equi-join on candidate id,
+    * candidate-proportional, never a second corpus scan. Query side is
+    * broadcast in both stages. */
+  def annRerankTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      mult: Int = 3,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(mult >= 1, s"mult must be >= 1, got $mult")
+    graft.functions.FloatVecDot.registerOn(queries.sparkSession)
+    val pool = bruteForceTopKInt8(queries, candidates, idCol, embCol, k * mult)
+      .select(col("q_id"), col("n_id"))
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("__qe"))
+    val c = candidates.select(col(idCol).as("n_id"), col(embCol).as("__ne"))
+    val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("n_id"))
+    pool
+      .join(c, "n_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("n_id"), dot(col("__qe"), col("__ne")).as("dot"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * @param queries    small query side: (idCol, embCol) — broadcast

@@ -228,6 +228,73 @@ object Text {
       )
   }
 
+  /** Corpus-level frequent n-grams: the `k` shingles present in the
+    * most documents, ties broken by the shingle itself — the
+    * boilerplate-phrase detector (navigation chrome, license headers,
+    * templated sentences recur across documents; their document
+    * frequency is the signal). Each document contributes its DISTINCT
+    * shingles once, so the count is a true document frequency, immune
+    * to within-doc repetition.
+    *
+    * Dataflow at corpus scale: explode distinct shingles → one
+    * aggregate keyed by shingle (map-side partial combine collapses
+    * the frequent head before the shuffle) → global top-k, which plans
+    * as TakeOrderedAndProject — every partition forwards at most `k`
+    * rows, no global sort materializes. */
+  def frequentShingles(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs
+      .select(explode(array_distinct(shingles(tokens(col(textCol)), n))).as("sh"))
+      .groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("sh").asc)
+      .limit(k)
+  }
+
+  /** Per-document boilerplate statistics: how much of a document is
+    * made of corpus-frequent phrases. For each document, the count of
+    * its distinct `n`-gram shingles, the count of those whose corpus
+    * document frequency is at least `minDf`, and the exactly-rounded
+    * fraction — the cross-document complement of the within-document
+    * repetition rules ([[typeTokenRatio]], [[topBigramFraction]]):
+    * a high boilerplate fraction marks templated/mirrored content even
+    * when each individual copy looks clean. Documents with fewer than
+    * `n` tokens have no shingles and drop out (same semantics in SQL).
+    *
+    * Dataflow mirrors [[tfIdfTopK]]'s single-explode pipeline: distinct
+    * (doc, shingle) rows → document frequency as a COUNT window
+    * partitioned by shingle (rows are distinct per doc, so the windowed
+    * count IS the df) → one per-doc aggregate. One explode, one linear
+    * pipeline — no self-join that would recompute the shingling. */
+  def boilerplateStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDf: Long,
+  ): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(
+      col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("sh"),
+    )
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_frequent"),
+        (sum(when(col("df") >= minDf, 1L).otherwise(0L)).cast("double") / count(lit(1)))
+          .as("boilerplate_frac"),
+      )
+  }
+
   /** Digit masking that keeps the last `keep` characters intact: every
     * digit in the prefix becomes 'X'. The PII-redaction primitive for
     * identifiers (account numbers, phone digits) where the tail is kept

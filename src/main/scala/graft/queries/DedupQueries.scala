@@ -294,6 +294,44 @@ object DedupQueries {
       .select("doc_id", "source")
   }
 
+  /** Quality-aware corpus dedup (SemDeDup-style keep rule,
+    * [[graft.ops.Dedup.dedupKeepBest]]): from each near-dup component
+    * keep the LONGEST member (n_chars as the quality score, ties →
+    * smallest id) instead of the min id — near-duplicates are rarely
+    * equal quality, and the keep decision should prefer the best copy.
+    * Oracle: same recursive closure, losers ranked per component by
+    * (n_chars DESC, doc_id). */
+  private val dedupKeepBest = Q(
+    "ddp_dedup_keep_best",
+    s"""${shingCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |common AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+       |  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT a_id, b_id
+       |  FROM common JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
+       |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM jp UNION SELECT b_id, a_id FROM jp),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |comp AS (SELECT s AS doc_id, least(s, min(d)) AS component FROM reach GROUP BY s),
+       |ranked AS (
+       |  SELECT c.doc_id,
+       |    row_number() OVER (PARTITION BY c.component
+       |                       ORDER BY doc.n_chars DESC, c.doc_id) AS rk
+       |  FROM comp c JOIN documents doc USING (doc_id))
+       |SELECT doc_id, source FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)""".stripMargin,
+  ) { (s, d) =>
+    Dedup
+      .dedupKeepBest(documents(s, d), "doc_id", "n_chars",
+        sharedJaccardPairs(s, d).select("a_id", "b_id"))
+      .select("doc_id", "source")
+  }
+
   /** Shared oracle CTE: embeddings with their left-fold L2 norm. */
   private val embCte =
     """WITH e AS (
@@ -605,7 +643,8 @@ object DedupQueries {
   val all: Seq[Q] =
     Seq(exactGroups, dedupCapped, dedupIncremental, jaccardPairs, jaccardPairsPrefix,
       jaccardPairsAuto, minhashLsh,
-      simhashSigs, simhashPairs, simhash64Pairs, jaccardComponents, dedupKeep, embeddingPairs,
+      simhashSigs, simhashPairs, simhash64Pairs, jaccardComponents, dedupKeep, dedupKeepBest,
+      embeddingPairs,
       embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, decontaminate, corpusPrepare,
       corpusPrepareEmb)
 }

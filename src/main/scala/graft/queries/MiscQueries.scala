@@ -156,7 +156,37 @@ object MiscQueries {
       .select("doc_id", "source")
   }
 
+  /** Token-budget mixture sampling
+    * ([[graft.ops.Sampling.tokenBudgetPerStratum]]): per-source char
+    * budgets (a mixture recipe of weights × a global token target
+    * compiled to absolute quotas), filled in content-hash order by an
+    * integer-exact cumulative sum — src1 gets a smaller share, src2 is
+    * excluded, everything else fills to the default. Budgets sit well
+    * below the per-source char mass, so every quota genuinely cuts. */
+  private val sampleBudgetMix = Q(
+    "misc_sample_budget_mix",
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    SUM(n_chars) OVER (PARTITION BY source
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |                       ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM documents)
+      |WHERE cum <= (CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 1200
+      |                          WHEN 'src2' THEN 0 ELSE 2000 END)""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Sampling
+      .tokenBudgetPerStratum(
+        graft.Tables.documents(s, d),
+        keyCol = "doc_id",
+        strataCol = "source",
+        costCol = "n_chars",
+        budgets = Map("src0" -> 3000L, "src1" -> 1200L, "src2" -> 0L),
+        defaultBudget = 2000L,
+      )
+      .select("doc_id", "source")
+  }
+
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
-      jsonRoundtrip, sampleStratified, sampleReservoir)
+      jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix)
 }

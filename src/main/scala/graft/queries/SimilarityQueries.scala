@@ -283,6 +283,57 @@ object SimilarityQueries {
       .select("q_id", "n_id", "qdot", "rnk")
   }
 
+  /** Two-stage retrieve-then-rerank ([[graft.ops.Similarity.annRerankTopK]]):
+    * the int8 stage over-fetches 9 candidates per query (k=3, mult=3),
+    * then only those are re-scored with the exact float inner product
+    * and cut to 3. The oracle replays both stages — quantization, the
+    * integer pool cut, and the float rerank — so the composition
+    * itself is differentially checked. */
+  private val annRerankTopK = Q(
+    "sim_ann_rerank_topk",
+    s"""WITH m AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      v -> CAST(floor(CAST(v AS DOUBLE) * 127
+       |                      / (CASE WHEN s = 0 THEN 1 ELSE s END)
+       |                      + 0.5) AS BIGINT)) AS q
+       |  FROM (SELECT vec_id, embedding,
+       |          list_aggregate(list_transform(embedding,
+       |            v -> abs(CAST(v AS DOUBLE))), 'max') AS s
+       |        FROM embeddings)),
+       |pool AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT qs.vec_id AS q_id, c.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+       |        list_reduce(list_transform(generate_series(1, len(qs.q)),
+       |          i -> qs.q[i] * c.q[i]), (x, y) -> x + y) DESC, c.vec_id) AS prnk
+       |    FROM m qs JOIN m c ON c.vec_id <> qs.vec_id
+       |    WHERE qs.vec_id < 10)
+       |  WHERE prnk <= 9),
+       |re AS (
+       |  SELECT p.q_id, p.n_id, ${duckDot("q.embedding", "c.embedding")} AS fdot
+       |  FROM pool p JOIN embeddings q ON q.vec_id = p.q_id
+       |              JOIN embeddings c ON c.vec_id = p.n_id)
+       |SELECT q_id, n_id, fdot, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY fdot DESC, n_id) AS rnk
+       |  FROM re)
+       |WHERE rnk <= 3""".stripMargin,
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    Similarity
+      .annRerankTopK(
+        queries = emb.filter(col("vec_id") < 10),
+        candidates = emb,
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+        mult = 3,
+      )
+      .select(col("q_id"), col("n_id"), col("dot").as("fdot"), col("rnk"))
+  }
+
   val all: Seq[Q] =
-    Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK)
+    Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
+      annRerankTopK)
 }

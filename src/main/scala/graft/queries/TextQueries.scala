@@ -254,7 +254,48 @@ object TextQueries {
       )
   }
 
+  /** Shared oracle CTE: each document's DISTINCT 3-gram shingles, one
+    * row per (doc, shingle) — document frequency is a plain count. */
+  private val distinctShingleCte =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents),
+      |shing AS (SELECT doc_id,
+      |    unnest(list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+      |  FROM toks)""".stripMargin
+
+  /** Corpus-level frequent phrases: top-20 3-gram shingles by document
+    * frequency, deterministic tie-break on the shingle
+    * ([[graft.ops.Text.frequentShingles]] — the boilerplate-phrase
+    * detector; plans as partial agg + TakeOrderedAndProject). */
+  private val frequentShingles = Q(
+    "txt_frequent_shingles",
+    s"""$distinctShingleCte
+       |SELECT sh, df FROM (
+       |  SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM shing GROUP BY sh)
+       |ORDER BY df DESC, sh LIMIT 20""".stripMargin,
+  ) { (s, d) =>
+    Text.frequentShingles(documents(s, d), "doc_id", "text", n = 3, k = 20)
+  }
+
+  /** Per-document boilerplate fraction: share of a document's distinct
+    * 3-gram shingles that recur in at least 2 documents
+    * ([[graft.ops.Text.boilerplateStats]] — cross-document templated-
+    * content signal, single-explode window-df pipeline). */
+  private val boilerplate = Q(
+    "txt_boilerplate",
+    s"""$distinctShingleCte,
+       |dfreq AS (SELECT sh, COUNT(*) AS df FROM shing GROUP BY sh)
+       |SELECT doc_id, COUNT(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_frequent,
+       |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+       |    AS boilerplate_frac
+       |FROM shing JOIN dfreq USING (sh)
+       |GROUP BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    Text.boilerplateStats(documents(s, d), "doc_id", "text", n = 3, minDf = 2L)
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
-      repetition, tfidfTopk, rareTokens, piiMask)
+      repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate)
 }

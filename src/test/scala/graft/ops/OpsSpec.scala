@@ -811,6 +811,83 @@ class OpsSpec extends AnyFunSuite {
     assert(ids(5) === k5, "content-hash reservoir must be run-reproducible")
   }
 
+  test("tokenBudgetPerStratum: prefix fill to quota, budget-monotone, zero budget drops stratum") {
+    import graft.ops.Sampling
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def sel(budgets: Map[String, Long], dflt: Long) = Sampling
+      .tokenBudgetPerStratum(docs, "doc_id", "source", "n_chars", budgets, dflt)
+    val small = sel(Map("src0" -> 500L, "src1" -> 0L), 800L)
+    val big   = sel(Map("src0" -> 1500L, "src1" -> 0L), 2000L)
+    val smallIds = small.select("doc_id").collect().map(_.getLong(0)).toSet
+    val bigIds   = big.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(smallIds.nonEmpty && smallIds.subsetOf(bigIds),
+      "a smaller budget must select a prefix of the larger budget's sample")
+    assert(small.filter(col("source") === "src1").count() === 0L, "zero budget drops the stratum")
+    // every stratum respects its quota: re-derive the cumulative sums
+    val over = sel(Map("src0" -> 500L), 800L)
+      .groupBy("source").agg(sum("n_chars").as("tot"))
+      .filter(
+        (col("source") === "src0" && col("tot") > 500L) ||
+          (col("source") =!= "src0" && col("tot") > 800L))
+    assert(over.count() === 0L, "no stratum may exceed its budget")
+  }
+
+  test("frequentShingles: df counts distinct docs, top-k cut is deterministic") {
+    val docs = Seq(
+      (1L, "a b c d"),     // shingles: "a b c", "b c d"
+      (2L, "a b c a b c"), // distinct-contributes "a b c" once (plus others)
+      (3L, "a b c x y"),
+      (4L, "q r s t"),
+    ).toDF("doc_id", "text")
+    val top = Text.frequentShingles(docs, "doc_id", "text", n = 3, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head === ("a b c", 3L), "within-doc repetition must not inflate df")
+    assert(top.length === 2 && top(1)._2 <= 3L)
+  }
+
+  test("boilerplateStats: frequent-shingle fraction per doc; short docs drop out") {
+    val docs = Seq(
+      (1L, "a b c d"), // "a b c" shared with doc 2 => 1 of 2 frequent
+      (2L, "a b c"),   // single shingle, shared => frac 1.0
+      (3L, "u v w z"), // nothing shared => frac 0.0
+      (4L, "xy"),      // < 3 tokens => no shingles => no row
+    ).toDF("doc_id", "text")
+    val got = Text.boilerplateStats(docs, "doc_id", "text", n = 3, minDf = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((1L, 1L, 1.0)))
+    assert(got(3L) === ((2L, 0L, 0.0)))
+    assert(!got.contains(4L), "docs with no shingles must drop out (same as the SQL oracle)")
+  }
+
+  test("dedupKeepBest: keeps the highest-score member per component, min id on ties") {
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // component {1,2,3}: best score 30, tie -> id 2
+      (4L, 5L), (5L, 50L),             // component {4,5}: best score 50 at id 5
+
+      (6L, 7L), // unpaired: always kept
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val kept = Dedup.dedupKeepBest(docs, "doc_id", "score", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 5L, 6L))
+  }
+
+  test("annRerankTopK: with a full-coverage pool the rerank equals exact inner-product top-k") {
+    FloatVecDot.registerOn(spark)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(-1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity
+      .annRerankTopK(vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 2,
+        mult = 3) // k*mult >= |candidates| => pool is everything => exact
+      .select("n_id", "rnk").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === Set((1L, 1), (2L, 2)), "rerank must order by exact float dot")
+  }
+
   test("enrichment registry: specs, parameterization, broken-plugin tolerance") {
     import graft.ocsf.EnrichmentRegistry
     val (ok, errs) = EnrichmentRegistry.createAll(
