@@ -160,6 +160,27 @@ class PlanSpec extends AnyFunSuite {
       p)
   }
 
+  test("budget sampler is one windowed scan; frequent shingles is TakeOrdered, no global sort") {
+    val budget = planOf("misc_sample_budget_mix")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(budget).length === 1, budget) // the stratum shuffle
+    assert(!budget.contains("Join"), budget) // quotas compile into the predicate, never a join
+    val freq = planOf("txt_frequent_shingles")
+    assert(freq.contains("TakeOrderedAndProject"), freq)
+    assert(freq.contains("partial_count"), freq) // df combines map-side before the shuffle
+  }
+
+  test("boilerplate fraction reuses one explode: window df, no self-join of the shingling") {
+    val p = planOf("txt_boilerplate")
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).length === 1, p) // one explode only
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ANN rerank: pool and rerank joins are keyed; query side broadcast; no cartesian") {
+    val p = planOf("sim_ann_rerank_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("native float_dot participates in codegen (no interpreted fallback marker)") {
     graft.functions.FloatVecDot.registerOn(spark)
     val emb = Tables.embeddings(spark, sf)
