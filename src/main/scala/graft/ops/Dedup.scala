@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, from exact to
@@ -705,6 +705,20 @@ object Dedup {
       .select(col("__member_id").as("__drop_id"))
     docs.join(losers, docs(idCol) === col("__drop_id"), "left_anti")
   }
+
+  /** The map-only form of the [[decontaminate]] test, for streaming
+    * ingestion: true iff the document shares at least one word
+    * `n`-gram with `benchShingles` (the eval set's distinct shingles,
+    * collected once — an eval set is tiny by definition, the same
+    * reasoning that lets the batch form broadcast it). A pure Column
+    * predicate: stateless, shuffle-free, usable in a `readStream`
+    * filter where the batch form's join+aggregate shape would need
+    * stateful machinery to re-assemble per-document verdicts. */
+  def contaminatedPredicate(textCol: Column, benchShingles: Seq[String], n: Int): Column =
+    arrays_overlap(
+      Text.shingles(Text.tokens(textCol), n),
+      typedlit(benchShingles.sorted), // deterministic literal order
+    )
 
   def dedupByPairs(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val dropIds = clusterPairs(pairs)

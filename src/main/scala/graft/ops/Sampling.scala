@@ -56,6 +56,23 @@ object Sampling {
     df.filter(hashFraction(col(keyCol)) < rateCol)
   }
 
+  /** Deterministic shard assignment — the training-shard writer's
+    * partitioner: shard = content-hash integer mod `nShards`, a pure
+    * function of the key (no RNG, no global ordering), so shards are
+    * balanced in expectation, stable under retries/re-partitioning,
+    * and identical in any engine computing the same expression. The
+    * map-only alternative to a global row_number round-robin, which
+    * would funnel the corpus through a single-partition window at
+    * scale. `df.write.partitionBy("shard")` then emits the shard
+    * files. */
+  def shardAssign(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    df.withColumn(
+      "shard",
+      conv(substring(md5(col(keyCol).cast("string")), 1, 6), 16, 10).cast("long") % nShards,
+    )
+  }
+
   /** Token-BUDGET deterministic sample per stratum — the corpus-mixing
     * form that targets a token (or byte/char) budget instead of a row
     * count: within each stratum, rows are taken in content-hash order

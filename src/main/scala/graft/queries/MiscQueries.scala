@@ -186,7 +186,25 @@ object MiscQueries {
       .select("doc_id", "source")
   }
 
+  /** Deterministic shard assignment ([[graft.ops.Sampling.shardAssign]])
+    * summarized per shard: the balance evidence (row counts and char
+    * mass per shard) a shard writer would log. Map-only assignment +
+    * one aggregate; the oracle replays the identical hash-mod. */
+  private val shardStats = Q(
+    "misc_shard_stats",
+    """SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
+      |FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 8
+      |        AS shard, n_chars
+      |      FROM documents)
+      |GROUP BY shard""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Sampling
+      .shardAssign(graft.Tables.documents(s, d), "doc_id", nShards = 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_sum"))
+  }
+
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
-      jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix)
+      jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats)
 }

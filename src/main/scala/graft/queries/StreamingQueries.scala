@@ -385,6 +385,61 @@ object StreamingQueries {
       .select(col("id").as("doc_id"), col("strata").as("source"))
   }
 
+  /** Streaming benchmark decontamination
+    * ([[graft.ops.Dedup.contaminatedPredicate]]): the corpus replayed
+    * as three micro-batches through the map-only n-gram leakage guard —
+    * the eval set's distinct shingles are collected once (tiny by
+    * definition) and the whole operator is a stateless filter, so it
+    * needs no watermark, no state store, and no shuffle: the shape a
+    * decontamination gate must have at ingestion time. Checked against
+    * the identical batch SQL as `ddp_decontaminate`. */
+  private val decontaminateStream = Q(
+    "stream_decontaminate",
+    """WITH bench AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+      |corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+      |btoks AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM bench),
+      |bsh AS (SELECT DISTINCT unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+      |  FROM btoks),
+      |ctoks AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM corpus),
+      |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS sh
+      |  FROM ctoks),
+      |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh))
+      |SELECT doc_id, source FROM corpus
+      |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+  ) { (s, d) =>
+    val bench = graft.Tables.documents(s, d).filter(col("doc_id") % 50 === 0)
+    val benchShingles = graft.ops.Dedup
+      .shingleSets(bench, "doc_id", "text", 5)
+      .select("sh")
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    val docsSchema = graft.Tables.documents(s, d).schema
+    val cleaned = s.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(documentsSplitDir(s, d))
+      .filter(col("doc_id") % 50 =!= 0)
+      .filter(!graft.ops.Dedup.contaminatedPredicate(col("text"), benchShingles, 5))
+      .select("doc_id", "source")
+    val name = synchronized { streamN += 1; s"graft_stream_decontam_$streamN" }
+    withScratchCheckpoint("graft_ckpt_decontam") { ckpt =>
+      val q = cleaned.writeStream
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+  }
+
   val all: Seq[Q] =
-    Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream)
+    Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream,
+      decontaminateStream)
 }

@@ -888,6 +888,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Set((1L, 1), (2L, 2)), "rerank must order by exact float dot")
   }
 
+  test("shardAssign: pure content function, full coverage in range, reproducible") {
+    import graft.ops.Sampling
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Sampling.shardAssign(docs, "doc_id", 4)
+    val shards = a.select("shard").distinct().collect().map(_.getLong(0)).toSet
+    assert(shards.subsetOf(Set(0L, 1L, 2L, 3L)) && shards.size === 4,
+      "50 docs over 4 hash shards must cover every shard, all in range")
+    assert(a.count() === docs.count(), "assignment is a projection — no rows gained or lost")
+    val again = Sampling.shardAssign(docs, "doc_id", 4)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a.select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === again, "shard of a key never changes between runs")
+  }
+
   test("enrichment registry: specs, parameterization, broken-plugin tolerance") {
     import graft.ocsf.EnrichmentRegistry
     val (ok, errs) = EnrichmentRegistry.createAll(

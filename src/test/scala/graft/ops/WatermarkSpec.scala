@@ -119,6 +119,32 @@ class WatermarkSpec extends AnyFunSuite {
     assert(uids === List("a", "a", "b", "c"))
   }
 
+  test("streaming decontamination: stateless predicate equals the batch anti-join per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "p q r s t u")).toDF("doc_id", "text")
+    val benchSh = Dedup.shingleSets(bench, "doc_id", "text", 5)
+      .select("sh").distinct().collect().map(_.getString(0)).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDS().toDF("doc_id", "text")
+      .filter(!Dedup.contaminatedPredicate(col("text"), benchSh, 5))
+      .writeStream.format("memory").queryName("decontam_out").outputMode("append").start()
+    val rows = Seq(
+      (1L, "p q r s t u v"),   // shares "p q r s t" => dropped
+      (2L, "p q r s x t u"),   // no shared 5-gram => kept
+      (3L, "a b"),             // shorter than n => kept
+      (4L, "x p q r s t u"),   // shares "q r s t u" => dropped
+    )
+    in.addData(rows.take(2)); q.processAllAvailable()
+    in.addData(rows.drop(2)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("decontam_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = Dedup
+      .decontaminate(rows.toDF("doc_id", "text"), bench, "doc_id", "text", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected && got === Set(2L, 3L))
+  }
+
   test("streaming reservoir: cross-batch state merge equals the batch sample; state stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long)]
