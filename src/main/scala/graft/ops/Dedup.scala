@@ -714,11 +714,16 @@ object Dedup {
     * predicate: stateless, shuffle-free, usable in a `readStream`
     * filter where the batch form's join+aggregate shape would need
     * stateful machinery to re-assemble per-document verdicts. */
-  def contaminatedPredicate(textCol: Column, benchShingles: Seq[String], n: Int): Column =
+  def contaminatedPredicate(textCol: Column, benchShingles: Seq[String], n: Int): Column = {
+    // native single-pass shingling (the composed HOF form pays ~20x at
+    // corpus scale); registration is idempotent, resolved at analysis
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(s => graft.functions.ShingleSetExpr.registerOn(s, Seq(n)))
     arrays_overlap(
-      Text.shingles(Text.tokens(textCol), n),
+      graft.functions.ShingleSetExpr.shingle_set(textCol, n),
       typedlit(benchShingles.sorted), // deterministic literal order
     )
+  }
 
   def dedupByPairs(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val dropIds = clusterPairs(pairs)

@@ -249,8 +249,10 @@ object Text {
       k: Int,
   ): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    docs
-      .select(explode(array_distinct(shingles(tokens(col(textCol)), n))).as("sh"))
+    // native generator: one streaming pass, no per-row HOF chain (the
+    // composed transform/element_at form costs ~20x at corpus scale)
+    Dedup
+      .shingleSets(docs, idCol, textCol, n)
       .groupBy("sh")
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("sh").asc)
@@ -281,10 +283,8 @@ object Text {
   ): DataFrame = {
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
     import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(
-      col(idCol).as("doc_id"),
-      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("sh"),
-    )
+    // native generator pass, same reasoning as [[frequentShingles]]
+    val sh = Dedup.shingleSets(docs, idCol, textCol, n)
     sh.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .groupBy("doc_id")
       .agg(
