@@ -396,6 +396,52 @@ object DedupQueries {
     )
   }
 
+  /** SemDeDup proper, composed in the gate: embedding-cosine near-dup
+    * clusters (the SRP-banded pairs above, identically indexed in the
+    * oracle) reduced by the quality-aware keep rule — each semantic
+    * cluster keeps its LONGEST document (ties → min id). This is the
+    * [[graft.ops.Dedup.dedupKeepBest]] composition over
+    * [[graft.ops.Similarity.embeddingDupPairs]]: the semantic-dedup
+    * operation LLM pipelines run after text-level dedup. The oracle
+    * chains the shared SRP/verify CTEs into a recursive closure and the
+    * per-component argmax. */
+  private val semdedupBest = Q(
+    "ddp_semdedup_best",
+    s"""${embCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$srpBandCte,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |ep AS ($cosVerifyTail),
+       |eedges AS (SELECT a_id AS s, b_id AS t FROM ep UNION SELECT b_id, a_id FROM ep),
+       |reach2(s, t) AS (
+       |  SELECT s, t FROM eedges
+       |  UNION
+       |  SELECT r.s, x.t FROM reach2 r JOIN eedges x ON r.t = x.s),
+       |comp AS (SELECT s AS doc_id, least(s, min(t)) AS component FROM reach2 GROUP BY s),
+       |ranked AS (
+       |  SELECT c.doc_id,
+       |    row_number() OVER (PARTITION BY c.component
+       |                       ORDER BY doc.n_chars DESC, c.doc_id) AS rk
+       |  FROM comp c JOIN documents doc USING (doc_id))
+       |SELECT doc_id, source FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)""".stripMargin,
+  ) { (s, d) =>
+    val pairs = graft.ops.Similarity
+      .embeddingDupPairs(
+        embeddings(s, d),
+        idCol = "vec_id",
+        embCol = "embedding",
+        tau = 0.45,
+        nPlanes = 72,
+        bands = 12,
+      )
+      .select("a_id", "b_id")
+    Dedup
+      .dedupKeepBest(documents(s, d), "doc_id", "n_chars", pairs)
+      .select("doc_id", "source")
+  }
+
   /** Multi-probe variant: the probe side also enumerates every
     * single-bit flip of each band key, so candidates include pairs
     * whose keys differ in ≤ 1 bit in some band. At this demo's hard
@@ -657,7 +703,7 @@ object DedupQueries {
     Seq(exactGroups, dedupCapped, dedupIncremental, jaccardPairs, jaccardPairsPrefix,
       jaccardPairsAuto, minhashLsh,
       simhashSigs, simhashPairs, simhash64Pairs, jaccardComponents, dedupKeep, dedupKeepBest,
-      embeddingPairs,
+      semdedupBest, embeddingPairs,
       embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, decontaminate, corpusPrepare,
       corpusPrepareEmb)
 }
