@@ -427,14 +427,18 @@ object DedupQueries {
        |SELECT doc_id, source FROM documents
        |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)""".stripMargin,
   ) { (s, d) =>
+    // auto-banded: the fixed 72/12 config saturates quadratically past
+    // a few thousand vectors (measured 17x at the 10x corpus); the
+    // count probe keeps the collision floor ∝ N. Identical results on
+    // every rung at gate scales (the verify is exact; recall is total
+    // on the planted pairs — the property ddp_embedding_pairs_auto
+    // already oracle-checks standalone).
     val pairs = graft.ops.Similarity
-      .embeddingDupPairs(
+      .embeddingDupPairsAuto(
         embeddings(s, d),
         idCol = "vec_id",
         embCol = "embedding",
         tau = 0.45,
-        nPlanes = 72,
-        bands = 12,
       )
       .select("a_id", "b_id")
     Dedup
