@@ -719,11 +719,55 @@ object Dedup {
     // corpus scale); registration is idempotent, resolved at analysis
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(s => graft.functions.ShingleSetExpr.registerOn(s, Seq(n)))
-    arrays_overlap(
-      graft.functions.ShingleSetExpr.shingle_set(textCol, n),
-      typedlit(benchShingles.sorted), // deterministic literal order
-    )
+    val sh    = graft.functions.ShingleSetExpr.shingle_set(textCol, n)
+    val exact = arrays_overlap(sh, typedlit(benchShingles.sorted))
+    if (benchShingles.size <= BloomCutover) exact
+    else {
+      // Large eval set: arrays_overlap probes every literal element per
+      // row (O(|bench|) — measured 117s at a 46k-shingle set on a 49k
+      // corpus). A Bloom sketch over xxhash64(shingle) is a constant
+      // ~20 bits/entry broadcast; `exists` probes it per DOC shingle
+      // (O(|doc|)), and only bloom-positive rows pay the exact confirm
+      // — the result stays EXACT, the sketch only gates who pays for
+      // exactness. Same seed-42 xxhash64 on both sides (driver put,
+      // SQL probe). The per-PROBE fpp compounds per document
+      // (1-(1-p)^shingles: p=0.01 measured 38% of a 49k-doc corpus
+      // bloom-positive), so it is set for ~1% per DOC at ~100
+      // shingles/doc — bits grow only with ln(1/p).
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .create(benchShingles.size.toLong, 0.0001)
+      benchShingles.foreach { s =>
+        bf.putLong(
+          org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            org.apache.spark.sql.types.StringType,
+            42L,
+          )
+        )
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val bloomLit = lit(bos.toByteArray)
+      // BloomFilterMightContain is not in the public SQL registry —
+      // registered the same way the other native expressions are
+      org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+        s.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "graft_might_contain",
+          exprs =>
+            org.apache.spark.sql.catalyst.expressions
+              .BloomFilterMightContain(exprs.head, exprs(1)),
+          "scala_udf",
+        )
+      }
+      val bloomHit =
+        exists(sh, x => call_function("graft_might_contain", bloomLit, xxhash64(x)))
+      bloomHit && exact // And short-circuits: exact runs on bloom hits only
+    }
   }
+
+  /** [[contaminatedPredicate]] switches from the plain literal-overlap
+    * form to the Bloom-gated form above this eval-set size. */
+  val BloomCutover: Int = 2048
 
   def dedupByPairs(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val dropIds = clusterPairs(pairs)

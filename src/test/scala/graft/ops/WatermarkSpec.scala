@@ -145,6 +145,26 @@ class WatermarkSpec extends AnyFunSuite {
     assert(got === expected && got === Set(2L, 3L))
   }
 
+  test("decontamination predicate: bloom-gated large-eval-set path stays exact") {
+    // an eval set big enough to cross BloomCutover (one long unique-token
+    // doc => ~3k distinct 5-gram shingles)
+    val benchText = (0 until 3000).map(i => s"tok$i").mkString(" ")
+    val bench     = Seq((100L, benchText)).toDF("doc_id", "text")
+    val benchSh = Dedup.shingleSets(bench, "doc_id", "text", 5)
+      .select("sh").distinct().collect().map(_.getString(0)).toSeq
+    assert(benchSh.size > Dedup.BloomCutover, "test must exercise the bloom path")
+    val docs = Seq(
+      (1L, "tok17 tok18 tok19 tok20 tok21 zz"), // shares a 5-gram => contaminated
+      (2L, "tok21 tok20 tok19 tok18 tok17"),    // reversed order => clean
+      (3L, "a b c d e f"),                      // disjoint vocab => clean
+    ).toDF("doc_id", "text")
+    val kept = docs.filter(!Dedup.contaminatedPredicate(col("text"), benchSh, 5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = Dedup.decontaminate(docs, bench, "doc_id", "text", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === expected && kept === Set(2L, 3L))
+  }
+
   test("streaming reservoir: cross-batch state merge equals the batch sample; state stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long)]
