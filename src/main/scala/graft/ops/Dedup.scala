@@ -111,6 +111,60 @@ object Dedup {
       .select(idCol, "fp")
   }
 
+  /** Distinct LSH (band, band_hash) rows of a corpus — the compact
+    * cross-run state for [[dedupIncrementalFuzzy]]: like
+    * [[fingerprintIndex]] but at near-dup granularity, ~nBands rows of
+    * 16 bytes per indexed document regardless of document size. */
+  def bandIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      rowsPerBand: Int,
+  ): DataFrame =
+    lshBands(minhashSignatures(shingleSets(docs, idCol, textCol, n), k), rowsPerBand)
+      .select("band", "band_hash")
+      .distinct()
+
+  /** Incremental (cross-run) NEAR-dup screen — the fuzzy analog of
+    * [[dedupIncremental]]: an incoming batch is checked against the
+    * persisted [[bandIndex]] and any document one of whose LSH bands
+    * collides with the index is dropped. A band collision is the
+    * standard LSH S-curve evidence of Jaccard at or above the banding's
+    * threshold; skipping the exact verify against the (absent) indexed
+    * corpus is the deliberate ingestion-time trade — conservative
+    * toward dropping, exactly reproducible, and the index stays
+    * orders of magnitude narrower than the corpus it stands for.
+    * Within-batch near-dups are [[minhashLshPairs]]'s job, run before
+    * or after the screen.
+    *
+    * Dataflow: signature build is one wide aggregate over the batch's
+    * shingles (map-side combinable); the screen is a left-semi join
+    * keyed on (band, band_hash) — AQE broadcasts the index when it
+    * fits. Survivors' bands ([[bandIndex]] of the result) are the
+    * index delta to append for the next run. */
+  def dedupIncrementalFuzzy(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      n: Int,
+      k: Int,
+      rowsPerBand: Int,
+  ): DataFrame = {
+    require(
+      index.columns.contains("band") && index.columns.contains("band_hash"),
+      "index must carry (band, band_hash) columns",
+    )
+    val bands = lshBands(minhashSignatures(shingleSets(batch, idCol, textCol, n), k), rowsPerBand)
+    val hit = bands
+      .join(index.select("band", "band_hash").distinct(), Seq("band", "band_hash"), "left_semi")
+      .select(col("doc_id").as("__hit_id"))
+      .distinct()
+    batch.join(hit, batch(idCol) === col("__hit_id"), "left_anti")
+  }
+
   /** Per-shingle document frequency — shared input of the cap, the
     * df>=2 pruning, the prefix ranking, and the skew probe. */
   private def docFreq(shingles: DataFrame): DataFrame =

@@ -178,6 +178,57 @@ object DedupQueries {
     )
   }
 
+  /** Incremental cross-run NEAR-dup screen
+    * ([[graft.ops.Dedup.dedupIncrementalFuzzy]]): the persisted state
+    * is the LSH (band, band_hash) index of a previous run (documents
+    * below id 250); the incoming batch is the rest of the corpus plus
+    * 50 id-shifted replicas of indexed documents. The replicas collide
+    * on every band and must drop; of the second half, documents whose
+    * planted near-dup partner sits in the indexed half drop too (13 at
+    * sf0.01) and the rest survive — both paths deterministically
+    * exercised, and the oracle replays signature build, banding, index
+    * derivation, and the screen. */
+  private val dedupIncrementalFuzzy = Q(
+    "ddp_dedup_incremental_fuzzy",
+    s"""WITH corpus AS (
+       |  SELECT doc_id + 100000 AS doc_id, text, source FROM documents WHERE doc_id < 50
+       |  UNION ALL
+       |  SELECT doc_id, text, source FROM documents WHERE doc_id >= 250),
+       |all_docs AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 250
+       |  UNION ALL
+       |  SELECT doc_id, text FROM corpus),
+       |toks AS (SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks FROM all_docs),
+       |shing AS (SELECT doc_id,
+       |    unnest(list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+       |  FROM toks),
+       |mh AS (
+       |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+       |  FROM shing CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+       |  GROUP BY doc_id, seed),
+       |bands AS (
+       |  SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+       |  FROM mh GROUP BY doc_id, seed // 4),
+       |idx AS (SELECT DISTINCT band, band_hash FROM bands WHERE doc_id < 250),
+       |hit AS (
+       |  SELECT DISTINCT b.doc_id FROM bands b JOIN idx USING (band, band_hash)
+       |  WHERE b.doc_id >= 250)
+       |SELECT doc_id, source FROM corpus
+       |WHERE doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
+  ) { (s, d) =>
+    val docs = documents(s, d)
+    val prev = docs.filter(col("doc_id") < 250)
+    val batch = docs
+      .filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("source"))
+      .unionAll(docs.filter(col("doc_id") >= 250).select("doc_id", "text", "source"))
+    val index = Dedup.bandIndex(prev, "doc_id", "text", n = 3, k = 16, rowsPerBand = 4)
+    Dedup
+      .dedupIncrementalFuzzy(batch, "doc_id", "text", index, n = 3, k = 16, rowsPerBand = 4)
+      .select("doc_id", "source")
+  }
+
   /** Per-document 32-bit SimHash signatures. */
   private val simhashSigs = Q(
     "ddp_simhash_sigs",
@@ -704,7 +755,8 @@ object DedupQueries {
   }
 
   val all: Seq[Q] =
-    Seq(exactGroups, dedupCapped, dedupIncremental, jaccardPairs, jaccardPairsPrefix,
+    Seq(exactGroups, dedupCapped, dedupIncremental, dedupIncrementalFuzzy, jaccardPairs,
+      jaccardPairsPrefix,
       jaccardPairsAuto, minhashLsh,
       simhashSigs, simhashPairs, simhash64Pairs, jaccardComponents, dedupKeep, dedupKeepBest,
       semdedupBest, embeddingPairs,

@@ -888,6 +888,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Set((1L, 1), (2L, 2)), "rerank must order by exact float dot")
   }
 
+  test("dedupIncrementalFuzzy: band collisions drop, fresh docs keep, delta closes the loop") {
+    val prev = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+    ).toDF("doc_id", "text")
+    val index = Dedup.bandIndex(prev, "doc_id", "text", n = 3, k = 16, rowsPerBand = 4)
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // replica of 1 => all bands collide
+      (11L, "totally different words here entirely now"),
+    ).toDF("doc_id", "text")
+    val kept = Dedup
+      .dedupIncrementalFuzzy(batch, "doc_id", "text", index, n = 3, k = 16, rowsPerBand = 4)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet === Set(11L))
+    // append the survivors' bands: a re-arrival of 11 now drops too
+    val index2 = index.unionAll(Dedup.bandIndex(kept, "doc_id", "text", 3, 16, 4))
+    val rerun = Seq((12L, "totally different words here entirely now"))
+      .toDF("doc_id", "text")
+    assert(
+      Dedup.dedupIncrementalFuzzy(rerun, "doc_id", "text", index2, 3, 16, 4).count() === 0L,
+      "the survivor delta must screen the next run")
+  }
+
   test("shardAssign: pure content function, full coverage in range, reproducible") {
     import graft.ops.Sampling
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
