@@ -206,6 +206,39 @@ object Dedup {
     naiveJaccard(shingles, capped, cappedFreq, minJaccard)
   }
 
+  /** Shingle-level containment pairs — the substring-dedup family's
+    * relational form: (inner, outer) where EVERY distinct shingle of
+    * `inner` also occurs in `outer` (and inner has at least one
+    * shingle). At shingle length n this is implied by true substring
+    * containment and catches near-containment (quotes, expansions,
+    * page-wraps) that exact substring search misses; a corpus pipeline
+    * drops the inner docs as redundant. Ties between mutually-contained
+    * docs (identical shingle sets) keep both directions — the caller's
+    * keep rule (e.g. [[dedupKeepBest]] on the pair list) decides.
+    *
+    * Dataflow is [[jaccardPairs]]' pruned self-join with the predicate
+    * `c = |inner|` instead of a Jaccard threshold: shingles with
+    * document frequency 1 cannot contribute to any pair and are pruned
+    * before the join; every surviving join is keyed on the shingle. A
+    * document with any singleton shingle can never be contained, so
+    * the pruning ALSO bounds which docs can appear as inners — at a
+    * natural corpus' long-tailed vocabulary that is most of them. */
+  def containmentPairs(shingles: DataFrame, maxDocFreq: Option[Long] = None): DataFrame = {
+    val (capped, cappedFreq) = cappedShingles(shingles, docFreq(shingles), maxDocFreq)
+    val sizes    = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val joinable = cappedFreq.filter(col("__df") >= 2).select("sh")
+    val pruned   = capped.join(joinable, "sh")
+    val common = pruned
+      .as("a")
+      .join(pruned.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("inner_id"), col("b.doc_id").as("outer_id"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("na"), col("inner_id") === col("na.doc_id"))
+      .filter(col("c") === col("na.n"))
+      .select(col("inner_id"), col("outer_id"), col("c").as("n_shingles"))
+  }
+
   /** The naive self-join body shared by [[jaccardPairs]] and
     * [[jaccardPairsAuto]]'s flat branch — one definition so the two
     * entry points cannot diverge. */

@@ -229,6 +229,50 @@ object DedupQueries {
       .select("doc_id", "source")
   }
 
+  /** Shingle-level containment pairs
+    * ([[graft.ops.Dedup.containmentPairs]]): the corpus plus 30
+    * id-shifted 12-token prefixes of existing documents — every
+    * planted prefix's distinct shingle set is a subset of its source
+    * document's, so it must appear as an (inner, outer) pair; the
+    * un-planted corpus contributes only its genuine near-dup
+    * containments. Oracle replays the distinct-shingle intersection
+    * and the c = |inner| test. */
+  private val containmentPairsQ = Q(
+    "ddp_containment_pairs",
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 200000 AS doc_id,
+       |         array_to_string((regexp_extract_all(text, '\\w+'))[1:12], ' ') AS text
+       |  FROM documents WHERE doc_id < 30),
+       |toks AS (SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks FROM corpus),
+       |shing AS (SELECT doc_id,
+       |    unnest(list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+       |  FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, count(*) AS c
+       |  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT inner_id, outer_id, c AS n_shingles
+       |FROM common JOIN sizes na ON na.doc_id = inner_id
+       |WHERE c = na.n""".stripMargin,
+  ) { (s, d) =>
+    val docs = documents(s, d)
+    val corpus = docs
+      .select("doc_id", "text")
+      .unionAll(
+        docs
+          .filter(col("doc_id") < 30)
+          .select(
+            (col("doc_id") + 200000).as("doc_id"),
+            concat_ws(" ", slice(graft.ops.Text.tokens(col("text")), 1, 12)).as("text"),
+          )
+      )
+    Dedup.containmentPairs(Dedup.shingleSets(corpus, "doc_id", "text", 3))
+  }
+
   /** Per-document 32-bit SimHash signatures. */
   private val simhashSigs = Q(
     "ddp_simhash_sigs",
@@ -755,7 +799,8 @@ object DedupQueries {
   }
 
   val all: Seq[Q] =
-    Seq(exactGroups, dedupCapped, dedupIncremental, dedupIncrementalFuzzy, jaccardPairs,
+    Seq(exactGroups, dedupCapped, dedupIncremental, dedupIncrementalFuzzy, containmentPairsQ,
+      jaccardPairs,
       jaccardPairsPrefix,
       jaccardPairsAuto, minhashLsh,
       simhashSigs, simhashPairs, simhash64Pairs, jaccardComponents, dedupKeep, dedupKeepBest,

@@ -888,6 +888,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Set((1L, 1), (2L, 2)), "rerank must order by exact float dot")
   }
 
+  test("containmentPairs: prefix contained, partial overlap excluded, identical sets mutual") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), // outer
+      (2L, "a b c d e"),     // shingle subset of 1 => contained
+      (3L, "a b c x y z"),   // shares only "a b c" => NOT contained
+      (4L, "a b c d e"),     // identical set to 2 => mutual containment with 2
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .containmentPairs(Dedup.shingleSets(docs, "doc_id", "text", 3))
+      .select("inner_id", "outer_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2L, 1L), (4L, 1L), (2L, 4L), (4L, 2L)))
+  }
+
   test("dedupIncrementalFuzzy: band collisions drop, fresh docs keep, delta closes the loop") {
     val prev = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
