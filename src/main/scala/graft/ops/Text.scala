@@ -228,6 +228,46 @@ object Text {
       )
   }
 
+  /** Composed per-document quality report — the Gopher-rule filter log
+    * a pipeline writes next to its cleaned corpus: every scan-local
+    * signal (token bounds, marker-word language ID, type-token ratio,
+    * top-bigram fraction) plus the keep verdict and the FIRST failing
+    * reason in a fixed precedence order (too_short, too_long, lang,
+    * repetitive_ttr, repetitive_bigram). One map-only pass — no joins,
+    * no shuffle, the report rides the scan; every signal is
+    * exactly-rounded arithmetic, so verdicts are bit-identical across
+    * engines. Null-guarded signals (ttr/bigram on degenerate docs)
+    * fall through their CASE arms — the bound checks precede them. */
+  def qualityReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int,
+      maxTokens: Int,
+      languages: Seq[String],
+      minTtr: Double,
+      maxTopBigram: Double,
+  ): DataFrame = {
+    require(minTokens <= maxTokens, s"empty token window [$minTokens, $maxTokens]")
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        tokenCount(col(textCol)).cast("long").as("n_tok"),
+        langId(col(textCol)).as("lang_pred"),
+        typeTokenRatio(col(textCol)).as("ttr"),
+        topBigramFraction(col(textCol)).as("top_bigram_frac"),
+      )
+      .withColumn(
+        "reason",
+        when(col("n_tok") < minTokens, "too_short")
+          .when(col("n_tok") > maxTokens, "too_long")
+          .when(!col("lang_pred").isin(languages: _*), "lang")
+          .when(col("ttr") < minTtr, "repetitive_ttr")
+          .when(col("top_bigram_frac") > maxTopBigram, "repetitive_bigram"),
+      )
+      .withColumn("keep", col("reason").isNull)
+  }
+
   /** Corpus-level frequent n-grams: the `k` shingles present in the
     * most documents, ties broken by the shingle itself — the
     * boilerplate-phrase detector (navigation chrome, license headers,

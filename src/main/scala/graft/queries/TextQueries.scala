@@ -295,7 +295,66 @@ object TextQueries {
     Text.boilerplateStats(documents(s, d), "doc_id", "text", n = 3, minDf = 2L)
   }
 
+  /** Composed quality report ([[graft.ops.Text.qualityReport]]) — all
+    * five filter reasons fire on the gate corpus (19 too_short / 43
+    * too_long / 47 lang / 99 repetitive_ttr / 4 repetitive_bigram of
+    * 500 at sf0.01), so the whole precedence chain is differentially
+    * exercised, not just the keep path. */
+  private val qualityReportQ = Q(
+    "txt_quality_report",
+    """WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\w+') AS toks FROM documents),
+      |b AS (SELECT doc_id, text, toks,
+      |    list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+      |      i -> toks[i] || ' ' || toks[i+1]) AS bg
+      |  FROM t),
+      |m AS (SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tok,
+      |    CASE WHEN len(toks) = 0 THEN NULL
+      |         ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS ttr,
+      |    CASE WHEN len(bg) = 0 THEN NULL
+      |         ELSE list_aggregate(list_transform(list_distinct(bg),
+      |                x -> len(list_filter(bg, y -> y = x))), 'max') / CAST(len(bg) AS DOUBLE)
+      |         END AS top_bigram_frac,
+      |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS h_en,
+      |    len(regexp_extract_all(text, '\b(el|la|de|los|que|y)\b')) AS h_es,
+      |    len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS h_de,
+      |    len(regexp_extract_all(text, '\b(le|la|les|et|est)\b')) AS h_fr
+      |  FROM b),
+      |p AS (SELECT doc_id, n_tok, ttr, top_bigram_frac,
+      |    CASE WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+      |         WHEN h_es > 0 AND h_es >= h_de AND h_es >= h_fr THEN 'es'
+      |         WHEN h_de > 0 AND h_de >= h_fr THEN 'de'
+      |         WHEN h_fr > 0 THEN 'fr'
+      |         ELSE 'und' END AS lang_pred
+      |  FROM m)
+      |SELECT doc_id, n_tok, lang_pred, ttr, top_bigram_frac,
+      |  CASE WHEN n_tok < 15 THEN 'too_short'
+      |       WHEN n_tok > 90 THEN 'too_long'
+      |       WHEN lang_pred NOT IN ('en', 'es', 'de', 'fr') THEN 'lang'
+      |       WHEN ttr < 0.35 THEN 'repetitive_ttr'
+      |       WHEN top_bigram_frac > 0.12 THEN 'repetitive_bigram'
+      |       END AS reason,
+      |  (CASE WHEN n_tok < 15 THEN 'too_short'
+      |       WHEN n_tok > 90 THEN 'too_long'
+      |       WHEN lang_pred NOT IN ('en', 'es', 'de', 'fr') THEN 'lang'
+      |       WHEN ttr < 0.35 THEN 'repetitive_ttr'
+      |       WHEN top_bigram_frac > 0.12 THEN 'repetitive_bigram'
+      |       END) IS NULL AS keep
+      |FROM p""".stripMargin,
+  ) { (s, d) =>
+    Text.qualityReport(
+      documents(s, d),
+      "doc_id",
+      "text",
+      minTokens = 15,
+      maxTokens = 90,
+      languages = Seq("en", "es", "de", "fr"),
+      minTtr = 0.35,
+      maxTopBigram = 0.12,
+    )
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
-      repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate)
+      repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ)
 }

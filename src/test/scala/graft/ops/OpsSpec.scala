@@ -888,6 +888,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Set((1L, 1), (2L, 2)), "rerank must order by exact float dot")
   }
 
+  test("qualityReport: reason precedence, null-guarded signals, keep iff no reason") {
+    val docs = Seq(
+      (1L, "a b"),                                       // too_short (and low ttr — precedence)
+      (2L, ("the word " * 60).trim),                     // too_long beats repetitive
+      (3L, "uno dos tres cuatro cinco seis siete ocho"), // no markers => lang
+      (4L, "the the the the the is is is of of"),        // en, ttr 0.3 => repetitive_ttr
+      (5L, "the cat sat on a mat and then walked out"),  // clean => keep
+    ).toDF("doc_id", "text")
+    val got = Text
+      .qualityReport(docs, "doc_id", "text", minTokens = 3, maxTokens = 50,
+        languages = Seq("en", "es", "de", "fr"), minTtr = 0.35, maxTopBigram = 0.5)
+      .select("doc_id", "reason", "keep")
+      .collect().map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getBoolean(2)))).toMap
+    assert(got(1L) === ((Some("too_short"), false)))
+    assert(got(2L) === ((Some("too_long"), false)))
+    assert(got(3L) === ((Some("lang"), false)))
+    assert(got(4L) === ((Some("repetitive_ttr"), false)))
+    assert(got(5L) === ((None, true)))
+  }
+
   test("containmentPairs: prefix contained, partial overlap excluded, identical sets mutual") {
     val docs = Seq(
       (1L, "a b c d e f g"), // outer
