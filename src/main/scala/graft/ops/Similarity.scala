@@ -175,6 +175,44 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** IVF-SQ8 approximate top-k — the production ANN composition
+    * (Faiss's IVF + scalar-quantizer shape): candidates live in their
+    * nearest cell, queries probe `nprobe` cells, and scoring inside
+    * the probed cells is the all-integer quantized dot
+    * ([[quantizeInt8]]/[[bruteForceTopKInt8]]'s kernel) instead of the
+    * float cosine — the 4× memory cut where it matters (the cell scan)
+    * with the coarse quantizer bounding how much corpus is ever
+    * touched (~nprobe/C). Assignment stays float (it reads only the
+    * broadcast codebook); ranking is scale-free integer, so the cut
+    * is bit-checkable across engines with no float tolerance. */
+  def annIvfInt8TopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      centroids: DataFrame,
+      nprobe: Int,
+      queryPred: Column,
+  ): DataFrame = {
+    val base = withNorm(df, embCol)
+    val cand = quantizeInt8(ivfAssign(base, centroids, idCol, embCol, nprobe = 1), embCol)
+      .select(col(idCol).as("n_id"), col("q_emb").as("__nq"), col("cent_id"))
+    val qry = quantizeInt8(ivfAssign(base.filter(queryPred), centroids, idCol, embCol, nprobe), embCol)
+      .select(col(idCol).as("q_id"), col("q_emb").as("__qq"), col("cent_id"))
+    val score = aggregate(
+      zip_with(col("__qq"), col("__nq"), (a, b) => a * b),
+      lit(0L),
+      (acc, v) => acc + v,
+    )
+    val w = Window.partitionBy("q_id").orderBy(col("qdot").desc, col("n_id"))
+    cand
+      .join(broadcast(qry), Seq("cent_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), score.as("qdot"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Signed-random-projection (SRP) LSH bucket per vector: `nPlanes`
     * Rademacher hyperplanes with entries derived deterministically from
     * md5(plane ':' dim) — reproducible in any engine, no RNG state.

@@ -333,7 +333,63 @@ object SimilarityQueries {
       .select(col("q_id"), col("n_id"), col("dot").as("fdot"), col("rnk"))
   }
 
+  /** IVF-SQ8 ([[graft.ops.Similarity.annIvfInt8TopK]]): the float
+    * coarse quantizer routes (16 cells, nprobe=2, replayed exactly),
+    * int8 codes score inside the probed cells — the ranking the oracle
+    * checks is pure integer, so the composition (assignment ∘
+    * quantization ∘ integer cut) carries zero float tolerance. */
+  private val annIvfInt8TopK = Q(
+    "sim_ann_ivf_int8_topk",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |  FROM (
+       |    SELECT e.vec_id, cent_id,
+       |      ${duckDot("e.embedding", "cemb")} / (e.nrm * cnrm) AS ccos
+       |    FROM e CROSS JOIN cent)),
+       |m AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      v -> CAST(floor(CAST(v AS DOUBLE) * 127
+       |                      / (CASE WHEN s = 0 THEN 1 ELSE s END)
+       |                      + 0.5) AS BIGINT)) AS q
+       |  FROM (SELECT vec_id, embedding,
+       |          list_aggregate(list_transform(embedding,
+       |            v -> abs(CAST(v AS DOUBLE))), 'max') AS s
+       |        FROM embeddings)),
+       |cand AS (SELECT a.vec_id, a.cent_id, m.q FROM asg a JOIN m USING (vec_id) WHERE crk = 1),
+       |qry AS (SELECT a.vec_id, a.cent_id, m.q FROM asg a JOIN m USING (vec_id)
+       |        WHERE crk <= 2 AND a.vec_id < 10),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    list_reduce(list_transform(generate_series(1, len(q.q)),
+       |      i -> q.q[i] * c.q[i]), (x, y) -> x + y) AS qdot
+       |  FROM qry q JOIN cand c ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id)
+       |SELECT q_id, n_id, qdot, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, n_id) AS rnk
+       |  FROM pairs)
+       |WHERE rnk <= 3""".stripMargin,
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    Similarity
+      .annIvfInt8TopK(
+        emb,
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+        centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16),
+        nprobe = 2,
+        queryPred = col("vec_id") < 10,
+      )
+      .select("q_id", "n_id", "qdot", "rnk")
+  }
+
   val all: Seq[Q] =
     Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
-      annRerankTopK)
+      annRerankTopK, annIvfInt8TopK)
 }

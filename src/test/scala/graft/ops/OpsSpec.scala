@@ -888,6 +888,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Set((1L, 1), (2L, 2)), "rerank must order by exact float dot")
   }
 
+  test("annIvfInt8TopK: integer ranking within probed cells; full probe equals int8 brute force") {
+    FloatVecDot.registerOn(spark)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 4)
+    // probing EVERY cell makes the candidate set the whole corpus, so
+    // the composition must equal the int8 brute force exactly
+    val ivf = Similarity
+      .annIvfInt8TopK(emb, "vec_id", "embedding", k = 3, cents, nprobe = 4,
+        queryPred = col("vec_id") < 5)
+      .select("q_id", "n_id", "qdot", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val brute = Similarity
+      .bruteForceTopKInt8(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 3)
+      .select("q_id", "n_id", "qdot", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(ivf === brute)
+  }
+
   test("qualityReport: reason precedence, null-guarded signals, keep iff no reason") {
     val docs = Seq(
       (1L, "a b"),                                       // too_short (and low ttr — precedence)
