@@ -270,7 +270,9 @@ object DedupQueries {
             concat_ws(" ", slice(graft.ops.Text.tokens(col("text")), 1, 12)).as("text"),
           )
       )
-    Dedup.containmentPairs(Dedup.shingleSets(corpus, "doc_id", "text", 3))
+    // the rarest-prefix form is the gate path (result-identical to the
+    // naive self-join, spec-pinned; linear vs ~15x at the 10x corpus)
+    Dedup.containmentPairsPrefix(Dedup.shingleSets(corpus, "doc_id", "text", 3))
   }
 
   /** Per-document 32-bit SimHash signatures. */

@@ -940,6 +940,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Set((2L, 1L), (4L, 1L), (2L, 4L), (4L, 2L)))
   }
 
+  test("containmentPairsPrefix equals the naive containment join, incl. on real corpus data") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e"),
+      (3L, "a b c x y z"),
+      (4L, "a b c d e"),
+      (5L, "q r s t u"), // all-singleton shingles => prunable inner
+    ).toDF("doc_id", "text")
+    def pairs(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      f(Dedup.shingleSets(docs, "doc_id", "text", 3))
+        .select("inner_id", "outer_id", "n_shingles")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs(Dedup.containmentPairs(_)) === pairs(Dedup.containmentPairsPrefix(_)))
+    // and on a real slice with planted prefixes
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val planted = corpus.limit(10).select(
+      (col("doc_id") + 200000).as("doc_id"),
+      concat_ws(" ", slice(Text.tokens(col("text")), 1, 12)).as("text"))
+    val sh = Dedup.shingleSets(corpus.unionAll(planted), "doc_id", "text", 3)
+    val naive = Dedup.containmentPairs(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefix = Dedup.containmentPairsPrefix(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive === prefix && naive.nonEmpty)
+  }
+
   test("dedupIncrementalFuzzy: band collisions drop, fresh docs keep, delta closes the loop") {
     val prev = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
