@@ -165,6 +165,69 @@ object Dedup {
     batch.join(hit, batch(idCol) === col("__hit_id"), "left_anti")
   }
 
+  /** Chunk-level exact dedup — the ExactSubstr family (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better") at
+    * fixed token-span granularity: each document is split into
+    * consecutive `chunkTokens`-token chunks, only the globally-first
+    * occurrence of each distinct chunk text survives (first in
+    * (`idCol`, chunk position) order), and each document's surviving
+    * chunks are reassembled in order. Unlike document-level dedup, a
+    * duplicated SPAN is removed while the rest of its document
+    * survives — the right tool when corpora share long boilerplate
+    * passages inside otherwise-distinct pages.
+    *
+    * Returns (`idCol`, text, n_chunks, n_kept): the rebuilt text ("" if
+    * every chunk was a duplicate — the document row itself is never
+    * dropped), the document's chunk count, and how many survived.
+    *
+    * Scale shape: tokenize+chunk is map-only (one generate per row);
+    * first-occurrence is a window keyed on the 128-bit chunk
+    * fingerprint — each partition is one span's copy group, so skew is
+    * bounded by the hottest span's copy count, and the rank<=1 filter
+    * plans as partial+final WindowGroupLimit (map-side truncation, the
+    * same shape as [[dedupCapCopies]]); reassembly is one groupBy on
+    * the document id. Nothing is quadratic and no driver-side state.
+    */
+  def chunkDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+  ): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val toks = Text.tokens(col(textCol))
+    val nChunks = ceil(size(col("__toks")).cast("double") / chunkTokens).cast("int")
+    // ANSI-mode guard: sequence(0, -1) DESCENDS, so the empty-document
+    // case must short-circuit to an empty chunk list explicitly.
+    val chunkList = when(size(col("__toks")) === 0, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), nChunks - 1),
+          i => array_join(slice(col("__toks"), i * chunkTokens + 1, lit(chunkTokens)), " "),
+        )
+      )
+    val chunked = docs
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), posexplode_outer(chunkList).as(Seq("chunk_idx", "chunk")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("chunk")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunked
+      .withColumn("__kept", col("chunk").isNotNull && row_number().over(w) === 1)
+      .groupBy(col("doc_id").as(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__kept"), struct(col("chunk_idx"), col("chunk"))))),
+            x => x("chunk"),
+          ),
+          " ",
+        ).as("text"),
+        count(col("chunk")).as("n_chunks"),
+        sum(when(col("__kept"), 1).otherwise(0)).as("n_kept"),
+      )
+  }
+
   /** Per-shingle document frequency — shared input of the cap, the
     * df>=2 pruning, the prefix ranking, and the skew probe. */
   private def docFreq(shingles: DataFrame): DataFrame =

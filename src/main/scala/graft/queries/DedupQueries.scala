@@ -113,6 +113,53 @@ object DedupQueries {
       "doc_id", "text", index)
   }
 
+  /** Chunk-level exact dedup ([[graft.ops.Dedup.chunkDedup]], the
+    * ExactSubstr family): the corpus unioned with shifted copies — each
+    * copy drops its source's first 10 tokens (exactly one chunk, so
+    * chunk boundaries stay aligned) and appends a unique tail token.
+    * Every full chunk of a copy duplicates a chunk of its source and
+    * must be removed; the tail chunk is unique and must survive —
+    * span-level removal with document retention, which document-level
+    * dedup cannot express. */
+  private val chunkDedupQ = Q(
+    "ddp_chunk_dedup",
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    coalesce(array_to_string(regexp_extract_all(text, '\w+')[11:], ' '), '')
+      |      || ' tail' || CAST(doc_id + 100000 AS VARCHAR) AS text
+      |  FROM documents),
+      |toks AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM base),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(1, CAST(ceil(len(t) / 10.0) AS BIGINT))) - 1 AS chunk_idx,
+      |    unnest(list_transform(generate_series(1, CAST(ceil(len(t) / 10.0) AS BIGINT)),
+      |           i -> array_to_string(t[((i-1)*10+1):(i*10)], ' '))) AS chunk
+      |  FROM toks),
+      |ranked AS (
+      |  SELECT doc_id, chunk_idx, chunk,
+      |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      |  FROM chunks)
+      |SELECT doc_id,
+      |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '') AS text,
+      |  count(*) AS n_chunks,
+      |  CAST(coalesce(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept
+      |FROM ranked GROUP BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    val docs = documents(s, d).select("doc_id", "text")
+    val toks = graft.ops.Text.tokens(col("text"))
+    val copies = docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(
+        array_join(slice(toks, lit(11), greatest(size(toks) - 10, lit(0))), " "),
+        lit(" tail"),
+        (col("doc_id") + 100000).cast("string"),
+      ).as("text"),
+    )
+    Dedup.chunkDedup(docs.unionAll(copies), "doc_id", "text", chunkTokens = 10)
+  }
+
   /** Shared oracle body for the exact Jaccard-pairs operators: the
     * naive, prefix-filtered, and auto-selected forms are result-
     * identical by construction, so one SQL checks all three. */
@@ -802,6 +849,7 @@ object DedupQueries {
 
   val all: Seq[Q] =
     Seq(exactGroups, dedupCapped, dedupIncremental, dedupIncrementalFuzzy, containmentPairsQ,
+      chunkDedupQ,
       jaccardPairs,
       jaccardPairsPrefix,
       jaccardPairsAuto, minhashLsh,

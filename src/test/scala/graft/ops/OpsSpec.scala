@@ -742,6 +742,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1, 2L -> 2, 5L -> 1), "ids 3 and 4 exceed the cap")
   }
 
+  test("chunkDedup: duplicated spans removed, rest of document kept, empties survive") {
+    import graft.ops.Dedup
+    // chunkTokens=2. Doc 1 is the first occurrence of everything; doc 2
+    // repeats doc 1's chunks exactly plus a unique tail chunk; doc 3 is
+    // a full copy (every chunk a dup); doc 4 shares no chunk; doc 5 is
+    // empty (zero tokens — must survive with n_chunks=0, not vanish or
+    // trip the ANSI descending-sequence edge).
+    val docs = Seq(
+      (1L, "a b c d e f"),        // chunks: "a b","c d","e f"
+      (2L, "a b c d tail two"),   // "a b","c d" dup; "tail two" kept
+      (3L, "a b c d e f"),        // all dup -> "" retained row
+      (4L, "x y z"),              // "x y","z" both unique
+      (5L, ""),
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === (("a b c d e f", 3L, 3L)))
+    assert(got(2L) === (("tail two", 3L, 1L)))
+    assert(got(3L) === (("", 3L, 0L)))
+    assert(got(4L) === (("x y z", 2L, 2L)))
+    assert(got(5L) === (("", 0L, 0L)))
+  }
+
   test("dedupIncremental: known fingerprints dropped, intra-batch dups collapse, delta is new fps") {
     import graft.ops.Dedup
     val known = Seq((100L, "already ingested")).toDF("doc_id", "text")
