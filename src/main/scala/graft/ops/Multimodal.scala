@@ -76,6 +76,19 @@ object Multimodal {
       i => content.substr(lit(1) + i * greatest(octet_length(content).cast("int") / n, lit(1)).cast("int"), lit(frameBytes)),
     )
 
+  /** Exact dedup over the binary payload — the multimodal twin of
+    * [[Dedup.exactGroups]]: identical byte streams (re-crawled images,
+    * re-encoded copies of the same upload) collapse on their 128-bit
+    * content hash; the smallest id is the canonical keep, the copy
+    * count is retained for curation stats. One hash-groupBy shuffle
+    * keyed on the digest — the payload bytes never travel the wire,
+    * only (checksum, id) pairs after the map-side hash, which is what
+    * makes this viable when the payload column is the 100 TB. */
+  def dedupBinary(media: DataFrame, idCol: String, contentCol: String): DataFrame =
+    media
+      .groupBy(md5(col(contentCol)).as("checksum"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   private def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest
       .getInstance("MD5")

@@ -38,5 +38,21 @@ object MultimodalQueries {
       .toDF()
   }
 
-  val all: Seq[Q] = Seq(binaryMeta, features)
+  /** Binary-payload exact dedup ([[Multimodal.dedupBinary]]): the
+    * packed corpus unioned with a re-id'd copy of itself — every
+    * payload has exactly one planted duplicate; the original (smaller
+    * id) must be the keep. */
+  private val dedupBinary = Q(
+    "mm_dedup_binary",
+    """SELECT md5(text) AS checksum, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM (SELECT doc_id, text FROM documents
+      |      UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)
+      |GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    val media = Multimodal.packDocuments(documents(s, d))
+    val copies = media.withColumn("doc_id", col("doc_id") + 100000)
+    Multimodal.dedupBinary(media.unionAll(copies), "doc_id", "content")
+  }
+
+  val all: Seq[Q] = Seq(binaryMeta, features, dedupBinary)
 }

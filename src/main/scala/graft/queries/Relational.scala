@@ -136,6 +136,31 @@ object Relational {
       )
   }
 
+  /** Skew-salted equi-join ([[graft.ops.Colocate.saltedJoin]]): the
+    * fact side deterministically salted into 8 sub-keys, the dimension
+    * side replicated across salts, so a hot key's rows spread over 8
+    * tasks instead of one straggler. Result rows are identical to the
+    * plain join by construction — which is exactly what the oracle
+    * (the UNSALTED SQL) checks differentially. The manual form covers
+    * the case AQE's skew splitter can't reach (first-shuffle skew,
+    * broadcast-ineligible build sides). */
+  private val joinSaltedRevenue = Q(
+    "rel_join_salted_revenue",
+    s"""SELECT p_brand, ${DSUM("l_quantity")} AS qty, COUNT(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Colocate
+      .saltedJoin(
+        lineitem(s, d),
+        part(s, d).select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        key = "l_partkey",
+        salts = 8,
+      )
+      .groupBy("p_brand")
+      .agg(dsum(col("l_quantity")).as("qty"), count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q5 shape: 6-table multiway join. Fact-fact join (orders ⋈
     * lineitem) shuffles on the key; all dimensions broadcast. */
   private val joinMultiwayRegionRevenue = Q(
@@ -438,6 +463,7 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(
+    joinSaltedRevenue,
     aggArgmax,
     aggTopkUdaf,
     aggBoolPredicates,

@@ -439,7 +439,48 @@ object StreamingQueries {
     s.table(name)
   }
 
+  /** Streaming dedup with watermark-bounded state
+    * ([[graft.ops.StreamDedup.dedupWithinWatermark]], ST5's streaming
+    * twin): the events table replayed as three ordered micro-batches
+    * through `dropDuplicatesWithinWatermark` on (user_id, event_type).
+    * State built in batch 1 suppresses re-occurrences arriving in
+    * batches 2 and 3 — a cross-micro-batch property a single
+    * AvailableNow batch would not exercise. The delay spans the whole
+    * replay (no state eviction), so the emitted set is exactly the
+    * batch DISTINCT the oracle runs; only the key columns are emitted
+    * because which PHYSICAL row wins within a micro-batch is not
+    * deterministic (WatermarkSpec covers the eviction semantics the
+    * bounded delay exists for). */
+  private val dedupStream = Q(
+    "stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+  ) { (s, d) =>
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    val stream = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+      .select("user_id", "event_type", "ts")
+    val deduped = graft.ops.StreamDedup
+      .dedupWithinWatermark(stream, "ts", "45 days", Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+    val name = synchronized { streamN += 1; s"graft_stream_dedup_$streamN" }
+    withStatePartitions(s, 4) {
+      withScratchCheckpoint("graft_ckpt_dedup") { ckpt =>
+        val q = deduped.writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    s.table(name)
+  }
+
   val all: Seq[Q] =
     Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream,
-      decontaminateStream)
+      decontaminateStream, dedupStream)
 }
