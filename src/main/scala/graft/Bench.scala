@@ -16,6 +16,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.ShingleRewrite.installOn(spark)
     // Absorb session/codegen warmup outside any query's timing.
     spark.range(1000).selectExpr("sum(id)").collect()
     // Local profiling hooks (the driver sets neither): ONLY filters to a

@@ -182,11 +182,12 @@ object Dedup {
     *
     * Scale shape: tokenize+chunk is map-only (one generate per row);
     * first-occurrence is a window keyed on the 128-bit chunk
-    * fingerprint — each partition is one span's copy group, so skew is
-    * bounded by the hottest span's copy count, and the rank<=1 filter
-    * plans as partial+final WindowGroupLimit (map-side truncation, the
-    * same shape as [[dedupCapCopies]]); reassembly is one groupBy on
-    * the document id. Nothing is quadratic and no driver-side state.
+    * fingerprint — each window partition is one span's copy group, so
+    * its size is bounded by the hottest span's copy count (every row is
+    * retained, ranked rows flagged rather than filtered, because
+    * non-surviving chunks still count toward n_chunks); reassembly is
+    * one groupBy on the document id. Nothing is quadratic and no
+    * driver-side state.
     */
   def chunkDedup(
       docs: DataFrame,

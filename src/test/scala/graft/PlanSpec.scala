@@ -181,6 +181,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ShingleRewrite: composed distinct-shingle explode becomes the native generator") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.plans.ShingleRewrite.installOn(spark)
+    val docs = Seq((1L, "a b c d e"), (2L, "a b"), (3L, "x y z a b c")).toDF("doc_id", "text")
+    def composed(n: Int) = docs.select(
+      col("doc_id"),
+      explode(array_distinct(
+        graft.ops.Text.shingles(graft.ops.Text.tokens(col("text")), n))).as("sh"),
+    )
+    // the rule fires: optimized plan generates via ShingleGen
+    val gens = composed(3).queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g.generator
+    }
+    assert(gens.exists(_.isInstanceOf[graft.functions.ShingleGen]),
+      "composed form not rewritten: " + gens.mkString(", "))
+    // and stays row-equal to the library's native path
+    for (n <- Seq(1, 2, 3)) {
+      val got = composed(n).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = graft.ops.Dedup.shingleSets(docs, "doc_id", "text", n)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === want, s"n=$n")
+    }
+    // conservative boundary: without array_distinct the semantics differ
+    // (duplicate shingles survive) and the rule must NOT fire
+    val nodedup = docs.select(
+      col("doc_id"),
+      explode(graft.ops.Text.shingles(graft.ops.Text.tokens(col("text")), 2)).as("sh"),
+    )
+    val gens2 = nodedup.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g.generator
+    }
+    assert(!gens2.exists(_.isInstanceOf[graft.functions.ShingleGen]))
+  }
+
   test("native float_dot participates in codegen (no interpreted fallback marker)") {
     graft.functions.FloatVecDot.registerOn(spark)
     val emb = Tables.embeddings(spark, sf)
