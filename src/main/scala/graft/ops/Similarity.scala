@@ -595,6 +595,155 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Product-quantization codebook over int8-quantized subvectors: the
+    * embedding is split into `m` contiguous subspaces of dim/m
+    * dimensions; each subspace's codebook is the corresponding
+    * subvectors of the first `ksub` rows by `idCol` (the deterministic
+    * seed policy [[ivfCentroids]] uses — refinement is [[ivfRefine]]'s
+    * demonstrated concern, seeding is PQ's). Codes and every distance
+    * computed from them are int8 integers, so the whole PQ pipeline —
+    * training, encoding, ADC scoring — is bit-reproducible in any
+    * engine with no floating-point caveat (the ScaNN-style integer
+    * variant of Jégou et al.'s PQ).
+    *
+    * Returns (sub_id, code_id, code array<bigint>): m × ksub rows —
+    * a few KB however large the corpus, always broadcastable. */
+  def pqTrainInt8(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      m: Int,
+      ksub: Int,
+  ): DataFrame = {
+    val dim = resolveDim(df, embCol, -1)
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ksub >= 1, s"ksub must be >= 1, got $ksub")
+    val dsub = dim / m
+    val w    = Window.orderBy(col(idCol))
+    quantizeInt8(df.orderBy(col(idCol)).limit(ksub), embCol)
+      .withColumn("code_id", row_number().over(w) - 1)
+      .select(
+        col("code_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(m - 1)),
+            s => slice(col("q_emb"), s * dsub + 1, lit(dsub)),
+          )
+        ).as(Seq("sub_id", "code")),
+      )
+      .select("sub_id", "code_id", "code")
+  }
+
+  /** PQ encoding: each vector becomes `m` one-byte codes — the index of
+    * its nearest codebook entry (integer L2, ties to the smaller
+    * code_id) per subspace. 64 floats shrink to 8 bytes: the
+    * compression that lets a 100 TB vector corpus's index live in
+    * memory.
+    *
+    * Dataflow: quantize is map-only; subvector explode is m rows per
+    * vector; the codebook join is broadcast; the per-(vector, subspace)
+    * argmin is `min(struct(dist, code_id))` — a hash aggregate with
+    * map-side partial combine, not a window — and the code collect is
+    * one groupBy on the id. */
+  def pqEncodeInt8(
+      df: DataFrame,
+      codebook: DataFrame,
+      idCol: String,
+      embCol: String,
+      m: Int,
+  ): DataFrame = {
+    val dim = resolveDim(df, embCol, -1)
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val subs = quantizeInt8(df, embCol)
+      .select(
+        col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(m - 1)),
+            s => slice(col("q_emb"), s * dsub + 1, lit(dsub)),
+          )
+        ).as(Seq("sub_id", "qsub")),
+      )
+    val dist = aggregate(
+      zip_with(col("qsub"), col("code"), (a, b) => (a - b) * (a - b)),
+      lit(0L),
+      (acc, v) => acc + v,
+    )
+    subs
+      .join(broadcast(codebook), Seq("sub_id"))
+      .select(col(idCol), col("sub_id"), col("code_id"), dist.as("__d"))
+      .groupBy(col(idCol), col("sub_id"))
+      .agg(min(struct(col("__d"), col("code_id"))).getField("code_id").as("code_id"))
+      .groupBy(col(idCol))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("sub_id"), col("code_id")))),
+          x => x("code_id"),
+        ).as("pq_codes")
+      )
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): queries score candidates by
+    * summing, per subspace, a precomputed partial dot between the
+    * query's subvector and the candidate's CODE — candidates are
+    * touched only through their m-byte codes, never their embeddings.
+    * All arithmetic is integer (int8 query subvectors × int8 codebook
+    * entries), so the complete ranking is bit-checkable like
+    * [[bruteForceTopKInt8]], which is also its accuracy baseline (ADC
+    * approximates that integer dot through the codebook).
+    *
+    * Scale posture: the LUT (q × m × ksub partial dots) is
+    * queries-side small and broadcast; the scoring scan is m rows per
+    * candidate joined to the LUT on (sub_id, code_id) with map-side
+    * partial SUM before the (q_id, n_id) aggregate; the final cut is a
+    * per-query window. The corpus-side bytes read per candidate are m
+    * codes — the point of PQ. */
+  def pqAdcTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      m: Int,
+      ksub: Int,
+      queryPred: Column,
+  ): DataFrame = {
+    val dim  = resolveDim(df, embCol, -1)
+    val dsub = dim / m
+    val cb   = pqTrainInt8(df, idCol, embCol, m, ksub)
+    val enc  = pqEncodeInt8(df, cb, idCol, embCol, m)
+    val qsubs = quantizeInt8(df.filter(queryPred), embCol)
+      .select(
+        col(idCol).as("q_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(m - 1)),
+            s => slice(col("q_emb"), s * dsub + 1, lit(dsub)),
+          )
+        ).as(Seq("sub_id", "qsub")),
+      )
+    val pdot = aggregate(
+      zip_with(col("qsub"), col("code"), (a, b) => a * b),
+      lit(0L),
+      (acc, v) => acc + v,
+    )
+    val lut = qsubs
+      .join(broadcast(cb), Seq("sub_id"))
+      .select(col("q_id"), col("sub_id"), col("code_id"), pdot.as("pdot"))
+    val candCodes = enc.select(
+      col(idCol).as("n_id"),
+      posexplode(col("pq_codes")).as(Seq("sub_id", "code_id")),
+    )
+    val w = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
+    candCodes
+      .join(broadcast(lut), Seq("sub_id", "code_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy("q_id", "n_id")
+      .agg(sum(col("pdot")).as("adc"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Persist an IVF codebook (e.g. a [[ivfRefine]] result) so ANN
     * queries reuse a trained index across sessions — the codebook is a
     * few KB of parquet; training cost is paid once per corpus

@@ -389,7 +389,72 @@ object SimilarityQueries {
       .select("q_id", "n_id", "qdot", "rnk")
   }
 
+  /** PQ-ADC top-3 ([[graft.ops.Similarity.pqAdcTopK]]): 8 subspaces ×
+    * 16 int8 codes, queries vec_id < 10. The oracle replays the ENTIRE
+    * product-quantization pipeline — quantization, subspace codebook
+    * seeding, nearest-code encoding, the query LUT, and ADC summation
+    * — in integer arithmetic, so training, encoding, and scoring are
+    * all differentially checked with zero float tolerance. */
+  private val annPqTopK = Q(
+    "sim_ann_pq_topk",
+    """WITH mq AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      v -> CAST(floor(CAST(v AS DOUBLE) * 127
+      |                      / (CASE WHEN s = 0 THEN 1 ELSE s END)
+      |                      + 0.5) AS BIGINT)) AS q
+      |  FROM (SELECT vec_id, embedding,
+      |          list_aggregate(list_transform(embedding,
+      |            v -> abs(CAST(v AS DOUBLE))), 'max') AS s
+      |        FROM embeddings)),
+      |seeds AS (
+      |  SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) - 1 AS code_id
+      |  FROM mq WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+      |cb AS (
+      |  SELECT sub_id, code_id, q[(sub_id*8+1):(sub_id*8+8)] AS code
+      |  FROM seeds, (SELECT unnest(generate_series(0, 7)) AS sub_id)),
+      |subs AS (
+      |  SELECT vec_id, sub_id, q[(sub_id*8+1):(sub_id*8+8)] AS qsub
+      |  FROM mq, (SELECT unnest(generate_series(0, 7)) AS sub_id)),
+      |enc AS (
+      |  SELECT vec_id, sub_id, code_id FROM (
+      |    SELECT s.vec_id, s.sub_id, c.code_id,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+      |        list_reduce(list_transform(generate_series(1, 8),
+      |          i -> (s.qsub[i] - c.code[i]) * (s.qsub[i] - c.code[i])), (x, y) -> x + y),
+      |        c.code_id) AS rn
+      |    FROM subs s JOIN cb c ON c.sub_id = s.sub_id)
+      |  WHERE rn = 1),
+      |lut AS (
+      |  SELECT s.vec_id AS q_id, s.sub_id, c.code_id,
+      |    list_reduce(list_transform(generate_series(1, 8),
+      |      i -> s.qsub[i] * c.code[i]), (x, y) -> x + y) AS pdot
+      |  FROM subs s JOIN cb c ON c.sub_id = s.sub_id
+      |  WHERE s.vec_id < 10),
+      |scored AS (
+      |  SELECT l.q_id, e.vec_id AS n_id, CAST(sum(l.pdot) AS BIGINT) AS adc
+      |  FROM enc e JOIN lut l ON l.sub_id = e.sub_id AND l.code_id = e.code_id
+      |  WHERE e.vec_id <> l.q_id
+      |  GROUP BY 1, 2)
+      |SELECT q_id, n_id, adc, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 3""".stripMargin,
+  ) { (s, d) =>
+    Similarity
+      .pqAdcTopK(
+        embeddings(s, d),
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+        m = 8,
+        ksub = 16,
+        queryPred = col("vec_id") < 10,
+      )
+      .select("q_id", "n_id", "adc", "rnk")
+  }
+
   val all: Seq[Q] =
     Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
-      annRerankTopK, annIvfInt8TopK)
+      annRerankTopK, annIvfInt8TopK, annPqTopK)
 }

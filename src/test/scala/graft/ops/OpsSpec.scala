@@ -742,6 +742,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1, 2L -> 2, 5L -> 1), "ids 3 and 4 exceed the cap")
   }
 
+  test("PQ int8: codebook shape, seed self-encoding, ADC puts an exact twin first") {
+    import graft.ops.Similarity
+    // dim=4, m=2 (dsub=2), ksub=2: codebook = subvectors of ids 0 and 1
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f)),
+      (5L, Seq(1f, 0f, 0f, 0f)), // exact twin of id 0
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrainInt8(vecs, "vec_id", "embedding", m = 2, ksub = 2)
+    assert(cb.count() === 4) // m * ksub rows
+    val enc = Similarity
+      .pqEncodeInt8(vecs, cb, "vec_id", "embedding", m = 2)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    assert(enc.values.forall(_.length == 2), "m codes per vector")
+    assert(enc(0L) === Seq(0L, 0L), "seed 0 encodes to its own codes (ties to smaller id)")
+    assert(enc(1L) === Seq(1L, 0L), "seed 1's first subvector is code 1")
+    // the twin of id 0 must rank id 0 first under ADC
+    val top = Similarity
+      .pqAdcTopK(vecs, "vec_id", "embedding", k = 1, m = 2, ksub = 2,
+        queryPred = col("vec_id") === 5)
+      .collect()
+    assert(top.length === 1 && top.head.getAs[Long]("n_id") === 0L, top.mkString(","))
+  }
+
   test("chunkDedup: duplicated spans removed, rest of document kept, empties survive") {
     import graft.ops.Dedup
     // chunkTokens=2. Doc 1 is the first occurrence of everything; doc 2
