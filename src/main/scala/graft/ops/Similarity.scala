@@ -744,6 +744,81 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** IVF-PQ top-k — the billion-scale index composition (Jégou et
+    * al.; the Faiss `IVF,PQ` shape): the float coarse quantizer routes
+    * each query to its `nprobe` nearest cells, and inside the probed
+    * cells candidates are scored through their m-byte PQ codes by the
+    * integer ADC of [[pqAdcTopK]]. Candidates' embeddings are never
+    * touched at query time — the scan reads cell id + m codes per
+    * candidate, the memory layout that keeps a 100 TB corpus's index
+    * resident.
+    *
+    * One global (non-residual) codebook: classic IVFPQ encodes
+    * residuals x − centroid, which buys accuracy but reintroduces
+    * float arithmetic into the codes; the integer variant keeps
+    * training/encoding/scoring bit-checkable end to end, the same
+    * trade [[annIvfInt8TopK]] makes.
+    *
+    * Dataflow: assignment is [[ivfAssign]] (broadcast centroids);
+    * the (query, probed-cell, subspace, code) partial-dot table is
+    * queries-side small and broadcast; candidate codes join it on
+    * (cent_id, sub_id, code_id) with map-side partial SUM; final cut
+    * is a per-query window. */
+  def annIvfPqTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      m: Int,
+      ksub: Int,
+      centroids: DataFrame,
+      nprobe: Int,
+      queryPred: Column,
+  ): DataFrame = {
+    val dim  = resolveDim(df, embCol, -1)
+    val dsub = dim / m
+    val base = withNorm(df, embCol)
+    val cb   = pqTrainInt8(df, idCol, embCol, m, ksub)
+    val candCells = ivfAssign(base, centroids, idCol, embCol, nprobe = 1)
+      .select(col(idCol), col("cent_id"))
+    val candCodes = pqEncodeInt8(df, cb, idCol, embCol, m)
+      .join(candCells, idCol)
+      .select(
+        col(idCol).as("n_id"),
+        col("cent_id"),
+        posexplode(col("pq_codes")).as(Seq("sub_id", "code_id")),
+      )
+    val qCells = ivfAssign(base.filter(queryPred), centroids, idCol, embCol, nprobe)
+      .select(col(idCol).as("q_id"), col("cent_id"))
+    val qsubs = quantizeInt8(df.filter(queryPred), embCol)
+      .select(
+        col(idCol).as("q_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(m - 1)),
+            s => slice(col("q_emb"), s * dsub + 1, lit(dsub)),
+          )
+        ).as(Seq("sub_id", "qsub")),
+      )
+    val pdot = aggregate(
+      zip_with(col("qsub"), col("code"), (a, b) => a * b),
+      lit(0L),
+      (acc, v) => acc + v,
+    )
+    val routedLut = qsubs
+      .join(broadcast(cb), Seq("sub_id"))
+      .select(col("q_id"), col("sub_id"), col("code_id"), pdot.as("pdot"))
+      .join(qCells, Seq("q_id"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
+    candCodes
+      .join(broadcast(routedLut), Seq("cent_id", "sub_id", "code_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy("q_id", "n_id")
+      .agg(sum(col("pdot")).as("adc"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Persist an IVF codebook (e.g. a [[ivfRefine]] result) so ANN
     * queries reuse a trained index across sessions — the codebook is a
     * few KB of parquet; training cost is paid once per corpus

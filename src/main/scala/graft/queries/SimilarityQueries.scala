@@ -454,7 +454,94 @@ object SimilarityQueries {
       .select("q_id", "n_id", "adc", "rnk")
   }
 
+  /** IVF-PQ ([[graft.ops.Similarity.annIvfPqTopK]]): the float coarse
+    * quantizer routes (16 cells, nprobe=2, replayed exactly as in
+    * `sim_ann_ivf_int8_topk`), PQ codes score inside the probed cells
+    * (8×16 integer codebook replayed exactly as in `sim_ann_pq_topk`)
+    * — the full billion-scale index composition, differentially
+    * checked: routing, training, encoding, and the ADC ranking. */
+  private val annIvfPqTopK = Q(
+    "sim_ann_ivf_pq_topk",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |  FROM (
+       |    SELECT e.vec_id, cent_id,
+       |      ${duckDot("e.embedding", "cemb")} / (e.nrm * cnrm) AS ccos
+       |    FROM e CROSS JOIN cent)),
+       |mq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      v -> CAST(floor(CAST(v AS DOUBLE) * 127
+       |                      / (CASE WHEN s = 0 THEN 1 ELSE s END)
+       |                      + 0.5) AS BIGINT)) AS q
+       |  FROM (SELECT vec_id, embedding,
+       |          list_aggregate(list_transform(embedding,
+       |            v -> abs(CAST(v AS DOUBLE))), 'max') AS s
+       |        FROM embeddings)),
+       |seeds AS (
+       |  SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) - 1 AS code_id
+       |  FROM mq WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |cb AS (
+       |  SELECT sub_id, code_id, q[(sub_id*8+1):(sub_id*8+8)] AS code
+       |  FROM seeds, (SELECT unnest(generate_series(0, 7)) AS sub_id)),
+       |subs AS (
+       |  SELECT vec_id, sub_id, q[(sub_id*8+1):(sub_id*8+8)] AS qsub
+       |  FROM mq, (SELECT unnest(generate_series(0, 7)) AS sub_id)),
+       |encpq AS (
+       |  SELECT vec_id, sub_id, code_id FROM (
+       |    SELECT s.vec_id, s.sub_id, c.code_id,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+       |        list_reduce(list_transform(generate_series(1, 8),
+       |          i -> (s.qsub[i] - c.code[i]) * (s.qsub[i] - c.code[i])), (x, y) -> x + y),
+       |        c.code_id) AS rn
+       |    FROM subs s JOIN cb c ON c.sub_id = s.sub_id)
+       |  WHERE rn = 1),
+       |candcodes AS (
+       |  SELECT a.vec_id, a.cent_id, p.sub_id, p.code_id
+       |  FROM asg a JOIN encpq p ON p.vec_id = a.vec_id
+       |  WHERE a.crk = 1),
+       |qcells AS (SELECT vec_id AS q_id, cent_id FROM asg WHERE crk <= 2 AND vec_id < 10),
+       |lut AS (
+       |  SELECT s.vec_id AS q_id, s.sub_id, c.code_id,
+       |    list_reduce(list_transform(generate_series(1, 8),
+       |      i -> s.qsub[i] * c.code[i]), (x, y) -> x + y) AS pdot
+       |  FROM subs s JOIN cb c ON c.sub_id = s.sub_id
+       |  WHERE s.vec_id < 10),
+       |scored AS (
+       |  SELECT qc.q_id, cc.vec_id AS n_id, CAST(sum(l.pdot) AS BIGINT) AS adc
+       |  FROM candcodes cc
+       |  JOIN qcells qc ON qc.cent_id = cc.cent_id
+       |  JOIN lut l ON l.q_id = qc.q_id AND l.sub_id = cc.sub_id AND l.code_id = cc.code_id
+       |  WHERE cc.vec_id <> qc.q_id
+       |  GROUP BY 1, 2)
+       |SELECT q_id, n_id, adc, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 3""".stripMargin,
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    Similarity
+      .annIvfPqTopK(
+        emb,
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+        m = 8,
+        ksub = 16,
+        centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16),
+        nprobe = 2,
+        queryPred = col("vec_id") < 10,
+      )
+      .select("q_id", "n_id", "adc", "rnk")
+  }
+
   val all: Seq[Q] =
     Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
-      annRerankTopK, annIvfInt8TopK, annPqTopK)
+      annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK)
 }
