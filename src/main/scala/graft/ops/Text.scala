@@ -228,6 +228,33 @@ object Text {
       )
   }
 
+  /** Source-level (domain-level) quality gating — the URL/domain
+    * filter of CCNet/RefinedWeb-style pipelines: curation decisions at
+    * the SOURCE granularity, because a domain that averages junk stays
+    * junk at the document level too. Keeps documents whose source's
+    * mean per-document score clears `minMean`; `score` must be an
+    * integer-valued Column (e.g. [[tokenCount]]) so the mean test runs
+    * as `SUM(score) >= minMean · COUNT(*)` — one long sum and one
+    * multiply, no float accumulation, bit-identical across engines.
+    *
+    * Scale shape: the per-source aggregate is map-side combinable and
+    * its result is one row per DOMAIN (thousands, not billions) — the
+    * keep set broadcasts back as a semi join, so the corpus is scanned
+    * twice and shuffled never. */
+  def sourceFilter(
+      docs: DataFrame,
+      sourceCol: String,
+      score: Column,
+      minMean: Double,
+  ): DataFrame = {
+    val keep = docs
+      .groupBy(col(sourceCol))
+      .agg(sum(score.cast("long")).as("__tot"), count(lit(1)).as("__n"))
+      .filter(col("__tot").cast("double") >= lit(minMean) * col("__n"))
+      .select(col(sourceCol))
+    docs.join(broadcast(keep), Seq(sourceCol), "left_semi")
+  }
+
   /** Composed per-document quality report — the Gopher-rule filter log
     * a pipeline writes next to its cleaned corpus: every scan-local
     * signal (token bounds, marker-word language ID, type-token ratio,

@@ -480,7 +480,98 @@ object StreamingQueries {
     s.table(name)
   }
 
+  /** Stream-static dimension join — the enrichment shape every
+    * production stream runs (facts arrive as a stream, dimensions are
+    * a table): each micro-batch broadcast-joins the static customer
+    * table; no state store, no watermark, because the static side is
+    * re-resolvable per batch. Emitted rows are exactly the batch
+    * join's, which is what the oracle checks. */
+  private val staticJoinStream = Q(
+    "stream_static_enrich",
+    """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, c.c_name AS cust_name
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+  ) { (s, d) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream
+      .schema(eventsNanosSchema)
+      .parquet(eventsSrcDir(s, d))
+      .select("event_id", "user_id")
+    val dim = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"), col("c_name").as("cust_name"))
+    val enriched = stream
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select("event_id", "user_id", "segment", "cust_name")
+    val name = synchronized { streamN += 1; s"graft_stream_static_$streamN" }
+    withScratchCheckpoint("graft_ckpt_static") { ckpt =>
+      val q = enriched.writeStream
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+  }
+
+  /** Streaming sessionization: `session_window` state merged ACROSS
+    * micro-batches — a session straddling the file boundary (an event
+    * at Jan 10 23:5x and the next at Jan 11 00:0x) must merge batch-1
+    * state with batch-2 events before it can close. Sessions emit in
+    * append mode once the watermark passes their end; with three
+    * ordered batches the watermark during batch 3 is ≈ Jan 20 22:5x
+    * (max event time through batch 2, minus 1h), so every session
+    * ending before Jan 18 has provably emitted. Both engines filter to
+    * that window, making the streaming result exactly the batch
+    * gap-construction the `evt_session_window_native` oracle uses. */
+  private val sessionWindowStream = Q(
+    "stream_session_window",
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+       |              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |numbered AS (
+       |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+       |  FROM flagged),
+       |sessions AS (
+       |  SELECT user_id, min(ts) AS w_start,
+       |    max(ts) + INTERVAL 30 MINUTE AS w_end, COUNT(*) AS n_events
+       |  FROM numbered GROUP BY user_id, sid)
+       |SELECT * FROM sessions WHERE w_end < TIMESTAMP '2024-01-18 00:00:00'""".stripMargin,
+  ) { (s, d) =>
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    val sessions = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("w_start"), col("sw.end").as("w_end"),
+        col("n_events"))
+      .filter(col("w_end") < lit("2024-01-18 00:00:00").cast("timestamp"))
+    val name = synchronized { streamN += 1; s"graft_stream_session_$streamN" }
+    withStatePartitions(s, 4) {
+      withScratchCheckpoint("graft_ckpt_session") { ckpt =>
+        val q = sessions.writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    s.table(name)
+  }
+
   val all: Seq[Q] =
     Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream,
-      decontaminateStream, dedupStream)
+      decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream)
 }

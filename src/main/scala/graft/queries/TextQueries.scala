@@ -354,7 +354,28 @@ object TextQueries {
     )
   }
 
+  /** Domain-level quality gate ([[graft.ops.Text.sourceFilter]]):
+    * documents survive iff their SOURCE's mean token count clears 50 —
+    * the integer-sum form (SUM ≥ τ·COUNT) so the keep set is
+    * bit-deterministic. At sf0.01 this drops two of the twenty
+    * sources; the oracle recomputes the cut at whatever scale it
+    * runs. */
+  private val sourceFilterQ = Q(
+    "txt_source_filter",
+    """WITH s AS (
+      |  SELECT source, sum(len(regexp_extract_all(text, '\w+'))) AS tot, count(*) AS n
+      |  FROM documents GROUP BY 1),
+      |keep AS (SELECT source FROM s WHERE CAST(tot AS DOUBLE) >= 50.0 * n)
+      |SELECT doc_id, source FROM documents
+      |WHERE source IN (SELECT source FROM keep)""".stripMargin,
+  ) { (s, d) =>
+    Text
+      .sourceFilter(documents(s, d), "source", Text.tokenCount(col("text")), minMean = 50.0)
+      .select("doc_id", "source")
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
-      repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ)
+      repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
+      sourceFilterQ)
 }
