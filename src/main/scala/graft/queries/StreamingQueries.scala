@@ -545,6 +545,13 @@ object StreamingQueries {
        |SELECT * FROM sessions WHERE w_end < TIMESTAMP '2024-01-18 00:00:00'""".stripMargin,
   ) { (s, d) =>
     val rewrittenSchema = graft.Tables.events(s, d).schema
+    // NB the w_end bound is applied to the SINK TABLE, not inside the
+    // streaming query: a post-aggregation predicate on the session
+    // window's end gets pushed below the aggregation (sound for fixed
+    // windows, where an event's window is a pure function of its
+    // timestamp — unsound for session windows, where merging can move
+    // the end past the bound: the push drops the merge partner and
+    // un-merges the session, observed at sf0.1).
     val sessions = s.readStream
       .schema(rewrittenSchema)
       .option("maxFilesPerTrigger", 1)
@@ -554,7 +561,6 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("w_start"), col("sw.end").as("w_end"),
         col("n_events"))
-      .filter(col("w_end") < lit("2024-01-18 00:00:00").cast("timestamp"))
     val name = synchronized { streamN += 1; s"graft_stream_session_$streamN" }
     withStatePartitions(s, 4) {
       withScratchCheckpoint("graft_ckpt_session") { ckpt =>
@@ -568,7 +574,7 @@ object StreamingQueries {
         q.awaitTermination()
       }
     }
-    s.table(name)
+    s.table(name).filter(col("w_end") < lit("2024-01-18 00:00:00").cast("timestamp"))
   }
 
   val all: Seq[Q] =
