@@ -181,6 +181,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("chunk dedup: one generate, fingerprint-keyed window, no cartesian") {
+    val p = planOf("ddp_chunk_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).length === 1, "chunking must be a single generate:\n" + p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("PQ/IVF-PQ: codebook and LUT joins broadcast, never cartesian") {
+    for (name <- Seq("sim_ann_pq_topk", "sim_ann_ivf_pq_topk")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$name must broadcast the codebook/LUT side:\n$p")
+    }
+  }
+
+  test("salted join: physical join keys carry the salt, no broadcast-nested-loop") {
+    val p = planOf("rel_join_salted_revenue")
+    assert(p.contains("__salt"), "salt key missing from the plan:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ShingleRewrite: composed distinct-shingle explode becomes the native generator") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -63,7 +63,17 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        sel = "*"
+        if t == "events":
+            # scale-up corpora (make_scaleup.py) store ts as raw int64
+            # nanos; mirror graft.Tables.events' truncation to micros
+            (ts_type,) = [
+                r[1] for r in con.execute(
+                    f"DESCRIBE SELECT ts FROM read_parquet('{sf_dir}/{t}.parquet')").fetchall()
+            ]
+            if ts_type == "BIGINT":
+                sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+        con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     n_pass = n_fail = 0
