@@ -769,6 +769,32 @@ class OpsSpec extends AnyFunSuite {
     assert(top.length === 1 && top.head.getAs[Long]("n_id") === 0L, top.mkString(","))
   }
 
+  test("PQ codebook round-trips through parquet; reloaded codebook encodes identically") {
+    import graft.ops.Similarity
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.tabulate(8)(j => ((i * 7 + j * 3) % 13).toFloat - 6f))).toDF("vec_id", "embedding")
+    val cb   = Similarity.pqTrainInt8(vecs, "vec_id", "embedding", m = 4, ksub = 8)
+    val dir  = graft.SparkTestBase.tmpDir("pq_codebook")
+    Similarity.saveCentroids(cb, dir) // generic small-table persistence
+    val cb2 = Similarity.loadCentroids(spark, dir)
+    val a = Similarity.pqEncodeInt8(vecs, cb, "vec_id", "embedding", m = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = Similarity.pqEncodeInt8(vecs, cb2, "vec_id", "embedding", m = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a === b, "a persisted codebook must reproduce the exact same codes")
+  }
+
+  test("chunkDedup: result is invariant to input partitioning") {
+    import graft.ops.Dedup
+    val docs = (0L until 60L).map(i =>
+      (i, (0 until 12).map(j => s"w${(i * 5 + j) % 17}").mkString(" "))).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 4)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(run(docs.repartition(1)) === run(docs.repartition(7)),
+      "global first-occurrence must not depend on partitioning")
+  }
+
   test("chunkDedup: duplicated spans removed, rest of document kept, empties survive") {
     import graft.ops.Dedup
     // chunkTokens=2. Doc 1 is the first occurrence of everything; doc 2
