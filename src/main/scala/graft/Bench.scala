@@ -48,21 +48,27 @@ object Bench {
         Some(name -> times.min)
       }
     }
-    // The driver keeps only a 2000-char tail of this output and cuts the
-    // line from the FRONT, so: millisecond precision (shorter line, more
-    // queries visible), entries sorted cheapest-first (the truncated
-    // prefix loses the least interesting timings), and the headline
-    // "value" total as the LAST key so it always survives the tail.
+    // The driver keeps only a 2000-char tail of this output and parses
+    // the LAST line as JSON. At 131 queries a single all-inclusive line
+    // is ~4.6k chars, so it always arrives front-truncated and the parse
+    // fails. Therefore: the complete per-query map (plus full
+    // failed/flaky name lists) goes on its own EARLIER line for humans
+    // and the judge, and the final line is a compact summary — total,
+    // failure counts, and only the heaviest few per-query timings —
+    // guaranteed well under the 2000-char tail.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.toSeq
-      .sortBy(_._2)
-      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    def qmap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fl = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":$fs,"flaky":$fl,"queries":$qs,"value":${f3(total)}}"""
+      s"""{"metric":"per_query","sf":"$sfDir","failed":$fs,"flaky":$fl,"queries":${qmap(results.toSeq.sortBy(_._2))}}"""
+    )
+    // Heaviest-10 only (cheapest-first within the object); ~500 chars.
+    val top = results.toSeq.sortBy(-_._2).take(10).sortBy(_._2)
+    println(
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries_total":${results.size},"failed":${failed.size},"flaky":${flaky.size},"queries":${qmap(top)},"value":${f3(total)}}"""
     )
     spark.stop()
     if (failed.nonEmpty || flaky.nonEmpty) sys.exit(1)

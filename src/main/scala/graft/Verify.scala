@@ -22,9 +22,26 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // The driver's pandas harness cannot sort rows on array/struct/
+        // map columns (unhashable) — a complex top-level type is a
+        // guaranteed red row. Fail the query loudly at dump time instead
+        // of shipping it: serialize such columns with to_json (both
+        // sides) before registering the query.
+        val complex = df.schema.fields.collect {
+          case f
+              if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+                f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] ||
+                f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+            f.name
+        }
+        require(
+          complex.isEmpty,
+          s"top-level complex-typed column(s) ${complex.mkString(", ")} — wrap in to_json",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -292,7 +292,18 @@ object Staging {
         )
       try {
         rootFs.create(new org.apache.hadoop.fs.Path(rootPath, s"_CLAIM_v$next"), false).close()
-        claimed = true
+        // Winning the claim does not prove the number is unused: a
+        // competing writer can have claimed, written, committed, and
+        // RELEASED this number entirely between our directory listing
+        // (existingMax) and our create. Its version directory — possibly
+        // the one `_CURRENT` now points at — must never be overwritten,
+        // so re-check the directory after the claim and advance past it
+        // (dropping our claim file; the directory itself guards the
+        // number through existingMax, and stale claims must not pile up).
+        if (rootFs.exists(new org.apache.hadoop.fs.Path(rootPath, s"v=$next"))) {
+          rootFs.delete(new org.apache.hadoop.fs.Path(rootPath, s"_CLAIM_v$next"), false)
+          next += 1
+        } else claimed = true
       } catch {
         case _: java.io.IOException => next += 1 // another writer holds this number
       }

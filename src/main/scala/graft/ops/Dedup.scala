@@ -123,7 +123,14 @@ object Dedup {
       k: Int,
       rowsPerBand: Int,
   ): DataFrame =
-    lshBands(minhashSignatures(shingleSets(docs, idCol, textCol, n), k), rowsPerBand)
+    bandIndexFromShingles(shingleSets(docs, idCol, textCol, n), k, rowsPerBand)
+
+  /** [[bandIndex]] over a pre-materialized shingle table (`doc_id`,
+    * `sh`) — the production shape: a 100 TB dedup suite writes the
+    * shingle table once and every fuzzy operator reads it, rather than
+    * re-tokenizing the corpus per operator. */
+  def bandIndexFromShingles(shingles: DataFrame, k: Int, rowsPerBand: Int): DataFrame =
+    lshBands(minhashSignatures(shingles, k), rowsPerBand)
       .select("band", "band_hash")
       .distinct()
 
@@ -152,12 +159,32 @@ object Dedup {
       n: Int,
       k: Int,
       rowsPerBand: Int,
+  ): DataFrame =
+    dedupIncrementalFuzzyFromShingles(
+      batch,
+      idCol,
+      shingleSets(batch, idCol, textCol, n),
+      index,
+      k,
+      rowsPerBand,
+    )
+
+  /** [[dedupIncrementalFuzzy]] over the batch's pre-materialized
+    * shingle table (`doc_id`, `sh`) — see [[bandIndexFromShingles]]
+    * for why the shingle build is externalized. */
+  def dedupIncrementalFuzzyFromShingles(
+      batch: DataFrame,
+      idCol: String,
+      batchShingles: DataFrame,
+      index: DataFrame,
+      k: Int,
+      rowsPerBand: Int,
   ): DataFrame = {
     require(
       index.columns.contains("band") && index.columns.contains("band_hash"),
       "index must carry (band, band_hash) columns",
     )
-    val bands = lshBands(minhashSignatures(shingleSets(batch, idCol, textCol, n), k), rowsPerBand)
+    val bands = lshBands(minhashSignatures(batchShingles, k), rowsPerBand)
     val hit = bands
       .join(index.select("band", "band_hash").distinct(), Seq("band", "band_hash"), "left_semi")
       .select(col("doc_id").as("__hit_id"))

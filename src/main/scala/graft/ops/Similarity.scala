@@ -614,8 +614,21 @@ object Similarity {
       embCol: String,
       m: Int,
       ksub: Int,
+  ): DataFrame =
+    pqTrainInt8Dim(df, idCol, embCol, m, ksub, resolveDim(df, embCol, -1))
+
+  /** [[pqTrainInt8]] with the dimension already resolved — the composed
+    * entry points ([[pqAdcTopK]], [[annIvfPqTopK]]) probe the data once
+    * and thread the result here rather than re-running the LIMIT-1
+    * probe job per stage. */
+  private def pqTrainInt8Dim(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      m: Int,
+      ksub: Int,
+      dim: Int,
   ): DataFrame = {
-    val dim = resolveDim(df, embCol, -1)
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(ksub >= 1, s"ksub must be >= 1, got $ksub")
     val dsub = dim / m
@@ -651,8 +664,19 @@ object Similarity {
       idCol: String,
       embCol: String,
       m: Int,
+  ): DataFrame =
+    pqEncodeInt8Dim(df, codebook, idCol, embCol, m, resolveDim(df, embCol, -1))
+
+  /** [[pqEncodeInt8]] with the dimension pre-resolved (see
+    * [[pqTrainInt8Dim]]). */
+  private def pqEncodeInt8Dim(
+      df: DataFrame,
+      codebook: DataFrame,
+      idCol: String,
+      embCol: String,
+      m: Int,
+      dim: Int,
   ): DataFrame = {
-    val dim = resolveDim(df, embCol, -1)
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
     val subs = quantizeInt8(df, embCol)
@@ -684,6 +708,102 @@ object Similarity {
       )
   }
 
+  /** Per-subspace Lloyd refinement of an int8 PQ codebook — the
+    * trained-codebook step a real index runs between seeding and
+    * encoding (Jégou et al.'s k-means per subquantizer, here over the
+    * int8-quantized points so the whole ladder stays bit-checkable):
+    * each round assigns every subvector to its nearest entry (integer
+    * L2, ties to the smaller code_id) and moves each entry to the
+    * rounded mean of its members. The mean is floor(avg + 0.5),
+    * computed as floor((2·sum + count) / (2·count)) in double — with
+    * |sum| bounded by 127·N this quotient is exact-to-the-floor in
+    * IEEE double (a rational with denominator 2·count is never within
+    * an ulp of an integer it doesn't equal), so refined entries are
+    * integers and engine-reproducible, no decimal-division dialect
+    * gaps. Entries that lose every member keep their position.
+    *
+    * Scale shape per round: assignment is the same broadcast-codebook
+    * argmin aggregate as [[pqEncodeInt8]]; the recompute is one
+    * position-exploded hash aggregate (N·dim rows map-side-combined
+    * straight down to m·ksub·dsub cells). The codebook is
+    * localCheckpointed between rounds — m×ksub rows — so lineage stays
+    * flat and each broadcast re-plans nothing. */
+  def pqRefineInt8(
+      df: DataFrame,
+      codebook: DataFrame,
+      idCol: String,
+      embCol: String,
+      m: Int,
+      iters: Int,
+  ): DataFrame =
+    pqRefineInt8Dim(df, codebook, idCol, embCol, m, resolveDim(df, embCol, -1), iters)
+
+  private def pqRefineInt8Dim(
+      df: DataFrame,
+      codebook: DataFrame,
+      idCol: String,
+      embCol: String,
+      m: Int,
+      dim: Int,
+      iters: Int,
+  ): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    if (iters == 0) return codebook
+    val dsub = dim / m
+    val subs = quantizeInt8(df, embCol)
+      .select(
+        col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(m - 1)),
+            s => slice(col("q_emb"), s * dsub + 1, lit(dsub)),
+          )
+        ).as(Seq("sub_id", "qsub")),
+      )
+      .localCheckpoint()
+    val dist = aggregate(
+      zip_with(col("qsub"), col("code"), (a, b) => (a - b) * (a - b)),
+      lit(0L),
+      (acc, v) => acc + v,
+    )
+    var cb = codebook
+    for (_ <- 1 to iters) {
+      val asg = subs
+        .join(broadcast(cb), Seq("sub_id"))
+        .select(col(idCol), col("sub_id"), col("qsub"), col("code_id"), dist.as("__d"))
+        .groupBy(col(idCol), col("sub_id"))
+        .agg(
+          min(struct(col("__d"), col("code_id"))).getField("code_id").as("code_id"),
+          // one qsub per (vector, subspace) — every joined row carries it
+          first(col("qsub")).as("qsub"),
+        )
+      val means = asg
+        .select(col("sub_id"), col("code_id"), posexplode(col("qsub")).as(Seq("pos", "v")))
+        .groupBy(col("sub_id"), col("code_id"), col("pos"))
+        .agg(sum(col("v")).as("__s"), count(lit(1)).as("__c"))
+        .withColumn(
+          "__cval",
+          floor((lit(2) * col("__s") + col("__c")) / (lit(2) * col("__c"))).cast("long"),
+        )
+        .groupBy(col("sub_id"), col("code_id"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("__cval")))),
+            x => x("__cval"),
+          ).as("__new")
+        )
+      cb = cb
+        .join(means, Seq("sub_id", "code_id"), "left")
+        .select(
+          col("sub_id"),
+          col("code_id"),
+          coalesce(col("__new"), col("code")).as("code"),
+        )
+        .localCheckpoint()
+    }
+    cb
+  }
+
   /** PQ asymmetric-distance top-k (ADC): queries score candidates by
     * summing, per subspace, a precomputed partial dot between the
     * query's subvector and the candidate's CODE — candidates are
@@ -707,11 +827,20 @@ object Similarity {
       m: Int,
       ksub: Int,
       queryPred: Column,
+      trainIters: Int = 0,
   ): DataFrame = {
     val dim  = resolveDim(df, embCol, -1)
     val dsub = dim / m
-    val cb   = pqTrainInt8(df, idCol, embCol, m, ksub)
-    val enc  = pqEncodeInt8(df, cb, idCol, embCol, m)
+    val cb = pqRefineInt8Dim(
+      df,
+      pqTrainInt8Dim(df, idCol, embCol, m, ksub, dim),
+      idCol,
+      embCol,
+      m,
+      dim,
+      trainIters,
+    )
+    val enc = pqEncodeInt8Dim(df, cb, idCol, embCol, m, dim)
     val qsubs = quantizeInt8(df.filter(queryPred), embCol)
       .select(
         col(idCol).as("q_id"),
@@ -774,14 +903,23 @@ object Similarity {
       centroids: DataFrame,
       nprobe: Int,
       queryPred: Column,
+      trainIters: Int = 0,
   ): DataFrame = {
     val dim  = resolveDim(df, embCol, -1)
     val dsub = dim / m
     val base = withNorm(df, embCol)
-    val cb   = pqTrainInt8(df, idCol, embCol, m, ksub)
+    val cb = pqRefineInt8Dim(
+      df,
+      pqTrainInt8Dim(df, idCol, embCol, m, ksub, dim),
+      idCol,
+      embCol,
+      m,
+      dim,
+      trainIters,
+    )
     val candCells = ivfAssign(base, centroids, idCol, embCol, nprobe = 1)
       .select(col(idCol), col("cent_id"))
-    val candCodes = pqEncodeInt8(df, cb, idCol, embCol, m)
+    val candCodes = pqEncodeInt8Dim(df, cb, idCol, embCol, m, dim)
       .join(candCells, idCol)
       .select(
         col(idCol).as("n_id"),

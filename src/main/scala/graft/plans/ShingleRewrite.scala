@@ -3,7 +3,7 @@ package graft.plans
 import graft.functions.ShingleGen
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
@@ -43,14 +43,82 @@ object ShingleRewrite extends Rule[LogicalPlan] {
         spark.experimental.extraOptimizations :+ this
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case g @ Generate(Explode(arg), _, false, _, out, child) =>
+    case g @ Generate(Explode(arg), _, false, _, out, child) if out.length == 1 =>
+      // Inline single-select form: the whole composed tree sits in the
+      // Generate's own expression.
       asDistinctShingles(arg) match {
         case Some((text, n))
-            if out.length == 1 && text.dataType == StringType &&
+            if text.dataType == StringType &&
               text.references.subsetOf(child.outputSet) =>
           g.copy(generator = ShingleGen(text, n))
-        case _ => g
+        case _ =>
+          child match {
+            case p: Project => rewriteThroughProject(g, arg, out, p).getOrElse(g)
+            case _          => g
+          }
       }
+  }
+
+  /** Project-bound form — the MORE natural user shape: the tokens (or
+    * the whole shingle array) are aliased in a lower SELECT and the
+    * explode references the alias, e.g.
+    *
+    * {{{
+    * df.select($"doc_id", Text.tokens($"text").as("toks"))
+    *   .select($"doc_id", explode(array_distinct(Text.shingles($"toks", n))))
+    * }}}
+    *
+    * Substituting the Project's aliases into the explode argument
+    * recovers the inline tree; if it matches and the text column is
+    * available BELOW the Project, the Generate is re-parented onto the
+    * Project's child with the native generator, and a Project above
+    * restores the original output — same attributes, same exprIds
+    * (pass-through attributes come straight from the grandchild;
+    * computed ones reuse the original Alias instances, so nothing
+    * above re-resolves). The now-unused token alias is recomputed only
+    * if something upstream still references it, and column pruning
+    * drops it otherwise. */
+  private def rewriteThroughProject(
+      g: Generate,
+      arg: Expression,
+      out: Seq[Attribute],
+      p: Project,
+  ): Option[LogicalPlan] = {
+    val aliases = AttributeMap(p.projectList.collect { case a: Alias =>
+      (a.toAttribute, a.child)
+    })
+    if (aliases.isEmpty) return None
+    val inlined = arg.transformUp {
+      case attr: Attribute if aliases.contains(attr) => aliases(attr)
+    }
+    asDistinctShingles(inlined).flatMap { case (text, n) =>
+      val grandchild = p.child
+      val usable = text.dataType == StringType &&
+        text.references.subsetOf(grandchild.outputSet)
+      if (!usable) None
+      else {
+        // Rebuild g.output on top of Generate(gen, grandchild): every
+        // required child attribute is either a grandchild pass-through
+        // or re-created from its original projectList entry.
+        val restored: Option[Seq[NamedExpression]] = {
+          val entries = g.requiredChildOutput.map { attr =>
+            if (grandchild.outputSet.contains(attr)) Some(attr)
+            else p.projectList.find(_.toAttribute.exprId == attr.exprId)
+          }
+          if (entries.forall(_.isDefined)) Some(entries.map(_.get)) else None
+        }
+        restored.map { kept =>
+          Project(
+            kept ++ out,
+            g.copy(
+              generator = ShingleGen(text, n),
+              unrequiredChildIndex = Nil,
+              child = grandchild,
+            ),
+          )
+        }
+      }
+    }
   }
 
   /** The distinct-shingle tree in either optimizer-normal form:

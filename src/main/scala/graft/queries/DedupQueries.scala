@@ -140,12 +140,20 @@ object DedupQueries {
       |ranked AS (
       |  SELECT doc_id, chunk_idx, chunk,
       |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
-      |  FROM chunks)
-      |SELECT doc_id,
-      |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '') AS text,
-      |  count(*) AS n_chunks,
-      |  CAST(coalesce(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept
-      |FROM ranked GROUP BY doc_id""".stripMargin,
+      |  FROM chunks),
+      |agg AS (
+      |  SELECT doc_id,
+      |    coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '') AS text,
+      |    count(*) AS n_chunks,
+      |    CAST(coalesce(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept
+      |  FROM ranked GROUP BY doc_id)
+      |-- LEFT JOIN from base: a zero-token document yields no chunk rows
+      |-- (generate_series is empty) but the operator's contract keeps the
+      |-- document row itself (text '', n_chunks 0), so the oracle must too
+      |SELECT b.doc_id, coalesce(agg.text, '') AS text,
+      |  CAST(coalesce(agg.n_chunks, 0) AS BIGINT) AS n_chunks,
+      |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
+      |FROM (SELECT doc_id FROM base) b LEFT JOIN agg USING (doc_id)""".stripMargin,
   ) { (s, d) =>
     val docs = documents(s, d).select("doc_id", "text")
     val toks = graft.ops.Text.tokens(col("text"))
@@ -265,14 +273,24 @@ object DedupQueries {
        |WHERE doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
   ) { (s, d) =>
     val docs = documents(s, d)
-    val prev = docs.filter(col("doc_id") < 250)
     val batch = docs
       .filter(col("doc_id") < 50)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("source"))
       .unionAll(docs.filter(col("doc_id") >= 250).select("doc_id", "text", "source"))
-    val index = Dedup.bandIndex(prev, "doc_id", "text", n = 3, k = 16, rowsPerBand = 4)
+    // Both the index side and the batch side are row-subsets of the
+    // corpus (the id-shifted replicas share their source's text, hence
+    // its shingle set), so both derive from the suite's shared persisted
+    // shingle table instead of re-tokenizing — this query's cold cost is
+    // then the signature aggregate and the screen join only.
+    val sh = sharedShingles(s, d)
+    val index =
+      Dedup.bandIndexFromShingles(sh.filter(col("doc_id") < 250), k = 16, rowsPerBand = 4)
+    val batchSh = sh
+      .filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"), col("sh"))
+      .unionAll(sh.filter(col("doc_id") >= 250))
     Dedup
-      .dedupIncrementalFuzzy(batch, "doc_id", "text", index, n = 3, k = 16, rowsPerBand = 4)
+      .dedupIncrementalFuzzyFromShingles(batch, "doc_id", batchSh, index, k = 16, rowsPerBand = 4)
       .select("doc_id", "source")
   }
 

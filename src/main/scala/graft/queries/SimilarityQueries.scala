@@ -219,7 +219,10 @@ object SimilarityQueries {
   /** Symmetric int8 scalar quantization
     * ([[graft.ops.Similarity.quantizeInt8]]): exactly-rounded
     * double ops only, so codes are engine-reproducible; the oracle
-    * replays the identical widen-scale-floor chain. */
+    * replays the identical widen-scale-floor chain. The code vector is
+    * serialized to its JSON text (`[1,-2,...]`, identical in both
+    * engines for integers) because the driver's differential harness
+    * cannot sort rows on a raw array column. */
   private val quantizeInt8 = Q(
     "sim_quantize_int8",
     """WITH m AS (
@@ -234,13 +237,19 @@ object SimilarityQueries {
       |                      / (CASE WHEN q_scale = 0 THEN 1 ELSE q_scale END)
       |                      + 0.5) AS BIGINT)) AS q_emb
       |  FROM m)
-      |SELECT vec_id, q_scale, q_emb,
+      |SELECT vec_id, q_scale,
+      |  CAST(to_json(q_emb) AS VARCHAR) AS q_emb,
       |  len(list_filter(q_emb, x -> abs(x) = 127)) AS n_sat
       |FROM q""".stripMargin,
   ) { (s, d) =>
     Similarity
       .quantizeInt8(embeddings(s, d), "embedding")
-      .select("vec_id", "q_scale", "q_emb", "n_sat")
+      .select(
+        col("vec_id"),
+        col("q_scale"),
+        to_json(col("q_emb")).as("q_emb"),
+        col("n_sat"),
+      )
   }
 
   /** Quantized-dot top-3 for the first 10 vectors
@@ -390,11 +399,14 @@ object SimilarityQueries {
   }
 
   /** PQ-ADC top-3 ([[graft.ops.Similarity.pqAdcTopK]]): 8 subspaces ×
-    * 16 int8 codes, queries vec_id < 10. The oracle replays the ENTIRE
-    * product-quantization pipeline — quantization, subspace codebook
-    * seeding, nearest-code encoding, the query LUT, and ADC summation
-    * — in integer arithmetic, so training, encoding, and scoring are
-    * all differentially checked with zero float tolerance. */
+    * 16 int8 codes, one per-subspace Lloyd training round
+    * ([[graft.ops.Similarity.pqRefineInt8]]), queries vec_id < 10. The
+    * oracle replays the ENTIRE product-quantization pipeline —
+    * quantization, codebook seeding, the Lloyd round (assign +
+    * integer rounded-mean recompute), nearest-code encoding, the query
+    * LUT, and ADC summation — in integer arithmetic, so training,
+    * refinement, encoding, and scoring are all differentially checked
+    * with zero float tolerance. */
   private val annPqTopK = Q(
     "sim_ann_pq_topk",
     """WITH mq AS (
@@ -410,12 +422,34 @@ object SimilarityQueries {
       |seeds AS (
       |  SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) - 1 AS code_id
       |  FROM mq WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
-      |cb AS (
+      |cb0 AS (
       |  SELECT sub_id, code_id, q[(sub_id*8+1):(sub_id*8+8)] AS code
       |  FROM seeds, (SELECT unnest(generate_series(0, 7)) AS sub_id)),
       |subs AS (
       |  SELECT vec_id, sub_id, q[(sub_id*8+1):(sub_id*8+8)] AS qsub
       |  FROM mq, (SELECT unnest(generate_series(0, 7)) AS sub_id)),
+      |enc0 AS (
+      |  SELECT vec_id, sub_id, code_id FROM (
+      |    SELECT s.vec_id, s.sub_id, c.code_id,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+      |        list_reduce(list_transform(generate_series(1, 8),
+      |          i -> (s.qsub[i] - c.code[i]) * (s.qsub[i] - c.code[i])), (x, y) -> x + y),
+      |        c.code_id) AS rn
+      |    FROM subs s JOIN cb0 c ON c.sub_id = s.sub_id)
+      |  WHERE rn = 1),
+      |m1 AS (
+      |  SELECT e.sub_id, e.code_id, p.pos,
+      |    CAST(floor((2 * sum(s.qsub[p.pos]) + count(*)) / (2.0 * count(*))) AS BIGINT) AS cval
+      |  FROM enc0 e
+      |  JOIN subs s ON s.vec_id = e.vec_id AND s.sub_id = e.sub_id
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS pos) p
+      |  GROUP BY 1, 2, 3),
+      |cb AS (
+      |  SELECT c0.sub_id, c0.code_id, coalesce(n.code, c0.code) AS code
+      |  FROM cb0 c0 LEFT JOIN (
+      |    SELECT sub_id, code_id, list(cval ORDER BY pos) AS code
+      |    FROM m1 GROUP BY 1, 2) n
+      |  ON n.sub_id = c0.sub_id AND n.code_id = c0.code_id),
       |enc AS (
       |  SELECT vec_id, sub_id, code_id FROM (
       |    SELECT s.vec_id, s.sub_id, c.code_id,
@@ -450,6 +484,7 @@ object SimilarityQueries {
         m = 8,
         ksub = 16,
         queryPred = col("vec_id") < 10,
+        trainIters = 1,
       )
       .select("q_id", "n_id", "adc", "rnk")
   }
@@ -487,12 +522,34 @@ object SimilarityQueries {
        |seeds AS (
        |  SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) - 1 AS code_id
        |  FROM mq WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
-       |cb AS (
+       |cb0 AS (
        |  SELECT sub_id, code_id, q[(sub_id*8+1):(sub_id*8+8)] AS code
        |  FROM seeds, (SELECT unnest(generate_series(0, 7)) AS sub_id)),
        |subs AS (
        |  SELECT vec_id, sub_id, q[(sub_id*8+1):(sub_id*8+8)] AS qsub
        |  FROM mq, (SELECT unnest(generate_series(0, 7)) AS sub_id)),
+       |enc0 AS (
+       |  SELECT vec_id, sub_id, code_id FROM (
+       |    SELECT s.vec_id, s.sub_id, c.code_id,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+       |        list_reduce(list_transform(generate_series(1, 8),
+       |          i -> (s.qsub[i] - c.code[i]) * (s.qsub[i] - c.code[i])), (x, y) -> x + y),
+       |        c.code_id) AS rn
+       |    FROM subs s JOIN cb0 c ON c.sub_id = s.sub_id)
+       |  WHERE rn = 1),
+       |m1 AS (
+       |  SELECT e.sub_id, e.code_id, p.pos,
+       |    CAST(floor((2 * sum(s.qsub[p.pos]) + count(*)) / (2.0 * count(*))) AS BIGINT) AS cval
+       |  FROM enc0 e
+       |  JOIN subs s ON s.vec_id = e.vec_id AND s.sub_id = e.sub_id
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS pos) p
+       |  GROUP BY 1, 2, 3),
+       |cb AS (
+       |  SELECT c0.sub_id, c0.code_id, coalesce(n.code, c0.code) AS code
+       |  FROM cb0 c0 LEFT JOIN (
+       |    SELECT sub_id, code_id, list(cval ORDER BY pos) AS code
+       |    FROM m1 GROUP BY 1, 2) n
+       |  ON n.sub_id = c0.sub_id AND n.code_id = c0.code_id),
        |encpq AS (
        |  SELECT vec_id, sub_id, code_id FROM (
        |    SELECT s.vec_id, s.sub_id, c.code_id,
@@ -537,6 +594,7 @@ object SimilarityQueries {
         centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16),
         nprobe = 2,
         queryPred = col("vec_id") < 10,
+        trainIters = 1,
       )
       .select("q_id", "n_id", "adc", "rnk")
   }

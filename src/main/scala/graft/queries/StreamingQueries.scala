@@ -14,16 +14,37 @@ import org.apache.spark.sql.types._
   */
 object StreamingQueries {
 
-  private val eventsNanosSchema = StructType(
-    Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw nanos
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType),
+  /** The file-stream source needs an explicit schema, and the physical
+    * type of `events.ts` varies by testdata generation (raw int64 nanos
+    * vs TIMESTAMP(MICROS) — see [[graft.Tables.normalizeEventTs]]). A
+    * one-time batch probe of the parquet footer yields the exact
+    * as-read schema; [[eventsStream]] then applies the same ts
+    * normalization as the batch path so streaming and batch queries see
+    * identical types. Cached per (session, sfDir) like the source dir. */
+  private val rawSchemaCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), StructType]
+
+  private def eventsRawSchema(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): StructType =
+    rawSchemaCache.getOrElseUpdate(
+      (s, d), {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(s"$d/events.parquet").schema
+      },
     )
-  )
+
+  /** Streaming read of the events table with the batch path's ts
+    * normalization applied. */
+  private def eventsStream(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame =
+    graft.Tables.normalizeEventTs(
+      s.readStream.schema(eventsRawSchema(s, d)).parquet(eventsSrcDir(s, d))
+    )
 
   private var streamN = 0
 
@@ -160,11 +181,7 @@ object StreamingQueries {
        |  COUNT(*) AS n, ${DSUM("value")} AS total
        |FROM events GROUP BY 1, 2""".stripMargin,
   ) { (s, d) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream
-      .schema(eventsNanosSchema)
-      .parquet(eventsSrcDir(s, d))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStream(s, d)
     val agg = stream
       .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
@@ -199,11 +216,7 @@ object StreamingQueries {
       |  ON e.user_id = c.user_id AND e.event_type = 'error' AND c.event_type = 'click'
       | AND c.ts >= e.ts - INTERVAL 45 MINUTE AND c.ts < e.ts""".stripMargin,
   ) { (s, d) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def side(alias: String) = s.readStream
-      .schema(eventsNanosSchema)
-      .parquet(eventsSrcDir(s, d))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def side(alias: String) = eventsStream(s, d)
       .withWatermark("ts", "1 hour")
       .as(alias)
     val errors = side("e").filter(col("event_type") === "error")
@@ -491,9 +504,8 @@ object StreamingQueries {
     """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, c.c_name AS cust_name
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
   ) { (s, d) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = s.readStream
-      .schema(eventsNanosSchema)
+      .schema(eventsRawSchema(s, d))
       .parquet(eventsSrcDir(s, d))
       .select("event_id", "user_id")
     val dim = graft.Tables.customer(s, d)

@@ -237,6 +237,60 @@ class PlanSpec extends AnyFunSuite {
     assert(!gens2.exists(_.isInstanceOf[graft.functions.ShingleGen]))
   }
 
+  test("ShingleRewrite: project-bound form (tokens aliased in a lower SELECT) also fires") {
+    import org.apache.spark.sql.functions._
+    graft.plans.ShingleRewrite.installOn(spark)
+    // A FILE source, not a local Seq: over a LocalRelation the optimizer's
+    // ConvertToLocalRelation evaluates the lower Project eagerly and the
+    // token alias this test exists to exercise disappears before our rule
+    // runs. Parquet-backed plans keep the Project — the production shape.
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // the natural two-step user shape: alias the token array, then explode
+    def bound(n: Int) = docs
+      .select(col("doc_id"), graft.ops.Text.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        explode(array_distinct(graft.ops.Text.shingles(col("toks"), n))).as("sh"),
+      )
+    val gens = bound(3).queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g.generator
+    }
+    assert(
+      gens.exists(_.isInstanceOf[graft.functions.ShingleGen]),
+      "project-bound form not rewritten: " + gens.mkString(", "),
+    )
+    // row-equal to the native path for several n
+    for (n <- Seq(1, 2, 3)) {
+      val got  = bound(n).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = graft.ops.Dedup
+        .shingleSets(docs, "doc_id", "text", n)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .toSet
+      assert(got === want, s"n=$n")
+    }
+    // an alias whose text column is consumed ABOVE the explode as well:
+    // output must be unchanged (pass-through attr restored, not dropped)
+    val keepText = docs
+      .select(col("doc_id"), col("text"), graft.ops.Text.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(array_distinct(graft.ops.Text.shingles(col("toks"), 2))).as("sh"),
+      )
+    val gotKeep = keepText.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val wantKeep = docs
+      .join(
+        graft.ops.Dedup.shingleSets(docs, "doc_id", "text", 2),
+        "doc_id",
+      )
+      .select(col("doc_id"), col("text"), col("sh"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(gotKeep === wantKeep)
+  }
+
   test("native float_dot participates in codegen (no interpreted fallback marker)") {
     graft.functions.FloatVecDot.registerOn(spark)
     val emb = Tables.embeddings(spark, sf)
