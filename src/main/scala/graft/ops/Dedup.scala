@@ -988,11 +988,42 @@ object Dedup {
     docs.join(dropIds, docs(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** md5 oracle twin of [[simhash64Xx]] — the same twin pattern as
+    * [[minhashSignatures]] vs [[minhashSignaturesXx]]: a 64-bit
+    * signature whose per-shingle hash any engine reproduces, so the
+    * 64-bit BANDING + PAIRING stage ([[simhashPairs]] with bits = 64,
+    * the production configuration) gets a full differential oracle even
+    * though xxhash64 itself is Spark-specific. Bits 0–31 are each md5
+    * hex nibble's top bit (exactly [[simhash32]]'s hash); bits 32–63
+    * are each nibble's SECOND bit (value & 4) — 64 independent bit
+    * sources from the 32 nibbles of one md5. Bit 63 contributes
+    * 1L << 63 (Long.MIN_VALUE) to the signature sum; two's-complement
+    * wraparound makes the signature the correct signed 64-bit pattern,
+    * which the oracle mirrors by summing in 128-bit and re-wrapping. */
+  def simhash64Md5(shingles: DataFrame): DataFrame = {
+    val hashed = shingles.select(col("doc_id"), md5(col("sh")).as("h"))
+    def digit(pos: Int) = expr(s"instr('0123456789abcdef', substring(h, $pos, 1)) - 1")
+    val votes = (0 until 64).map { j =>
+      val bitSet =
+        if (j < 32) digit(j + 1) >= 8
+        else digit(j - 31) % 8 >= 4
+      sum(when(bitSet, 1).otherwise(-1)).as(s"s$j")
+    }
+    val sig = (0 until 64)
+      .map(pos => when(col(s"s$pos") > 0, lit(1L << pos)).otherwise(0L))
+      .reduce(_ + _)
+    hashed
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
   /** Production-path 64-bit SimHash: bit j of xxhash64(shingle) votes
     * ±1 directly (no hex-nibble decode), one aggregation pass with 64
     * vote sums. Twice the signature bits of [[simhash32]] at lower
-    * hashing cost; engine-specific, so no cross-engine oracle — pair it
-    * with `simhashPairs(_, maxHamming, bits = 64)`. */
+    * hashing cost; engine-specific, so no cross-engine oracle for the
+    * signature itself — [[simhash64Md5]] is the twin that oracles the
+    * 64-bit banding/pairing stage. */
   def simhash64Xx(shingles: DataFrame): DataFrame = {
     val hashed = shingles.select(col("doc_id"), xxhash64(col("sh")).as("h"))
     val votes = (0 until 64).map { pos =>

@@ -42,6 +42,28 @@ object DedupQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
     )
 
+  /** Force-build this suite's shared inputs (the distinct shingle
+    * table, the verified pair list, the corpus survivor set) and
+    * return (artifact, seconds) per build. These model tables a
+    * production pipeline materializes ONCE per corpus generation and
+    * every downstream job reads; inside a single-process benchmark
+    * their first-touch cost otherwise lands on whichever query the
+    * Map iteration order happens to reach first, making per-query
+    * numbers non-decomposable. [[graft.Bench]] calls this in its
+    * warmup section and reports the cost on its own line. */
+  def prewarmShared(s: SparkSession, d: String): Seq[(String, Double)] = {
+    def timed(name: String)(body: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      body
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    Seq(
+      timed("dedup_shingles") { sharedShingles(s, d).count() },
+      timed("jaccard_pairs") { sharedJaccardPairs(s, d).count() },
+      timed("corpus_survivors") { sharedSurvivors(s, d).count() },
+    )
+  }
+
   /** Shared oracle CTEs: distinct 3-gram shingle sets + set sizes. */
   private val shingCte =
     """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents),
@@ -398,6 +420,43 @@ object DedupQueries {
     * stays candidate-proportional. */
   private val simhash64Pairs = Q.noOracle("ddp_simhash64_pairs") { (s, d) =>
     Dedup.simhashPairs(Dedup.simhash64Xx(sharedShingles(s, d)), maxHamming = 4, bits = 64)
+  }
+
+  /** 64-bit SimHash pairing, differentially checked: the signature is
+    * [[graft.ops.Dedup.simhash64Md5]] (the engine-reproducible md5
+    * twin of the xxhash64 production hash), so the oracle can brute-
+    * force Hamming over all pairs while Spark runs the identical
+    * 5-band pigeonhole self-join the production path uses — what is
+    * being proven is the 64-bit BANDING's completeness (bands of 12–13
+    * bits, bit 63's sign wraparound included), the part of
+    * `ddp_simhash64_pairs` that `no_oracle` could not reach. */
+  private val simhash64Md5Pairs = Q(
+    "ddp_simhash64_md5_pairs",
+    s"""$shingCte,
+       |bits AS (
+       |  SELECT doc_id, pos,
+       |    SUM(CASE WHEN pos <= 32
+       |      THEN CASE WHEN strpos('0123456789abcdef', substr(md5(sh), pos, 1)) - 1 >= 8
+       |           THEN 1 ELSE -1 END
+       |      ELSE CASE WHEN ((strpos('0123456789abcdef', substr(md5(sh), pos - 32, 1)) - 1) % 8) >= 4
+       |           THEN 1 ELSE -1 END
+       |      END) AS s
+       |  FROM shing CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+       |  GROUP BY doc_id, pos),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       |              THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS simhash
+       |  FROM (
+       |    SELECT doc_id,
+       |      SUM(CASE WHEN s > 0 THEN (1::HUGEINT << (pos - 1)) ELSE 0::HUGEINT END) AS u
+       |    FROM bits GROUP BY doc_id))
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin,
+  ) { (s, d) =>
+    Dedup.simhashPairs(Dedup.simhash64Md5(sharedShingles(s, d)), maxHamming = 4, bits = 64)
   }
 
   /** Connected components over the Jaccard near-dup pairs (min-label
@@ -871,7 +930,8 @@ object DedupQueries {
       jaccardPairs,
       jaccardPairsPrefix,
       jaccardPairsAuto, minhashLsh,
-      simhashSigs, simhashPairs, simhash64Pairs, jaccardComponents, dedupKeep, dedupKeepBest,
+      simhashSigs, simhashPairs, simhash64Pairs, simhash64Md5Pairs, jaccardComponents, dedupKeep,
+      dedupKeepBest,
       semdedupBest, embeddingPairs,
       embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, decontaminate, corpusPrepare,
       corpusPrepareEmb)

@@ -412,6 +412,25 @@ class OpsSpec extends AnyFunSuite {
       === Set((1L, 2L, 0)))
   }
 
+  test("simhash64Md5: low 32 bits equal simhash32; twin pairing finds the planted dup") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, (100 to 160).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    // bits 0..31 of the 64-bit md5 twin are BY CONSTRUCTION the same
+    // nibble-top-bit hash simhash32 uses — the twin is a strict widening
+    val s32 = Dedup.simhash32(sh).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val s64 = Dedup.simhash64Md5(sh).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(s64.keySet === s32.keySet)
+    for ((id, v) <- s64) assert((v & 0xffffffffL) === s32(id), s"doc $id low-32 mismatch")
+    // and the 64-bit banded pairing over the twin behaves like the prod path
+    val pairs = Dedup.simhashPairs(Dedup.simhash64Md5(sh), maxHamming = 4, bits = 64).collect()
+    assert(pairs.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Int]("hamming")))
+      .toSet === Set((1L, 2L, 0)))
+  }
+
   test("clusterPairs: min-label propagation finds components; dedupByPairs keeps canonicals") {
     // components: {1,2,3,7} (chain with a long path), {4,5}; 6 isolated
     val pairs = Seq((2L, 3L), (1L, 2L), (3L, 7L), (4L, 5L)).toDF("a_id", "b_id")
