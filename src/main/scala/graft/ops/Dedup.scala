@@ -485,10 +485,23 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(byDoc))
     val prefix = ranked
       .filter(col("rk") <= col("n") - ceil(lit(minJaccard) * col("n") - lit(1e-9)) + lit(1))
-      .select("doc_id", "sh")
+      .select("doc_id", "sh", "n")
+    // AllPairs length filter: J(a,b) >= tau forces the set sizes within
+    // a factor of tau of each other (J <= min/max). A necessary
+    // condition only — verification decides membership — so it can only
+    // REMOVE candidates the verify stage would reject anyway. The same
+    // epsilon discipline as the prefix bound: relax each inequality by
+    // 1e-9 so fp noise can only ADMIT an extra candidate, never drop a
+    // true pair. Still a hash join on sh; the size bounds are a cheap
+    // post-probe predicate, not a join key.
     prefix
       .as("a")
-      .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .join(
+        prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= lit(minJaccard) * col("a.n") - lit(1e-9) &&
+          col("a.n") >= lit(minJaccard) * col("b.n") - lit(1e-9),
+      )
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
   }
