@@ -678,8 +678,21 @@ object Similarity {
       dim: Int,
   ): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
-    val dsub = dim / m
-    val subs = quantizeInt8(df, embCol)
+    pqEncodeFromSubs(pqSubvectors(df, idCol, embCol, m, dim / m), codebook, idCol)
+  }
+
+  /** The (id, sub_id, qsub) quantized-subvector table every PQ stage
+    * consumes — built once per entry point and, when training runs,
+    * materialized once and shared between the Lloyd rounds and the
+    * encode pass instead of re-quantizing the corpus per stage. */
+  private def pqSubvectors(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      m: Int,
+      dsub: Int,
+  ): DataFrame =
+    quantizeInt8(df, embCol)
       .select(
         col(idCol),
         posexplode(
@@ -689,6 +702,12 @@ object Similarity {
           )
         ).as(Seq("sub_id", "qsub")),
       )
+
+  private def pqEncodeFromSubs(
+      subs: DataFrame,
+      codebook: DataFrame,
+      idCol: String,
+  ): DataFrame = {
     val dist = aggregate(
       zip_with(col("qsub"), col("code"), (a, b) => (a - b) * (a - b)),
       lit(0L),
@@ -749,18 +768,19 @@ object Similarity {
   ): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     if (iters == 0) return codebook
-    val dsub = dim / m
-    val subs = quantizeInt8(df, embCol)
-      .select(
-        col(idCol),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(m - 1)),
-            s => slice(col("q_emb"), s * dsub + 1, lit(dsub)),
-          )
-        ).as(Seq("sub_id", "qsub")),
-      )
-      .localCheckpoint()
+    val subs = pqSubvectors(df, idCol, embCol, m, dim / m).localCheckpoint()
+    pqRefineFromSubs(subs, codebook, idCol, iters)
+  }
+
+  /** Lloyd rounds over a pre-materialized subvector table (the rounds
+    * scan it once per iteration; callers that also encode share the
+    * same materialization). */
+  private def pqRefineFromSubs(
+      subs: DataFrame,
+      codebook: DataFrame,
+      idCol: String,
+      iters: Int,
+  ): DataFrame = {
     val dist = aggregate(
       zip_with(col("qsub"), col("code"), (a, b) => (a - b) * (a - b)),
       lit(0L),
@@ -831,16 +851,16 @@ object Similarity {
   ): DataFrame = {
     val dim  = resolveDim(df, embCol, -1)
     val dsub = dim / m
-    val cb = pqRefineInt8Dim(
-      df,
-      pqTrainInt8Dim(df, idCol, embCol, m, ksub, dim),
-      idCol,
-      embCol,
-      m,
-      dim,
-      trainIters,
-    )
-    val enc = pqEncodeInt8Dim(df, cb, idCol, embCol, m, dim)
+    val cb0  = pqTrainInt8Dim(df, idCol, embCol, m, ksub, dim)
+    // With training on, the corpus subvector table feeds every Lloyd
+    // round AND the encode pass — materialize it once and share.
+    val (cb, enc) =
+      if (trainIters == 0) (cb0, pqEncodeInt8Dim(df, cb0, idCol, embCol, m, dim))
+      else {
+        val subs    = pqSubvectors(df, idCol, embCol, m, dsub).localCheckpoint()
+        val refined = pqRefineFromSubs(subs, cb0, idCol, trainIters)
+        (refined, pqEncodeFromSubs(subs, refined, idCol))
+      }
     val qsubs = quantizeInt8(df.filter(queryPred), embCol)
       .select(
         col(idCol).as("q_id"),
@@ -908,18 +928,18 @@ object Similarity {
     val dim  = resolveDim(df, embCol, -1)
     val dsub = dim / m
     val base = withNorm(df, embCol)
-    val cb = pqRefineInt8Dim(
-      df,
-      pqTrainInt8Dim(df, idCol, embCol, m, ksub, dim),
-      idCol,
-      embCol,
-      m,
-      dim,
-      trainIters,
-    )
+    val cb0  = pqTrainInt8Dim(df, idCol, embCol, m, ksub, dim)
+    // Same shared-subvector materialization as pqAdcTopK.
+    val (cb, enc) =
+      if (trainIters == 0) (cb0, pqEncodeInt8Dim(df, cb0, idCol, embCol, m, dim))
+      else {
+        val subs    = pqSubvectors(df, idCol, embCol, m, dsub).localCheckpoint()
+        val refined = pqRefineFromSubs(subs, cb0, idCol, trainIters)
+        (refined, pqEncodeFromSubs(subs, refined, idCol))
+      }
     val candCells = ivfAssign(base, centroids, idCol, embCol, nprobe = 1)
       .select(col(idCol), col("cent_id"))
-    val candCodes = pqEncodeInt8Dim(df, cb, idCol, embCol, m, dim)
+    val candCodes = enc
       .join(candCells, idCol)
       .select(
         col(idCol).as("n_id"),
