@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, SimHash32Expr}
+import graft.functions.{FloatVecDot, SimHash32Expr, SimHash64Md5Expr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[SimHash32Expr].getName, "simhash32"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           SimHash32Expr(exprs.head),
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("simhash64_md5"),
+        new ExpressionInfo(classOf[SimHash64Md5Expr].getName, "simhash64_md5"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          SimHash64Md5Expr(exprs.head),
       )
     )
     Seq(2, 3, 4).foreach { n =>

@@ -456,7 +456,18 @@ object DedupQueries {
        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin,
   ) { (s, d) =>
-    Dedup.simhashPairs(Dedup.simhash64Md5(sharedShingles(s, d)), maxHamming = 4, bits = 64)
+    // Native one-pass signature (bit-equal to
+    // Dedup.simhash64Md5(sharedShingles), asserted in FunctionsSpec):
+    // the signature stage is map-only over the documents scan — no
+    // shingle shuffle — leaving the banded self-join as the query's
+    // only exchange.
+    graft.functions.SimHash64Md5Expr.registerOn(s)
+    val sigs = documents(s, d)
+      .select(
+        col("doc_id"),
+        graft.functions.SimHash64Md5Expr.simhash64_md5(col("text")).as("simhash"),
+      )
+    Dedup.simhashPairs(sigs, maxHamming = 4, bits = 64)
   }
 
   /** Connected components over the Jaccard near-dup pairs (min-label

@@ -84,6 +84,36 @@ class FunctionsSpec extends AnyFunSuite {
     relational.foreach { case (id, sig) => assert(native(id) === sig, s"doc $id") }
   }
 
+  test("simhash64_md5 expression is bit-equal to the relational pipeline; low 32 = simhash32") {
+    graft.functions.SimHash64Md5Expr.registerOn(spark)
+    SimHash32Expr.registerOn(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val native = docs
+      .select(
+        col("doc_id"),
+        graft.functions.SimHash64Md5Expr.simhash64_md5(col("text")).as("simhash"),
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val relational = Dedup
+      .simhash64Md5(Dedup.shingleSets(docs, "doc_id", "text", 3))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+      .toMap
+    assert(relational.nonEmpty)
+    relational.foreach { case (id, sig) => assert(native(id) === sig, s"doc $id") }
+    // strict widening of the 32-bit expression
+    val n32 = docs
+      .select(col("doc_id"), SimHash32Expr.simhash32(col("text")).as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    native.foreach { case (id, sig) => assert((sig & 0xffffffffL) === n32(id), s"doc $id") }
+  }
+
   test("simhash32 via SQL text; short documents yield 0 (no shingles)") {
     SimHash32Expr.registerOn(spark)
     Seq((1L, "one two"), (2L, "a b c d")).toDF("id", "text").createOrReplaceTempView("v_sh")
