@@ -179,12 +179,55 @@ object Dedup {
       index: DataFrame,
       k: Int,
       rowsPerBand: Int,
+  ): DataFrame =
+    screenByBands(batch, idCol, lshBands(minhashSignatures(batchShingles, k), rowsPerBand), index)
+
+  /** [[bandIndex]] via the native one-pass signature expression
+    * ([[minhashSignaturesNative]]) — the scan-local production form:
+    * index maintenance reads the corpus once, no shingle exchange. */
+  def bandIndexNative(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      rowsPerBand: Int,
+  ): DataFrame =
+    lshBands(minhashSignaturesNative(docs, idCol, textCol, n, k), rowsPerBand)
+      .select("band", "band_hash")
+      .distinct()
+
+  /** [[dedupIncrementalFuzzy]] via the native one-pass signature
+    * expression: the batch-side signature build is map-only, so the
+    * whole screen is one scan plus the keyed semi-join. */
+  def dedupIncrementalFuzzyNative(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      n: Int,
+      k: Int,
+      rowsPerBand: Int,
+  ): DataFrame =
+    screenByBands(
+      batch,
+      idCol,
+      lshBands(minhashSignaturesNative(batch, idCol, textCol, n, k), rowsPerBand),
+      index,
+    )
+
+  /** The screen stage shared by the fuzzy-incremental variants: drop
+    * every batch document one of whose bands collides with the index. */
+  private def screenByBands(
+      batch: DataFrame,
+      idCol: String,
+      bands: DataFrame,
+      index: DataFrame,
   ): DataFrame = {
     require(
       index.columns.contains("band") && index.columns.contains("band_hash"),
       "index must carry (band, band_hash) columns",
     )
-    val bands = lshBands(minhashSignatures(batchShingles, k), rowsPerBand)
     val hit = bands
       .join(index.select("band", "band_hash").distinct(), Seq("band", "band_hash"), "left_semi")
       .select(col("doc_id").as("__hit_id"))
@@ -520,6 +563,28 @@ object Dedup {
         (1 until k).map(seed => min(md5(concat(lit(s"$seed:"), col("sh")))).as(s"mh$seed")): _*
       )
 
+  /** [[minhashSignatures]] over [[shingleSets]] computed by the native
+    * one-pass [[graft.functions.MinHashMd5Expr]] — bit-equal (asserted
+    * in FunctionsSpec) but scan-local: no shingle explode, no k-way min
+    * aggregate, no exchange before banding. Documents with no shingles
+    * have no signature row, same as the relational pipeline. */
+  def minhashSignaturesNative(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+  ): DataFrame = {
+    graft.functions.MinHashMd5Expr.registerOn(docs.sparkSession, n, k)
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        graft.functions.MinHashMd5Expr.minhash_md5(col(textCol), n, k).as("__mh"),
+      )
+      .filter(col("__mh").isNotNull)
+      .select(col("doc_id") +: (0 until k).map(i => col("__mh").getItem(i).as(s"mh$i")): _*)
+  }
+
   /** LSH banding over a wide signature: `band_hash` = md5 of the
     * seed-ordered minhashes in each band of `rowsPerBand` consecutive
     * seeds, unpivoted to one row per (doc, band) for the collision join. */
@@ -561,6 +626,26 @@ object Dedup {
       minJaccard: Double,
   ): DataFrame = {
     val cands = lshCandidates(lshBands(minhashSignatures(shingles, k), rowsPerBand))
+    verifyJaccard(cands, shingles, minJaccard)
+  }
+
+  /** [[minhashLshPairs]] with the signature stage computed by the
+    * native one-pass expression ([[minhashSignaturesNative]]) —
+    * map-only signatures from the documents scan; the shingle table is
+    * still consumed, but only by the candidate-proportional exact
+    * verify. */
+  def minhashLshPairsNative(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingles: DataFrame,
+      n: Int,
+      k: Int,
+      rowsPerBand: Int,
+      minJaccard: Double,
+  ): DataFrame = {
+    val sigs  = minhashSignaturesNative(docs, idCol, textCol, n, k)
+    val cands = lshCandidates(lshBands(sigs, rowsPerBand))
     verifyJaccard(cands, shingles, minJaccard)
   }
 

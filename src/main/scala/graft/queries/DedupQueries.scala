@@ -247,8 +247,15 @@ object DedupQueries {
        |FROM common JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
        |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5""".stripMargin,
   ) { (s, d) =>
-    Dedup.minhashLshPairs(
+    // Native one-pass signature stage (bit-equal to the relational
+    // pipeline, FunctionsSpec); the shared shingle table still feeds
+    // the candidate-proportional exact verify.
+    Dedup.minhashLshPairsNative(
+      documents(s, d),
+      "doc_id",
+      "text",
       sharedShingles(s, d),
+      n = 3,
       k = 16,
       rowsPerBand = 4,
       minJaccard = 0.5,
@@ -299,20 +306,20 @@ object DedupQueries {
       .filter(col("doc_id") < 50)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("source"))
       .unionAll(docs.filter(col("doc_id") >= 250).select("doc_id", "text", "source"))
-    // Both the index side and the batch side are row-subsets of the
-    // corpus (the id-shifted replicas share their source's text, hence
-    // its shingle set), so both derive from the suite's shared persisted
-    // shingle table instead of re-tokenizing — this query's cold cost is
-    // then the signature aggregate and the screen join only.
-    val sh = sharedShingles(s, d)
-    val index =
-      Dedup.bandIndexFromShingles(sh.filter(col("doc_id") < 250), k = 16, rowsPerBand = 4)
-    val batchSh = sh
-      .filter(col("doc_id") < 50)
-      .select((col("doc_id") + 100000).as("doc_id"), col("sh"))
-      .unionAll(sh.filter(col("doc_id") >= 250))
+    // Native one-pass signature stage on both sides (bit-equal to the
+    // relational chain the oracle replays): index build and batch
+    // screen are each one scan of their documents plus the keyed
+    // semi-join — no shingle explode, no signature aggregate.
+    val index = Dedup.bandIndexNative(
+      docs.filter(col("doc_id") < 250),
+      "doc_id",
+      "text",
+      n = 3,
+      k = 16,
+      rowsPerBand = 4,
+    )
     Dedup
-      .dedupIncrementalFuzzyFromShingles(batch, "doc_id", batchSh, index, k = 16, rowsPerBand = 4)
+      .dedupIncrementalFuzzyNative(batch, "doc_id", "text", index, n = 3, k = 16, rowsPerBand = 4)
       .select("doc_id", "source")
   }
 

@@ -114,6 +114,34 @@ class FunctionsSpec extends AnyFunSuite {
     native.foreach { case (id, sig) => assert((sig & 0xffffffffL) === n32(id), s"doc $id") }
   }
 
+  test("minhash_md5 expression is bit-equal to the relational signature pipeline") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val native = Dedup
+      .minhashSignaturesNative(docs, "doc_id", "text", n = 3, k = 16)
+      .collect()
+      .map(r => r.getLong(0) -> (1 until 17).map(r.getString).toVector)
+      .toMap
+    val relational = Dedup
+      .minhashSignatures(Dedup.shingleSets(docs, "doc_id", "text", 3), 16)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (1 until 17).map(r.getString).toVector)
+      .toMap
+    assert(relational.nonEmpty)
+    assert(native.keySet === relational.keySet, "same documents carry signatures")
+    relational.foreach { case (id, sig) => assert(native(id) === sig, s"doc $id") }
+    // shingle-less documents have NO signature row in either form
+    import spark.implicits._
+    val edge = Seq((1L, "a b"), (2L, "one two three four")).toDF("doc_id", "text")
+    val ids  = Dedup
+      .minhashSignaturesNative(edge, "doc_id", "text", n = 3, k = 4)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(ids === Set(2L))
+  }
+
   test("simhash32 via SQL text; short documents yield 0 (no shingles)") {
     SimHash32Expr.registerOn(spark)
     Seq((1L, "one two"), (2L, "a b c d")).toDF("id", "text").createOrReplaceTempView("v_sh")
