@@ -196,6 +196,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("native signature stages are map-only: no shingle explode in the plan") {
+    // Both queries compute per-document signatures via native one-pass
+    // expressions (SimHash64Md5Expr / MinHashMd5Expr); a shingle
+    // explode in the plan would mean the signature stage regained a
+    // per-shingle row stream + aggregate. (The banding stack unpivot is
+    // also a Generate — per document and cheap — so the pin targets the
+    // shingle generator specifically, not Generate nodes per se.)
+    for (name <- Seq("ddp_simhash64_md5_pairs", "ddp_dedup_incremental_fuzzy")) {
+      val p = planOf(name).toLowerCase
+      assert(!p.contains("shingle"), s"$name signature stage must not explode shingles:\n$p")
+      assert(!p.contains("explode("), s"$name signature stage must not explode shingles:\n$p")
+      assert(!p.contains("cartesianproduct"), s"$name:\n$p")
+    }
+  }
+
   test("salted join: physical join keys carry the salt, no broadcast-nested-loop") {
     val p = planOf("rel_join_salted_revenue")
     assert(p.contains("__salt"), "salt key missing from the plan:\n" + p)
