@@ -664,6 +664,28 @@ object Dedup {
         (1 until k).map(seed => min(xxhash64(lit(seed), col("sh"))).as(s"mh$seed")): _*
       )
 
+  /** [[minhashSignaturesXx]] computed by the native one-pass
+    * [[graft.functions.MinHashXxExpr]] — bit-equal (FunctionsSpec,
+    * same [[org.apache.spark.sql.catalyst.expressions.XxHash64Function]]
+    * fold) but scan-local, the production analog of
+    * [[minhashSignaturesNative]]. */
+  def minhashSignaturesXxNative(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+  ): DataFrame = {
+    graft.functions.MinHashXxExpr.registerOn(docs.sparkSession, n, k)
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        graft.functions.MinHashXxExpr.minhash_xx(col(textCol), n, k).as("__mh"),
+      )
+      .filter(col("__mh").isNotNull)
+      .select(col("doc_id") +: (0 until k).map(i => col("__mh").getItem(i).as(s"mh$i")): _*)
+  }
+
   /** LSH banding for xxhash64 signatures: band key = xxhash64 of the
     * band's member minhashes (long columns hash directly — no string
     * concat). Produces the same (doc_id, band, band_hash) shape as
@@ -694,6 +716,25 @@ object Dedup {
       minJaccard: Double,
   ): DataFrame = {
     val cands = lshCandidates(lshBandsXx(minhashSignaturesXx(shingles, k), rowsPerBand))
+    verifyJaccard(cands, shingles, minJaccard)
+  }
+
+  /** [[minhashLshPairsXx]] with the signature stage computed by the
+    * native one-pass expression ([[minhashSignaturesXxNative]]) — the
+    * fully map-only production signature path; the shingle table only
+    * feeds the candidate-proportional exact verify. */
+  def minhashLshPairsXxNative(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingles: DataFrame,
+      n: Int,
+      k: Int,
+      rowsPerBand: Int,
+      minJaccard: Double,
+  ): DataFrame = {
+    val sigs  = minhashSignaturesXxNative(docs, idCol, textCol, n, k)
+    val cands = lshCandidates(lshBandsXx(sigs, rowsPerBand))
     verifyJaccard(cands, shingles, minJaccard)
   }
 

@@ -142,6 +142,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ids === Set(2L))
   }
 
+  test("minhash_xx expression is bit-equal to the relational xxhash64 pipeline") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val native = Dedup
+      .minhashSignaturesXxNative(docs, "doc_id", "text", n = 3, k = 16)
+      .collect()
+      .map(r => r.getLong(0) -> (1 until 17).map(r.getLong).toVector)
+      .toMap
+    val relational = Dedup
+      .minhashSignaturesXx(Dedup.shingleSets(docs, "doc_id", "text", 3), 16)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (1 until 17).map(r.getLong).toVector)
+      .toMap
+    assert(relational.nonEmpty)
+    assert(native.keySet === relational.keySet)
+    relational.foreach { case (id, sig) => assert(native(id) === sig, s"doc $id") }
+  }
+
   test("simhash32 via SQL text; short documents yield 0 (no shingles)") {
     SimHash32Expr.registerOn(spark)
     Seq((1L, "one two"), (2L, "a b c d")).toDF("id", "text").createOrReplaceTempView("v_sh")

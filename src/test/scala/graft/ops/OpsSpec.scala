@@ -149,6 +149,17 @@ class OpsSpec extends AnyFunSuite {
 
     val xx = Dedup.minhashLshPairsXx(sh, k = 16, rowsPerBand = 4, minJaccard = 0.5).collect()
     assert(xx.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet === Set((1L, 2L)))
+    // the native one-pass signature form is candidate- and result-equal
+    val xxN = Dedup
+      .minhashLshPairsXxNative(docs, "doc_id", "text", sh, n = 3, k = 16,
+        rowsPerBand = 4, minJaccard = 0.5)
+      .collect()
+    assert(
+      xxN.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("jaccard")))
+        .toSet ===
+        xx.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("jaccard")))
+          .toSet
+    )
     val truth = Dedup.jaccardPairs(sh, 0.5).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("jaccard"))
       .toMap
