@@ -1151,6 +1151,30 @@ class OpsSpec extends AnyFunSuite {
     assert(
       Dedup.dedupIncrementalFuzzy(rerun, "doc_id", "text", index2, 3, 16, 4).count() === 0L,
       "the survivor delta must screen the next run")
+
+    // all three screen variants — relational, shingle-table, native
+    // one-pass — are result-identical (the native signatures are
+    // bit-equal, so the band collisions are too), and the native index
+    // build equals the relational one
+    val idxNative = Dedup.bandIndexNative(prev, "doc_id", "text", n = 3, k = 16, rowsPerBand = 4)
+    assert(
+      idxNative.collect().map(r => (r.getInt(0), r.getString(1))).toSet ===
+        index.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    )
+    val viaShingles = Dedup
+      .dedupIncrementalFuzzyFromShingles(
+        batch,
+        "doc_id",
+        Dedup.shingleSets(batch, "doc_id", "text", 3),
+        index,
+        k = 16,
+        rowsPerBand = 4,
+      )
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaNative = Dedup
+      .dedupIncrementalFuzzyNative(batch, "doc_id", "text", idxNative, 3, 16, 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaShingles === Set(11L) && viaNative === Set(11L))
   }
 
   test("shardAssign: pure content function, full coverage in range, reproducible") {
