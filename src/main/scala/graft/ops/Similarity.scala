@@ -977,6 +977,39 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** The fully-TRAINED index build in one call: Lloyd-refines the
+    * float coarse quantizer ([[ivfRefine]], `coarseIters` rounds over
+    * seed centroids from the first `nCells` vectors) and
+    * Lloyd-trains the integer PQ codebooks (`trainIters` rounds),
+    * then runs [[annIvfPqTopK]] — the production shape where index
+    * construction and querying are a single composition
+    * (`sim_ann_ivf_pq_trained_topk` is this call spelled out). */
+  def annIvfPqTrainedTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      m: Int,
+      ksub: Int,
+      nCells: Int,
+      nprobe: Int,
+      queryPred: Column,
+      coarseIters: Int = 1,
+      trainIters: Int = 1,
+  ): DataFrame =
+    annIvfPqTopK(
+      df,
+      idCol,
+      embCol,
+      k,
+      m,
+      ksub,
+      centroids = ivfRefine(df, ivfCentroids(df, idCol, embCol, nCells), idCol, embCol, coarseIters),
+      nprobe,
+      queryPred,
+      trainIters,
+    )
+
   /** Persist an IVF codebook (e.g. a [[ivfRefine]] result) so ANN
     * queries reuse a trained index across sessions — the codebook is a
     * few KB of parquet; training cost is paid once per corpus

@@ -710,24 +710,18 @@ object SimilarityQueries {
        |  FROM scored)
        |WHERE rnk <= 3""".stripMargin,
   ) { (s, d) =>
-    val emb = embeddings(s, d)
     Similarity
-      .annIvfPqTopK(
-        emb,
+      .annIvfPqTrainedTopK(
+        embeddings(s, d),
         idCol = "vec_id",
         embCol = "embedding",
         k = 3,
         m = 8,
         ksub = 16,
-        centroids = Similarity.ivfRefine(
-          emb,
-          Similarity.ivfCentroids(emb, "vec_id", "embedding", 16),
-          "vec_id",
-          "embedding",
-          iters = 1,
-        ),
+        nCells = 16,
         nprobe = 2,
         queryPred = col("vec_id") < 10,
+        coarseIters = 1,
         trainIters = 1,
       )
       .select("q_id", "n_id", "adc", "rnk")
