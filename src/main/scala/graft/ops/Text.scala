@@ -238,9 +238,13 @@ object Text {
     * multiply, no float accumulation, bit-identical across engines.
     *
     * Scale shape: the per-source aggregate is map-side combinable and
-    * its result is one row per DOMAIN (thousands, not billions) — the
-    * keep set broadcasts back as a semi join, so the corpus is scanned
-    * twice and shuffled never. */
+    * its result is one row per DOMAIN. When domains number in the
+    * thousands AQE broadcasts the keep set back as a semi join and the
+    * corpus never shuffles; at web scale (hundreds of millions of
+    * registrable domains) the keep side is NOT broadcast-safe, so the
+    * hint is deliberately absent — the planner falls back to a
+    * domain-keyed shuffle join when the side outgrows the threshold
+    * instead of OOMing the driver on a hard-coded hint. */
   def sourceFilter(
       docs: DataFrame,
       sourceCol: String,
@@ -252,7 +256,7 @@ object Text {
       .agg(sum(score.cast("long")).as("__tot"), count(lit(1)).as("__n"))
       .filter(col("__tot").cast("double") >= lit(minMean) * col("__n"))
       .select(col(sourceCol))
-    docs.join(broadcast(keep), Seq(sourceCol), "left_semi")
+    docs.join(keep, Seq(sourceCol), "left_semi")
   }
 
   /** Composed per-document quality report — the Gopher-rule filter log

@@ -77,7 +77,18 @@ object ShingleRewrite extends Rule[LogicalPlan] {
     * computed ones reuse the original Alias instances, so nothing
     * above re-resolves). The now-unused token alias is recomputed only
     * if something upstream still references it, and column pruning
-    * drops it otherwise. */
+    * drops it otherwise.
+    *
+    * Determinism guard: the rewrite moves projectList expressions from
+    * BELOW the Generate to ABOVE it, which changes their evaluation
+    * count from once-per-input-row to once-per-exploded-row. For a
+    * deterministic expression that is invisible; for `rand()` et al.
+    * it silently changes results (the original plan shares one value
+    * across all exploded copies of a row). Catalyst's own
+    * across-Generate rules (CollapseProject) guard on `deterministic`
+    * for exactly this reason, so this rule fires only when every
+    * re-created entry — and the inlined generator argument — is
+    * deterministic. */
   private def rewriteThroughProject(
       g: Generate,
       arg: Expression,
@@ -94,7 +105,8 @@ object ShingleRewrite extends Rule[LogicalPlan] {
     asDistinctShingles(inlined).flatMap { case (text, n) =>
       val grandchild = p.child
       val usable = text.dataType == StringType &&
-        text.references.subsetOf(grandchild.outputSet)
+        text.references.subsetOf(grandchild.outputSet) &&
+        text.deterministic
       if (!usable) None
       else {
         // Rebuild g.output on top of Generate(gen, grandchild): every
@@ -103,7 +115,11 @@ object ShingleRewrite extends Rule[LogicalPlan] {
         val restored: Option[Seq[NamedExpression]] = {
           val entries = g.requiredChildOutput.map { attr =>
             if (grandchild.outputSet.contains(attr)) Some(attr)
-            else p.projectList.find(_.toAttribute.exprId == attr.exprId)
+            else
+              p.projectList
+                .find(_.toAttribute.exprId == attr.exprId)
+                // only deterministic entries may move above the explode
+                .filter(_.deterministic)
           }
           if (entries.forall(_.isDefined)) Some(entries.map(_.get)) else None
         }

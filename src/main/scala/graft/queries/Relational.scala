@@ -249,8 +249,12 @@ object Relational {
 
   /** Correlated-scalar-subquery semantics (orders above their customer's
     * average), decorrelated at authoring time into agg + join — the shape
-    * Catalyst would rewrite to anyway, with the per-customer averages
-    * broadcast back onto the fact table. */
+    * Catalyst would rewrite to anyway. The per-customer averages side is
+    * one row per customer, i.e. proportional to the corpus, so it must NOT
+    * be force-broadcast: at 100 TB that side breaches any broadcast
+    * threshold and OOMs the driver. Both sides shuffle on `o_custkey`
+    * (the agg already partitions on it, so the join reuses that exchange);
+    * AQE is free to pick a broadcast at small SF where the side fits. */
   private val aboveAvgOrders = Q(
     "rel_above_avg_orders",
     s"""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
@@ -264,7 +268,7 @@ object Relational {
       .groupBy(col("o_custkey").as("ck"))
       .agg(davg(col("o_totalprice")).as("avg_price"))
     orders(s, d)
-      .join(broadcast(avgs), col("o_custkey") === col("ck"))
+      .join(avgs, col("o_custkey") === col("ck"))
       .filter(col("o_totalprice") > col("avg_price"))
       .select("o_orderkey", "o_custkey", "o_totalprice")
   }

@@ -532,8 +532,13 @@ object StreamingQueries {
       .select("event_id", "user_id")
     val dim = graft.Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment").as("segment"), col("c_name").as("cust_name"))
+    // No forced broadcast: the customer dimension is corpus-proportional,
+    // so the hint must stay a planner *choice* (AQE broadcasts it while it
+    // fits under the threshold) rather than a hard-coded driver OOM at
+    // 100 TB. Stream-static equi-joins fall back to a keyed shuffle join
+    // when the dim outgrows the threshold — the scale-safe plan.
     val enriched = stream
-      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .join(dim, col("user_id") === col("c_custkey"))
       .select("event_id", "user_id", "segment", "cust_name")
     val name = synchronized { streamN += 1; s"graft_stream_static_$streamN" }
     withScratchCheckpoint("graft_ckpt_static") { ckpt =>

@@ -211,6 +211,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("above-avg decorrelated join carries no forced broadcast hint (avgs side is data-proportional)") {
+    // The per-customer averages side grows linearly with the corpus; a
+    // hard broadcast() hint on it OOMs the driver at 100 TB. AQE may
+    // still *choose* a broadcast at small SF — that's fine; what must
+    // never reappear is the hint that removes its choice.
+    val q = df("rel_above_avg_orders")
+    val hints = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j.hint
+    }
+    assert(hints.isEmpty, s"forced join hint present: ${hints.mkString(", ")}")
+    val p = planOf("rel_above_avg_orders")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("source filter: keep-set join is unhinted; AQE still broadcasts it at small SF") {
+    val q = df("txt_source_filter")
+    val hints = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j.hint
+    }
+    assert(hints.isEmpty, s"forced join hint present: ${hints.mkString(", ")}")
+    q.collect() // materialize so AQE finalizes the physical plan
+    val executed = q.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin"),
+      "AQE did not broadcast the (small at this SF) keep set:\n" + executed)
+    assert(!executed.contains("CartesianProduct"), executed)
+  }
+
   test("salted join: physical join keys carry the salt, no broadcast-nested-loop") {
     val p = planOf("rel_join_salted_revenue")
     assert(p.contains("__salt"), "salt key missing from the plan:\n" + p)
@@ -304,6 +333,46 @@ class PlanSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       .toSet
     assert(gotKeep === wantKeep)
+  }
+
+  test("ShingleRewrite: nondeterministic alias consumed above the explode blocks the rewrite") {
+    import org.apache.spark.sql.functions._
+    graft.plans.ShingleRewrite.installOn(spark)
+    // rand() is computed once per INPUT row in the original plan (all
+    // exploded copies of a row share the value); pulling it above the
+    // Generate would re-draw it per exploded row. The rule must leave
+    // this plan alone.
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val q = docs
+      .select(col("doc_id"), rand(42).as("r"), graft.ops.Text.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        col("r"),
+        explode(array_distinct(graft.ops.Text.shingles(col("toks"), 2))).as("sh"),
+      )
+    val gens = q.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g.generator
+    }
+    assert(!gens.exists(_.isInstanceOf[graft.functions.ShingleGen]),
+      "rewrite fired across a nondeterministic projection: " + gens.mkString(", "))
+    // and the per-row sharing the guard protects is actually observable:
+    // every exploded copy of a doc carries ONE r value
+    val perDoc = q.groupBy("doc_id").agg(countDistinct(col("r")).as("nr"))
+      .agg(max(col("nr"))).head().getLong(0)
+    assert(perDoc === 1L, s"rand re-drawn per exploded row (max distinct per doc = $perDoc)")
+    // a nondeterministic alias NOT consumed above the explode is pruned
+    // by the optimizer before this rule sees it — the rewrite still fires
+    val pruned = docs
+      .select(col("doc_id"), rand(42).as("r"), graft.ops.Text.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        explode(array_distinct(graft.ops.Text.shingles(col("toks"), 2))).as("sh"),
+      )
+    val gens2 = pruned.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g.generator
+    }
+    assert(gens2.exists(_.isInstanceOf[graft.functions.ShingleGen]),
+      "rewrite should fire once the nondeterministic alias is pruned: " + gens2.mkString(", "))
   }
 
   test("native float_dot participates in codegen (no interpreted fallback marker)") {
