@@ -290,8 +290,12 @@ object Staging {
         throw new IllegalStateException(
           s"could not claim a version number under $stagingRoot after 1000 attempts"
         )
-      try {
-        rootFs.create(new org.apache.hadoop.fs.Path(rootPath, s"_CLAIM_v$next"), false).close()
+      val claimFile = new org.apache.hadoop.fs.Path(rootPath, s"_CLAIM_v$next")
+      val created =
+        try { rootFs.create(claimFile, false).close(); true }
+        catch { case _: java.io.IOException => false } // another writer holds this number
+      if (!created) next += 1
+      else
         // Winning the claim does not prove the number is unused: a
         // competing writer can have claimed, written, committed, and
         // RELEASED this number entirely between our directory listing
@@ -300,13 +304,22 @@ object Staging {
         // so re-check the directory after the claim and advance past it
         // (dropping our claim file; the directory itself guards the
         // number through existingMax, and stale claims must not pile up).
-        if (rootFs.exists(new org.apache.hadoop.fs.Path(rootPath, s"v=$next"))) {
-          rootFs.delete(new org.apache.hadoop.fs.Path(rootPath, s"_CLAIM_v$next"), false)
-          next += 1
-        } else claimed = true
-      } catch {
-        case _: java.io.IOException => next += 1 // another writer holds this number
-      }
+        // The re-check runs in its OWN try: once our claim file exists, a
+        // transient IO failure here must still best-effort delete it
+        // before advancing — otherwise the orphaned claim permanently
+        // blocks this number for every future writer (each would hit
+        // create-failure and skip past it forever).
+        try {
+          if (rootFs.exists(new org.apache.hadoop.fs.Path(rootPath, s"v=$next"))) {
+            rootFs.delete(claimFile, false)
+            next += 1
+          } else claimed = true
+        } catch {
+          case _: java.io.IOException =>
+            try rootFs.delete(claimFile, false)
+            catch { case _: java.io.IOException => () } // best effort
+            next += 1
+        }
     }
     val versionDir = s"$stagingRoot/v=$next"
     // Cluster by finding_uid at compaction time — the Spark analog of

@@ -17,7 +17,14 @@ object DedupQueries {
     * operator; building it (tokenize + higher-order shingling) dominates
     * its consumers, so it is materialized once per (session, scale)
     * and reused — the local analog of writing the shingle table once
-    * before running a dedup suite over a 100 TB corpus. */
+    * before running a dedup suite over a 100 TB corpus.
+    *
+    * Lifetime contract: this map (and [[pairsCache]]) holds persisted
+    * DataFrames, which pin their SparkSession — these query objects
+    * assume ONE session per process (the Verify/Bench driver shape). A
+    * long-lived host that cycles sessions should not route through
+    * these entry points; the underlying `ops.*` methods are
+    * cache-free. */
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -387,8 +394,13 @@ object DedupQueries {
     // Native single-pass expression — proven bit-equal to
     // Dedup.simhash32(shingles) in FunctionsSpec; the oracle stays the
     // relational SQL. Map-only: no shuffle at all for signatures.
+    // Sub-3-token documents have no 3-shingles: the oracle's shing CTE
+    // drops them (no sig row) while the native expression would emit a
+    // 0 signature — filter them here so both sides agree by
+    // construction, not by accident of the current testdata.
     graft.functions.SimHash32Expr.registerOn(s)
     documents(s, d)
+      .filter(size(graft.ops.Text.tokens(col("text"))) >= 3)
       .select(col("doc_id"), graft.functions.SimHash32Expr.simhash32(col("text")).as("simhash"))
   }
 
@@ -412,7 +424,11 @@ object DedupQueries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin,
   ) { (s, d) =>
     graft.functions.SimHash32Expr.registerOn(s)
+    // shingle-less docs carry no signature on either side (see
+    // ddp_simhash_sigs): without this filter two sub-3-token docs
+    // would pair at hamming 0 here but produce no oracle pair
     val sigs = documents(s, d)
+      .filter(size(graft.ops.Text.tokens(col("text"))) >= 3)
       .select(col("doc_id"), graft.functions.SimHash32Expr.simhash32(col("text")).as("simhash"))
     Dedup.simhashPairs(sigs, maxHamming = 4)
   }
@@ -469,7 +485,10 @@ object DedupQueries {
     // shingle shuffle — leaving the banded self-join as the query's
     // only exchange.
     graft.functions.SimHash64Md5Expr.registerOn(s)
+    // same zero-shingle guard as the 32-bit queries: the oracle has no
+    // sig row for sub-3-token docs, the native expression returns 0
     val sigs = documents(s, d)
+      .filter(size(graft.ops.Text.tokens(col("text"))) >= 3)
       .select(
         col("doc_id"),
         graft.functions.SimHash64Md5Expr.simhash64_md5(col("text")).as("simhash"),

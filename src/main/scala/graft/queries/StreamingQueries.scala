@@ -14,23 +14,38 @@ import org.apache.spark.sql.types._
   */
 object StreamingQueries {
 
+  /** Session-unique cache key that does not retain the session object
+    * (see rawSchemaCache). The session UUID is `private[sql]`, so it is
+    * read reflectively; any failure falls back to identity hash. */
+  private def sessionKey(s: org.apache.spark.sql.SparkSession): String =
+    try s.getClass.getMethod("sessionUUID").invoke(s).asInstanceOf[String]
+    catch { case _: Throwable => String.valueOf(System.identityHashCode(s)) }
+
   /** The file-stream source needs an explicit schema, and the physical
     * type of `events.ts` varies by testdata generation (raw int64 nanos
     * vs TIMESTAMP(MICROS) — see [[graft.Tables.normalizeEventTs]]). A
     * one-time batch probe of the parquet footer yields the exact
     * as-read schema; [[eventsStream]] then applies the same ts
     * normalization as the batch path so streaming and batch queries see
-    * identical types. Cached per (session, sfDir) like the source dir. */
+    * identical types. Cached per (session UUID, sfDir) like the source
+    * dir — the UUID key (not the session object) means a stopped
+    * session is never pinned by this process-lifetime map.
+    *
+    * Deliberate side effect: the probe sets
+    * `spark.sql.legacy.parquet.nanosAsLong=true` on the session and
+    * LEAVES it set, because the later `readStream` of a nanos-
+    * generation events file needs the flag at stream-read time, not
+    * just at probe time. The flag is a no-op for micros-generation
+    * data, so it is safe to pin for the session's lifetime. */
   private val rawSchemaCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.sql.SparkSession, String), StructType]
+    scala.collection.concurrent.TrieMap.empty[(String, String), StructType]
 
   private def eventsRawSchema(
       s: org.apache.spark.sql.SparkSession,
       d: String,
   ): StructType =
     rawSchemaCache.getOrElseUpdate(
-      (s, d), {
+      (sessionKey(s), d), {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         s.read.parquet(s"$d/events.parquet").schema
       },
@@ -108,15 +123,16 @@ object StreamingQueries {
 
   /** The events table exposed as a file-stream source directory (the
     * file source requires a directory; testdata is read-only, so the
-    * single parquet file is symlinked in). Built once per (session,
-    * sfDir) and reused by every replay query — the replay analog of the
-    * dedup suite's shared shingle table. */
+    * single parquet file is symlinked in). Built once per (session
+    * UUID, sfDir) and reused by every replay query — the replay analog
+    * of the dedup suite's shared shingle table. (String values + UUID
+    * keys: nothing here retains a stopped session.) */
   private val srcDirCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private def eventsSrcDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     srcDirCache.getOrElseUpdate(
-      (s, d), {
+      (sessionKey(s), d), {
         val streamDir = scratchDir("graft_stream_src")
         java.nio.file.Files.createSymbolicLink(
           streamDir.resolve("events.parquet"),
@@ -134,11 +150,11 @@ object StreamingQueries {
     * sfDir) and reused — the split is a pure function of the input
     * table, so repeated runs pay only the streaming machinery. */
   private val splitCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private def leftOuterSplitDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     splitCache.getOrElseUpdate(
-      (s, d), {
+      (sessionKey(s), d), {
         import java.nio.file.Files
         val events    = graft.Tables.events(s, d)
         val streamDir = scratchDir("graft_stream_louter_src")
@@ -330,11 +346,11 @@ object StreamingQueries {
     * staggered mtimes (micro-batch order), for stateful-sampling
     * replays. Built once per (session, sfDir). */
   private val docSplitCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private def documentsSplitDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     docSplitCache.getOrElseUpdate(
-      (s, d), {
+      (sessionKey(s), d), {
         import java.nio.file.Files
         val docs      = graft.Tables.documents(s, d)
         val n         = docs.count()
