@@ -534,10 +534,18 @@ object Similarity {
       .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"), col("nrm").as("cent_nrm"))
 
   /** Nearest-`nprobe` centroid assignment by cosine (ties broken by
-    * cent_id). The centroid table is tiny and broadcast; assignment is
-    * a map-side cross product plus a per-vector window — no shuffle of
-    * the big side beyond the window's hash partition by id. Input rows
-    * need a precomputed `nrm` ([[withNorm]]). */
+    * cent_id). The centroid table is tiny and broadcast. Input rows
+    * need a precomputed `nrm` ([[withNorm]]).
+    *
+    * nprobe=1 (the corpus-side path of every IVF entry point) is a
+    * hash aggregate, not a window: the broadcast-join expansion to C
+    * scored rows per vector collapses back to one row per vector by a
+    * map-side partial `min(struct(-cos, cent_id))` INSIDE the same
+    * task, so the exchange moves one embedding copy per vector instead
+    * of C copies through a window shuffle — the [[pqEncodeInt8]]
+    * shape. nprobe>1 (only ever the small probed query side) keeps the
+    * window. Both paths share the (cos desc, cent_id asc) tie-break,
+    * so results are identical. */
   def ivfAssign(
       df: DataFrame,
       centroids: DataFrame,
@@ -549,13 +557,25 @@ object Similarity {
     val scored = df
       .join(broadcast(centroids))
       .withColumn("__ccos", dot(col(embCol), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__ccos").desc, col("cent_id"))
-    val ranked = scored
-      .withColumn("__crk", row_number().over(w))
-      .filter(col("__crk") <= nprobe)
-      .drop("__ccos", "cent_emb", "cent_nrm")
-    if (keepRank) ranked.withColumnRenamed("__crk", "cent_rank")
-    else ranked.drop("__crk")
+    if (nprobe == 1) {
+      val others = df.columns.filter(_ != idCol)
+      val cent =
+        min(struct(negate(col("__ccos")), col("cent_id"))).getField("cent_id").as("cent_id")
+      // the non-key input columns are constant within a group (the join
+      // only fanned out the centroid side), so first() restores them
+      val best = scored
+        .groupBy(col(idCol))
+        .agg(cent, others.map(c => first(col(c)).as(c)).toSeq: _*)
+      if (keepRank) best.withColumn("cent_rank", lit(1)) else best
+    } else {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__ccos").desc, col("cent_id"))
+      val ranked = scored
+        .withColumn("__crk", row_number().over(w))
+        .filter(col("__crk") <= nprobe)
+        .drop("__ccos", "cent_emb", "cent_nrm")
+      if (keepRank) ranked.withColumnRenamed("__crk", "cent_rank")
+      else ranked.drop("__crk")
+    }
   }
 
   /** IVF approximate top-k: candidates live in exactly one cell

@@ -125,6 +125,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("IVF nprobe=1 assignment is a hash aggregate (partial combine), never a window") {
+    import org.apache.spark.sql.functions._
+    val base = graft.ops.Similarity.withNorm(Tables.embeddings(spark, sf), "embedding")
+    val cents = graft.ops.Similarity.ivfCentroids(base.drop("nrm"), "vec_id", "embedding", 16)
+    val one = graft.ops.Similarity.ivfAssign(base, cents, "vec_id", "embedding", nprobe = 1)
+    val p = one.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the C-way scored expansion must collapse map-side: a Window here
+    // would ship C embedding copies per vector through the shuffle
+    assert(!p.contains("Window"), s"nprobe=1 assignment plans a window:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_first"),
+      s"no map-side partial aggregation before the exchange:\n$p")
+    // nprobe>1 (query side only — always the small side) keeps the window
+    val two = graft.ops.Similarity.ivfAssign(base, cents, "vec_id", "embedding", nprobe = 2)
+    val p2 = two.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p2.contains("Window"), p2)
+    // and the two paths agree where they overlap: nprobe=1 rows are
+    // exactly the rank-1 rows of the window path
+    val viaAgg = one.select(col("vec_id"), col("cent_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaWin = graft.ops.Similarity
+      .ivfAssign(base, cents, "vec_id", "embedding", nprobe = 2, keepRank = true)
+      .filter(col("cent_rank") === 1)
+      .select(col("vec_id"), col("cent_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaAgg === viaWin)
+  }
+
   test("bounded top-k UDAF does map-side partial aggregation (two-phase ObjectHashAggregate)") {
     val p = planOf("rel_agg_topk_udaf")
     val objAggs = p.split("ObjectHashAggregate").length - 1
