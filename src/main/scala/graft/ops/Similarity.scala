@@ -868,6 +868,7 @@ object Similarity {
       ksub: Int,
       queryPred: Column,
       trainIters: Int = 0,
+      trainSample: Int = 0,
   ): DataFrame = {
     val dim  = resolveDim(df, embCol, -1)
     val dsub = dim / m
@@ -877,8 +878,15 @@ object Similarity {
     val (cb, enc) =
       if (trainIters == 0) (cb0, pqEncodeInt8Dim(df, cb0, idCol, embCol, m, dim))
       else {
-        val subs    = pqSubvectors(df, idCol, embCol, m, dsub).localCheckpoint()
-        val refined = pqRefineFromSubs(subs, cb0, idCol, trainIters)
+        val subs = pqSubvectors(df, idCol, embCol, m, dsub).localCheckpoint()
+        // trainSample > 0: Lloyd rounds scan only the bounded training
+        // set's subvectors; the full table feeds the one encode pass.
+        val trainSubs =
+          if (trainSample > 0)
+            pqSubvectors(trainingSample(df, idCol, trainSample), idCol, embCol, m, dsub)
+              .localCheckpoint()
+          else subs
+        val refined = pqRefineFromSubs(trainSubs, cb0, idCol, trainIters)
         (refined, pqEncodeFromSubs(subs, refined, idCol))
       }
     val qsubs = quantizeInt8(df.filter(queryPred), embCol)
@@ -944,6 +952,7 @@ object Similarity {
       nprobe: Int,
       queryPred: Column,
       trainIters: Int = 0,
+      trainSample: Int = 0,
   ): DataFrame = {
     val dim  = resolveDim(df, embCol, -1)
     val dsub = dim / m
@@ -953,8 +962,15 @@ object Similarity {
     val (cb, enc) =
       if (trainIters == 0) (cb0, pqEncodeInt8Dim(df, cb0, idCol, embCol, m, dim))
       else {
-        val subs    = pqSubvectors(df, idCol, embCol, m, dsub).localCheckpoint()
-        val refined = pqRefineFromSubs(subs, cb0, idCol, trainIters)
+        val subs = pqSubvectors(df, idCol, embCol, m, dsub).localCheckpoint()
+        // trainSample > 0: Lloyd rounds scan only the bounded training
+        // set's subvectors; the full table feeds the one encode pass.
+        val trainSubs =
+          if (trainSample > 0)
+            pqSubvectors(trainingSample(df, idCol, trainSample), idCol, embCol, m, dsub)
+              .localCheckpoint()
+          else subs
+        val refined = pqRefineFromSubs(trainSubs, cb0, idCol, trainIters)
         (refined, pqEncodeFromSubs(subs, refined, idCol))
       }
     val candCells = ivfAssign(base, centroids, idCol, embCol, nprobe = 1)
@@ -1003,7 +1019,12 @@ object Similarity {
     * Lloyd-trains the integer PQ codebooks (`trainIters` rounds),
     * then runs [[annIvfPqTopK]] — the production shape where index
     * construction and querying are a single composition
-    * (`sim_ann_ivf_pq_trained_topk` is this call spelled out). */
+    * (`sim_ann_ivf_pq_trained_topk` is this call spelled out).
+    *
+    * `trainSample > 0` bounds BOTH training loops to that many
+    * [[trainingSample]]-selected vectors (encode still covers the full
+    * corpus) — `sim_ann_ivf_pq_sampled_topk` is this at-scale
+    * configuration, oracle-replayed. */
   def annIvfPqTrainedTopK(
       df: DataFrame,
       idCol: String,
@@ -1016,6 +1037,7 @@ object Similarity {
       queryPred: Column,
       coarseIters: Int = 1,
       trainIters: Int = 1,
+      trainSample: Int = 0,
   ): DataFrame =
     annIvfPqTopK(
       df,
@@ -1024,10 +1046,18 @@ object Similarity {
       k,
       m,
       ksub,
-      centroids = ivfRefine(df, ivfCentroids(df, idCol, embCol, nCells), idCol, embCol, coarseIters),
+      centroids = ivfRefine(
+        df,
+        ivfCentroids(df, idCol, embCol, nCells),
+        idCol,
+        embCol,
+        coarseIters,
+        trainSample,
+      ),
       nprobe,
       queryPred,
       trainIters,
+      trainSample,
     )
 
   /** Persist an IVF codebook (e.g. a [[ivfRefine]] result) so ANN
@@ -1040,24 +1070,52 @@ object Similarity {
   def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Deterministic bounded training set: the `n` vectors whose
+    * `md5(id)` sorts first (ties by id). A hash order is a uniform
+    * pseudo-random permutation with no RNG state, so the sample is
+    * reproducible in any engine (`ORDER BY md5(CAST(id AS VARCHAR)),
+    * id LIMIT n` replays it in SQL) — the property that lets an oracle
+    * re-derive the exact trained index. Plans as TakeOrderedAndProject:
+    * per-partition top-n then a single merge of n rows, never a global
+    * sort — the scale-safe shape for carving a few thousand training
+    * vectors out of a 100 TB corpus. */
+  def trainingSample(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"training sample size must be >= 1, got $n")
+    df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(n)
+  }
+
   /** Lloyd refinement of an IVF codebook: `iters` rounds of
     * assign-to-nearest + per-cell dimension-wise mean. Sums run through
     * DECIMAL(38,12), so the means are order-independent — the refined
     * codebook is bit-deterministic under any partitioning (plain double
     * sums would float with shuffle order). Means are cast back to
-    * float, matching the corpus embedding type. */
+    * float, matching the corpus embedding type. A cell that loses
+    * every member keeps its previous centroid (the [[pqRefineInt8]]
+    * policy), so the codebook never shrinks.
+    *
+    * `trainSample > 0` bounds each Lloyd pass to that many
+    * [[trainingSample]]-selected vectors (standard practice: ~256
+    * training points per centroid suffice — Faiss trains exactly this
+    * way) instead of scanning the full corpus per iteration, which is
+    * the difference between an index build that touches 100 TB once
+    * per round and one that trains on a few MB; 0 keeps the
+    * full-corpus behavior. */
   def ivfRefine(
       df: DataFrame,
       centroids: DataFrame,
       idCol: String,
       embCol: String,
       iters: Int,
+      trainSample: Int = 0,
   ): DataFrame = {
-    val base = withNorm(df, embCol).localCheckpoint()
+    val corpus = withNorm(df, embCol)
+    val base =
+      (if (trainSample > 0) trainingSample(corpus, idCol, trainSample) else corpus)
+        .localCheckpoint()
     var cents = centroids
     for (_ <- 1 to iters) {
       val assigned = ivfAssign(base, cents, idCol, embCol, nprobe = 1)
-      cents = assigned
+      val means = assigned
         .select(col("cent_id"), posexplode(col(embCol)).as(Seq("__pos", "__v")))
         .groupBy("cent_id", "__pos")
         .agg(
@@ -1067,8 +1125,11 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ms"))
         .select(
           col("cent_id"),
-          transform(col("__ms"), m => m.getField("__m").cast("float")).as("cent_emb"),
+          transform(col("__ms"), m => m.getField("__m").cast("float")).as("__new"),
         )
+      cents = cents
+        .join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("__new"), col("cent_emb")).as("cent_emb"))
         .withColumn("cent_nrm", l2Norm(col("cent_emb")))
         .localCheckpoint()
     }

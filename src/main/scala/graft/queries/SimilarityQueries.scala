@@ -175,9 +175,11 @@ object SimilarityQueries {
        |  FROM members CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
        |  GROUP BY 1, 2),
        |cent AS (
-       |  SELECT cent_id, cemb, sqrt(${duckDot("cemb", "cemb")}) AS cnrm
-       |  FROM (SELECT cent_id, list(CAST(m AS REAL) ORDER BY pos) AS cemb
-       |        FROM dims GROUP BY cent_id)),
+       |  SELECT cent_id, cemb, sqrt(${duckDot("cemb", "cemb")}) AS cnrm FROM (
+       |    SELECT s.cent_id, coalesce(n.cemb, s.cemb) AS cemb
+       |    FROM seed s LEFT JOIN (
+       |      SELECT cent_id, list(CAST(m AS REAL) ORDER BY pos) AS cemb
+       |      FROM dims GROUP BY cent_id) n ON n.cent_id = s.cent_id)),
        |asg AS (
        |  SELECT vec_id, cent_id,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
@@ -628,9 +630,11 @@ object SimilarityQueries {
        |  FROM members CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
        |  GROUP BY 1, 2),
        |cent AS (
-       |  SELECT cent_id, cemb, sqrt(${duckDot("cemb", "cemb")}) AS cnrm
-       |  FROM (SELECT cent_id, list(CAST(m AS REAL) ORDER BY pos) AS cemb
-       |        FROM dims GROUP BY cent_id)),
+       |  SELECT cent_id, cemb, sqrt(${duckDot("cemb", "cemb")}) AS cnrm FROM (
+       |    SELECT s.cent_id, coalesce(n.cemb, s.cemb) AS cemb
+       |    FROM seed s LEFT JOIN (
+       |      SELECT cent_id, list(CAST(m AS REAL) ORDER BY pos) AS cemb
+       |      FROM dims GROUP BY cent_id) n ON n.cent_id = s.cent_id)),
        |asg AS (
        |  SELECT vec_id, cent_id,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
@@ -727,7 +731,146 @@ object SimilarityQueries {
       .select("q_id", "n_id", "adc", "rnk")
   }
 
+  /** `sim_ann_ivf_pq_trained_topk` with BOUNDED training: both Lloyd
+    * loops scan a deterministic 256-vector md5-ordered sample
+    * ([[graft.ops.Similarity.trainingSample]]) instead of the full
+    * corpus — the Faiss-standard ~256-points-per-centroid regime, and
+    * the configuration that keeps index construction O(sample) per
+    * round while encode/query still cover everything. The oracle
+    * re-derives the identical sample (`ORDER BY md5(id), id LIMIT
+    * 256`) and replays training, encoding, routing, and ADC ranking
+    * over it, so the sampled index itself is differentially checked. */
+  private val annIvfPqSampledTopK = Q(
+    "sim_ann_ivf_pq_sampled_topk",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |samp AS (
+       |  SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
+       |seed AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16),
+       |seedasg AS (
+       |  SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |  FROM (
+       |    SELECT e.vec_id, cent_id, ${duckDot("e.embedding", "cemb")} / (e.nrm * cnrm) AS ccos
+       |    FROM e JOIN samp USING (vec_id) CROSS JOIN seed)),
+       |members AS (
+       |  SELECT a.cent_id, e.embedding
+       |  FROM seedasg a JOIN e ON e.vec_id = a.vec_id WHERE a.crk = 1),
+       |dims AS (
+       |  SELECT cent_id, i.i AS pos,
+       |    CAST(CAST(SUM(CAST(embedding[i.i] AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+       |      / COUNT(*) AS m
+       |  FROM members CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT cent_id, cemb, sqrt(${duckDot("cemb", "cemb")}) AS cnrm FROM (
+       |    SELECT s.cent_id, coalesce(n.cemb, s.cemb) AS cemb
+       |    FROM seed s LEFT JOIN (
+       |      SELECT cent_id, list(CAST(m AS REAL) ORDER BY pos) AS cemb
+       |      FROM dims GROUP BY cent_id) n ON n.cent_id = s.cent_id)),
+       |asg AS (
+       |  SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |  FROM (
+       |    SELECT e.vec_id, cent_id, ${duckDot("e.embedding", "cemb")} / (e.nrm * cnrm) AS ccos
+       |    FROM e CROSS JOIN cent)),
+       |mq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      v -> CAST(floor(CAST(v AS DOUBLE) * 127
+       |                      / (CASE WHEN s = 0 THEN 1 ELSE s END)
+       |                      + 0.5) AS BIGINT)) AS q
+       |  FROM (SELECT vec_id, embedding,
+       |          list_aggregate(list_transform(embedding,
+       |            v -> abs(CAST(v AS DOUBLE))), 'max') AS s
+       |        FROM embeddings)),
+       |seeds AS (
+       |  SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) - 1 AS code_id
+       |  FROM mq WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |cb0 AS (
+       |  SELECT sub_id, code_id, q[(sub_id*8+1):(sub_id*8+8)] AS code
+       |  FROM seeds, (SELECT unnest(generate_series(0, 7)) AS sub_id)),
+       |subs AS (
+       |  SELECT vec_id, sub_id, q[(sub_id*8+1):(sub_id*8+8)] AS qsub
+       |  FROM mq, (SELECT unnest(generate_series(0, 7)) AS sub_id)),
+       |trsubs AS (
+       |  SELECT s.* FROM subs s JOIN samp USING (vec_id)),
+       |enc0 AS (
+       |  SELECT vec_id, sub_id, code_id FROM (
+       |    SELECT s.vec_id, s.sub_id, c.code_id,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+       |        list_reduce(list_transform(generate_series(1, 8),
+       |          i -> (s.qsub[i] - c.code[i]) * (s.qsub[i] - c.code[i])), (x, y) -> x + y),
+       |        c.code_id) AS rn
+       |    FROM trsubs s JOIN cb0 c ON c.sub_id = s.sub_id)
+       |  WHERE rn = 1),
+       |m1 AS (
+       |  SELECT e.sub_id, e.code_id, p.pos,
+       |    CAST(floor((2 * sum(s.qsub[p.pos]) + count(*)) / (2.0 * count(*))) AS BIGINT) AS cval
+       |  FROM enc0 e
+       |  JOIN trsubs s ON s.vec_id = e.vec_id AND s.sub_id = e.sub_id
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS pos) p
+       |  GROUP BY 1, 2, 3),
+       |cb AS (
+       |  SELECT c0.sub_id, c0.code_id, coalesce(n.code, c0.code) AS code
+       |  FROM cb0 c0 LEFT JOIN (
+       |    SELECT sub_id, code_id, list(cval ORDER BY pos) AS code
+       |    FROM m1 GROUP BY 1, 2) n
+       |  ON n.sub_id = c0.sub_id AND n.code_id = c0.code_id),
+       |encpq AS (
+       |  SELECT vec_id, sub_id, code_id FROM (
+       |    SELECT s.vec_id, s.sub_id, c.code_id,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+       |        list_reduce(list_transform(generate_series(1, 8),
+       |          i -> (s.qsub[i] - c.code[i]) * (s.qsub[i] - c.code[i])), (x, y) -> x + y),
+       |        c.code_id) AS rn
+       |    FROM subs s JOIN cb c ON c.sub_id = s.sub_id)
+       |  WHERE rn = 1),
+       |candcodes AS (
+       |  SELECT a.vec_id, a.cent_id, p.sub_id, p.code_id
+       |  FROM asg a JOIN encpq p ON p.vec_id = a.vec_id
+       |  WHERE a.crk = 1),
+       |qcells AS (SELECT vec_id AS q_id, cent_id FROM asg WHERE crk <= 2 AND vec_id < 10),
+       |lut AS (
+       |  SELECT s.vec_id AS q_id, s.sub_id, c.code_id,
+       |    list_reduce(list_transform(generate_series(1, 8),
+       |      i -> s.qsub[i] * c.code[i]), (x, y) -> x + y) AS pdot
+       |  FROM subs s JOIN cb c ON c.sub_id = s.sub_id
+       |  WHERE s.vec_id < 10),
+       |scored AS (
+       |  SELECT qc.q_id, cc.vec_id AS n_id, CAST(sum(l.pdot) AS BIGINT) AS adc
+       |  FROM candcodes cc
+       |  JOIN qcells qc ON qc.cent_id = cc.cent_id
+       |  JOIN lut l ON l.q_id = qc.q_id AND l.sub_id = cc.sub_id AND l.code_id = cc.code_id
+       |  WHERE cc.vec_id <> qc.q_id
+       |  GROUP BY 1, 2)
+       |SELECT q_id, n_id, adc, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 3""".stripMargin,
+  ) { (s, d) =>
+    Similarity
+      .annIvfPqTrainedTopK(
+        embeddings(s, d),
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+        m = 8,
+        ksub = 16,
+        nCells = 16,
+        nprobe = 2,
+        queryPred = col("vec_id") < 10,
+        coarseIters = 1,
+        trainIters = 1,
+        trainSample = 256,
+      )
+      .select("q_id", "n_id", "adc", "rnk")
+  }
+
   val all: Seq[Q] =
     Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
-      annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK)
+      annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
+      annIvfPqSampledTopK)
 }
