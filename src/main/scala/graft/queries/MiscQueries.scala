@@ -11,14 +11,44 @@ import org.apache.spark.sql.functions._
 object MiscQueries {
 
   /** HyperLogLog++ approximate distinct (mergeable sketch — the
-    * scalable form of COUNT(DISTINCT) at 100 TB). */
-  private val approxDistinct = Q.noOracle("misc_approx_count_distinct") { (s, d) =>
+    * scalable form of COUNT(DISTINCT) at 100 TB), checked as an
+    * error-bound DIFFERENTIAL rather than rows-only: the query emits
+    * the exact distinct counts plus a boolean per sketch asserting
+    * |approx − exact| ≤ 3·rsd·exact (rsd = 0.05, the
+    * approx_count_distinct default; 3σ of the HLL++ estimator). The
+    * oracle computes the exact counts and literal TRUE — HLL++ is
+    * deterministic for a given dataset, so if the sketch ever drifts
+    * past its bound the boolean flips and the hash check FAILS. The
+    * estimates themselves stay out of the compared columns because
+    * their exact values are engine-specific. */
+  private val approxDistinct = Q(
+    "misc_approx_count_distinct",
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(DISTINCT l_suppkey) AS exact_supps,
+      |  COUNT(*) AS n,
+      |  TRUE AS parts_within_bound,
+      |  TRUE AS supps_within_bound
+      |FROM lineitem GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
         count(lit(1)).as("n"),
+      )
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        col("exact_supps"),
+        col("n"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * lit(0.15)).as("parts_within_bound"),
+        (abs(col("approx_supps") - col("exact_supps"))
+          <= col("exact_supps") * lit(0.15)).as("supps_within_bound"),
       )
   }
 
@@ -46,13 +76,30 @@ object MiscQueries {
 
   /** Mergeable HLL sketches: per-group sketches unioned into a global
     * estimate — the composable form of distinct counting across
-    * partitions/tables at 100 TB (sketch values are engine-specific:
-    * rows-only check; the exact counterpart is rel_agg_count_distinct). */
-  private val hllSketchUnion = Q.noOracle("misc_hll_sketch_union") { (s, d) =>
-    lineitem(s, d)
+    * partitions/tables at 100 TB. Error-bound differential like
+    * `misc_approx_count_distinct`: the unioned estimate must land
+    * within 15% of the exact global distinct (generous vs the ~1.6%
+    * rsd of the default lgConfigK=12 Datasketches HLL), asserted as a
+    * boolean the oracle expects to be TRUE — a broken sketch or union
+    * flips it and fails the hash check. The estimate itself is
+    * engine-specific and stays out of the compared columns. */
+  private val hllSketchUnion = Q(
+    "misc_hll_sketch_union",
+    """SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_bound
+      |FROM lineitem""".stripMargin,
+  ) { (s, d) =>
+    val est = lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_parts_estimate"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = lineitem(s, d).agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    est
+      .crossJoin(exact) // two 1-row sides
+      .select(
+        col("exact_parts"),
+        (abs(col("est") - col("exact_parts")) <= col("exact_parts") * lit(0.15))
+          .as("within_bound"),
+      )
   }
 
   /** Deterministic hash-bucket sampling: ~10% of orders selected by a
