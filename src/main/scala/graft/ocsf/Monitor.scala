@@ -64,7 +64,16 @@ object Monitor {
 
   /** Run the pipeline: good rows append to the landing table, corrupt
     * rows are routed to `failedDir`. Returns the started query (call
-    * `awaitTermination` / `processAllAvailable`). */
+    * `awaitTermination` / `processAllAvailable`).
+    *
+    * `metricsPath` (optional) turns on the ingestion observability
+    * surface: one [[IngestMetrics]] row per committed batch —
+    * good/corrupt row counts and batch duration — the engine analog of
+    * the reference's per-file validation timing logs
+    * (`scripts/ocsf_monitor.py:98-102`). The batch is pinned in memory
+    * while counted so the count and the two writes share one read of
+    * the source files (batches are bounded by `maxFilesPerTrigger`, so
+    * the pin is bounded too). */
   def run(
       spark: SparkSession,
       srcDir: String,
@@ -75,16 +84,37 @@ object Monitor {
       oneShot: Boolean = true,
       pollInterval: String = "30 seconds",
       maxFilesPerTrigger: Option[Int] = None,
+      metricsPath: Option[String] = None,
   ): StreamingQuery = {
     val stream = readStream(spark, srcDir, archiveDir, maxFilesPerTrigger)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val good = batch.filter(col("_corrupt").isNull).drop("_corrupt")
-        val bad  = batch.filter(col("_corrupt").isNotNull).select(col("_corrupt"))
-        Landing.append(good, landingPath)
-        if (!bad.isEmpty) {
-          bad.write.mode("append").text(s"$failedDir/batch_$batchId")
+        val started = System.nanoTime()
+        val good    = batch.filter(col("_corrupt").isNull).drop("_corrupt")
+        val bad     = batch.filter(col("_corrupt").isNotNull).select(col("_corrupt"))
+        metricsPath match {
+          case None =>
+            Landing.append(good, landingPath)
+            if (!bad.isEmpty) {
+              bad.write.mode("append").text(s"$failedDir/batch_$batchId")
+            }
+          case Some(mp) =>
+            batch.persist()
+            try {
+              val counts = batch.agg(
+                sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("good"),
+                sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("bad"),
+              ).collect()(0)
+              val goodRows = if (counts.isNullAt(0)) 0L else counts.getLong(0)
+              val badRows  = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+              Landing.append(good, landingPath)
+              if (badRows > 0) {
+                bad.write.mode("append").text(s"$failedDir/batch_$batchId")
+              }
+              val durationMs = (System.nanoTime() - started) / 1000000L
+              IngestMetrics.append(spark, mp, batchId, goodRows, badRows, durationMs)
+            } finally batch.unpersist()
         }
         ()
       }

@@ -291,9 +291,7 @@ object Staging {
           s"could not claim a version number under $stagingRoot after 1000 attempts"
         )
       val claimFile = new org.apache.hadoop.fs.Path(rootPath, s"_CLAIM_v$next")
-      val created =
-        try { rootFs.create(claimFile, false).close(); true }
-        catch { case _: java.io.IOException => false } // another writer holds this number
+      val created   = exclusiveCreate(rootFs, claimFile) // false: another writer holds this number
       if (!created) next += 1
       else
         // Winning the claim does not prove the number is unused: a
@@ -370,6 +368,44 @@ object Staging {
       rootFs.delete(new org.apache.hadoop.fs.Path(rootPath, s"_CLAIM_v$next"), false)
   }
 
+  /** Atomically create an empty marker file, returning false if it
+    * already exists — the mutual-exclusion primitive under both the
+    * version claim and the commit lock.
+    *
+    * On HDFS-semantics filesystems `create(overwrite=false)` IS the
+    * atomic primitive (a namespace operation serialized by the
+    * NameNode). Hadoop's LOCAL shim, however, implements it as
+    * check-then-create — two racing writers can both "win", which the
+    * 100-schedule chaos spec reliably demonstrates (both claim one
+    * version number; one writer's `overwrite` then deletes the other's
+    * in-flight directory). For local paths, route through the
+    * platform's real O_EXCL create (`Files.createFile`) instead. Plain
+    * object stores (no atomic create-if-absent) need a coordination
+    * service or a transactional table format for multi-writer — the
+    * documented deployment boundary of this bespoke protocol. */
+  private def exclusiveCreate(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+  ): Boolean = {
+    val local: Option[java.io.File] = fs match {
+      case lf: org.apache.hadoop.fs.LocalFileSystem =>
+        Some(lf.pathToFile(p))
+      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        Some(new java.io.File(p.toUri.getPath))
+      case _ => None
+    }
+    local match {
+      case Some(f) =>
+        try { java.nio.file.Files.createFile(f.toPath); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      case None =>
+        try { fs.create(p, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    }
+  }
+
   /** Commit = exclusive-create lock + compare-and-swap on `_CURRENT`.
     * The lock (`create` with overwrite=false is atomic on HDFS-semantics
     * filesystems) closes the check→rename window; the CAS detects a
@@ -387,17 +423,12 @@ object Staging {
       expected: Option[String],
   ): Unit = {
     val lock = new org.apache.hadoop.fs.Path(root, "_COMMIT_LOCK")
-    val out =
-      try fs.create(lock, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new java.util.ConcurrentModificationException(
-            s"commit lock $lock is held — another writer is mid-commit (or crashed holding " +
-              s"it; verify and remove the lock file): ${e.getMessage}"
-          )
-      }
+    if (!exclusiveCreate(fs, lock))
+      throw new java.util.ConcurrentModificationException(
+        s"commit lock $lock is held — another writer is mid-commit (or crashed holding " +
+          "it; verify and remove the lock file)"
+      )
     try {
-      out.close()
       val now = readSideFile(fs, root, "_CURRENT")
       if (now != expected)
         throw new java.util.ConcurrentModificationException(

@@ -12,17 +12,95 @@ import org.apache.spark.sql.functions._
   * else; only the `content` column pays the byte cost, and queries that
   * don't touch it never read it.
   *
-  * The decode step is a STUB by design (no media codecs in this
-  * environment): [[extractFeatures]] implements the real Spark-side
-  * contract — schema, per-partition batching (the seam where a
-  * vectorized decoder amortizes model/codec init), deterministic
-  * output — with a fake decoder that derives features from the raw
-  * bytes. Swapping in a real decoder changes only the closure body.
+  * Decoding is pluggable behind [[MediaDecoder]], the explicit
+  * extension-point contract: implementations see `batchSize` payloads
+  * at a time (the seam where a vectorized decoder amortizes
+  * model/codec init) and MUST be row-level error-isolating — one
+  * corrupt payload yields one failed feature row, never a task
+  * failure (the ST7 discipline applied to media). Two implementations
+  * ship: [[ByteStatsDecoder]], the deterministic byte-derived fake
+  * whose output any engine can reproduce (it is the oracle-gated
+  * path — heavyweight codecs stay out of the differential harness by
+  * design), and [[ImageIoDecoder]], a REAL image decoder over the
+  * JDK's `javax.imageio` (PNG/JPEG/GIF/BMP) proving the contract
+  * carries an actual codec, not only the fake.
   */
 object Multimodal {
 
   /** Deterministic per-item features the stub "decoder" emits. */
   final case class MediaFeature(doc_id: Long, n_bytes: Int, head_byte: Int, checksum: String)
+
+  /** Decoded-image features ([[ImageIoDecoder]]). `ok=false` rows
+    * carry the per-payload failure (`err`) instead of failing the
+    * task; numeric fields are zeroed. */
+  final case class ImageFeature(
+      doc_id: Long,
+      ok: Boolean,
+      width: Int,
+      height: Int,
+      mean_luma: Double,
+      err: String,
+  )
+
+  /** The decode extension point. `decodeBatch` receives up to
+    * `batchSize` (id, payload) pairs; the default implementation maps
+    * the per-item `decode`, vectorized decoders override the batch
+    * method and reuse per-batch state (a model handle, a codec
+    * context). Implementations must return exactly one feature per
+    * input (order-preserving) and must catch their own per-item
+    * failures — the contract is row-isolating by construction. */
+  trait MediaDecoder[F] extends Serializable {
+    def decode(docId: Long, bytes: Array[Byte]): F
+    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[F] =
+      batch.map { case (id, b) => decode(id, b) }
+  }
+
+  /** The deterministic fake: features derived from the raw bytes, so
+    * the full mapPartitions pipeline is differentially checkable
+    * against a SQL oracle (md5/byte arithmetic exist in any engine). */
+  object ByteStatsDecoder extends MediaDecoder[MediaFeature] {
+    def decode(docId: Long, bytes: Array[Byte]): MediaFeature =
+      MediaFeature(
+        doc_id = docId,
+        n_bytes = bytes.length,
+        head_byte = if (bytes.isEmpty) -1 else bytes(0) & 0xff,
+        checksum = md5Hex(bytes),
+      )
+  }
+
+  /** A REAL decoder on the contract: `javax.imageio` (JDK-shipped,
+    * public API) decodes PNG/JPEG/GIF/BMP payloads to pixels;
+    * features are the decoded dimensions and mean luminance
+    * (ITU-R BT.601 weights) sampled on a pixel stride that bounds
+    * per-image cost for arbitrarily large frames. Undecodable bytes
+    * become an `ok=false` row with the exception message — never a
+    * task failure. */
+  final class ImageIoDecoder(lumaStride: Int = 4) extends MediaDecoder[ImageFeature] {
+    def decode(docId: Long, bytes: Array[Byte]): ImageFeature =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) ImageFeature(docId, ok = false, 0, 0, 0.0, "no registered ImageReader")
+        else {
+          val stride      = math.max(lumaStride, 1)
+          var (sum, n)    = (0.0, 0L)
+          var y           = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              n += 1
+              x += stride
+            }
+            y += stride
+          }
+          ImageFeature(docId, ok = true, img.getWidth, img.getHeight, if (n == 0) 0.0 else sum / n, "")
+        }
+      } catch {
+        case e: Exception =>
+          ImageFeature(docId, ok = false, 0, 0, 0.0, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+  }
 
   /** Pack a text corpus into the multimodal shape: (doc_id, content
     * binary, meta struct) — the layout a real pipeline would land
@@ -38,33 +116,42 @@ object Multimodal {
       ).as("meta"),
     )
 
-  /** Batched feature extraction over the binary column.
+  /** Batched feature extraction over the binary column with an
+    * arbitrary [[MediaDecoder]].
     *
     * `mapPartitions` + `grouped(batchSize)` is the Scala analog of a
-    * pandas-batch UDF: the decoder (stubbed here) sees `batchSize`
-    * payloads at a time, so a real implementation can vectorize and
-    * reuse expensive per-batch state. Runs fully parallel per partition;
-    * no state crosses batches.
+    * pandas-batch UDF: the decoder sees `batchSize` payloads at a
+    * time, so a vectorized implementation can amortize per-batch
+    * state. Runs fully parallel per partition; no state crosses
+    * batches. Only (doc_id, content) is read — metadata columns are
+    * pruned before the payload bytes move.
     */
-  def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeature] = {
+  def decodeWith[F: org.apache.spark.sql.Encoder](
+      media: DataFrame,
+      decoder: MediaDecoder[F],
+      batchSize: Int = 64,
+  ): Dataset[F] = {
     val spark = media.sparkSession
     import spark.implicits._
     media
       .select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.grouped(batchSize).flatMap { batch =>
-          // ---- stubbed vectorized decode over `batch` ----
-          batch.map { case (id, bytes) =>
-            MediaFeature(
-              doc_id = id,
-              n_bytes = bytes.length,
-              head_byte = if (bytes.isEmpty) -1 else bytes(0) & 0xff,
-              checksum = md5Hex(bytes),
-            )
-          }
-        }
-      }
+      .mapPartitions(rows => rows.grouped(batchSize).flatMap(decoder.decodeBatch))
+  }
+
+  /** The oracle-gated extraction path: [[decodeWith]] on
+    * [[ByteStatsDecoder]]. */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decodeWith(media, ByteStatsDecoder, batchSize)
+  }
+
+  /** Real-codec extraction: [[decodeWith]] on [[ImageIoDecoder]]. */
+  def extractImageFeatures(media: DataFrame, batchSize: Int = 64): Dataset[ImageFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decodeWith(media, new ImageIoDecoder(), batchSize)
   }
 
   /** Deterministic fake "frame sampling": n evenly spaced fixed-width

@@ -199,6 +199,66 @@ class MonitorSpec extends AnyFunSuite {
     )
   }
 
+  test("ingestion metrics: mixed good/bad run exports queryable per-batch counts and timing") {
+    val src        = tmpDir("monm_src")
+    val landing    = tmpDir("monm_landing")
+    val failed     = tmpDir("monm_failed")
+    val checkpoint = tmpDir("monm_ckpt")
+    val metrics    = tmpDir("monm_metrics")
+
+    writeFile(src, "a.ocsf.json", s"[${finding("m-1")}, ${finding("m-2")}]")
+    writeFile(src, "b.ocsf.json", "{ this is not valid json")
+    writeFile(src, "c.ocsf.json", s"[${finding("m-3")}]")
+
+    // one batch per file → three metrics rows with per-batch resolution
+    val q = Monitor.run(
+      spark, src, landing, failed, checkpoint,
+      maxFilesPerTrigger = Some(1), metricsPath = Some(metrics),
+    )
+    q.awaitTermination()
+
+    assert(Landing.read(spark, landing).count() === 3)
+    val rows = IngestMetrics.perBatch(spark, metrics).collect()
+    assert(rows.length === 3, s"expected 3 batches, got ${rows.toSeq}")
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId.keySet === Set(0L, 1L, 2L))
+    // totals across batches match the landed/failed row counts
+    assert(rows.map(_.getAs[Long]("good_rows")).sum === 3L)
+    assert(rows.map(_.getAs[Long]("corrupt_rows")).sum === 1L)
+    // the corrupt file's batch reports exactly (0 good, 1 corrupt) —
+    // batch order follows file mod times, so locate it by shape
+    assert(
+      rows.exists(r => r.getAs[Long]("good_rows") === 0L && r.getAs[Long]("corrupt_rows") === 1L),
+      s"no (0 good, 1 corrupt) batch among ${rows.toSeq}",
+    )
+    assert(rows.forall(_.getAs[Long]("duration_ms") >= 0L))
+
+    val s = IngestMetrics.summary(spark, metrics).collect()(0)
+    assert(s.getAs[Long]("batches") === 3L)
+    assert(s.getAs[Long]("good_rows") === 3L)
+    assert(s.getAs[Long]("corrupt_rows") === 1L)
+    assert(s.getAs[Double]("rows_per_sec") > 0.0)
+
+    // restart on the same checkpoint: no new batches → no new metrics
+    // rows; a late file adds exactly one more
+    val q2 = Monitor.run(
+      spark, src, landing, failed, checkpoint,
+      maxFilesPerTrigger = Some(1), metricsPath = Some(metrics),
+    )
+    q2.awaitTermination()
+    assert(IngestMetrics.perBatch(spark, metrics).count() === 3)
+
+    writeFile(src, "d.ocsf.json", s"[${finding("m-4")}]")
+    val q3 = Monitor.run(
+      spark, src, landing, failed, checkpoint,
+      maxFilesPerTrigger = Some(1), metricsPath = Some(metrics),
+    )
+    q3.awaitTermination()
+    val after = IngestMetrics.perBatch(spark, metrics).collect()
+    assert(after.length === 4)
+    assert(after.map(_.getAs[Long]("good_rows")).sum === 4L)
+  }
+
   test("backpressure: maxFilesPerTrigger=1 drains a backlog in bounded batches") {
     val src        = tmpDir("monb_src")
     val landing    = tmpDir("monb_landing")

@@ -404,6 +404,84 @@ class StagingSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(stagingRoot, "_CLAIM_v2")), "own claim must be released")
   }
 
+  test("chaos: two interleaved mergeRuns racing compaction, 100 schedules, no lost or clobbered commit") {
+    // The multi-writer drill behind the single-writer claim: every
+    // schedule races two full mergeRuns (claim → compact → CAS commit)
+    // from randomized offsets, with a seeded chaos delay injected into
+    // each writer's pre-commit window (the TOCTOU window the claim
+    // re-check and pointer CAS guard). Invariants per schedule:
+    //   1. at least one writer commits; a loser fails ONLY with the
+    //      loud ConcurrentModificationException (never silently);
+    //   2. the committed snapshot is complete — every landed key is in
+    //      the current version (no lost update, no torn snapshot);
+    //   3. the commit lock and both claim files are released;
+    //   4. the pointer only ever advances.
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val landingDir  = tmpDir("landing_chaos")
+    val stagingRoot = tmpDir("staging_chaos")
+    val rnd         = new scala.util.Random(42)
+    val iterations  = 100
+    var committed   = -1L
+    var expectRows  = 0L
+
+    def appendDoc(i: Int): Unit = {
+      val doc = richFinding
+        .replace("boann:sast:snyk:fingerprint:abc", s"boann:sast:snyk:fingerprint:chaos$i")
+      Landing.append(spark.read.schema(OcsfModel.ocsfFinding).json(Seq(doc).toDS()), landingDir)
+      expectRows += 1
+    }
+
+    appendDoc(0)
+    (1 to iterations).foreach { i =>
+      // fresh data on a third of the schedules: races over both
+      // data-carrying and no-op compactions
+      if (i % 3 == 0) appendDoc(i)
+      val results = new java.util.concurrent.ConcurrentHashMap[Int, Either[Throwable, Long]]()
+      val delays  = Array.fill(4)(rnd.nextInt(40).toLong)
+      val threads = (0 to 1).map { w =>
+        new Thread(() => {
+          try {
+            Thread.sleep(delays(w))
+            val n = Staging.mergeRun(
+              spark, landingDir, stagingRoot, None,
+              () => Thread.sleep(delays(2 + w)), // chaos inside the pre-commit window
+            )
+            results.put(w, Right(n))
+          } catch { case t: Throwable => results.put(w, Left(t)) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      val outcomes = (0 to 1).map(results.get)
+      val wins     = outcomes.collect { case Right(n) => n }
+      val losses   = outcomes.collect { case Left(t) => t }
+      assert(wins.nonEmpty, s"iter $i: both writers failed: ${losses.map(_.toString)}")
+      losses.foreach { t =>
+        assert(
+          t.isInstanceOf[java.util.ConcurrentModificationException],
+          s"iter $i: loser must fail loudly with CME, got $t",
+        )
+      }
+      wins.foreach(n => assert(n === expectRows, s"iter $i: winner wrote $n of $expectRows rows"))
+
+      val ptr = Staging.currentVersion(spark, stagingRoot)
+      assert(ptr.exists(_ > committed), s"iter $i: pointer $ptr did not advance past $committed")
+      committed = ptr.get
+      val lock = Paths.get(stagingRoot, "_COMMIT_LOCK")
+      assert(!Files.exists(lock), s"iter $i: commit lock leaked")
+      val claims = Files.list(Paths.get(stagingRoot)).toArray
+        .map(_.toString).filter(_.contains("_CLAIM_"))
+      assert(claims.isEmpty, s"iter $i: leaked claims: ${claims.mkString(",")}")
+      // bound the version-dir population so listing stays O(keep)
+      if (i % 20 == 0) Staging.vacuumVersions(spark, stagingRoot, keep = 2)
+    }
+    // the final snapshot is the complete merge of everything landed
+    val cur = Staging.readCurrent(spark, stagingRoot).get
+    assert(cur.count() === expectRows)
+    assert(cur.select("finding_uid").distinct().count() === expectRows)
+  }
+
   test("installed UID pattern is enforced at mergeRun compaction time too") {
     import spark.implicits._
     val docs        = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())

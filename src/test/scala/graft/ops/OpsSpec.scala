@@ -553,6 +553,40 @@ class OpsSpec extends AnyFunSuite {
     assert(new String(frames.head, "UTF-8") === "wide")
   }
 
+  test("multimodal: ImageIoDecoder decodes real PNG payloads, isolates corrupt ones row-level") {
+    // real codec on the MediaDecoder contract: encode solid-color PNGs
+    // with javax.imageio, decode them back through the batched
+    // extraction path, and verify dimensions + luminance from pixels
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, png(8, 6, 0xffffff)),             // white: luma 255
+      (2L, png(3, 5, 0x000000)),             // black: luma 0
+      (3L, "not an image".getBytes("UTF-8")), // undecodable -> ok=false row
+    ).toDF("doc_id", "content")
+    val feats = Multimodal.extractImageFeatures(media, batchSize = 2)
+      .collect().sortBy(_.doc_id)
+    assert(feats.map(f => (f.ok, f.width, f.height)).toSeq ===
+      Seq((true, 8, 6), (true, 3, 5), (false, 0, 0)))
+    assert(math.abs(feats(0).mean_luma - 255.0) < 0.5)
+    assert(feats(1).mean_luma === 0.0)
+    assert(feats(2).err.nonEmpty)
+    // the generic contract accepts any decoder/feature type
+    val custom = Multimodal.decodeWith(
+      media,
+      new Multimodal.MediaDecoder[(Long, Int)] {
+        def decode(id: Long, b: Array[Byte]): (Long, Int) = (id, b.length)
+      },
+    ).collect().sortBy(_._1)
+    assert(custom.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(custom.forall(_._2 > 0))
+  }
+
   test("corpus pipeline: quality + language gates, exact and fuzzy dedup composed") {
     val base    = "the data pipeline processes " + (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = "the data pipeline processes " + (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY"
