@@ -597,11 +597,51 @@ object Similarity {
       centroids: DataFrame,
       nprobe: Int,
       queryPred: Column,
+  ): DataFrame =
+    ivfTopKFromIndex(ivfIndex(df, idCol, embCol, centroids), idCol, embCol, k, centroids, nprobe, queryPred)
+
+  /** The PERSISTED form of the IVF index: one `(id, emb, nrm, cent_id)`
+    * row per vector, coarse assignment frozen at build time. Write it
+    * partitioned by `cent_id` and a probe reads only its cells. */
+  def ivfIndex(df: DataFrame, idCol: String, embCol: String, centroids: DataFrame): DataFrame =
+    ivfAssign(withNorm(df, embCol), centroids, idCol, embCol, nprobe = 1)
+      .select(col(idCol), col(embCol), col("nrm"), col("cent_id"))
+
+  /** Incremental index maintenance — the 100 TB path for a corpus that
+    * keeps growing: an arriving batch is assigned to the EXISTING
+    * coarse quantizer and appended; already-indexed rows are never
+    * touched (append-only storage, one map-side assignment pass over
+    * the delta only). Result-identical to rebuilding from scratch with
+    * the same centroids (pinned in OpsSpec), because assignment is a
+    * pure per-row function of the frozen centroid set. Centroid drift
+    * under a shifting distribution is the standard periodic-offline
+    * concern ([[ivfRefine]] over a [[trainingSample]], then one full
+    * re-encode) — exactly the operational split production ANN systems
+    * use, never a per-batch cost. */
+  def ivfAppend(
+      index: DataFrame,
+      batch: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      embCol: String,
+  ): DataFrame =
+    index.unionByName(ivfIndex(batch, idCol, embCol, centroids))
+
+  /** [[ivfTopK]] over a prebuilt (possibly incrementally-appended)
+    * [[ivfIndex]]: candidates come straight from the stored cells; only
+    * the (small) query side recomputes a multi-probe assignment. */
+  def ivfTopKFromIndex(
+      index: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      centroids: DataFrame,
+      nprobe: Int,
+      queryPred: Column,
   ): DataFrame = {
-    val base = withNorm(df, embCol)
-    val cand = ivfAssign(base, centroids, idCol, embCol, nprobe = 1)
+    val cand = index
       .select(col(idCol).as("n_id"), col(embCol).as("n_emb"), col("nrm").as("n_nrm"), col("cent_id"))
-    val qry = ivfAssign(base.filter(queryPred), centroids, idCol, embCol, nprobe = nprobe)
+    val qry = ivfAssign(index.filter(queryPred).drop("cent_id"), centroids, idCol, embCol, nprobe = nprobe)
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"), col("nrm").as("q_nrm"), col("cent_id"))
     val scored = cand
       .join(broadcast(qry), Seq("cent_id"))

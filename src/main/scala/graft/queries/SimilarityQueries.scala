@@ -869,8 +869,64 @@ object SimilarityQueries {
       .select("q_id", "n_id", "adc", "rnk")
   }
 
+  /** Incremental IVF index maintenance ([[Similarity.ivfAppend]]): the
+    * coarse quantizer is trained on the FIRST HALF of the corpus only
+    * (even vec_ids), that half is indexed, and the second half arrives
+    * later as a delta assigned to the frozen centroids and appended —
+    * the 100 TB growth path where per-batch re-training is a
+    * non-starter. The oracle assigns the whole corpus to the same
+    * frozen centroid set, so the differential checks that the
+    * incremental build reaches exactly the from-scratch index (the
+    * identity OpsSpec also pins structurally); the probe then runs the
+    * standard nprobe=2 in-cell ranking over it. */
+  private val annIvfAppendTopK = Q(
+    "sim_ann_ivf_append_topk",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e
+       |  WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16),
+       |asg AS (
+       |  SELECT vec_id, cent_id, ccos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |  FROM (
+       |    SELECT e.vec_id, cent_id,
+       |      ${duckDot("e.embedding", "cemb")} / (e.nrm * cnrm) AS ccos
+       |    FROM e CROSS JOIN cent)),
+       |cand AS (SELECT vec_id, cent_id FROM asg WHERE crk = 1),
+       |qry AS (SELECT vec_id, cent_id FROM asg WHERE crk <= 2 AND vec_id < 10),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${duckDot("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm) AS cos
+       |  FROM qry q JOIN cand c ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+       |    JOIN e qe ON qe.vec_id = q.vec_id JOIN e ce ON ce.vec_id = c.vec_id)
+       |SELECT q_id, n_id, cos, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM pairs)
+       |WHERE rnk <= 3""".stripMargin,
+  ) { (s, d) =>
+    val emb       = embeddings(s, d)
+    val first     = emb.filter(col("vec_id") % 2 === 0)
+    val delta     = emb.filter(col("vec_id") % 2 === 1)
+    val centroids = Similarity.ivfCentroids(first, "vec_id", "embedding", 16)
+    val index     = Similarity.ivfIndex(first, "vec_id", "embedding", centroids)
+    val appended  = Similarity.ivfAppend(index, delta, centroids, "vec_id", "embedding")
+    Similarity
+      .ivfTopKFromIndex(
+        appended,
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+        centroids = centroids,
+        nprobe = 2,
+        queryPred = col("vec_id") < 10,
+      )
+      .select("q_id", "n_id", "cos", "rnk")
+  }
+
   val all: Seq[Q] =
     Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
       annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
-      annIvfPqSampledTopK)
+      annIvfPqSampledTopK, annIvfAppendTopK)
 }

@@ -553,6 +553,40 @@ class OpsSpec extends AnyFunSuite {
     assert(new String(frames.head, "UTF-8") === "wide")
   }
 
+  test("ivfAppend: incremental index equals from-scratch rebuild; delta-only assignment; probes agree") {
+    val gen = new scala.util.Random(7)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(16)(gen.nextFloat() * 2 - 1)))
+    val emb  = vecs.toDF("vec_id", "embedding")
+    val a    = emb.filter(col("vec_id") < 40)
+    val b    = emb.filter(col("vec_id") >= 40)
+    val cents = Similarity.ivfCentroids(a, "vec_id", "embedding", 8)
+
+    // append(delta) == rebuild(full) with the same frozen quantizer:
+    // assignment is a pure per-row function of the centroid set
+    def cells(ix: org.apache.spark.sql.DataFrame) =
+      ix.select("vec_id", "cent_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val incremental = Similarity.ivfAppend(
+      Similarity.ivfIndex(a, "vec_id", "embedding", cents), b, cents, "vec_id", "embedding")
+    val fromScratch = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+    assert(cells(incremental) === cells(fromScratch))
+    assert(incremental.count() === 60L)
+
+    // the existing rows are untouched by an append: same (id, cell)
+    // rows before and after, plus exactly the delta's
+    val before = cells(Similarity.ivfIndex(a, "vec_id", "embedding", cents))
+    assert(cells(incremental).filter(_._1 < 40L) === before)
+
+    // a probe over the appended index equals the one-shot ivfTopK
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "rnk").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val viaIndex = Similarity.ivfTopKFromIndex(
+      incremental, "vec_id", "embedding", k = 2, cents, nprobe = 2, col("vec_id") < 5)
+    val oneShot = Similarity.ivfTopK(
+      emb, "vec_id", "embedding", k = 2, cents, nprobe = 2, col("vec_id") < 5)
+    assert(top(viaIndex) === top(oneShot))
+    assert(top(viaIndex).nonEmpty)
+  }
+
   test("multimodal: ImageIoDecoder decodes real PNG payloads, isolates corrupt ones row-level") {
     // real codec on the MediaDecoder contract: encode solid-color PNGs
     // with javax.imageio, decode them back through the batched
