@@ -738,7 +738,55 @@ object Similarity {
       dim: Int,
   ): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
-    pqEncodeFromSubs(pqSubvectors(df, idCol, embCol, m, dim / m), codebook, idCol)
+    pqEncodeLiteralDim(df, codebook, idCol, embCol, m, dim)
+  }
+
+  /** Collect an m-subspace codebook into a dense driver-side array.
+    * Bounded by construction: m × ksub × dsub longs — PQ constants,
+    * independent of corpus size (the [[srpPlaneLiterals]] precedent:
+    * index parameters may live on the driver, corpus data never). */
+  private def codebookArray(codebook: DataFrame, m: Int): Seq[Seq[Seq[Long]]] = {
+    val rows  = codebook.select(col("sub_id"), col("code_id"), col("code")).collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    require(
+      bySub.keySet == (0 until m).toSet,
+      s"codebook must cover sub_ids 0..${m - 1}, got ${bySub.keySet.toSeq.sorted}",
+    )
+    (0 until m).map { s =>
+      val entries = bySub(s).sortBy(_.getInt(1))
+      require(
+        entries.zipWithIndex.forall { case (r, i) => r.getInt(1) == i },
+        s"codebook sub_id=$s must be dense in code_id",
+      )
+      entries.map(_.getSeq[Long](2).toIndexedSeq: Seq[Long]).toIndexedSeq: Seq[Seq[Long]]
+    }
+  }
+
+  /** MAP-ONLY PQ encode: the codebook is collected once
+    * ([[codebookArray]], a few KB by PQ construction) and carried
+    * inside a native one-pass expression
+    * ([[graft.functions.PqEncodeInt8Expr]]) that quantizes the vector
+    * and computes the m argmins in tight integer loops. No subvector
+    * explode, no broadcast join, no argmin exchange, no re-collect
+    * groupBy: the whole encode pass is one projection over the corpus
+    * scan — at 100 TB the difference between a zero-shuffle stage and
+    * two N·m-row exchanges. */
+  private def pqEncodeLiteralDim(
+      df: DataFrame,
+      codebook: DataFrame,
+      idCol: String,
+      embCol: String,
+      m: Int,
+      dim: Int,
+  ): DataFrame = {
+    val cb = codebookArray(codebook, m).map(_.map(_.toArray).toArray).toArray
+    require(cb(0)(0).length == dim / m, s"codebook dsub ${cb(0)(0).length} != dim/m = ${dim / m}")
+    df.select(
+      col(idCol),
+      graft.functions.PqEncodeInt8Expr
+        .pq_encode(df.sparkSession, col(embCol), cb)
+        .as("pq_codes"),
+    )
   }
 
   /** The (id, sub_id, qsub) quantized-subvector table every PQ stage
@@ -762,30 +810,6 @@ object Similarity {
           )
         ).as(Seq("sub_id", "qsub")),
       )
-
-  private def pqEncodeFromSubs(
-      subs: DataFrame,
-      codebook: DataFrame,
-      idCol: String,
-  ): DataFrame = {
-    val dist = aggregate(
-      zip_with(col("qsub"), col("code"), (a, b) => (a - b) * (a - b)),
-      lit(0L),
-      (acc, v) => acc + v,
-    )
-    subs
-      .join(broadcast(codebook), Seq("sub_id"))
-      .select(col(idCol), col("sub_id"), col("code_id"), dist.as("__d"))
-      .groupBy(col(idCol), col("sub_id"))
-      .agg(min(struct(col("__d"), col("code_id"))).getField("code_id").as("code_id"))
-      .groupBy(col(idCol))
-      .agg(
-        transform(
-          array_sort(collect_list(struct(col("sub_id"), col("code_id")))),
-          x => x("code_id"),
-        ).as("pq_codes")
-      )
-  }
 
   /** Per-subspace Lloyd refinement of an int8 PQ codebook — the
     * trained-codebook step a real index runs between seeding and
@@ -913,21 +937,17 @@ object Similarity {
     val dim  = resolveDim(df, embCol, -1)
     val dsub = dim / m
     val cb0  = pqTrainInt8Dim(df, idCol, embCol, m, ksub, dim)
-    // With training on, the corpus subvector table feeds every Lloyd
-    // round AND the encode pass — materialize it once and share.
+    // Training scans only the (bounded when trainSample > 0) training
+    // set's subvector table; the encode pass is the map-only literal
+    // form, so the full-corpus subvector materialization of earlier
+    // rounds is gone entirely.
     val (cb, enc) =
       if (trainIters == 0) (cb0, pqEncodeInt8Dim(df, cb0, idCol, embCol, m, dim))
       else {
-        val subs = pqSubvectors(df, idCol, embCol, m, dsub).localCheckpoint()
-        // trainSample > 0: Lloyd rounds scan only the bounded training
-        // set's subvectors; the full table feeds the one encode pass.
-        val trainSubs =
-          if (trainSample > 0)
-            pqSubvectors(trainingSample(df, idCol, trainSample), idCol, embCol, m, dsub)
-              .localCheckpoint()
-          else subs
-        val refined = pqRefineFromSubs(trainSubs, cb0, idCol, trainIters)
-        (refined, pqEncodeFromSubs(subs, refined, idCol))
+        val trainDf   = if (trainSample > 0) trainingSample(df, idCol, trainSample) else df
+        val trainSubs = pqSubvectors(trainDf, idCol, embCol, m, dsub).localCheckpoint()
+        val refined   = pqRefineFromSubs(trainSubs, cb0, idCol, trainIters)
+        (refined, pqEncodeInt8Dim(df, refined, idCol, embCol, m, dim))
       }
     val qsubs = quantizeInt8(df.filter(queryPred), embCol)
       .select(
@@ -998,20 +1018,14 @@ object Similarity {
     val dsub = dim / m
     val base = withNorm(df, embCol)
     val cb0  = pqTrainInt8Dim(df, idCol, embCol, m, ksub, dim)
-    // Same shared-subvector materialization as pqAdcTopK.
+    // Same bounded-training + literal-encode split as pqAdcTopK.
     val (cb, enc) =
       if (trainIters == 0) (cb0, pqEncodeInt8Dim(df, cb0, idCol, embCol, m, dim))
       else {
-        val subs = pqSubvectors(df, idCol, embCol, m, dsub).localCheckpoint()
-        // trainSample > 0: Lloyd rounds scan only the bounded training
-        // set's subvectors; the full table feeds the one encode pass.
-        val trainSubs =
-          if (trainSample > 0)
-            pqSubvectors(trainingSample(df, idCol, trainSample), idCol, embCol, m, dsub)
-              .localCheckpoint()
-          else subs
-        val refined = pqRefineFromSubs(trainSubs, cb0, idCol, trainIters)
-        (refined, pqEncodeFromSubs(subs, refined, idCol))
+        val trainDf   = if (trainSample > 0) trainingSample(df, idCol, trainSample) else df
+        val trainSubs = pqSubvectors(trainDf, idCol, embCol, m, dsub).localCheckpoint()
+        val refined   = pqRefineFromSubs(trainSubs, cb0, idCol, trainIters)
+        (refined, pqEncodeInt8Dim(df, refined, idCol, embCol, m, dim))
       }
     val candCells = ivfAssign(base, centroids, idCol, embCol, nprobe = 1)
       .select(col(idCol), col("cent_id"))

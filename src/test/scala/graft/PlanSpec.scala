@@ -223,6 +223,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ encode is map-only: literal codebook, zero exchanges, zero joins") {
+    // The corpus-side encode pass carries the m×ksub×dsub codebook as a
+    // literal and computes each vector's codes with a higher-order
+    // argmin fold — one projection over the scan. Any Exchange or Join
+    // here means the encode regained a per-subspace row stream.
+    val spark = SparkTestBase.spark
+    val emb   = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cb  = graft.ops.Similarity.pqTrainInt8(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val enc = graft.ops.Similarity.pqEncodeInt8(emb, cb, "vec_id", "embedding", m = 8)
+    enc.collect()
+    val p = enc.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"encode must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"encode must not join:\n$p")
+  }
+
   test("native signature stages are map-only: no shingle explode in the plan") {
     // Both queries compute per-document signatures via native one-pass
     // expressions (SimHash64Md5Expr / MinHashMd5Expr); a shingle
