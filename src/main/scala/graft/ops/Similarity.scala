@@ -959,26 +959,53 @@ object Similarity {
           )
         ).as(Seq("sub_id", "qsub")),
       )
+    val lut  = adcLut(qsubs, cb)
+    val cand = enc.select(col(idCol).as("n_id"), col("pq_codes"))
+    val w    = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
+    // One joined row per (candidate, query); the score is the native
+    // m-lookup fold — no per-code explode, no SUM aggregate. The
+    // broadcast side is queries-small; the candidate side streams.
+    cand
+      .join(broadcast(lut), col("n_id") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        graft.functions.AdcScoreExpr
+          .adc_score(df.sparkSession, col("pq_codes"), col("lut"))
+          .as("adc"),
+      )
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Per-query ADC lookup table as ONE row per query: `lut[s][c]` is
+    * the integer partial dot of the query's s-th subvector with
+    * codebook entry c — m×ksub longs per query, assembled from the
+    * broadcast codebook join and collected into a nested array so the
+    * scoring scan reads it with two index lookups per subspace. */
+  private def adcLut(qsubs: DataFrame, cb: DataFrame): DataFrame = {
     val pdot = aggregate(
       zip_with(col("qsub"), col("code"), (a, b) => a * b),
       lit(0L),
       (acc, v) => acc + v,
     )
-    val lut = qsubs
+    qsubs
       .join(broadcast(cb), Seq("sub_id"))
       .select(col("q_id"), col("sub_id"), col("code_id"), pdot.as("pdot"))
-    val candCodes = enc.select(
-      col(idCol).as("n_id"),
-      posexplode(col("pq_codes")).as(Seq("sub_id", "code_id")),
-    )
-    val w = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
-    candCodes
-      .join(broadcast(lut), Seq("sub_id", "code_id"))
-      .filter(col("n_id") =!= col("q_id"))
-      .groupBy("q_id", "n_id")
-      .agg(sum(col("pdot")).as("adc"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+      .groupBy(col("q_id"), col("sub_id"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("code_id"), col("pdot")))),
+          x => x("pdot"),
+        ).as("__row")
+      )
+      .groupBy(col("q_id"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("sub_id"), col("__row")))),
+          x => x("__row"),
+        ).as("lut")
+      )
   }
 
   /** IVF-PQ top-k — the billion-scale index composition (Jégou et
@@ -1029,13 +1056,9 @@ object Similarity {
       }
     val candCells = ivfAssign(base, centroids, idCol, embCol, nprobe = 1)
       .select(col(idCol), col("cent_id"))
-    val candCodes = enc
+    val cand = enc
       .join(candCells, idCol)
-      .select(
-        col(idCol).as("n_id"),
-        col("cent_id"),
-        posexplode(col("pq_codes")).as(Seq("sub_id", "code_id")),
-      )
+      .select(col(idCol).as("n_id"), col("cent_id"), col("pq_codes"))
     val qCells = ivfAssign(base.filter(queryPred), centroids, idCol, embCol, nprobe)
       .select(col(idCol).as("q_id"), col("cent_id"))
     val qsubs = quantizeInt8(df.filter(queryPred), embCol)
@@ -1048,21 +1071,21 @@ object Similarity {
           )
         ).as(Seq("sub_id", "qsub")),
       )
-    val pdot = aggregate(
-      zip_with(col("qsub"), col("code"), (a, b) => a * b),
-      lit(0L),
-      (acc, v) => acc + v,
-    )
-    val routedLut = qsubs
-      .join(broadcast(cb), Seq("sub_id"))
-      .select(col("q_id"), col("sub_id"), col("code_id"), pdot.as("pdot"))
-      .join(qCells, Seq("q_id"))
-    val w = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
-    candCodes
-      .join(broadcast(routedLut), Seq("cent_id", "sub_id", "code_id"))
+    val routedLut = adcLut(qsubs, cb).join(qCells, Seq("q_id"))
+    val w         = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
+    // Probed-cell equi-join, one row per (candidate, probing query);
+    // the native m-lookup fold scores it — no per-code explode, no SUM
+    // aggregate ([[pqAdcTopK]]'s shape, routed by cent_id).
+    cand
+      .join(broadcast(routedLut), Seq("cent_id"))
       .filter(col("n_id") =!= col("q_id"))
-      .groupBy("q_id", "n_id")
-      .agg(sum(col("pdot")).as("adc"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        graft.functions.AdcScoreExpr
+          .adc_score(df.sparkSession, col("pq_codes"), col("lut"))
+          .as("adc"),
+      )
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
