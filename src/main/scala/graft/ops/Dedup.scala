@@ -1127,6 +1127,51 @@ object Dedup {
     docs.join(dropIds, docs(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Leakage-aware train/validation split: assign every near-dup
+    * COMPONENT — not every document — atomically to a split, so two
+    * near-duplicate documents can never land on opposite sides of the
+    * train/eval boundary. A plain per-document hash split leaks: a
+    * training document's near-twin in the validation set inflates eval
+    * scores exactly the way test-set contamination does (the
+    * within-corpus analog of [[decontaminate]]'s train-vs-benchmark
+    * concern). Splitting on the component canonical id closes that
+    * channel by construction.
+    *
+    * The split key is the component's canonical (minimum) member id,
+    * hashed with [[Sampling.hashFraction]]'s md5 fraction — pure
+    * content hash, no RNG, so the split is reproducible across engines
+    * and runs, and retuning `validFraction` upward only MOVES whole
+    * components train→valid (nested-sample property, per component).
+    * Documents in no near-dup pair are their own singleton component.
+    *
+    * Scale shape: [[clusterPairs]]' O(log² n) contraction over the
+    * pair table (|near-dup docs| rows, not |corpus|), then ONE
+    * left join of the corpus against that component map (AQE
+    * broadcastable while small, shuffled hash join beyond) and a
+    * map-only hash predicate. The incremental cost over a naive
+    * leaky hash split is the component join alone. */
+  def componentSplit(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      validFraction: Double,
+  ): DataFrame = {
+    require(
+      validFraction > 0 && validFraction < 1,
+      s"validFraction must be in (0, 1), got $validFraction",
+    )
+    val comp = clusterPairs(pairs).select(col("doc_id").as("__cid"), col("component"))
+    docs
+      .join(comp, docs(idCol) === col("__cid"), "left")
+      .withColumn("component", coalesce(col("component"), docs(idCol)))
+      .drop("__cid")
+      .withColumn(
+        "split",
+        when(Sampling.hashFraction(col("component")) < lit(validFraction), lit("valid"))
+          .otherwise(lit("train")),
+      )
+  }
+
   /** md5 oracle twin of [[simhash64Xx]] — the same twin pattern as
     * [[minhashSignatures]] vs [[minhashSignaturesXx]]: a 64-bit
     * signature whose per-shingle hash any engine reproduces, so the

@@ -978,28 +978,33 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
-  /** Per-query ADC lookup table as ONE row per query: `lut[s][c]` is
+  /** Per-query ADC lookup table as ONE row per key: `lut[s][c]` is
     * the integer partial dot of the query's s-th subvector with
-    * codebook entry c — m×ksub longs per query, assembled from the
+    * codebook entry c — m×ksub longs per key, assembled from the
     * broadcast codebook join and collected into a nested array so the
-    * scoring scan reads it with two index lookups per subspace. */
-  private def adcLut(qsubs: DataFrame, cb: DataFrame): DataFrame = {
+    * scoring scan reads it with two index lookups per subspace.
+    *
+    * `keyCols` is `(q_id)` for the global-codebook paths and
+    * `(q_id, cent_id)` for the residual path, where the query's
+    * residual — and therefore its LUT — differs per probed cell. */
+  private def adcLut(qsubs: DataFrame, cb: DataFrame, keyCols: Seq[String] = Seq("q_id")): DataFrame = {
     val pdot = aggregate(
       zip_with(col("qsub"), col("code"), (a, b) => a * b),
       lit(0L),
       (acc, v) => acc + v,
     )
+    val keys = keyCols.map(col)
     qsubs
       .join(broadcast(cb), Seq("sub_id"))
-      .select(col("q_id"), col("sub_id"), col("code_id"), pdot.as("pdot"))
-      .groupBy(col("q_id"), col("sub_id"))
+      .select(keys :+ col("sub_id") :+ col("code_id") :+ pdot.as("pdot"): _*)
+      .groupBy(keys :+ col("sub_id"): _*)
       .agg(
         transform(
           array_sort(collect_list(struct(col("code_id"), col("pdot")))),
           x => x("pdot"),
         ).as("__row")
       )
-      .groupBy(col("q_id"))
+      .groupBy(keys: _*)
       .agg(
         transform(
           array_sort(collect_list(struct(col("sub_id"), col("__row")))),
@@ -1078,6 +1083,97 @@ object Similarity {
     // aggregate ([[pqAdcTopK]]'s shape, routed by cent_id).
     cand
       .join(broadcast(routedLut), Seq("cent_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        graft.functions.AdcScoreExpr
+          .adc_score(df.sparkSession, col("pq_codes"), col("lut"))
+          .as("adc"),
+      )
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** RESIDUAL IVF-PQ top-k — the classic Jégou et al. IVFADC layout:
+    * each vector is PQ-encoded not on its raw embedding but on its
+    * residual x − c(x) against its own coarse centroid. Residuals
+    * cluster tightly around the origin, so the same m×ksub codebook
+    * budget spends its resolution on the part of the vector the coarse
+    * quantizer did NOT explain — the accuracy-per-byte argument for
+    * residual encoding (Jégou, Douze, Schmid 2011 §IV.B; Faiss
+    * `IVFx,PQy` default).
+    *
+    * The integer ladder is preserved: residuals are computed in double
+    * (float operands widen exactly, subtraction is exactly rounded)
+    * and rounded once to float, then the UNCHANGED int8 PQ machinery —
+    * [[pqTrainInt8]] seeding, [[PqEncodeInt8Expr]] map-only encode,
+    * integer ADC — runs over the residual column, so training,
+    * encoding, and ranking remain bit-reproducible and the oracle
+    * replays every stage (`CAST(x - c AS REAL)` is the same
+    * round-to-nearest-even in any IEEE engine). This closes the
+    * "residual needs float tolerance" caveat: only the residual
+    * itself is float, and its rounding is exact-by-construction.
+    *
+    * The query-time consequence of residual codes: a query's ADC LUT
+    * depends on WHICH cell it probes (its residual differs per
+    * centroid), so the LUT is keyed (q_id, cent_id) — nprobe LUT rows
+    * per query instead of one, still queries-side small and broadcast.
+    * Candidate rows carry cell id + m codes, as before.
+    *
+    * Dataflow: two [[ivfAssign]] passes (corpus nprobe=1 hash
+    * aggregate, queries nprobe=n window), one broadcast centroid join
+    * per side to form residuals, map-only encode, broadcast LUT join
+    * on cent_id, per-query window cut. No new shuffle shape vs
+    * [[annIvfPqTopK]]. */
+  def annIvfPqResidualTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      m: Int,
+      ksub: Int,
+      centroids: DataFrame,
+      nprobe: Int,
+      queryPred: Column,
+  ): DataFrame = {
+    val dim  = resolveDim(df, embCol, -1)
+    val dsub = dim / m
+    val base = withNorm(df, embCol)
+    val cemb = centroids.select(col("cent_id"), col("cent_emb"))
+    // residual against the row's assigned cell (cent_id already present)
+    def resid(in: DataFrame): DataFrame =
+      in.join(broadcast(cemb), Seq("cent_id"))
+        .withColumn(
+          "res",
+          zip_with(col(embCol), col("cent_emb"), (x, c) => (x.cast("double") - c.cast("double")).cast("float")),
+        )
+        .drop("cent_emb")
+    val cres = resid(ivfAssign(base, centroids, idCol, embCol, nprobe = 1))
+    val cb   = pqTrainInt8Dim(cres, idCol, "res", m, ksub, dim)
+    val cbArr = codebookArray(cb, m).map(_.map(_.toArray).toArray).toArray
+    require(cbArr(0)(0).length == dsub, s"codebook dsub ${cbArr(0)(0).length} != dim/m = $dsub")
+    val cand = cres.select(
+      col(idCol).as("n_id"),
+      col("cent_id"),
+      graft.functions.PqEncodeInt8Expr.pq_encode(df.sparkSession, col("res"), cbArr).as("pq_codes"),
+    )
+    val qres = resid(ivfAssign(base.filter(queryPred), centroids, idCol, embCol, nprobe))
+    val qsubs = quantizeInt8(qres, "res")
+      .select(
+        col(idCol).as("q_id"),
+        col("cent_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(m - 1)),
+            s => slice(col("q_emb"), s * dsub + 1, lit(dsub)),
+          )
+        ).as(Seq("sub_id", "qsub")),
+      )
+    val lut = adcLut(qsubs, cb, Seq("q_id", "cent_id"))
+    val w   = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
+    cand
+      .join(broadcast(lut), Seq("cent_id"))
       .filter(col("n_id") =!= col("q_id"))
       .select(
         col("q_id"),

@@ -961,6 +961,47 @@ object DedupQueries {
       .select("doc_id", "source")
   }
 
+  /** Leakage-aware train/validation split ([[graft.ops.Dedup.componentSplit]]):
+    * every Jaccard near-dup COMPONENT lands atomically on one side of
+    * the split (hash of the component's canonical id), so a training
+    * document's near-twin can never sit in the validation set — the
+    * within-corpus contamination channel a per-document hash split
+    * leaves open. Oracle: recursive-CTE closure for the components,
+    * then the identical md5-fraction predicate on the canonical id. */
+  private val componentSplitQ = Q(
+    "ddp_component_split",
+    s"""${shingCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |common AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+       |  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT a_id, b_id
+       |  FROM common JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
+       |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM jp UNION SELECT b_id, a_id FROM jp),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |comp AS (SELECT s AS doc_id, least(s, min(d)) AS component FROM reach GROUP BY s)
+       |SELECT d.doc_id,
+       |  coalesce(c.component, d.doc_id) AS component,
+       |  CASE WHEN CAST(('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 6)) AS BIGINT)
+       |            / 16777216.0 < 0.2
+       |       THEN 'valid' ELSE 'train' END AS split
+       |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+  ) { (s, d) =>
+    Dedup
+      .componentSplit(
+        documents(s, d),
+        "doc_id",
+        sharedJaccardPairs(s, d).select("a_id", "b_id"),
+        validFraction = 0.2,
+      )
+      .select("doc_id", "component", "split")
+  }
+
   val all: Seq[Q] =
     Seq(exactGroups, dedupCapped, dedupIncremental, dedupIncrementalFuzzy, containmentPairsQ,
       chunkDedupQ,
@@ -971,5 +1012,5 @@ object DedupQueries {
       dedupKeepBest,
       semdedupBest, embeddingPairs,
       embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, decontaminate, corpusPrepare,
-      corpusPrepareEmb)
+      corpusPrepareEmb, componentSplitQ)
 }

@@ -315,6 +315,81 @@ object Events {
       .select(col("user_id"), col("sw.start").as("w_start"), col("sw.end").as("w_end"), col("n_events"))
   }
 
+  /** Conversion funnel ([[graft.ops.Funnel.funnelSteps]]): first view,
+    * first click strictly after it, first purchase strictly after that —
+    * per user, one shuffle, the k-step walk done with higher-order
+    * filter/array_min inside the aggregated row instead of k
+    * self-joins. Oracle: the same semantics as chained min-aggregation
+    * CTEs (the textbook SQL funnel — which IS k joins; the Spark form
+    * is the single-shuffle rewrite of it). */
+  private val funnelStepsQ = Q(
+    "evt_funnel_steps",
+    """WITH base AS (
+      |  SELECT DISTINCT user_id FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+      |       JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.ts1
+      |       WHERE e.event_type = 'click' GROUP BY 1),
+      |t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+      |       JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.ts2
+      |       WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT b.user_id, ts1 AS step1_ts, ts2 AS step2_ts, ts3 AS step3_ts,
+      |  (CASE WHEN ts1 IS NULL THEN 0 ELSE 1 END
+      |   + CASE WHEN ts2 IS NULL THEN 0 ELSE 1 END
+      |   + CASE WHEN ts3 IS NULL THEN 0 ELSE 1 END) AS steps_completed
+      |FROM base b
+      |LEFT JOIN t1 ON t1.user_id = b.user_id
+      |LEFT JOIN t2 ON t2.user_id = b.user_id
+      |LEFT JOIN t3 ON t3.user_id = b.user_id""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Funnel.funnelSteps(
+      events(s, d),
+      idCol = "user_id",
+      typeCol = "event_type",
+      tsCol = "ts",
+      steps = Seq("view", "click", "purchase"),
+    )
+  }
+
+  /** Funnel conversion rollup: reached-count + ppm conversion rate per
+    * step (integer floor arithmetic — no float-division dialect gap). */
+  private val funnelReportQ = Q(
+    "evt_funnel_report",
+    """WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+      |       JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.ts1
+      |       WHERE e.event_type = 'click' GROUP BY 1),
+      |t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+      |       JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.ts2
+      |       WHERE e.event_type = 'purchase' GROUP BY 1),
+      |n AS (SELECT (SELECT count(*) FROM t1) AS n1,
+      |             (SELECT count(*) FROM t2) AS n2,
+      |             (SELECT count(*) FROM t3) AS n3)
+      |SELECT 1 AS step, n1 AS n_reached,
+      |  CASE WHEN n1 > 0 THEN CAST(floor(n1 * 1000000 / n1) AS BIGINT) ELSE 0 END AS rate_ppm
+      |FROM n
+      |UNION ALL
+      |SELECT 2, n2,
+      |  CASE WHEN n1 > 0 THEN CAST(floor(n2 * 1000000 / n1) AS BIGINT) ELSE 0 END
+      |FROM n
+      |UNION ALL
+      |SELECT 3, n3,
+      |  CASE WHEN n1 > 0 THEN CAST(floor(n3 * 1000000 / n1) AS BIGINT) ELSE 0 END
+      |FROM n""".stripMargin,
+  ) { (s, d) =>
+    val steps = graft.ops.Funnel.funnelSteps(
+      events(s, d),
+      idCol = "user_id",
+      typeCol = "event_type",
+      tsCol = "ts",
+      steps = Seq("view", "click", "purchase"),
+    )
+    graft.ops.Funnel.funnelReport(steps, nSteps = 3)
+  }
+
   val all: Seq[Q] = Seq(
     jsonExtractGroup,
     severityCaseMap,
@@ -328,5 +403,7 @@ object Events {
     mapFilterCounts,
     mapZipSum,
     sessionWindowNative,
+    funnelStepsQ,
+    funnelReportQ,
   )
 }

@@ -251,7 +251,69 @@ object MiscQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_sum"))
   }
 
+  /** Integer-arithmetic PageRank ([[graft.ops.PageRank]]) over the
+    * symmetric supplier↔customer trade graph (distinct pairs from
+    * lineitem ⋈ orders, both directions, so no dangling nodes): 3
+    * power-iteration rounds in ppm integer units, bit-identical under
+    * any partitioning, replayed by the oracle as 3 unrolled CTE
+    * rounds. The iterative-graph operator beyond connected
+    * components: each round is join-on-src + shuffle-sum-on-dst. */
+  private val pagerankTrade = Q(
+    "misc_pagerank_trade",
+    """WITH pairs AS (
+      |  SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT 's:' || CAST(sk AS VARCHAR) AS src, 'c:' || CAST(ck AS VARCHAR) AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT 'c:' || CAST(ck AS VARCHAR), 's:' || CAST(sk AS VARCHAR) FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+      |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      |it1 AS (
+      |  SELECT n.id, CAST(150000 + (850 * coalesce(c.m, 0)) // 1000 AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN (
+      |    SELECT e.dst AS id, sum(r.r // d.d) AS m
+      |    FROM edges e JOIN r0 r ON r.id = e.src JOIN deg d ON d.src = e.src
+      |    GROUP BY 1) c ON c.id = n.id),
+      |it2 AS (
+      |  SELECT n.id, CAST(150000 + (850 * coalesce(c.m, 0)) // 1000 AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN (
+      |    SELECT e.dst AS id, sum(r.r // d.d) AS m
+      |    FROM edges e JOIN it1 r ON r.id = e.src JOIN deg d ON d.src = e.src
+      |    GROUP BY 1) c ON c.id = n.id),
+      |it3 AS (
+      |  SELECT n.id, CAST(150000 + (850 * coalesce(c.m, 0)) // 1000 AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN (
+      |    SELECT e.dst AS id, sum(r.r // d.d) AS m
+      |    FROM edges e JOIN it2 r ON r.id = e.src JOIN deg d ON d.src = e.src
+      |    GROUP BY 1) c ON c.id = n.id)
+      |SELECT id, r AS rank_ppm FROM it3""".stripMargin,
+  ) { (s, d) =>
+    val pairs = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+      .distinct()
+    // both directions from ONE scan of the distinct-pair shuffle (a
+    // union of two selects would run the distinct twice)
+    val sNode = concat(lit("s:"), col("sk").cast("string"))
+    val cNode = concat(lit("c:"), col("ck").cast("string"))
+    val edges = pairs
+      .select(
+        explode(
+          array(
+            struct(sNode.as("src"), cNode.as("dst")),
+            struct(cNode.as("src"), sNode.as("dst")),
+          )
+        ).as("e")
+      )
+      .select(col("e.src"), col("e.dst"))
+    // symmetric edge list => no dangling nodes: the fast path holds
+    graft.ops.PageRank.pageRank(edges, iters = 3, noDangling = true)
+  }
+
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
-      jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats)
+      jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
+      pagerankTrade)
 }

@@ -925,8 +925,105 @@ object SimilarityQueries {
       .select("q_id", "n_id", "cos", "rnk")
   }
 
+  /** RESIDUAL IVF-PQ (the classic IVFADC layout): candidates are
+    * PQ-encoded on x − c(x) against their own coarse centroid; a
+    * query's ADC LUT is therefore per probed CELL (its residual
+    * differs per centroid). Residuals are double-subtracted and
+    * rounded once to REAL — exactly-rounded IEEE ops both engines
+    * share — so the whole pipeline (assignment, residual, int8
+    * quantize, codebook seed, encode, per-cell LUT, ADC ranking)
+    * stays bit-replayable; the oracle runs every stage. */
+  private val annIvfPqResidualTopK = Q(
+    "sim_ann_ivf_pq_residual_topk",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |  FROM (
+       |    SELECT e.vec_id, cent_id,
+       |      ${duckDot("e.embedding", "cemb")} / (e.nrm * cnrm) AS ccos
+       |    FROM e CROSS JOIN cent)),
+       |rres AS (
+       |  SELECT a.vec_id, a.cent_id, a.crk,
+       |    list_transform(generate_series(1, 64),
+       |      i -> CAST(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE) AS REAL)) AS r
+       |  FROM asg a
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN cent c ON c.cent_id = a.cent_id
+       |  WHERE a.crk = 1 OR (a.crk <= 2 AND a.vec_id < 10)),
+       |mq AS (
+       |  SELECT vec_id, cent_id, crk,
+       |    list_transform(r,
+       |      v -> CAST(floor(CAST(v AS DOUBLE) * 127
+       |                      / (CASE WHEN s = 0 THEN 1 ELSE s END)
+       |                      + 0.5) AS BIGINT)) AS q
+       |  FROM (SELECT vec_id, cent_id, crk, r,
+       |          list_aggregate(list_transform(r,
+       |            v -> abs(CAST(v AS DOUBLE))), 'max') AS s
+       |        FROM rres)),
+       |seeds AS (
+       |  SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) - 1 AS code_id
+       |  FROM mq WHERE crk = 1
+       |    AND vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |cb AS (
+       |  SELECT sub_id, code_id, q[(sub_id*8+1):(sub_id*8+8)] AS code
+       |  FROM seeds, (SELECT unnest(generate_series(0, 7)) AS sub_id)),
+       |csubs AS (
+       |  SELECT vec_id, cent_id, sub_id, q[(sub_id*8+1):(sub_id*8+8)] AS qsub
+       |  FROM mq, (SELECT unnest(generate_series(0, 7)) AS sub_id)
+       |  WHERE crk = 1),
+       |encpq AS (
+       |  SELECT vec_id, cent_id, sub_id, code_id FROM (
+       |    SELECT s.vec_id, s.cent_id, s.sub_id, c.code_id,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+       |        list_reduce(list_transform(generate_series(1, 8),
+       |          i -> (s.qsub[i] - c.code[i]) * (s.qsub[i] - c.code[i])), (x, y) -> x + y),
+       |        c.code_id) AS rn
+       |    FROM csubs s JOIN cb c ON c.sub_id = s.sub_id)
+       |  WHERE rn = 1),
+       |qsubs AS (
+       |  SELECT vec_id AS q_id, cent_id, sub_id, q[(sub_id*8+1):(sub_id*8+8)] AS qsub
+       |  FROM mq, (SELECT unnest(generate_series(0, 7)) AS sub_id)
+       |  WHERE vec_id < 10 AND crk <= 2),
+       |lut AS (
+       |  SELECT s.q_id, s.cent_id, s.sub_id, c.code_id,
+       |    list_reduce(list_transform(generate_series(1, 8),
+       |      i -> s.qsub[i] * c.code[i]), (x, y) -> x + y) AS pdot
+       |  FROM qsubs s JOIN cb c ON c.sub_id = s.sub_id),
+       |scored AS (
+       |  SELECT l.q_id, p.vec_id AS n_id, CAST(sum(l.pdot) AS BIGINT) AS adc
+       |  FROM encpq p
+       |  JOIN lut l ON l.cent_id = p.cent_id AND l.sub_id = p.sub_id
+       |    AND l.code_id = p.code_id
+       |  WHERE p.vec_id <> l.q_id
+       |  GROUP BY 1, 2)
+       |SELECT q_id, n_id, adc, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 3""".stripMargin,
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    Similarity
+      .annIvfPqResidualTopK(
+        emb,
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+        m = 8,
+        ksub = 16,
+        centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16),
+        nprobe = 2,
+        queryPred = col("vec_id") < 10,
+      )
+      .select("q_id", "n_id", "adc", "rnk")
+  }
+
   val all: Seq[Q] =
     Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
       annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
-      annIvfPqSampledTopK, annIvfAppendTopK)
+      annIvfPqSampledTopK, annIvfAppendTopK, annIvfPqResidualTopK)
 }

@@ -216,7 +216,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("PQ/IVF-PQ: codebook and LUT joins broadcast, never cartesian") {
-    for (name <- Seq("sim_ann_pq_topk", "sim_ann_ivf_pq_topk", "sim_ann_ivf_pq_trained_topk")) {
+    for (
+      name <- Seq(
+        "sim_ann_pq_topk",
+        "sim_ann_ivf_pq_topk",
+        "sim_ann_ivf_pq_trained_topk",
+        "sim_ann_ivf_pq_residual_topk",
+      )
+    ) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
       assert(p.contains("BroadcastHashJoin"), s"$name must broadcast the codebook/LUT side:\n$p")

@@ -454,6 +454,93 @@ class OpsSpec extends AnyFunSuite {
     assert(kept === Array(1L, 4L, 6L)) // canonical members + isolated doc
   }
 
+  test("pageRank: integer power iteration matches hand computation; mass conserved sans floors") {
+    // a <-> b, a <-> c (star): deg a=2, b=1, c=1
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")).toDF("src", "dst")
+    def ranks(iters: Int) = graft.ops.PageRank.pageRank(edges, iters).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // round 1: a gets 1M+1M, b/c get 500k each
+    assert(ranks(1) === Map("a" -> 1850000L, "b" -> 575000L, "c" -> 575000L))
+    // round 2: a gets 575k+575k=1.15M; b/c get 1850000 div 2 = 925k
+    assert(ranks(2) === Map("a" -> 1127500L, "b" -> 936250L, "c" -> 936250L))
+    // determinism: a repartitioned edge list yields identical ranks
+    val shuffled = graft.ops.PageRank.pageRank(edges.repartition(7), 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(shuffled === ranks(2))
+    // the noDangling fast path (symmetric graph) is result-identical
+    val fast = graft.ops.PageRank.pageRank(edges, 2, noDangling = true).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fast === ranks(2))
+    // a genuinely dangling sink still gets its teleport row on the general path
+    val dangling = Seq(("a", "b")).toDF("src", "dst")
+    val dr = graft.ops.PageRank.pageRank(dangling, 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dr === Map("a" -> 150000L, "b" -> 1000000L))
+  }
+
+  test("funnelSteps: strict ordering, stall propagation, ties do not advance") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val events = Seq(
+      // user 1 converts fully: view@10, click@20, purchase@30
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // user 2: click BEFORE view never counts; no click after view -> stalls at 1
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "purchase", 20L),
+      // user 3: click at the SAME ts as view does not advance (strict >)
+      (3L, "view", 10L), (3L, "click", 10L),
+      // user 4: purchase only -> 0 steps but still reported
+      (4L, "purchase", 10L),
+      // user 5: second click after view is the one that counts
+      (5L, "click", 1L), (5L, "view", 2L), (5L, "click", 9L), (5L, "purchase", 11L),
+    ).map { case (u, t, sec) => (u, t, ts(sec)) }.toDF("user_id", "event_type", "ts")
+    val out = graft.ops.Funnel
+      .funnelSteps(events, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .collect()
+      .map(r =>
+        r.getAs[Long]("user_id") ->
+          (Option(r.getAs[Timestamp]("step1_ts")).map(_.getTime / 1000),
+            Option(r.getAs[Timestamp]("step2_ts")).map(_.getTime / 1000),
+            Option(r.getAs[Timestamp]("step3_ts")).map(_.getTime / 1000),
+            r.getAs[Int]("steps_completed"))
+      )
+      .toMap
+    assert(out(1L) === ((Some(10L), Some(20L), Some(30L), 3)))
+    assert(out(2L) === ((Some(10L), None, None, 1)))
+    assert(out(3L) === ((Some(10L), None, None, 1)))
+    assert(out(4L) === ((None, None, None, 0)))
+    assert(out(5L) === ((Some(2L), Some(9L), Some(11L), 3)))
+    val report = graft.ops.Funnel.funnelReport(
+      graft.ops.Funnel.funnelSteps(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")),
+      nSteps = 3,
+    ).collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(report === Array((1, 4L, 1000000L), (2, 2L, 500000L), (3, 2L, 500000L)))
+  }
+
+  test("componentSplit: near-dup components never straddle the train/valid boundary") {
+    // components {1,2,3,7}, {4,5}; 6 and 8 singleton
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 7L), (4L, 5L)).toDF("a_id", "b_id")
+    val docs  = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).toDF("doc_id")
+    val out = Dedup.componentSplit(docs, "doc_id", pairs, validFraction = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"), r.getAs[String]("split")))
+    assert(out.length === 8) // every doc assigned, singletons included
+    // atomic per component: one split value per component id
+    val byComp = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byComp.values.forall(_.size === 1), s"component split leaked: ${byComp.toMap}")
+    // singletons are their own component
+    assert(out.collect { case (id, c, _) if id == 6L || id == 8L => id == c }.forall(identity))
+    // deterministic: a re-run is byte-identical
+    val again = Dedup.componentSplit(docs, "doc_id", pairs, validFraction = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"), r.getAs[String]("split")))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // raising the fraction only moves components train -> valid, never back
+    val lo = Dedup.componentSplit(docs, "doc_id", pairs, validFraction = 0.2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toMap
+    val hi = Dedup.componentSplit(docs, "doc_id", pairs, validFraction = 0.8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toMap
+    assert(lo.collect { case (id, "valid") => hi(id) == "valid" }.forall(identity))
+  }
+
   test("star-contraction CC equals label propagation, incl. a diameter-200 chain") {
     // random graph: 120 nodes, 90 seeded-random edges
     val rnd  = new scala.util.Random(11)
