@@ -251,6 +251,68 @@ object MiscQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_sum"))
   }
 
+  /** Z-order (Morton) clustering key ([[graft.ops.Layout.zorderKey]]):
+    * the bit-interleave that gives multi-dimensional file pruning at
+    * 100 TB (Delta/Iceberg OPTIMIZE ZORDER). Pure integer shifts, so
+    * the oracle replays the exact key; the layout CONSEQUENCE
+    * (per-file min/max envelopes tight in every dimension) is pinned
+    * in OpsSpec against a single-column sort. */
+  private val zorderKeyQ = Q(
+    "misc_zorder_key",
+    s"""SELECT p_partkey,
+       |  ${graft.ops.Layout.zorderSql(Seq("p_size", "p_partkey % 1024"), 10)} AS zkey
+       |FROM part""".stripMargin,
+  ) { (s, d) =>
+    part(s, d).select(
+      col("p_partkey"),
+      graft.ops.Layout
+        .zorderKey(Seq(col("p_size"), col("p_partkey") % 1024), 10)
+        .as("zkey"),
+    )
+  }
+
+  /** Approximate percentile (the KLL/GK-family mergeable quantile
+    * sketch behind `percentile_approx` — the scalable form of
+    * quantiles at 100 TB, where an exact percentile is a full sort),
+    * checked as an error-bound DIFFERENTIAL like the HLL rows: the
+    * approx p50/p90 must land inside the exact [p−0.01, p+0.01]
+    * quantile envelope (generous vs the 1/accuracy = 1e-4 rank-error
+    * guarantee at accuracy 10000). The envelope and the booleans are
+    * computed Spark-side; the oracle re-derives the exact percentiles
+    * and literal TRUE — a drifting sketch flips a boolean and fails
+    * the hash check. The estimates themselves stay out of the
+    * compared columns (engine-specific). */
+  private val approxPercentile = Q(
+    "misc_approx_percentile",
+    """SELECT l_returnflag,
+      |  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS exact_p50,
+      |  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS exact_p90,
+      |  COUNT(*) AS n, TRUE AS p50_within_bound, TRUE AS p90_within_bound
+      |FROM lineitem GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").as("exact_p50"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.9)").as("exact_p90"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.49)").as("__lo50"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.51)").as("__hi50"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.89)").as("__lo90"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.91)").as("__hi90"),
+        expr("percentile_approx(CAST(l_extendedprice AS DOUBLE), 0.5, 10000)").as("__a50"),
+        expr("percentile_approx(CAST(l_extendedprice AS DOUBLE), 0.9, 10000)").as("__a90"),
+        count(lit(1)).as("n"),
+      )
+      .select(
+        col("l_returnflag"),
+        col("exact_p50"),
+        col("exact_p90"),
+        col("n"),
+        col("__a50").between(col("__lo50"), col("__hi50")).as("p50_within_bound"),
+        col("__a90").between(col("__lo90"), col("__hi90")).as("p90_within_bound"),
+      )
+  }
+
   /** Integer-arithmetic PageRank ([[graft.ops.PageRank]]) over the
     * symmetric supplier↔customer trade graph (distinct pairs from
     * lineitem ⋈ orders, both directions, so no dangling nodes): 3
@@ -315,5 +377,5 @@ object MiscQueries {
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
-      pagerankTrade)
+      pagerankTrade, approxPercentile, zorderKeyQ)
 }

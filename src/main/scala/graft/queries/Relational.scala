@@ -466,7 +466,64 @@ object Relational {
       )
   }
 
+  /** SCD Type-2 dimension merge ([[graft.ops.Scd.scd2Merge]]): a second
+    * customer snapshot with deterministic churn (every 7th key changes
+    * segment, every 13th key appears as a brand-new customer, every
+    * 17th key is missing from the batch) merged into the initial SCD2
+    * table — changed rows close and re-open, new keys open, missing
+    * keys stay untouched. The oracle derives the identical post-merge
+    * state with three set-logic branches. */
+  private val scd2Customer = Q(
+    "rel_scd2_customer",
+    """WITH batch AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+      |  FROM customer WHERE c_custkey % 17 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, 'NEW' FROM customer WHERE c_custkey % 13 = 0)
+      |SELECT c.c_custkey, c.c_mktsegment,
+      |  DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+      |  TRUE AS is_current
+      |FROM customer c LEFT JOIN batch b ON b.c_custkey = c.c_custkey
+      |WHERE b.c_custkey IS NULL OR b.seg = c.c_mktsegment
+      |UNION ALL
+      |SELECT c.c_custkey, c.c_mktsegment,
+      |  DATE '1995-01-01', DATE '1996-01-01', FALSE
+      |FROM customer c JOIN batch b ON b.c_custkey = c.c_custkey
+      |WHERE b.seg <> c.c_mktsegment
+      |UNION ALL
+      |SELECT b.c_custkey, b.seg, DATE '1996-01-01', CAST(NULL AS DATE), TRUE
+      |FROM batch b LEFT JOIN customer c ON c.c_custkey = b.c_custkey
+      |WHERE c.c_custkey IS NULL OR b.seg <> c.c_mktsegment""".stripMargin,
+  ) { (s, d) =>
+    val snap1 = customer(s, d).select("c_custkey", "c_mktsegment")
+    val table = graft.ops.Scd
+      .scd2Init(snap1, Seq("c_custkey"), Seq("c_mktsegment"), to_date(lit("1995-01-01")))
+    val batch = customer(s, d)
+      .filter(col("c_custkey") % 17 =!= 0)
+      .select(
+        col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, "MOVED").otherwise(col("c_mktsegment")).as("c_mktsegment"),
+      )
+      .unionByName(
+        customer(s, d)
+          .filter(col("c_custkey") % 13 === 0)
+          .select(
+            (col("c_custkey") + 10000000).as("c_custkey"),
+            lit("NEW").as("c_mktsegment"),
+          )
+      )
+    graft.ops.Scd.scd2Merge(
+      table,
+      batch,
+      keyCols = Seq("c_custkey"),
+      trackedCols = Seq("c_mktsegment"),
+      batchTs = to_date(lit("1996-01-01")),
+    )
+  }
+
   val all: Seq[Q] = Seq(
+    scd2Customer,
     joinSaltedRevenue,
     aggArgmax,
     aggTopkUdaf,

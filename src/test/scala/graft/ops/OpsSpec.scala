@@ -454,6 +454,68 @@ class OpsSpec extends AnyFunSuite {
     assert(kept === Array(1L, 4L, 6L)) // canonical members + isolated doc
   }
 
+  test("zorderBy: per-file spans bounded in EVERY dimension; single-column sort leaves dim 2 unclustered") {
+    import graft.ops.Layout
+    // two pseudo-uniform independent 10-bit dimensions
+    val df = (0 until 4096)
+      .map(i => (i.toLong, i * 2654435761L % 1024, i * 40503L % 1024))
+      .toDF("id", "a", "b")
+    def spans(d: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val rows = d.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+        .collect()
+      (rows.map(_.getAs[Long]("sa")).sum.toDouble / rows.length,
+        rows.map(_.getAs[Long]("sb")).sum.toDouble / rows.length)
+    }
+    val (za, zb) = spans(Layout.zorderBy(df, Seq(col("a"), col("b")), 10, 16))
+    // 16 curve segments fix the top 2 bits of BOTH dims: span <= ~256 each
+    assert(za < 512 && zb < 512, s"z-order spans not bounded: a=$za b=$zb")
+    val (sa, sb) = spans(df.repartitionByRange(16, col("a")).sortWithinPartitions("a"))
+    assert(sa < 128, s"sort-by-a must cluster a tightly, got $sa")
+    assert(sb > 768, s"independent dim under single-col sort should span ~full domain, got $sb")
+    // the key itself is a pure bit-shuffle: spot-check against hand computation
+    val k = df.select(Layout.zorderKey(Seq(col("a"), col("b")), 10).as("z"), col("a"), col("b"))
+      .collect()
+    k.foreach { r =>
+      val (a, b, z) = (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("z"))
+      val expect = (0 until 10).map(i => (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))).sum
+      assert(z === expect, s"a=$a b=$b")
+    }
+  }
+
+  test("scd2Merge: changed rows version, missing keys stay open, null transitions tracked") {
+    import graft.ops.Scd
+    def date(s: String) = java.sql.Date.valueOf(s)
+    val init = Scd.scd2Init(
+      Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String])).toDF("k", "v"),
+      Seq("k"), Seq("v"), to_date(lit("2020-01-01")))
+    // 1 changes, 2 missing from batch, 3 null->c, 4 brand-new with null value
+    val b1 = Seq((1L, "a2"), (3L, "c"), (4L, null.asInstanceOf[String])).toDF("k", "v")
+    val m1 = Scd.scd2Merge(init, b1, Seq("k"), Seq("v"), to_date(lit("2020-02-01")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[Long]("k"), Option(r.getAs[String]("v")),
+        r.getAs[java.sql.Date]("valid_from").toString,
+        Option(r.getAs[java.sql.Date]("valid_to")).map(_.toString),
+        r.getAs[Boolean]("is_current"))
+    }.toSet
+    assert(rows(m1) === Set(
+      (1L, Some("a"), "2020-01-01", Some("2020-02-01"), false),
+      (1L, Some("a2"), "2020-02-01", None, true),
+      (2L, Some("b"), "2020-01-01", None, true), // missing from batch: untouched, stays open
+      (3L, None, "2020-01-01", Some("2020-02-01"), false), // null -> value versions
+      (3L, Some("c"), "2020-02-01", None, true),
+      (4L, None, "2020-02-01", None, true), // new key, null tracked value
+    ))
+    // chained second merge: value -> value on 3, null -> value on 4
+    val b2 = Seq((3L, "c"), (4L, "x")).toDF("k", "v") // 3 unchanged this time
+    val m2 = Scd.scd2Merge(m1, b2, Seq("k"), Seq("v"), to_date(lit("2020-03-01")))
+    assert(rows(m2) === rows(m1) - ((4L, None, "2020-02-01", None, true)) ++ Set(
+      (4L, None, "2020-02-01", Some("2020-03-01"), false),
+      (4L, Some("x"), "2020-03-01", None, true),
+    ))
+  }
+
   test("pageRank: integer power iteration matches hand computation; mass conserved sans floors") {
     // a <-> b, a <-> c (star): deg a=2, b=1, c=1
     val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")).toDF("src", "dst")
