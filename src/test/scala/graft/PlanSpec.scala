@@ -260,6 +260,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("k-step funnel is ONE shuffle: no join, no window, single exchange") {
+    // the per-step timestamp arrays + the HOF first-after-previous walk
+    // happen inside one aggregated row — a plan with a Join means the
+    // funnel regressed to the textbook k-self-join form
+    val p = planOf("evt_funnel_steps")
+    assert(!p.contains("Join"), s"funnel must not join:\n$p")
+    assert(!p.contains("(\\d+) Window"), s"funnel must not window:\n$p")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length === 1, p)
+  }
+
+  test("SCD2 merge and as-of read plan without cartesian products") {
+    for (name <- Seq("rel_scd2_customer", "rel_scd2_asof_join")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
+  test("z-order key is a map-only projection over the scan") {
+    val p = planOf("misc_zorder_key")
+    assert(!p.contains("Exchange"), s"key computation must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"key computation must not join:\n$p")
+  }
+
   test("above-avg decorrelated join carries no forced broadcast hint (avgs side is data-proportional)") {
     // The per-customer averages side grows linearly with the corpus; a
     // hard broadcast() hint on it OOMs the driver at 100 TB. AQE may
