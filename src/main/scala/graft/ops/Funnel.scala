@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 
 /** Ordered-sequence (funnel) analytics: for each entity, the first
   * timestamp at which it reached step 1, then the first step-2 event
@@ -67,6 +68,74 @@ object Funnel {
     grouped
       .select(col(idCol) +: named: _*)
       .withColumn("steps_completed", completed)
+  }
+
+  /** Per-user streaming-funnel state: every step timestamp seen so far
+    * (epoch micros). The FULL per-step lists are required for exact
+    * semantics under out-of-order arrival — a late step-1 event lowers
+    * t1, which can promote ANY earlier step-2 timestamp into the walk.
+    * State is bounded by the user's funnel-event count (the
+    * [[Sessionize]] boundedness class); a production deployment caps
+    * it by age once a watermark passes (events older than the span cap
+    * cannot change a finalized walk). */
+  final case class FunnelState(a1: Seq[Long], a2: Seq[Long], a3: Seq[Long])
+
+  /** One per-user update: the walk recomputed over all events seen so
+    * far. Timestamps as epoch micros (nullable). */
+  final case class FunnelUpdate(
+      user_id: Long,
+      step1_us: Option[Long],
+      step2_us: Option[Long],
+      step3_us: Option[Long],
+      steps_completed: Int,
+  )
+
+  /** Streaming 3-step funnel over `mapGroupsWithState` — the custom-
+    * state form of [[funnelSteps]] (SURVEY §2.8's stateful extension
+    * point, like [[Sessionize.streamingSessions]]). Each micro-batch
+    * folds its events into the per-user state and emits that user's
+    * recomputed walk (update mode).
+    *
+    * The emitted stream is FINALIZABLE BY AGGREGATION: as events
+    * accumulate, t1 only decreases (a min), which weakens the
+    * `ts > t1` constraint on step 2, so t2 only decreases, and t3
+    * likewise; `steps_completed` only grows. Every emitted column is
+    * therefore monotone toward its final value, and
+    * `groupBy(user).agg(min ts…, max steps)` over ALL updates equals
+    * the last update — i.e. equals the batch [[funnelSteps]] result,
+    * which is exactly what the gate's oracle checks after a
+    * multi-batch replay. */
+  def streamingFunnel3(
+      events: DataFrame,
+      idCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+  ): Dataset[FunnelUpdate] = {
+    require(steps.size == 3, s"streamingFunnel3 is the fixed 3-step form, got $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val Seq(s1, s2, s3) = steps
+    val typed = events
+      .filter(col(typeCol).isInCollection(steps))
+      .select(col(idCol).cast("long"), col(typeCol), col(tsCol))
+      .as[(Long, String, java.sql.Timestamp)]
+    typed
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          val st = state.getOption.getOrElse(FunnelState(Nil, Nil, Nil))
+          var (a1, a2, a3) = (st.a1, st.a2, st.a3)
+          it.foreach { case (_, t, ts) =>
+            val us = ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+            if (t == s1) a1 +:= us else if (t == s2) a2 +:= us else if (t == s3) a3 +:= us
+          }
+          state.update(FunnelState(a1, a2, a3))
+          val t1 = a1.minOption
+          val t2 = t1.flatMap(x => a2.filter(_ > x).minOption)
+          val t3 = t2.flatMap(x => a3.filter(_ > x).minOption)
+          FunnelUpdate(uid, t1, t2, t3, Seq(t1, t2, t3).count(_.isDefined))
+      }
   }
 
   /** Funnel conversion rollup: one row per step with the number of

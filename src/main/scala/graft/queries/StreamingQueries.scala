@@ -632,7 +632,75 @@ object StreamingQueries {
     s.table(name).filter(col("w_end") < lit("2024-01-18 00:00:00").cast("timestamp"))
   }
 
+  /** Streaming conversion funnel over custom `mapGroupsWithState`
+    * state ([[graft.ops.Funnel.streamingFunnel3]]), replayed across
+    * the 3-file time split: per-user step-timestamp lists fold across
+    * micro-batches and each batch emits the recomputed walk (update
+    * mode). Every emitted column is monotone toward its final value
+    * (see the op's scaladoc), so the sink-side
+    * `groupBy(user).agg(min ts…, max steps)` equals the final state —
+    * which the batch-SQL oracle (identical to `evt_funnel_steps`)
+    * checks. */
+  private val funnelStream = Q(
+    "stream_funnel_steps",
+    """WITH base AS (
+      |  SELECT DISTINCT user_id FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+      |       JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.ts1
+      |       WHERE e.event_type = 'click' GROUP BY 1),
+      |t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+      |       JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.ts2
+      |       WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT b.user_id, ts1 AS step1_ts, ts2 AS step2_ts, ts3 AS step3_ts,
+      |  (CASE WHEN ts1 IS NULL THEN 0 ELSE 1 END
+      |   + CASE WHEN ts2 IS NULL THEN 0 ELSE 1 END
+      |   + CASE WHEN ts3 IS NULL THEN 0 ELSE 1 END) AS steps_completed
+      |FROM base b
+      |LEFT JOIN t1 ON t1.user_id = b.user_id
+      |LEFT JOIN t2 ON t2.user_id = b.user_id
+      |LEFT JOIN t3 ON t3.user_id = b.user_id""".stripMargin,
+  ) { (s, d) =>
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    val stream = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+    val updates = graft.ops.Funnel
+      .streamingFunnel3(stream, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+    val name = synchronized { streamN += 1; s"graft_stream_funnel_$streamN" }
+    withStatePartitions(s, 4) {
+      withScratchCheckpoint("graft_ckpt_funnel") { ckpt =>
+        val q = updates.toDF().writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    s.table(name)
+      .groupBy("user_id")
+      .agg(
+        min("step1_us").as("u1"),
+        min("step2_us").as("u2"),
+        min("step3_us").as("u3"),
+        max("steps_completed").as("steps_completed"),
+      )
+      .select(
+        col("user_id"),
+        timestamp_micros(col("u1")).as("step1_ts"),
+        timestamp_micros(col("u2")).as("step2_ts"),
+        timestamp_micros(col("u3")).as("step3_ts"),
+        col("steps_completed"),
+      )
+  }
+
   val all: Seq[Q] =
     Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream,
-      decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream)
+      decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream)
 }
