@@ -58,12 +58,21 @@ object PageRank {
       dampingPpt: Int = 850,
       r0Ppm: Long = 1000000L,
       noDangling: Boolean = false,
+      weightCol: Option[String] = None,
   ): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPpt >= 0 && dampingPpt <= 1000, s"dampingPpt in [0,1000], got $dampingPpt")
     val basePpm = r0Ppm * (1000L - dampingPpt) / 1000L
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__d"))
+    // weighted form: a node distributes its rank proportionally to
+    // positive integer edge weights — contribution ⌊r·w / W(u)⌋ with
+    // W(u) the total out-weight; the unweighted form is w ≡ 1.
+    // Still all-integer, still order-free.
+    val e = edges
+      .select(col("src") +: col("dst") +: weightCol.map(w => col(w).cast("long").as("__w")).toSeq: _*)
+      .localCheckpoint()
+    val deg = e
+      .groupBy("src")
+      .agg(weightCol.map(_ => sum(col("__w"))).getOrElse(count(lit(1))).as("__d"))
     // out-degree rides WITH the edge list so the per-round join is a
     // single probe of the rank vector (degrees never change)
     val edgesDeg = e.join(deg, Seq("src")).localCheckpoint()
@@ -78,9 +87,11 @@ object PageRank {
       (lit(basePpm) + expr(s"(${dampingPpt}L * coalesce(__m, 0L)) div 1000L")).as("rank_ppm")
     var ranks = nodes.withColumn("rank_ppm", lit(r0Ppm))
     for (_ <- 1 to iters) {
+      val contribExpr =
+        if (weightCol.isDefined) expr("(rank_ppm * __w) div __d") else expr("rank_ppm div __d")
       val contribs = edgesDeg
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), expr("rank_ppm div __d").as("__c"))
+        .select(col("dst").as("id"), contribExpr.as("__c"))
         .groupBy("id")
         .agg(sum(col("__c")).as("__m"))
       ranks =

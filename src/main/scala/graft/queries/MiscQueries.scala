@@ -271,6 +271,58 @@ object MiscQueries {
     )
   }
 
+  /** WEIGHTED PageRank: the same integer iteration with rank
+    * distributed proportionally to edge weight — here the lineitem
+    * count between a supplier and customer, so heavy trade relations
+    * carry more authority. Contribution is ⌊r·w / W(u)⌋ (W = total
+    * out-weight); 2 rounds unrolled in the oracle. */
+  private val pagerankWeighted = Q(
+    "misc_pagerank_weighted",
+    """WITH pairs AS (
+      |  SELECT l_suppkey AS sk, o_custkey AS ck, count(*) AS w
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT 's:' || CAST(sk AS VARCHAR) AS src, 'c:' || CAST(ck AS VARCHAR) AS dst, w FROM pairs
+      |  UNION ALL
+      |  SELECT 'c:' || CAST(ck AS VARCHAR), 's:' || CAST(sk AS VARCHAR), w FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS d FROM edges GROUP BY 1),
+      |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      |it1 AS (
+      |  SELECT n.id, CAST(150000 + (850 * coalesce(c.m, 0)) // 1000 AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN (
+      |    SELECT e.dst AS id, sum((r.r * e.w) // d.d) AS m
+      |    FROM edges e JOIN r0 r ON r.id = e.src JOIN deg d ON d.src = e.src
+      |    GROUP BY 1) c ON c.id = n.id),
+      |it2 AS (
+      |  SELECT n.id, CAST(150000 + (850 * coalesce(c.m, 0)) // 1000 AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN (
+      |    SELECT e.dst AS id, sum((r.r * e.w) // d.d) AS m
+      |    FROM edges e JOIN it1 r ON r.id = e.src JOIN deg d ON d.src = e.src
+      |    GROUP BY 1) c ON c.id = n.id)
+      |SELECT id, r AS rank_ppm FROM it2""".stripMargin,
+  ) { (s, d) =>
+    val pairs = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+      .agg(count(lit(1)).as("w"))
+    val sNode = concat(lit("s:"), col("sk").cast("string"))
+    val cNode = concat(lit("c:"), col("ck").cast("string"))
+    val edges = pairs
+      .select(
+        explode(
+          array(
+            struct(sNode.as("src"), cNode.as("dst"), col("w")),
+            struct(cNode.as("src"), sNode.as("dst"), col("w")),
+          )
+        ).as("e")
+      )
+      .select(col("e.src"), col("e.dst"), col("e.w"))
+    graft.ops.PageRank
+      .pageRank(edges, iters = 2, noDangling = true, weightCol = Some("w"))
+  }
+
   /** Approximate percentile (the KLL/GK-family mergeable quantile
     * sketch behind `percentile_approx` — the scalable form of
     * quantiles at 100 TB, where an exact percentile is a full sort),
@@ -377,5 +429,5 @@ object MiscQueries {
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
-      pagerankTrade, approxPercentile, zorderKeyQ)
+      pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ)
 }

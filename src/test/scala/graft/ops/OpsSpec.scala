@@ -538,6 +538,12 @@ class OpsSpec extends AnyFunSuite {
     val dr = graft.ops.PageRank.pageRank(dangling, 1).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(dr === Map("a" -> 150000L, "b" -> 1000000L))
+    // weighted: a splits 3:1 between b and c (W(a)=4)
+    val we = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val wr = graft.ops.PageRank.pageRank(we, 1, weightCol = Some("w")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wr === Map("a" -> 1850000L, "b" -> 787500L, "c" -> 362500L))
   }
 
   test("funnelSteps: strict ordering, stall propagation, ties do not advance") {
