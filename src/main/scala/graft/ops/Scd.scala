@@ -35,18 +35,32 @@ import org.apache.spark.sql.functions._
   */
 object Scd {
 
-  /** @param table   existing SCD2 table: key + tracked + `valid_from`,
+  /** Contract: the business key must be UNIQUE within `batch` and
+    * within the table's current slice (the dbt-snapshot `unique_key`
+    * precondition) — a duplicated key would fan out the merge join
+    * and double-version the row. Dedupe upstream ([[Dedup.dedupKeep]]
+    * family) if snapshots can repeat keys.
+    *
+    * @param table   existing SCD2 table: key + tracked + `valid_from`,
     *                `valid_to`, `is_current`
     * @param batch   new snapshot: key + tracked columns only
     * @param keyCols business key
     * @param trackedCols columns whose change opens a new version
     * @param batchTs the snapshot's effective timestamp column/literal */
+  /** @param hardDelete when true, a current key MISSING from the batch
+    *                    is treated as deleted: its open row closes at
+    *                    the batch timestamp with no successor (the
+    *                    dbt-snapshot `invalidate_hard_deletes` mode).
+    *                    Only sound when `batch` is a FULL snapshot —
+    *                    with incremental batches absence means
+    *                    "unchanged", which is the default. */
   def scd2Merge(
       table: DataFrame,
       batch: DataFrame,
       keyCols: Seq[String],
       trackedCols: Seq[String],
       batchTs: Column,
+      hardDelete: Boolean = false,
   ): DataFrame = {
     require(keyCols.nonEmpty && trackedCols.nonEmpty, "keys and tracked columns required")
     val history = table.filter(!col("is_current"))
@@ -63,13 +77,17 @@ object Scd {
     val cur = current.withColumn("__t_present", lit(true))
     val bp  = b.withColumn("__b_present", lit(true))
     val j   = cur.join(bp, keyCols, "full_outer")
-    val isNew       = col("__t_present").isNull && col("__b_present").isNotNull
-    val isChanged   = col("__t_present").isNotNull && col("__b_present").isNotNull && changed
-    val isUnchanged = col("__t_present").isNotNull && (col("__b_present").isNull || !changed)
+    val isNew     = col("__t_present").isNull && col("__b_present").isNotNull
+    val isChanged = col("__t_present").isNotNull && col("__b_present").isNotNull && changed
+    val isMissing = col("__t_present").isNotNull && col("__b_present").isNull
+    val isUnchanged =
+      if (hardDelete) col("__t_present").isNotNull && col("__b_present").isNotNull && !changed
+      else col("__t_present").isNotNull && (col("__b_present").isNull || !changed)
     val keep = keyCols.map(col)
-    // closed-out predecessor of a changed row
+    // closed-out predecessor of a changed row (hard-delete mode also
+    // closes rows whose key vanished from the snapshot)
     val closedOld = j
-      .filter(isChanged)
+      .filter(if (hardDelete) isChanged || isMissing else isChanged)
       .select(
         keep ++ trackedCols.map(col) :+
           col("valid_from") :+ batchTs.as("valid_to") :+ lit(false).as("is_current"): _*

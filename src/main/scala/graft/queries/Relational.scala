@@ -495,7 +495,14 @@ object Relational {
       |SELECT b.c_custkey, b.seg, DATE '1996-01-01', CAST(NULL AS DATE), TRUE
       |FROM batch b LEFT JOIN customer c ON c.c_custkey = b.c_custkey
       |WHERE c.c_custkey IS NULL OR b.seg <> c.c_mktsegment""".stripMargin,
-  ) { (s, d) =>
+  ) { (s, d) => scd2CustomerDim(s, d) }
+
+  /** The merged two-snapshot SCD2 customer dimension both scd2 gate
+    * rows build on (see [[scd2Customer]] for the churn recipe). */
+  private def scd2CustomerDim(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame = {
     val snap1 = customer(s, d).select("c_custkey", "c_mktsegment")
     val table = graft.ops.Scd
       .scd2Init(snap1, Seq("c_custkey"), Seq("c_mktsegment"), to_date(lit("1995-01-01")))
@@ -522,8 +529,87 @@ object Relational {
     )
   }
 
+  /** The READ side of SCD2: join each order to the dimension version
+    * that was valid AS OF its order date (equi key + half-open
+    * validity range; open rows have null valid_to). Orders predating
+    * the first version legitimately match nothing — bucketed NONE.
+    * This is the query pattern the dimension history exists for:
+    * facts see the dimension as it was, not as it is. */
+  private val scd2AsofJoin = Q(
+    "rel_scd2_asof_join",
+    """WITH batch AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+      |  FROM customer WHERE c_custkey % 17 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, 'NEW' FROM customer WHERE c_custkey % 13 = 0),
+      |dim AS (
+      |  SELECT c.c_custkey, c.c_mktsegment,
+      |    DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      |  FROM customer c LEFT JOIN batch b ON b.c_custkey = c.c_custkey
+      |  WHERE b.c_custkey IS NULL OR b.seg = c.c_mktsegment
+      |  UNION ALL
+      |  SELECT c.c_custkey, c.c_mktsegment, DATE '1995-01-01', DATE '1996-01-01'
+      |  FROM customer c JOIN batch b ON b.c_custkey = c.c_custkey
+      |  WHERE b.seg <> c.c_mktsegment
+      |  UNION ALL
+      |  SELECT b.c_custkey, b.seg, DATE '1996-01-01', CAST(NULL AS DATE)
+      |  FROM batch b LEFT JOIN customer c ON c.c_custkey = b.c_custkey
+      |  WHERE c.c_custkey IS NULL OR b.seg <> c.c_mktsegment)
+      |SELECT coalesce(dim.c_mktsegment, 'NONE') AS segment,
+      |  COUNT(*) AS n_orders
+      |FROM orders o LEFT JOIN dim
+      |  ON dim.c_custkey = o.o_custkey
+      |  AND o.o_orderdate >= dim.valid_from
+      |  AND (dim.valid_to IS NULL OR o.o_orderdate < dim.valid_to)
+      |GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    val dim = scd2CustomerDim(s, d)
+    orders(s, d)
+      .join(
+        dim,
+        col("o_custkey") === col("c_custkey") &&
+          col("o_orderdate") >= col("valid_from") &&
+          (col("valid_to").isNull || col("o_orderdate") < col("valid_to")),
+        "left",
+      )
+      .groupBy(coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** CDC apply ([[graft.ops.Cdc.applyChanges]]): a synthetic ordered
+    * changefeed (initial upsert per order, an update for every 5th
+    * key, a delete for every 7th) collapsed to final state by one
+    * max-struct hash aggregate — no window, no sort, late changes
+    * free. Oracle states the collapsed truth directly. */
+  private val cdcApply = Q(
+    "rel_cdc_apply",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+      |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+  ) { (s, d) =>
+    val base = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+    val changes = base
+      .select(col("o_orderkey"), lit(1L).as("seq"), lit("u").as("op"), col("o_orderstatus"))
+      .unionByName(
+        base
+          .filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), lit(2L).as("seq"), lit("u").as("op"),
+            lit("X").as("o_orderstatus"))
+      )
+      .unionByName(
+        base
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit(3L).as("seq"), lit("d").as("op"),
+            lit(null).cast("string").as("o_orderstatus"))
+      )
+    graft.ops.Cdc.applyChanges(changes, Seq("o_orderkey"), "seq", "op")
+  }
+
   val all: Seq[Q] = Seq(
     scd2Customer,
+    scd2AsofJoin,
+    cdcApply,
     joinSaltedRevenue,
     aggArgmax,
     aggTopkUdaf,

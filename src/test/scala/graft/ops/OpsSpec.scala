@@ -514,6 +514,17 @@ class OpsSpec extends AnyFunSuite {
       (4L, None, "2020-02-01", Some("2020-03-01"), false),
       (4L, Some("x"), "2020-03-01", None, true),
     ))
+    // hard-delete mode: a current key absent from the full snapshot
+    // closes with no successor (keys 1, 2, 3 missing from b2)
+    val m2h = Scd.scd2Merge(m1, b2, Seq("k"), Seq("v"), to_date(lit("2020-03-01")),
+      hardDelete = true)
+    val expectedH = rows(m2) -
+      ((1L, Some("a2"), "2020-02-01", None, true)) -
+      ((2L, Some("b"), "2020-01-01", None, true)) ++ Set(
+      (1L, Some("a2"), "2020-02-01", Some("2020-03-01"), false),
+      (2L, Some("b"), "2020-01-01", Some("2020-03-01"), false),
+    )
+    assert(rows(m2h) === expectedH)
   }
 
   test("pageRank: integer power iteration matches hand computation; mass conserved sans floors") {
