@@ -155,6 +155,47 @@ object Text {
       .select(col(idCol), col(partitionCol), col("n_tok"), col("start_tok"), col("pack_id"))
   }
 
+  /** RAG-style document chunking: fixed token windows with overlap —
+    * the retrieval-corpus preprocessing step (split every document
+    * into `chunkSize`-token chunks whose starts advance by
+    * `chunkSize − overlap`, so consecutive chunks share `overlap`
+    * tokens and no sentence-boundary context is lost to a hard cut).
+    * Chunk ids are `(doc, start/stride)` — stable and reproducible:
+    * re-chunking an unchanged document yields byte-identical chunks,
+    * which is what lets a chunk-level embedding index be maintained
+    * incrementally ([[Similarity.ivfAppend]]'s delta discipline).
+    *
+    * One explode per document (≤ n/stride chunks) over a map-only
+    * token split — no shuffle at all; the scan parallelizes chunking
+    * for free. Empty documents produce no chunks. The final window is
+    * allowed to be shorter than `chunkSize` (standard; droppable by a
+    * `n_tok` filter if a model needs full windows). */
+  def chunkTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int,
+  ): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize, s"need 0 <= overlap < chunkSize, got $overlap")
+    val stride = chunkSize - overlap
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(
+        col(idCol),
+        col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - 1, lit(stride))).as("__start"),
+      )
+      .select(
+        col(idCol),
+        (col("__start") / stride).cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkSize)), " ").as("chunk_text"),
+        size(slice(col("__toks"), col("__start") + 1, lit(chunkSize))).cast("long").as("n_tok"),
+      )
+  }
+
   /** Top-k characteristic terms per document by tf-idf with a LINEAR
     * inverse document frequency: score = tf · (N / df), no log damping.
     * Every step — counts, one double division, one multiplication — is

@@ -374,8 +374,24 @@ object TextQueries {
       .select("doc_id", "source")
   }
 
+  /** RAG chunking ([[graft.ops.Text.chunkTokens]]): 64-token windows
+    * advancing by 48 (16-token overlap), stable (doc, start/stride)
+    * chunk ids, shuffle-free. Oracle replays the identical slicing. */
+  private val chunkOverlap = Q(
+    "txt_chunk_overlap",
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 48)) AS start
+      |      FROM t WHERE len(toks) > 0)
+      |SELECT doc_id, start // 48 AS chunk_id,
+      |  list_aggregate(toks[(start+1):(start+64)], 'string_agg', ' ') AS chunk_text,
+      |  CAST(len(toks[(start+1):(start+64)]) AS BIGINT) AS n_tok
+      |FROM s""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Text.chunkTokens(documents(s, d), "doc_id", "text", chunkSize = 64, overlap = 16)
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
-      sourceFilterQ)
+      sourceFilterQ, chunkOverlap)
 }
