@@ -196,6 +196,53 @@ object Text {
       )
   }
 
+  /** Corpus-trained bigram language-model score — the perplexity-proxy
+    * quality signal (CCNet/Gopher filter by LM perplexity; this is the
+    * n-gram form of that, trained on the corpus itself): per bigram
+    * occurrence the conditional probability P(w₂|w₁) as an integer
+    * ppm, ⌊c(w₁w₂)·10⁶ / c(w₁·)⌋, and per document the mean over its
+    * bigram occurrences, again floored. Predictable text (frequent
+    * continuations) scores high; gibberish and boilerplate-free noise
+    * score low. Deliberately integer end-to-end: log-space perplexity
+    * would drag engine-specific `ln` rounding into the gate, while
+    * floor-ppm arithmetic is bit-identical everywhere and
+    * order-independent (integer sums), so ranking and thresholding
+    * behave the same on any engine or partitioning.
+    *
+    * Scale shape: the "training pass" is one bigram count aggregation
+    * (shuffle keyed on the bigram) plus a prefix-count aggregation —
+    * both vocabulary-sized, reusable across scoring runs; scoring
+    * joins each document's bigram occurrences to the two count tables
+    * (keyed equi-joins, AQE-broadcastable while the vocabulary fits)
+    * and aggregates per document. Documents with < 2 tokens have no
+    * bigrams and are excluded (score undefined, not zero). */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withToks = docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      // sequence(1, 0) would generate a DESCENDING ramp in Spark —
+      // filter the sub-2-token docs before building the ramp
+      .filter(size(col("__t")) >= 2)
+    val bgs = withToks
+      .select(
+        col(idCol),
+        explode(
+          expr("transform(sequence(1, size(__t) - 1), i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))")
+        ).as("bg"),
+      )
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c2 = bgs.groupBy("bg").agg(count(lit(1)).as("__c2"))
+    val c1 = bgs.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    bgs
+      .join(c2, Seq("bg"))
+      .join(c1, Seq("w1"))
+      .select(col(idCol), expr("(__c2 * 1000000L) div __c1").as("__p"))
+      .groupBy(col(idCol))
+      .agg(
+        expr("sum(__p) div count(1)").as("lm_score_ppm"),
+        count(lit(1)).as("n_bigrams"),
+      )
+  }
+
   /** Top-k characteristic terms per document by tf-idf with a LINEAR
     * inverse document frequency: score = tf · (N / df), no log damping.
     * Every step — counts, one double division, one multiplication — is

@@ -390,8 +390,31 @@ object TextQueries {
     graft.ops.Text.chunkTokens(documents(s, d), "doc_id", "text", chunkSize = 64, overlap = 16)
   }
 
+  /** Corpus-trained bigram LM score ([[graft.ops.Text.bigramLmScore]]):
+    * integer-ppm perplexity proxy — mean ⌊c(w₁w₂)·10⁶ / c(w₁·)⌋ over
+    * each document's bigram occurrences. Training counts and scoring
+    * both replayed by the oracle. */
+  private val bigramLm = Q(
+    "txt_bigram_lm_score",
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents),
+      |b AS (SELECT doc_id,
+      |        unnest(list_transform(generate_series(1, len(toks) - 1),
+      |               i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |      FROM t WHERE len(toks) >= 2),
+      |bw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM b),
+      |c2 AS (SELECT bg, count(*) AS c2 FROM bw GROUP BY 1),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bw GROUP BY 1)
+      |SELECT doc_id,
+      |  CAST(sum((c2.c2 * 1000000) // c1.c1) // count(*) AS BIGINT) AS lm_score_ppm,
+      |  count(*) AS n_bigrams
+      |FROM bw JOIN c2 USING (bg) JOIN c1 USING (w1)
+      |GROUP BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Text.bigramLmScore(documents(s, d), "doc_id", "text")
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
-      sourceFilterQ, chunkOverlap)
+      sourceFilterQ, chunkOverlap, bigramLm)
 }
