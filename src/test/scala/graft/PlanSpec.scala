@@ -35,8 +35,24 @@ class PlanSpec extends AnyFunSuite {
     val multiway = planOf("rel_join_multiway_region_revenue")
     assert(multiway.contains("BroadcastHashJoin"), multiway)
     assert(!multiway.contains("CartesianProduct"), multiway)
-    val bcast = planOf("rel_join_broadcast_revenue")
-    assert(bcast.contains("BroadcastHashJoin"), bcast)
+    // only the fixed-cardinality dims (nation=25, region=5 rows at every
+    // SF) may carry a forced hint; `supplier` and `part` scale with the
+    // corpus, so their strategy must stay the planner's choice
+    val hinted = df("rel_join_multiway_region_revenue").queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
+    }
+    assert(hinted.length === 2, s"expected hints only on nation+region, got ${hinted.length}")
+    val bcast = df("rel_join_broadcast_revenue")
+    val bcastHints = bcast.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
+    }
+    assert(bcastHints.isEmpty, s"part join must be unhinted: ${bcastHints.mkString(", ")}")
+    // AQE still *chooses* broadcast at demo SF — the win without the risk
+    bcast.collect()
+    assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "planner should pick broadcast for part at sf0.01")
   }
 
   test("semi/anti joins plan as join strategies, not subquery re-execution") {
@@ -266,7 +282,7 @@ class PlanSpec extends AnyFunSuite {
     // funnel regressed to the textbook k-self-join form
     val p = planOf("evt_funnel_steps")
     assert(!p.contains("Join"), s"funnel must not join:\n$p")
-    assert(!p.contains("(\\d+) Window"), s"funnel must not window:\n$p")
+    assert("\\(\\d+\\) Window\\b".r.findFirstIn(p).isEmpty, s"funnel must not window:\n$p")
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).length === 1, p)
   }
 
@@ -275,6 +291,19 @@ class PlanSpec extends AnyFunSuite {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
     }
+  }
+
+  test("trainingSample prunes by hash prefix before the top-n: no corpus-wide TakeOrdered") {
+    // Force the pruned path with a corpus well past margin·4·n: the
+    // per-partition top-n heaps must sit ABOVE a Filter on the md5
+    // prefix, so at 100 TB the heap only ever sees ~margin·n rows, not
+    // the whole corpus.
+    val corpus = spark.range(0, 20000).selectExpr("id AS vec_id", "CAST(id AS DOUBLE) AS v")
+    val sample = graft.ops.Similarity.trainingSample(corpus, "vec_id", 64)
+    val p      = sample.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Filter"), s"hash-prefix prune missing below the top-n:\n$p")
+    assert(p.toLowerCase.contains("conv(substring(md5"), s"prune is not the md5-prefix cutoff:\n$p")
   }
 
   test("z-order key is a map-only projection over the scan") {
