@@ -117,11 +117,16 @@ object Scd {
       .unionByName(opened)
   }
 
-  /** Bootstrap an SCD2 table from a first snapshot: every row open. */
+  /** Bootstrap an SCD2 table from a first snapshot: every row open.
+    * `valid_to`'s null takes the SAME type `ts` resolves to (via a
+    * never-true `when` over `ts` itself), so a timestamp-valued `ts`
+    * yields timestamp/timestamp validity columns — a hardcoded
+    * `cast("date")` here would let a later [[scd2Merge]] (which closes
+    * rows with `valid_to = batchTs`) silently coerce the schema. */
   def scd2Init(batch: DataFrame, keyCols: Seq[String], trackedCols: Seq[String], ts: Column): DataFrame =
     batch.select(
       keyCols.map(col) ++ trackedCols.map(col) :+
-        ts.as("valid_from") :+ lit(null).cast("date").as("valid_to") :+
+        ts.as("valid_from") :+ when(lit(false), ts).as("valid_to") :+
         lit(true).as("is_current"): _*
     )
 }

@@ -986,10 +986,20 @@ object Similarity {
     *
     * `keyCols` is `(q_id)` for the global-codebook paths and
     * `(q_id, cent_id)` for the residual path, where the query's
-    * residual — and therefore its LUT — differs per probed cell. */
-  private def adcLut(qsubs: DataFrame, cb: DataFrame, keyCols: Seq[String] = Seq("q_id")): DataFrame = {
+    * residual — and therefore its LUT — differs per probed cell.
+    *
+    * `l2 = true` fills the table with integer SQUARED DISTANCES
+    * Σ(qsubᵢ − codeᵢ)² instead of dots — the residual path's metric
+    * (see [[annIvfPqResidualTopK]]: residual codes are a distance
+    * approximation, not a dot approximation). */
+  private def adcLut(
+      qsubs: DataFrame,
+      cb: DataFrame,
+      keyCols: Seq[String] = Seq("q_id"),
+      l2: Boolean = false,
+  ): DataFrame = {
     val pdot = aggregate(
-      zip_with(col("qsub"), col("code"), (a, b) => a * b),
+      zip_with(col("qsub"), col("code"), (a, b) => if (l2) (a - b) * (a - b) else a * b),
       lit(0L),
       (acc, v) => acc + v,
     )
@@ -1121,6 +1131,21 @@ object Similarity {
     * per query instead of one, still queries-side small and broadcast.
     * Candidate rows carry cell id + m codes, as before.
     *
+    * The metric is L2 ADC, ASCENDING — Jégou et al.'s own
+    * formulation: ‖q − x̂‖² = ‖(q − c) − r̂ₓ‖² = Σ_sub ‖r_q,sub −
+    * code_sub‖², so the per-cell constant the coarse quantizer
+    * removed is folded back in by construction and scores are a
+    * single global quantity, comparable ACROSS probed cells. (A dot
+    * LUT over residual codes would approximate dot(r_q, r_x), which
+    * drops the per-candidate dot(c, r_x) term — not a proxy for
+    * dot(q, x) even within one cell, and incomparable between cells;
+    * residual encoding's accuracy-per-byte claim only holds for the
+    * distance form.) The remaining cross-cell caveat is the int8
+    * ladder itself: each probed cell quantizes r_q with its own
+    * maxabs scale, so integer distances across cells are in slightly
+    * different units — the same symmetric-quantization trade every
+    * int8 path here makes, exact at float precision.
+    *
     * Dataflow: two [[ivfAssign]] passes (corpus nprobe=1 hash
     * aggregate, queries nprobe=n window), one broadcast centroid join
     * per side to form residuals, map-only encode, broadcast LUT join
@@ -1170,8 +1195,9 @@ object Similarity {
           )
         ).as(Seq("sub_id", "qsub")),
       )
-    val lut = adcLut(qsubs, cb, Seq("q_id", "cent_id"))
-    val w   = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
+    val lut = adcLut(qsubs, cb, Seq("q_id", "cent_id"), l2 = true)
+    // ascending: adc is a squared-distance approximation of ‖q − x‖²
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("n_id"))
     cand
       .join(broadcast(lut), Seq("cent_id"))
       .filter(col("n_id") =!= col("q_id"))
@@ -1248,13 +1274,38 @@ object Similarity {
     * pseudo-random permutation with no RNG state, so the sample is
     * reproducible in any engine (`ORDER BY md5(CAST(id AS VARCHAR)),
     * id LIMIT n` replays it in SQL) — the property that lets an oracle
-    * re-derive the exact trained index. Plans as TakeOrderedAndProject:
-    * per-partition top-n then a single merge of n rows, never a global
-    * sort — the scale-safe shape for carving a few thousand training
-    * vectors out of a 100 TB corpus. */
+    * re-derive the exact trained index.
+    *
+    * Scale shape: a bare `ORDER BY md5 LIMIT n` plans as a CORPUS-WIDE
+    * TakeOrderedAndProject — every row of 100 TB feeds a per-partition
+    * top-n heap. Instead, a hash-PREFIX cutoff prunes first: rows with
+    * 24-bit md5 prefix below `⌈margin·n/N · 2²⁴⌉` form an exact lower
+    * segment of the (md5, id) ordering (equal-length hex compares
+    * lexicographically = numerically), so the top-n of the pruned set
+    * IS the top-n of the corpus whenever ≥ n rows survive — the result
+    * is bit-identical to the unpruned form and the SQL oracle needs no
+    * change. The heap then only ever sees ~margin·n rows. Survivor
+    * count is binomial with mean margin·n; by Chernoff the probability
+    * of fewer than n survivors is ≤ exp(−(margin−1)²/(2·margin)·n) —
+    * at the floor margin (8, used below n=128) that is < e⁻⁴⁹ even
+    * for n=16, far below hardware error rates. `N` comes from one
+    * `count()` (metadata-only on a plain parquet scan). Corpora small
+    * enough that the prune cannot pay for itself skip it. */
   def trainingSample(df: DataFrame, idCol: String, n: Int): DataFrame = {
     require(n >= 1, s"training sample size must be >= 1, got $n")
-    df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(n)
+    val key     = md5(col(idCol).cast("string"))
+    val ordered = (d: DataFrame) => d.orderBy(key, col(idCol)).limit(n)
+    val total   = df.select(count(lit(1))).head().getLong(0)
+    val margin  = if (n < 128) 8.0 else 4.0
+    if (total <= (margin * 4 * n).toLong) ordered(df)
+    else {
+      val cut = math.min(1L << 24, math.ceil(margin * n / total * (1L << 24)).toLong)
+      ordered(
+        df.filter(
+          conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10).cast("long") < lit(cut)
+        )
+      )
+    }
   }
 
   /** Lloyd refinement of an IVF codebook: `iters` rounds of

@@ -169,7 +169,13 @@ object Text {
     * token split — no shuffle at all; the scan parallelizes chunking
     * for free. Empty documents produce no chunks. The final window is
     * allowed to be shorter than `chunkSize` (standard; droppable by a
-    * `n_tok` filter if a model needs full windows). */
+    * `n_tok` filter if a model needs full windows) — but start
+    * generation STOPS once a window reaches the document end: the last
+    * start is the smallest stride multiple s with s + chunkSize ≥ n
+    * (clamped to 0). Without the bound, any tail of ≤ `overlap` tokens
+    * would become its own chunk that is wholly contained in the
+    * previous chunk, inflating a retrieval index with pure
+    * duplicates. */
   def chunkTokens(
       docs: DataFrame,
       idCol: String,
@@ -186,7 +192,18 @@ object Text {
       .select(
         col(idCol),
         col("__toks"),
-        explode(sequence(lit(0), size(col("__toks")) - 1, lit(stride))).as("__start"),
+        // last start = ceil((n - chunkSize)/stride)·stride, clamped ≥ 0
+        // (integer div truncates toward zero; negatives clamp to 0 anyway)
+        explode(
+          sequence(
+            lit(0),
+            greatest(
+              lit(0),
+              expr(s"((size(__toks) - $chunkSize + ${stride - 1}) div $stride) * $stride").cast("int"),
+            ),
+            lit(stride),
+          )
+        ).as("__start"),
       )
       .select(
         col(idCol),

@@ -928,11 +928,15 @@ object SimilarityQueries {
   /** RESIDUAL IVF-PQ (the classic IVFADC layout): candidates are
     * PQ-encoded on x − c(x) against their own coarse centroid; a
     * query's ADC LUT is therefore per probed CELL (its residual
-    * differs per centroid). Residuals are double-subtracted and
-    * rounded once to REAL — exactly-rounded IEEE ops both engines
-    * share — so the whole pipeline (assignment, residual, int8
-    * quantize, codebook seed, encode, per-cell LUT, ADC ranking)
-    * stays bit-replayable; the oracle runs every stage. */
+    * differs per centroid). Scoring is L2 ADC ASCENDING — Jégou et
+    * al.'s ‖(q−c) − r̂ₓ‖² — the only metric under which residual
+    * codes approximate a global quantity comparable across probed
+    * cells (a dot LUT would drop the per-candidate dot(c, r_x)
+    * term). Residuals are double-subtracted and rounded once to
+    * REAL — exactly-rounded IEEE ops both engines share — so the
+    * whole pipeline (assignment, residual, int8 quantize, codebook
+    * seed, encode, per-cell L2 LUT, ADC ranking) stays
+    * bit-replayable; the oracle runs every stage. */
   private val annIvfPqResidualTopK = Q(
     "sim_ann_ivf_pq_residual_topk",
     s"""WITH e AS (
@@ -992,7 +996,7 @@ object SimilarityQueries {
        |lut AS (
        |  SELECT s.q_id, s.cent_id, s.sub_id, c.code_id,
        |    list_reduce(list_transform(generate_series(1, 8),
-       |      i -> s.qsub[i] * c.code[i]), (x, y) -> x + y) AS pdot
+       |      i -> (s.qsub[i] - c.code[i]) * (s.qsub[i] - c.code[i])), (x, y) -> x + y) AS pdot
        |  FROM qsubs s JOIN cb c ON c.sub_id = s.sub_id),
        |scored AS (
        |  SELECT l.q_id, p.vec_id AS n_id, CAST(sum(l.pdot) AS BIGINT) AS adc
@@ -1002,7 +1006,7 @@ object SimilarityQueries {
        |  WHERE p.vec_id <> l.q_id
        |  GROUP BY 1, 2)
        |SELECT q_id, n_id, adc, rnk FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rnk
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, n_id) AS rnk
        |  FROM scored)
        |WHERE rnk <= 3""".stripMargin,
   ) { (s, d) =>

@@ -376,11 +376,14 @@ object TextQueries {
 
   /** RAG chunking ([[graft.ops.Text.chunkTokens]]): 64-token windows
     * advancing by 48 (16-token overlap), stable (doc, start/stride)
-    * chunk ids, shuffle-free. Oracle replays the identical slicing. */
+    * chunk ids, shuffle-free; start generation stops at the first
+    * window covering the document end (no pure-duplicate tail chunk).
+    * Oracle replays the identical slicing. */
   private val chunkOverlap = Q(
     "txt_chunk_overlap",
     """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents),
-      |s AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 48)) AS start
+      |s AS (SELECT doc_id, toks,
+      |        unnest(generate_series(0, greatest(0, ((len(toks) - 64 + 47) // 48) * 48), 48)) AS start
       |      FROM t WHERE len(toks) > 0)
       |SELECT doc_id, start // 48 AS chunk_id,
       |  list_aggregate(toks[(start+1):(start+64)], 'string_agg', ' ') AS chunk_text,

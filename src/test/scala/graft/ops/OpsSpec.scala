@@ -1441,4 +1441,55 @@ class OpsSpec extends AnyFunSuite {
     assert(errs.exists(_.contains("Unknown enrichment")))
     assert(EnrichmentRegistry.known.contains("FindingUIDGenerator"))
   }
+
+  test("chunkTokens: no pure-duplicate tail chunk; last window reaches the document end") {
+    // 49 tokens, chunkSize=64: one chunk only (the old unbounded start
+    // sequence emitted a second, 1-token chunk wholly inside the first)
+    val doc49 = (1 to 49).map(i => s"t$i").mkString(" ")
+    val one   = Text.chunkTokens(Seq(("d", doc49)).toDF("doc_id", "text"), "doc_id", "text", 64, 16)
+    assert(one.count() === 1L)
+    assert(one.select("n_tok").as[Long].head() === 49L)
+    // 100 tokens: starts 0 and 48 — start 96's 4-token window is inside
+    // chunk 48's coverage and must not appear
+    val doc100 = (1 to 100).map(i => s"t$i").mkString(" ")
+    val two    = Text.chunkTokens(Seq(("d", doc100)).toDF("doc_id", "text"), "doc_id", "text", 64, 16)
+    assert(two.select("chunk_id").as[Long].collect().sorted.toSeq === Seq(0L, 1L))
+    // 113 tokens: token 113 is only covered by start 96 — it must survive
+    val doc113 = (1 to 113).map(i => s"t$i").mkString(" ")
+    val three  = Text.chunkTokens(Seq(("d", doc113)).toDF("doc_id", "text"), "doc_id", "text", 64, 16)
+    assert(three.count() === 3L)
+    val last = three.orderBy(col("chunk_id").desc).select("chunk_text").as[String].head()
+    assert(last.endsWith("t113"))
+  }
+
+  test("trainingSample: hash-prefix prune is bit-identical to the corpus-wide ORDER BY md5 LIMIT n") {
+    // force the pruned path (total > margin·4·n) and compare against the
+    // oracle form the SQL gate replays
+    val ids = (1 to 9000).map(i => (i.toLong, i * 2.0))
+    val df  = ids.toDF("vec_id", "v")
+    val got = Similarity
+      .trainingSample(df, "vec_id", 64)
+      .select("vec_id")
+      .as[Long]
+      .collect()
+      .toSeq
+    val want = df
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(64)
+      .select("vec_id")
+      .as[Long]
+      .collect()
+      .toSeq
+    assert(got === want)
+    assert(got.length === 64)
+  }
+
+  test("scd2Init: valid_to takes ts's own type (timestamp ts => timestamp valid_to)") {
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    val init = Scd.scd2Init(snap, Seq("k"), Seq("v"), timestamp_millis(lit(1000L)))
+    assert(init.schema("valid_from").dataType === init.schema("valid_to").dataType)
+    assert(init.schema("valid_to").dataType.typeName === "timestamp")
+    val initD = Scd.scd2Init(snap, Seq("k"), Seq("v"), to_date(lit("2024-01-01")))
+    assert(initD.schema("valid_to").dataType.typeName === "date")
+  }
 }
