@@ -70,15 +70,69 @@ object Funnel {
       .withColumn("steps_completed", completed)
   }
 
-  /** Per-user streaming-funnel state: every step timestamp seen so far
-    * (epoch micros). The FULL per-step lists are required for exact
-    * semantics under out-of-order arrival — a late step-1 event lowers
-    * t1, which can promote ANY earlier step-2 timestamp into the walk.
-    * State is bounded by the user's funnel-event count (the
-    * [[Sessionize]] boundedness class); a production deployment caps
-    * it by age once a watermark passes (events older than the span cap
-    * cannot change a finalized walk). */
-  final case class FunnelState(a1: Seq[Long], a2: Seq[Long], a3: Seq[Long])
+  /** BOUNDED per-user streaming-funnel state (epoch micros).
+    *
+    * Exactness does not need the full per-step timestamp lists:
+    *  - `t1` is a plain min, so a scalar is enough — a late step-1
+    *    event folds in with `min`.
+    *  - For step i > 1, an entry's eligibility (`ts > t_{i-1}`) is
+    *    PERMANENT once true, because t_{i-1} only ever decreases; so
+    *    eligible entries fold into the scalar min `m_i` immediately.
+    *  - The only entries that must be retained verbatim are the
+    *    PENDING ones — `ts ≤ t_{i-1}` (or t_{i-1} still null) that a
+    *    future decrease of t_{i-1} could promote. The watermark bounds
+    *    them: every future event has `ts ≥ wm`, so the final t_{i-1}
+    *    is ≥ min(t_{i-1}, wm), and any pending entry with
+    *    `ts ≤ min(t_{i-1}, wm)` can never clear the strict `>` — it is
+    *    dropped. What survives is always in `(wm, t_{i-1}]`, i.e.
+    *    newer than the watermark: state is bounded by the per-user
+    *    event count INSIDE the allowed-lateness horizon, the
+    *    [[Sessionize]] boundedness class, not the full history.
+    * `max_seen_us` drives the idle event-time timeout. */
+  final case class FunnelState(
+      t1: Option[Long],
+      m2: Option[Long],
+      p2: Seq[Long],
+      m3: Option[Long],
+      p3: Seq[Long],
+      max_seen_us: Long,
+  )
+
+  /** One pending-vs-eligible fold for a single funnel step: `cand`
+    * entries strictly above the (already updated) previous-step
+    * timestamp fold into the scalar min; the rest stay pending unless
+    * the watermark proves them forever ineligible. Pure — unit-testable
+    * without a streaming harness. */
+  private[ops] def foldStep(
+      m: Option[Long],
+      cand: Seq[Long],
+      prev: Option[Long],
+      wmUs: Long,
+  ): (Option[Long], Seq[Long]) = {
+    val (elig, pend) = prev match {
+      case Some(p) => cand.partition(_ > p)
+      case None    => (Seq.empty[Long], cand)
+    }
+    ((m.toSeq ++ elig).minOption, pend.filter(_ > wmUs))
+  }
+
+  /** The complete per-batch state fold (pure): updates t1 first, then
+    * step 2 against the new t1, then step 3 against the new t2 — each
+    * later step sees the most-permissive (smallest) prior timestamp,
+    * which is exactly the final one. */
+  private[ops] def foldFunnel3(
+      st: FunnelState,
+      a1: Seq[Long],
+      a2: Seq[Long],
+      a3: Seq[Long],
+      wmUs: Long,
+  ): FunnelState = {
+    val t1       = (st.t1.toSeq ++ a1).minOption
+    val (m2, p2) = foldStep(st.m2, st.p2 ++ a2, t1, wmUs)
+    val (m3, p3) = foldStep(st.m3, st.p3 ++ a3, m2, wmUs)
+    val mx       = (st.max_seen_us +: (a1 ++ a2 ++ a3)).max
+    FunnelState(t1, m2, p2, m3, p3, mx)
+  }
 
   /** One per-user update: the walk recomputed over all events seen so
     * far. Timestamps as epoch micros (nullable). */
@@ -93,8 +147,18 @@ object Funnel {
   /** Streaming 3-step funnel over `mapGroupsWithState` — the custom-
     * state form of [[funnelSteps]] (SURVEY §2.8's stateful extension
     * point, like [[Sessionize.streamingSessions]]). Each micro-batch
-    * folds its events into the per-user state and emits that user's
-    * recomputed walk (update mode).
+    * folds its events into the per-user state ([[foldFunnel3]] — the
+    * watermark-bounded scalar-min + pending-window form) and emits
+    * that user's recomputed walk (update mode).
+    *
+    * State lifecycle: the op sets its own watermark (`watermarkDelay`)
+    * — which both lets Spark drop too-late rows and bounds the pending
+    * lists — and an EVENT-TIME idle timeout: a user whose newest event
+    * is `idleRetention` behind the advancing watermark has their final
+    * walk emitted once more and their state REMOVED. On an unbounded
+    * stream, per-user state is therefore bounded in size (pending
+    * entries live only inside the lateness horizon) AND in lifetime
+    * (idle users age out), the [[Sessionize]] bar.
     *
     * The emitted stream is FINALIZABLE BY AGGREGATION: as events
     * accumulate, t1 only decreases (a min), which weakens the
@@ -111,6 +175,8 @@ object Funnel {
       typeCol: String,
       tsCol: String,
       steps: Seq[String],
+      watermarkDelay: String = "1 hour",
+      idleRetentionMs: Long = 30L * 24 * 3600 * 1000,
   ): Dataset[FunnelUpdate] = {
     require(steps.size == 3, s"streamingFunnel3 is the fixed 3-step form, got $steps")
     val spark = events.sparkSession
@@ -118,23 +184,36 @@ object Funnel {
     val Seq(s1, s2, s3) = steps
     val typed = events
       .filter(col(typeCol).isInCollection(steps))
-      .select(col(idCol).cast("long"), col(typeCol), col(tsCol))
+      .select(col(idCol).cast("long").as("__uid"), col(typeCol).as("__t"), col(tsCol).as("__ts"))
+      .withWatermark("__ts", watermarkDelay)
       .as[(Long, String, java.sql.Timestamp)]
     typed
       .groupByKey(_._1)
-      .mapGroupsWithState[FunnelState, FunnelUpdate](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[FunnelState, FunnelUpdate](GroupStateTimeout.EventTimeTimeout) {
         case (uid, it, state) =>
-          val st = state.getOption.getOrElse(FunnelState(Nil, Nil, Nil))
-          var (a1, a2, a3) = (st.a1, st.a2, st.a3)
-          it.foreach { case (_, t, ts) =>
-            val us = ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
-            if (t == s1) a1 +:= us else if (t == s2) a2 +:= us else if (t == s3) a3 +:= us
+          def emit(st: FunnelState): FunnelUpdate =
+            FunnelUpdate(uid, st.t1, st.m2, st.m3, Seq(st.t1, st.m2, st.m3).count(_.isDefined))
+          val prior = state.getOption.getOrElse(FunnelState(None, None, Nil, None, Nil, 0L))
+          if (state.hasTimedOut) {
+            // idle past the retention horizon: final walk, state gone
+            state.remove()
+            emit(prior)
+          } else {
+            val wmMs = state.getCurrentWatermarkMs()
+            val (a1, a2, a3) =
+              (Seq.newBuilder[Long], Seq.newBuilder[Long], Seq.newBuilder[Long])
+            it.foreach { case (_, t, ts) =>
+              val us = ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+              if (t == s1) a1 += us else if (t == s2) a2 += us else if (t == s3) a3 += us
+            }
+            val st = foldFunnel3(prior, a1.result(), a2.result(), a3.result(), wmMs * 1000L)
+            state.update(st)
+            // expire once the watermark is idleRetention past this
+            // user's newest event (must be set strictly above the
+            // current watermark)
+            state.setTimeoutTimestamp(math.max(st.max_seen_us / 1000L, wmMs + 1L) + idleRetentionMs)
+            emit(st)
           }
-          state.update(FunnelState(a1, a2, a3))
-          val t1 = a1.minOption
-          val t2 = t1.flatMap(x => a2.filter(_ > x).minOption)
-          val t3 = t2.flatMap(x => a3.filter(_ > x).minOption)
-          FunnelUpdate(uid, t1, t2, t3, Seq(t1, t2, t3).count(_.isDefined))
       }
   }
 

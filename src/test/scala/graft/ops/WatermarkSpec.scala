@@ -198,4 +198,78 @@ class WatermarkSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getString(0))).toSet
     assert(got === expected)
   }
+
+  test("streaming funnel: bounded state fold is exact (late t1 promotes pending) and wm-pruned") {
+    import Funnel.{foldFunnel3, foldStep, FunnelState}
+    val empty = FunnelState(None, None, Nil, None, Nil, 0L)
+
+    // batch 1: click@20, purchase@15 arrive BEFORE any view — both pend
+    val b1 = foldFunnel3(empty, Nil, Seq(20L), Seq(15L), wmUs = 0L)
+    assert(b1 === FunnelState(None, None, Seq(20L), None, Seq(15L), 20L))
+
+    // batch 2: late view@10 lowers t1 and promotes the pending click;
+    // purchase@15 stays pending (≤ new t2=20) but survives wm=12
+    val b2 = foldFunnel3(b1, Seq(10L), Nil, Nil, wmUs = 12L)
+    assert(b2.t1 === Some(10L) && b2.m2 === Some(20L))
+    assert(b2.p2.isEmpty, "promoted entry must leave the pending list")
+    assert(b2.p3 === Seq(15L), "pending step-3 entry above the watermark is retained")
+
+    // watermark passes 15: the pending purchase is provably never
+    // eligible (future t2 ≥ min(t2, wm) ≥ 15, strict > fails) — pruned
+    val b3 = foldFunnel3(b2, Nil, Nil, Nil, wmUs = 16L)
+    assert(b3.p3.isEmpty, "state must shrink once the watermark passes pending entries")
+    assert(b3.p2.isEmpty && b3.m3.isEmpty)
+
+    // an entry ≤ wm that IS already eligible folds into the min, never dropped
+    assert(foldStep(None, Seq(5L), prev = Some(3L), wmUs = 10L) === (Some(5L), Nil))
+    // with no prior step at all, entries at/below the watermark are dropped
+    assert(foldStep(None, Seq(5L), prev = None, wmUs = 10L) === (None, Nil))
+  }
+
+  test("streaming funnel over MemoryStream equals batch funnelSteps; idle state times out") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val updates = Funnel.streamingFunnel3(
+      in.toDS().toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"),
+      watermarkDelay = "10 seconds",
+      idleRetentionMs = 60_000L,
+    )
+    val q = updates.toDF().writeStream
+      .format("memory").queryName("funnel_wm_out").outputMode("update").start()
+    // out-of-order arrival: click before its view; view lands within lateness
+    in.addData((1L, "click", ts(20)), (1L, "purchase", ts(15)), (2L, "view", ts(5)))
+    q.processAllAvailable()
+    in.addData((1L, "view", ts(12)), (2L, "click", ts(25)))
+    q.processAllAvailable()
+    // advance the watermark far past user 1's newest event + retention:
+    // the idle timeout fires, re-emitting the final walk from state
+    in.addData((3L, "view", ts(200)))
+    q.processAllAvailable()
+    in.addData((3L, "click", ts(210)))
+    q.processAllAvailable()
+    q.stop()
+
+    val fin = spark.table("funnel_wm_out")
+      .groupBy("user_id")
+      .agg(min("step1_us").as("u1"), min("step2_us").as("u2"), min("step3_us").as("u3"),
+        max("steps_completed").as("sc"))
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4))))
+      .toMap
+    def us(sec: Int) = Some(sec * 1000000L)
+    assert(fin(1L) === ((us(12), us(20), None, 2)), "late view must promote the earlier click")
+    assert(fin(2L) === ((us(5), us(25), None, 2)))
+    assert(fin(3L) === ((us(200), us(210), None, 2)))
+
+    // the batch form agrees
+    val batch = Funnel.funnelSteps(
+      Seq((1L, "click", ts(20)), (1L, "purchase", ts(15)), (2L, "view", ts(5)),
+        (1L, "view", ts(12)), (2L, "click", ts(25)), (3L, "view", ts(200)), (3L, "click", ts(210)))
+        .toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+    val b = batch.collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(b === Map(1L -> 2, 2L -> 2, 3L -> 2))
+  }
 }
