@@ -320,16 +320,16 @@ object Staging {
         }
     }
     val versionDir = s"$stagingRoot/v=$next"
-    // Cluster by finding_uid at compaction time — the Spark analog of
-    // the reference's btree indexes (`add_new_indexes.sql:19-26` at
-    // `raw_ocsf_findings.sql:12-15`). Default: within-partition sort,
-    // so parquet row-group min/max stats skip on uid point lookups
-    // with no extra shuffle and a stable file count.
-    // `clusterFiles = Some(n)`: full range-partitioned layout — one
-    // shuffle producing n files covering DISJOINT uid ranges, so a uid
-    // lookup prunes whole files, not just row groups. That is the
-    // production compaction layout; size n to the snapshot (target
-    // ~128 MB–1 GB per file at scale).
+    // Cluster at compaction time — the Spark analog of the
+    // reference's btree indexes (`add_new_indexes.sql:19-26` at
+    // `raw_ocsf_findings.sql:12-15`). Default: within-partition sort
+    // on finding_uid, so parquet row-group min/max stats skip on uid
+    // point lookups with no extra shuffle and a stable file count.
+    // `clusterFiles = Some(n)`: [[clusteredWrite]]'s Z-ORDER layout
+    // over (uid rank, load day) — n files, each bounded in BOTH
+    // dimensions, matching the reference's TWO-index posture (uid
+    // point lookups AND loaded-date range scans prune files). Size n
+    // to the snapshot (target ~128 MB–1 GB per file at scale).
     try {
       val written: Long = clusterFiles match {
         case Some(n) =>
@@ -338,12 +338,7 @@ object Staging {
           // accumulator) a second time — observed counts double. Count
           // from the written files instead; parquet count() is answered
           // from footer metadata, no data pages are read.
-          merged
-            .repartitionByRange(n, col("finding_uid"))
-            .sortWithinPartitions("finding_uid")
-            .write
-            .mode("overwrite")
-            .parquet(versionDir)
+          clusteredWrite(merged, versionDir, n)
           spark.read.parquet(versionDir).count()
         case None =>
           // Snapshot row count observed on the compaction write itself —
@@ -366,6 +361,43 @@ object Staging {
       // existingMax) or nothing was written (and the number is free to
       // reuse). Always releasing keeps the root free of stale claims.
       rootFs.delete(new org.apache.hadoop.fs.Path(rootPath, s"_CLAIM_v$next"), false)
+  }
+
+  /** Z-ORDER clustered snapshot write — the Spark analog of the
+    * reference's TWO btree indexes on the landing table
+    * (`add_new_indexes.sql` → `raw_ocsf_findings.sql:12-15`:
+    * finding_uid AND loaded_date): each output file covers a compact
+    * segment of the Morton curve over (uid-rank, load-day), so its
+    * min/max envelope is bounded in BOTH dimensions and both a uid
+    * point lookup and a load-date range scan prune whole files —
+    * single-column range clustering serves only the first.
+    *
+    * finding_uid is a string, so its Morton input is a monotone RANK,
+    * obtained the way Delta's `OPTIMIZE ZORDER` computes
+    * range-partition ids: one range shuffle on the uid (sampled
+    * boundaries, ordered partition ids), `spark_partition_id()` as
+    * the rank. The day rank is days since 2020-01-01, clamped to the
+    * key width. [[graft.ops.Layout.zorderKey]] interleaves the two;
+    * a second range shuffle lays files along the curve. Two shuffles
+    * total — compaction-time cost, never query-time; the layout
+    * (unlike query results) may vary with the range sampler's seed,
+    * which only moves file boundaries, not correctness. */
+  private[ocsf] def clusteredWrite(merged: DataFrame, versionDir: String, n: Int): Unit = {
+    val zbits      = 12  // day span: 4096 days ≈ 11 years from the base
+    val uidBuckets = 256 // uid-rank resolution (8 of the 12 bit planes)
+    val ranked = merged
+      .repartitionByRange(uidBuckets, col("finding_uid"))
+      .withColumn("__urank", org.apache.spark.sql.functions.spark_partition_id().cast("long"))
+    val day = datediff(to_date(col("staging_loaded_at")), lit(java.sql.Date.valueOf("2020-01-01")))
+    val drank = least(greatest(coalesce(day, lit(0)), lit(0)), lit((1 << zbits) - 1)).cast("long")
+    ranked
+      .withColumn("__zkey", graft.ops.Layout.zorderKey(Seq(col("__urank"), drank), zbits))
+      .repartitionByRange(n, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"), col("finding_uid"))
+      .drop("__urank", "__zkey")
+      .write
+      .mode("overwrite")
+      .parquet(versionDir)
   }
 
   /** Atomically create an empty marker file, returning false if it

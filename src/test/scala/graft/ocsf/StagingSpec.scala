@@ -203,6 +203,51 @@ class StagingSpec extends AnyFunSuite {
     assert(ranges(0)._2 < ranges(1)._1, s"file uid ranges overlap: ${ranges.toSeq}")
   }
 
+  test("z-order compaction: file min/max envelopes bounded on BOTH finding_uid and load day") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 32 uids × 2 load days far apart (2020-04-10 / 2025-01-04 differ
+    // in the HIGH bits of the day rank, so the curve separates days
+    // before uid) — the two-index posture a single-column uid sort
+    // cannot give: there every uid-quarter file would span both days.
+    val rows = for {
+      i   <- 0 until 32
+      day <- Seq("2020-04-10", "2025-01-04")
+    } yield (f"boann:sast:snyk:fingerprint:$i%02d", java.sql.Timestamp.valueOf(s"$day 12:00:00"))
+    val merged = rows.toDF("finding_uid", "staging_loaded_at")
+    val dir    = tmpDir("staging_zorder") + "/v=0"
+    Staging.clusteredWrite(merged, dir, n = 4)
+
+    val files = java.nio.file.Files
+      .list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted
+    assert(files.length === 4, files.mkString(", "))
+    val envelopes = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("finding_uid"), max("finding_uid"),
+          min(to_date(col("staging_loaded_at"))), max(to_date(col("staging_loaded_at"))))
+        .head()
+      (r.getString(0), r.getString(1), r.getDate(2).toString, r.getDate(3).toString)
+    }
+    // BOTH-dimension pruning: every file covers exactly one load day…
+    envelopes.foreach { case (_, _, dMin, dMax) =>
+      assert(dMin === dMax, s"file spans multiple load days: $envelopes")
+    }
+    // …and within each day the files split the uid range disjointly
+    envelopes.groupBy(_._3).foreach { case (_, fs) =>
+      val sorted = fs.sortBy(_._1)
+      assert(sorted.length === 2)
+      assert(sorted(0)._2 < sorted(1)._1, s"uid ranges overlap within a day: $envelopes")
+    }
+    // a uid point lookup prunes to ≤ 2 of 4 files; a day filter to 2
+    val uidHit = envelopes.count { case (lo, hi, _, _) =>
+      lo <= "boann:sast:snyk:fingerprint:07" && "boann:sast:snyk:fingerprint:07" <= hi
+    }
+    assert(uidHit <= 2)
+    // nothing lost in the layout shuffle
+    assert(spark.read.parquet(dir).count() === 64L)
+  }
+
   test("composed retention policy: count window shields versions the age bound would drop") {
     import spark.implicits._
     val docs = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
