@@ -58,17 +58,45 @@ object DedupQueries {
     * Map iteration order happens to reach first, making per-query
     * numbers non-decomposable. [[graft.Bench]] calls this in its
     * warmup section and reports the cost on its own line. */
-  def prewarmShared(s: SparkSession, d: String): Seq[(String, Double)] = {
+  /** Which gate queries read each shared artifact — the skip map for
+    * selective benches: an artifact with no selected consumer is not
+    * built (its cost would be charged to nothing). Conservative
+    * supersets are fine; a missed consumer only re-pays first-touch
+    * inside that query's own timing. */
+  private val pairConsumers = Set(
+    "ddp_jaccard_pairs", "ddp_jaccard_components", "ddp_dedup_keep",
+    "ddp_dedup_keep_best", "ddp_component_split",
+  )
+  private val shingleConsumers = pairConsumers ++ Set(
+    "ddp_jaccard_pairs_prefix", "ddp_jaccard_pairs_auto", "ddp_minhash_lsh_pairs",
+    "ddp_simhash_sigs", "ddp_simhash_pairs", "ddp_simhash64_pairs",
+    "ddp_simhash64_md5_pairs", "ddp_chunk_dedup",
+  )
+  private val survivorConsumers =
+    Set("ddp_decontaminate", "ddp_corpus_prepare", "ddp_corpus_prepare_emb")
+
+  def prewarmShared(
+      s: SparkSession,
+      d: String,
+      selected: Option[Set[String]] = None,
+  ): Seq[(String, Double)] = {
+    def wanted(consumers: Set[String]) = selected.forall(sel => (sel & consumers).nonEmpty)
     def timed(name: String)(body: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
       body
       name -> (System.nanoTime() - t0) / 1e9
     }
     Seq(
-      timed("dedup_shingles") { sharedShingles(s, d).count() },
-      timed("jaccard_pairs") { sharedJaccardPairs(s, d).count() },
-      timed("corpus_survivors") { sharedSurvivors(s, d).count() },
-    )
+      Option.when(wanted(shingleConsumers))(timed("dedup_shingles") {
+        sharedShingles(s, d).count()
+      }),
+      Option.when(wanted(pairConsumers))(timed("jaccard_pairs") {
+        sharedJaccardPairs(s, d).count()
+      }),
+      Option.when(wanted(survivorConsumers))(timed("corpus_survivors") {
+        sharedSurvivors(s, d).count()
+      }),
+    ).flatten
   }
 
   /** Shared oracle CTEs: distinct 3-gram shingle sets + set sizes. */

@@ -67,20 +67,38 @@ object StreamingQueries {
     * contract as [[DedupQueries.prewarmShared]]: these are
     * once-per-corpus artifacts whose first-touch cost should sit in
     * the bench's warmup, visibly, not inside an arbitrary query. */
+  /** Per-artifact consumer sets (see [[DedupQueries.prewarmShared]]'s
+    * skip contract). */
+  private val srcDirConsumers =
+    Set("stream_tumbling_event_counts", "stream_interval_join", "stream_static_enrich")
+  private val timeSplitConsumers = Set(
+    "stream_dedup", "stream_funnel_steps", "stream_left_outer_join", "stream_session_window",
+  )
+  private val docSplitConsumers =
+    Set("stream_decontaminate", "stream_reservoir_sample", "stream_left_outer_join")
+
   def prewarmShared(
       s: org.apache.spark.sql.SparkSession,
       d: String,
+      selected: Option[Set[String]] = None,
   ): Seq[(String, Double)] = {
+    def wanted(consumers: Set[String]) = selected.forall(sel => (sel & consumers).nonEmpty)
     def timed(name: String)(body: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
       body
       name -> (System.nanoTime() - t0) / 1e9
     }
     Seq(
-      timed("events_replay_src") { eventsRawSchema(s, d); eventsSrcDir(s, d) },
-      timed("events_time_split") { leftOuterSplitDir(s, d) },
-      timed("documents_split") { documentsSplitDir(s, d) },
-    )
+      Option.when(wanted(srcDirConsumers))(timed("events_replay_src") {
+        eventsRawSchema(s, d); eventsSrcDir(s, d)
+      }),
+      Option.when(wanted(timeSplitConsumers))(timed("events_time_split") {
+        leftOuterSplitDir(s, d)
+      }),
+      Option.when(wanted(docSplitConsumers))(timed("documents_split") {
+        documentsSplitDir(s, d)
+      }),
+    ).flatten
   }
 
   private var streamN = 0
