@@ -27,6 +27,14 @@ object IngestMetrics {
     StructField("batch_id", LongType, nullable = false),
     StructField("good_rows", LongType, nullable = false),
     StructField("corrupt_rows", LongType, nullable = false),
+    // CHECK-style accepted-values violations (the reference's dbt
+    // generic tests, `tests/generic/severity_levels.sql` / `status.sql`)
+    // counted on the STREAMING path per batch — the rows still land
+    // (parse-valid, schema-valid), but the contract breach is queryable
+    // the moment the batch commits instead of at the next batch
+    // dbt-test run.
+    StructField("severity_violations", LongType, nullable = false),
+    StructField("status_violations", LongType, nullable = false),
     StructField("duration_ms", LongType, nullable = false),
     StructField("completed_at", TimestampType, nullable = false),
   ))
@@ -39,9 +47,11 @@ object IngestMetrics {
       goodRows: Long,
       corruptRows: Long,
       durationMs: Long,
+      severityViolations: Long = 0L,
+      statusViolations: Long = 0L,
   ): Unit = {
     val row = Row(
-      batchId, goodRows, corruptRows, durationMs,
+      batchId, goodRows, corruptRows, severityViolations, statusViolations, durationMs,
       new java.sql.Timestamp(System.currentTimeMillis()),
     )
     spark
@@ -64,7 +74,8 @@ object IngestMetrics {
     read(spark, path)
       .groupBy(col("batch_id"))
       .agg(max_by(
-        struct(col("good_rows"), col("corrupt_rows"), col("duration_ms"), col("completed_at")),
+        struct(col("good_rows"), col("corrupt_rows"), col("severity_violations"),
+          col("status_violations"), col("duration_ms"), col("completed_at")),
         col("completed_at"),
       ).as("m"))
       .select(col("batch_id"), col("m.*"))
@@ -75,6 +86,8 @@ object IngestMetrics {
       count(lit(1)).as("batches"),
       sum("good_rows").as("good_rows"),
       sum("corrupt_rows").as("corrupt_rows"),
+      sum("severity_violations").as("severity_violations"),
+      sum("status_violations").as("status_violations"),
       sum("duration_ms").as("duration_ms"),
       (sum("good_rows") * lit(1000.0) / greatest(sum("duration_ms"), lit(1L)))
         .as("rows_per_sec"),

@@ -102,18 +102,32 @@ object Monitor {
           case Some(mp) =>
             batch.persist()
             try {
+              // One aggregation pass carries the row counts AND the
+              // accepted-values gates (the reference's dbt generic
+              // tests, severity_levels.sql / status.sql) — the
+              // streaming path gets the same CHECK-style contract the
+              // batch validators enforce, with violations counted per
+              // batch into the metrics table, at no extra scan.
+              def viol(c: String, accepted: Seq[String]) =
+                sum(
+                  when(col("_corrupt").isNull && col(c).isNotNull && !col(c).isin(accepted: _*), 1L)
+                    .otherwise(0L)
+                )
               val counts = batch.agg(
                 sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("good"),
                 sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("bad"),
+                viol("severity", Staging.SeverityLevels).as("sev_bad"),
+                viol("status", Staging.StatusNames).as("st_bad"),
               ).collect()(0)
-              val goodRows = if (counts.isNullAt(0)) 0L else counts.getLong(0)
-              val badRows  = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+              def cnt(i: Int) = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+              val (goodRows, badRows) = (cnt(0), cnt(1))
               Landing.append(good, landingPath)
               if (badRows > 0) {
                 bad.write.mode("append").text(s"$failedDir/batch_$batchId")
               }
               val durationMs = (System.nanoTime() - started) / 1000000L
-              IngestMetrics.append(spark, mp, batchId, goodRows, badRows, durationMs)
+              IngestMetrics.append(spark, mp, batchId, goodRows, badRows, durationMs,
+                severityViolations = cnt(2), statusViolations = cnt(3))
             } finally batch.unpersist()
         }
         ()

@@ -259,6 +259,47 @@ class MonitorSpec extends AnyFunSuite {
     assert(after.map(_.getAs[Long]("good_rows")).sum === 4L)
   }
 
+  test("streaming accepted-values gates: severity/status violations counted per batch") {
+    val src        = tmpDir("monv_src")
+    val landing    = tmpDir("monv_landing")
+    val failed     = tmpDir("monv_failed")
+    val checkpoint = tmpDir("monv_ckpt")
+    val metrics    = tmpDir("monv_metrics")
+
+    def withLevels(uid: String, severity: String, status: String): String =
+      finding(uid)
+        .replace(""""severity": "High"""", s""""severity": "$severity"""")
+        .replace(""""status": "New"""", s""""status": "$status"""")
+
+    // batch of 4: one bad severity, one bad status, one bad both, one clean;
+    // null severity/status must NOT count (mirrors SQL NOT IN semantics
+    // of the reference's dbt tests, where NULL passes)
+    writeFile(src, "v.ocsf.json",
+      s"""[${withLevels("v-1", "SEVERE", "New")},
+         | ${withLevels("v-2", "High", "Open")},
+         | ${withLevels("v-3", "P1", "Closed")},
+         | ${finding("v-4")}]""".stripMargin.replaceAll("\n", ""))
+    writeFile(src, "w.ocsf.json",
+      s"""[${finding("w-1").replace(""""severity": "High", "status": "New",""", "")}]""")
+
+    val q = Monitor.run(
+      spark, src, landing, failed, checkpoint,
+      maxFilesPerTrigger = Some(1), metricsPath = Some(metrics),
+    )
+    q.awaitTermination()
+
+    // all rows still LAND (parse-valid; the gate observes, not drops —
+    // the reference's dbt tests likewise run after materialization)
+    assert(Landing.read(spark, landing).count() === 5)
+    val s = IngestMetrics.summary(spark, metrics).collect()(0)
+    assert(s.getAs[Long]("severity_violations") === 2L, s.toString)
+    assert(s.getAs[Long]("status_violations") === 2L, s.toString)
+    // the clean batch (w.ocsf.json, null severity/status) reports zero
+    val perBatch = IngestMetrics.perBatch(spark, metrics).collect()
+    assert(perBatch.exists(r =>
+      r.getAs[Long]("severity_violations") === 0L && r.getAs[Long]("status_violations") === 0L))
+  }
+
   test("backpressure: maxFilesPerTrigger=1 drains a backlog in bounded batches") {
     val src        = tmpDir("monb_src")
     val landing    = tmpDir("monb_landing")
