@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary induction (Sennrich, Haddow, Birch
+  * 2016 — "Neural Machine Translation of Rare Words with Subword
+  * Units"): starting from characters (plus an end-of-word marker),
+  * repeatedly merge the most frequent adjacent symbol pair; the ordered
+  * merge list IS the learned tokenizer vocabulary.
+  *
+  * Scale shape — the reason BPE training is feasible on a 100 TB
+  * corpus at all: training never iterates the corpus. ONE corpus-scale
+  * shuffle builds the word-frequency table (the standard trick, used by
+  * the original Sennrich implementation and SentencePiece alike: merge
+  * statistics depend only on (distinct word, count)); every merge round
+  * then runs over that compact vocab table — a pair-count hash
+  * aggregate (map-side combinable, weighted by word frequency), a
+  * 1-row argmax collect (driver-side, the [[Similarity]] codebook
+  * precedent: index PARAMETERS may live on the driver, corpus data
+  * never), and a map-only merge application. k merges = 1 corpus
+  * shuffle + k vocab-table rounds, `localCheckpoint` per round to keep
+  * lineage flat (the [[PageRank]] discipline).
+  *
+  * CROSS-ENGINE MERGE-APPLY SEMANTICS — the part that long blocked an
+  * oracle (BACKLOG's open item), solved by anchored string replace:
+  * a word's symbol sequence is one string with a DOUBLE-space
+  * separator and double-space sentinels (`"  a  b  </w>  "`), and
+  * applying merge (x, y) is the literal replace of `" x  y "` with
+  * `" xy "`. Each match consumes one space of each boundary
+  * double-space and the replacement restores them, so the
+  * double-separator invariant is preserved AND adjacent occurrences
+  * (`a b a b`) still both merge — while overlapping ones (`a a a`
+  * under (a,a)) resolve greedily left-to-right, exactly BPE's apply
+  * rule, because leftmost-non-overlapping literal replace IS the
+  * greedy scan, and Spark's `replace` and DuckDB's `replace` share
+  * that semantics bit-for-bit. No floats anywhere; ties in the argmax
+  * break on (pair) ascending; the whole induction is deterministic
+  * under any partitioning and replayable in ANSI-ish SQL.
+  *
+  * The end-of-word marker `</w>` cannot collide with `\w+` tokens
+  * (it contains `<`, `/`, `>`), and symbols never contain spaces, so
+  * the anchoring is unambiguous.
+  */
+object Bpe {
+
+  /** The spaced-symbol initialization of one word: `"  c1  c2  …  </w>  "`. */
+  private def symInit(word: org.apache.spark.sql.Column) =
+    concat(lit("  "), regexp_replace(word, "(.)", "$1  "), lit("</w>  "))
+
+  /** Learn the first `numMerges` BPE merges over the `\w+` tokens of
+    * `textCol`. Returns one row per merge: `merge_rank` (1-based,
+    * application order), `lhs`, `rhs`, `merged` (= lhs ++ rhs), and
+    * `pair_count` (frequency-weighted adjacent-pair count at the time
+    * of the merge). Stops early if no pair is left. */
+  def learnMerges(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+  ): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    // the one corpus-scale pass: distinct words + frequencies
+    val words = docs
+      .select(explode(Text.tokens(col(textCol))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+    var cur = words.select(symInit(col("w")).as("sym"), col("freq")).localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer.empty[Row]
+    var rank   = 1
+    var done   = false
+    while (rank <= numMerges && !done) {
+      val best = cur
+        .select(col("freq"), split(trim(col("sym")), "  ").as("syms"))
+        .select(
+          col("freq"),
+          explode(
+            expr(
+              "transform(sequence(1, size(syms) - 1)," +
+                " i -> struct(element_at(syms, i) AS lhs, element_at(syms, i + 1) AS rhs))"
+            )
+          ).as("p"),
+        )
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Row(rank, l, r, l + r, c)
+        cur = cur
+          .withColumn(
+            "sym",
+            call_function("replace", col("sym"), lit(s" $l  $r "), lit(s" $l$r ")),
+          )
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(merges.toSeq).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("merge_rank", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("lhs", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("rhs", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("merged", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("pair_count", org.apache.spark.sql.types.LongType, nullable = false),
+      )),
+    )
+  }
+
+  /** Tokenize `textCol` with a learned merge list: initialize each
+    * word's spaced-symbol string and apply the merges IN RANK ORDER
+    * (application order is part of the BPE contract), then split back
+    * into subword tokens. `merges` is the [[learnMerges]] output,
+    * collected — tokenizer vocabularies are driver-sized constants
+    * (the codebook precedent). Output: one row per (docs row) with
+    * `bpe_tokens` joined by a single space. */
+  def applyMerges(
+      docs: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)],
+  ): DataFrame = {
+    def tokenize(word: org.apache.spark.sql.Column) = {
+      val folded = merges.foldLeft(symInit(word)) { case (acc, (l, r)) =>
+        call_function("replace", acc, lit(s" $l  $r "), lit(s" $l$r "))
+      }
+      // collapse the double separators back to single spaces
+      call_function("replace", trim(folded), lit("  "), lit(" "))
+    }
+    docs.withColumn(
+      "bpe_tokens",
+      array_join(transform(Text.tokens(col(textCol)), w => tokenize(w)), " "),
+    )
+  }
+}

@@ -416,8 +416,50 @@ object TextQueries {
     graft.ops.Text.bigramLmScore(documents(s, d), "doc_id", "text")
   }
 
+  /** The k-round BPE oracle: each round is a pair-count CTE, a 1-row
+    * argmax CTE, and an anchored-replace apply CTE (see
+    * [[graft.ops.Bpe]] for why double-space anchoring makes the
+    * replace semantics engine-identical); the Scala loop unrolls the
+    * rounds because merge r's statistics depend on merge r-1's
+    * application — BPE is inherently sequential in the merge index. */
+  private def bpeOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (
+      |  SELECT '  ' || regexp_replace(w, '(.)', '\1  ', 'g') || '</w>  ' AS sym, freq FROM (
+      |    SELECT w, count(*) AS freq FROM (
+      |      SELECT unnest(regexp_extract_all(text, '\w+')) AS w FROM documents) GROUP BY w))""".stripMargin
+    for (r <- 1 to k)
+      sb ++= s""",
+         |p$r AS (
+         |  SELECT syms[i] AS lhs, syms[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+         |        FROM (SELECT string_split(trim(sym), '  ') AS syms, freq FROM w${r - 1}))
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT lhs, rhs, cnt FROM p$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |w$r AS (SELECT CASE WHEN b.lhs IS NULL THEN w.sym
+         |          ELSE replace(w.sym, ' ' || b.lhs || '  ' || b.rhs || ' ',
+         |                       ' ' || b.lhs || b.rhs || ' ') END AS sym, w.freq
+         |        FROM w${r - 1} w LEFT JOIN b$r b ON TRUE)""".stripMargin
+    sb ++= "\n" + (1 to k)
+      .map(r =>
+        s"SELECT $r AS merge_rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM b$r"
+      )
+      .mkString("\nUNION ALL\n")
+    sb.toString
+  }
+
+  /** BPE vocabulary induction ([[graft.ops.Bpe.learnMerges]]): the
+    * first 8 merges learned from the corpus's word-frequency table,
+    * each round's argmax pair and weighted count oracle-replayed. */
+  private val bpeMerges = Q(
+    "txt_bpe_merges",
+    bpeOracleSql(8),
+  ) { (s, d) =>
+    graft.ops.Bpe.learnMerges(documents(s, d), "text", 8)
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
-      sourceFilterQ, chunkOverlap, bigramLm)
+      sourceFilterQ, chunkOverlap, bigramLm, bpeMerges)
 }

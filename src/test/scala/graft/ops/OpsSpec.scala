@@ -1484,6 +1484,38 @@ class OpsSpec extends AnyFunSuite {
     assert(got.length === 64)
   }
 
+  test("BPE induction: hand-checked merge sequence on the Sennrich corpus; adjacent + overlap apply") {
+    // the classic example: low×5, lower×2, newest×6, widest×3
+    val docs = Seq(
+      ("low " * 5) + ("lower " * 2),
+      ("newest " * 6) + ("widest " * 3),
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t.trim) }.toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(merges.toSeq === Seq(
+      (1, "e", "s", "es", 9L),       // e-s/s-t/t-</w> tie at 9 → lhs asc
+      (2, "es", "t", "est", 9L),
+      (3, "est", "</w>", "est</w>", 9L),
+      (4, "l", "o", "lo", 7L),       // l-o/o-w tie at 7 → lhs asc
+      (5, "lo", "w", "low", 7L),
+    ))
+
+    // tokenizing an UNSEEN word with the learned merges
+    val learned = merges.map(m => (m._2, m._3)).toSeq
+    val toks = Bpe.applyMerges(Seq((0L, "lowest")).toDF("doc_id", "text"), "text", learned)
+      .select("bpe_tokens").as[String].head()
+    assert(toks === "low est</w>")
+
+    // adjacent occurrences both merge (the double-space anchor): ABAB
+    val ab = Bpe.learnMerges(Seq((0L, "abab abab")).toDF("doc_id", "text"), "text", 1).collect()
+    assert(ab.head.getString(3) === "ab" && ab.head.getLong(4) === 4L,
+      s"adjacent pairs must all count/merge: ${ab.toSeq}")
+    // overlapping occurrences resolve greedily left-to-right: AAA under (a,a)
+    val aaa = Bpe.applyMerges(Seq((0L, "aaa")).toDF("doc_id", "text"), "text", Seq(("a", "a")))
+      .select("bpe_tokens").as[String].head()
+    assert(aaa === "aa a </w>")
+  }
+
   test("scd2Init: valid_to takes ts's own type (timestamp ts => timestamp valid_to)") {
     val snap = Seq((1L, "a")).toDF("k", "v")
     val init = Scd.scd2Init(snap, Seq("k"), Seq("v"), timestamp_millis(lit(1000L)))
