@@ -422,10 +422,10 @@ object TextQueries {
     * replace semantics engine-identical); the Scala loop unrolls the
     * rounds because merge r's statistics depend on merge r-1's
     * application — BPE is inherently sequential in the merge index. */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeChain(k: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH w0 AS (
-      |  SELECT '  ' || regexp_replace(w, '(.)', '\1  ', 'g') || '</w>  ' AS sym, freq FROM (
+      |  SELECT w, '  ' || regexp_replace(w, '(.)', '\1  ', 'g') || '</w>  ' AS sym, freq FROM (
       |    SELECT w, count(*) AS freq FROM (
       |      SELECT unnest(regexp_extract_all(text, '\w+')) AS w FROM documents) GROUP BY w))""".stripMargin
     for (r <- 1 to k)
@@ -436,17 +436,36 @@ object TextQueries {
          |        FROM (SELECT string_split(trim(sym), '  ') AS syms, freq FROM w${r - 1}))
          |  GROUP BY 1, 2),
          |b$r AS (SELECT lhs, rhs, cnt FROM p$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-         |w$r AS (SELECT CASE WHEN b.lhs IS NULL THEN w.sym
+         |w$r AS (SELECT w.w, CASE WHEN b.lhs IS NULL THEN w.sym
          |          ELSE replace(w.sym, ' ' || b.lhs || '  ' || b.rhs || ' ',
          |                       ' ' || b.lhs || b.rhs || ' ') END AS sym, w.freq
          |        FROM w${r - 1} w LEFT JOIN b$r b ON TRUE)""".stripMargin
-    sb ++= "\n" + (1 to k)
+    sb.toString
+  }
+
+  private def bpeOracleSql(k: Int): String =
+    bpeChain(k) + "\n" + (1 to k)
       .map(r =>
         s"SELECT $r AS merge_rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM b$r"
       )
       .mkString("\nUNION ALL\n")
-    sb.toString
-  }
+
+  /** Tokenization tail: map every document token (in position order) to
+    * its fully-merged symbol string from the final round's word table —
+    * equivalent to folding the merges in rank order per word, which is
+    * what the Spark side does. Token-less documents keep an empty
+    * string via the LEFT JOIN. */
+  private def bpeTokenizeOracleSql(k: Int): String =
+    bpeChain(k) + s""",
+      |docs_t AS (SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks FROM documents),
+      |tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM docs_t),
+      |mapped AS (
+      |  SELECT t.doc_id, t.i, replace(trim(f.sym), '  ', ' ') AS piece
+      |  FROM (SELECT doc_id, i, toks[i] AS w FROM tok) t JOIN w$k f ON f.w = t.w)
+      |SELECT d.doc_id, coalesce(m.bpe_tokens, '') AS bpe_tokens
+      |FROM documents d LEFT JOIN (
+      |  SELECT doc_id, string_agg(piece, ' ' ORDER BY i) AS bpe_tokens
+      |  FROM mapped GROUP BY doc_id) m USING (doc_id)""".stripMargin
 
   /** BPE vocabulary induction ([[graft.ops.Bpe.learnMerges]]): the
     * first 8 merges learned from the corpus's word-frequency table,
@@ -458,8 +477,29 @@ object TextQueries {
     graft.ops.Bpe.learnMerges(documents(s, d), "text", 8)
   }
 
+  /** BPE tokenization of the whole corpus with the corpus-learned
+    * merges ([[graft.ops.Bpe.applyMerges]]): train (8 merges), collect
+    * the merge list (tokenizer vocabularies are driver-sized
+    * constants), fold per token. The oracle instead maps each token
+    * to the final training round's word table — the two are equivalent
+    * because the per-word fold applies merges in the same rank order
+    * the rounds did. */
+  private val bpeTokenize = Q(
+    "txt_bpe_tokenize",
+    bpeTokenizeOracleSql(8),
+  ) { (s, d) =>
+    val docs = documents(s, d)
+    val merges = graft.ops.Bpe
+      .learnMerges(docs, "text", 8)
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    graft.ops.Bpe.applyMerges(docs, "text", merges).select("doc_id", "bpe_tokens")
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
-      sourceFilterQ, chunkOverlap, bigramLm, bpeMerges)
+      sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize)
 }
