@@ -73,6 +73,48 @@ object Sampling {
     )
   }
 
+  /** Temperature-balanced corpus mixing at α = 1/2 — the multilingual-
+    * pretraining rebalancer (mT5/XLM-R sample language l with
+    * probability ∝ p_l^α to lift low-resource strata): target shares
+    * ∝ √n_s, realized as per-stratum Bernoulli rates
+    * `rate_s = budget·q_s / (S·n_s)` with `q_s = ⌊√n_s · 2²⁰⌋` and
+    * `S = Σ q_t`, then the standard [[stratified]] hash predicate.
+    *
+    * α is pinned to 1/2 ON PURPOSE: `sqrt` is correctly rounded in
+    * every IEEE engine, so the whole rate computation (integerized
+    * √-weights summed exactly, one double multiply/divide at the end)
+    * is bit-reproducible across engines — a general `pow(p, α)` is
+    * not correctly-rounded everywhere and would put a libm rounding
+    * difference inside the keep/drop decision. Other temperatures are
+    * reachable by iterating (α = 1/4 is √ twice, …).
+    *
+    * The strata-count collect is driver-side and BOUNDED by contract:
+    * strata are the mixing dimension (sources, languages) —
+    * thousands, not corpus-sized (the [[Similarity]] codebook rule).
+    * Inherits [[stratified]]'s subset monotonicity: a smaller budget's
+    * sample is a subset of a larger one's, per stratum. */
+  def temperatureSqrt(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      budget: Long,
+  ): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val counts = df
+      .filter(col(strataCol).isNotNull)
+      .groupBy(strataCol)
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val qs   = counts.map { case (k, n) => k -> math.floor(math.sqrt(n.toDouble) * (1L << 20).toDouble).toLong }
+    val sTot = qs.map(_._2).sum
+    val rates = counts.zip(qs).map { case ((k, n), (_, q)) =>
+      k -> (if (sTot == 0L) 0.0 else (budget.toDouble * q) / (sTot.toDouble * n))
+    }.toMap
+    stratified(df, keyCol, strataCol, rates, defaultRate = 0.0)
+  }
+
   /** Token-BUDGET deterministic sample per stratum — the corpus-mixing
     * form that targets a token (or byte/char) budget instead of a row
     * count: within each stratum, rows are taken in content-hash order

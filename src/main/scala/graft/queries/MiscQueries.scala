@@ -184,6 +184,32 @@ object MiscQueries {
       .select("doc_id", "source")
   }
 
+  /** Temperature-balanced corpus mixing at α = 1/2
+    * ([[graft.ops.Sampling.temperatureSqrt]]): target shares ∝ √n_s —
+    * the mT5/XLM-R low-resource lift — realized as hash-predicate
+    * Bernoulli rates computed from integerized √-weights, so the
+    * entire keep/drop decision is bit-reproducible (sqrt is correctly
+    * rounded in every IEEE engine; a general pow would not be). The
+    * oracle recomputes the weights, the exact integer weight sum, and
+    * the one double multiply/divide per stratum. */
+  private val sampleTemperature = Q(
+    "misc_sample_temperature",
+    """WITH c AS (SELECT source, count(*) AS n FROM documents
+      |           WHERE source IS NOT NULL GROUP BY 1),
+      |q AS (SELECT source, n,
+      |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576) AS BIGINT) AS qs FROM c),
+      |s AS (SELECT CAST(sum(qs) AS BIGINT) AS tot FROM q),
+      |r AS (SELECT source, (200.0 * qs) / (CAST(tot AS DOUBLE) * n) AS rate
+      |      FROM q CROSS JOIN s)
+      |SELECT d.doc_id, d.source FROM documents d JOIN r ON r.source = d.source
+      |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) / 16777216.0
+      |  < r.rate""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Sampling
+      .temperatureSqrt(graft.Tables.documents(s, d), "doc_id", "source", budget = 200L)
+      .select("doc_id", "source")
+  }
+
   /** Fixed-size deterministic per-stratum sample (reservoir shape,
     * [[graft.ops.Sampling.reservoirPerStratum]]): exactly
     * min(k, |stratum|) docs per source (k below the stratum size, so the
@@ -429,5 +455,5 @@ object MiscQueries {
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
-      pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ)
+      pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature)
 }

@@ -1516,6 +1516,32 @@ class OpsSpec extends AnyFunSuite {
     assert(aaa === "aa a </w>")
   }
 
+  test("temperatureSqrt: sqrt-share rates, budget-monotone subset, rate wiring equals stratified") {
+    // strata a: 100 rows, b: 400 → √-weights 10:20 → target shares 1:2
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++ (101 to 500).map(i => (i.toLong, "b")))
+      .toDF("doc_id", "source")
+    val got = Sampling.temperatureSqrt(df, "doc_id", "source", budget = 50L)
+      .select("doc_id").as[Long].collect().toSet
+    // the exact rates the op must compute: q_a=10·2^20, q_b=20·2^20
+    val (qa, qb) = (10L << 20, 20L << 20)
+    val sTot     = qa + qb
+    val rates = Map(
+      "a" -> (50.0 * qa) / (sTot.toDouble * 100),
+      "b" -> (50.0 * qb) / (sTot.toDouble * 400),
+    )
+    val want = Sampling.stratified(df, "doc_id", "source", rates, defaultRate = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === want)
+    // shares land near 1:2 (hash-Bernoulli expectation 16.7 vs 33.3)
+    val byStratum = Sampling.temperatureSqrt(df, "doc_id", "source", 50L)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("b") > byStratum("a"))
+    // budget monotonicity: smaller budget is a subset
+    val smaller = Sampling.temperatureSqrt(df, "doc_id", "source", budget = 20L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(smaller.subsetOf(got))
+  }
+
   test("scd2Init: valid_to takes ts's own type (timestamp ts => timestamp valid_to)") {
     val snap = Seq((1L, "a")).toDF("k", "v")
     val init = Scd.scd2Init(snap, Seq("k"), Seq("v"), timestamp_millis(lit(1000L)))
