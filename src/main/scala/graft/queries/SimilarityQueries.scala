@@ -1026,8 +1026,69 @@ object SimilarityQueries {
       .select("q_id", "n_id", "adc", "rnk")
   }
 
+  /** End-to-end RAG retrieval composition: token-chunk the documents
+    * corpus ([[graft.ops.Text.chunkTokens]], 64/16), embed each chunk
+    * with a DETERMINISTIC hash embedding (8 dims from the chunk text's
+    * md5: 3 hex digits each, centered and scaled by 2¹¹ — every value
+    * k/2¹¹ is exact in float, so the "model" is a bit-reproducible
+    * stand-in for a real encoder, the multimodal-decoder stubbing
+    * discipline applied to text), then exact cosine top-3 for every
+    * chunk of the first three documents. The oracle replays chunking,
+    * embedding, and ranking end-to-end — the composed pipeline a
+    * retrieval index build actually runs, as one differential gate. */
+  private val ragChunkTopK = Q(
+    "sim_rag_chunk_topk",
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks FROM documents),
+       |s0 AS (SELECT doc_id, toks,
+       |         unnest(generate_series(0, greatest(0, ((len(toks) - 64 + 47) // 48) * 48), 48)) AS start
+       |       FROM t WHERE len(toks) > 0),
+       |ch AS (SELECT doc_id * 10000 + start // 48 AS cid,
+       |         md5(list_aggregate(toks[(start+1):(start+64)], 'string_agg', ' ')) AS h
+       |       FROM s0),
+       |e AS (SELECT cid,
+       |        list_transform(generate_series(0, 7),
+       |          j -> CAST(CAST((CAST(('0x' || substr(h, j*3 + 1, 3)) AS BIGINT) - 2048) AS DOUBLE)
+       |                    / 2048.0 AS REAL)) AS emb
+       |      FROM ch),
+       |n AS (SELECT cid, emb, sqrt(${duckDot("emb", "emb")}) AS nrm FROM e),
+       |pairs AS (
+       |  SELECT q.cid AS q_id, c.cid AS n_id,
+       |    ${duckDot("q.emb", "c.emb")} / (q.nrm * c.nrm) AS cos
+       |  FROM n q JOIN n c ON c.cid <> q.cid
+       |  WHERE q.cid < 30000)
+       |SELECT q_id, n_id, cos, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM pairs)
+       |WHERE rnk <= 3""".stripMargin,
+  ) { (s, d) =>
+    val chunks = graft.ops.Text
+      .chunkTokens(graft.Tables.documents(s, d), "doc_id", "text", chunkSize = 64, overlap = 16)
+      .select((col("doc_id") * 10000L + col("chunk_id")).as("cid"), col("chunk_text"))
+    val embedded = chunks
+      .withColumn("__h", md5(col("chunk_text")))
+      .withColumn(
+        "emb",
+        transform(
+          sequence(lit(0), lit(7)),
+          j =>
+            ((conv(col("__h").substr(j * 3 + 1, lit(3)), 16, 10).cast("long") - 2048L)
+              .cast("double") / 2048.0).cast("float"),
+        ),
+      )
+      .select("cid", "emb")
+    Similarity
+      .bruteForceTopK(
+        queries = embedded.filter(col("cid") < 30000L),
+        candidates = embedded,
+        idCol = "cid",
+        embCol = "emb",
+        k = 3,
+      )
+      .select("q_id", "n_id", "cos", "rnk")
+  }
+
   val all: Seq[Q] =
     Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
       annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
-      annIvfPqSampledTopK, annIvfAppendTopK, annIvfPqResidualTopK)
+      annIvfPqSampledTopK, annIvfAppendTopK, annIvfPqResidualTopK, ragChunkTopK)
 }
