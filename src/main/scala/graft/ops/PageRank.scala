@@ -86,7 +86,7 @@ object PageRank {
     val newRank =
       (lit(basePpm) + expr(s"(${dampingPpt}L * coalesce(__m, 0L)) div 1000L")).as("rank_ppm")
     var ranks = nodes.withColumn("rank_ppm", lit(r0Ppm))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribExpr =
         if (weightCol.isDefined) expr("(rank_ppm * __w) div __d") else expr("rank_ppm div __d")
       val contribs = edgesDeg
@@ -95,9 +95,16 @@ object PageRank {
         .groupBy("id")
         .agg(sum(col("__c")).as("__m"))
       ranks =
-        (if (noDangling) contribs.select(col("id"), newRank)
-         else nodes.join(contribs, Seq("id"), "left").select(col("id"), newRank))
-          .localCheckpoint()
+        if (noDangling) contribs.select(col("id"), newRank)
+        else nodes.join(contribs, Seq("id"), "left").select(col("id"), newRank)
+      // Checkpoint every third round (and on the last): each eager
+      // localCheckpoint is its own job, so per-round checkpointing pays
+      // `iters` scheduler round-trips to keep lineage depth at 1;
+      // letting three rounds chain keeps plans shallow enough for the
+      // optimizer while cutting the materialization count 3×. The
+      // arithmetic is integer (order-free), so batching rounds into one
+      // job cannot change a single rank value.
+      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }
