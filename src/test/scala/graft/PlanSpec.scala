@@ -293,6 +293,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("RAG composition: chunk+embed stays map-side; query side broadcast; no cartesian") {
+    val p = planOf("sim_rag_chunk_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // chunking+embedding must not shuffle before the candidate join:
+    // exactly the exchanges of the top-k window cut, nothing upstream
+    assert(!p.contains("SortMergeJoin"), s"candidate scan must not shuffle for the join:\n$p")
+  }
+
   test("trainingSample prunes by hash prefix before the top-n: no corpus-wide TakeOrdered") {
     // Force the pruned path with a corpus well past margin·4·n: the
     // per-partition top-n heaps must sit ABOVE a Filter on the md5
