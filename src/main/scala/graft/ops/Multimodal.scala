@@ -154,6 +154,64 @@ object Multimodal {
     decodeWith(media, new ImageIoDecoder(), batchSize)
   }
 
+  /** One resized image row: the re-encoded payload plus its (now
+    * known) dimensions. `ok=false` carries the failure, never a task
+    * error. */
+  final case class ResizedImage(
+      doc_id: Long,
+      ok: Boolean,
+      width: Int,
+      height: Int,
+      content: Array[Byte],
+      err: String,
+  )
+
+  /** A REAL resize stage on the decoder contract (the mandate's
+    * decode / feature-extract / RESIZE / frame-sample list): decode
+    * with `javax.imageio`, scale to (targetW, targetH) with bilinear
+    * interpolation (`java.awt.Graphics2D` — JDK-shipped public API,
+    * no external codec), re-encode as PNG. The normalization step a
+    * vision-training pipeline runs before batching tensors; output
+    * payloads are fixed-size-bounded, so downstream batch shapes are
+    * predictable regardless of source image size. Same row isolation
+    * as [[ImageIoDecoder]]. */
+  final class ImageIoResizer(targetW: Int, targetH: Int) extends MediaDecoder[ResizedImage] {
+    require(targetW >= 1 && targetH >= 1, s"target dims must be positive, got ${targetW}x$targetH")
+    def decode(docId: Long, bytes: Array[Byte]): ResizedImage =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null)
+          ResizedImage(docId, ok = false, 0, 0, Array.emptyByteArray, "no registered ImageReader")
+        else {
+          val out = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR,
+          )
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+          g.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          ResizedImage(docId, ok = true, targetW, targetH, baos.toByteArray, "")
+        }
+      } catch {
+        case e: Exception =>
+          ResizedImage(
+            docId, ok = false, 0, 0, Array.emptyByteArray,
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+  }
+
+  /** Batched resize over the binary column: [[decodeWith]] on
+    * [[ImageIoResizer]]. */
+  def resizeImages(media: DataFrame, w: Int, h: Int, batchSize: Int = 64): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decodeWith(media, new ImageIoResizer(w, h), batchSize)
+  }
+
   /** Deterministic fake "frame sampling": n evenly spaced fixed-width
     * byte slices of the payload (a real video pipeline returns decoded
     * frames; the slicing/array shape is what downstream operators see). */

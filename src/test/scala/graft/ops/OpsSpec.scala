@@ -787,6 +787,32 @@ class OpsSpec extends AnyFunSuite {
     assert(custom.forall(_._2 > 0))
   }
 
+  test("multimodal: ImageIoResizer rescales real PNGs to fixed dims; color preserved; corrupt isolated") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, png(32, 24, 0xff0000)),            // red, downscaled
+      (2L, png(2, 2, 0x00ff00)),              // green, upscaled
+      (3L, "not an image".getBytes("UTF-8")), // undecodable
+    ).toDF("doc_id", "content")
+    val resized = Multimodal.resizeImages(media, w = 8, h = 8, batchSize = 2)
+      .collect().sortBy(_.doc_id)
+    assert(resized.map(r => (r.ok, r.width, r.height)).toSeq ===
+      Seq((true, 8, 8), (true, 8, 8), (false, 0, 0)))
+    // re-decode the resized payloads: dims stick and solid colors survive scaling
+    resized.take(2).zip(Seq(0xff0000, 0x00ff00)).foreach { case (r, want) =>
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      assert(back.getWidth === 8 && back.getHeight === 8)
+      assert((back.getRGB(4, 4) & 0xffffff) === want)
+    }
+    assert(resized(2).err.nonEmpty && resized(2).content.isEmpty)
+  }
+
   test("corpus pipeline: quality + language gates, exact and fuzzy dedup composed") {
     val base    = "the data pipeline processes " + (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = "the data pipeline processes " + (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY"
