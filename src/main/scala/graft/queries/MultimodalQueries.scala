@@ -54,5 +54,31 @@ object MultimodalQueries {
     Multimodal.dedupBinary(media.unionAll(copies), "doc_id", "content")
   }
 
-  val all: Seq[Q] = Seq(binaryMeta, features, dedupBinary)
+  /** Frame sampling over the binary payload
+    * ([[Multimodal.frameSample]]): 4 evenly spaced 16-byte slices per
+    * payload, one output row per (doc, frame index), frames base64'd
+    * so the compare is string-typed. The deterministic byte-slice
+    * stand-in for video frame extraction — what the gate pins is the
+    * slicing arithmetic and batch shape a real codec would feed.
+    * (DuckDB 1.0 cannot substring a BLOB, so the oracle slices the
+    * VARCHAR and encodes the slice — byte-identical here because the
+    * corpus is pure ASCII, asserted: octet_length(encode(text)) ==
+    * length(text) for every row at both gate SFs.) */
+  private val frameSampleQ = Q(
+    "mm_frame_sample",
+    """SELECT doc_id, i AS frame_idx,
+      |  to_base64(encode(substring(text, 1 + i * greatest(length(text) // 4, 1), 16))) AS frame_b64
+      |FROM documents, (SELECT unnest(generate_series(0, 3)) AS i)""".stripMargin,
+  ) { (s, d) =>
+    Multimodal
+      .packDocuments(documents(s, d))
+      .select(
+        col("doc_id"),
+        posexplode(Multimodal.frameSample(col("content"), n = 4, frameBytes = 16))
+          .as(Seq("frame_idx", "frame")),
+      )
+      .select(col("doc_id"), col("frame_idx"), base64(col("frame")).as("frame_b64"))
+  }
+
+  val all: Seq[Q] = Seq(binaryMeta, features, dedupBinary, frameSampleQ)
 }
