@@ -390,7 +390,35 @@ object Events {
     graft.ops.Funnel.funnelReport(steps, nSteps = 3)
   }
 
+  /** Exponentially decayed engagement score — the recency-weighted
+    * counter behind retention/engagement dashboards (half-life = 1
+    * day), INTEGER-EXACT: each event contributes `2²⁰ >> age_days`
+    * (age clamped to 62 so the shift stays defined), so the score is
+    * a sum of exact powers of two — bit-identical under any partition
+    * or summation order, no `exp()`/float decay crossing the engine
+    * boundary. The reference point (corpus max day) is a 1-row
+    * broadcast. */
+  private val decayedEngagement = Q(
+    "evt_decayed_engagement",
+    """WITH m AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events)
+      |SELECT user_id,
+      |  CAST(sum(1048576 >> least(date_diff('day', CAST(ts AS DATE), maxd), 62)) AS BIGINT)
+      |    AS decayed_score,
+      |  COUNT(*) AS n_events
+      |FROM events, m GROUP BY user_id""".stripMargin,
+  ) { (s, d) =>
+    val ev = events(s, d)
+    ev.crossJoin(ev.agg(max(to_date(col("ts"))).as("__maxd")))
+      .withColumn("__age", least(datediff(col("__maxd"), to_date(col("ts"))), lit(62)))
+      .groupBy("user_id")
+      .agg(
+        sum(expr("shiftright(1048576L, CAST(__age AS INT))")).as("decayed_score"),
+        count(lit(1)).as("n_events"),
+      )
+  }
+
   val all: Seq[Q] = Seq(
+    decayedEngagement,
     jsonExtractGroup,
     severityCaseMap,
     dateTruncHour,
