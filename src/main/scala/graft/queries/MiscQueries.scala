@@ -210,6 +210,51 @@ object MiscQueries {
       .select("doc_id", "source")
   }
 
+  /** Count-Min Sketch heavy hitters ([[graft.ops.Cms]]): a 4×256
+    * sketch over lineitem part keys (d hash aggregations — Spark's
+    * partial aggregation IS the sketch's mergeability), then point
+    * estimates for the 10 heaviest exact keys. md5-bucket hashing
+    * makes the whole sketch engine-replayable, so the oracle checks
+    * EXACT estimate equality, not just the εN bound; the
+    * `no_underestimate` column pins the CMS one-sided-error
+    * guarantee on top. */
+  private val cmsHeavyHitters = Q(
+    "misc_cms_heavy_hitters",
+    """WITH ks AS (SELECT l_partkey AS k FROM lineitem),
+      |rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+      |c AS (SELECT r AS row_,
+      |        CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 6)) AS BIGINT) % 256 AS bucket,
+      |        count(*) AS cnt
+      |      FROM ks, rows_ GROUP BY 1, 2),
+      |exact AS (SELECT k, count(*) AS exact_cnt FROM ks GROUP BY 1
+      |          ORDER BY exact_cnt DESC, k LIMIT 10),
+      |est AS (SELECT e.k, e.exact_cnt, min(coalesce(c.cnt, 0)) AS cms_estimate
+      |        FROM exact e CROSS JOIN rows_ rr
+      |        LEFT JOIN c ON c.row_ = rr.r
+      |          AND c.bucket = CAST(('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || CAST(e.k AS VARCHAR)), 1, 6)) AS BIGINT) % 256
+      |        GROUP BY 1, 2)
+      |SELECT k AS l_partkey, exact_cnt, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+      |  cms_estimate >= exact_cnt AS no_underestimate
+      |FROM est""".stripMargin,
+  ) { (s, d) =>
+    val keys = lineitem(s, d).select(col("l_partkey"))
+    val sk   = graft.ops.Cms.sketch(keys, "l_partkey", depth = 4, width = 256)
+    val exact = keys
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("l_partkey"))
+      .limit(10)
+    graft.ops.Cms
+      .estimate(sk, exact, "l_partkey", depth = 4, width = 256)
+      .join(exact, "l_partkey")
+      .select(
+        col("l_partkey"),
+        col("exact_cnt"),
+        col("cms_estimate"),
+        (col("cms_estimate") >= col("exact_cnt")).as("no_underestimate"),
+      )
+  }
+
   /** Fixed-size deterministic per-stratum sample (reservoir shape,
     * [[graft.ops.Sampling.reservoirPerStratum]]): exactly
     * min(k, |stratum|) docs per source (k below the stratum size, so the
@@ -455,5 +500,6 @@ object MiscQueries {
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
-      pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature)
+      pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
+      cmsHeavyHitters)
 }
