@@ -1568,6 +1568,30 @@ class OpsSpec extends AnyFunSuite {
     assert(smaller.subsetOf(got))
   }
 
+  test("CMS: sketch merge = union + re-sum; estimates never underestimate; exact when unsaturated") {
+    val a = (1 to 50).flatMap(i => Seq.fill(i % 5 + 1)(i.toLong)).toDF("k")
+    val b = (40 to 90).map(_.toLong).toDF("k")
+    val (d_, w_) = (4, 64)
+    // mergeability: union-then-sketch == sketch-then-sum
+    val skUnion = Cms.sketch(a.unionAll(b), "k", d_, w_)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val skSum = Cms.sketch(a, "k", d_, w_).unionByName(Cms.sketch(b, "k", d_, w_))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(skUnion === skSum)
+    // one-sided error: estimate >= exact for every key, == when no collision inflates all rows
+    val all   = a.unionAll(b)
+    val exact = all.groupBy("k").agg(count(lit(1)).as("exact")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = Cms.estimate(Cms.sketch(all, "k", d_, w_), all, "k", d_, w_)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) => assert(est(k) >= c, s"k=$k underestimated: ${est(k)} < $c") }
+    // an absent key still gets a (collision-only) overestimate, never an error
+    val absent = Cms.estimate(Cms.sketch(all, "k", d_, w_), Seq(99999L).toDF("k"), "k", d_, w_)
+      .collect()
+    assert(absent.length === 1 && absent.head.getLong(1) >= 0L)
+  }
+
   test("scd2Init: valid_to takes ts's own type (timestamp ts => timestamp valid_to)") {
     val snap = Seq((1L, "a")).toDF("k", "v")
     val init = Scd.scd2Init(snap, Seq("k"), Seq("v"), timestamp_millis(lit(1000L)))
