@@ -73,6 +73,7 @@ object StreamingQueries {
     Set("stream_tumbling_event_counts", "stream_interval_join", "stream_static_enrich")
   private val timeSplitConsumers = Set(
     "stream_dedup", "stream_funnel_steps", "stream_left_outer_join", "stream_session_window",
+    "stream_cms_sketch",
   )
   private val docSplitConsumers =
     Set("stream_decontaminate", "stream_reservoir_sample", "stream_left_outer_join")
@@ -718,7 +719,50 @@ object StreamingQueries {
       )
   }
 
+  /** Streaming Count-Min Sketch build ([[graft.ops.Cms]]): the d×w
+    * counter table maintained as a streaming aggregation over the
+    * replay — the sketch's mergeability is exactly what makes it a
+    * valid streaming state (counters merge by addition across
+    * micro-batches, the same property the batch build exploits
+    * map-side). Complete-mode emission of ≤ d·w rows per trigger;
+    * the oracle is the BATCH sketch over the same events, which the
+    * final streaming state must equal exactly (deterministic md5
+    * buckets, integer counters). */
+  private val cmsStream = Q(
+    "stream_cms_sketch",
+    """WITH rows_ AS (SELECT unnest(generate_series(0, 3)) AS r)
+      |SELECT r AS row_,
+      |  CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 6)) AS BIGINT) % 128 AS bucket,
+      |  count(*) AS cnt
+      |FROM events, rows_ GROUP BY 1, 2""".stripMargin,
+  ) { (s, d) =>
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    val stream = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+    val sk = stream
+      .select(explode(org.apache.spark.sql.functions.sequence(lit(0), lit(3))).as("row_"), col("user_id"))
+      .groupBy(col("row_"), graft.ops.Cms.bucketOf(col("row_"), col("user_id"), 128).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val name = synchronized { streamN += 1; s"graft_stream_cms_$streamN" }
+    withStatePartitions(s, 4) {
+      withScratchCheckpoint("graft_ckpt_cms") { ckpt =>
+        val q = sk.writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    s.table(name)
+  }
+
   val all: Seq[Q] =
     Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream,
-      decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream)
+      decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream,
+      cmsStream)
 }
