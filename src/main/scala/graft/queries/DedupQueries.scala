@@ -737,7 +737,16 @@ object DedupQueries {
     * whose keys differ in ≤ 1 bit in some band. At this demo's hard
     * low-τ regime that recovers all 14 true pairs where exact banding
     * finds 10 — and the oracle enumerates the identical flips, so the
-    * approximation itself is what's checked. */
+    * approximation itself is what's checked.
+    *
+    * Routed through the COUNT-PROBED banding ladder
+    * ([[graft.ops.Similarity.chooseBanding]], `probes = 1`), the
+    * `_auto` precedent: rung 1 IS the 72/12 demo config the oracle
+    * enumerates (gate corpora sit below the first cutoff), while
+    * larger corpora climb to wider band keys — the 10× replica
+    * measured 353 s on the fixed config (the r ≈ 6 collision floor
+    * bands·N²·(r+1)/2^r gone quadratic) vs single-digit seconds on
+    * the ladder's rung 2. */
   private val embeddingPairsMp = Q(
     "ddp_embedding_pairs_mp",
     s"""$embCte,
@@ -750,13 +759,11 @@ object DedupQueries {
        |  FROM probe a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
        |$cosVerifyTail""".stripMargin,
   ) { (s, d) =>
-    graft.ops.Similarity.embeddingDupPairs(
+    graft.ops.Similarity.embeddingDupPairsAuto(
       embeddings(s, d),
       idCol = "vec_id",
       embCol = "embedding",
       tau = 0.45,
-      nPlanes = 72,
-      bands = 12,
       probes = 1,
     )
   }
