@@ -143,4 +143,26 @@ object CorpusPipeline {
         Dedup.dedupByPairs(survivors, idCol, pairs)
     }
   }
+
+  /** The final MIXING stage — curation output → training mix: rebalance
+    * the survivors' per-stratum shares at temperature α = 1/2
+    * ([[Sampling.temperatureSqrt]] — low-resource sources lifted, the
+    * mT5/XLM-R recipe, IEEE-exact arithmetic) and assign each kept
+    * document its training shard by content hash
+    * ([[Sampling.shardAssign]] — `df.write.partitionBy("shard")` then
+    * emits the shard files). Both stages are scan-local predicates /
+    * projections over the survivor set: the whole mix adds ZERO
+    * shuffles beyond the one bounded strata-count probe. */
+  def mix(
+      survivors: DataFrame,
+      idCol: String,
+      strataCol: String,
+      budget: Long,
+      nShards: Int,
+  ): DataFrame =
+    Sampling.shardAssign(
+      Sampling.temperatureSqrt(survivors, idCol, strataCol, budget),
+      idCol,
+      nShards,
+    )
 }

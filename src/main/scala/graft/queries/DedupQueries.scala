@@ -73,7 +73,7 @@ object DedupQueries {
     "ddp_simhash64_md5_pairs", "ddp_chunk_dedup",
   )
   private val survivorConsumers =
-    Set("ddp_decontaminate", "ddp_corpus_prepare", "ddp_corpus_prepare_emb")
+    Set("ddp_decontaminate", "ddp_corpus_prepare", "ddp_corpus_prepare_emb", "ddp_corpus_mix")
 
   def prewarmShared(
       s: SparkSession,
@@ -996,6 +996,34 @@ object DedupQueries {
       .select("doc_id", "source")
   }
 
+  /** Curation → training-mix composition ([[graft.ops.CorpusPipeline.mix]]):
+    * the text pipeline's survivors rebalanced at temperature α = 1/2
+    * (√-share rates computed FROM THE SURVIVOR strata counts — the
+    * mix sees post-dedup shares, as a real pipeline would) and
+    * hash-sharded for the training writer. The oracle replays the
+    * full chain: text-pipeline CTEs → survivor strata counts →
+    * integerized √-weights → rate predicate → shard hash. */
+  private val corpusMix = Q(
+    "ddp_corpus_mix",
+    s"""WITH RECURSIVE $corpusTextCtes,
+       |surv AS ($corpusSurvSelect),
+       |c AS (SELECT source, count(*) AS n FROM surv WHERE source IS NOT NULL GROUP BY 1),
+       |q AS (SELECT source, n,
+       |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576) AS BIGINT) AS qs FROM c),
+       |st AS (SELECT CAST(sum(qs) AS BIGINT) AS tot FROM q),
+       |r AS (SELECT source, (300.0 * qs) / (CAST(tot AS DOUBLE) * n) AS rate
+       |      FROM q CROSS JOIN st)
+       |SELECT s.doc_id, s.source,
+       |  CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 8 AS shard
+       |FROM surv s JOIN r ON r.source = s.source
+       |WHERE CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) / 16777216.0
+       |  < r.rate""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.CorpusPipeline
+      .mix(sharedSurvivors(s, d), "doc_id", "source", budget = 300L, nShards = 8)
+      .select("doc_id", "source", "shard")
+  }
+
   /** Leakage-aware train/validation split ([[graft.ops.Dedup.componentSplit]]):
     * every Jaccard near-dup COMPONENT lands atomically on one side of
     * the split (hash of the component's canonical id), so a training
@@ -1047,5 +1075,5 @@ object DedupQueries {
       dedupKeepBest,
       semdedupBest, embeddingPairs,
       embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, decontaminate, corpusPrepare,
-      corpusPrepareEmb, componentSplitQ)
+      corpusPrepareEmb, componentSplitQ, corpusMix)
 }
