@@ -593,6 +593,49 @@ object Staging {
     dropped.map(_._1)
   }
 
+  /** Drop ABANDONED version directories — the complement of
+    * [[vacuumVersionsPolicy]]'s "never drop the newest" rule, which
+    * deliberately shields the numerically-newest directory even when
+    * it was never committed (a CAS-aborted or crashed run's leftover,
+    * numbered above the pointer because version numbers are never
+    * reused). Such a directory is garbage the moment its writer is
+    * gone, but it used to linger until a NEWER successful commit
+    * out-numbered it. This pass targets it directly and safely:
+    * only directories STRICTLY ABOVE the committed pointer qualify
+    * (committed history is the other policy's business), only when no
+    * `_CLAIM_v<n>` file exists (an in-flight writer still owns the
+    * number), and only past `maxAge` (a writer between claim-release
+    * and commit is seconds old, not hours). No pointer → nothing is
+    * provably abandoned → no-op. Returns dropped versions. */
+  def vacuumAbandoned(
+      spark: SparkSession,
+      stagingRoot: String,
+      maxAge: java.time.Duration,
+      nowMillis: Long = System.currentTimeMillis(),
+  ): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(stagingRoot)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val committed = readSideFile(fs, root, "_CURRENT").map(_.toLong) match {
+      case Some(p) => p
+      case None    => return Seq.empty
+    }
+    val cutoff = nowMillis - maxAge.toMillis
+    val dropped = fs
+      .listStatus(root)
+      .toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d+"))
+      .map(s => s.getPath.getName.stripPrefix("v=").toLong -> s)
+      .filter { case (v, s) =>
+        v > committed &&
+        !fs.exists(new org.apache.hadoop.fs.Path(root, s"_CLAIM_v$v")) &&
+        versionWriteTime(fs, s) < cutoff
+      }
+      .sortBy(_._1)
+    dropped.foreach { case (_, s) => fs.delete(s.getPath, true) }
+    dropped.map(_._1)
+  }
+
   /** Drop superseded version directories, keeping the newest `keep` —
     * the count-only case of [[vacuumVersionsPolicy]] (age bound ZERO:
     * every superseded version outside the window qualifies). */

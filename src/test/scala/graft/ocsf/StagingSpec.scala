@@ -248,6 +248,40 @@ class StagingSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() === 64L)
   }
 
+  test("vacuumAbandoned: stale never-committed dirs above the pointer drop; claimed/young/committed survive") {
+    import spark.implicits._
+    val docs        = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
+    val landingDir  = tmpDir("landing_ab")
+    val stagingRoot = tmpDir("staging_ab")
+    Landing.append(docs, landingDir)
+    Staging.mergeRun(spark, landingDir, stagingRoot) // commits v=0, pointer -> 0
+
+    def mkAbandoned(v: Long, ageMs: Long, claimed: Boolean = false): Unit = {
+      val dir = java.nio.file.Paths.get(stagingRoot, s"v=$v")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("part-0.parquet"), Array[Byte](1))
+      java.nio.file.Files.setLastModifiedTime(
+        dir, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+      if (claimed)
+        java.nio.file.Files.write(java.nio.file.Paths.get(stagingRoot, s"_CLAIM_v$v"), Array[Byte]())
+    }
+    mkAbandoned(7, ageMs = 3600_000L)                  // stale, unclaimed -> dropped
+    mkAbandoned(8, ageMs = 0L)                         // young (in-flight window) -> kept
+    mkAbandoned(9, ageMs = 3600_000L, claimed = true)  // claimed -> kept
+
+    val dropped = Staging.vacuumAbandoned(spark, stagingRoot, java.time.Duration.ofMinutes(10))
+    assert(dropped === Seq(7L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stagingRoot, "v=7")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(stagingRoot, "v=8")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(stagingRoot, "v=9")))
+    // committed snapshot untouched, still readable through the pointer
+    assert(Staging.readCurrent(spark, stagingRoot).get.count() === 1L)
+    // with no pointer, nothing is provably abandoned: no-op
+    val bare = tmpDir("staging_ab2")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(bare, "v=3"))
+    assert(Staging.vacuumAbandoned(spark, bare, java.time.Duration.ZERO) === Seq.empty)
+  }
+
   test("composed retention policy: count window shields versions the age bound would drop") {
     import spark.implicits._
     val docs = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
