@@ -417,7 +417,38 @@ object Events {
       )
   }
 
+  /** Cohort retention matrix — the product-analytics companion of the
+    * funnel: users grouped by their FIRST-seen week (the cohort), then
+    * for every later week the number of cohort members still active —
+    * one row per (cohort week, week offset). Two shuffles: the
+    * per-user min (hash aggregate) and the distinct-count per cell;
+    * the cohort table joins back broadcast-small relative to events.
+    * Weeks are epoch-aligned 7-day buckets (integer division on epoch
+    * days — identical arithmetic in any engine; calendar `week()`
+    * functions differ on year boundaries across engines, so the gate
+    * deliberately avoids them). */
+  private val cohortRetention = Q(
+    "evt_cohort_retention",
+    """WITH wk AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS w
+      |  FROM events),
+      |cohort AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY 1)
+      |SELECT c.cw AS cohort_week, wk.w - c.cw AS week_offset,
+      |  count(DISTINCT wk.user_id) AS n_active
+      |FROM wk JOIN cohort c ON c.user_id = wk.user_id
+      |GROUP BY 1, 2""".stripMargin,
+  ) { (s, d) =>
+    val wk = events(s, d)
+      .select(col("user_id"), floor(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) / 7).as("w"))
+    val cohort = wk.groupBy("user_id").agg(min(col("w")).as("cw"))
+    wk.join(cohort, "user_id")
+      .groupBy(col("cw").as("cohort_week"), (col("w") - col("cw")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
   val all: Seq[Q] = Seq(
+    cohortRetention,
     decayedEngagement,
     jsonExtractGroup,
     severityCaseMap,
