@@ -447,8 +447,40 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
 
+  /** Rolling 7-day active users (WAU) per day — computed by the
+    * EXPLODE-OFFSET trick, not a range self-join: each distinct
+    * (user, day) contributes to exactly the 7 window days it can be
+    * seen from, so the dataflow is dedup → 7× row expansion → one
+    * distinct-count aggregate. Linear in user-days with a constant
+    * factor of 7, where the textbook `JOIN ON day BETWEEN d-6 AND d`
+    * is a range join the optimizer can only nest-loop. Days are epoch
+    * integers; trailing days past the corpus max are trimmed. */
+  private val rollingWau = Q(
+    "evt_rolling_wau",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+      |  FROM events),
+      |mx AS (SELECT max(d) AS maxd FROM ud)
+      |SELECT ud.d + o AS day, count(DISTINCT ud.user_id) AS wau
+      |FROM ud, (SELECT unnest(generate_series(0, 6)) AS o) offs, mx
+      |WHERE ud.d + o <= mx.maxd
+      |GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    val ud = events(s, d)
+      .select(col("user_id"), datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("d"))
+      .distinct()
+    val mx = ud.agg(max(col("d")).as("maxd"))
+    ud.select(col("user_id"), explode(sequence(lit(0L), lit(6L))).as("o"), col("d"))
+      .crossJoin(mx)
+      .filter(col("d") + col("o") <= col("maxd"))
+      .groupBy((col("d") + col("o")).as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+  }
+
   val all: Seq[Q] = Seq(
     cohortRetention,
+    rollingWau,
     decayedEngagement,
     jsonExtractGroup,
     severityCaseMap,
