@@ -478,9 +478,39 @@ object Events {
       .agg(countDistinct(col("user_id")).as("wau"))
   }
 
+  /** Event-transition (Markov) matrix — user-journey analysis: counts
+    * of consecutive (event_type → next event_type) pairs within each
+    * user's timeline, ordered by (ts, event_id) so timestamp ties are
+    * deterministic. One window pass partitioned by user + one hash
+    * aggregate; transition probabilities are integer ppm per source
+    * state (floor division — engine-exact). */
+  private val transitionMatrix = Q(
+    "evt_transition_matrix",
+    """WITH seq_ AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type, next_type, count(*) AS n FROM seq_
+      |      WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, next_type, n,
+      |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS p_ppm
+      |FROM c""".stripMargin,
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val c = events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    c.withColumn("p_ppm", floor(col("n") * lit(1000000L) / sum(col("n")).over(tot)).cast("long"))
+  }
+
   val all: Seq[Q] = Seq(
     cohortRetention,
     rollingWau,
+    transitionMatrix,
     decayedEngagement,
     jsonExtractGroup,
     severityCaseMap,
