@@ -65,7 +65,21 @@ object Bpe {
       .select(explode(Text.tokens(col(textCol))).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("freq"))
-    var cur = words.select(symInit(col("w")).as("sym"), col("freq")).localCheckpoint()
+    // persist (not localCheckpoint): an evicted persisted block
+    // recomputes from lineage, while a lost localCheckpoint block is a
+    // hard failure — under whole-suite memory pressure the training
+    // loop must degrade to recompute, never to an error. The lineage
+    // stays shallow (each round references only the previous round's
+    // persisted table); every intermediate is unpersisted before
+    // returning, and the returned merge table is driver-materialized
+    // rows, independent of all of them.
+    val retained = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def keep(df: DataFrame): DataFrame = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      retained += df
+      df
+    }
+    var cur    = keep(words.select(symInit(col("w")).as("sym"), col("freq")))
     val merges = scala.collection.mutable.ListBuffer.empty[Row]
     var rank   = 1
     var done   = false
@@ -90,15 +104,16 @@ object Bpe {
       else {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Row(rank, l, r, l + r, c)
-        cur = cur
-          .withColumn(
+        cur = keep(
+          cur.withColumn(
             "sym",
             call_function("replace", col("sym"), lit(s" $l  $r "), lit(s" $l$r ")),
           )
-          .localCheckpoint()
+        )
         rank += 1
       }
     }
+    retained.foreach(_.unpersist(blocking = false))
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(merges.toSeq).asJava),
       org.apache.spark.sql.types.StructType(Seq(
