@@ -315,6 +315,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("conv(substring(md5"), s"prune is not the md5-prefix cutoff:\n$p")
   }
 
+  test("new analytics gates: map-side partial aggregation, no cartesian, bounded window passes") {
+    for (name <- Seq("evt_cohort_retention", "evt_rolling_wau", "evt_transition_matrix",
+        "evt_decayed_engagement", "misc_cms_heavy_hitters", "misc_sample_temperature")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") || name == "evt_decayed_engagement" ||
+        name == "evt_rolling_wau", s"$name unexpectedly nest-loops:\n$p")
+    }
+    // the CMS sketch build is d hash aggregations with map-side combine
+    val cms = planOf("misc_cms_heavy_hitters")
+    assert(cms.contains("partial_count") || cms.contains("partial_sum"), cms)
+    // temperature mixing is a scan-local predicate: no join in the kept-set path
+    val t = planOf("misc_sample_temperature")
+    assert(!t.contains("Join"), s"temperature mix must be a scan-local predicate:\n$t")
+  }
+
   test("z-order key is a map-only projection over the scan") {
     val p = planOf("misc_zorder_key")
     assert(!p.contains("Exchange"), s"key computation must not shuffle:\n$p")
