@@ -233,6 +233,43 @@ object Text {
     * (keyed equi-joins, AQE-broadcastable while the vocabulary fits)
     * and aggregates per document. Documents with < 2 tokens have no
     * bigrams and are excluded (score undefined, not zero). */
+  /** Exact lower-quantile pruning over a BOUNDED-INTEGER score column
+    * — drop the worst `quantilePpm`/10⁶ of rows by score (the
+    * perplexity-pruning step of CCNet/Gopher-style curation, here on
+    * [[bigramLmScore]]'s integer-ppm scores): keep every row whose
+    * score is ≥ the exact q-quantile threshold.
+    *
+    * The 100 TB trick is that EXACT quantiles over a bounded integer
+    * domain need no global sort and no per-row ranking: one hash
+    * aggregate builds the score HISTOGRAM (≤ 10⁶+1 rows — bounded by
+    * the DOMAIN, not the corpus), a cumulative window over that tiny
+    * table finds the smallest score whose cumulative count exceeds
+    * ⌊q·n⌋, and the threshold joins back as a broadcast scalar
+    * predicate. Ties sit wholly on one side (score < threshold drops),
+    * so the kept set is deterministic with no tiebreak ranking —
+    * `kept ≥ (1−q)·n` by construction. Contrast: `row_number` over the
+    * corpus is a single-partition window; `percentile_approx` is
+    * approximate. Bounded-domain histogram is both exact and scan-
+    * shaped. */
+  def pruneByScoreQuantile(
+      scored: DataFrame,
+      scoreCol: String,
+      quantilePpm: Long,
+  ): DataFrame = {
+    require(quantilePpm >= 0 && quantilePpm <= 1000000L, s"quantilePpm in [0,1e6], got $quantilePpm")
+    val hist = scored.groupBy(col(scoreCol).as("__s")).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // the single-partition window is over the HISTOGRAM (domain-bounded)
+    val thresh = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .crossJoin(scored.agg(count(lit(1)).as("__n")))
+      .filter(col("__cum") > expr(s"(__n * ${quantilePpm}L) div 1000000L"))
+      .agg(min(col("__s")).as("__thresh"))
+    scored.crossJoin(broadcast(thresh)).filter(col(scoreCol) >= col("__thresh")).drop("__thresh")
+  }
+
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withToks = docs
       .select(col(idCol), tokens(col(textCol)).as("__t"))

@@ -498,8 +498,41 @@ object TextQueries {
     graft.ops.Bpe.applyMerges(docs, "text", merges).select("doc_id", "bpe_tokens")
   }
 
+  /** Perplexity-style pruning: drop the worst 10% of documents by the
+    * bigram-LM score ([[graft.ops.Text.pruneByScoreQuantile]]) — the
+    * EXACT quantile computed as a bounded-integer-domain histogram
+    * cumulative (the ppm score domain has ≤ 10⁶+1 values, so the only
+    * single-partition window runs over the tiny histogram, never the
+    * corpus). The oracle replays histogram, cumulative, threshold, and
+    * the tie-stable `score ≥ threshold` keep rule. */
+  private val lmPrune = Q(
+    "txt_lm_prune",
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents),
+      |b AS (SELECT doc_id,
+      |        unnest(list_transform(generate_series(1, len(toks) - 1),
+      |               i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |      FROM t WHERE len(toks) >= 2),
+      |bw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM b),
+      |c2 AS (SELECT bg, count(*) AS c2 FROM bw GROUP BY 1),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bw GROUP BY 1),
+      |sc AS (SELECT doc_id,
+      |         CAST(sum((c2.c2 * 1000000) // c1.c1) // count(*) AS BIGINT) AS lm_score_ppm
+      |       FROM bw JOIN c2 USING (bg) JOIN c1 USING (w1) GROUP BY doc_id),
+      |hist AS (SELECT lm_score_ppm AS s, count(*) AS c FROM sc GROUP BY 1),
+      |cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM hist),
+      |n AS (SELECT count(*) AS n FROM sc),
+      |th AS (SELECT min(s) AS t FROM cum, n WHERE cum > (n.n * 100000) // 1000000)
+      |SELECT sc.doc_id, sc.lm_score_ppm FROM sc, th WHERE sc.lm_score_ppm >= th.t""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Text.pruneByScoreQuantile(
+      graft.ops.Text.bigramLmScore(documents(s, d), "doc_id", "text").select("doc_id", "lm_score_ppm"),
+      "lm_score_ppm",
+      quantilePpm = 100000L,
+    )
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
-      sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize)
+      sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize, lmPrune)
 }
