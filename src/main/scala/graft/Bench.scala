@@ -69,12 +69,23 @@ object Bench {
           exception: Exception,
       ): Unit = ()
     })
+    // AQE wraps the real plan in AdaptiveSparkPlanExec, a leaf from the
+    // TreeNode traversal's point of view — a plain collect would visit
+    // one node and silently report 0. Unwrap it (and any nested ones)
+    // so the metric survives a future AQE-on profile run.
+    def walkPlan(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+      val self = p.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other                                                     => other.children
+      }
+      self + kids.map(walkPlan).sum
+    }
     def shuffleBytesOf(qes: Seq[org.apache.spark.sql.execution.QueryExecution]): Long =
       qes.map { qe =>
-        try
-          qe.executedPlan
-            .collect { case p => p.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L) }
-            .sum
+        try walkPlan(qe.executedPlan)
         catch { case _: Throwable => 0L }
       }.sum
     // A throwing query must not hide inside a normal-looking wall time:
@@ -91,10 +102,21 @@ object Bench {
           fn(spark, sfDir).count()
           val dt = (System.nanoTime() - t0) / 1e9
           if (i == 1) {
-            // first run only: drain the async listener briefly, then sum
-            val deadline = System.currentTimeMillis() + 500
-            while (capturedQes.isEmpty && System.currentTimeMillis() < deadline)
-              Thread.sleep(10)
+            // First run only: drain the async listener to QUIESCENCE,
+            // not just non-emptiness — queries whose builder ran inner
+            // driver actions (training collects, streaming replays)
+            // already populated the list before the timed count's own
+            // event arrives, and stopping early would drop the final
+            // (usually dominant) QueryExecution from the sum.
+            val deadline = System.currentTimeMillis() + 1000
+            var last     = -1
+            var stable   = 0
+            while (stable < 2 && System.currentTimeMillis() < deadline) {
+              val n = capturedQes.size
+              if (n == last && n > 0) stable += 1 else stable = 0
+              last = n
+              Thread.sleep(30)
+            }
             import scala.jdk.CollectionConverters._
             shuffleBytes(name) = shuffleBytesOf(capturedQes.asScala.toSeq)
           }

@@ -32,9 +32,13 @@ object IngestMetrics {
     // counted on the STREAMING path per batch — the rows still land
     // (parse-valid, schema-valid), but the contract breach is queryable
     // the moment the batch commits instead of at the next batch
-    // dbt-test run.
-    StructField("severity_violations", LongType, nullable = false),
-    StructField("status_violations", LongType, nullable = false),
+    // dbt-test run. NULLABLE: a metrics table written before these
+    // columns existed reads NULL for them (schema-on-read over old
+    // parquet); [[read]] coalesces the gap to 0 so the upgrade is
+    // restart-transparent — declaring them non-null over files that
+    // lack them would be undefined behavior.
+    StructField("severity_violations", LongType, nullable = true),
+    StructField("status_violations", LongType, nullable = true),
     StructField("duration_ms", LongType, nullable = false),
     StructField("completed_at", TimestampType, nullable = false),
   ))
@@ -63,7 +67,13 @@ object IngestMetrics {
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(schema).parquet(path)
+    spark.read
+      .schema(schema)
+      .parquet(path)
+      // pre-upgrade batches (files without the violation columns) read
+      // as zero violations, which is what their writer observed
+      .na
+      .fill(0L, Seq("severity_violations", "status_violations"))
 
   /** Per-batch view with at-least-once replays collapsed: a batch
     * replayed after a checkpoint restart appends a second row for the

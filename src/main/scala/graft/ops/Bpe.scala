@@ -68,16 +68,21 @@ object Bpe {
     // persist (not localCheckpoint): an evicted persisted block
     // recomputes from lineage, while a lost localCheckpoint block is a
     // hard failure — under whole-suite memory pressure the training
-    // loop must degrade to recompute, never to an error. The lineage
-    // stays shallow (each round references only the previous round's
-    // persisted table); every intermediate is unpersisted before
-    // returning, and the returned merge table is driver-materialized
-    // rows, independent of all of them.
-    val retained = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // loop must degrade to recompute, never to an error. Each round
+    // reads ONLY the previous round's table, so a two-element window
+    // is kept persisted: as soon as round r is materialized (by its
+    // pair-count collect), round r-1 unpersists — the cache footprint
+    // is 2 vocab tables regardless of numMerges, and the final table
+    // unpersists before returning (the returned merge list is
+    // driver-materialized rows, independent of all of them).
+    var prevPersisted: Option[DataFrame] = None
     def keep(df: DataFrame): DataFrame = {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      retained += df
       df
+    }
+    def rotate(newer: DataFrame): Unit = {
+      prevPersisted.foreach(_.unpersist(blocking = false))
+      prevPersisted = Some(newer)
     }
     var cur    = keep(words.select(symInit(col("w")).as("sym"), col("freq")))
     val merges = scala.collection.mutable.ListBuffer.empty[Row]
@@ -100,6 +105,9 @@ object Bpe {
         .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
         .limit(1)
         .collect()
+      // the collect above materialized `cur`; its predecessor's blocks
+      // are no longer on any hot path — drop them (recompute-safe)
+      rotate(cur)
       if (best.isEmpty) done = true
       else {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
@@ -113,7 +121,8 @@ object Bpe {
         rank += 1
       }
     }
-    retained.foreach(_.unpersist(blocking = false))
+    prevPersisted.foreach(_.unpersist(blocking = false))
+    cur.unpersist(blocking = false)
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(merges.toSeq).asJava),
       org.apache.spark.sql.types.StructType(Seq(

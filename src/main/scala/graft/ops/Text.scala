@@ -261,10 +261,20 @@ object Text {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    // the single-partition window is over the HISTOGRAM (domain-bounded)
+    // the single-partition window is over the HISTOGRAM (domain-bounded);
+    // the total row count is the histogram's own full-frame sum — same
+    // window pass, so the corpus is scanned exactly twice in total
+    // (histogram build + final filter), the minimum for any
+    // threshold-then-filter
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing,
+      )
     val thresh = hist
       .withColumn("__cum", sum(col("__c")).over(w))
-      .crossJoin(scored.agg(count(lit(1)).as("__n")))
+      .withColumn("__n", sum(col("__c")).over(wAll))
       .filter(col("__cum") > expr(s"(__n * ${quantilePpm}L) div 1000000L"))
       .agg(min(col("__s")).as("__thresh"))
     scored.crossJoin(broadcast(thresh)).filter(col(scoreCol) >= col("__thresh")).drop("__thresh")

@@ -503,8 +503,12 @@ object Events {
       .filter(col("next_type").isNotNull)
       .groupBy("event_type", "next_type")
       .agg(count(lit(1)).as("n"))
+    // integer `div`, not floor(double /): past 2^53 the double quotient
+    // rounds and would drift from the oracle's exact `//`
     val tot = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
-    c.withColumn("p_ppm", floor(col("n") * lit(1000000L) / sum(col("n")).over(tot)).cast("long"))
+    c.withColumn("__tot", sum(col("n")).over(tot))
+      .withColumn("p_ppm", expr("(n * 1000000L) div __tot"))
+      .drop("__tot")
   }
 
   val all: Seq[Q] = Seq(
