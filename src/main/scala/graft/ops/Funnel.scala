@@ -18,9 +18,10 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * min-aggregations in any SQL engine.
   *
   * Scale shape: ONE shuffle on the entity key. Per entity the
-  * aggregation collects each step's timestamps into a sorted array
+  * aggregation collects each step's timestamps into an array
   * (bounded by that entity's event count — the [[Sessionize]]
-  * boundedness), and the sequential "first after previous" walk is a
+  * boundedness; unsorted, since every consumer is order-independent),
+  * and the sequential "first after previous" walk is a
   * map-only higher-order `filter` + `array_min` chain over those
   * arrays. A k-step funnel is NOT k self-joins: the k passes happen
   * inside one aggregated row. Events not matching any step are
@@ -43,9 +44,12 @@ object Funnel {
   ): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct == steps, s"funnel steps must be distinct, got $steps")
-    // one sorted timestamp array per step, single shuffle on the id
+    // one timestamp array per step, single shuffle on the id
+    // collect_list without a sort: every consumer of these arrays
+    // (array_min, filter + array_min) is order-independent, so sorting
+    // inside the aggregate would be pure reduce-side CPU
     val perStep = steps.zipWithIndex.map { case (s, i) =>
-      sort_array(collect_list(when(col(typeCol) === lit(s), col(tsCol)))).as(s"__a$i")
+      collect_list(when(col(typeCol) === lit(s), col(tsCol))).as(s"__a$i")
     }
     val grouped = events
       .filter(col(typeCol).isInCollection(steps))
@@ -179,6 +183,14 @@ object Funnel {
       idleRetentionMs: Long = 30L * 24 * 3600 * 1000,
   ): Dataset[FunnelUpdate] = {
     require(steps.size == 3, s"streamingFunnel3 is the fixed 3-step form, got $steps")
+    require(steps.distinct == steps, s"funnel steps must be distinct, got $steps")
+    // the state key is a Long: reject non-numeric id columns loudly —
+    // cast("long") would null them and crash the non-nullable tuple
+    // encoder mid-stream with a far less useful error
+    require(
+      events.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"streamingFunnel3 needs a numeric $idCol, got ${events.schema(idCol).dataType}",
+    )
     val spark = events.sparkSession
     import spark.implicits._
     val Seq(s1, s2, s3) = steps
@@ -203,7 +215,9 @@ object Funnel {
             val (a1, a2, a3) =
               (Seq.newBuilder[Long], Seq.newBuilder[Long], Seq.newBuilder[Long])
             it.foreach { case (_, t, ts) =>
-              val us = ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+              // floorDiv: truncating division would shift pre-epoch
+              // timestamps toward zero and reorder them
+              val us = Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
               if (t == s1) a1 += us else if (t == s2) a2 += us else if (t == s3) a3 += us
             }
             val st = foldFunnel3(prior, a1.result(), a2.result(), a3.result(), wmMs * 1000L)
@@ -223,15 +237,16 @@ object Funnel {
     * output; the rollup is a single tiny aggregation (k rows out). */
   def funnelReport(stepsDf: DataFrame, nSteps: Int): DataFrame = {
     val counts = (1 to nSteps).map(i =>
-      sum(when(col(s"step${i}_ts").isNotNull, 1L).otherwise(0L)).as(s"__n$i")
+      coalesce(sum(when(col(s"step${i}_ts").isNotNull, 1L).otherwise(0L)), lit(0L)).as(s"__n$i")
     )
     val agg = stepsDf.agg(counts.head, counts.tail: _*)
     val rows = (1 to nSteps).map { i =>
       struct(
         lit(i).as("step"),
         col(s"__n$i").as("n_reached"),
-        // integer-free-of-float-dialects rate: micro-units, floor
-        when(col("__n1") > 0, floor(col(s"__n$i") * lit(1000000L) / col("__n1")))
+        // integer division end-to-end: bigint `/` would go through
+        // double and drift from exact past 2^53
+        when(col("__n1") > 0, expr(s"(__n$i * 1000000L) div __n1"))
           .otherwise(lit(0L))
           .cast("long")
           .as("rate_ppm"),

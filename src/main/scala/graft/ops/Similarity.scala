@@ -37,6 +37,19 @@ object Similarity {
     * every operator here uses. */
   def dot(a: Column, b: Column): Column = graft.functions.FloatVecDot.float_dot(a, b)
 
+  /** NaN-proof cosine: NULL when either norm is zero instead of the
+    * 0/0 = NaN that IEEE division produces. Spark RANKS NaN above
+    * every real double and evaluates `NaN >= τ` as TRUE, so an
+    * unguarded zero-norm embedding (an empty doc, an OOV row) would be
+    * promoted to the rank-1 neighbor of every query and reported as a
+    * near-duplicate of anything it shares a bucket with. NULL has the
+    * opposite, correct behavior everywhere: `.desc` orders nulls last,
+    * `null >= τ` filters false, and the top-k paths drop null scores
+    * explicitly. Identity for healthy vectors, so every oracle is
+    * unchanged. */
+  def cosSafe(d: Column, na: Column, nb: Column): Column =
+    when(na > lit(0d) && nb > lit(0d), d / (na * nb))
+
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -167,10 +180,11 @@ object Similarity {
       .select(
         col("q_id"),
         col("n_id"),
-        (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("cos"),
+        cosSafe(dot(col("q_emb"), col("n_emb")), col("q_nrm"), col("n_nrm")).as("cos"),
       )
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored
+      .filter(col("cos").isNotNull) // zero-norm rows never rank
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
@@ -236,6 +250,9 @@ object Similarity {
       nPlanes: Int,
       dim: Int = 0,
   ): DataFrame = {
+    // 1L << p wraps at p >= 64 (JVM shifts are mod 64): planes past 63
+    // would silently alias earlier bits and collapse the bucket split
+    require(nPlanes >= 1 && nPlanes <= 63, s"srpBuckets supports 1..63 planes, got $nPlanes")
     graft.functions.FloatVecDot.registerOn(df.sparkSession)
     val planes  = srpPlaneLiterals(nPlanes, resolveDim(df, embCol, dim))
     val bucket = (0 until nPlanes)
@@ -402,7 +419,7 @@ object Similarity {
         e.select(col(idCol).as("b_id"), col(embCol).as("__eb"), col("nrm").as("__nb")),
         "b_id",
       )
-      .withColumn("cos", dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")))
+      .withColumn("cos", cosSafe(dot(col("__ea"), col("__eb")), col("__na"), col("__nb")))
       .filter(col("cos") >= tau)
       .select("a_id", "b_id", "cos")
   }
@@ -471,7 +488,7 @@ object Similarity {
     probe
       .join(cand, Seq("cent_id"))
       .filter(col("a_id") =!= col("b_id"))
-      .withColumn("cos", dot(col("__ea"), col("__eb")) / (col("__na") * col("__nb")))
+      .withColumn("cos", cosSafe(dot(col("__ea"), col("__eb")), col("__na"), col("__nb")))
       .filter(col("cos") >= tau)
       .select(
         least(col("a_id"), col("b_id")).as("a_id"),
@@ -516,10 +533,13 @@ object Similarity {
       .select(
         col("q_id"),
         col("n_id"),
-        (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("cos"),
+        cosSafe(dot(col("q_emb"), col("n_emb")), col("q_nrm"), col("n_nrm")).as("cos"),
       )
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    scored
+      .filter(col("cos").isNotNull) // zero-norm rows never rank
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
   }
 
   /** IVF coarse centroids: the first `c` vectors by id. Sampled data
@@ -556,7 +576,7 @@ object Similarity {
   ): DataFrame = {
     val scored = df
       .join(broadcast(centroids))
-      .withColumn("__ccos", dot(col(embCol), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
+      .withColumn("__ccos", cosSafe(dot(col(embCol), col("cent_emb")), col("nrm"), col("cent_nrm")))
     if (nprobe == 1) {
       val others = df.columns.filter(_ != idCol)
       val cent =
@@ -639,6 +659,10 @@ object Similarity {
       nprobe: Int,
       queryPred: Column,
   ): DataFrame = {
+    // the documented standalone use is a FRESH session querying a
+    // persisted index — register the native dot here, not only in the
+    // build-side entry points
+    graft.functions.FloatVecDot.registerOn(index.sparkSession)
     val cand = index
       .select(col(idCol).as("n_id"), col(embCol).as("n_emb"), col("nrm").as("n_nrm"), col("cent_id"))
     val qry = ivfAssign(index.filter(queryPred).drop("cent_id"), centroids, idCol, embCol, nprobe = nprobe)
@@ -649,10 +673,13 @@ object Similarity {
       .select(
         col("q_id"),
         col("n_id"),
-        (dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("cos"),
+        cosSafe(dot(col("q_emb"), col("n_emb")), col("q_nrm"), col("n_nrm")).as("cos"),
       )
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    scored
+      .filter(col("cos").isNotNull) // zero-norm rows never rank
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
   }
 
   /** Product-quantization codebook over int8-quantized subvectors: the
@@ -1174,7 +1201,10 @@ object Similarity {
           zip_with(col(embCol), col("cent_emb"), (x, c) => (x.cast("double") - c.cast("double")).cast("float")),
         )
         .drop("cent_emb")
-    val cres = resid(ivfAssign(base, centroids, idCol, embCol, nprobe = 1))
+    // consumed twice (codebook seed scan + candidate encode): materialize
+    // the full-corpus assignment/residual pass once, like the sibling
+    // paths' shared tables
+    val cres = resid(ivfAssign(base, centroids, idCol, embCol, nprobe = 1)).localCheckpoint()
     val cb   = pqTrainInt8Dim(cres, idCol, "res", m, ksub, dim)
     val cbArr = codebookArray(cb, m).map(_.map(_.toArray).toArray).toArray
     require(cbArr(0)(0).length == dsub, s"codebook dsub ${cbArr(0)(0).length} != dim/m = $dsub")

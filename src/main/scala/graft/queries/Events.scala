@@ -369,15 +369,15 @@ object Events {
       |             (SELECT count(*) FROM t2) AS n2,
       |             (SELECT count(*) FROM t3) AS n3)
       |SELECT 1 AS step, n1 AS n_reached,
-      |  CASE WHEN n1 > 0 THEN CAST(floor(n1 * 1000000 / n1) AS BIGINT) ELSE 0 END AS rate_ppm
+      |  CASE WHEN n1 > 0 THEN CAST((n1 * 1000000) // n1 AS BIGINT) ELSE 0 END AS rate_ppm
       |FROM n
       |UNION ALL
       |SELECT 2, n2,
-      |  CASE WHEN n1 > 0 THEN CAST(floor(n2 * 1000000 / n1) AS BIGINT) ELSE 0 END
+      |  CASE WHEN n1 > 0 THEN CAST((n2 * 1000000) // n1 AS BIGINT) ELSE 0 END
       |FROM n
       |UNION ALL
       |SELECT 3, n3,
-      |  CASE WHEN n1 > 0 THEN CAST(floor(n3 * 1000000 / n1) AS BIGINT) ELSE 0 END
+      |  CASE WHEN n1 > 0 THEN CAST((n3 * 1000000) // n1 AS BIGINT) ELSE 0 END
       |FROM n""".stripMargin,
   ) { (s, d) =>
     val steps = graft.ops.Funnel.funnelSteps(

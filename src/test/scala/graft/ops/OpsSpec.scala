@@ -1568,6 +1568,26 @@ class OpsSpec extends AnyFunSuite {
     assert(smaller.subsetOf(got))
   }
 
+  test("zero-norm embeddings never rank or report as near-duplicates (NaN cosine guard)") {
+    // Spark ranks NaN above every double and NaN >= tau is TRUE — an
+    // unguarded zero vector would be the rank-1 neighbor of everything
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f)), // zero-norm: empty doc / OOV row
+    ).toDF("vec_id", "embedding")
+    val top = Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") === 1), emb, "vec_id", "embedding", k = 2)
+      .select("n_id").as[Long].collect().toSet
+    assert(!top.contains(3L), s"zero vector ranked as a neighbor: $top")
+    assert(top.contains(2L))
+    val pairs = Similarity
+      .embeddingDupPairs(emb, "vec_id", "embedding", tau = 0.5, nPlanes = 8, bands = 2)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"zero vector reported as near-duplicate: $pairs")
+  }
+
   test("CMS: sketch merge = union + re-sum; estimates never underestimate; exact when unsaturated") {
     val a = (1 to 50).flatMap(i => Seq.fill(i % 5 + 1)(i.toLong)).toDF("k")
     val b = (40 to 90).map(_.toLong).toDF("k")
