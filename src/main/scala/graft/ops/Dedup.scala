@@ -85,8 +85,12 @@ object Dedup {
   /** Distinct content-fingerprint index of a corpus — the narrow
     * (16-byte-per-doc) state that [[dedupIncremental]] carries across
     * ingestion runs instead of re-scanning the corpus. */
+  /** Null text fingerprints as the empty string on BOTH the index and
+    * batch sides: a null fp would never match itself through the
+    * anti-join (SQL null equality), so null-text documents would
+    * bypass the cross-run index and be re-admitted every batch. */
   def fingerprintIndex(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(Text.fingerprint(col(textCol)).as("fp")).distinct()
+    docs.select(Text.fingerprint(coalesce(col(textCol), lit(""))).as("fp")).distinct()
 
   /** Incremental (cross-run) exact dedup — the ingestion-time form: a
     * 100 TB corpus is not re-deduped per batch; each incoming batch
@@ -105,7 +109,7 @@ object Dedup {
   ): DataFrame = {
     require(index.columns.contains("fp"), "index must carry an 'fp' column")
     batch
-      .groupBy(Text.fingerprint(col(textCol)).as("fp"))
+      .groupBy(Text.fingerprint(coalesce(col(textCol), lit(""))).as("fp"))
       .agg(min(col(idCol)).as(idCol))
       .join(index.select("fp").distinct(), Seq("fp"), "left_anti")
       .select(idCol, "fp")
@@ -283,8 +287,17 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("chunk")))
       .orderBy(col("doc_id"), col("chunk_idx"))
-    chunked
-      .withColumn("__kept", col("chunk").isNotNull && row_number().over(w) === 1)
+    // null chunks (empty documents) can never be kept, so they bypass
+    // the window entirely: ranking them would funnel EVERY empty doc's
+    // row into the single md5(null) window partition — an unbounded
+    // one-task hotspot at corpus scale. They rejoin for the reassembly
+    // groupBy so empty docs still emit their (empty-text, 0-chunk) row.
+    val rankedNonNull = chunked
+      .filter(col("chunk").isNotNull)
+      .withColumn("__kept", row_number().over(w) === 1)
+    val nullRows = chunked.filter(col("chunk").isNull).withColumn("__kept", lit(false))
+    rankedNonNull
+      .unionByName(nullRows)
       .groupBy(col("doc_id").as(idCol))
       .agg(
         array_join(
@@ -899,6 +912,13 @@ object Dedup {
       e = small
       i += 1
     }
+    // star contraction converges in O(log^2 n) rounds; hitting the
+    // budget means something is deeply wrong — fail loud rather than
+    // return silently SPLIT components (a dedup built on them would
+    // quietly keep duplicates)
+    if (changed)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter star rounds")
     // at convergence every edge is (node, component-min); min nodes
     // label themselves
     val allNodes = p0
@@ -976,12 +996,14 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // min-label propagation needs ~diameter rounds; a chain longer than
+    // maxIter would otherwise return silently split components
+    if (changed)
+      throw new IllegalStateException(
+        s"label propagation did not converge within $maxIter rounds (component diameter too large)")
     labels.select(col("node").as("doc_id"), col("component"))
   }
 
-  /** End-to-end corpus dedup: keep every document that is the canonical
-    * (minimum-id) member of its near-dup component, plus all documents
-    * in no component. */
   /** Benchmark decontamination — the eval-leakage guard every serious
     * training pipeline runs: drop any corpus document sharing at least
     * one word `n`-gram with the benchmark/eval set (the n-gram-overlap
@@ -1120,6 +1142,9 @@ object Dedup {
     * form to the Bloom-gated form above this eval-set size. */
   val BloomCutover: Int = 2048
 
+  /** End-to-end corpus dedup: keep every document that is the canonical
+    * (minimum-id) member of its near-dup component, plus all documents
+    * in no component. */
   def dedupByPairs(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val dropIds = clusterPairs(pairs)
       .filter(col("doc_id") =!= col("component"))
@@ -1230,6 +1255,11 @@ object Dedup {
     * all-pairs form) while only colliding signatures ever meet. This is
     * the standard scale-out for SimHash dedup. */
   def simhashPairs(sigs: DataFrame, maxHamming: Int, bits: Int = 32): DataFrame = {
+    // the pigeonhole needs maxHamming+1 NON-EMPTY bands: more bands
+    // than bits would make some band masks zero-width (every signature
+    // collides there) and silently degrade the keyed join to all-pairs
+    require(maxHamming >= 0 && maxHamming + 1 <= bits,
+      s"need maxHamming + 1 <= bits, got maxHamming=$maxHamming bits=$bits")
     val nBands = maxHamming + 1
     val bounds = (0 until nBands).map(b => (b * bits / nBands, (b + 1) * bits / nBands))
     val stackArgs = bounds.zipWithIndex.flatMap { case ((s, e), i) =>

@@ -22,10 +22,18 @@ object Sampling {
 
   private val HashSpace = (1L << 24).toDouble
 
+  /** 24-bit content hash of a key column — the single definition every
+    * sampler and the sharder derive from (divergent copies would let
+    * the kept set and the shard layout silently disagree). Null keys
+    * hash as the empty string: a null key must still be SAMPLED at its
+    * stratum's rate — `md5(null)` is null and `null < rate` is false,
+    * which would silently drop every null-key row even at rate 1.0. */
+  private[ops] def hash24(key: Column): Column =
+    conv(substring(md5(coalesce(key.cast("string"), lit(""))), 1, 6), 16, 10).cast("long")
+
   /** Uniform-[0, 1) content-hash fraction of a key column — the
     * decision variable both samplers threshold. */
-  def hashFraction(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long") / lit(HashSpace)
+  def hashFraction(key: Column): Column = hash24(key) / lit(HashSpace)
 
   /** Deterministic Bernoulli sample: keep each row iff
     * hashFraction(key) < rate. */
@@ -67,10 +75,7 @@ object Sampling {
     * files. */
   def shardAssign(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    df.withColumn(
-      "shard",
-      conv(substring(md5(col(keyCol).cast("string")), 1, 6), 16, 10).cast("long") % nShards,
-    )
+    df.withColumn("shard", hash24(col(keyCol)) % nShards)
   }
 
   /** Temperature-balanced corpus mixing at α = 1/2 — the multilingual-
@@ -105,7 +110,9 @@ object Sampling {
       .groupBy(strataCol)
       .agg(count(lit(1)).as("__n"))
       .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
+      // String.valueOf, not getString: a non-string strata column
+      // (an int language id) must key the CASE chain, not throw CCE
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
       .sortBy(_._1)
     val qs   = counts.map { case (k, n) => k -> math.floor(math.sqrt(n.toDouble) * (1L << 20).toDouble).toLong }
     val sTot = qs.map(_._2).sum
@@ -128,7 +135,13 @@ object Sampling {
     *
     * One cumulative-sum window partitioned by stratum (each stratum
     * sums independently — the same parallelism a 100 TB mixing job
-    * needs); strata absent from the map get `defaultBudget`. */
+    * needs); strata absent from the map get `defaultBudget`.
+    *
+    * PRECONDITION (shared with [[reservoirPerStratum]]): `keyCol` is
+    * the row's unique identity. Rows SHARING a key value tie completely
+    * in the (hash, key) ordering, and which of them the cumulative sum
+    * admits at a budget boundary is then partition-order-dependent —
+    * the determinism contract only holds over unique keys. */
   def tokenBudgetPerStratum(
       df: DataFrame,
       keyCol: String,

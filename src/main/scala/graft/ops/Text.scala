@@ -57,9 +57,15 @@ object Text {
       )
   }
 
-  /** Occurrences of any of `words` as whole words. */
+  /** Occurrences of any of `words` as whole words. Words are
+    * regex-QUOTED before interpolation: a caller's "c++" or "a.b"
+    * must match literally, not blow up the pattern or match 'aXb'. */
   def stopwordHits(text: Column, words: Seq[String]): Column =
-    size(regexp_extract_all(text, lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+    size(regexp_extract_all(
+      text,
+      lit("\\b(" + words.map(java.util.regex.Pattern.quote).mkString("|") + ")\\b"),
+      lit(0),
+    ))
 
   /** Function-word marker sets for the n-gram/stopword language-ID
     * heuristic. Tiny by design: language ID at corpus scale is a
@@ -90,13 +96,6 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(text, "\\s+", " ")))
 
-  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
-    * the ordered n-gram sequence, slide a window of `w` consecutive
-    * hashes, keep each window's minimum — the selected distinct minima
-    * are position-robust fingerprints (guaranteed to share a value with
-    * any document that shares an n-gram run of length >= w+n-1).
-    * Variant note: tail windows shorter than `w` are kept.
-    */
   /** Type-token ratio (distinct tokens / tokens) — the simplest
     * repetition signal in the Gopher-rule quality family; low values
     * mean boilerplate/looped text. Null on empty docs. */
@@ -540,6 +539,13 @@ object Text {
   def pseudonym(c: Column, salt: String): Column =
     sha2(concat(lit(salt), c), 256)
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
+    * the ordered n-gram sequence, slide a window of `w` consecutive
+    * hashes, keep each window's minimum — the selected distinct minima
+    * are position-robust fingerprints (guaranteed to share a value with
+    * any document that shares an n-gram run of length >= w+n-1).
+    * Variant note: tail windows shorter than `w` are kept.
+    */
   def winnowFingerprints(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String,
