@@ -284,20 +284,21 @@ object Dedup {
     val chunked = docs
       .select(col(idCol).as("doc_id"), toks.as("__toks"))
       .select(col("doc_id"), posexplode_outer(chunkList).as(Seq("chunk_idx", "chunk")))
+    // Null chunks (empty documents) can never be kept, but ranking
+    // them in the md5(chunk) partition would funnel EVERY empty doc's
+    // row into one md5(null) window partition — an unbounded one-task
+    // hotspot at corpus scale. The composite partition key spreads
+    // them per-document instead (the isNull flag keeps them disjoint
+    // from real chunk groups), so the plan stays ONE generate + ONE
+    // window and empty docs still emit their (empty-text, 0-chunk) row.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("chunk")))
+      .partitionBy(
+        col("chunk").isNull,
+        coalesce(md5(col("chunk")), md5(col("doc_id").cast("string"))),
+      )
       .orderBy(col("doc_id"), col("chunk_idx"))
-    // null chunks (empty documents) can never be kept, so they bypass
-    // the window entirely: ranking them would funnel EVERY empty doc's
-    // row into the single md5(null) window partition — an unbounded
-    // one-task hotspot at corpus scale. They rejoin for the reassembly
-    // groupBy so empty docs still emit their (empty-text, 0-chunk) row.
-    val rankedNonNull = chunked
-      .filter(col("chunk").isNotNull)
-      .withColumn("__kept", row_number().over(w) === 1)
-    val nullRows = chunked.filter(col("chunk").isNull).withColumn("__kept", lit(false))
-    rankedNonNull
-      .unionByName(nullRows)
+    chunked
+      .withColumn("__kept", col("chunk").isNotNull && row_number().over(w) === 1)
       .groupBy(col("doc_id").as(idCol))
       .agg(
         array_join(
