@@ -12,8 +12,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * source (sorted listing, schema-validated read) → `foreachBatch`
   * landing append → `cleanSource=archive`. `Trigger.AvailableNow`
   * reproduces the one-shot batch mode; a processing-time trigger gives
-  * the daemon mode. Checkpointing makes ingestion exactly-once per file
-  * where the reference is at-least-once.
+  * the daemon mode. Checkpointing makes SOURCE PROGRESS exactly-once
+  * per file; the foreachBatch side effects are at-least-once (a crash
+  * after the landing append but before the checkpoint commit replays
+  * the batch with a new loaded_at). The landing layer tolerates that
+  * by contract and [[Staging.mergeRun]]'s key upsert absorbs the
+  * replayed rows; the append-only [[Staging.incrementalRun]] does not
+  * — pair it with re-drop-free sources, or use mergeRun. The
+  * reference is at-least-once with no absorption at all.
   *
   * Validation (ST3): the reference shells out to an external schema
   * validator per file; natively, the strict schema plus a corrupt-record
@@ -95,10 +101,17 @@ object Monitor {
         val bad     = batch.filter(col("_corrupt").isNotNull).select(col("_corrupt"))
         metricsPath match {
           case None =>
-            Landing.append(good, landingPath)
-            if (!bad.isEmpty) {
-              bad.write.mode("append").text(s"$failedDir/batch_$batchId")
-            }
+            // persist here too: without it the good write, the
+            // bad.isEmpty probe, and the bad write would each re-parse
+            // the batch's multiLine JSON — up to 3 source reads on the
+            // DEFAULT path per micro-batch
+            batch.persist()
+            try {
+              Landing.append(good, landingPath)
+              if (!bad.isEmpty) {
+                bad.write.mode("append").text(s"$failedDir/batch_$batchId")
+              }
+            } finally batch.unpersist()
           case Some(mp) =>
             batch.persist()
             try {
@@ -147,8 +160,8 @@ object Monitor {
     * `status.isDataAvailable` is a per-trigger snapshot that goes
     * stale between polls — any drain loop built on either is
     * unbounded or a no-op depending on timing. `stop()` interrupts
-    * the current batch; the checkpoint replays it exactly-once on
-    * restart, so nothing is lost — graceful stop is an operator
+    * the current batch; the checkpoint replays it on
+    * restart (at-least-once side effects, see the class doc), so nothing is lost — graceful stop is an operator
     * courtesy, not a correctness requirement. Callers that want a
     * fully-drained stop at a quiescent point should call
     * `processAllAvailable()` themselves when they KNOW arrivals have

@@ -139,6 +139,29 @@ object Staging {
   private def transform_(arr: Column, f: Column => Column): Column =
     org.apache.spark.sql.functions.transform(arr, f)
 
+  /** Landing rows above the staging watermark. `inclusive` keeps the
+    * boundary batch (`loaded_at >= w`): a landing parquet commit is not
+    * atomic to a concurrent reader, so a staging run racing the monitor
+    * can list only PART of a batch whose rows all share one loaded_at —
+    * with a strict `>` the unseen rest of that batch would fail the
+    * next run's watermark forever. [[mergeRun]] uses the inclusive form
+    * (re-reading boundary rows is idempotent through the key upsert);
+    * [[incrementalRun]] is append-only, so it keeps the reference's
+    * strict semantics and must not run concurrently with a landing
+    * commit (the reference's own cron-vs-monitor constraint). */
+  private def freshAbove(
+      landing: DataFrame,
+      watermark: Option[java.sql.Timestamp],
+      inclusive: Boolean,
+  ): DataFrame =
+    watermark match {
+      case Some(w) =>
+        landing
+          .filter(col("loaded_date") >= to_date(lit(w)))
+          .filter(if (inclusive) col("loaded_at") >= lit(w) else col("loaded_at") > lit(w))
+      case None => landing
+    }
+
   /** P5/ST4: incremental high-watermark materialization. Reads the
     * current staging max(staging_loaded_at) (driver-side scalar — the
     * one place the reference's incremental runner genuinely needs an
@@ -158,13 +181,7 @@ object Staging {
         )
       else None
 
-    val fresh = watermark match {
-      case Some(w) =>
-        landing
-          .filter(col("loaded_date") >= to_date(lit(w)))
-          .filter(col("loaded_at") > lit(w))
-      case None => landing
-    }
+    val fresh = freshAbove(landing, watermark, inclusive = false)
     val obs = org.apache.spark.sql.Observation()
     val out = enforceUidPattern(transform(fresh), storedUidPattern(spark, stagingPath))
       .observe(obs, count(lit(1)).as("rows"))
@@ -237,13 +254,7 @@ object Staging {
       basePtr.map(v => spark.read.parquet(s"$stagingRoot/v=$v"))
     val watermark: Option[java.sql.Timestamp] =
       current.map(c => c.agg(max("staging_loaded_at")).head().getTimestamp(0)).filter(_ != null)
-    val fresh = watermark match {
-      case Some(w) =>
-        landing
-          .filter(col("loaded_date") >= to_date(lit(w)))
-          .filter(col("loaded_at") > lit(w))
-      case None => landing
-    }
+    val fresh = freshAbove(landing, watermark, inclusive = true)
     val keys = Seq("finding_uid", "scan_run_id")
     val freshT = enforceUidPattern(transform(fresh), storedUidPattern(spark, stagingRoot))
       .withColumn(
@@ -255,8 +266,16 @@ object Staging {
       .filter(col("__rn") === 1)
       .drop("__rn")
     val merged = current match {
-      case Some(c) => freshT.unionByName(c.join(freshT.select(keys.map(col): _*), keys, "left_anti"))
-      case None    => freshT
+      case Some(c) =>
+        // NULL-SAFE key equality (<=>): a finding staged without the
+        // scan_metadata enrichment carries scan_run_id = NULL, and a
+        // plain equi-anti-join would never match the old NULL-key row
+        // against the re-ingested one — the "replace, not duplicate"
+        // upsert contract would silently break for exactly that key
+        // class (the within-batch window above already groups NULLs).
+        val cond = keys.map(k => c(k) <=> freshT(k)).reduce(_ && _)
+        freshT.unionByName(c.join(freshT.select(keys.map(freshT(_)): _*), cond, "left_anti"))
+      case None => freshT
     }
     // Version numbers are never reused: `next` is one past BOTH the
     // committed version and any version directory already on disk
@@ -433,8 +452,15 @@ object Staging {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
       case None =>
+        // only "already exists" means a concurrent writer; any other IO
+        // failure is infrastructure trouble and must SURFACE — mapping
+        // it to false would tell the operator to hunt for a lock file
+        // that does not exist while the real error is swallowed
         try { fs.create(p, false).close(); true }
-        catch { case _: java.io.IOException => false }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException        => false
+        }
     }
   }
 
@@ -581,7 +607,9 @@ object Staging {
     val versions = fs
       .listStatus(root)
       .toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      // strict v=<digits>, like every other listing: a stray operator
+      // entry (v=backup) must not crash retention forever
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d+"))
       .map(s => s.getPath.getName.stripPrefix("v=").toLong -> s)
       .sortBy(_._1)
     val active = currentVersion(spark, stagingRoot)

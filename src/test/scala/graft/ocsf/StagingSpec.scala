@@ -371,6 +371,34 @@ class StagingSpec extends AnyFunSuite {
     assert(spark.read.parquet(stagingDir).count() === 1L)
   }
 
+  test("mergeRun upsert is NULL-safe: findings without scan_metadata replace, not duplicate") {
+    import spark.implicits._
+    // no scan_metadata enrichment => scan_run_id stages as NULL; plain
+    // equi-join keys never match NULL = NULL, so only a null-safe (<=>)
+    // anti-join keeps the upsert contract for this supported shape
+    val noRunId = richFinding.replace(
+      """{"name": "scan_metadata", "type": "custom", "value": "Scan metadata", "data": {"scan_run_id": "run-7"}},""",
+      "")
+    val docs        = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(noRunId).toDS())
+    val landingDir  = tmpDir("landing_nk")
+    val stagingRoot = tmpDir("staging_nk")
+    Landing.append(docs, landingDir)
+    assert(Staging.mergeRun(spark, landingDir, stagingRoot) === 1L)
+    val first = Staging.readCurrent(spark, stagingRoot).get
+    assert(first.count() === 1L)
+    assert(first.select("scan_run_id").head().isNullAt(0), "fixture must stage a NULL scan_run_id")
+
+    // re-ingest: the NULL-keyed row must be REPLACED, never doubled
+    Landing.append(docs, landingDir)
+    assert(Staging.mergeRun(spark, landingDir, stagingRoot) === 1L)
+    val cur = Staging.readCurrent(spark, stagingRoot).get
+    assert(cur.count() === 1L, "NULL scan_run_id re-ingestion duplicated the staging row")
+    val reloaded = cur.select("staging_loaded_at").head().getTimestamp(0)
+    val landingMax = Landing.read(spark, landingDir)
+      .agg(org.apache.spark.sql.functions.max("loaded_at")).head().getTimestamp(0)
+    assert(reloaded === landingMax, "the surviving row must be the newest load")
+  }
+
   test("mergeRun upserts on (finding_uid, scan_run_id): reingestion replaces, not duplicates") {
     import spark.implicits._
     val docs = spark.read.schema(OcsfModel.ocsfFinding).json(Seq(richFinding).toDS())
