@@ -118,7 +118,14 @@ object Bench {
               Thread.sleep(30)
             }
             import scala.jdk.CollectionConverters._
-            shuffleBytes(name) = shuffleBytesOf(capturedQes.asScala.toSeq)
+            // copy under the list's monitor: the quiescence poll above
+            // is a heuristic, and a straggling listener append during
+            // an unlocked iteration would throw CME outside the
+            // per-plan try/catch and fail the query spuriously
+            val qes = capturedQes.synchronized {
+              new java.util.ArrayList(capturedQes).asScala.toSeq
+            }
+            shuffleBytes(name) = shuffleBytesOf(qes)
           }
           Some(dt)
         } catch {

@@ -53,12 +53,32 @@ object Sessionize {
   }
 
   /** Streaming sessionization with one open session of state per key.
-    * Closed sessions are emitted in event order; the trailing open
-    * session stays in state until a later batch closes it. */
-  def streamingSessions(events: Dataset[Ev], gapMs: Long): Dataset[Session] = {
+    * Closed sessions are emitted in event order. The trailing open
+    * session is closed EITHER by a later event from the same key that
+    * falls outside the gap, OR — new in r10 — by an event-time timeout
+    * once the watermark passes `last_ms + gapMs`: at that point no
+    * on-time event can extend the session (late rows below the
+    * watermark are dropped upstream; surviving rows start a new
+    * session by the gap test), so the open session is provably final.
+    * Timing out both (a) emits a quiet key's last session without
+    * needing a successor event and (b) REMOVES the key's state, so
+    * idle keys do not leak state-store rows on an unbounded key space
+    * (the [[Funnel.streamingFunnel3]] lifecycle bar).
+    *
+    * `watermarkDelay` is the allowed lateness; the default is generous
+    * because the op's contract is batch-parity first (the spec replays
+    * epoch-adjacent fixtures), production callers should pass their
+    * real lateness bound. */
+  def streamingSessions(
+      events: Dataset[Ev],
+      gapMs: Long,
+      watermarkDelay: String = "30 days",
+  ): Dataset[Session] = {
     implicit val sessionEnc = Encoders.product[Session]
     implicit val stateEnc   = Encoders.product[OpenSession]
     implicit val longEnc    = Encoders.scalaLong
+    implicit val rowEnc = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble, Encoders.TIMESTAMP)
 
     // Mirrors Parity.dsum exactly: each value rounded to DECIMAL(38,6)
     // once, summed exactly, cast to double at emission.
@@ -67,29 +87,51 @@ object Sessionize {
 
     def update(
         userId: Long,
-        rows: Iterator[Ev],
+        rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
         state: GroupState[OpenSession],
     ): Iterator[Session] = {
-      val sorted = rows.toSeq.sortBy(_.ts_ms)
-      var open   = state.getOption
-      val out    = Seq.newBuilder[Session]
-      sorted.foreach { e =>
-        open match {
-          case Some(s) if e.ts_ms - s.last_ms <= gapMs =>
-            open = Some(s.copy(last_ms = e.ts_ms, n = s.n + 1, total = s.total + dec(e.value)))
-          case Some(s) =>
-            out += Session(userId, s.start_ms, s.last_ms, s.n.toLong, s.total.toDouble)
-            open = Some(OpenSession(e.ts_ms, e.ts_ms, 1, dec(e.value)))
-          case None =>
-            open = Some(OpenSession(e.ts_ms, e.ts_ms, 1, dec(e.value)))
+      if (state.hasTimedOut) {
+        // watermark passed last_ms + gap: the open session is final
+        val fin = state.getOption.map(s =>
+          Session(userId, s.start_ms, s.last_ms, s.n.toLong, s.total.toDouble)
+        )
+        state.remove()
+        fin.iterator
+      } else {
+        val sorted = rows.toSeq.sortBy(_._2)
+        var open   = state.getOption
+        val out    = Seq.newBuilder[Session]
+        sorted.foreach { case (_, tsMs, value, _) =>
+          open match {
+            case Some(s) if tsMs - s.last_ms <= gapMs =>
+              open = Some(s.copy(last_ms = tsMs, n = s.n + 1, total = s.total + dec(value)))
+            case Some(s) =>
+              out += Session(userId, s.start_ms, s.last_ms, s.n.toLong, s.total.toDouble)
+              open = Some(OpenSession(tsMs, tsMs, 1, dec(value)))
+            case None =>
+              open = Some(OpenSession(tsMs, tsMs, 1, dec(value)))
+          }
         }
+        open.foreach { s =>
+          state.update(s)
+          // must be strictly above the current watermark or Spark
+          // rejects the call; max() covers a session already behind it
+          state.setTimeoutTimestamp(
+            math.max(s.last_ms + gapMs, state.getCurrentWatermarkMs() + 1L)
+          )
+        }
+        out.result().iterator
       }
-      open.foreach(state.update)
-      out.result().iterator
     }
 
     events
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+      .withColumn("__ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("__ts", watermarkDelay)
+      // __ts must survive into the stateful op: the event-time-timeout
+      // check requires the watermarked attribute in its child
+      .select(col("user_id"), col("ts_ms"), col("value"), col("__ts"))
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 }

@@ -1317,10 +1317,16 @@ object Similarity {
     * change. The heap then only ever sees ~margin·n rows. Survivor
     * count is binomial with mean margin·n; by Chernoff the probability
     * of fewer than n survivors is ≤ exp(−(margin−1)²/(2·margin)·n) —
-    * at the floor margin (8, used below n=128) that is < e⁻⁴⁹ even
-    * for n=16, far below hardware error rates. `N` comes from one
-    * `count()` (metadata-only on a plain parquet scan). Corpora small
-    * enough that the prune cannot pay for itself skip it. */
+    * comfortable for n ≥ 16, but thin for tiny n (at n=1, margin 8,
+    * the no-survivor probability is ≈ e⁻⁸ ≈ 3·10⁻⁴, visible). So the
+    * prune is GUARDED, not trusted: one count over the pruned scan
+    * verifies ≥ n survivors, and a shortfall falls back to the
+    * unpruned ordering — the bit-equality contract with the `ORDER BY
+    * md5 LIMIT n` oracle is unconditional, not probabilistic. The
+    * guard count is a single-column aggregate over the already-pruned
+    * scan, the same scan the top-n pass reads anyway. `N` comes from
+    * one `count()` (metadata-only on a plain parquet scan). Corpora
+    * small enough that the prune cannot pay for itself skip it. */
   def trainingSample(df: DataFrame, idCol: String, n: Int): DataFrame = {
     require(n >= 1, s"training sample size must be >= 1, got $n")
     val key     = md5(col(idCol).cast("string"))
@@ -1330,11 +1336,11 @@ object Similarity {
     if (total <= (margin * 4 * n).toLong) ordered(df)
     else {
       val cut = math.min(1L << 24, math.ceil(margin * n / total * (1L << 24)).toLong)
-      ordered(
-        df.filter(
-          conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10).cast("long") < lit(cut)
-        )
+      val pruned = df.filter(
+        conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10).cast("long") < lit(cut)
       )
+      val survivors = pruned.select(count(lit(1))).head().getLong(0)
+      if (survivors >= n) ordered(pruned) else ordered(df)
     }
   }
 

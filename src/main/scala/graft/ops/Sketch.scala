@@ -28,9 +28,18 @@ import org.apache.spark.sql.functions._
 object Cms {
 
   /** Bucket of `key` in hash row `i`: 24-bit md5 prefix of "i:key"
-    * mod `width`. */
+    * mod `width`. A null key coalesces to '' (the [[Sampling.hash24]]
+    * convention) so null-key occurrences land in a REAL bucket —
+    * md5(null) would bucket them under NULL, which [[estimate]]'s
+    * equi-join can never match, and a null key with a nonzero true
+    * count would read estimate 0, violating the CMS one-sided-error
+    * guarantee. */
   def bucketOf(i: Column, key: Column, width: Int): Column =
-    conv(substring(md5(concat(i.cast("string"), lit(":"), key.cast("string"))), 1, 6), 16, 10)
+    conv(
+      substring(
+        md5(concat(i.cast("string"), lit(":"), coalesce(key.cast("string"), lit("")))),
+        1, 6),
+      16, 10)
       .cast("long") % width
 
   /** Build the d×w sketch over `df.keyCol` (one count per occurrence):

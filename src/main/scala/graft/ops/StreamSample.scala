@@ -48,6 +48,10 @@ object StreamSample {
       )
       .as[ResRow]
       .groupByKey(_.strata)
+      // NoTimeout is deliberate here (unlike Sessionize/Funnel): state
+      // is k (hash, id) pairs per STRATUM, and strata are contractually
+      // a bounded enumeration (severity, language, …), so total state
+      // is k·|strata| regardless of stream length — nothing to evict.
       .flatMapGroupsWithState[Seq[(String, Long)], ResRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) { (strata, rows, state) =>
         val merged = (state.getOption.getOrElse(Seq.empty) ++ rows.map(r => (r.h, r.id)))

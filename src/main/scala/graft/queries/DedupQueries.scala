@@ -1014,9 +1014,9 @@ object DedupQueries {
        |r AS (SELECT source, (300.0 * qs) / (CAST(tot AS DOUBLE) * n) AS rate
        |      FROM q CROSS JOIN st)
        |SELECT s.doc_id, s.source,
-       |  CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 8 AS shard
+       |  CAST(('0x' || substr(md5(coalesce(CAST(s.doc_id AS VARCHAR), '')), 1, 6)) AS BIGINT) % 8 AS shard
        |FROM surv s JOIN r ON r.source = s.source
-       |WHERE CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) / 16777216.0
+       |WHERE CAST(('0x' || substr(md5(coalesce(CAST(s.doc_id AS VARCHAR), '')), 1, 6)) AS BIGINT) / 16777216.0
        |  < r.rate""".stripMargin,
   ) { (s, d) =>
     graft.ops.CorpusPipeline
@@ -1050,7 +1050,7 @@ object DedupQueries {
        |comp AS (SELECT s AS doc_id, least(s, min(d)) AS component FROM reach GROUP BY s)
        |SELECT d.doc_id,
        |  coalesce(c.component, d.doc_id) AS component,
-       |  CASE WHEN CAST(('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 6)) AS BIGINT)
+       |  CASE WHEN CAST(('0x' || substr(md5(coalesce(CAST(coalesce(c.component, d.doc_id) AS VARCHAR), '')), 1, 6)) AS BIGINT)
        |            / 16777216.0 < 0.2
        |       THEN 'valid' ELSE 'train' END AS split
        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,

@@ -110,11 +110,14 @@ object MiscQueries {
     "misc_sample_hash",
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders
-      |WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)) AS BIGINT) % 10 = 0
+      |WHERE CAST(('0x' || substr(md5(coalesce(CAST(o_orderkey AS VARCHAR), '')), 1, 6)) AS BIGINT) % 10 = 0
       |""".stripMargin,
   ) { (s, d) =>
     orders(s, d)
-      .filter(conv(substring(md5(col("o_orderkey").cast("string")), 1, 6), 16, 10)
+      // null keys coalesce to '' — the Sampling.hash24 convention, and
+      // what the oracle's coalesce(CAST(...)) replays
+      .filter(conv(
+        substring(md5(coalesce(col("o_orderkey").cast("string"), lit(""))), 1, 6), 16, 10)
         .cast("long") % 10 === 0)
       .select("o_orderkey", "o_custkey", "o_totalprice")
   }
@@ -169,7 +172,7 @@ object MiscQueries {
   private val sampleStratified = Q(
     "misc_sample_stratified",
     """SELECT doc_id, source FROM documents
-      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) / 16777216.0
+      |WHERE CAST(('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 6)) AS BIGINT) / 16777216.0
       |  < (CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5
       |                 WHEN 'src2' THEN 0.0 WHEN 'src3' THEN 0.75 ELSE 1.0 END)
       |""".stripMargin,
@@ -202,7 +205,7 @@ object MiscQueries {
       |r AS (SELECT source, (200.0 * qs) / (CAST(tot AS DOUBLE) * n) AS rate
       |      FROM q CROSS JOIN s)
       |SELECT d.doc_id, d.source FROM documents d JOIN r ON r.source = d.source
-      |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) / 16777216.0
+      |WHERE CAST(('0x' || substr(md5(coalesce(CAST(d.doc_id AS VARCHAR), '')), 1, 6)) AS BIGINT) / 16777216.0
       |  < r.rate""".stripMargin,
   ) { (s, d) =>
     graft.ops.Sampling
@@ -223,7 +226,7 @@ object MiscQueries {
     """WITH ks AS (SELECT l_partkey AS k FROM lineitem),
       |rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
       |c AS (SELECT r AS row_,
-      |        CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 6)) AS BIGINT) % 256 AS bucket,
+      |        CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || coalesce(CAST(k AS VARCHAR), '')), 1, 6)) AS BIGINT) % 256 AS bucket,
       |        count(*) AS cnt
       |      FROM ks, rows_ GROUP BY 1, 2),
       |exact AS (SELECT k, count(*) AS exact_cnt FROM ks GROUP BY 1
@@ -231,7 +234,7 @@ object MiscQueries {
       |est AS (SELECT e.k, e.exact_cnt, min(coalesce(c.cnt, 0)) AS cms_estimate
       |        FROM exact e CROSS JOIN rows_ rr
       |        LEFT JOIN c ON c.row_ = rr.r
-      |          AND c.bucket = CAST(('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || CAST(e.k AS VARCHAR)), 1, 6)) AS BIGINT) % 256
+      |          AND c.bucket = CAST(('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || coalesce(CAST(e.k AS VARCHAR), '')), 1, 6)) AS BIGINT) % 256
       |        GROUP BY 1, 2)
       |SELECT k AS l_partkey, exact_cnt, CAST(cms_estimate AS BIGINT) AS cms_estimate,
       |  cms_estimate >= exact_cnt AS no_underestimate
@@ -311,7 +314,7 @@ object MiscQueries {
   private val shardStats = Q(
     "misc_shard_stats",
     """SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
-      |FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 8
+      |FROM (SELECT CAST(('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 6)) AS BIGINT) % 8
       |        AS shard, n_chars
       |      FROM documents)
       |GROUP BY shard""".stripMargin,

@@ -732,7 +732,7 @@ object StreamingQueries {
     "stream_cms_sketch",
     """WITH rows_ AS (SELECT unnest(generate_series(0, 3)) AS r)
       |SELECT r AS row_,
-      |  CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 6)) AS BIGINT) % 128 AS bucket,
+      |  CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || coalesce(CAST(user_id AS VARCHAR), '')), 1, 6)) AS BIGINT) % 128 AS bucket,
       |  count(*) AS cnt
       |FROM events, rows_ GROUP BY 1, 2""".stripMargin,
   ) { (s, d) =>

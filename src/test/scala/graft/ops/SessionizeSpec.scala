@@ -84,4 +84,55 @@ class SessionizeSpec extends AnyFunSuite {
       )
     )
   }
+
+  test("idle keys: watermark-driven final emission and state eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessionize.Ev]
+    // 5s lateness: the watermark trails max event time by 5s, so a key
+    // whose open session falls 5s + gap behind the frontier times out
+    val closed = Sessionize.streamingSessions(input.toDS(), gap, watermarkDelay = "5 seconds")
+    val q = closed.writeStream
+      .format("memory")
+      .queryName("sessions_idle_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // users 1 and 2 each leave an open session; no successor events ever arrive
+    input.addData(
+      Sessionize.Ev(1L, 10000L, 1.0),
+      Sessionize.Ev(1L, 11000L, 2.0),
+      Sessionize.Ev(2L, 5000L, 5.0),
+    )
+    q.processAllAvailable()
+    // a third key far ahead advances the watermark to 95000 — past
+    // 11000+gap and 5000+gap, so both idle sessions become final
+    input.addData(Sessionize.Ev(3L, 100000L, 7.0))
+    q.processAllAvailable()
+    // one more batch so the post-watermark-advance timeout pass runs
+    // even if the no-data micro-batch didn't fire
+    input.addData(Sessionize.Ev(3L, 100500L, 1.0))
+    q.processAllAvailable()
+
+    val streamed = spark
+      .table("sessions_idle_out")
+      .as[Sessionize.Session]
+      .collect()
+      .map(s => (s.user_id, s.session_start_ms, s.session_end_ms, s.n_events, s.total_value))
+      .toSet
+    assert(
+      streamed === Set(
+        (1L, 10000L, 11000L, 2L, 3.0), // emitted by timeout, no successor event
+        (2L, 5000L, 5000L, 1L, 5.0),
+      ),
+      s"idle sessions must flush once the watermark passes last_ts + gap; got $streamed",
+    )
+
+    // state eviction: only user 3's open session remains in the store
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .lastOption
+      .map(_.numRowsTotal)
+    q.stop()
+    assert(stateRows === Some(1L), s"timed-out keys must leave the state store, got $stateRows")
+  }
 }
