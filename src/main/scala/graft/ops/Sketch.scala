@@ -53,6 +53,52 @@ object Cms {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Size ladder for [[sketchAuto]] — the [[Similarity.chooseBanding]]
+    * pattern applied to sketches (r9 verdict item 4 / backlog (b)):
+    * (depth, width) from a cardinality probe instead of caller-fixed
+    * constants that silently saturate when the key space grows.
+    *
+    * The rung invariant is D/w ≤ 1/16 until the width cap: the
+    * expected number of OTHER keys sharing a given bucket stays below
+    * 1/16 per hash row, so the chance that ALL depth rows of a key are
+    * inflated — the only way its min-estimate exceeds its true count —
+    * is ≲ (1/16)^4 ≈ 1.5e-5: at the laddered size, estimates are not
+    * just εN-bounded but almost always EXACT, the operating point
+    * heavy-hitter reporting wants. Past the cap (w = 2¹⁸, chosen so
+    * depth·width stays a few-MB broadcastable table — the property
+    * estimate()'s broadcast join and streaming complete-mode emission
+    * both rest on) depth grows to 5 instead and the classical bound
+    * takes over: error ≤ e·N/2¹⁸ with probability 1 − e⁻⁵, sublinear
+    * in corpus size, which is the sketch's whole contract. Rungs are
+    * coarse powers of two over an exact-integer probe, so a SQL oracle
+    * replays the selection with a CASE — no float-log cross-engine
+    * hazard. */
+  def chooseCmsSize(distinct: Long): (Int, Int) =
+    if (distinct <= 16L) (4, 256) //      the fixed-size demo/gate config
+    else if (distinct <= 256L) (4, 4096)
+    else if (distinct <= 4096L) (4, 65536)
+    else (5, 262144)
+
+  /** [[sketch]] with (depth, width) chosen by a cardinality probe.
+    * `exactProbe = true` uses COUNT(DISTINCT) — deterministic in any
+    * engine, what the differential gate needs; the default HLL probe
+    * (`approx_count_distinct`, ~2% rsd) is one cheap pass at corpus
+    * scale, and a ±2% wobble cannot straddle the coarse rungs except
+    * exactly at a boundary, where both neighboring rungs are sound.
+    * Returns the sketch plus the chosen dimensions (callers need them
+    * for [[estimate]]). */
+  def sketchAuto(
+      df: DataFrame,
+      keyCol: String,
+      exactProbe: Boolean = false,
+  ): (DataFrame, Int, Int) = {
+    val probeCol =
+      if (exactProbe) countDistinct(col(keyCol)) else approx_count_distinct(col(keyCol))
+    val distinct = df.agg(probeCol.as("d")).head().getLong(0)
+    val (depth, width) = chooseCmsSize(distinct)
+    (sketch(df, keyCol, depth, width), depth, width)
+  }
+
   /** Point estimates for `keys` (a column named `keyCol`) against a
     * built sketch: min over the d rows of the key's bucket counter.
     * Keys absent from the corpus still get their (over)estimate, as

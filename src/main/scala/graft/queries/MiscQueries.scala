@@ -500,9 +500,64 @@ object MiscQueries {
     graft.ops.PageRank.pageRank(edges, iters = 3, noDangling = true)
   }
 
+  /** Auto-sized Count-Min Sketch ([[graft.ops.Cms.sketchAuto]]):
+    * (depth, width) chosen by the cardinality-probe ladder
+    * ([[graft.ops.Cms.chooseCmsSize]] — the chooseBanding pattern
+    * applied to sketches) instead of caller-fixed constants. The gate
+    * uses the exact COUNT(DISTINCT) probe so the oracle replays the
+    * selection with the identical CASE ladder, then verifies the
+    * estimates AND the chosen dimensions — a drifted ladder or probe
+    * fails the hash check, not just the ε-bound. */
+  private val cmsAuto = Q(
+    "misc_cms_auto",
+    """WITH ks AS (SELECT l_partkey AS k FROM lineitem),
+      |cfg AS (SELECT CASE WHEN dd <= 4096 THEN 4 ELSE 5 END AS depth,
+      |               CASE WHEN dd <= 16 THEN 256 WHEN dd <= 256 THEN 4096
+      |                    WHEN dd <= 4096 THEN 65536 ELSE 262144 END AS width
+      |        FROM (SELECT count(DISTINCT k) AS dd FROM ks)),
+      |rows_ AS (SELECT unnest(generate_series(0, depth - 1)) AS r FROM cfg),
+      |c AS (SELECT r AS row_,
+      |        CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || coalesce(CAST(k AS VARCHAR), '')), 1, 6)) AS BIGINT)
+      |          % (SELECT width FROM cfg) AS bucket,
+      |        count(*) AS cnt
+      |      FROM ks, rows_ GROUP BY 1, 2),
+      |exact AS (SELECT k, count(*) AS exact_cnt FROM ks GROUP BY 1
+      |          ORDER BY exact_cnt DESC, k LIMIT 10),
+      |est AS (SELECT e.k, e.exact_cnt, min(coalesce(c.cnt, 0)) AS cms_estimate
+      |        FROM exact e CROSS JOIN rows_ rr
+      |        LEFT JOIN c ON c.row_ = rr.r
+      |          AND c.bucket = CAST(('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || coalesce(CAST(e.k AS VARCHAR), '')), 1, 6)) AS BIGINT)
+      |            % (SELECT width FROM cfg)
+      |        GROUP BY 1, 2)
+      |SELECT k AS l_partkey, exact_cnt, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+      |  CAST((SELECT depth FROM cfg) AS BIGINT) AS depth,
+      |  CAST((SELECT width FROM cfg) AS BIGINT) AS width,
+      |  cms_estimate >= exact_cnt AS no_underestimate
+      |FROM est""".stripMargin,
+  ) { (s, d) =>
+    val keys               = lineitem(s, d).select(col("l_partkey"))
+    val (sk, depth, width) = graft.ops.Cms.sketchAuto(keys, "l_partkey", exactProbe = true)
+    val exact = keys
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("l_partkey"))
+      .limit(10)
+    graft.ops.Cms
+      .estimate(sk, exact, "l_partkey", depth, width)
+      .join(exact, "l_partkey")
+      .select(
+        col("l_partkey"),
+        col("exact_cnt"),
+        col("cms_estimate"),
+        lit(depth.toLong).as("depth"),
+        lit(width.toLong).as("width"),
+        (col("cms_estimate") >= col("exact_cnt")).as("no_underestimate"),
+      )
+  }
+
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
       pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
-      cmsHeavyHitters)
+      cmsHeavyHitters, cmsAuto)
 }

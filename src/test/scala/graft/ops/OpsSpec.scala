@@ -1612,6 +1612,29 @@ class OpsSpec extends AnyFunSuite {
     assert(absent.length === 1 && absent.head.getLong(1) >= 0L)
   }
 
+  test("CMS auto-sizing: the cardinality probe picks a wider sketch on a higher-cardinality corpus") {
+    // ladder shape: monotone width, bounded depth, broadcastable d·w
+    assert(Cms.chooseCmsSize(10L) === ((4, 256)))
+    assert(Cms.chooseCmsSize(100L) === ((4, 4096)))
+    assert(Cms.chooseCmsSize(2000L) === ((4, 65536)))
+    assert(Cms.chooseCmsSize(1000000000L) === ((4 + 1, 262144)))
+    val widths = Seq(1L, 20L, 300L, 5000L, Long.MaxValue).map(Cms.chooseCmsSize(_)._2)
+    assert(widths === widths.sorted, s"width must be monotone in cardinality: $widths")
+
+    // sketchAuto wires the probe through: low-cardinality corpus gets
+    // the demo rung, a higher-cardinality one a wider sketch
+    val lo = (1 to 200).map(i => (i % 8).toLong).toDF("k")   // 8 distinct
+    val hi = (1 to 2000).map(_.toLong).toDF("k")             // 2000 distinct
+    val (_, dLo, wLo) = Cms.sketchAuto(lo, "k", exactProbe = true)
+    val (skHi, dHi, wHi) = Cms.sketchAuto(hi, "k", exactProbe = true)
+    assert((dLo, wLo) === ((4, 256)))
+    assert(wHi > wLo, s"higher cardinality must widen the sketch: $wHi <= $wLo")
+    // at the laddered size estimates are exact, not just eps-N bounded
+    val est = Cms.estimate(skHi, hi, "k", dHi, wHi)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.values.forall(_ == 1L), "laddered width must make unsaturated estimates exact")
+  }
+
   test("scd2Init: valid_to takes ts's own type (timestamp ts => timestamp valid_to)") {
     val snap = Seq((1L, "a")).toDF("k", "v")
     val init = Scd.scd2Init(snap, Seq("k"), Seq("v"), timestamp_millis(lit(1000L)))
