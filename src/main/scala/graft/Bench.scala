@@ -69,25 +69,8 @@ object Bench {
           exception: Exception,
       ): Unit = ()
     })
-    // AQE wraps the real plan in AdaptiveSparkPlanExec, a leaf from the
-    // TreeNode traversal's point of view — a plain collect would visit
-    // one node and silently report 0. Unwrap it (and any nested ones)
-    // so the metric survives a future AQE-on profile run.
-    def walkPlan(p: org.apache.spark.sql.execution.SparkPlan): Long = {
-      val self = p.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
-      val kids = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          Seq(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-        case other                                                     => other.children
-      }
-      self + kids.map(walkPlan).sum
-    }
-    def shuffleBytesOf(qes: Seq[org.apache.spark.sql.execution.QueryExecution]): Long =
-      qes.map { qe =>
-        try walkPlan(qe.executedPlan)
-        catch { case _: Throwable => 0L }
-      }.sum
+    // Plan walking + quiescence drain live in ShuffleAudit — ONE
+    // definition shared with the ShuffleBudgetSpec regression gate.
     // A throwing query must not hide inside a normal-looking wall time:
     // every-repeat failures go to `failed`, intermittent ones to
     // `flaky` (still timed from the surviving runs); either fails the run.
@@ -107,25 +90,11 @@ object Bench {
             // driver actions (training collects, streaming replays)
             // already populated the list before the timed count's own
             // event arrives, and stopping early would drop the final
-            // (usually dominant) QueryExecution from the sum.
-            val deadline = System.currentTimeMillis() + 1000
-            var last     = -1
-            var stable   = 0
-            while (stable < 2 && System.currentTimeMillis() < deadline) {
-              val n = capturedQes.size
-              if (n == last && n > 0) stable += 1 else stable = 0
-              last = n
-              Thread.sleep(30)
-            }
-            import scala.jdk.CollectionConverters._
-            // copy under the list's monitor: the quiescence poll above
-            // is a heuristic, and a straggling listener append during
-            // an unlocked iteration would throw CME outside the
-            // per-plan try/catch and fail the query spuriously
-            val qes = capturedQes.synchronized {
-              new java.util.ArrayList(capturedQes).asScala.toSeq
-            }
-            shuffleBytes(name) = shuffleBytesOf(qes)
+            // (usually dominant) QueryExecution from the sum. The copy
+            // happens under the list's monitor (a straggling append
+            // during an unlocked iteration would CME outside the
+            // per-plan try/catch and fail the query spuriously).
+            shuffleBytes(name) = ShuffleAudit.drainAndSum(capturedQes)
           }
           Some(dt)
         } catch {

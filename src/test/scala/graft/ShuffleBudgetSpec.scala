@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shuffle-byte REGRESSION GATE (r9 verdict item 5): the bench measures
+  * per-query `shuffleBytesWritten`, but until this spec nothing FAILED
+  * when a plan change doubled a query's exchange bill. Here the top-10
+  * batch shufflers from BENCH_r09 get pinned ceilings: each query runs
+  * at sf0.001 through [[ShuffleAudit]] (the same accounting the bench
+  * reports) and must stay within 2× its recorded bytes. A collision
+  * floor regression, a lost map-side partial aggregation, a payload
+  * column leaking into a shuffle key — all show up here as bytes long
+  * before they show up as seconds at scale.
+  *
+  * Ceilings are 2× the bytes measured at sf0.001 IN THIS TEST SESSION
+  * (r10) — not the bench numbers: the bench pre-warms shared artifacts
+  * (the shingle table) and books their shuffles under `shared_build`,
+  * while the spec's standalone queries build them in-line, so the two
+  * environments differ by up to the shared-build bill. 2× absorbs
+  * partition-count and compression jitter; real regressions (the r9
+  * sweep's fixed-band collision floor was 115×) clear it by orders of
+  * magnitude.
+  */
+class ShuffleBudgetSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf         = "/root/testdata/sf0.001"
+
+  // recorded shuffle bytes at sf0.001 in the spec session (r10);
+  // ceiling = 2× recorded
+  private val recorded: Map[String, Long] = Map(
+    "misc_pagerank_trade"         -> 110428L,
+    "misc_pagerank_weighted"      -> 154281L,
+    "ddp_embedding_pairs_auto"    -> 172714L,
+    "ddp_semdedup_best"           -> 177218L,
+    "txt_tfidf_topk"              -> 347008L,
+    "sim_ann_ivf_pq_trained_topk" -> 568338L,
+    "ddp_embedding_pairs_mp"      -> 655000L,
+    "ddp_minhash_lsh_pairs"       -> 785253L,
+    "ddp_corpus_prepare_emb"      -> 951555L,
+    "ddp_jaccard_pairs_prefix"    -> 2372967L,
+  )
+
+  test("top-10 shufflers stay within 2x their recorded exchange bytes") {
+    val over = recorded.toSeq.sortBy(_._1).flatMap { case (name, rec) =>
+      val fn    = SparkEntry.queries(name)
+      val bytes = ShuffleAudit.measure(spark) { fn(spark, sf).count(); () }
+      info(f"$name%-28s $bytes%,12d bytes (recorded $rec%,d, ceiling ${2 * rec}%,d)")
+      if (bytes > 2 * rec) Some(s"$name: $bytes > ${2 * rec}") else None
+    }
+    assert(over.isEmpty, s"shuffle-byte ceiling exceeded:\n${over.mkString("\n")}")
+  }
+
+  test("the gate trips on a deliberate plan pessimization") {
+    import spark.implicits._
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    // clean shape: map-side partial aggregation shuffles only
+    // (key, partial-sum) pairs
+    val clean = ShuffleAudit.measure(spark) {
+      lineitem.groupBy("l_partkey").agg(sum("l_quantity")).count(); ()
+    }
+    // pessimization: a pre-shuffle of FULL ROWS on the same key — the
+    // exact class of regression the ceilings exist to catch (payload
+    // crossing the exchange instead of partial aggregates)
+    val pessimized = ShuffleAudit.measure(spark) {
+      lineitem.repartition(col("l_partkey")).groupBy("l_partkey").agg(sum("l_quantity")).count()
+      ()
+    }
+    info(f"clean $clean%,d bytes; pessimized $pessimized%,d bytes")
+    assert(clean > 0L, "accounting must see the aggregation exchange")
+    assert(
+      pessimized > 2 * clean,
+      s"a full-row pre-shuffle must blow a 2x partial-agg ceiling: $pessimized vs $clean",
+    )
+  }
+}
