@@ -57,14 +57,28 @@ object Bpe {
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
-  ): DataFrame = {
-    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    val spark = docs.sparkSession
-    // the one corpus-scale pass: distinct words + frequencies
-    val words = docs
+  ): DataFrame =
+    learnMergesFromWords(wordFreq(docs, textCol), numMerges)
+
+  /** The one corpus-scale pass: distinct words + frequencies. Exposed
+    * because this table is the ONLY corpus-derived input BPE training
+    * needs — a streaming vocab monitor maintains it incrementally
+    * (word counts merge by addition across micro-batches) and re-runs
+    * the compact merge rounds from it ([[StreamingQueries]]'
+    * `stream_bpe_drift`). */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(Text.tokens(col(textCol))).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("freq"))
+
+  /** [[learnMerges]] from an already-built (w, freq) table. */
+  def learnMergesFromWords(
+      words: DataFrame,
+      numMerges: Int,
+  ): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = words.sparkSession
     // persist (not localCheckpoint): an evicted persisted block
     // recomputes from lineage, while a lost localCheckpoint block is a
     // hard failure — under whole-suite memory pressure the training

@@ -76,7 +76,8 @@ object StreamingQueries {
     "stream_cms_sketch",
   )
   private val docSplitConsumers =
-    Set("stream_decontaminate", "stream_reservoir_sample", "stream_left_outer_join")
+    Set("stream_decontaminate", "stream_reservoir_sample", "stream_left_outer_join",
+      "stream_bpe_drift")
 
   def prewarmShared(
       s: org.apache.spark.sql.SparkSession,
@@ -761,8 +762,120 @@ object StreamingQueries {
     s.table(name)
   }
 
+  /** Oracle for [[bpeDriftStream]]: one BPE chain per window plus the
+    * frozen full-corpus chain, composed in a single query via
+    * [[TextQueries.bpeChain]]'s prefix/where parameters; divergence is
+    * integer-ppm over the per-window merge membership. */
+  private def bpeDriftOracleSql: String = {
+    val k      = 4
+    val frozen = TextQueries.bpeChain(k, prefix = "z")
+    val chains = (0 to 2).map(i =>
+      TextQueries.bpeChain(k, prefix = s"q$i", where = s"WHERE doc_id % 3 = $i", withKeyword = false)
+    )
+    val wrows = (0 to 2)
+      .flatMap(i =>
+        (1 to k).map(r =>
+          s"SELECT CAST($i AS BIGINT) AS window_id, $r AS merge_rank, lhs, rhs FROM q${i}b$r"
+        )
+      )
+      .mkString("\nUNION ALL\n")
+    val froz = (1 to k).map(r => s"SELECT lhs || rhs AS merged FROM zb$r").mkString(" UNION ALL ")
+    s"""$frozen,
+       |${chains.mkString(",\n")},
+       |froz AS ($froz),
+       |wrows AS ($wrows),
+       |wd AS (SELECT w.window_id, w.merge_rank, w.lhs, w.rhs, w.lhs || w.rhs AS merged,
+       |         (w.lhs || w.rhs) IN (SELECT merged FROM froz) AS in_frozen
+       |       FROM wrows w),
+       |dv AS (SELECT window_id,
+       |         CAST((count(*) - sum(CASE WHEN in_frozen THEN 1 ELSE 0 END)) * 1000000
+       |              // count(*) AS BIGINT) AS divergence_ppm
+       |       FROM wd GROUP BY 1)
+       |SELECT wd.window_id, wd.merge_rank, wd.lhs, wd.rhs, wd.merged, wd.in_frozen,
+       |  dv.divergence_ppm
+       |FROM wd JOIN dv USING (window_id)""".stripMargin
+  }
+
+  /** Streaming BPE vocabulary drift monitor (r9 verdict item 6 /
+    * backlog (c)): the corpus replayed as micro-batches; each batch's
+    * per-window word counts APPEND to an accumulator table — word
+    * frequencies are the only corpus-derived state BPE training needs
+    * ([[graft.ops.Bpe.wordFreq]]), and they merge by addition, so the
+    * accumulator is the streaming-maintainable form of the training
+    * input. After every batch, the windows that batch touched re-learn
+    * their k merges from the accumulated (vocab-sized, never
+    * corpus-sized) word table and refresh their divergence vs the
+    * FROZEN full-corpus vocabulary — the signal a production pipeline
+    * alerts on before re-training a tokenizer. Windows are
+    * `doc_id % 3` (an attribute-derived stand-in for time windows:
+    * batch membership must be data-defined, not arrival-defined, for
+    * the batch-equivalence oracle to exist). The final monitor state
+    * after the replay equals batch per-window induction — exactly
+    * what the oracle replays. */
+  private val bpeDriftStream = Q(
+    "stream_bpe_drift",
+    bpeDriftOracleSql,
+  ) { (s, d) =>
+    val k          = 4
+    val docsSchema = graft.Tables.documents(s, d).schema
+    val frozen = graft.ops.Bpe
+      .learnMerges(graft.Tables.documents(s, d), "text", k)
+      .collect()
+      .map(_.getString(3))
+      .toSet
+    val stream = s.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(documentsSplitDir(s, d))
+    val state =
+      scala.collection.mutable.Map.empty[Long, Seq[(Int, String, String)]]
+    withScratchCheckpoint("graft_ckpt_bpedrift") { ckpt =>
+      val accDir = scratchDir("graft_bpe_acc").toString
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val wc = batch
+            .select(
+              (col("doc_id") % 3).as("window_id"),
+              explode(graft.ops.Text.tokens(col("text"))).as("w"),
+            )
+            .groupBy("window_id", "w")
+            .agg(count(lit(1)).as("freq"))
+          wc.write.mode("append").parquet(accDir)
+          // bounded driver materialization: at most |windows| = 3 rows
+          val touched = wc.select("window_id").distinct().collect().map(_.getLong(0))
+          val acc     = batch.sparkSession.read.parquet(accDir)
+          touched.sorted.foreach { wd =>
+            val words = acc
+              .filter(col("window_id") === wd)
+              .groupBy("w")
+              .agg(sum("freq").as("freq"))
+            state(wd) = graft.ops.Bpe
+              .learnMergesFromWords(words, k)
+              .collect()
+              .sortBy(_.getInt(0))
+              .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+              .toSeq
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    import s.implicits._
+    state.toSeq
+      .flatMap { case (wd, ms) =>
+        // truncating div == DuckDB floor div here: both operands non-negative
+        val div = (ms.size - ms.count { case (_, l, r) => frozen(l + r) }).toLong * 1000000L /
+          ms.size
+        ms.map { case (rank, l, r) => (wd, rank, l, r, l + r, frozen(l + r), div) }
+      }
+      .toDF("window_id", "merge_rank", "lhs", "rhs", "merged", "in_frozen", "divergence_ppm")
+  }
+
   val all: Seq[Q] =
     Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream,
       decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream,
-      cmsStream)
+      cmsStream, bpeDriftStream)
 }

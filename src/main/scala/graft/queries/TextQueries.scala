@@ -422,24 +422,35 @@ object TextQueries {
     * replace semantics engine-identical); the Scala loop unrolls the
     * rounds because merge r's statistics depend on merge r-1's
     * application — BPE is inherently sequential in the merge index. */
-  private def bpeChain(k: Int): String = {
+  /** `prefix`/`where` parameterize the chain for multi-vocabulary
+    * oracles (the streaming drift gate composes one chain per window
+    * plus a frozen one in a single query — prefixes keep the CTE
+    * names disjoint, `where` scopes the word table, and only the
+    * first chain carries the WITH keyword). */
+  private[queries] def bpeChain(
+      k: Int,
+      prefix: String = "",
+      where: String = "",
+      withKeyword: Boolean = true,
+  ): String = {
     val sb = new StringBuilder
-    sb ++= """WITH w0 AS (
-      |  SELECT w, '  ' || regexp_replace(w, '(.)', '\1  ', 'g') || '</w>  ' AS sym, freq FROM (
+    sb ++= (if (withKeyword) "WITH " else "")
+    sb ++= s"""${prefix}w0 AS (
+      |  SELECT w, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') || '</w>  ' AS sym, freq FROM (
       |    SELECT w, count(*) AS freq FROM (
-      |      SELECT unnest(regexp_extract_all(text, '\w+')) AS w FROM documents) GROUP BY w))""".stripMargin
+      |      SELECT unnest(regexp_extract_all(text, '\\w+')) AS w FROM documents $where) GROUP BY w))""".stripMargin
     for (r <- 1 to k)
       sb ++= s""",
-         |p$r AS (
+         |${prefix}p$r AS (
          |  SELECT syms[i] AS lhs, syms[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
-         |        FROM (SELECT string_split(trim(sym), '  ') AS syms, freq FROM w${r - 1}))
+         |        FROM (SELECT string_split(trim(sym), '  ') AS syms, freq FROM ${prefix}w${r - 1}))
          |  GROUP BY 1, 2),
-         |b$r AS (SELECT lhs, rhs, cnt FROM p$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-         |w$r AS (SELECT w.w, CASE WHEN b.lhs IS NULL THEN w.sym
+         |${prefix}b$r AS (SELECT lhs, rhs, cnt FROM ${prefix}p$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |${prefix}w$r AS (SELECT w.w, CASE WHEN b.lhs IS NULL THEN w.sym
          |          ELSE replace(w.sym, ' ' || b.lhs || '  ' || b.rhs || ' ',
          |                       ' ' || b.lhs || b.rhs || ' ') END AS sym, w.freq
-         |        FROM w${r - 1} w LEFT JOIN b$r b ON TRUE)""".stripMargin
+         |        FROM ${prefix}w${r - 1} w LEFT JOIN ${prefix}b$r b ON TRUE)""".stripMargin
     sb.toString
   }
 
