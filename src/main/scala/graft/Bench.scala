@@ -1,7 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Deliberate fixed-configuration ORACLE-DEMO rows → their
+    * count-probed production twin (r9 verdict item 7): these rows keep
+    * a small, SQL-replayable configuration ON PURPOSE (32-bit
+    * pigeonhole bands, fixed 72/12 SRP banding, un-probed prefix
+    * filtering) so a DuckDB oracle can replay them exactly; their 10×
+    * slopes are therefore collision-floor-quadratic BY DESIGN. The
+    * twin row is the production configuration whose slope is the one
+    * that matters at scale. Emitted in the bench's per_query line and
+    * consumed by tools/slopes.py, which tags these rows and keeps
+    * them out of the summary statistics. */
+  val demoFixedConfig: Map[String, String] = Map(
+    "ddp_simhash_pairs"       -> "ddp_simhash64_md5_pairs",
+    "ddp_embedding_pairs"     -> "ddp_embedding_pairs_auto",
+    "ddp_jaccard_pairs_prefix" -> "ddp_jaccard_pairs_auto",
+  )
+
   def main(args: Array[String]): Unit = {
+    val demoJson = demoFixedConfig.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -123,7 +143,7 @@ object Bench {
     val fl = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(
-      s"""{"metric":"per_query","sf":"$sfDir","failed":$fs,"flaky":$fl,"queries":${qmap(results.toSeq.sortBy(_._2))}}"""
+      s"""{"metric":"per_query","sf":"$sfDir","failed":$fs,"flaky":$fl,"demo_fixed_config":${demoJson},"queries":${qmap(results.toSeq.sortBy(_._2))}}"""
     )
     // the exchange bill, per query (bytes written to shuffle; cold first
     // run of each): its own full line for the judge/humans, plus the
