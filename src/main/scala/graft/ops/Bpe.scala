@@ -169,8 +169,11 @@ object Bpe {
     * expression tree as DEEP as the merge list, which at a realistic
     * vocabulary (1k–32k merges) overflows the analyzer/codegen stack
     * long before the constant pool matters (measured: fold dies with
-    * StackOverflowError near ~400 merges on default JVM stacks; see
-    * BpeScaleSpec). So past [[FoldLimit]] the merge list becomes DATA
+    * StackOverflowError at 400 merges on a fresh test thread; a
+    * warmed-up thread with different residual stack can survive the
+    * same depth — viability that depends on the CALLER's stack is
+    * itself disqualifying; see BpeScaleSpec). So past [[FoldLimit]]
+    * the merge list becomes DATA
     * instead of PLAN: one `typedlit` array literal of (pattern,
     * replacement) structs — a single flat Literal node, constant plan
     * depth at any vocabulary size — and `aggregate(pairs, init,

@@ -62,30 +62,44 @@ class BpeScaleSpec extends AnyFunSuite {
     assert(dt < 60.0, f"1000-merge tokenization too slow: $dt%.1f s")
   }
 
-  test("measured bound: the expression fold stops being viable far below 1000 merges") {
-    // Binary evidence for the FoldLimit choice, not a benchmark: the
-    // fold either dies (StackOverflowError in analysis/codegen) or
-    // degrades pathologically at vocabulary scale. Probe upward until
-    // failure or until 1000 works.
-    def tryFold(n: Int): Boolean =
+  test("fold viability is stack-bound (info) and the loop is bit-equal wherever the fold runs") {
+    // The fold's depth limit is ENVIRONMENT-dependent: on a fresh
+    // test thread it dies with StackOverflowError at 400 merges
+    // (measured solo, r10); under a warmed-up suite the same depth
+    // can survive — residual stack varies by thread. That
+    // non-determinism is itself the argument for the loop mechanism
+    // (a plan whose viability depends on the caller's stack is not
+    // shippable), so this test does NOT assert where the fold dies.
+    // It asserts the invariant that makes the mechanism switch safe:
+    // wherever the fold DOES run, the loop output is bit-identical.
+    def tryFold(n: Int): Option[Map[Long, String]] =
       try {
-        Bpe.applyMergesImpl(docs, "text", mergesOf(n), foldLimit = Int.MaxValue)
-          .select("bpe_tokens").count()
-        true
+        Some(
+          Bpe.applyMergesImpl(docs, "text", mergesOf(n), foldLimit = Int.MaxValue)
+            .select("doc_id", "bpe_tokens").collect()
+            .map(r => r.getLong(0) -> r.getString(1)).toMap
+        )
       } catch {
-        case _: StackOverflowError => false
+        case _: StackOverflowError => None
         case e: Throwable
             if Option(e.getMessage).exists(m =>
               m.contains("StackOverflow") || m.contains("grows beyond") || m.contains("Code of method")
             ) =>
-          false
+          None
       }
-    val steps   = Seq(64, 200, 400, 700, 1000)
-    val results = steps.map(n => n -> tryFold(n))
-    info(s"fold viability: ${results.map { case (n, ok) => s"$n=${if (ok) "ok" else "DIES"}" }.mkString(", ")}")
-    assert(results.head._2, "the FoldLimit rung itself must work on the fold")
-    // the switch exists because the fold does NOT survive vocabulary
-    // scale; if this ever starts passing at 1000, FoldLimit can rise
-    assert(results.exists(!_._2), "expression fold unexpectedly survives 1000 merges — revisit FoldLimit")
+    val steps = Seq(64, 400, 1000)
+    val viability = steps.map { n =>
+      tryFold(n) match {
+        case Some(foldOut) =>
+          val loopOut = Bpe.applyMergesImpl(docs, "text", mergesOf(n), foldLimit = 0)
+            .select("doc_id", "bpe_tokens").collect()
+            .map(r => r.getLong(0) -> r.getString(1)).toMap
+          assert(loopOut === foldOut, s"mechanisms diverge at $n merges")
+          s"$n=ok(bit-equal)"
+        case None => s"$n=DIES(StackOverflow)"
+      }
+    }
+    info(s"fold viability this run: ${viability.mkString(", ")}")
+    assert(viability.head.endsWith("(bit-equal)"), "the FoldLimit rung itself must work on the fold")
   }
 }
