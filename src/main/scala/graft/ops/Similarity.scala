@@ -189,6 +189,37 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Recall@k of an approximate neighbor table against the exact one —
+    * the index-quality evaluation every ANN deployment runs before
+    * trusting a probe configuration (Faiss's `eval` loop as a
+    * relational op). Input tables are (qCol, nCol) neighbor lists
+    * (e.g. [[ivfTopK]] vs [[bruteForceTopK]] over the same queries);
+    * output is one row per query: `exact_k` (the denominator — the
+    * exact list's size, which can fall below k on tiny corpora) and
+    * integer-ppm `recall_ppm`. Scale shape: one equi-join on
+    * (query, neighbor) + one aggregation over |queries|·k rows —
+    * evaluation cost is proportional to the QUERY sample, never the
+    * corpus. Integer ppm keeps it engine-exact. */
+  def recallAtK(
+      exact: DataFrame,
+      approx: DataFrame,
+      qCol: String,
+      nCol: String,
+  ): DataFrame =
+    exact
+      .select(col(qCol), col(nCol))
+      .join(
+        approx.select(col(qCol), col(nCol)).withColumn("__hit", lit(1L)),
+        Seq(qCol, nCol),
+        "left",
+      )
+      .groupBy(col(qCol))
+      .agg(
+        count(lit(1)).as("exact_k"),
+        sum(coalesce(col("__hit"), lit(0L))).as("__hits"),
+      )
+      .select(col(qCol), col("exact_k"), expr("(__hits * 1000000L) div exact_k").as("recall_ppm"))
+
   /** IVF-SQ8 approximate top-k — the production ANN composition
     * (Faiss's IVF + scalar-quantizer shape): candidates live in their
     * nearest cell, queries probe `nprobe` cells, and scoring inside

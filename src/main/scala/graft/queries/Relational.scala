@@ -506,11 +506,43 @@ object Relational {
       |WHERE c.c_custkey IS NULL OR b.seg <> c.c_mktsegment""".stripMargin,
   ) { (s, d) => scd2CustomerDim(s, d) }
 
-  /** The merged two-snapshot SCD2 customer dimension both scd2 gate
+  /** SCD2 merge in hard-delete mode ([[graft.ops.Scd.scd2Merge]]
+    * `hardDelete = true`, the dbt-snapshot `invalidate_hard_deletes`
+    * contract): the batch is a FULL snapshot, so a current key missing
+    * from it (every 17th customer) is a deletion — its open row closes
+    * at the batch timestamp with NO successor, while the default mode
+    * would carry it untouched. The oracle's three branches mirror the
+    * closed-set logic; the missing-key rows appearing closed (and only
+    * closed) is exactly the mode difference vs [[scd2Customer]]. */
+  private val scd2HardDelete = Q(
+    "rel_scd2_hard_delete",
+    """WITH batch AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+      |  FROM customer WHERE c_custkey % 17 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, 'NEW' FROM customer WHERE c_custkey % 13 = 0)
+      |SELECT c.c_custkey, c.c_mktsegment,
+      |  DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+      |  TRUE AS is_current
+      |FROM customer c JOIN batch b ON b.c_custkey = c.c_custkey AND b.seg = c.c_mktsegment
+      |UNION ALL
+      |SELECT c.c_custkey, c.c_mktsegment,
+      |  DATE '1995-01-01', DATE '1996-01-01', FALSE
+      |FROM customer c LEFT JOIN batch b ON b.c_custkey = c.c_custkey
+      |WHERE b.c_custkey IS NULL OR b.seg <> c.c_mktsegment
+      |UNION ALL
+      |SELECT b.c_custkey, b.seg, DATE '1996-01-01', CAST(NULL AS DATE), TRUE
+      |FROM batch b LEFT JOIN customer c ON c.c_custkey = b.c_custkey
+      |WHERE c.c_custkey IS NULL OR b.seg <> c.c_mktsegment""".stripMargin,
+  ) { (s, d) => scd2CustomerDim(s, d, hardDelete = true) }
+
+  /** The merged two-snapshot SCD2 customer dimension the scd2 gate
     * rows build on (see [[scd2Customer]] for the churn recipe). */
   private def scd2CustomerDim(
       s: org.apache.spark.sql.SparkSession,
       d: String,
+      hardDelete: Boolean = false,
   ): org.apache.spark.sql.DataFrame = {
     val snap1 = customer(s, d).select("c_custkey", "c_mktsegment")
     val table = graft.ops.Scd
@@ -535,6 +567,7 @@ object Relational {
       keyCols = Seq("c_custkey"),
       trackedCols = Seq("c_mktsegment"),
       batchTs = to_date(lit("1996-01-01")),
+      hardDelete = hardDelete,
     )
   }
 
@@ -617,6 +650,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     scd2Customer,
+    scd2HardDelete,
     scd2AsofJoin,
     cdcApply,
     joinSaltedRevenue,

@@ -1087,8 +1087,71 @@ object SimilarityQueries {
       .select("q_id", "n_id", "cos", "rnk")
   }
 
+  /** ANN index-quality evaluation ([[graft.ops.Similarity.recallAtK]]):
+    * per-query integer-ppm recall of the IVF index (16 cells,
+    * nprobe=2) against brute force at k=3 — the number a probe
+    * configuration is accepted or rejected on. The oracle composes
+    * the two existing differential chains (exact ranking + the full
+    * IVF build) and replays the recall join, so the metric itself —
+    * not just its inputs — is hash-checked. */
+  private val annRecallEval = Q(
+    "sim_ann_recall_eval",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |bfp AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+       |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |bf AS (SELECT q_id, n_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM bfp) WHERE rnk <= 3),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT vec_id, cent_id, ccos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |  FROM (
+       |    SELECT e.vec_id, cent_id,
+       |      ${duckDot("e.embedding", "cemb")} / (e.nrm * cnrm) AS ccos
+       |    FROM e CROSS JOIN cent)),
+       |cand AS (SELECT vec_id, cent_id FROM asg WHERE crk = 1),
+       |qry AS (SELECT vec_id, cent_id FROM asg WHERE crk <= 2 AND vec_id < 10),
+       |ivp AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${duckDot("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm) AS cos
+       |  FROM qry q JOIN cand c ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+       |    JOIN e qe ON qe.vec_id = q.vec_id JOIN e ce ON ce.vec_id = c.vec_id),
+       |iv AS (SELECT q_id, n_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM ivp) WHERE rnk <= 3)
+       |SELECT b.q_id, count(*) AS exact_k,
+       |  CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |       // count(*) AS BIGINT) AS recall_ppm
+       |FROM bf b LEFT JOIN iv i ON i.q_id = b.q_id AND i.n_id = b.n_id
+       |GROUP BY b.q_id""".stripMargin,
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    val exact = Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 3)
+      .select("q_id", "n_id")
+    val approx = Similarity
+      .ivfTopK(
+        emb,
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+        centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16),
+        nprobe = 2,
+        queryPred = col("vec_id") < 10,
+      )
+      .select("q_id", "n_id")
+    Similarity.recallAtK(exact, approx, "q_id", "n_id")
+  }
+
   val all: Seq[Q] =
     Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
       annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
-      annIvfPqSampledTopK, annIvfAppendTopK, annIvfPqResidualTopK, ragChunkTopK)
+      annIvfPqSampledTopK, annIvfAppendTopK, annIvfPqResidualTopK, ragChunkTopK, annRecallEval)
 }
