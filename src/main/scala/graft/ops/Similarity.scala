@@ -189,6 +189,94 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** [[graft.functions.FloatVecDot]]'s arithmetic on plain arrays —
+    * sequential double accumulation in index order, so [[batchedTopK]]
+    * scores bit-identically to the expression path. */
+  private def dotArr(a: Array[Float], b: Array[Float]): Double = {
+    val n   = math.min(a.length, b.length)
+    var acc = 0.0
+    var i   = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Batched exact top-k re-rank (the "GPU-style" kernel shape, r9
+    * backlog (d)): instead of a broadcast join materializing one ROW
+    * per (query, candidate) pair for the codegen'd dot, the query
+    * batch rides once per partition as primitive arrays and a
+    * `mapPartitions` loop scores every candidate against all queries
+    * into per-query bounded k-heaps — |Q|·|C| dot products with ZERO
+    * pair rows materialized, the memory-traffic shape a batched BLAS
+    * or GPU kernel wants (swap the inner loop for a GEMM and nothing
+    * else changes). Emits ≤ |Q|·k rows per partition; one final
+    * window over that |Q|·k·partitions pool gives the exact global
+    * top-k. Same contract as [[bruteForceTopK]] (query side small and
+    * bounded — here collected to a broadcast, the codebook precedent;
+    * zero-norm vectors never rank on either side) and bit-identical
+    * scores (the heap's (cos desc, id asc) eviction mirrors the rank
+    * order; [[dotArr]] mirrors the expression arithmetic), so the two
+    * forms share one oracle. */
+  def batchedTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qPrep = queries
+      .select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, e) => (id, e, math.sqrt(dotArr(e, e))) }
+      .filter(_._3 > 0.0)
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(qPrep)
+    val pools = candidates
+      .select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        // worst-first heap: head = lowest cos, ties broken to evict
+        // the LARGER id (rank order is cos desc, id asc)
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by { case (c, id) => (-c, id) }
+          )
+        )
+        it.foreach { case (nId, emb) =>
+          val nn = math.sqrt(dotArr(emb, emb))
+          if (nn > 0.0) {
+            var qi = 0
+            while (qi < qs.length) {
+              val (qId, qe, qn) = qs(qi)
+              if (qId != nId) {
+                val cos = dotArr(qe, emb) / (qn * nn)
+                val h   = heaps(qi)
+                if (h.size < k) h.enqueue((cos, nId))
+                else {
+                  val (wc, wi) = h.head
+                  if (cos > wc || (cos == wc && nId < wi)) {
+                    h.dequeue(); h.enqueue((cos, nId))
+                  }
+                }
+              }
+              qi += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          val qId = qs(qi)._1
+          h.iterator.map { case (cos, nId) => (qId, nId, cos) }
+        }
+      }
+      .toDF("q_id", "n_id", "cos")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    pools.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Recall@k of an approximate neighbor table against the exact one —
     * the index-quality evaluation every ANN deployment runs before
     * trusting a probe configuration (Faiss's `eval` loop as a

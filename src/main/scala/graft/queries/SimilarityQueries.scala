@@ -27,8 +27,11 @@ object SimilarityQueries {
   /** Brute-force exact top-3 cosine neighbors for the first 10 vectors:
     * query side broadcast, candidates stay partitioned, per-query
     * window top-k. */
-  private val cosineTopK = Q(
-    "sim_cosine_topk",
+  /** Exact-cosine top-3 oracle, shared by the pair-join form
+    * ([[cosineTopK]]) and the batched-kernel form ([[annBatchedTopK]])
+    * — the two are bit-identical by construction, so one oracle pins
+    * both. */
+  private val cosineTopKSql =
     s"""WITH e AS (
        |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
@@ -40,11 +43,36 @@ object SimilarityQueries {
        |SELECT q_id, n_id, cos, rnk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
        |  FROM pairs)
-       |WHERE rnk <= 3""".stripMargin,
+       |WHERE rnk <= 3""".stripMargin
+
+  private val cosineTopK = Q(
+    "sim_cosine_topk",
+    cosineTopKSql,
   ) { (s, d) =>
     val emb = embeddings(s, d)
     Similarity
       .bruteForceTopK(
+        queries = emb.filter(col("vec_id") < 10),
+        candidates = emb,
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+      )
+      .select("q_id", "n_id", "cos", "rnk")
+  }
+
+  /** The batched-kernel exact top-k ([[graft.ops.Similarity.batchedTopK]]):
+    * same semantics and scores as [[cosineTopK]] through a completely
+    * different execution shape — query batch broadcast as primitive
+    * arrays, per-partition k-heaps, no pair rows — verified against
+    * the identical oracle. */
+  private val annBatchedTopK = Q(
+    "sim_ann_batched_topk",
+    cosineTopKSql,
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    Similarity
+      .batchedTopK(
         queries = emb.filter(col("vec_id") < 10),
         candidates = emb,
         idCol = "vec_id",
@@ -1153,5 +1181,6 @@ object SimilarityQueries {
   val all: Seq[Q] =
     Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
       annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
-      annIvfPqSampledTopK, annIvfAppendTopK, annIvfPqResidualTopK, ragChunkTopK, annRecallEval)
+      annIvfPqSampledTopK, annIvfAppendTopK, annIvfPqResidualTopK, ragChunkTopK, annRecallEval,
+      annBatchedTopK)
 }

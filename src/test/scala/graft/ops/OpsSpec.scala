@@ -1612,6 +1612,31 @@ class OpsSpec extends AnyFunSuite {
     assert(absent.length === 1 && absent.head.getLong(1) >= 0L)
   }
 
+  test("batchedTopK == bruteForceTopK (scores bit-equal, zero-norm rows never rank)") {
+    val emb = (1 to 40)
+      .map(i => (i.toLong, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6) / 6.0f)))
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq((99L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")) // zero-norm
+    val q     = emb.filter(col("vec_id") <= 5 || col("vec_id") === 99L)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id", "cos", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val brute   = norm(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 4))
+    val batched = norm(Similarity.batchedTopK(q, emb, "vec_id", "embedding", k = 4))
+    assert(batched === brute, "the batched kernel must be bit-identical to the pair-join form")
+    assert(!brute.exists(t => t._1 == 99L || t._2 == 99L), "zero-norm rows must never rank")
+  }
+
+  test("recallAtK: exact-vs-approx membership in integer ppm") {
+    val exact  = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (2L, 22L))
+      .toDF("q_id", "n_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L), (2L, 20L), (2L, 21L), (2L, 22L))
+      .toDF("q_id", "n_id")
+    val got = Similarity.recallAtK(exact, approx, "q_id", "n_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((3L, 666666L)), 2L -> ((3L, 1000000L))))
+  }
+
   test("CMS auto-sizing: the cardinality probe picks a wider sketch on a higher-cardinality corpus") {
     // ladder shape: monotone width, bounded depth, broadcastable d·w
     assert(Cms.chooseCmsSize(10L) === ((4, 256)))
