@@ -105,6 +105,11 @@ object Bpe {
     while (rank <= numMerges && !done) {
       val best = cur
         .select(col("freq"), split(trim(col("sym")), "  ").as("syms"))
+        // a fully-merged single-symbol word has no pairs; unguarded,
+        // sequence(1, 0) DESCENDS ([1, 0]) and element_at(syms, 2)
+        // throws. DuckDB's generate_series(1, 0) is empty, so the
+        // filter is also the oracle's semantics.
+        .filter(size(col("syms")) >= 2)
         .select(
           col("freq"),
           explode(
@@ -140,6 +145,122 @@ object Bpe {
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(merges.toSeq).asJava),
       org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("merge_rank", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("lhs", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("rhs", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("merged", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("pair_count", org.apache.spark.sql.types.LongType, nullable = false),
+      )),
+    )
+  }
+
+  /** Grouped BPE training: learn `numMerges` merges INDEPENDENTLY per
+    * key (per source, per drift window, per language) from a
+    * (key, w, freq) table — in one dataflow per round instead of one
+    * per key. Each round is a single pair-count aggregation over all
+    * keys, a per-key argmax (window over the compact pair table), a
+    * ≤|keys|-row collect, and a broadcast-join merge application whose
+    * replace pattern comes from the key's own argmax row. Per-key
+    * results are identical to running [[learnMergesFromWords]] on each
+    * key's slice (same statistics, same ascending tie-break, same
+    * anchored apply — spec-pinned); the cost is O(rounds) scans of the
+    * vocab table regardless of |keys|, which is what makes a
+    * many-window drift monitor or per-source vocabulary study viable.
+    * Keys whose pairs run dry just stop accruing merges (the left
+    * join leaves their symbols untouched). Output adds `keyCol` to
+    * the [[learnMerges]] schema. */
+  def learnMergesPerKey(
+      words: DataFrame,
+      keyCol: String,
+      numMerges: Int,
+  ): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = words.sparkSession
+    var prevPersisted: Option[DataFrame] = None
+    def keep(df: DataFrame): DataFrame = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+    def rotate(newer: DataFrame): Unit = {
+      prevPersisted.foreach(_.unpersist(blocking = false))
+      prevPersisted = Some(newer)
+    }
+    var cur = keep(
+      words.select(col(keyCol).as("__key"), symInit(col("w")).as("sym"), col("freq"))
+    )
+    val merges = scala.collection.mutable.ListBuffer.empty[Row]
+    var rank   = 1
+    var done   = false
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__key")
+      .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+    while (rank <= numMerges && !done) {
+      val best = cur
+        .select(col("__key"), col("freq"), split(trim(col("sym")), "  ").as("syms"))
+        .filter(size(col("syms")) >= 2) // see learnMergesFromWords
+        .select(
+          col("__key"),
+          col("freq"),
+          explode(
+            expr(
+              "transform(sequence(1, size(syms) - 1)," +
+                " i -> struct(element_at(syms, i) AS lhs, element_at(syms, i + 1) AS rhs))"
+            )
+          ).as("p"),
+        )
+        .groupBy(col("__key"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("freq").as("cnt"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .collect() // bounded: one row per key
+      rotate(cur)
+      if (best.isEmpty) done = true
+      else {
+        best.foreach { r =>
+          merges += Row(r.get(0), rank, r.getString(1), r.getString(2),
+            r.getString(1) + r.getString(2), r.getLong(3))
+        }
+        val keyType = words.schema(keyCol).dataType
+        val bdf = spark.createDataFrame(
+          new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters
+              .SeqHasAsJava(best.toSeq.map(r => Row(r.get(0), r.getString(1), r.getString(2))))
+              .asJava
+          ),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__key", keyType, nullable = true),
+            org.apache.spark.sql.types.StructField("__l", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("__r", org.apache.spark.sql.types.StringType),
+          )),
+        )
+        cur = keep(
+          cur
+            .join(broadcast(bdf), Seq("__key"), "left")
+            .withColumn(
+              "sym",
+              when(
+                col("__l").isNotNull,
+                call_function(
+                  "replace",
+                  col("sym"),
+                  concat(lit(" "), col("__l"), lit("  "), col("__r"), lit(" ")),
+                  concat(lit(" "), col("__l"), col("__r"), lit(" ")),
+                ),
+              ).otherwise(col("sym")),
+            )
+            .drop("__l", "__r")
+        )
+        rank += 1
+      }
+    }
+    prevPersisted.foreach(_.unpersist(blocking = false))
+    cur.unpersist(blocking = false)
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(merges.toSeq).asJava
+      ),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(keyCol, words.schema(keyCol).dataType, nullable = true),
         org.apache.spark.sql.types.StructField("merge_rank", org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("lhs", org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("rhs", org.apache.spark.sql.types.StringType, nullable = false),

@@ -818,17 +818,24 @@ object StreamingQueries {
   ) { (s, d) =>
     val k          = 4
     val docsSchema = graft.Tables.documents(s, d).schema
-    val frozen = graft.ops.Bpe
-      .learnMerges(graft.Tables.documents(s, d), "text", k)
-      .collect()
-      .map(_.getString(3))
-      .toSet
+    // the training rounds aggregate VOCAB-sized tables (a few thousand
+    // rows); 32 shuffle partitions make per-round task scheduling the
+    // dominant cost of the whole gate — size the rounds like the other
+    // small-state replays
+    val frozen = withStatePartitions(s, 4) {
+      graft.ops.Bpe
+        .learnMerges(graft.Tables.documents(s, d), "text", k)
+        .collect()
+        .map(_.getString(3))
+        .toSet
+    }
     val stream = s.readStream
       .schema(docsSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(documentsSplitDir(s, d))
     val state =
       scala.collection.mutable.Map.empty[Long, Seq[(Int, String, String)]]
+    withStatePartitions(s, 4) {
     withScratchCheckpoint("graft_ckpt_bpedrift") { ckpt =>
       val accDir = scratchDir("graft_bpe_acc").toString
       val q = stream.writeStream
@@ -842,26 +849,31 @@ object StreamingQueries {
             .groupBy("window_id", "w")
             .agg(count(lit(1)).as("freq"))
           wc.write.mode("append").parquet(accDir)
-          // bounded driver materialization: at most |windows| = 3 rows
-          val touched = wc.select("window_id").distinct().collect().map(_.getLong(0))
-          val acc     = batch.sparkSession.read.parquet(accDir)
-          touched.sorted.foreach { wd =>
-            val words = acc
-              .filter(col("window_id") === wd)
-              .groupBy("w")
-              .agg(sum("freq").as("freq"))
-            state(wd) = graft.ops.Bpe
-              .learnMergesFromWords(words, k)
-              .collect()
-              .sortBy(_.getInt(0))
-              .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
-              .toSeq
-          }
+          // grouped re-learn: ALL windows in one dataflow per merge
+          // round ([[graft.ops.Bpe.learnMergesPerKey]]) — O(k) vocab
+          // scans per batch regardless of window count, the shape
+          // that keeps a many-window monitor viable. The collect is
+          // bounded: |windows| · k merge rows.
+          val acc = batch.sparkSession.read
+            .parquet(accDir)
+            .groupBy("window_id", "w")
+            .agg(sum("freq").as("freq"))
+          graft.ops.Bpe
+            .learnMergesPerKey(acc, "window_id", k)
+            .collect()
+            .groupBy(_.getLong(0))
+            .foreach { case (wd, rows) =>
+              state(wd) = rows
+                .sortBy(_.getInt(1))
+                .map(r => (r.getInt(1), r.getString(2), r.getString(3)))
+                .toSeq
+            }
           ()
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+    }
     }
     import s.implicits._
     state.toSeq

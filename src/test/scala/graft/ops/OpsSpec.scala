@@ -1612,6 +1612,27 @@ class OpsSpec extends AnyFunSuite {
     assert(absent.length === 1 && absent.head.getLong(1) >= 0L)
   }
 
+  test("learnMergesPerKey == per-key learnMergesFromWords (grouped training is exact)") {
+    val docs = Seq(
+      (0L, "low lower lowest low low newer newest"),
+      (1L, "the quick brown fox the the quick"),
+      (2L, "aaa aaaa abab ababab"),
+    ).toDF("key", "text")
+    val words = docs
+      .select(col("key"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("key", "w").agg(count(lit(1)).as("freq"))
+    val grouped = Bpe.learnMergesPerKey(words, "key", numMerges = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3), r.getLong(5)))
+      .toSet
+    val perKey = (0L to 2L).flatMap { k =>
+      Bpe.learnMergesFromWords(words.filter(col("key") === k).select("w", "freq"), 4)
+        .collect()
+        .map(r => (k, r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    }.toSet
+    assert(grouped === perKey, "grouped rounds must equal independent per-key training")
+  }
+
   test("batchedTopK == bruteForceTopK (scores bit-equal, zero-norm rows never rank)") {
     val emb = (1 to 40)
       .map(i => (i.toLong, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6) / 6.0f)))
