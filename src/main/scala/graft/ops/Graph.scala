@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting over an undirected edge list — the third member
+  * of the graph family (connected components in [[Dedup]], power
+  * iteration in [[PageRank]]), and the canonical "joins explode if you
+  * are naive" graph workload.
+  *
+  * The implementation is degree-ordered wedge closing (Schank 2007's
+  * compact-forward; the same orientation trick every distributed
+  * triangle counter uses): orient each undirected edge from its
+  * lower-(degree, id) endpoint to its higher one, build wedges by
+  * self-joining the oriented list on the common SOURCE, and close each
+  * wedge with a semi-probe back into the oriented list. Orientation
+  * makes every node's out-degree O(√|E|) regardless of how skewed the
+  * raw degree distribution is — a hub of degree d contributes C(d,2)
+  * wedges if edges point out of it, but after orientation the hub is
+  * almost always the wedge TARGET, so the self-join fanout is bounded
+  * by the arboricity, not the max degree. Each triangle {a,b,c} is
+  * produced exactly once (from its lowest-ordered corner), so no /3 or
+  * /6 correction is needed.
+  *
+  * Scale shape: two equi-joins (wedge build on `src`, closure probe on
+  * the canonical (lo, hi) pair) plus one degree aggregation — all
+  * shuffle on keys, never on payloads. The count is invariant to the
+  * ordering used, so the SQL oracle replays it with the simpler
+  * id-ordered a<b<c form and must produce the same number.
+  */
+object Graph {
+
+  /** Global triangle census of an undirected graph.
+    *
+    * @param edges one row per undirected edge, columns `a`, `b`,
+    *              already deduplicated with a < b (canonical form).
+    * @return a single row: `nodes`, `edges`, `wedges` (open paths of
+    *         length 2, Σ C(deg,2)), `triangles`, and `closure_ppm`
+    *         (the global clustering coefficient 3·triangles/wedges in
+    *         integer parts-per-million — `div`, not float, so the row
+    *         is bit-identical across engines and partitionings).
+    */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Degrees over both endpoints: one union + one aggregation.
+    val deg = e
+      .select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy("n")
+      .agg(count(lit(1)).as("d"))
+
+    // Orient each edge lower-(degree, id) -> higher-(degree, id); the
+    // pair comparison stays two primitive comparisons inside codegen
+    // (a dense rank would need a global window — a single-partition
+    // bottleneck this deliberately avoids).
+    val withDeg = e
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    val aFirst = (col("da") < col("db")) || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("da")).otherwise(col("db")).as("sd"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"),
+      )
+
+    // Wedges from the common (low-ordered) source; the order predicate
+    // keeps exactly one of the two (v,w)/(w,v) forms, and — because v
+    // and w both rank above src — the closing edge, if present, is
+    // oriented v -> w in the same list.
+    val e1 = oriented.select(col("src"), col("dst").as("v"), col("dd").as("vd"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"), col("dd").as("wd"))
+    val wedgeOrder =
+      (col("vd") < col("wd")) || (col("vd") === col("wd") && col("v") < col("w"))
+    val wedges = e1.join(e2, Seq("src")).where(wedgeOrder).select(col("v"), col("w"))
+
+    val closed = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"),
+      "left_semi",
+    )
+
+    // All four census numbers are tiny aggregates over frames that
+    // share the edge-list lineage; `e` is persisted above so the four
+    // branches read one cached copy (keys only — bytes ∝ |E|, never
+    // payloads) instead of re-projecting the input four times. The
+    // census is a single bounded row, so it is materialized EAGERLY
+    // (the count-probe precedent: a 1-row collect is driver-bounded at
+    // any graph size) and the cache released before returning — a lazy
+    // result would either leak the persist or recompute the lineage
+    // per downstream action.
+    val row =
+      try {
+        deg
+          .agg(
+            count(lit(1)).as("nodes"),
+            coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).as("wedges2"),
+          )
+          .crossJoin(e.agg(count(lit(1)).as("edges")))
+          .crossJoin(closed.agg(count(lit(1)).as("triangles")))
+          .select(
+            col("nodes"),
+            col("edges"),
+            expr("wedges2 div 2").as("wedges"),
+            col("triangles"),
+            when(col("wedges2") === 0, lit(0L))
+              .otherwise(expr("(3 * triangles * 1000000) div (wedges2 div 2)"))
+              .as("closure_ppm"),
+          )
+          .head()
+      } finally e.unpersist()
+    import spark.implicits._
+    Seq(
+      (
+        row.getAs[Long]("nodes"),
+        row.getAs[Long]("edges"),
+        row.getAs[Long]("wedges"),
+        row.getAs[Long]("triangles"),
+        row.getAs[Long]("closure_ppm"),
+      )
+    ).toDF("nodes", "edges", "wedges", "triangles", "closure_ppm")
+  }
+}

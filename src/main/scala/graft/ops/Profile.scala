@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiling — the data-quality census every corpus
+  * ingestion runs before training (null rates, cardinalities, value
+  * ranges per column; the reference's dbt-style accepted-values /
+  * not-null checks generalized into a reusable report).
+  *
+  * Shape: the k profiled columns are UNPIVOTED into (column, value)
+  * rows — a map-only k× row expansion over narrow projected values,
+  * NOT k separate scans and NOT a multi-`COUNT(DISTINCT)` aggregate
+  * (which Catalyst plans as an Expand over the full row set — the same
+  * k× expansion but carrying every grouping copy through the shuffle).
+  * After the unpivot, ONE hash aggregation on the k-value `column` key
+  * computes every statistic; partial aggregation does essentially all
+  * the work map-side, so the shuffle is k rows per task regardless of
+  * corpus size. Exact `n_distinct` is the one stat that genuinely
+  * shuffles values (distinct-within-group); at 100 TB swap it for
+  * `approx_count_distinct` — the gate keeps it exact so DuckDB can
+  * replay the row bit-for-bit (the HLL error-bound differential
+  * pattern already covers the approx form in misc_approx_count_distinct).
+  *
+  * Numeric min/max are computed in the value's own numeric order (as
+  * BIGINT — profile columns here are integral; doubles would need the
+  * engine-specific float-formatting caveat), string min/max in binary
+  * lexicographic order; each is null for columns of the other kind, so
+  * the report schema is uniform.
+  */
+object Profile {
+
+  /** Per-column stats over `df`.
+    *
+    * @param cols (name, isNumeric) — isNumeric columns are profiled as
+    *             BIGINT (min_n/max_n), others as strings (min_s/max_s).
+    * @return one row per profiled column: `column`, `n` (total rows),
+    *         `nulls`, `n_distinct` (exact, nulls excluded), `min_n`,
+    *         `max_n`, `min_s`, `max_s`.
+    */
+  def profile(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val entries: Seq[Column] = cols.map { case (name, isNum) =>
+      struct(
+        lit(name).as("column"),
+        col(name).cast("string").as("value_s"),
+        (if (isNum) col(name).cast("long") else lit(null).cast("long")).as("value_n"),
+        lit(isNum).as("is_num"),
+      )
+    }
+    df.select(explode(array(entries: _*)).as("p"))
+      .select(col("p.column"), col("p.value_s"), col("p.value_n"), col("p.is_num"))
+      .groupBy("column")
+      .agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("value_s"))).as("nulls"),
+        countDistinct(col("value_s")).as("n_distinct"),
+        min(col("value_n")).as("min_n"),
+        max(col("value_n")).as("max_n"),
+        min(when(!col("is_num"), col("value_s"))).as("min_s"),
+        max(when(!col("is_num"), col("value_s"))).as("max_s"),
+      )
+  }
+}

@@ -555,9 +555,113 @@ object MiscQueries {
       )
   }
 
+  /** Triangle census ([[graft.ops.Graph.triangleCensus]] — degree-ordered
+    * wedge closing) over the customer co-purchase graph: an edge links
+    * two customers whose orders share a part. The projection is the
+    * classic bipartite→unipartite squaring, and it is CAPPED at 20
+    * customers per part on BOTH engines — an uncapped projection of a
+    * part bought by d customers emits C(d,2) edges, the quadratic blowup
+    * every production co-occurrence pipeline guards with exactly this
+    * heavy-hitter cap. The Spark side orients edges by (degree, id)
+    * before the wedge self-join (out-degree bounded by arboricity, not
+    * max degree); the oracle replays the count with the plain id-ordered
+    * a<b<c form — same triangles, so the row must hash-match. */
+  private val triangleCensus = Q(
+    "misc_triangle_census",
+    """WITH pc AS (
+      |  SELECT DISTINCT l_partkey AS pk, o_custkey AS ck
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |ok AS (SELECT pk FROM pc GROUP BY pk HAVING count(*) <= 20),
+      |e AS (
+      |  SELECT DISTINCT x.ck AS a, y.ck AS b
+      |  FROM pc x JOIN pc y ON x.pk = y.pk AND x.ck < y.ck
+      |  JOIN ok ON ok.pk = x.pk),
+      |deg AS (
+      |  SELECT n, count(*) AS d
+      |  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      |w AS (SELECT coalesce(CAST(sum(d * (d - 1)) AS BIGINT), 0) AS w2 FROM deg),
+      |tri AS (
+      |  SELECT count(*) AS t
+      |  FROM e e1
+      |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+      |SELECT
+      |  (SELECT count(*) FROM deg) AS nodes,
+      |  (SELECT count(*) FROM e) AS edges,
+      |  (SELECT w2 // 2 FROM w) AS wedges,
+      |  (SELECT t FROM tri) AS triangles,
+      |  (SELECT CASE WHEN w2 = 0 THEN 0
+      |               ELSE (3 * (SELECT t FROM tri) * 1000000) // (w2 // 2) END
+      |   FROM w) AS closure_ppm""".stripMargin,
+  ) { (s, d) =>
+    // Edge build avoids the naive pc⋈pc self-join (which reads the
+    // pair projection three times): the per-part customer set is
+    // aggregated ONCE — the ≤20 cap is enforced by a distinct-count
+    // semi-join BEFORE collect_set, so no row ever materializes an
+    // uncapped set — and the a<b pairs come from exploding the sorted
+    // set (map-side, ≤ C(20,2) per part). After the cap join the data
+    // is already hash-partitioned by pk, so the collect_set aggregation
+    // shuffles nothing.
+    val raw = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("pk"), col("o_custkey").as("ck"))
+    val ok = raw
+      .groupBy("pk")
+      .agg(countDistinct(col("ck")).as("c"))
+      .where(col("c") <= 20)
+      .select("pk")
+    val edges = raw
+      .join(ok, Seq("pk"), "left_semi")
+      .groupBy("pk")
+      .agg(sort_array(collect_set(col("ck"))).as("cks"))
+      .select(
+        explode(
+          expr(
+            "flatten(transform(cks, (x, i) -> " +
+              "transform(slice(cks, i + 2, size(cks)), y -> struct(x AS a, y AS b))))"
+          )
+        ).as("p")
+      )
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    graft.ops.Graph.triangleCensus(edges)
+  }
+
+  /** One-pass column profiler ([[graft.ops.Profile.profile]]): the
+    * ingestion data-quality census (null rate, exact cardinality, value
+    * range per column) as a single unpivot + one k-key aggregation —
+    * map-side partials do all the work, the shuffle is k rows per task.
+    * The oracle recomputes each column's row independently. */
+  private val profileColumns = Q(
+    "misc_profile_columns",
+    """SELECT 'doc_id' AS "column", count(*) AS n,
+      |  count(*) - count(doc_id) AS nulls, count(DISTINCT doc_id) AS n_distinct,
+      |  CAST(min(doc_id) AS BIGINT) AS min_n, CAST(max(doc_id) AS BIGINT) AS max_n,
+      |  CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s
+      |FROM documents
+      |UNION ALL
+      |SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+      |  CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT),
+      |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      |FROM documents
+      |UNION ALL
+      |SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+      |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), min(lang), max(lang)
+      |FROM documents
+      |UNION ALL
+      |SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+      |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), min(source), max(source)
+      |FROM documents""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Profile.profile(
+      documents(s, d),
+      Seq(("doc_id", true), ("n_chars", true), ("lang", false), ("source", false)),
+    )
+  }
+
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
       pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
-      cmsHeavyHitters, cmsAuto)
+      cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns)
 }

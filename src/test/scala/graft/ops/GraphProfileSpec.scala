@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Triangle census against hand-countable graphs (the degree-ordered
+  * orientation must not change the count) and the column profiler
+  * against a frame with known nulls/cardinalities.
+  */
+class GraphProfileSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def census(edges: Seq[(Long, Long)]): Row =
+    Graph.triangleCensus(edges.toDF("a", "b")).head()
+
+  test("triangle census: K4 has 4 triangles, C(4,2)=6 edges, 12 wedges") {
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val r  = census(k4)
+    assert(r.getAs[Long]("nodes") === 4L)
+    assert(r.getAs[Long]("edges") === 6L)
+    assert(r.getAs[Long]("wedges") === 12L) // 4 nodes × C(3,2)
+    assert(r.getAs[Long]("triangles") === 4L)
+    assert(r.getAs[Long]("closure_ppm") === 1000000L) // complete graph closes every wedge
+  }
+
+  test("triangle census: star graph has wedges but zero triangles") {
+    val star = (2L to 6L).map(i => (1L, i))
+    val r    = census(star)
+    assert(r.getAs[Long]("nodes") === 6L)
+    assert(r.getAs[Long]("wedges") === 10L) // C(5,2) through the hub
+    assert(r.getAs[Long]("triangles") === 0L)
+    assert(r.getAs[Long]("closure_ppm") === 0L)
+  }
+
+  test("triangle census: hub-heavy graph counts each triangle exactly once") {
+    // Hub 1 connects to 2..7; extra edges (2,3) and (4,5) close exactly
+    // two triangles. Skewed degrees exercise the orientation path where
+    // the hub is the wedge TARGET, never the source.
+    val edges = (2L to 7L).map(i => (1L, i)) ++ Seq((2L, 3L), (4L, 5L))
+    val r     = census(edges)
+    assert(r.getAs[Long]("triangles") === 2L)
+  }
+
+  test("triangle census: empty edge list yields an all-zero row, no division error") {
+    val r = Graph.triangleCensus(Seq.empty[(Long, Long)].toDF("a", "b")).head()
+    assert(r.getAs[Long]("nodes") === 0L)
+    assert(r.getAs[Long]("triangles") === 0L)
+    assert(r.getAs[Long]("closure_ppm") === 0L)
+  }
+
+  test("profiler: nulls, exact cardinality, numeric vs string ranges") {
+    val df = Seq(
+      (Some(3L), Some("b")),
+      (Some(1L), None),
+      (None, Some("a")),
+      (Some(3L), Some("c")),
+    ).toDF("num", "str")
+    val out  = Profile.profile(df, Seq(("num", true), ("str", false)))
+    val rows = out.collect().map(r => r.getAs[String]("column") -> r).toMap
+    val num  = rows("num")
+    assert(num.getAs[Long]("n") === 4L)
+    assert(num.getAs[Long]("nulls") === 1L)
+    assert(num.getAs[Long]("n_distinct") === 2L)
+    assert(num.getAs[Long]("min_n") === 1L)
+    assert(num.getAs[Long]("max_n") === 3L)
+    assert(num.isNullAt(num.fieldIndex("min_s")))
+    val str = rows("str")
+    assert(str.getAs[Long]("nulls") === 1L)
+    assert(str.getAs[Long]("n_distinct") === 3L)
+    assert(str.getAs[String]("min_s") === "a")
+    assert(str.getAs[String]("max_s") === "c")
+    assert(str.isNullAt(str.fieldIndex("min_n")))
+  }
+}
