@@ -38,7 +38,21 @@ object Profile {
     *         `nulls`, `n_distinct` (exact, nulls excluded), `min_n`,
     *         `max_n`, `min_s`, `max_s`.
     */
-  def profile(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame =
+    profileWith(df, cols, countDistinct(col("value_s")))
+
+  /** [[profile]] with the cardinality stat swapped for HLL++
+    * (`approx_count_distinct`, default rsd 0.05) — the 100 TB form:
+    * the unpivoted values never shuffle at all, only k mergeable
+    * sketches do. Same report schema, `n_distinct` is the estimate. */
+  def profileApprox(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame =
+    profileWith(df, cols, approx_count_distinct(col("value_s")))
+
+  private def profileWith(
+      df: DataFrame,
+      cols: Seq[(String, Boolean)],
+      distinctAgg: Column,
+  ): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val entries: Seq[Column] = cols.map { case (name, isNum) =>
       struct(
@@ -54,7 +68,7 @@ object Profile {
       .agg(
         count(lit(1)).as("n"),
         (count(lit(1)) - count(col("value_s"))).as("nulls"),
-        countDistinct(col("value_s")).as("n_distinct"),
+        distinctAgg.as("n_distinct"),
         min(col("value_n")).as("min_n"),
         max(col("value_n")).as("max_n"),
         min(when(!col("is_num"), col("value_s"))).as("min_s"),

@@ -64,6 +64,49 @@ object Events {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
   }
 
+  /** Integer spike detection — event-rate anomaly flagging, the
+    * monitoring query every ingestion pipeline runs over its volume
+    * metrics. Per (event_type, hour) counts are compared against the
+    * type's mean hourly rate in integer PPM (total·10⁶ div hours — the
+    * [[transitionMatrix]] discipline: no float mean, so the flag is
+    * bit-identical across engines and partitionings). A z-score
+    * variant would need cross-engine float σ; the 2×-mean threshold
+    * keeps the gate exact, and the aggregate-then-window shape (the
+    * window runs over the BOUNDED hourly table, never the corpus) is
+    * the part that matters at 100 TB. */
+  private val rateAnomaly = Q(
+    "evt_rate_anomaly",
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, hour_ts, n,
+      |  CAST((sum(n) OVER (PARTITION BY event_type) * 1000000)
+      |    // count(*) OVER (PARTITION BY event_type) AS BIGINT) AS mean_ppm,
+      |  n * 1000000 * count(*) OVER (PARTITION BY event_type)
+      |    > 2 * sum(n) OVER (PARTITION BY event_type) * 1000000 AS is_spike
+      |FROM h""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+    // The spike test multiplies through by the hour count instead of
+    // comparing against the floored mean_ppm, so the boolean is exact
+    // (no floor-boundary sensitivity); mean_ppm itself is reported
+    // floored (`div`), matching DuckDB's `//`.
+    h.withColumn("__total", sum(col("n")).over(w))
+      .withColumn("__hours", count(lit(1)).over(w))
+      .select(
+        col("event_type"),
+        col("hour_ts"),
+        col("n"),
+        expr("(__total * 1000000) div __hours").as("mean_ppm"),
+        (col("n") * 1000000 * col("__hours") > lit(2) * col("__total") * 1000000)
+          .as("is_spike"),
+      )
+  }
+
   /** Tumbling event-time window — the batch equivalent of the Structured
     * Streaming windowed aggregation (both are epoch-aligned). */
   private val tumbling15min = Q(
@@ -530,5 +573,6 @@ object Events {
     sessionWindowNative,
     funnelStepsQ,
     funnelReportQ,
+    rateAnomaly,
   )
 }

@@ -659,9 +659,49 @@ object MiscQueries {
     )
   }
 
+  /** The 100 TB profiler form ([[graft.ops.Profile.profileApprox]] —
+    * HLL++ cardinalities, so only k mergeable sketches shuffle),
+    * checked as an error-bound DIFFERENTIAL like
+    * misc_approx_count_distinct: each column's estimate must land
+    * within 3·rsd of the exact cardinality (rsd 0.05, the
+    * approx_count_distinct default); the oracle recomputes the exact
+    * counts and literal TRUE, so sketch drift flips the boolean and
+    * fails the hash. The estimates stay out of the compared columns
+    * (engine-specific). */
+  private val profileApproxQ = Q(
+    "misc_profile_approx",
+    """SELECT 'doc_id' AS "column", count(*) AS n, count(*) - count(doc_id) AS nulls,
+      |  count(DISTINCT doc_id) AS exact_distinct, TRUE AS within_bound FROM documents
+      |UNION ALL
+      |SELECT 'n_chars', count(*), count(*) - count(n_chars),
+      |  count(DISTINCT n_chars), TRUE FROM documents
+      |UNION ALL
+      |SELECT 'lang', count(*), count(*) - count(lang),
+      |  count(DISTINCT lang), TRUE FROM documents
+      |UNION ALL
+      |SELECT 'source', count(*), count(*) - count(source),
+      |  count(DISTINCT source), TRUE FROM documents""".stripMargin,
+  ) { (s, d) =>
+    val cols  = Seq(("doc_id", true), ("n_chars", true), ("lang", false), ("source", false))
+    val exact = graft.ops.Profile.profile(documents(s, d), cols)
+    val approx = graft.ops.Profile
+      .profileApprox(documents(s, d), cols)
+      .select(col("column"), col("n_distinct").as("__approx"))
+    exact
+      .join(approx, "column")
+      .select(
+        col("column"),
+        col("n"),
+        col("nulls"),
+        col("n_distinct").as("exact_distinct"),
+        (abs(col("__approx") - col("n_distinct")) <=
+          lit(3) * lit(0.05) * col("n_distinct")).as("within_bound"),
+      )
+  }
+
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
       pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
-      cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns)
+      cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns, profileApproxQ)
 }

@@ -73,4 +73,17 @@ class GraphProfileSpec extends AnyFunSuite {
     assert(str.getAs[String]("max_s") === "c")
     assert(str.isNullAt(str.fieldIndex("min_n")))
   }
+
+  test("approx profiler matches exact on small cardinalities (HLL exact regime)") {
+    val df = (1L to 500L).map(i => (i % 37, s"v${i % 11}")).toDF("num", "str")
+    val cols   = Seq(("num", true), ("str", false))
+    val exact  = Profile.profile(df, cols).collect().map(r => r.getString(0) -> r).toMap
+    val approx = Profile.profileApprox(df, cols).collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("num", "str")) {
+      val e = exact(c).getAs[Long]("n_distinct")
+      val a = approx(c).getAs[Long]("n_distinct")
+      assert(math.abs(a - e) <= math.max(1L, (3 * 0.05 * e).toLong), s"$c: approx $a vs exact $e")
+      assert(approx(c).getAs[Long]("n") === exact(c).getAs[Long]("n"))
+    }
+  }
 }
