@@ -73,7 +73,7 @@ object StreamingQueries {
     Set("stream_tumbling_event_counts", "stream_interval_join", "stream_static_enrich")
   private val timeSplitConsumers = Set(
     "stream_dedup", "stream_funnel_steps", "stream_left_outer_join", "stream_session_window",
-    "stream_cms_sketch",
+    "stream_cms_sketch", "stream_rate_anomaly",
   )
   private val docSplitConsumers =
     Set("stream_decontaminate", "stream_reservoir_sample", "stream_left_outer_join",
@@ -886,8 +886,66 @@ object StreamingQueries {
       .toDF("window_id", "merge_rank", "lhs", "rhs", "merged", "in_frozen", "divergence_ppm")
   }
 
+  /** Streaming twin of `evt_rate_anomaly` — the ingestion-monitoring
+    * shape: per-(type, hour) counts maintained as a streaming
+    * aggregation across the 3-batch replay (counts merge by addition,
+    * the same mergeability the CMS stream exploits), with the spike
+    * flags derived from the final state batch-side — the flag needs
+    * every hour's count, so it is a VIEW over the monitoring state, not
+    * part of it (computing it inside the stream would mean a
+    * complete-mode global window per trigger). State is bounded at
+    * types × hours regardless of event volume. Oracle: the batch
+    * anomaly SQL — the final streaming state must equal the batch
+    * hourly table exactly, so the derived flags match too. */
+  private val rateAnomalyStream = Q(
+    "stream_rate_anomaly",
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, hour_ts, n,
+      |  CAST((sum(n) OVER (PARTITION BY event_type) * 1000000)
+      |    // count(*) OVER (PARTITION BY event_type) AS BIGINT) AS mean_ppm,
+      |  n * 1000000 * count(*) OVER (PARTITION BY event_type)
+      |    > 2 * sum(n) OVER (PARTITION BY event_type) * 1000000 AS is_spike
+      |FROM h""".stripMargin,
+  ) { (s, d) =>
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    val stream = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+    val hourly = stream
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    val name = synchronized { streamN += 1; s"graft_stream_anomaly_$streamN" }
+    withStatePartitions(s, 4) {
+      withScratchCheckpoint("graft_ckpt_anomaly") { ckpt =>
+        val q = hourly.writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    s.table(name)
+      .withColumn("__total", sum(col("n")).over(w))
+      .withColumn("__hours", count(lit(1)).over(w))
+      .select(
+        col("event_type"),
+        col("hour_ts"),
+        col("n"),
+        expr("(__total * 1000000) div __hours").as("mean_ppm"),
+        (col("n") * 1000000 * col("__hours") > lit(2) * col("__total") * 1000000)
+          .as("is_spike"),
+      )
+  }
+
   val all: Seq[Q] =
     Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream,
       decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream,
-      cmsStream, bpeDriftStream)
+      cmsStream, bpeDriftStream, rateAnomalyStream)
 }
