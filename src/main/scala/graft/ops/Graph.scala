@@ -45,6 +45,26 @@ object Graph {
     val e = edges
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val row =
+      try censusPlan(e).head()
+      finally e.unpersist()
+    import spark.implicits._
+    Seq(
+      (
+        row.getAs[Long]("nodes"),
+        row.getAs[Long]("edges"),
+        row.getAs[Long]("wedges"),
+        row.getAs[Long]("triangles"),
+        row.getAs[Long]("closure_ppm"),
+      )
+    ).toDF("nodes", "edges", "wedges", "triangles", "closure_ppm")
+  }
+
+  /** The lazy census dataflow over a (possibly persisted) canonical
+    * edge list — separated from [[triangleCensus]]'s eager wrapper so
+    * its physical plan can be pinned in PlanSpec (the eager form's
+    * returned frame is a LocalRelation). */
+  private[graft] def censusPlan(e: DataFrame): DataFrame = {
 
     // Degrees over both endpoints: one union + one aggregation.
     val deg = e
@@ -85,44 +105,29 @@ object Graph {
       "left_semi",
     )
 
-    // All four census numbers are tiny aggregates over frames that
-    // share the edge-list lineage; `e` is persisted above so the four
-    // branches read one cached copy (keys only — bytes ∝ |E|, never
-    // payloads) instead of re-projecting the input four times. The
-    // census is a single bounded row, so it is materialized EAGERLY
-    // (the count-probe precedent: a 1-row collect is driver-bounded at
-    // any graph size) and the cache released before returning — a lazy
-    // result would either leak the persist or recompute the lineage
-    // per downstream action.
-    val row =
-      try {
-        deg
-          .agg(
-            count(lit(1)).as("nodes"),
-            coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).as("wedges2"),
-          )
-          .crossJoin(e.agg(count(lit(1)).as("edges")))
-          .crossJoin(closed.agg(count(lit(1)).as("triangles")))
-          .select(
-            col("nodes"),
-            col("edges"),
-            expr("wedges2 div 2").as("wedges"),
-            col("triangles"),
-            when(col("wedges2") === 0, lit(0L))
-              .otherwise(expr("(3 * triangles * 1000000) div (wedges2 div 2)"))
-              .as("closure_ppm"),
-          )
-          .head()
-      } finally e.unpersist()
-    import spark.implicits._
-    Seq(
-      (
-        row.getAs[Long]("nodes"),
-        row.getAs[Long]("edges"),
-        row.getAs[Long]("wedges"),
-        row.getAs[Long]("triangles"),
-        row.getAs[Long]("closure_ppm"),
+    // All four census numbers are tiny aggregates over frames sharing
+    // the edge-list lineage; the caller persists `e` so the branches
+    // read one cached copy (keys only — bytes ∝ |E|, never payloads)
+    // instead of re-projecting the input four times. The caller
+    // materializes the single bounded row EAGERLY (the count-probe
+    // precedent: a 1-row collect is driver-bounded at any graph size)
+    // and releases the cache — a lazy result would either leak the
+    // persist or recompute the lineage per downstream action.
+    deg
+      .agg(
+        count(lit(1)).as("nodes"),
+        coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).as("wedges2"),
       )
-    ).toDF("nodes", "edges", "wedges", "triangles", "closure_ppm")
+      .crossJoin(e.agg(count(lit(1)).as("edges")))
+      .crossJoin(closed.agg(count(lit(1)).as("triangles")))
+      .select(
+        col("nodes"),
+        col("edges"),
+        expr("wedges2 div 2").as("wedges"),
+        col("triangles"),
+        when(col("wedges2") === 0, lit(0L))
+          .otherwise(expr("(3 * triangles * 1000000) div (wedges2 div 2)"))
+          .as("closure_ppm"),
+      )
   }
 }

@@ -512,4 +512,47 @@ class PlanSpec extends AnyFunSuite {
     // and it evaluates
     assert(d.head().getDouble(0) > 0.0)
   }
+
+  test("column profiler is one unpivot + one aggregation — no Expand, single exchange") {
+    import org.apache.spark.sql.functions.col
+    // A multi-COUNT(DISTINCT) formulation plans an Expand (k grouping
+    // copies of every row through the shuffle); the unpivot form must
+    // not. Exactly one exchange: the k-key final aggregation (the
+    // distinct-within-group pre-aggregation reuses its partitioning).
+    val rep = graft.ops.Profile.profile(
+      Tables.documents(spark, sf),
+      Seq(("doc_id", true), ("lang", false)),
+    )
+    val p = rep.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Expand"), s"profiler plans an Expand:\n$p")
+    // Exact form: the two-phase distinct ((column, value) shuffle, then
+    // (column) shuffle) — 2 exchanges, with a partial aggregate before
+    // the first so full rows never shuffle.
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length === 2, p)
+    // The HLL twin drops the distinct shuffle: ONE exchange carrying k
+    // mergeable sketches — the 100 TB shape the scaladoc claims.
+    val ap = graft.ops.Profile
+      .profileApprox(Tables.documents(spark, sf), Seq(("doc_id", true), ("lang", false)))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!ap.contains("Expand"), s"approx profiler plans an Expand:\n$ap")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(ap).length === 1, ap)
+    // sanity: the lazy plan evaluates
+    assert(rep.count() === 2)
+  }
+
+  test("triangle census joins are keyed — no cartesian / nested-loop anywhere") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L)).toDF("a", "b")
+    val p = graft.ops.Graph
+      .censusPlan(e)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // The only nested-loop joins allowed are the TWO 1-row census
+    // stitches (crossJoins of single-row aggregates); an unkeyed wedge
+    // build or closure probe would add a third nested-loop (or a
+    // CartesianProduct) and trip this.
+    assert(!p.contains("CartesianProduct"), s"census plans a cartesian product:\n$p")
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj == 2, s"expected exactly the 2 one-row census stitches, got $bnlj:\n$p")
+    assert(p.contains("LeftSemi"), s"closure probe is not a semi join:\n$p")
+  }
 }
