@@ -30,6 +30,14 @@ object Multimodal {
   /** Deterministic per-item features the stub "decoder" emits. */
   final case class MediaFeature(doc_id: Long, n_bytes: Int, head_byte: Int, checksum: String)
 
+  /** One fixed-size sample window of an audio-style payload:
+    * `energy` = Σ sample² over the window (integer — no float drift),
+    * `n_samples` < the window size only on the tail window. */
+  final case class AudioWindow(window_id: Int, n_samples: Int, energy: Long)
+
+  /** Per-payload windowed "audio" features ([[AudioWindowDecoder]]). */
+  final case class AudioWindowSet(doc_id: Long, windows: Seq[AudioWindow])
+
   /** Decoded-image features ([[ImageIoDecoder]]). `ok=false` rows
     * carry the per-payload failure (`err`) instead of failing the
     * task; numeric fields are zeroed. */
@@ -66,6 +74,51 @@ object Multimodal {
         head_byte = if (bytes.isEmpty) -1 else bytes(0) & 0xff,
         checksum = md5Hex(bytes),
       )
+  }
+
+  /** Audio-feature plumbing on the decoder contract: the payload is
+    * treated as a mono sample stream (one unsigned byte per sample —
+    * the deterministic stand-in for the PCM16 decode a real codec
+    * would do; THAT step is the stub, per the multimodal mandate) and
+    * windowed into fixed `windowSamples` frames with per-window
+    * integer energy Σ s². The windowing, batching, and schema are the
+    * real Spark-side plumbing; the oracle replays the byte arithmetic
+    * exactly (`ascii(substr(...))` — the corpus is pure ASCII, so
+    * byte == codepoint). */
+  final class AudioWindowDecoder(windowSamples: Int = 256)
+      extends MediaDecoder[AudioWindowSet] {
+    require(windowSamples > 0, "windowSamples must be positive")
+    def decode(docId: Long, bytes: Array[Byte]): AudioWindowSet = {
+      val windows = Vector.newBuilder[AudioWindow]
+      var w = 0
+      while (w * windowSamples < bytes.length) {
+        val start = w * windowSamples
+        val end   = math.min(start + windowSamples, bytes.length)
+        var (i, energy) = (start, 0L)
+        while (i < end) {
+          val s = (bytes(i) & 0xff).toLong
+          energy += s * s
+          i += 1
+        }
+        windows += AudioWindow(w, end - start, energy)
+        w += 1
+      }
+      AudioWindowSet(docId, windows.result())
+    }
+  }
+
+  /** Windowed audio-style energies, one row per (doc, window). */
+  def audioWindowEnergy(
+      media: DataFrame,
+      windowSamples: Int = 256,
+      batchSize: Int = 64,
+  ): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decodeWith(media, new AudioWindowDecoder(windowSamples), batchSize)
+      .toDF()
+      .select(col("doc_id"), explode(col("windows")).as("w"))
+      .select(col("doc_id"), col("w.window_id"), col("w.n_samples"), col("w.energy"))
   }
 
   /** A REAL decoder on the contract: `javax.imageio` (JDK-shipped,

@@ -80,5 +80,25 @@ object MultimodalQueries {
       .select(col("doc_id"), col("frame_idx"), base64(col("frame")).as("frame_b64"))
   }
 
-  val all: Seq[Q] = Seq(binaryMeta, features, dedupBinary, frameSampleQ)
+  /** Windowed audio-style energy ([[Multimodal.audioWindowEnergy]]):
+    * the payload as a mono sample stream, 256-sample windows, integer
+    * Σ s² per window through the batched mapPartitions decoder. The
+    * oracle replays the byte arithmetic per position (pure-ASCII
+    * corpus ⇒ byte == codepoint) and must match bit-for-bit — the
+    * whole flatMap-shaped decode path (one media row → many feature
+    * rows) is differentially checked, not just row counts. */
+  private val audioWindows = Q(
+    "mm_audio_windows",
+    """WITH b AS (
+      |  SELECT doc_id, CAST((i - 1) // 256 AS INT) AS window_id,
+      |    ascii(substr(text, CAST(i AS INT), 1)) AS v
+      |  FROM documents, unnest(generate_series(1, octet_length(encode(text)))) AS t(i))
+      |SELECT doc_id, window_id, CAST(count(*) AS INT) AS n_samples,
+      |  CAST(sum(v * v) AS BIGINT) AS energy
+      |FROM b GROUP BY 1, 2""".stripMargin,
+  ) { (s, d) =>
+    Multimodal.audioWindowEnergy(Multimodal.packDocuments(documents(s, d)))
+  }
+
+  val all: Seq[Q] = Seq(binaryMeta, features, dedupBinary, frameSampleQ, audioWindows)
 }
