@@ -540,6 +540,36 @@ class PlanSpec extends AnyFunSuite {
     assert(rep.count() === 2)
   }
 
+  test("date predicate on a partitioned layout prunes partitions at the scan") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    import spark.implicits._
+    // The landing layout is day-partitioned exactly so retention and
+    // incremental reads touch only their days; this pins that a
+    // loaded_date predicate becomes a PartitionFilter (metadata-only
+    // pruning — zero data files of other days opened), not a post-scan
+    // Filter over every file.
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Seq(("u1", "2024-01-05"), ("u2", "2024-02-10"), ("u3", "2024-03-01"))
+      .toDF("finding_uid", "d")
+      .withColumn("loaded_date", to_date($"d"))
+      .drop("d")
+      .write
+      .mode("overwrite") // createTempDirectory pre-creates the path
+      .partitionBy("loaded_date")
+      .parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("loaded_date") >= "2024-02-01")
+    val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("loaded_date"), s"date predicate not in PartitionFilters:\n$p")
+    // and the pruning actually bites: only the two matching day-dirs scanned
+    assert(q.select("finding_uid").as[String].collect().sorted === Array("u2", "u3"))
+    val scanned = q.queryExecution.executedPlan.collectLeaves().map(_.metrics).flatMap(
+      _.get("numFiles").map(_.value)
+    ).sum
+    assert(scanned <= 2, s"expected <=2 files after pruning, scanned $scanned:\n$p")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("triangle census joins are keyed — no cartesian / nested-loop anywhere") {
     import spark.implicits._
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L)).toDF("a", "b")
