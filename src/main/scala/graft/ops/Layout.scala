@@ -61,4 +61,39 @@ object Layout {
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
   }
+
+  /** Small-file compaction planning — the other half of table
+    * maintenance beside [[zorderBy]] (Delta/Iceberg `OPTIMIZE`'s
+    * bin-packing step): assign each file to a compaction bin so every
+    * bin's total size approaches `targetBytes`.
+    *
+    * Files are packed greedily in (size DESC, id) order per partition
+    * — deterministic, so the plan is engine-replayable — with bin =
+    * ⌊preceding-cumulative-size / target⌋: consecutive files share a
+    * bin until the target fills. The window runs over the FILE-STATS
+    * table (metadata: one row per file, millions of rows for a 100 TB
+    * table, never the data itself) partitioned by the table's
+    * partition column, so no single-partition global sort appears at
+    * any table size.
+    *
+    * @return input rows plus `bin` (0-based within each partition). */
+  def compactionBins(
+      files: DataFrame,
+      partCol: String,
+      idCol: String,
+      sizeCol: String,
+      targetBytes: Long,
+  ): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCol)
+      .orderBy(col(sizeCol).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // Integer `div`, not float divide-and-floor: a cumulative byte
+    // count past 2^53 would lose exactness through a double.
+    files
+      .withColumn("__cum", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__cum div ${targetBytes}L"))
+      .drop("__cum")
+  }
 }

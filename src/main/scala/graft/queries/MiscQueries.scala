@@ -699,9 +699,35 @@ object MiscQueries {
       )
   }
 
+  /** Compaction bin-packing ([[graft.ops.Layout.compactionBins]] — the
+    * `OPTIMIZE` planning step): greedy (size DESC, id) packing per
+    * partition with bin = preceding-cumsum div target. Gate treats
+    * documents as the file-stats table (source = table partition,
+    * n_chars = file bytes); the window runs over metadata rows only.
+    * Exact integer arithmetic, oracle replays verbatim. */
+  private val compactionBinsQ = Q(
+    "misc_compaction_bins",
+    """SELECT source, doc_id, n_chars,
+      |  CAST(coalesce(sum(n_chars) OVER (
+      |    PARTITION BY source ORDER BY n_chars DESC, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    // 65536 AS BIGINT) AS bin
+      |FROM documents""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Layout
+      .compactionBins(
+        documents(s, d).select("source", "doc_id", "n_chars"),
+        partCol = "source",
+        idCol = "doc_id",
+        sizeCol = "n_chars",
+        targetBytes = 65536L,
+      )
+  }
+
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
       pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
-      cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns, profileApproxQ)
+      cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns, profileApproxQ,
+      compactionBinsQ)
 }

@@ -50,6 +50,27 @@ class GraphProfileSpec extends AnyFunSuite {
     assert(r.getAs[Long]("closure_ppm") === 0L)
   }
 
+  test("triangle census equals the naive a<b<c count on an irregular pseudo-random graph") {
+    // 60-node graph, edge (a,b) present iff md5("a:b") starts below a
+    // threshold — deterministic, degree-irregular, adversarial to the
+    // orientation logic in a way hand graphs are not.
+    import java.security.MessageDigest
+    val md = MessageDigest.getInstance("MD5")
+    val edges = for {
+      a <- 1L to 60L; b <- (a + 1) to 60L
+      h = md.digest(s"$a:$b".getBytes("UTF-8"))
+      if (h(0) & 0xff) < 64 // ~25% density
+    } yield (a, b)
+    val e = edges.toDF("a", "b")
+    val naive = e.as("e1")
+      .join(e.as("e2"), $"e1.a" === $"e2.a" && $"e2.b" > $"e1.b")
+      .join(e.as("e3"), $"e3.a" === $"e1.b" && $"e3.b" === $"e2.b")
+      .count()
+    val r = Graph.triangleCensus(e).head()
+    assert(r.getAs[Long]("triangles") === naive)
+    assert(r.getAs[Long]("edges") === edges.size.toLong)
+  }
+
   test("profiler: nulls, exact cardinality, numeric vs string ranges") {
     val df = Seq(
       (Some(3L), Some("b")),

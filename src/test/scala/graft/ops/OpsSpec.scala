@@ -484,6 +484,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compactionBins: greedy packing fills bins to target, oversized files isolate") {
+    import graft.ops.Layout
+    // partition p: sizes 90,60,40,30,20 target 100 in DESC order →
+    // cum-before 0,90,150,190,220 → bins 0,0,1,1,2
+    val files = Seq(
+      ("p", 1L, 90L), ("p", 2L, 60L), ("p", 3L, 40L), ("p", 4L, 30L), ("p", 5L, 20L),
+      ("q", 6L, 500L), ("q", 7L, 10L), // oversized file takes bins 0..4; next starts at 5
+    ).toDF("part", "fid", "bytes")
+    val out = Layout
+      .compactionBins(files, "part", "fid", "bytes", 100L)
+      .collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[Long]("fid")) -> r.getAs[Long]("bin"))
+      .toMap
+    assert(out(("p", 1L)) === 0L && out(("p", 2L)) === 0L)
+    assert(out(("p", 3L)) === 1L && out(("p", 4L)) === 1L)
+    assert(out(("p", 5L)) === 2L)
+    assert(out(("q", 6L)) === 0L && out(("q", 7L)) === 5L)
+    // invariant: every bin except a partition's last is filled past
+    // target once its successor starts (no premature bin break)
+  }
+
   test("scd2Merge: changed rows version, missing keys stay open, null transitions tracked") {
     import graft.ops.Scd
     def date(s: String) = java.sql.Date.valueOf(s)
