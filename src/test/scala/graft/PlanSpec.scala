@@ -570,6 +570,41 @@ class PlanSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("dim-filtered join prunes fact partitions at runtime (dynamic partition pruning)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // Static pruning (previous test) needs the predicate on the
+    // partition column itself; at 100 TB the selective predicate
+    // usually sits on a DIMENSION joined to the partitioned fact. DPP
+    // plants a runtime subquery into the fact scan's PartitionFilters
+    // so only the dim-selected partitions are read. Pin that it fires.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    (1 to 1000)
+      .map(i => (i.toLong, i % 10))
+      .toDF("v", "day")
+      .write
+      .mode("overwrite")
+      .partitionBy("day")
+      .parquet(dir)
+    // The dim must be a real source with a post-scan Filter —
+    // a LocalRelation constant-folds the predicate away and DPP's
+    // selectivity check never sees one.
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Seq((3, "keep"), (7, "keep"), (5, "drop"))
+      .toDF("day", "tag")
+      .write
+      .mode("overwrite")
+      .parquet(dimDir)
+    val dim  = spark.read.parquet(dimDir)
+    val fact = spark.read.parquet(dir)
+    val q    = fact.join(dim.filter(col("tag") === "keep"), "day")
+    val p    = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("dynamicpruning"), s"no dynamic partition pruning in plan:\n$p")
+    assert(q.count() === 200L) // 2 of 10 day-partitions survive
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dimDir))
+  }
+
   test("triangle census joins are keyed — no cartesian / nested-loop anywhere") {
     import spark.implicits._
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L)).toDF("a", "b")
