@@ -32,6 +32,11 @@ object Profile {
 
   /** Per-column stats over `df`.
     *
+    * Contract: an EMPTY input yields an empty report (the groupBy has
+    * nothing to group), not k rows of zeros — callers comparing
+    * against per-column global aggregates (which always return a row)
+    * must scaffold the empty case themselves.
+    *
     * @param cols (name, isNumeric) — isNumeric columns are profiled as
     *             BIGINT (min_n/max_n), others as strings (min_s/max_s).
     * @return one row per profiled column: `column`, `n` (total rows),

@@ -74,37 +74,49 @@ object Events {
     * keeps the gate exact, and the aggregate-then-window shape (the
     * window runs over the BOUNDED hourly table, never the corpus) is
     * the part that matters at 100 TB. */
-  private val rateAnomaly = Q(
-    "evt_rate_anomaly",
+  /** Shared oracle SQL for the batch and streaming rate-anomaly gates
+    * (a tweak to the spike rule must change both twins or fork them
+    * visibly here). */
+  private[queries] val rateAnomalySql: String =
     """WITH h AS (
       |  SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS n
       |  FROM events GROUP BY 1, 2)
       |SELECT event_type, hour_ts, n,
       |  CAST((sum(n) OVER (PARTITION BY event_type) * 1000000)
       |    // count(*) OVER (PARTITION BY event_type) AS BIGINT) AS mean_ppm,
-      |  n * 1000000 * count(*) OVER (PARTITION BY event_type)
-      |    > 2 * sum(n) OVER (PARTITION BY event_type) * 1000000 AS is_spike
-      |FROM h""".stripMargin,
-  ) { (s, d) =>
+      |  n * count(*) OVER (PARTITION BY event_type)
+      |    > 2 * sum(n) OVER (PARTITION BY event_type) AS is_spike
+      |FROM h""".stripMargin
+
+  /** Spike flags over a (event_type, hour_ts, n) hourly table — the
+    * view both the batch gate and the streaming twin derive. The spike
+    * test cross-multiplies (n·hours > 2·total) instead of comparing
+    * against the floored mean_ppm, so the boolean is exact with no
+    * floor-boundary sensitivity AND no scale factor eating overflow
+    * headroom; mean_ppm itself is reported floored (`div`), matching
+    * DuckDB's `//`. */
+  private[queries] def spikeView(hourly: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = events(s, d)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
-      .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("event_type")
-    // The spike test multiplies through by the hour count instead of
-    // comparing against the floored mean_ppm, so the boolean is exact
-    // (no floor-boundary sensitivity); mean_ppm itself is reported
-    // floored (`div`), matching DuckDB's `//`.
-    h.withColumn("__total", sum(col("n")).over(w))
+    hourly
+      .withColumn("__total", sum(col("n")).over(w))
       .withColumn("__hours", count(lit(1)).over(w))
       .select(
         col("event_type"),
         col("hour_ts"),
         col("n"),
         expr("(__total * 1000000) div __hours").as("mean_ppm"),
-        (col("n") * 1000000 * col("__hours") > lit(2) * col("__total") * 1000000)
-          .as("is_spike"),
+        (col("n") * col("__hours") > lit(2) * col("__total")).as("is_spike"),
       )
+  }
+
+  private val rateAnomaly = Q("evt_rate_anomaly", rateAnomalySql) { (s, d) =>
+    spikeView(
+      events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("n"))
+    )
   }
 
   /** Tumbling event-time window — the batch equivalent of the Structured

@@ -602,29 +602,36 @@ object MiscQueries {
     // set (map-side, ≤ C(20,2) per part). After the cap join the data
     // is already hash-partitioned by pk, so the collect_set aggregation
     // shuffles nothing.
+    // `raw` (the lineitem⋈orders projection — the query's dominant
+    // linear term) feeds both the cap aggregation and the semi-join
+    // probe; persisted so it is computed once. triangleCensus is
+    // eager, so the unpersist after the call is safe.
     val raw = lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_partkey").as("pk"), col("o_custkey").as("ck"))
-    val ok = raw
-      .groupBy("pk")
-      .agg(countDistinct(col("ck")).as("c"))
-      .where(col("c") <= 20)
-      .select("pk")
-    val edges = raw
-      .join(ok, Seq("pk"), "left_semi")
-      .groupBy("pk")
-      .agg(sort_array(collect_set(col("ck"))).as("cks"))
-      .select(
-        explode(
-          expr(
-            "flatten(transform(cks, (x, i) -> " +
-              "transform(slice(cks, i + 2, size(cks)), y -> struct(x AS a, y AS b))))"
-          )
-        ).as("p")
-      )
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
-    graft.ops.Graph.triangleCensus(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ok = raw
+        .groupBy("pk")
+        .agg(countDistinct(col("ck")).as("c"))
+        .where(col("c") <= 20)
+        .select("pk")
+      val edges = raw
+        .join(ok, Seq("pk"), "left_semi")
+        .groupBy("pk")
+        .agg(sort_array(collect_set(col("ck"))).as("cks"))
+        .select(
+          explode(
+            expr(
+              "flatten(transform(cks, (x, i) -> " +
+                "transform(slice(cks, i + 2, size(cks)), y -> struct(x AS a, y AS b))))"
+            )
+          ).as("p")
+        )
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .distinct()
+      graft.ops.Graph.triangleCensus(edges)
+    } finally raw.unpersist()
   }
 
   /** One-pass column profiler ([[graft.ops.Profile.profile]]): the

@@ -899,15 +899,7 @@ object StreamingQueries {
     * hourly table exactly, so the derived flags match too. */
   private val rateAnomalyStream = Q(
     "stream_rate_anomaly",
-    """WITH h AS (
-      |  SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS n
-      |  FROM events GROUP BY 1, 2)
-      |SELECT event_type, hour_ts, n,
-      |  CAST((sum(n) OVER (PARTITION BY event_type) * 1000000)
-      |    // count(*) OVER (PARTITION BY event_type) AS BIGINT) AS mean_ppm,
-      |  n * 1000000 * count(*) OVER (PARTITION BY event_type)
-      |    > 2 * sum(n) OVER (PARTITION BY event_type) * 1000000 AS is_spike
-      |FROM h""".stripMargin,
+    Events.rateAnomalySql, // the batch gate's oracle, shared verbatim
   ) { (s, d) =>
     val rewrittenSchema = graft.Tables.events(s, d).schema
     val stream = s.readStream
@@ -930,18 +922,7 @@ object StreamingQueries {
         q.awaitTermination()
       }
     }
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
-    s.table(name)
-      .withColumn("__total", sum(col("n")).over(w))
-      .withColumn("__hours", count(lit(1)).over(w))
-      .select(
-        col("event_type"),
-        col("hour_ts"),
-        col("n"),
-        expr("(__total * 1000000) div __hours").as("mean_ppm"),
-        (col("n") * 1000000 * col("__hours") > lit(2) * col("__total") * 1000000)
-          .as("is_spike"),
-      )
+    Events.spikeView(s.table(name))
   }
 
   val all: Seq[Q] =

@@ -561,12 +561,27 @@ class PlanSpec extends AnyFunSuite {
     val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
     val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
     assert(pf.contains("loaded_date"), s"date predicate not in PartitionFilters:\n$p")
-    // and the pruning actually bites: only the two matching day-dirs scanned
-    assert(q.select("finding_uid").as[String].collect().sorted === Array("u2", "u3"))
-    val scanned = q.queryExecution.executedPlan.collectLeaves().map(_.metrics).flatMap(
-      _.get("numFiles").map(_.value)
-    ).sum
-    assert(scanned <= 2, s"expected <=2 files after pruning, scanned $scanned:\n$p")
+    // and the pruning actually bites: execute q ITSELF (a derived query
+    // would leave q's own scan unexecuted and its numFiles metric at 0,
+    // making the file-count check vacuous), then read its scan metrics
+    val rows = q.collect()
+    assert(rows.map(_.getAs[String]("finding_uid")).sorted === Array("u2", "u3"))
+    // AQE wraps the scan; unwrap like ShuffleAudit.walkPlan before
+    // reading metrics, and require the metric to be FOUND (a silent 0
+    // from an unexecuted or unreachable scan must fail, not pass).
+    def numFiles(n: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = {
+      val self = n.metrics.get("numFiles").map(_.value).toSeq
+      val kids = n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case sq: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(sq.plan)
+        case other                                                      => other.children
+      }
+      self ++ kids.flatMap(numFiles)
+    }
+    val scanned = numFiles(q.queryExecution.executedPlan)
+    assert(scanned.nonEmpty, s"no numFiles metric found in executed plan:\n$p")
+    assert(scanned.sum === 2, s"expected exactly 2 files after pruning, scanned $scanned:\n$p")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
