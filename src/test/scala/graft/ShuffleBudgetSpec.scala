@@ -39,6 +39,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "ddp_minhash_lsh_pairs"       -> 785253L,
     "ddp_corpus_prepare_emb"      -> 951555L,
     "ddp_jaccard_pairs_prefix"    -> 2372967L,
+    "misc_triangle_census"        -> 130077L, // r10 addition: #3 bench shuffler
   )
 
   test("top-10 shufflers stay within 2x their recorded exchange bytes") {
