@@ -59,7 +59,8 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_PREWARM").contains("0")) Seq.empty
       else
         graft.queries.DedupQueries.prewarmShared(spark, sfDir, only) ++
-          graft.queries.StreamingQueries.prewarmShared(spark, sfDir, only)
+          graft.queries.StreamingQueries.prewarmShared(spark, sfDir, only) ++
+          graft.queries.MiscQueries.prewarmShared(spark, sfDir, only)
     val sharedBuildS = sharedArts.map(_._2).sum
     if (sharedArts.nonEmpty)
       println(

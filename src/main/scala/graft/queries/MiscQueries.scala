@@ -10,6 +10,44 @@ import org.apache.spark.sql.functions._
   */
 object MiscQueries {
 
+  /** The lineitem⋈orders trade projection (part, supplier, customer
+    * per line) feeds three graph queries — both PageRanks and the
+    * triangle census — each deriving a different edge list from it.
+    * Materialized once per (session, corpus) like
+    * [[DedupQueries]]' shingle table; same lifetime contract. */
+  private val tradeCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def sharedTradeRows(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame =
+    tradeCache.getOrElseUpdate(
+      (s, d),
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+    )
+
+  private val tradeConsumers =
+    Set("misc_pagerank_trade", "misc_pagerank_weighted", "misc_triangle_census")
+
+  /** Same contract as [[DedupQueries.prewarmShared]]: build the shared
+    * trade projection under the bench's `shared_build` accounting when
+    * any consumer is selected. */
+  def prewarmShared(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      selected: Option[Set[String]] = None,
+  ): Seq[(String, Double)] =
+    if (selected.forall(sel => (sel & tradeConsumers).nonEmpty)) {
+      val t0 = System.nanoTime()
+      sharedTradeRows(s, d).count()
+      Seq("trade_rows" -> (System.nanoTime() - t0) / 1e9)
+    } else Seq.empty
+
   /** HyperLogLog++ approximate distinct (mergeable sketch — the
     * scalable form of COUNT(DISTINCT) at 100 TB), checked as an
     * error-bound DIFFERENTIAL rather than rows-only: the query emits
@@ -377,9 +415,8 @@ object MiscQueries {
       |    GROUP BY 1) c ON c.id = n.id)
       |SELECT id, r AS rank_ppm FROM it2""".stripMargin,
   ) { (s, d) =>
-    val pairs = lineitem(s, d)
-      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+    val pairs = sharedTradeRows(s, d)
+      .groupBy(col("sk"), col("ck"))
       .agg(count(lit(1)).as("w"))
     val sNode = concat(lit("s:"), col("sk").cast("string"))
     val cNode = concat(lit("c:"), col("ck").cast("string"))
@@ -478,9 +515,8 @@ object MiscQueries {
       |    GROUP BY 1) c ON c.id = n.id)
       |SELECT id, r AS rank_ppm FROM it3""".stripMargin,
   ) { (s, d) =>
-    val pairs = lineitem(s, d)
-      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+    val pairs = sharedTradeRows(s, d)
+      .select(col("sk"), col("ck"))
       .distinct()
     // both directions from ONE scan of the distinct-pair shuffle (a
     // union of two selects would run the distinct twice)
@@ -604,34 +640,29 @@ object MiscQueries {
     // shuffles nothing.
     // `raw` (the lineitem⋈orders projection — the query's dominant
     // linear term) feeds both the cap aggregation and the semi-join
-    // probe; persisted so it is computed once. triangleCensus is
-    // eager, so the unpersist after the call is safe.
-    val raw = lineitem(s, d)
-      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_partkey").as("pk"), col("o_custkey").as("ck"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val ok = raw
-        .groupBy("pk")
-        .agg(countDistinct(col("ck")).as("c"))
-        .where(col("c") <= 20)
-        .select("pk")
-      val edges = raw
-        .join(ok, Seq("pk"), "left_semi")
-        .groupBy("pk")
-        .agg(sort_array(collect_set(col("ck"))).as("cks"))
-        .select(
-          explode(
-            expr(
-              "flatten(transform(cks, (x, i) -> " +
-                "transform(slice(cks, i + 2, size(cks)), y -> struct(x AS a, y AS b))))"
-            )
-          ).as("p")
-        )
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .distinct()
-      graft.ops.Graph.triangleCensus(edges)
-    } finally raw.unpersist()
+    // probe; it reads [[sharedTradeRows]] (persisted, shared with the
+    // two PageRank queries), so it is computed once per corpus.
+    val raw = sharedTradeRows(s, d).select(col("pk"), col("ck"))
+    val ok = raw
+      .groupBy("pk")
+      .agg(countDistinct(col("ck")).as("c"))
+      .where(col("c") <= 20)
+      .select("pk")
+    val edges = raw
+      .join(ok, Seq("pk"), "left_semi")
+      .groupBy("pk")
+      .agg(sort_array(collect_set(col("ck"))).as("cks"))
+      .select(
+        explode(
+          expr(
+            "flatten(transform(cks, (x, i) -> " +
+              "transform(slice(cks, i + 2, size(cks)), y -> struct(x AS a, y AS b))))"
+          )
+        ).as("p")
+      )
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    graft.ops.Graph.triangleCensus(edges)
   }
 
   /** One-pass column profiler ([[graft.ops.Profile.profile]]): the
