@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact outlier clipping (winsorization) for integral feature columns
+  * — the feature-prep step between profiling ([[Profile]]) and
+  * training, done with the [[Text.pruneByScoreQuantile]] histogram
+  * discipline: quantile thresholds come from the cumulative of the
+  * bounded-domain value HISTOGRAM, never from a corpus-wide sort, so
+  * the single-partition window touches ≤ |domain| rows at any corpus
+  * size and the corpus itself is scanned exactly twice (histogram +
+  * clamp). Nearest-rank quantiles (⌈n·q⌉) in integer ppm — no
+  * interpolation, no floats — so any engine replays the thresholds
+  * bit-for-bit.
+  */
+object Stats {
+
+  /** Nearest-rank quantile thresholds of `valueCol` (integral) as a
+    * 1-row frame `(__lo, __hi)`: the smallest values whose cumulative
+    * count reaches ⌈n·ppm/10⁶⌉ (clamped to rank ≥ 1). */
+  def quantileThresholds(
+      df: DataFrame,
+      valueCol: String,
+      ppmLo: Long,
+      ppmHi: Long,
+  ): DataFrame = {
+    require(0L <= ppmLo && ppmLo <= ppmHi && ppmHi <= 1000000L, s"bad ppm range $ppmLo..$ppmHi")
+    val hist = df.groupBy(col(valueCol).as("__s")).agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window
+      .orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .agg(
+        min(when(col("__cum") >= expr(s"greatest(1L, ((__n * ${ppmLo}L) + 999999L) div 1000000L)"),
+          col("__s"))).as("__lo"),
+        min(when(col("__cum") >= expr(s"greatest(1L, ((__n * ${ppmHi}L) + 999999L) div 1000000L)"),
+          col("__s"))).as("__hi"),
+      )
+  }
+
+  /** One-pass covariance-structure sufficient statistics over k
+    * integral feature columns: n, Σxᵢ, Σxᵢ², and every pairwise Σxᵢxⱼ
+    * — the inputs to a Pearson correlation matrix, a linear-regression
+    * normal equation, or a PCA covariance estimate. Emitting the
+    * SUFFICIENT STATISTICS instead of the final floats keeps the
+    * result exact (sums accumulate through DECIMAL(38,0), immune to
+    * Long wraparound and float ordering alike, then land in BIGINT);
+    * the downstream r = cov/(σσ) division is the caller's one float
+    * op. One aggregation, no shuffle beyond the k(k+3)/2+1 partial
+    * cells per task — the textbook mergeable-statistics shape. */
+  def corrSufficientStats(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.nonEmpty, "need at least one feature column")
+    val proj = df.select(cols.map { case (n, c) => c.cast("decimal(38,0)").as(n) }: _*)
+    val aggs =
+      cols.map { case (n, _) => sum(col(n)).cast("long").as(s"sum_$n") } ++
+        cols.map { case (n, _) => sum(col(n) * col(n)).cast("long").as(s"sum_${n}_$n") } ++
+        cols.combinations(2).map { case Seq((a, _), (b, _)) =>
+          sum(col(a) * col(b)).cast("long").as(s"sum_${a}_$b")
+        }.toSeq
+    proj.agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
+  /** `df` with `valueCol` clamped into its [ppmLo, ppmHi] nearest-rank
+    * quantile envelope (broadcast 1-row threshold join — the clamp
+    * stays a scan-local projection). */
+  def winsorize(df: DataFrame, valueCol: String, ppmLo: Long, ppmHi: Long): DataFrame = {
+    val th      = quantileThresholds(df, valueCol, ppmLo, ppmHi)
+    val clamped = greatest(col("__lo"), least(col("__hi"), col(valueCol)))
+    df.crossJoin(broadcast(th))
+      .withColumn(valueCol, clamped)
+      .drop("__lo", "__hi")
+  }
+}

@@ -762,10 +762,95 @@ object MiscQueries {
       )
   }
 
+  /** Exact winsorization ([[graft.ops.Stats]] — outlier clipping at
+    * nearest-rank p01/p99 via the bounded-domain histogram, the
+    * txt_lm_prune discipline on a numeric feature): price cents
+    * clamped into their [p01, p99] envelope, reported as per-flag
+    * integer aggregates plus the thresholds themselves — every number
+    * exact, so the oracle replays thresholds AND clamped sums
+    * bit-for-bit. Cents come from `round(price·100)` — identical IEEE
+    * double arithmetic on both engines. */
+  private val winsorizeQ = Q(
+    "misc_winsorize",
+    """WITH cents AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      |  FROM lineitem),
+      |hist AS (SELECT v AS s, count(*) AS c FROM cents GROUP BY 1),
+      |cum AS (
+      |  SELECT s, sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(c) OVER () AS n
+      |  FROM hist),
+      |th AS (
+      |  SELECT
+      |    min(CASE WHEN cum >= greatest(1, ((n * 10000) + 999999) // 1000000)
+      |             THEN s END) AS lo,
+      |    min(CASE WHEN cum >= greatest(1, ((n * 990000) + 999999) // 1000000)
+      |             THEN s END) AS hi
+      |  FROM cum)
+      |SELECT flag, count(*) AS n,
+      |  CAST(sum(greatest(lo, least(hi, v))) AS BIGINT) AS sum_wv,
+      |  min(greatest(lo, least(hi, v))) AS min_wv,
+      |  max(greatest(lo, least(hi, v))) AS max_wv,
+      |  CAST(max(lo) AS BIGINT) AS p01_cents, CAST(max(hi) AS BIGINT) AS p99_cents
+      |FROM cents, th GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    val cents = lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+    )
+    val th      = graft.ops.Stats.quantileThresholds(cents, "v", 10000L, 990000L)
+    val clamped = greatest(col("__lo"), least(col("__hi"), col("v")))
+    cents
+      .crossJoin(broadcast(th))
+      .groupBy("flag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(clamped).as("sum_wv"),
+        min(clamped).as("min_wv"),
+        max(clamped).as("max_wv"),
+        max(col("__lo")).as("p01_cents"),
+        max(col("__hi")).as("p99_cents"),
+      )
+  }
+
+  /** Covariance-structure sufficient statistics
+    * ([[graft.ops.Stats.corrSufficientStats]]): n, Σx, Σx², Σxy for
+    * (quantity, dollars, discount-ppm) in ONE aggregation pass —
+    * exact integers via DECIMAL(38,0) accumulation, so the oracle
+    * (DuckDB sums BIGINT through HUGEINT) matches bit-for-bit; the
+    * Pearson divide is left to the consumer as the single float op. */
+  private val corrStatsQ = Q(
+    "misc_corr_stats",
+    """SELECT count(*) AS n,
+      |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+      |  CAST(sum(dollars) AS BIGINT) AS sum_dollars,
+      |  CAST(sum(disc) AS BIGINT) AS sum_disc,
+      |  CAST(sum(qty * qty) AS BIGINT) AS sum_qty_qty,
+      |  CAST(sum(dollars * dollars) AS BIGINT) AS sum_dollars_dollars,
+      |  CAST(sum(disc * disc) AS BIGINT) AS sum_disc_disc,
+      |  CAST(sum(qty * dollars) AS BIGINT) AS sum_qty_dollars,
+      |  CAST(sum(qty * disc) AS BIGINT) AS sum_qty_disc,
+      |  CAST(sum(dollars * disc) AS BIGINT) AS sum_dollars_disc
+      |FROM (SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+      |             CAST(round(l_extendedprice) AS BIGINT) AS dollars,
+      |             CAST(round(l_discount * 1000000) AS BIGINT) AS disc
+      |      FROM lineitem)""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Stats.corrSufficientStats(
+      lineitem(s, d),
+      Seq(
+        "qty"     -> expr("CAST(round(l_quantity) AS BIGINT)"),
+        "dollars" -> expr("CAST(round(l_extendedprice) AS BIGINT)"),
+        "disc"    -> expr("CAST(round(l_discount * 1000000) AS BIGINT)"),
+      ),
+    )
+  }
+
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
       pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
       cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns, profileApproxQ,
-      compactionBinsQ)
+      compactionBinsQ, winsorizeQ, corrStatsQ)
 }

@@ -505,6 +505,32 @@ class OpsSpec extends AnyFunSuite {
     // target once its successor starts (no premature bin break)
   }
 
+  test("winsorize: nearest-rank thresholds from the histogram, clamp respects ties") {
+    import graft.ops.Stats
+    // uniform 1..100 → p01 rank ⌈100·0.01⌉=1 → lo=1; p99 rank 99 → hi=99
+    val uniform = (1L to 100L).toDF("v")
+    val t1 = Stats.quantileThresholds(uniform, "v", 10000L, 990000L).head()
+    assert(t1.getAs[Long]("__lo") === 1L && t1.getAs[Long]("__hi") === 99L)
+    // heavy ties: 98×1, one 50, one 100 → p99 rank 99 lands on 50
+    val skew = (Seq.fill(98)(1L) ++ Seq(50L, 100L)).toDF("v")
+    val t2 = Stats.quantileThresholds(skew, "v", 10000L, 990000L).head()
+    assert(t2.getAs[Long]("__lo") === 1L && t2.getAs[Long]("__hi") === 50L)
+    val w = Stats.winsorize(uniform, "v", 10000L, 990000L).agg(max("v"), min("v")).head()
+    assert(w.getLong(0) === 99L && w.getLong(1) === 1L)
+  }
+
+  test("corrSufficientStats: hand-checked sums and cross-products in one pass") {
+    import graft.ops.Stats
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 40L)).toDF("x", "y")
+    val r = Stats
+      .corrSufficientStats(df, Seq("x" -> col("x"), "y" -> col("y")))
+      .head()
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Long]("sum_x") === 6L && r.getAs[Long]("sum_y") === 70L)
+    assert(r.getAs[Long]("sum_x_x") === 14L && r.getAs[Long]("sum_y_y") === 2100L)
+    assert(r.getAs[Long]("sum_x_y") === 1L * 10 + 2 * 20 + 3 * 40)
+  }
+
   test("scd2Merge: changed rows version, missing keys stay open, null transitions tracked") {
     import graft.ops.Scd
     def date(s: String) = java.sql.Date.valueOf(s)
