@@ -53,11 +53,10 @@ object Profile {
   def profileApprox(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame =
     profileWith(df, cols, approx_count_distinct(col("value_s")))
 
-  private def profileWith(
-      df: DataFrame,
-      cols: Seq[(String, Boolean)],
-      distinctAgg: Column,
-  ): DataFrame = {
+  /** The k-column unpivot both profile forms (and the streaming twin)
+    * aggregate over: one row per (source row, profiled column) with the
+    * value in string and — for numeric columns — long form. Map-only. */
+  def unpivot(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val entries: Seq[Column] = cols.map { case (name, isNum) =>
       struct(
@@ -69,6 +68,14 @@ object Profile {
     }
     df.select(explode(array(entries: _*)).as("p"))
       .select(col("p.column"), col("p.value_s"), col("p.value_n"), col("p.is_num"))
+  }
+
+  private def profileWith(
+      df: DataFrame,
+      cols: Seq[(String, Boolean)],
+      distinctAgg: Column,
+  ): DataFrame = {
+    unpivot(df, cols)
       .groupBy("column")
       .agg(
         count(lit(1)).as("n"),

@@ -65,6 +65,33 @@ object Stats {
     proj.agg(count(lit(1)).as("n"), aggs: _*)
   }
 
+  /** Quantile (rank) normalization of an integral feature — each value
+    * mapped to its percent-rank in integer ppm: ⌊(#strictly-less ·
+    * 10⁶) / (n−1)⌋, the `percent_rank()` definition floored to ppm.
+    * The window form (`win_pct_rank_cume`) globally sorts the corpus —
+    * a single-partition bottleneck at scale; this form computes ranks
+    * on the value HISTOGRAM (domain-bounded) and joins them back on
+    * the value key, so the corpus-sized work is one groupBy and one
+    * equi-join. Returns `df` plus `pr_ppm` (0 for a single-row/
+    * constant input). */
+  def quantileNormalize(df: DataFrame, valueCol: String): DataFrame = {
+    val hist = df.groupBy(col(valueCol).as("__s")).agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window
+      .orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranks = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .select(
+        col("__s").as(valueCol),
+        when(col("__n") <= 1, lit(0L))
+          .otherwise(expr("((__cum - __c) * 1000000L) div (__n - 1)"))
+          .as("pr_ppm"),
+      )
+    df.join(ranks, valueCol)
+  }
+
   /** `df` with `valueCol` clamped into its [ppmLo, ppmHi] nearest-rank
     * quantile envelope (broadcast 1-row threshold join — the clamp
     * stays a scan-local projection). */

@@ -847,10 +847,39 @@ object MiscQueries {
     )
   }
 
+  /** Quantile (rank) normalization
+    * ([[graft.ops.Stats.quantileNormalize]]): percent-rank in integer
+    * ppm via histogram ranks joined back on the value key — the
+    * scalable twin of the `win_pct_rank_cume` window form (which
+    * globally sorts; this shuffles one groupBy + one equi-join). The
+    * oracle replays the histogram CTE verbatim; a PlanSpec case pins
+    * ppm-floored equality with `percent_rank()` itself. */
+  private val quantileNormalizeQ = Q(
+    "misc_quantile_normalize",
+    """WITH cents AS (
+      |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+      |hist AS (SELECT v, count(*) AS c FROM cents GROUP BY 1),
+      |cum AS (
+      |  SELECT v, c, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(c) OVER () AS n
+      |  FROM hist),
+      |pr AS (
+      |  SELECT v, CASE WHEN n <= 1 THEN 0
+      |                 ELSE CAST(((cum - c) * 1000000) // (n - 1) AS BIGINT) END AS pr_ppm
+      |  FROM cum)
+      |SELECT o_orderkey, v, pr_ppm FROM cents JOIN pr USING (v)""".stripMargin,
+  ) { (s, d) =>
+    val cents = orders(s, d).select(
+      col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+    )
+    graft.ops.Stats.quantileNormalize(cents, "v").select("o_orderkey", "v", "pr_ppm")
+  }
+
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
       pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
       cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns, profileApproxQ,
-      compactionBinsQ, winsorizeQ, corrStatsQ)
+      compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ)
 }

@@ -73,7 +73,7 @@ object StreamingQueries {
     Set("stream_tumbling_event_counts", "stream_interval_join", "stream_static_enrich")
   private val timeSplitConsumers = Set(
     "stream_dedup", "stream_funnel_steps", "stream_left_outer_join", "stream_session_window",
-    "stream_cms_sketch", "stream_rate_anomaly",
+    "stream_cms_sketch", "stream_rate_anomaly", "stream_profile",
   )
   private val docSplitConsumers =
     Set("stream_decontaminate", "stream_reservoir_sample", "stream_left_outer_join",
@@ -925,8 +925,65 @@ object StreamingQueries {
     Events.spikeView(s.table(name))
   }
 
+  /** Streaming column profiler — ingestion data-quality monitoring as
+    * a live view: [[graft.ops.Profile.unpivot]] over the replayed
+    * events feeds a streaming aggregation of (n, nulls, min, max) per
+    * column. Those four statistics merge across micro-batches
+    * (counts add, extrema compare — the mergeability that makes them
+    * valid streaming state; exact distinct does NOT merge and stays a
+    * batch/HLL concern, see misc_profile_approx). State is bounded at
+    * k rows. Oracle: the same per-column global aggregates in batch
+    * SQL — the final complete-mode state must equal them exactly. */
+  private val profileStream = Q(
+    "stream_profile",
+    """SELECT 'user_id' AS "column", count(*) AS n, count(*) - count(user_id) AS nulls,
+      |  CAST(min(user_id) AS BIGINT) AS min_n, CAST(max(user_id) AS BIGINT) AS max_n,
+      |  CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s
+      |FROM events
+      |UNION ALL
+      |SELECT 'event_id', count(*), count(*) - count(event_id),
+      |  CAST(min(event_id) AS BIGINT), CAST(max(event_id) AS BIGINT),
+      |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      |FROM events
+      |UNION ALL
+      |SELECT 'event_type', count(*), count(*) - count(event_type),
+      |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), min(event_type), max(event_type)
+      |FROM events""".stripMargin,
+  ) { (s, d) =>
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    val stream = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+    val prof = graft.ops.Profile
+      .unpivot(stream, Seq(("user_id", true), ("event_id", true), ("event_type", false)))
+      .groupBy("column")
+      .agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("value_s"))).as("nulls"),
+        min(col("value_n")).as("min_n"),
+        max(col("value_n")).as("max_n"),
+        min(when(!col("is_num"), col("value_s"))).as("min_s"),
+        max(when(!col("is_num"), col("value_s"))).as("max_s"),
+      )
+    val name = synchronized { streamN += 1; s"graft_stream_profile_$streamN" }
+    withStatePartitions(s, 4) {
+      withScratchCheckpoint("graft_ckpt_profile") { ckpt =>
+        val q = prof.writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    s.table(name)
+  }
+
   val all: Seq[Q] =
     Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream,
       decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream,
-      cmsStream, bpeDriftStream, rateAnomalyStream)
+      cmsStream, bpeDriftStream, rateAnomalyStream, profileStream)
 }

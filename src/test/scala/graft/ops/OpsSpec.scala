@@ -519,6 +519,25 @@ class OpsSpec extends AnyFunSuite {
     assert(w.getLong(0) === 99L && w.getLong(1) === 1L)
   }
 
+  test("quantileNormalize equals floored percent_rank, without the global sort") {
+    import graft.ops.Stats
+    import org.apache.spark.sql.expressions.Window
+    val df = (Seq.fill(3)(5L) ++ Seq(1L, 2L, 9L, 9L, 42L)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val viaHist = Stats
+      .quantileNormalize(df, "v")
+      .select(col("id"), col("pr_ppm"))
+    val viaWindow = df.select(
+      col("id"),
+      expr("CAST(floor(percent_rank() OVER (ORDER BY v) * 1000000) AS BIGINT)").as("pr_ppm"),
+    )
+    assert(viaHist.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaHist).isEmpty)
+    // single-row input: defined as 0, not a division error
+    val one = Stats.quantileNormalize(Seq((1L, 7L)).toDF("id", "v"), "v").head()
+    assert(one.getAs[Long]("pr_ppm") === 0L)
+  }
+
   test("corrSufficientStats: hand-checked sums and cross-products in one pass") {
     import graft.ops.Stats
     val df = Seq((1L, 10L), (2L, 20L), (3L, 40L)).toDF("x", "y")
