@@ -27,7 +27,13 @@ object Stats {
       ppmHi: Long,
   ): DataFrame = {
     require(0L <= ppmLo && ppmLo <= ppmHi && ppmHi <= 1000000L, s"bad ppm range $ppmLo..$ppmHi")
-    val hist = df.groupBy(col(valueCol).as("__s")).agg(count(lit(1)).as("__c"))
+    // Quantiles are defined over NON-NULL values: a null histogram
+    // group would both skew n and sort differently across engines
+    // (Spark orders nulls first, DuckDB last).
+    val hist = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__s"))
+      .agg(count(lit(1)).as("__c"))
     val wCum = Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window
       .orderBy(col("__s"))
@@ -75,7 +81,11 @@ object Stats {
     * equi-join. Returns `df` plus `pr_ppm` (0 for a single-row/
     * constant input). */
   def quantileNormalize(df: DataFrame, valueCol: String): DataFrame = {
-    val hist = df.groupBy(col(valueCol).as("__s")).agg(count(lit(1)).as("__c"))
+    // non-null domain only — see quantileThresholds
+    val hist = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__s"))
+      .agg(count(lit(1)).as("__c"))
     val wCum = Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window
       .orderBy(col("__s"))
@@ -89,15 +99,22 @@ object Stats {
           .otherwise(expr("((__cum - __c) * 1000000L) div (__n - 1)"))
           .as("pr_ppm"),
       )
-    df.join(ranks, valueCol)
+    // LEFT join: a NULL value has no rank (equi-join keys never match
+    // null) — the row survives with pr_ppm NULL instead of silently
+    // vanishing from the output.
+    df.join(ranks, Seq(valueCol), "left")
   }
 
   /** `df` with `valueCol` clamped into its [ppmLo, ppmHi] nearest-rank
     * quantile envelope (broadcast 1-row threshold join — the clamp
     * stays a scan-local projection). */
   def winsorize(df: DataFrame, valueCol: String, ppmLo: Long, ppmHi: Long): DataFrame = {
-    val th      = quantileThresholds(df, valueCol, ppmLo, ppmHi)
-    val clamped = greatest(col("__lo"), least(col("__hi"), col(valueCol)))
+    val th = quantileThresholds(df, valueCol, ppmLo, ppmHi)
+    // least/greatest SKIP nulls (in Spark and DuckDB alike), so without
+    // the guard a NULL feature would clamp to the p-hi threshold — a
+    // null must stay a null through normalization.
+    val clamped = when(col(valueCol).isNull, lit(null))
+      .otherwise(greatest(col("__lo"), least(col("__hi"), col(valueCol))))
     df.crossJoin(broadcast(th))
       .withColumn(valueCol, clamped)
       .drop("__lo", "__hi")

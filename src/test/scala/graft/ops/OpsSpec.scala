@@ -538,6 +538,23 @@ class OpsSpec extends AnyFunSuite {
     assert(one.getAs[Long]("pr_ppm") === 0L)
   }
 
+  test("Stats null handling: nulls survive with null rank / null clamp, stay out of quantiles") {
+    import graft.ops.Stats
+    val df = Seq(Some(1L), Some(2L), Some(3L), Some(100L), None)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    // winsorize: null must NOT clamp to p-hi (least/greatest skip nulls)
+    val w = Stats.winsorize(df, "v", 0L, 750000L).collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.get(r.fieldIndex("v")))).toMap
+    assert(w(4L).isEmpty, s"null value must stay null, got ${w(4L)}")
+    assert(w(3L) === Some(3L)) // 100 clamps to p75 = 3 over the 4 non-null values
+    // quantileNormalize: null row survives with null rank; non-null
+    // ranks computed over the 4-value non-null domain
+    val qn = Stats.quantileNormalize(df, "v").collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.get(r.fieldIndex("pr_ppm")))).toMap
+    assert(qn.size === 5 && qn(4L).isEmpty)
+    assert(qn(0L) === Some(0L) && qn(3L) === Some(1000000L))
+  }
+
   test("corrSufficientStats: hand-checked sums and cross-products in one pass") {
     import graft.ops.Stats
     val df = Seq((1L, 10L), (2L, 20L), (3L, 40L)).toDF("x", "y")
