@@ -71,6 +71,42 @@ object Stats {
     proj.agg(count(lit(1)).as("n"), aggs: _*)
   }
 
+  /** Equi-depth histogram — the `ANALYZE TABLE`-class statistics
+    * artifact a cost-based optimizer prunes and reorders with: k
+    * buckets of (as near as ties allow) equal row counts, each
+    * reported with its value bounds and exact count. Bucket assignment
+    * is by rank over the value HISTOGRAM — bucket(v) = ⌊(#strictly
+    * less) · k / n⌋, clamped to k−1 — so ties land in one bucket
+    * (boundaries never split a value) and the whole artifact is
+    * integer-exact and engine-replayable. Corpus-scale work: one
+    * groupBy; the ranking window touches only the domain-bounded
+    * histogram. Null values are excluded (the [[quantileThresholds]]
+    * convention); report their count separately via [[Profile]]. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need at least one bucket, got $k")
+    val hist = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window
+      .orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn(
+        "bucket",
+        least(expr(s"((__cum - __c) * ${k}L) div __n"), lit(k.toLong - 1)),
+      )
+      .groupBy("bucket")
+      .agg(
+        min(col("__s")).as("lo"),
+        max(col("__s")).as("hi"),
+        sum(col("__c")).as("cnt"),
+      )
+  }
+
   /** Quantile (rank) normalization of an integral feature — each value
     * mapped to its percent-rank in integer ppm: ⌊(#strictly-less ·
     * 10⁶) / (n−1)⌋, the `percent_rank()` definition floored to ppm.

@@ -876,10 +876,35 @@ object MiscQueries {
     graft.ops.Stats.quantileNormalize(cents, "v").select("o_orderkey", "v", "pr_ppm")
   }
 
+  /** Equi-depth histogram ([[graft.ops.Stats.equiDepthHistogram]]):
+    * the ANALYZE-class CBO statistics artifact — 16 rank-assigned
+    * buckets over order-price cents, tie-safe (a value never splits
+    * across buckets), all-integer. Oracle replays the rank arithmetic
+    * over the same histogram CTE. */
+  private val equiDepthQ = Q(
+    "misc_equi_depth_hist",
+    """WITH cents AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+      |hist AS (SELECT v AS s, count(*) AS c FROM cents GROUP BY 1),
+      |cum AS (
+      |  SELECT s, c, sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(c) OVER () AS n
+      |  FROM hist)
+      |SELECT CAST(least(((cum - c) * 16) // n, 15) AS BIGINT) AS bucket,
+      |  min(s) AS lo, max(s) AS hi, CAST(sum(c) AS BIGINT) AS cnt
+      |FROM cum GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Stats.equiDepthHistogram(
+      orders(s, d).select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v")),
+      "v",
+      16,
+    )
+  }
+
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
       pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
       cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns, profileApproxQ,
-      compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ)
+      compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ)
 }

@@ -555,6 +555,24 @@ class OpsSpec extends AnyFunSuite {
     assert(qn(0L) === Some(0L) && qn(3L) === Some(1000000L))
   }
 
+  test("equiDepthHistogram: balanced buckets, ties never split, bounds contiguous") {
+    import graft.ops.Stats
+    val df = (1L to 1000L).toDF("v")
+    val h = Stats.equiDepthHistogram(df, "v", 8).orderBy("bucket").collect()
+    assert(h.length === 8)
+    assert(h.forall(_.getAs[Long]("cnt") === 125L)) // uniform → exactly n/k
+    // contiguous, ordered, non-overlapping bounds
+    h.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"))
+    }
+    // a value with half the mass occupies ONE bucket (ties never split)
+    val skew = (Seq.fill(500)(7L) ++ (1L to 500L)).toDF("v")
+    val hs = Stats.equiDepthHistogram(skew, "v", 4).collect()
+    val sevens = hs.filter(r => r.getAs[Long]("lo") <= 7L && 7L <= r.getAs[Long]("hi"))
+    assert(sevens.length === 1, s"value 7 spans ${sevens.length} buckets")
+    assert(hs.map(_.getAs[Long]("cnt")).sum === 1000L)
+  }
+
   test("corrSufficientStats: hand-checked sums and cross-products in one pass") {
     import graft.ops.Stats
     val df = Seq((1L, 10L), (2L, 20L), (3L, 40L)).toDF("x", "y")
