@@ -17,19 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
-  /** Nearest-rank quantile thresholds of `valueCol` (integral) as a
-    * 1-row frame `(__lo, __hi)`: the smallest values whose cumulative
-    * count reaches ⌈n·ppm/10⁶⌉ (clamped to rank ≥ 1). */
-  def quantileThresholds(
-      df: DataFrame,
-      valueCol: String,
-      ppmLo: Long,
-      ppmHi: Long,
-  ): DataFrame = {
-    require(0L <= ppmLo && ppmLo <= ppmHi && ppmHi <= 1000000L, s"bad ppm range $ppmLo..$ppmHi")
-    // Quantiles are defined over NON-NULL values: a null histogram
-    // group would both skew n and sort differently across engines
-    // (Spark orders nulls first, DuckDB last).
+  /** The shared spine of every quantile op here: the NON-NULL value
+    * histogram of `valueCol` with inclusive cumulative count and total
+    * — columns `(__s, __c, __cum, __n)`. Non-null because a null
+    * histogram group would both skew n and sort differently across
+    * engines (Spark orders nulls first, DuckDB last); the
+    * single-partition window is over the domain-bounded histogram,
+    * never the corpus. */
+  private def cumHist(df: DataFrame, valueCol: String): DataFrame = {
     val hist = df
       .filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).as("__s"))
@@ -41,6 +36,19 @@ object Stats {
     hist
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__n", sum(col("__c")).over(wAll))
+  }
+
+  /** Nearest-rank quantile thresholds of `valueCol` (integral) as a
+    * 1-row frame `(__lo, __hi)`: the smallest values whose cumulative
+    * count reaches ⌈n·ppm/10⁶⌉ (clamped to rank ≥ 1). */
+  def quantileThresholds(
+      df: DataFrame,
+      valueCol: String,
+      ppmLo: Long,
+      ppmHi: Long,
+  ): DataFrame = {
+    require(0L <= ppmLo && ppmLo <= ppmHi && ppmHi <= 1000000L, s"bad ppm range $ppmLo..$ppmHi")
+    cumHist(df, valueCol)
       .agg(
         min(when(col("__cum") >= expr(s"greatest(1L, ((__n * ${ppmLo}L) + 999999L) div 1000000L)"),
           col("__s"))).as("__lo"),
@@ -61,7 +69,26 @@ object Stats {
     * cells per task — the textbook mergeable-statistics shape. */
   def corrSufficientStats(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     require(cols.nonEmpty, "need at least one feature column")
-    val proj = df.select(cols.map { case (n, c) => c.cast("decimal(38,0)").as(n) }: _*)
+    val aliases = cols.map { case (n, _) => s"sum_$n" } ++
+      cols.map { case (n, _) => s"sum_${n}_$n" } ++
+      cols.combinations(2).map { case Seq((a, _), (b, _)) => s"sum_${a}_$b" }
+    // underscore-bearing names can make a square alias collide with a
+    // cross alias ("a_b" square vs a×b cross) — Row.getAs would then
+    // silently return the wrong statistic; fail fast instead
+    require(
+      aliases.distinct.size == aliases.size,
+      s"feature names produce colliding stat aliases: ${aliases.diff(aliases.distinct).mkString(", ")}",
+    )
+    // COMPLETE CASES: a row with any null feature is dropped before
+    // aggregation, so n and every sum range over the SAME row set —
+    // without this, each pairwise sum would skip a different subset
+    // and any Pearson/regression derived from the stats would be
+    // silently wrong. (Listwise deletion; per-pair n would be the
+    // alternative if sparsity matters.)
+    val proj = df
+      .select(cols.map { case (n, c) => c.cast("decimal(38,0)").as(n) }: _*)
+      .na
+      .drop()
     val aggs =
       cols.map { case (n, _) => sum(col(n)).cast("long").as(s"sum_$n") } ++
         cols.map { case (n, _) => sum(col(n) * col(n)).cast("long").as(s"sum_${n}_$n") } ++
@@ -84,17 +111,7 @@ object Stats {
     * convention); report their count separately via [[Profile]]. */
   def equiDepthHistogram(df: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 1, s"need at least one bucket, got $k")
-    val hist = df
-      .filter(col(valueCol).isNotNull)
-      .groupBy(col(valueCol).as("__s"))
-      .agg(count(lit(1)).as("__c"))
-    val wCum = Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window
-      .orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    hist
-      .withColumn("__cum", sum(col("__c")).over(wCum))
-      .withColumn("__n", sum(col("__c")).over(wAll))
+    cumHist(df, valueCol)
       .withColumn(
         "bucket",
         least(expr(s"((__cum - __c) * ${k}L) div __n"), lit(k.toLong - 1)),
@@ -117,18 +134,7 @@ object Stats {
     * equi-join. Returns `df` plus `pr_ppm` (0 for a single-row/
     * constant input). */
   def quantileNormalize(df: DataFrame, valueCol: String): DataFrame = {
-    // non-null domain only — see quantileThresholds
-    val hist = df
-      .filter(col(valueCol).isNotNull)
-      .groupBy(col(valueCol).as("__s"))
-      .agg(count(lit(1)).as("__c"))
-    val wCum = Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window
-      .orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val ranks = hist
-      .withColumn("__cum", sum(col("__c")).over(wCum))
-      .withColumn("__n", sum(col("__c")).over(wAll))
+    val ranks = cumHist(df, valueCol)
       .select(
         col("__s").as(valueCol),
         when(col("__n") <= 1, lit(0L))

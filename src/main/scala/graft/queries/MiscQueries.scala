@@ -852,7 +852,7 @@ object MiscQueries {
     * ppm via histogram ranks joined back on the value key — the
     * scalable twin of the `win_pct_rank_cume` window form (which
     * globally sorts; this shuffles one groupBy + one equi-join). The
-    * oracle replays the histogram CTE verbatim; a PlanSpec case pins
+    * oracle replays the histogram CTE verbatim; an OpsSpec case pins
     * ppm-floored equality with `percent_rank()` itself. */
   private val quantileNormalizeQ = Q(
     "misc_quantile_normalize",
