@@ -124,6 +124,69 @@ object Stats {
       )
   }
 
+  /** Distribution drift between a reference corpus and a current batch
+    * — the training-data / model-input monitoring op (the PSI/KS
+    * family): the reference's [[equiDepthHistogram]] buckets become
+    * the binning, the current batch's values are assigned to them by
+    * upper edge (below-range → bucket 0's range via edge 0, above the
+    * last edge → bucket k−1), and the drift statistic is TOTAL
+    * VARIATION distance in integer ppm — ½·Σ|pᵢ−qᵢ| as
+    * Σ|refᵢ·m − curᵢ·n|·10⁶ div (2·n·m), exact through DECIMAL (PSI's
+    * logarithm would drag cross-engine floats in; TV is the same
+    * monitoring signal, bounded in [0, 10⁶]). Scale shape: one groupBy
+    * per side plus a broadcast k-row edge join against the current
+    * side's VALUE histogram (|domain| × k, never row-proportional).
+    *
+    * @return k rows: `bucket`, `ref_cnt`, `cur_cnt`, and the constant
+    *         `tv_ppm` replicated per row. */
+  def distributionDrift(
+      reference: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      k: Int,
+  ): DataFrame = {
+    val ref = equiDepthHistogram(reference, valueCol, k)
+      .select(col("bucket"), col("hi"), col("cnt").as("ref_cnt"))
+    val curHist = current
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val assigned = curHist
+      .join(broadcast(ref.select(col("bucket").as("__b"), col("hi"))), col("__v") <= col("hi"), "left")
+      .groupBy("__v", "__c")
+      .agg(min(col("__b")).as("__minb"))
+      .withColumn("bucket", coalesce(col("__minb"), lit(k.toLong - 1)))
+      .groupBy("bucket")
+      .agg(sum(col("__c")).as("cur_cnt"))
+    val perBucket = ref
+      .join(assigned, Seq("bucket"), "left")
+      .select(col("bucket"), col("ref_cnt"), coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perBucket
+      .withColumn("__n", sum(col("ref_cnt")).over(w))
+      .withColumn("__m", sum(col("cur_cnt")).over(w))
+      .withColumn(
+        "__sumabs",
+        sum(
+          abs(
+            col("ref_cnt").cast("decimal(38,0)") * col("__m") -
+              col("cur_cnt").cast("decimal(38,0)") * col("__n")
+          )
+        ).over(w),
+      )
+      // integral `div`, not decimal divide-then-cast: decimal division
+      // rounds at its result scale, which can nudge a boundary quotient
+      // past the floor DuckDB's `//` computes. An EMPTY current batch is
+      // total drift by definition (10⁶ ppm), not a division error.
+      .withColumn(
+        "tv_ppm",
+        when(col("__m") === 0, lit(1000000L)).otherwise(
+          expr("CAST((__sumabs * 1000000) div (CAST(__n AS DECIMAL(38,0)) * __m * 2) AS BIGINT)")
+        ),
+      )
+      .select(col("bucket"), col("ref_cnt"), col("cur_cnt"), col("tv_ppm"))
+  }
+
   /** Quantile (rank) normalization of an integral feature — each value
     * mapped to its percent-rank in integer ppm: ⌊(#strictly-less ·
     * 10⁶) / (n−1)⌋, the `percent_rank()` definition floored to ppm.

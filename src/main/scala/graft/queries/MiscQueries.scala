@@ -901,10 +901,60 @@ object MiscQueries {
     )
   }
 
+  /** Distribution drift ([[graft.ops.Stats.distributionDrift]]): the
+    * urgent-priority order slice scored against the full order-price
+    * distribution — reference equi-depth buckets, upper-edge
+    * assignment, total-variation distance in exact integer ppm. The
+    * oracle replays bucket derivation, assignment (correlated
+    * min-edge), and the TV arithmetic through HUGEINT. */
+  private val distDriftQ = Q(
+    "misc_distribution_drift",
+    """WITH cents AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, o_orderpriority FROM orders),
+      |hist AS (SELECT v AS s, count(*) AS c FROM cents GROUP BY 1),
+      |cum AS (
+      |  SELECT s, c, sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(c) OVER () AS n
+      |  FROM hist),
+      |ref AS (
+      |  SELECT CAST(least(((cum - c) * 8) // n, 7) AS BIGINT) AS bucket,
+      |    max(s) AS hi, CAST(sum(c) AS BIGINT) AS ref_cnt
+      |  FROM cum GROUP BY 1),
+      |curh AS (
+      |  SELECT v, count(*) AS c FROM cents WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+      |curb AS (
+      |  SELECT coalesce((SELECT min(r.bucket) FROM ref r WHERE x.v <= r.hi), 7) AS bucket,
+      |    CAST(sum(c) AS BIGINT) AS cur_cnt
+      |  FROM curh x GROUP BY 1),
+      |pb AS (
+      |  SELECT ref.bucket, ref_cnt, coalesce(cur_cnt, 0) AS cur_cnt
+      |  FROM ref LEFT JOIN curb ON ref.bucket = curb.bucket),
+      |tot AS (
+      |  SELECT CAST(sum(ref_cnt) AS BIGINT) AS n, CAST(sum(cur_cnt) AS BIGINT) AS m FROM pb),
+      |tv AS (
+      |  SELECT CASE WHEN t.m = 0 THEN 1000000
+      |    ELSE CAST((sum(abs(ref_cnt * t.m - cur_cnt * t.n)) * 1000000)
+      |      // (2 * t.n * t.m) AS BIGINT)
+      |    END AS tv_ppm
+      |  FROM pb, tot t GROUP BY t.n, t.m)
+      |SELECT bucket, ref_cnt, cur_cnt, (SELECT tv_ppm FROM tv) AS tv_ppm FROM pb""".stripMargin,
+  ) { (s, d) =>
+    val cents = orders(s, d).select(
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+      col("o_orderpriority"),
+    )
+    graft.ops.Stats.distributionDrift(
+      cents,
+      cents.where(col("o_orderpriority") === "1-URGENT"),
+      "v",
+      8,
+    )
+  }
+
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
       pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
       cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns, profileApproxQ,
-      compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ)
+      compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ)
 }

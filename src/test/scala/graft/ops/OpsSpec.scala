@@ -573,6 +573,34 @@ class OpsSpec extends AnyFunSuite {
     assert(hs.map(_.getAs[Long]("cnt")).sum === 1000L)
   }
 
+  test("distributionDrift: zero on self, total on empty, out-of-range lands in edge buckets") {
+    import graft.ops.Stats
+    val ref = (1L to 800L).toDF("v")
+    // identical distribution → TV = 0, counts scale 1:1 per bucket
+    val same = Stats.distributionDrift(ref, ref, "v", 8).orderBy("bucket").collect()
+    assert(same.length === 8)
+    assert(same.forall(_.getAs[Long]("tv_ppm") === 0L))
+    assert(same.forall(r => r.getAs[Long]("ref_cnt") === r.getAs[Long]("cur_cnt")))
+    // empty current batch → total drift by definition
+    val empty = Stats.distributionDrift(ref, ref.filter(col("v") < 0), "v", 8).collect()
+    assert(empty.forall(_.getAs[Long]("tv_ppm") === 1000000L))
+    assert(empty.map(_.getAs[Long]("cur_cnt")).sum === 0L)
+    // all current mass below range → bucket 0 (edge 0 catches it);
+    // all above → bucket k−1; both are maximal concentration:
+    // TV = ½(|1−1/k| + (k−1)·1/k) ppm = (k−1)/k · 10⁶ = 875000
+    val below = Stats.distributionDrift(ref, (-100L to -1L).toDF("v"), "v", 8)
+      .orderBy("bucket").collect()
+    assert(below.head.getAs[Long]("cur_cnt") === 100L)
+    assert(below.map(_.getAs[Long]("tv_ppm")).head === 875000L)
+    val above = Stats.distributionDrift(ref, (900L to 999L).toDF("v"), "v", 8)
+      .orderBy("bucket").collect()
+    assert(above.last.getAs[Long]("cur_cnt") === 100L)
+    // nulls in the current batch are excluded from the histogram
+    val withNull = Seq(Some(1L), None, Some(2L)).toDF("v")
+    val nn = Stats.distributionDrift(ref, withNull, "v", 8).collect()
+    assert(nn.map(_.getAs[Long]("cur_cnt")).sum === 2L)
+  }
+
   test("corrSufficientStats: hand-checked sums and cross-products in one pass") {
     import graft.ops.Stats
     val df = Seq((1L, 10L), (2L, 20L), (3L, 40L)).toDF("x", "y")
