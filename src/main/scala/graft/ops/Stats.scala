@@ -161,6 +161,46 @@ object Stats {
     val perBucket = ref
       .join(assigned, Seq("bucket"), "left")
       .select(col("bucket"), col("ref_cnt"), coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
+    totalVariationPpm(perBucket)
+  }
+
+  /** Map-only bucket assignment against COLLECTED equi-depth upper
+    * edges (sorted ascending): the index of the first edge ≥ v,
+    * clamped to k−1 — identical to [[distributionDrift]]'s min-edge
+    * join, but as a scalar expression over a k-element literal array.
+    * This is the streaming/row-at-a-time form (a per-row min-join is
+    * not expressible before a streaming aggregation); it is also the
+    * 100 TB form — the k-row edge table is driver-bounded (the PQ
+    * codebook convention) and assignment fuses into the scan. */
+  def bucketOfExpr(
+      value: Column,
+      edges: Seq[(Long, Long)],
+      overflowBucket: Long,
+  ): Column = {
+    require(edges.nonEmpty, "need at least one bucket edge")
+    val his = edges.map(_._2)
+    require(
+      his.zip(his.tail).forall { case (a, b) => a < b },
+      "upper edges must be strictly ascending",
+    )
+    // idx = #edges with hi < v = position of the first edge ≥ v;
+    // past-the-end (v above range) takes the caller's overflow bucket
+    // (k−1 by the distributionDrift convention, matching its
+    // coalesce-after-left-join)
+    val idx = aggregate(
+      lit(his.toArray),
+      lit(0L),
+      (acc, e) => acc + when(value > e, 1L).otherwise(0L),
+    )
+    when(idx === his.length.toLong, lit(overflowBucket))
+      .otherwise(element_at(lit(edges.map(_._1).toArray), (idx + 1L).cast("int")))
+  }
+
+  /** The drift statistic over an already-binned frame `(bucket,
+    * ref_cnt, cur_cnt)`: total-variation distance in exact integer ppm
+    * (see [[distributionDrift]] for the arithmetic rationale). The
+    * all-rows window runs over k rows, never data. */
+  def totalVariationPpm(perBucket: DataFrame): DataFrame = {
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     perBucket
       .withColumn("__n", sum(col("ref_cnt")).over(w))

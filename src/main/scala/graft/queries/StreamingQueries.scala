@@ -73,7 +73,7 @@ object StreamingQueries {
     Set("stream_tumbling_event_counts", "stream_interval_join", "stream_static_enrich")
   private val timeSplitConsumers = Set(
     "stream_dedup", "stream_funnel_steps", "stream_left_outer_join", "stream_session_window",
-    "stream_cms_sketch", "stream_rate_anomaly", "stream_profile",
+    "stream_cms_sketch", "stream_rate_anomaly", "stream_profile", "stream_dist_drift",
   )
   private val docSplitConsumers =
     Set("stream_decontaminate", "stream_reservoir_sample", "stream_left_outer_join",
@@ -982,8 +982,95 @@ object StreamingQueries {
     s.table(name)
   }
 
+  /** Streaming distribution-drift monitor — the model-input drift
+    * check ([[graft.ops.Stats.distributionDrift]]) run live: the
+    * reference equi-depth buckets are computed ONCE in batch and
+    * collected (k rows — driver-bounded, the PQ-codebook convention),
+    * bucket assignment becomes the map-only
+    * [[graft.ops.Stats.bucketOfExpr]] scalar fused into the stream
+    * scan, and the streaming state is the per-bucket count — k rows,
+    * mergeable across micro-batches (counts add), the same
+    * bounded-state argument as [[profileStream]]. The TV statistic
+    * needs the global totals, so it is applied to the FINAL k-row
+    * state in batch ([[graft.ops.Stats.totalVariationPpm]]) — the
+    * [[rateAnomalyStream]] pattern: streaming does the mergeable part,
+    * a k-row batch view derives the statistic. Oracle: the batch drift
+    * replay (purchase-event value cents vs the all-events reference). */
+  private val distDriftStream = Q(
+    "stream_dist_drift",
+    """WITH cents AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v, event_type FROM events),
+      |hist AS (SELECT v AS s, count(*) AS c FROM cents GROUP BY 1),
+      |cum AS (
+      |  SELECT s, c, sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(c) OVER () AS n
+      |  FROM hist),
+      |ref AS (
+      |  SELECT CAST(least(((cum - c) * 8) // n, 7) AS BIGINT) AS bucket,
+      |    max(s) AS hi, CAST(sum(c) AS BIGINT) AS ref_cnt
+      |  FROM cum GROUP BY 1),
+      |curh AS (
+      |  SELECT v, count(*) AS c FROM cents WHERE event_type = 'purchase' GROUP BY 1),
+      |curb AS (
+      |  SELECT coalesce((SELECT min(r.bucket) FROM ref r WHERE x.v <= r.hi), 7) AS bucket,
+      |    CAST(sum(c) AS BIGINT) AS cur_cnt
+      |  FROM curh x GROUP BY 1),
+      |pb AS (
+      |  SELECT ref.bucket, ref_cnt, coalesce(cur_cnt, 0) AS cur_cnt
+      |  FROM ref LEFT JOIN curb ON ref.bucket = curb.bucket),
+      |tot AS (
+      |  SELECT CAST(sum(ref_cnt) AS BIGINT) AS n, CAST(sum(cur_cnt) AS BIGINT) AS m FROM pb),
+      |tv AS (
+      |  SELECT CASE WHEN t.m = 0 THEN 1000000
+      |    ELSE CAST((sum(abs(ref_cnt * t.m - cur_cnt * t.n)) * 1000000)
+      |      // (2 * t.n * t.m) AS BIGINT)
+      |    END AS tv_ppm
+      |  FROM pb, tot t GROUP BY t.n, t.m)
+      |SELECT bucket, ref_cnt, cur_cnt, (SELECT tv_ppm FROM tv) AS tv_ppm FROM pb""".stripMargin,
+  ) { (s, d) =>
+    import graft.ops.Stats
+    val cents = expr("CAST(round(value * 100) AS BIGINT)")
+    val ref = Stats
+      .equiDepthHistogram(graft.Tables.events(s, d).select(cents.as("v")), "v", 8)
+      .select(col("bucket"), col("hi"), col("cnt").as("ref_cnt"))
+    val edges = ref
+      .orderBy("hi")
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("hi")))
+      .toSeq
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    val stream = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+    val curCounts = stream
+      .filter(col("event_type") === "purchase")
+      .select(cents.as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(Stats.bucketOfExpr(col("v"), edges, 7L).as("bucket"))
+      .agg(count(lit(1)).as("cur_cnt"))
+    val name = synchronized { streamN += 1; s"graft_stream_drift_$streamN" }
+    withStatePartitions(s, 4) {
+      withScratchCheckpoint("graft_ckpt_drift") { ckpt =>
+        val q = curCounts.writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    Stats.totalVariationPpm(
+      ref
+        .join(s.table(name), Seq("bucket"), "left")
+        .select(col("bucket"), col("ref_cnt"), coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
+    )
+  }
+
   val all: Seq[Q] =
     Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream,
       decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream,
-      cmsStream, bpeDriftStream, rateAnomalyStream, profileStream)
+      cmsStream, bpeDriftStream, rateAnomalyStream, profileStream, distDriftStream)
 }

@@ -599,6 +599,16 @@ class OpsSpec extends AnyFunSuite {
     val withNull = Seq(Some(1L), None, Some(2L)).toDF("v")
     val nn = Stats.distributionDrift(ref, withNull, "v", 8).collect()
     assert(nn.map(_.getAs[Long]("cur_cnt")).sum === 2L)
+    // scalar bucketOfExpr (streaming form) ≡ the min-edge join: 1..800
+    // in 8 buckets has upper edges 100,200,…,800
+    val edges = Stats.equiDepthHistogram(ref, "v", 8).orderBy("hi").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("hi"))).toSeq
+    assert(edges.map(_._2) === Seq(100L, 200L, 300L, 400L, 500L, 600L, 700L, 800L))
+    val probes = Seq(-5L -> 0L, 1L -> 0L, 100L -> 0L, 101L -> 1L, 800L -> 7L, 5000L -> 7L)
+    val got = probes.map(_._1).toDF("v")
+      .select(col("v"), Stats.bucketOfExpr(col("v"), edges, 7L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    probes.foreach { case (v, b) => assert(got(v) === b, s"bucketOf($v)") }
   }
 
   test("corrSufficientStats: hand-checked sums and cross-products in one pass") {
