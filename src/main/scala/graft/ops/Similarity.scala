@@ -786,6 +786,13 @@ object Similarity {
       .select(col(idCol).as("n_id"), col(embCol).as("n_emb"), col("nrm").as("n_nrm"), col("cent_id"))
     val qry = ivfAssign(index.filter(queryPred).drop("cent_id"), centroids, idCol, embCol, nprobe = nprobe)
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"), col("nrm").as("q_nrm"), col("cent_id"))
+    rankProbedCells(cand, qry, k)
+  }
+
+  /** The shared tail of every coarse-cell probe: broadcast the (small)
+    * multi-probe query side into its cells, exact cosine, per-query
+    * top-k. */
+  private def rankProbedCells(cand: DataFrame, qry: DataFrame, k: Int): DataFrame = {
     val scored = cand
       .join(broadcast(qry), Seq("cent_id"))
       .filter(col("n_id") =!= col("q_id"))
@@ -799,6 +806,46 @@ object Similarity {
       .filter(col("cos").isNotNull) // zero-norm rows never rank
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+  }
+
+  /** The SERVING path over a PERSISTED, `cent_id`-partitioned
+    * [[ivfIndex]]: the query batch arrives as its own frame, its
+    * multi-probe assignment yields the probed CELL SET (≤ C ids — the
+    * codebook-broadcastability contract makes C driver-bounded), and
+    * that set is pushed into the index read as a partition `isin`
+    * filter, so the scan reads ONLY the probed cells' files. This is
+    * the IVF analog of dynamic partition pruning, made deterministic:
+    * DPP's broadcast-reuse heuristics decide per plan whether a
+    * runtime filter reaches the scan, while an explicit probed-cell
+    * literal ALWAYS prunes — at 100 TB the difference is reading
+    * nprobe·|queries|/C of the index vs all of it. The two extra jobs
+    * this costs (assignment + distinct over the query batch) touch
+    * only query-batch-sized data. Output shape of [[bruteForceTopK]].
+    */
+  def ivfTopKFromStoredIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      centroids: DataFrame,
+      nprobe: Int,
+  ): DataFrame = {
+    graft.functions.FloatVecDot.registerOn(spark)
+    val qry = ivfAssign(withNorm(queries, embCol), centroids, idCol, embCol, nprobe = nprobe)
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"), col("nrm").as("q_nrm"), col("cent_id"))
+    val cells = qry.select("cent_id").distinct().collect().map(_.getLong(0))
+    val cand = spark.read
+      .parquet(indexPath)
+      .filter(col("cent_id").isin(cells.map(Long.box): _*))
+      .select(
+        col(idCol).as("n_id"),
+        col(embCol).as("n_emb"),
+        col("nrm").as("n_nrm"),
+        col("cent_id").cast("long").as("cent_id"),
+      )
+    rankProbedCells(cand, qry, k)
   }
 
   /** Product-quantization codebook over int8-quantized subvectors: the

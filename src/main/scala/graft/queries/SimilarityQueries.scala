@@ -1178,9 +1178,64 @@ object SimilarityQueries {
     Similarity.recallAtK(exact, approx, "q_id", "n_id")
   }
 
+  /** The stored index dir, written once per (session, sfDir):
+    * [[Similarity.ivfIndex]] partitioned by `cent_id` — the on-disk
+    * layout [[Similarity.ivfTopKFromStoredIndex]]'s probed-cell
+    * partition filter prunes against. Scratch-dir lifecycle follows
+    * the streaming-suite convention (shutdown-hook cleanup; identity
+    * key, nothing retains a stopped session). */
+  private val storedIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  private def storedIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    storedIndexCache.getOrElseUpdate(
+      (System.identityHashCode(s), d), {
+        val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+          catch { case _: Throwable => () }
+        ))
+        val emb       = embeddings(s, d)
+        val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+        val out       = dir.resolve("index").toString
+        Similarity
+          .ivfIndex(emb, "vec_id", "embedding", centroids)
+          .write
+          .partitionBy("cent_id")
+          .parquet(out)
+        out
+      },
+    )
+
+  /** IVF serving over the PERSISTED cent_id-partitioned index
+    * ([[Similarity.ivfTopKFromStoredIndex]]): the query batch's probed
+    * cell set is pushed into the index read as a partition filter, so
+    * the scan touches only those cells' files (PlanSpec pins the
+    * pruning; this gate pins result identity — same oracle as
+    * `sim_ann_ivf_topk`, which ranks the identical structure built
+    * in-memory). */
+  private val annIvfStoredTopK = Q(
+    "sim_ann_ivf_stored_topk",
+    annIvfTopK.oracle.get,
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    Similarity
+      .ivfTopKFromStoredIndex(
+        s,
+        storedIndexDir(s, d),
+        queries = emb.filter(col("vec_id") < 10),
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+        centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16),
+        nprobe = 2,
+      )
+      .select("q_id", "n_id", "cos", "rnk")
+  }
+
   val all: Seq[Q] =
     Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
       annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
       annIvfPqSampledTopK, annIvfAppendTopK, annIvfPqResidualTopK, ragChunkTopK, annRecallEval,
-      annBatchedTopK)
+      annBatchedTopK, annIvfStoredTopK)
 }

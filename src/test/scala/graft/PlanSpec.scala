@@ -620,6 +620,57 @@ class PlanSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dimDir))
   }
 
+  test("stored IVF probe reads only the probed cells' partition files") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // The serving contract of ivfTopKFromStoredIndex: the probed cell
+    // set becomes a PARTITION filter on the cent_id-partitioned index,
+    // so the scan opens nprobe-many cells' files, not the corpus. Pin
+    // both the filter placement and the executed file count.
+    val dirs = Seq(
+      Array(1f, 0f), Array(0f, 1f), Array(-1f, 0f), Array(0f, -1f),
+    )
+    // ids 0..3 are the id-ordered centroid seeds (one per direction);
+    // 4..11 two more members per cell, slightly rotated
+    val corpus = dirs.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      (0 until 8).map { i =>
+        val d = dirs(i % 4)
+        (4L + i, Array(d(0) * 0.9f + d(1) * 0.1f, d(1) * 0.9f + d(0) * 0.1f))
+      }
+    val emb = corpus.toDF("vec_id", "embedding")
+    val centroids = graft.ops.Similarity.ivfCentroids(emb, "vec_id", "embedding", 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_prune").toString
+    graft.ops.Similarity
+      .ivfIndex(emb, "vec_id", "embedding", centroids)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(dir)
+    // one query vector between cells 0 and 1 → probes exactly those 2
+    val q = graft.ops.Similarity.ivfTopKFromStoredIndex(
+      spark, dir,
+      queries = Seq((100L, Array(0.9f, 0.45f))).toDF("vec_id", "embedding"),
+      idCol = "vec_id", embCol = "embedding", k = 3, centroids = centroids, nprobe = 2)
+    val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("cent_id"), s"probed-cell set not in PartitionFilters:\n$p")
+    val rows = q.collect()
+    // neighbors come only from cells 0 and 1
+    assert(rows.nonEmpty && rows.forall(r => Set(0L, 1L, 4L, 5L, 8L, 9L).contains(r.getAs[Long]("n_id"))))
+    def numFiles(n: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = {
+      val self = n.metrics.get("numFiles").map(_.value).toSeq
+      val kids = n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case sq: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(sq.plan)
+        case other                                                      => other.children
+      }
+      self ++ kids.flatMap(numFiles)
+    }
+    val scanned = numFiles(q.queryExecution.executedPlan).filter(_ > 0)
+    assert(scanned.nonEmpty, s"no executed numFiles metric found:\n$p")
+    // 4 cells on disk; only the 2 probed ones may be read
+    assert(scanned.max <= 2, s"index scan read ${scanned.max} files, expected <= 2:\n$p")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("triangle census joins are keyed — no cartesian / nested-loop anywhere") {
     import spark.implicits._
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L)).toDF("a", "b")
