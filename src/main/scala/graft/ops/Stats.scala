@@ -98,6 +98,58 @@ object Stats {
     proj.agg(count(lit(1)).as("n"), aggs: _*)
   }
 
+  /** PAIRWISE-DELETION covariance statistics — the sparse-feature twin
+    * of [[corrSufficientStats]]: instead of dropping every row with
+    * ANY null feature (listwise deletion, which under heavy sparsity
+    * can drop almost everything), each pair (i, j) is aggregated over
+    * the rows where BOTH xᵢ and xⱼ are non-null, with its own n. Still
+    * exactly ONE aggregation pass — every per-pair sum is a
+    * conditional cell of the same wide agg row (k(k−1)/2 · 6 cells,
+    * map-side combinable) — then the 1-row frame unpivots to one row
+    * per pair via `inline` (never touching data again). Sums are null
+    * when a pair has no complete rows (SQL sum semantics); n is 0.
+    * The caveat is the textbook one: pairwise-deletion moment
+    * matrices need not be positive semi-definite — that is the
+    * caller's modeling decision, not an engine concern. */
+  def corrPairwiseStats(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "pairwise stats need at least two feature columns")
+    val pairs = cols.map(_._1).combinations(2).toSeq.map { case Seq(a, b) => (a, b) }
+    val cells = pairs.flatMap { case (a, b) =>
+      Seq("n", "sx", "sy", "sxx", "syy", "sxy").map(s => s"${s}__${a}__$b")
+    }
+    require(
+      cells.distinct.size == cells.size,
+      s"feature names produce colliding pair aliases: ${cells.diff(cells.distinct).mkString(", ")}",
+    )
+    val proj = df.select(cols.map { case (n, c) => c.cast("decimal(38,0)").as(n) }: _*)
+    val aggs = pairs.flatMap { case (a, b) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      Seq(
+        count(when(both, lit(1))).as(s"n__${a}__$b"),
+        sum(when(both, col(a))).cast("long").as(s"sx__${a}__$b"),
+        sum(when(both, col(b))).cast("long").as(s"sy__${a}__$b"),
+        sum(when(both, col(a) * col(a))).cast("long").as(s"sxx__${a}__$b"),
+        sum(when(both, col(b) * col(b))).cast("long").as(s"syy__${a}__$b"),
+        sum(when(both, col(a) * col(b))).cast("long").as(s"sxy__${a}__$b"),
+      )
+    }
+    val wide = proj.agg(aggs.head, aggs.tail: _*)
+    wide.select(
+      inline(array(pairs.map { case (a, b) =>
+        struct(
+          lit(a).as("x"),
+          lit(b).as("y"),
+          col(s"n__${a}__$b").as("n"),
+          col(s"sx__${a}__$b").as("sum_x"),
+          col(s"sy__${a}__$b").as("sum_y"),
+          col(s"sxx__${a}__$b").as("sum_x_x"),
+          col(s"syy__${a}__$b").as("sum_y_y"),
+          col(s"sxy__${a}__$b").as("sum_x_y"),
+        )
+      }: _*))
+    )
+  }
+
   /** Equi-depth histogram — the `ANALYZE TABLE`-class statistics
     * artifact a cost-based optimizer prunes and reorders with: k
     * buckets of (as near as ties allow) equal row counts, each

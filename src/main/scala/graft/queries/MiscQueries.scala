@@ -847,6 +847,55 @@ object MiscQueries {
     )
   }
 
+  /** Pairwise-deletion covariance statistics
+    * ([[graft.ops.Stats.corrPairwiseStats]]): the sparse-feature twin
+    * of `misc_corr_stats`. Sparsity is simulated deterministically
+    * (qty missing on returned lines, dollars missing on every
+    * third line number), so each pair aggregates a DIFFERENT row set with its
+    * own n — the differential that separates pairwise from listwise
+    * deletion. One aggregation pass; the oracle is one SELECT per pair
+    * over the both-non-null slice. */
+  private val corrPairwiseQ = Q(
+    "misc_corr_pairwise",
+    """WITH f AS (
+      |  SELECT
+      |    CASE WHEN l_returnflag = 'R' THEN NULL
+      |         ELSE CAST(round(l_quantity) AS BIGINT) END AS qty,
+      |    CASE WHEN l_linenumber % 3 = 0 THEN NULL
+      |         ELSE CAST(round(l_extendedprice) AS BIGINT) END AS dollars,
+      |    CAST(round(l_discount * 1000000) AS BIGINT) AS disc
+      |  FROM lineitem)
+      |SELECT 'qty' AS x, 'dollars' AS y, count(*) AS n,
+      |  CAST(sum(qty) AS BIGINT) AS sum_x, CAST(sum(dollars) AS BIGINT) AS sum_y,
+      |  CAST(sum(qty * qty) AS BIGINT) AS sum_x_x,
+      |  CAST(sum(dollars * dollars) AS BIGINT) AS sum_y_y,
+      |  CAST(sum(qty * dollars) AS BIGINT) AS sum_x_y
+      |FROM f WHERE qty IS NOT NULL AND dollars IS NOT NULL
+      |UNION ALL
+      |SELECT 'qty', 'disc', count(*),
+      |  CAST(sum(qty) AS BIGINT), CAST(sum(disc) AS BIGINT),
+      |  CAST(sum(qty * qty) AS BIGINT), CAST(sum(disc * disc) AS BIGINT),
+      |  CAST(sum(qty * disc) AS BIGINT)
+      |FROM f WHERE qty IS NOT NULL AND disc IS NOT NULL
+      |UNION ALL
+      |SELECT 'dollars', 'disc', count(*),
+      |  CAST(sum(dollars) AS BIGINT), CAST(sum(disc) AS BIGINT),
+      |  CAST(sum(dollars * dollars) AS BIGINT), CAST(sum(disc * disc) AS BIGINT),
+      |  CAST(sum(dollars * disc) AS BIGINT)
+      |FROM f WHERE dollars IS NOT NULL AND disc IS NOT NULL""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Stats.corrPairwiseStats(
+      lineitem(s, d),
+      Seq(
+        "qty" -> expr(
+          "CASE WHEN l_returnflag = 'R' THEN NULL ELSE CAST(round(l_quantity) AS BIGINT) END"),
+        "dollars" -> expr(
+          "CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE CAST(round(l_extendedprice) AS BIGINT) END"),
+        "disc" -> expr("CAST(round(l_discount * 1000000) AS BIGINT)"),
+      ),
+    )
+  }
+
   /** Quantile (rank) normalization
     * ([[graft.ops.Stats.quantileNormalize]]): percent-rank in integer
     * ppm via histogram ranks joined back on the value key — the
@@ -956,5 +1005,6 @@ object MiscQueries {
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
       pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
       cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns, profileApproxQ,
-      compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ)
+      compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
+      corrPairwiseQ)
 }

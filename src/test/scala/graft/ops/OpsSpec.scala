@@ -623,6 +623,37 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("sum_x_y") === 1L * 10 + 2 * 20 + 3 * 40)
   }
 
+  test("corrPairwiseStats: each pair aggregates its own complete-row set") {
+    import graft.ops.Stats
+    // x missing on row 2, y missing on row 3, z complete:
+    // (x,y) sees rows 1,4; (x,z) sees 1,3,4; (y,z) sees 1,2,4
+    val df = Seq(
+      (Some(1L), Some(10L), Some(100L)),
+      (None, Some(20L), Some(200L)),
+      (Some(3L), None, Some(300L)),
+      (Some(4L), Some(40L), Some(400L)),
+    ).toDF("x", "y", "z")
+    val rows = Stats
+      .corrPairwiseStats(df, Seq("x" -> col("x"), "y" -> col("y"), "z" -> col("z")))
+      .collect()
+      .map(r => (r.getAs[String]("x"), r.getAs[String]("y")) -> r)
+      .toMap
+    assert(rows.size === 3)
+    val xy = rows(("x", "y"))
+    assert(xy.getAs[Long]("n") === 2L && xy.getAs[Long]("sum_x") === 5L
+      && xy.getAs[Long]("sum_y") === 50L && xy.getAs[Long]("sum_x_y") === 1L * 10 + 4 * 40)
+    val xz = rows(("x", "z"))
+    assert(xz.getAs[Long]("n") === 3L && xz.getAs[Long]("sum_x") === 8L
+      && xz.getAs[Long]("sum_y") === 800L)
+    val yz = rows(("y", "z"))
+    assert(yz.getAs[Long]("n") === 3L && yz.getAs[Long]("sum_x") === 70L
+      && yz.getAs[Long]("sum_x_x") === 100L + 400 + 1600)
+    // a pair with NO complete rows: n = 0, sums null
+    val disjoint = Seq((Some(1L), Option.empty[Long]), (None, Some(2L))).toDF("x", "y")
+    val d0 = Stats.corrPairwiseStats(disjoint, Seq("x" -> col("x"), "y" -> col("y"))).head()
+    assert(d0.getAs[Long]("n") === 0L && d0.isNullAt(d0.fieldIndex("sum_x")))
+  }
+
   test("scd2Merge: changed rows version, missing keys stay open, null transitions tracked") {
     import graft.ops.Scd
     def date(s: String) = java.sql.Date.valueOf(s)
