@@ -249,11 +249,14 @@ object Stats {
   }
 
   /** The drift statistic over an already-binned frame `(bucket,
-    * ref_cnt, cur_cnt)`: total-variation distance in exact integer ppm
-    * (see [[distributionDrift]] for the arithmetic rationale). The
-    * all-rows window runs over k rows, never data. */
-  def totalVariationPpm(perBucket: DataFrame): DataFrame = {
-    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    * ref_cnt, cur_cnt)` plus optional segment columns: total-variation
+    * distance in exact integer ppm, per segment (see
+    * [[distributionDrift]] for the arithmetic rationale). Each window
+    * runs over one segment's k rows, never data. */
+  def totalVariationPpm(perBucket: DataFrame, segmentCols: Seq[String] = Nil): DataFrame = {
+    val w = Window
+      .partitionBy(segmentCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     perBucket
       .withColumn("__n", sum(col("ref_cnt")).over(w))
       .withColumn("__m", sum(col("cur_cnt")).over(w))
@@ -276,7 +279,61 @@ object Stats {
           expr("CAST((__sumabs * 1000000) div (CAST(__n AS DECIMAL(38,0)) * __m * 2) AS BIGINT)")
         ),
       )
-      .select(col("bucket"), col("ref_cnt"), col("cur_cnt"), col("tv_ppm"))
+      .select(
+        (segmentCols.map(col) ++
+          Seq(col("bucket"), col("ref_cnt"), col("cur_cnt"), col("tv_ppm"))): _*
+      )
+  }
+
+  /** Per-segment distribution drift — [[distributionDrift]] fanned out
+    * over a segment column (source, shard, supplier, day): every
+    * segment's value distribution is scored against the ONE corpus-wide
+    * equi-depth reference, surfacing outlier segments in a single
+    * artifact — the curation step that finds the source whose documents
+    * suddenly look nothing like the corpus. Scale shape: the reference
+    * is the usual domain-bounded histogram; the segment side is one
+    * groupBy(segment, value) + the broadcast k-row edge join; the
+    * segment×bucket grid (|segments|·k rows) and the per-segment TV
+    * windows never touch row-proportional data. Null segment values
+    * form their own segment (they are data, not arithmetic). */
+  def driftBySegment(
+      df: DataFrame,
+      segmentCol: String,
+      valueCol: String,
+      k: Int,
+  ): DataFrame = {
+    val ref = equiDepthHistogram(df, valueCol, k)
+      .select(col("bucket"), col("hi"), col("cnt").as("ref_cnt"))
+    val segHist = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(segmentCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val assigned = segHist
+      .join(broadcast(ref.select(col("bucket").as("__b"), col("hi"))), col("__v") <= col("hi"), "left")
+      .groupBy(col(segmentCol), col("__v"), col("__c"))
+      .agg(min(col("__b")).as("__minb"))
+      .withColumn("bucket", coalesce(col("__minb"), lit(k.toLong - 1)))
+      .groupBy(col(segmentCol), col("bucket"))
+      .agg(sum(col("__c")).as("cur_cnt"))
+    val grid = df
+      .select(col(segmentCol))
+      .distinct()
+      .crossJoin(broadcast(ref))
+    // null-safe segment key: a null segment is a segment, not a join
+    // miss (plain equality would zero its counts and report total
+    // drift for data that is actually present)
+    val counts = assigned
+      .withColumnRenamed(segmentCol, "__seg")
+      .withColumnRenamed("bucket", "__bk")
+    val perBucket = grid
+      .join(counts, col(segmentCol) <=> col("__seg") && col("bucket") === col("__bk"), "left")
+      .select(
+        col(segmentCol),
+        col("bucket"),
+        col("ref_cnt"),
+        coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"),
+      )
+    totalVariationPpm(perBucket, Seq(segmentCol))
   }
 
   /** Quantile (rank) normalization of an integral feature — each value

@@ -1000,11 +1000,62 @@ object MiscQueries {
     )
   }
 
+  /** Per-segment drift ([[graft.ops.Stats.driftBySegment]]): every
+    * source's document-length distribution scored against the ONE
+    * corpus-wide equi-depth reference — the curation artifact that
+    * surfaces the outlier source in one pass. The oracle replays the
+    * grid (distinct sources × reference buckets), the correlated
+    * min-edge assignment, and the per-source TV windows. */
+  private val driftBySegmentQ = Q(
+    "misc_drift_by_segment",
+    """WITH hist AS (SELECT n_chars AS s, count(*) AS c FROM documents GROUP BY 1),
+      |cum AS (
+      |  SELECT s, c, sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(c) OVER () AS n
+      |  FROM hist),
+      |ref AS (
+      |  SELECT CAST(least(((cum - c) * 8) // n, 7) AS BIGINT) AS bucket,
+      |    max(s) AS hi, CAST(sum(c) AS BIGINT) AS ref_cnt
+      |  FROM cum GROUP BY 1),
+      |curh AS (SELECT source, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+      |curb AS (
+      |  SELECT source,
+      |    coalesce((SELECT min(r.bucket) FROM ref r WHERE x.v <= r.hi), 7) AS bucket,
+      |    CAST(sum(c) AS BIGINT) AS cur_cnt
+      |  FROM curh x GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT sg.source, r.bucket, r.ref_cnt
+      |  FROM (SELECT DISTINCT source FROM documents) sg CROSS JOIN ref r),
+      |pb AS (
+      |  SELECT g.source, g.bucket, g.ref_cnt, coalesce(cb.cur_cnt, 0) AS cur_cnt
+      |  FROM grid g LEFT JOIN curb cb ON g.source = cb.source AND g.bucket = cb.bucket),
+      |tot AS (
+      |  SELECT source, bucket, ref_cnt, cur_cnt,
+      |    sum(ref_cnt) OVER (PARTITION BY source) AS n,
+      |    sum(cur_cnt) OVER (PARTITION BY source) AS m
+      |  FROM pb),
+      |sa AS (
+      |  SELECT source, bucket, ref_cnt, cur_cnt, n, m,
+      |    sum(abs(ref_cnt * m - cur_cnt * n)) OVER (PARTITION BY source) AS sumabs
+      |  FROM tot)
+      |SELECT source, bucket, ref_cnt, cur_cnt,
+      |  CASE WHEN m = 0 THEN 1000000
+      |       ELSE CAST((sumabs * 1000000) // (2 * n * m) AS BIGINT) END AS tv_ppm
+      |FROM sa""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Stats.driftBySegment(
+      documents(s, d).select(col("source"), col("n_chars").cast("long").as("n_chars")),
+      "source",
+      "n_chars",
+      8,
+    )
+  }
+
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
       pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
       cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns, profileApproxQ,
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
-      corrPairwiseQ)
+      corrPairwiseQ, driftBySegmentQ)
 }

@@ -623,6 +623,28 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("sum_x_y") === 1L * 10 + 2 * 20 + 3 * 40)
   }
 
+  test("driftBySegment: per-segment TV vs the corpus reference, null segment preserved") {
+    import graft.ops.Stats
+    // a = lower half, b = upper half of a uniform corpus: each segment
+    // concentrates on 4 of 8 buckets → TV = ½(4·(¼−⅛) + 4·⅛) = ½
+    val df = ((1L to 400L).map(("a", _)) ++ (401L to 800L).map(("b", _))).toDF("seg", "v")
+    val rows = Stats.driftBySegment(df, "seg", "v", 8).collect()
+    assert(rows.length === 16)
+    assert(rows.forall(_.getAs[Long]("tv_ppm") === 500000L))
+    val aCur = rows.filter(_.getAs[String]("seg") == "a")
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("cur_cnt")).toMap
+    assert((0L to 3L).forall(aCur(_) === 100L) && (4L to 7L).forall(aCur(_) === 0L))
+    // a null segment keeps its counts (null-safe grid join), it is not
+    // misreported as empty/total-drift
+    val withNull = df.unionByName(
+      (1L to 80L).map((null.asInstanceOf[String], _)).toDF("seg", "v"))
+    val nullRows = Stats.driftBySegment(withNull, "seg", "v", 8)
+      .collect().filter(_.isNullAt(0))
+    assert(nullRows.length === 8)
+    assert(nullRows.map(_.getAs[Long]("cur_cnt")).sum === 80L)
+    assert(nullRows.head.getAs[Long]("tv_ppm") < 1000000L)
+  }
+
   test("corrPairwiseStats: each pair aggregates its own complete-row set") {
     import graft.ops.Stats
     // x missing on row 2, y missing on row 3, z complete:
