@@ -359,6 +359,46 @@ object Stats {
     df.join(ranks, Seq(valueCol), "left")
   }
 
+  /** Per-segment quantile normalization — [[quantileNormalize]] with
+    * the rank domain scoped to each segment (source, shard, day):
+    * the feature-prep step when segments have incomparable raw scales
+    * (one source's length distribution must not set another's ranks).
+    * Same scale shape as the global form, per segment: ranks come from
+    * the (segment, value) HISTOGRAM — windows partitioned by segment
+    * touch only that segment's value domain, never its rows — and join
+    * back on the (segment, value) key. Null values keep a null rank;
+    * null SEGMENTS are a real segment (null-safe join key), ranked
+    * within themselves; a single-value segment ranks 0. */
+  def quantileNormalizeBy(df: DataFrame, segmentCol: String, valueCol: String): DataFrame = {
+    val hist = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(segmentCol).as("__seg"), col(valueCol).as("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window
+      .partitionBy(col("__seg"))
+      .orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window
+      .partitionBy(col("__seg"))
+      .orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranks = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .select(
+        col("__seg"),
+        col("__s"),
+        when(col("__n") <= 1, lit(0L))
+          .otherwise(expr("((__cum - __c) * 1000000L) div (__n - 1)"))
+          .as("pr_ppm"),
+      )
+    df.join(
+      ranks,
+      col(segmentCol) <=> col("__seg") && col(valueCol) === col("__s"),
+      "left",
+    ).drop("__seg", "__s")
+  }
+
   /** `df` with `valueCol` clamped into its [ppmLo, ppmHi] nearest-rank
     * quantile envelope (broadcast 1-row threshold join — the clamp
     * stays a scan-local projection). */

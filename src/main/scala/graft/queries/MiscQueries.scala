@@ -1051,11 +1051,41 @@ object MiscQueries {
     )
   }
 
+  /** Per-segment quantile normalization
+    * ([[graft.ops.Stats.quantileNormalizeBy]]): each document's length
+    * rank WITHIN ITS SOURCE — the feature-prep form when segments have
+    * incomparable raw scales. The oracle replays the per-source
+    * histogram ranks and the join-back. */
+  private val quantileNormalizeByQ = Q(
+    "misc_quantile_normalize_by",
+    """WITH d AS (
+      |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+      |hist AS (SELECT source, n_chars AS s, count(*) AS c FROM d GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, s, c,
+      |    sum(c) OVER (PARTITION BY source ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(c) OVER (PARTITION BY source) AS n
+      |  FROM hist),
+      |pr AS (
+      |  SELECT source, s, CASE WHEN n <= 1 THEN 0
+      |    ELSE CAST(((cum - c) * 1000000) // (n - 1) AS BIGINT) END AS pr_ppm
+      |  FROM cum)
+      |SELECT d.doc_id, d.source, d.n_chars, pr.pr_ppm
+      |FROM d LEFT JOIN pr ON d.source = pr.source AND d.n_chars = pr.s""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Stats.quantileNormalizeBy(
+      documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars")),
+      "source",
+      "n_chars",
+    )
+  }
+
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
       pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
       cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns, profileApproxQ,
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
-      corrPairwiseQ, driftBySegmentQ)
+      corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ)
 }

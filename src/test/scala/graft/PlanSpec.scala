@@ -620,6 +620,55 @@ class PlanSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dimDir))
   }
 
+  test("selective dim join injects a runtime bloom filter into the fact scan side") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // DPP (previous tests) prunes PARTITIONS; Catalyst's runtime bloom
+    // filter is the row-level sibling for joins on NON-partition
+    // columns: a selective dim side builds a bloom over its join keys
+    // and the fact side filters rows before the shuffle. At 100 TB
+    // that is the difference between shuffling the fact table and
+    // shuffling the ~matching slice. Pin that the capability engages
+    // (thresholds are sized for clusters, so they are lowered here —
+    // the pin is the rewrite firing, not the default sizing).
+    val factDir = java.nio.file.Files.createTempDirectory("graft_rbf_fact").toString
+    val dimDir  = java.nio.file.Files.createTempDirectory("graft_rbf_dim").toString
+    (1 to 20000).map(i => (i.toLong, i.toLong % 997)).toDF("v", "k")
+      .write.mode("overwrite").parquet(factDir)
+    (0 to 996).map(i => (i.toLong, if (i % 100 == 0) "keep" else "drop")).toDF("k", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+    ).map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      // a broadcast join would not shuffle the fact side; force the
+      // shuffle-join shape the filter exists to protect
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.read.parquet(factDir)
+      val dim  = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+      val q    = fact.join(dim, "k")
+      val p    = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(
+        p.contains("bloom_filter_agg") || p.toLowerCase.contains("bloomfilter"),
+        s"runtime bloom filter did not inject:\n$p",
+      )
+      // and it is semantics-preserving: 10 keep-keys × ~20 fact rows each
+      assert(q.count() === (1 to 20000).count(i => i % 997 % 100 == 0 && i % 997 <= 996).toLong)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(factDir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dimDir))
+  }
+
   test("stored IVF probe reads only the probed cells' partition files") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -538,6 +538,32 @@ class OpsSpec extends AnyFunSuite {
     assert(one.getAs[Long]("pr_ppm") === 0L)
   }
 
+  test("quantileNormalizeBy equals per-segment floored percent_rank; null segment is a segment") {
+    import graft.ops.Stats
+    val df = Seq(
+      ("a", 5L), ("a", 5L), ("a", 1L), ("a", 9L),
+      ("b", 2L), ("b", 7L), ("b", 7L),
+      (null.asInstanceOf[String], 3L), (null.asInstanceOf[String], 8L),
+    ).zipWithIndex.map { case ((sg, v), i) => (i.toLong, sg, v) }.toDF("id", "seg", "v")
+    val viaHist = Stats.quantileNormalizeBy(df, "seg", "v").select("id", "pr_ppm")
+    val viaWindow = df.select(
+      col("id"),
+      expr("CAST(floor(percent_rank() OVER (PARTITION BY seg ORDER BY v) * 1000000) AS BIGINT)")
+        .as("pr_ppm"),
+    )
+    assert(viaHist.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaHist).isEmpty)
+    // the null segment ranked within itself (3 → 0, 8 → 10⁶), not dropped
+    val nulls = Stats.quantileNormalizeBy(df, "seg", "v")
+      .filter(col("seg").isNull).collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Long]("pr_ppm")).toMap
+    assert(nulls === Map(3L -> 0L, 8L -> 1000000L))
+    // a null VALUE survives with a null rank
+    val withNullV = df.unionByName(Seq((99L, "a", Option.empty[Long])).toDF("id", "seg", "v"))
+    val nv = Stats.quantileNormalizeBy(withNullV, "seg", "v")
+      .filter(col("id") === 99L).head()
+    assert(nv.isNullAt(nv.fieldIndex("pr_ppm")))
+  }
+
   test("Stats null handling: nulls survive with null rank / null clamp, stay out of quantiles") {
     import graft.ops.Stats
     val df = Seq(Some(1L), Some(2L), Some(3L), Some(100L), None)
