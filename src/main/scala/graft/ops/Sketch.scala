@@ -120,3 +120,85 @@ object Cms {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
 }
+
+/** K-minimum-values sketch (Bar-Yossef et al. 2002; the multi-set form
+  * per Beyer et al., SIGMOD 2007) — the DISTINCT-COUNT companion to
+  * [[Cms]]'s frequency sketch, and the one sketch family that estimates
+  * SET OVERLAP between corpora without ever joining them: each side is
+  * summarized to its k smallest distinct hash values
+  * ([[graft.functions.KMinAgg]], bounded state, map-side combinable),
+  * and every estimate — distinct count per side, union, Jaccard,
+  * intersection — is arithmetic over the two k-arrays. That is the
+  * train-vs-eval contamination triage shape at 100 TB: two single-pass
+  * scans produce two k-row artifacts, and the comparison cost is
+  * O(k log k) on ONE ROW, independent of corpus size (the exact
+  * [[graft.ops.Dedup.decontaminate]] join remains the adjudicator once
+  * triage says the overlap is material).
+  *
+  * Estimators (all integer arithmetic): with h₍ₖ₎ the k-th smallest
+  * distinct hash in a space of 2⁴⁸, D̂ = (k−1)·2⁴⁸ div h₍ₖ₎ — the
+  * unbiased KMV estimator — and an UNSATURATED sketch (< k distinct
+  * hashes) is not an estimate at all but the exact distinct count. The
+  * union of two bottom-k sketches, re-cut to its k smallest, is exactly
+  * the bottom-k sketch of the union (the closure property the whole
+  * construction exists for), and every member of that union sketch that
+  * belongs to both input corpora is individually detectable (h ∈ K ∧
+  * h ∈ A ⇒ h ∈ Kₐ, because fewer than k union hashes precede it), so
+  * the Jaccard estimate is the exact fraction |K ∩ Kₐ ∩ K_b| / |K| of
+  * a k-sample without replacement.
+  *
+  * Hashes are 48-bit md5 prefixes (the [[Sampling.hash24]] family, 24
+  * more bits so the order statistic has negligible collision mass at
+  * billions of distinct keys; 48 = 12 hex chars keeps `(k−1)·2⁴⁸`
+  * comfortably inside BIGINT for k ≤ 2¹⁴) — no RNG, no engine hash, so
+  * a SQL engine replays sketch AND estimates bit-for-bit: the usual
+  * ±1/√k sketch check upgrades to a full equality oracle.
+  */
+object Kmv {
+
+  val SpaceBits = 48
+  val Space: Long = 1L << SpaceBits
+
+  /** 48-bit md5-prefix hash; null keys coalesce to '' (the
+    * [[Sampling.hash24]] convention — a null key is a key). */
+  def hash48(key: Column): Column =
+    conv(substring(md5(coalesce(key.cast("string"), lit(""))), 1, 12), 16, 10).cast("long")
+
+  /** Bottom-k sketch of `df.keyCol`: ONE row holding the ascending
+    * array of the k smallest distinct hashes. */
+  def sketch(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= (1 << 14), s"kmv needs 2 <= k <= 16384, got $k")
+    df.select(graft.functions.KMinAgg.k_min_distinct(k)(hash48(col(keyCol))).as("kmv"))
+  }
+
+  /** Distinct/overlap estimates between two corpora keyed on `keyCol`:
+    * one row of `est_a`, `est_b`, `est_union`, `inter_in_k` (the raw
+    * both-sides members of the union sketch), `jaccard_ppm`, and
+    * `est_intersection`. Work: one [[sketch]] pass per side; the
+    * combination is a 1×1-row cross join. */
+  def overlap(a: DataFrame, b: DataFrame, keyCol: String, k: Int): DataFrame = {
+    // D̂ of one sketch column: exact when unsaturated, (k−1)·2⁴⁸ div h₍ₖ₎
+    // when full (integral div — DuckDB's // floors the same way on the
+    // non-negative operands hashes are)
+    def estSql(c: String) =
+      s"CASE WHEN size($c) < $k THEN CAST(size($c) AS BIGINT)" +
+        s" ELSE ${(k - 1L) * Space}L div element_at($c, $k) END"
+    sketch(a, keyCol, k)
+      .select(col("kmv").as("ka"))
+      .crossJoin(sketch(b, keyCol, k).select(col("kmv").as("kb")))
+      .withColumn("ku", expr(s"slice(array_sort(array_union(ka, kb)), 1, $k)"))
+      .withColumn("m", expr("CAST(size(array_intersect(array_intersect(ku, ka), kb)) AS BIGINT)"))
+      .select(
+        expr(estSql("ka")).as("est_a"),
+        expr(estSql("kb")).as("est_b"),
+        expr(estSql("ku")).as("est_union"),
+        col("m").as("inter_in_k"),
+        // |K| = 0 only when both corpora are empty: zero overlap, not 0/0
+        expr("CASE WHEN size(ku) = 0 THEN 0L ELSE (m * 1000000L) div size(ku) END")
+          .as("jaccard_ppm"),
+        expr(
+          s"CASE WHEN size(ku) = 0 THEN 0L ELSE (m * (${estSql("ku")})) div size(ku) END"
+        ).as("est_intersection"),
+      )
+  }
+}

@@ -24,11 +24,18 @@ object Stats {
     * engines (Spark orders nulls first, DuckDB last); the
     * single-partition window is over the domain-bounded histogram,
     * never the corpus. */
-  private def cumHist(df: DataFrame, valueCol: String): DataFrame = {
-    val hist = df
-      .filter(col(valueCol).isNotNull)
-      .groupBy(col(valueCol).as("__s"))
-      .agg(count(lit(1)).as("__c"))
+  private def cumHist(df: DataFrame, valueCol: String): DataFrame =
+    cumOf(
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).as("__s"))
+        .agg(count(lit(1)).as("__c"))
+    )
+
+  /** Inclusive cumulative + total over an ALREADY-BUILT histogram
+    * `(__s, __c)` — split out of [[cumHist]] so derived histograms
+    * (e.g. [[madOutliers]]'s deviation histogram, whose counts must be
+    * SUMMED, not re-counted) share the same window discipline. */
+  private def cumOf(hist: DataFrame): DataFrame = {
     val wCum = Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window
       .orderBy(col("__s"))
@@ -37,6 +44,13 @@ object Stats {
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__n", sum(col("__c")).over(wAll))
   }
+
+  /** The nearest-rank threshold aggregate shared by [[quantileThresholds]]
+    * and the median/MAD selectors: the smallest `__s` whose inclusive
+    * cumulative reaches rank ⌈n·ppm/10⁶⌉ (clamped to ≥ 1). */
+  private def rankSelect(ppm: Long, as: String): Column =
+    min(when(col("__cum") >= expr(s"greatest(1L, ((__n * ${ppm}L) + 999999L) div 1000000L)"),
+      col("__s"))).as(as)
 
   /** Nearest-rank quantile thresholds of `valueCol` (integral) as a
     * 1-row frame `(__lo, __hi)`: the smallest values whose cumulative
@@ -49,12 +63,46 @@ object Stats {
   ): DataFrame = {
     require(0L <= ppmLo && ppmLo <= ppmHi && ppmHi <= 1000000L, s"bad ppm range $ppmLo..$ppmHi")
     cumHist(df, valueCol)
-      .agg(
-        min(when(col("__cum") >= expr(s"greatest(1L, ((__n * ${ppmLo}L) + 999999L) div 1000000L)"),
-          col("__s"))).as("__lo"),
-        min(when(col("__cum") >= expr(s"greatest(1L, ((__n * ${ppmHi}L) + 999999L) div 1000000L)"),
-          col("__s"))).as("__hi"),
+      .agg(rankSelect(ppmLo, "__lo"), rankSelect(ppmHi, "__hi"))
+  }
+
+  /** Robust outlier flags via the MEDIAN ABSOLUTE DEVIATION — the
+    * heavy-tail-safe twin of z-score screening (one extreme value moves
+    * a mean/stddev fence arbitrarily far; it moves the median/MAD fence
+    * not at all): a row is an outlier when |x − median| · 10⁶ >
+    * `kPpm` · MAD. Both medians are nearest-rank selections, and the
+    * MAD's deviation histogram is DERIVED FROM the value histogram
+    * (group |s − med| over the histogram, summing counts) — so the
+    * corpus is scanned exactly once for statistics plus once for
+    * flagging, and every windowed step stays domain-bounded. All
+    * arithmetic is integral (the comparison multiplies through by 10⁶
+    * instead of dividing), exactly replayable cross-engine. The classic
+    * consistency constant (1.4826 for normal data) folds into `kPpm` —
+    * e.g. 3σ ≈ kPpm 4_447_800. Null values keep null `dev`/`is_outlier`
+    * (they are missing, not extreme).
+    *
+    * @return `df` plus `dev` (|x − median|) and `is_outlier`. */
+  def madOutliers(df: DataFrame, valueCol: String, kPpm: Long): DataFrame = {
+    require(kPpm >= 0L, s"kPpm must be non-negative, got $kPpm")
+    val hist = cumHist(df, valueCol)
+    val med  = hist.agg(rankSelect(500000L, "__med"))
+    val mad = cumOf(
+      hist
+        .crossJoin(broadcast(med))
+        .groupBy(abs(col("__s") - col("__med")).as("__s"))
+        .agg(sum(col("__c")).as("__c"))
+    ).agg(rankSelect(500000L, "__mad"))
+    val dev = abs(col(valueCol) - col("__med"))
+    df.crossJoin(broadcast(med))
+      .crossJoin(broadcast(mad))
+      .withColumn("dev", dev)
+      // DECIMAL products: a wide integral domain times kPpm can exceed
+      // Long; exactness must not depend on the caller's value range
+      .withColumn(
+        "is_outlier",
+        col("dev").cast("decimal(38,0)") * 1000000L > col("__mad").cast("decimal(38,0)") * kPpm,
       )
+      .drop("__med", "__mad")
   }
 
   /** One-pass covariance-structure sufficient statistics over k

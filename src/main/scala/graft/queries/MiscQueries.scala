@@ -1081,11 +1081,97 @@ object MiscQueries {
     )
   }
 
+  /** Robust outlier flags ([[graft.ops.Stats.madOutliers]]): order
+    * prices screened by MEDIAN ± k·MAD instead of mean ± k·σ — the
+    * heavy-tail-safe fence (kPpm 4_447_800 = 3 × the 1.4826 normal
+    * consistency constant). Both medians are nearest-rank; the MAD's
+    * deviation histogram is derived from the value histogram, so the
+    * oracle replays median, MAD, and every per-row flag bit-for-bit. */
+  private val madOutliersQ = Q(
+    "misc_mad_outliers",
+    """WITH cents AS (
+      |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+      |hist AS (SELECT v AS s, count(*) AS c FROM cents GROUP BY 1),
+      |cum AS (
+      |  SELECT s, c, sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(c) OVER () AS n
+      |  FROM hist),
+      |med AS (
+      |  SELECT min(CASE WHEN cum >= greatest(1, ((n * 500000) + 999999) // 1000000)
+      |              THEN s END) AS med
+      |  FROM cum),
+      |devhist AS (SELECT abs(s - med) AS d, sum(c) AS c FROM hist, med GROUP BY 1),
+      |devcum AS (
+      |  SELECT d, c, sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(c) OVER () AS n
+      |  FROM devhist),
+      |mad AS (
+      |  SELECT min(CASE WHEN cum >= greatest(1, ((n * 500000) + 999999) // 1000000)
+      |              THEN d END) AS mad
+      |  FROM devcum)
+      |SELECT o_orderkey, v, abs(v - med) AS dev,
+      |  (abs(v - med) * 1000000 > mad * 4447800) AS is_outlier
+      |FROM cents, med, mad""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Stats.madOutliers(
+      orders(s, d).select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+      ),
+      "v",
+      4447800L,
+    )
+  }
+
+  /** KMV bottom-k overlap sketch ([[graft.ops.Kmv]]): the customer
+    * DIMENSION vs the customers actually placing orders, compared
+    * entirely through two 256-hash sketches — distinct counts per side,
+    * union, Jaccard, intersection, all from one row of arithmetic. The
+    * oracle replays sketch construction (DISTINCT → ORDER BY hash →
+    * LIMIT k), the union re-cut, and every estimator division
+    * bit-for-bit — md5 hashing upgrades the ±1/√k sketch bound to an
+    * exact-equality differential. */
+  private val kmvOverlapQ = Q(
+    "misc_kmv_overlap",
+    """WITH ha AS (
+      |  SELECT DISTINCT CAST(('0x' || substr(md5(coalesce(CAST(c_custkey AS VARCHAR), '')),
+      |    1, 12)) AS BIGINT) AS h FROM customer),
+      |hb AS (
+      |  SELECT DISTINCT CAST(('0x' || substr(md5(coalesce(CAST(o_custkey AS VARCHAR), '')),
+      |    1, 12)) AS BIGINT) AS h FROM orders),
+      |ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+      |kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+      |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) u ORDER BY h LIMIT 256),
+      |sa AS (SELECT count(*) AS n, max(h) AS hk FROM ka),
+      |sb AS (SELECT count(*) AS n, max(h) AS hk FROM kb),
+      |su AS (SELECT count(*) AS n, max(h) AS hk FROM ku),
+      |m AS (
+      |  SELECT count(*) AS c FROM ku
+      |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb))
+      |SELECT
+      |  CASE WHEN sa.n < 256 THEN sa.n ELSE (255 * 281474976710656) // sa.hk END AS est_a,
+      |  CASE WHEN sb.n < 256 THEN sb.n ELSE (255 * 281474976710656) // sb.hk END AS est_b,
+      |  CASE WHEN su.n < 256 THEN su.n ELSE (255 * 281474976710656) // su.hk END AS est_union,
+      |  m.c AS inter_in_k,
+      |  CASE WHEN su.n = 0 THEN 0 ELSE (m.c * 1000000) // su.n END AS jaccard_ppm,
+      |  CASE WHEN su.n = 0 THEN 0 ELSE (m.c *
+      |    (CASE WHEN su.n < 256 THEN su.n
+      |          ELSE (255 * 281474976710656) // su.hk END)) // su.n END AS est_intersection
+      |FROM sa, sb, su, m""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Kmv.overlap(
+      customer(s, d).select(col("c_custkey").as("k")),
+      orders(s, d).select(col("o_custkey").as("k")),
+      "k",
+      256,
+    )
+  }
+
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
       pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
       cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns, profileApproxQ,
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
-      corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ)
+      corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ)
 }

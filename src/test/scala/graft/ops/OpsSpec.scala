@@ -519,6 +519,27 @@ class OpsSpec extends AnyFunSuite {
     assert(w.getLong(0) === 99L && w.getLong(1) === 1L)
   }
 
+  test("madOutliers: median/MAD fence flags the extreme, ignores it when fencing") {
+    import graft.ops.Stats
+    // n=10: nine evenly spaced values + one wild extreme. Median (rank
+    // ⌈10/2⌉=5) = 18; deviations 0,2,2,4,4,6,6,8,8,982 → MAD (rank 5) = 4.
+    // The extreme CANNOT drag the fence (that is the point of MAD —
+    // a mean/σ fence moves with it); with k=3×10⁶ only dev > 12 flags.
+    val vs = Seq(10L, 12L, 14L, 16L, 18L, 20L, 22L, 24L, 26L, 1000L)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, Some(v)) }.toDF("id", "v")
+      .unionByName(Seq((99L, Option.empty[Long])).toDF("id", "v"))
+    val out = Stats.madOutliers(df, "v", 3000000L).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (Option(r.get(r.fieldIndex("dev"))), Option(r.get(r.fieldIndex("is_outlier"))))).toMap
+    assert(out(9L) === ((Some(982L), Some(true))), "the extreme must flag")
+    assert((0L to 8L).forall(i => out(i)._2 === Some(false)), "the body must not flag")
+    assert(out(4L)._1 === Some(0L), "median's own deviation is 0")
+    assert(out(99L) === ((None, None)), "null value keeps null dev and flag")
+    // k=0: anything off the median flags (strict >), the median itself never does
+    val all = Stats.madOutliers(df, "v", 0L).filter(col("is_outlier")).count()
+    assert(all === 9L)
+  }
+
   test("quantileNormalize equals floored percent_rank, without the global sort") {
     import graft.ops.Stats
     import org.apache.spark.sql.expressions.Window
@@ -1897,6 +1918,35 @@ class OpsSpec extends AnyFunSuite {
     val est = Cms.estimate(skHi, hi, "k", dHi, wHi)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(est.values.forall(_ == 1L), "laddered width must make unsaturated estimates exact")
+  }
+
+  test("KMV: bounded k-min-distinct equals distinct-sort-limit; overlap exact unsaturated, bounded saturated") {
+    // the aggregation kernel: heavy duplication across many partitions
+    // must produce exactly the globally smallest k DISTINCT values
+    val vals = (1 to 500).map(i => (i % 97).toLong * 1000003L)
+    val got = vals.toDF("h").repartition(13)
+      .select(graft.functions.KMinAgg.k_min_distinct(16)(col("h")))
+      .head().getSeq[Long](0)
+    assert(got === vals.map(_.toLong).distinct.sorted.take(16))
+
+    // unsaturated sketches ARE the distinct sets: every estimate exact
+    val r1 = Kmv.overlap((1L to 40L).toDF("k"), (21L to 60L).toDF("k"), "k", 256).head()
+    assert(r1.getAs[Long]("est_a") === 40L && r1.getAs[Long]("est_b") === 40L)
+    assert(r1.getAs[Long]("est_union") === 60L)
+    assert(r1.getAs[Long]("inter_in_k") === 20L)
+    assert(r1.getAs[Long]("jaccard_ppm") === 333333L) // (20 * 1e6) div 60
+    assert(r1.getAs[Long]("est_intersection") === 20L)
+
+    // saturated: the order-statistic estimator lands inside the
+    // ~1/sqrt(k) envelope on every derived quantity
+    val r2 = Kmv.overlap((1L to 20000L).toDF("k"), (10001L to 30000L).toDF("k"), "k", 1024).head()
+    def within(est: Long, truth: Long, tol: Double) =
+      assert(math.abs(est - truth) <= truth * tol, s"estimate $est vs $truth (tol $tol)")
+    within(r2.getAs[Long]("est_a"), 20000L, 0.15)
+    within(r2.getAs[Long]("est_b"), 20000L, 0.15)
+    within(r2.getAs[Long]("est_union"), 30000L, 0.15)
+    within(r2.getAs[Long]("jaccard_ppm"), 333333L, 0.25)
+    within(r2.getAs[Long]("est_intersection"), 10000L, 0.30)
   }
 
   test("scd2Init: valid_to takes ts's own type (timestamp ts => timestamp valid_to)") {
