@@ -648,7 +648,45 @@ object Relational {
     graft.ops.Cdc.applyChanges(changes, Seq("o_orderkey"), "seq", "op")
   }
 
+  /** Incremental aggregate maintenance ([[graft.ops.Ivm]]): the
+    * pre-1997 order history lives only as its stored per-priority
+    * summary; the 1997+ delta is the sole row-proportional scan of the
+    * refresh. The oracle is the FULL recompute over all orders — the
+    * algebraic identity (partial-aggregate merge ≡ recompute) is the
+    * thing under test, bit-for-bit. */
+  private val aggIncrementalMaintain = Q(
+    "rel_agg_incremental_maintain",
+    """SELECT o_orderpriority, count(*) AS cnt,
+      |  CAST(sum(v) AS BIGINT) AS sum_cents, min(v) AS min_cents, max(v) AS max_cents
+      |FROM (SELECT o_orderpriority,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |      FROM orders)
+      |GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    val o = orders(s, d).select(
+      col("o_orderpriority"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderdate"),
+    )
+    val split  = "1997-01-01"
+    val stored = graft.ops.Ivm.summarize(
+      o.filter(col("o_orderdate") < split).drop("o_orderdate"),
+      Seq("o_orderpriority"),
+      Seq("cents"),
+    )
+    graft.ops.Ivm
+      .maintain(
+        stored,
+        o.filter(col("o_orderdate") >= split).drop("o_orderdate"),
+        Seq("o_orderpriority"),
+        Seq("cents"),
+      )
+      .select(col("o_orderpriority"), col("cnt"),
+        col("sum_cents"), col("min_cents"), col("max_cents"))
+  }
+
   val all: Seq[Q] = Seq(
+    aggIncrementalMaintain,
     scd2Customer,
     scd2HardDelete,
     scd2AsofJoin,

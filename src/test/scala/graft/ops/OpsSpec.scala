@@ -1920,6 +1920,55 @@ class OpsSpec extends AnyFunSuite {
     assert(est.values.forall(_ == 1L), "laddered width must make unsaturated estimates exact")
   }
 
+  test("Ivm: maintain == full recompute; merge closure over batches; no base rescan from a stored table") {
+    import graft.ops.Ivm
+    def batch(rows: (String, Option[Long])*) = rows.toDF("k", "v")
+    val b1 = batch("a" -> Some(10L), "a" -> Some(2L), "b" -> Some(5L), "c" -> None)
+    val b2 = batch("a" -> Some(7L), "d" -> Some(100L)) // d: new key; b,c: quiet keys
+    val b3 = batch("c" -> None, "b" -> Some(-3L))      // c stays all-null through merges
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "cnt", "sum_v", "min_v", "max_v").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+
+    // closure: ((summarize b1 ∪ b2) ∪ b3) == summarize(b1 ∪ b2 ∪ b3)
+    val incremental = Ivm.maintain(
+      Ivm.maintain(Ivm.summarize(b1, Seq("k"), Seq("v")), b2, Seq("k"), Seq("v")),
+      b3, Seq("k"), Seq("v"))
+    val full = Ivm.summarize(b1.unionByName(b2).unionByName(b3), Seq("k"), Seq("v"))
+    assert(canon(incremental) === canon(full))
+    val got = canon(incremental)
+    assert(got("d") === ((1L, Some(100L), Some(100L), Some(100L))), "delta-only key passes through")
+    assert(got("c") === ((2L, None, None, None)), "all-null group stays null, never 0")
+    assert(got("b") === ((2L, Some(2L), Some(-3L), Some(5L))))
+
+    // refresh from a STORED aggregate: the physical plan scans exactly
+    // the stored summary and the delta — the base rows never appear
+    val dir = java.nio.file.Files.createTempDirectory("ivm").toString
+    Ivm.summarize(b1, Seq("k"), Seq("v")).write.mode("overwrite").parquet(s"$dir/agg")
+    val refreshed = Ivm.maintain(
+      spark.read.parquet(s"$dir/agg"), b2.unionByName(b3), Seq("k"), Seq("v"))
+    assert(canon(refreshed) === canon(full))
+    // AQE wraps stages in leaf nodes — walk through them (the
+    // PlanSpec.numFiles convention) before collecting file scans
+    def fileScans(n: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+      val self =
+        if (n.children.isEmpty && n.nodeName.toLowerCase.contains("scan") &&
+          n.toString.toLowerCase.contains("parquet")) Seq(n.toString)
+        else Nil
+      val kids = n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case sq: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(sq.plan)
+        case other                                                      => other.children
+      }
+      self ++ kids.flatMap(fileScans)
+    }
+    val scans = fileScans(refreshed.queryExecution.executedPlan)
+    assert(scans.length === 1 && scans.head.contains("agg"),
+      s"the only file scan must be the stored aggregate (deltas here are local relations): $scans")
+  }
+
   test("KMV: bounded k-min-distinct equals distinct-sort-limit; overlap exact unsaturated, bounded saturated") {
     // the aggregation kernel: heavy duplication across many partitions
     // must produce exactly the globally smallest k DISTINCT values
