@@ -60,6 +60,61 @@ object Graph {
     ).toDF("nodes", "edges", "wedges", "triangles", "closure_ppm")
   }
 
+  /** k-core decomposition by iterative peeling — the fourth graph-family
+    * member (components, PageRank, triangles): repeatedly delete every
+    * node of degree < k until none remains; what survives is the
+    * maximal subgraph with minimum degree ≥ k, the standard "dense
+    * cohesive core" extraction (Seidman 1983) used for spam/bot cluster
+    * isolation and influence seeding.
+    *
+    * Each round is exactly the connected-components/PageRank shape: one
+    * degree aggregation (union of both endpoint projections) plus two
+    * semi-joins filtering the edge list — shuffles carry node keys
+    * only. Rounds are lineage-cut with `localCheckpoint` (the
+    * [[PageRank]] cadence), whose eager materialization also yields the
+    * per-round edge count for FREE — and since peeling only ever
+    * REMOVES edges, an unchanged count is a proven fixpoint, so the
+    * loop exits early instead of running no-op rounds (`rounds` is the
+    * safety bound that keeps the unrolled SQL-oracle form finite; extra
+    * rounds past the fixpoint are no-ops in both engines, so a capped
+    * run and a converged run agree bit-for-bit whenever the cap is not
+    * binding).
+    *
+    * @param edges canonical undirected edge list (`a`, `b`),
+    *              deduplicated, a ≠ b (the [[triangleCensus]] contract).
+    * @return one row per surviving node: `n`, `deg` (its degree inside
+    *         the peeled subgraph — ≥ k at a reached fixpoint). */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k-core needs k >= 1, got $k")
+    require(rounds >= 1, s"k-core needs rounds >= 1, got $rounds")
+    var e = edges.select(col("a"), col("b")).localCheckpoint()
+    var prev = e.count()
+    var done = false
+    var i    = 0
+    while (i < rounds && !done) {
+      i += 1
+      val deg = e
+        .select(col("a").as("n"))
+        .unionAll(e.select(col("b").as("n")))
+        .groupBy("n")
+        .agg(count(lit(1)).as("d"))
+      val keep = deg.where(col("d") >= k).select("n")
+      val next = e
+        .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      val c = next.count()
+      done = c == prev // removal-only ⇒ equal count ⇒ identical edge set
+      prev = c
+      e = next
+    }
+    e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy("n")
+      .agg(count(lit(1)).as("deg"))
+  }
+
   /** The lazy census dataflow over a (possibly persisted) canonical
     * edge list — separated from [[triangleCensus]]'s eager wrapper so
     * its physical plan can be pinned in PlanSpec (the eager form's

@@ -32,7 +32,7 @@ object MiscQueries {
     )
 
   private val tradeConsumers =
-    Set("misc_pagerank_trade", "misc_pagerank_weighted", "misc_triangle_census")
+    Set("misc_pagerank_trade", "misc_pagerank_weighted", "misc_triangle_census", "misc_kcore")
 
   /** Same contract as [[DedupQueries.prewarmShared]]: build the shared
     * trade projection under the bench's `shared_build` accounting when
@@ -630,25 +630,33 @@ object MiscQueries {
       |               ELSE (3 * (SELECT t FROM tri) * 1000000) // (w2 // 2) END
       |   FROM w) AS closure_ppm""".stripMargin,
   ) { (s, d) =>
-    // Edge build avoids the naive pc⋈pc self-join (which reads the
-    // pair projection three times): the per-part customer set is
-    // aggregated ONCE — the ≤20 cap is enforced by a distinct-count
-    // semi-join BEFORE collect_set, so no row ever materializes an
-    // uncapped set — and the a<b pairs come from exploding the sorted
-    // set (map-side, ≤ C(20,2) per part). After the cap join the data
-    // is already hash-partitioned by pk, so the collect_set aggregation
-    // shuffles nothing.
-    // `raw` (the lineitem⋈orders projection — the query's dominant
-    // linear term) feeds both the cap aggregation and the semi-join
-    // probe; it reads [[sharedTradeRows]] (persisted, shared with the
-    // two PageRank queries), so it is computed once per corpus.
+    graft.ops.Graph.triangleCensus(coPurchaseEdges(s, d))
+  }
+
+  /** Capped co-purchase edge list (customers sharing a part), shared by
+    * the triangle census and k-core. The build avoids the naive pc⋈pc
+    * self-join (which reads the pair projection three times): the
+    * per-part customer set is aggregated ONCE — the ≤20 cap is enforced
+    * by a distinct-count semi-join BEFORE collect_set, so no row ever
+    * materializes an uncapped set — and the a<b pairs come from
+    * exploding the sorted set (map-side, ≤ C(20,2) per part). After the
+    * cap join the data is already hash-partitioned by pk, so the
+    * collect_set aggregation shuffles nothing.
+    * `raw` (the lineitem⋈orders projection — the build's dominant
+    * linear term) feeds both the cap aggregation and the semi-join
+    * probe; it reads [[sharedTradeRows]] (persisted, shared with the
+    * two PageRank queries), so it is computed once per corpus. */
+  private def coPurchaseEdges(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame = {
     val raw = sharedTradeRows(s, d).select(col("pk"), col("ck"))
     val ok = raw
       .groupBy("pk")
       .agg(countDistinct(col("ck")).as("c"))
       .where(col("c") <= 20)
       .select("pk")
-    val edges = raw
+    raw
       .join(ok, Seq("pk"), "left_semi")
       .groupBy("pk")
       .agg(sort_array(collect_set(col("ck"))).as("cks"))
@@ -662,7 +670,6 @@ object MiscQueries {
       )
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
-    graft.ops.Graph.triangleCensus(edges)
   }
 
   /** One-pass column profiler ([[graft.ops.Profile.profile]]): the
@@ -1123,6 +1130,50 @@ object MiscQueries {
     )
   }
 
+  /** k-core decomposition ([[graft.ops.Graph.kcore]]) of the capped
+    * co-purchase graph: the dense-cohort extraction (peel nodes of
+    * degree < 16 until fixpoint — at this corpus the cascade genuinely
+    * iterates: round 1 removes low-degree customers, which drops
+    * neighbors below 16 for round 2). The oracle unrolls 4 peel rounds
+    * as CTEs (the PageRank convention); the Spark side runs the same 4
+    * rounds with a proven-fixpoint early exit, so both agree whether or
+    * not the cap binds. */
+  private val kcoreQ = Q(
+    "misc_kcore",
+    """WITH pc AS (
+      |  SELECT DISTINCT l_partkey AS pk, o_custkey AS ck
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |ok AS (SELECT pk FROM pc GROUP BY pk HAVING count(*) <= 20),
+      |e0 AS (
+      |  SELECT DISTINCT x.ck AS a, y.ck AS b
+      |  FROM pc x JOIN pc y ON x.pk = y.pk AND x.ck < y.ck
+      |  JOIN ok ON ok.pk = x.pk),
+      |d1 AS (SELECT n, count(*) AS c
+      |       FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+      |k1 AS (SELECT n FROM d1 WHERE c >= 16),
+      |e1 AS (SELECT a, b FROM e0
+      |       WHERE a IN (SELECT n FROM k1) AND b IN (SELECT n FROM k1)),
+      |d2 AS (SELECT n, count(*) AS c
+      |       FROM (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+      |k2 AS (SELECT n FROM d2 WHERE c >= 16),
+      |e2 AS (SELECT a, b FROM e1
+      |       WHERE a IN (SELECT n FROM k2) AND b IN (SELECT n FROM k2)),
+      |d3 AS (SELECT n, count(*) AS c
+      |       FROM (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+      |k3 AS (SELECT n FROM d3 WHERE c >= 16),
+      |e3 AS (SELECT a, b FROM e2
+      |       WHERE a IN (SELECT n FROM k3) AND b IN (SELECT n FROM k3)),
+      |d4 AS (SELECT n, count(*) AS c
+      |       FROM (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1),
+      |k4 AS (SELECT n FROM d4 WHERE c >= 16),
+      |e4 AS (SELECT a, b FROM e3
+      |       WHERE a IN (SELECT n FROM k4) AND b IN (SELECT n FROM k4))
+      |SELECT n, count(*) AS deg
+      |FROM (SELECT a AS n FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Graph.kcore(coPurchaseEdges(s, d), k = 16, rounds = 4)
+  }
+
   /** KMV bottom-k overlap sketch ([[graft.ops.Kmv]]): the customer
     * DIMENSION vs the customers actually placing orders, compared
     * entirely through two 256-hash sketches — distinct counts per side,
@@ -1173,5 +1224,5 @@ object MiscQueries {
       pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
       cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns, profileApproxQ,
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
-      corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ)
+      corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ)
 }

@@ -71,6 +71,38 @@ class GraphProfileSpec extends AnyFunSuite {
     assert(r.getAs[Long]("edges") === edges.size.toLong)
   }
 
+  private def kcoreMap(edges: Seq[(Long, Long)], k: Int, rounds: Int = 8): Map[Long, Long] =
+    Graph.kcore(edges.toDF("a", "b"), k, rounds)
+      .collect().map(r => r.getAs[Long]("n") -> r.getAs[Long]("deg")).toMap
+
+  test("kcore: K4 with a pendant tail — the 3-core is exactly the clique") {
+    val k4   = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val tail = Seq((4L, 5L), (5L, 6L)) // pendant path hanging off the clique
+    val core = kcoreMap(k4 ++ tail, k = 3)
+    // round 1 peels node 6 (deg 1) and 5 (deg 2); node 4 drops from
+    // deg 4 back to 3 — still in. The clique survives intact.
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kcore: a path cascades to empty — peeling must actually iterate") {
+    // path a-b-c-d: degrees 1,2,2,1. Round 1 removes the ends, which
+    // drops b,c to degree 1; only round 2 can remove them. A
+    // single-pass 'filter by initial degree' would wrongly keep {b,c}.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(kcoreMap(path, k = 2).isEmpty)
+    // with k=1 nothing peels: the fixpoint early-exit must still
+    // terminate well before the round cap and return everyone
+    assert(kcoreMap(path, k = 1) === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("kcore: round cap binds — a capped run equals the same number of unrolled rounds") {
+    // long path: full peeling needs length/2 rounds; cap at 1 round and
+    // compare against a hand-computed single peel (ends removed only)
+    val path = (1L to 8L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val one  = kcoreMap(path, k = 2, rounds = 1)
+    assert(one === Map(2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 2L, 6L -> 2L, 7L -> 1L))
+  }
+
   test("profiler: nulls, exact cardinality, numeric vs string ranges") {
     val df = Seq(
       (Some(3L), Some("b")),
