@@ -74,6 +74,7 @@ object StreamingQueries {
   private val timeSplitConsumers = Set(
     "stream_dedup", "stream_funnel_steps", "stream_left_outer_join", "stream_session_window",
     "stream_cms_sketch", "stream_rate_anomaly", "stream_profile", "stream_dist_drift",
+    "stream_agg_maintain",
   )
   private val docSplitConsumers =
     Set("stream_decontaminate", "stream_reservoir_sample", "stream_left_outer_join",
@@ -1069,8 +1070,69 @@ object StreamingQueries {
     )
   }
 
+  /** Streaming incremental aggregate maintenance ([[graft.ops.Ivm]]):
+    * every micro-batch refreshes a STORED parquet summary from itself
+    * alone — `maintain(stored vₙ₋₁, batch) → vₙ` — so each trigger's
+    * row-proportional work is the batch, never the history; versioned
+    * dirs make the refresh idempotent-by-replacement (the staging
+    * convention, minus the claim protocol this scratch gate doesn't
+    * need). The final version after the 3-batch replay must equal the
+    * one-shot batch aggregate — the algebraic closure the oracle
+    * recomputes. This is the foreachBatch shape production IVM takes
+    * when the sink must stay a queryable table between triggers (the
+    * in-engine alternative is a complete-mode streaming agg, which
+    * [[cmsStream]] already exercises). */
+  private val ivmStream = Q(
+    "stream_agg_maintain",
+    """SELECT event_type, count(*) AS cnt,
+      |  CAST(sum(v) AS BIGINT) AS sum_cents, min(v) AS min_cents, max(v) AS max_cents
+      |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events)
+      |GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    val schema = graft.Tables.events(s, d).schema
+    val stream = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+    val aggDir  = scratchDir("graft_ivm_agg").toString
+    val version = new java.util.concurrent.atomic.AtomicInteger(-1)
+    withStatePartitions(s, 4) {
+      withScratchCheckpoint("graft_ckpt_ivm") { ckpt =>
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val proj = batch.select(
+              col("event_type"),
+              expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+            )
+            val summary = graft.ops.Ivm.summarize(proj, Seq("event_type"), Seq("cents"))
+            val prev    = version.get()
+            val next =
+              if (prev < 0) summary
+              else
+                graft.ops.Ivm.merge(
+                  batch.sparkSession.read.parquet(s"$aggDir/v=$prev"),
+                  summary,
+                  Seq("event_type"),
+                  Seq("cents"),
+                )
+            next.write.mode("overwrite").parquet(s"$aggDir/v=${prev + 1}")
+            version.set(prev + 1)
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    s.read
+      .parquet(s"$aggDir/v=${version.get()}")
+      .select(col("event_type"), col("cnt"), col("sum_cents"), col("min_cents"),
+        col("max_cents"))
+  }
+
   val all: Seq[Q] =
     Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream,
       decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream,
-      cmsStream, bpeDriftStream, rateAnomalyStream, profileStream, distDriftStream)
+      cmsStream, bpeDriftStream, rateAnomalyStream, profileStream, distDriftStream, ivmStream)
 }
