@@ -1003,6 +1003,31 @@ object DedupQueries {
     * hash-sharded for the training writer. The oracle replays the
     * full chain: text-pipeline CTEs → survivor strata counts →
     * integerized √-weights → rate predicate → shard hash. */
+  /** Sorted-neighborhood blocking ([[graft.ops.Blocking]]): candidate
+    * pairs from a sliding window of 4 over the corpus ordered by
+    * (length, doc_id) — the entity-resolution candidate generator for
+    * keys that are CLOSE but not equal, which every exact-key block in
+    * this suite misses by construction. The Spark side composes the
+    * global rank histogram-first (no corpus sort) and pairs via the
+    * two-block equi-join; the oracle states the same set with a plain
+    * `row_number()` + rank-distance self-join — the equivalence of the
+    * two formulations is the thing under test. */
+  private val snmPairsQ = Q(
+    "ddp_snm_pairs",
+    """WITH r AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk
+      |  FROM documents WHERE n_chars IS NOT NULL)
+      |SELECT x.doc_id AS a_id, y.doc_id AS b_id, y.rk - x.rk AS gap
+      |FROM r x JOIN r y ON y.rk > x.rk AND y.rk < x.rk + 4""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Blocking.snmPairs(
+      documents(s, d).select(col("doc_id"), col("n_chars").cast("long").as("n_chars")),
+      "n_chars",
+      "doc_id",
+      window = 4,
+    )
+  }
+
   private val corpusMix = Q(
     "ddp_corpus_mix",
     s"""WITH RECURSIVE $corpusTextCtes,
@@ -1075,5 +1100,5 @@ object DedupQueries {
       dedupKeepBest,
       semdedupBest, embeddingPairs,
       embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, decontaminate, corpusPrepare,
-      corpusPrepareEmb, componentSplitQ, corpusMix)
+      corpusPrepareEmb, componentSplitQ, corpusMix, snmPairsQ)
 }

@@ -1920,6 +1920,38 @@ class OpsSpec extends AnyFunSuite {
     assert(est.values.forall(_ == 1L), "laddered width must make unsaturated estimates exact")
   }
 
+  test("Blocking: histogram-first SNM rank == row_number; pairs == brute rank-distance; nulls excluded") {
+    import graft.ops.Blocking
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties + a null key + non-contiguous ids, across partitions
+    val df = Seq(
+      (10L, Some(5L)), (11L, Some(5L)), (12L, Some(5L)), (13L, Some(1L)),
+      (14L, Some(9L)), (15L, Some(9L)), (16L, Some(2L)), (17L, None),
+      (18L, Some(7L)), (19L, Some(7L)), (20L, Some(3L)), (21L, Some(8L)),
+    ).toDF("id", "k").repartition(5)
+    val viaHist = Blocking.snmRank(df, "k", "id").select("id", "rank")
+    val viaWindow = df.filter(col("k").isNotNull).select(
+      col("id"),
+      (row_number().over(Window.orderBy(col("k"), col("id"))) - 1).cast("long").as("rank"),
+    )
+    assert(viaHist.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaHist).isEmpty)
+    assert(viaHist.count() === 11L, "the null-key row must be excluded, nothing else")
+
+    // pair generation: the two-block equi-join must reproduce the brute
+    // rank-distance join exactly — including pairs straddling a block
+    // boundary (w=3 over 11 ranks has boundaries at 3, 6, 9)
+    def pairSet(p: org.apache.spark.sql.DataFrame) = p.select("a_id", "b_id", "gap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = pairSet(Blocking.snmPairs(df, "k", "id", window = 3))
+    val r   = viaWindow.collect().map(x => x.getLong(0) -> x.getLong(1))
+    val brute = (for {
+      (ia, ra) <- r; (ib, rb) <- r
+      if rb > ra && rb < ra + 3
+    } yield (ia, ib, rb - ra)).toSet
+    assert(got === brute)
+    assert(got.exists { case (_, _, g) => g == 2L }, "window > adjacency must contribute pairs")
+  }
+
   test("Ivm: maintain == full recompute; merge closure over batches; no base rescan from a stored table") {
     import graft.ops.Ivm
     def batch(rows: (String, Option[Long])*) = rows.toDF("k", "v")
