@@ -274,6 +274,57 @@ object Multimodal {
       i => content.substr(lit(1) + i * greatest(octet_length(content).cast("int") / n, lit(1)).cast("int"), lit(frameBytes)),
     )
 
+  /** Perceptual hash (aHash, the average-hash family every image-dedup
+    * pipeline starts with): the payload's [[audioWindowEnergy]] cell
+    * energies — the deterministic stand-in for the decoded-pixel grid a
+    * real image pipeline would average — thresholded against the
+    * payload's own mean: bit w = 1 iff cell w's energy is strictly
+    * above the mean of the first `cells` cells. Two re-encodes of the
+    * same content that differ in a few bytes land on the same or a
+    * near hash, which byte-exact [[dedupBinary]] cannot see.
+    *
+    * Composition is the multimodal story: batched DECODE (the
+    * [[MediaDecoder]] contract) → per-cell energies → one bounded
+    * collect_list per doc (≤ `cells` structs — the per-group state is
+    * the GRID, never the payload) → a map-only higher-order fold for
+    * mean-threshold bits. Payload bytes never shuffle; the signature is
+    * integer arithmetic end-to-end, so a SQL engine replays every bit.
+    * Docs with an empty payload have no cells and no hash (absent, the
+    * [[audioWindowEnergy]] convention).
+    *
+    * `cells` ≤ 63 keeps the hash in a BIGINT. With the default 16
+    * cells this is an EXACT-match signature (group on it — see
+    * [[phashGroups]]); Hamming-banded pair generation wants ≥ 64 bits
+    * to keep band buckets selective at corpus scale, which byte-stream
+    * cells cannot honestly provide on short documents — that fuzzy
+    * ladder lives in [[Similarity]]/[[Dedup]] over 64-bit SimHash. */
+  def perceptualHash(media: DataFrame, cells: Int = 16, cellBytes: Int = 64): DataFrame = {
+    require(cells >= 1 && cells <= 63, s"cells must fit a BIGINT bit index, got $cells")
+    audioWindowEnergy(media, cellBytes)
+      .where(col("window_id") < cells)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("window_id").as("w"), col("energy").as("e"))).as("cs"))
+      .select(
+        col("doc_id"),
+        expr(
+          // strict >: an all-equal grid (e.g. constant bytes) hashes to 0
+          // rather than all-ones, matching the aHash convention
+          """aggregate(cs, 0L, (acc, c) ->
+            |  acc + CASE WHEN c.e * size(cs) > aggregate(cs, 0L, (a2, c2) -> a2 + c2.e)
+            |             THEN shiftleft(1L, c.w) ELSE 0L END)""".stripMargin
+        ).as("phash"),
+      )
+  }
+
+  /** Perceptual dedup groups: one hash-groupBy on [[perceptualHash]] —
+    * the multimodal twin of [[Dedup.exactGroups]] one level up the
+    * robustness ladder from [[dedupBinary]] (byte-identical →
+    * perceptually-identical). Shuffles (phash, id) pairs only. */
+  def phashGroups(media: DataFrame, cells: Int = 16, cellBytes: Int = 64): DataFrame =
+    perceptualHash(media, cells, cellBytes)
+      .groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+
   /** Exact dedup over the binary payload — the multimodal twin of
     * [[Dedup.exactGroups]]: identical byte streams (re-crawled images,
     * re-encoded copies of the same upload) collapse on their 128-bit

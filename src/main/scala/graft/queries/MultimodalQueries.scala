@@ -100,5 +100,35 @@ object MultimodalQueries {
     Multimodal.audioWindowEnergy(Multimodal.packDocuments(documents(s, d)))
   }
 
-  val all: Seq[Q] = Seq(binaryMeta, features, dedupBinary, frameSampleQ, audioWindows)
+  /** Perceptual-hash dedup groups ([[Multimodal.phashGroups]]): the
+    * aHash signature (16 mean-thresholded cell energies over the
+    * decoded byte grid) grouped exactly — the robustness step above
+    * byte-identical `mm_dedup_binary`. The oracle replays the byte
+    * arithmetic (`ascii(substr(...))`, pure-ASCII corpus), the
+    * per-doc mean threshold, and the bit assembly. */
+  private val phashGroupsQ = Q(
+    "mm_phash_groups",
+    """WITH b AS (
+      |  SELECT doc_id, CAST((i - 1) // 64 AS INT) AS w,
+      |    ascii(substr(text, CAST(i AS INT), 1)) AS v
+      |  FROM documents, unnest(generate_series(1, octet_length(encode(text)))) AS t(i)),
+      |cell AS (
+      |  SELECT doc_id, w, CAST(sum(v * v) AS BIGINT) AS e
+      |  FROM b WHERE w < 16 GROUP BY 1, 2),
+      |st AS (
+      |  SELECT doc_id, w, e, sum(e) OVER (PARTITION BY doc_id) AS tot,
+      |         count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM cell),
+      |ph AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN e * n > tot THEN (CAST(1 AS BIGINT) << w) ELSE 0 END)
+      |      AS BIGINT) AS phash
+      |  FROM st GROUP BY 1)
+      |SELECT phash, min(doc_id) AS keep_id, count(*) AS n_docs FROM ph GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    Multimodal.phashGroups(Multimodal.packDocuments(documents(s, d)))
+  }
+
+  val all: Seq[Q] =
+    Seq(binaryMeta, features, dedupBinary, frameSampleQ, audioWindows, phashGroupsQ)
 }

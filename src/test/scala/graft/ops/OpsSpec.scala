@@ -958,6 +958,27 @@ class OpsSpec extends AnyFunSuite {
     assert(new String(frames.head, "UTF-8") === "wide")
   }
 
+  test("perceptualHash: mean-threshold bits hand-checked; constant grid hashes 0; groups collapse re-encodes") {
+    // cells of 4 bytes, 4 cells. doc 1: one loud cell then quiet ones →
+    // only bit 0 set. doc 2: constant bytes → all-equal grid → 0 (strict >).
+    // doc 3: a "re-encode" of doc 1 (different bytes, same loud/quiet
+    // shape) → same hash. doc 4: empty payload → no hash row.
+    val docs = Seq(
+      (1L, "~~~~" + "!" * 12, "s"), // loud cell 0 (126²), quiet 1-3 (33²)
+      (2L, "aaaaaaaaaaaaaaaa", "s"),
+      (3L, "}}}}" + "#" * 12, "s"), // same loud/quiet shape, different bytes
+      (4L, "", "s"),
+    ).toDF("doc_id", "text", "source")
+    val media = Multimodal.packDocuments(docs)
+    val ph = Multimodal.perceptualHash(media, cells = 4, cellBytes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph === Map(1L -> 1L, 2L -> 0L, 3L -> 1L), "empty payload must yield no hash row")
+    val groups = Multimodal.phashGroups(media, cells = 4, cellBytes = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(groups === Map(1L -> ((1L, 2L)), 0L -> ((2L, 1L))),
+      "perceptually identical re-encodes must share a group byte-exact dedup would split")
+  }
+
   test("ivfAppend: incremental index equals from-scratch rebuild; delta-only assignment; probes agree") {
     val gen = new scala.util.Random(7)
     val vecs = (0L until 60L).map(i => (i, Array.fill(16)(gen.nextFloat() * 2 - 1)))
