@@ -115,6 +115,49 @@ object Graph {
       .agg(count(lit(1)).as("deg"))
   }
 
+  /** Synchronous label propagation (Raghavan 2007's LPA, the
+    * near-linear community detector) — the fifth graph-family member:
+    * every node starts labeled with itself; each round it adopts the
+    * most frequent label among its neighbors AND itself (the self-vote
+    * variant — without it, synchronous LPA provably oscillates on
+    * bipartite graphs, and the trade graph IS bipartite), ties broken
+    * by SMALLEST label so every round is a deterministic function of
+    * the previous labeling — the property that lets a SQL oracle
+    * replay `rounds` rounds as unrolled CTEs and hash-match exactly
+    * (classic LPA randomizes update order; determinism here is a
+    * deliberate semantic choice, same as the integer-ppm PageRank).
+    *
+    * Round shape: one join (labels onto edge sources) + one
+    * (node, label) count + one per-node argmax — all equi-keyed; the
+    * argmax is `min(struct(-count, label))`, a plain aggregation, NOT
+    * a per-node window (no sort, ties resolved inside the struct
+    * comparison). Labels are node ids, so state is one row per node
+    * per round; lineage is cut on the [[PageRank]] cadence.
+    *
+    * @param edges symmetric directed edge list (`src`, `dst`) — pass
+    *              both directions for an undirected graph.
+    * @return (`id`, `label`) after `rounds` synchronous rounds. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"label propagation needs rounds >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("dst").as("id")).distinct().localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (i <- 1 to rounds) {
+      val votes = e
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+        .unionAll(labels) // the self-vote
+        .groupBy(col("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      labels = votes
+        .groupBy(col("id"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("id"), col("m.l").as("label"))
+      if (i % 3 == 0 || i == rounds) labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
   /** The lazy census dataflow over a (possibly persisted) canonical
     * edge list — separated from [[triangleCensus]]'s eager wrapper so
     * its physical plan can be pinned in PlanSpec (the eager form's

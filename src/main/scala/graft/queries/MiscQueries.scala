@@ -32,7 +32,8 @@ object MiscQueries {
     )
 
   private val tradeConsumers =
-    Set("misc_pagerank_trade", "misc_pagerank_weighted", "misc_triangle_census", "misc_kcore")
+    Set("misc_pagerank_trade", "misc_pagerank_weighted", "misc_triangle_census", "misc_kcore",
+      "misc_labelprop")
 
   /** Same contract as [[DedupQueries.prewarmShared]]: build the shared
     * trade projection under the bench's `shared_build` accounting when
@@ -1174,6 +1175,61 @@ object MiscQueries {
     graft.ops.Graph.kcore(coPurchaseEdges(s, d), k = 16, rounds = 4)
   }
 
+  /** Deterministic label propagation ([[graft.ops.Graph.labelPropagation]])
+    * over the symmetric trade graph: 3 synchronous self-vote rounds,
+    * smallest-label tie-break — the community-detection member of the
+    * graph family, replayed by the oracle as unrolled CTE rounds with
+    * `row_number() OVER (ORDER BY c DESC, label)` standing in for the
+    * Spark side's min-struct argmax (same selection, both engines). */
+  private val labelPropQ = Q(
+    "misc_labelprop",
+    """WITH pairs AS (
+      |  SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT 's:' || CAST(sk AS VARCHAR) AS src, 'c:' || CAST(ck AS VARCHAR) AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT 'c:' || CAST(ck AS VARCHAR), 's:' || CAST(sk AS VARCHAR) FROM pairs),
+      |l0 AS (SELECT DISTINCT dst AS id, dst AS label FROM edges),
+      |v1 AS (SELECT id, label, count(*) AS c FROM (
+      |         SELECT e.dst AS id, l.label FROM edges e JOIN l0 l ON l.id = e.src
+      |         UNION ALL SELECT id, label FROM l0) GROUP BY 1, 2),
+      |l1 AS (SELECT id, label FROM (
+      |         SELECT id, label,
+      |           row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+      |         FROM v1) WHERE rn = 1),
+      |v2 AS (SELECT id, label, count(*) AS c FROM (
+      |         SELECT e.dst AS id, l.label FROM edges e JOIN l1 l ON l.id = e.src
+      |         UNION ALL SELECT id, label FROM l1) GROUP BY 1, 2),
+      |l2 AS (SELECT id, label FROM (
+      |         SELECT id, label,
+      |           row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+      |         FROM v2) WHERE rn = 1),
+      |v3 AS (SELECT id, label, count(*) AS c FROM (
+      |         SELECT e.dst AS id, l.label FROM edges e JOIN l2 l ON l.id = e.src
+      |         UNION ALL SELECT id, label FROM l2) GROUP BY 1, 2),
+      |l3 AS (SELECT id, label FROM (
+      |         SELECT id, label,
+      |           row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+      |         FROM v3) WHERE rn = 1)
+      |SELECT id, label FROM l3""".stripMargin,
+  ) { (s, d) =>
+    val pairs = sharedTradeRows(s, d).select(col("sk"), col("ck")).distinct()
+    val sNode = concat(lit("s:"), col("sk").cast("string"))
+    val cNode = concat(lit("c:"), col("ck").cast("string"))
+    val edges = pairs
+      .select(
+        explode(
+          array(
+            struct(sNode.as("src"), cNode.as("dst")),
+            struct(cNode.as("src"), sNode.as("dst")),
+          )
+        ).as("e")
+      )
+      .select(col("e.src"), col("e.dst"))
+    graft.ops.Graph.labelPropagation(edges, rounds = 3)
+  }
+
   /** KMV bottom-k overlap sketch ([[graft.ops.Kmv]]): the customer
     * DIMENSION vs the customers actually placing orders, compared
     * entirely through two 256-hash sketches — distinct counts per side,
@@ -1224,5 +1280,6 @@ object MiscQueries {
       pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
       cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns, profileApproxQ,
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
-      corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ)
+      corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ,
+      labelPropQ)
 }

@@ -103,6 +103,34 @@ class GraphProfileSpec extends AnyFunSuite {
     assert(one === Map(2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 2L, 6L -> 2L, 7L -> 1L))
   }
 
+  private def lpaMap(und: Seq[(String, String)], rounds: Int): Map[String, String] = {
+    val sym = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    Graph.labelPropagation(sym.toDF("src", "dst"), rounds)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("labelPropagation: two cliques joined by a bridge resolve to two communities") {
+    def clique(ns: Seq[String]) = for { a <- ns; b <- ns if a < b } yield (a, b)
+    val g = clique(Seq("a1", "a2", "a3", "a4")) ++ clique(Seq("b1", "b2", "b3", "b4")) ++
+      Seq(("a4", "b1")) // one bridge edge
+    val labels = lpaMap(g, rounds = 3)
+    assert(Seq("a1", "a2", "a3", "a4").map(labels).distinct === Seq("a1"),
+      s"clique A must converge to its min label: $labels")
+    assert(Seq("b2", "b3", "b4").map(labels).distinct === Seq("b1"),
+      s"clique B must converge to its min label: $labels")
+  }
+
+  test("labelPropagation: self-vote keeps a bipartite pair stable (no oscillation)") {
+    // plain synchronous LPA on a single edge swaps labels forever; the
+    // self-vote + min tie-break settles on the smaller endpoint label
+    // and must be at a FIXPOINT: rounds 2 and 3 agree with round 1 once
+    // converged (round parity must not matter)
+    val l2 = lpaMap(Seq(("x", "y")), rounds = 2)
+    val l3 = lpaMap(Seq(("x", "y")), rounds = 3)
+    assert(l2 === Map("x" -> "x", "y" -> "x") && l3 === l2,
+      s"bipartite oscillation: rounds 2/3 gave $l2 / $l3")
+  }
+
   test("profiler: nulls, exact cardinality, numeric vs string ranges") {
     val df = Seq(
       (Some(3L), Some("b")),
