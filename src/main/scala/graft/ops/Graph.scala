@@ -115,6 +115,63 @@ object Graph {
       .agg(count(lit(1)).as("deg"))
   }
 
+  /** Multi-source breadth-first search with a hop bound — the
+    * frontier-expansion (Pregel) shape that every distributed graph
+    * engine uses for reachability, seed expansion, and "within N
+    * degrees" audience queries. Each round is one equi-join of the
+    * CURRENT FRONTIER onto the symmetric edge list plus a distinct and
+    * an anti-join against the visited set — shuffles carry node ids
+    * only, and the join's stream side is the frontier, which is
+    * typically a small fraction of the graph (AQE broadcasts it when
+    * it is). State is one (node, dist) row per reached node; rounds
+    * are lineage-cut with `localCheckpoint` (the [[PageRank]] cadence),
+    * whose eager materialization doubles as the empty-frontier check,
+    * so the loop exits as soon as the reachable set saturates instead
+    * of running no-op rounds. First discovery hop IS the BFS distance
+    * (a node enters `dist` exactly once, at its minimal hop), so the
+    * result is deterministic integers under any partitioning — the SQL
+    * oracle replays it as a recursive CTE with `min(d)` and must
+    * hash-match exactly.
+    *
+    * @param edges   canonical undirected edge list (`a`, `b`),
+    *                deduplicated, a ≠ b (the [[triangleCensus]]
+    *                contract).
+    * @param sources one `node` per BFS seed (multi-source is the
+    *                general form; a single seed is a 1-row frame).
+    * @return (`node`, `dist`): every node within `maxHops` of a seed,
+    *         with its exact BFS distance (seeds at 0). */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"BFS needs maxHops >= 0, got $maxHops")
+    val sym = edges
+      .select(col("a").cast("long").as("s"), col("b").cast("long").as("t"))
+      .unionAll(edges.select(col("b").cast("long").as("s"), col("a").cast("long").as("t")))
+      .localCheckpoint()
+    var dist = sources
+      .select(col("node").cast("long").as("node"))
+      .distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist.select("node")
+    var hop      = 0L
+    var done     = false
+    while (hop < maxHops && !done) {
+      hop += 1
+      val next = frontier
+        .join(sym, col("node") === col("s"))
+        .select(col("t").as("node"))
+        .distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop).as("dist"))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionAll(next).localCheckpoint()
+        frontier = next.select("node")
+      }
+    }
+    dist
+  }
+
   /** Synchronous label propagation (Raghavan 2007's LPA, the
     * near-linear community detector) — the fifth graph-family member:
     * every node starts labeled with itself; each round it adopts the

@@ -67,6 +67,45 @@ object Ivm {
       .agg(sum(col("cnt")).as("cnt"), aggs: _*)
   }
 
+  /** Incremental JOIN-view maintenance: given the stored sides of an
+    * inner equi-join view V = A ⋈ B and append-only deltas ΔA, ΔB, the
+    * view delta is the textbook derivative
+    *
+    *   ΔV = ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB
+    *
+    * (algebraically ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, with the ΔA⋈ΔB term folded
+    * into the first join). Each term streams a DELTA against a stored
+    * side — when the delta is small (the nightly-refresh case) AQE
+    * broadcasts it and the stored side is scanned once with the join
+    * key pushed down; neither term ever joins stored-against-stored,
+    * which is the O(|corpus|²) recompute this exists to avoid. At
+    * 100 TB the one stored-side scan per term is the honest cost floor
+    * of index-free delta processing; partitioning the stored tables by
+    * join key (the [[Colocate]] bucketing path) turns it into a pruned
+    * scan of only the delta's key partitions. Composes with
+    * [[summarize]]/[[merge]]: ΔV summarized and merged into the stored
+    * aggregate is a full materialized-view refresh that touches the
+    * base tables only on their delta slices plus one keyed probe.
+    *
+    * Non-key columns of A and B must be disjoint (the usual join-view
+    * contract); both deltas must be append-only (deletes/updates need
+    * retraction — route them through [[Cdc]]/[[Scd]] and rebuild).
+    *
+    * @return the join rows of (A∪ΔA)⋈(B∪ΔB) involving at least one
+    *         delta row — exactly the rows missing from the stored view. */
+  def joinDelta(
+      aOld: DataFrame,
+      deltaA: DataFrame,
+      bOld: DataFrame,
+      deltaB: DataFrame,
+      keys: Seq[String],
+  ): DataFrame = {
+    require(keys.nonEmpty, "need at least one join key")
+    deltaA
+      .join(bOld.unionByName(deltaB), keys)
+      .unionByName(aOld.join(deltaB, keys))
+  }
+
   /** The refresh step: stored aggregate + raw delta rows → updated
     * aggregate. The only row-proportional scan is the DELTA. */
   def maintain(

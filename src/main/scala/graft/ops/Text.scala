@@ -326,6 +326,42 @@ object Text {
     * subtrees differently, defeating exchange reuse), which at web
     * scale doubles the heaviest stage.
     */
+  /** Inverted-index build — retrieval's core artifact (term → posting
+    * list), the batch companion of [[tfIdfTopK]]: per term, its
+    * document frequency `df`, collection frequency `cf`, and a CAPPED
+    * posting list of the `cap` lowest doc ids. The cap is the
+    * load-bearing scale decision: an uncapped `collect_list` on a
+    * stopword term materializes one array entry per document in the
+    * corpus inside a single aggregation buffer — the exact
+    * single-key-blowup failure mode the co-purchase heavy-hitter cap
+    * guards. Here the cap is enforced BEFORE collection by a per-term
+    * `row_number` over the (term, doc) pre-aggregate (map-combinable,
+    * so the explode's raw occurrence volume never shuffles), and the
+    * per-term sort that backs it runs over distinct DOCS per term —
+    * bounded by df, with the truncation making the collected array ≤
+    * `cap` entries always. Real engines shard hot terms' full postings
+    * across blocks; the capped head plus exact (df, cf) is the
+    * honest single-table form, and `df > cap` tells the reader the
+    * list was truncated. Postings are ascending doc ids (index order),
+    * so the row is deterministic under any partitioning.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"posting cap must be >= 1, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf    = terms.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = tf
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("cf"))
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    val postings = tf
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .groupBy("term")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    stats.join(postings, Seq("term"))
+  }
+
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window

@@ -453,6 +453,47 @@ object Events {
     * or summation order, no `exp()`/float decay crossing the engine
     * boundary. The reference point (corpus max day) is a 1-row
     * broadcast. */
+  /** Multi-touch attribution ([[graft.ops.Attribution.attribute]]):
+    * purchase revenue credited to the user's click/view touches in the
+    * preceding 7 days under linear + first + last models at once, all
+    * integer cents (linear remainder to the last touch, so credit
+    * conserves exactly). The oracle replays the interval join, the
+    * three windows, and the div/mod split verbatim. */
+  private val attributionQ = Q(
+    "evt_attribution",
+    """WITH conv AS (
+      |  SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |touch AS (
+      |  SELECT event_id AS touch_id, user_id, ts AS touch_ts, event_type AS touch_type
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |pairs AS (
+      |  SELECT c.conv_id, c.user_id, c.cents, t.touch_id, t.touch_ts, t.touch_type
+      |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+      |   AND t.touch_ts < c.conv_ts AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
+      |shares AS (
+      |  SELECT *, count(*) OVER (PARTITION BY conv_id) AS nt,
+      |    row_number() OVER (PARTITION BY conv_id
+      |                       ORDER BY touch_ts ASC, touch_id ASC) AS rn_first,
+      |    row_number() OVER (PARTITION BY conv_id
+      |                       ORDER BY touch_ts DESC, touch_id DESC) AS rn_last
+      |  FROM pairs)
+      |SELECT touch_id, user_id, touch_type, count(*) AS n_conversions,
+      |  CAST(sum(cents // nt + CASE WHEN rn_last = 1 THEN cents % nt ELSE 0 END)
+      |    AS BIGINT) AS linear_cents,
+      |  CAST(sum(CASE WHEN rn_first = 1 THEN cents ELSE 0 END) AS BIGINT) AS first_cents,
+      |  CAST(sum(CASE WHEN rn_last = 1 THEN cents ELSE 0 END) AS BIGINT) AS last_cents
+      |FROM shares GROUP BY 1, 2, 3""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Attribution.attribute(
+      events(s, d),
+      convType = "purchase",
+      touchTypes = Seq("click", "view"),
+      windowDays = 7,
+    )
+  }
+
   private val decayedEngagement = Q(
     "evt_decayed_engagement",
     """WITH m AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events)
@@ -567,6 +608,7 @@ object Events {
   }
 
   val all: Seq[Q] = Seq(
+    attributionQ,
     cohortRetention,
     rollingWau,
     transitionMatrix,

@@ -33,7 +33,7 @@ object MiscQueries {
 
   private val tradeConsumers =
     Set("misc_pagerank_trade", "misc_pagerank_weighted", "misc_triangle_census", "misc_kcore",
-      "misc_labelprop")
+      "misc_labelprop", "misc_bfs_khop")
 
   /** Same contract as [[DedupQueries.prewarmShared]]: build the shared
     * trade projection under the bench's `shared_build` accounting when
@@ -1230,6 +1230,72 @@ object MiscQueries {
     graft.ops.Graph.labelPropagation(edges, rounds = 3)
   }
 
+  /** Market-basket association mining ([[graft.ops.Basket.frequentPairs]])
+    * over orders-as-baskets of parts: pair support, directional
+    * confidence, and lift, all integer/ppm — capped at 6 distinct parts
+    * per order (the cap BINDS on TPC-H's 7-line orders, so the
+    * heavy-basket drop path is differentially checked, not decorative). */
+  private val assocRulesQ = Q(
+    "misc_assoc_rules",
+    """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |ok AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 6),
+      |cap AS (SELECT bi.b, bi.i FROM bi JOIN ok ON ok.b = bi.b),
+      |n AS (SELECT count(DISTINCT b) AS nb FROM cap),
+      |ic AS (SELECT i, count(*) AS c FROM cap GROUP BY 1),
+      |pc AS (SELECT x.i AS p1, y.i AS p2, count(*) AS pair_cnt
+      |       FROM cap x JOIN cap y ON x.b = y.b AND x.i < y.i
+      |       GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT p1, p2, pair_cnt, c1.c AS c1, c2.c AS c2,
+      |  (pair_cnt * 1000000) // c1.c AS conf1_ppm,
+      |  (pair_cnt * 1000000) // c2.c AS conf2_ppm,
+      |  CAST((CAST(pair_cnt AS HUGEINT) * nb * 1000000)
+      |    // (CAST(c1.c AS HUGEINT) * c2.c) AS BIGINT) AS lift_ppm
+      |FROM pc JOIN ic c1 ON c1.i = p1 JOIN ic c2 ON c2.i = p2 CROSS JOIN n""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Basket.frequentPairs(
+      lineitem(s, d).select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      minSupport = 2,
+      maxBasketSize = 6,
+    )
+  }
+
+  /** Bounded-depth multi-source BFS ([[graft.ops.Graph.bfsHops]]) over
+    * the capped co-purchase graph: seeds are the customers whose key is
+    * ≡ 0 (mod 97), expanded 3 hops — the "within N degrees of a seed
+    * set" reachability query (fraud rings, influence audiences, seed
+    * expansion). First-discovery hop IS the BFS distance, so the output
+    * is deterministic integers; the oracle replays it as a recursive
+    * CTE (`UNION` dedups (node, d) pairs per level, so the working set
+    * is ≤ |V|·hops, never path-enumerating) reduced by `min(d)`. */
+  private val bfsKhopQ = Q(
+    "misc_bfs_khop",
+    """WITH RECURSIVE
+      |pc AS (
+      |  SELECT DISTINCT l_partkey AS pk, o_custkey AS ck
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |ok AS (SELECT pk FROM pc GROUP BY pk HAVING count(*) <= 20),
+      |e AS (
+      |  SELECT DISTINCT x.ck AS a, y.ck AS b
+      |  FROM pc x JOIN pc y ON x.pk = y.pk AND x.ck < y.ck
+      |  JOIN ok ON ok.pk = x.pk),
+      |sym AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+      |walk(node, d) AS (
+      |  SELECT DISTINCT s, 0 FROM sym WHERE s % 97 = 0
+      |  UNION
+      |  SELECT sym.t, w.d + 1 FROM walk w JOIN sym ON sym.s = w.node WHERE w.d < 3)
+      |SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
+  ) { (s, d) =>
+    val edges = coPurchaseEdges(s, d).localCheckpoint()
+    // Seeds drawn from edge SOURCES only (every node appears as a
+    // source in the symmetric list, so this is all graph nodes).
+    val sources = edges
+      .select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .where(col("node") % 97 === 0)
+      .distinct()
+    graft.ops.Graph.bfsHops(edges, sources, maxHops = 3)
+  }
+
   /** KMV bottom-k overlap sketch ([[graft.ops.Kmv]]): the customer
     * DIMENSION vs the customers actually placing orders, compared
     * entirely through two 256-hash sketches — distinct counts per side,
@@ -1281,5 +1347,5 @@ object MiscQueries {
       cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns, profileApproxQ,
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
       corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ,
-      labelPropQ)
+      labelPropQ, bfsKhopQ, assocRulesQ)
 }

@@ -685,8 +685,47 @@ object Relational {
         col("sum_cents"), col("min_cents"), col("max_cents"))
   }
 
+  /** Incremental JOIN-view maintenance ([[graft.ops.Ivm.joinDelta]]):
+    * the orders⋈customer revenue-by-nation view refreshed from an
+    * orders date-slice delta AND a customer key-slice delta at once —
+    * stored aggregate + summarized join delta merged, never a
+    * stored⋈stored recompute. The oracle is the full recompute, so the
+    * identity ΔV = ΔA⋈B_new ∪ A_old⋈ΔB is what's being checked (a
+    * dropped ΔA⋈ΔB cross term, the classic delta-processing bug, would
+    * undercount every nation touched by both deltas and fail the hash). */
+  private val joinIncrementalMaintain = Q(
+    "rel_join_incremental_maintain",
+    """SELECT c_nationkey, count(*) AS cnt,
+      |  CAST(sum(v) AS BIGINT) AS sum_cents, min(v) AS min_cents, max(v) AS max_cents
+      |FROM (SELECT c_nationkey, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |      FROM orders JOIN customer ON o_custkey = c_custkey)
+      |GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    import graft.ops.Ivm
+    val o = orders(s, d).select(
+      col("o_custkey").as("k"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderdate"),
+    )
+    val c     = customer(s, d).select(col("c_custkey").as("k"), col("c_nationkey"))
+    val split = "1997-01-01"
+    val aOld  = o.filter(col("o_orderdate") < split).drop("o_orderdate")
+    val dA    = o.filter(col("o_orderdate") >= split).drop("o_orderdate")
+    val bOld  = c.filter(col("k") % 10 =!= 0)
+    val dB    = c.filter(col("k") % 10 === 0)
+    val keys   = Seq("c_nationkey")
+    val values = Seq("cents")
+    val stored = Ivm.summarize(aOld.join(bOld, Seq("k")), keys, values)
+    val delta  = Ivm.joinDelta(aOld, dA, bOld, dB, Seq("k"))
+    Ivm
+      .merge(stored, Ivm.summarize(delta, keys, values), keys, values)
+      .select(col("c_nationkey"), col("cnt"),
+        col("sum_cents"), col("min_cents"), col("max_cents"))
+  }
+
   val all: Seq[Q] = Seq(
     aggIncrementalMaintain,
+    joinIncrementalMaintain,
     scd2Customer,
     scd2HardDelete,
     scd2AsofJoin,

@@ -188,6 +188,39 @@ object TextQueries {
     * (score = tf · N/df — exactly-rounded IEEE ops only, see
     * [[graft.ops.Text.tfIdfTopK]] for why the log is omitted). The
     * oracle replays the identical arithmetic; ties break on term. */
+  /** Inverted index ([[graft.ops.Text.invertedIndex]]): term → exact
+    * (df, cf) + the 20 lowest doc ids as a capped posting head. The
+    * oracle replays the cap with the same rank-then-collect, so the
+    * truncation semantics (not just the happy path) are differentially
+    * checked. */
+  private val invertedIndexQ = Q(
+    "txt_inverted_index",
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS term FROM documents),
+      |tf AS (SELECT term, doc_id, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |stats AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+      |          FROM tf GROUP BY 1),
+      |capped AS (SELECT term, doc_id FROM (
+      |    SELECT term, doc_id,
+      |      row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM tf)
+      |  WHERE rn <= 20),
+      |post AS (SELECT term, string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+      |         FROM capped GROUP BY 1)
+      |SELECT s.term, s.df, s.cf, p.postings
+      |FROM stats s JOIN post p ON s.term = p.term""".stripMargin,
+  ) { (s, d) =>
+    // Postings serialize to ascending CSV for the gate (the harness
+    // hashes scalar columns only; the op's real array survives in the
+    // library API).
+    Text.invertedIndex(documents(s, d), "doc_id", "text", cap = 20)
+      .select(
+        col("term"),
+        col("df"),
+        col("cf"),
+        expr("array_join(transform(postings, x -> CAST(x AS STRING)), ',')").as("postings"),
+      )
+  }
+
   private val tfidfTopk = Q(
     "txt_tfidf_topk",
     """WITH terms AS (
@@ -545,5 +578,5 @@ object TextQueries {
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
-      sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize, lmPrune)
+      sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize, lmPrune, invertedIndexQ)
 }

@@ -167,4 +167,44 @@ class GraphProfileSpec extends AnyFunSuite {
       assert(approx(c).getAs[Long]("n") === exact(c).getAs[Long]("n"))
     }
   }
+
+  private def bfsMap(
+      edges: Seq[(Long, Long)],
+      sources: Seq[Long],
+      maxHops: Int,
+  ): Map[Long, Long] =
+    Graph.bfsHops(edges.toDF("a", "b"), sources.toDF("node"), maxHops)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+
+  test("bfs: path graph distances from one end") {
+    val path = (1L to 5L).map(i => (i, i + 1)) // 1-2-3-4-5-6
+    assert(bfsMap(path, Seq(1L), 3) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    assert(bfsMap(path, Seq(1L), 10) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L, 6L -> 5L))
+  }
+
+  test("bfs: multi-source takes the minimum over seeds") {
+    val path = (1L to 5L).map(i => (i, i + 1))
+    // Seeds at both ends: node 3 is 2 hops from 1 and 3 hops from 6.
+    assert(bfsMap(path, Seq(1L, 6L), 2) ===
+      Map(1L -> 0L, 6L -> 0L, 2L -> 1L, 5L -> 1L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("bfs: disconnected component is never reached; saturation exits early") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val m     = bfsMap(edges, Seq(1L), 100) // hop bound far past saturation
+    assert(m === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bfs: cycle rediscovery keeps the first (minimal) distance") {
+    // Triangle 1-2-3 plus a tail; node 3 is reachable at hop 1 (direct)
+    // and hop 2 (via 2) — must report 1.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(bfsMap(edges, Seq(1L), 3) === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("bfs: maxHops 0 returns the seed set only") {
+    val edges = Seq((1L, 2L))
+    assert(bfsMap(edges, Seq(1L, 7L), 0) === Map(1L -> 0L, 7L -> 0L))
+  }
 }

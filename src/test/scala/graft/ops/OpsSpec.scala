@@ -1973,6 +1973,91 @@ class OpsSpec extends AnyFunSuite {
     assert(got.exists { case (_, _, g) => g == 2L }, "window > adjacency must contribute pairs")
   }
 
+  test("Text.invertedIndex: df/cf exact, postings ascending, cap truncates to lowest ids") {
+    val docs = Seq(
+      (3L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "apple"),
+      (4L, "banana banana"),
+    ).toDF("doc_id", "text")
+    val idx = Text.invertedIndex(docs, "doc_id", "text", cap = 2)
+      .collect()
+      .map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("cf"), r.getAs[Seq[Long]]("postings"))))
+      .toMap
+    assert(idx("apple") === ((3L, 4L, Seq(1L, 2L)))) // df 3 > cap 2: lowest two ids kept
+    assert(idx("banana") === ((2L, 3L, Seq(3L, 4L))))
+    assert(idx("cherry") === ((1L, 1L, Seq(1L))))
+  }
+
+  test("Attribution: linear credit conserves cents; first/last deterministic; window binds") {
+    def ev(id: Long, user: Long, day: Int, typ: String, value: Double) =
+      (id, user, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), typ, value)
+    val events = Seq(
+      ev(1, 7, 1, "click", 0.0),    // 9 days before conversion: OUTSIDE the 7-day window
+      ev(2, 7, 5, "click", 0.0),    // first credited touch
+      ev(3, 7, 6, "view", 0.0),
+      ev(4, 7, 8, "click", 0.0),    // last credited touch (gets the remainder)
+      ev(5, 7, 10, "purchase", 1.0), // 100 cents over 3 touches: 33/33/34
+      ev(6, 9, 2, "purchase", 5.0),  // conversion with no touches: unattributable
+      ev(7, 7, 20, "view", 0.0),     // touch after every conversion: no credit
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Attribution.attribute(events, "purchase", Seq("click", "view"), 7)
+      .collect()
+      .map(r => r.getAs[Long]("touch_id") ->
+        ((r.getAs[Long]("n_conversions"), r.getAs[Long]("linear_cents"),
+          r.getAs[Long]("first_cents"), r.getAs[Long]("last_cents"))))
+      .toMap
+    assert(got.keySet === Set(2L, 3L, 4L)) // 1 outside window, 7 after, 6 untouched
+    assert(got(2L) === ((1L, 33L, 100L, 0L)))
+    assert(got(3L) === ((1L, 33L, 0L, 0L)))
+    assert(got(4L) === ((1L, 34L, 0L, 100L))) // remainder lands on the last touch
+    assert(got.values.map(_._2).sum === 100L) // linear credit conserves exactly
+  }
+
+  test("Basket.frequentPairs: support/conf/lift integers; oversize basket drops from ALL counts") {
+    val rows = Seq(
+      // basket 1..3 each {10, 20}; basket 4 {10, 30}; basket 5 oversize (4 items > cap 3)
+      (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L), (2L, 20L), // duplicate (2,20) must not inflate counts
+      (3L, 10L), (3L, 20L),
+      (4L, 10L), (4L, 30L),
+      (5L, 10L), (5L, 20L), (5L, 30L), (5L, 40L),
+    ).toDF("basket", "item")
+    val got = Basket.frequentPairs(rows, minSupport = 2, maxBasketSize = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2")) ->
+        ((r.getAs[Long]("pair_cnt"), r.getAs[Long]("c1"), r.getAs[Long]("c2"),
+          r.getAs[Long]("conf1_ppm"), r.getAs[Long]("conf2_ppm"), r.getAs[Long]("lift_ppm"))))
+      .toMap
+    // capped universe: baskets 1-4 only → c(10)=4, c(20)=3, c(30)=1, nb=4
+    assert(got.keySet === Set((10L, 20L))) // (10,30) support 1 < 2
+    val (cnt, c1, c2, conf1, conf2, lift) = got((10L, 20L))
+    assert((cnt, c1, c2) === ((3L, 4L, 3L)))
+    assert(conf1 === 750000L) // 3/4
+    assert(conf2 === 1000000L) // 3/3
+    assert(lift === 1000000L) // 3·4/(4·3)
+  }
+
+  test("Ivm.joinDelta: delta ∪ stored view == full join; cross term ΔA⋈ΔB included") {
+    import graft.ops.Ivm
+    val aOld = Seq((1L, "a1"), (2L, "a2"), (2L, "a2b")).toDF("k", "av")
+    val dA   = Seq((2L, "a3"), (3L, "a4"), (9L, "a5")).toDF("k", "av") // 9 joins ONLY via ΔB
+    val bOld = Seq((1L, "b1"), (2L, "b2")).toDF("k", "bv")
+    val dB   = Seq((2L, "b3"), (9L, "b4")).toDF("k", "bv") // 2: both-sides delta; 9: new key
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "av", "bv").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val delta = Ivm.joinDelta(aOld, dA, bOld, dB, Seq("k"))
+    val full  = aOld.unionByName(dA).join(bOld.unionByName(dB), Seq("k"))
+    val storedView = aOld.join(bOld, Seq("k"))
+    assert(canon(storedView.unionByName(delta)) === canon(full))
+    // the ΔA⋈ΔB cross term specifically: (9, a5, b4) exists in no other term
+    assert(canon(delta).contains((9L, "a5", "b4")))
+    // delta rows are disjoint from the stored view (no double counting)
+    assert(canon(delta).intersect(canon(storedView)).isEmpty)
+  }
+
   test("Ivm: maintain == full recompute; merge closure over batches; no base rescan from a stored table") {
     import graft.ops.Ivm
     def batch(rows: (String, Option[Long])*) = rows.toDF("k", "v")
