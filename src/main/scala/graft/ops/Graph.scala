@@ -172,6 +172,49 @@ object Graph {
     dist
   }
 
+  /** Bounded-round single/multi-source shortest paths over a WEIGHTED
+    * directed edge list — distributed Bellman-Ford on the (min, +)
+    * semiring, the weighted sibling of [[bfsHops]] (which is this with
+    * unit weights and a frontier optimization). Each round relaxes
+    * every edge once: dist ⋈ edges on the source key, add the weight,
+    * union the previous distances, take the per-node min — one
+    * equi-join plus one aggregation per round, shuffling (node, dist)
+    * longs only. After r rounds the result is EXACTLY "minimum-cost
+    * path using ≤ r edges" — a well-defined semantics in itself (cost
+    * within a hop budget), and equal to the true shortest path
+    * whenever r ≥ the graph's hop diameter. Integer weights make every
+    * round a deterministic function of the last, so a SQL oracle
+    * replays the rounds as unrolled CTEs and hash-matches.
+    *
+    * @param edges   directed weighted edges (`src`, `dst`, `w` ≥ 0,
+    *                integral); pass both directions for undirected.
+    * @param sources one `node` per seed (distance 0).
+    * @param rounds  relaxation rounds = max path length in edges.
+    * @return (`node`, `dist`): min cost over paths of ≤ `rounds` edges
+    *         from any seed; unreachable-within-budget nodes absent. */
+  def ssspBounded(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"SSSP needs rounds >= 1, got $rounds")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+        col("w").cast("long").as("w"))
+      .localCheckpoint()
+    var dist = sources
+      .select(col("node").cast("long").as("node"))
+      .distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      dist = dist
+        .join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .unionAll(dist)
+        .groupBy("node")
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Synchronous label propagation (Raghavan 2007's LPA, the
     * near-linear community detector) — the fifth graph-family member:
     * every node starts labeled with itself; each round it adopts the

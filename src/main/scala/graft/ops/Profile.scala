@@ -70,6 +70,51 @@ object Profile {
       .select(col("p.column"), col("p.value_s"), col("p.value_n"), col("p.is_num"))
   }
 
+  /** Referential-integrity audit — the cross-TABLE data-quality check
+    * next to [[profile]]'s per-column census: for each declared foreign
+    * key, how many child rows carry a null key, and how many carry a
+    * key with NO parent (orphans). Warehouses run exactly this after
+    * every load because distributed ingestion cannot enforce FKs
+    * transactionally; the reference's dbt-style relationship tests are
+    * this check per edge.
+    *
+    * Each edge costs one LEFT join of the child's projected key column
+    * against the parent's DISTINCT key set plus a 1-row aggregate —
+    * keys only ever shuffle (the parent side distinct typically
+    * broadcasts for dimension parents under AQE). Edges are
+    * independent; the report is their union — k bounded rows. The
+    * orphan distinct-count is exact (`count(DISTINCT)` inside the
+    * per-edge aggregate), affordable because the join already carries
+    * only the key column.
+    *
+    * @param checks (fk_name, child, childKeyCol, parent, parentKeyCol).
+    * @return one row per edge: `fk`, `child_rows` (all child rows),
+    *         `null_keys`, `orphan_rows`, `orphan_keys`. */
+  def fkAudit(
+      checks: Seq[(String, DataFrame, String, DataFrame, String)],
+  ): DataFrame = {
+    require(checks.nonEmpty, "need at least one FK edge to audit")
+    checks
+      .map { case (name, child, childKey, parent, parentKey) =>
+        val p = parent.select(col(parentKey).as("__pk")).distinct()
+        child
+          .select(col(childKey).as("__ck"))
+          .join(p, col("__ck") === col("__pk"), "left")
+          .agg(
+            count(lit(1)).as("child_rows"),
+            (count(lit(1)) - count(col("__ck"))).as("null_keys"),
+            coalesce(
+              sum(when(col("__ck").isNotNull && col("__pk").isNull, lit(1L)).otherwise(lit(0L))),
+              lit(0L),
+            ).as("orphan_rows"),
+            countDistinct(when(col("__pk").isNull, col("__ck"))).as("orphan_keys"),
+          )
+          .select(lit(name).as("fk"), col("child_rows"), col("null_keys"),
+            col("orphan_rows"), col("orphan_keys"))
+      }
+      .reduce(_ unionByName _)
+  }
+
   private def profileWith(
       df: DataFrame,
       cols: Seq[(String, Boolean)],

@@ -453,6 +453,48 @@ object Events {
     * or summation order, no `exp()`/float decay crossing the engine
     * boundary. The reference point (corpus max day) is a 1-row
     * broadcast. */
+  /** Interval coalescing ([[graft.ops.Intervals.merge]]): each event
+    * opens a 30-minute activity interval; overlapping intervals per
+    * user merge into maximal activity spans (coverage counts overlaps
+    * ONCE — the un-double-counted "time active" a plain sum of window
+    * lengths gets wrong). One exchange, two shared windows, exact
+    * timestamps and integer seconds. */
+  private val intervalMergeQ = Q(
+    "evt_interval_merge",
+    """WITH iv AS (
+      |  SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events),
+      |m AS (
+      |  SELECT user_id, s, e,
+      |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv),
+      |g AS (
+      |  SELECT *, sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM m),
+      |merged AS (
+      |  SELECT user_id, min(s) AS start, max(e) AS "end", count(*) AS n_rows
+      |  FROM g GROUP BY user_id, grp)
+      |SELECT user_id, start, "end", n_rows,
+      |  CAST(date_diff('second', start, "end") AS BIGINT) AS dur_sec
+      |FROM merged""".stripMargin,
+  ) { (s, d) =>
+    val iv = events(s, d).select(
+      col("user_id"),
+      col("ts").as("s"),
+      (col("ts") + expr("INTERVAL 30 MINUTES")).as("e"),
+    )
+    graft.ops.Intervals
+      .merge(iv, Seq("user_id"), "s", "e")
+      .select(
+        col("user_id"),
+        col("start"),
+        col("end"),
+        col("n_rows"),
+        unix_timestamp(col("end")).minus(unix_timestamp(col("start"))).as("dur_sec"),
+      )
+  }
+
   /** Multi-touch attribution ([[graft.ops.Attribution.attribute]]):
     * purchase revenue credited to the user's click/view touches in the
     * preceding 7 days under linear + first + last models at once, all
@@ -609,6 +651,7 @@ object Events {
 
   val all: Seq[Q] = Seq(
     attributionQ,
+    intervalMergeQ,
     cohortRetention,
     rollingWau,
     transitionMatrix,

@@ -33,7 +33,7 @@ object MiscQueries {
 
   private val tradeConsumers =
     Set("misc_pagerank_trade", "misc_pagerank_weighted", "misc_triangle_census", "misc_kcore",
-      "misc_labelprop", "misc_bfs_khop")
+      "misc_labelprop", "misc_bfs_khop", "misc_sssp_bounded")
 
   /** Same contract as [[DedupQueries.prewarmShared]]: build the shared
     * trade projection under the bench's `shared_build` accounting when
@@ -647,7 +647,7 @@ object MiscQueries {
     * linear term) feeds both the cap aggregation and the semi-join
     * probe; it reads [[sharedTradeRows]] (persisted, shared with the
     * two PageRank queries), so it is computed once per corpus. */
-  private def coPurchaseEdges(
+  private def coPurchasePairs(
       s: org.apache.spark.sql.SparkSession,
       d: String,
   ): org.apache.spark.sql.DataFrame = {
@@ -670,8 +670,23 @@ object MiscQueries {
         ).as("p")
       )
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
   }
+
+  private def coPurchaseEdges(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame =
+    coPurchasePairs(s, d).distinct()
+
+  /** The weighted form: `cnt` = number of (capped) parts the two
+    * customers share — the tie-strength the SSSP gate inverts into a
+    * distance. Same pair generation as [[coPurchaseEdges]]; the
+    * distinct becomes a count aggregate on the identical key. */
+  private def coPurchaseWeighted(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame =
+    coPurchasePairs(s, d).groupBy("a", "b").agg(count(lit(1)).as("cnt"))
 
   /** One-pass column profiler ([[graft.ops.Profile.profile]]): the
     * ingestion data-quality census (null rate, exact cardinality, value
@@ -1230,6 +1245,57 @@ object MiscQueries {
     graft.ops.Graph.labelPropagation(edges, rounds = 3)
   }
 
+  /** One FK edge of the [[fkAuditQ]] oracle: left join the child's key
+    * column against the parent's distinct keys, aggregate to a 1-row
+    * report — the SQL mirror of [[graft.ops.Profile.fkAudit]]'s
+    * per-edge plan. */
+  private def fkEdgeSql(
+      name: String,
+      childTable: String,
+      childKey: String,
+      parentTable: String,
+      parentKey: String,
+  ): String =
+    s"""SELECT '$name' AS fk, count(*) AS child_rows,
+       |  count(*) - count(k) AS null_keys,
+       |  CAST(coalesce(sum(CASE WHEN k IS NOT NULL AND pk IS NULL THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS orphan_rows,
+       |  count(DISTINCT CASE WHEN pk IS NULL THEN k END) AS orphan_keys
+       |FROM (SELECT $childKey AS k FROM $childTable) c
+       |LEFT JOIN (SELECT DISTINCT $parentKey AS pk FROM $parentTable) p ON c.k = p.pk""".stripMargin
+
+  private val fkEdges = Seq(
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events->customer", "events", "user_id", "customer", "c_custkey"),
+  )
+
+  /** Referential-integrity audit ([[graft.ops.Profile.fkAudit]]) over
+    * every declared FK edge of the warehouse schema plus the
+    * events→customer soft reference: per edge, null-key and orphan
+    * counts. Generated data is clean, so the expected report is
+    * all-zero orphans — which the oracle CHECKS rather than assumes
+    * (a loader regression that orphaned keys would flip the row); the
+    * orphan-counting path itself is behavior-tested on synthetic
+    * orphans in OpsSpec. */
+  private val fkAuditQ = Q(
+    "misc_fk_audit",
+    fkEdges.map((fkEdgeSql _).tupled).mkString("", "\nUNION ALL\n", ""),
+  ) { (s, d) =>
+    def t(n: String) = n match {
+      case "events" => events(s, d)
+      case other    => graft.Tables.table(s, d, other)
+    }
+    graft.ops.Profile.fkAudit(
+      fkEdges.map { case (name, ct, ck, pt, pk) => (name, t(ct), ck, t(pt), pk) }
+    )
+  }
+
   /** Market-basket association mining ([[graft.ops.Basket.frequentPairs]])
     * over orders-as-baskets of parts: pair support, directional
     * confidence, and lift, all integer/ppm — capped at 6 distinct parts
@@ -1296,6 +1362,46 @@ object MiscQueries {
     graft.ops.Graph.bfsHops(edges, sources, maxHops = 3)
   }
 
+  /** Bounded-round weighted shortest paths
+    * ([[graft.ops.Graph.ssspBounded]] — distributed Bellman-Ford on
+    * the (min, +) semiring) over the co-purchase graph with distance
+    * 10⁶ div shared-part-count (stronger ties are closer): min cost
+    * within ≤ 3 edges from the mod-97 seed set. The oracle unrolls the
+    * three relaxation rounds as CTEs — round r's table is a
+    * deterministic function of round r−1's, so the replay is exact. */
+  private val ssspBoundedQ = Q(
+    "misc_sssp_bounded",
+    """WITH pc AS (
+      |  SELECT DISTINCT l_partkey AS pk, o_custkey AS ck
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |ok AS (SELECT pk FROM pc GROUP BY pk HAVING count(*) <= 20),
+      |wp AS (SELECT x.ck AS a, y.ck AS b, count(*) AS cnt
+      |       FROM pc x JOIN pc y ON x.pk = y.pk AND x.ck < y.ck
+      |       JOIN ok ON ok.pk = x.pk GROUP BY 1, 2),
+      |e AS (SELECT a AS s, b AS t, 1000000 // cnt AS w FROM wp
+      |      UNION ALL SELECT b, a, 1000000 // cnt FROM wp),
+      |d0 AS (SELECT DISTINCT s AS node, 0 AS dist FROM e WHERE s % 97 = 0),
+      |d1 AS (SELECT node, min(dist) AS dist FROM (
+      |        SELECT e.t AS node, d.dist + e.w AS dist FROM d0 d JOIN e ON e.s = d.node
+      |        UNION ALL SELECT node, dist FROM d0) GROUP BY 1),
+      |d2 AS (SELECT node, min(dist) AS dist FROM (
+      |        SELECT e.t AS node, d.dist + e.w AS dist FROM d1 d JOIN e ON e.s = d.node
+      |        UNION ALL SELECT node, dist FROM d1) GROUP BY 1),
+      |d3 AS (SELECT node, min(dist) AS dist FROM (
+      |        SELECT e.t AS node, d.dist + e.w AS dist FROM d2 d JOIN e ON e.s = d.node
+      |        UNION ALL SELECT node, dist FROM d2) GROUP BY 1)
+      |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin,
+  ) { (s, d) =>
+    val wp = coPurchaseWeighted(s, d)
+    val w  = expr("1000000 div cnt").as("w")
+    val sym = wp
+      .select(col("a").as("src"), col("b").as("dst"), w)
+      .unionAll(wp.select(col("b").as("src"), col("a").as("dst"), w))
+      .localCheckpoint()
+    val sources = sym.select(col("src").as("node")).where(col("node") % 97 === 0).distinct()
+    graft.ops.Graph.ssspBounded(sym, sources, rounds = 3)
+  }
+
   /** KMV bottom-k overlap sketch ([[graft.ops.Kmv]]): the customer
     * DIMENSION vs the customers actually placing orders, compared
     * entirely through two 256-hash sketches — distinct counts per side,
@@ -1347,5 +1453,5 @@ object MiscQueries {
       cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns, profileApproxQ,
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
       corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ,
-      labelPropQ, bfsKhopQ, assocRulesQ)
+      labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ)
 }

@@ -207,4 +207,43 @@ class GraphProfileSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L))
     assert(bfsMap(edges, Seq(1L, 7L), 0) === Map(1L -> 0L, 7L -> 0L))
   }
+
+  private def ssspMap(
+      edges: Seq[(Long, Long, Long)],
+      sources: Seq[Long],
+      rounds: Int,
+  ): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    Graph.ssspBounded(sym.toDF("src", "dst", "w"), sources.toDF("node"), rounds)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+  }
+
+  test("sssp: cheap two-edge path beats the expensive direct edge once rounds allow it") {
+    // 1-3 direct costs 10; 1-2-3 costs 2+3=5. Round 1 must report 10,
+    // round 2 must improve to 5 (the Bellman-Ford relaxation order).
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L))
+    assert(ssspMap(edges, Seq(1L), 1) === Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
+    assert(ssspMap(edges, Seq(1L), 2) === Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+  }
+
+  test("sssp: multi-source min; hop budget excludes farther nodes") {
+    val path = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L))
+    val m    = ssspMap(path, Seq(1L, 5L), 1)
+    assert(m === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L)) // 3 needs 2 edges
+    assert(ssspMap(path, Seq(1L, 5L), 2)(3L) === 2L)
+  }
+
+  test("fkAudit: clean edge all-zero; orphans and null keys counted exactly") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val clean  = Seq(Some(1L), Some(2L), Some(1L)).toDF("fk")
+    val dirty  = Seq(Some(1L), Some(9L), Some(9L), Some(8L), None).toDF("fk")
+    val rows = Profile.fkAudit(Seq(
+      ("clean", clean, "fk", parent, "pk"),
+      ("dirty", dirty, "fk", parent, "pk"),
+    )).collect().map(r => r.getAs[String]("fk") ->
+      ((r.getAs[Long]("child_rows"), r.getAs[Long]("null_keys"),
+        r.getAs[Long]("orphan_rows"), r.getAs[Long]("orphan_keys")))).toMap
+    assert(rows("clean") === ((3L, 0L, 0L, 0L)))
+    assert(rows("dirty") === ((5L, 1L, 3L, 2L))) // 9,9,8 orphan rows; {9,8} orphan keys
+  }
 }

@@ -2039,6 +2039,21 @@ class OpsSpec extends AnyFunSuite {
     assert(lift === 1000000L) // 3·4/(4·3)
   }
 
+  test("Intervals.merge: overlap and touch coalesce, gaps split, coverage counts overlaps once") {
+    val iv = Seq(
+      // key "u": [0,10) [5,15) overlap → [0,15); [15,20) touches → [0,20); [30,40) gap
+      ("u", 0L, 10L), ("u", 5L, 15L), ("u", 15L, 20L), ("u", 30L, 40L),
+      // key "v": containment — [0,100) swallows [10,20)
+      ("v", 0L, 100L), ("v", 10L, 20L),
+    ).toDF("k", "s", "e")
+    val got = Intervals.merge(iv, Seq("k"), "s", "e")
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("start"), r.getAs[Long]("end"),
+        r.getAs[Long]("n_rows")))
+      .toSet
+    assert(got === Set(("u", 0L, 20L, 3L), ("u", 30L, 40L, 1L), ("v", 0L, 100L, 2L)))
+  }
+
   test("Ivm.joinDelta: delta ∪ stored view == full join; cross term ΔA⋈ΔB included") {
     import graft.ops.Ivm
     val aOld = Seq((1L, "a1"), (2L, "a2"), (2L, "a2b")).toDF("k", "av")
