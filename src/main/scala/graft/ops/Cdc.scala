@@ -27,6 +27,46 @@ object Cdc {
   /** @param changes changefeed: key + `seqCol` (ordering) + `opCol`
     *                ('u' upsert / 'd' delete) + payload columns
     * @return final state: key + payload of each key's winning upsert */
+  /** Snapshot diffing — the inverse of [[applyChanges]]: given two
+    * corpus versions, derive the changefeed between them. Dataset
+    * versioning runs this after every rebuild (what did the new crawl /
+    * filter pass actually change?), and it is how a version-controlled
+    * corpus emits incremental deltas to downstream consumers instead of
+    * full snapshots. One full-outer join on the key, change detection
+    * by comparing `compareCols` hashes — keys and hashes shuffle, never
+    * payloads (the md5 is computed map-side on the projected columns).
+    * At 100 TB both sides are one keyed scan each; bucketing both
+    * snapshots on the key ([[Colocate]]) removes the exchanges
+    * entirely.
+    *
+    * @return one row per key present in either snapshot:
+    *         key, `status` ('added' | 'removed' | 'changed' |
+    *         'unchanged'). */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keyCol: String,
+      compareCols: Seq[String],
+  ): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compare column")
+    def sig(df: DataFrame, hashName: String) =
+      df.select(
+        col(keyCol).as("key"),
+        md5(concat_ws("", compareCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+          .as(hashName),
+      )
+    sig(oldSnap, "__h_old")
+      .join(sig(newSnap, "__h_new"), Seq("key"), "full_outer")
+      .select(
+        col("key"),
+        when(col("__h_old").isNull, lit("added"))
+          .when(col("__h_new").isNull, lit("removed"))
+          .when(col("__h_old") === col("__h_new"), lit("unchanged"))
+          .otherwise(lit("changed"))
+          .as("status"),
+      )
+  }
+
   def applyChanges(
       changes: DataFrame,
       keyCols: Seq[String],

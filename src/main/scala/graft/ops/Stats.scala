@@ -447,6 +447,43 @@ object Stats {
     ).drop("__seg", "__s")
   }
 
+  /** Key-skew report — the diagnostic a shuffle-planner (or the human
+    * about to pick salting factors) actually reads: the `topK` heaviest
+    * keys with their exact counts and corpus shares in ppm, alongside
+    * the global (total rows, distinct keys, max count) context. A key
+    * whose `share_ppm` is large relative to 10⁶/shuffle-partitions is
+    * the straggler; the repo's salted-join and `chooseBanding` probes
+    * are the automated consumers of exactly this measurement.
+    *
+    * Cost: one map-combinable count aggregate keyed by `keyCol`, a
+    * TakeOrdered top-k over the count table (k-bounded, no global
+    * sort), and a broadcast 1-row totals join. The rank window runs
+    * over the k already-selected rows — single-partition by
+    * construction and bounded by k, never by the corpus. */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val cnt = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    val tot = cnt.agg(
+      sum(col("cnt")).cast("long").as("total"),
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"),
+    )
+    cnt
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("key").asc)))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("rank"),
+        col("key"),
+        col("cnt"),
+        expr("(cnt * 1000000) div total").as("share_ppm"),
+        col("total"),
+        col("n_keys"),
+        col("max_cnt"),
+      )
+  }
+
   /** `df` with `valueCol` clamped into its [ppmLo, ppmHi] nearest-rank
     * quantile envelope (broadcast 1-row threshold join — the clamp
     * stays a scan-local projection). */

@@ -1090,8 +1090,47 @@ object DedupQueries {
       .select("doc_id", "component", "split")
   }
 
+  /** Corpus snapshot diff ([[graft.ops.Cdc.snapshotDiff]]): two
+    * simulated corpus versions (v1 drops the mod-7 docs, v2 drops the
+    * mod-5 docs and edits the mod-3 texts) diffed into a per-key
+    * added/removed/changed/unchanged changefeed — dataset versioning's
+    * incremental-delta emission. One full-outer join on the key;
+    * payloads hash map-side and never shuffle. */
+  private val corpusDiffQ = Q(
+    "ddp_corpus_diff",
+    """WITH v1 AS (SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 7 <> 0),
+      |v2 AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN text || '!' ELSE text END AS text,
+      |         lang, source FROM documents WHERE doc_id % 5 <> 0),
+      |ho AS (SELECT doc_id AS key,
+      |         md5(coalesce(text, '') || coalesce(lang, '') || coalesce(source, '')) AS h
+      |       FROM v1),
+      |hn AS (SELECT doc_id AS key,
+      |         md5(coalesce(text, '') || coalesce(lang, '') || coalesce(source, '')) AS h
+      |       FROM v2)
+      |SELECT coalesce(ho.key, hn.key) AS key,
+      |  CASE WHEN ho.key IS NULL THEN 'added'
+      |       WHEN hn.key IS NULL THEN 'removed'
+      |       WHEN ho.h = hn.h THEN 'unchanged' ELSE 'changed' END AS status
+      |FROM ho FULL OUTER JOIN hn ON ho.key = hn.key""".stripMargin,
+  ) { (s, d) =>
+    val docs = documents(s, d)
+    val v1   = docs.where(col("doc_id") % 7 =!= 0).select("doc_id", "text", "lang", "source")
+    val v2 = docs
+      .where(col("doc_id") % 5 =!= 0)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit("!"))).otherwise(col("text"))
+          .as("text"),
+        col("lang"),
+        col("source"),
+      )
+    graft.ops.Cdc.snapshotDiff(v1, v2, "doc_id", Seq("text", "lang", "source"))
+  }
+
   val all: Seq[Q] =
     Seq(exactGroups, dedupCapped, dedupIncremental, dedupIncrementalFuzzy, containmentPairsQ,
+      corpusDiffQ,
       chunkDedupQ,
       jaccardPairs,
       jaccardPairsPrefix,

@@ -1325,6 +1325,25 @@ object MiscQueries {
     )
   }
 
+  /** Key-skew report ([[graft.ops.Stats.skewReport]]): the 10 heaviest
+    * order keys in lineitem with exact corpus shares in ppm — the
+    * measurement behind every salting/banding decision in the repo,
+    * exposed as its own operator. TakeOrdered top-k, never a global
+    * sort; the rank window touches k rows only. */
+  private val skewReportQ = Q(
+    "misc_skew_report",
+    """WITH c AS (SELECT l_orderkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys,
+      |             max(cnt) AS max_cnt FROM c),
+      |top AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rank
+      |        FROM c ORDER BY cnt DESC, key LIMIT 10)
+      |SELECT rank, key, cnt, (cnt * 1000000) // total AS share_ppm,
+      |       total, n_keys, max_cnt
+      |FROM top CROSS JOIN t""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Stats.skewReport(lineitem(s, d), "l_orderkey", topK = 10)
+  }
+
   /** Bounded-depth multi-source BFS ([[graft.ops.Graph.bfsHops]]) over
     * the capped co-purchase graph: seeds are the customers whose key is
     * ≡ 0 (mod 97), expanded 3 hops — the "within N degrees of a seed
@@ -1453,5 +1472,5 @@ object MiscQueries {
       cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns, profileApproxQ,
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
       corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ,
-      labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ)
+      labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ)
 }

@@ -331,6 +331,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!t.contains("Join"), s"temperature mix must be a scan-local predicate:\n$t")
   }
 
+  test("attribution and interval merge share one keyed window exchange; new gates stay keyed") {
+    // attribution: three window functions (count + two row_numbers) all
+    // partition by conv_id — one exchange on conv_id, with the sorts
+    // layered over it; a second conv_id exchange means the windows
+    // stopped sharing their partitioning.
+    val attr = planOf("evt_attribution")
+    assert(!attr.contains("CartesianProduct"), attr)
+    assert("hashpartitioning\\(conv_id".r.findAllIn(attr).length === 1,
+      s"attribution should exchange on conv_id exactly once:\n$attr")
+    // interval merge: the two windows AND the island aggregation all
+    // reuse the single user_id exchange (hashpartitioning(user_id)
+    // satisfies the (user_id, __grp) clustering requirement).
+    val im = planOf("evt_interval_merge")
+    assert(!im.contains("CartesianProduct"), im)
+    assert("hashpartitioning\\(user_id".r.findAllIn(im).length === 1,
+      s"interval merge is one exchange:\n$im")
+    // the rest of the round's gates: keyed joins only (the 1-row
+    // totals sides may broadcast-nest-loop, which is fine; a true
+    // cartesian is not)
+    for (name <- Seq("misc_assoc_rules", "txt_inverted_index", "misc_fk_audit",
+        "rel_join_incremental_maintain", "misc_skew_report", "ddp_corpus_diff"))
+      assert(!planOf(name).contains("CartesianProduct"), name)
+    // skew report's top-k is TakeOrdered, not a global sort
+    val skew = planOf("misc_skew_report")
+    assert(skew.contains("TakeOrderedAndProject"), s"skew top-k must be TakeOrdered:\n$skew")
+  }
+
   test("z-order key is a map-only projection over the scan") {
     val p = planOf("misc_zorder_key")
     assert(!p.contains("Exchange"), s"key computation must not shuffle:\n$p")

@@ -2039,6 +2039,26 @@ class OpsSpec extends AnyFunSuite {
     assert(lift === 1000000L) // 3·4/(4·3)
   }
 
+  test("Stats.skewReport: exact ranks, shares, and global context; top-k binds") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val rows = Stats.skewReport(df, "k", topK = 2)
+      .collect().map(r => r.getAs[Int]("rank") ->
+        ((r.getAs[String]("key"), r.getAs[Long]("cnt"), r.getAs[Long]("share_ppm"),
+          r.getAs[Long]("total"), r.getAs[Long]("n_keys"), r.getAs[Long]("max_cnt"))))
+      .toMap
+    assert(rows.keySet === Set(1, 2)) // k=2 binds: 'c' excluded
+    assert(rows(1) === (("a", 6L, 600000L, 10L, 3L, 6L)))
+    assert(rows(2) === (("b", 3L, 300000L, 10L, 3L, 6L)))
+  }
+
+  test("Cdc.snapshotDiff: added/removed/changed/unchanged classified per key") {
+    val old_ = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "payload")
+    val new_ = Seq((2L, "y"), (3L, "z2"), (4L, "w")).toDF("id", "payload")
+    val got = Cdc.snapshotDiff(old_, new_, "id", Seq("payload"))
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[String]("status")).toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
   test("Intervals.merge: overlap and touch coalesce, gaps split, coverage counts overlaps once") {
     val iv = Seq(
       // key "u": [0,10) [5,15) overlap → [0,15); [15,20) touches → [0,20); [30,40) gap
