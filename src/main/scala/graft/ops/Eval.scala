@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classification-evaluation metrics over a (truth, prediction) pair
+  * table — the scoring side of every labeling/filtering model in a
+  * data pipeline (quality classifiers, language ID, toxicity gates):
+  * confusion matrix plus per-class precision/recall/F1. Everything is
+  * integer ppm (`x·10⁶ div y` — the transition-matrix discipline), so
+  * the report is bit-identical across engines and partitionings.
+  *
+  * Scale shape: one keyed aggregate over the corpus to the
+  * |classes|² confusion matrix, then all ratios on that bounded
+  * table. The corpus is touched exactly once.
+  */
+object Eval {
+
+  /** Confusion matrix: one row per observed (label, predicted) pair
+    * with count and row-normalized share (ppm of the true class). */
+  def confusion(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val cm = df
+      .groupBy(col(labelCol).as("label"), col(predCol).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+    cm.withColumn("__tot", sum(col("n")).over(w))
+      .withColumn("share_ppm", expr("(n * 1000000L) div __tot"))
+      .drop("__tot")
+  }
+
+  /** Per-class precision/recall/F1 in ppm from the same single pass:
+    * tp = diagonal, fp = predicted-as-class minus tp, fn =
+    * labeled-as-class minus tp. F1's harmonic mean is computed
+    * directly from the integer counts — 2·tp·10⁶ div (2·tp + fp + fn)
+    * — ONE flooring division, not a float mean of two floored ratios.
+    * Classes that are never predicted get precision 0 by the
+    * convention ppm(0/0) = 0. */
+  def classReport(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val pairs = df.select(col(labelCol).as("label"), col(predCol).as("predicted"))
+    val tp = pairs
+      .filter(col("label") === col("predicted"))
+      .groupBy(col("label").as("cls"))
+      .agg(count(lit(1)).as("tp"))
+    val labeled   = pairs.groupBy(col("label").as("cls")).agg(count(lit(1)).as("n_true"))
+    val predicted = pairs.groupBy(col("predicted").as("cls")).agg(count(lit(1)).as("n_pred"))
+    labeled
+      .join(predicted, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left")
+      .select(
+        col("cls"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+      )
+      .withColumn(
+        "precision_ppm",
+        when(col("n_pred") === 0, lit(0L)).otherwise(expr("(tp * 1000000L) div n_pred")),
+      )
+      .withColumn(
+        "recall_ppm",
+        when(col("n_true") === 0, lit(0L)).otherwise(expr("(tp * 1000000L) div n_true")),
+      )
+      .withColumn(
+        "f1_ppm",
+        when(col("n_true") + col("n_pred") === 0, lit(0L))
+          .otherwise(expr("(2 * tp * 1000000L) div (n_true + n_pred)")),
+      )
+  }
+}

@@ -119,6 +119,84 @@ object Cms {
       .join(broadcast(sk), Seq("row", "bucket"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
+
+  /** Equi-join SIZE estimation from two sketches built with the SAME
+    * (depth, width) — the inner-product estimator of Cormode &
+    * Muthukrishnan §4.2 (the AMS F₂ idea carried over to CMS): for
+    * each hash row i, Σ_b cntA[i,b]·cntB[i,b] overestimates
+    * |A ⋈ B| = Σ_k fA(k)·fB(k) (keys sharing a bucket only ADD
+    * cross-terms, never subtract — one-sided like the point
+    * estimate), and the estimate is the MIN over the d rows; error ≤
+    * ε·|A|·|B| with probability 1−δ. This is how an optimizer costs a
+    * join from per-table sketches WITHOUT touching either table: the
+    * inputs here are two d×w summaries, so the whole estimate is a
+    * (row, bucket)-keyed join of two broadcast-sized tables — O(d·w)
+    * work at ANY corpus size, where the exact answer costs a full
+    * shuffle join of the corpora.
+    *
+    * The inner join is correct: a bucket absent from either sketch
+    * has a zero counter on that side and contributes 0 to the
+    * product. Returns one row: `join_size_est`.
+    */
+  def joinSizeEstimate(skA: DataFrame, skB: DataFrame): DataFrame =
+    skA
+      .select(col("row"), col("bucket"), col("cnt").as("cnt_a"))
+      .join(skB.select(col("row"), col("bucket"), col("cnt").as("cnt_b")), Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("dot"))
+      .agg(min(col("dot")).as("join_size_est"))
+}
+
+/** Bloom filter (Bloom 1970) as a relational artifact — the MEMBERSHIP
+  * sketch completing the trio with [[Cms]] (frequency) and [[Kmv]]
+  * (distinct/overlap): k md5-derived bit positions per key; a key is
+  * reported present iff all k bits are set. No false negatives ever;
+  * false-positive rate ≈ (1 − e^(−k·n/m))^k. The filter is stored as
+  * the SET-BIT table (≤ min(m, k·n) rows — a DataFrame that joins,
+  * unions (filter merge = union-distinct), and persists as parquet),
+  * exactly how a runtime-filter build side materializes. Hashes are
+  * the [[Cms.bucketOf]] md5 family, so any SQL engine replays the
+  * filter bit-for-bit and the oracle checks EXACT flag equality, not
+  * a rate bound.
+  */
+object Bloom {
+
+  /** Bit position of `key` in hash row `i` (null keys coalesce to ''
+    * — the [[Cms.bucketOf]] convention). */
+  def bitOf(i: Column, key: Column, bits: Int): Column =
+    Cms.bucketOf(i, key, bits)
+
+  /** Build the set-bit table over `df.keyCol`: one `bit` column,
+    * distinct. One pass, map-side-combinable distinct. */
+  def build(df: DataFrame, keyCol: String, bits: Int, k: Int): DataFrame = {
+    require(bits >= 1 && k >= 1, s"need positive bits/k, got $bits bits x $k hashes")
+    df.select(col(keyCol).as("__k"))
+      .select(explode(sequence(lit(0), lit(k - 1))).as("i"), col("__k"))
+      .select(bitOf(col("i"), col("__k"), bits).as("bit"))
+      .distinct()
+  }
+
+  /** Probe `keys.keyCol` against a built filter: `might_contain` is
+    * true iff all k bit positions are set. The join is keyed on the
+    * bit index — the filter side is ≤ min(bits, k·n) rows,
+    * broadcastable by construction at any corpus size (that is the
+    * sketch's contract; a filter too big to broadcast is a filter
+    * mis-sized for its key count). */
+  def mightContain(
+      bloom: DataFrame,
+      keys: DataFrame,
+      keyCol: String,
+      bits: Int,
+      k: Int,
+  ): DataFrame =
+    keys
+      .select(col(keyCol))
+      .distinct()
+      .select(col(keyCol), explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .withColumn("bit", bitOf(col("i"), col(keyCol), bits))
+      .join(broadcast(bloom.withColumn("__set", lit(1))), Seq("bit"), "left")
+      .groupBy(col(keyCol))
+      .agg((count(lit(1)) === sum(coalesce(col("__set"), lit(0)))).as("might_contain"))
 }
 
 /** K-minimum-values sketch (Bar-Yossef et al. 2002; the multi-set form

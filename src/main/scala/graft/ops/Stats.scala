@@ -487,6 +487,87 @@ object Stats {
   /** `df` with `valueCol` clamped into its [ppmLo, ppmHi] nearest-rank
     * quantile envelope (broadcast 1-row threshold join — the clamp
     * stays a scan-local projection). */
+  /** Weighted nearest-rank quantiles per group — the "median price
+    * weighted by volume" family (CBO statistics, fairness reporting):
+    * for each requested ppm, the smallest value whose cumulative
+    * WEIGHT reaches ⌈W·ppm/10⁶⌉. Same discipline as
+    * [[quantileThresholds]]: the window runs over the per-group
+    * (value → Σweight) HISTOGRAM, bounded by the value domain, never
+    * the corpus; one exchange on (group, value) for the histogram,
+    * one on group for the windows (both integer-exact, no
+    * interpolation — nearest-rank is the only cross-engine-safe
+    * definition).
+    *
+    * `ppms` maps ppm → output column name. Values and weights must be
+    * integral (cents/counts); null values are excluded, null weights
+    * count 0. */
+  def weightedQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      ppms: Seq[(Long, String)],
+  ): DataFrame = {
+    require(ppms.nonEmpty, "need at least one quantile")
+    val keys = groupCols.map(col)
+    val hist = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy((keys :+ col(valueCol).as("__s")): _*)
+      .agg(sum(coalesce(col(weightCol), lit(0L))).cast("long").as("__c"))
+    val wCum = Window
+      .partitionBy(keys: _*)
+      .orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(keys: _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val sels = ppms.map { case (ppm, name) => rankSelect(ppm, name) }
+    cum.groupBy(keys: _*).agg(sels.head, sels.tail: _*)
+  }
+
+  /** Pearson χ² test of homogeneity over a two-way contingency table
+    * (is the `colCol` distribution the same across `rowCol` groups?) —
+    * the categorical-drift cousin of [[distributionDrift]]. Per cell:
+    * observed count, expected share, and the χ² contribution
+    * (o − e)²/e = (o·N − r·c)² / (N·r·c), all in integer ppm through
+    * DECIMAL(38,0) (o·N squares past 2⁶³ at any real corpus size), so
+    * the statistic is bit-identical across engines — the caller
+    * compares `chi2_ppm` against the critical value for its df.
+    *
+    * One keyed aggregate over the corpus to the |rows|·|cols| cell
+    * table; margins and the total come from windows over that bounded
+    * table (zero extra corpus passes). Absent cells contribute
+    * (0 − e)²/e = r·c·10⁶ div (N·N)... — NOT emitted: the synthetic
+    * grid would need a cross join of the margins; for the drift-
+    * monitoring use the observed-cell statistic is the standard
+    * report, and a missing cell in one cohort still shows up through
+    * the other cohort's inflated contributions. */
+  def chi2Homogeneity(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(rowCol).as("row_v"), col(colCol).as("col_v"))
+      .agg(count(lit(1)).as("o"))
+    val wr   = Window.partitionBy("row_v")
+    val wc   = Window.partitionBy("col_v")
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("__r", sum(col("o")).over(wr))
+      .withColumn("__c", sum(col("o")).over(wc))
+      .withColumn("__n", sum(col("o")).over(wAll))
+      .withColumn("e_ppm", expr("(CAST(__r AS DECIMAL(38,0)) * __c * 1000000) div __n"))
+      .withColumn(
+        "contrib_ppm",
+        expr(
+          """CAST((CAST(o AS DECIMAL(38,0)) * __n - CAST(__r AS DECIMAL(38,0)) * __c)
+            |  * (CAST(o AS DECIMAL(38,0)) * __n - CAST(__r AS DECIMAL(38,0)) * __c)
+            |  * 1000000
+            |  div (CAST(__n AS DECIMAL(38,0)) * __r * __c) AS BIGINT)""".stripMargin
+        ),
+      )
+      .withColumn("chi2_ppm", sum(col("contrib_ppm")).over(wAll))
+      .select("row_v", "col_v", "o", "e_ppm", "contrib_ppm", "chi2_ppm")
+  }
+
   def winsorize(df: DataFrame, valueCol: String, ppmLo: Long, ppmHi: Long): DataFrame = {
     val th = quantileThresholds(df, valueCol, ppmLo, ppmHi)
     // least/greatest SKIP nulls (in Spark and DuckDB alike), so without

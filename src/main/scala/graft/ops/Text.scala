@@ -599,4 +599,147 @@ object Text {
       .groupBy("doc_id")
       .agg(countDistinct(col("wmin")).as("n_fingerprints"), min(col("wmin")).as("min_fp"))
   }
+
+  /** BM25 ranked retrieval (Robertson & Walker's Okapi weighting with
+    * k1 = 1.2, b = 0.75) over multi-term queries, in INTEGER
+    * arithmetic end-to-end so the gate is exact across engines:
+    *
+    *  - the tf saturation term tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) is
+    *    a rational in (tf, dl, total tokens T, doc count N); clearing
+    *    denominators by 10·T gives 22·tf·T / (10·tf·T + 3·T + 9·dl·N)
+    *    — exact integers, one flooring `div` per (query, doc, term);
+    *  - the log idf is replaced by the rank-preserving rational
+    *    surrogate idf_ppm = (N − df + 1)·10⁶ div (df + 1): strictly
+    *    decreasing in df like log((N−df+0.5)/(df+0.5)), so PER-TERM
+    *    ordering is identical; cross-term weighting is compressed
+    *    differently than the log (documented deviation — swapping in
+    *    float log is a one-line change, at the cost of the exact
+    *    differential this suite is built on).
+    *
+    * Dataflow is the inverted-index family's: explode → (doc, term)
+    * tf aggregate, term df aggregate, per-doc length, two 1-row
+    * totals; the query list joins in by term (broadcast — queries are
+    * small by contract), score sums per (query, doc), and the top-k
+    * window partitions by query. The corpus-proportional stages are
+    * all keyed aggregates/joins; nothing global but the bounded
+    * totals. Ties break by ascending doc id. */
+  def bm25TopK(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(Int, String)],
+      k: Int,
+  ): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(queries.nonEmpty, "need at least one (query_id, term)")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qdf = queries.toDF("query_id", "term")
+    val terms = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf    = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docs
+      .select(col(idCol).as("doc_id"), tokenCount(col(textCol)).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
+    val scored = tf
+      .join(broadcast(qdf), "term")
+      .join(dfreq, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_ppm", expr("((n_docs - df + 1) * 1000000L) div (df + 1)"))
+      .withColumn(
+        "score_ppm",
+        expr(
+          """CAST(idf_ppm AS DECIMAL(38,0)) * 22 * tf * total
+            |  div (10 * tf * total + 3 * total + 9 * dl * n_docs)""".stripMargin
+        ),
+      )
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("score_ppm")).cast("long").as("score_ppm"))
+    val w = Window.partitionBy("query_id").orderBy(col("score_ppm").desc, col("doc_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "doc_id", "score_ppm", "rnk")
+  }
+
+  /** Sequence packing for LLM training — the concatenate-and-chop
+    * model (GPT-2/3 data prep, Brown et al. 2020 §2.2; also T5's
+    * "packing"): documents are laid end-to-end in a deterministic
+    * order (ascending id) and the token stream is cut into fixed
+    * `budget`-token training windows; a document straddling a cut
+    * contributes its pieces to BOTH windows. Returns one row per
+    * (window, document) overlap — the pack manifest a training
+    * dataloader consumes: `window_id`, `doc_id`, `doc_start`/`doc_end`
+    * (the global token offsets of the document), `tok_in_window`.
+    *
+    * The global offset of each document is an exclusive prefix sum —
+    * the textbook two-phase distributed scan, NOT a single-partition
+    * window over the corpus:
+    *  1. per-shard local cumsum (window partitioned by shard — all
+    *     shards in parallel),
+    *  2. shard base offsets from the |shards|-row totals table (a
+    *     bounded single-partition window — |shards| rows, never the
+    *     corpus), broadcast-joined back.
+    * Shards are id-range blocks so shard order IS id order. A doc
+    * spans at most len/budget + 1 windows, so the explode is linear
+    * in total tokens / budget. Empty documents occupy no tokens and
+    * are dropped (they have no window membership).
+    */
+  def packWindows(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      shards: Int = 64,
+  ): org.apache.spark.sql.DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).cast("long").as("doc_id"), tokenCount(col(textCol)).cast("long").as("len"))
+      .filter(col("len") > 0)
+    // Shard = id-range block: one 1-row max-id probe fixes the block
+    // width, so shard index is monotone in doc_id.
+    val maxId = toks.agg(max(col("doc_id")).as("m"))
+    val sharded = toks
+      .crossJoin(broadcast(maxId))
+      .withColumn("shard", expr(s"doc_id div (((m + 1) + ${shards - 1}) div $shards)"))
+      .drop("m")
+    val wLocal = Window
+      .partitionBy("shard")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sharded.withColumn("local_end", sum(col("len")).over(wLocal))
+    // Shard base offsets: cumsum over the |shards|-row totals table.
+    val wShard = Window
+      .orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = sharded
+      .groupBy("shard")
+      .agg(sum(col("len")).as("shard_tokens"))
+      .withColumn("base", coalesce(sum(col("shard_tokens")).over(wShard), lit(0L)))
+      .select("shard", "base")
+    val offsets = local
+      .join(broadcast(bases), "shard")
+      .withColumn("doc_end", col("base") + col("local_end"))
+      .withColumn("doc_start", col("doc_end") - col("len"))
+    offsets
+      .select(
+        col("doc_id"),
+        col("doc_start"),
+        col("doc_end"),
+        explode(
+          sequence(expr(s"doc_start div $budget"), expr(s"(doc_end - 1) div $budget"))
+        ).as("window_id"),
+      )
+      .withColumn(
+        "tok_in_window",
+        least(col("doc_end"), (col("window_id") + 1) * budget) -
+          greatest(col("doc_start"), col("window_id") * budget),
+      )
+      .select("window_id", "doc_id", "doc_start", "doc_end", "tok_in_window")
+  }
 }

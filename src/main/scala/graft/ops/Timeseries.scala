@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid time-series operators over irregular event streams:
+  * resampling with gap fill + last-observation-carried-forward, and
+  * CUSUM change-point detection — the two standard post-aggregation
+  * steps of every metrics pipeline (a model-training-volume dashboard
+  * is exactly this shape: per-source daily document counts, gaps
+  * filled, drift alarms on the filled series).
+  *
+  * Both operators share the grid construction: the time span is ONE
+  * 1-row aggregate (min/max bucket — driver-bounded by construction),
+  * the dense axis is `sequence()` exploded per key (linear in
+  * |keys|·|buckets|, no join in the expansion), and observations are
+  * joined back on (key, bucket). The grid is |keys|·|span| rows —
+  * the OUTPUT size of the resample, so materializing it is the
+  * operator's contract, not overhead. Nothing here is corpus-global:
+  * the corpus is touched exactly once (the bucketing aggregate);
+  * every later stage runs on the bounded bucket table.
+  */
+object Timeseries {
+
+  /** Daily resample of per-key event counts over the global day span,
+    * with gap fill and LOCF: every (key, day) cell of the dense grid
+    * gets the key's observed count that day, or the most recent
+    * preceding observed count (`n_filled`), with `observed` telling
+    * them apart. Days before a key's first observation keep NULL —
+    * there is nothing to carry (the standard LOCF contract; no
+    * backfill).
+    *
+    * The LOCF itself is `last(ignoreNulls)` over a per-key window —
+    * one exchange on the key, partition-local sort of |span| rows per
+    * key. At 100 TB the grid is |keys|·|days|, i.e. linear in the
+    * entity count with a small constant — the same scale class as any
+    * per-entity daily rollup.
+    */
+  def resampleDailyLocf(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+  ): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    // One bounded 1-row aggregate for the global span; broadcast-joined
+    // onto the distinct keys, then exploded into the dense day axis.
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = daily
+      .select(col("key"))
+      .distinct()
+      .crossJoin(broadcast(span))
+      .select(
+        col("key"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"),
+      )
+    val w = Window
+      .partitionBy("key")
+      .orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(daily, Seq("key", "day"), "left")
+      .withColumn("observed", col("n").isNotNull)
+      .withColumn("n_filled", last(col("n"), ignoreNulls = true).over(w))
+      .select("key", "day", "n", "n_filled", "observed")
+  }
+
+  /** One-sided CUSUM change-point detection over per-key hourly event
+    * counts (Page 1954): S_t = max(0, S_{t-1} + x_t − k), alarm when
+    * the cumulative excess S_t crosses a threshold h. The allowance k
+    * is `slackNum/slackDen` times the key's mean hourly rate (slack
+    * above the mean, so ordinary variance DRAINS the statistic instead
+    * of accumulating — with k = μ exactly, a mean-zero random walk
+    * alarms constantly), and h is `thresholdMult` mean-hours. Missing
+    * hours count as 0 (the grid fill), so a silent key also drains —
+    * exactly the behavior a rate monitor wants.
+    *
+    * Everything is integer-exact: the deviation is kept in
+    * count·hours·slackDen units — S'_t = max(0, S'_{t-1} +
+    * slackDen·x_t·H − slackNum·T) with H the span's hour count and T
+    * the key's total — so no division (hence no truncation) happens
+    * anywhere, and the alarm test S'_t > thresholdMult·slackDen·T
+    * compares exactly. Bit-identical across engines and partitionings.
+    *
+    * The recursion is inherently sequential per key, so it runs as an
+    * `aggregate()` fold over the key's SORTED hourly array — the array
+    * is |span hours| long (bounded domain: a month is 720 entries, a
+    * year 8'760), never the corpus; the corpus is touched only by the
+    * bucketing aggregate. One exchange on the key; the fold is
+    * partition-local and codegen-friendly. The SQL oracle replays the
+    * recursion as a recursive CTE — exact equality, not a tolerance.
+    */
+  def cusumHourly(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      slackNum: Int = 5,
+      slackDen: Int = 4,
+      thresholdMult: Int = 2,
+  ): DataFrame = {
+    val hourly = df
+      .groupBy(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    cusumFromHourly(hourly, slackNum, slackDen, thresholdMult)
+  }
+
+  /** The post-aggregation stage of [[cusumHourly]], over an already
+    * bucketed (key, hour_ts, n) table — shared with the streaming twin,
+    * where the hourly counts are maintained by a streaming aggregation
+    * (the mergeable part) and this bounded-table fold derives the
+    * statistic per trigger (the [[graft.queries.StreamingQueries]]
+    * rate-anomaly pattern). */
+  def cusumFromHourly(
+      hourly: DataFrame,
+      slackNum: Int = 5,
+      slackDen: Int = 4,
+      thresholdMult: Int = 2,
+  ): DataFrame = {
+    require(thresholdMult >= 1, s"thresholdMult must be >= 1, got $thresholdMult")
+    require(
+      slackNum >= slackDen && slackDen >= 1,
+      s"need slackNum/slackDen >= 1, got $slackNum/$slackDen",
+    )
+    val span = hourly.agg(min(col("hour_ts")).as("h0"), max(col("hour_ts")).as("h1"))
+    val grid = hourly
+      .select(col("key"))
+      .distinct()
+      .crossJoin(broadcast(span))
+      .select(
+        col("key"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour_ts"),
+      )
+    val filled = grid
+      .join(hourly, Seq("key", "hour_ts"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    // Per-key totals and the global hour count: keyed aggregate + one
+    // broadcast 1-row aggregate — both bounded.
+    val hoursDf = filled
+      .groupBy("key")
+      .agg(
+        sum(col("n")).as("total"),
+        count(lit(1)).as("hh"),
+        sort_array(collect_list(struct(col("hour_ts"), col("n")))).as("series"),
+      )
+    // Fold the CUSUM recursion over the sorted series. Accumulator is
+    // (running S', emitted rows); both integer-exact.
+    val folded = hoursDf.withColumn(
+      "out",
+      expr(
+        s"""aggregate(
+           |  series,
+           |  struct(CAST(0 AS BIGINT) AS s,
+           |         CAST(array() AS ARRAY<STRUCT<hour_ts TIMESTAMP, n BIGINT, s BIGINT>>) AS rows),
+           |  (acc, x) -> struct(
+           |    greatest(CAST(0 AS BIGINT), acc.s + $slackDen * x.n * hh - $slackNum * total) AS s,
+           |    array_append(acc.rows,
+           |      struct(x.hour_ts AS hour_ts,
+           |             x.n AS n,
+           |             greatest(CAST(0 AS BIGINT),
+           |                      acc.s + $slackDen * x.n * hh - $slackNum * total) AS s)) AS rows),
+           |  acc -> acc.rows)""".stripMargin
+      ),
+    )
+    folded
+      .select(col("key"), col("total"), explode(col("out")).as("r"))
+      .select(
+        col("key"),
+        col("r.hour_ts").as("hour_ts"),
+        col("r.n").as("n"),
+        col("r.s").as("s_scaled"),
+        (col("r.s") > lit(thresholdMult.toLong * slackDen) * col("total")).as("alarm"),
+      )
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables._
 import graft.expr.Parity._
-import graft.ops.AsOf
+import graft.ops.{AsOf, Timeseries}
 import org.apache.spark.sql.functions._
 
 /** Event-table operators: schema-on-read JSON extraction (P1), time
@@ -649,7 +649,106 @@ object Events {
       .drop("__tot")
   }
 
+  /** Daily resample + gap fill + LOCF per user
+    * ([[graft.ops.Timeseries.resampleDailyLocf]]): the dense
+    * |users|·|days| activity grid every per-entity metrics rollup
+    * feeds on — missing days carry the last observed count, days
+    * before first activity stay NULL. */
+  private val resampleLocfQ = Q(
+    "evt_resample_locf",
+    """WITH daily AS (
+      |  SELECT user_id AS key, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |grid AS (
+      |  SELECT k.key, CAST(gs.g AS DATE) AS day
+      |  FROM (SELECT DISTINCT key FROM daily) k
+      |  CROSS JOIN (SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |                                            CAST(d1 AS TIMESTAMP),
+      |                                            INTERVAL 1 DAY)) AS g FROM span) gs)
+      |SELECT g.key AS key, g.day AS day, d.n AS n,
+      |  last_value(d.n IGNORE NULLS) OVER (PARTITION BY g.key ORDER BY g.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled,
+      |  d.n IS NOT NULL AS observed
+      |FROM grid g LEFT JOIN daily d USING (key, day)""".stripMargin,
+  ) { (s, d) =>
+    Timeseries.resampleDailyLocf(events(s, d), "user_id", "ts")
+  }
+
+  /** Integer-exact CUSUM change-point alarms over per-type hourly
+    * rates ([[graft.ops.Timeseries.cusumHourly]]); the oracle replays
+    * the sequential recursion as a recursive CTE — exact equality on
+    * the full statistic series, not a tolerance band. */
+  /** Shared oracle SQL for the batch and streaming CUSUM gates (the
+    * [[rateAnomalySql]] convention: a tweak to the recursion must
+    * change both twins or fork them visibly here). */
+  private[queries] val cusumSql: String =
+    """WITH RECURSIVE
+      |counts AS (SELECT event_type AS key, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(hour_ts) AS h0, max(hour_ts) AS h1 FROM counts),
+      |hours AS (SELECT g AS hour_ts, row_number() OVER (ORDER BY g) AS rn
+      |          FROM (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g FROM span)),
+      |grid AS (SELECT k.key, h.hour_ts, h.rn, coalesce(c.n, 0) AS n
+      |         FROM (SELECT DISTINCT key FROM counts) k
+      |         CROSS JOIN hours h
+      |         LEFT JOIN counts c ON c.key = k.key AND c.hour_ts = h.hour_ts),
+      |tot AS (SELECT key, sum(n) AS total FROM grid GROUP BY 1),
+      |nh AS (SELECT count(*) AS hh FROM hours),
+      |g2 AS (SELECT grid.key, grid.rn, grid.hour_ts, grid.n, tot.total, nh.hh
+      |       FROM grid JOIN tot USING (key) CROSS JOIN nh),
+      |rec AS (
+      |  SELECT key, rn, hour_ts, n, greatest(0, 4 * n * hh - 5 * total) AS s, total
+      |  FROM g2 WHERE rn = 1
+      |  UNION ALL
+      |  SELECT g.key, g.rn, g.hour_ts, g.n,
+      |         greatest(0, r.s + 4 * g.n * g.hh - 5 * g.total), g.total
+      |  FROM rec r JOIN g2 g ON g.key = r.key AND g.rn = r.rn + 1)
+      |SELECT key, hour_ts, n, CAST(s AS BIGINT) AS s_scaled, s > 8 * total AS alarm
+      |FROM rec""".stripMargin
+
+  private val cusumChangepointQ = Q("evt_cusum_changepoint", cusumSql) { (s, d) =>
+    Timeseries.cusumHourly(events(s, d), "event_type", "ts", slackNum = 5, slackDen = 4,
+      thresholdMult = 2)
+  }
+
+  /** Top-20 behavioral trigrams — the n-gram extension of
+    * [[transitionMatrix]]'s bigrams: per-user ordered event-type
+    * 3-paths via two leads over ONE per-user window (a single
+    * exchange; the "path mining" query product analytics runs).
+    * Global top-k by count then path — the final rank window runs over
+    * the ≤|types|³ distinct-path table, never the corpus. */
+  private val pathTrigramsQ = Q(
+    "evt_path_trigrams",
+    """WITH s AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path FROM s WHERE e3 IS NOT NULL)
+      |SELECT path, n, rnk FROM (
+      |  SELECT path, count(*) AS n,
+      |    row_number() OVER (ORDER BY count(*) DESC, path ASC) AS rnk
+      |  FROM p GROUP BY 1)
+      |WHERE rnk <= 20""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val paths = events(s, d)
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+    val wr = Window.orderBy(col("n").desc, col("path").asc)
+    paths.withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= 20)
+  }
+
   val all: Seq[Q] = Seq(
+    resampleLocfQ,
+    cusumChangepointQ,
+    pathTrigramsQ,
     attributionQ,
     intervalMergeQ,
     cohortRetention,

@@ -297,6 +297,175 @@ object MiscQueries {
       )
   }
 
+  /** Join-size estimation from two Count-Min sketches
+    * ([[graft.ops.Cms.joinSizeEstimate]]) — costing
+    * |lineitem ⋈ lineitem('R')| on partkey from two d×w summaries
+    * without executing the join, the optimizer's cardinality-probe
+    * use of CMS. md5 bucketing makes both sketches engine-replayable,
+    * so the oracle checks EXACT estimate equality (not the ε·|A|·|B|
+    * bound), and `no_underestimate` pins the estimator's one-sided
+    * guarantee against the true join size computed the expensive way. */
+  private val cmsJoinSize = Q(
+    "misc_cms_join_size",
+    """WITH ka AS (SELECT l_partkey AS k FROM lineitem),
+      |kb AS (SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+      |rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+      |sa AS (SELECT r AS row_,
+      |         CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || coalesce(CAST(k AS VARCHAR), '')), 1, 6)) AS BIGINT) % 16384 AS bucket,
+      |         count(*) AS cnt
+      |       FROM ka, rows_ GROUP BY 1, 2),
+      |sb AS (SELECT r AS row_,
+      |         CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || coalesce(CAST(k AS VARCHAR), '')), 1, 6)) AS BIGINT) % 16384 AS bucket,
+      |         count(*) AS cnt
+      |       FROM kb, rows_ GROUP BY 1, 2),
+      |dots AS (SELECT sa.row_, sum(sa.cnt * sb.cnt) AS dot
+      |         FROM sa JOIN sb ON sa.row_ = sb.row_ AND sa.bucket = sb.bucket GROUP BY 1),
+      |est AS (SELECT min(dot) AS join_size_est FROM dots),
+      |exact AS (SELECT CAST(sum(ca.n * cb.n) AS BIGINT) AS join_size_exact
+      |          FROM (SELECT k, count(*) AS n FROM ka GROUP BY 1) ca
+      |          JOIN (SELECT k, count(*) AS n FROM kb GROUP BY 1) cb USING (k))
+      |SELECT CAST(join_size_est AS BIGINT) AS join_size_est, join_size_exact,
+      |  join_size_est >= join_size_exact AS no_underestimate
+      |FROM est CROSS JOIN exact""".stripMargin,
+  ) { (s, d) =>
+    val a   = lineitem(s, d).select(col("l_partkey"))
+    val b   = lineitem(s, d).filter(col("l_returnflag") === "R").select(col("l_partkey"))
+    val skA = graft.ops.Cms.sketch(a, "l_partkey", depth = 4, width = 16384)
+    val skB = graft.ops.Cms.sketch(b, "l_partkey", depth = 4, width = 16384)
+    val exact = a
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_a"))
+      .join(b.groupBy("l_partkey").agg(count(lit(1)).as("n_b")), "l_partkey")
+      .agg(sum(col("n_a") * col("n_b")).as("join_size_exact"))
+    graft.ops.Cms
+      .joinSizeEstimate(skA, skB)
+      .crossJoin(broadcast(exact))
+      .select(
+        col("join_size_est"),
+        col("join_size_exact"),
+        (col("join_size_est") >= col("join_size_exact")).as("no_underestimate"),
+      )
+  }
+
+  /** Weighted nearest-rank quartiles per group
+    * ([[graft.ops.Stats.weightedQuantiles]]): extended price in cents
+    * weighted by quantity, per return flag — "the price point below
+    * which half the VOLUME trades". Integer-exact rank selection over
+    * the bounded (flag, cents) histogram. */
+  private val weightedQuantilesQ = Q(
+    "misc_weighted_quantiles",
+    """WITH h AS (
+      |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS s,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS c
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT l_returnflag, s, c,
+      |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM h)
+      |SELECT l_returnflag,
+      |  min(CASE WHEN cum >= greatest(1, ((n *  250000) + 999999) // 1000000) THEN s END) AS p25_cents,
+      |  min(CASE WHEN cum >= greatest(1, ((n *  500000) + 999999) // 1000000) THEN s END) AS median_cents,
+      |  min(CASE WHEN cum >= greatest(1, ((n *  750000) + 999999) // 1000000) THEN s END) AS p75_cents
+      |FROM cum GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Stats.weightedQuantiles(
+      lineitem(s, d)
+        .select(
+          col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        ),
+      groupCols = Seq("l_returnflag"),
+      valueCol = "cents",
+      weightCol = "qty",
+      ppms = Seq(250000L -> "p25_cents", 500000L -> "median_cents", 750000L -> "p75_cents"),
+    )
+  }
+
+  /** Pearson χ² homogeneity over the (user parity cohort × event type)
+    * contingency table ([[graft.ops.Stats.chi2Homogeneity]]) — the A/B
+    * categorical-drift test, integer-ppm exact. */
+  private val chi2Q = Q(
+    "misc_chi2_homogeneity",
+    """WITH cells AS (
+      |  SELECT user_id % 2 AS row_v, event_type AS col_v, count(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT row_v, col_v, o,
+      |    sum(o) OVER (PARTITION BY row_v) AS r,
+      |    sum(o) OVER (PARTITION BY col_v) AS c,
+      |    sum(o) OVER () AS n
+      |  FROM cells),
+      |sc AS (
+      |  SELECT row_v, col_v, o,
+      |    CAST((CAST(r AS HUGEINT) * c * 1000000) // n AS BIGINT) AS e_ppm,
+      |    CAST(((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+      |          * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) * 1000000)
+      |      // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS contrib_ppm
+      |  FROM m)
+      |SELECT row_v, col_v, o, e_ppm, contrib_ppm,
+      |  CAST(sum(contrib_ppm) OVER () AS BIGINT) AS chi2_ppm
+      |FROM sc""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Stats.chi2Homogeneity(
+      events(s, d).select(expr("user_id % 2").as("cohort"), col("event_type")),
+      "cohort",
+      "event_type",
+    )
+  }
+
+  /** Bloom membership filter ([[graft.ops.Bloom]]): built over the
+    * custkeys that have orders, probed with EVERY customer. md5 bit
+    * positions make the filter engine-replayable, so the oracle checks
+    * exact flag counts; `no_false_negative` pins the filter's
+    * one-sided guarantee, `false_positives` reports the (deterministic
+    * here) other side against exact membership. */
+  private val bloomMembership = Q(
+    "misc_bloom_membership",
+    """WITH mk AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      |hs AS (SELECT unnest(generate_series(0, 2)) AS i),
+      |bloom AS (
+      |  SELECT DISTINCT
+      |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || coalesce(CAST(k AS VARCHAR), '')), 1, 6)) AS BIGINT) % 131072 AS bit
+      |  FROM mk, hs),
+      |probes AS (SELECT DISTINCT c_custkey AS k FROM customer),
+      |pb AS (
+      |  SELECT p.k, count(*) AS kk,
+      |    sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS hits
+      |  FROM probes p CROSS JOIN hs
+      |  LEFT JOIN bloom b ON b.bit =
+      |    CAST(('0x' || substr(md5(CAST(hs.i AS VARCHAR) || ':' || coalesce(CAST(p.k AS VARCHAR), '')), 1, 6)) AS BIGINT) % 131072
+      |  GROUP BY p.k),
+      |mem AS (
+      |  SELECT pb.k, (pb.hits = pb.kk) AS might_contain, (mk.k IS NOT NULL) AS is_member
+      |  FROM pb LEFT JOIN mk ON mk.k = pb.k)
+      |SELECT count(*) AS n_probes,
+      |  CAST(count_if(is_member) AS BIGINT) AS n_members,
+      |  CAST(count_if(might_contain) AS BIGINT) AS n_flagged,
+      |  CAST(count_if(might_contain AND NOT is_member) AS BIGINT) AS false_positives,
+      |  count_if(is_member AND NOT might_contain) = 0 AS no_false_negative
+      |FROM mem""".stripMargin,
+  ) { (s, d) =>
+    import graft.ops.Bloom
+    val members = orders(s, d).select(col("o_custkey").as("k")).distinct()
+    val bloom   = Bloom.build(members, "k", bits = 131072, k = 3)
+    val flags   = Bloom.mightContain(bloom, customer(s, d).select(col("c_custkey").as("k")),
+      "k", bits = 131072, k = 3)
+    flags
+      .join(members.withColumn("__m", lit(1)), Seq("k"), "left")
+      .select(col("might_contain"), col("__m").isNotNull.as("is_member"))
+      .agg(
+        count(lit(1)).as("n_probes"),
+        sum(when(col("is_member"), 1L).otherwise(0L)).cast("long").as("n_members"),
+        sum(when(col("might_contain"), 1L).otherwise(0L)).cast("long").as("n_flagged"),
+        sum(when(col("might_contain") && !col("is_member"), 1L).otherwise(0L)).cast("long")
+          .as("false_positives"),
+        (sum(when(col("is_member") && !col("might_contain"), 1L).otherwise(0L)) === 0L)
+          .as("no_false_negative"),
+      )
+  }
+
   /** Fixed-size deterministic per-stratum sample (reservoir shape,
     * [[graft.ops.Sampling.reservoirPerStratum]]): exactly
     * min(k, |stratum|) docs per source (k below the stratum size, so the
@@ -1469,7 +1638,8 @@ object MiscQueries {
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
       pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
-      cmsHeavyHitters, cmsAuto, triangleCensus, profileColumns, profileApproxQ,
+      cmsHeavyHitters, cmsAuto, cmsJoinSize, weightedQuantilesQ, chi2Q, bloomMembership,
+      triangleCensus, profileColumns, profileApproxQ,
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
       corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ,
       labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ)

@@ -723,7 +723,27 @@ object Relational {
         col("sum_cents"), col("min_cents"), col("max_cents"))
   }
 
+  /** 2-D skyline over parts — cheapest-price / largest-size Pareto
+    * frontier ([[graft.ops.Skyline.pareto2d]]); the oracle is the
+    * textbook quadratic NOT-EXISTS dominance test, the implementation
+    * the aggregate+cummax sweep whose expensive stage runs over the
+    * price DOMAIN, not the part count. */
+  private val skylineParts = Q(
+    "rel_skyline_parts",
+    """WITH pts AS (
+      |  SELECT p_retailprice, p_size, count(*) AS n_rows FROM part
+      |  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL GROUP BY 1, 2)
+      |SELECT p_retailprice, p_size, n_rows FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Skyline.pareto2d(part(s, d), "p_retailprice", "p_size")
+  }
+
   val all: Seq[Q] = Seq(
+    skylineParts,
     aggIncrementalMaintain,
     joinIncrementalMaintain,
     scd2Customer,

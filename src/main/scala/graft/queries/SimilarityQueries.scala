@@ -1233,9 +1233,106 @@ object SimilarityQueries {
       .select("q_id", "n_id", "cos", "rnk")
   }
 
+  /** Shared dataflow of the two centroid-classifier gates: supervised
+    * per-label centroids (dimension-wise DECIMAL(38,12) means — the
+    * [[Similarity.ivfRefine]] arithmetic, bit-deterministic under any
+    * partitioning — cast back to float), then every vector assigned to
+    * its max-cosine centroid (|labels| centroids broadcast; ties break
+    * on ascending label). Returns (vec_id, label, predicted). */
+  private def centroidPredictions(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Similarity.withNorm(embeddings(s, d), "embedding")
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("__pos", "__v")))
+      .groupBy("label", "__pos")
+      .agg((expr("CAST(SUM(CAST(__v AS DECIMAL(38,12))) AS DOUBLE)") / count(lit(1))).as("__m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ms"))
+      .select(
+        col("label").as("cent_label"),
+        transform(col("__ms"), m => m.getField("__m").cast("float")).as("cemb"),
+      )
+      .withColumn("cnrm", Similarity.l2Norm(col("cemb")))
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_label").asc)
+    e.crossJoin(broadcast(cents))
+      .withColumn(
+        "ccos",
+        Similarity.dot(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm")),
+      )
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("label"), col("cent_label").as("predicted"))
+  }
+
+  /** Oracle CTE prefix shared by the two centroid gates (predictions
+    * as (vec_id, label, predicted)). */
+  private val centroidPredSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT label, i.i AS pos,
+       |    CAST(CAST(SUM(CAST(embedding[i.i] AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+       |      / COUNT(*) AS m
+       |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+       |  GROUP BY 1, 2),
+       |centn AS (
+       |  SELECT cent_label, cemb, sqrt(${duckDot("cemb", "cemb")}) AS cnrm FROM (
+       |    SELECT label AS cent_label, list(CAST(m AS REAL) ORDER BY pos) AS cemb
+       |    FROM dims GROUP BY 1)),
+       |asg AS (
+       |  SELECT vec_id, label, cent_label,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_label) AS crk
+       |  FROM (
+       |    SELECT e.vec_id, e.label, cent_label,
+       |      ${duckDot("e.embedding", "cemb")} / (e.nrm * cnrm) AS ccos
+       |    FROM e CROSS JOIN centn)),
+       |pred AS (SELECT vec_id, label, cent_label AS predicted FROM asg WHERE crk = 1)""".stripMargin
+
+  /** Nearest-centroid confusion matrix ([[graft.ops.Eval.confusion]])
+    * over the label-centroid classifier — integer-ppm row shares. */
+  private val centroidConfusion = Q(
+    "sim_centroid_confusion",
+    s"""$centroidPredSql,
+       |cm AS (SELECT label, predicted, count(*) AS n FROM pred GROUP BY 1, 2)
+       |SELECT label, predicted, n,
+       |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY label) AS BIGINT) AS share_ppm
+       |FROM cm""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Eval.confusion(centroidPredictions(s, d), "label", "predicted")
+  }
+
+  /** Per-class precision/recall/F1 report
+    * ([[graft.ops.Eval.classReport]]) for the same classifier —
+    * the eval artifact a labeling-model gate publishes. */
+  private val centroidEval = Q(
+    "sim_centroid_eval",
+    s"""$centroidPredSql,
+       |tp AS (SELECT label AS cls, count(*) AS tp FROM pred WHERE label = predicted GROUP BY 1),
+       |lab AS (SELECT label AS cls, count(*) AS n_true FROM pred GROUP BY 1),
+       |prd AS (SELECT predicted AS cls, count(*) AS n_pred FROM pred GROUP BY 1),
+       |j AS (
+       |  SELECT cls, coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+       |    coalesce(tp, 0) AS tp
+       |  FROM lab FULL OUTER JOIN prd USING (cls) LEFT JOIN tp USING (cls))
+       |SELECT cls, n_true, n_pred, tp,
+       |  CAST(CASE WHEN n_pred = 0 THEN 0 ELSE (tp * 1000000) // n_pred END AS BIGINT)
+       |    AS precision_ppm,
+       |  CAST(CASE WHEN n_true = 0 THEN 0 ELSE (tp * 1000000) // n_true END AS BIGINT)
+       |    AS recall_ppm,
+       |  CAST(CASE WHEN n_true + n_pred = 0 THEN 0
+       |       ELSE (2 * tp * 1000000) // (n_true + n_pred) END AS BIGINT) AS f1_ppm
+       |FROM j""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Eval.classReport(centroidPredictions(s, d), "label", "predicted")
+  }
+
   val all: Seq[Q] =
     Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
       annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
       annIvfPqSampledTopK, annIvfAppendTopK, annIvfPqResidualTopK, ragChunkTopK, annRecallEval,
-      annBatchedTopK, annIvfStoredTopK)
+      annBatchedTopK, annIvfStoredTopK, centroidConfusion, centroidEval)
 }

@@ -926,6 +926,49 @@ object StreamingQueries {
     Events.spikeView(s.table(name))
   }
 
+  /** Streaming CUSUM change-point monitor — the [[rateAnomalyStream]]
+    * pattern applied to [[graft.ops.Timeseries]]: the streaming
+    * aggregation maintains the mergeable per-(key, hour) counts
+    * (bounded at keys × hours), and the inherently-sequential CUSUM
+    * recursion is derived batch-side from the final state as a
+    * bounded-table fold per trigger. Oracle: the batch recursive-CTE
+    * replay, shared verbatim with `evt_cusum_changepoint` — final
+    * streaming state ≡ batch hourly table, so the statistic series
+    * matches exactly. */
+  private val cusumStream = Q(
+    "stream_cusum",
+    Events.cusumSql, // the batch gate's oracle, shared verbatim
+  ) { (s, d) =>
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    val stream = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+    val hourly = stream
+      .groupBy(col("event_type").as("key"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    val name = synchronized { streamN += 1; s"graft_stream_cusum_$streamN" }
+    withStatePartitions(s, 4) {
+      withScratchCheckpoint("graft_ckpt_cusum") { ckpt =>
+        val q = hourly.writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    // The fold references the state table three times (span, keys, the
+    // grid join); DeduplicateRelations cannot clone a MemorySink view,
+    // so freeze the bounded (keys × hours) final state into a plain
+    // leaf first — also semantically right: one snapshot, three reads.
+    graft.ops.Timeseries
+      .cusumFromHourly(s.table(name).localCheckpoint(), slackNum = 5, slackDen = 4,
+        thresholdMult = 2)
+  }
+
   /** Streaming column profiler — ingestion data-quality monitoring as
     * a live view: [[graft.ops.Profile.unpivot]] over the replayed
     * events feeds a streaming aggregation of (n, nulls, min, max) per
@@ -1134,5 +1177,6 @@ object StreamingQueries {
   val all: Seq[Q] =
     Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream,
       decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream,
-      cmsStream, bpeDriftStream, rateAnomalyStream, profileStream, distDriftStream, ivmStream)
+      cmsStream, bpeDriftStream, rateAnomalyStream, profileStream, distDriftStream, ivmStream,
+      cusumStream)
 }

@@ -575,8 +575,150 @@ object TextQueries {
     )
   }
 
+  /** Concatenate-and-chop window composition manifest
+    * ([[graft.ops.Text.packWindows]]) — the complement of
+    * [[packBudget]]: that gate assigns each document ONE pack by its
+    * start offset; this one emits the full (window, doc) membership
+    * including documents SPLIT across a window cut, with per-piece
+    * token counts — what a dataloader needs to build attention masks
+    * at sequence boundaries. The implementation's global offsets come
+    * from a two-phase distributed scan (per-shard cumsum + bounded
+    * shard-base table), not a corpus-wide single-partition window;
+    * the oracle's plain corpus-wide window must agree exactly. */
+  private val packManifest = Q(
+    "txt_pack_manifest",
+    """WITH toks AS (
+      |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS len
+      |  FROM documents),
+      |nz AS (SELECT * FROM toks WHERE len > 0),
+      |offs AS (SELECT doc_id, len,
+      |  sum(len) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+      |  FROM nz),
+      |spans AS (SELECT doc_id, CAST(e - len AS BIGINT) AS doc_start, CAST(e AS BIGINT) AS doc_end
+      |          FROM offs),
+      |packed AS (
+      |  SELECT doc_id, doc_start, doc_end,
+      |    unnest(generate_series(doc_start // 256, (doc_end - 1) // 256)) AS window_id
+      |  FROM spans)
+      |SELECT window_id, doc_id, doc_start, doc_end,
+      |  least(doc_end, (window_id + 1) * 256) - greatest(doc_start, window_id * 256)
+      |    AS tok_in_window
+      |FROM packed""".stripMargin,
+  ) { (s, d) =>
+    Text.packWindows(documents(s, d), "doc_id", "text", budget = 256, shards = 64)
+  }
+
+  /** Integer-exact BM25 ranked retrieval ([[graft.ops.Text.bm25TopK]]):
+    * three multi-term queries against the corpus, top-10 each. The tf
+    * saturation is the exact Okapi rational (k1=1.2, b=0.75, cleared
+    * of denominators); idf is the documented rank-preserving rational
+    * surrogate — both replayed verbatim by the oracle. */
+  private val bm25Topk = Q(
+    "txt_bm25_topk",
+    """WITH q(query_id, term) AS (
+      |  VALUES (1, 'hash'), (1, 'join'), (2, 'customer'), (2, 'order'),
+      |         (3, 'scan'), (3, 'filter'), (3, 'slow')),
+      |terms AS (SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS dl
+      |       FROM documents WHERE len(regexp_extract_all(text, '\w+')) > 0),
+      |tot AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl),
+      |scored AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    CAST(sum(
+      |      (CAST(((n_docs - df + 1) * 1000000) // (df + 1) AS HUGEINT) * 22 * tf * total)
+      |        // (10 * tf * total + 3 * total + 9 * dl * n_docs)
+      |    ) AS BIGINT) AS score_ppm
+      |  FROM tf JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+      |  CROSS JOIN tot
+      |  GROUP BY 1, 2)
+      |SELECT query_id, doc_id, score_ppm, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY score_ppm DESC, doc_id ASC) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 10""".stripMargin,
+  ) { (s, d) =>
+    Text.bm25TopK(
+      documents(s, d),
+      "doc_id",
+      "text",
+      queries = Seq(1 -> "hash", 1 -> "join", 2 -> "customer", 2 -> "order",
+        3 -> "scan", 3 -> "filter", 3 -> "slow"),
+      k = 10,
+    )
+  }
+
+  /** Reciprocal-rank fusion of two retrieval rankings for the same
+    * queries ([[graft.ops.Fusion.rrf]]) — hybrid search's merge step:
+    * the BM25 top-10 fused with a raw term-frequency top-10. Both
+    * rankers and the fusion arithmetic (10⁶ div (60 + rank), summed)
+    * are integer-exact, so the oracle replays the whole composition. */
+  private val rrfFusion = Q(
+    "txt_rrf_fusion",
+    """WITH q(query_id, term) AS (
+      |  VALUES (1, 'hash'), (1, 'join'), (2, 'customer'), (2, 'order'),
+      |         (3, 'scan'), (3, 'filter'), (3, 'slow')),
+      |terms AS (SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS dl
+      |       FROM documents WHERE len(regexp_extract_all(text, '\w+')) > 0),
+      |tot AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl),
+      |bmscored AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    CAST(sum(
+      |      (CAST(((n_docs - df + 1) * 1000000) // (df + 1) AS HUGEINT) * 22 * tf * total)
+      |        // (10 * tf * total + 3 * total + 9 * dl * n_docs)
+      |    ) AS BIGINT) AS score_ppm
+      |  FROM tf JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id)
+      |  CROSS JOIN tot
+      |  GROUP BY 1, 2),
+      |bm AS (SELECT query_id, doc_id, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY score_ppm DESC, doc_id ASC) AS rnk
+      |  FROM bmscored) WHERE rnk <= 10),
+      |cnt AS (SELECT query_id, doc_id, rnk FROM (
+      |  SELECT q.query_id, tf.doc_id,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |                       ORDER BY sum(tf) DESC, tf.doc_id ASC) AS rnk
+      |  FROM tf JOIN q USING (term) GROUP BY 1, 2) WHERE rnk <= 10),
+      |u AS (SELECT * FROM bm UNION ALL SELECT * FROM cnt),
+      |f AS (SELECT query_id, doc_id,
+      |        CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf_ppm,
+      |        count(*) AS n_lists
+      |      FROM u GROUP BY 1, 2)
+      |SELECT query_id, doc_id, rrf_ppm, n_lists,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_ppm DESC, doc_id ASC) AS rnk
+      |FROM f""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val qs = Seq(1 -> "hash", 1 -> "join", 2 -> "customer", 2 -> "order",
+      3 -> "scan", 3 -> "filter", 3 -> "slow")
+    val bm = Text.bm25TopK(documents(s, d), "doc_id", "text", qs, k = 10)
+    // raw term-frequency ranking over the same inverted lists
+    import s.implicits._
+    val qdf = qs.toDF("query_id", "term")
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("query_id").orderBy(col("__s").desc, col("doc_id").asc)
+    val cnt = tf
+      .join(broadcast(qdf), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("tf")).as("__s"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .drop("__s")
+    graft.ops.Fusion
+      .rrf(Seq(bm, cnt), groupCols = Seq("query_id"), itemCol = "doc_id", rankCol = "rnk")
+      .select("query_id", "doc_id", "rrf_ppm", "n_lists", "rnk")
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
-      sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize, lmPrune, invertedIndexQ)
+      sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize, lmPrune, invertedIndexQ,
+      packManifest, bm25Topk, rrfFusion)
 }

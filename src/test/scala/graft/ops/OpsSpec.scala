@@ -2179,4 +2179,215 @@ class OpsSpec extends AnyFunSuite {
     val initD = Scd.scd2Init(snap, Seq("k"), Seq("v"), to_date(lit("2024-01-01")))
     assert(initD.schema("valid_to").dataType.typeName === "date")
   }
+
+  test("Timeseries.resampleDailyLocf: gaps fill with last observation, leading days stay null") {
+    // key 1 active on days 1 and 4 of a 1..5 global span (key 2 fixes the
+    // span); expect day 2-3 carried from day 1, day 5 carried from day 4,
+    // and for key 2 the days BEFORE its first observation null-filled.
+    def ts(day: Int) = s"2024-01-0$day 12:00:00"
+    val df = Seq(
+      (1L, ts(1)), (1L, ts(1)), (1L, ts(4)),
+      (2L, ts(3)), (2L, ts(5)),
+    ).toDF("k", "ts").withColumn("ts", to_timestamp(col("ts")))
+    val got = Timeseries
+      .resampleDailyLocf(df, "k", "ts")
+      .collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[java.sql.Date]("day").toString.takeRight(2)) ->
+        (Option(r.getAs[Any]("n")), Option(r.getAs[Any]("n_filled")), r.getAs[Boolean]("observed")))
+      .toMap
+    assert(got.size === 10) // 2 keys x 5-day global span
+    assert(got((1L, "01")) === (Some(2L), Some(2L), true))
+    assert(got((1L, "02")) === (None, Some(2L), false))  // gap: carried
+    assert(got((1L, "03")) === (None, Some(2L), false))
+    assert(got((1L, "04")) === (Some(1L), Some(1L), true))
+    assert(got((1L, "05")) === (None, Some(1L), false))
+    assert(got((2L, "01")) === (None, None, false))      // before first obs: nothing to carry
+    assert(got((2L, "02")) === (None, None, false))
+    assert(got((2L, "03")) === (Some(1L), Some(1L), true))
+  }
+
+  test("Timeseries.cusumHourly: sustained excess alarms, quiet hours drain to zero") {
+    // One key, 8-hour span: hours 1-4 at the mean, hours 5-6 spike, then
+    // quiet. With slack 1/1 (allowance = mean) and threshold 1 the
+    // recursion is easy to hand-check.
+    def ts(h: Int, m: Int = 0) = to_timestamp(lit(f"2024-01-01 $h%02d:$m%02d:00"))
+    val rows = Seq.tabulate(8) { h => (h + 1, if (h == 4 || h == 5) 7 else 1) }
+    val df = rows
+      .flatMap { case (h, n) => Seq.fill(n)(h) }
+      .toDF("h")
+      .withColumn("k", lit("a"))
+      .withColumn("ts", to_timestamp(format_string("2024-01-01 %02d:00:00", col("h"))))
+    val got = Timeseries
+      .cusumHourly(df, "k", "ts", slackNum = 1, slackDen = 1, thresholdMult = 1)
+      .orderBy("hour_ts")
+      .collect()
+    // total = 20, hh = 8, mean*hh = 20; deviations n*8 - 20
+    val s = got.map(_.getAs[Long]("s_scaled")).toSeq
+    assert(s === Seq(0L, 0L, 0L, 0L, 36L, 72L, 60L, 48L))
+    val alarms = got.map(_.getAs[Boolean]("alarm")).toSeq
+    assert(alarms === Seq(false, false, false, false, true, true, true, true)) // > 1*total=20
+    val _ = ts(1) // keep helper used
+  }
+
+  test("Skyline.pareto2d: dominance strictness, same-x pruning, duplicate points both kept") {
+    val pts = Seq(
+      (1.0, 5), (1.0, 5),  // duplicate frontier point: n_rows 2
+      (1.0, 3),            // same x, lower y: dominated
+      (2.0, 5),            // same y as cheaper x=1: dominated (strict x)
+      (2.0, 7),            // frontier
+      (3.0, 7),            // y ties more-expensive x: dominated
+      (4.0, 9),            // frontier
+      (5.0, 1),            // dominated by everything
+    ).toDF("price", "size")
+    val got = Skyline
+      .pareto2d(pts, "price", "size")
+      .collect()
+      .map(r => (r.getDouble(0), r.getInt(1)) -> r.getAs[Long]("n_rows"))
+      .toMap
+    assert(got === Map((1.0, 5) -> 2L, (2.0, 7) -> 1L, (4.0, 9) -> 1L))
+  }
+
+  test("Cms.joinSizeEstimate: exact when collision-free, never underestimates when not") {
+    val a = Seq("x", "x", "x", "y", "z").toDF("k") // fA = x:3 y:1 z:1
+    val b = Seq("x", "y", "y", "w").toDF("k")      // fB = x:1 y:2 w:1
+    val truth = 3L * 1 + 1L * 2 // = 5
+    // wide sketch: 4x4096 over 4 keys is collision-free w.h.p. => exact
+    val wide = Cms
+      .joinSizeEstimate(Cms.sketch(a, "k", 4, 4096), Cms.sketch(b, "k", 4, 4096))
+      .head().getAs[Long]("join_size_est")
+    assert(wide === truth)
+    // width 1: everything collides; estimate = |A|*|B| = 20, one-sided
+    val tiny = Cms
+      .joinSizeEstimate(Cms.sketch(a, "k", 4, 1), Cms.sketch(b, "k", 4, 1))
+      .head().getAs[Long]("join_size_est")
+    assert(tiny === 20L && tiny >= truth)
+  }
+
+  test("Text.packWindows: token conservation, straddle pieces, shard-count invariance") {
+    val docs = Seq(
+      (0L, Seq.fill(3)("a").mkString(" ")),   // [0,3)
+      (1L, ""),                               // empty: dropped
+      (2L, Seq.fill(4)("b").mkString(" ")),   // [3,7)  straddles the 4-cut
+      (3L, Seq.fill(10)("c").mkString(" ")),  // [7,17) spans windows 1..4
+    ).toDF("id", "text")
+    val got = Text.packWindows(docs, "id", "text", budget = 4, shards = 3)
+    val rows = got.collect().map(r =>
+      (r.getAs[Long]("window_id"), r.getAs[Long]("doc_id"), r.getAs[Long]("tok_in_window")))
+    assert(rows.map(_._3).sum === 17) // conservation: every token in exactly one window
+    val byDoc = rows.groupBy(_._2)
+    assert(!byDoc.contains(1L))
+    assert(byDoc(2L).toSet === Set((0L, 2L, 1L), (1L, 2L, 3L))) // straddle split 1+3
+    assert(byDoc(3L).map(_._3).sum === 10 && byDoc(3L).length === 4)
+    // the same manifest regardless of how the scan was sharded
+    val oneShard = Text.packWindows(docs, "id", "text", budget = 4, shards = 1)
+    assert(got.except(oneShard).isEmpty && oneShard.except(got).isEmpty)
+  }
+
+  test("Stats.weightedQuantiles: nearest-rank on cumulative weight, null weight counts 0, null value excluded") {
+    val df = Seq(
+      ("g", Some(1L), Some(4L)),
+      ("g", Some(2L), Some(2L)),
+      ("g", Some(3L), Some(4L)),
+      ("g", Some(9L), None),    // null weight: present in histogram with weight 0
+      ("g", None, Some(100L)),  // null value: excluded entirely
+    ).toDF("grp", "v", "w")
+    val r = Stats
+      .weightedQuantiles(df, Seq("grp"), "v", "w",
+        Seq(250000L -> "p25", 500000L -> "p50", 750000L -> "p75"))
+      .head()
+    // W = 10, cum: 1→4, 2→6, 3→10; ranks ⌈2.5⌉=3, 5, ⌈7.5⌉=8
+    assert(r.getAs[Long]("p25") === 1L)
+    assert(r.getAs[Long]("p50") === 2L)
+    assert(r.getAs[Long]("p75") === 3L)
+  }
+
+  test("Stats.chi2Homogeneity: zero on perfect homogeneity, hand-checked statistic on disjoint cohorts") {
+    val same = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("A", "y"),
+      ("B", "x"), ("B", "x"), ("B", "y"), ("B", "y")).toDF("r", "c")
+    val h = Stats.chi2Homogeneity(same, "r", "c").collect()
+    assert(h.forall(_.getAs[Long]("contrib_ppm") === 0L))
+    assert(h.forall(_.getAs[Long]("chi2_ppm") === 0L))
+    // disjoint: A all x, B all y — observed-cell χ² = 2·(4−2)²/2 = 4
+    val disj = Seq.fill(4)(("A", "x")).++(Seq.fill(4)(("B", "y"))).toDF("r", "c")
+    val d = Stats.chi2Homogeneity(disj, "r", "c").collect()
+    assert(d.length === 2)
+    assert(d.forall(_.getAs[Long]("e_ppm") === 2000000L))
+    assert(d.forall(_.getAs[Long]("contrib_ppm") === 2000000L))
+    assert(d.forall(_.getAs[Long]("chi2_ppm") === 4000000L))
+  }
+
+  test("Bloom: no false negatives ever; saturated 1-bit filter flags everything; wide filter rejects an absent key") {
+    val members = Seq("a", "b", "c").toDF("k")
+    val probes  = Seq("a", "b", "c", "zz").toDF("k")
+    def flags(bits: Int) = {
+      val f = Bloom.mightContain(Bloom.build(members, "k", bits, 3), probes, "k", bits, 3)
+      f.collect().map(r => r.getString(0) -> r.getAs[Boolean]("might_contain")).toMap
+    }
+    val wide = flags(1 << 20) // collision-free w.h.p.
+    assert(wide("a") && wide("b") && wide("c"))
+    assert(!wide("zz"))
+    val tiny = flags(1) // every bit position is 0: everything matches
+    assert(tiny.values.forall(identity))
+  }
+
+  test("Eval: confusion shares, per-class report counts, ppm identities on a hand confusion") {
+    // truth a a a b b c ; pred a a b b c c
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"), ("c", "c"))
+      .toDF("y", "p")
+    val cm = Eval.confusion(df, "y", "p").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getAs[Long]("n"), r.getAs[Long]("share_ppm")))
+      .toMap
+    assert(cm(("a", "a")) === (2L, 666666L)) // 2/3 floored ppm
+    assert(cm(("a", "b")) === (1L, 333333L))
+    assert(cm(("b", "b")) === (1L, 500000L))
+    val rep = Eval.classReport(df, "y", "p").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rep("a").getAs[Long]("tp") === 2L)
+    assert(rep("a").getAs[Long]("n_true") === 3L)
+    assert(rep("a").getAs[Long]("n_pred") === 2L)
+    assert(rep("a").getAs[Long]("precision_ppm") === 1000000L)
+    assert(rep("a").getAs[Long]("recall_ppm") === 666666L)
+    assert(rep("a").getAs[Long]("f1_ppm") === 800000L) // 2*2/(3+2)
+    assert(rep("c").getAs[Long]("n_pred") === 2L && rep("c").getAs[Long]("precision_ppm") === 500000L)
+  }
+
+  test("Eval.classReport: class never predicted gets precision 0, class never labeled gets recall 0") {
+    val df  = Seq(("a", "b"), ("a", "b")).toDF("y", "p")
+    val rep = Eval.classReport(df, "y", "p").collect().map(r => r.getString(0) -> r).toMap
+    assert(rep("a").getAs[Long]("n_pred") === 0L && rep("a").getAs[Long]("precision_ppm") === 0L)
+    assert(rep("b").getAs[Long]("n_true") === 0L && rep("b").getAs[Long]("recall_ppm") === 0L)
+    assert(rep("a").getAs[Long]("f1_ppm") === 0L && rep("b").getAs[Long]("f1_ppm") === 0L)
+  }
+
+  test("Fusion.rrf: both-list items outrank single-list, absent items contribute nothing, ties break on item") {
+    val a = Seq((1, 10L, 1), (1, 11L, 2), (1, 12L, 3)).toDF("g", "item", "rnk")
+    val b = Seq((1, 11L, 1), (1, 13L, 2)).toDF("g", "item", "rnk")
+    val got = Fusion.rrf(Seq(a, b), groupCols = Seq("g"), itemCol = "item", rankCol = "rnk")
+      .collect().map(r => r.getAs[Long]("item") ->
+        (r.getAs[Long]("rrf_ppm"), r.getAs[Long]("n_lists"), r.getAs[Int]("rnk"))).toMap
+    val f = (r: Int) => 1000000L / (60 + r)
+    assert(got(11L) === (f(2) + f(1), 2L, 1)) // in both lists: top fused
+    assert(got(10L) === (f(1), 1L, 2))
+    assert(got(13L) === (f(2), 1L, 3))
+    assert(got(12L) === (f(3), 1L, 4))
+  }
+
+  test("Text.bm25TopK: rarer term outweighs common, higher tf wins within a term, non-matching docs absent") {
+    val docs = Seq(
+      (1L, "rare common common"),
+      (2L, "common common common"),
+      (3L, "common rare rare"),
+      (4L, "other other other"),
+    ).toDF("id", "text")
+    val got = Text
+      .bm25TopK(docs, "id", "text", queries = Seq(1 -> "rare", 2 -> "common"), k = 10)
+      .collect()
+      .groupBy(_.getAs[Int]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("doc_id")).toSeq)
+      .toMap
+    assert(got(1) === Seq(3L, 1L))       // tf 2 beats tf 1; docs without 'rare' absent
+    assert(got(2) === Seq(2L, 1L, 3L))   // tf 2 beats the tf-1 tie broken by doc id
+    // doc 4 matches neither query
+    assert(!got.values.flatten.toSet.contains(4L))
+  }
 }
