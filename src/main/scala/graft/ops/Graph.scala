@@ -262,6 +262,60 @@ object Graph {
     * edge list — separated from [[triangleCensus]]'s eager wrapper so
     * its physical plan can be pinned in PlanSpec (the eager form's
     * returned frame is a LocalRelation). */
+  /** Per-node clustering coefficient — the local form of
+    * [[triangleCensus]]'s global closure: for each node, the fraction
+    * of its neighbor pairs that are themselves connected,
+    * 2·T_v / (deg·(deg−1)) in integer ppm. Same degree-ordered wedge
+    * closing as the census (work bounded by arboricity), but the
+    * closing probe keeps the wedge's THIRD node so each triangle can
+    * credit all three corners — one explode, one count per node.
+    * Nodes with fewer than two neighbors have no wedges and report 0.
+    *
+    * @param edges undirected, canonical a < b, deduplicated (the
+    *              [[triangleCensus]] contract). */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val deg = edges
+      .select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy("n")
+      .agg(count(lit(1)).as("degree"))
+    val withDeg = edges
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("degree", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("degree", "db"), "b")
+    val aFirst = (col("da") < col("db")) || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dd"),
+    )
+    val e1 = oriented.select(col("src"), col("dst").as("v"), col("dd").as("vd"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"), col("dd").as("wd"))
+    val wedgeOrder =
+      (col("vd") < col("wd")) || (col("vd") === col("wd") && col("v") < col("w"))
+    // inner join (not semi): the closed wedge must keep src so the
+    // triangle can credit all three corners
+    val tri = e1
+      .join(e2, Seq("src"))
+      .where(wedgeOrder)
+      .select(col("src"), col("v"), col("w"))
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val perNode = tri
+      .select(explode(array(col("src"), col("v"), col("w"))).as("n"))
+      .groupBy("n")
+      .agg(count(lit(1)).as("triangles"))
+    deg
+      .join(perNode, Seq("n"), "left")
+      .select(
+        col("n"),
+        col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") < 2, lit(0L))
+          .otherwise(expr(
+            "(2 * coalesce(triangles, 0L) * 1000000) div (degree * (degree - 1))"))
+          .as("coeff_ppm"),
+      )
+  }
+
   private[graft] def censusPlan(e: DataFrame): DataFrame = {
 
     // Degrees over both endpoints: one union + one aggregation.

@@ -115,6 +115,43 @@ object Profile {
       .reduce(_ unionByName _)
   }
 
+  /** Functional-dependency check (the Metanome/data-profiling FD
+    * validation, scoped to DECLARED candidates — FD *discovery* over
+    * all column pairs is the same aggregate fanned out): does
+    * lhs → rhs hold, i.e. does every lhs value map to exactly one rhs
+    * value? Per candidate: distinct lhs count, violating-lhs count
+    * (more than one distinct rhs — NULL counts as a value: lhs mapping
+    * to both NULL and 'x' is a real violation of the dependency),
+    * the worst fan-out, and the verdict.
+    *
+    * One keyed aggregate per candidate (groupBy lhs, count distinct
+    * rhs) reduced to a 1-row summary — corpus touched once per edge,
+    * the summary bounded. */
+  def fdCheck(checks: Seq[(String, DataFrame, String, String)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one FD candidate")
+    checks
+      .map { case (name, df, lhs, rhs) =>
+        df.select(col(lhs).as("__l"), col(rhs).as("__r"))
+          .groupBy("__l")
+          // count NULL as a distinct rhs value: size of the distinct
+          // set including null = countDistinct + (any null present)
+          .agg(
+            (countDistinct(col("__r")) +
+              max(when(col("__r").isNull, lit(1L)).otherwise(lit(0L)))).as("__nr")
+          )
+          .agg(
+            count(lit(1)).as("n_keys"),
+            sum(when(col("__nr") > 1, lit(1L)).otherwise(lit(0L))).cast("long")
+              .as("n_violating"),
+            max(col("__nr")).as("max_fanout"),
+            (max(col("__nr")) <= 1).as("holds"),
+          )
+          .select(lit(name).as("fd"), col("n_keys"), col("n_violating"), col("max_fanout"),
+            col("holds"))
+      }
+      .reduce(_ unionByName _)
+  }
+
   private def profileWith(
       df: DataFrame,
       cols: Seq[(String, Boolean)],

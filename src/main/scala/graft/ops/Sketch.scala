@@ -197,6 +197,46 @@ object Bloom {
       .join(broadcast(bloom.withColumn("__set", lit(1))), Seq("bit"), "left")
       .groupBy(col(keyCol))
       .agg((count(lit(1)) === sum(coalesce(col("__set"), lit(0)))).as("might_contain"))
+
+  /** The filter as a packed bitmask: ⌈bits/64⌉ longs, word w holding
+    * bits [64w, 64w+63] (bit b → word b div 64, position b mod 64).
+    * Packing is one aggregation of the set-bit table (bit_or partials
+    * merge map-side); the collect is bounded by bits/64 — a property
+    * of the FILTER SIZE, not the key count, which is what makes this
+    * the driver-sized artifact Spark's own runtime-filter machinery
+    * ships to scans. */
+  def packedMask(bloom: DataFrame, bits: Int): Array[Long] = {
+    val words = (bits + 63) / 64
+    val packed = bloom
+      .groupBy(expr("bit div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(bit % 64 AS INT)))").as("mask"))
+      .collect()
+      .map(r => r.getAs[Long]("w").toInt -> r.getAs[Long]("mask"))
+      .toMap
+    Array.tabulate(words)(w => packed.getOrElse(w, 0L))
+  }
+
+  /** Scan-local membership predicate against a [[packedMask]] — the
+    * semijoin-reduction form: `keyCol`'s k bit positions tested with
+    * bit arithmetic over the literal mask array, fully codegen'd, no
+    * join in the plan. Guaranteed true for every key that was in the
+    * build side (no false negatives), so `fact.filter(pred)` before a
+    * join never changes the join's result — it only deletes rows the
+    * probe would discard anyway (minus the false-positive residue the
+    * real join still removes). */
+  def memberPredicate(keyCol: Column, mask: Array[Long], bits: Int, k: Int): Column = {
+    val arr = typedlit(mask.toSeq)
+    (0 until k)
+      .map { i =>
+        val bit = bitOf(lit(i), keyCol, bits)
+        (call_function(
+          "shiftright",
+          element_at(arr, (bit / 64).cast("int") + 1),
+          (bit % 64).cast("int"),
+        ).bitwiseAND(lit(1L))) === lit(1L)
+      }
+      .reduce(_ && _)
+  }
 }
 
 /** K-minimum-values sketch (Bar-Yossef et al. 2002; the multi-set form

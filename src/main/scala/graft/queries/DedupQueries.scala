@@ -1128,8 +1128,35 @@ object DedupQueries {
     graft.ops.Cdc.snapshotDiff(v1, v2, "doc_id", Seq("text", "lang", "source"))
   }
 
+  /** Per-source character-mass budgeted curation — the quota-by-MASS
+    * twin of the reservoir quota-by-count sampler: docs ranked best-
+    * first (longest, ties by id) per source, kept while the source's
+    * cumulative char mass stays within budget. One exchange on source,
+    * one window; the greedy-by-rank semantics is exactly what a
+    * token-budgeted data-mix curation step runs. */
+  private val charBudgetQ = Q(
+    "ddp_char_budget",
+    """SELECT doc_id, source, n_chars, cum_chars FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+      |  FROM documents)
+      |WHERE cum_chars <= 3000""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("cum_chars", sum(col("n_chars")).over(w).cast("long"))
+      .filter(col("cum_chars") <= 3000)
+  }
+
   val all: Seq[Q] =
     Seq(exactGroups, dedupCapped, dedupIncremental, dedupIncrementalFuzzy, containmentPairsQ,
+      charBudgetQ,
       corpusDiffQ,
       chunkDedupQ,
       jaccardPairs,

@@ -745,10 +745,137 @@ object Events {
     paths.withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= 20)
   }
 
+  /** Rollup cascade: the monthly aggregate computed FROM the daily
+    * summary, never from the corpus — the materialized-hierarchy
+    * refresh pattern (daily → weekly → monthly each reads its finer
+    * parent; [[graft.ops.Ivm]] is the delta form of the same algebra).
+    * The oracle aggregates the corpus directly: equality proves the
+    * cascade is lossless for these mergeable stats. Counts and cent
+    * sums are integers, min/max compose exactly. */
+  private val rollupCascadeQ = Q(
+    "evt_rollup_cascade",
+    """SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month_ts, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+      |  max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+      |FROM events GROUP BY 1, 2""".stripMargin,
+  ) { (s, d) =>
+    val cents = expr("CAST(round(value * 100) AS BIGINT)")
+    val daily = events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day_ts"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents).cast("long").as("sum_cents"),
+        min(cents).as("min_cents"),
+        max(cents).as("max_cents"),
+      )
+    daily
+      .groupBy(col("event_type"), trunc(col("day_ts"), "month").as("month_ts"))
+      .agg(
+        sum(col("n")).cast("long").as("n"),
+        sum(col("sum_cents")).cast("long").as("sum_cents"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"),
+      )
+  }
+
+  /** Theil–Sen trend per event type over the hourly rate series — the
+    * robust (median-of-pairwise-slopes) alternative to least squares,
+    * immune to the spike hours CUSUM flags. Slopes are integer ppm per
+    * hour (Δn·10⁶ div Δt); the pairwise join and the median selection
+    * both run over the BOUNDED hourly table (≤ |span|² pairs per key —
+    * a month is 259k pairs, a fixed cost independent of corpus size),
+    * with the median as the usual nearest-rank histogram selection. */
+  private val theilSenQ = Q(
+    "evt_theilsen_trend",
+    """WITH h AS (
+      |  SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS t,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |sl AS (
+      |  SELECT a.event_type, ((b.n - a.n) * 1000000) // (b.t - a.t) AS slope_ppm
+      |  FROM h a JOIN h b ON a.event_type = b.event_type AND b.t > a.t),
+      |hist AS (SELECT event_type, slope_ppm, count(*) AS c FROM sl GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, slope_ppm, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY slope_ppm
+      |                 ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS w
+      |  FROM hist)
+      |SELECT event_type, CAST(w AS BIGINT) AS n_pairs,
+      |  CAST(min(CASE WHEN cum >= (w + 1) // 2 THEN slope_ppm END) AS BIGINT)
+      |    AS slope_ppm_median
+      |FROM cum GROUP BY event_type, w""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = events(s, d)
+      .groupBy(
+        col("event_type"),
+        expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("t"),
+      )
+      .agg(count(lit(1)).as("n"))
+    val a = h.select(col("event_type"), col("t").as("t1"), col("n").as("n1"))
+    val b = h.select(col("event_type"), col("t").as("t2"), col("n").as("n2"))
+    val slopes = a
+      .join(b, Seq("event_type"))
+      .filter(col("t2") > col("t1"))
+      .select(
+        col("event_type"),
+        expr("((n2 - n1) * 1000000L) div (t2 - t1)").as("slope_ppm"),
+      )
+    val hist = slopes.groupBy("event_type", "slope_ppm").agg(count(lit(1)).as("c"))
+    val wCum = Window
+      .partitionBy("event_type")
+      .orderBy("slope_ppm")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("event_type")
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("w", sum(col("c")).over(wAll))
+      .groupBy(col("event_type"), col("w"))
+      .agg(
+        min(when(col("cum") >= expr("(w + 1) div 2"), col("slope_ppm")))
+          .as("slope_ppm_median")
+      )
+      .select(col("event_type"), col("w").cast("long").as("n_pairs"), col("slope_ppm_median"))
+  }
+
+  /** Hour-of-day seasonality profile per event type: each hour slot's
+    * share of the type's traffic in exact ppm, with the peak slot
+    * flagged (ties to the earliest hour). The 24-slot profile is the
+    * input to seasonal baselining; everything after the one corpus
+    * aggregate runs on the ≤|types|·24 table. */
+  private val seasonalityQ = Q(
+    "evt_seasonality",
+    """WITH h AS (
+      |  SELECT event_type, hour(ts) AS hour_of_day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, hour_of_day, n,
+      |    CAST((n * 1000000) // sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_ppm,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY n DESC, hour_of_day ASC) AS rk
+      |  FROM h)
+      |SELECT event_type, hour_of_day, n, share_ppm, rk = 1 AS is_peak FROM s""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+    val wT = Window.partitionBy("event_type")
+    val wR = Window.partitionBy("event_type").orderBy(col("n").desc, col("hour_of_day").asc)
+    h.withColumn("__tot", sum(col("n")).over(wT))
+      .withColumn("share_ppm", expr("(n * 1000000L) div __tot"))
+      .withColumn("is_peak", row_number().over(wR) === 1)
+      .select("event_type", "hour_of_day", "n", "share_ppm", "is_peak")
+  }
+
   val all: Seq[Q] = Seq(
     resampleLocfQ,
     cusumChangepointQ,
     pathTrigramsQ,
+    rollupCascadeQ,
+    theilSenQ,
+    seasonalityQ,
     attributionQ,
     intervalMergeQ,
     cohortRetention,

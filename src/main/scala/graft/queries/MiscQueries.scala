@@ -33,7 +33,7 @@ object MiscQueries {
 
   private val tradeConsumers =
     Set("misc_pagerank_trade", "misc_pagerank_weighted", "misc_triangle_census", "misc_kcore",
-      "misc_labelprop", "misc_bfs_khop", "misc_sssp_bounded")
+      "misc_labelprop", "misc_bfs_khop", "misc_sssp_bounded", "misc_clustering_coeff")
 
   /** Same contract as [[DedupQueries.prewarmShared]]: build the shared
     * trade projection under the bench's `shared_build` accounting when
@@ -345,6 +345,40 @@ object MiscQueries {
         col("join_size_exact"),
         (col("join_size_est") >= col("join_size_exact")).as("no_underestimate"),
       )
+  }
+
+  /** Functional-dependency validation over five declared candidates
+    * ([[graft.ops.Profile.fdCheck]]) — two true FDs of the star schema
+    * (orderkey→custkey, nationkey→regionkey) and three expected
+    * violations, each summarized as key count / violating keys / worst
+    * fan-out / verdict. */
+  private val fdCheckQ = {
+    def edgeSql(name: String, table: String, lhs: String, rhs: String) =
+      s"""SELECT '$name' AS fd, count(*) AS n_keys,
+         |  CAST(count_if(nr > 1) AS BIGINT) AS n_violating,
+         |  CAST(max(nr) AS BIGINT) AS max_fanout, max(nr) <= 1 AS holds
+         |FROM (SELECT $lhs, count(DISTINCT $rhs)
+         |        + max(CASE WHEN $rhs IS NULL THEN 1 ELSE 0 END) AS nr
+         |      FROM $table GROUP BY 1)""".stripMargin
+    Q(
+      "misc_fd_check",
+      Seq(
+        edgeSql("orders: o_orderkey -> o_custkey", "orders", "o_orderkey", "o_custkey"),
+        edgeSql("nation: n_nationkey -> n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+        edgeSql("lineitem: l_orderkey -> l_partkey", "lineitem", "l_orderkey", "l_partkey"),
+        edgeSql("customer: c_nationkey -> c_mktsegment", "customer", "c_nationkey",
+          "c_mktsegment"),
+        edgeSql("part: p_brand -> p_size", "part", "p_brand", "p_size"),
+      ).mkString("\nUNION ALL\n"),
+    ) { (s, d) =>
+      graft.ops.Profile.fdCheck(Seq(
+        ("orders: o_orderkey -> o_custkey", orders(s, d), "o_orderkey", "o_custkey"),
+        ("nation: n_nationkey -> n_regionkey", nation(s, d), "n_nationkey", "n_regionkey"),
+        ("lineitem: l_orderkey -> l_partkey", lineitem(s, d), "l_orderkey", "l_partkey"),
+        ("customer: c_nationkey -> c_mktsegment", customer(s, d), "c_nationkey", "c_mktsegment"),
+        ("part: p_brand -> p_size", part(s, d), "p_brand", "p_size"),
+      ))
+    }
   }
 
   /** Weighted nearest-rank quartiles per group
@@ -856,6 +890,44 @@ object MiscQueries {
       d: String,
   ): org.apache.spark.sql.DataFrame =
     coPurchasePairs(s, d).groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+
+  /** Per-node clustering coefficient over the capped co-purchase graph
+    * ([[graft.ops.Graph.localClustering]]): each customer's
+    * neighborhood closure in exact ppm. The oracle counts each
+    * triangle's three corners from the plain id-ordered a<b<c form —
+    * same triangles as the degree-ordered implementation, so every row
+    * hash-matches. */
+  private val clusteringCoeff = Q(
+    "misc_clustering_coeff",
+    """WITH pc AS (
+      |  SELECT DISTINCT l_partkey AS pk, o_custkey AS ck
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |ok AS (SELECT pk FROM pc GROUP BY pk HAVING count(*) <= 20),
+      |e AS (
+      |  SELECT DISTINCT x.ck AS a, y.ck AS b
+      |  FROM pc x JOIN pc y ON x.pk = y.pk AND x.ck < y.ck
+      |  JOIN ok ON ok.pk = x.pk),
+      |deg AS (
+      |  SELECT n, count(*) AS degree
+      |  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1
+      |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+      |pn AS (
+      |  SELECT n, count(*) AS triangles
+      |  FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+      |  GROUP BY 1)
+      |SELECT deg.n, CAST(degree AS BIGINT) AS degree,
+      |  CAST(coalesce(triangles, 0) AS BIGINT) AS triangles,
+      |  CAST(CASE WHEN degree < 2 THEN 0
+      |       ELSE (2 * coalesce(triangles, 0) * 1000000) // (degree * (degree - 1)) END
+      |    AS BIGINT) AS coeff_ppm
+      |FROM deg LEFT JOIN pn ON pn.n = deg.n""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Graph.localClustering(coPurchaseEdges(s, d))
+  }
 
   /** One-pass column profiler ([[graft.ops.Profile.profile]]): the
     * ingestion data-quality census (null rate, exact cardinality, value
@@ -1638,8 +1710,8 @@ object MiscQueries {
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
       pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
-      cmsHeavyHitters, cmsAuto, cmsJoinSize, weightedQuantilesQ, chi2Q, bloomMembership,
-      triangleCensus, profileColumns, profileApproxQ,
+      cmsHeavyHitters, cmsAuto, cmsJoinSize, weightedQuantilesQ, chi2Q, bloomMembership, fdCheckQ,
+      triangleCensus, clusteringCoeff, profileColumns, profileApproxQ,
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
       corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ,
       labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ)

@@ -129,6 +129,42 @@ object MultimodalQueries {
     Multimodal.phashGroups(Multimodal.packDocuments(documents(s, d)))
   }
 
+  /** Shot-boundary (keyframe) detection over the sampled frame track:
+    * a frame is a keyframe iff its content differs from the previous
+    * frame's — one lag window per media row after the same
+    * deterministic frame slicing as [[frameSampleQ]]. The batch shape
+    * of video scene segmentation: payload bytes never shuffle (the
+    * comparison runs on the 16-byte frame signatures). */
+  private val keyframesQ = Q(
+    "mm_keyframes",
+    """WITH f AS (
+      |  SELECT doc_id, i AS frame_idx,
+      |    to_base64(encode(substring(text, 1 + i * greatest(length(text) // 4, 1), 16))) AS fb
+      |  FROM documents, (SELECT unnest(generate_series(0, 3)) AS i)),
+      |l AS (
+      |  SELECT doc_id, frame_idx, fb,
+      |    lag(fb) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+      |  FROM f)
+      |SELECT doc_id, frame_idx, (prev IS NULL OR fb <> prev) AS is_keyframe FROM l""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    Multimodal
+      .packDocuments(documents(s, d))
+      .select(
+        col("doc_id"),
+        posexplode(Multimodal.frameSample(col("content"), n = 4, frameBytes = 16))
+          .as(Seq("frame_idx", "frame")),
+      )
+      .withColumn("fb", base64(col("frame")))
+      .withColumn("prev", lag(col("fb"), 1).over(w))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        (col("prev").isNull || col("fb") =!= col("prev")).as("is_keyframe"),
+      )
+  }
+
   val all: Seq[Q] =
-    Seq(binaryMeta, features, dedupBinary, frameSampleQ, audioWindows, phashGroupsQ)
+    Seq(binaryMeta, features, dedupBinary, frameSampleQ, audioWindows, phashGroupsQ, keyframesQ)
 }

@@ -742,8 +742,39 @@ object Relational {
     graft.ops.Skyline.pareto2d(part(s, d), "p_retailprice", "p_size")
   }
 
+  /** Semijoin reduction via a Bloom prefilter
+    * ([[graft.ops.Bloom.packedMask]]/[[graft.ops.Bloom.memberPredicate]]):
+    * the fact side is filtered SCAN-LOCALLY against a packed bitmask of
+    * the filtered dimension's keys before the join — the hand-rolled,
+    * deterministic form of Spark's own runtime bloom filter, usable
+    * where the planner declines to inject one. No false negatives, so
+    * the ORACLE IS THE PLAIN JOIN: the gate's pass proves the prefilter
+    * is semantics-free; the benefit is the shuffle it avoids (only
+    * ~|dim-matching| fact rows + the false-positive residue reach the
+    * exchange). The mask is ⌈m/64⌉ longs — sized by the FILTER, not the
+    * dim, so the driver artifact stays 16 KiB at any scale. */
+  private val joinBloomPrefilter = Q(
+    "rel_join_bloom_prefilter",
+    s"""SELECT o_orderpriority, count(*) AS n, ${DSUM("o_totalprice")} AS total
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    import graft.ops.Bloom
+    val bits = 1 << 17
+    val dim  = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val mask = Bloom.packedMask(
+      Bloom.build(dim.select(col("c_custkey").as("k")), "k", bits, 3), bits)
+    orders(s, d)
+      .filter(Bloom.memberPredicate(col("o_custkey"), mask, bits, 3))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+  }
+
   val all: Seq[Q] = Seq(
     skylineParts,
+    joinBloomPrefilter,
     aggIncrementalMaintain,
     joinIncrementalMaintain,
     scd2Customer,

@@ -542,6 +542,103 @@ object TextQueries {
     graft.ops.Bpe.applyMerges(docs, "text", merges).select("doc_id", "bpe_tokens")
   }
 
+  /** Tokenizer fertility report per source — the vocabulary-eval
+    * artifact that drives vocab sizing: BPE tokens per word
+    * (fertility) and characters per BPE token, from the corpus-learned
+    * 8-merge vocabulary, in integer ppm. The oracle replays the BPE
+    * chain and derives the same census from the final word table. */
+  private val bpeFertility = Q(
+    "txt_bpe_fertility",
+    bpeChain(8) + s""",
+      |docs_t AS (SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks FROM documents),
+      |tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM docs_t),
+      |mapped AS (
+      |  SELECT t.doc_id, replace(trim(f.sym), '  ', ' ') AS piece
+      |  FROM (SELECT doc_id, i, toks[i] AS w FROM tok) t JOIN w8 f ON f.w = t.w),
+      |perdoc AS (
+      |  SELECT d.doc_id, d.source,
+      |    CAST(len(regexp_extract_all(d.text, '\\w+')) AS BIGINT) AS n_words,
+      |    CAST(coalesce(m.n_sym, 0) AS BIGINT) AS n_sym,
+      |    CAST(coalesce(m.n_chars, 0) AS BIGINT) AS n_chars
+      |  FROM documents d LEFT JOIN (
+      |    SELECT doc_id,
+      |      sum(len(string_split(piece, ' '))) AS n_sym,
+      |      sum(len(replace(piece, ' ', ''))) AS n_chars
+      |    FROM mapped GROUP BY doc_id) m USING (doc_id))
+      |SELECT source, CAST(sum(n_words) AS BIGINT) AS n_words,
+      |  CAST(sum(n_sym) AS BIGINT) AS n_tokens, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  CAST((sum(n_sym) * 1000000) // sum(n_words) AS BIGINT) AS fertility_ppm,
+      |  CAST((sum(n_chars) * 1000000) // sum(n_sym) AS BIGINT) AS chars_per_token_ppm
+      |FROM perdoc GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    val docs = documents(s, d)
+    val merges = graft.ops.Bpe
+      .learnMerges(docs, "text", 8)
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    graft.ops.Bpe
+      .applyMerges(docs, "text", merges)
+      .select(
+        col("source"),
+        Text.tokenCount(col("text")).cast("long").as("n_words"),
+        when(col("bpe_tokens") === "", lit(0L))
+          .otherwise(size(split(col("bpe_tokens"), " ")).cast("long")).as("n_sym"),
+        length(regexp_replace(col("bpe_tokens"), " ", "")).cast("long").as("n_chars"),
+      )
+      .groupBy("source")
+      .agg(
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_sym")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        expr("(sum(n_sym) * 1000000L) div sum(n_words)").as("fertility_ppm"),
+        expr("(sum(n_chars) * 1000000L) div sum(n_sym)").as("chars_per_token_ppm"),
+      )
+  }
+
+  /** Length-bucketed batch padding-waste report — the dataloader
+    * planning twin of [[packManifest]] (padding strategy instead of
+    * packing strategy): docs bucketed to the next power-of-two token
+    * length, per bucket the real vs padded token mass, the flooring-ppm
+    * waste, and the 32-doc batch count. All integer. */
+  private val batchPadding = Q(
+    "txt_batch_padding",
+    """WITH t AS (
+      |  SELECT CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS len FROM documents),
+      |nz AS (SELECT len,
+      |  CASE WHEN len <= 8 THEN 8 WHEN len <= 16 THEN 16 WHEN len <= 32 THEN 32
+      |       WHEN len <= 64 THEN 64 WHEN len <= 128 THEN 128 WHEN len <= 256 THEN 256
+      |       WHEN len <= 512 THEN 512 ELSE 1024 END AS bucket
+      |  FROM t WHERE len > 0)
+      |SELECT bucket, count(*) AS n_docs,
+      |  CAST(sum(len) AS BIGINT) AS real_tokens,
+      |  CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+      |  CAST(((bucket * count(*) - sum(len)) * 1000000) // (bucket * count(*)) AS BIGINT)
+      |    AS waste_ppm,
+      |  CAST((count(*) + 31) // 32 AS BIGINT) AS n_batches
+      |FROM nz GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    val len = Text.tokenCount(col("text")).cast("long")
+    val bucket = when(col("len") <= 8, 8L).when(col("len") <= 16, 16L)
+      .when(col("len") <= 32, 32L).when(col("len") <= 64, 64L)
+      .when(col("len") <= 128, 128L).when(col("len") <= 256, 256L)
+      .when(col("len") <= 512, 512L).otherwise(1024L)
+    documents(s, d)
+      .select(len.as("len"))
+      .filter(col("len") > 0)
+      .select(col("len"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("len")).cast("long").as("real_tokens"),
+        (col("bucket") * count(lit(1))).cast("long").as("padded_tokens"),
+        expr("((bucket * count(1) - sum(len)) * 1000000L) div (bucket * count(1))")
+          .as("waste_ppm"),
+        expr("(count(1) + 31) div 32").as("n_batches"),
+      )
+  }
+
   /** Perplexity-style pruning: drop the worst 10% of documents by the
     * bigram-LM score ([[graft.ops.Text.pruneByScoreQuantile]]) — the
     * EXACT quantile computed as a bounded-integer-domain histogram
@@ -720,5 +817,5 @@ object TextQueries {
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
       sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize, lmPrune, invertedIndexQ,
-      packManifest, bm25Topk, rrfFusion)
+      packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding)
 }

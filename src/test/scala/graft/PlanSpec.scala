@@ -762,4 +762,56 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj == 2, s"expected exactly the 2 one-row census stitches, got $bnlj:\n$p")
     assert(p.contains("LeftSemi"), s"closure probe is not a semi join:\n$p")
   }
+
+  /** Pre-order walk that crosses AQE stage boundaries (plain
+    * `SparkPlan.collect` stops at `QueryStageExec`). */
+  private def walkPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case sq: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(sq.plan)
+      case other                                                      => other.children
+    }
+    p +: kids.flatMap(walkPlan)
+  }
+
+  private def windowSpecs(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+    walkPlan(plan).collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+
+  private def hasAggBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    walkPlan(p).exists(_.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
+
+  test("packWindows: the corpus cumsum is per-shard; only the |shards|-row base table sees a global window") {
+    val q = df("txt_pack_manifest")
+    q.collect() // resolve AQE so the final plan is inspectable
+    val ws = windowSpecs(q.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "no window in the pack plan")
+    val (global, sharded) = ws.partition(_.partitionSpec.isEmpty)
+    // exactly one unpartitioned window — the shard-base cumsum — and it
+    // must sit on an AGGREGATED input (the |shards|-row totals), never
+    // the corpus; the corpus-proportional cumsum must carry a partition
+    assert(sharded.nonEmpty, "corpus cumsum lost its shard partitioning")
+    assert(global.length === 1, s"expected exactly 1 bounded global window, got ${global.length}")
+    assert(hasAggBelow(global.head.child),
+      "global window runs over a non-aggregated (corpus-sized) input")
+  }
+
+  test("skyline: the global sweep runs over the per-x aggregate, not the corpus") {
+    val q = df("rel_skyline_parts")
+    q.collect()
+    val ws = windowSpecs(q.queryExecution.executedPlan)
+    val global = ws.filter(_.partitionSpec.isEmpty)
+    assert(global.length === 1, s"expected 1 sweep window, got ${global.length}")
+    assert(hasAggBelow(global.head.child), "sweep window input is not the x-domain aggregate")
+    val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), s"skyline plans a cartesian:\n$p")
+  }
+
+  test("bloom probe: the bit join broadcasts the filter side") {
+    val p = planOf("misc_bloom_membership")
+    assert(p.contains("BroadcastHashJoin"), s"bit join is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -75,6 +75,24 @@ class GraphProfileSpec extends AnyFunSuite {
     Graph.kcore(edges.toDF("a", "b"), k, rounds)
       .collect().map(r => r.getAs[Long]("n") -> r.getAs[Long]("deg")).toMap
 
+  test("localClustering: K4 all-1, star center 0, triangle-with-tail hand values") {
+    def coeffs(edges: Seq[(Long, Long)]) =
+      Graph.localClustering(edges.toDF("a", "b")).collect()
+        .map(r => r.getAs[Long]("n") ->
+          (r.getAs[Long]("degree"), r.getAs[Long]("triangles"), r.getAs[Long]("coeff_ppm")))
+        .toMap
+    val k4 = coeffs(for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b))
+    assert(k4.values.forall { case (d, t, c) => d == 3L && t == 3L && c == 1000000L })
+    val star = coeffs(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+    assert(star(1L) === ((4L, 0L, 0L)))
+    assert(star(2L) === ((1L, 0L, 0L))) // degree < 2: no wedges, coeff 0
+    // triangle {1,2,3} with tail 3-4: node 3 has deg 3 => 2·1·10⁶/(3·2)
+    val tail = coeffs(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    assert(tail(1L) === ((2L, 1L, 1000000L)))
+    assert(tail(3L) === ((3L, 1L, 333333L)))
+    assert(tail(4L) === ((1L, 0L, 0L)))
+  }
+
   test("kcore: K4 with a pendant tail — the 3-core is exactly the clique") {
     val k4   = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
     val tail = Seq((4L, 5L), (5L, 6L)) // pendant path hanging off the clique

@@ -2330,6 +2330,22 @@ class OpsSpec extends AnyFunSuite {
     assert(tiny.values.forall(identity))
   }
 
+  test("Bloom.packedMask/memberPredicate: scan-local predicate agrees with the join form bit-for-bit") {
+    val members = (1L to 300L).toDF("k")
+    val probes  = (250L to 600L).toDF("k")
+    val bits    = 4096
+    val bloom   = Bloom.build(members, "k", bits, 3)
+    val viaJoin = Bloom.mightContain(bloom, probes, "k", bits, 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("might_contain")).toMap
+    val mask = Bloom.packedMask(bloom, bits)
+    assert(mask.length === bits / 64)
+    val viaPred = probes
+      .withColumn("m", Bloom.memberPredicate(col("k"), mask, bits, 3))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaPred === viaJoin)
+    (250L to 300L).foreach(k => assert(viaPred(k), s"false negative for member $k"))
+  }
+
   test("Eval: confusion shares, per-class report counts, ppm identities on a hand confusion") {
     // truth a a a b b c ; pred a a b b c c
     val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"), ("c", "c"))
