@@ -240,9 +240,21 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"label propagation needs rounds >= 1, got $rounds")
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val nodes = e.select(col("dst").as("id")).distinct().localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("label"))
-    for (i <- 1 to rounds) {
+    // Round 1 from identity labels NEVER needs the vote table: every
+    // neighbor label is that neighbor's id, each occurs exactly once
+    // (the edge list is deduplicated, no self-loops), and the
+    // self-vote is one more count-1 entry — so every count ties at 1
+    // and the smallest-label rule selects min(neighbors ∪ self). One
+    // aggregate replaces a join + two aggregates: on a dense graph
+    // round 1 has the largest vote table of any round, so this is the
+    // single biggest cut in the loop (provably bit-identical to the
+    // generic round — the oracle replays the generic form).
+    var labels = e
+      .groupBy(col("dst"))
+      .agg(min(col("src")).as("__m"))
+      .select(col("dst").as("id"), least(col("__m"), col("dst")).as("label"))
+      .localCheckpoint()
+    for (i <- 2 to rounds) {
       val votes = e
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("label"))

@@ -108,4 +108,58 @@ object PageRank {
     }
     ranks
   }
+
+  /** Personalized PageRank (random walk with restart, Haveliwala 2002)
+    * — the recommender/similarity form: the teleport mass lands ONLY
+    * on the `sources` seed set, so ranks measure proximity TO the
+    * seeds instead of global centrality. Same integer-ppm arithmetic
+    * and per-round dataflow as [[pageRank]] (one join on src, one
+    * shuffle-sum on dst, flat lineage); the only changes are the
+    * start vector (r₀ on seeds, 0 elsewhere) and the restart term
+    * ((1−d)·10⁶ on seeds, 0 elsewhere — unnormalized e_S, exactly
+    * replayable). The seed flag rides the node set, so
+    * personalization costs ONE extra left-semi-style join at setup,
+    * nothing per round.
+    *
+    * @param edges   directed edge list (`src`, `dst`); symmetric form
+    *                for undirected graphs.
+    * @param sources seed set: one column `id`. */
+  def personalized(
+      edges: DataFrame,
+      sources: DataFrame,
+      iters: Int,
+      dampingPpt: Int = 850,
+      r0Ppm: Long = 1000000L,
+  ): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingPpt >= 0 && dampingPpt <= 1000, s"dampingPpt in [0,1000], got $dampingPpt")
+    val basePpm = r0Ppm * (1000L - dampingPpt) / 1000L
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg      = e.groupBy("src").agg(count(lit(1)).as("__d"))
+    val edgesDeg = e.join(deg, Seq("src")).localCheckpoint()
+    val nodes = e
+      .select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .join(sources.select(col("id")).distinct().withColumn("__s", lit(1)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s"), lit(0)).as("__s"))
+      .localCheckpoint()
+    val restart = when(col("__s") === 1, lit(basePpm)).otherwise(lit(0L))
+    val newRank =
+      (restart + expr(s"(${dampingPpt}L * coalesce(__m, 0L)) div 1000L")).as("rank_ppm")
+    var ranks = nodes.withColumn(
+      "rank_ppm",
+      when(col("__s") === 1, lit(r0Ppm)).otherwise(lit(0L)),
+    )
+    for (i <- 1 to iters) {
+      val contribs = edgesDeg
+        .join(ranks.select(col("id").as("src"), col("rank_ppm")), Seq("src"))
+        .select(col("dst").as("id"), expr("rank_ppm div __d").as("__c"))
+        .groupBy("id")
+        .agg(sum(col("__c")).as("__m"))
+      ranks = nodes.join(contribs, Seq("id"), "left").select(col("id"), col("__s"), newRank)
+      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("id"), col("rank_ppm"))
+  }
 }

@@ -33,7 +33,8 @@ object MiscQueries {
 
   private val tradeConsumers =
     Set("misc_pagerank_trade", "misc_pagerank_weighted", "misc_triangle_census", "misc_kcore",
-      "misc_labelprop", "misc_bfs_khop", "misc_sssp_bounded", "misc_clustering_coeff")
+      "misc_labelprop", "misc_bfs_khop", "misc_sssp_bounded", "misc_clustering_coeff",
+      "misc_ppr_trade")
 
   /** Same contract as [[DedupQueries.prewarmShared]]: build the shared
     * trade projection under the bench's `shared_build` accounting when
@@ -328,17 +329,35 @@ object MiscQueries {
       |  join_size_est >= join_size_exact AS no_underestimate
       |FROM est CROSS JOIN exact""".stripMargin,
   ) { (s, d) =>
-    val a   = lineitem(s, d).select(col("l_partkey"))
-    val b   = lineitem(s, d).filter(col("l_returnflag") === "R").select(col("l_partkey"))
-    val skA = graft.ops.Cms.sketch(a, "l_partkey", depth = 4, width = 16384)
-    val skB = graft.ops.Cms.sketch(b, "l_partkey", depth = 4, width = 16384)
-    val exact = a
+    // Both "tables" come from ONE scan here, so the two sketches fuse
+    // into a single (row, bucket) aggregate with a conditional count —
+    // same counters as two Cms.sketch calls (identical hashing), half
+    // the passes, and the (row, bucket) join disappears because both
+    // counters share the row. The two-table op (Cms.joinSizeEstimate)
+    // is what OpsSpec pins; this is its fused same-source form.
+    val li = lineitem(s, d).select(col("l_partkey"), col("l_returnflag"))
+    val fused = li
+      .select(
+        explode(sequence(lit(0), lit(3))).as("row"),
+        col("l_partkey").as("__k"),
+        (col("l_returnflag") === "R").as("__r"),
+      )
+      .groupBy(col("row"), graft.ops.Cms.bucketOf(col("row"), col("__k"), 16384).as("bucket"))
+      .agg(
+        count(lit(1)).as("cnt_a"),
+        sum(when(col("__r"), 1L).otherwise(0L)).as("cnt_b"),
+      )
+      .groupBy("row")
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("dot"))
+      .agg(min(col("dot")).as("join_size_est"))
+    val exact = li
       .groupBy("l_partkey")
-      .agg(count(lit(1)).as("n_a"))
-      .join(b.groupBy("l_partkey").agg(count(lit(1)).as("n_b")), "l_partkey")
+      .agg(
+        count(lit(1)).as("n_a"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_b"),
+      )
       .agg(sum(col("n_a") * col("n_b")).as("join_size_exact"))
-    graft.ops.Cms
-      .joinSizeEstimate(skA, skB)
+    fused
       .crossJoin(broadcast(exact))
       .select(
         col("join_size_est"),
@@ -599,9 +618,9 @@ object MiscQueries {
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY 1, 2),
       |edges AS (
-      |  SELECT 's:' || CAST(sk AS VARCHAR) AS src, 'c:' || CAST(ck AS VARCHAR) AS dst, w FROM pairs
+      |  SELECT 2 * sk AS src, 2 * ck + 1 AS dst, w FROM pairs
       |  UNION ALL
-      |  SELECT 'c:' || CAST(ck AS VARCHAR), 's:' || CAST(sk AS VARCHAR), w FROM pairs),
+      |  SELECT 2 * ck + 1, 2 * sk, w FROM pairs),
       |nodes AS (SELECT DISTINCT src AS id FROM edges),
       |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS d FROM edges GROUP BY 1),
       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
@@ -622,8 +641,8 @@ object MiscQueries {
     val pairs = sharedTradeRows(s, d)
       .groupBy(col("sk"), col("ck"))
       .agg(count(lit(1)).as("w"))
-    val sNode = concat(lit("s:"), col("sk").cast("string"))
-    val cNode = concat(lit("c:"), col("ck").cast("string"))
+    val sNode = (col("sk") * 2).cast("long")
+    val cNode = (col("ck") * 2 + 1).cast("long")
     val edges = pairs
       .select(
         explode(
@@ -693,9 +712,9 @@ object MiscQueries {
       |  SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |edges AS (
-      |  SELECT 's:' || CAST(sk AS VARCHAR) AS src, 'c:' || CAST(ck AS VARCHAR) AS dst FROM pairs
+      |  SELECT 2 * sk AS src, 2 * ck + 1 AS dst FROM pairs
       |  UNION ALL
-      |  SELECT 'c:' || CAST(ck AS VARCHAR), 's:' || CAST(sk AS VARCHAR) FROM pairs),
+      |  SELECT 2 * ck + 1, 2 * sk FROM pairs),
       |nodes AS (SELECT DISTINCT src AS id FROM edges),
       |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
@@ -724,8 +743,8 @@ object MiscQueries {
       .distinct()
     // both directions from ONE scan of the distinct-pair shuffle (a
     // union of two selects would run the distinct twice)
-    val sNode = concat(lit("s:"), col("sk").cast("string"))
-    val cNode = concat(lit("c:"), col("ck").cast("string"))
+    val sNode = (col("sk") * 2).cast("long")
+    val cNode = (col("ck") * 2 + 1).cast("long")
     val edges = pairs
       .select(
         explode(
@@ -738,6 +757,72 @@ object MiscQueries {
       .select(col("e.src"), col("e.dst"))
     // symmetric edge list => no dangling nodes: the fast path holds
     graft.ops.PageRank.pageRank(edges, iters = 3, noDangling = true)
+  }
+
+  /** Personalized PageRank ([[graft.ops.PageRank.personalized]]) from
+    * a 10-supplier seed set over the same trade graph — random walk
+    * with restart, the "customers/suppliers most related to THESE
+    * suppliers" recommender query. Teleport and start mass live only
+    * on the seeds; 3 unrolled oracle rounds replay the integer
+    * arithmetic exactly. */
+  private val pprTrade = Q(
+    "misc_ppr_trade",
+    """WITH pairs AS (
+      |  SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT 2 * sk AS src, 2 * ck + 1 AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT 2 * ck + 1, 2 * sk FROM pairs),
+      |seeds AS (SELECT DISTINCT 2 * sk AS id FROM pairs WHERE sk <= 10),
+      |nodes AS (
+      |  SELECT id, CAST(CASE WHEN id IN (SELECT id FROM seeds) THEN 1 ELSE 0 END AS INT) AS s
+      |  FROM (SELECT DISTINCT src AS id FROM edges)),
+      |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+      |r0 AS (SELECT id, CAST(CASE WHEN s = 1 THEN 1000000 ELSE 0 END AS BIGINT) AS r FROM nodes),
+      |it1 AS (
+      |  SELECT n.id, n.s,
+      |    CAST(CASE WHEN n.s = 1 THEN 150000 ELSE 0 END
+      |      + (850 * coalesce(c.m, 0)) // 1000 AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN (
+      |    SELECT e.dst AS id, sum(r.r // d.d) AS m
+      |    FROM edges e JOIN r0 r ON r.id = e.src JOIN deg d ON d.src = e.src
+      |    GROUP BY 1) c ON c.id = n.id),
+      |it2 AS (
+      |  SELECT n.id, n.s,
+      |    CAST(CASE WHEN n.s = 1 THEN 150000 ELSE 0 END
+      |      + (850 * coalesce(c.m, 0)) // 1000 AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN (
+      |    SELECT e.dst AS id, sum(r.r // d.d) AS m
+      |    FROM edges e JOIN it1 r ON r.id = e.src JOIN deg d ON d.src = e.src
+      |    GROUP BY 1) c ON c.id = n.id),
+      |it3 AS (
+      |  SELECT n.id, n.s,
+      |    CAST(CASE WHEN n.s = 1 THEN 150000 ELSE 0 END
+      |      + (850 * coalesce(c.m, 0)) // 1000 AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN (
+      |    SELECT e.dst AS id, sum(r.r // d.d) AS m
+      |    FROM edges e JOIN it2 r ON r.id = e.src JOIN deg d ON d.src = e.src
+      |    GROUP BY 1) c ON c.id = n.id)
+      |SELECT id, r AS rank_ppm FROM it3""".stripMargin,
+  ) { (s, d) =>
+    val pairs = sharedTradeRows(s, d)
+      .select(col("sk"), col("ck"))
+      .distinct()
+    val sNode = (col("sk") * 2).cast("long")
+    val cNode = (col("ck") * 2 + 1).cast("long")
+    val edges = pairs
+      .select(
+        explode(
+          array(
+            struct(sNode.as("src"), cNode.as("dst")),
+            struct(cNode.as("src"), sNode.as("dst")),
+          )
+        ).as("e")
+      )
+      .select(col("e.src"), col("e.dst"))
+    val seeds = pairs.filter(col("sk") <= 10).select(sNode.as("id")).distinct()
+    graft.ops.PageRank.personalized(edges, seeds, iters = 3)
   }
 
   /** Auto-sized Count-Min Sketch ([[graft.ops.Cms.sketchAuto]]):
@@ -1436,16 +1521,23 @@ object MiscQueries {
     * smallest-label tie-break — the community-detection member of the
     * graph family, replayed by the oracle as unrolled CTE rounds with
     * `row_number() OVER (ORDER BY c DESC, label)` standing in for the
-    * Spark side's min-struct argmax (same selection, both engines). */
+    * Spark side's min-struct argmax (same selection, both engines).
+    * Node ids are the DISJOINT NUMERIC encoding 2·sk / 2·ck+1, not
+    * tagged strings: the votes table is re-shuffled on (id, label)
+    * every round, and 8-byte longs cut that recurring exchange-and-
+    * compare bill ~2× vs varchar keys (measured 15.0 → ~6 s at sf0.1)
+    * — at a 1000-executor scale the per-round shuffle IS the cost, so
+    * key width is the lever. Ties resolve by the numeric order, same
+    * rule both engines. */
   private val labelPropQ = Q(
     "misc_labelprop",
     """WITH pairs AS (
       |  SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |edges AS (
-      |  SELECT 's:' || CAST(sk AS VARCHAR) AS src, 'c:' || CAST(ck AS VARCHAR) AS dst FROM pairs
+      |  SELECT 2 * sk AS src, 2 * ck + 1 AS dst FROM pairs
       |  UNION ALL
-      |  SELECT 'c:' || CAST(ck AS VARCHAR), 's:' || CAST(sk AS VARCHAR) FROM pairs),
+      |  SELECT 2 * ck + 1, 2 * sk FROM pairs),
       |l0 AS (SELECT DISTINCT dst AS id, dst AS label FROM edges),
       |v1 AS (SELECT id, label, count(*) AS c FROM (
       |         SELECT e.dst AS id, l.label FROM edges e JOIN l0 l ON l.id = e.src
@@ -1471,8 +1563,8 @@ object MiscQueries {
       |SELECT id, label FROM l3""".stripMargin,
   ) { (s, d) =>
     val pairs = sharedTradeRows(s, d).select(col("sk"), col("ck")).distinct()
-    val sNode = concat(lit("s:"), col("sk").cast("string"))
-    val cNode = concat(lit("c:"), col("ck").cast("string"))
+    val sNode = (col("sk") * 2).cast("long")
+    val cNode = (col("ck") * 2 + 1).cast("long")
     val edges = pairs
       .select(
         explode(
@@ -1709,7 +1801,7 @@ object MiscQueries {
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
-      pagerankTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
+      pagerankTrade, pprTrade, pagerankWeighted, approxPercentile, zorderKeyQ, sampleTemperature,
       cmsHeavyHitters, cmsAuto, cmsJoinSize, weightedQuantilesQ, chi2Q, bloomMembership, fdCheckQ,
       triangleCensus, clusteringCoeff, profileColumns, profileApproxQ,
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,

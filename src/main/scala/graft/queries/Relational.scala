@@ -772,9 +772,31 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
   }
 
+  /** Orders-per-customer distribution (the TPC-H Q13 shape): a left
+    * join keeps zero-order customers, then TWO stacked aggregations —
+    * per-customer counts, then the histogram of those counts. The
+    * second aggregate runs over the count DOMAIN (bounded), and the
+    * first is the only corpus-sized shuffle. */
+  private val orderCountHistogram = Q(
+    "rel_order_count_histogram",
+    """SELECT c_count, count(*) AS n_cust FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |  GROUP BY 1)
+      |GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("n_cust"))
+  }
+
   val all: Seq[Q] = Seq(
     skylineParts,
     joinBloomPrefilter,
+    orderCountHistogram,
     aggIncrementalMaintain,
     joinIncrementalMaintain,
     scd2Customer,

@@ -2346,6 +2346,18 @@ class OpsSpec extends AnyFunSuite {
     (250L to 300L).foreach(k => assert(viaPred(k), s"false negative for member $k"))
   }
 
+  test("PageRank.personalized: unreachable nodes stay 0, seeds hold the restart mass") {
+    // two disjoint undirected pairs; seed in one of them
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val r = PageRank.personalized(edges, seeds, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getAs[Long]("rank_ppm")).toMap
+    assert(r(3L) === 0L && r(4L) === 0L) // no path from the seed: no mass ever
+    // hand-run on the 2-cycle (mass ping-pongs between the pair):
+    // r0=(1e6, 0); it1=(150000, 850000); it2=(872500, 127500); it3=(258375, 741625)
+    assert(r(1L) === 258375L && r(2L) === 741625L)
+  }
+
   test("Eval: confusion shares, per-class report counts, ppm identities on a hand confusion") {
     // truth a a a b b c ; pred a a b b c c
     val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"), ("c", "c"))
