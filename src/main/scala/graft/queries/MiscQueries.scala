@@ -36,19 +36,33 @@ object MiscQueries {
       "misc_labelprop", "misc_bfs_khop", "misc_sssp_bounded", "misc_clustering_coeff",
       "misc_ppr_trade")
 
+  private val copurchaseConsumers =
+    Set("misc_triangle_census", "misc_kcore", "misc_bfs_khop", "misc_sssp_bounded",
+      "misc_clustering_coeff")
+
   /** Same contract as [[DedupQueries.prewarmShared]]: build the shared
-    * trade projection under the bench's `shared_build` accounting when
-    * any consumer is selected. */
+    * trade projection (and, when its consumers run, the co-purchase
+    * edge list derived from it) under the bench's `shared_build`
+    * accounting instead of charging the first consumer. */
   def prewarmShared(
       s: org.apache.spark.sql.SparkSession,
       d: String,
       selected: Option[Set[String]] = None,
-  ): Seq[(String, Double)] =
-    if (selected.forall(sel => (sel & tradeConsumers).nonEmpty)) {
-      val t0 = System.nanoTime()
-      sharedTradeRows(s, d).count()
-      Seq("trade_rows" -> (System.nanoTime() - t0) / 1e9)
-    } else Seq.empty
+  ): Seq[(String, Double)] = {
+    val trade =
+      if (selected.forall(sel => (sel & tradeConsumers).nonEmpty)) {
+        val t0 = System.nanoTime()
+        sharedTradeRows(s, d).count()
+        Seq("trade_rows" -> (System.nanoTime() - t0) / 1e9)
+      } else Seq.empty
+    val copurchase =
+      if (selected.forall(sel => (sel & copurchaseConsumers).nonEmpty)) {
+        val t0 = System.nanoTime()
+        coPurchaseEdges(s, d).count()
+        Seq("copurchase_edges" -> (System.nanoTime() - t0) / 1e9)
+      } else Seq.empty
+    trade ++ copurchase
+  }
 
   /** HyperLogLog++ approximate distinct (mergeable sketch — the
     * scalable form of COUNT(DISTINCT) at 100 TB), checked as an
@@ -935,7 +949,25 @@ object MiscQueries {
     * linear term) feeds both the cap aggregation and the semi-join
     * probe; it reads [[sharedTradeRows]] (persisted, shared with the
     * two PageRank queries), so it is computed once per corpus. */
+  /** Pair list WITH multiplicity, persisted once per (session,
+    * corpus): the capped-set pair explosion is the dominant cost both
+    * [[coPurchaseEdges]] (distinct) and [[coPurchaseWeighted]] (count)
+    * derive from with one cheap aggregate each. */
+  private val copurchasePairCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
   private def coPurchasePairs(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame =
+    copurchasePairCache.getOrElseUpdate(
+      (s, d),
+      coPurchasePairsUncached(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+    )
+
+  private def coPurchasePairsUncached(
       s: org.apache.spark.sql.SparkSession,
       d: String,
   ): org.apache.spark.sql.DataFrame = {
@@ -960,11 +992,26 @@ object MiscQueries {
       .select(col("p.a").as("a"), col("p.b").as("b"))
   }
 
+  /** The deduplicated co-purchase edge list, persisted once per
+    * (session, corpus) — five gates (triangle census, k-core, local
+    * clustering, BFS, SSSP via the weighted twin's shared pair base)
+    * consume it, and the pair EXPLOSION plus its distinct is the
+    * dominant build cost they were each re-paying. Same lifetime
+    * contract as [[sharedTradeRows]]; the bench's prewarm charges the
+    * build to `shared_build`, not the first consumer. */
+  private val copurchaseCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
   private def coPurchaseEdges(
       s: org.apache.spark.sql.SparkSession,
       d: String,
   ): org.apache.spark.sql.DataFrame =
-    coPurchasePairs(s, d).distinct()
+    copurchaseCache.getOrElseUpdate(
+      (s, d),
+      coPurchasePairs(s, d).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+    )
 
   /** The weighted form: `cnt` = number of (capped) parts the two
     * customers share — the tie-strength the SSSP gate inverts into a
@@ -1798,6 +1845,47 @@ object MiscQueries {
     )
   }
 
+  /** Group-disjoint train/val/test split
+    * ([[graft.ops.Sampling.groupDisjointSplit]]) over `documents`
+    * grouped by `source`, summarized per split WITH the leakage audit
+    * a training pipeline must assert: `leak_groups` counts groups
+    * appearing in more than one split — structurally 0 here (the
+    * split is a pure function of the group key), and the oracle
+    * recomputes it from scratch rather than trusting the
+    * construction. */
+  private val splitGroupDisjoint = Q(
+    "misc_split_group_disjoint",
+    """WITH a AS (
+      |  SELECT source,
+      |    CASE WHEN ppm < 100000 THEN 'test'
+      |         WHEN ppm < 200000 THEN 'val'
+      |         ELSE 'train' END AS split
+      |  FROM (SELECT source,
+      |    (CAST(('0x' || substr(md5(coalesce(CAST(source AS VARCHAR), '')), 1, 6)) AS BIGINT)
+      |      * 1000000) // 16777216 AS ppm
+      |    FROM documents)),
+      |per AS (
+      |  SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_groups
+      |  FROM a GROUP BY split),
+      |leak AS (
+      |  SELECT COUNT(*) AS leak_groups FROM (
+      |    SELECT source FROM a GROUP BY source HAVING COUNT(DISTINCT split) > 1))
+      |SELECT per.split, per.n_docs, per.n_groups, leak.leak_groups
+      |FROM per CROSS JOIN leak""".stripMargin,
+  ) { (s, d) =>
+    val split = graft.ops.Sampling.groupDisjointSplit(
+      graft.Tables.documents(s, d), "source", testPpm = 100000L, valPpm = 100000L)
+    val per = split
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_groups"))
+    val leak = split
+      .groupBy("source")
+      .agg(countDistinct(col("split")).as("__ns"))
+      .filter(col("__ns") > 1)
+      .agg(count(lit(1)).as("leak_groups"))
+    per.crossJoin(broadcast(leak))
+  }
+
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
@@ -1806,5 +1894,5 @@ object MiscQueries {
       triangleCensus, clusteringCoeff, profileColumns, profileApproxQ,
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
       corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ,
-      labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ)
+      labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint)
 }
