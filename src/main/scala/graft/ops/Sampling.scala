@@ -78,6 +78,36 @@ object Sampling {
     df.withColumn("shard", hash24(col(keyCol)) % nShards)
   }
 
+  /** Group-disjoint train/val/test split — the leakage-safe splitter
+    * (sklearn's GroupShuffleSplit, made deterministic): the split is a
+    * pure function of the GROUP key (source, domain, author…), never
+    * the row, so every row of a group lands in the same split by
+    * construction and near-duplicate rows within a group can never
+    * straddle the train/eval boundary — the contamination mode a
+    * row-hashed split silently permits. Boundaries are exact ppm
+    * cuts in the 24-bit hash space (integer compare, no float in the
+    * decision): h·10⁶ ÷ 2²⁴ < testPpm → test, < testPpm+valPpm → val,
+    * else train. Map-only (one hash + two compares per row), stable
+    * under retries and engine changes, subset-monotone in each
+    * boundary. */
+  def groupDisjointSplit(
+      df: DataFrame,
+      groupCol: String,
+      testPpm: Long,
+      valPpm: Long,
+  ): DataFrame = {
+    require(testPpm >= 0 && valPpm >= 0 && testPpm + valPpm <= 1000000L,
+      s"ppm cuts must be >= 0 and sum <= 1e6, got test=$testPpm val=$valPpm")
+    // exact integer division by 2²⁴ — a right shift (h is non-negative)
+    val ppm = shiftright(hash24(col(groupCol)) * lit(1000000L), 24)
+    df.withColumn(
+      "split",
+      when(ppm < testPpm, lit("test"))
+        .when(ppm < testPpm + valPpm, lit("val"))
+        .otherwise(lit("train")),
+    )
+  }
+
   /** Temperature-balanced corpus mixing at α = 1/2 — the multilingual-
     * pretraining rebalancer (mT5/XLM-R sample language l with
     * probability ∝ p_l^α to lift low-resource strata): target shares

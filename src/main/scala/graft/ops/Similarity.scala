@@ -1561,4 +1561,173 @@ object Similarity {
     }
     cents
   }
+
+  /** Semi-hard negative mining for contrastive training (FaceNet,
+    * Schroff 2015): for each query, the top-k candidates with a
+    * DIFFERENT label whose cosine is strictly below the query's best
+    * same-label cosine — negatives hard enough to carry gradient but
+    * not harder than the positive (the regime that avoids collapsed
+    * embeddings). A query with no same-label candidate falls back to
+    * plain hard negatives (no upper bound).
+    *
+    * Execution shape: the query side is broadcast (same contract as
+    * [[bruteForceTopK]]); the candidate corpus is scanned exactly twice
+    * — once aggregated to the per-query positive ceiling (|Q| rows),
+    * once scored and windowed for the negatives — both map-side over
+    * the scan with no corpus shuffle. Nothing |Q|·|C|-sized is ever
+    * persisted, so the second scan is the deliberate trade (a persist
+    * of the scored pairs would NOT survive 100 TB). The strict `<`
+    * boundary is safe cross-engine because both sides compute the
+    * identical left-to-right double fold.
+    *
+    * This is the exactness baseline; at corpus scale the candidate
+    * scan drops onto the IVF/PQ ladder exactly like [[bruteForceTopK]]
+    * does. */
+  def semiHardNegatives(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      k: Int,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.functions.FloatVecDot.registerOn(queries.sparkSession)
+    val q = withNorm(queries, embCol)
+      .select(
+        col(idCol).as("q_id"),
+        col(embCol).as("__qe"),
+        col("nrm").as("__qn"),
+        col(labelCol).as("__ql"),
+      )
+    def scored(c: DataFrame): DataFrame =
+      withNorm(c, embCol)
+        .select(
+          col(idCol).as("n_id"),
+          col(embCol).as("__ne"),
+          col("nrm").as("__nn"),
+          col(labelCol).as("__nl"),
+        )
+        .join(broadcast(q), col("n_id") =!= col("q_id"))
+        .select(
+          col("q_id"),
+          col("n_id"),
+          col("__ql"),
+          col("__nl"),
+          cosSafe(dot(col("__qe"), col("__ne")), col("__qn"), col("__nn")).as("cos"),
+        )
+        .filter(col("cos").isNotNull)
+    // scan 1: per-query positive ceiling (max same-label cosine)
+    val posBest = scored(candidates)
+      .filter(col("__nl") === col("__ql"))
+      .groupBy("q_id")
+      .agg(max(col("cos")).as("__pos_best"))
+    // scan 2: different-label candidates under the ceiling, top-k
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored(candidates)
+      .filter(col("__nl") =!= col("__ql"))
+      .join(broadcast(posBest), Seq("q_id"), "left")
+      // no positive ⇒ no ceiling (2.0 > any cosine)
+      .filter(col("cos") < coalesce(col("__pos_best"), lit(2.0)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
+  }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell &
+    * Goldstein 1998) at λ = 1/2, where the MMR objective
+    * λ·rel − (1−λ)·max-sim reduces (up to the positive factor 1/2,
+    * which never changes an argmax) to the exactly-representable
+    * `rel − max_{s∈S} sim(c, s)` — no float multiply enters the
+    * score, so selection is bit-deterministic cross-engine.
+    *
+    * Greedy by construction: k driver rounds, each scoring the
+    * candidate pool against the selected set so far. The selected set
+    * is ≤ |Q|·k rows (collected and re-broadcast each round — the
+    * codebook precedent), the pool is scanned once per round, and the
+    * per-round argmax travels as |Q| rows. k is a UI-sized constant
+    * (5, 10); the pool at production scale is a bounded rerank pool
+    * fetched by the ANN ladder, not the corpus — so k pool scans is
+    * the intended shape, not a scale hazard. */
+  def mmrTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.functions.FloatVecDot.registerOn(queries.sparkSession)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = withNorm(queries, embCol)
+      .select(col(idCol).as("q_id"), col(embCol).as("__qe"), col("nrm").as("__qn"))
+    // relevance pass: one corpus scan, reused by every round (small:
+    // |Q|·|pool| rows of (ids, cos) — the pool is a rerank pool, and
+    // the embeddings ride along for the round-local diversity dots)
+    val rel = withNorm(candidates, embCol)
+      .select(col(idCol).as("n_id"), col(embCol).as("__ne"), col("nrm").as("__nn"))
+      .join(broadcast(q), col("n_id") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        col("__ne"),
+        col("__nn"),
+        cosSafe(dot(col("__qe"), col("__ne")), col("__qn"), col("__nn")).as("rel"),
+      )
+      .filter(col("rel").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w = Window.partitionBy("q_id").orderBy(col("mmr").desc, col("n_id"))
+      // selected: (q_id, n_id, emb, nrm, rnk); grows one row per query per round
+      var selected = Seq.empty[(Long, Long, Seq[Float], Double, Int)]
+      for (round <- 1 to k) {
+        val selDf = selected
+          .toDF("q_id", "s_id", "__se", "__sn", "rnk")
+        val pool = rel.join(
+          broadcast(selDf.select(col("q_id").as("__sq"), col("s_id"))),
+          col("q_id") === col("__sq") && col("n_id") === col("s_id"),
+          "left_anti",
+        )
+        val scoredRound =
+          if (round == 1) pool.withColumn("mmr", col("rel"))
+          else {
+            val maxSim = pool
+              .join(
+                broadcast(selDf.select(col("q_id").as("__sq"), col("__se"), col("__sn"))),
+                col("q_id") === col("__sq"),
+              )
+              .select(
+                col("q_id"),
+                col("n_id"),
+                cosSafe(dot(col("__ne"), col("__se")), col("__nn"), col("__sn"))
+                  .as("__sim"),
+              )
+              .groupBy("q_id", "n_id")
+              .agg(max(col("__sim")).as("__max_sim"))
+            pool
+              .join(maxSim, Seq("q_id", "n_id"))
+              .withColumn("mmr", col("rel") - col("__max_sim"))
+          }
+        val picked = scoredRound
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") === 1)
+          .select(col("q_id"), col("n_id"), col("__ne"), col("__nn"))
+          .collect()
+          .map(r =>
+            (
+              r.getLong(0),
+              r.getLong(1),
+              r.getSeq[Float](2),
+              r.getDouble(3),
+              round,
+            )
+          )
+        selected = selected ++ picked
+      }
+      selected
+        .toDF("q_id", "n_id", "__se", "__sn", "rnk")
+        .select(col("q_id"), col("n_id"), col("rnk"))
+    } finally rel.unpersist()
+  }
 }

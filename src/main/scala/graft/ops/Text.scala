@@ -553,6 +553,70 @@ object Text {
       )
   }
 
+  /** Corpus-level collocation extraction ranked by LIFT — the
+    * association measure behind PMI (Church & Hanks 1990: PMI is
+    * log₂ of exactly this ratio, and log is monotone, so ranking by
+    * lift IS ranking by PMI without a transcendental in the score):
+    * for adjacent token pairs (x, y),
+    * `lift = c(x,y)·N / (c(x)·c(y))`, where N is the corpus token
+    * count. Pairs below `minCount` joint occurrences are dropped
+    * first (the classic low-count PMI pathology: a hapax pair gets
+    * an absurd score). The three factors are each exact integers
+    * cast to double before one multiply and one divide — two
+    * correctly-rounded IEEE ops with a pinned association order, so
+    * the score is bit-deterministic cross-engine at any corpus size
+    * (no int64 overflow path: the products are formed in double).
+    *
+    * Shape: one tokenize pass feeds BOTH count tables (bigrams via an
+    * index explode, unigrams via a token explode — two keyed
+    * aggregations over the same scan); the unigram table is
+    * vocab-sized and joined twice onto the minCount-thinned bigram
+    * table; the total-token count rides as a 1-row cross join. The
+    * final top-k is TakeOrdered over the thinned collocation table
+    * (≤ N/minCount rows), never a single-partition sort, and the
+    * returned k rows get their rank from a window over k rows. */
+  def collocations(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long,
+      k: Int,
+  ): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(tokens(lower(col(textCol))).as("__t"))
+    val uni = toks
+      .select(explode(col("__t")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("nt"))
+    val big = toks
+      .select(explode(sequence(lit(1), size(col("__t")) - 1)).as("__i"), col("__t"))
+      .select(
+        element_at(col("__t"), col("__i")).as("w1"),
+        element_at(col("__t"), col("__i") + 1).as("w2"),
+      )
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val lifted = big
+      .join(uni.select(col("w").as("w1"), col("c").as("__c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("__c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("w1"),
+        col("w2"),
+        col("c_xy"),
+        ((col("c_xy").cast("double") * col("nt")) /
+          (col("__c1").cast("double") * col("__c2"))).as("lift"),
+      )
+    val w = Window.orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+    lifted
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(k) // TakeOrdered — bounded driver-side k rows
+      .withColumn("rnk", row_number().over(w))
+  }
+
   /** Digit masking that keeps the last `keep` characters intact: every
     * digit in the prefix becomes 'X'. The PII-redaction primitive for
     * identifiers (account numbers, phone digits) where the tail is kept

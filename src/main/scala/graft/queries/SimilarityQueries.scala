@@ -1330,9 +1330,104 @@ object SimilarityQueries {
     graft.ops.Eval.classReport(centroidPredictions(s, d), "label", "predicted")
   }
 
+  /** Semi-hard negative mining ([[graft.ops.Similarity.semiHardNegatives]]):
+    * per query, the top-3 different-label neighbors strictly below the
+    * best same-label cosine — the contrastive-training batch builder.
+    * The oracle replays both scans (positive ceiling + windowed
+    * negatives); the strict `<` boundary is differential-checkable
+    * because both engines fold the dot identically. */
+  private val hardNegatives = Q(
+    "sim_hard_negatives",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, label,
+       |    sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT q.vec_id AS q_id, q.label AS ql, c.vec_id AS n_id, c.label AS nl,
+       |    ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+       |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |pos AS (SELECT q_id, max(cos) AS pos_best FROM sc WHERE nl = ql GROUP BY q_id)
+       |SELECT q_id, n_id, cos, rnk FROM (
+       |  SELECT s.q_id, s.n_id, s.cos,
+       |    row_number() OVER (PARTITION BY s.q_id ORDER BY s.cos DESC, s.n_id) AS rnk
+       |  FROM sc s LEFT JOIN pos p ON p.q_id = s.q_id
+       |  WHERE s.nl <> s.ql AND s.cos < coalesce(p.pos_best, 2.0))
+       |WHERE rnk <= 3""".stripMargin,
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    Similarity.semiHardNegatives(
+      queries = emb.filter(col("vec_id") < 10),
+      candidates = emb,
+      idCol = "vec_id",
+      embCol = "embedding",
+      labelCol = "label",
+      k = 3,
+    )
+  }
+
+  /** MMR diversified top-k ([[graft.ops.Similarity.mmrTopK]]) at λ = ½
+    * over a bounded rerank pool — greedy selection, so the oracle
+    * unrolls the k = 3 rounds as CTE stages: round 1 is plain argmax
+    * relevance; rounds 2–3 argmax `rel − max sim to selected`. Every
+    * score is the shared bit-exact fold, so the greedy choices — not
+    * just the scores — are engine-identical. */
+  private val mmrTopK = Q(
+    "sim_mmr_topk",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < 5),
+       |c AS (SELECT * FROM e WHERE vec_id < 100),
+       |rel AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.embedding AS ne, c.nrm AS nn,
+       |    ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS rel
+       |  FROM q JOIN c ON c.vec_id <> q.vec_id),
+       |s1 AS (
+       |  SELECT q_id, n_id, ne, nn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS r
+       |    FROM rel) WHERE r = 1),
+       |m2 AS (
+       |  SELECT r.q_id, r.n_id, r.ne, r.nn,
+       |    r.rel - (${duckDot("r.ne", "s.ne")} / (r.nn * s.nn)) AS mmr
+       |  FROM rel r JOIN s1 s ON s.q_id = r.q_id AND r.n_id <> s.n_id),
+       |s2 AS (
+       |  SELECT q_id, n_id, ne, nn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, n_id) AS r
+       |    FROM m2) WHERE r = 1),
+       |m3 AS (
+       |  SELECT r.q_id, r.n_id,
+       |    r.rel - greatest(
+       |      ${duckDot("r.ne", "s1.ne")} / (r.nn * s1.nn),
+       |      ${duckDot("r.ne", "s2.ne")} / (r.nn * s2.nn)) AS mmr
+       |  FROM rel r
+       |  JOIN s1 ON s1.q_id = r.q_id
+       |  JOIN s2 ON s2.q_id = r.q_id
+       |  WHERE r.n_id <> s1.n_id AND r.n_id <> s2.n_id),
+       |s3 AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, n_id) AS r
+       |    FROM m3) WHERE r = 1)
+       |SELECT q_id, n_id, 1 AS rnk FROM s1
+       |UNION ALL SELECT q_id, n_id, 2 AS rnk FROM s2
+       |UNION ALL SELECT q_id, n_id, 3 AS rnk FROM s3""".stripMargin,
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    Similarity
+      .mmrTopK(
+        queries = emb.filter(col("vec_id") < 5),
+        candidates = emb.filter(col("vec_id") < 100),
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+      )
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+
   val all: Seq[Q] =
     Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
       annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
       annIvfPqSampledTopK, annIvfAppendTopK, annIvfPqResidualTopK, ragChunkTopK, annRecallEval,
-      annBatchedTopK, annIvfStoredTopK, centroidConfusion, centroidEval)
+      annBatchedTopK, annIvfStoredTopK, centroidConfusion, centroidEval, hardNegatives, mmrTopK)
 }

@@ -813,9 +813,39 @@ object TextQueries {
       .select("query_id", "doc_id", "rrf_ppm", "n_lists", "rnk")
   }
 
+  /** Collocation extraction by lift (= monotone PMI —
+    * [[graft.ops.Text.collocations]]): top-20 adjacent token pairs with
+    * at least 5 joint occurrences, scored `c_xy·N / (c_x·c_y)`. The
+    * score is two correctly-rounded IEEE ops over exact integer
+    * counts with a pinned association order, so the ranking — and the
+    * double itself — is engine-identical. */
+  private val collocationsQ = Q(
+    "txt_collocations",
+    """WITH toks AS (
+      |  SELECT regexp_extract_all(lower(text), '\w+') AS t FROM documents),
+      |uni AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      |tot AS (SELECT SUM(c) AS nt FROM uni),
+      |big0 AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+      |big AS (
+      |  SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS c_xy
+      |  FROM big0 GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |lifted AS (
+      |  SELECT b.w1, b.w2, b.c_xy,
+      |    (CAST(b.c_xy AS DOUBLE) * tot.nt) / (CAST(u1.c AS DOUBLE) * u2.c) AS lift
+      |  FROM big b
+      |  CROSS JOIN tot
+      |  JOIN uni u1 ON u1.w = b.w1
+      |  JOIN uni u2 ON u2.w = b.w2)
+      |SELECT w1, w2, c_xy, lift, rnk FROM (
+      |  SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rnk FROM lifted)
+      |WHERE rnk <= 20""".stripMargin,
+  ) { (s, d) =>
+    Text.collocations(documents(s, d), "text", minCount = 5L, k = 20)
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
       sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize, lmPrune, invertedIndexQ,
-      packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding)
+      packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ)
 }

@@ -814,4 +814,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"bit join is not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("collocations: top-k is TakeOrdered over the thinned table, no global sort") {
+    val p = planOf("txt_collocations")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+    // the only Sort allowed is the one inside the k-row rank window
+    val sorts = p.linesIterator.count(l => l.contains("Sort ") && !l.contains("TakeOrdered"))
+    assert(sorts <= 1, s"unexpected corpus-wide sort(s):\n$p")
+  }
+
+  test("semi-hard negatives: query side broadcasts; candidate corpus never does") {
+    val p = planOf("sim_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the positive-ceiling join is |Q|-row, must be broadcast too —
+    // SortMergeJoin anywhere means a corpus-sized shuffle crept in
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+  }
 }

@@ -1,0 +1,152 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior tests for the round-10 training-data mining operators:
+  * semi-hard negative mining, MMR diversified top-k, PMI/lift
+  * collocations, and the group-disjoint split.
+  */
+class MiningSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // Hand-placed unit-ish vectors on known angles so cosine ordering is
+  // obvious: axis-aligned plus diagonals.
+  private def embs = Seq(
+    // id, vector, label
+    (0L, Seq(1f, 0f), 0),   // query: label 0
+    (1L, Seq(0.9f, 0.1f), 0), // positive, very close to q
+    (2L, Seq(0.8f, 0.2f), 1), // negative, closer than the positive? cos < pos
+    (3L, Seq(0f, 1f), 1),     // negative, far
+    (4L, Seq(1f, 0.05f), 1),  // negative HARDER than the positive (cos > pos_best)
+    (5L, Seq(-1f, 0f), 2),    // negative, opposite
+  ).toDF("vec_id", "embedding", "label")
+
+  test("semi-hard negatives exclude negatives above the positive ceiling") {
+    val got = Similarity
+      .semiHardNegatives(
+        queries = embs.filter(col("vec_id") === 0L),
+        candidates = embs,
+        idCol = "vec_id",
+        embCol = "embedding",
+        labelCol = "label",
+        k = 10,
+      )
+      .orderBy("rnk")
+      .select("n_id")
+      .as[Long]
+      .collect()
+      .toSeq
+    // vec 4 scores ABOVE the best positive (vec 1) => excluded even
+    // though it is the hardest negative; 2 then 3 then 5 rank by cosine.
+    assert(got === Seq(2L, 3L, 5L))
+  }
+
+  test("semi-hard negatives fall back to plain hard when no positive exists") {
+    // query label 7 matches nothing => every different-label candidate
+    // is eligible, including the near-duplicate
+    val q = Seq((9L, Seq(1f, 0f), 7)).toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .semiHardNegatives(q, embs, "vec_id", "embedding", "label", k = 2)
+      .orderBy("rnk")
+      .select("n_id")
+      .as[Long]
+      .collect()
+      .toSeq
+    // hardest overall: vec 0 (identical direction), then vec 4
+    assert(got === Seq(0L, 4L))
+  }
+
+  test("MMR round 1 is pure relevance; later rounds trade off diversity") {
+    // query along x; candidates at +25°, +30° (near-dup of the first)
+    // and −60° (the other side of the query). Pure top-2 by relevance
+    // takes 25° then 30°; at λ=½ the −60° candidate wins round 2:
+    // cos30−cos5 ≈ −0.13 < cos60−cos85 ≈ +0.41.
+    val q = Seq((100L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val cands = Seq(
+      (1L, Seq(0.9063f, 0.4226f)), // +25°: most relevant
+      (2L, Seq(0.8660f, 0.5f)),    // +30°: near-dup of 1
+      (3L, Seq(0.5f, -0.8660f)),   // −60°: diverse
+    ).toDF("vec_id", "embedding")
+    val got = Similarity
+      .mmrTopK(q, cands, "vec_id", "embedding", k = 2)
+      .orderBy("rnk")
+      .select("n_id")
+      .as[Long]
+      .collect()
+      .toSeq
+    assert(got === Seq(1L, 3L))
+  }
+
+  test("MMR emits exactly one row per query per round with distinct picks") {
+    val q     = Seq((100L, Seq(1f, 0f)), (101L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val cands = embs.select("vec_id", "embedding")
+    val got = Similarity
+      .mmrTopK(q, cands, "vec_id", "embedding", k = 3)
+      .collect()
+    assert(got.length === 6) // 2 queries x 3 rounds
+    val perQ = got.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    assert(perQ.values.forall(_.size == 3), "picks must be distinct per query")
+  }
+
+  test("collocations rank a planted pair above independent fillers") {
+    // "spark shuffle" always co-occur; a/b/c occur widely and
+    // independently. 8 docs so every count clears minCount=2.
+    val docs = Seq(
+      "spark shuffle a b", "spark shuffle b c", "spark shuffle c a",
+      "a b c a b c", "b a c b a c", "c b a c b a",
+      "spark shuffle a c", "spark shuffle b a",
+    ).toDF("text")
+    val top = Text
+      .collocations(docs, "text", minCount = 2L, k = 3)
+      .orderBy("rnk")
+      .select("w1", "w2")
+      .as[(String, String)]
+      .collect()
+      .toSeq
+    assert(top.head === ("spark", "shuffle"))
+  }
+
+  test("collocations drop pairs below minCount") {
+    val docs = Seq("x y", "x y", "rare pair").toDF("text")
+    val got = Text.collocations(docs, "text", minCount = 2L, k = 10)
+    val pairs = got.select("w1", "w2").as[(String, String)].collect().toSet
+    assert(pairs.contains(("x", "y")))
+    assert(!pairs.contains(("rare", "pair")))
+  }
+
+  test("group-disjoint split: every group lands in exactly one split") {
+    val df = (0 until 200)
+      .map(i => (i.toLong, s"grp${i % 23}"))
+      .toDF("id", "g")
+    val split = Sampling.groupDisjointSplit(df, "g", testPpm = 300000L, valPpm = 300000L)
+    val perGroup = split
+      .groupBy("g")
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(max(col("ns")))
+      .as[Long]
+      .head()
+    assert(perGroup === 1L, "a group straddled splits")
+    // with 23 groups and 30/30/40 cuts, all three splits should be hit
+    val splits = split.select("split").distinct().as[String].collect().toSet
+    assert(splits === Set("train", "val", "test"))
+  }
+
+  test("group-disjoint split boundaries are ppm-exact and monotone") {
+    // a larger test cut's groups are a superset of a smaller one's
+    val df     = (0 until 500).map(i => (i.toLong, s"g$i")).toDF("id", "g")
+    def testGroups(ppm: Long): Set[String] =
+      Sampling
+        .groupDisjointSplit(df, "g", testPpm = ppm, valPpm = 0L)
+        .filter(col("split") === "test")
+        .select("g")
+        .as[String]
+        .collect()
+        .toSet
+    val small = testGroups(100000L)
+    val large = testGroups(300000L)
+    assert(small.subsetOf(large), "test split not subset-monotone in the cut")
+  }
+}
