@@ -1028,6 +1028,50 @@ object Dedup {
     docs.join(flagged, docs(idCol) === col("__contam_id"), "left_anti")
   }
 
+  /** Fuzzy (Jaccard-threshold) decontamination — the paraphrase-robust
+    * twin of [[decontaminate]]: instead of dropping on ANY shared
+    * n-gram, a corpus document is contaminated only when its distinct
+    * n-gram set overlaps some benchmark document's at Jaccard ≥
+    * τ (Llama-2-style token-overlap decontamination, as a set measure).
+    * Catches reworded eval leakage a long-exact-n-gram rule misses,
+    * while tolerating the stray common phrase the exact rule
+    * over-kills on.
+    *
+    * The threshold is integer-exact: `inter·10⁶ ≥ tauPpm·(|A|+|B|−inter)`
+    * — no float enters the keep/drop decision. Shape: benchmark
+    * shingle sets are broadcast (eval suites are small by contract —
+    * the PQ-codebook rule); the corpus side is one generator pass, the
+    * overlap a shingle-keyed aggregation bounded by candidate pairs
+    * that actually share a shingle. Nothing |corpus|² appears. */
+  def decontaminateFuzzy(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tauPpm: Long,
+  ): DataFrame = {
+    require(tauPpm >= 1 && tauPpm <= 1000000L, s"tauPpm must be in [1, 1e6], got $tauPpm")
+    val cSh = shingleSets(docs, idCol, textCol, n)
+    val bSh = shingleSets(benchmark, idCol, textCol, n)
+      .select(col("doc_id").as("__b_id"), col("sh"))
+    val cSize = cSh.groupBy("doc_id").agg(count(lit(1)).as("__a_sz"))
+    val bSize = bSh.groupBy("__b_id").agg(count(lit(1)).as("__b_sz"))
+    val flagged = cSh
+      .join(broadcast(bSh), Seq("sh"))
+      .groupBy("doc_id", "__b_id")
+      .agg(count(lit(1)).as("__inter"))
+      .join(cSize, Seq("doc_id"))
+      .join(broadcast(bSize), Seq("__b_id"))
+      .filter(
+        col("__inter") * lit(1000000L) >=
+          lit(tauPpm) * (col("__a_sz") + col("__b_sz") - col("__inter"))
+      )
+      .select(col("doc_id").as("__contam_id"))
+      .distinct()
+    docs.join(flagged, docs(idCol) === col("__contam_id"), "left_anti")
+  }
+
   /** The flagged side of [[decontaminate]]: distinct corpus ids sharing
     * an `n`-gram with the benchmark (for reporting/audit, one row per
     * contaminated document). */

@@ -169,4 +169,35 @@ object Profile {
         max(when(!col("is_num"), col("value_s"))).as("max_s"),
       )
   }
+
+  /** k-anonymity audit (Sweeney 2002) over declared quasi-identifier
+    * columns — the privacy gate a dataset passes before release: every
+    * row must be indistinguishable from at least k−1 others on the
+    * QI projection. NULL is a QI value (a missing birth-date is itself
+    * identifying). Reports the equivalence-class census in one row:
+    * class count, violating classes (size < k), rows at risk, the
+    * minimum class size (= the dataset's actual k-anonymity level),
+    * and the worst (most identifying) class size 1 count.
+    *
+    * One keyed aggregation over the QI projection (narrow columns
+    * only), then a 1-row summary over the |classes|-bounded census —
+    * the corpus is touched once, nothing class-proportional leaves
+    * the executors except the census aggregate itself. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"))
+      .agg(
+        lit(k).as("k"),
+        count(lit(1)).as("n_classes"),
+        coalesce(sum(when(col("__sz") < k, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("violating_classes"),
+        coalesce(sum(when(col("__sz") < k, col("__sz")).otherwise(lit(0L))), lit(0L))
+          .as("rows_at_risk"),
+        min(col("__sz")).as("anonymity_level"),
+        coalesce(sum(when(col("__sz") === 1, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("singletons"),
+      )
+  }
 }

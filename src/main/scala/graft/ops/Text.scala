@@ -617,6 +617,32 @@ object Text {
       .withColumn("rnk", row_number().over(w))
   }
 
+  /** Per-stratum vocabulary statistics — the Zipf/Heaps corpus census
+    * (token mass, type count, hapax legomena) a tokenizer-training or
+    * data-mixing run reads before committing: a stratum whose hapax
+    * share is abnormally high is noisy or under-normalized; one whose
+    * type count stopped growing is saturated/duplicated. All counts
+    * exact integers; the hapax share in ppm via one flooring div of
+    * exact counts.
+    *
+    * Shape: one tokenize pass → (stratum, token) keyed aggregation
+    * (vocab-×-strata-bounded output, partial aggregation does the
+    * token mass map-side) → one |vocab|-bounded re-aggregation per
+    * stratum. No corpus-wide structure. */
+  def vocabStats(docs: DataFrame, strataCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(strataCol).as("stratum"), explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy("stratum", "w")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("stratum")
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        coalesce(sum(when(col("__c") === 1, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("hapax"),
+      )
+      .withColumn("hapax_ppm", expr("(hapax * 1000000L) div vocab"))
+
   /** Digit masking that keeps the last `keep` characters intact: every
     * digit in the prefix becomes 'X'. The PII-redaction primitive for
     * identifiers (account numbers, phone digits) where the tail is kept

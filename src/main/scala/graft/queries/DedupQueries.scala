@@ -857,6 +857,39 @@ object DedupQueries {
     Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 5).select("doc_id", "source")
   }
 
+  /** Fuzzy (Jaccard ≥ 0.3 on distinct 3-gram sets) decontamination
+    * ([[graft.ops.Dedup.decontaminateFuzzy]]) — the paraphrase-robust
+    * twin of `ddp_decontaminate`: a reworded benchmark document still
+    * overlaps heavily at the short-shingle set level even when no
+    * single long n-gram survives verbatim. The integer-ppm threshold
+    * keeps the keep/drop decision float-free, so the oracle replays
+    * the whole overlap computation exactly. */
+  private val decontaminateFuzzyQ = Q(
+    "ddp_decontaminate_fuzzy",
+    """WITH docs AS (SELECT doc_id, source, regexp_extract_all(text, '\w+') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+      |  FROM docs),
+      |bsh AS (SELECT doc_id AS b_id, sh FROM sh WHERE doc_id % 50 = 0),
+      |csh AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+      |csz AS (SELECT doc_id, COUNT(*) AS a FROM csh GROUP BY 1),
+      |bsz AS (SELECT b_id, COUNT(*) AS b FROM bsh GROUP BY 1),
+      |inter AS (SELECT c.doc_id, b.b_id, COUNT(*) AS i FROM csh c JOIN bsh b USING (sh) GROUP BY 1, 2),
+      |bad AS (
+      |  SELECT DISTINCT doc_id FROM inter
+      |  JOIN csz USING (doc_id) JOIN bsz USING (b_id)
+      |  WHERE i * 1000000 >= 300000 * (a + b - i))
+      |SELECT doc_id, source FROM documents
+      |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+  ) { (s, d) =>
+    val all    = documents(s, d)
+    val bench  = all.filter(col("doc_id") % 50 === 0)
+    val corpus = all.filter(col("doc_id") % 50 =!= 0)
+    Dedup
+      .decontaminateFuzzy(corpus, bench, "doc_id", "text", n = 3, tauPpm = 300000L)
+      .select("doc_id", "source")
+  }
+
   /** The composed training-corpus pipeline, end to end in the gate:
     * quality gate (token bounds) → language gate (marker heuristic) →
     * exact dedup (normalized fingerprint, keep min id) → fuzzy dedup
@@ -1165,6 +1198,7 @@ object DedupQueries {
       simhashSigs, simhashPairs, simhash64Pairs, simhash64Md5Pairs, jaccardComponents, dedupKeep,
       dedupKeepBest,
       semdedupBest, embeddingPairs,
-      embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, decontaminate, corpusPrepare,
+      embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, decontaminate,
+      decontaminateFuzzyQ, corpusPrepare,
       corpusPrepareEmb, componentSplitQ, corpusMix, snmPairsQ)
 }

@@ -1886,6 +1886,25 @@ object MiscQueries {
     per.crossJoin(broadcast(leak))
   }
 
+  /** k-anonymity audit ([[graft.ops.Profile.kAnonymity]]) over the
+    * customer quasi-identifiers (nation, market segment) at k = 10:
+    * the privacy census (violating classes, rows at risk, the actual
+    * anonymity level) a dataset release gate reads. All counts exact;
+    * the oracle recomputes the equivalence classes from scratch. */
+  private val kAnonymityQ = Q(
+    "misc_k_anonymity",
+    """SELECT 10 AS k,
+      |  COUNT(*) AS n_classes,
+      |  CAST(COALESCE(SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END), 0) AS BIGINT) AS violating_classes,
+      |  CAST(COALESCE(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END), 0) AS BIGINT) AS rows_at_risk,
+      |  MIN(sz) AS anonymity_level,
+      |  CAST(COALESCE(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS singletons
+      |FROM (SELECT COUNT(*) AS sz FROM customer GROUP BY c_nationkey, c_mktsegment)""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Profile.kAnonymity(
+      graft.Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"), k = 10L)
+  }
+
   val all: Seq[Q] =
     Seq(approxDistinct, sample, floatDotSql, hllSketchUnion, sampleHash, sequenceExplode,
       jsonRoundtrip, sampleStratified, sampleReservoir, sampleBudgetMix, shardStats,
@@ -1894,5 +1913,5 @@ object MiscQueries {
       triangleCensus, clusteringCoeff, profileColumns, profileApproxQ,
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
       corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ,
-      labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint)
+      labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint, kAnonymityQ)
 }

@@ -843,9 +843,28 @@ object TextQueries {
     Text.collocations(documents(s, d), "text", minCount = 5L, k = 20)
   }
 
+  /** Per-source vocabulary census ([[graft.ops.Text.vocabStats]]):
+    * token mass, type count, hapax legomena and hapax share (exact
+    * ppm) — the Zipf/Heaps statistics a tokenizer-training or
+    * data-mixing run inspects per stratum. */
+  private val vocabStatsQ = Q(
+    "txt_vocab_stats",
+    """WITH toks AS (
+      |  SELECT source AS stratum, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT stratum, w, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+      |SELECT stratum, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS vocab,
+      |  CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS hapax,
+      |  CAST((COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) * 1000000) // COUNT(*) AS BIGINT)
+      |    AS hapax_ppm
+      |FROM cnt GROUP BY stratum""".stripMargin,
+  ) { (s, d) =>
+    Text.vocabStats(documents(s, d), "source", "text")
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
       sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize, lmPrune, invertedIndexQ,
-      packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ)
+      packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ)
 }

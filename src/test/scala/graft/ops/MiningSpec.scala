@@ -134,6 +134,63 @@ class MiningSpec extends AnyFunSuite {
     assert(splits === Set("train", "val", "test"))
   }
 
+  test("fuzzy decontamination drops a paraphrase but keeps a stray shared phrase") {
+    // bench doc and corpus doc 1 share most 3-grams (paraphrase-level
+    // overlap); corpus doc 2 shares exactly one 3-gram (a common
+    // phrase) — the exact rule would kill it, Jaccard >= 0.3 keeps it.
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"), // near-copy
+      (2L, "alpha beta gamma completely different words here now"), // one shared phrase
+      (3L, "nothing in common with anything at all"),
+    ).toDF("doc_id", "text")
+    val kept = Dedup
+      .decontaminateFuzzy(corpus, bench, "doc_id", "text", n = 3, tauPpm = 300000L)
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .toSet
+    assert(kept === Set(2L, 3L))
+  }
+
+  test("k-anonymity census counts violating classes, rows at risk, singletons") {
+    val df = Seq(
+      ("us", "a"),                                     // class size 1 (singleton)
+      ("us", "b"), ("us", "b"),                        // class size 2
+      ("de", "a"), ("de", "a"), ("de", "a"), ("de", "a"), ("de", "a"), // size 5
+    ).toDF("nation", "seg")
+    val r = Profile.kAnonymity(df, Seq("nation", "seg"), k = 3L).head()
+    assert(r.getAs[Long]("n_classes") === 3L)
+    assert(r.getAs[Long]("violating_classes") === 2L)
+    assert(r.getAs[Long]("rows_at_risk") === 3L)
+    assert(r.getAs[Long]("anonymity_level") === 1L)
+    assert(r.getAs[Long]("singletons") === 1L)
+  }
+
+  test("k-anonymity treats NULL as a quasi-identifier value") {
+    val df = Seq(
+      (Some("us"), "a"), (Some("us"), "a"),
+      (None, "a"), (None, "a"), (None, "a"),
+    ).toDF("nation", "seg")
+    val r = Profile.kAnonymity(df, Seq("nation", "seg"), k = 3L).head()
+    // two classes: (us,a) size 2 violates; (NULL,a) size 3 passes
+    assert(r.getAs[Long]("n_classes") === 2L)
+    assert(r.getAs[Long]("violating_classes") === 1L)
+    assert(r.getAs[Long]("rows_at_risk") === 2L)
+  }
+
+  test("vocabulary census: token mass, types, hapax per stratum") {
+    val docs = Seq(("s1", "a a b"), ("s2", "c")).toDF("source", "text")
+    val got = Text
+      .vocabStats(docs, "source", "text")
+      .orderBy("stratum")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === Seq(("s1", 3L, 2L, 1L, 500000L), ("s2", 1L, 1L, 1L, 1000000L)))
+  }
+
   test("group-disjoint split boundaries are ppm-exact and monotone") {
     // a larger test cut's groups are a superset of a smaller one's
     val df     = (0 until 500).map(i => (i.toLong, s"g$i")).toDF("id", "g")
