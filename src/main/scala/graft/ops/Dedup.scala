@@ -1040,9 +1040,13 @@ object Dedup {
     * The threshold is integer-exact: `inter·10⁶ ≥ tauPpm·(|A|+|B|−inter)`
     * — no float enters the keep/drop decision. Shape: benchmark
     * shingle sets are broadcast (eval suites are small by contract —
-    * the PQ-codebook rule); the corpus side is one generator pass, the
-    * overlap a shingle-keyed aggregation bounded by candidate pairs
-    * that actually share a shingle. Nothing |corpus|² appears. */
+    * the PQ-codebook rule); the corpus side runs the map-only shingle
+    * generator TWICE (once joined against the bench, once for the
+    * per-doc set sizes) — the deliberate trade over persisting a
+    * corpus-shingle-sized intermediate, the same two-scan posture
+    * [[Similarity.semiHardNegatives]] documents. The overlap is a
+    * shingle-keyed aggregation bounded by candidate pairs that
+    * actually share a shingle. Nothing |corpus|² appears. */
   def decontaminateFuzzy(
       docs: DataFrame,
       benchmark: DataFrame,

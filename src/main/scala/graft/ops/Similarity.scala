@@ -1659,7 +1659,6 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     graft.functions.FloatVecDot.registerOn(queries.sparkSession)
     val spark = queries.sparkSession
-    import spark.implicits._
     val q = withNorm(queries, embCol)
       .select(col(idCol).as("q_id"), col(embCol).as("__qe"), col("nrm").as("__qn"))
     // relevance pass: one corpus scan, reused by every round (small:
@@ -1679,11 +1678,25 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val w = Window.partitionBy("q_id").orderBy(col("mmr").desc, col("n_id"))
-      // selected: (q_id, n_id, emb, nrm, rnk); grows one row per query per round
-      var selected = Seq.empty[(Long, Long, Seq[Float], Double, Int)]
+      // selected set as plain Rows + a captured schema, so the op stays
+      // generic over the caller's id type (string keys work the same
+      // as bigints); grows one row per query per round
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      val selFields = Seq("q_id", "n_id", "__ne", "__nn")
+      val selSchema = StructType(
+        selFields.map(f => rel.schema(f)).map {
+          case StructField("n_id", t, n, m) => StructField("s_id", t, n, m)
+          case StructField("__ne", t, n, m) => StructField("__se", t, n, m)
+          case StructField("__nn", t, n, m) => StructField("__sn", t, n, m)
+          case other                        => other
+        } :+ StructField("rnk", IntegerType, nullable = false)
+      )
+      var selected = Seq.empty[org.apache.spark.sql.Row]
       for (round <- 1 to k) {
-        val selDf = selected
-          .toDF("q_id", "s_id", "__se", "__sn", "rnk")
+        val selDf = spark.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(selected).asJava),
+          selSchema,
+        )
         val pool = rel.join(
           broadcast(selDf.select(col("q_id").as("__sq"), col("s_id"))),
           col("q_id") === col("__sq") && col("n_id") === col("s_id"),
@@ -1714,20 +1727,15 @@ object Similarity {
           .filter(col("__r") === 1)
           .select(col("q_id"), col("n_id"), col("__ne"), col("__nn"))
           .collect()
-          .map(r =>
-            (
-              r.getLong(0),
-              r.getLong(1),
-              r.getSeq[Float](2),
-              r.getDouble(3),
-              round,
-            )
-          )
+          .map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ round))
         selected = selected ++ picked
       }
-      selected
-        .toDF("q_id", "n_id", "__se", "__sn", "rnk")
-        .select(col("q_id"), col("n_id"), col("rnk"))
+      spark
+        .createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(selected).asJava),
+          selSchema,
+        )
+        .select(col("q_id"), col("s_id").as("n_id"), col("rnk"))
     } finally rel.unpersist()
   }
 }

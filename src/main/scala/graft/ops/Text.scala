@@ -567,14 +567,18 @@ object Text {
     * the score is bit-deterministic cross-engine at any corpus size
     * (no int64 overflow path: the products are formed in double).
     *
-    * Shape: one tokenize pass feeds BOTH count tables (bigrams via an
-    * index explode, unigrams via a token explode — two keyed
-    * aggregations over the same scan); the unigram table is
-    * vocab-sized and joined twice onto the minCount-thinned bigram
-    * table; the total-token count rides as a 1-row cross join. The
-    * final top-k is TakeOrdered over the thinned collocation table
+    * Shape: one tokenize pass per count table (bigrams via an index
+    * explode, unigrams via a token explode). The unigram table is
+    * vocab-bounded and consumed three times (total + two joins), so it
+    * is localCheckpointed — one build, not three replays of the
+    * corpus explode (Catalyst does not reuse the exchange here: the
+    * pushed null filters de-canonicalize the subtrees). The
+    * total-token count rides as a 1-row cross join. The final top-k
+    * is TakeOrdered over the thinned collocation table
     * (≤ N/minCount rows), never a single-partition sort, and the
-    * returned k rows get their rank from a window over k rows. */
+    * returned k rows get their rank from a window over k rows.
+    * Documents shorter than 2 tokens contribute no bigrams (same
+    * semantics as the oracle's empty generate_series). */
   def collocations(
       docs: DataFrame,
       textCol: String,
@@ -589,8 +593,12 @@ object Text {
       .select(explode(col("__t")).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // vocab-bounded; consumed 3× below
     val tot = uni.agg(sum(col("c")).as("nt"))
     val big = toks
+      // a <2-token doc has no bigrams; sequence(1, size-1) would
+      // otherwise DESCEND (Spark semantics) and element_at would throw
+      .filter(size(col("__t")) >= 2)
       .select(explode(sequence(lit(1), size(col("__t")) - 1)).as("__i"), col("__t"))
       .select(
         element_at(col("__t"), col("__i")).as("w1"),

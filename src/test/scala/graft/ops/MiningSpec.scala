@@ -109,6 +109,33 @@ class MiningSpec extends AnyFunSuite {
     assert(top.head === ("spark", "shuffle"))
   }
 
+  test("collocations tolerate empty and single-token documents") {
+    // sequence(1, size-1) DESCENDS for size<2 in Spark — the guard
+    // must drop these docs from the bigram branch (oracle semantics:
+    // empty generate_series), not crash element_at
+    val docs = Seq("", "solo", "x y x y", "x y x y").toDF("text")
+    val got = Text.collocations(docs, "text", minCount = 2L, k = 10)
+    val pairs = got.select("w1", "w2").as[(String, String)].collect().toSet
+    assert(pairs.contains(("x", "y")))
+  }
+
+  test("MMR is generic over the id column type (string keys)") {
+    val q     = Seq(("qa", Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val cands = Seq(
+      ("c1", Seq(0.9063f, 0.4226f)),
+      ("c2", Seq(0.8660f, 0.5f)),
+      ("c3", Seq(0.5f, -0.8660f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity
+      .mmrTopK(q, cands, "vec_id", "embedding", k = 2)
+      .orderBy("rnk")
+      .select("n_id")
+      .as[String]
+      .collect()
+      .toSeq
+    assert(got === Seq("c1", "c3"))
+  }
+
   test("collocations drop pairs below minCount") {
     val docs = Seq("x y", "x y", "rare pair").toDF("text")
     val got = Text.collocations(docs, "text", minCount = 2L, k = 10)
