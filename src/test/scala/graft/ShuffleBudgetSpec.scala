@@ -46,6 +46,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "ddp_corpus_prepare_emb"      -> 951555L,
     "ddp_jaccard_pairs_prefix"    -> 2372967L,
     "misc_triangle_census"        -> 83017L, // r10 addition: #3 bench shuffler
+    "ddp_decontaminate_fuzzy"     -> 13799L, // r10 8th-session addition
   )
 
   // at sf0.001 the build's join broadcasts (59 B of exchange); the pin
