@@ -1562,6 +1562,28 @@ object Similarity {
     cents
   }
 
+  /** Mean-pooled group embedding — the long-document retrieval step
+    * that turns chunk embeddings back into ONE document vector
+    * (chunk → embed → mean-pool, the standard pipeline when documents
+    * exceed the encoder's window). Dimension-wise means through
+    * DECIMAL(38,12) sums (order-independent — a float/double sum
+    * would make the pooled vector depend on partitioning), cast back
+    * to float. Shape: one posexplode + (group, dim) keyed aggregation
+    * + per-group dim re-assembly — the exact arithmetic and dataflow
+    * of the k-means refinement step, reused for pooling. */
+  def meanPoolEmbeddings(df: DataFrame, groupCol: String, embCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(embCol)).as(Seq("__pos", "__v")))
+      .groupBy(groupCol, "__pos")
+      .agg(
+        (expr("CAST(SUM(CAST(__v AS DECIMAL(38,12))) AS DOUBLE)") / count(lit(1))).as("__m")
+      )
+      .groupBy(groupCol)
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ms"))
+      .select(
+        col(groupCol),
+        transform(col("__ms"), m => m.getField("__m").cast("float")).as(embCol),
+      )
+
   /** Semi-hard negative mining for contrastive training (FaceNet,
     * Schroff 2015): for each query, the top-k candidates with a
     * DIFFERENT label whose cosine is strictly below the query's best

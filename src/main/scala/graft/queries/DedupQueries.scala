@@ -65,7 +65,7 @@ object DedupQueries {
     * inside that query's own timing. */
   private val pairConsumers = Set(
     "ddp_jaccard_pairs", "ddp_jaccard_components", "ddp_dedup_keep",
-    "ddp_dedup_keep_best", "ddp_component_split",
+    "ddp_dedup_keep_best", "ddp_component_split", "ddp_lsh_recall_eval",
   )
   private val shingleConsumers = pairConsumers ++ Set(
     "ddp_jaccard_pairs_prefix", "ddp_jaccard_pairs_auto", "ddp_minhash_lsh_pairs",
@@ -295,6 +295,78 @@ object DedupQueries {
       rowsPerBand = 4,
       minJaccard = 0.5,
     )
+  }
+
+  /** LSH banding recall/precision eval — the dedup twin of
+    * `sim_ann_recall_eval`: how much of the exact-Jaccard truth set
+    * (τ = 0.5, the `ddp_jaccard_pairs` chain) does the 4×4 MinHash
+    * banding actually SURFACE as candidates, and how much candidate
+    * volume is wasted? This is the tuning artifact that justifies a
+    * banding config before a corpus run (the s-curve says ~23% collide
+    * at exactly τ, rising steeply toward 1 for true near-dups — the
+    * gate measures it instead of trusting the formula). Both chains
+    * are already oracle-proven; this replays their composition and the
+    * metric arithmetic (integer ppm, NULL when a denominator is 0). */
+  private val lshRecallEval = Q(
+    "ddp_lsh_recall_eval",
+    s"""$shingCte,
+       |mh AS (
+       |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+       |  FROM shing CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+       |  GROUP BY doc_id, seed),
+       |bands AS (
+       |  SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+       |  FROM mh GROUP BY doc_id, seed // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+       |  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT a_id, b_id
+       |  FROM common JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
+       |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5),
+       |m AS (
+       |  SELECT (SELECT count(*) FROM truth) AS n_truth,
+       |         (SELECT count(*) FROM cand) AS n_candidates,
+       |         (SELECT count(*) FROM truth t JOIN cand c
+       |            ON c.a_id = t.a_id AND c.b_id = t.b_id) AS n_hit)
+       |SELECT n_truth, n_candidates, n_hit,
+       |  CASE WHEN n_truth = 0 THEN NULL
+       |       ELSE (n_hit * 1000000) // n_truth END AS recall_ppm,
+       |  CASE WHEN n_candidates = 0 THEN NULL
+       |       ELSE (n_hit * 1000000) // n_candidates END AS precision_ppm
+       |FROM m""".stripMargin,
+  ) { (s, d) =>
+    val truth = sharedJaccardPairs(s, d).select("a_id", "b_id")
+    val cands = Dedup.lshCandidates(
+      Dedup.lshBands(
+        Dedup.minhashSignaturesNative(documents(s, d), "doc_id", "text", n = 3, k = 16),
+        rowsPerBand = 4,
+      )
+    )
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nCand  = cands.agg(count(lit(1)).as("n_candidates"))
+    val nHit = truth
+      .join(cands, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nTruth
+      .crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nHit))
+      .select(
+        col("n_truth"),
+        col("n_candidates"),
+        col("n_hit"),
+        when(col("n_truth") === 0, lit(null))
+          .otherwise(expr("(n_hit * 1000000L) div n_truth"))
+          .as("recall_ppm"),
+        when(col("n_candidates") === 0, lit(null))
+          .otherwise(expr("(n_hit * 1000000L) div n_candidates"))
+          .as("precision_ppm"),
+      )
   }
 
   /** Incremental cross-run NEAR-dup screen
@@ -1199,6 +1271,6 @@ object DedupQueries {
       dedupKeepBest,
       semdedupBest, embeddingPairs,
       embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, decontaminate,
-      decontaminateFuzzyQ, corpusPrepare,
+      decontaminateFuzzyQ, lshRecallEval, corpusPrepare,
       corpusPrepareEmb, componentSplitQ, corpusMix, snmPairsQ)
 }

@@ -198,7 +198,7 @@ object SimilarityQueries {
        |  FROM seedasg a JOIN e ON e.vec_id = a.vec_id WHERE a.crk = 1),
        |dims AS (
        |  SELECT cent_id, i.i AS pos,
-       |    CAST(CAST(SUM(CAST(embedding[i.i] AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+       |    CAST(CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
        |      / COUNT(*) AS m
        |  FROM members CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
        |  GROUP BY 1, 2),
@@ -653,7 +653,7 @@ object SimilarityQueries {
        |  FROM seedasg a JOIN e ON e.vec_id = a.vec_id WHERE a.crk = 1),
        |dims AS (
        |  SELECT cent_id, i.i AS pos,
-       |    CAST(CAST(SUM(CAST(embedding[i.i] AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+       |    CAST(CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
        |      / COUNT(*) AS m
        |  FROM members CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
        |  GROUP BY 1, 2),
@@ -788,7 +788,7 @@ object SimilarityQueries {
        |  FROM seedasg a JOIN e ON e.vec_id = a.vec_id WHERE a.crk = 1),
        |dims AS (
        |  SELECT cent_id, i.i AS pos,
-       |    CAST(CAST(SUM(CAST(embedding[i.i] AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+       |    CAST(CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
        |      / COUNT(*) AS m
        |  FROM members CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
        |  GROUP BY 1, 2),
@@ -1115,6 +1115,75 @@ object SimilarityQueries {
       .select("q_id", "n_id", "cos", "rnk")
   }
 
+  /** Chunk → embed → MEAN-POOL → document-level top-k
+    * ([[graft.ops.Similarity.meanPoolEmbeddings]]): the long-document
+    * retrieval pipeline, pooled back to one vector per document with
+    * DECIMAL-exact dimension means (partitioning-independent), then
+    * ranked document-to-document. Extends `sim_rag_chunk_topk`'s
+    * proven chunk/hash-embed chain by the pooling stage; the oracle
+    * replays the pooling arithmetic (decimal sums cast via VARCHAR —
+    * DuckDB's direct decimal→double cast double-rounds past 2^53). */
+  private val docEmbeddingPool = Q(
+    "sim_doc_embedding_pool",
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks FROM documents),
+       |s0 AS (SELECT doc_id, toks,
+       |         unnest(generate_series(0, greatest(0, ((len(toks) - 64 + 47) // 48) * 48), 48)) AS start
+       |       FROM t WHERE len(toks) > 0),
+       |ch AS (SELECT doc_id,
+       |         md5(list_aggregate(toks[(start+1):(start+64)], 'string_agg', ' ')) AS h
+       |       FROM s0),
+       |e AS (SELECT doc_id,
+       |        list_transform(generate_series(0, 7),
+       |          j -> CAST(CAST((CAST(('0x' || substr(h, j*3 + 1, 3)) AS BIGINT) - 2048) AS DOUBLE)
+       |                    / 2048.0 AS REAL)) AS emb
+       |      FROM ch),
+       |dims AS (
+       |  SELECT doc_id, i.i AS pos,
+       |    CAST(CAST(SUM(CAST(CAST(emb[i.i] AS DOUBLE) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+       |      / COUNT(*) AS m
+       |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) i
+       |  GROUP BY 1, 2),
+       |pooled AS (
+       |  SELECT doc_id, list(CAST(m AS REAL) ORDER BY pos) AS emb
+       |  FROM dims GROUP BY doc_id),
+       |n AS (SELECT doc_id, emb, sqrt(${duckDot("emb", "emb")}) AS nrm FROM pooled),
+       |pairs AS (
+       |  SELECT q.doc_id AS q_id, c.doc_id AS n_id,
+       |    ${duckDot("q.emb", "c.emb")} / (q.nrm * c.nrm) AS cos
+       |  FROM n q JOIN n c ON c.doc_id <> q.doc_id
+       |  WHERE q.doc_id < 3)
+       |SELECT q_id, n_id, cos, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM pairs)
+       |WHERE rnk <= 3""".stripMargin,
+  ) { (s, d) =>
+    val chunks = graft.ops.Text
+      .chunkTokens(graft.Tables.documents(s, d), "doc_id", "text", chunkSize = 64, overlap = 16)
+      .select(col("doc_id"), col("chunk_text"))
+    val embedded = chunks
+      .withColumn("__h", md5(col("chunk_text")))
+      .withColumn(
+        "emb",
+        transform(
+          sequence(lit(0), lit(7)),
+          j =>
+            ((conv(col("__h").substr(j * 3 + 1, lit(3)), 16, 10).cast("long") - 2048L)
+              .cast("double") / 2048.0).cast("float"),
+        ),
+      )
+      .select("doc_id", "emb")
+    val pooled = Similarity.meanPoolEmbeddings(embedded, "doc_id", "emb")
+    Similarity
+      .bruteForceTopK(
+        queries = pooled.filter(col("doc_id") < 3),
+        candidates = pooled,
+        idCol = "doc_id",
+        embCol = "emb",
+        k = 3,
+      )
+      .select("q_id", "n_id", "cos", "rnk")
+  }
+
   /** ANN index-quality evaluation ([[graft.ops.Similarity.recallAtK]]):
     * per-query integer-ppm recall of the IVF index (16 cells,
     * nprobe=2) against brute force at k=3 — the number a probe
@@ -1275,7 +1344,7 @@ object SimilarityQueries {
        |  FROM embeddings),
        |dims AS (
        |  SELECT label, i.i AS pos,
-       |    CAST(CAST(SUM(CAST(embedding[i.i] AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+       |    CAST(CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
        |      / COUNT(*) AS m
        |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
        |  GROUP BY 1, 2),
@@ -1428,6 +1497,6 @@ object SimilarityQueries {
   val all: Seq[Q] =
     Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
       annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
-      annIvfPqSampledTopK, annIvfAppendTopK, annIvfPqResidualTopK, ragChunkTopK, annRecallEval,
+      annIvfPqSampledTopK, annIvfAppendTopK, annIvfPqResidualTopK, ragChunkTopK, docEmbeddingPool, annRecallEval,
       annBatchedTopK, annIvfStoredTopK, centroidConfusion, centroidEval, hardNegatives, mmrTopK)
 }

@@ -144,6 +144,26 @@ class MiningSpec extends AnyFunSuite {
     assert(!pairs.contains(("rare", "pair")))
   }
 
+  test("mean-pool embeddings: exact dimension means, partitioning-independent") {
+    val chunks = Seq(
+      (1L, Seq(1f, 2f, 3f)),
+      (1L, Seq(3f, 2f, 1f)),
+      (1L, Seq(2f, 2f, 2f)),
+      (2L, Seq(5f, 0f, 0f)),
+    ).toDF("doc_id", "emb")
+    def pool(df: org.apache.spark.sql.DataFrame) =
+      Similarity
+        .meanPoolEmbeddings(df, "doc_id", "emb")
+        .orderBy("doc_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toList))
+        .toList
+    val got = pool(chunks)
+    assert(got === List((1L, List(2f, 2f, 2f)), (2L, List(5f, 0f, 0f))))
+    // DECIMAL sums make the mean independent of partition layout
+    assert(pool(chunks.repartition(7)) === got)
+  }
+
   test("group-disjoint split: every group lands in exactly one split") {
     val df = (0 until 200)
       .map(i => (i.toLong, s"grp${i % 23}"))
