@@ -152,6 +152,61 @@ object Sampling {
     stratified(df, keyCol, strataCol, rates, defaultRate = 0.0)
   }
 
+  /** Epoch-repeat corpus expansion — the OVER-sampling half of a
+    * training-mix recipe (the "epochs"/repeat column of Pile/LLaMA-style
+    * data configs: a high-quality source is seen 2–4 times per epoch
+    * while common crawl is seen once or subsampled). For stratum s with
+    * budget b_s rows and n_s source rows, every row is emitted
+    * `b_s div n_s` times and an additional hash-selected fraction
+    * (`rate = (b_s mod n_s)/n_s`, the [[bernoulli]] predicate on the
+    * row key) once more, with an `epoch` column (1-based) so a shard
+    * writer can spread the copies across epochs. E[rows emitted] = b_s
+    * exactly; the realized fractional count is binomial around it (the
+    * same expectation semantics as every hash sampler here). Budgets
+    * at or below n_s degrade gracefully to pure subsampling
+    * (repeat 0 + fraction).
+    *
+    * Map-only: the per-stratum (repeat, rate) pair compiles into a
+    * scan-local CASE (the [[stratified]] pattern — counts collected
+    * once, |strata| rows, bounded by contract), then one
+    * `explode(sequence(1, n_epochs))` per row — no shuffle, no state,
+    * deterministic under retries. Strata missing from `budgets` keep
+    * exactly one copy (repeat 1, no extra). */
+  def epochExpand(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      budgets: Map[String, Long],
+  ): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val counts: Map[String, Long] = df
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"))
+      .collect() // |strata| rows — bounded by contract (mixing dimension)
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .toMap
+    val plans: Seq[(String, Long, Long)] = budgets.toSeq.sortBy(_._1).flatMap {
+      case (s, b) =>
+        counts.get(s).filter(_ > 0).map { n =>
+          // ppm-exact fractional rate: (b mod n)·10⁶ div n
+          (s, b / n, ((b % n) * 1000000L) / n)
+        }
+    }
+    val repeatCol = plans.foldLeft(lit(1L)) { case (acc, (s, rep, _)) =>
+      when(col(strataCol) === lit(s), lit(rep)).otherwise(acc)
+    }
+    val fracCol = plans.foldLeft(lit(0L)) { case (acc, (s, _, ppm)) =>
+      when(col(strataCol) === lit(s), lit(ppm)).otherwise(acc)
+    }
+    val extra =
+      when(shiftright(hash24(col(keyCol)) * lit(1000000L), 24) < fracCol, lit(1L))
+        .otherwise(lit(0L))
+    df.withColumn("__n_epochs", repeatCol + extra)
+      .filter(col("__n_epochs") >= 1L)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__n_epochs"))))
+      .drop("__n_epochs")
+  }
+
   /** Token-BUDGET deterministic sample per stratum — the corpus-mixing
     * form that targets a token (or byte/char) budget instead of a row
     * count: within each stratum, rows are taken in content-hash order

@@ -1886,6 +1886,43 @@ object MiscQueries {
     per.crossJoin(broadcast(leak))
   }
 
+  /** Epoch-repeat corpus expansion ([[graft.ops.Sampling.epochExpand]]):
+    * the over-sampling half of a training mix — src0 targeted above its
+    * row count (repeat copies + a hash-selected fraction), src1 at
+    * parity, src2 subsampled, everything else untouched. The gate
+    * aggregates the EXPANDED corpus per (source, epoch), so the oracle
+    * replays the whole expansion, not just the plan. */
+  private val sampleEpochs = Q(
+    "misc_sample_epochs",
+    """WITH n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      |b AS (SELECT source, n,
+      |        CASE source WHEN 'src0' THEN 60 WHEN 'src1' THEN 25 WHEN 'src2' THEN 10
+      |             ELSE NULL END AS b
+      |      FROM n),
+      |plan AS (SELECT source,
+      |           CASE WHEN b IS NULL THEN 1 ELSE b // n END AS rep,
+      |           CASE WHEN b IS NULL THEN 0 ELSE ((b % n) * 1000000) // n END AS ppm
+      |         FROM b),
+      |rows0 AS (
+      |  SELECT d.doc_id, d.source,
+      |    p.rep + (CASE WHEN (CAST(('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 6)) AS BIGINT)
+      |                        * 1000000) // 16777216 < p.ppm THEN 1 ELSE 0 END) AS ne
+      |  FROM documents d JOIN plan p USING (source)),
+      |expd AS (SELECT doc_id, source, unnest(generate_series(1, ne)) AS epoch
+      |         FROM rows0 WHERE ne >= 1)
+      |SELECT source, epoch, COUNT(*) AS n_rows FROM expd GROUP BY 1, 2""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Sampling
+      .epochExpand(
+        graft.Tables.documents(s, d),
+        keyCol = "doc_id",
+        strataCol = "source",
+        budgets = Map("src0" -> 60L, "src1" -> 25L, "src2" -> 10L),
+      )
+      .groupBy("source", "epoch")
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** k-anonymity audit ([[graft.ops.Profile.kAnonymity]]) over the
     * customer quasi-identifiers (nation, market segment) at k = 10:
     * the privacy census (violating classes, rows at risk, the actual
@@ -1913,5 +1950,5 @@ object MiscQueries {
       triangleCensus, clusteringCoeff, profileColumns, profileApproxQ,
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
       corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ,
-      labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint, kAnonymityQ)
+      labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint, kAnonymityQ, sampleEpochs)
 }

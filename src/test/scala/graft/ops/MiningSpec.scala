@@ -144,6 +144,33 @@ class MiningSpec extends AnyFunSuite {
     assert(!pairs.contains(("rare", "pair")))
   }
 
+  test("epoch expansion: repeat copies, fractional extras, untouched defaults") {
+    val df = (0 until 40)
+      .map(i => (i.toLong, if (i < 20) "hot" else if (i < 30) "cold" else "rest"))
+      .toDF("id", "s")
+    // hot: n=20, budget 50 -> repeat 2 + frac 0.5; cold: n=10, budget 0
+    // -> dropped entirely; rest: no budget -> exactly one copy
+    val exp = Sampling
+      .epochExpand(df, "id", "s", Map("hot" -> 50L, "cold" -> 0L))
+      .groupBy("s", "epoch")
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(exp(("hot", 1L)) === 20L, "every hot row appears at epoch 1")
+    assert(exp(("hot", 2L)) === 20L, "every hot row appears at epoch 2")
+    val extras = exp.getOrElse(("hot", 3L), 0L)
+    assert(extras > 0L && extras < 20L, s"fractional extras should be ~10, got $extras")
+    assert(!exp.keys.exists(_._1 == "cold"), "budget 0 drops the stratum")
+    assert(exp(("rest", 1L)) === 10L && !exp.contains(("rest", 2L)), "default is one copy")
+    // deterministic under re-execution
+    val again = Sampling
+      .epochExpand(df.repartition(5), "id", "s", Map("hot" -> 50L, "cold" -> 0L))
+      .groupBy("s", "epoch").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again === exp)
+  }
+
   test("mean-pool embeddings: exact dimension means, partitioning-independent") {
     val chunks = Seq(
       (1L, Seq(1f, 2f, 3f)),
