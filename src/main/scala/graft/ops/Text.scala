@@ -625,6 +625,44 @@ object Text {
       .withColumn("rnk", row_number().over(w))
   }
 
+  /** Negative-sampling distribution table — the word2vec/SGNS unigram^α
+    * table at α = 3/4 (Mikolov 2013: raising the unigram distribution
+    * to the 3/4 power up-weights rare words as negatives). α is pinned
+    * to 3/4 ON PURPOSE (the [[Sampling.temperatureSqrt]] argument):
+    * c^(3/4) = sqrt(c·sqrt(c)) is a composition of two correctly-
+    * rounded square roots and one multiply — bit-deterministic in any
+    * IEEE engine — where a general `pow(c, α)` is not correctly
+    * rounded everywhere. The normalizer Σw sums the weights through
+    * DECIMAL(38,12) (each double rounded to 12 fractional digits by
+    * the CAST — a deterministic per-value rounding, NOT an
+    * order-dependent float sum), and each share is one flooring
+    * integer-scaled division — so the whole table is engine-exact.
+    *
+    * Shape: one tokenize pass → vocab-keyed count → map-side weight
+    * arithmetic + a 1-row broadcast normalizer. Output is vocab-sized
+    * (the sampler's input table — at serving time a consumer builds
+    * its alias table from these ppm shares). */
+  def negSamplingTable(docs: DataFrame, textCol: String): DataFrame = {
+    val cnt = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("wt", sqrt(col("c") * sqrt(col("c"))))
+    val tot = cnt.agg(
+      expr("CAST(SUM(CAST(wt AS DECIMAL(38,12))) AS DOUBLE)").as("__tot")
+    )
+    cnt
+      .crossJoin(broadcast(tot))
+      .select(
+        col("w"),
+        col("c"),
+        col("wt"),
+        // ppm share: floor(wt·10⁶ / Σw) — one rounded multiply, one
+        // rounded divide, one floor; identical association both engines
+        floor(col("wt") * lit(1000000.0) / col("__tot")).cast("long").as("share_ppm"),
+      )
+  }
+
   /** Per-stratum vocabulary statistics — the Zipf/Heaps corpus census
     * (token mass, type count, hapax legomena) a tokenizer-training or
     * data-mixing run reads before committing: a stratum whose hapax

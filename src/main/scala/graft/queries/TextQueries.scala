@@ -843,6 +843,25 @@ object TextQueries {
     Text.collocations(documents(s, d), "text", minCount = 5L, k = 20)
   }
 
+  /** SGNS negative-sampling table ([[graft.ops.Text.negSamplingTable]]):
+    * unigram^¾ weights via composed correctly-rounded sqrts, DECIMAL
+    * normalizer, flooring ppm shares — every value engine-exact. */
+  private val negSamplingQ = Q(
+    "txt_neg_sampling",
+    """WITH cnt AS (
+      |  SELECT w, COUNT(*) AS c
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w FROM documents)
+      |  GROUP BY w),
+      |wt AS (SELECT w, c, sqrt(c * sqrt(c)) AS wt FROM cnt),
+      |tot AS (SELECT CAST(CAST(SUM(CAST(wt AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS t
+      |        FROM wt)
+      |SELECT w, c, wt,
+      |  CAST(floor(wt * 1000000.0 / tot.t) AS BIGINT) AS share_ppm
+      |FROM wt CROSS JOIN tot""".stripMargin,
+  ) { (s, d) =>
+    Text.negSamplingTable(documents(s, d), "text")
+  }
+
   /** Per-source vocabulary census ([[graft.ops.Text.vocabStats]]):
     * token mass, type count, hapax legomena and hapax share (exact
     * ppm) — the Zipf/Heaps statistics a tokenizer-training or
@@ -866,5 +885,5 @@ object TextQueries {
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
       sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize, lmPrune, invertedIndexQ,
-      packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ)
+      packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ, negSamplingQ)
 }

@@ -144,6 +144,24 @@ class MiningSpec extends AnyFunSuite {
     assert(!pairs.contains(("rare", "pair")))
   }
 
+  test("negative-sampling table: sublinear ^(3/4) weights, ppm shares conserve") {
+    val docs = Seq("a a a a a a a a a a a a a a a a b b c").toDF("text")
+    val rows = Text
+      .negSamplingTable(docs, "text")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    // c=16 -> 16^(3/4) = 8 exactly (sqrt(16*4)); c=1 -> 1
+    assert(rows("a")._2 === 8.0)
+    assert(rows("c")._2 === 1.0)
+    // sublinearity: 16x the count buys only 8x the weight
+    assert(rows("a")._1 === 16L && rows("a")._3 < 16L * rows("c")._3)
+    assert(rows("a")._3 > rows("b")._3 && rows("b")._3 > rows("c")._3)
+    // flooring shares: sum within 1e6, close to it (3 floors lose < 3 ppm)
+    val tot = rows.values.map(_._3).sum
+    assert(tot <= 1000000L && tot >= 1000000L - 3L, s"shares sum $tot")
+  }
+
   test("epoch expansion: repeat copies, fractional extras, untouched defaults") {
     val df = (0 until 40)
       .map(i => (i.toLong, if (i < 20) "hot" else if (i < 30) "cold" else "rest"))
