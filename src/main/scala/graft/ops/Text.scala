@@ -663,6 +663,53 @@ object Text {
       )
   }
 
+  /** Skip-gram positive-pair generation — the other half of SGNS
+    * training data next to [[negSamplingTable]]: for every token
+    * position, the (center, context) pairs within a symmetric window
+    * of `window` positions (offset 0 excluded), aggregated to
+    * co-occurrence counts. This is word2vec's input pipeline and —
+    * with the pair counts kept — also the raw table GloVe/PMI-style
+    * methods factorize.
+    *
+    * Shape: one tokenize pass; per position, the window's pairs are
+    * produced by a bounded flatten-of-transforms (2·window candidate
+    * offsets, clamped at document edges) BEFORE the explode, so the
+    * row expansion is the pair list itself — then one vocab²-bounded
+    * keyed aggregation. Map-side partial aggregation absorbs the
+    * window multiplicity; no self-join, no shuffle of positions. */
+  def skipGramPairs(docs: DataFrame, textCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val offsets = (-window to window).filter(_ != 0)
+    val toks    = docs.select(tokens(lower(col(textCol))).as("__t"))
+    toks
+      .filter(size(col("__t")) >= 2)
+      .select(
+        explode(
+          flatten(
+            transform(
+              sequence(lit(1), size(col("__t"))),
+              i =>
+                filter(
+                  array(offsets.map(o =>
+                    when(
+                      i + o >= 1 && i + o <= size(col("__t")),
+                      struct(
+                        element_at(col("__t"), i).as("w_center"),
+                        element_at(col("__t"), i + lit(o)).as("w_ctx"),
+                      ),
+                    ).otherwise(lit(null))
+                  ): _*),
+                  p => p.isNotNull,
+                ),
+            )
+          )
+        ).as("__p")
+      )
+      .select(col("__p.w_center").as("w_center"), col("__p.w_ctx").as("w_ctx"))
+      .groupBy("w_center", "w_ctx")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Per-stratum vocabulary statistics — the Zipf/Heaps corpus census
     * (token mass, type count, hapax legomena) a tokenizer-training or
     * data-mixing run reads before committing: a stratum whose hapax

@@ -843,6 +843,21 @@ object TextQueries {
     Text.collocations(documents(s, d), "text", minCount = 5L, k = 20)
   }
 
+  /** Skip-gram positive pairs ([[graft.ops.Text.skipGramPairs]]) at
+    * window 2 — SGNS training pairs / the GloVe co-occurrence table,
+    * exact counts per (center, context). */
+  private val skipGramQ = Q(
+    "txt_skipgram_pairs",
+    """WITH t AS (SELECT regexp_extract_all(lower(text), '\w+') AS t FROM documents),
+      |pos AS (SELECT t, unnest(generate_series(1, len(t))) AS i FROM t WHERE len(t) >= 2),
+      |pr AS (SELECT t[i] AS w_center, t[i + o.o] AS w_ctx
+      |       FROM pos CROSS JOIN (SELECT unnest([-2, -1, 1, 2]) AS o) o
+      |       WHERE i + o.o >= 1 AND i + o.o <= len(t))
+      |SELECT w_center, w_ctx, COUNT(*) AS n_pairs FROM pr GROUP BY 1, 2""".stripMargin,
+  ) { (s, d) =>
+    Text.skipGramPairs(documents(s, d), "text", window = 2)
+  }
+
   /** SGNS negative-sampling table ([[graft.ops.Text.negSamplingTable]]):
     * unigram^¾ weights via composed correctly-rounded sqrts, DECIMAL
     * normalizer, flooring ppm shares — every value engine-exact. */
@@ -885,5 +900,5 @@ object TextQueries {
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
       sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize, lmPrune, invertedIndexQ,
-      packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ, negSamplingQ)
+      packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ, negSamplingQ, skipGramQ)
 }

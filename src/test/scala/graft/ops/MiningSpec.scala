@@ -144,6 +144,30 @@ class MiningSpec extends AnyFunSuite {
     assert(!pairs.contains(("rare", "pair")))
   }
 
+  test("skip-gram pairs: symmetric window, edge clamping, exact counts") {
+    val docs = Seq("a b c").toDF("text")
+    val got = Text
+      .skipGramPairs(docs, "text", window = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // positions: a(1) b(2) c(3); window 2, offsets ±1 ±2 clamped:
+    // a -> b, c; b -> a, c; c -> a, b — each pair once
+    val expect = Map(
+      ("a", "b") -> 1L, ("a", "c") -> 1L,
+      ("b", "a") -> 1L, ("b", "c") -> 1L,
+      ("c", "a") -> 1L, ("c", "b") -> 1L,
+    )
+    assert(got === expect)
+    // repeated tokens multiply the count; single-token docs contribute nothing
+    val got2 = Text
+      .skipGramPairs(Seq("x y x", "solo").toDF("text"), "text", window = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got2 === Map(("x", "y") -> 2L, ("y", "x") -> 2L))
+  }
+
   test("negative-sampling table: sublinear ^(3/4) weights, ppm shares conserve") {
     val docs = Seq("a a a a a a a a a a a a a a a a b b c").toDF("text")
     val rows = Text
