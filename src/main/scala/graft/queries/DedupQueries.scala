@@ -66,6 +66,7 @@ object DedupQueries {
   private val pairConsumers = Set(
     "ddp_jaccard_pairs", "ddp_jaccard_components", "ddp_dedup_keep",
     "ddp_dedup_keep_best", "ddp_component_split", "ddp_lsh_recall_eval",
+    "ddp_lsh_banding_sweep",
   )
   private val shingleConsumers = pairConsumers ++ Set(
     "ddp_jaccard_pairs_prefix", "ddp_jaccard_pairs_auto", "ddp_minhash_lsh_pairs",
@@ -367,6 +368,87 @@ object DedupQueries {
           .otherwise(expr("(n_hit * 1000000L) div n_candidates"))
           .as("precision_ppm"),
       )
+  }
+
+  /** Banding-parameter sweep — [[lshRecallEval]] fanned across the
+    * three partitions of the same 16 MinHashes (8×2, 4×4, 2×8 bands ×
+    * rows): one recall/precision row per config, the s-curve measured
+    * end to end instead of trusted. This is the artifact the
+    * `chooseBanding` ladder's pick is justified against: more, shorter
+    * bands buy recall with candidate volume; fewer, longer bands the
+    * reverse. Signatures are computed once (map-only native
+    * expression) and re-grouped per config — the sweep costs one
+    * signature pass plus three candidate joins, never three full
+    * rebuilds. */
+  private val lshBandingSweep = Q(
+    "ddp_lsh_banding_sweep", {
+      def cfg(rpb: Int): String =
+        s"""bands_$rpb AS (
+           |  SELECT doc_id, seed // $rpb AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+           |  FROM mh GROUP BY doc_id, seed // $rpb),
+           |cand_$rpb AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands_$rpb a JOIN bands_$rpb b
+           |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+           |m_$rpb AS (
+           |  SELECT ${16 / rpb} AS n_bands, $rpb AS rows_per_band,
+           |         (SELECT count(*) FROM truth) AS n_truth,
+           |         (SELECT count(*) FROM cand_$rpb) AS n_candidates,
+           |         (SELECT count(*) FROM truth t JOIN cand_$rpb c
+           |            ON c.a_id = t.a_id AND c.b_id = t.b_id) AS n_hit)""".stripMargin
+      s"""$shingCte,
+         |mh AS (
+         |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+         |  FROM shing CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+         |  GROUP BY doc_id, seed),
+         |common AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+         |  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT a_id, b_id
+         |  FROM common JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
+         |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5),
+         |${cfg(2)},
+         |${cfg(4)},
+         |${cfg(8)},
+         |m AS (SELECT * FROM m_2 UNION ALL SELECT * FROM m_4 UNION ALL SELECT * FROM m_8)
+         |SELECT n_bands, rows_per_band, n_truth, n_candidates, n_hit,
+         |  CASE WHEN n_truth = 0 THEN NULL
+         |       ELSE (n_hit * 1000000) // n_truth END AS recall_ppm,
+         |  CASE WHEN n_candidates = 0 THEN NULL
+         |       ELSE (n_hit * 1000000) // n_candidates END AS precision_ppm
+         |FROM m""".stripMargin
+    },
+  ) { (s, d) =>
+    val truth = sharedJaccardPairs(s, d).select("a_id", "b_id")
+    val sigs =
+      Dedup.minhashSignaturesNative(documents(s, d), "doc_id", "text", n = 3, k = 16)
+    val perCfg = Seq(2, 4, 8).map { rpb =>
+      val cands = Dedup.lshCandidates(Dedup.lshBands(sigs, rowsPerBand = rpb))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val nCand  = cands.agg(count(lit(1)).as("n_candidates"))
+      val nHit = truth
+        .join(cands, Seq("a_id", "b_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nTruth
+        .crossJoin(broadcast(nCand))
+        .crossJoin(broadcast(nHit))
+        .select(
+          lit(16 / rpb).as("n_bands"),
+          lit(rpb).as("rows_per_band"),
+          col("n_truth"),
+          col("n_candidates"),
+          col("n_hit"),
+          when(col("n_truth") === 0, lit(null))
+            .otherwise(expr("(n_hit * 1000000L) div n_truth"))
+            .as("recall_ppm"),
+          when(col("n_candidates") === 0, lit(null))
+            .otherwise(expr("(n_hit * 1000000L) div n_candidates"))
+            .as("precision_ppm"),
+        )
+    }
+    perCfg.reduce(_ unionByName _)
   }
 
   /** Incremental cross-run NEAR-dup screen
@@ -1271,6 +1353,6 @@ object DedupQueries {
       dedupKeepBest,
       semdedupBest, embeddingPairs,
       embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, decontaminate,
-      decontaminateFuzzyQ, lshRecallEval, corpusPrepare,
+      decontaminateFuzzyQ, lshRecallEval, lshBandingSweep, corpusPrepare,
       corpusPrepareEmb, componentSplitQ, corpusMix, snmPairsQ)
 }
