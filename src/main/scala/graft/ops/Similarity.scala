@@ -1657,11 +1657,15 @@ object Similarity {
   }
 
   /** Maximal-marginal-relevance diversified top-k (Carbonell &
-    * Goldstein 1998) at λ = 1/2, where the MMR objective
-    * λ·rel − (1−λ)·max-sim reduces (up to the positive factor 1/2,
-    * which never changes an argmax) to the exactly-representable
-    * `rel − max_{s∈S} sim(c, s)` — no float multiply enters the
-    * score, so selection is bit-deterministic cross-engine.
+    * Goldstein 1998) with λ as an exact ppm rational: the objective
+    * λ·rel − (1−λ)·max-sim is computed as
+    * `ppm·rel − (10⁶−ppm)·max-sim` — two correctly-rounded double
+    * multiplies and one subtraction with a pinned order, so selection
+    * stays bit-deterministic cross-engine for ANY λ (a float λ would
+    * put an engine's literal-parsing rounding inside the argmax).
+    * At the default λ = ½ the weighting is a positive scale of
+    * `rel − max-sim` (scaling by a positive constant is monotone
+    * under IEEE rounding), the classic balanced setting.
     *
     * Greedy by construction: k driver rounds, each scoring the
     * candidate pool against the selected set so far. The selected set
@@ -1677,8 +1681,11 @@ object Similarity {
       idCol: String,
       embCol: String,
       k: Int,
+      lambdaPpm: Long = 500000L,
   ): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaPpm >= 1 && lambdaPpm <= 1000000L,
+      s"lambdaPpm must be in [1, 1e6], got $lambdaPpm")
     graft.functions.FloatVecDot.registerOn(queries.sparkSession)
     val spark = queries.sparkSession
     val q = withNorm(queries, embCol)
@@ -1742,7 +1749,11 @@ object Similarity {
               .agg(max(col("__sim")).as("__max_sim"))
             pool
               .join(maxSim, Seq("q_id", "n_id"))
-              .withColumn("mmr", col("rel") - col("__max_sim"))
+              .withColumn(
+                "mmr",
+                lit(lambdaPpm.toDouble) * col("rel") -
+                  lit((1000000L - lambdaPpm).toDouble) * col("__max_sim"),
+              )
           }
         val picked = scoredRound
           .withColumn("__r", row_number().over(w))

@@ -1435,14 +1435,14 @@ object SimilarityQueries {
     )
   }
 
-  /** MMR diversified top-k ([[graft.ops.Similarity.mmrTopK]]) at λ = ½
-    * over a bounded rerank pool — greedy selection, so the oracle
-    * unrolls the k = 3 rounds as CTE stages: round 1 is plain argmax
-    * relevance; rounds 2–3 argmax `rel − max sim to selected`. Every
-    * score is the shared bit-exact fold, so the greedy choices — not
-    * just the scores — are engine-identical. */
-  private val mmrTopK = Q(
-    "sim_mmr_topk",
+  /** Oracle builder for the MMR gates: three greedy rounds unrolled as
+    * CTE stages; round 1 is plain argmax relevance (weighting by a
+    * positive λ is monotone), rounds 2–3 argmax the ppm-weighted
+    * `λ·rel − (1−λ)·max sim` with the exact double products the Spark
+    * side computes. */
+  private def mmrOracleSql(lambdaPpm: Long): String = {
+    val l = s"$lambdaPpm.0"
+    val m = s"${1000000L - lambdaPpm}.0"
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
        |    sqrt(${duckDot("embedding", "embedding")}) AS nrm
@@ -1459,7 +1459,7 @@ object SimilarityQueries {
        |    FROM rel) WHERE r = 1),
        |m2 AS (
        |  SELECT r.q_id, r.n_id, r.ne, r.nn,
-       |    r.rel - (${duckDot("r.ne", "s.ne")} / (r.nn * s.nn)) AS mmr
+       |    $l * r.rel - $m * (${duckDot("r.ne", "s.ne")} / (r.nn * s.nn)) AS mmr
        |  FROM rel r JOIN s1 s ON s.q_id = r.q_id AND r.n_id <> s.n_id),
        |s2 AS (
        |  SELECT q_id, n_id, ne, nn FROM (
@@ -1467,7 +1467,7 @@ object SimilarityQueries {
        |    FROM m2) WHERE r = 1),
        |m3 AS (
        |  SELECT r.q_id, r.n_id,
-       |    r.rel - greatest(
+       |    $l * r.rel - $m * greatest(
        |      ${duckDot("r.ne", "s1.ne")} / (r.nn * s1.nn),
        |      ${duckDot("r.ne", "s2.ne")} / (r.nn * s2.nn)) AS mmr
        |  FROM rel r
@@ -1480,23 +1480,35 @@ object SimilarityQueries {
        |    FROM m3) WHERE r = 1)
        |SELECT q_id, n_id, 1 AS rnk FROM s1
        |UNION ALL SELECT q_id, n_id, 2 AS rnk FROM s2
-       |UNION ALL SELECT q_id, n_id, 3 AS rnk FROM s3""".stripMargin,
-  ) { (s, d) =>
-    val emb = embeddings(s, d)
-    Similarity
-      .mmrTopK(
-        queries = emb.filter(col("vec_id") < 5),
-        candidates = emb.filter(col("vec_id") < 100),
-        idCol = "vec_id",
-        embCol = "embedding",
-        k = 3,
-      )
-      .select(col("q_id"), col("n_id"), col("rnk"))
+       |UNION ALL SELECT q_id, n_id, 3 AS rnk FROM s3""".stripMargin
   }
+
+  private def mmrGate(name: String, lambdaPpm: Long): Q =
+    Q(name, mmrOracleSql(lambdaPpm)) { (s, d) =>
+      val emb = embeddings(s, d)
+      Similarity
+        .mmrTopK(
+          queries = emb.filter(col("vec_id") < 5),
+          candidates = emb.filter(col("vec_id") < 100),
+          idCol = "vec_id",
+          embCol = "embedding",
+          k = 3,
+          lambdaPpm = lambdaPpm,
+        )
+        .select(col("q_id"), col("n_id"), col("rnk"))
+    }
+
+  /** MMR diversified top-k ([[graft.ops.Similarity.mmrTopK]]) at the
+    * balanced λ = ½ over a bounded rerank pool. */
+  private val mmrTopK = mmrGate("sim_mmr_topk", 500000L)
+
+  /** The relevance-leaning λ = ¾ twin — same machinery, different
+    * trade; a λ change must show up ONLY in the greedy picks. */
+  private val mmrTopKWeighted = mmrGate("sim_mmr_topk_weighted", 750000L)
 
   val all: Seq[Q] =
     Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
       annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
       annIvfPqSampledTopK, annIvfAppendTopK, annIvfPqResidualTopK, ragChunkTopK, docEmbeddingPool, annRecallEval,
-      annBatchedTopK, annIvfStoredTopK, centroidConfusion, centroidEval, hardNegatives, mmrTopK)
+      annBatchedTopK, annIvfStoredTopK, centroidConfusion, centroidEval, hardNegatives, mmrTopK, mmrTopKWeighted)
 }
