@@ -166,6 +166,32 @@ object Relational {
       .agg(dsum(col("l_quantity")).as("qty"), count(lit(1)).as("n_items"))
   }
 
+  /** Bucket-colocated fact-fact join ([[graft.ops.Colocate.bucketize]]/
+    * `bucketedJoin`): both sides persisted hash-bucketed+sorted on the
+    * join key, then joined with ZERO exchanges (ColocateSpec pins the
+    * plan) — the 100 TB answer to re-shuffling orders ⋈ lineitem every
+    * run. The oracle is the PLAIN join: bucketing must be invisible in
+    * the result; what it changes is only where the shuffle is paid
+    * (once, at write time). The gate pays the bucketed write inside
+    * its own timing — the documented amortization trade. */
+  private val joinBucketed = Q(
+    "rel_join_bucketed",
+    s"""SELECT o_orderpriority, ${DSUM("l_quantity")} AS qty, COUNT(*) AS n_items
+       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Colocate.bucketize(
+      orders(s, d).select(col("o_orderkey").as("k"), col("o_orderpriority")),
+      "g_bkt_orders", "k", buckets = 8)
+    graft.ops.Colocate.bucketize(
+      lineitem(s, d).select(col("l_orderkey").as("k"), col("l_quantity")),
+      "g_bkt_lineitem", "k", buckets = 8)
+    graft.ops.Colocate
+      .bucketedJoin(s, "g_bkt_orders", "g_bkt_lineitem", "k")
+      .groupBy("o_orderpriority")
+      .agg(dsum(col("l_quantity")).as("qty"), count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q5 shape: 6-table multiway join. Fact-fact join (orders ⋈
     * lineitem) shuffles on the key. Only the fixed-cardinality dimensions
     * (nation = 25 rows, region = 5 rows at every SF) carry a broadcast
@@ -804,6 +830,7 @@ object Relational {
     scd2AsofJoin,
     cdcApply,
     joinSaltedRevenue,
+    joinBucketed,
     aggArgmax,
     aggTopkUdaf,
     aggBoolPredicates,

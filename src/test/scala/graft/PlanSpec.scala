@@ -823,6 +823,25 @@ class PlanSpec extends AnyFunSuite {
     assert(sorts <= 1, s"unexpected corpus-wide sort(s):\n$p")
   }
 
+  test("bucketed join: no shuffle feeds the join; only the aggregation exchanges") {
+    // at demo SF the planner may broadcast the tiny bucketed side —
+    // also shuffle-free; what must NEVER appear is a second shuffle
+    // Exchange re-partitioning either bucketed input
+    val p = planOf("rel_join_bucketed")
+    val shuffles = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(shuffles <= 1, s"bucketed sides must not re-shuffle (got $shuffles):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("epoch expansion and skip-gram pairs are map-only up to their one aggregation") {
+    for (name <- Seq("misc_sample_epochs", "txt_skipgram_pairs")) {
+      val p = planOf(name)
+      val shuffles = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+      assert(shuffles <= 1, s"$name: expansion must not shuffle (got $shuffles):\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("semi-hard negatives: query side broadcasts; candidate corpus never does") {
     val p = planOf("sim_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
