@@ -21,13 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object Colocate {
 
-  /** Persist `df` bucketed+sorted by `key` into the session catalog. */
-  def bucketize(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  /** Persist `df` bucketed+sorted by `key` into the session catalog.
+    *
+    * Drops any registered table AND any orphaned warehouse location
+    * first: a PREVIOUS session's leftover directory fails
+    * `saveAsTable` with LOCATION_ALREADY_EXISTS even in overwrite mode,
+    * because the new session's in-memory catalog has no table to
+    * overwrite — only the stale files. */
+  def bucketize(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key (plans with zero
     * exchanges when bucket counts match). */
