@@ -74,4 +74,105 @@ object Blocking {
       .where(col("rb") > col("ra") && col("rb") < col("ra") + window)
       .select(col("a_id"), col("b_id"), (col("rb") - col("ra")).as("gap"))
   }
+
+  // ---------------------------------------------------------------
+  // Entity resolution over a SYNTHESIZED perturbation surface: the
+  // test corpus has no realistic dirty-name data, so the dirty side is
+  // GENERATED — deterministically, seeded by content hash, with every
+  // perturbation expressible in ANSI SQL so a DuckDB oracle replays
+  // the whole pipeline (perturb → block → similarity join → argmax)
+  // bit-for-bit. The generator is itself a useful library op: seeded
+  // perturbation surfaces are how ER pipelines build labeled
+  // evaluation sets from clean registries (the ground truth IS the
+  // generating id).
+  // ---------------------------------------------------------------
+
+  /** md5-seeded deterministic choice in [0, n) — the [[Cms.bucketOf]]
+    * hash family, replayable by any engine with md5. */
+  private def choiceOf(id: Column, name: Column, n: Int): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":"), name)), 1, 6), 16, 10)
+      .cast("long") % n
+
+  /** One dirty record per input row: the name perturbed by one of
+    * three hash-chosen edits — token swap (positions 1↔2),
+    * abbreviation (token 1 truncated to 3 chars), typo (token 2 loses
+    * its last char). Tokens 3..n are NEVER touched: real ER blocking
+    * keys are chosen from the fields noise doesn't reach, and the
+    * stable suffix is what [[matchBest]] callers block on. Names must
+    * have ≥ 2 whitespace tokens. Map-only — no shuffle.
+    *
+    * @return (`id`, `name`, `perturbation` ∈ 0..2). */
+  def perturbNames(df: DataFrame, idCol: String, nameCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(nameCol).as("__n"))
+      .withColumn("__t", split(col("__n"), " "))
+      .withColumn("__c", choiceOf(col("id"), col("__n"), 3))
+      .withColumn("__rest", expr("slice(__t, 3, greatest(size(__t) - 2, 0))"))
+      .select(
+        col("id"),
+        when(
+          col("__c") === 0,
+          concat_ws(" ",
+            concat(array(element_at(col("__t"), 2), element_at(col("__t"), 1)), col("__rest"))),
+        ).when(
+          col("__c") === 1,
+          concat_ws(" ",
+            concat(
+              array(substring(element_at(col("__t"), 1), 1, 3), element_at(col("__t"), 2)),
+              col("__rest"))),
+        ).otherwise(
+          concat_ws(" ",
+            concat(
+              array(
+                element_at(col("__t"), 1),
+                expr("substring(element_at(__t, 2), 1, greatest(length(element_at(__t, 2)) - 1, 1))")),
+              col("__rest"))),
+        ).as("name"),
+        col("__c").as("perturbation"),
+      )
+
+
+  /** Blocked similarity join + per-record argmax — the resolution step
+    * of the ER pipeline: `dirty ⋈ canon` on `block` (the equi-join IS
+    * the blocking — candidate count is Σ_block |D_b|·|C_b|, never
+    * |D|·|C|), token-set Jaccard per candidate, threshold, then ONE
+    * best match per dirty record as `min(struct(-sim, canon_id))` — a
+    * plain aggregation, no per-record window/sort. Token arrays are
+    * projected map-side BEFORE the join so each name splits once per
+    * row, not once per candidate pair. At 100 TB: block-key skew is
+    * the hazard (a too-coarse key makes one block quadratic) —
+    * [[Colocate.saltedJoin]] composes when a hot block is known, and
+    * block-size capping is the standard mitigation upstream.
+    *
+    * @param dirty (`id`, `name`, `block`)
+    * @param canon (`id`, `name`, `block`)
+    * @return (`dirty_id`, `canon_id`, `sim_ppm`, `n_candidates`)
+    *         — `n_candidates` counts threshold survivors; ties on sim
+    *         break by smallest canon id (deterministic both engines). */
+  def matchBest(dirty: DataFrame, canon: DataFrame, minSimPpm: Long): DataFrame = {
+    def proj(df: DataFrame, idAs: String, tokAs: String) =
+      df.select(
+        col("id").as(idAs),
+        array_distinct(split(col("name"), " ")).as(tokAs),
+        col("block"),
+      )
+    val pairs = proj(dirty, "dirty_id", "__da")
+      .join(proj(canon, "canon_id", "__ca"), Seq("block"))
+      // token-set Jaccard in integer ppm — flooring div, not float /
+      .withColumn("__i", size(array_intersect(col("__da"), col("__ca"))).cast("long"))
+      .withColumn("__u", size(array_union(col("__da"), col("__ca"))).cast("long"))
+      .withColumn("sim_ppm", expr("(__i * 1000000) div __u"))
+      .filter(col("sim_ppm") >= minSimPpm)
+    pairs
+      .groupBy("dirty_id")
+      .agg(
+        min(struct((-col("sim_ppm")).as("ns"), col("canon_id").as("cid"))).as("m"),
+        count(lit(1)).as("n_candidates"),
+      )
+      .select(
+        col("dirty_id"),
+        col("m.cid").as("canon_id"),
+        (-col("m.ns")).as("sim_ppm"),
+        col("n_candidates"),
+      )
+  }
 }

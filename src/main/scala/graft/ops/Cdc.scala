@@ -35,6 +35,11 @@ object Cdc {
     * full snapshots. One full-outer join on the key, change detection
     * by comparing `compareCols` hashes — keys and hashes shuffle, never
     * payloads (the md5 is computed map-side on the projected columns).
+    * The hash input is a DELIMITED, NULL-DISTINGUISHING encoding
+    * (\u0001 between fields, null encoded as \u0000): value shifts
+    * across adjacent columns (('ab','') vs ('a','b')) and
+    * null-vs-empty-string changes hash apart instead of colliding to
+    * 'unchanged'.
     * At 100 TB both sides are one keyed scan each; bucketing both
     * snapshots on the key ([[Colocate]]) removes the exchanges
     * entirely.
@@ -52,7 +57,7 @@ object Cdc {
     def sig(df: DataFrame, hashName: String) =
       df.select(
         col(keyCol).as("key"),
-        md5(concat_ws("", compareCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+        md5(concat_ws("\u0001", compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
           .as(hashName),
       )
     sig(oldSnap, "__h_old")

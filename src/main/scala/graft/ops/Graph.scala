@@ -234,12 +234,30 @@ object Graph {
     * comparison). Labels are node ids, so state is one row per node
     * per round; lineage is cut on the [[PageRank]] cadence.
     *
+    * The semantics are defined over a SIMPLE graph: duplicate
+    * (src, dst) rows would weight rounds 2+'s count votes by
+    * multiplicity while round 1's min shortcut ignores it, so the edge
+    * list is deduplicated here unless the caller vouches for it —
+    * every round then provably sees the same (unweighted) neighbor
+    * sets. For multiplicity-weighted voting use a weighted edge list
+    * explicitly; silence is not a semantics.
+    *
     * @param edges symmetric directed edge list (`src`, `dst`) — pass
     *              both directions for an undirected graph.
+    * @param edgesDistinct set true ONLY when the edge list is distinct
+    *              by construction (e.g. built from a DISTINCT
+    *              projection) to skip the dedup exchange — on the big
+    *              gates the edge build already ends in a distinct, and
+    *              re-paying |E| shuffle for a no-op matters at scale.
     * @return (`id`, `label`) after `rounds` synchronous rounds. */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(
+      edges: DataFrame,
+      rounds: Int,
+      edgesDistinct: Boolean = false,
+  ): DataFrame = {
     require(rounds >= 1, s"label propagation needs rounds >= 1, got $rounds")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e0 = edges.select(col("src"), col("dst"))
+    val e  = (if (edgesDistinct) e0 else e0.dropDuplicates("src", "dst")).localCheckpoint()
     // Round 1 from identity labels NEVER needs the vote table: every
     // neighbor label is that neighbor's id, each occurs exactly once
     // (the edge list is deduplicated, no self-loops), and the

@@ -134,17 +134,30 @@ object Cms {
     * work at ANY corpus size, where the exact answer costs a full
     * shuffle join of the corpora.
     *
-    * The inner join is correct: a bucket absent from either sketch
-    * has a zero counter on that side and contributes 0 to the
-    * product. Returns one row: `join_size_est`.
+    * The inner join is correct per BUCKET: a bucket absent from either
+    * sketch has a zero counter on that side and contributes 0 to the
+    * product. Per ROW it is not sufficient on its own — a hash row
+    * whose buckets don't overlap at all (dot = 0, i.e. the estimator's
+    * best row) would vanish from the groupBy and the min would be
+    * taken over a SUBSET of the d rows, overshooting exactly when the
+    * join is empty. The dots are therefore left-joined back onto the
+    * row spine (the distinct rows present in either sketch) with
+    * missing dots coalesced to 0 before the min. Returns one row:
+    * `join_size_est` (0 when either sketch is empty — an empty input
+    * has an empty join).
     */
-  def joinSizeEstimate(skA: DataFrame, skB: DataFrame): DataFrame =
-    skA
+  def joinSizeEstimate(skA: DataFrame, skB: DataFrame): DataFrame = {
+    val dots = skA
       .select(col("row"), col("bucket"), col("cnt").as("cnt_a"))
       .join(skB.select(col("row"), col("bucket"), col("cnt").as("cnt_b")), Seq("row", "bucket"))
       .groupBy(col("row"))
       .agg(sum(col("cnt_a") * col("cnt_b")).as("dot"))
-      .agg(min(col("dot")).as("join_size_est"))
+    val spine = skA.select(col("row")).unionAll(skB.select(col("row"))).distinct()
+    spine
+      .join(dots, Seq("row"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L))).as("join_size_est"))
+      .select(coalesce(col("join_size_est"), lit(0L)).as("join_size_est"))
+  }
 }
 
 /** Bloom filter (Bloom 1970) as a relational artifact — the MEMBERSHIP

@@ -790,7 +790,11 @@ object Text {
     *  - the tf saturation term tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) is
     *    a rational in (tf, dl, total tokens T, doc count N); clearing
     *    denominators by 10·T gives 22·tf·T / (10·tf·T + 3·T + 9·dl·N)
-    *    — exact integers, one flooring `div` per (query, doc, term);
+    *    — exact integers, one flooring `div` per (query, doc, term),
+    *    with BOTH sides of the div in DECIMAL(38,0) (the
+    *    [[Stats.chi2Homogeneity]] convention): at corpus scale
+    *    T ~ 10¹³ × tf ~ 10⁵ exceeds 2⁶³, so a BIGINT denominator
+    *    would silently wrap where the numerator already didn't;
     *  - the log idf is replaced by the rank-preserving rational
     *    surrogate idf_ppm = (N − df + 1)·10⁶ div (df + 1): strictly
     *    decreasing in df like log((N−df+0.5)/(df+0.5)), so PER-TERM
@@ -836,7 +840,9 @@ object Text {
         "score_ppm",
         expr(
           """CAST(idf_ppm AS DECIMAL(38,0)) * 22 * tf * total
-            |  div (10 * tf * total + 3 * total + 9 * dl * n_docs)""".stripMargin
+            |  div (CAST(tf AS DECIMAL(38,0)) * total * 10
+            |       + CAST(total AS DECIMAL(38,0)) * 3
+            |       + CAST(dl AS DECIMAL(38,0)) * n_docs * 9)""".stripMargin
         ),
       )
       .groupBy("query_id", "doc_id")

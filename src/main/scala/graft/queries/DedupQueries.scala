@@ -1215,6 +1215,71 @@ object DedupQueries {
     )
   }
 
+  /** Entity-resolution pipeline over a SYNTHESIZED perturbation
+    * surface ([[graft.ops.Blocking.perturbNames]] +
+    * [[graft.ops.Blocking.matchBest]]): each part's entity name
+    * (p_name + brand + type) gets one hash-seeded dirty variant
+    * (token swap / abbreviation / typo — all on tokens 1-2), the dirty
+    * records block against the clean registry on the perturbation-
+    * stable suffix (brand + type — real blocking keys live in the
+    * fields noise doesn't reach), candidates score token-set Jaccard,
+    * and each dirty record keeps its best match (ties → smallest id,
+    * both engines). `is_correct` is free ground truth: the generating
+    * id. The oracle replays generation AND resolution end-to-end —
+    * the argmax stated as a window, the Spark side as min(struct).
+    * Accuracy is capped by the corpus, not the matcher: only 64
+    * distinct p_names exist, so many canonical records are
+    * byte-identical entities under different ids and the id tie-break
+    * cannot recover the generating id (~69% at sf0.01) — exactly the
+    * duplicate-registry ambiguity real ER reports as a cluster, which
+    * is what `n_candidates` surfaces. */
+  private val entityMatchQ = Q(
+    "ddp_entity_match",
+    """WITH ent AS (
+      |  SELECT p_partkey AS id, p_name || ' ' || p_brand || ' ' || p_type AS name FROM part),
+      |pert AS (
+      |  SELECT id, string_split(name, ' ') AS t,
+      |    CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || name), 1, 6)) AS BIGINT) % 3 AS c
+      |  FROM ent),
+      |dirty AS (
+      |  SELECT id,
+      |    CASE c
+      |      WHEN 0 THEN array_to_string(list_concat([t[2], t[1]], t[3:]), ' ')
+      |      WHEN 1 THEN array_to_string(list_concat([substr(t[1], 1, 3), t[2]], t[3:]), ' ')
+      |      ELSE array_to_string(
+      |        list_concat([t[1], substr(t[2], 1, greatest(len(t[2]) - 1, 1))], t[3:]), ' ')
+      |    END AS name FROM pert),
+      |db AS (SELECT id, array_to_string(string_split(name, ' ')[3:], ' ') AS block,
+      |         list_distinct(string_split(name, ' ')) AS toks FROM dirty),
+      |cb AS (SELECT id, array_to_string(string_split(name, ' ')[3:], ' ') AS block,
+      |         list_distinct(string_split(name, ' ')) AS toks FROM ent),
+      |pairs AS (
+      |  SELECT d.id AS dirty_id, c.id AS canon_id,
+      |    CAST(len(list_intersect(d.toks, c.toks)) * 1000000
+      |         // len(list_distinct(list_concat(d.toks, c.toks))) AS BIGINT) AS sim_ppm
+      |  FROM db d JOIN cb c USING (block)),
+      |keep AS (SELECT * FROM pairs WHERE sim_ppm >= 400000)
+      |SELECT dirty_id, canon_id, sim_ppm, n_candidates, dirty_id = canon_id AS is_correct
+      |FROM (
+      |  SELECT dirty_id, canon_id, sim_ppm,
+      |    count(*) OVER (PARTITION BY dirty_id) AS n_candidates,
+      |    row_number() OVER (PARTITION BY dirty_id ORDER BY sim_ppm DESC, canon_id) AS rn
+      |  FROM keep) WHERE rn = 1""".stripMargin,
+  ) { (s, d) =>
+    val ent = part(s, d).select(
+      col("p_partkey").as("id"),
+      concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("name"),
+    )
+    val dirtied = graft.ops.Blocking.perturbNames(ent, "id", "name")
+    def blocked(df: DataFrame) = df.withColumn(
+      "block",
+      concat_ws(" ", expr("slice(split(name, ' '), 3, greatest(size(split(name, ' ')) - 2, 0))")),
+    )
+    graft.ops.Blocking
+      .matchBest(blocked(dirtied), blocked(ent), minSimPpm = 400000L)
+      .withColumn("is_correct", col("dirty_id") === col("canon_id"))
+  }
+
   private val corpusMix = Q(
     "ddp_corpus_mix",
     s"""WITH RECURSIVE $corpusTextCtes,
@@ -1290,10 +1355,12 @@ object DedupQueries {
       |         CASE WHEN doc_id % 3 = 0 THEN text || '!' ELSE text END AS text,
       |         lang, source FROM documents WHERE doc_id % 5 <> 0),
       |ho AS (SELECT doc_id AS key,
-      |         md5(coalesce(text, '') || coalesce(lang, '') || coalesce(source, '')) AS h
+      |         md5(coalesce(text, chr(0)) || chr(1) || coalesce(lang, chr(0)) ||
+      |             chr(1) || coalesce(source, chr(0))) AS h
       |       FROM v1),
       |hn AS (SELECT doc_id AS key,
-      |         md5(coalesce(text, '') || coalesce(lang, '') || coalesce(source, '')) AS h
+      |         md5(coalesce(text, chr(0)) || chr(1) || coalesce(lang, chr(0)) ||
+      |             chr(1) || coalesce(source, chr(0))) AS h
       |       FROM v2)
       |SELECT coalesce(ho.key, hn.key) AS key,
       |  CASE WHEN ho.key IS NULL THEN 'added'
@@ -1354,5 +1421,5 @@ object DedupQueries {
       semdedupBest, embeddingPairs,
       embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, decontaminate,
       decontaminateFuzzyQ, lshRecallEval, lshBandingSweep, corpusPrepare,
-      corpusPrepareEmb, componentSplitQ, corpusMix, snmPairsQ)
+      corpusPrepareEmb, componentSplitQ, corpusMix, snmPairsQ, entityMatchQ)
 }

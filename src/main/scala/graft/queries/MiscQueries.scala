@@ -1622,7 +1622,10 @@ object MiscQueries {
         ).as("e")
       )
       .select(col("e.src"), col("e.dst"))
-    graft.ops.Graph.labelPropagation(edges, rounds = 3)
+    // distinct pairs × parity-disjoint node encoding ⇒ the two
+    // directions can't collide: the edge list is distinct by
+    // construction, so the op's dedup exchange is skipped.
+    graft.ops.Graph.labelPropagation(edges, rounds = 3, edgesDistinct = true)
   }
 
   /** One FK edge of the [[fkAuditQ]] oracle: left join the child's key

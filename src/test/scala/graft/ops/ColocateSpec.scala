@@ -29,6 +29,39 @@ class ColocateSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketize: cleans a prior-session orphan but refuses a dir that isn't a table write") {
+    import org.apache.hadoop.fs.Path
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val hconf     = spark.sparkContext.hadoopConfiguration
+    val df        = spark.range(10).select(col("id").as("k"))
+    // (1) orphan that LOOKS like a prior bucketize (part- files + _SUCCESS,
+    // no catalog entry — the cross-session leftover case): cleaned, write succeeds
+    spark.sql("DROP TABLE IF EXISTS `b_orphan`")
+    val orphan = new Path(warehouse, "b_orphan")
+    val fs     = orphan.getFileSystem(hconf)
+    fs.delete(orphan, true)
+    fs.mkdirs(orphan)
+    fs.create(new Path(orphan, "part-00000-dead.snappy.parquet")).close()
+    fs.create(new Path(orphan, "_SUCCESS")).close()
+    Colocate.bucketize(df, "b_orphan", "k", 2)
+    assert(spark.table("b_orphan").count() === 10L)
+    // (2) a directory with a FOREIGN file is not ours to destroy: the
+    // write fails (location exists) and the file survives
+    spark.sql("DROP TABLE IF EXISTS `b_foreign`")
+    val foreign = new Path(warehouse, "b_foreign")
+    fs.delete(foreign, true)
+    fs.mkdirs(foreign)
+    fs.create(new Path(foreign, "users_data.csv")).close()
+    intercept[Exception](Colocate.bucketize(df, "b_foreign", "k", 2))
+    assert(fs.exists(new Path(foreign, "users_data.csv")), "foreign file was destroyed")
+    fs.delete(foreign, true)
+    // (3) registered-table path: a straight re-bucketize drops through the
+    // catalog and succeeds (same-session idempotence)
+    Colocate.bucketize(df, "b_orphan", "k", 2)
+    assert(spark.table("b_orphan").count() === 10L)
+    spark.sql("DROP TABLE IF EXISTS `b_orphan`")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     // One hot key carries ~all left rows. With AQE skew handling on and
     // thresholds scaled to test size, the sort-merge join's hot
@@ -90,5 +123,28 @@ class ColocateSpec extends AnyFunSuite {
     val b = plain.groupBy("l_returnflag").agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a === b)
+  }
+
+  test("salted join: a discriminator saltCol spreads byte-identical hot-key duplicates") {
+    // 64 byte-identical rows of one hot key: content-hash salting puts
+    // them all on ONE salt (the documented caveat). With a stable
+    // per-row discriminator passed via saltCols they must spread — and
+    // the join result must be unchanged either way (the small side
+    // replicates across all salts, so salt choice is invisible).
+    import spark.implicits._
+    val hot = spark.range(64).select(lit(1L).as("k"), lit("same").as("v"), col("id").as("ofs"))
+    val dim = Seq((1L, "one"), (2L, "two")).toDF("k", "name")
+    def saltsUsed(saltCols: Seq[org.apache.spark.sql.Column]): Long = {
+      val salted = hot.withColumn("__salt", pmod(hash(saltCols: _*), lit(8)))
+      salted.select("__salt").distinct().count()
+    }
+    assert(saltsUsed(Seq(col("k"), col("v"))) === 1L, "identical content must land on one salt")
+    assert(saltsUsed(Seq(col("k"), col("v"), col("ofs"))) > 1L, "discriminator must spread")
+    val plain = hot.join(dim, "k")
+    val spread = Colocate.saltedJoin(hot, dim, "k", salts = 8,
+      saltCols = Seq(col("k"), col("v"), col("ofs")))
+    assert(spread.count() === plain.count())
+    assert(spread.agg(sum(col("ofs"))).head().getLong(0) ===
+      plain.agg(sum(col("ofs"))).head().getLong(0))
   }
 }

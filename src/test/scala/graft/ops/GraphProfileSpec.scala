@@ -149,6 +149,27 @@ class GraphProfileSpec extends AnyFunSuite {
       s"bipartite oscillation: rounds 2/3 gave $l2 / $l3")
   }
 
+  test("labelPropagation: duplicate edges are deduplicated — multigraph input equals simple graph") {
+    // without the dedup, rounds 2+ weight votes by edge multiplicity
+    // while round 1's min shortcut ignores it — inconsistent semantics.
+    // Triplicating one edge of the bridge graph must change NOTHING.
+    def clique(ns: Seq[String]) = for { a <- ns; b <- ns if a < b } yield (a, b)
+    val g = clique(Seq("a1", "a2", "a3")) ++ clique(Seq("b1", "b2", "b3")) ++
+      Seq(("a3", "b1"))
+    val multi = g ++ Seq(("a3", "b1"), ("a3", "b1")) // triplicate the bridge
+    for (r <- 1 to 3)
+      assert(lpaMap(multi, r) === lpaMap(g, r), s"round $r diverged on the multigraph")
+  }
+
+  test("labelPropagation: edgesDistinct=true matches the default on distinct input") {
+    val sym = Seq(("p", "q"), ("q", "p"), ("q", "r"), ("r", "q"))
+    val dflt = Graph.labelPropagation(sym.toDF("src", "dst"), rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val fast = Graph.labelPropagation(sym.toDF("src", "dst"), rounds = 2, edgesDistinct = true)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dflt === fast)
+  }
+
   test("profiler: nulls, exact cardinality, numeric vs string ranges") {
     val df = Seq(
       (Some(3L), Some("b")),

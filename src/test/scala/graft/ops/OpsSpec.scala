@@ -2059,6 +2059,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
   }
 
+  test("Cdc.snapshotDiff: value shifts across columns and null-vs-'' are CHANGED, not collisions") {
+    // undelimited hashing collides ('ab','') with ('a','b'); undistinguished
+    // nulls collide (null) with (''). Both must classify as 'changed'.
+    val old_ = Seq((1L, Some("ab"), Some("")), (2L, None: Option[String], Some("q")))
+      .toDF("id", "c1", "c2")
+    val new_ = Seq((1L, Some("a"), Some("b")), (2L, Some(""), Some("q")))
+      .toDF("id", "c1", "c2")
+    val got = Cdc.snapshotDiff(old_, new_, "id", Seq("c1", "c2"))
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[String]("status")).toMap
+    assert(got === Map(1L -> "changed", 2L -> "changed"))
+  }
+
   test("Intervals.merge: overlap and touch coalesce, gaps split, coverage counts overlaps once") {
     val iv = Seq(
       // key "u": [0,10) [5,15) overlap → [0,15); [15,20) touches → [0,20); [30,40) gap
@@ -2261,6 +2273,22 @@ class OpsSpec extends AnyFunSuite {
       .joinSizeEstimate(Cms.sketch(a, "k", 4, 1), Cms.sketch(b, "k", 4, 1))
       .head().getAs[Long]("join_size_est")
     assert(tiny === 20L && tiny >= truth)
+    // disjoint key sets, wide sketch: some hash row has NO overlapping
+    // bucket — its dot is 0 and must reach the min via the row spine
+    // (an inner-join-only min would overshoot exactly here)
+    val disjoint = Cms
+      .joinSizeEstimate(
+        Cms.sketch(Seq("p", "q").toDF("k"), "k", 4, 4096),
+        Cms.sketch(Seq("r", "s").toDF("k"), "k", 4, 4096))
+      .head().getAs[Long]("join_size_est")
+    assert(disjoint === 0L)
+    // empty side: estimate is 0, not null/empty
+    val empty = Cms
+      .joinSizeEstimate(
+        Cms.sketch(Seq.empty[String].toDF("k"), "k", 4, 4096),
+        Cms.sketch(b, "k", 4, 4096))
+      .head().getAs[Long]("join_size_est")
+    assert(empty === 0L)
   }
 
   test("Text.packWindows: token conservation, straddle pieces, shard-count invariance") {
