@@ -47,6 +47,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "ddp_jaccard_pairs_prefix"    -> 2372967L,
     "misc_triangle_census"        -> 83017L, // r10 addition: #3 bench shuffler
     "ddp_decontaminate_fuzzy"     -> 13799L, // r10 8th-session addition
+    // r11 additions: the BENCH_r10 shuffle top-10 rows that were
+    // unpinned (labelprop 72.2 MB at sf0.1 was the suite's #1)
+    "misc_labelprop"              -> 37405L,
+    "misc_ppr_trade"              -> 26409L,
+    "misc_assoc_rules"            -> 164516L,
+    "misc_kcore"                  -> 34979L,
   )
 
   // at sf0.001 the build's join broadcasts (59 B of exchange); the pin
