@@ -322,4 +322,38 @@ class MiningSpec extends AnyFunSuite {
     val large = testGroups(300000L)
     assert(small.subsetOf(large), "test split not subset-monotone in the cut")
   }
+
+  test("perturbNames: deterministic, one of three edits, suffix tokens untouched") {
+    val ents = Seq((1L, "alpha beta Brand#1 TYPE"), (2L, "gamma delta Brand#2 TYPE"),
+      (3L, "omega phi Brand#3 TYPE")).toDF("id", "name")
+    def run() = Blocking.perturbNames(ents, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    val a = run()
+    assert(a === run(), "perturbation must be deterministic across runs")
+    a.zip(Seq("alpha beta", "gamma delta", "omega phi")).foreach { case ((id, nm, c), orig) =>
+      assert(c >= 0 && c <= 2, s"choice out of range for $id")
+      assert(nm.endsWith(" Brand#" + id + " TYPE"), s"suffix perturbed for $id: $nm")
+      val Array(w1, w2) = orig.split(" ")
+      val head = nm.stripSuffix(" Brand#" + id + " TYPE")
+      val expected = c match {
+        case 0 => s"$w2 $w1"                      // token swap
+        case 1 => s"${w1.take(3)} $w2"            // abbreviation
+        case _ => s"$w1 ${w2.dropRight(1)}"       // typo
+      }
+      assert(head === expected, s"id $id choice $c: got '$head', want '$expected'")
+    }
+  }
+
+  test("matchBest: blocking scopes candidates; argmax ties break by smallest canon id") {
+    val canon = Seq((10L, "a b k1", "k1"), (11L, "a c k1", "k1"), (20L, "a b k2", "k2"))
+      .toDF("id", "name", "block")
+    // dirty 'a x k1' ties 333333 vs both k1 canons; only block k1 is probed
+    val dirty = Seq((1L, "a x k1", "k1")).toDF("id", "name", "block")
+    val got = Blocking.matchBest(dirty, canon, minSimPpm = 300000L).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("canon_id") === 10L, "tie must break by smallest canon id")
+    assert(r.getAs[Long]("n_candidates") === 2L, "block k2 must never be probed")
+    assert(r.getAs[Long]("sim_ppm") === 500000L) // |{a,k1}| / |{a,x,b,k1}| = 2/4
+  }
 }
