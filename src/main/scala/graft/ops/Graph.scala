@@ -346,6 +346,77 @@ object Graph {
       )
   }
 
+  /** Link prediction by common-neighbor counting + neighborhood
+    * Jaccard (Liben-Nowell & Kleinberg 2003's two strongest "local"
+    * predictors): score every non-adjacent pair at distance 2 and
+    * return the top-k most likely future edges — the
+    * recommender/record-linkage primitive ("customers who should be
+    * connected but aren't").
+    *
+    * Shape: one wedge self-join on the middle node (every candidate
+    * pair is produced once per common neighbor, so the pair-count
+    * aggregation yields CN(u,v) exactly), one anti-join removing
+    * already-present edges, two broadcast-free degree joins, and a
+    * TakeOrdered top-k — no global sort, no cartesian. The wedge space
+    * Σ_m C(deg(m), 2) is the OUTPUT-SIZE lower bound of exact
+    * common-neighbor counting (each wedge witnesses one CN unit), so
+    * it is the cost floor, not an implementation artifact; on skewed
+    * graphs the caller bounds it upstream by capping the projection
+    * that built the edge list (the co-purchase cap), exactly as every
+    * production similarity-graph pipeline does.
+    *
+    * Jaccard is |N(u)∩N(v)| / |N(u)∪N(v)| = cn / (deg(u)+deg(v)−cn),
+    * emitted in exact integer ppm (`div`) so rows are bit-identical
+    * across engines and partitionings.
+    *
+    * @param edges canonical undirected edge list (`a`, `b`), a < b,
+    *              deduplicated (the [[triangleCensus]] contract).
+    * @param k     number of top-scored candidate pairs to return.
+    * @return top-k rows (a, b, cn, deg_a, deg_b, jaccard_ppm, rnk)
+    *         ordered by (jaccard_ppm DESC, cn DESC, a, b) — a total
+    *         deterministic order, so the cut is replayable. */
+  def linkPrediction(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"link prediction needs k >= 1, got $k")
+    val e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val adj = e
+      .select(col("a").as("m"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("m"), col("a").as("n")))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("degree"))
+    val cand = adj
+      .select(col("m"), col("n").as("u"))
+      .join(adj.select(col("m"), col("n").as("v")), Seq("m"))
+      .where(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"))
+      // distance-2 only: drop pairs already connected (anti on the
+      // canonical form — u < v matches the edge list's a < b)
+      .join(
+        e.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"),
+        "left_anti",
+      )
+    cand
+      .join(deg.select(col("n").as("u"), col("degree").as("deg_a")), "u")
+      .join(deg.select(col("n").as("v"), col("degree").as("deg_b")), "v")
+      .select(
+        col("u").as("a"),
+        col("v").as("b"),
+        col("cn"),
+        col("deg_a"),
+        col("deg_b"),
+        expr("(cn * 1000000L) div (deg_a + deg_b - cn)").as("jaccard_ppm"),
+      )
+      .orderBy(col("jaccard_ppm").desc, col("cn").desc, col("a"), col("b"))
+      .limit(k)
+      .withColumn(
+        "rnk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("jaccard_ppm").desc, col("cn").desc, col("a"), col("b"))
+        ),
+      )
+  }
+
   private[graft] def censusPlan(e: DataFrame): DataFrame = {
 
     // Degrees over both endpoints: one union + one aggregation.

@@ -34,11 +34,11 @@ object MiscQueries {
   private val tradeConsumers =
     Set("misc_pagerank_trade", "misc_pagerank_weighted", "misc_triangle_census", "misc_kcore",
       "misc_labelprop", "misc_bfs_khop", "misc_sssp_bounded", "misc_clustering_coeff",
-      "misc_ppr_trade")
+      "misc_ppr_trade", "misc_link_predict")
 
   private val copurchaseConsumers =
     Set("misc_triangle_census", "misc_kcore", "misc_bfs_khop", "misc_sssp_bounded",
-      "misc_clustering_coeff")
+      "misc_clustering_coeff", "misc_link_predict")
 
   /** Same contract as [[DedupQueries.prewarmShared]]: build the shared
     * trade projection (and, when its consumers run, the co-purchase
@@ -1563,6 +1563,43 @@ object MiscQueries {
     graft.ops.Graph.kcore(coPurchaseEdges(s, d), k = 16, rounds = 4)
   }
 
+  /** Top-20 predicted links over the capped co-purchase graph
+    * ([[graft.ops.Graph.linkPrediction]]): common-neighbor count +
+    * neighborhood-Jaccard in exact ppm for every non-adjacent
+    * distance-2 pair — the "should be connected but isn't"
+    * recommender/record-linkage primitive. The oracle replays the
+    * wedge count, the NOT-EXISTS edge removal, and the ranked cut. */
+  private val linkPredictQ = Q(
+    "misc_link_predict",
+    """WITH pc AS (
+      |  SELECT DISTINCT l_partkey AS pk, o_custkey AS ck
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |ok AS (SELECT pk FROM pc GROUP BY pk HAVING count(*) <= 20),
+      |e AS (
+      |  SELECT DISTINCT x.ck AS a, y.ck AS b
+      |  FROM pc x JOIN pc y ON x.pk = y.pk AND x.ck < y.ck
+      |  JOIN ok ON ok.pk = x.pk),
+      |adj AS (SELECT a AS m, n FROM (SELECT a, b AS n FROM e UNION ALL SELECT b, a FROM e) t(a, n)),
+      |deg AS (SELECT n, count(*) AS degree FROM adj GROUP BY 1),
+      |cand AS (
+      |  SELECT x.n AS u, y.n AS v, count(*) AS cn
+      |  FROM adj x JOIN adj y ON x.m = y.m AND x.n < y.n
+      |  GROUP BY 1, 2),
+      |nonedge AS (
+      |  SELECT c.u, c.v, c.cn FROM cand c
+      |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = c.u AND e.b = c.v)),
+      |scored AS (
+      |  SELECT u AS a, v AS b, cn, du.degree AS deg_a, dv.degree AS deg_b,
+      |    (cn * 1000000) // (du.degree + dv.degree - cn) AS jaccard_ppm
+      |  FROM nonedge JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v)
+      |SELECT a, b, cn, deg_a, deg_b, CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm, rnk
+      |FROM (SELECT *, row_number() OVER (ORDER BY jaccard_ppm DESC, cn DESC, a, b) AS rnk
+      |      FROM scored)
+      |WHERE rnk <= 20""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Graph.linkPrediction(coPurchaseEdges(s, d), k = 20)
+  }
+
   /** Deterministic label propagation ([[graft.ops.Graph.labelPropagation]])
     * over the symmetric trade graph: 3 synchronous self-vote rounds,
     * smallest-label tie-break — the community-detection member of the
@@ -1953,5 +1990,6 @@ object MiscQueries {
       triangleCensus, clusteringCoeff, profileColumns, profileApproxQ,
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
       corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ,
-      labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint, kAnonymityQ, sampleEpochs)
+      labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint,
+      kAnonymityQ, sampleEpochs, linkPredictQ)
 }

@@ -264,6 +264,44 @@ object Relational {
       .select("c_custkey", "c_name")
   }
 
+  /** FULL OUTER join — the one join flavor missing from the matrix
+    * (left/semi/anti/range/cross/salted/bucketed/bloom are all gated):
+    * early-period vs late-period buyer activity, where each side has
+    * customers the other lacks, so both null-extension directions are
+    * exercised. Explicit join condition + coalesced key (USING-column
+    * coalescing differs subtly across engines); one shuffle on the
+    * shared `o_custkey` — both pre-aggregates already partition on it,
+    * so the full-outer SMJ reuses the exchange. */
+  private val joinFullOuterActivity = Q(
+    "rel_join_full_outer",
+    """SELECT coalesce(a.ck, b.ck) AS custkey,
+      |  coalesce(a.n, 0) AS n_1992, coalesce(b.n, 0) AS n_1998,
+      |  a.ck IS NOT NULL AND b.ck IS NOT NULL AS in_both
+      |FROM (SELECT o_custkey AS ck, count(*) AS n FROM orders
+      |      WHERE o_orderdate < TIMESTAMP '1993-01-01' GROUP BY 1) a
+      |FULL JOIN (SELECT o_custkey AS ck, count(*) AS n FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1) b
+      |  ON a.ck = b.ck""".stripMargin,
+  ) { (s, d) =>
+    val o = orders(s, d)
+    val early = o
+      .filter(col("o_orderdate") < to_timestamp(lit("1993-01-01")))
+      .groupBy(col("o_custkey").as("ck_a"))
+      .agg(count(lit(1)).as("n_a"))
+    val late = o
+      .filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01")))
+      .groupBy(col("o_custkey").as("ck_b"))
+      .agg(count(lit(1)).as("n_b"))
+    early
+      .join(late, col("ck_a") === col("ck_b"), "full_outer")
+      .select(
+        coalesce(col("ck_a"), col("ck_b")).as("custkey"),
+        coalesce(col("n_a"), lit(0L)).as("n_1992"),
+        coalesce(col("n_b"), lit(0L)).as("n_1998"),
+        (col("ck_a").isNotNull && col("ck_b").isNotNull).as("in_both"),
+      )
+  }
+
   /** Equi join + range (interval) predicate: late shipments. */
   private val joinRangeInterval = Q(
     "rel_join_range_interval",
@@ -848,6 +886,7 @@ object Relational {
     joinLeftOuterCounts,
     joinSemiExists,
     joinAntiNotExists,
+    joinFullOuterActivity,
     joinRangeInterval,
     aboveAvgOrders,
     setUnionAll,

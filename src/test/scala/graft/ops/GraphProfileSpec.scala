@@ -285,4 +285,38 @@ class GraphProfileSpec extends AnyFunSuite {
     assert(rows("clean") === ((3L, 0L, 0L, 0L)))
     assert(rows("dirty") === ((5L, 1L, 3L, 2L))) // 9,9,8 orphan rows; {9,8} orphan keys
   }
+
+  test("linkPrediction: path predicts the closing pair, square both diagonals, exact ppm") {
+    // Path 1-2-3: the only distance-2 pair is (1,3), cn=1, deg 1+1,
+    // jaccard = 1/(1+1-1) = 1.0. Square 5-6-7-8-5: diagonals (5,7) and
+    // (6,8), each cn=2, deg 2+2, jaccard = 2/(2+2-2) = 1.0.
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L))
+    val got = Graph
+      .linkPrediction(edges.toDF("a", "b"), k = 10)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("cn"),
+          r.getAs[Long]("jaccard_ppm")))
+      .toSet
+    assert(
+      got === Set((1L, 3L, 1L, 1000000L), (5L, 7L, 2L, 1000000L), (6L, 8L, 2L, 1000000L)))
+  }
+
+  test("linkPrediction: existing edges are excluded; k cut is deterministic") {
+    // Triangle 1-2-3 plus pendant 4 on 1: (2,3) IS an edge (excluded
+    // even though cn=1 via node 1); candidates are (2,4) and (3,4)
+    // (cn=1 through the hub 1) and nothing else. deg: 1→3, 2→2, 3→2,
+    // 4→1. jaccard(2,4) = 1/(2+1-1) = 500000.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+    val all = Graph.linkPrediction(edges.toDF("a", "b"), k = 10).collect()
+    assert(!all.exists(r => r.getAs[Long]("a") === 2L && r.getAs[Long]("b") === 3L))
+    assert(all.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet ===
+      Set((2L, 4L), (3L, 4L)))
+    assert(all.forall(_.getAs[Long]("jaccard_ppm") === 500000L))
+    // k=1 keeps the (jaccard DESC, cn DESC, a, b) leader: (2,4)
+    val top = Graph.linkPrediction(edges.toDF("a", "b"), k = 1).collect()
+    assert(top.length === 1)
+    assert((top.head.getAs[Long]("a"), top.head.getAs[Long]("b")) === ((2L, 4L)))
+    assert(top.head.getAs[Int]("rnk") === 1)
+  }
 }
