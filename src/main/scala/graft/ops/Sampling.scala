@@ -274,4 +274,136 @@ object Sampling {
       .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
     df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k).drop("__rk")
   }
+
+  /** Curriculum ordering: a dense total order over the corpus that
+    * interleaves difficulty strata — position p takes the p mod B-th
+    * difficulty decile's next-easiest item, so every training window
+    * sees the full difficulty spectrum instead of a monotone
+    * easy→hard ramp's distribution shift (the anti-clustered ordering
+    * curriculum/data-mixing loaders want).
+    *
+    * Precisely: rank rows 0..N-1 by (score, id); bucket = (rank·B) div
+    * N (B near-equal difficulty strata, sizes differing by ≤ 1); the
+    * curriculum position is the rank of (pos_in_bucket, bucket) — i.e.
+    * round-robin across buckets, easiest-first within each.
+    *
+    * A total order over the corpus is the operator's CONTRACT, but no
+    * stage here is a single-partition corpus sort: the difficulty rank
+    * comes from the bounded-domain value histogram (the
+    * [[Stats.quantileNormalize]] discipline — the global window runs
+    * over distinct score VALUES, per-row work is a within-value window
+    * bounded by value multiplicity), and the final position is pure
+    * per-row arithmetic against the broadcast B-row bucket-size array
+    * (a map-side fold), NOT a second ranking pass. Everything is
+    * integer, so the order is bit-identical across engines.
+    *
+    * @return (id, score, difficulty_rank, bucket, pos_in_bucket, pos);
+    *         `pos` is the dense 0-based curriculum position. Null
+    *         scores are dropped (no place in the order — filter
+    *         upstream if they must train). */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val B = buckets
+    val rows = df
+      .select(col(idCol).cast("long").as("id"), col(scoreCol).cast("long").as("score"))
+      .filter(col("score").isNotNull)
+    val hist = rows.groupBy(col("score").as("__s")).agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val base = hist
+      .withColumn("__base", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+      .select(col("__s"), col("__base"))
+    val wIn = org.apache.spark.sql.expressions.Window.partitionBy("score").orderBy("id")
+    val ranked = rows
+      .withColumn("__within", row_number().over(wIn).cast("long") - 1L)
+      .join(base, col("score") === col("__s"))
+      .withColumn("rn0", col("__base") + col("__within"))
+    // One broadcast row: N plus the ordered (bucket, size) array —
+    // size_b = ceil((b+1)N/B) − ceil(bN/B), the exact census of
+    // bucket = (rank·B) div N.
+    val sizes = rows
+      .agg(count(lit(1)).as("__n"))
+      .select(
+        col("__n"),
+        expr(
+          s"""transform(sequence(0, ${B - 1}), b -> struct(
+             |  CAST(b AS BIGINT) AS b,
+             |  ((b + 1) * __n + ${B - 1}) div $B - (b * __n + ${B - 1}) div $B AS sz))"""
+            .stripMargin
+        ).as("__szs"),
+      )
+    ranked
+      .crossJoin(broadcast(sizes))
+      .withColumn("bucket", expr(s"(rn0 * $B) div __n"))
+      .withColumn("pos_in_bucket", expr(s"rn0 - (bucket * __n + ${B - 1}) div $B"))
+      // rank of (pos_in_bucket, bucket) in lexicographic order: every
+      // bucket b' contributes min(size_b', k) earlier-k rows, plus the
+      // same-k rows of earlier buckets that reach k.
+      .withColumn(
+        "pos",
+        expr(
+          """aggregate(__szs, 0L, (acc, s) -> acc + least(s.sz, pos_in_bucket) +
+            |  IF(s.b < bucket AND s.sz > pos_in_bucket, 1L, 0L))""".stripMargin
+        ),
+      )
+      .select(col("id"), col("score"), col("rn0").as("difficulty_rank"), col("bucket"),
+        col("pos_in_bucket"), col("pos"))
+  }
+
+  /** Purged K-fold temporal cross-validation split (López de Prado
+    * 2018's purged/embargoed CV, the leakage-control standard for
+    * serially-correlated data): the time span is cut into `folds`
+    * equal-duration test windows, and for each fold every row within
+    * `embargoHours` of the test window's boundaries is PURGED from
+    * that fold's training set — adjacent-in-time rows carry leaked
+    * label information that a plain K-fold would train on.
+    *
+    * Boundaries are exact integer microsecond arithmetic
+    * (start_i = t0 + i·dur div k over the [t0, t1] span), so fold
+    * membership is a pure row function — reproducible, engine-portable,
+    * no sampling state. Shape: one 1-row span aggregate (broadcast),
+    * then a map-only k-way explode classifying each row against each
+    * fold, then a k-key conditional-count aggregation; nothing keyed
+    * by row ever shuffles.
+    *
+    * @return one row per fold: (fold, test_start, test_end — micros,
+    *         end exclusive, n_test, n_train, n_purged). */
+  def purgedFolds(df: DataFrame, tsCol: String, folds: Int, embargoHours: Int): DataFrame = {
+    require(folds >= 2, s"purged CV needs folds >= 2, got $folds")
+    require(embargoHours >= 0, s"embargoHours must be >= 0, got $embargoHours")
+    val emb = embargoHours * 3600L * 1000000L
+    val us   = df.select(unix_micros(col(tsCol)).as("t")).filter(col("t").isNotNull)
+    val span = us.agg(min(col("t")).as("t0"), (max(col("t")) + 1L).as("t1"))
+    us.crossJoin(broadcast(span))
+      .withColumn("__dur", col("t1") - col("t0"))
+      .select(
+        col("t"),
+        explode(
+          expr(
+            s"""transform(sequence(0, ${folds - 1}), f -> struct(
+               |  CAST(f AS BIGINT) AS fold,
+               |  t0 + (f * __dur) div $folds AS ts_start,
+               |  t0 + ((f + 1) * __dur) div $folds AS ts_end))""".stripMargin
+          )
+        ).as("__f"),
+      )
+      .select(col("t"), col("__f.fold").as("fold"), col("__f.ts_start").as("test_start"),
+        col("__f.ts_end").as("test_end"))
+      .withColumn(
+        "__role",
+        when(col("t") >= col("test_start") && col("t") < col("test_end"), lit("test"))
+          .when(
+            col("t") < col("test_start") - lit(emb) || col("t") >= col("test_end") + lit(emb),
+            lit("train"),
+          )
+          .otherwise(lit("purged")),
+      )
+      .groupBy("fold", "test_start", "test_end")
+      .agg(
+        sum(when(col("__role") === "test", 1L).otherwise(0L)).as("n_test"),
+        sum(when(col("__role") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("__role") === "purged", 1L).otherwise(0L)).as("n_purged"),
+      )
+  }
 }

@@ -118,6 +118,64 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Late-interaction (MaxSim) multi-vector retrieval — the ColBERT
+    * scoring rule (Khattab & Zaharia 2020): documents and queries are
+    * BAGS of chunk/token vectors, and
+    * score(Q, D) = Σ_{q ∈ Q} max_{d ∈ D} ⟨q, d⟩ — each query vector
+    * finds its best-matching document vector independently, which is
+    * what makes late interaction beat single-vector pooling on
+    * fine-grained relevance. Over INTEGER vectors the whole statistic
+    * is exact (max and the bounded per-pair sum are order-independent
+    * in ℤ), so the complete ranking is bit-checkable — the same
+    * no-float-caveat property as [[bruteForceTopKInt8]].
+    *
+    * Scale posture: the query side (all chunks of the query docs) is
+    * bounded by contract and broadcast; the corpus chunk table is
+    * scanned once, map-side scored against every query chunk, then
+    * reduced by two partially-aggregable keyed steps — max per
+    * (query doc, query chunk, candidate doc), sum per (query doc,
+    * candidate doc). Nothing bigger than |Q-chunks|·|docs| ever
+    * shuffles, and the per-query top-k is a WindowGroupLimit.
+    *
+    * @param queryChunks (docCol, chunkCol, vecCol) — multi-vector
+    *                    query side, broadcast (bounded by contract).
+    * @param candChunks  (docCol, vecCol) — the corpus chunk table.
+    * @param vecCol      ArrayType(LongType) integer vectors, equal
+    *                    length both sides.
+    * @return (q_id, n_id, maxsim, rnk), top-k candidate docs per query
+    *         doc by (maxsim DESC, n_id); self-matches excluded. */
+  def maxSimTopK(
+      queryChunks: DataFrame,
+      candChunks: DataFrame,
+      docCol: String,
+      chunkCol: String,
+      vecCol: String,
+      k: Int,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = queryChunks
+      .select(col(docCol).as("q_doc"), col(chunkCol).as("q_chunk"), col(vecCol).as("__qv"))
+    val c = candChunks.select(col(docCol).as("n_doc"), col(vecCol).as("__cv"))
+    val dotE = aggregate(
+      zip_with(col("__qv"), col("__cv"), (a, b) => a * b),
+      lit(0L),
+      (acc, v) => acc + v,
+    )
+    val perChunk = c
+      .join(broadcast(q), col("n_doc") =!= col("q_doc"))
+      .select(col("q_doc"), col("q_chunk"), col("n_doc"), dotE.as("__dot"))
+      .groupBy("q_doc", "q_chunk", "n_doc")
+      .agg(max(col("__dot")).as("__best"))
+    val scored = perChunk
+      .groupBy("q_doc", "n_doc")
+      .agg(sum(col("__best")).as("maxsim"))
+    val w = Window.partitionBy("q_id").orderBy(col("maxsim").desc, col("n_id"))
+    scored
+      .select(col("q_doc").as("q_id"), col("n_doc").as("n_id"), col("maxsim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Two-stage retrieve-then-rerank top-k — the production ANN shape:
     * a cheap quantized first stage over-fetches `k × mult` candidates
     * per query by integer dot ([[bruteForceTopKInt8]] — 4× smaller

@@ -96,6 +96,31 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** Collapse consecutive repeated tokens — within-document repetition
+    * REMOVAL (the cleaning twin of the Gopher-rule repetition
+    * MEASURES below): stuttered generations / OCR echoes ("the the
+    * the") keep their first occurrence only; non-adjacent repeats are
+    * legitimate prose and survive. Pure per-row higher-order
+    * expression — the index-lambda filter compares each token to its
+    * predecessor — so the pass is map-only and rides the scan with
+    * zero shuffle at any corpus size.
+    *
+    * @return (id, n_tokens, n_kept, clean_text) — `clean_text` is the
+    *         space-rejoin of survivors; empty/whitespace-only docs
+    *         pass through unchanged with n_tokens = n_kept. */
+  def collapseRepeats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol))
+      .withColumn("__toks", split(col(textCol), " "))
+      // filter's lambda index is 0-based; arr[i-1] ([] is 0-based in
+      // Spark SQL) is the predecessor, guarded by the i = 0 arm
+      .withColumn("__kept", expr("filter(__toks, (x, i) -> i = 0 OR x != __toks[i - 1])"))
+      .select(
+        col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("clean_text"),
+      )
+
   /** Type-token ratio (distinct tokens / tokens) — the simplest
     * repetition signal in the Gopher-rule quality family; low values
     * mean boilerplate/looped text. Null on empty docs. */

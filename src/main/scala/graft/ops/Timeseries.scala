@@ -173,4 +173,89 @@ object Timeseries {
         (col("r.s") > lit(thresholdMult.toLong * slackDen) * col("total")).as("alarm"),
       )
   }
+
+  /** Integer-exact exponentially-weighted moving average over per-key
+    * hourly counts — the smoothing primitive under every "current
+    * rate" dashboard and adaptive threshold. The statistic is kept in
+    * value×10⁶ units with the recursion
+    *
+    *   s₁ = 10⁶·n₁,   sₜ = α·nₜ + ⌊(10⁶−α)·sₜ₋₁ / 10⁶⌋   (α in ppm)
+    *
+    * — every step a floor division of nonnegative integers, so the
+    * series is bit-identical across engines and partitionings (no
+    * float pow/exp drift), and the (10⁶−α)·s product runs through
+    * DECIMAL(38,0) (the [[Stats.chi2Homogeneity]] overflow discipline:
+    * s ≤ 10⁶·max n, so a BIGINT product would wrap once hourly counts
+    * pass ~9·10⁶ — routine at ingest scale).
+    *
+    * Same dense-grid + bounded-array-fold shape as [[cusumFromHourly]]:
+    * the only unbounded work is the hourly pre-aggregation (mergeable,
+    * map-side combinable — also exactly the part the streaming twin
+    * maintains as state); the sequential recursion runs per key over
+    * the bounded (keys × hours) table. */
+  def ewmaHourly(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      alphaPpm: Int = 300000,
+  ): DataFrame = {
+    val hourly = df
+      .groupBy(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    ewmaFromHourly(hourly, alphaPpm)
+  }
+
+  /** Post-aggregation stage of [[ewmaHourly]] over an already bucketed
+    * (key, hour_ts, n) table — shared with the streaming twin. */
+  def ewmaFromHourly(hourly: DataFrame, alphaPpm: Int = 300000): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 1000000, s"alphaPpm must be in [1, 1e6], got $alphaPpm")
+    val rem = 1000000L - alphaPpm
+    val span = hourly.agg(min(col("hour_ts")).as("h0"), max(col("hour_ts")).as("h1"))
+    val grid = hourly
+      .select(col("key"))
+      .distinct()
+      .crossJoin(broadcast(span))
+      .select(
+        col("key"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour_ts"),
+      )
+    val filled = grid
+      .join(hourly, Seq("key", "hour_ts"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val series = filled
+      .groupBy("key")
+      .agg(sort_array(collect_list(struct(col("hour_ts"), col("n")))).as("series"))
+    // Accumulator s = -1 marks "before the first observation" (counts
+    // are never negative, so the sentinel is unambiguous).
+    val folded = series.withColumn(
+      "out",
+      expr(
+        s"""aggregate(
+           |  series,
+           |  struct(CAST(-1 AS BIGINT) AS s,
+           |         CAST(array() AS ARRAY<STRUCT<hour_ts TIMESTAMP, n BIGINT, s BIGINT>>) AS rows),
+           |  (acc, x) -> struct(
+           |    CASE WHEN acc.s < 0 THEN x.n * 1000000L
+           |         ELSE $alphaPpm * x.n +
+           |              CAST((CAST($rem AS DECIMAL(38,0)) * acc.s) div 1000000 AS BIGINT)
+           |    END AS s,
+           |    array_append(acc.rows,
+           |      struct(x.hour_ts AS hour_ts,
+           |             x.n AS n,
+           |             CASE WHEN acc.s < 0 THEN x.n * 1000000L
+           |                  ELSE $alphaPpm * x.n +
+           |                       CAST((CAST($rem AS DECIMAL(38,0)) * acc.s) div 1000000 AS BIGINT)
+           |             END AS s)) AS rows),
+           |  acc -> acc.rows)""".stripMargin
+      ),
+    )
+    folded
+      .select(col("key"), explode(col("out")).as("r"))
+      .select(
+        col("key"),
+        col("r.hour_ts").as("hour_ts"),
+        col("r.n").as("n"),
+        col("r.s").as("ewma_scaled"),
+      )
+  }
 }

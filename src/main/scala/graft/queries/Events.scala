@@ -712,6 +712,37 @@ object Events {
       thresholdMult = 2)
   }
 
+  /** Integer-exact EWMA over per-type hourly rates
+    * ([[graft.ops.Timeseries.ewmaHourly]], α = 0.3 in ppm): the
+    * smoothing statistic under adaptive rate thresholds, bit-identical
+    * across engines because every step is integer floor division (no
+    * float exp drift). Shared oracle SQL with the streaming twin (the
+    * [[cusumSql]] convention): the sequential recursion replayed as a
+    * recursive CTE, exact equality on the full series. */
+  private[queries] val ewmaSql: String =
+    """WITH RECURSIVE
+      |counts AS (SELECT event_type AS key, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(hour_ts) AS h0, max(hour_ts) AS h1 FROM counts),
+      |hours AS (SELECT g AS hour_ts, row_number() OVER (ORDER BY g) AS rn
+      |          FROM (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g FROM span)),
+      |grid AS (SELECT k.key, h.hour_ts, h.rn, coalesce(c.n, 0) AS n
+      |         FROM (SELECT DISTINCT key FROM counts) k
+      |         CROSS JOIN hours h
+      |         LEFT JOIN counts c ON c.key = k.key AND c.hour_ts = h.hour_ts),
+      |rec AS (
+      |  SELECT key, rn, hour_ts, n, n * 1000000 AS s
+      |  FROM grid WHERE rn = 1
+      |  UNION ALL
+      |  SELECT g.key, g.rn, g.hour_ts, g.n,
+      |         300000 * g.n + CAST((CAST(700000 AS HUGEINT) * r.s) // 1000000 AS BIGINT)
+      |  FROM rec r JOIN grid g ON g.key = r.key AND g.rn = r.rn + 1)
+      |SELECT key, hour_ts, n, CAST(s AS BIGINT) AS ewma_scaled FROM rec""".stripMargin
+
+  private val ewmaHourlyQ = Q("evt_ewma_hourly", ewmaSql) { (s, d) =>
+    Timeseries.ewmaHourly(events(s, d), "event_type", "ts", alphaPpm = 300000)
+  }
+
   /** Top-20 behavioral trigrams — the n-gram extension of
     * [[transitionMatrix]]'s bigrams: per-user ordered event-type
     * 3-paths via two leads over ONE per-user window (a single
@@ -872,6 +903,7 @@ object Events {
   val all: Seq[Q] = Seq(
     resampleLocfQ,
     cusumChangepointQ,
+    ewmaHourlyQ,
     pathTrigramsQ,
     rollupCascadeQ,
     theilSenQ,

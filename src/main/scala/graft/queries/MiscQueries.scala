@@ -1926,6 +1926,36 @@ object MiscQueries {
     per.crossJoin(broadcast(leak))
   }
 
+  /** Purged K-fold temporal CV split
+    * ([[graft.ops.Sampling.purgedFolds]], López de Prado's
+    * purged/embargoed CV): 5 equal-duration test windows over the
+    * events span with a 12-hour embargo stripped from each fold's
+    * training set — the leakage control group-disjoint splitting
+    * cannot give when the leak channel is TIME adjacency, not key
+    * identity. Integer-microsecond boundary arithmetic, so fold
+    * membership replays exactly. */
+  private val purgedFoldsQ = Q(
+    "misc_purged_folds",
+    """WITH u AS (SELECT epoch_us(ts) AS t FROM events WHERE ts IS NOT NULL),
+      |span AS (SELECT min(t) AS t0, max(t) + 1 AS t1 FROM u),
+      |fb AS (SELECT fold, t0 + (fold * (t1 - t0)) // 5 AS test_start,
+      |         t0 + ((fold + 1) * (t1 - t0)) // 5 AS test_end
+      |       FROM (SELECT unnest(generate_series(0, 4)) AS fold) CROSS JOIN span),
+      |cl AS (SELECT fb.fold, fb.test_start, fb.test_end,
+      |         CASE WHEN u.t >= fb.test_start AND u.t < fb.test_end THEN 'test'
+      |              WHEN u.t < fb.test_start - 43200000000
+      |                OR u.t >= fb.test_end + 43200000000 THEN 'train'
+      |              ELSE 'purged' END AS role
+      |       FROM u CROSS JOIN fb)
+      |SELECT fold, test_start, test_end,
+      |  CAST(sum(CASE WHEN role = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+      |  CAST(sum(CASE WHEN role = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      |  CAST(sum(CASE WHEN role = 'purged' THEN 1 ELSE 0 END) AS BIGINT) AS n_purged
+      |FROM cl GROUP BY 1, 2, 3""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Sampling.purgedFolds(events(s, d), "ts", folds = 5, embargoHours = 12)
+  }
+
   /** Epoch-repeat corpus expansion ([[graft.ops.Sampling.epochExpand]]):
     * the over-sampling half of a training mix — src0 targeted above its
     * row count (repeat copies + a hash-selected fraction), src1 at
@@ -1991,5 +2021,5 @@ object MiscQueries {
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
       corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ,
       labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint,
-      kAnonymityQ, sampleEpochs, linkPredictQ)
+      kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ)
 }

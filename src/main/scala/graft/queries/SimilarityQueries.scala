@@ -1115,6 +1115,67 @@ object SimilarityQueries {
       .select("q_id", "n_id", "cos", "rnk")
   }
 
+  /** Late-interaction MaxSim retrieval
+    * ([[graft.ops.Similarity.maxSimTopK]], the ColBERT scoring rule):
+    * documents as BAGS of chunk vectors, score = Σ over query chunks
+    * of the best-matching candidate-chunk dot product — the
+    * multi-vector alternative to `sim_doc_embedding_pool`'s mean
+    * pooling, over the same proven chunk/hash-embed chain. Vectors are
+    * the RAW integer hash digits (no /2¹¹ scaling): max and sum are
+    * exact in ℤ, so the full ranking hash-matches with no float
+    * caveat, and the oracle replays chunking, embedding, the per-chunk
+    * max, and the summed ranking end-to-end. */
+  private val maxSimTopK = Q(
+    "sim_maxsim_topk",
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\w+') AS toks FROM documents),
+       |s0 AS (SELECT doc_id, toks,
+       |         unnest(generate_series(0, greatest(0, ((len(toks) - 64 + 47) // 48) * 48), 48)) AS start
+       |       FROM t WHERE len(toks) > 0),
+       |ch AS (SELECT doc_id, start // 48 AS chunk_id,
+       |         md5(list_aggregate(toks[(start+1):(start+64)], 'string_agg', ' ')) AS h
+       |       FROM s0),
+       |e AS (SELECT doc_id, chunk_id,
+       |        list_transform(generate_series(0, 7),
+       |          j -> CAST(('0x' || substr(h, j*3 + 1, 3)) AS BIGINT) - 2048) AS v
+       |      FROM ch),
+       |pc AS (
+       |  SELECT q.doc_id AS q_id, q.chunk_id AS q_chunk, c.doc_id AS n_id,
+       |    max(list_reduce(list_transform(generate_series(1, 8),
+       |          i -> q.v[i] * c.v[i]), (x, y) -> x + y)) AS best
+       |  FROM e q JOIN e c ON c.doc_id <> q.doc_id
+       |  WHERE q.doc_id < 3
+       |  GROUP BY 1, 2, 3),
+       |sc AS (SELECT q_id, n_id, CAST(sum(best) AS BIGINT) AS maxsim FROM pc GROUP BY 1, 2)
+       |SELECT q_id, n_id, maxsim, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY maxsim DESC, n_id) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= 3""".stripMargin,
+  ) { (s, d) =>
+    val chunks = graft.ops.Text
+      .chunkTokens(graft.Tables.documents(s, d), "doc_id", "text", chunkSize = 64, overlap = 16)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+    val vecs = chunks
+      .withColumn("__h", md5(col("chunk_text")))
+      .withColumn(
+        "v",
+        transform(
+          sequence(lit(0), lit(7)),
+          j => conv(col("__h").substr(j * 3 + 1, lit(3)), 16, 10).cast("long") - 2048L,
+        ),
+      )
+      .select("doc_id", "chunk_id", "v")
+    Similarity
+      .maxSimTopK(
+        queryChunks = vecs.filter(col("doc_id") < 3),
+        candChunks = vecs,
+        docCol = "doc_id",
+        chunkCol = "chunk_id",
+        vecCol = "v",
+        k = 3,
+      )
+      .select("q_id", "n_id", "maxsim", "rnk")
+  }
+
   /** Chunk → embed → MEAN-POOL → document-level top-k
     * ([[graft.ops.Similarity.meanPoolEmbeddings]]): the long-document
     * retrieval pipeline, pooled back to one vector per document with
@@ -1510,5 +1571,6 @@ object SimilarityQueries {
     Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
       annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
       annIvfPqSampledTopK, annIvfAppendTopK, annIvfPqResidualTopK, ragChunkTopK, docEmbeddingPool, annRecallEval,
-      annBatchedTopK, annIvfStoredTopK, centroidConfusion, centroidEval, hardNegatives, mmrTopK, mmrTopKWeighted)
+      annBatchedTopK, annIvfStoredTopK, centroidConfusion, centroidEval, hardNegatives, mmrTopK,
+      mmrTopKWeighted, maxSimTopK)
 }

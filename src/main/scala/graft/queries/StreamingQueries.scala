@@ -969,6 +969,43 @@ object StreamingQueries {
         thresholdMult = 2)
   }
 
+  /** Streaming EWMA rate smoother — the [[cusumStream]] pattern for
+    * [[graft.ops.Timeseries.ewmaFromHourly]]: the streaming aggregation
+    * maintains the mergeable per-(key, hour) counts (bounded at keys ×
+    * hours), and the sequential smoothing recursion is derived from the
+    * final state as a bounded-table fold per trigger. Oracle shared
+    * verbatim with `evt_ewma_hourly`: final streaming state ≡ batch
+    * hourly table ⇒ identical series. */
+  private val ewmaStream = Q(
+    "stream_ewma",
+    Events.ewmaSql, // the batch gate's oracle, shared verbatim
+  ) { (s, d) =>
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    val stream = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+    val hourly = stream
+      .groupBy(col("event_type").as("key"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    val name = synchronized { streamN += 1; s"graft_stream_ewma_$streamN" }
+    withStatePartitions(s, 4) {
+      withScratchCheckpoint("graft_ckpt_ewma") { ckpt =>
+        val q = hourly.writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    // Freeze the bounded final state into a plain leaf (the cusumStream
+    // MemorySink-DeduplicateRelations note) before the multi-read fold.
+    graft.ops.Timeseries.ewmaFromHourly(s.table(name).localCheckpoint(), alphaPpm = 300000)
+  }
+
   /** Streaming column profiler — ingestion data-quality monitoring as
     * a live view: [[graft.ops.Profile.unpivot]] over the replayed
     * events feeds a streaming aggregation of (n, nulls, min, max) per
@@ -1178,5 +1215,5 @@ object StreamingQueries {
     Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream,
       decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream,
       cmsStream, bpeDriftStream, rateAnomalyStream, profileStream, distDriftStream, ivmStream,
-      cusumStream)
+      cusumStream, ewmaStream)
 }

@@ -927,9 +927,49 @@ object TextQueries {
     Text.vocabStats(documents(s, d), "source", "text")
   }
 
+  /** Deterministic curriculum ordering
+    * ([[graft.ops.Sampling.curriculumOrder]]): a dense total order
+    * interleaving 10 difficulty deciles round-robin (difficulty =
+    * n_chars), so every training window sees the full spectrum. The
+    * oracle computes the position by the SPEC — rank of
+    * (pos_in_bucket, bucket) via plain windows — while the Spark side
+    * derives it arithmetically from the bounded-domain histogram and
+    * a broadcast size array; the hash match proves the closed form. */
+  private val curriculumOrderQ = Q(
+    "txt_curriculum_order",
+    """WITH r AS (SELECT doc_id AS id, n_chars AS score,
+      |             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rn0,
+      |             count(*) OVER () AS n
+      |           FROM documents),
+      |b AS (SELECT id, score, rn0, n, (rn0 * 10) // n AS bucket FROM r),
+      |k AS (SELECT id, score, rn0, bucket, rn0 - (bucket * n + 9) // 10 AS pib FROM b)
+      |SELECT id, score, rn0 AS difficulty_rank, bucket, pib AS pos_in_bucket,
+      |  row_number() OVER (ORDER BY pib, bucket) - 1 AS pos
+      |FROM k""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Sampling.curriculumOrder(documents(s, d), "doc_id", "n_chars", buckets = 10)
+  }
+
+  /** Within-document consecutive-repeat collapse
+    * ([[graft.ops.Text.collapseRepeats]]): stutter removal as a pure
+    * map-only higher-order filter; the oracle replays the index-lambda
+    * predicate (1-based there, 0-based in Spark) and the rejoin. */
+  private val repeatCollapseQ = Q(
+    "ddp_repeat_collapse",
+    """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  list_aggregate(kept, 'string_agg', ' ') AS clean_text
+      |FROM (
+      |  SELECT doc_id, toks, list_filter(toks, (x, i) -> i = 1 OR x <> toks[i-1]) AS kept
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin,
+  ) { (s, d) =>
+    Text.collapseRepeats(documents(s, d), "doc_id", "text")
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
       sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize, lmPrune, invertedIndexQ,
-      packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ, negSamplingQ, skipGramQ)
+      packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ,
+      negSamplingQ, skipGramQ, curriculumOrderQ, repeatCollapseQ)
 }

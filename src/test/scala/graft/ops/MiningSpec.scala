@@ -344,6 +344,69 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculumOrder: pos is a permutation that round-robins buckets, easiest-first within") {
+    // 7 rows, 3 buckets → sizes (ceil boundaries) 3,2,2. Difficulty
+    // order by (score, id). Expected interleave: k=0 → buckets 0,1,2;
+    // k=1 → 0,1,2; k=2 → bucket 0 only.
+    val docs = Seq((10L, 5L), (11L, 3L), (12L, 9L), (13L, 3L), (14L, 7L), (15L, 1L), (16L, 9L))
+      .toDF("doc_id", "n_chars")
+    val got = Sampling
+      .curriculumOrder(docs, "doc_id", "n_chars", buckets = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("id"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("pos_in_bucket"), r.getAs[Long]("difficulty_rank")))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq === (0L until 7L).toSeq, "pos must be a dense permutation")
+    // difficulty order: 15(1) 11(3) 13(3) 10(5) 14(7) 12(9) 16(9) →
+    // ranks 0..6; buckets (r*3) div 7: 0,0,0,1,1,2,2.
+    assert(got.map(_._5).toSeq === Seq(0L, 3L, 5L, 1L, 4L, 6L, 2L),
+      "interleave must take rank 0,3,5 then 1,4,6 then 2")
+    assert(got.map(_._3).toSeq === Seq(0L, 1L, 2L, 0L, 1L, 2L, 0L))
+    assert(got.map(_._2).toSeq === Seq(15L, 10L, 12L, 11L, 14L, 16L, 13L))
+    // lexicographic (pos_in_bucket, bucket) must be strictly increasing in pos
+    val lex = got.map(r => (r._4, r._3)).toSeq
+    assert(lex === lex.sorted, "pos order must equal (pos_in_bucket, bucket) order")
+  }
+
+  test("curriculumOrder: arithmetic position matches a window-rank replay on an uneven corpus") {
+    // 23 rows over a tiny score domain (heavy ties) across 5 buckets —
+    // the closed-form Σ min(size, k) + carry must equal the plain
+    // row_number-over-(k, bucket) spec.
+    val docs = (1L to 23L).map(i => (i, (i * 7) % 5)).toDF("doc_id", "n_chars")
+    val out = Sampling.curriculumOrder(docs, "doc_id", "n_chars", buckets = 5).collect()
+    val spec = out
+      .sortBy(r => (r.getAs[Long]("pos_in_bucket"), r.getAs[Long]("bucket")))
+      .zipWithIndex
+    spec.foreach { case (r, i) =>
+      assert(r.getAs[Long]("pos") === i.toLong,
+        s"row ${r.getAs[Long]("id")}: arithmetic pos ${r.getAs[Long]("pos")} != spec rank $i")
+    }
+  }
+
+  test("purgedFolds: counts conserve, embargo purges the boundary, test totals cover the corpus") {
+    // 100 events at micros 0..99 (as timestamps), 4 folds, embargo
+    // covering 5 micros... embargoHours granularity is hours, so build
+    // hour-spaced data instead: 48 events one per hour over 2 days.
+    val df = (0 until 48)
+      .map(h => java.sql.Timestamp.valueOf(f"2024-01-0${1 + h / 24} ${h % 24}%02d:00:00"))
+      .toDF("ts")
+    val got = Sampling
+      .purgedFolds(df, "ts", folds = 4, embargoHours = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("fold"),
+        (r.getAs[Long]("n_test"), r.getAs[Long]("n_train"), r.getAs[Long]("n_purged"))))
+      .toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    // every fold: 12 test rows; purge = 2 rows per open boundary
+    // (strictly inside (start-emb, start) ∪ [end, end+emb) outside test)
+    assert(got.values.map(_._1).toSeq.forall(_ === 12L))
+    got.foreach { case (f, (t, tr, p)) =>
+      assert(t + tr + p === 48L, s"fold $f must classify every row")
+      val boundaries = if (f == 0L || f == 3L) 1 else 2 // edge folds purge one side only
+      assert(p === 2L * boundaries, s"fold $f: expected ${2 * boundaries} purged, got $p")
+    }
+  }
+
   test("matchBest: blocking scopes candidates; argmax ties break by smallest canon id") {
     val canon = Seq((10L, "a b k1", "k1"), (11L, "a c k1", "k1"), (20L, "a b k2", "k2"))
       .toDF("id", "name", "block")

@@ -2241,6 +2241,94 @@ class OpsSpec extends AnyFunSuite {
     val _ = ts(1) // keep helper used
   }
 
+  test("Timeseries.ewmaHourly: init-to-first, integer recursion, gap hours decay toward zero") {
+    // One key, hours 1..4 with counts 4, 0 (gap), 0 (gap), 2; α = 0.5.
+    // s1 = 4e6; s2 = 0 + 0.5*4e6 = 2e6; s3 = 1e6; s4 = 0.5*2e6 + 0.5e6 = 1.5e6.
+    val df = (Seq.fill(4)(1) ++ Seq.fill(2)(4))
+      .toDF("h")
+      .withColumn("k", lit("a"))
+      .withColumn("ts", to_timestamp(format_string("2024-01-01 %02d:00:00", col("h"))))
+    val got = Timeseries
+      .ewmaHourly(df, "k", "ts", alphaPpm = 500000)
+      .orderBy("hour_ts")
+      .collect()
+    assert(got.map(_.getAs[Long]("n")).toSeq === Seq(4L, 0L, 0L, 2L))
+    assert(got.map(_.getAs[Long]("ewma_scaled")).toSeq ===
+      Seq(4000000L, 2000000L, 1000000L, 1500000L))
+  }
+
+  test("Timeseries.ewmaFromHourly: floor division is exact; huge counts survive the DECIMAL product") {
+    // 3 hours, counts 1,1,1 at α=1/3 (333333 ppm): s1=1e6,
+    // s2 = 333333 + (666667*1e6) div 1e6 = 1000000, s3 same — the
+    // all-equal fixpoint holds under floor division.
+    val hourly = Seq(
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 1L),
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 1L),
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 1L),
+      // second key: counts past the BIGINT-product wrap point — the
+      // (1e6−α)·s multiply MUST run through DECIMAL(38,0):
+      // s1 = 2e13·1e6 = 2e19 > 2^63 would already wrap as a product
+      // chain without the decimal route; use 2e10 so s fits BIGINT but
+      // the transient product 666667·2e16 ≈ 1.3e22 does not.
+      ("big", java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 20000000000L),
+      ("big", java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 20000000000L),
+      ("big", java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 20000000000L),
+    ).toDF("key", "hour_ts", "n")
+    val rows = Timeseries.ewmaFromHourly(hourly, alphaPpm = 333333).collect()
+    val byKey = rows.groupBy(_.getAs[String]("key"))
+    val small = byKey("k").sortBy(_.getAs[java.sql.Timestamp]("hour_ts").getTime)
+      .map(_.getAs[Long]("ewma_scaled")).toSeq
+    assert(small === Seq(1000000L, 1000000L, 1000000L))
+    val big = byKey("big").sortBy(_.getAs[java.sql.Timestamp]("hour_ts").getTime)
+      .map(_.getAs[Long]("ewma_scaled")).toSeq
+    // s1 = 2e10·1e6 = 2e16; fixpoint: α·n + floor((1e6−α)s/1e6):
+    // 333333·2e10 + floor(666667·2e16/1e6) = 6.66666e15 + 1.333334e16 = 2e16
+    assert(big.head === 20000000000000000L)
+    assert(big.forall(_ >= 19999999999999999L), s"fixpoint drifted: $big")
+  }
+
+  test("Text.collapseRepeats: stutters collapse, non-adjacent repeats survive, empty text unchanged") {
+    val docs = Seq(
+      (1L, "x x y y y z"),
+      (2L, "a b a b"), // non-adjacent repeats are prose, not stutter
+      (3L, ""),
+      (4L, "w"),
+    ).toDF("doc_id", "text")
+    val got = Text
+      .collapseRepeats(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))))
+      .toMap
+    assert(got(1L) === ((6L, 3L, "x y z")))
+    assert(got(2L) === ((4L, 4L, "a b a b")))
+    assert(got(3L) === ((1L, 1L, ""))) // split('') = [''] in both engines
+    assert(got(4L) === ((1L, 1L, "w")))
+  }
+
+  test("Similarity.maxSimTopK: per-chunk best matches sum; self excluded; ties break on id") {
+    // Query doc 1 has chunks q0 = [1,0], q1 = [0,1].
+    // Candidate doc 2: chunks [2,0], [0,3] → best(q0)=2, best(q1)=3 → 5.
+    // Candidate doc 3: one chunk [2,2]    → best(q0)=2, best(q1)=2 → 4.
+    // Candidate doc 4: one chunk [5,-1]   → best(q0)=5, best(q1)=-1 → 4 (tie with 3 → id order).
+    val chunks = Seq(
+      (1L, 0L, Seq(1L, 0L)),
+      (1L, 1L, Seq(0L, 1L)),
+      (2L, 0L, Seq(2L, 0L)),
+      (2L, 1L, Seq(0L, 3L)),
+      (3L, 0L, Seq(2L, 2L)),
+      (4L, 0L, Seq(5L, -1L)),
+    ).toDF("doc_id", "chunk_id", "v")
+    val got = Similarity
+      .maxSimTopK(chunks.filter(col("doc_id") === 1L), chunks, "doc_id", "chunk_id", "v", k = 3)
+      .orderBy("rnk")
+      .collect()
+      .map(r => (r.getAs[Long]("n_id"), r.getAs[Long]("maxsim"), r.getAs[Int]("rnk")))
+      .toSeq
+    assert(got === Seq((2L, 5L, 1), (3L, 4L, 2), (4L, 4L, 3)))
+    assert(!got.exists(_._1 == 1L), "self-match must be excluded")
+  }
+
   test("Skyline.pareto2d: dominance strictness, same-x pruning, duplicate points both kept") {
     val pts = Seq(
       (1.0, 5), (1.0, 5),  // duplicate frontier point: n_rows 2
