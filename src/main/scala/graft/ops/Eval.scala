@@ -66,4 +66,31 @@ object Eval {
           .otherwise(expr("(2 * tp * 1000000L) div (n_true + n_pred)")),
       )
   }
+
+  /** Reciprocal rank of the known-relevant item in a ranked candidate
+    * list, per query — the MRR building block (the retrieval-eval twin
+    * of [[graft.ops.Similarity.recallAtK]]'s recall): rr = 1/rank of
+    * the first relevant hit, 0 on a miss, in exact integer ppm.
+    *
+    * One left equi-join on (q_id, n_id) — truth is one row per query,
+    * so the join output is |queries| rows; nothing corpus-sized moves.
+    *
+    * @param truth  (q_id, n_id): THE relevant item per query (e.g.
+    *               brute-force rank 1).
+    * @param ranked (q_id, n_id, rnk): the system ranking under test,
+    *               rnk 1-based.
+    * @return (q_id, truth_id, found_rank, rr_ppm) — found_rank 0 and
+    *         rr_ppm 0 when the relevant item missed the list. */
+  def reciprocalRank(truth: DataFrame, ranked: DataFrame): DataFrame =
+    truth
+      .select(col("q_id"), col("n_id"))
+      .join(ranked.select(col("q_id"), col("n_id"), col("rnk")), Seq("q_id", "n_id"), "left")
+      .select(
+        col("q_id"),
+        col("n_id").as("truth_id"),
+        coalesce(col("rnk").cast("long"), lit(0L)).as("found_rank"),
+        when(col("rnk").isNotNull, expr("1000000 div CAST(rnk AS BIGINT)"))
+          .otherwise(lit(0L))
+          .as("rr_ppm"),
+      )
 }

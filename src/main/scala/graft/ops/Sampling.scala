@@ -351,6 +351,55 @@ object Sampling {
         col("pos_in_bucket"), col("pos"))
   }
 
+  /** Preference-pair construction — the DPO/RLHF dataset step: per
+    * group (prompt cluster, source, …), pair the highest-scored
+    * response with the lowest-scored one as (chosen, rejected),
+    * keeping only pairs with a strict margin (equal scores carry no
+    * preference signal). Ties on score break toward the smallest id
+    * on BOTH ends, so the pair set is a pure function of the data.
+    *
+    * One keyed aggregation: chosen = max(struct(score, −id)), rejected
+    * = min(struct(score, id)) — the repo's min/max-struct argmax, two
+    * partially-aggregable extrema, no window, single exchange on the
+    * group key.
+    *
+    * @return one row per surviving group: groupCols, chosen_id,
+    *         chosen_score, rejected_id, rejected_score, margin
+    *         (≥ `minMargin`), n_docs. Null scores are excluded before
+    *         pairing. */
+  def preferencePairs(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      scoreCol: String,
+      minMargin: Long = 1L,
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "preferencePairs needs at least one group column")
+    val g = df
+      .select(
+        groupCols.map(col) ++
+          Seq(col(idCol).cast("long").as("__id"), col(scoreCol).cast("long").as("__score")): _*
+      )
+      .filter(col("__score").isNotNull)
+    g.groupBy(groupCols.map(col): _*)
+      .agg(
+        max(struct(col("__score").as("s"), (-col("__id")).as("negid"))).as("__best"),
+        min(struct(col("__score").as("s"), col("__id").as("id"))).as("__worst"),
+        count(lit(1)).as("n_docs"),
+      )
+      .select(
+        groupCols.map(col) ++ Seq(
+          (-col("__best.negid")).as("chosen_id"),
+          col("__best.s").as("chosen_score"),
+          col("__worst.id").as("rejected_id"),
+          col("__worst.s").as("rejected_score"),
+          (col("__best.s") - col("__worst.s")).as("margin"),
+          col("n_docs"),
+        ): _*
+      )
+      .filter(col("margin") >= minMargin)
+  }
+
   /** Purged K-fold temporal cross-validation split (López de Prado
     * 2018's purged/embargoed CV, the leakage-control standard for
     * serially-correlated data): the time span is cut into `folds`

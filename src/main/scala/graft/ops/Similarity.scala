@@ -118,6 +118,69 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Dominant eigenvector of the (uncentered) Gram matrix Σ xxᵀ over
+    * integer vectors, by fixed-round power iteration — the top
+    * principal direction used for embedding whitening / ABTT
+    * ("all-but-the-top") postprocessing and as the split axis of
+    * spill-tree/PCA-tree ANN partitioners. All arithmetic is integer:
+    * Gram entries are exact Σ xᵢxⱼ sums (accumulated through
+    * DECIMAL(38,0) — at corpus scale Σ|xᵢxⱼ| passes 2⁶³), and each
+    * iterate renormalizes to ppm units by truncating division
+    * (max-|component| = 10⁶), which Spark `div`, DuckDB `//`, and
+    * BigInt `/` all implement identically (toward zero) — so the whole
+    * trajectory replays bit-for-bit in any engine.
+    *
+    * Scale shape: the corpus-proportional work is ONE map-side pass —
+    * each row explodes to its d² outer-product terms and partial
+    * aggregation reduces them locally, so the shuffle is d² rows per
+    * task regardless of corpus size. The iteration itself runs on the
+    * driver over the d×d broadcastable Gram (the count-probe
+    * precedent: d² is a constant, 64 numbers here — never
+    * data-proportional).
+    *
+    * @param df     rows with an ArrayType integer vector column.
+    * @param vecCol the vector column (length d).
+    * @param d      dimensionality (compile-time constant of the
+    *               pipeline, not inferred — a ragged corpus should
+    *               fail loudly upstream).
+    * @param rounds power-iteration rounds (fixed, so the oracle can
+    *               unroll them; 3 suffices for a dominant gap).
+    * @return d rows (dim, v_ppm): the iterate after `rounds` rounds,
+    *         components in [−10⁶, 10⁶], max |component| = 10⁶. */
+  def topEigenvector(df: DataFrame, vecCol: String, d: Int, rounds: Int): DataFrame = {
+    require(d >= 1, s"d must be >= 1, got $d")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val pairs = df
+      .select(
+        explode(
+          expr(
+            s"""flatten(transform(sequence(0, ${d - 1}), i ->
+               |  transform(sequence(0, ${d - 1}), j ->
+               |    struct(i AS i, j AS j, $vecCol[i] * $vecCol[j] AS p))))""".stripMargin
+          )
+        ).as("e")
+      )
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+    val gram = pairs
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast("decimal(38,0)")).as("a"))
+      .collect()
+    val A = Array.fill(d, d)(BigInt(0))
+    gram.foreach { r =>
+      val a = r.getAs[java.math.BigDecimal]("a")
+      if (a != null) A(r.getAs[Int]("i"))(r.getAs[Int]("j")) = BigInt(a.toBigInteger)
+    }
+    var v = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to rounds) {
+      val w  = Array.tabulate(d)(i => (0 until d).map(j => A(i)(j) * v(j)).sum)
+      val m0 = w.map(_.abs).max
+      val m  = if (m0 == 0) BigInt(1) else m0
+      v = w.map(x => (x * 1000000) / m) // BigInt / truncates toward zero — div/'//' parity
+    }
+    import df.sparkSession.implicits._
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x.toLong) }.toSeq.toDF("dim", "v_ppm")
+  }
+
   /** Late-interaction (MaxSim) multi-vector retrieval — the ColBERT
     * scoring rule (Khattab & Zaharia 2020): documents and queries are
     * BAGS of chunk/token vectors, and

@@ -174,6 +174,60 @@ object Timeseries {
       )
   }
 
+  /** Seasonality-adjusted rate anomalies: flag hours whose count
+    * exceeds `mult`× the key's OWN mean for that hour-of-day — the
+    * deseasonalized upgrade of the global-mean spike test (a 9 am
+    * traffic peak is normal at 9 am; the same count at 3 am is the
+    * anomaly). The grid is dense-filled (the [[cusumFromHourly]]
+    * discipline): silent hours count toward each hour-of-day mean, or
+    * a key active one hour a day would never alarm.
+    *
+    * The test cross-multiplies in integers — n·hod_hours >
+    * mult·hod_total — the `spikeView` convention: exact, no floored
+    * mean in the comparison. Shape: one hourly aggregation (mergeable,
+    * the streaming-maintainable part), the bounded grid fill, one
+    * (key, hour-of-day) aggregation (≤ 24·keys rows), one join back.
+    *
+    * @return (key, hour_ts, n, hod, hod_total, hod_hours, alarm). */
+  def seasonalOutliers(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      mult: Int = 2,
+  ): DataFrame = {
+    require(mult >= 1, s"mult must be >= 1, got $mult")
+    val hourly = df
+      .groupBy(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    val span = hourly.agg(min(col("hour_ts")).as("h0"), max(col("hour_ts")).as("h1"))
+    val grid = hourly
+      .select(col("key"))
+      .distinct()
+      .crossJoin(broadcast(span))
+      .select(
+        col("key"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour_ts"),
+      )
+    val filled = grid
+      .join(hourly, Seq("key", "hour_ts"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("hod", hour(col("hour_ts")).cast("long"))
+    val hodStats = filled
+      .groupBy("key", "hod")
+      .agg(sum(col("n")).as("hod_total"), count(lit(1)).as("hod_hours"))
+    filled
+      .join(hodStats, Seq("key", "hod"))
+      .select(
+        col("key"),
+        col("hour_ts"),
+        col("n"),
+        col("hod"),
+        col("hod_total"),
+        col("hod_hours"),
+        (col("n") * col("hod_hours") > lit(mult.toLong) * col("hod_total")).as("alarm"),
+      )
+  }
+
   /** Integer-exact exponentially-weighted moving average over per-key
     * hourly counts — the smoothing primitive under every "current
     * rate" dashboard and adaptive threshold. The statistic is kept in

@@ -743,6 +743,34 @@ object Events {
     Timeseries.ewmaHourly(events(s, d), "event_type", "ts", alphaPpm = 300000)
   }
 
+  /** Seasonality-adjusted rate anomalies
+    * ([[graft.ops.Timeseries.seasonalOutliers]]): hours exceeding 2×
+    * their type's own hour-of-day mean over the DENSE grid — the
+    * deseasonalized upgrade of `evt_rate_anomaly`'s global-mean test
+    * (a count normal at the daily peak alarms at 3 am). Exact
+    * cross-multiplied integer comparison; the oracle replays grid
+    * fill, hour-of-day census, and the flag. */
+  private val seasonalOutliersQ = Q(
+    "evt_seasonal_outliers",
+    """WITH counts AS (
+      |  SELECT event_type AS key, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(hour_ts) AS h0, max(hour_ts) AS h1 FROM counts),
+      |grid AS (SELECT k.key, h.g AS hour_ts, coalesce(c.n, 0) AS n
+      |         FROM (SELECT DISTINCT key FROM counts) k
+      |         CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g
+      |                     FROM span) h
+      |         LEFT JOIN counts c ON c.key = k.key AND c.hour_ts = h.g),
+      |hs AS (SELECT key, hour(hour_ts) AS hod, CAST(sum(n) AS BIGINT) AS hod_total,
+      |         count(*) AS hod_hours
+      |       FROM grid GROUP BY 1, 2)
+      |SELECT g.key, g.hour_ts, CAST(g.n AS BIGINT) AS n, CAST(hs.hod AS BIGINT) AS hod,
+      |  hod_total, hod_hours, g.n * hod_hours > 2 * hod_total AS alarm
+      |FROM grid g JOIN hs ON hs.key = g.key AND hs.hod = hour(g.hour_ts)""".stripMargin,
+  ) { (s, d) =>
+    Timeseries.seasonalOutliers(events(s, d), "event_type", "ts", mult = 2)
+  }
+
   /** Top-20 behavioral trigrams — the n-gram extension of
     * [[transitionMatrix]]'s bigrams: per-user ordered event-type
     * 3-paths via two leads over ONE per-user window (a single
@@ -904,6 +932,7 @@ object Events {
     resampleLocfQ,
     cusumChangepointQ,
     ewmaHourlyQ,
+    seasonalOutliersQ,
     pathTrigramsQ,
     rollupCascadeQ,
     theilSenQ,

@@ -1115,6 +1115,107 @@ object SimilarityQueries {
       .select("q_id", "n_id", "cos", "rnk")
   }
 
+  /** Dominant Gram-matrix eigenvector by integer power iteration
+    * ([[graft.ops.Similarity.topEigenvector]]) over the int8-quantized
+    * embeddings — the whitening/ABTT principal direction, every step
+    * exact (DECIMAL Gram sums, truncating ppm renormalization), so the
+    * oracle replays quantization, the one-pass Gram build, and all
+    * three unrolled iteration rounds to bit equality. */
+  private val pcaPower = Q(
+    "sim_pca_power",
+    """WITH m AS (
+      |  SELECT embedding,
+      |    list_aggregate(list_transform(embedding,
+      |      v -> abs(CAST(v AS DOUBLE))), 'max') AS q_scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT list_transform(embedding,
+      |    v -> CAST(floor(CAST(v AS DOUBLE) * 127
+      |                    / (CASE WHEN q_scale = 0 THEN 1 ELSE q_scale END)
+      |                    + 0.5) AS BIGINT)) AS qe
+      |  FROM m),
+      |g AS (SELECT i, j, CAST(sum(qe[i+1] * qe[j+1]) AS HUGEINT) AS a
+      |      FROM q,
+      |        (SELECT unnest(generate_series(0, 7)) AS i),
+      |        (SELECT unnest(generate_series(0, 7)) AS j)
+      |      GROUP BY 1, 2),
+      |w1 AS (SELECT i, sum(a * 1000000) AS w FROM g GROUP BY 1),
+      |m1 AS (SELECT greatest(max(abs(w)), 1) AS m FROM w1),
+      |v1 AS (SELECT i, (w * 1000000) // m AS v FROM w1, m1),
+      |w2 AS (SELECT g.i AS i, sum(g.a * v1.v) AS w FROM g JOIN v1 ON v1.i = g.j GROUP BY 1),
+      |m2 AS (SELECT greatest(max(abs(w)), 1) AS m FROM w2),
+      |v2 AS (SELECT i, (w * 1000000) // m AS v FROM w2, m2),
+      |w3 AS (SELECT g.i AS i, sum(g.a * v2.v) AS w FROM g JOIN v2 ON v2.i = g.j GROUP BY 1),
+      |m3 AS (SELECT greatest(max(abs(w)), 1) AS m FROM w3),
+      |v3 AS (SELECT i, (w * 1000000) // m AS v FROM w3, m3)
+      |SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_ppm FROM v3""".stripMargin,
+  ) { (s, d) =>
+    val q = Similarity.quantizeInt8(embeddings(s, d), "embedding").select(col("q_emb"))
+    Similarity.topEigenvector(q, "q_emb", d = 8, rounds = 3)
+  }
+
+  /** MRR retrieval eval ([[graft.ops.Eval.reciprocalRank]]): where did
+    * the IVF index rank each query's TRUE nearest neighbor
+    * (brute-force rank 1)? The reciprocal-rank twin of
+    * `sim_ann_recall_eval` — rank-position-sensitive where recall is
+    * set-membership-blind; same index configuration (16 cells,
+    * nprobe 2, k = 3), oracle composes the two proven differential
+    * chains and replays the rank lookup. */
+  private val mrrEval = Q(
+    "sim_mrr_eval",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |bfp AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+       |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |bf AS (SELECT q_id, n_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM bfp) WHERE rnk = 1),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT vec_id, cent_id, ccos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |  FROM (
+       |    SELECT e.vec_id, cent_id,
+       |      ${duckDot("e.embedding", "cemb")} / (e.nrm * cnrm) AS ccos
+       |    FROM e CROSS JOIN cent)),
+       |cand AS (SELECT vec_id, cent_id FROM asg WHERE crk = 1),
+       |qry AS (SELECT vec_id, cent_id FROM asg WHERE crk <= 2 AND vec_id < 10),
+       |ivp AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${duckDot("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm) AS cos
+       |  FROM qry q JOIN cand c ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+       |    JOIN e qe ON qe.vec_id = q.vec_id JOIN e ce ON ce.vec_id = c.vec_id),
+       |iv AS (SELECT q_id, n_id, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM ivp) WHERE rnk <= 3)
+       |SELECT b.q_id, b.n_id AS truth_id,
+       |  CAST(coalesce(i.rnk, 0) AS BIGINT) AS found_rank,
+       |  CAST(CASE WHEN i.rnk IS NULL THEN 0 ELSE 1000000 // i.rnk END AS BIGINT) AS rr_ppm
+       |FROM bf b LEFT JOIN iv i ON i.q_id = b.q_id AND i.n_id = b.n_id""".stripMargin,
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    val truth = Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 1)
+      .select("q_id", "n_id")
+    val ranked = Similarity
+      .ivfTopK(
+        emb,
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+        centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16),
+        nprobe = 2,
+        queryPred = col("vec_id") < 10,
+      )
+      .select("q_id", "n_id", "rnk")
+    graft.ops.Eval.reciprocalRank(truth, ranked)
+  }
+
   /** Late-interaction MaxSim retrieval
     * ([[graft.ops.Similarity.maxSimTopK]], the ColBERT scoring rule):
     * documents as BAGS of chunk vectors, score = Σ over query chunks
@@ -1572,5 +1673,5 @@ object SimilarityQueries {
       annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
       annIvfPqSampledTopK, annIvfAppendTopK, annIvfPqResidualTopK, ragChunkTopK, docEmbeddingPool, annRecallEval,
       annBatchedTopK, annIvfStoredTopK, centroidConfusion, centroidEval, hardNegatives, mmrTopK,
-      mmrTopKWeighted, maxSimTopK)
+      mmrTopKWeighted, maxSimTopK, pcaPower, mrrEval)
 }

@@ -966,10 +966,41 @@ object TextQueries {
     Text.collapseRepeats(documents(s, d), "doc_id", "text")
   }
 
+  /** DPO/RLHF preference-pair construction
+    * ([[graft.ops.Sampling.preferencePairs]]): per (source, lang)
+    * group, the longest document (token count as the quality proxy)
+    * becomes `chosen` and the shortest `rejected`, strict margin
+    * required, ties to the smallest doc_id on both ends. The oracle
+    * selects both ends with rank windows; the Spark side's
+    * min/max-struct argmax must agree row-for-row. */
+  private val preferencePairsQ = Q(
+    "txt_preference_pairs",
+    """WITH s AS (SELECT source, lang, doc_id,
+      |             CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS score
+      |           FROM documents),
+      |b AS (SELECT source, lang, doc_id AS chosen_id, score AS chosen_score,
+      |        row_number() OVER (PARTITION BY source, lang ORDER BY score DESC, doc_id) AS rn
+      |      FROM s),
+      |w AS (SELECT source, lang, doc_id AS rejected_id, score AS rejected_score,
+      |        row_number() OVER (PARTITION BY source, lang ORDER BY score ASC, doc_id) AS rn
+      |      FROM s),
+      |n AS (SELECT source, lang, count(*) AS n_docs FROM s GROUP BY 1, 2)
+      |SELECT b.source, b.lang, chosen_id, chosen_score, rejected_id, rejected_score,
+      |  chosen_score - rejected_score AS margin, n_docs
+      |FROM b JOIN w ON w.source = b.source AND w.lang = b.lang AND w.rn = 1
+      |JOIN n ON n.source = b.source AND n.lang = b.lang
+      |WHERE b.rn = 1 AND chosen_score - rejected_score >= 1""".stripMargin,
+  ) { (s, d) =>
+    val scored = documents(s, d)
+      .withColumn("score", Text.tokenCount(col("text")))
+    graft.ops.Sampling
+      .preferencePairs(scored, Seq("source", "lang"), "doc_id", "score", minMargin = 1L)
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
       sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize, lmPrune, invertedIndexQ,
       packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ,
-      negSamplingQ, skipGramQ, curriculumOrderQ, repeatCollapseQ)
+      negSamplingQ, skipGramQ, curriculumOrderQ, repeatCollapseQ, preferencePairsQ)
 }

@@ -383,6 +383,25 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("preferencePairs: extrema pair per group, strict margin required, ties break to smallest id") {
+    val docs = Seq(
+      ("a", 1L, 5L), ("a", 2L, 3L), ("a", 3L, 1L),   // clean spread
+      ("b", 4L, 7L), ("b", 5L, 7L),                  // no margin → dropped
+      ("c", 6L, 9L), ("c", 7L, 9L), ("c", 8L, 2L),   // max tie → chosen = smallest id 6
+      ("d", 9L, 4L),                                 // singleton → margin 0 → dropped
+    ).toDF("g", "id", "score")
+    val got = Sampling
+      .preferencePairs(docs, Seq("g"), "id", "score")
+      .collect()
+      .map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"), r.getAs[Long]("margin"),
+          r.getAs[Long]("n_docs"))))
+      .toMap
+    assert(got.keySet === Set("a", "c"))
+    assert(got("a") === ((1L, 3L, 4L, 3L)))
+    assert(got("c") === ((6L, 8L, 7L, 3L)))
+  }
+
   test("purgedFolds: counts conserve, embargo purges the boundary, test totals cover the corpus") {
     // 100 events at micros 0..99 (as timestamps), 4 folds, embargo
     // covering 5 micros... embargoHours granularity is hours, so build

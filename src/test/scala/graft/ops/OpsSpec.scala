@@ -2287,6 +2287,65 @@ class OpsSpec extends AnyFunSuite {
     assert(big.forall(_ >= 19999999999999999L), s"fixpoint drifted: $big")
   }
 
+  test("Similarity.topEigenvector: diagonal Gram converges to the dominant axis; orthogonal start is a stable zero") {
+    // 3 copies of (2,0) + 1 copy of (0,1): Gram = [[12,0],[0,1]].
+    // v0 = (1e6, 1e6); each round divides dim 1 by 12 (truncating):
+    // 83333, 6944, 578.
+    val vecs = (Seq.fill(3)(Seq(2L, 0L)) :+ Seq(0L, 1L)).toDF("v")
+    val got = Similarity
+      .topEigenvector(vecs, "v", d = 2, rounds = 3)
+      .collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Long]("v_ppm"))
+      .toMap
+    assert(got === Map(0L -> 1000000L, 1L -> 578L))
+    // (1,-1) twice: Gram = [[2,-2],[-2,2]]; the all-ones start is
+    // exactly orthogonal to the dominant eigenvector, so w = 0 — the
+    // guard divides by 1 and the iterate stays at zero (deterministic,
+    // documented degenerate case).
+    val ortho = Seq(Seq(1L, -1L), Seq(1L, -1L)).toDF("v")
+    val z = Similarity
+      .topEigenvector(ortho, "v", d = 2, rounds = 2)
+      .collect()
+      .map(_.getAs[Long]("v_ppm"))
+      .toSet
+    assert(z === Set(0L))
+  }
+
+  test("Eval.reciprocalRank: hit rank r gives 1e6 div r, miss gives 0") {
+    val truth  = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("q_id", "n_id")
+    val ranked = Seq((1L, 10L, 1), (2L, 99L, 1), (2L, 20L, 3), (3L, 31L, 1))
+      .toDF("q_id", "n_id", "rnk")
+    val got = Eval
+      .reciprocalRank(truth, ranked)
+      .collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("found_rank"), r.getAs[Long]("rr_ppm"))))
+      .toMap
+    assert(got(1L) === ((1L, 1000000L)))
+    assert(got(2L) === ((3L, 333333L)))
+    assert(got(3L) === ((0L, 0L))) // truth absent from the list
+  }
+
+  test("Timeseries.seasonalOutliers: hour-of-day means include silent grid hours; spike flags exactly") {
+    // One key, 3 days, one event-burst at day 3 hour 02 (9 events),
+    // plus 1 event at hour 00 of each day to anchor the span.
+    val rows =
+      Seq("2024-01-01 00:00:00", "2024-01-02 00:00:00", "2024-01-03 00:00:00") ++
+        Seq.fill(9)("2024-01-03 02:00:00")
+    val df  = rows.toDF("s").select(to_timestamp(col("s")).as("ts")).withColumn("k", lit("a"))
+    val got = Timeseries.seasonalOutliers(df, "k", "ts", mult = 2).collect()
+    // span covers 2024-01-01 00:00 .. 2024-01-03 02:00 → hod 2 has
+    // hours on days 1 and 2 dense-filled to 0: hod_total 9, hod_hours 3.
+    val hod2 = got.filter(_.getAs[Long]("hod") === 2L)
+    assert(hod2.length === 3, "grid must dense-fill the silent hod-2 hours")
+    assert(hod2.forall(_.getAs[Long]("hod_total") === 9L))
+    val spike = hod2.filter(_.getAs[Long]("n") === 9L)
+    assert(spike.length === 1 && spike.head.getAs[Boolean]("alarm"), "9*3 > 2*9 must alarm")
+    assert(hod2.filter(_.getAs[Long]("n") === 0L).forall(!_.getAs[Boolean]("alarm")))
+    // hod 0: counts 1,1,1 → mean 1; 1*3 > 2*3 false — steady traffic never alarms
+    assert(got.filter(_.getAs[Long]("hod") === 0L).forall(!_.getAs[Boolean]("alarm")))
+  }
+
   test("Text.collapseRepeats: stutters collapse, non-adjacent repeats survive, empty text unchanged") {
     val docs = Seq(
       (1L, "x x y y y z"),
