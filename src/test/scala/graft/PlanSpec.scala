@@ -358,6 +358,50 @@ class PlanSpec extends AnyFunSuite {
     assert(skew.contains("TakeOrderedAndProject"), s"skew top-k must be TakeOrdered:\n$skew")
   }
 
+  test("r11 gates: query sides broadcast, joins keyed, map-only ops exchange-free") {
+    // MaxSim: the query chunk bag must broadcast (bounded by contract)
+    // — the corpus-vs-query scoring join must NOT be a SortMergeJoin
+    // (that would shuffle the corpus on a non-key), and nothing may
+    // plan cartesian. Its per-chunk max and per-doc sum both do
+    // map-side partial aggregation.
+    val ms = planOf("sim_maxsim_topk")
+    assert(!ms.contains("CartesianProduct"), ms)
+    assert(!ms.contains("SortMergeJoin"), s"maxsim corpus side must not shuffle-join:\n$ms")
+    assert(ms.contains("partial_max") || ms.contains("partial_sum"),
+      s"maxsim reductions must partially aggregate:\n$ms")
+    // Stutter collapse is a pure map: zero exchanges, zero joins.
+    val cr = planOf("ddp_repeat_collapse")
+    assert(!cr.contains("Exchange") && !cr.contains("Join"),
+      s"collapseRepeats must be map-only:\n$cr")
+    // Purged folds: the only exchange is the final bounded fold-key
+    // aggregation; the span side is a broadcast 1-row aggregate.
+    val pf = planOf("misc_purged_folds")
+    assert(!pf.contains("CartesianProduct"), pf)
+    assert(!pf.contains("SortMergeJoin"), s"purgedFolds span must broadcast:\n$pf")
+    // Preference pairs: one keyed exchange (the group aggregate), no
+    // window pass at all — the extrema are min/max-struct aggregates.
+    val pp = planOf("txt_preference_pairs")
+    assert(!pp.contains("Window"), s"preferencePairs must not use windows:\n$pp")
+    assert("hashpartitioning\\(".r.findAllIn(pp).length === 1,
+      s"preferencePairs is one keyed exchange:\n$pp")
+    // Link prediction: wedge build + degree joins + anti join are all
+    // keyed; the k cut is TakeOrdered, never a global sort.
+    val lp = planOf("misc_link_predict")
+    assert(!lp.contains("CartesianProduct") && !lp.contains("BroadcastNestedLoopJoin"),
+      s"link prediction joins must be keyed:\n$lp")
+    assert(lp.contains("TakeOrderedAndProject"), s"link prediction top-k:\n$lp")
+    // EWMA / seasonal outliers: keyed joins only (grid fill + stats
+    // join-back); the span probe broadcasts.
+    for (name <- Seq("evt_ewma_hourly", "evt_seasonal_outliers"))
+      assert(!planOf(name).contains("CartesianProduct"), name)
+    // Full outer join: both pre-aggregates partition on the key, the
+    // full-outer SMJ must reuse those exchanges — exactly two
+    // hashpartitioning exchanges (one per side), none after the join.
+    val fo = planOf("rel_join_full_outer")
+    assert("hashpartitioning\\(".r.findAllIn(fo).length <= 2,
+      s"full outer must reuse the pre-aggregate exchanges:\n$fo")
+  }
+
   test("z-order key is a map-only projection over the scan") {
     val p = planOf("misc_zorder_key")
     assert(!p.contains("Exchange"), s"key computation must not shuffle:\n$p")
