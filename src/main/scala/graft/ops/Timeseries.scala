@@ -195,10 +195,17 @@ object Timeseries {
       tsCol: String,
       mult: Int = 2,
   ): DataFrame = {
-    require(mult >= 1, s"mult must be >= 1, got $mult")
     val hourly = df
       .groupBy(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("hour_ts"))
       .agg(count(lit(1)).as("n"))
+    seasonalOutliersFromHourly(hourly, mult)
+  }
+
+  /** Post-aggregation stage of [[seasonalOutliers]] over an already
+    * bucketed (key, hour_ts, n) table — shared with the streaming
+    * twin (the [[cusumFromHourly]]/[[ewmaFromHourly]] convention). */
+  def seasonalOutliersFromHourly(hourly: DataFrame, mult: Int = 2): DataFrame = {
+    require(mult >= 1, s"mult must be >= 1, got $mult")
     val span = hourly.agg(min(col("hour_ts")).as("h0"), max(col("hour_ts")).as("h1"))
     val grid = hourly
       .select(col("key"))

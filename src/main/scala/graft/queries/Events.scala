@@ -750,8 +750,9 @@ object Events {
     * (a count normal at the daily peak alarms at 3 am). Exact
     * cross-multiplied integer comparison; the oracle replays grid
     * fill, hour-of-day census, and the flag. */
-  private val seasonalOutliersQ = Q(
-    "evt_seasonal_outliers",
+  /** Shared oracle SQL for the batch and streaming seasonal-outlier
+    * gates (the [[cusumSql]]/[[ewmaSql]] convention). */
+  private[queries] val seasonalSql: String =
     """WITH counts AS (
       |  SELECT event_type AS key, date_trunc('hour', ts) AS hour_ts, count(*) AS n
       |  FROM events GROUP BY 1, 2),
@@ -766,8 +767,9 @@ object Events {
       |       FROM grid GROUP BY 1, 2)
       |SELECT g.key, g.hour_ts, CAST(g.n AS BIGINT) AS n, CAST(hs.hod AS BIGINT) AS hod,
       |  hod_total, hod_hours, g.n * hod_hours > 2 * hod_total AS alarm
-      |FROM grid g JOIN hs ON hs.key = g.key AND hs.hod = hour(g.hour_ts)""".stripMargin,
-  ) { (s, d) =>
+      |FROM grid g JOIN hs ON hs.key = g.key AND hs.hod = hour(g.hour_ts)""".stripMargin
+
+  private val seasonalOutliersQ = Q("evt_seasonal_outliers", seasonalSql) { (s, d) =>
     Timeseries.seasonalOutliers(events(s, d), "event_type", "ts", mult = 2)
   }
 

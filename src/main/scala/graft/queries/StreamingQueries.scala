@@ -1006,6 +1006,41 @@ object StreamingQueries {
     graft.ops.Timeseries.ewmaFromHourly(s.table(name).localCheckpoint(), alphaPpm = 300000)
   }
 
+  /** Streaming seasonal-outlier monitor — the [[cusumStream]]/
+    * [[ewmaStream]] pattern for
+    * [[graft.ops.Timeseries.seasonalOutliers]]: streaming state is the
+    * mergeable per-(key, hour) counts; the dense-grid fill, the
+    * hour-of-day census, and the cross-multiplied flag derive from the
+    * final state per trigger. Oracle: the batch gate's SQL verbatim. */
+  private val seasonalStream = Q(
+    "stream_seasonal",
+    Events.seasonalSql, // the batch gate's oracle, shared verbatim
+  ) { (s, d) =>
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    val stream = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+    val hourly = stream
+      .groupBy(col("event_type").as("key"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    val name = synchronized { streamN += 1; s"graft_stream_seasonal_$streamN" }
+    withStatePartitions(s, 4) {
+      withScratchCheckpoint("graft_ckpt_seasonal") { ckpt =>
+        val q = hourly.writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    graft.ops.Timeseries
+      .seasonalOutliersFromHourly(s.table(name).localCheckpoint(), mult = 2)
+  }
+
   /** Streaming column profiler — ingestion data-quality monitoring as
     * a live view: [[graft.ops.Profile.unpivot]] over the replayed
     * events feeds a streaming aggregation of (n, nulls, min, max) per
@@ -1215,5 +1250,5 @@ object StreamingQueries {
     Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream,
       decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream,
       cmsStream, bpeDriftStream, rateAnomalyStream, profileStream, distDriftStream, ivmStream,
-      cusumStream, ewmaStream)
+      cusumStream, ewmaStream, seasonalStream)
 }
