@@ -53,6 +53,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "misc_ppr_trade"              -> 26409L,
     "misc_assoc_rules"            -> 164516L,
     "misc_kcore"                  -> 34979L,
+    // r11 addition: the wedge-join link predictor (20.7 MB at sf0.1,
+    // flat at 10x — dimension-bounded like the graph family)
+    "misc_link_predict"           -> 287653L,
   )
 
   // at sf0.001 the build's join broadcasts (59 B of exchange); the pin
