@@ -375,6 +375,9 @@ object Sampling {
       minMargin: Long = 1L,
   ): DataFrame = {
     require(groupCols.nonEmpty, "preferencePairs needs at least one group column")
+    // margin 0 would admit singleton groups and all-equal groups, whose
+    // "pair" is the same row twice — never valid preference data
+    require(minMargin >= 1, s"preferencePairs needs minMargin >= 1, got $minMargin")
     val g = df
       .select(
         groupCols.map(col) ++

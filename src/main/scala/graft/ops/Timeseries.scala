@@ -99,11 +99,37 @@ object Timeseries {
       slackNum: Int = 5,
       slackDen: Int = 4,
       thresholdMult: Int = 2,
-  ): DataFrame = {
-    val hourly = df
-      .groupBy(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("hour_ts"))
+  ): DataFrame =
+    cusumFromHourly(hourlyCounts(df, keyCol, tsCol), slackNum, slackDen, thresholdMult)
+
+  /** The per-(key, hour) count aggregation every hourly statistic here
+    * starts from — one definition so the batch wrappers and the
+    * streaming twins (which maintain exactly this table as state)
+    * cannot drift. */
+  private def hourlyCounts(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("hour_ts"))
       .agg(count(lit(1)).as("n"))
-    cusumFromHourly(hourly, slackNum, slackDen, thresholdMult)
+
+  /** Dense (key × hour) grid over the corpus span with missing hours
+    * filled to 0 — the shared front half of every FromHourly statistic
+    * (CUSUM, EWMA, seasonal means): silent hours are real observations
+    * of zero, and a statistic that only sees observed hours is wrong
+    * on exactly the quiet keys it should flag. NOTE: equi-join
+    * semantics drop NULL keys from the fill (a null key never matches
+    * its own grid row) — hourly tables here come from groupBy over a
+    * non-null key column by construction. */
+  private def denseHourlyGrid(hourly: DataFrame): DataFrame = {
+    val span = hourly.agg(min(col("hour_ts")).as("h0"), max(col("hour_ts")).as("h1"))
+    hourly
+      .select(col("key"))
+      .distinct()
+      .crossJoin(broadcast(span))
+      .select(
+        col("key"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour_ts"),
+      )
+      .join(hourly, Seq("key", "hour_ts"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
   }
 
   /** The post-aggregation stage of [[cusumHourly]], over an already
@@ -123,18 +149,7 @@ object Timeseries {
       slackNum >= slackDen && slackDen >= 1,
       s"need slackNum/slackDen >= 1, got $slackNum/$slackDen",
     )
-    val span = hourly.agg(min(col("hour_ts")).as("h0"), max(col("hour_ts")).as("h1"))
-    val grid = hourly
-      .select(col("key"))
-      .distinct()
-      .crossJoin(broadcast(span))
-      .select(
-        col("key"),
-        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour_ts"),
-      )
-    val filled = grid
-      .join(hourly, Seq("key", "hour_ts"), "left")
-      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val filled = denseHourlyGrid(hourly)
     // Per-key totals and the global hour count: keyed aggregate + one
     // broadcast 1-row aggregate — both bounded.
     val hoursDf = filled
@@ -206,18 +221,7 @@ object Timeseries {
     * twin (the [[cusumFromHourly]]/[[ewmaFromHourly]] convention). */
   def seasonalOutliersFromHourly(hourly: DataFrame, mult: Int = 2): DataFrame = {
     require(mult >= 1, s"mult must be >= 1, got $mult")
-    val span = hourly.agg(min(col("hour_ts")).as("h0"), max(col("hour_ts")).as("h1"))
-    val grid = hourly
-      .select(col("key"))
-      .distinct()
-      .crossJoin(broadcast(span))
-      .select(
-        col("key"),
-        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour_ts"),
-      )
-    val filled = grid
-      .join(hourly, Seq("key", "hour_ts"), "left")
-      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val filled = denseHourlyGrid(hourly)
       .withColumn("hod", hour(col("hour_ts")).cast("long"))
     val hodStats = filled
       .groupBy("key", "hod")
@@ -259,55 +263,38 @@ object Timeseries {
       keyCol: String,
       tsCol: String,
       alphaPpm: Int = 300000,
-  ): DataFrame = {
-    val hourly = df
-      .groupBy(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("hour_ts"))
-      .agg(count(lit(1)).as("n"))
-    ewmaFromHourly(hourly, alphaPpm)
-  }
+  ): DataFrame =
+    ewmaFromHourly(hourlyCounts(df, keyCol, tsCol), alphaPpm)
 
   /** Post-aggregation stage of [[ewmaHourly]] over an already bucketed
     * (key, hour_ts, n) table — shared with the streaming twin. */
   def ewmaFromHourly(hourly: DataFrame, alphaPpm: Int = 300000): DataFrame = {
     require(alphaPpm >= 1 && alphaPpm <= 1000000, s"alphaPpm must be in [1, 1e6], got $alphaPpm")
     val rem = 1000000L - alphaPpm
-    val span = hourly.agg(min(col("hour_ts")).as("h0"), max(col("hour_ts")).as("h1"))
-    val grid = hourly
-      .select(col("key"))
-      .distinct()
-      .crossJoin(broadcast(span))
-      .select(
-        col("key"),
-        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour_ts"),
-      )
-    val filled = grid
-      .join(hourly, Seq("key", "hour_ts"), "left")
-      .withColumn("n", coalesce(col("n"), lit(0L)))
-    val series = filled
+    val series = denseHourlyGrid(hourly)
       .groupBy("key")
       .agg(sort_array(collect_list(struct(col("hour_ts"), col("n")))).as("series"))
-    // Accumulator s = -1 marks "before the first observation" (counts
-    // are never negative, so the sentinel is unambiguous).
+    // The accumulator is the emitted row array itself; each step reads
+    // the running statistic from the LAST appended row, so the
+    // recursion formula exists exactly once (an accumulator that
+    // carried a separate `s` field would duplicate it — one copy
+    // edited without the other silently desynchronizes the series).
+    // The empty-array arm doubles as the s₁ = 10⁶·n₁ initialization.
     val folded = series.withColumn(
       "out",
       expr(
         s"""aggregate(
            |  series,
-           |  struct(CAST(-1 AS BIGINT) AS s,
-           |         CAST(array() AS ARRAY<STRUCT<hour_ts TIMESTAMP, n BIGINT, s BIGINT>>) AS rows),
-           |  (acc, x) -> struct(
-           |    CASE WHEN acc.s < 0 THEN x.n * 1000000L
-           |         ELSE $alphaPpm * x.n +
-           |              CAST((CAST($rem AS DECIMAL(38,0)) * acc.s) div 1000000 AS BIGINT)
-           |    END AS s,
-           |    array_append(acc.rows,
-           |      struct(x.hour_ts AS hour_ts,
-           |             x.n AS n,
-           |             CASE WHEN acc.s < 0 THEN x.n * 1000000L
-           |                  ELSE $alphaPpm * x.n +
-           |                       CAST((CAST($rem AS DECIMAL(38,0)) * acc.s) div 1000000 AS BIGINT)
-           |             END AS s)) AS rows),
-           |  acc -> acc.rows)""".stripMargin
+           |  CAST(array() AS ARRAY<STRUCT<hour_ts TIMESTAMP, n BIGINT, s BIGINT>>),
+           |  (acc, x) -> array_append(acc,
+           |    struct(x.hour_ts AS hour_ts,
+           |           x.n AS n,
+           |           CASE WHEN size(acc) = 0 THEN x.n * 1000000L
+           |                ELSE $alphaPpm * x.n +
+           |                     CAST((CAST($rem AS DECIMAL(38,0)) * element_at(acc, -1).s)
+           |                          div 1000000 AS BIGINT)
+           |           END AS s)),
+           |  acc -> acc)""".stripMargin
       ),
     )
     folded

@@ -743,13 +743,6 @@ object Events {
     Timeseries.ewmaHourly(events(s, d), "event_type", "ts", alphaPpm = 300000)
   }
 
-  /** Seasonality-adjusted rate anomalies
-    * ([[graft.ops.Timeseries.seasonalOutliers]]): hours exceeding 2×
-    * their type's own hour-of-day mean over the DENSE grid — the
-    * deseasonalized upgrade of `evt_rate_anomaly`'s global-mean test
-    * (a count normal at the daily peak alarms at 3 am). Exact
-    * cross-multiplied integer comparison; the oracle replays grid
-    * fill, hour-of-day census, and the flag. */
   /** Shared oracle SQL for the batch and streaming seasonal-outlier
     * gates (the [[cusumSql]]/[[ewmaSql]] convention). */
   private[queries] val seasonalSql: String =
@@ -769,6 +762,13 @@ object Events {
       |  hod_total, hod_hours, g.n * hod_hours > 2 * hod_total AS alarm
       |FROM grid g JOIN hs ON hs.key = g.key AND hs.hod = hour(g.hour_ts)""".stripMargin
 
+  /** Seasonality-adjusted rate anomalies
+    * ([[graft.ops.Timeseries.seasonalOutliers]]): hours exceeding 2×
+    * their type's own hour-of-day mean over the DENSE grid — the
+    * deseasonalized upgrade of `evt_rate_anomaly`'s global-mean test
+    * (a count normal at the daily peak alarms at 3 am). Exact
+    * cross-multiplied integer comparison; the oracle replays grid
+    * fill, hour-of-day census, and the flag. */
   private val seasonalOutliersQ = Q("evt_seasonal_outliers", seasonalSql) { (s, d) =>
     Timeseries.seasonalOutliers(events(s, d), "event_type", "ts", mult = 2)
   }

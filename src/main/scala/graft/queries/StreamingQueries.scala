@@ -926,6 +926,44 @@ object StreamingQueries {
     Events.spikeView(s.table(name))
   }
 
+  /** Shared scaffold of the CUSUM/EWMA/seasonal streaming twins:
+    * replay the events split as a stream, maintain the mergeable
+    * per-(key, hour) counts as complete-mode state, and return the
+    * FROZEN final state. The localCheckpoint is load-bearing twice
+    * over: DeduplicateRelations cannot clone a MemorySink view, and
+    * the FromHourly folds read the bounded (keys × hours) snapshot
+    * several times (span, keys, grid join) — one snapshot, many
+    * reads. One definition so the three twins cannot drift on the
+    * state recipe. */
+  private def hourlyStateTable(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      prefix: String,
+  ): org.apache.spark.sql.DataFrame = {
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    val stream = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+    val hourly = stream
+      .groupBy(col("event_type").as("key"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    val name = synchronized { streamN += 1; s"graft_stream_${prefix}_$streamN" }
+    withStatePartitions(s, 4) {
+      withScratchCheckpoint(s"graft_ckpt_$prefix") { ckpt =>
+        val q = hourly.writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    s.table(name).localCheckpoint()
+  }
+
   /** Streaming CUSUM change-point monitor — the [[rateAnomalyStream]]
     * pattern applied to [[graft.ops.Timeseries]]: the streaming
     * aggregation maintains the mergeable per-(key, hour) counts
@@ -939,33 +977,8 @@ object StreamingQueries {
     "stream_cusum",
     Events.cusumSql, // the batch gate's oracle, shared verbatim
   ) { (s, d) =>
-    val rewrittenSchema = graft.Tables.events(s, d).schema
-    val stream = s.readStream
-      .schema(rewrittenSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(leftOuterSplitDir(s, d))
-    val hourly = stream
-      .groupBy(col("event_type").as("key"), date_trunc("hour", col("ts")).as("hour_ts"))
-      .agg(count(lit(1)).as("n"))
-    val name = synchronized { streamN += 1; s"graft_stream_cusum_$streamN" }
-    withStatePartitions(s, 4) {
-      withScratchCheckpoint("graft_ckpt_cusum") { ckpt =>
-        val q = hourly.writeStream
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-    }
-    // The fold references the state table three times (span, keys, the
-    // grid join); DeduplicateRelations cannot clone a MemorySink view,
-    // so freeze the bounded (keys × hours) final state into a plain
-    // leaf first — also semantically right: one snapshot, three reads.
     graft.ops.Timeseries
-      .cusumFromHourly(s.table(name).localCheckpoint(), slackNum = 5, slackDen = 4,
+      .cusumFromHourly(hourlyStateTable(s, d, "cusum"), slackNum = 5, slackDen = 4,
         thresholdMult = 2)
   }
 
@@ -980,30 +993,7 @@ object StreamingQueries {
     "stream_ewma",
     Events.ewmaSql, // the batch gate's oracle, shared verbatim
   ) { (s, d) =>
-    val rewrittenSchema = graft.Tables.events(s, d).schema
-    val stream = s.readStream
-      .schema(rewrittenSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(leftOuterSplitDir(s, d))
-    val hourly = stream
-      .groupBy(col("event_type").as("key"), date_trunc("hour", col("ts")).as("hour_ts"))
-      .agg(count(lit(1)).as("n"))
-    val name = synchronized { streamN += 1; s"graft_stream_ewma_$streamN" }
-    withStatePartitions(s, 4) {
-      withScratchCheckpoint("graft_ckpt_ewma") { ckpt =>
-        val q = hourly.writeStream
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-    }
-    // Freeze the bounded final state into a plain leaf (the cusumStream
-    // MemorySink-DeduplicateRelations note) before the multi-read fold.
-    graft.ops.Timeseries.ewmaFromHourly(s.table(name).localCheckpoint(), alphaPpm = 300000)
+    graft.ops.Timeseries.ewmaFromHourly(hourlyStateTable(s, d, "ewma"), alphaPpm = 300000)
   }
 
   /** Streaming seasonal-outlier monitor — the [[cusumStream]]/
@@ -1016,29 +1006,7 @@ object StreamingQueries {
     "stream_seasonal",
     Events.seasonalSql, // the batch gate's oracle, shared verbatim
   ) { (s, d) =>
-    val rewrittenSchema = graft.Tables.events(s, d).schema
-    val stream = s.readStream
-      .schema(rewrittenSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(leftOuterSplitDir(s, d))
-    val hourly = stream
-      .groupBy(col("event_type").as("key"), date_trunc("hour", col("ts")).as("hour_ts"))
-      .agg(count(lit(1)).as("n"))
-    val name = synchronized { streamN += 1; s"graft_stream_seasonal_$streamN" }
-    withStatePartitions(s, 4) {
-      withScratchCheckpoint("graft_ckpt_seasonal") { ckpt =>
-        val q = hourly.writeStream
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-    }
-    graft.ops.Timeseries
-      .seasonalOutliersFromHourly(s.table(name).localCheckpoint(), mult = 2)
+    graft.ops.Timeseries.seasonalOutliersFromHourly(hourlyStateTable(s, d, "seasonal"), mult = 2)
   }
 
   /** Streaming column profiler — ingestion data-quality monitoring as

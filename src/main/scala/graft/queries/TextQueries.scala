@@ -940,7 +940,8 @@ object TextQueries {
     """WITH r AS (SELECT doc_id AS id, n_chars AS score,
       |             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rn0,
       |             count(*) OVER () AS n
-      |           FROM documents),
+      |           FROM documents
+      |           WHERE n_chars IS NOT NULL),
       |b AS (SELECT id, score, rn0, n, (rn0 * 10) // n AS bucket FROM r),
       |k AS (SELECT id, score, rn0, bucket, rn0 - (bucket * n + 9) // 10 AS pib FROM b)
       |SELECT id, score, rn0 AS difficulty_rank, bucket, pib AS pos_in_bucket,
@@ -977,7 +978,8 @@ object TextQueries {
     "txt_preference_pairs",
     """WITH s AS (SELECT source, lang, doc_id,
       |             CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS score
-      |           FROM documents),
+      |           FROM documents
+      |           WHERE text IS NOT NULL),
       |b AS (SELECT source, lang, doc_id AS chosen_id, score AS chosen_score,
       |        row_number() OVER (PARTITION BY source, lang ORDER BY score DESC, doc_id) AS rn
       |      FROM s),

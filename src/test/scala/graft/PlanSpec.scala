@@ -367,8 +367,8 @@ class PlanSpec extends AnyFunSuite {
     val ms = planOf("sim_maxsim_topk")
     assert(!ms.contains("CartesianProduct"), ms)
     assert(!ms.contains("SortMergeJoin"), s"maxsim corpus side must not shuffle-join:\n$ms")
-    assert(ms.contains("partial_max") || ms.contains("partial_sum"),
-      s"maxsim reductions must partially aggregate:\n$ms")
+    assert(ms.contains("partial_max") && ms.contains("partial_sum"),
+      s"maxsim reductions must BOTH partially aggregate:\n$ms")
     // Stutter collapse is a pure map: zero exchanges, zero joins.
     val cr = planOf("ddp_repeat_collapse")
     assert(!cr.contains("Exchange") && !cr.contains("Join"),
