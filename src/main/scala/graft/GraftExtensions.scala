@@ -27,6 +27,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("damerau_levenshtein"),
+        new ExpressionInfo(
+          classOf[graft.functions.DamerauLevenshteinExpr].getName,
+          "damerau_levenshtein",
+        ),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.DamerauLevenshteinExpr(exprs.head, exprs(1)),
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("simhash32"),
         new ExpressionInfo(classOf[SimHash32Expr].getName, "simhash32"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

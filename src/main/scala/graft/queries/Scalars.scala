@@ -103,6 +103,36 @@ object Scalars {
       .filter(col("dist") <= 3)
   }
 
+  /** Transposition-aware edit distance over the same pair surface as
+    * [[levenshteinNations]] — the native
+    * [[graft.functions.DamerauLevenshteinExpr]] (unrestricted
+    * Lowrance–Wagner, the variant DuckDB's `damerau_levenshtein`
+    * implements) next to builtin `levenshtein`, so the gate also pins
+    * the places the two metrics DISAGREE (adjacent swaps cost 1, not
+    * 2). Pair space is |nation|² = 625 rows — the scalar is the thing
+    * under test, not the join. */
+  private val damerauNations = Q(
+    "str_damerau_nations",
+    """SELECT a.n_name AS a_name, b.n_name AS b_name,
+      |  damerau_levenshtein(a.n_name, b.n_name) AS dl_dist,
+      |  levenshtein(a.n_name, b.n_name) AS lev_dist
+      |FROM nation a JOIN nation b ON a.n_name < b.n_name
+      |WHERE damerau_levenshtein(a.n_name, b.n_name) <= 4""".stripMargin,
+  ) { (s, d) =>
+    graft.functions.DamerauLevenshteinExpr.registerOn(s)
+    val dl = graft.functions.DamerauLevenshteinExpr.damerau_levenshtein _
+    val a  = nation(s, d).select(col("n_name").as("a_name"))
+    val b  = nation(s, d).select(col("n_name").as("b_name"))
+    a.join(b, col("a_name") < col("b_name"))
+      .select(
+        col("a_name"),
+        col("b_name"),
+        dl(col("a_name"), col("b_name")).as("dl_dist"),
+        levenshtein(col("a_name"), col("b_name")).as("lev_dist"),
+      )
+      .filter(col("dl_dist") <= 4)
+  }
+
   /** Calendar-day difference (order-to-ship latency histogram). */
   private val shipDelayHistogram = Q(
     "str_ship_delay_histogram",
@@ -140,6 +170,6 @@ object Scalars {
 
   val all: Seq[Q] = Seq(
     slugNormalize, shaUid, basename, datetimeParts, concatCoalesce,
-    levenshteinNations, shipDelayHistogram, intervalShift,
+    levenshteinNations, damerauNations, shipDelayHistogram, intervalShift,
   )
 }

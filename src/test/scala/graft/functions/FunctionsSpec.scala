@@ -199,6 +199,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r2 === Seq("one two"))
   }
 
+  test("damerau_levenshtein: unrestricted variant (Lowrance–Wagner), not OSA") {
+    import DamerauLevenshteinExpr.distance
+    // the distinguishing case: OSA gives 3, unrestricted DL gives 2
+    // (DuckDB's damerau_levenshtein('CA','ABC') = 2 — verified; the
+    // oracle differential depends on this pin)
+    assert(distance("CA", "ABC") === 2)
+    assert(distance("ab", "ba") === 1)      // one transposition (lev = 2)
+    assert(distance("abcd", "acbd") === 1)  // inner transposition
+    assert(distance("kitten", "sitting") === 3)
+    assert(distance("", "abc") === 3)
+    assert(distance("abc", "") === 3)
+    assert(distance("", "") === 0)
+    assert(distance("same", "same") === 0)
+    // code points: a surrogate-pair symbol counts as ONE edit
+    assert(distance("a😀b", "ab") === 1)
+  }
+
+  test("damerau_levenshtein expression: SQL registry + codegen agree with the static eval") {
+    DamerauLevenshteinExpr.registerOn(spark)
+    val rows = Seq(
+      ("CA", "ABC"), ("ab", "ba"), ("kitten", "sitting"), ("", "x"),
+      ("GERMANY", "ROMANIA"), ("UNITED STATES", "UNITED KINGDOM"),
+    ).toDF("a", "b")
+    rows.createOrReplaceTempView("v_dl")
+    val viaSql = spark
+      .sql("SELECT a, b, damerau_levenshtein(a, b) AS d FROM v_dl")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2))
+      .toMap
+    viaSql.foreach { case ((a, b), d) =>
+      assert(d === DamerauLevenshteinExpr.distance(a, b), s"($a, $b)")
+    }
+    // null propagation
+    val n = spark.sql("SELECT damerau_levenshtein(CAST(NULL AS STRING), 'x') AS d").head()
+    assert(n.isNullAt(0))
+  }
+
   test("float_dot resolves from SQL text through the function registry") {
     // (withExtensions only takes effect on a fresh SparkSession; the
     // shared test session uses the imperative registration path, which
