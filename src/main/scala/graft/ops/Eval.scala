@@ -93,4 +93,51 @@ object Eval {
           .otherwise(lit(0L))
           .as("rr_ppm"),
       )
+
+  /** Average precision at k, per query — the MAP building block
+    * (multi-relevant upgrade of [[reciprocalRank]]'s single-truth rr):
+    * AP = (Σ over hit positions i of P@i) / |relevant|, where P@i =
+    * hits-so-far / i. Every P@i has denominator i ≤ k, so scaling by
+    * lcm(1..k) makes each term an EXACT integer — the statistic is
+    * emitted as the rational (ap_num, ap_den = lcm·|relevant|) with NO
+    * flooring anywhere, bit-identical across engines (the float mean
+    * would not be).
+    *
+    * One equi-join of the ≤|Q|·k ranking against the ≤|Q|·k truth set,
+    * then a per-query window over ≤k hit rows — nothing corpus-sized
+    * moves.
+    *
+    * @param truth  (q_id, n_id): the relevant set per query (e.g.
+    *               brute-force top-k).
+    * @param ranked (q_id, n_id, rnk): the system ranking under test,
+    *               rnk 1-based, rnk ≤ k.
+    * @return one row per query: (q_id, n_rel, hits, ap_num, ap_den);
+    *         AP = ap_num / ap_den, 0 hits → ap_num 0. */
+  def averagePrecision(truth: DataFrame, ranked: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"k must be in [1, 20], got $k")
+    val scale = (1 to k).foldLeft(1L)((l, i) => l / gcd(l, i) * i) // lcm(1..k)
+    val rel = truth.groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id")
+      .orderBy("rnk")
+    val terms = ranked
+      .select(col("q_id"), col("n_id"), col("rnk"))
+      .join(truth.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
+      .withColumn("cum", row_number().over(w))
+      // scale div rnk is exact: rnk ≤ k divides lcm(1..k)
+      .withColumn("term", expr(s"CAST(cum AS BIGINT) * ($scale div CAST(rnk AS BIGINT))"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("hits"), sum(col("term")).as("ap_num"))
+    rel
+      .join(terms, Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("ap_num"), lit(0L)).as("ap_num"),
+        (lit(scale) * col("n_rel")).as("ap_den"),
+      )
+  }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 }

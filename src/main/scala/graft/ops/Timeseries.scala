@@ -306,4 +306,90 @@ object Timeseries {
         col("r.s").as("ewma_scaled"),
       )
   }
+
+  /** Holt linear-trend (double exponential) smoothing over per-key
+    * hourly counts — [[ewmaHourly]] plus a trend term, the classic
+    * short-horizon forecaster for capacity dashboards. Scaled ×10⁶
+    * integer recursion (α, β in ppm):
+    *
+    *   L₁ = 10⁶·n₁, B₁ = 0
+    *   Lₜ = α·nₜ + fd((10⁶−α)·(Lₜ₋₁ + Bₜ₋₁))
+    *   Bₜ = fd(β·(Lₜ − Lₜ₋₁) + (10⁶−β)·Bₜ₋₁)
+    *
+    * where fd is FLOOR division by 10⁶ — written `(v − pmod(v, 10⁶))
+    * div 10⁶` because the trend (and a declining level forecast) go
+    * NEGATIVE, and plain integral `div` truncates toward zero there
+    * while DuckDB's `//` floors: pmod-subtraction makes the quotient
+    * an exact multiple first, so both engines agree at every sign.
+    * Both products run through DECIMAL(38,0) (HUGEINT on the oracle
+    * side) — the [[Stats.chi2Homogeneity]] overflow discipline. Bₜ's
+    * two terms share ONE flooring division (the [[Eval.classReport]]
+    * F1 rule: flooring each term separately would drift from the
+    * oracle by up to 1).
+    *
+    * Same dense-grid + bounded-array-fold shape as [[ewmaFromHourly]]:
+    * corpus work is the mergeable hourly pre-aggregation; the
+    * sequential recursion runs per key over the bounded (keys × hours)
+    * table. Lₜ is bound once via a 1-element `transform` (SQL lambdas
+    * have no let) so the level recursion exists in exactly one place
+    * and Bₜ reads the same Lₜ the row emits. */
+  def holtHourly(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      alphaPpm: Int = 300000,
+      betaPpm: Int = 125000,
+  ): DataFrame =
+    holtFromHourly(hourlyCounts(df, keyCol, tsCol), alphaPpm, betaPpm)
+
+  /** Post-aggregation stage of [[holtHourly]] over an already bucketed
+    * (key, hour_ts, n) table — shared with a streaming twin. */
+  def holtFromHourly(
+      hourly: DataFrame,
+      alphaPpm: Int = 300000,
+      betaPpm: Int = 125000,
+  ): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 1000000, s"alphaPpm must be in [1, 1e6], got $alphaPpm")
+    require(betaPpm >= 1 && betaPpm <= 1000000, s"betaPpm must be in [1, 1e6], got $betaPpm")
+    val remA = 1000000L - alphaPpm
+    val remB = 1000000L - betaPpm
+    val series = denseHourlyGrid(hourly)
+      .groupBy("key")
+      .agg(sort_array(collect_list(struct(col("hour_ts"), col("n")))).as("series"))
+    val prevL = "element_at(acc, -1).l"
+    val prevB = "element_at(acc, -1).b"
+    // fd(v) = (v - pmod(v, 1e6)) div 1e6 — v appears twice by SQL-lambda
+    // necessity; keep the two copies adjacent.
+    val vL = s"CAST($remA AS DECIMAL(38,0)) * ($prevL + $prevB)"
+    val vB = s"CAST($betaPpm AS DECIMAL(38,0)) * (lt - $prevL) + " +
+      s"CAST($remB AS DECIMAL(38,0)) * $prevB"
+    val folded = series.withColumn(
+      "out",
+      expr(
+        s"""aggregate(
+           |  series,
+           |  CAST(array() AS ARRAY<STRUCT<hour_ts TIMESTAMP, n BIGINT, l BIGINT, b BIGINT>>),
+           |  (acc, x) -> array_append(acc,
+           |    CASE WHEN size(acc) = 0
+           |      THEN struct(x.hour_ts AS hour_ts, x.n AS n, x.n * 1000000L AS l, 0L AS b)
+           |      ELSE element_at(transform(
+           |        array($alphaPpm * x.n +
+           |              CAST((($vL) - pmod($vL, 1000000)) div 1000000 AS BIGINT)),
+           |        lt -> struct(x.hour_ts AS hour_ts, x.n AS n, lt AS l,
+           |          CAST((($vB) - pmod($vB, 1000000)) div 1000000 AS BIGINT) AS b)), 1)
+           |    END),
+           |  acc -> acc)""".stripMargin
+      ),
+    )
+    folded
+      .select(col("key"), explode(col("out")).as("r"))
+      .select(
+        col("key"),
+        col("r.hour_ts").as("hour_ts"),
+        col("r.n").as("n"),
+        col("r.l").as("level_scaled"),
+        col("r.b").as("trend_scaled"),
+        (col("r.l") + col("r.b")).as("forecast_scaled"),
+      )
+  }
 }

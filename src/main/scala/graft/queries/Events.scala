@@ -743,6 +743,46 @@ object Events {
     Timeseries.ewmaHourly(events(s, d), "event_type", "ts", alphaPpm = 300000)
   }
 
+  /** Holt linear-trend smoothing ([[graft.ops.Timeseries.holtHourly]],
+    * α=0.3 β=0.125 in ppm): [[ewmaHourlyQ]] plus a trend state — level,
+    * trend, and one-step forecast per grid hour, all scaled ×10⁶
+    * integers. Trend goes NEGATIVE on declines, so both engines use
+    * the pmod-floor division (plain integral div truncates toward
+    * zero and would disagree with DuckDB's flooring `//` on every
+    * negative step). The oracle replays the recursion as a recursive
+    * CTE with LATERAL let-bindings for Lₜ and Bₜ's shared numerator. */
+  private[queries] val holtSql: String =
+    """WITH RECURSIVE
+      |counts AS (SELECT event_type AS key, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(hour_ts) AS h0, max(hour_ts) AS h1 FROM counts),
+      |hours AS (SELECT g AS hour_ts, row_number() OVER (ORDER BY g) AS rn
+      |          FROM (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g FROM span)),
+      |grid AS (SELECT k.key, h.hour_ts, h.rn, coalesce(c.n, 0) AS n
+      |         FROM (SELECT DISTINCT key FROM counts) k
+      |         CROSS JOIN hours h
+      |         LEFT JOIN counts c ON c.key = k.key AND c.hour_ts = h.hour_ts),
+      |rec AS (
+      |  SELECT key, rn, hour_ts, n, n * 1000000 AS l, CAST(0 AS BIGINT) AS b
+      |  FROM grid WHERE rn = 1
+      |  UNION ALL
+      |  SELECT g.key, g.rn, g.hour_ts, g.n, lt.l,
+      |    CAST((w.w - ((w.w % 1000000 + 1000000) % 1000000)) // 1000000 AS BIGINT)
+      |  FROM rec r
+      |  JOIN grid g ON g.key = r.key AND g.rn = r.rn + 1,
+      |  LATERAL (SELECT 300000 * g.n +
+      |             CAST((v.v - ((v.v % 1000000 + 1000000) % 1000000)) // 1000000 AS BIGINT) AS l
+      |           FROM (SELECT CAST(700000 AS HUGEINT) * (r.l + r.b) AS v) v) lt,
+      |  LATERAL (SELECT CAST(125000 AS HUGEINT) * (lt.l - r.l) +
+      |                  CAST(875000 AS HUGEINT) * r.b AS w) w)
+      |SELECT key, hour_ts, n, CAST(l AS BIGINT) AS level_scaled, CAST(b AS BIGINT) AS trend_scaled,
+      |  CAST(l + b AS BIGINT) AS forecast_scaled
+      |FROM rec""".stripMargin
+
+  private val holtHourlyQ = Q("evt_holt_trend", holtSql) { (s, d) =>
+    Timeseries.holtHourly(events(s, d), "event_type", "ts", alphaPpm = 300000, betaPpm = 125000)
+  }
+
   /** Shared oracle SQL for the batch and streaming seasonal-outlier
     * gates (the [[cusumSql]]/[[ewmaSql]] convention). */
   private[queries] val seasonalSql: String =
@@ -934,6 +974,7 @@ object Events {
     resampleLocfQ,
     cusumChangepointQ,
     ewmaHourlyQ,
+    holtHourlyQ,
     seasonalOutliersQ,
     pathTrigramsQ,
     rollupCascadeQ,

@@ -1216,6 +1216,76 @@ object SimilarityQueries {
     graft.ops.Eval.reciprocalRank(truth, ranked)
   }
 
+  /** MAP@k of the IVF chain against brute-force top-3 relevance
+    * ([[graft.ops.Eval.averagePrecision]]): the multi-relevant upgrade
+    * of [[mrrEval]] — truth is the brute-force top-3 SET per query,
+    * the system under test the nprobe=2 IVF top-3, and the statistic
+    * the exact rational (ap_num, ap_den) with lcm(1..3)=6 scaling (no
+    * flooring — P@i denominators all divide 6). The oracle replays
+    * both ANN chains and the AP arithmetic. */
+  private val mapEval = Q(
+    "sim_map_eval",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |bfp AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+       |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |bf AS (SELECT q_id, n_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM bfp) WHERE rnk <= 3),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT vec_id, cent_id, ccos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |  FROM (
+       |    SELECT e.vec_id, cent_id,
+       |      ${duckDot("e.embedding", "cemb")} / (e.nrm * cnrm) AS ccos
+       |    FROM e CROSS JOIN cent)),
+       |cand AS (SELECT vec_id, cent_id FROM asg WHERE crk = 1),
+       |qry AS (SELECT vec_id, cent_id FROM asg WHERE crk <= 2 AND vec_id < 10),
+       |ivp AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${duckDot("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm) AS cos
+       |  FROM qry q JOIN cand c ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+       |    JOIN e qe ON qe.vec_id = q.vec_id JOIN e ce ON ce.vec_id = c.vec_id),
+       |iv AS (SELECT q_id, n_id, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM ivp) WHERE rnk <= 3),
+       |hits AS (
+       |  SELECT i.q_id, i.rnk,
+       |    row_number() OVER (PARTITION BY i.q_id ORDER BY i.rnk) AS cum
+       |  FROM iv i JOIN bf b ON b.q_id = i.q_id AND b.n_id = i.n_id),
+       |agg AS (SELECT q_id, count(*) AS hits, sum(cum * (6 // rnk)) AS ap_num
+       |        FROM hits GROUP BY 1),
+       |rel AS (SELECT q_id, count(*) AS n_rel FROM bf GROUP BY 1)
+       |SELECT r.q_id, CAST(r.n_rel AS BIGINT) AS n_rel,
+       |  CAST(coalesce(a.hits, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(a.ap_num, 0) AS BIGINT) AS ap_num,
+       |  CAST(6 * r.n_rel AS BIGINT) AS ap_den
+       |FROM rel r LEFT JOIN agg a ON a.q_id = r.q_id""".stripMargin,
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    val truth = Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 3)
+      .select("q_id", "n_id")
+    val ranked = Similarity
+      .ivfTopK(
+        emb,
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+        centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16),
+        nprobe = 2,
+        queryPred = col("vec_id") < 10,
+      )
+      .select("q_id", "n_id", "rnk")
+    graft.ops.Eval.averagePrecision(truth, ranked, k = 3)
+  }
+
   /** Late-interaction MaxSim retrieval
     * ([[graft.ops.Similarity.maxSimTopK]], the ColBERT scoring rule):
     * documents as BAGS of chunk vectors, score = Σ over query chunks
@@ -1673,5 +1743,5 @@ object SimilarityQueries {
       annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
       annIvfPqSampledTopK, annIvfAppendTopK, annIvfPqResidualTopK, ragChunkTopK, docEmbeddingPool, annRecallEval,
       annBatchedTopK, annIvfStoredTopK, centroidConfusion, centroidEval, hardNegatives, mmrTopK,
-      mmrTopKWeighted, maxSimTopK, pcaPower, mrrEval)
+      mmrTopKWeighted, maxSimTopK, pcaPower, mrrEval, mapEval)
 }

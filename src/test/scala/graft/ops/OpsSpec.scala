@@ -2287,6 +2287,40 @@ class OpsSpec extends AnyFunSuite {
     assert(big.forall(_ >= 19999999999999999L), s"fixpoint drifted: $big")
   }
 
+  test("Timeseries.holtFromHourly: hand-computed series; negative trend FLOORS (not truncates)") {
+    // α=0.3, β=0.125; n = 4, 1, 0:
+    //   t1: L=4e6, B=0
+    //   t2: L = 300000 + fd(700000·4e6)        = 3100000
+    //       B = fd(125000·(3100000−4000000))   = −112500   (exact)
+    //   t3: L = fd(700000·(3100000−112500))    = 2091250
+    //       B = fd(125000·(2091250−3100000) + 875000·(−112500))
+    //         = fd(−224531250000) = −224532    ← floor; truncation
+    //           toward zero would give −224531 and diverge from
+    //           DuckDB's flooring `//` forever after.
+    val hourly = Seq(
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 4L),
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 1L),
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 0L),
+    ).toDF("key", "hour_ts", "n")
+    val rows = Timeseries
+      .holtFromHourly(hourly, alphaPpm = 300000, betaPpm = 125000)
+      .collect()
+      .sortBy(_.getAs[java.sql.Timestamp]("hour_ts").getTime)
+    assert(rows.map(_.getAs[Long]("level_scaled")).toSeq ===
+      Seq(4000000L, 3100000L, 2091250L))
+    assert(rows.map(_.getAs[Long]("trend_scaled")).toSeq ===
+      Seq(0L, -112500L, -224532L))
+    assert(rows.map(_.getAs[Long]("forecast_scaled")).toSeq ===
+      Seq(4000000L, 2987500L, 1866718L))
+    // silent grid hours are part of the recursion (dense fill):
+    val gapped = Seq(
+      ("g", java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 2L),
+      ("g", java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 2L),
+    ).toDF("key", "hour_ts", "n")
+    val g = Timeseries.holtFromHourly(gapped).collect()
+    assert(g.length === 3) // hour 02 filled with n=0
+  }
+
   test("Similarity.topEigenvector: diagonal Gram converges to the dominant axis; orthogonal start is a stable zero") {
     // 3 copies of (2,0) + 1 copy of (0,1): Gram = [[12,0],[0,1]].
     // v0 = (1e6, 1e6); each round divides dim 1 by 12 (truncating):
@@ -2324,6 +2358,34 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L) === ((1L, 1000000L)))
     assert(got(2L) === ((3L, 333333L)))
     assert(got(3L) === ((0L, 0L))) // truth absent from the list
+  }
+
+  test("Eval.averagePrecision: exact rational AP terms, zero-hit queries kept") {
+    // q1: truth {10,20,30}; hits at ranks 1 and 3 ->
+    //   AP = (1/1 + 2/3)/3 = 5/9; scaled by lcm(1..3)=6: num 6+4=10, den 18
+    // q2: truth {40}; no hits -> num 0, den 6
+    val truth  = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 40L)).toDF("q_id", "n_id")
+    val ranked = Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 20L, 3), (2L, 41L, 1))
+      .toDF("q_id", "n_id", "rnk")
+    val got = Eval
+      .averagePrecision(truth, ranked, k = 3)
+      .collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("n_rel"), r.getAs[Long]("hits"),
+          r.getAs[Long]("ap_num"), r.getAs[Long]("ap_den"))))
+      .toMap
+    assert(got(1L) === ((3L, 2L, 10L, 18L)))
+    assert(got(2L) === ((1L, 0L, 0L, 6L)))
+    // perfect ranking: AP = 1 exactly -> num == den
+    val perfect = Eval
+      .averagePrecision(
+        Seq((9L, 1L), (9L, 2L)).toDF("q_id", "n_id"),
+        Seq((9L, 1L, 1), (9L, 2L, 2)).toDF("q_id", "n_id", "rnk"),
+        k = 3,
+      )
+      .head()
+    assert(perfect.getAs[Long]("ap_num") * 1L === perfect.getAs[Long]("n_rel") * 6L)
+    assert(perfect.getAs[Long]("ap_den") === perfect.getAs[Long]("n_rel") * 6L)
   }
 
   test("Timeseries.seasonalOutliers: hour-of-day means include silent grid hours; spike flags exactly") {
