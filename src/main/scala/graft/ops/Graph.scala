@@ -483,4 +483,69 @@ object Graph {
           .as("closure_ppm"),
       )
   }
+
+  /** Markov-chain steady-state estimate by power iteration over an
+    * empirical weighted transition list — where does a behavior chain
+    * spend its time in equilibrium (the un-teleported cousin of
+    * [[PageRank]]: no damping, mass moves ONLY along observed
+    * transitions; absorbing states — no outgoing edges — keep their
+    * mass instead of receiving the dangling redistribution).
+    *
+    * Integer-ppm arithmetic throughout (the [[PageRank]] discipline):
+    * π₀ = ⌊10⁶/|states|⌋ uniform; each round sends ⌊π(src)·n/out(src)⌋
+    * along every edge — one flooring division per edge per round, so
+    * the series is engine-exact; the ≤|E| ppm lost to flooring per
+    * round is the documented price of exactness (same as PageRank's).
+    *
+    * Scale shape: per round, ONE join of the |states|-row rank vector
+    * against the edge list plus one keyed aggregate — |E| rows moved
+    * per round, rounds a small constant. |states| is dimension-bounded
+    * (event types, not events), so the state census cross-join is a
+    * broadcast of one 1-row count, not a driver collect.
+    *
+    * @param edges (src, dst, n) weighted transition counts, n > 0.
+    * @param rounds power-iteration rounds (small constant).
+    * @return (state, pi_ppm) after `rounds` iterations. */
+  def markovSteadyState(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nCol: String,
+      rounds: Int = 3,
+  ): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"), col(nCol).as("n"))
+      .localCheckpoint()
+    val outs = e.groupBy("src").agg(sum(col("n")).as("out_n"))
+    val states = e
+      .select(col("src").as("state"))
+      .unionAll(e.select(col("dst").as("state")))
+      .distinct()
+      .localCheckpoint()
+    var pi = states
+      .crossJoin(broadcast(states.agg(count(lit(1)).as("__c"))))
+      .select(col("state"), expr("1000000L div __c").as("pi"))
+    for (i <- 1 to rounds) {
+      val contrib = pi
+        .join(e, pi("state") === e("src"))
+        .join(outs, "src")
+        .select(col("dst").as("state"), expr("(pi * n) div out_n").as("m"))
+        .groupBy("state")
+        .agg(sum(col("m")).as("m"))
+      // absorbing states (no outgoing edges) hold their current mass
+      val held = pi
+        .join(outs, pi("state") === outs("src"), "left_anti")
+        .select(col("state"), col("pi").as("held_pi"))
+      pi = states
+        .join(contrib, Seq("state"), "left")
+        .join(held, Seq("state"), "left")
+        .select(
+          col("state"),
+          (coalesce(col("m"), lit(0L)) + coalesce(col("held_pi"), lit(0L))).as("pi"),
+        )
+      if (i % 3 == 0 || i == rounds) pi = pi.localCheckpoint()
+    }
+    pi.select(col("state"), col("pi").as("pi_ppm"))
+  }
 }

@@ -956,4 +956,41 @@ object Text {
       )
       .select("window_id", "doc_id", "doc_start", "doc_end", "tok_in_window")
   }
+
+  /** Hashing-trick sparse bag-of-words (Weinberger et al. 2009): each
+    * token hashes to one of `buckets` feature slots, with a second
+    * hash bit choosing ±1 so collisions cancel in expectation — the
+    * fixed-dimension featurizer that needs NO vocabulary pass (the
+    * whole point at 100 TB: one map-side-combinable aggregate, no
+    * dictionary broadcast, new tokens never resize anything).
+    *
+    * Hashes are md5-derived ([[Sampling]]'s hash24 idiom) so the
+    * vectors are engine-replayable: bucket = first 6 hex digits mod
+    * `buckets`, sign = high bit of hex digit 7. Output is the sparse
+    * COO form — one row per (doc, bucket) with the token count and the
+    * signed sum; empty documents yield no rows.
+    *
+    * Scale shape: tokenize-explode (map-only) → ONE (id, bucket) keyed
+    * aggregate with partial map-side combine; output ≤ |docs|·buckets
+    * but in practice ≈ |docs|·distinct-tokens-per-doc. */
+  def featureHash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 256,
+  ): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("__h", md5(col("tok")))
+      .groupBy(
+        col(idCol),
+        (conv(substring(col("__h"), 1, 6), 16, 10).cast("long") % buckets).as("bucket"),
+      )
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(
+          when(conv(substring(col("__h"), 7, 1), 16, 10).cast("long") < 8, 1L).otherwise(-1L)
+        ).as("signed_sum"),
+      )
+  }
 }

@@ -1665,6 +1665,66 @@ object MiscQueries {
     graft.ops.Graph.labelPropagation(edges, rounds = 3, edgesDistinct = true)
   }
 
+  /** Markov-chain steady state of the behavioral transition graph
+    * ([[graft.ops.Graph.markovSteadyState]]): 3 power-iteration rounds
+    * in exact ppm over `evt_transition_matrix`'s weighted edges — the
+    * un-teleported cousin of [[pagerankTrade]] (no damping; mass moves
+    * only along observed transitions, absorbing states hold theirs).
+    * The oracle unrolls the rounds as CTEs, one flooring division per
+    * edge per round, same arithmetic both engines. */
+  private val markovSteadyQ = Q(
+    "misc_markov_steady",
+    """WITH seq_ AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |e AS (SELECT event_type AS src, next_type AS dst, count(*) AS n FROM seq_
+      |      WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |outs AS (SELECT src, sum(n) AS out_n FROM e GROUP BY 1),
+      |states AS (SELECT DISTINCT s AS state
+      |           FROM (SELECT src AS s FROM e UNION SELECT dst AS s FROM e)),
+      |p0 AS (SELECT state,
+      |         CAST(1000000 // (SELECT count(*) FROM states) AS BIGINT) AS pi
+      |       FROM states),
+      |r1 AS (
+      |  SELECT st.state,
+      |    CAST(coalesce(m.m, 0) + CASE WHEN o.src IS NULL THEN p.pi ELSE 0 END AS BIGINT) AS pi
+      |  FROM states st
+      |  JOIN p0 p ON p.state = st.state
+      |  LEFT JOIN outs o ON o.src = st.state
+      |  LEFT JOIN (SELECT e.dst AS state, sum((p.pi * e.n) // o.out_n) AS m
+      |             FROM p0 p JOIN e ON e.src = p.state JOIN outs o ON o.src = p.state
+      |             GROUP BY 1) m ON m.state = st.state),
+      |r2 AS (
+      |  SELECT st.state,
+      |    CAST(coalesce(m.m, 0) + CASE WHEN o.src IS NULL THEN p.pi ELSE 0 END AS BIGINT) AS pi
+      |  FROM states st
+      |  JOIN r1 p ON p.state = st.state
+      |  LEFT JOIN outs o ON o.src = st.state
+      |  LEFT JOIN (SELECT e.dst AS state, sum((p.pi * e.n) // o.out_n) AS m
+      |             FROM r1 p JOIN e ON e.src = p.state JOIN outs o ON o.src = p.state
+      |             GROUP BY 1) m ON m.state = st.state),
+      |r3 AS (
+      |  SELECT st.state,
+      |    CAST(coalesce(m.m, 0) + CASE WHEN o.src IS NULL THEN p.pi ELSE 0 END AS BIGINT) AS pi
+      |  FROM states st
+      |  JOIN r2 p ON p.state = st.state
+      |  LEFT JOIN outs o ON o.src = st.state
+      |  LEFT JOIN (SELECT e.dst AS state, sum((p.pi * e.n) // o.out_n) AS m
+      |             FROM r2 p JOIN e ON e.src = p.state JOIN outs o ON o.src = p.state
+      |             GROUP BY 1) m ON m.state = st.state)
+      |SELECT state, pi AS pi_ppm FROM r3""".stripMargin,
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val e = events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    graft.ops.Graph.markovSteadyState(e, "src", "dst", "n", rounds = 3)
+  }
+
   /** One FK edge of the [[fkAuditQ]] oracle: left join the child's key
     * column against the parent's distinct keys, aggregate to a 1-row
     * report — the SQL mirror of [[graft.ops.Profile.fkAudit]]'s
@@ -2021,5 +2081,5 @@ object MiscQueries {
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
       corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ,
       labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint,
-      kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ)
+      kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ)
 }

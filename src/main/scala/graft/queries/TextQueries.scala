@@ -935,6 +935,23 @@ object TextQueries {
     * (pos_in_bucket, bucket) via plain windows — while the Spark side
     * derives it arithmetically from the bounded-domain histogram and
     * a broadcast size array; the hash match proves the closed form. */
+  /** Hashing-trick sparse bag-of-words ([[graft.ops.Text.featureHash]],
+    * 256 slots): the vocabulary-free featurizer in sparse COO form —
+    * md5-derived bucket + ±1 sign per token, one row per (doc, bucket).
+    * The oracle replays the hash arithmetic digit for digit. */
+  private val featureHashQ = Q(
+    "txt_feature_hash",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS tok FROM documents),
+      |h AS (SELECT doc_id, md5(tok) AS h FROM toks)
+      |SELECT doc_id,
+      |  CAST(CAST(('0x' || substr(h, 1, 6)) AS BIGINT) % 256 AS BIGINT) AS bucket,
+      |  count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN CAST(('0x' || substr(h, 7, 1)) AS BIGINT) < 8
+      |           THEN 1 ELSE -1 END) AS BIGINT) AS signed_sum
+      |FROM h GROUP BY 1, 2""".stripMargin,
+  ) { (s, d) => Text.featureHash(documents(s, d), "doc_id", "text", buckets = 256) }
+
   private val curriculumOrderQ = Q(
     "txt_curriculum_order",
     """WITH r AS (SELECT doc_id AS id, n_chars AS score,
@@ -1004,5 +1021,6 @@ object TextQueries {
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
       sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize, lmPrune, invertedIndexQ,
       packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ,
-      negSamplingQ, skipGramQ, curriculumOrderQ, repeatCollapseQ, preferencePairsQ)
+      negSamplingQ, skipGramQ, curriculumOrderQ, repeatCollapseQ, preferencePairsQ,
+      featureHashQ)
 }

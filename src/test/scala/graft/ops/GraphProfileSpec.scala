@@ -319,4 +319,27 @@ class GraphProfileSpec extends AnyFunSuite {
     assert((top.head.getAs[Long]("a"), top.head.getAs[Long]("b")) === ((2L, 4L)))
     assert(top.head.getAs[Int]("rnk") === 1)
   }
+
+  test("markovSteadyState: absorbing state collects all mass; cycle is a fixpoint; weights floor per edge") {
+    def pi(edges: Seq[(String, String, Long)], rounds: Int): Map[String, Long] =
+      Graph
+        .markovSteadyState(edges.toDF("src", "dst", "n"), "src", "dst", "n", rounds)
+        .collect()
+        .map(r => r.getAs[String]("state") -> r.getAs[Long]("pi_ppm"))
+        .toMap
+
+    // A -> B, B absorbing: all mass drains into B after one round and stays
+    val chain = pi(Seq(("A", "B", 1L)), rounds = 3)
+    assert(chain === Map("A" -> 0L, "B" -> 1000000L))
+
+    // 2-cycle: uniform is the exact fixpoint (no flooring loss)
+    val cyc = pi(Seq(("A", "B", 1L), ("B", "A", 1L)), rounds = 3)
+    assert(cyc === Map("A" -> 500000L, "B" -> 500000L))
+
+    // weighted fanout, 1 round: A splits 2:1 between absorbing B and C,
+    // each edge floors independently: (333333*2) div 3 = 222222,
+    // (333333*1) div 3 = 111111
+    val fan = pi(Seq(("A", "B", 2L), ("A", "C", 1L)), rounds = 1)
+    assert(fan === Map("A" -> 0L, "B" -> 555555L, "C" -> 444444L))
+  }
 }
