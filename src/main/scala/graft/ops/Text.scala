@@ -957,6 +957,22 @@ object Text {
       .select("window_id", "doc_id", "doc_start", "doc_end", "tok_in_window")
   }
 
+  /** Sentence segmentation statistics: split on terminal-punctuation
+    * runs (`[.!?]+`), keep segments with any non-space content, report
+    * the count and the longest trimmed segment — the document-shape
+    * signal quality classifiers bucket on (wall-of-text vs fragment
+    * spam), and the pre-chunking sanity check for sentence-aligned
+    * chunkers. Pure Column expressions (split + HOF filter/transform),
+    * one scan, no state. Both `trim` and the regex behave identically
+    * in DuckDB, so the stats are engine-exact. */
+  def sentenceStats(text: Column): (Column, Column) = {
+    val segs = filter(
+      transform(split(text, "[.!?]+"), s => trim(s)),
+      s => length(s) > 0,
+    )
+    (size(segs), array_max(transform(segs, s => length(s))))
+  }
+
   /** Hashing-trick sparse bag-of-words (Weinberger et al. 2009): each
     * token hashes to one of `buckets` feature slots, with a second
     * hash bit choosing ±1 so collisions cancel in expectation — the

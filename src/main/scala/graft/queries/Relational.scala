@@ -118,6 +118,23 @@ object Relational {
       .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"))
   }
 
+  /** The native ordered LISTAGG aggregate (Spark 4's `listagg ...
+    * WITHIN GROUP`, DuckDB's ordered `string_agg`) — unlike
+    * [[aggCollectSetSorted]] duplicates are PRESERVED, so the string
+    * length also pins the group cardinality. Equal sort keys are
+    * interchangeable under ORDER BY c_mktsegment, so the concatenation
+    * is deterministic across engines and partitionings. */
+  private val aggListagg = Q(
+    "rel_agg_listagg",
+    """SELECT c_nationkey, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments_all
+      |FROM customer GROUP BY c_nationkey""".stripMargin,
+  ) { (s, d) =>
+    customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(expr("listagg(c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment)")
+        .as("segments_all"))
+  }
+
   /** J1: dimension hash join — the reference's build-once rules lookup is a
     * genuinely bounded map (`tool.driver.rules[]`), but this stand-in `part`
     * table grows linearly with SF (200k rows/SF), so the broadcast decision
@@ -870,6 +887,7 @@ object Relational {
     joinSaltedRevenue,
     joinBucketed,
     aggArgmax,
+    aggListagg,
     aggTopkUdaf,
     aggBoolPredicates,
     aggStatsMoments,

@@ -996,6 +996,20 @@ object StreamingQueries {
     graft.ops.Timeseries.ewmaFromHourly(hourlyStateTable(s, d, "ewma"), alphaPpm = 300000)
   }
 
+  /** Streaming Holt linear-trend monitor — the [[ewmaStream]] pattern
+    * for [[graft.ops.Timeseries.holtFromHourly]]: streaming state is
+    * the same mergeable per-(key, hour) counts; the level+trend
+    * recursion (inherently sequential, floor-division-exact even on
+    * negative trend steps) derives from the frozen final state per
+    * trigger. Oracle: the batch gate's recursive CTE verbatim. */
+  private val holtStream = Q(
+    "stream_holt",
+    Events.holtSql, // the batch gate's oracle, shared verbatim
+  ) { (s, d) =>
+    graft.ops.Timeseries
+      .holtFromHourly(hourlyStateTable(s, d, "holt"), alphaPpm = 300000, betaPpm = 125000)
+  }
+
   /** Streaming seasonal-outlier monitor — the [[cusumStream]]/
     * [[ewmaStream]] pattern for
     * [[graft.ops.Timeseries.seasonalOutliers]]: streaming state is the
@@ -1218,5 +1232,5 @@ object StreamingQueries {
     Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream,
       decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream,
       cmsStream, bpeDriftStream, rateAnomalyStream, profileStream, distDriftStream, ivmStream,
-      cusumStream, ewmaStream, seasonalStream)
+      cusumStream, ewmaStream, holtStream, seasonalStream)
 }

@@ -935,6 +935,30 @@ object TextQueries {
     * (pos_in_bucket, bucket) via plain windows — while the Spark side
     * derives it arithmetically from the bounded-domain histogram and
     * a broadcast size array; the hash match proves the closed form. */
+  /** Sentence segmentation stats ([[graft.ops.Text.sentenceStats]]):
+    * per-document sentence count and longest-sentence length from a
+    * terminal-punctuation split — the document-shape feature next to
+    * [[tokenStats]]' token counts. Segments are trimmed and
+    * empty-filtered identically in both engines. */
+  private val sentenceStatsQ = Q(
+    "txt_sentence_stats",
+    """WITH segs AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'), s -> trim(s)),
+      |                s -> length(s) > 0) AS ss
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(ss) AS INT) AS n_sentences,
+      |  CAST(list_max(list_transform(ss, s -> length(s))) AS INT) AS max_sent_chars
+      |FROM segs""".stripMargin,
+  ) { (s, d) =>
+    val (nSent, maxChars) = Text.sentenceStats(col("text"))
+    documents(s, d).select(
+      col("doc_id"),
+      nSent.as("n_sentences"),
+      maxChars.as("max_sent_chars"),
+    )
+  }
+
   /** Hashing-trick sparse bag-of-words ([[graft.ops.Text.featureHash]],
     * 256 slots): the vocabulary-free featurizer in sparse COO form —
     * md5-derived bucket + ±1 sign per token, one row per (doc, bucket).
@@ -1022,5 +1046,5 @@ object TextQueries {
       sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize, lmPrune, invertedIndexQ,
       packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ,
       negSamplingQ, skipGramQ, curriculumOrderQ, repeatCollapseQ, preferencePairsQ,
-      featureHashQ)
+      featureHashQ, sentenceStatsQ)
 }
