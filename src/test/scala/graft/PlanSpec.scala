@@ -402,6 +402,48 @@ class PlanSpec extends AnyFunSuite {
       s"full outer must reuse the pre-aggregate exchanges:\n$fo")
   }
 
+  test("r11 continuation gates: map-only ops exchange-free, aggregates partial, joins keyed") {
+    // Feature hash: tokenize-explode is map-only; the ONLY exchange is
+    // the (doc, bucket) aggregate, and it combines map-side.
+    val fh = planOf("txt_feature_hash")
+    assert(!fh.contains("Join"), s"featureHash must not join:\n$fh")
+    assert("hashpartitioning\\(".r.findAllIn(fh).length === 1,
+      s"featureHash is one keyed exchange:\n$fh")
+    assert(fh.contains("partial_count") || fh.contains("partial_sum"),
+      s"featureHash aggregate must combine map-side:\n$fh")
+    // Sentence stats: pure map — zero exchanges, zero joins.
+    val ss = planOf("txt_sentence_stats")
+    assert(!ss.contains("Exchange") && !ss.contains("Join"),
+      s"sentenceStats must be map-only:\n$ss")
+    // Damerau pairs: the 25-row dimension self-join may nest-loop
+    // (non-equi predicate over a bounded dim) but must never
+    // shuffle-sort; the scalar DP is the workload.
+    val dl = planOf("str_damerau_nations")
+    assert(!dl.contains("SortMergeJoin") && !dl.contains("CartesianProduct"),
+      s"damerau pair join must stay broadcast over the bounded dim:\n$dl")
+    // LISTAGG: one keyed exchange, no window pass.
+    val la = planOf("rel_agg_listagg")
+    assert(!la.contains("Window"), s"listagg must not use windows:\n$la")
+    assert("hashpartitioning\\(".r.findAllIn(la).length === 1,
+      s"listagg is one keyed exchange:\n$la")
+    // Holt trend + Markov steady state: keyed joins only — the grid
+    // fill / rank rounds must never plan cartesian (the 1-row count
+    // probes broadcast by construction).
+    for (name <- Seq("evt_holt_trend", "misc_markov_steady", "sim_map_eval"))
+      assert(!planOf(name).contains("CartesianProduct"), name)
+  }
+
+  test("native damerau_levenshtein participates in codegen (no interpreted fallback marker)") {
+    graft.functions.DamerauLevenshteinExpr.registerOn(spark)
+    val n = Tables.nation(spark, sf)
+    val d = n.select(graft.functions.DamerauLevenshteinExpr.damerau_levenshtein(
+      org.apache.spark.sql.functions.col("n_name"),
+      org.apache.spark.sql.functions.lit("NATION_0")).as("v"))
+    val p = d.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("codegen id"), p) // the Project evaluating the DP is codegen'd
+    assert(d.collect().map(_.getInt(0)).min === 0) // NATION_0 itself is present
+  }
+
   test("z-order key is a map-only projection over the scan") {
     val p = planOf("misc_zorder_key")
     assert(!p.contains("Exchange"), s"key computation must not shuffle:\n$p")
