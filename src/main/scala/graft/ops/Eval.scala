@@ -122,6 +122,10 @@ object Eval {
       .orderBy("rnk")
     val terms = ranked
       .select(col("q_id"), col("n_id"), col("rnk"))
+      // enforce the rnk ≤ k contract the exactness claim rests on
+      // (rnk must divide lcm(1..k)); deeper rankings are cut, not
+      // silently mis-floored
+      .filter(col("rnk") <= k)
       .join(truth.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
       .withColumn("cum", row_number().over(w))
       // scale div rnk is exact: rnk ≤ k divides lcm(1..k)

@@ -1161,8 +1161,13 @@ object SimilarityQueries {
     * set-membership-blind; same index configuration (16 cells,
     * nprobe 2, k = 3), oracle composes the two proven differential
     * chains and replays the rank lookup. */
-  private val mrrEval = Q(
-    "sim_mrr_eval",
+  /** Shared CTE prefix of the [[mrrEval]]/[[mapEval]] oracles: the
+    * brute-force truth chain (filtered to `bfFilter` ranks) and the
+    * 16-cell / nprobe-2 / k=3 IVF ranking under test, ending at `iv`.
+    * One definition so a tie-break or index-config change cannot
+    * desynchronize the two gates (the [[graft.queries.Events]]
+    * `holtSql`-sharing convention applied to a parameterized prefix). */
+  private def annEvalChainSql(bfFilter: String): String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
@@ -1173,7 +1178,7 @@ object SimilarityQueries {
        |  WHERE q.vec_id < 10),
        |bf AS (SELECT q_id, n_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
-       |  FROM bfp) WHERE rnk = 1),
+       |  FROM bfp) WHERE $bfFilter),
        |cent AS (
        |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16),
        |asg AS (
@@ -1192,7 +1197,11 @@ object SimilarityQueries {
        |    JOIN e qe ON qe.vec_id = q.vec_id JOIN e ce ON ce.vec_id = c.vec_id),
        |iv AS (SELECT q_id, n_id, rnk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
-       |  FROM ivp) WHERE rnk <= 3)
+       |  FROM ivp) WHERE rnk <= 3)""".stripMargin
+
+  private val mrrEval = Q(
+    "sim_mrr_eval",
+    s"""${annEvalChainSql("rnk = 1")}
        |SELECT b.q_id, b.n_id AS truth_id,
        |  CAST(coalesce(i.rnk, 0) AS BIGINT) AS found_rank,
        |  CAST(CASE WHEN i.rnk IS NULL THEN 0 ELSE 1000000 // i.rnk END AS BIGINT) AS rr_ppm
@@ -1225,36 +1234,7 @@ object SimilarityQueries {
     * both ANN chains and the AP arithmetic. */
   private val mapEval = Q(
     "sim_map_eval",
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
-       |  FROM embeddings),
-       |bfp AS (
-       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-       |    ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
-       |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < 10),
-       |bf AS (SELECT q_id, n_id FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
-       |  FROM bfp) WHERE rnk <= 3),
-       |cent AS (
-       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16),
-       |asg AS (
-       |  SELECT vec_id, cent_id, ccos,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
-       |  FROM (
-       |    SELECT e.vec_id, cent_id,
-       |      ${duckDot("e.embedding", "cemb")} / (e.nrm * cnrm) AS ccos
-       |    FROM e CROSS JOIN cent)),
-       |cand AS (SELECT vec_id, cent_id FROM asg WHERE crk = 1),
-       |qry AS (SELECT vec_id, cent_id FROM asg WHERE crk <= 2 AND vec_id < 10),
-       |ivp AS (
-       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-       |    ${duckDot("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm) AS cos
-       |  FROM qry q JOIN cand c ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
-       |    JOIN e qe ON qe.vec_id = q.vec_id JOIN e ce ON ce.vec_id = c.vec_id),
-       |iv AS (SELECT q_id, n_id, rnk FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
-       |  FROM ivp) WHERE rnk <= 3),
+    s"""${annEvalChainSql("rnk <= 3")},
        |hits AS (
        |  SELECT i.q_id, i.rnk,
        |    row_number() OVER (PARTITION BY i.q_id ORDER BY i.rnk) AS cum

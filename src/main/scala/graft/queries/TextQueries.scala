@@ -927,14 +927,6 @@ object TextQueries {
     Text.vocabStats(documents(s, d), "source", "text")
   }
 
-  /** Deterministic curriculum ordering
-    * ([[graft.ops.Sampling.curriculumOrder]]): a dense total order
-    * interleaving 10 difficulty deciles round-robin (difficulty =
-    * n_chars), so every training window sees the full spectrum. The
-    * oracle computes the position by the SPEC — rank of
-    * (pos_in_bucket, bucket) via plain windows — while the Spark side
-    * derives it arithmetically from the bounded-domain histogram and
-    * a broadcast size array; the hash match proves the closed form. */
   /** Sentence segmentation stats ([[graft.ops.Text.sentenceStats]]):
     * per-document sentence count and longest-sentence length from a
     * terminal-punctuation split — the document-shape feature next to
@@ -976,6 +968,14 @@ object TextQueries {
       |FROM h GROUP BY 1, 2""".stripMargin,
   ) { (s, d) => Text.featureHash(documents(s, d), "doc_id", "text", buckets = 256) }
 
+  /** Deterministic curriculum ordering
+    * ([[graft.ops.Sampling.curriculumOrder]]): a dense total order
+    * interleaving 10 difficulty deciles round-robin (difficulty =
+    * n_chars), so every training window sees the full spectrum. The
+    * oracle computes the position by the SPEC — rank of
+    * (pos_in_bucket, bucket) via plain windows — while the Spark side
+    * derives it arithmetically from the bounded-domain histogram and
+    * a broadcast size array; the hash match proves the closed form. */
   private val curriculumOrderQ = Q(
     "txt_curriculum_order",
     """WITH r AS (SELECT doc_id AS id, n_chars AS score,
