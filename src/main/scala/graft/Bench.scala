@@ -37,6 +37,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.ShingleRewrite.installOn(spark)
+    graft.plans.EditDistancePrefilter.installOn(spark)
     // Absorb session/codegen warmup outside any query's timing.
     spark.range(1000).selectExpr("sum(id)").collect()
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

@@ -17,6 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.ShingleRewrite)
+    e.injectOptimizerRule(_ => graft.plans.EditDistancePrefilter)
     e.injectFunction(
       (
         FunctionIdentifier("float_dot"),

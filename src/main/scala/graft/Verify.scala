@@ -15,6 +15,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.ShingleRewrite.installOn(spark)
+    graft.plans.EditDistancePrefilter.installOn(spark)
     new java.io.File(outDir).mkdirs()
     // Local profiling hook (the driver never sets it): dump only the
     // named queries — for targeted re-checks at expensive scales.

@@ -433,6 +433,55 @@ class PlanSpec extends AnyFunSuite {
       assert(!planOf(name).contains("CartesianProduct"), name)
   }
 
+  test("EditDistancePrefilter: bounded distance predicates gain the length guard; rows unchanged") {
+    graft.plans.EditDistancePrefilter.installOn(spark)
+    graft.functions.DamerauLevenshteinExpr.registerOn(spark)
+    val n = Tables.nation(spark, sf).select(org.apache.spark.sql.functions.col("n_name"))
+    n.createOrReplaceTempView("v_edp_nation")
+
+    // Filter form, builtin levenshtein: the optimized condition carries
+    // abs(length - length) <= 3 ahead of the DP.
+    val filt = spark.sql(
+      "SELECT a.n_name AS an, b.n_name AS bn FROM v_edp_nation a, v_edp_nation b " +
+        "WHERE a.n_name < b.n_name AND levenshtein(a.n_name, b.n_name) <= 3")
+    val fp = filt.queryExecution.optimizedPlan.toString
+    assert(fp.contains("abs(") && fp.contains("length("),
+      s"length guard missing from the optimized plan:\n$fp")
+    // fixed-point idempotence: exactly ONE guard, not one per pass
+    assert("abs\\(".r.findAllIn(fp).length === 1, s"guard duplicated:\n$fp")
+
+    // row equality vs the unguarded semantics (guard is necessary, so
+    // counts match the plain recompute)
+    val expected = spark.sql(
+      "SELECT count(*) AS c FROM v_edp_nation a, v_edp_nation b " +
+        "WHERE a.n_name < b.n_name AND levenshtein(a.n_name, b.n_name) + 0 <= 3")
+      .head().getLong(0)
+    assert(filt.count() === expected)
+
+    // native damerau matches too
+    val dl = spark.sql(
+      "SELECT count(*) FROM v_edp_nation a, v_edp_nation b " +
+        "WHERE a.n_name < b.n_name AND damerau_levenshtein(a.n_name, b.n_name) < 4")
+    val dp = dl.queryExecution.optimizedPlan.toString
+    assert(dp.contains("abs("), s"damerau predicate must gain the guard:\n$dp")
+
+    // negatives: non-literal bound, reversed inequality, thresholded
+    // 3-arg levenshtein — all untouched
+    for (
+      sql <- Seq(
+        "SELECT * FROM v_edp_nation a, v_edp_nation b " +
+          "WHERE levenshtein(a.n_name, b.n_name) <= length(a.n_name)",
+        "SELECT * FROM v_edp_nation a, v_edp_nation b " +
+          "WHERE levenshtein(a.n_name, b.n_name) >= 3",
+        "SELECT * FROM v_edp_nation a, v_edp_nation b " +
+          "WHERE levenshtein(a.n_name, b.n_name, 3) <= 3",
+      )
+    ) {
+      val p = spark.sql(sql).queryExecution.optimizedPlan.toString
+      assert(!p.contains("abs("), s"guard must not fire for: $sql\n$p")
+    }
+  }
+
   test("native damerau_levenshtein participates in codegen (no interpreted fallback marker)") {
     graft.functions.DamerauLevenshteinExpr.registerOn(spark)
     val n = Tables.nation(spark, sf)
