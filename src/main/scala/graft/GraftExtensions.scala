@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("jaro_winkler"),
+        new ExpressionInfo(classOf[graft.functions.JaroWinklerExpr].getName, "jaro_winkler"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.JaroWinklerExpr(exprs.head, exprs(1)),
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("simhash32"),
         new ExpressionInfo(classOf[SimHash32Expr].getName, "simhash32"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -236,6 +236,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("jaro_winkler: DuckDB-pinned doubles (exact), empty-string and prefix conventions") {
+    import JaroWinklerExpr.similarity
+    // exact doubles fetched from duckdb jaro_winkler_similarity — the
+    // oracle differential depends on bit equality of these
+    assert(similarity("martha", "marhta") === 0.9611111111111111)
+    assert(similarity("dixon", "dicksonx") === 0.8133333333333332)
+    assert(similarity("jellyfish", "smellyfish") === 0.8962962962962964)
+    assert(similarity("NATION_1", "NATION_12") === 0.9777777777777777)
+    assert(similarity("abc", "abc") === 1.0)
+    assert(similarity("", "x") === 0.0)
+    assert(similarity("", "") === 0.0) // DuckDB convention, NOT 1
+    // boost only above 0.7 and the prefix caps at 4
+    assert(similarity("abcdefgh", "abcdzzzz") < 1.0)
+    // SQL registry path + null propagation
+    JaroWinklerExpr.registerOn(spark)
+    val v = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS j").head().getDouble(0)
+    assert(v === 0.9611111111111111)
+    assert(spark.sql("SELECT jaro_winkler(CAST(NULL AS STRING), 'x') AS j").head().isNullAt(0))
+  }
+
   test("float_dot resolves from SQL text through the function registry") {
     // (withExtensions only takes effect on a fresh SparkSession; the
     // shared test session uses the imperative registration path, which
