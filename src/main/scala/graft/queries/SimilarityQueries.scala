@@ -1154,13 +1154,6 @@ object SimilarityQueries {
     Similarity.topEigenvector(q, "q_emb", d = 8, rounds = 3)
   }
 
-  /** MRR retrieval eval ([[graft.ops.Eval.reciprocalRank]]): where did
-    * the IVF index rank each query's TRUE nearest neighbor
-    * (brute-force rank 1)? The reciprocal-rank twin of
-    * `sim_ann_recall_eval` — rank-position-sensitive where recall is
-    * set-membership-blind; same index configuration (16 cells,
-    * nprobe 2, k = 3), oracle composes the two proven differential
-    * chains and replays the rank lookup. */
   /** Shared CTE prefix of the [[mrrEval]]/[[mapEval]] oracles: the
     * brute-force truth chain (filtered to `bfFilter` ranks) and the
     * 16-cell / nprobe-2 / k=3 IVF ranking under test, ending at `iv`.
@@ -1199,6 +1192,13 @@ object SimilarityQueries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
        |  FROM ivp) WHERE rnk <= 3)""".stripMargin
 
+  /** MRR retrieval eval ([[graft.ops.Eval.reciprocalRank]]): where did
+    * the IVF index rank each query's TRUE nearest neighbor
+    * (brute-force rank 1)? The reciprocal-rank twin of
+    * `sim_ann_recall_eval` — rank-position-sensitive where recall is
+    * set-membership-blind; same index configuration (16 cells,
+    * nprobe 2, k = 3), oracle composes the two proven differential
+    * chains and replays the rank lookup. */
   private val mrrEval = Q(
     "sim_mrr_eval",
     s"""${annEvalChainSql("rnk = 1")}
@@ -1264,6 +1264,49 @@ object SimilarityQueries {
       )
       .select("q_id", "n_id", "rnk")
     graft.ops.Eval.averagePrecision(truth, ranked, k = 3)
+  }
+
+  /** Matryoshka truncation eval (Kusupati 2022): recall@3 of
+    * brute-force retrieval over the FIRST 4 dims against the full
+    * 8-dim truth — the measurement that justifies serving truncated
+    * embeddings (MRL's whole point: cheap prefix search, full-dim
+    * re-rank). Composes two proven brute-force chains through
+    * [[graft.ops.Similarity.recallAtK]]; the oracle replays both (the
+    * prefix side scores `list_slice(embedding, 1, 4)`). */
+  private val matryoshkaRecall = Q(
+    "sim_matryoshka_recall",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, list_slice(embedding, 1, 4) AS emb4,
+       |    sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |e4 AS (SELECT vec_id, emb4, sqrt(${duckDot("emb4", "emb4")}) AS nrm4 FROM e),
+       |tr AS (SELECT q_id, n_id FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+       |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10) WHERE rnk <= 3),
+       |ap AS (SELECT q_id, n_id FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${duckDot("q.emb4", "c.emb4")} / (q.nrm4 * c.nrm4) DESC, c.vec_id) AS rnk
+       |  FROM e4 q JOIN e4 c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10) WHERE rnk <= 3)
+       |SELECT t.q_id, count(*) AS exact_k,
+       |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // count(*)
+       |       AS BIGINT) AS recall_ppm
+       |FROM tr t LEFT JOIN ap a ON a.q_id = t.q_id AND a.n_id = t.n_id
+       |GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    val emb  = embeddings(s, d)
+    val emb4 = emb.select(col("vec_id"), slice(col("embedding"), 1, 4).as("emb4"))
+    val truth = Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 3)
+      .select("q_id", "n_id")
+    val approx = Similarity
+      .bruteForceTopK(emb4.filter(col("vec_id") < 10), emb4, "vec_id", "emb4", k = 3)
+      .select("q_id", "n_id")
+    Similarity.recallAtK(truth, approx, "q_id", "n_id")
   }
 
   /** Late-interaction MaxSim retrieval
@@ -1723,5 +1766,5 @@ object SimilarityQueries {
       annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
       annIvfPqSampledTopK, annIvfAppendTopK, annIvfPqResidualTopK, ragChunkTopK, docEmbeddingPool, annRecallEval,
       annBatchedTopK, annIvfStoredTopK, centroidConfusion, centroidEval, hardNegatives, mmrTopK,
-      mmrTopKWeighted, maxSimTopK, pcaPower, mrrEval, mapEval)
+      mmrTopKWeighted, maxSimTopK, pcaPower, mrrEval, mapEval, matryoshkaRecall)
 }
