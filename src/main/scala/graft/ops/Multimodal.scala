@@ -274,6 +274,49 @@ object Multimodal {
       i => content.substr(lit(1) + i * greatest(octet_length(content).cast("int") / n, lit(1)).cast("int"), lit(frameBytes)),
     )
 
+  /** ViT-style patch grid planner: treat the payload as `rowBytes`-wide
+    * raster rows and tile COMPLETE `patchW`×`patchH` patches — one
+    * struct per patch with grid coordinates (px, py), the pixel box
+    * (x0, y0), and the byte offset of the patch's first byte — the
+    * coordinate plan a vision tokenizer hands its decode kernel
+    * (decode itself is stubbed per the multimodal contract; the
+    * Spark-side geometry, explode shape, and offsets are real).
+    * Partial rows/patches are clipped, so every emitted patch is fully
+    * backed by payload bytes. Pure Column arithmetic — map-only at any
+    * corpus size. */
+  def patchGrid(
+      content: org.apache.spark.sql.Column,
+      rowBytes: Int,
+      patchW: Int,
+      patchH: Int,
+  ): org.apache.spark.sql.Column = {
+    require(rowBytes % patchW == 0, s"rowBytes must be a multiple of patchW ($rowBytes % $patchW)")
+    val nCols = rowBytes / patchW
+    val nRows = (octet_length(content) / rowBytes).cast("int") // complete raster rows
+    val nPy   = (nRows / patchH).cast("int")                   // complete patch rows
+    filter(
+      transform(
+        sequence(lit(0), greatest(nPy * nCols, lit(1)) - 1),
+        i => {
+          val py = (i / nCols).cast("int")
+          val px = (i % nCols).cast("int")
+          struct(
+            i.cast("int").as("patch_id"),
+            px.as("px"),
+            py.as("py"),
+            (px * patchW).as("x0"),
+            (py * patchH).as("y0"),
+            ((py * patchH).cast("long") * rowBytes + px * patchW).as("byte_offset"),
+          )
+        },
+      ),
+      // sequence() can't be empty (negative bound errors), so a too-
+      // small payload generates one dummy element; the range test
+      // drops it — empty payloads yield zero patches.
+      p => p.getField("patch_id") < nPy * nCols,
+    )
+  }
+
   /** Perceptual hash (aHash, the average-hash family every image-dedup
     * pipeline starts with): the payload's [[audioWindowEnergy]] cell
     * energies — the deterministic stand-in for the decoded-pixel grid a

@@ -1725,6 +1725,53 @@ object MiscQueries {
     graft.ops.Graph.markovSteadyState(e, "src", "dst", "n", rounds = 3)
   }
 
+  /** Benford first-digit audit — the data-quality screen for
+    * fabricated or mis-generated numeric columns (real multiplicative
+    * data follows log10(1+1/d); uniform synthetics don't, and the gate
+    * exposes exactly that). One scan to a 9-row digit census; the
+    * expected shares are the floor-ppm Benford constants hardcoded
+    * IDENTICALLY in both engines (no float log at query time), and the
+    * deviation is an exact integer. */
+  private val benfordQ = Q(
+    "misc_benford",
+    """WITH c AS (
+      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+      |              AS BIGINT) AS digit
+      |  FROM orders WHERE o_totalprice > 0),
+      |h AS (SELECT digit, count(*) AS n FROM c GROUP BY 1),
+      |t AS (SELECT sum(n) AS total FROM h)
+      |SELECT digit, n, CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+      |  CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938
+      |       WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66946 WHEN 7 THEN 57991
+      |       WHEN 8 THEN 51152 ELSE 45757 END AS BIGINT) AS benford_ppm,
+      |  CAST(abs(n * 1000000 // total -
+      |       CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938
+      |       WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66946 WHEN 7 THEN 57991
+      |       WHEN 8 THEN 51152 ELSE 45757 END) AS BIGINT) AS dev_ppm
+      |FROM h, t""".stripMargin,
+  ) { (s, d) =>
+    // floor(1e6·log10(1+1/d)) — computed once here, never a float at
+    // query time; the oracle hardcodes the same nine constants
+    val benford = map(
+      (1 to 9).flatMap(dg =>
+        Seq(lit(dg.toLong), lit(math.floor(1e6 * math.log10(1.0 + 1.0 / dg)).toLong))
+      ): _*
+    )
+    val h = orders(s, d)
+      .filter(col("o_totalprice") > 0)
+      .select(
+        substring(expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"), 1, 1)
+          .cast("long").as("digit")
+      )
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+    h.crossJoin(broadcast(h.agg(sum(col("n")).as("total"))))
+      .withColumn("share_ppm", expr("(n * 1000000L) div total"))
+      .withColumn("benford_ppm", element_at(benford, col("digit")))
+      .withColumn("dev_ppm", abs(col("share_ppm") - col("benford_ppm")))
+      .select("digit", "n", "share_ppm", "benford_ppm", "dev_ppm")
+  }
+
   /** One FK edge of the [[fkAuditQ]] oracle: left join the child's key
     * column against the parent's distinct keys, aggregate to a 1-row
     * report — the SQL mirror of [[graft.ops.Profile.fkAudit]]'s
@@ -2081,5 +2128,5 @@ object MiscQueries {
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
       corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ,
       labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint,
-      kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ)
+      kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ)
 }

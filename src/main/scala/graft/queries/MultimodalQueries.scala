@@ -80,6 +80,39 @@ object MultimodalQueries {
       .select(col("doc_id"), col("frame_idx"), base64(col("frame")).as("frame_b64"))
   }
 
+  /** ViT-style patch grid ([[Multimodal.patchGrid]]): the payload as
+    * 32-byte raster rows tiled into complete 16×16 patches — grid
+    * coordinates, pixel box, byte offset per patch, the coordinate
+    * plan a vision tokenizer feeds its decode kernel. Clipping (only
+    * fully-backed patches) and the empty-payload case are part of the
+    * differential. */
+  private val patchGridQ = Q(
+    "mm_patch_grid",
+    """SELECT doc_id, CAST(i AS INT) AS patch_id,
+      |  CAST(i % 2 AS INT) AS px, CAST(i // 2 AS INT) AS py,
+      |  CAST((i % 2) * 16 AS INT) AS x0, CAST((i // 2) * 16 AS INT) AS y0,
+      |  CAST((i // 2) * 16 * 32 + (i % 2) * 16 AS BIGINT) AS byte_offset
+      |FROM (SELECT doc_id, octet_length(encode(text)) // 32 // 16 * 2 AS np FROM documents) d,
+      |     unnest(generate_series(0, np - 1)) AS t(i)""".stripMargin,
+  ) { (s, d) =>
+    Multimodal
+      .packDocuments(documents(s, d))
+      .select(
+        col("doc_id"),
+        explode(Multimodal.patchGrid(col("content"), rowBytes = 32, patchW = 16, patchH = 16))
+          .as("p"),
+      )
+      .select(
+        col("doc_id"),
+        col("p.patch_id").as("patch_id"),
+        col("p.px").as("px"),
+        col("p.py").as("py"),
+        col("p.x0").as("x0"),
+        col("p.y0").as("y0"),
+        col("p.byte_offset").as("byte_offset"),
+      )
+  }
+
   /** Windowed audio-style energy ([[Multimodal.audioWindowEnergy]]):
     * the payload as a mono sample stream, 256-sample windows, integer
     * Σ s² per window through the batched mapPartitions decoder. The
@@ -166,5 +199,6 @@ object MultimodalQueries {
   }
 
   val all: Seq[Q] =
-    Seq(binaryMeta, features, dedupBinary, frameSampleQ, audioWindows, phashGroupsQ, keyframesQ)
+    Seq(binaryMeta, features, dedupBinary, frameSampleQ, patchGridQ, audioWindows, phashGroupsQ,
+      keyframesQ)
 }

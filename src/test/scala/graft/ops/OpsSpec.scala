@@ -958,6 +958,31 @@ class OpsSpec extends AnyFunSuite {
     assert(new String(frames.head, "UTF-8") === "wide")
   }
 
+  test("patchGrid: complete patches only; empty/short payloads yield none; offsets hand-checked") {
+    // rowBytes=8, patch 4x2: doc 1 has 3 raster rows (24 bytes) -> 1
+    // complete patch row (2 patches), third raster row clipped.
+    // doc 2 (7 bytes, no complete raster row) and doc 3 (empty) -> none.
+    val docs = Seq(
+      (1L, "x" * 24, "s"),
+      (2L, "x" * 7, "s"),
+      (3L, "", "s"),
+    ).toDF("doc_id", "text", "source")
+    val got = Multimodal
+      .packDocuments(docs)
+      .select(col("doc_id"),
+        explode(Multimodal.patchGrid(col("content"), rowBytes = 8, patchW = 4, patchH = 2)).as("p"))
+      .select(col("doc_id"), col("p.patch_id"), col("p.px"), col("p.py"),
+        col("p.x0"), col("p.y0"), col("p.byte_offset"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getLong(6)))
+      .toSet
+    assert(got === Set(
+      (1L, 0, 0, 0, 0, 0, 0L),
+      (1L, 1, 1, 0, 4, 0, 4L),
+    ))
+  }
+
   test("perceptualHash: mean-threshold bits hand-checked; constant grid hashes 0; groups collapse re-encodes") {
     // cells of 4 bytes, 4 cells. doc 1: one loud cell then quiet ones →
     // only bit 0 set. doc 2: constant bytes → all-equal grid → 0 (strict >).
