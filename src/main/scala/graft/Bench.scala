@@ -62,7 +62,8 @@ object Bench {
         graft.queries.DedupQueries.prewarmShared(spark, sfDir, only) ++
           graft.queries.StreamingQueries.prewarmShared(spark, sfDir, only) ++
           graft.queries.MiscQueries.prewarmShared(spark, sfDir, only) ++
-          graft.queries.TextQueries.prewarmShared(spark, sfDir, only)
+          graft.queries.TextQueries.prewarmShared(spark, sfDir, only) ++
+          graft.queries.Events.prewarmShared(spark, sfDir, only)
     val sharedBuildS = sharedArts.map(_._2).sum
     if (sharedArts.nonEmpty)
       println(

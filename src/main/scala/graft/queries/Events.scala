@@ -14,6 +14,48 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Weighted behavioral transition edges (src, dst, n) — the per-user
+    * lead window over the events corpus, paid ONCE and shared by
+    * `evt_transition_matrix` and `misc_markov_steady` (the
+    * [[MiscQueries]] trade-projection pattern: the window is the
+    * corpus-proportional cost, the |types|²-bounded result is cheap to
+    * persist). Same lifetime contract as the other shared caches. */
+  private val transitionCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private[queries] def sharedTransitionPairs(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame =
+    transitionCache.getOrElseUpdate(
+      (s, d), {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+          .agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      },
+    )
+
+  private val transitionConsumers = Set("evt_transition_matrix", "misc_markov_steady")
+
+  /** Same contract as [[MiscQueries.prewarmShared]]: build the shared
+    * transition edges under the bench's `shared_build` accounting. */
+  def prewarmShared(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      selected: Option[Set[String]] = None,
+  ): Seq[(String, Double)] =
+    if (selected.forall(sel => (sel & transitionConsumers).nonEmpty)) {
+      val t0 = System.nanoTime()
+      sharedTransitionPairs(s, d).count()
+      Seq("transition_pairs" -> (System.nanoTime() - t0) / 1e9)
+    } else Seq.empty
+
   /** P1 dynamic JSON path extraction from a string column. */
   private val jsonExtractGroup = Q(
     "evt_json_extract_group",
@@ -634,13 +676,8 @@ object Events {
       |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS p_ppm
       |FROM c""".stripMargin,
   ) { (s, d) =>
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val c = events(s, d)
-      .withColumn("next_type", lead(col("event_type"), 1).over(w))
-      .filter(col("next_type").isNotNull)
-      .groupBy("event_type", "next_type")
-      .agg(count(lit(1)).as("n"))
+    val c = sharedTransitionPairs(s, d)
+      .select(col("src").as("event_type"), col("dst").as("next_type"), col("n"))
     // integer `div`, not floor(double /): past 2^53 the double quotient
     // rounds and would drift from the oracle's exact `//`
     val tot = org.apache.spark.sql.expressions.Window.partitionBy("event_type")

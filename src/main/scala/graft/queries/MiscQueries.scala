@@ -1715,14 +1715,8 @@ object MiscQueries {
       |             GROUP BY 1) m ON m.state = st.state)
       |SELECT state, pi AS pi_ppm FROM r3""".stripMargin,
   ) { (s, d) =>
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val e = events(s, d)
-      .withColumn("next_type", lead(col("event_type"), 1).over(w))
-      .filter(col("next_type").isNotNull)
-      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
-      .agg(count(lit(1)).as("n"))
-    graft.ops.Graph.markovSteadyState(e, "src", "dst", "n", rounds = 3)
+    graft.ops.Graph
+      .markovSteadyState(Events.sharedTransitionPairs(s, d), "src", "dst", "n", rounds = 3)
   }
 
   /** Benford first-digit audit — the data-quality screen for
