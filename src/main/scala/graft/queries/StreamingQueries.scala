@@ -996,6 +996,49 @@ object StreamingQueries {
     graft.ops.Timeseries.ewmaFromHourly(hourlyStateTable(s, d, "ewma"), alphaPpm = 300000)
   }
 
+  /** Streaming bounded top-k: the [[graft.functions.TopKAgg]] custom
+    * UDAF as STREAMING aggregation state — per event type, the top-3
+    * event ids by (value desc, id) maintained across micro-batches in
+    * a k-bounded buffer (the typed-imperative merge path the batch
+    * gate `rel_agg_topk_udaf` proves, here exercised through the
+    * stateful-aggregation store). State per key is k entries, never
+    * the group; the final complete-mode table must equal the batch
+    * ordered-list oracle exactly. */
+  private val topkStream = Q(
+    "stream_topk",
+    """SELECT event_type,
+      |  array_to_string((list(event_id ORDER BY value DESC, event_id))[1:3], ',') AS top_events
+      |FROM events GROUP BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    val stream = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+    val agg = stream
+      .groupBy("event_type")
+      .agg(
+        array_join(
+          graft.functions.TopKAgg.top_k_ids(3)(col("event_id"), col("value")),
+          ",",
+        ).as("top_events")
+      )
+    val name = synchronized { streamN += 1; s"graft_stream_topk_$streamN" }
+    withStatePartitions(s, 4) {
+      withScratchCheckpoint("graft_ckpt_topk") { ckpt =>
+        val q = agg.writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    s.table(name).localCheckpoint()
+  }
+
   /** Streaming Holt linear-trend monitor — the [[ewmaStream]] pattern
     * for [[graft.ops.Timeseries.holtFromHourly]]: streaming state is
     * the same mergeable per-(key, hour) counts; the level+trend
@@ -1232,5 +1275,5 @@ object StreamingQueries {
     Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream,
       decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream,
       cmsStream, bpeDriftStream, rateAnomalyStream, profileStream, distDriftStream, ivmStream,
-      cusumStream, ewmaStream, holtStream, seasonalStream)
+      cusumStream, ewmaStream, holtStream, seasonalStream, topkStream)
 }
