@@ -175,4 +175,41 @@ object Blocking {
         col("n_candidates"),
       )
   }
+
+  /** [[matchBest]] scored by Jaro–Winkler instead of token-set Jaccard
+    * — the character-level variant that survives within-token typos
+    * token equality can't see (the `perturbNames` typo class). Same
+    * blocking equi-join and min-struct argmax; the score is the native
+    * [[graft.functions.JaroWinklerExpr]] DOUBLE (bit-equal to DuckDB's
+    * on the single-byte names this pipeline blocks), ties broken by
+    * smallest canon id. Same 100 TB posture as [[matchBest]]: the
+    * block-key equi-join bounds candidates, skewed blocks salt via
+    * [[Colocate.saltedJoin]].
+    *
+    * @param dirty (`id`, `name`, `block`)
+    * @param canon (`id`, `name`, `block`)
+    * @param minSim keep candidates with jw ≥ minSim
+    * @return (`dirty_id`, `canon_id`, `jw`, `n_candidates`) */
+  def matchBestJw(dirty: DataFrame, canon: DataFrame, minSim: Double): DataFrame = {
+    graft.functions.JaroWinklerExpr.registerOn(dirty.sparkSession)
+    val jw = graft.functions.JaroWinklerExpr.jaro_winkler _
+    val pairs = dirty
+      .select(col("id").as("dirty_id"), col("name").as("__dn"), col("block"))
+      .join(canon.select(col("id").as("canon_id"), col("name").as("__cn"), col("block")),
+        Seq("block"))
+      .withColumn("jw", jw(col("__dn"), col("__cn")))
+      .filter(col("jw") >= minSim)
+    pairs
+      .groupBy("dirty_id")
+      .agg(
+        min(struct((-col("jw")).as("ns"), col("canon_id").as("cid"))).as("m"),
+        count(lit(1)).as("n_candidates"),
+      )
+      .select(
+        col("dirty_id"),
+        col("m.cid").as("canon_id"),
+        (-col("m.ns")).as("jw"),
+        col("n_candidates"),
+      )
+  }
 }

@@ -1280,6 +1280,58 @@ object DedupQueries {
       .withColumn("is_correct", col("dirty_id") === col("canon_id"))
   }
 
+  /** Jaro–Winkler-scored entity resolution
+    * ([[graft.ops.Blocking.matchBestJw]]) over the SAME perturbation
+    * surface as [[entityMatchQ]] — the character-level scorer sees the
+    * within-token typo/abbreviation edits that token-set Jaccard
+    * flattens to whole-token mismatches. Exact DOUBLE differential (the
+    * `str_jaro_nations` bit-equality carried into a pipeline). */
+  private val entityMatchJwQ = Q(
+    "ddp_entity_match_jw",
+    """WITH ent AS (
+      |  SELECT p_partkey AS id, p_name || ' ' || p_brand || ' ' || p_type AS name FROM part),
+      |pert AS (
+      |  SELECT id, string_split(name, ' ') AS t,
+      |    CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || name), 1, 6)) AS BIGINT) % 3 AS c
+      |  FROM ent),
+      |dirty AS (
+      |  SELECT id,
+      |    CASE c
+      |      WHEN 0 THEN array_to_string(list_concat([t[2], t[1]], t[3:]), ' ')
+      |      WHEN 1 THEN array_to_string(list_concat([substr(t[1], 1, 3), t[2]], t[3:]), ' ')
+      |      ELSE array_to_string(
+      |        list_concat([t[1], substr(t[2], 1, greatest(len(t[2]) - 1, 1))], t[3:]), ' ')
+      |    END AS name FROM pert),
+      |db AS (SELECT id, name, array_to_string(string_split(name, ' ')[3:], ' ') AS block
+      |       FROM dirty),
+      |cb AS (SELECT id, name, array_to_string(string_split(name, ' ')[3:], ' ') AS block
+      |       FROM ent),
+      |pairs AS (
+      |  SELECT d.id AS dirty_id, c.id AS canon_id,
+      |    jaro_winkler_similarity(d.name, c.name) AS jw
+      |  FROM db d JOIN cb c USING (block)),
+      |keep AS (SELECT * FROM pairs WHERE jw >= 0.9)
+      |SELECT dirty_id, canon_id, jw, n_candidates, dirty_id = canon_id AS is_correct
+      |FROM (
+      |  SELECT dirty_id, canon_id, jw,
+      |    count(*) OVER (PARTITION BY dirty_id) AS n_candidates,
+      |    row_number() OVER (PARTITION BY dirty_id ORDER BY jw DESC, canon_id) AS rn
+      |  FROM keep) WHERE rn = 1""".stripMargin,
+  ) { (s, d) =>
+    val ent = part(s, d).select(
+      col("p_partkey").as("id"),
+      concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("name"),
+    )
+    val dirtied = graft.ops.Blocking.perturbNames(ent, "id", "name")
+    def blocked(df: DataFrame) = df.withColumn(
+      "block",
+      concat_ws(" ", expr("slice(split(name, ' '), 3, greatest(size(split(name, ' ')) - 2, 0))")),
+    )
+    graft.ops.Blocking
+      .matchBestJw(blocked(dirtied), blocked(ent), minSim = 0.9)
+      .withColumn("is_correct", col("dirty_id") === col("canon_id"))
+  }
+
   private val corpusMix = Q(
     "ddp_corpus_mix",
     s"""WITH RECURSIVE $corpusTextCtes,
@@ -1421,5 +1473,5 @@ object DedupQueries {
       semdedupBest, embeddingPairs,
       embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, decontaminate,
       decontaminateFuzzyQ, lshRecallEval, lshBandingSweep, corpusPrepare,
-      corpusPrepareEmb, componentSplitQ, corpusMix, snmPairsQ, entityMatchQ)
+      corpusPrepareEmb, componentSplitQ, corpusMix, snmPairsQ, entityMatchQ, entityMatchJwQ)
 }
