@@ -96,6 +96,99 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Cohen's kappa between the annotation (`lang`) and the stopword
+    * heuristic ([[graft.ops.Text.langId]]) — the chance-corrected
+    * upgrade of [[langIdAgreement]]'s raw confusion counts: raw
+    * agreement flatters a rater that just predicts the majority class.
+    * κ = (pₒ − pₑ)/(1 − pₑ) emitted as the EXACT rational
+    * (n·agree − Σₖrowₖ·colₖ, n² − Σₖrowₖ·colₖ) — no float anywhere.
+    * One corpus aggregate to the |langs|² confusion matrix; everything
+    * after runs on that bounded table. */
+  private val langIdKappaQ = Q(
+    "txt_langid_kappa",
+    """WITH h AS (SELECT lang,
+      |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS h_en,
+      |    len(regexp_extract_all(text, '\b(el|la|de|los|que|y)\b')) AS h_es,
+      |    len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS h_de,
+      |    len(regexp_extract_all(text, '\b(le|la|les|et|est)\b')) AS h_fr
+      |  FROM documents),
+      |cm AS (SELECT lang,
+      |  CASE WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+      |       WHEN h_es > 0 AND h_es >= h_de AND h_es >= h_fr THEN 'es'
+      |       WHEN h_de > 0 AND h_de >= h_fr THEN 'de'
+      |       WHEN h_fr > 0 THEN 'fr'
+      |       ELSE 'und' END AS pred,
+      |  COUNT(*) AS n
+      |FROM h GROUP BY 1, 2),
+      |r AS (SELECT lang AS k, sum(n) AS row_n FROM cm GROUP BY 1),
+      |c AS (SELECT pred AS k, sum(n) AS col_n FROM cm GROUP BY 1),
+      |x AS (SELECT CAST(coalesce(sum(row_n * col_n), 0) AS BIGINT) AS cross_mass
+      |      FROM r JOIN c USING (k)),
+      |a AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+      |        CAST(coalesce(sum(CASE WHEN lang = pred THEN n END), 0) AS BIGINT) AS agree
+      |      FROM cm)
+      |SELECT total, agree, cross_mass,
+      |  CAST(total * agree - cross_mass AS BIGINT) AS kappa_num,
+      |  CAST(total * total - cross_mass AS BIGINT) AS kappa_den
+      |FROM a, x""".stripMargin,
+  ) { (s, d) =>
+    val cm = documents(s, d)
+      .groupBy(col("lang"), Text.langId(col("text")).as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // bounded |langs|² table, read three ways below
+    val rows  = cm.groupBy(col("lang").as("k")).agg(sum(col("n")).as("row_n"))
+    val cols  = cm.groupBy(col("pred").as("k")).agg(sum(col("n")).as("col_n"))
+    val cross = rows
+      .join(cols, Seq("k"))
+      .agg(coalesce(sum(col("row_n") * col("col_n")), lit(0L)).as("cross_mass"))
+    cm.agg(
+      sum(col("n")).as("total"),
+      coalesce(sum(when(col("lang") === col("pred"), col("n"))), lit(0L)).as("agree"),
+    ).crossJoin(broadcast(cross))
+      .select(
+        col("total"),
+        col("agree"),
+        col("cross_mass"),
+        (col("total") * col("agree") - col("cross_mass")).as("kappa_num"),
+        (col("total") * col("total") - col("cross_mass")).as("kappa_den"),
+      )
+  }
+
+  /** Gini coefficient of the token-frequency distribution — the
+    * inequality summary next to [[vocabStatsQ]]'s Zipf census (a
+    * training corpus with near-1 Gini is a few tokens repeated; near 0
+    * is uniform vocabulary). Exact rational via the sorted-rank
+    * identity G = (2·Σᵢ i·cᵢ − (n+1)·Σc) / (n·Σc): the rank window
+    * runs over the VOCAB-bounded frequency table (the
+    * [[txt_curriculum_order]] discipline — never a corpus-wide
+    * window), ties ordered (c, token) identically in both engines. */
+  private val tokenGiniQ = Q(
+    "txt_token_gini",
+    """WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(text, '\w+')) AS tok FROM documents),
+      |v AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+      |rk AS (SELECT c, row_number() OVER (ORDER BY c, tok) AS i FROM v)
+      |SELECT count(*) AS n_types, CAST(sum(c) AS BIGINT) AS total_tokens,
+      |  CAST(2 * sum(i * c) - (count(*) + 1) * sum(c) AS BIGINT) AS gini_num,
+      |  CAST(count(*) * sum(c) AS BIGINT) AS gini_den
+      |FROM rk""".stripMargin,
+  ) { (s, d) =>
+    val v = documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("c"))
+    // vocab-bounded single-partition rank window (NOT corpus-sized)
+    val w  = org.apache.spark.sql.expressions.Window.orderBy(col("c"), col("tok"))
+    v.withColumn("i", row_number().over(w).cast("long"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("total_tokens"),
+        (lit(2L) * sum(col("i") * col("c")) -
+          (count(lit(1)) + lit(1L)) * sum(col("c"))).as("gini_num"),
+        (count(lit(1)) * sum(col("c"))).as("gini_den"),
+      )
+  }
+
   private val shingleStats = Q(
     "txt_shingle_stats",
     s"""$toksCte
@@ -1046,5 +1139,5 @@ object TextQueries {
       sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize, lmPrune, invertedIndexQ,
       packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ,
       negSamplingQ, skipGramQ, curriculumOrderQ, repeatCollapseQ, preferencePairsQ,
-      featureHashQ, sentenceStatsQ)
+      featureHashQ, sentenceStatsQ, langIdKappaQ, tokenGiniQ)
 }
