@@ -1039,6 +1039,53 @@ object StreamingQueries {
     s.table(name).localCheckpoint()
   }
 
+  /** Streaming approximate distinct: HLL++ buffers as streaming
+    * aggregation state (the mergeable-sketch property is exactly what
+    * makes approx distinct legal in a stream where exact distinct is
+    * not bounded-state). Checked as the `misc_approx_count_distinct`
+    * error-bound differential: the final complete-mode estimate per
+    * event type must land within 3·rsd of the batch exact distinct
+    * (a boolean the oracle expects TRUE — a broken merge flips it);
+    * the estimate itself stays out of the compared columns. */
+  private val approxDistinctStream = Q(
+    "stream_approx_distinct",
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, TRUE AS within_bound
+      |FROM events GROUP BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    val stream = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+    val agg = stream
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
+    val name = synchronized { streamN += 1; s"graft_stream_acd_$streamN" }
+    withStatePartitions(s, 4) {
+      withScratchCheckpoint("graft_ckpt_acd") { ckpt =>
+        val q = agg.writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    val exact = graft.Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    s.table(name)
+      .join(exact, Seq("event_type"))
+      .select(
+        col("event_type"),
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
+          lit(3 * 0.05) * col("exact_users").cast("double")).as("within_bound"),
+      )
+  }
+
   /** Streaming Holt linear-trend monitor — the [[ewmaStream]] pattern
     * for [[graft.ops.Timeseries.holtFromHourly]]: streaming state is
     * the same mergeable per-(key, hour) counts; the level+trend
@@ -1275,5 +1322,5 @@ object StreamingQueries {
     Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream,
       decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream,
       cmsStream, bpeDriftStream, rateAnomalyStream, profileStream, distDriftStream, ivmStream,
-      cusumStream, ewmaStream, holtStream, seasonalStream, topkStream)
+      cusumStream, ewmaStream, holtStream, seasonalStream, topkStream, approxDistinctStream)
 }
