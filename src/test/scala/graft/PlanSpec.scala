@@ -482,6 +482,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("kappa / gini: bounded-table tails, no cartesian, vocab-not-corpus window") {
+    // Kappa: one corpus aggregate to the |langs|² confusion matrix;
+    // the row/col/cross joins run on that bounded table — keyed or
+    // broadcast, never cartesian (the 1-row cross probe broadcasts).
+    val kp = planOf("txt_langid_kappa")
+    assert(!kp.contains("CartesianProduct"), kp)
+    assert(!kp.contains("SortMergeJoin"), s"kappa tail joins must stay broadcast:\n$kp")
+    // Gini: no joins at all; the rank window sorts the VOCAB table —
+    // the plan's only exchanges are the vocab aggregate, the
+    // single-partition window over it, and the final 1-row aggregate.
+    val gn = planOf("txt_token_gini")
+    assert(!gn.contains("Join"), s"gini must not join:\n$gn")
+    // exactly one keyed exchange (the vocab aggregate) and one
+    // single-partition gather (the vocab-bounded rank window)
+    assert("hashpartitioning\\(".r.findAllIn(gn).length === 1, s"gini keyed exchanges:\n$gn")
+    assert("SinglePartition".r.findAllIn(gn).length === 1, s"gini gather count:\n$gn")
+  }
+
   test("native damerau_levenshtein participates in codegen (no interpreted fallback marker)") {
     graft.functions.DamerauLevenshteinExpr.registerOn(spark)
     val n = Tables.nation(spark, sf)
