@@ -176,6 +176,46 @@ object MiscQueries {
       .select("o_orderkey", "o_custkey", "o_totalprice")
   }
 
+  /** PPS (probability-proportional-to-size) Poisson sampling — the
+    * weighted member of the sampling ladder (big orders are more
+    * likely to be audited/sampled): include row i with probability
+    * k·wᵢ/Σw, decided by the deterministic md5 uniform and the EXACT
+    * integer cross-multiplication
+    *
+    *   hash24(id) · Σw  <  k · wᵢ · 2²⁴
+    *
+    * — both products through DECIMAL(38,0)/HUGEINT (Σw·2²⁴ overflows
+    * BIGINT at warehouse scale), so the sample is engine-replayable
+    * with no float probability anywhere. Weights > Σw/k are always
+    * kept (the standard clipped-probability behavior, implicit).
+    * Scale shape: one broadcast 1-row total + a map-only predicate. */
+  private val samplePps = Q(
+    "misc_sample_pps",
+    """WITH w AS (
+      |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_totalprice > 0),
+      |t AS (SELECT CAST(sum(cents) AS HUGEINT) AS tot FROM w)
+      |SELECT o_orderkey, cents
+      |FROM w, t
+      |WHERE CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)) AS BIGINT)
+      |           AS HUGEINT) * tot
+      |      < 500 * CAST(cents AS HUGEINT) * 16777216""".stripMargin,
+  ) { (s, d) =>
+    val w = orders(s, d)
+      .filter(col("o_totalprice") > 0)
+      .select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      )
+    w.crossJoin(broadcast(w.agg(sum(col("cents")).cast("decimal(38,0)").as("tot"))))
+      .filter(
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 6), 16, 10)
+          .cast("decimal(38,0)") * col("tot") <
+          lit(500L) * col("cents").cast("decimal(38,0)") * lit(16777216L)
+      )
+      .select("o_orderkey", "cents")
+  }
+
   /** Generator surface (UDTF-shaped): sequence construction + explode,
     * one output row per generated element (DuckDB: unnest of
     * generate_series). */
@@ -2122,5 +2162,6 @@ object MiscQueries {
       compactionBinsQ, winsorizeQ, corrStatsQ, quantileNormalizeQ, equiDepthQ, distDriftQ,
       corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ,
       labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint,
-      kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ)
+      kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ,
+      samplePps)
 }
