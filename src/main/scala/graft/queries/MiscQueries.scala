@@ -207,7 +207,9 @@ object MiscQueries {
         col("o_orderkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
       )
-    w.crossJoin(broadcast(w.agg(sum(col("cents")).cast("decimal(38,0)").as("tot"))))
+    // sum in DECIMAL, not LongType-then-cast: the oracle's HUGEINT total
+    // never wraps, so the Spark total must not either
+    w.crossJoin(broadcast(w.agg(sum(col("cents").cast("decimal(38,0)")).as("tot"))))
       .filter(
         conv(substring(md5(col("o_orderkey").cast("string")), 1, 6), 16, 10)
           .cast("decimal(38,0)") * col("tot") <
@@ -1771,7 +1773,7 @@ object MiscQueries {
     """WITH c AS (
       |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
       |              AS BIGINT) AS digit
-      |  FROM orders WHERE o_totalprice > 0),
+      |  FROM orders WHERE round(o_totalprice * 100) >= 1),
       |h AS (SELECT digit, count(*) AS n FROM c GROUP BY 1),
       |t AS (SELECT sum(n) AS total FROM h)
       |SELECT digit, n, CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
@@ -1791,8 +1793,11 @@ object MiscQueries {
         Seq(lit(dg.toLong), lit(math.floor(1e6 * math.log10(1.0 + 1.0 / dg)).toLong))
       ): _*
     )
+    // cents >= 1, not price > 0: a price in (0, 0.005) rounds to cents
+    // 0, whose "first digit" 0 has no Benford expectation — the map
+    // lookup would NULL where the oracle's CASE ELSE would not
     val h = orders(s, d)
-      .filter(col("o_totalprice") > 0)
+      .filter(expr("round(o_totalprice * 100) >= 1"))
       .select(
         substring(expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"), 1, 1)
           .cast("long").as("digit")

@@ -245,20 +245,7 @@ object StreamingQueries {
       .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
       .select(col("window.start").as("bucket_start"), col("event_type"), col("n"), col("total"))
-    val name = synchronized { streamN += 1; s"graft_stream_$streamN" }
-    withStatePartitions(s, 4) {
-      withScratchCheckpoint("graft_ckpt_tumbling") { ckpt =>
-        val q = agg.writeStream
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-    }
-    s.table(name)
+    runCompleteStream(s, agg, "agg")
   }
 
   /** Stream-stream interval join with watermarks on both sides: each
@@ -747,20 +734,7 @@ object StreamingQueries {
       .select(explode(org.apache.spark.sql.functions.sequence(lit(0), lit(3))).as("row_"), col("user_id"))
       .groupBy(col("row_"), graft.ops.Cms.bucketOf(col("row_"), col("user_id"), 128).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val name = synchronized { streamN += 1; s"graft_stream_cms_$streamN" }
-    withStatePartitions(s, 4) {
-      withScratchCheckpoint("graft_ckpt_cms") { ckpt =>
-        val q = sk.writeStream
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-    }
-    s.table(name)
+    runCompleteStream(s, sk, "cms")
   }
 
   /** Oracle for [[bpeDriftStream]]: one BPE chain per window plus the
@@ -910,10 +884,23 @@ object StreamingQueries {
     val hourly = stream
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
       .agg(count(lit(1)).as("n"))
-    val name = synchronized { streamN += 1; s"graft_stream_anomaly_$streamN" }
+    Events.spikeView(runCompleteStream(s, hourly, "anomaly"))
+  }
+
+  /** Run a complete-mode aggregation stream into a memory sink with
+    * the AvailableNow replay and return the FROZEN final state table —
+    * THE single definition of the memory-sink scaffold (it was copied
+    * per query; a checkpoint/trigger/output-mode policy change now has
+    * one home). */
+  private def runCompleteStream(
+      s: org.apache.spark.sql.SparkSession,
+      agg: org.apache.spark.sql.DataFrame,
+      prefix: String,
+  ): org.apache.spark.sql.DataFrame = {
+    val name = synchronized { streamN += 1; s"graft_stream_${prefix}_$streamN" }
     withStatePartitions(s, 4) {
-      withScratchCheckpoint("graft_ckpt_anomaly") { ckpt =>
-        val q = hourly.writeStream
+      withScratchCheckpoint(s"graft_ckpt_$prefix") { ckpt =>
+        val q = agg.writeStream
           .format("memory")
           .queryName(name)
           .option("checkpointLocation", ckpt)
@@ -923,7 +910,7 @@ object StreamingQueries {
         q.awaitTermination()
       }
     }
-    Events.spikeView(s.table(name))
+    s.table(name)
   }
 
   /** Shared scaffold of the CUSUM/EWMA/seasonal streaming twins:
@@ -948,20 +935,7 @@ object StreamingQueries {
     val hourly = stream
       .groupBy(col("event_type").as("key"), date_trunc("hour", col("ts")).as("hour_ts"))
       .agg(count(lit(1)).as("n"))
-    val name = synchronized { streamN += 1; s"graft_stream_${prefix}_$streamN" }
-    withStatePartitions(s, 4) {
-      withScratchCheckpoint(s"graft_ckpt_$prefix") { ckpt =>
-        val q = hourly.writeStream
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-    }
-    s.table(name).localCheckpoint()
+    runCompleteStream(s, hourly, prefix).localCheckpoint()
   }
 
   /** Streaming CUSUM change-point monitor — the [[rateAnomalyStream]]
@@ -1023,20 +997,7 @@ object StreamingQueries {
           ",",
         ).as("top_events")
       )
-    val name = synchronized { streamN += 1; s"graft_stream_topk_$streamN" }
-    withStatePartitions(s, 4) {
-      withScratchCheckpoint("graft_ckpt_topk") { ckpt =>
-        val q = agg.writeStream
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-    }
-    s.table(name).localCheckpoint()
+    runCompleteStream(s, agg, "topk").localCheckpoint()
   }
 
   /** Streaming approximate distinct: HLL++ buffers as streaming
@@ -1060,23 +1021,11 @@ object StreamingQueries {
     val agg = stream
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
-    val name = synchronized { streamN += 1; s"graft_stream_acd_$streamN" }
-    withStatePartitions(s, 4) {
-      withScratchCheckpoint("graft_ckpt_acd") { ckpt =>
-        val q = agg.writeStream
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-    }
+    val state = runCompleteStream(s, agg, "acd")
     val exact = graft.Tables.events(s, d)
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"))
-    s.table(name)
+    state
       .join(exact, Seq("event_type"))
       .select(
         col("event_type"),
@@ -1154,20 +1103,7 @@ object StreamingQueries {
         min(when(!col("is_num"), col("value_s"))).as("min_s"),
         max(when(!col("is_num"), col("value_s"))).as("max_s"),
       )
-    val name = synchronized { streamN += 1; s"graft_stream_profile_$streamN" }
-    withStatePartitions(s, 4) {
-      withScratchCheckpoint("graft_ckpt_profile") { ckpt =>
-        val q = prof.writeStream
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-    }
-    s.table(name)
+    runCompleteStream(s, prof, "profile")
   }
 
   /** Streaming distribution-drift monitor — the model-input drift
@@ -1237,22 +1173,10 @@ object StreamingQueries {
       .filter(col("v").isNotNull)
       .groupBy(Stats.bucketOfExpr(col("v"), edges, 7L).as("bucket"))
       .agg(count(lit(1)).as("cur_cnt"))
-    val name = synchronized { streamN += 1; s"graft_stream_drift_$streamN" }
-    withStatePartitions(s, 4) {
-      withScratchCheckpoint("graft_ckpt_drift") { ckpt =>
-        val q = curCounts.writeStream
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-    }
+    val state = runCompleteStream(s, curCounts, "drift")
     Stats.totalVariationPpm(
       ref
-        .join(s.table(name), Seq("bucket"), "left")
+        .join(state, Seq("bucket"), "left")
         .select(col("bucket"), col("ref_cnt"), coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
     )
   }

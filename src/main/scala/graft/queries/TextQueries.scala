@@ -145,12 +145,16 @@ object TextQueries {
       sum(col("n")).as("total"),
       coalesce(sum(when(col("lang") === col("pred"), col("n"))), lit(0L)).as("agree"),
     ).crossJoin(broadcast(cross))
+      // products in DECIMAL(38,0) (the oracle computes them in HUGEINT):
+      // total² wraps LongType past ~3e9 documents
       .select(
         col("total"),
         col("agree"),
         col("cross_mass"),
-        (col("total") * col("agree") - col("cross_mass")).as("kappa_num"),
-        (col("total") * col("total") - col("cross_mass")).as("kappa_den"),
+        (col("total").cast("decimal(38,0)") * col("agree") - col("cross_mass"))
+          .cast("long").as("kappa_num"),
+        (col("total").cast("decimal(38,0)") * col("total") - col("cross_mass"))
+          .cast("long").as("kappa_den"),
       )
   }
 
@@ -169,8 +173,9 @@ object TextQueries {
       |v AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
       |rk AS (SELECT c, row_number() OVER (ORDER BY c, tok) AS i FROM v)
       |SELECT count(*) AS n_types, CAST(sum(c) AS BIGINT) AS total_tokens,
-      |  CAST(2 * sum(i * c) - (count(*) + 1) * sum(c) AS BIGINT) AS gini_num,
-      |  CAST(count(*) * sum(c) AS BIGINT) AS gini_den
+      |  CAST(2 * sum(CAST(i AS HUGEINT) * c)
+      |       - (count(*) + 1) * CAST(sum(c) AS HUGEINT) AS BIGINT) AS gini_num,
+      |  CAST(count(*) * CAST(sum(c) AS HUGEINT) AS BIGINT) AS gini_den
       |FROM rk""".stripMargin,
   ) { (s, d) =>
     val v = documents(s, d)
@@ -179,13 +184,16 @@ object TextQueries {
       .agg(count(lit(1)).as("c"))
     // vocab-bounded single-partition rank window (NOT corpus-sized)
     val w  = org.apache.spark.sql.expressions.Window.orderBy(col("c"), col("tok"))
-    v.withColumn("i", row_number().over(w).cast("long"))
+    // i·c and its sum in DECIMAL(38,0) (HUGEINT on the oracle side):
+    // the element product alone is bounded only by n_types·total_tokens
+    v.withColumn("i", row_number().over(w).cast("decimal(38,0)"))
       .agg(
         count(lit(1)).as("n_types"),
         sum(col("c")).as("total_tokens"),
         (lit(2L) * sum(col("i") * col("c")) -
-          (count(lit(1)) + lit(1L)) * sum(col("c"))).as("gini_num"),
-        (count(lit(1)) * sum(col("c"))).as("gini_den"),
+          (count(lit(1)) + lit(1L)) * sum(col("c").cast("decimal(38,0)")))
+          .cast("long").as("gini_num"),
+        (count(lit(1)) * sum(col("c").cast("decimal(38,0)"))).cast("long").as("gini_den"),
       )
   }
 
