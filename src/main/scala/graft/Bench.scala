@@ -41,6 +41,19 @@ object Bench {
     // Absorb session/codegen warmup outside any query's timing.
     spark.range(1000).selectExpr("sum(id)").collect()
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // AMBIENT SENTINEL (r11 post-mortem): a pinned CPU calibration
+    // probe self-labels a contended record — BENCH_r11.json shipped
+    // 620 s for a 295 s-idle suite with byte-identical shuffle bytes,
+    // and nothing in the artifact said the box was loaded. The ratio
+    // and the `contended` flag land on the summary line below.
+    val calibrationS = AmbientProbe.time(spark, cpus.toInt)
+    val ambientRatio = AmbientProbe.ratio(calibrationS, cpus.toInt)
+    val isContended  = AmbientProbe.contended(calibrationS, cpus.toInt)
+    if (isContended)
+      System.err.println(
+        f"BENCH AMBIENT WARNING: calibration probe $calibrationS%.3f s = " +
+          f"$ambientRatio%.2fx its pinned idle time - timings below are " +
+          "inflated by machine load, not plan changes.")
     // Shared once-per-corpus artifacts (the distinct shingle table, the
     // verified pair list, the corpus survivor set, streaming replay
     // splits) model tables a production pipeline writes once and every
@@ -166,7 +179,9 @@ object Bench {
     // line the driver's 2000-char tail is guaranteed to keep) so the
     // per-artifact accounting can't be truncated away.
     println(
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries_total":${results.size},"failed":${failed.size},"flaky":${flaky.size},"shared_build_s":${f3(
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries_total":${results.size},"failed":${failed.size},"flaky":${flaky.size},"contended":$isContended,"ambient_ratio":${f3(
+          ambientRatio
+        )},"calibration_s":${f3(calibrationS)},"shared_build_s":${f3(
           sharedBuildS
         )},"shared_build":${qmap(sharedArts)},"queries":${qmap(top)},"value":${f3(total)}}"""
     )

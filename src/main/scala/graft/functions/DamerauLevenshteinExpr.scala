@@ -79,11 +79,19 @@ object DamerauLevenshteinExpr {
       "scala_udf",
     )
 
-  /** Lowrance–Wagner DP over code points. The `h` matrix has a −1th
+  /** Lowrance–Wagner DP over code points. The `h` matrix (flat
+    * row-major — ONE allocation, sequential access) has a −1th
     * row/column of ∞ sentinels (index shift +1) so the transposition
     * arm `h(i1-1)(j1-1) + (i-i1-1) + 1 + (j-j1-1)` needs no bounds
-    * checks; `da` tracks the last row where each symbol occurred.
-    * Called from generated code — must stay a static, allocation-local
+    * checks; `da` tracks the last row where each symbol occurred —
+    * an unboxed 128-slot array for ASCII (the overwhelming case on
+    * entity keys) with a HashMap allocated LAZILY only when a
+    * non-ASCII code point actually appears, so the per-row boxed-map
+    * GC pressure the hot post-blocking path used to pay is gone.
+    * The full matrix is required — unlike the restricted OSA variant,
+    * the unrestricted transposition arm reaches back to arbitrary
+    * (i1, j1), so a two-row rolling buffer cannot express it. Called
+    * from generated code — must stay a static, allocation-local
     * method. */
   def distance(sa: String, sb: String): Int = {
     val a = sa.codePoints().toArray
@@ -93,32 +101,44 @@ object DamerauLevenshteinExpr {
     if (n == 0) return m
     if (m == 0) return n
     val inf = n + m
-    val h   = Array.ofDim[Int](n + 2, m + 2)
-    h(0)(0) = inf
+    val w   = m + 2
+    val h   = new Array[Int]((n + 2) * w)
+    h(0) = inf
     var i = 0
-    while (i <= n) { h(i + 1)(0) = inf; h(i + 1)(1) = i; i += 1 }
+    while (i <= n) { h((i + 1) * w) = inf; h((i + 1) * w + 1) = i; i += 1 }
     var j = 0
-    while (j <= m) { h(0)(j + 1) = inf; h(1)(j + 1) = j; j += 1 }
-    val da = new java.util.HashMap[Integer, Integer]()
+    while (j <= m) { h(j + 1) = inf; h(w + j + 1) = j; j += 1 }
+    val daAscii                                       = new Array[Int](128)
+    var daWide: java.util.HashMap[Integer, Integer]   = null
     i = 1
     while (i <= n) {
       var db = 0
       j = 1
       while (j <= m) {
-        val i1   = da.getOrDefault(b(j - 1), 0).intValue()
+        val bc = b(j - 1)
+        val i1 =
+          if (bc < 128) daAscii(bc)
+          else if (daWide == null) 0
+          else daWide.getOrDefault(bc, 0).intValue()
         val j1   = db
         var cost = 1
-        if (a(i - 1) == b(j - 1)) { cost = 0; db = j }
-        val sub   = h(i)(j) + cost
-        val ins   = h(i + 1)(j) + 1
-        val del   = h(i)(j + 1) + 1
-        val trans = h(i1)(j1) + (i - i1 - 1) + 1 + (j - j1 - 1)
-        h(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
+        if (a(i - 1) == bc) { cost = 0; db = j }
+        val sub   = h(i * w + j) + cost
+        val ins   = h((i + 1) * w + j) + 1
+        val del   = h(i * w + j + 1) + 1
+        val trans = h(i1 * w + j1) + (i - i1 - 1) + 1 + (j - j1 - 1)
+        h((i + 1) * w + j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
         j += 1
       }
-      da.put(a(i - 1), i)
+      val ac = a(i - 1)
+      if (ac < 128) daAscii(ac) = i
+      else {
+        if (daWide == null) daWide = new java.util.HashMap[Integer, Integer]()
+        daWide.put(ac, i)
+        ()
+      }
       i += 1
     }
-    h(n + 1)(m + 1)
+    h((n + 1) * w + m + 1)
   }
 }

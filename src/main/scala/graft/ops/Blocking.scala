@@ -37,14 +37,44 @@ object Blocking {
 
   /** `df` (non-null `keyCol` rows) plus `rank`: the 0-based position in
     * the total order (keyCol, idCol) — computed histogram-first, no
-    * corpus-wide sort. */
+    * corpus-wide sort.
+    *
+    * The histogram cumulative is TIERED, not a single `Window.orderBy`:
+    * the typical SNM sort key (names, timestamps) is continuous and
+    * high-cardinality, so its histogram is corpus-sized and an
+    * unpartitioned running-sum window would gather the whole corpus
+    * onto one task — exactly the global-sort bottleneck this method
+    * exists to avoid. Instead: range-partition the histogram, compute
+    * per-partition running sums IN PARALLEL (window keyed by the range
+    * partition id — each bounded by a partition, not the domain), then
+    * broadcast the P-row per-partition totals back as offsets. The one
+    * remaining unpartitioned window orders those P rows (P = shuffle
+    * partitions), never the histogram. The cumulative is exact for any
+    * range boundary placement, so the output is independent of the
+    * sampling `repartitionByRange` does. */
   def snmRank(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
-    val nn   = df.filter(col(keyCol).isNotNull)
-    val hist = nn.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("__c"))
-    val wCum = Window.orderBy(col("__k")).rowsBetween(Window.unboundedPreceding, 0)
-    val base = hist
-      .withColumn("__base", sum(col("__c")).over(wCum) - col("__c"))
-      .select(col("__k"), col("__base"))
+    val nn    = df.filter(col(keyCol).isNotNull)
+    val hist  = nn.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("__c"))
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = hist
+      .repartitionByRange(parts, col("__k"))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window
+      .partitionBy(col("__pid"))
+      .orderBy(col("__k"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ranged.withColumn("__lcum", sum(col("__c")).over(wLocal))
+    val wOff = Window
+      .orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(col("__pid"))
+      .agg(sum(col("__c")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val base = local
+      .join(broadcast(offsets), Seq("__pid"))
+      .select(col("__k"), (col("__off") + col("__lcum") - col("__c")).as("__base"))
     val wTie = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
     nn.join(base, nn(keyCol) === base("__k"))
       .withColumn("rank", col("__base") + row_number().over(wTie) - 1)

@@ -887,6 +887,56 @@ object Similarity {
   ): DataFrame =
     index.unionByName(ivfIndex(batch, idCol, embCol, centroids))
 
+  /** Periodic index REFRESH — the lifecycle step between per-batch
+    * [[ivfAppend]] (frozen quantizer, assignment drifts as the
+    * distribution shifts) and a full offline rebuild from the raw
+    * corpus: re-center the coarse quantizer with `iters` Lloyd steps
+    * over the CURRENT index contents ([[ivfRefine]]), then ONE
+    * re-assignment pass rebuilds the cell layout. The index already
+    * stores every embedding, so a refresh never returns to the raw
+    * corpus — at 100 TB that is the difference between re-reading the
+    * lake and one pass over the (columnar, cent_id-clustered) index.
+    * Result-identical to `ivfIndex(contents, refreshed)` built from
+    * scratch — the `sim_ann_ivf_refresh` oracle replays re-centering +
+    * rebuild end-to-end, and [[ivfCentroidDrift]] bounds how far the
+    * quantizer moved (the alarm an operator pages on).
+    *
+    * @return (refreshed centroids, refreshed index) */
+  def ivfRefresh(
+      index: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      embCol: String,
+      iters: Int = 1,
+  ): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"a refresh re-centers at least once, got iters=$iters")
+    val contents   = index.drop("cent_id", "nrm")
+    val recentered = ivfRefine(contents, centroids, idCol, embCol, iters)
+    (recentered, ivfIndex(contents, idCol, embCol, recentered))
+  }
+
+  /** Per-centroid drift between two centroid sets: squared L2 distance
+    * of the old vs new embedding — the re-center drift bound a refresh
+    * emits so index staleness is a measured quantity, not a guess.
+    * The difference vector is double-subtracted and rounded once to
+    * REAL (the [[annIvfPqResidualTopK]] residual discipline), then
+    * squared through the shared left-to-right double dot fold, so the
+    * drift numbers are bit-replayable cross-engine. Rows: (cent_id,
+    * drift_sq); a centroid whose cell was empty keeps its embedding
+    * ([[ivfRefine]] coalesces) and reports drift 0. */
+  def ivfCentroidDrift(before: DataFrame, after: DataFrame): DataFrame = {
+    graft.functions.FloatVecDot.registerOn(before.sparkSession)
+    val d = zip_with(
+      col("__old"),
+      col("__new"),
+      (x, y) => (x.cast("double") - y.cast("double")).cast("float"),
+    )
+    before
+      .select(col("cent_id"), col("cent_emb").as("__old"))
+      .join(after.select(col("cent_id"), col("cent_emb").as("__new")), Seq("cent_id"))
+      .select(col("cent_id"), dot(d, d).as("drift_sq"))
+  }
+
   /** [[ivfTopK]] over a prebuilt (possibly incrementally-appended)
     * [[ivfIndex]]: candidates come straight from the stored cells; only
     * the (small) query side recomputes a multi-probe assignment. */

@@ -34,7 +34,16 @@ object Stats {
   /** Inclusive cumulative + total over an ALREADY-BUILT histogram
     * `(__s, __c)` — split out of [[cumHist]] so derived histograms
     * (e.g. [[madOutliers]]'s deviation histogram, whose counts must be
-    * SUMMED, not re-counted) share the same window discipline. */
+    * SUMMED, not re-counted) share the same window discipline.
+    *
+    * CONTRACT: the histogram's domain must be BOUNDED (every caller
+    * here feeds integral feature values — lengths, counts, scores —
+    * whose distinct-value count is data-model-bounded, not
+    * corpus-proportional), because both windows run unpartitioned and
+    * gather the histogram onto one task. For a continuous /
+    * high-cardinality domain (names, timestamps) use the tiered
+    * cumulative in [[Blocking.snmRank]] — range partitions + parallel
+    * local sums + P-row broadcast offsets — which has no such bound. */
   private def cumOf(hist: DataFrame): DataFrame = {
     val wCum = Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window

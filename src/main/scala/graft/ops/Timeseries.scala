@@ -373,8 +373,8 @@ object Timeseries {
            |    CASE WHEN size(acc) = 0
            |      THEN struct(x.hour_ts AS hour_ts, x.n AS n, x.n * 1000000L AS l, 0L AS b)
            |      ELSE element_at(transform(
-           |        array($alphaPpm * x.n +
-           |              CAST((($vL) - pmod($vL, 1000000)) div 1000000 AS BIGINT)),
+           |        array(CAST(CAST($alphaPpm AS DECIMAL(38,0)) * x.n +
+           |              (($vL) - pmod($vL, 1000000)) div 1000000 AS BIGINT)),
            |        lt -> struct(x.hour_ts AS hour_ts, x.n AS n, lt AS l,
            |          CAST((($vB) - pmod($vB, 1000000)) div 1000000 AS BIGINT) AS b)), 1)
            |    END),

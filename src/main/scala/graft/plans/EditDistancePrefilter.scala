@@ -40,7 +40,7 @@ import org.apache.spark.sql.types.IntegerType
   * distance is NULL; `And(NULL, NULL) = NULL` and both are dropped by
   * Filter/Join semantics, so null behavior is unchanged.
   */
-object EditDistancePrefilter extends Rule[LogicalPlan] {
+object EditDistancePrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Idempotently append this rule to a live session's experimental
     * optimizations (the no-extensions path; extension-built sessions
@@ -59,28 +59,47 @@ object EditDistancePrefilter extends Rule[LogicalPlan] {
       if (next fastEquals cond) j else j.copy(condition = Some(next))
   }
 
-  private def addGuards(cond: Expression): Expression = cond.transformUp {
+  private def addGuards(cond: Expression): Expression = rewrite(cond, Nil)
+
+  /** Recursive descent carrying `visible` — the conjuncts of every
+    * enclosing `And` chain. Only those conjuncts can short-circuit the
+    * DP before it runs (codegen evaluates a dominating `And`'s guard
+    * first), so only they count for the idempotence check: a
+    * semantically-equal guard buried in a sibling `Or` disjunct does
+    * NOT protect this comparison and must not suppress the rewrite.
+    * `And` shape is preserved node-by-node (no split/reduce
+    * re-association) so a no-op pass returns a `fastEquals` tree. */
+  private def rewrite(e: Expression, visible: Seq[Expression]): Expression = e match {
+    case a @ And(l, r) =>
+      val vis = visible ++ splitConjunctivePredicates(a)
+      val nl  = rewrite(l, vis)
+      val nr  = rewrite(r, vis)
+      if ((nl fastEquals l) && (nr fastEquals r)) a else And(nl, nr)
     case cmp @ LessThanOrEqual(Distance(a, b), Literal(k: Int, IntegerType)) if k >= 0 =>
-      guarded(cmp, a, b, k, cond)
+      guarded(cmp, a, b, k, visible)
     case cmp @ LessThan(Distance(a, b), Literal(k: Int, IntegerType)) if k >= 1 =>
-      guarded(cmp, a, b, k - 1, cond)
+      guarded(cmp, a, b, k - 1, visible)
     case cmp @ GreaterThanOrEqual(Literal(k: Int, IntegerType), Distance(a, b)) if k >= 0 =>
-      guarded(cmp, a, b, k, cond)
+      guarded(cmp, a, b, k, visible)
     case cmp @ GreaterThan(Literal(k: Int, IntegerType), Distance(a, b)) if k >= 1 =>
-      guarded(cmp, a, b, k - 1, cond)
+      guarded(cmp, a, b, k - 1, visible)
+    case other =>
+      other.mapChildren(rewrite(_, visible))
   }
 
-  /** `abs(length(a) - length(b)) <= limit AND cmp`, unless the whole
-    * condition already carries that guard (fixed-point idempotence). */
+  /** `abs(length(a) - length(b)) <= limit AND cmp`, unless a
+    * dominating conjunct already carries that guard (fixed-point
+    * idempotence — scoped to the enclosing `And` chain, not the whole
+    * condition tree). */
   private def guarded(
       cmp: Expression,
       a: Expression,
       b: Expression,
       limit: Int,
-      whole: Expression,
+      visible: Seq[Expression],
   ): Expression = {
     val guard = LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), Literal(limit))
-    if (whole.exists(_.semanticEquals(guard))) cmp else And(guard, cmp)
+    if (visible.exists(_.semanticEquals(guard))) cmp else And(guard, cmp)
   }
 
   /** A 2-argument bounded-edit-distance expression (character-count

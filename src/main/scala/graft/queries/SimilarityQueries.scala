@@ -953,6 +953,128 @@ object SimilarityQueries {
       .select("q_id", "n_id", "cos", "rnk")
   }
 
+  /** Shared oracle prefix for the two REFRESH gates: corpus with norms,
+    * the frozen first-half coarse quantizer (the [[annIvfAppendTopK]]
+    * setup), and ONE Lloyd re-centering step over the whole appended
+    * index — the [[annIvfPqSampledTopK]] `dims`/`cent` refine
+    * formulation (DECIMAL(38,12) sums, VARCHAR-bridged to DOUBLE,
+    * REAL-rounded means, empty cells coalesced to their old
+    * embedding). */
+  private val ivfRefreshPrefixSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e
+       |  WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16),
+       |asg0 AS (
+       |  SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |  FROM (
+       |    SELECT e.vec_id, cent_id,
+       |      ${duckDot("e.embedding", "cemb")} / (e.nrm * cnrm) AS ccos
+       |    FROM e CROSS JOIN cent0)),
+       |members AS (
+       |  SELECT a.cent_id, e.embedding
+       |  FROM asg0 a JOIN e ON e.vec_id = a.vec_id WHERE a.crk = 1),
+       |dims AS (
+       |  SELECT cent_id, i.i AS pos,
+       |    CAST(CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+       |      / COUNT(*) AS m
+       |  FROM members CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT cent_id, cemb, sqrt(${duckDot("cemb", "cemb")}) AS cnrm FROM (
+       |    SELECT s.cent_id, coalesce(n.cemb, s.cemb) AS cemb
+       |    FROM cent0 s LEFT JOIN (
+       |      SELECT cent_id, list(CAST(m AS REAL) ORDER BY pos) AS cemb
+       |      FROM dims GROUP BY cent_id) n ON n.cent_id = s.cent_id))""".stripMargin
+
+  /** Shared Spark builder for the two refresh gates: frozen-quantizer
+    * build on the even half, delta append of the odd half, then
+    * [[Similarity.ivfRefresh]] (one Lloyd re-center + one
+    * re-assignment pass over the index contents — never the raw
+    * corpus). */
+  private def buildRefreshed(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val emb       = embeddings(s, d)
+    val first     = emb.filter(col("vec_id") % 2 === 0)
+    val delta     = emb.filter(col("vec_id") % 2 === 1)
+    val centroids = Similarity.ivfCentroids(first, "vec_id", "embedding", 16)
+    val index     = Similarity.ivfIndex(first, "vec_id", "embedding", centroids)
+    val appended  = Similarity.ivfAppend(index, delta, centroids, "vec_id", "embedding")
+    val (recentered, refreshed) =
+      Similarity.ivfRefresh(appended, centroids, "vec_id", "embedding", iters = 1)
+    (centroids, recentered, refreshed)
+  }
+
+  /** IVF index REFRESH ([[Similarity.ivfRefresh]]) — the missing
+    * lifecycle step between [[annIvfAppendTopK]]'s append-only path
+    * and a full rebuild: after the odd half arrives as a delta, the
+    * coarse quantizer is RE-CENTERED (one Lloyd step over the index
+    * contents) and the cells re-assigned in one pass. The oracle
+    * rebuilds from scratch with the same re-centered quantizer and
+    * ranks the same nprobe=2 probe, so the differential proves
+    * refresh ≡ rebuild — the identity that makes periodic refresh a
+    * safe substitute for the full rebuild at 100 TB. */
+  private val annIvfRefreshTopK = Q(
+    "sim_ann_ivf_refresh",
+    s"""$ivfRefreshPrefixSql,
+       |asg AS (
+       |  SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |  FROM (
+       |    SELECT e.vec_id, cent_id,
+       |      ${duckDot("e.embedding", "cemb")} / (e.nrm * cnrm) AS ccos
+       |    FROM e CROSS JOIN cent)),
+       |cand AS (SELECT vec_id, cent_id FROM asg WHERE crk = 1),
+       |qry AS (SELECT vec_id, cent_id FROM asg WHERE crk <= 2 AND vec_id < 10),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${duckDot("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm) AS cos
+       |  FROM qry q JOIN cand c ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+       |    JOIN e qe ON qe.vec_id = q.vec_id JOIN e ce ON ce.vec_id = c.vec_id)
+       |SELECT q_id, n_id, cos, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM pairs)
+       |WHERE rnk <= 3""".stripMargin,
+  ) { (s, d) =>
+    val (_, recentered, refreshed) = buildRefreshed(s, d)
+    Similarity
+      .ivfTopKFromIndex(
+        refreshed,
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+        centroids = recentered,
+        nprobe = 2,
+        queryPred = col("vec_id") < 10,
+      )
+      .select("q_id", "n_id", "cos", "rnk")
+  }
+
+  /** The refresh's DRIFT BOUND ([[Similarity.ivfCentroidDrift]]):
+    * per-centroid squared L2 movement under re-centering — the
+    * staleness alarm an operator pages on (drift past a threshold →
+    * schedule the full re-encode). Difference vectors are
+    * double-subtracted and rounded once to REAL (the residual-PQ
+    * discipline), squared through the shared dot fold, so every drift
+    * number is bit-replayed by the oracle. */
+  private val annIvfRefreshDrift = Q(
+    "sim_ann_ivf_refresh_drift",
+    s"""$ivfRefreshPrefixSql
+       |SELECT cent_id, ${duckDot("d", "d")} AS drift_sq FROM (
+       |  SELECT c0.cent_id,
+       |    list_transform(generate_series(1, 64),
+       |      i -> CAST(CAST(c0.cemb[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE) AS REAL)) AS d
+       |  FROM cent0 c0 JOIN cent c ON c.cent_id = c0.cent_id)""".stripMargin,
+  ) { (s, d) =>
+    val (centroids, recentered, _) = buildRefreshed(s, d)
+    Similarity.ivfCentroidDrift(centroids, recentered).select("cent_id", "drift_sq")
+  }
+
   /** RESIDUAL IVF-PQ (the classic IVFADC layout): candidates are
     * PQ-encoded on x − c(x) against their own coarse centroid; a
     * query's ADC LUT is therefore per probed CELL (its residual
@@ -1764,7 +1886,8 @@ object SimilarityQueries {
   val all: Seq[Q] =
     Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
       annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
-      annIvfPqSampledTopK, annIvfAppendTopK, annIvfPqResidualTopK, ragChunkTopK, docEmbeddingPool, annRecallEval,
+      annIvfPqSampledTopK, annIvfAppendTopK, annIvfRefreshTopK, annIvfRefreshDrift,
+      annIvfPqResidualTopK, ragChunkTopK, docEmbeddingPool, annRecallEval,
       annBatchedTopK, annIvfStoredTopK, centroidConfusion, centroidEval, hardNegatives, mmrTopK,
       mmrTopKWeighted, maxSimTopK, pcaPower, mrrEval, mapEval, matryoshkaRecall)
 }

@@ -1005,9 +1005,15 @@ object StreamingQueries {
     * makes approx distinct legal in a stream where exact distinct is
     * not bounded-state). Checked as the `misc_approx_count_distinct`
     * error-bound differential: the final complete-mode estimate per
-    * event type must land within 3·rsd of the batch exact distinct
+    * event type must land within 5·rsd of the batch exact distinct
     * (a boolean the oracle expects TRUE — a broken merge flips it);
-    * the estimate itself stays out of the compared columns. */
+    * the estimate itself stays out of the compared columns. The bound
+    * is 5·rsd, not 3·rsd, because the rsd is only the ASYMPTOTIC
+    * standard error — HLL++ bias at small per-key cardinalities can
+    * push the realized error past 3σ on an untested SF or
+    * distribution, and this gate exists to catch broken merges
+    * (≈2× off), not to certify the sketch's error curve (that is
+    * `misc_approx_count_distinct`'s job, at its tested SFs). */
   private val approxDistinctStream = Q(
     "stream_approx_distinct",
     """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, TRUE AS within_bound
@@ -1031,7 +1037,7 @@ object StreamingQueries {
         col("event_type"),
         col("exact_users"),
         (abs(col("approx_users") - col("exact_users")).cast("double") <=
-          lit(3 * 0.05) * col("exact_users").cast("double")).as("within_bound"),
+          lit(5 * 0.05) * col("exact_users").cast("double")).as("within_bound"),
       )
   }
 

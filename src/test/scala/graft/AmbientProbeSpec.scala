@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ambient-contention sentinel: flag logic pins plus a
+  * deliberately-loaded run proving the probe actually inflates under
+  * competing CPU load (the r11 failure mode the sentinel exists to
+  * self-label). */
+class AmbientProbeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("flag logic: ratio is pin-relative, threshold at 2x, pin rescales with thread count") {
+    // expectedIdle halves when threads double (fixed total work)
+    assert(AmbientProbe.expectedIdle(32) === AmbientProbe.pinnedIdleSeconds32)
+    assert(AmbientProbe.expectedIdle(16) === AmbientProbe.pinnedIdleSeconds32 * 2)
+    // tripwire sides
+    val n = 32
+    val idle = AmbientProbe.expectedIdle(n)
+    assert(!AmbientProbe.contended(idle * 1.5, n))
+    assert(AmbientProbe.contended(idle * 2.01, n))
+    assert(math.abs(AmbientProbe.ratio(idle * 3.0, n) - 3.0) < 1e-9)
+  }
+
+  test("probe inflates under deliberate CPU load (the sentinel trips on a loaded box)") {
+    val threads = 4 // the shared test session is local[4]
+    // steady-state unloaded cost (repeat-min of 2, codegen absorbed)
+    val unloaded = AmbientProbe.time(spark, threads)
+    // saturate the machine: busy-spinners on every hardware thread,
+    // so probe tasks timeshare at most ~half the CPU they had.
+    val cores = Runtime.getRuntime.availableProcessors()
+    val stop  = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val spinners = (1 to cores * 2).map { _ =>
+      val t = new Thread(() => {
+        var x = 0L
+        while (!stop.get()) { x += java.util.concurrent.ThreadLocalRandom.current().nextLong() }
+        // keep x observable so the loop can't be optimized away
+        if (x == Long.MinValue) println(x)
+      })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    try {
+      val loaded = AmbientProbe.time(spark, threads)
+      // 2x cores spinners vs `threads` probe tasks -> probe gets at
+      // most ~1/3 of each core; assert a conservative 1.4x so the
+      // test is load-proof, not a timing lottery.
+      assert(
+        loaded > unloaded * 1.4,
+        f"probe must slow under saturation: unloaded=$unloaded%.3f loaded=$loaded%.3f",
+      )
+    } finally {
+      stop.set(true)
+      spinners.foreach(_.join(2000))
+    }
+  }
+}

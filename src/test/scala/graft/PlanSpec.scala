@@ -482,6 +482,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("EditDistancePrefilter idempotence is conjunct-scoped: an OR-disjunct guard does not suppress it") {
+    graft.plans.EditDistancePrefilter.installOn(spark)
+    val n = Tables.nation(spark, sf).select(org.apache.spark.sql.functions.col("n_name"))
+    n.createOrReplaceTempView("v_edp_scope")
+
+    // A semantically-equal guard inside a SIBLING Or disjunct cannot
+    // short-circuit this disjunct's DP — the rule must still add one.
+    val or = spark.sql(
+      "SELECT * FROM v_edp_scope a, v_edp_scope b " +
+        "WHERE (abs(length(a.n_name) - length(b.n_name)) <= 3 AND a.n_name = b.n_name) " +
+        "OR levenshtein(a.n_name, b.n_name) <= 3")
+    val op = or.queryExecution.optimizedPlan.toString
+    assert("abs\\(".r.findAllIn(op).length === 2,
+      s"the Or-disjunct guard must not suppress guarding the distance disjunct:\n$op")
+    val orExpected = spark.sql(
+      "SELECT count(*) AS c FROM v_edp_scope a, v_edp_scope b " +
+        "WHERE (abs(length(a.n_name) - length(b.n_name)) <= 3 AND a.n_name = b.n_name) " +
+        "OR levenshtein(a.n_name, b.n_name) + 0 <= 3").head().getLong(0)
+    assert(or.count() === orExpected)
+
+    // A DOMINATING conjunct-chain guard genuinely short-circuits the
+    // DP (And evaluates it first) — the rule must NOT duplicate it.
+    val and = spark.sql(
+      "SELECT * FROM v_edp_scope a, v_edp_scope b " +
+        "WHERE abs(length(a.n_name) - length(b.n_name)) <= 3 " +
+        "AND levenshtein(a.n_name, b.n_name) <= 3")
+    val ap = and.queryExecution.optimizedPlan.toString
+    assert("abs\\(".r.findAllIn(ap).length === 1,
+      s"a dominating hand-written guard must suppress the rewrite:\n$ap")
+  }
+
   test("kappa / gini: bounded-table tails, no cartesian, vocab-not-corpus window") {
     // Kappa: one corpus aggregate to the |langs|² confusion matrix;
     // the row/col/cross joins run on that bounded table — keyed or

@@ -1038,6 +1038,50 @@ class OpsSpec extends AnyFunSuite {
     assert(top(viaIndex).nonEmpty)
   }
 
+  test("ivfRefresh: re-centered index == from-scratch rebuild; drift nonneg, zero for untouched cells") {
+    val gen  = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(16)(gen.nextFloat() * 2 - 1)))
+    val emb  = vecs.toDF("vec_id", "embedding")
+    val a    = emb.filter(col("vec_id") < 40)
+    val b    = emb.filter(col("vec_id") >= 40)
+    val cents = Similarity.ivfCentroids(a, "vec_id", "embedding", 8)
+    val appended = Similarity.ivfAppend(
+      Similarity.ivfIndex(a, "vec_id", "embedding", cents), b, cents, "vec_id", "embedding")
+
+    val (recentered, refreshed) =
+      Similarity.ivfRefresh(appended, cents, "vec_id", "embedding", iters = 1)
+
+    // refresh == rebuilding a fresh index with the refreshed quantizer
+    def cells(ix: org.apache.spark.sql.DataFrame) =
+      ix.select("vec_id", "cent_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val rebuilt = Similarity.ivfIndex(emb, "vec_id", "embedding", recentered)
+    assert(cells(refreshed) === cells(rebuilt))
+    assert(refreshed.count() === 60L)
+
+    // re-centering genuinely moved the quantizer (the corpus mean is
+    // not the seed vector) and the layout actually changed somewhere
+    val drift = Similarity.ivfCentroidDrift(cents, recentered)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(drift.size === 8)
+    assert(drift.values.forall(_ >= 0.0))
+    assert(drift.values.exists(_ > 0.0), "one Lloyd step over random data must move centroids")
+
+    // a quantizer with an EMPTY cell keeps that centroid: drift 0.
+    // The empty cell is GUARANTEED by construction — a duplicate of an
+    // existing centroid under a larger cent_id ties on cosine
+    // everywhere and the (cos desc, cent_id asc) tie-break always
+    // prefers the original, so cell 999 gets no members.
+    val withEmpty = cents.unionByName(
+      cents.orderBy(col("cent_id")).limit(1)
+        .select(lit(999L).as("cent_id"), col("cent_emb"), col("cent_nrm")))
+    val (rec2, _) = Similarity.ivfRefresh(
+      Similarity.ivfIndex(emb, "vec_id", "embedding", withEmpty),
+      withEmpty, "vec_id", "embedding", iters = 1)
+    val d2 = Similarity.ivfCentroidDrift(withEmpty, rec2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d2(999L) === 0.0, "an empty cell's centroid must not move (coalesce to old)")
+  }
+
   test("multimodal: ImageIoDecoder decodes real PNG payloads, isolates corrupt ones row-level") {
     // real codec on the MediaDecoder contract: encode solid-color PNGs
     // with javax.imageio, decode them back through the batched
@@ -1996,6 +2040,36 @@ class OpsSpec extends AnyFunSuite {
     } yield (ia, ib, rb - ra)).toSet
     assert(got === brute)
     assert(got.exists { case (_, _, g) => g == 2L }, "window > adjacency must contribute pairs")
+  }
+
+  test("Blocking.snmRank: high-cardinality key — tiered cumulative stays correct and parallel") {
+    import graft.ops.Blocking
+    import org.apache.spark.sql.expressions.Window
+    // the SNM worst case the r11 verdict flagged: a CONTINUOUS key
+    // (every value distinct), so the histogram is corpus-sized and a
+    // naive unpartitioned cumulative window would gather the whole
+    // corpus onto one task.
+    val df = (1 to 500)
+      .map(i => (i.toLong, f"name_${(i * 7919) % 1000}%04d_$i"))
+      .toDF("id", "k")
+      .repartition(7)
+    val got = Blocking.snmRank(df, "k", "id").select("id", "rank")
+    val want = df.select(
+      col("id"),
+      (row_number().over(Window.orderBy(col("k"), col("id"))) - 1).cast("long").as("rank"),
+    )
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // plan shape: the histogram cumulative runs over RANGE partitions
+    // (parallel), and the only unpartitioned window is the P-row
+    // offset table — the executed plan must carry a range exchange and
+    // exactly one SinglePartition gather.
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning("), s"histogram must range-partition:\n$plan")
+    assert(
+      "SinglePartition".r.findAllIn(plan).length === 1,
+      s"only the P-row offset window may gather:\n$plan",
+    )
   }
 
   test("Text.invertedIndex: df/cf exact, postings ascending, cap truncates to lowest ids") {
