@@ -56,6 +56,15 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // r11 addition: the wedge-join link predictor (20.7 MB at sf0.1,
     // flat at 10x — dimension-bounded like the graph family)
     "misc_link_predict"           -> 287653L,
+    // r12 additions: the entity-resolution pair (the r11 verdict's
+    // untriaged driver row — repeat-min 5.4/4.7 s, shuffle FLAT at
+    // 10x because part is a dimension) and its SNM stage, plus the
+    // IVF refresh lifecycle gates
+    "ddp_entity_match"            -> 1997L,
+    "ddp_entity_match_jw"         -> 1997L,
+    "ddp_snm_pairs"               -> 16995L,
+    "sim_ann_ivf_refresh"         -> 451752L,
+    "sim_ann_ivf_refresh_drift"   -> 314971L,
   )
 
   // at sf0.001 the build's join broadcasts (59 B of exchange); the pin
