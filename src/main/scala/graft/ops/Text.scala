@@ -1009,4 +1009,157 @@ object Text {
         ).as("signed_sum"),
       )
   }
+
+  /** Corpus-derived wordpiece vocabulary over a token-occurrence frame
+    * `(word)` — the deterministic stand-in for a trained vocab so the
+    * whole wordpiece pipeline is engine-replayable: every single
+    * character of the corpus alphabet (base + `##` continuation — the
+    * coverage floor that makes mid-word failure impossible), the
+    * `topWords` most frequent whole words, the `topPrefixes` most
+    * frequent 2-char word prefixes, and the `topPrefixes` most frequent
+    * `##`-continuation bigrams at character position 3. Ties broken by
+    * piece ascending, so the vocab is a pure function of the corpus.
+    *
+    * Scale shape: ONE corpus aggregation (the word histogram,
+    * map-side combinable); every derived top — whole words, prefixes,
+    * continuation bigrams — re-aggregates that vocab-bounded histogram
+    * (prefix frequency = Σ word counts by prefix), so the corpus is
+    * scanned exactly once however many vocab classes are derived. The
+    * rank windows run over those bounded tables — the [[Stats]]
+    * bounded-domain discipline (a natural-language vocabulary is
+    * Heaps-law-bounded, not corpus-proportional). */
+  def wordpieceVocab(occ: DataFrame, topWords: Int, topPrefixes: Int): DataFrame = {
+    require(topWords >= 0 && topPrefixes >= 0, s"negative top-k: $topWords/$topPrefixes")
+    import org.apache.spark.sql.expressions.Window
+    val hist  = occ.groupBy(col("word")).agg(count(lit(1)).as("__c")).localCheckpoint()
+    val words = hist.select(col("word"))
+    val singles = words
+      .select(
+        explode(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+          .as("body"))
+      .distinct()
+    def topBy(grouped: DataFrame, k: Int): DataFrame =
+      grouped
+        .withColumn(
+          "__rn",
+          row_number().over(Window.orderBy(col("__c").desc, col("piece"))))
+        .filter(col("__rn") <= k)
+        .select("piece")
+    val topw = topBy(hist.select(col("word").as("piece"), col("__c")), topWords)
+    val pre2 = topBy(
+      hist
+        .filter(length(col("word")) >= 2)
+        .groupBy(substring(col("word"), 1, 2).as("piece"))
+        .agg(sum(col("__c")).as("__c")),
+      topPrefixes)
+    val cont2 = topBy(
+      hist
+        .filter(length(col("word")) >= 4)
+        .groupBy(substring(col("word"), 3, 2).as("piece"))
+        .agg(sum(col("__c")).as("__c")),
+      topPrefixes)
+      .select(concat(lit("##"), col("piece")).as("piece"))
+    singles
+      .select(col("body").as("piece"))
+      .unionByName(singles.select(concat(lit("##"), col("body")).as("piece")))
+      .unionByName(topw)
+      .unionByName(pre2)
+      .unionByName(cont2)
+      .distinct()
+  }
+
+  /** WordPiece greedy longest-match tokenization (Schuster & Nakajima
+    * 2012; the BERT tokenizer): each word is consumed left to right,
+    * at every position taking the LONGEST vocab piece that matches —
+    * base pieces at position 0, `##`-continuation pieces after — and
+    * becoming a single `[UNK]` when no piece matches or the word
+    * exceeds `maxWordLen` (the BERT long-word convention).
+    *
+    * The per-word while-loop (the blocker the r9 BPE note recorded)
+    * is expressed as DRIVER-BOUNDED join rounds — the [[Graph]] BFS
+    * shape, not a per-row UDF loop: each round left-joins the frontier
+    * (words still mid-consumption) against the broadcast vocab on the
+    * substring match, takes the per-word argmax piece length (greedy),
+    * advances, and retires finished/failed words. The position
+    * advances ≥ 1 per round, so ≤ `maxWordLen` rounds total, each
+    * map-side over a DISTINCT-WORDS frame (Heaps-law-bounded — callers
+    * tokenize distinct words once and join the pieces back to
+    * occurrences). Cross-engine replay: a DuckDB recursive CTE with a
+    * correlated max-length subquery walks the identical chain — the
+    * `txt_wordpiece_tokenize` oracle replays vocab derivation and
+    * tokenization end to end.
+    *
+    * @param words frame with a `word` column (deduplicated here)
+    * @param vocab frame with a `piece` column (`##`-prefixed pieces
+    *              are continuations)
+    * @return (word, pieces array<string>, n_pieces, is_unk) */
+  def wordpieceTokenize(words: DataFrame, vocab: DataFrame, maxWordLen: Int): DataFrame = {
+    require(maxWordLen >= 1, s"maxWordLen must be >= 1, got $maxWordLen")
+    val v = vocab
+      .select(col("piece"))
+      .distinct()
+      .select(
+        col("piece"),
+        when(col("piece").startsWith("##"), expr("substring(piece, 3)"))
+          .otherwise(col("piece"))
+          .as("body"),
+        col("piece").startsWith("##").as("is_cont"),
+      )
+      .withColumn("blen", length(col("body")))
+      .filter(col("blen") >= 1)
+    val init = words
+      .select(col("word"))
+      .distinct()
+      .select(
+        col("word"),
+        length(col("word")).as("wlen"),
+        lit(0).as("pos"),
+        expr("CAST(array() AS ARRAY<STRING>)").as("pieces"),
+        (length(col("word")) > maxWordLen).as("failed"),
+      )
+    var done     = init.filter(col("failed")).localCheckpoint()
+    var frontier = init.filter(!col("failed")).localCheckpoint()
+    var round    = 0
+    while (round < maxWordLen && !frontier.isEmpty) {
+      val stepped = frontier
+        .join(
+          broadcast(v),
+          col("is_cont") === (col("pos") > lit(0)) &&
+            col("body") === expr("substring(word, pos + 1, blen)"),
+          "left",
+        )
+        .groupBy(col("word"))
+        .agg(
+          first(col("wlen")).as("wlen"),
+          first(col("pos")).as("__pos"),
+          first(col("pieces")).as("__pieces"),
+          // null when NO piece matched (plain struct(blen, piece) would
+          // surface the left join's null-field struct as a fake max)
+          max(when(col("piece").isNotNull, struct(col("blen"), col("piece")))).as("__best"),
+        )
+        .select(
+          col("word"),
+          col("wlen"),
+          when(col("__best").isNull, col("wlen"))
+            .otherwise(col("__pos") + col("__best").getField("blen"))
+            .as("pos"),
+          when(col("__best").isNull, col("__pieces"))
+            .otherwise(array_append(col("__pieces"), col("__best").getField("piece")))
+            .as("pieces"),
+          col("__best").isNull.as("failed"),
+        )
+        .localCheckpoint()
+      done = done.unionByName(stepped.filter(col("failed") || col("pos") >= col("wlen")))
+      frontier = stepped.filter(!col("failed") && col("pos") < col("wlen"))
+      round += 1
+    }
+    // pos advances >= 1 per round, so maxWordLen rounds always drain
+    // the frontier — `done` is total here by construction
+    done.select(
+      col("word"),
+      when(col("failed"), array(lit("[UNK]"))).otherwise(col("pieces")).as("pieces"),
+      when(col("failed"), lit(1L)).otherwise(size(col("pieces")).cast("long")).as("n_pieces"),
+      col("failed").as("is_unk"),
+    )
+  }
 }

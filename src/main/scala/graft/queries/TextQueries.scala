@@ -1141,11 +1141,104 @@ object TextQueries {
       .preferencePairs(scored, Seq("source", "lang"), "doc_id", "score", minMargin = 1L)
   }
 
+  /** WordPiece greedy longest-match tokenization
+    * ([[Text.wordpieceTokenize]]) — the r9 BPE note's open per-word-loop
+    * item, closed: the Spark side walks driver-bounded join rounds over
+    * the distinct-words frame; the oracle walks the IDENTICAL chain as
+    * a recursive CTE whose recursive term finds the greedy longest
+    * match with a correlated `max(blen)` subquery. The vocabulary is
+    * corpus-derived in both engines ([[Text.wordpieceVocab]]: alphabet
+    * singles base+`##`, top-8 words, top-8 2-char prefixes, top-8
+    * position-3 continuation bigrams). `maxWordLen = 6` is BELOW the
+    * corpus max word length (8), so the `[UNK]` long-word path is
+    * exercised by the differential, not just by specs. Output is the
+    * per-document fertility rollup (occurrences join the tokenized
+    * distinct words). */
+  private val wordpieceQ = Q(
+    "txt_wordpiece_tokenize",
+    """WITH RECURSIVE
+      |occ AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS word FROM documents),
+      |words AS (SELECT DISTINCT word FROM occ),
+      |singles AS (
+      |  SELECT DISTINCT unnest(list_transform(generate_series(1, length(word)),
+      |    i -> substring(word, i, 1))) AS body FROM words),
+      |topw AS (
+      |  SELECT piece FROM (
+      |    SELECT word AS piece, row_number() OVER (ORDER BY count(*) DESC, word) AS rn
+      |    FROM occ GROUP BY word) WHERE rn <= 8),
+      |pre2 AS (
+      |  SELECT piece FROM (
+      |    SELECT substring(word, 1, 2) AS piece,
+      |      row_number() OVER (ORDER BY count(*) DESC, substring(word, 1, 2)) AS rn
+      |    FROM occ WHERE length(word) >= 2 GROUP BY substring(word, 1, 2)) WHERE rn <= 8),
+      |cont2 AS (
+      |  SELECT '##' || piece AS piece FROM (
+      |    SELECT substring(word, 3, 2) AS piece,
+      |      row_number() OVER (ORDER BY count(*) DESC, substring(word, 3, 2)) AS rn
+      |    FROM occ WHERE length(word) >= 4 GROUP BY substring(word, 3, 2)) WHERE rn <= 8),
+      |vocab AS (
+      |  SELECT DISTINCT piece FROM (
+      |    SELECT body AS piece FROM singles
+      |    UNION ALL SELECT '##' || body FROM singles
+      |    UNION ALL SELECT piece FROM topw
+      |    UNION ALL SELECT piece FROM pre2
+      |    UNION ALL SELECT piece FROM cont2)),
+      |v AS (
+      |  SELECT piece,
+      |    CASE WHEN piece LIKE '##%' THEN substring(piece, 3) ELSE piece END AS body,
+      |    (piece LIKE '##%') AS is_cont,
+      |    length(CASE WHEN piece LIKE '##%' THEN substring(piece, 3) ELSE piece END) AS blen
+      |  FROM vocab),
+      |step AS (
+      |  SELECT word, length(word) AS wlen, 0 AS pos,
+      |    CAST([] AS VARCHAR[]) AS pieces, length(word) > 6 AS failed
+      |  FROM words
+      |  UNION ALL
+      |  SELECT word, wlen,
+      |    CASE WHEN m IS NULL THEN wlen ELSE pos + m END AS pos,
+      |    CASE WHEN m IS NULL THEN pieces
+      |      ELSE list_append(pieces,
+      |        CASE WHEN pos > 0 THEN '##' || substring(word, pos + 1, m)
+      |             ELSE substring(word, pos + 1, m) END) END AS pieces,
+      |    (m IS NULL) AS failed
+      |  FROM (
+      |    SELECT s.word, s.wlen, s.pos, s.pieces,
+      |      (SELECT max(v.blen) FROM v
+      |        WHERE v.is_cont = (s.pos > 0)
+      |          AND v.body = substring(s.word, s.pos + 1, v.blen)) AS m
+      |    FROM step s WHERE NOT s.failed AND s.pos < s.wlen)),
+      |fin AS (
+      |  SELECT word,
+      |    CASE WHEN failed THEN 1 ELSE len(pieces) END AS n_pieces,
+      |    failed
+      |  FROM step WHERE failed OR pos >= wlen)
+      |SELECT o.doc_id,
+      |  count(*) AS n_words,
+      |  CAST(sum(f.n_pieces) AS BIGINT) AS n_pieces,
+      |  CAST(sum(CASE WHEN f.failed THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+      |FROM occ o JOIN fin f USING (word)
+      |GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    val occ = documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+    val vocab = Text.wordpieceVocab(occ, topWords = 8, topPrefixes = 8)
+    val wp    = Text.wordpieceTokenize(occ.select("word"), vocab, maxWordLen = 6)
+    occ
+      .join(broadcast(wp), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("is_unk").cast("long")).as("n_unk"),
+      )
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
       sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize, lmPrune, invertedIndexQ,
       packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ,
       negSamplingQ, skipGramQ, curriculumOrderQ, repeatCollapseQ, preferencePairsQ,
-      featureHashQ, sentenceStatsQ, langIdKappaQ, tokenGiniQ)
+      featureHashQ, sentenceStatsQ, langIdKappaQ, tokenGiniQ, wordpieceQ)
 }

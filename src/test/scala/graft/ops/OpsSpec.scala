@@ -2089,6 +2089,30 @@ class OpsSpec extends AnyFunSuite {
     assert(idx("cherry") === ((1L, 1L, Seq(1L))))
   }
 
+  test("Text.wordpieceTokenize: greedy longest match, continuations, both UNK paths") {
+    val vocab = Seq(
+      "un", "##aff", "##able", "##ffa", "a", "b", "##a", "##b", "hug", "##s", "h", "##ug",
+    ).toDF("piece")
+    val words = Seq("unaffable", "hugs", "hug", "abab", "zebra", "verylongword").toDF("word")
+    val got = Text.wordpieceTokenize(words, vocab, maxWordLen = 10)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getSeq[String](1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // the classic BERT example: greedy longest at every position —
+    // 'un' (not 'u'), then '##aff' beats '##a', then '##able'
+    assert(got("unaffable") === ((Seq("un", "##aff", "##able"), 3L, false)))
+    // 'hug' (3) beats 'h' (1) at position 0
+    assert(got("hugs") === ((Seq("hug", "##s"), 2L, false)))
+    assert(got("hug") === ((Seq("hug"), 1L, false)))
+    // base piece at 0, continuation pieces after
+    assert(got("abab") === ((Seq("a", "##b", "##a", "##b"), 4L, false)))
+    // mid-word failure ('z' not in vocab): the WHOLE word is one [UNK]
+    assert(got("zebra") === ((Seq("[UNK]"), 1L, true)))
+    // longer than maxWordLen: [UNK] without consuming any piece
+    assert(got("verylongword") === ((Seq("[UNK]"), 1L, true)))
+    assert(got.size === 6)
+  }
+
   test("Attribution: linear credit conserves cents; first/last deterministic; window binds") {
     def ev(id: Long, user: Long, day: Int, typ: String, value: Double) =
       (id, user, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), typ, value)
