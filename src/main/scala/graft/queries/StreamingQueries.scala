@@ -275,20 +275,7 @@ object StreamingQueries {
           col("c.ts") < col("e.ts"),
       )
       .select(col("e.event_id").as("err_id"), col("c.event_id").as("click_id"), col("e.user_id"))
-    val name = synchronized { streamN += 1; s"graft_stream_join_$streamN" }
-    withStatePartitions(s, 4) {
-      withScratchCheckpoint("graft_ckpt_interval") { ckpt =>
-        val q = joined.writeStream
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-    }
-    s.table(name)
+    runStream(s, joined, "join", "append")
   }
 
   /** Left-outer stream-stream join with deterministic outer emission
@@ -334,20 +321,7 @@ object StreamingQueries {
         "left_outer",
       )
       .select(col("e.event_id").as("err_id"), col("c.event_id").as("click_id"), col("e.user_id"))
-    val name = synchronized { streamN += 1; s"graft_stream_louter_$streamN" }
-    withStatePartitions(s, 4) {
-      withScratchCheckpoint("graft_ckpt_louter") { ckpt =>
-        val q = joined.writeStream
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-    }
-    s.table(name)
+    runStream(s, joined, "louter", "append")
   }
 
   /** The documents table as a 3-file doc_id-tertile split with
@@ -421,23 +395,11 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", 1)
       .parquet(documentsSplitDir(s, d))
     val sampled = graft.ops.StreamSample.reservoirStream(stream, "doc_id", "source", k = 10)
-    val name    = synchronized { streamN += 1; s"graft_stream_reservoir_$streamN" }
-    withStatePartitions(s, 4) {
-      withScratchCheckpoint("graft_ckpt_reservoir") { ckpt =>
-        val q = sampled.writeStream
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("update")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-    }
+    val emitted = runStream(s, sampled.toDF(), "reservoir", "update")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("strata")
       .orderBy(col("h"), col("id"))
-    s.table(name)
+    emitted
       .distinct()
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= 10)
@@ -484,18 +446,7 @@ object StreamingQueries {
       .filter(col("doc_id") % 50 =!= 0)
       .filter(!graft.ops.Dedup.contaminatedPredicate(col("text"), benchShingles, 5))
       .select("doc_id", "source")
-    val name = synchronized { streamN += 1; s"graft_stream_decontam_$streamN" }
-    withScratchCheckpoint("graft_ckpt_decontam") { ckpt =>
-      val q = cleaned.writeStream
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    s.table(name)
+    runStream(s, cleaned, "decontam", "append")
   }
 
   /** Streaming dedup with watermark-bounded state
@@ -523,20 +474,7 @@ object StreamingQueries {
     val deduped = graft.ops.StreamDedup
       .dedupWithinWatermark(stream, "ts", "45 days", Seq("user_id", "event_type"))
       .select("user_id", "event_type")
-    val name = synchronized { streamN += 1; s"graft_stream_dedup_$streamN" }
-    withStatePartitions(s, 4) {
-      withScratchCheckpoint("graft_ckpt_dedup") { ckpt =>
-        val q = deduped.writeStream
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-    }
-    s.table(name)
+    runStream(s, deduped, "dedup", "append")
   }
 
   /** Stream-static dimension join — the enrichment shape every
@@ -564,18 +502,7 @@ object StreamingQueries {
     val enriched = stream
       .join(dim, col("user_id") === col("c_custkey"))
       .select("event_id", "user_id", "segment", "cust_name")
-    val name = synchronized { streamN += 1; s"graft_stream_static_$streamN" }
-    withScratchCheckpoint("graft_ckpt_static") { ckpt =>
-      val q = enriched.writeStream
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    s.table(name)
+    runStream(s, enriched, "static", "append")
   }
 
   /** Streaming sessionization: `session_window` state merged ACROSS
@@ -624,20 +551,8 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("w_start"), col("sw.end").as("w_end"),
         col("n_events"))
-    val name = synchronized { streamN += 1; s"graft_stream_session_$streamN" }
-    withStatePartitions(s, 4) {
-      withScratchCheckpoint("graft_ckpt_session") { ckpt =>
-        val q = sessions.writeStream
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-    }
-    s.table(name).filter(col("w_end") < lit("2024-01-18 00:00:00").cast("timestamp"))
+    runStream(s, sessions, "session", "append")
+      .filter(col("w_end") < lit("2024-01-18 00:00:00").cast("timestamp"))
   }
 
   /** Streaming conversion funnel over custom `mapGroupsWithState`
@@ -678,20 +593,7 @@ object StreamingQueries {
       .parquet(leftOuterSplitDir(s, d))
     val updates = graft.ops.Funnel
       .streamingFunnel3(stream, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
-    val name = synchronized { streamN += 1; s"graft_stream_funnel_$streamN" }
-    withStatePartitions(s, 4) {
-      withScratchCheckpoint("graft_ckpt_funnel") { ckpt =>
-        val q = updates.toDF().writeStream
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .outputMode("update")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-    }
-    s.table(name)
+    runStream(s, updates.toDF(), "funnel", "update")
       .groupBy("user_id")
       .agg(
         min("step1_us").as("u1"),
@@ -892,19 +794,28 @@ object StreamingQueries {
     * THE single definition of the memory-sink scaffold (it was copied
     * per query; a checkpoint/trigger/output-mode policy change now has
     * one home). */
-  private def runCompleteStream(
+  /** THE memory-sink replay scaffold — one definition for every
+    * output mode (the r11 consolidation covered the 8 complete-mode
+    * copies; this generalization retires the 8 append/update-mode
+    * copies too): unique query name, scratch checkpoint, 4 state
+    * partitions (harmless for the stateless replays — it only caps
+    * the replay's shuffle width), AvailableNow drain, and the sink
+    * table back. Only the two `foreachBatch` replays (BPE drift, IVM
+    * maintenance) stay bespoke — their sink IS the logic under test. */
+  private def runStream(
       s: org.apache.spark.sql.SparkSession,
-      agg: org.apache.spark.sql.DataFrame,
+      df: org.apache.spark.sql.DataFrame,
       prefix: String,
+      mode: String,
   ): org.apache.spark.sql.DataFrame = {
     val name = synchronized { streamN += 1; s"graft_stream_${prefix}_$streamN" }
     withStatePartitions(s, 4) {
       withScratchCheckpoint(s"graft_ckpt_$prefix") { ckpt =>
-        val q = agg.writeStream
+        val q = df.writeStream
           .format("memory")
           .queryName(name)
           .option("checkpointLocation", ckpt)
-          .outputMode("complete")
+          .outputMode(mode)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -912,6 +823,12 @@ object StreamingQueries {
     }
     s.table(name)
   }
+
+  private def runCompleteStream(
+      s: org.apache.spark.sql.SparkSession,
+      agg: org.apache.spark.sql.DataFrame,
+      prefix: String,
+  ): org.apache.spark.sql.DataFrame = runStream(s, agg, prefix, "complete")
 
   /** Shared scaffold of the CUSUM/EWMA/seasonal streaming twins:
     * replay the events split as a stream, maintain the mergeable
