@@ -143,5 +143,34 @@ object Eval {
       )
   }
 
+  /** Record-linkage quality rollup over a matcher's best-match output
+    * against known ground truth — the precision/recall pair an ER
+    * pipeline is tuned on (threshold up → precision up, recall down).
+    * `matches` is one row per MATCHED query (the
+    * [[Blocking.matchBest]] shape), `correct` marks agreement with the
+    * truth, and `queries` is the FULL query-side population so
+    * recall's denominator counts queries the matcher dropped. One
+    * row: (n_queries, n_matched, n_correct, precision_ppm,
+    * recall_ppm) — exact integer ppm, bit-replayable.
+    *
+    * Scale shape: two single-row aggregates (map-side combinable) and
+    * a broadcast 1-row cross join — nothing corpus-sized moves. */
+  def linkageReport(matches: DataFrame, correct: org.apache.spark.sql.Column, queries: DataFrame): DataFrame =
+    matches
+      .agg(
+        count(lit(1)).as("n_matched"),
+        sum(when(correct, 1L).otherwise(0L)).as("n_correct"),
+      )
+      .crossJoin(broadcast(queries.agg(count(lit(1)).as("n_queries"))))
+      .select(
+        col("n_queries"),
+        col("n_matched"),
+        col("n_correct"),
+        expr("CASE WHEN n_matched = 0 THEN 0L ELSE n_correct * 1000000L div n_matched END")
+          .as("precision_ppm"),
+        expr("CASE WHEN n_queries = 0 THEN 0L ELSE n_correct * 1000000L div n_queries END")
+          .as("recall_ppm"),
+      )
+
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 }

@@ -324,6 +324,53 @@ object StreamingQueries {
     runStream(s, joined, "louter", "append")
   }
 
+  /** FULL-outer stream-stream join — completes the streaming join
+    * matrix (inner ✅ interval, left-outer ✅): unmatched rows from
+    * BOTH sides emit null-extended once the watermark passes their
+    * join window, so unlike the left-outer gate BOTH sides are
+    * restricted to the first time-split file (errors AND clicks before
+    * Jan 11) — by batch 3 (watermark ≈ Jan 20) every row's window on
+    * either side has provably closed and the streaming result equals
+    * the batch FULL JOIN the oracle runs. `user_id` is coalesced
+    * across sides (a right-only row has no e.user_id). */
+  private val fullOuterJoinStream = Q(
+    "stream_full_outer_join",
+    """SELECT e.event_id AS err_id, c.event_id AS click_id,
+      |  coalesce(e.user_id, c.user_id) AS user_id
+      |FROM (SELECT * FROM events
+      |      WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-11 00:00:00') e
+      |FULL JOIN (SELECT * FROM events
+      |      WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-11 00:00:00') c
+      |  ON e.user_id = c.user_id
+      | AND c.ts >= e.ts - INTERVAL 45 MINUTE AND c.ts < e.ts""".stripMargin,
+  ) { (s, d) =>
+    val streamDir = leftOuterSplitDir(s, d)
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    def side(alias: String) = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+      .withWatermark("ts", "1 hour")
+      .as(alias)
+    val cutoff = lit("2024-01-11 00:00:00").cast("timestamp")
+    val errors = side("e").filter(col("event_type") === "error" && col("ts") < cutoff)
+    val clicks = side("c").filter(col("event_type") === "click" && col("ts") < cutoff)
+    val joined = errors
+      .join(
+        clicks,
+        col("e.user_id") === col("c.user_id") &&
+          col("c.ts") >= col("e.ts") - expr("INTERVAL 45 MINUTES") &&
+          col("c.ts") < col("e.ts"),
+        "full_outer",
+      )
+      .select(
+        col("e.event_id").as("err_id"),
+        col("c.event_id").as("click_id"),
+        coalesce(col("e.user_id"), col("c.user_id")).as("user_id"),
+      )
+    runStream(s, joined, "fouter", "append")
+  }
+
   /** The documents table as a 3-file doc_id-tertile split with
     * staggered mtimes (micro-batch order), for stateful-sampling
     * replays. Built once per (session, sfDir). */
@@ -1166,7 +1213,8 @@ object StreamingQueries {
   }
 
   val all: Seq[Q] =
-    Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, reservoirStream,
+    Seq(tumblingStream, intervalJoinStream, leftOuterJoinStream, fullOuterJoinStream,
+      reservoirStream,
       decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream,
       cmsStream, bpeDriftStream, rateAnomalyStream, profileStream, distDriftStream, ivmStream,
       cusumStream, ewmaStream, holtStream, seasonalStream, topkStream, approxDistinctStream)
