@@ -12,14 +12,16 @@ import org.apache.spark.sql.SparkSession
   * 2× regression until it was manually re-measured.
   *
   * Fix: before the suite runs, time a PINNED calibration probe — a
-  * pure-CPU, SF-independent, deterministic workload (`sum(xxhash64(id))`
-  * over a fixed range, one partition per requested core) — and emit
+  * pure-CPU, SF-independent, deterministic workload
+  * (`bit_xor(xxhash64(id))` over a fixed range, one partition per
+  * requested core) — and emit
   * `calibration_s`, `ambient_ratio` (= measured / pinned idle
   * repeat-min) and `contended` (ratio > 2) on the bench summary line.
   * A contended run thus SELF-LABELS; consumers (the judge, slope
   * tables) can discount it instead of misreading it as a regression.
   *
-  * The probe is repeat-min of 2 (first run absorbs codegen; minimum is
+  * The probe is repeat-min of 4 (the first run absorbs codegen, the
+  * next two still carry C2 JIT warmup — see [[time]]; the minimum is
   * the steady-state cost, same protocol as PERF.md) and saturates the
   * requested cores, so ANY competing load — other JVMs, the OS page
   * cache churn of a parallel build — inflates it roughly like it

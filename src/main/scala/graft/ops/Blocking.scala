@@ -53,17 +53,15 @@ object Blocking {
     * range boundary placement, so the output is independent of the
     * sampling `repartitionByRange` does. */
   def snmRank(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
-    val nn    = df.filter(col(keyCol).isNotNull)
-    val hist  = nn.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("__c"))
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = hist
-      .repartitionByRange(parts, col("__k"))
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window
-      .partitionBy(col("__pid"))
-      .orderBy(col("__k"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val local = ranged.withColumn("__lcum", sum(col("__c")).over(wLocal))
+    val nn = df.filter(col(keyCol).isNotNull)
+    // localCheckpoint: the cumulative feeds BOTH the offsets aggregate
+    // and the base join, and its `__pid` column comes from
+    // spark_partition_id() — correct only if the two consumers see the
+    // SAME physical partitioning. Exchange reuse usually guarantees
+    // that, but nothing pins it; materializing once makes the shared
+    // `__pid` values a fact, not a plan-shape accident. Cost: one
+    // histogram-sized (|distinct keys| rows, 4 narrow columns) RDD.
+    val local = snmLocalCumulative(nn, keyCol).localCheckpoint()
     val wOff = Window
       .orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -79,6 +77,25 @@ object Blocking {
     nn.join(base, nn(keyCol) === base("__k"))
       .withColumn("rank", col("__base") + row_number().over(wTie) - 1)
       .drop("__k", "__base")
+  }
+
+  /** The pre-checkpoint tiered histogram cumulative: range-partitioned
+    * key histogram with a per-partition running sum (window keyed by
+    * the range partition id — each bounded by a partition, not the key
+    * domain). Package-private so the plan-shape spec can pin the
+    * parallel range exchange DIRECTLY (the checkpoint in [[snmRank]]
+    * truncates lineage, hiding this stage from the downstream plan). */
+  private[graft] def snmLocalCumulative(nn: DataFrame, keyCol: String): DataFrame = {
+    val hist  = nn.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("__c"))
+    val parts = nn.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = hist
+      .repartitionByRange(parts, col("__k"))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window
+      .partitionBy(col("__pid"))
+      .orderBy(col("__k"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged.withColumn("__lcum", sum(col("__c")).over(wLocal))
   }
 
   /** Within-window candidate pairs: (`a_id`, `b_id`, `gap`) for every

@@ -159,7 +159,9 @@ object Eval {
     matches
       .agg(
         count(lit(1)).as("n_matched"),
-        sum(when(correct, 1L).otherwise(0L)).as("n_correct"),
+        // sum over ZERO rows is NULL, not 0 — an empty matcher output
+        // must report n_correct = 0 / recall = 0, not NULLs.
+        coalesce(sum(when(correct, 1L).otherwise(0L)), lit(0L)).as("n_correct"),
       )
       .crossJoin(broadcast(queries.agg(count(lit(1)).as("n_queries"))))
       .select(

@@ -1280,6 +1280,70 @@ object DedupQueries {
       .withColumn("is_correct", col("dirty_id") === col("canon_id"))
   }
 
+  /** Record-linkage quality rollup ([[graft.ops.Eval.linkageReport]])
+    * over the [[entityMatchQ]] pipeline: one exact-integer-ppm
+    * (precision, recall) row — the number an ER pipeline is tuned on.
+    * Recall's denominator is the FULL dirty population (queries the
+    * matcher dropped count against it), precision's is the matched
+    * set. Two single-row aggregates + a broadcast 1-row cross join —
+    * nothing corpus-sized moves beyond the match itself. */
+  private val linkageReportQ = Q(
+    "ddp_linkage_report",
+    """WITH ent AS (
+      |  SELECT p_partkey AS id, p_name || ' ' || p_brand || ' ' || p_type AS name FROM part),
+      |pert AS (
+      |  SELECT id, string_split(name, ' ') AS t,
+      |    CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || name), 1, 6)) AS BIGINT) % 3 AS c
+      |  FROM ent),
+      |dirty AS (
+      |  SELECT id,
+      |    CASE c
+      |      WHEN 0 THEN array_to_string(list_concat([t[2], t[1]], t[3:]), ' ')
+      |      WHEN 1 THEN array_to_string(list_concat([substr(t[1], 1, 3), t[2]], t[3:]), ' ')
+      |      ELSE array_to_string(
+      |        list_concat([t[1], substr(t[2], 1, greatest(len(t[2]) - 1, 1))], t[3:]), ' ')
+      |    END AS name FROM pert),
+      |db AS (SELECT id, array_to_string(string_split(name, ' ')[3:], ' ') AS block,
+      |         list_distinct(string_split(name, ' ')) AS toks FROM dirty),
+      |cb AS (SELECT id, array_to_string(string_split(name, ' ')[3:], ' ') AS block,
+      |         list_distinct(string_split(name, ' ')) AS toks FROM ent),
+      |pairs AS (
+      |  SELECT d.id AS dirty_id, c.id AS canon_id,
+      |    CAST(len(list_intersect(d.toks, c.toks)) * 1000000
+      |         // len(list_distinct(list_concat(d.toks, c.toks))) AS BIGINT) AS sim_ppm
+      |  FROM db d JOIN cb c USING (block)),
+      |keep AS (SELECT * FROM pairs WHERE sim_ppm >= 400000),
+      |best AS (
+      |  SELECT dirty_id, canon_id, dirty_id = canon_id AS is_correct
+      |  FROM (
+      |    SELECT dirty_id, canon_id,
+      |      row_number() OVER (PARTITION BY dirty_id ORDER BY sim_ppm DESC, canon_id) AS rn
+      |    FROM keep) WHERE rn = 1)
+      |SELECT
+      |  (SELECT count(*) FROM dirty) AS n_queries,
+      |  count(*) AS n_matched,
+      |  CAST(coalesce(sum(CASE WHEN is_correct THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_correct,
+      |  CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(coalesce(sum(CASE WHEN is_correct THEN 1 ELSE 0 END), 0) * 1000000
+      |              // count(*) AS BIGINT) END AS precision_ppm,
+      |  CAST(coalesce(sum(CASE WHEN is_correct THEN 1 ELSE 0 END), 0) * 1000000
+      |       // (SELECT count(*) FROM dirty) AS BIGINT) AS recall_ppm
+      |FROM best""".stripMargin,
+  ) { (s, d) =>
+    val ent = part(s, d).select(
+      col("p_partkey").as("id"),
+      concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("name"),
+    )
+    val dirtied = graft.ops.Blocking.perturbNames(ent, "id", "name")
+    def blocked(df: DataFrame) = df.withColumn(
+      "block",
+      concat_ws(" ", expr("slice(split(name, ' '), 3, greatest(size(split(name, ' ')) - 2, 0))")),
+    )
+    val matched = graft.ops.Blocking
+      .matchBest(blocked(dirtied), blocked(ent), minSimPpm = 400000L)
+    graft.ops.Eval.linkageReport(matched, col("dirty_id") === col("canon_id"), dirtied)
+  }
+
   /** Jaro–Winkler-scored entity resolution
     * ([[graft.ops.Blocking.matchBestJw]]) over the SAME perturbation
     * surface as [[entityMatchQ]] — the character-level scorer sees the
@@ -1473,5 +1537,6 @@ object DedupQueries {
       semdedupBest, embeddingPairs,
       embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, decontaminate,
       decontaminateFuzzyQ, lshRecallEval, lshBandingSweep, corpusPrepare,
-      corpusPrepareEmb, componentSplitQ, corpusMix, snmPairsQ, entityMatchQ, entityMatchJwQ)
+      corpusPrepareEmb, componentSplitQ, corpusMix, snmPairsQ, entityMatchQ, entityMatchJwQ,
+      linkageReportQ)
 }

@@ -1189,7 +1189,11 @@ object TextQueries {
       |    CASE WHEN piece LIKE '##%' THEN substring(piece, 3) ELSE piece END AS body,
       |    (piece LIKE '##%') AS is_cont,
       |    length(CASE WHEN piece LIKE '##%' THEN substring(piece, 3) ELSE piece END) AS blen
-      |  FROM vocab),
+      |  FROM vocab
+      |  -- mirror the Scala side's defensive blen >= 1 filter: an
+      |  -- empty-bodied piece (bare '##') would match '' and advance
+      |  -- pos by 0 — non-terminating recursion
+      |  WHERE length(CASE WHEN piece LIKE '##%' THEN substring(piece, 3) ELSE piece END) >= 1),
       |step AS (
       |  SELECT word, length(word) AS wlen, 0 AS pos,
       |    CAST([] AS VARCHAR[]) AS pieces, length(word) > 6 AS failed

@@ -23,8 +23,17 @@ class AmbientProbeSpec extends AnyFunSuite {
 
   test("probe inflates under deliberate CPU load (the sentinel trips on a loaded box)") {
     val threads = 4 // the shared test session is local[4]
-    // steady-state unloaded cost (repeat-min of 2, codegen absorbed)
+    // steady-state unloaded cost (repeat-min of 4, codegen + C2 absorbed)
     val unloaded = AmbientProbe.time(spark, threads)
+    // Wall-clock-dependent assertion: the "unloaded" baseline is only a
+    // baseline on a quiet machine. If the box is ALREADY contended
+    // (baseline beyond the sentinel's own 2x tripwire), the loaded /
+    // unloaded ratio can fall under 1.4x without the probe being wrong
+    // — so assert nothing rather than flake.
+    assume(
+      !AmbientProbe.contended(unloaded, threads),
+      f"machine already contended (baseline $unloaded%.3f s > 2x rescaled pin); skipping saturation assertion",
+    )
     // saturate the machine: busy-spinners on every hardware thread,
     // so probe tasks timeshare at most ~half the CPU they had.
     val cores = Runtime.getRuntime.availableProcessors()

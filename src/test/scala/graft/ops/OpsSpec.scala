@@ -2061,14 +2061,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
 
     // plan shape: the histogram cumulative runs over RANGE partitions
-    // (parallel), and the only unpartitioned window is the P-row
-    // offset table — the executed plan must carry a range exchange and
-    // exactly one SinglePartition gather.
+    // (parallel) — pinned on the pre-checkpoint stage directly, since
+    // snmRank's localCheckpoint (which guarantees the two __pid
+    // consumers read ONE materialization) truncates lineage and hides
+    // it downstream.
+    val cumPlan = Blocking
+      .snmLocalCumulative(df.filter(col("k").isNotNull), "k")
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(cumPlan.contains("rangepartitioning("), s"histogram must range-partition:\n$cumPlan")
+    assert(!cumPlan.contains("SinglePartition"), s"cumulative stage must stay parallel:\n$cumPlan")
+    // downstream: the only unpartitioned window is the P-row offset
+    // table, and the shared cumulative arrives as a materialized scan.
     val plan = got.queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning("), s"histogram must range-partition:\n$plan")
     assert(
       "SinglePartition".r.findAllIn(plan).length === 1,
       s"only the P-row offset window may gather:\n$plan",
+    )
+    assert(
+      plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"the shared __pid cumulative must be a materialized fact, not a re-derived subplan:\n$plan",
     )
   }
 
@@ -2481,6 +2494,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L) === ((1L, 1000000L)))
     assert(got(2L) === ((3L, 333333L)))
     assert(got(3L) === ((0L, 0L))) // truth absent from the list
+  }
+
+  test("Eval.linkageReport: exact ppm precision/recall; empty matches give zeros, not NULLs") {
+    val queries = Seq(1L, 2L, 3L, 4L).toDF("dirty_id")
+    val matches = Seq((1L, 1L), (2L, 9L), (3L, 3L)).toDF("dirty_id", "canon_id")
+    val r = Eval
+      .linkageReport(matches, col("dirty_id") === col("canon_id"), queries)
+      .collect()
+      .head
+    assert(r.getAs[Long]("n_queries") === 4L)
+    assert(r.getAs[Long]("n_matched") === 3L)
+    assert(r.getAs[Long]("n_correct") === 2L)
+    assert(r.getAs[Long]("precision_ppm") === 666666L) // 2e6 div 3
+    assert(r.getAs[Long]("recall_ppm") === 500000L)    // 2e6 div 4
+    // matcher that matched NOTHING: sum over zero rows must not leak NULL
+    val empty = matches.filter(col("dirty_id") < 0L)
+    val e = Eval
+      .linkageReport(empty, col("dirty_id") === col("canon_id"), queries)
+      .collect()
+      .head
+    assert(e.getAs[Long]("n_matched") === 0L)
+    assert(e.getAs[Long]("n_correct") === 0L)
+    assert(e.getAs[Long]("precision_ppm") === 0L)
+    assert(e.getAs[Long]("recall_ppm") === 0L)
   }
 
   test("Eval.averagePrecision: exact rational AP terms, zero-hit queries kept") {
