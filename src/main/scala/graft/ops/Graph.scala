@@ -506,6 +506,78 @@ object Graph {
     * @param edges (src, dst, n) weighted transition counts, n > 0.
     * @param rounds power-iteration rounds (small constant).
     * @return (state, pi_ppm) after `rounds` iterations. */
+  /** HITS hubs-and-authorities (Kleinberg 1999) by power iteration
+    * over a DIRECTED edge list — the link-analysis dual of
+    * [[PageRank]]: a good hub points at good authorities, a good
+    * authority is pointed at by good hubs. Two mutually-recursive
+    * score vectors instead of one.
+    *
+    * Integer-ppm arithmetic throughout (the [[PageRank]] discipline),
+    * with the per-round L∞ normalization HITS needs to converge done
+    * as an exact integer rescale: score·10⁶ div max(score), the max a
+    * broadcast 1-row aggregate. Every engine replays the series
+    * bit-for-bit; the ≤1 ppm flooring loss per node per round is the
+    * documented price of exactness.
+    *
+    * Scale shape: per round, two (rank-vector ⋈ edges) joins + two
+    * keyed aggregates + two 1-row maxes — 2·|E| rows moved per round,
+    * rounds a small constant; nothing corpus-sized gathers.
+    *
+    * @param edges directed (src, dst); pre-dedup if multiplicity must
+    *              not weight the sums.
+    * @param rounds full hub+authority update rounds (small constant).
+    * @return one row per node: (id, hub_ppm, auth_ppm). */
+  def hits(edges: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e
+      .select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    def normalized(raw: DataFrame, scoreCol: String): DataFrame = {
+      // L∞ normalize: max is ONE row, broadcast; flooring div is exact
+      val mx = raw.agg(max(col(scoreCol)).as("__mx"))
+      raw
+        .crossJoin(broadcast(mx))
+        .select(
+          col("id"),
+          when(col("__mx") > 0, expr(s"($scoreCol * 1000000L) div __mx"))
+            .otherwise(lit(0L))
+            .as(scoreCol),
+        )
+    }
+    var auth = nodes.withColumn("auth", lit(1000000L))
+    var hub  = nodes.withColumn("hub", lit(1000000L))
+    for (i <- 1 to rounds) {
+      val hubRaw = nodes
+        .join(
+          e.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
+            .groupBy(col("src").as("id"))
+            .agg(sum(col("auth")).as("__s")),
+          Seq("id"),
+          "left",
+        )
+        .select(col("id"), coalesce(col("__s"), lit(0L)).as("hub"))
+      hub = normalized(hubRaw, "hub")
+      val authRaw = nodes
+        .join(
+          e.join(hub.withColumnRenamed("id", "src"), Seq("src"))
+            .groupBy(col("dst").as("id"))
+            .agg(sum(col("hub")).as("__s")),
+          Seq("id"),
+          "left",
+        )
+        .select(col("id"), coalesce(col("__s"), lit(0L)).as("auth"))
+      auth = normalized(authRaw, "auth")
+      if (i % 3 == 0) { hub = hub.localCheckpoint(); auth = auth.localCheckpoint() }
+    }
+    nodes
+      .join(hub, Seq("id"))
+      .join(auth, Seq("id"))
+      .select(col("id"), col("hub").as("hub_ppm"), col("auth").as("auth_ppm"))
+  }
+
   def markovSteadyState(
       edges: DataFrame,
       srcCol: String,

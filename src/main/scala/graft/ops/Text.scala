@@ -1010,6 +1010,93 @@ object Text {
       )
   }
 
+  /** Readability statistics per document — the Flesch–Kincaid grade
+    * as an EXACT integer rational (the quality-classifier feature and
+    * curriculum-difficulty signal, computed without a single float):
+    * words = `\w+` tokens, sentences = non-empty `[.!?]+` segments
+    * ([[sentenceStats]]' splitter), syllables = per-word
+    * `max(#[aeiouy]+ vowel groups, 1)` (the standard heuristic).
+    * FK grade = 0.39·W/S + 11.8·Y/W − 15.59, stated over the common
+    * denominator 100·S·W: numerator 39·W² + 1180·Y·S − 1559·S·W, so
+    * `grade_ppm = ⌊numerator·10⁴ / (S·W)⌋` — FLOOR division (pmod
+    * form), since the numerator goes negative for fragment spam and
+    * Spark's `div` truncates where DuckDB's `//` floors.
+    *
+    * Scale shape: pure Column HOFs over one scan — no explode, no
+    * shuffle; the per-word syllable fold runs inside codegen. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val syl = aggregate(
+      toks,
+      lit(0L),
+      (acc, w) =>
+        acc + greatest(size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))), lit(1))
+          .cast("long"),
+    )
+    val (nSent, _) = sentenceStats(col(textCol))
+    df.select(
+        col(idCol),
+        size(toks).cast("long").as("n_words"),
+        nSent.cast("long").as("n_sentences"),
+        syl.as("n_syllables"),
+      )
+      .withColumn(
+        "fk_grade_ppm", {
+          // fd(v) = (v − pmod(v, den)) div den — the Timeseries floor
+          // idiom; v appears twice because the SQL has no let-binding
+          val v =
+            "(39 * n_words * n_words + 1180 * n_syllables * n_sentences" +
+              " - 1559 * n_sentences * n_words) * 10000"
+          when(
+            col("n_words") > 0 && col("n_sentences") > 0,
+            expr(
+              s"CAST((($v) - pmod($v, n_sentences * n_words))" +
+                " div (n_sentences * n_words) AS BIGINT)"),
+          )
+        },
+      )
+  }
+
+  /** Corpus-vs-corpus clipped n-gram precision (the BLEU-style overlap
+    * statistic, used as a decontamination / memorization diagnostic):
+    * for each n, matched = Σ_g min(count_cand(g), count_ref(g)) over
+    * all candidate n-grams g, precision = matched / total_cand in
+    * exact ppm. Clipping against the reference multiset is what makes
+    * a candidate that repeats one reference phrase score honestly.
+    *
+    * Scale shape: two token-proportional n-gram count aggregates
+    * (map-side combinable) + ONE equi-join on the gram key + a 1-row
+    * rollup per n — never a doc×doc comparison. At 100 TB the gram
+    * histograms are the Heaps-bounded objects, and a frequency floor
+    * upstream bounds them harder if needed. */
+  def ngramOverlap(
+      cand: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      ns: Seq[Int],
+  ): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 8), s"ns must be within [1,8]: $ns")
+    def grams(df: DataFrame, cntAs: String): DataFrame =
+      ns.map { n =>
+        df.select(lit(n).as("n"), explode(shingles(tokens(col(textCol)), n)).as("gram"))
+      }.reduce(_ unionAll _)
+        .groupBy("n", "gram")
+        .agg(count(lit(1)).as(cntAs))
+    grams(cand, "c_cand")
+      .join(grams(ref, "c_ref"), Seq("n", "gram"), "left")
+      .groupBy("n")
+      .agg(
+        sum(col("c_cand")).cast("long").as("cand_ngrams"),
+        sum(least(col("c_cand"), coalesce(col("c_ref"), lit(0L)))).cast("long")
+          .as("matched_ngrams"),
+      )
+      .withColumn(
+        "precision_ppm",
+        when(col("cand_ngrams") > 0, expr("(matched_ngrams * 1000000L) div cand_ngrams"))
+          .otherwise(lit(0L)),
+      )
+  }
+
   /** Corpus-derived wordpiece vocabulary over a token-occurrence frame
     * `(word)` — the deterministic stand-in for a trained vocab so the
     * whole wordpiece pipeline is engine-replayable: every single

@@ -34,7 +34,7 @@ object MiscQueries {
   private val tradeConsumers =
     Set("misc_pagerank_trade", "misc_pagerank_weighted", "misc_triangle_census", "misc_kcore",
       "misc_labelprop", "misc_bfs_khop", "misc_sssp_bounded", "misc_clustering_coeff",
-      "misc_ppr_trade", "misc_link_predict")
+      "misc_ppr_trade", "misc_link_predict", "misc_hits_trade")
 
   private val copurchaseConsumers =
     Set("misc_triangle_census", "misc_kcore", "misc_bfs_khop", "misc_sssp_bounded",
@@ -879,6 +879,64 @@ object MiscQueries {
       .select(col("e.src"), col("e.dst"))
     val seeds = pairs.filter(col("sk") <= 10).select(sNode.as("id")).distinct()
     graft.ops.PageRank.personalized(edges, seeds, iters = 3)
+  }
+
+  /** HITS hubs-and-authorities ([[graft.ops.Graph.hits]]) over the
+    * DIRECTED supplier→customer trade graph — the link-analysis dual
+    * of [[pagerankTrade]]: suppliers score as hubs (they point at many
+    * good customers), customers as authorities. Two full update rounds
+    * in exact integer ppm with the per-round L∞ normalization stated
+    * as `score·10⁶ div max(score)`; the oracle unrolls both rounds as
+    * CTEs, each normalization a 1-row cross join — the same replay
+    * discipline as the PageRank family. */
+  private val hitsTrade = Q(
+    "misc_hits_trade",
+    """WITH pairs AS (
+      |  SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (SELECT 2 * sk AS src, 2 * ck + 1 AS dst FROM pairs),
+      |nodes AS (SELECT DISTINCT id FROM
+      |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+      |a0 AS (SELECT id, CAST(1000000 AS BIGINT) AS a FROM nodes),
+      |h1r AS (
+      |  SELECT n.id, CAST(coalesce(s.v, 0) AS BIGINT) AS h
+      |  FROM nodes n LEFT JOIN (
+      |    SELECT e.src AS id, sum(a.a) AS v FROM edges e JOIN a0 a ON a.id = e.dst
+      |    GROUP BY 1) s ON s.id = n.id),
+      |h1 AS (SELECT id, CAST(CASE WHEN mx > 0 THEN (h * 1000000) // mx ELSE 0 END AS BIGINT) AS h
+      |       FROM h1r, (SELECT max(h) AS mx FROM h1r)),
+      |a1r AS (
+      |  SELECT n.id, CAST(coalesce(s.v, 0) AS BIGINT) AS a
+      |  FROM nodes n LEFT JOIN (
+      |    SELECT e.dst AS id, sum(h.h) AS v FROM edges e JOIN h1 h ON h.id = e.src
+      |    GROUP BY 1) s ON s.id = n.id),
+      |a1 AS (SELECT id, CAST(CASE WHEN mx > 0 THEN (a * 1000000) // mx ELSE 0 END AS BIGINT) AS a
+      |       FROM a1r, (SELECT max(a) AS mx FROM a1r)),
+      |h2r AS (
+      |  SELECT n.id, CAST(coalesce(s.v, 0) AS BIGINT) AS h
+      |  FROM nodes n LEFT JOIN (
+      |    SELECT e.src AS id, sum(a.a) AS v FROM edges e JOIN a1 a ON a.id = e.dst
+      |    GROUP BY 1) s ON s.id = n.id),
+      |h2 AS (SELECT id, CAST(CASE WHEN mx > 0 THEN (h * 1000000) // mx ELSE 0 END AS BIGINT) AS h
+      |       FROM h2r, (SELECT max(h) AS mx FROM h2r)),
+      |a2r AS (
+      |  SELECT n.id, CAST(coalesce(s.v, 0) AS BIGINT) AS a
+      |  FROM nodes n LEFT JOIN (
+      |    SELECT e.dst AS id, sum(h.h) AS v FROM edges e JOIN h2 h ON h.id = e.src
+      |    GROUP BY 1) s ON s.id = n.id),
+      |a2 AS (SELECT id, CAST(CASE WHEN mx > 0 THEN (a * 1000000) // mx ELSE 0 END AS BIGINT) AS a
+      |       FROM a2r, (SELECT max(a) AS mx FROM a2r))
+      |SELECT n.id, h2.h AS hub_ppm, a2.a AS auth_ppm
+      |FROM nodes n JOIN h2 ON h2.id = n.id JOIN a2 ON a2.id = n.id""".stripMargin,
+  ) { (s, d) =>
+    val pairs = sharedTradeRows(s, d)
+      .select(col("sk"), col("ck"))
+      .distinct()
+    val edges = pairs.select(
+      (col("sk") * 2).cast("long").as("src"),
+      (col("ck") * 2 + 1).cast("long").as("dst"),
+    )
+    graft.ops.Graph.hits(edges, rounds = 2)
   }
 
   /** Auto-sized Count-Min Sketch ([[graft.ops.Cms.sketchAuto]]):
@@ -2168,5 +2226,5 @@ object MiscQueries {
       corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ,
       labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint,
       kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ,
-      samplePps)
+      samplePps, hitsTrade)
 }

@@ -1052,6 +1052,71 @@ object TextQueries {
     )
   }
 
+  /** Per-document readability ([[graft.ops.Text.readability]]): the
+    * Flesch–Kincaid grade as an EXACT integer rational — words,
+    * `[.!?]+` sentences, vowel-group syllables, and
+    * `⌊(39W² + 1180YS − 1559SW)·10⁴ / (SW)⌋` ppm (floor division both
+    * engines: DuckDB `//` vs the Spark pmod form — the numerator goes
+    * negative for fragment spam). The quality-classifier feature and
+    * curriculum-difficulty signal, float-free. */
+  private val readabilityQ = Q(
+    "txt_readability",
+    """WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\w+') AS toks FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+      |           s -> trim(s)), s -> length(s) > 0)) AS BIGINT) AS n_sentences,
+      |    CAST(coalesce(list_sum(list_transform(toks,
+      |           w -> greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1))), 0)
+      |         AS BIGINT) AS n_syllables
+      |  FROM t)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+      |    CAST(((39 * n_words * n_words + 1180 * n_syllables * n_sentences
+      |           - 1559 * n_sentences * n_words) * 10000)
+      |         // (n_sentences * n_words) AS BIGINT)
+      |  END AS fk_grade_ppm
+      |FROM w""".stripMargin,
+  ) { (s, d) =>
+    Text.readability(documents(s, d), "doc_id", "text")
+  }
+
+  /** Corpus-vs-corpus clipped n-gram precision
+    * ([[graft.ops.Text.ngramOverlap]], n = 1, 2) between a held-out
+    * candidate slice (doc_id ≡ 0 mod 10) and the rest of the corpus —
+    * the BLEU-style modified precision used as a decontamination /
+    * memorization diagnostic. Matched counts clip against the
+    * reference multiset; exact integer ppm. */
+  private val ngramOverlapQ = Q(
+    "txt_ngram_overlap",
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id % 10 = 0 AS is_cand, 1 AS n, unnest(toks) AS gram FROM t
+      |  UNION ALL
+      |  SELECT doc_id % 10 = 0, 2,
+      |    unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+      |           i -> toks[i] || ' ' || toks[i+1]))
+      |  FROM t),
+      |c AS (SELECT n, gram,
+      |        sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS cc,
+      |        sum(CASE WHEN NOT is_cand THEN 1 ELSE 0 END) AS cr
+      |      FROM g GROUP BY 1, 2)
+      |SELECT n, CAST(sum(cc) AS BIGINT) AS cand_ngrams,
+      |  CAST(sum(least(cc, cr)) AS BIGINT) AS matched_ngrams,
+      |  CAST(CASE WHEN sum(cc) > 0
+      |    THEN (sum(least(cc, cr)) * 1000000) // sum(cc) ELSE 0 END AS BIGINT) AS precision_ppm
+      |FROM c WHERE cc > 0 GROUP BY n""".stripMargin,
+  ) { (s, d) =>
+    val docs = documents(s, d)
+    Text.ngramOverlap(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0),
+      "text",
+      ns = Seq(1, 2),
+    )
+  }
+
   /** Hashing-trick sparse bag-of-words ([[graft.ops.Text.featureHash]],
     * 256 slots): the vocabulary-free featurizer in sparse COO form —
     * md5-derived bucket + ±1 sign per token, one row per (doc, bucket).
@@ -1244,5 +1309,6 @@ object TextQueries {
       sourceFilterQ, chunkOverlap, bigramLm, bpeMerges, bpeTokenize, lmPrune, invertedIndexQ,
       packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ,
       negSamplingQ, skipGramQ, curriculumOrderQ, repeatCollapseQ, preferencePairsQ,
-      featureHashQ, sentenceStatsQ, langIdKappaQ, tokenGiniQ, wordpieceQ)
+      featureHashQ, sentenceStatsQ, langIdKappaQ, tokenGiniQ, wordpieceQ, readabilityQ,
+      ngramOverlapQ)
 }

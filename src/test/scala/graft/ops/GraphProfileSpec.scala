@@ -342,4 +342,32 @@ class GraphProfileSpec extends AnyFunSuite {
     val fan = pi(Seq(("A", "B", 2L), ("A", "C", 1L)), rounds = 1)
     assert(fan === Map("A" -> 0L, "B" -> 555555L, "C" -> 444444L))
   }
+
+  test("hits: directed star — center is the only hub, leaves the only authorities") {
+    val edges = (2L to 5L).map(l => (1L, l)).toDF("src", "dst")
+    val got = Graph
+      .hits(edges, rounds = 2)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("hub_ppm"), r.getAs[Long]("auth_ppm"))))
+      .toMap
+    assert(got(1L) === ((1000000L, 0L)))
+    (2L to 5L).foreach(l => assert(got(l) === ((0L, 1000000L))))
+  }
+
+  test("hits: bipartite hand values — L∞-normalized integer series, flooring exact") {
+    // u1 -> {v1, v2}, u2 -> {v1}; node ids 1,2 hubs / 11,12 authorities
+    val edges = Seq((1L, 11L), (1L, 12L), (2L, 11L)).toDF("src", "dst")
+    val got = Graph
+      .hits(edges, rounds = 2)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("hub_ppm"), r.getAs[Long]("auth_ppm"))))
+      .toMap
+    // r1: h = (1e6, 5e5); a = (1e6, 666666)
+    // r2: hraw = (1666666, 1e6) -> h = (1e6, 1e12 div 1666666 = 600000)
+    //     araw = (1600000, 1e6) -> a = (1e6, 625000)
+    assert(got(1L) === ((1000000L, 0L)))
+    assert(got(2L) === ((600000L, 0L)))
+    assert(got(11L) === ((0L, 1000000L)))
+    assert(got(12L) === ((0L, 625000L)))
+  }
 }

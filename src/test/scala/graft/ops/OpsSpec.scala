@@ -2496,6 +2496,43 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) === ((0L, 0L))) // truth absent from the list
   }
 
+  test("Text.readability: hand-counted FK grade; negative numerator floors; empty text gives NULL grade") {
+    val docs = Seq(
+      // "The cat sat. It ran." -> W=5 S=2; syllables all 1 -> Y=5
+      // num = 39*25 + 1180*5*2 - 1559*2*5 = 975 + 11800 - 15590 = -2815
+      // grade_ppm = floor(-2815 * 10000 / 10) = -2815000
+      (1L, "The cat sat. It ran."),
+      (2L, ""), // no words, no sentences -> NULL grade
+    ).toDF("doc_id", "text")
+    val got = Text
+      .readability(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r)
+      .toMap
+    assert(got(1L).getAs[Long]("n_words") === 5L)
+    assert(got(1L).getAs[Long]("n_sentences") === 2L)
+    assert(got(1L).getAs[Long]("n_syllables") === 5L)
+    assert(got(1L).getAs[Long]("fk_grade_ppm") === -2815000L)
+    assert(got(2L).getAs[Long]("n_words") === 0L)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("fk_grade_ppm")))
+  }
+
+  test("Text.ngramOverlap: clipping against the reference multiset; unmatched grams score zero") {
+    // cand repeats "a" 4x but ref has "a" only twice -> clipped to 2
+    val cand = Seq((1L, "a a a a b")).toDF("id", "text")
+    val ref  = Seq((2L, "a a c")).toDF("id", "text")
+    val got = Text
+      .ngramOverlap(cand, ref, "text", ns = Seq(1, 2))
+      .collect()
+      .map(r => r.getAs[Int]("n") ->
+        ((r.getAs[Long]("cand_ngrams"), r.getAs[Long]("matched_ngrams"),
+          r.getAs[Long]("precision_ppm"))))
+      .toMap
+    assert(got(1) === ((5L, 2L, 400000L)))
+    // cand 2-grams: "a a"x3, "a b"; ref: "a a", "a c" -> matched 1
+    assert(got(2) === ((4L, 1L, 250000L)))
+  }
+
   test("Eval.linkageReport: exact ppm precision/recall; empty matches give zeros, not NULLs") {
     val queries = Seq(1L, 2L, 3L, 4L).toDF("dirty_id")
     val matches = Seq((1L, 1L), (2L, 9L), (3L, 3L)).toDF("dirty_id", "canon_id")
