@@ -64,4 +64,57 @@ object AsOf {
           payloadCols.map(c => col("__match").getField(c).as(s"$outPrefix$c")): _*
       )
   }
+
+  /** The FORWARD as-of join: for each row of `left`, attach the payload
+    * of the EARLIEST `right` row with `right.ts >= left.ts` (inclusive)
+    * within the same `keys` group — "the next event at or after" (label
+    * the next purchase after a click, the next deploy after an alert).
+    * Same union–scan shape as [[joinAtOrBefore]], scanned in DESCENDING
+    * time order so the running `last` holds the smallest
+    * at-or-after timestamp; identical-`ts` right rows are disambiguated
+    * by `rightTieBreak` (the greatest wins). Linear in |L|+|R|, one
+    * shuffle on the key — never a range-join explosion. */
+  def joinAtOrAfter(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      payloadCols: Seq[String],
+      rightTieBreak: String,
+      outPrefix: String = "asof_",
+  ): DataFrame = {
+    val rsel = right.select(
+      keys.map(col) ++ Seq(
+        col(ts).as("__ts"),
+        lit(0).as("__lft"),
+        struct(payloadCols.map(col): _*).as("__p"),
+      ): _*
+    )
+    val payloadType = rsel.schema("__p").dataType
+    val lsel = left.select(
+      keys.map(col) ++ Seq(
+        col(ts).as("__ts"),
+        lit(1).as("__lft"),
+        lit(null).cast(payloadType).as("__p"),
+        struct(left.columns.map(col): _*).as("__row"),
+      ): _*
+    )
+    val rowType = lsel.schema("__row").dataType
+    val unioned = lsel.unionByName(rsel.withColumn("__row", lit(null).cast(rowType)))
+    // Descending scan; right rows sort before left rows at equal ts =>
+    // inclusive match. Equal-ts rights scan tie ascending, so the
+    // running `last` keeps the greatest tie-break — the same
+    // determinism convention as the backward join.
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__lft"), col("__p").getField(rightTieBreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__lft") === 1)
+      .select(
+        col("__row.*") +:
+          payloadCols.map(c => col("__match").getField(c).as(s"$outPrefix$c")): _*
+      )
+  }
 }

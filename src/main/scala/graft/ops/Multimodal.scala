@@ -317,6 +317,81 @@ object Multimodal {
     )
   }
 
+  /** Aspect-ratio bucket assignment — the batching planner diffusion /
+    * ViT training pipelines use so variable-shape images batch without
+    * destructive square cropping: each (width, height) is assigned the
+    * ladder bucket whose aspect ratio is nearest to its own, and
+    * batches are later formed within a bucket.
+    *
+    * Nearness is EXACT integer arithmetic: the distance of w/h to
+    * bw/bh is |w·bh − h·bw| / (h·bh); ranking divides out h (constant
+    * per image) and scales by 10⁹ with flooring — `score_e9 =
+    * ⌊|w·bh − h·bw|·10⁹ / (h·bh)⌋` — so any engine replays the argmin;
+    * floor-collision ties break to the SMALLEST bucket id
+    * (deterministic, stated, and replayable — the fold keeps the
+    * incumbent on equality).
+    *
+    * Scale shape: a map-only fold over the broadcast-literal ladder —
+    * no explode, no shuffle, stays inside whole-stage codegen.
+    *
+    * @param ladder (bucket_w, bucket_h) pairs; bucket_id = index. */
+  def aspectBuckets(
+      df: DataFrame,
+      idCol: String,
+      wCol: String,
+      hCol: String,
+      ladder: Seq[(Int, Int)],
+  ): DataFrame = {
+    require(ladder.nonEmpty && ladder.forall { case (w, h) => w > 0 && h > 0 },
+      s"ladder must be non-empty positive dims: $ladder")
+    val lad = array(ladder.zipWithIndex.map { case ((bw, bh), i) =>
+      struct(lit(i).as("bid"), lit(bw).as("bw"), lit(bh).as("bh"))
+    }: _*)
+    def scoreOf(b: org.apache.spark.sql.Column) = {
+      val w   = col(wCol).cast("long")
+      val h   = col(hCol).cast("long")
+      val num = abs(w * b.getField("bh").cast("long") - h * b.getField("bw").cast("long")) *
+        lit(1000000000L)
+      val den = h * b.getField("bh").cast("long")
+      // exact integer floor div in Column algebra (no `div` operator on
+      // Column): num − pmod leaves an exact multiple of den, and the
+      // double division of exact operands < 2^53 is exact.
+      ((num - pmod(num, den)) / den).cast("long")
+    }
+    val init = struct(
+      lit(Long.MaxValue).as("s"),
+      lit(-1).as("bid"),
+      lit(0).as("bw"),
+      lit(0).as("bh"),
+    )
+    val best = aggregate(
+      lad,
+      init,
+      (acc, b) => {
+        val s = scoreOf(b)
+        when(
+          s < acc.getField("s"),
+          struct(
+            s.as("s"),
+            b.getField("bid").as("bid"),
+            b.getField("bw").as("bw"),
+            b.getField("bh").as("bh"),
+          ),
+        ).otherwise(acc)
+      },
+    )
+    df.withColumn("__b", best)
+      .select(
+        col(idCol),
+        col(wCol),
+        col(hCol),
+        col("__b.bid").as("bucket_id"),
+        col("__b.bw").as("bucket_w"),
+        col("__b.bh").as("bucket_h"),
+        col("__b.s").as("score_e9"),
+      )
+  }
+
   /** Perceptual hash (aHash, the average-hash family every image-dedup
     * pipeline starts with): the payload's [[audioWindowEnergy]] cell
     * energies — the deterministic stand-in for the decoded-pixel grid a

@@ -76,6 +76,41 @@ object DedupQueries {
   private val survivorConsumers =
     Set("ddp_decontaminate", "ddp_corpus_prepare", "ddp_corpus_prepare_emb", "ddp_corpus_mix")
 
+  private val erMatchConsumers = Set("ddp_entity_match", "ddp_linkage_report")
+
+  /** The blocked Jaccard best-match table (perturb → block →
+    * [[graft.ops.Blocking.matchBest]] at 0.4 Jaccard) is read by BOTH
+    * the entity-match gate and the linkage-quality report —
+    * materialized once, the production analog of an ER pipeline
+    * writing its match table once and every report reading it. */
+  private val erMatchCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def erEntities(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+      col("p_partkey").as("id"),
+      concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("name"),
+    )
+
+  private def erBlocked(df: DataFrame): DataFrame = df.withColumn(
+    "block",
+    concat_ws(" ", expr("slice(split(name, ' '), 3, greatest(size(split(name, ' ')) - 2, 0))")),
+  )
+
+  private def sharedErMatch(s: SparkSession, d: String): DataFrame =
+    erMatchCache.getOrElseUpdate(
+      (s, d), {
+        val ent = erEntities(s, d)
+        graft.ops.Blocking
+          .matchBest(
+            erBlocked(graft.ops.Blocking.perturbNames(ent, "id", "name")),
+            erBlocked(ent),
+            minSimPpm = 400000L,
+          )
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      },
+    )
+
   def prewarmShared(
       s: SparkSession,
       d: String,
@@ -96,6 +131,9 @@ object DedupQueries {
       }),
       Option.when(wanted(survivorConsumers))(timed("corpus_survivors") {
         sharedSurvivors(s, d).count()
+      }),
+      Option.when(wanted(erMatchConsumers))(timed("er_match") {
+        sharedErMatch(s, d).count()
       }),
     ).flatten
   }
@@ -1266,18 +1304,7 @@ object DedupQueries {
       |    row_number() OVER (PARTITION BY dirty_id ORDER BY sim_ppm DESC, canon_id) AS rn
       |  FROM keep) WHERE rn = 1""".stripMargin,
   ) { (s, d) =>
-    val ent = part(s, d).select(
-      col("p_partkey").as("id"),
-      concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("name"),
-    )
-    val dirtied = graft.ops.Blocking.perturbNames(ent, "id", "name")
-    def blocked(df: DataFrame) = df.withColumn(
-      "block",
-      concat_ws(" ", expr("slice(split(name, ' '), 3, greatest(size(split(name, ' ')) - 2, 0))")),
-    )
-    graft.ops.Blocking
-      .matchBest(blocked(dirtied), blocked(ent), minSimPpm = 400000L)
-      .withColumn("is_correct", col("dirty_id") === col("canon_id"))
+    sharedErMatch(s, d).withColumn("is_correct", col("dirty_id") === col("canon_id"))
   }
 
   /** Record-linkage quality rollup ([[graft.ops.Eval.linkageReport]])
@@ -1330,18 +1357,11 @@ object DedupQueries {
       |       // (SELECT count(*) FROM dirty) AS BIGINT) AS recall_ppm
       |FROM best""".stripMargin,
   ) { (s, d) =>
-    val ent = part(s, d).select(
-      col("p_partkey").as("id"),
-      concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("name"),
+    graft.ops.Eval.linkageReport(
+      sharedErMatch(s, d),
+      col("dirty_id") === col("canon_id"),
+      graft.ops.Blocking.perturbNames(erEntities(s, d), "id", "name"),
     )
-    val dirtied = graft.ops.Blocking.perturbNames(ent, "id", "name")
-    def blocked(df: DataFrame) = df.withColumn(
-      "block",
-      concat_ws(" ", expr("slice(split(name, ' '), 3, greatest(size(split(name, ' ')) - 2, 0))")),
-    )
-    val matched = graft.ops.Blocking
-      .matchBest(blocked(dirtied), blocked(ent), minSimPpm = 400000L)
-    graft.ops.Eval.linkageReport(matched, col("dirty_id") === col("canon_id"), dirtied)
   }
 
   /** Jaro–Winkler-scored entity resolution
@@ -1382,17 +1402,13 @@ object DedupQueries {
       |    row_number() OVER (PARTITION BY dirty_id ORDER BY jw DESC, canon_id) AS rn
       |  FROM keep) WHERE rn = 1""".stripMargin,
   ) { (s, d) =>
-    val ent = part(s, d).select(
-      col("p_partkey").as("id"),
-      concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("name"),
-    )
-    val dirtied = graft.ops.Blocking.perturbNames(ent, "id", "name")
-    def blocked(df: DataFrame) = df.withColumn(
-      "block",
-      concat_ws(" ", expr("slice(split(name, ' '), 3, greatest(size(split(name, ' ')) - 2, 0))")),
-    )
+    val ent = erEntities(s, d)
     graft.ops.Blocking
-      .matchBestJw(blocked(dirtied), blocked(ent), minSim = 0.9)
+      .matchBestJw(
+        erBlocked(graft.ops.Blocking.perturbNames(ent, "id", "name")),
+        erBlocked(ent),
+        minSim = 0.9,
+      )
       .withColumn("is_correct", col("dirty_id") === col("canon_id"))
   }
 

@@ -252,6 +252,34 @@ object Events {
       .select("event_id", "user_id", "click_event_id", "click_value")
   }
 
+  /** Forward as-of join ([[graft.ops.AsOf.joinAtOrAfter]]): each error
+    * labeled with the NEXT view at or after it per user — the
+    * "next event after" dual of [[asofErrorClick]], same union–scan
+    * shape in descending time order. DuckDB states it as
+    * `ASOF LEFT JOIN ... ON e.ts <= v.ts`. */
+  private val asofNextView = Q(
+    "evt_asof_next_view",
+    """SELECT e.event_id, e.user_id, v.event_id AS view_event_id, v.value AS view_value
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON e.user_id = v.user_id AND e.ts <= v.ts""".stripMargin,
+  ) { (s, d) =>
+    val ev     = events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+    val views  = ev.filter(col("event_type") === "view")
+    AsOf
+      .joinAtOrAfter(
+        errors,
+        views,
+        keys = Seq("user_id"),
+        ts = "ts",
+        payloadCols = Seq("event_id", "value"),
+        rightTieBreak = "event_id",
+        outPrefix = "view_",
+      )
+      .select("event_id", "user_id", "view_event_id", "view_value")
+  }
+
   /** Gap-based sessionization (30-min inactivity), declarative batch
     * form ([[graft.ops.Sessionize.batchSessions]]); the streaming
     * `flatMapGroupsWithState` twin is asserted equivalent in
@@ -1030,6 +1058,7 @@ object Events {
     pivotUserCounts,
     firstMatchPerUser,
     asofErrorClick,
+    asofNextView,
     sessionize,
     typeOverlap,
     mapFilterCounts,

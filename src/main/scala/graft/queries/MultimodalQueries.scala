@@ -198,7 +198,51 @@ object MultimodalQueries {
       )
   }
 
+  /** Aspect-ratio bucket assignment ([[Multimodal.aspectBuckets]]) —
+    * the diffusion/ViT batching planner: each image joins the ladder
+    * bucket nearest its aspect ratio, nearness as the exact integer
+    * `⌊|w·bh − h·bw|·10⁹ / (h·bh)⌋`, ties to the smallest bucket id.
+    * Dims are synthesized deterministically from the payload (byte
+    * length + md5 nibble), so the oracle replays the whole assignment;
+    * the Spark side is a map-only fold over the literal ladder — no
+    * explode, no shuffle. */
+  private val aspectBucketsQ = Q(
+    "mm_aspect_buckets",
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |    CAST(128 + octet_length(encode(text)) % 1024 AS BIGINT) AS w,
+      |    CAST(128 + CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1024 AS BIGINT) AS h
+      |  FROM documents),
+      |lad(bid, bw, bh) AS (VALUES
+      |  (0, 512, 2048), (1, 640, 1536), (2, 768, 1344), (3, 1024, 1024),
+      |  (4, 1344, 768), (5, 1536, 640), (6, 2048, 512)),
+      |sc AS (
+      |  SELECT d.doc_id, d.w, d.h, l.bid, l.bw, l.bh,
+      |    CAST((abs(d.w * l.bh - d.h * l.bw) * 1000000000) // (d.h * l.bh) AS BIGINT) AS score_e9
+      |  FROM dims d CROSS JOIN lad l),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_e9, bid) AS rn
+      |      FROM sc)
+      |SELECT doc_id, w, h, bid AS bucket_id, bw AS bucket_w, bh AS bucket_h, score_e9
+      |FROM r WHERE rn = 1""".stripMargin,
+  ) { (s, d) =>
+    val dims = documents(s, d).select(
+      col("doc_id"),
+      (lit(128L) + octet_length(col("text")) % 1024).cast("long").as("w"),
+      (lit(128L) + conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 1024)
+        .cast("long")
+        .as("h"),
+    )
+    Multimodal.aspectBuckets(
+      dims,
+      "doc_id",
+      "w",
+      "h",
+      ladder = Seq((512, 2048), (640, 1536), (768, 1344), (1024, 1024),
+        (1344, 768), (1536, 640), (2048, 512)),
+    )
+  }
+
   val all: Seq[Q] =
     Seq(binaryMeta, features, dedupBinary, frameSampleQ, patchGridQ, audioWindows, phashGroupsQ,
-      keyframesQ)
+      keyframesQ, aspectBucketsQ)
 }

@@ -40,6 +40,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got("l4") === None)      // no right rows for key
   }
 
+  test("forward as-of join: earliest right row at or after, inclusive, ties keep greatest tie-break") {
+    val left = Seq(
+      (1L, 10L, "l1"),
+      (1L, 20L, "l2"),
+      (2L, 15L, "l3"), // right row is earlier => no match
+      (3L, 5L, "l4"),  // key with no right rows at all
+    ).toDF("k", "t", "lv").withColumn("t", timestamp_millis(col("t") * 1000))
+    val right = Seq(
+      (1L, 10L, 1.0), // equal ts => inclusive match for l1
+      (1L, 10L, 9.0), // equal-ts tie => greatest rv wins
+      (1L, 25L, 2.0),
+      (2L, 3L, 3.0),
+    ).toDF("k", "t", "rv").withColumn("t", timestamp_millis(col("t") * 1000))
+
+    val got = AsOf
+      .joinAtOrAfter(left, right, keys = Seq("k"), ts = "t", payloadCols = Seq("rv"),
+        rightTieBreak = "rv", outPrefix = "m_")
+      .select("lv", "m_rv")
+      .collect()
+      .map(r => r.getString(0) -> Option(r.get(1)))
+      .toMap
+    assert(got("l1") === Some(9.0)) // inclusive at equal ts, tie to greatest
+    assert(got("l2") === Some(2.0)) // earliest later row
+    assert(got("l3") === None)      // right row precedes the left row
+    assert(got("l4") === None)      // no right rows for key
+  }
+
   test("exact dedup groups duplicates and keeps smallest id") {
     val docs = Seq((1L, "hello world"), (2L, "hello  world"), (3L, "unique")).toDF("doc_id", "text")
     val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
@@ -2494,6 +2521,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L) === ((1L, 1000000L)))
     assert(got(2L) === ((3L, 333333L)))
     assert(got(3L) === ((0L, 0L))) // truth absent from the list
+  }
+
+  test("Multimodal.aspectBuckets: nearest-ratio assignment, exact score, square and extreme shapes") {
+    val ladder = Seq((512, 2048), (1024, 1024), (2048, 512))
+    val dims = Seq(
+      (1L, 1000L, 1000L), // square -> bucket 1, score 0
+      (2L, 300L, 1200L),  // 1:4 exactly -> bucket 0, score 0
+      (3L, 900L, 800L),   // 1.125:1 -> nearest is square
+    ).toDF("id", "w", "h")
+    val got = Multimodal
+      .aspectBuckets(dims, "id", "w", "h", ladder)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("bucket_id"), r.getAs[Long]("score_e9"))))
+      .toMap
+    assert(got(1L) === ((1, 0L)))
+    assert(got(2L) === ((0, 0L)))
+    // bucket 1 score: |900*1024 - 800*1024|*1e9 / (800*1024) = 125000000
+    assert(got(3L) === ((1, 125000000L)))
   }
 
   test("Text.readability: hand-counted FK grade; negative numerator floors; empty text gives NULL grade") {
