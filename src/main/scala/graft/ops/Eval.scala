@@ -174,5 +174,27 @@ object Eval {
           .as("recall_ppm"),
       )
 
+  /** ROC AUC of a scored binary classifier — the threshold-free
+    * ranking metric for retrieval/filter-model evaluation. Computed
+    * EXACTLY through the rank identity AUC = U₁/(n₊n₋): the doubled
+    * Mann–Whitney U ([[Stats.mannWhitneyU]] — tie-exact midranks over
+    * the tiered score cumulative, no corpus-wide sort) divided out in
+    * floored ppm, so ties contribute their half-credit and the result
+    * is bit-replayable with no floats beyond the scores themselves.
+    * Output: 1 row `(n_pos, n_neg, u_x2, auc_ppm)` where u_x2 = 2·U₁
+    * and auc_ppm = fd(10⁶·u_x2 / (2·n₊·n₋)). */
+  def rocAuc(df: DataFrame, scoreCol: org.apache.spark.sql.Column, isPos: org.apache.spark.sql.Column): DataFrame =
+    Stats
+      .mannWhitneyU(df, scoreCol, isPos)
+      .select(
+        col("n1").as("n_pos"),
+        col("n2").as("n_neg"),
+        col("u1_x2").as("u_x2"),
+        expr(
+          """CAST((CAST(u1_x2 AS DECIMAL(38,0)) * 1000000)
+            |  div (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)""".stripMargin
+        ).as("auc_ppm"),
+      )
+
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 }

@@ -577,6 +577,164 @@ object Stats {
       .select("row_v", "col_v", "o", "e_ppm", "contrib_ppm", "chi2_ppm")
   }
 
+  /** The shared spine of the two-sample rank tests ([[ksStatistic]],
+    * [[mannWhitneyU]]): the per-value histogram of the two samples with
+    * inclusive cumulatives — columns `(__s, __c1, __c2, __cum1,
+    * __cum2)` — computed with the TIERED cumulative discipline
+    * ([[Blocking.snmRank]]'s shape, not [[cumOf]]'s): a two-sample
+    * test's value column is typically continuous (prices, latencies),
+    * so its histogram is corpus-sized and an unpartitioned running-sum
+    * window would gather the whole corpus onto one task. Instead:
+    * range-partition the histogram, per-partition running sums in
+    * parallel, then broadcast the P-row per-partition totals back as
+    * exclusive offsets; the one unpartitioned window orders those P
+    * rows. The localCheckpoint freezes `spark_partition_id()` so the
+    * offsets aggregate and the base join provably read one
+    * materialization (the [[Blocking.snmRank]] rule). */
+  private def twoSampleCum(df: DataFrame, valueCol: Column, sampleIs1: Column): DataFrame = {
+    val hist = df
+      .filter(valueCol.isNotNull)
+      .groupBy(valueCol.as("__s"))
+      .agg(
+        sum(when(sampleIs1, 1L).otherwise(0L)).as("__c1"),
+        sum(when(sampleIs1, 0L).otherwise(1L)).as("__c2"),
+      )
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = hist
+      .repartitionByRange(parts, col("__s"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wLocal = Window
+      .partitionBy(col("__pid"))
+      .orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ranged
+      .withColumn("__l1", sum(col("__c1")).over(wLocal))
+      .withColumn("__l2", sum(col("__c2")).over(wLocal))
+    val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(col("__pid"))
+      .agg(sum(col("__c1")).as("__t1"), sum(col("__c2")).as("__t2"))
+      .withColumn("__off1", coalesce(sum(col("__t1")).over(wOff), lit(0L)))
+      .withColumn("__off2", coalesce(sum(col("__t2")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off1"), col("__off2"))
+    local
+      .join(broadcast(offsets), Seq("__pid"))
+      .select(
+        col("__s"),
+        col("__c1"),
+        col("__c2"),
+        (col("__off1") + col("__l1")).as("__cum1"),
+        (col("__off2") + col("__l2")).as("__cum2"),
+      )
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the `sampleIs1`
+    * and complement rows of `valueCol` — the standard distribution-
+    * equality test for drift gates (did this cohort's spend
+    * distribution shift?). Exact cross-multiplied integers: D =
+    * max |F₁ − F₂| is reported as `d_num` = max |cum₁·n₂ − cum₂·n₁|
+    * over the value domain with denominator n₁·n₂, plus the floored
+    * ppm quotient — no floats, any engine replays it bit-for-bit.
+    * Products run through DECIMAL(38,0); one corpus scan (the
+    * histogram), then everything runs on the tiered cumulative.
+    * Output: 1 row `(n1, n2, d_num, d_ppm)`. */
+  def ksStatistic(df: DataFrame, valueCol: Column, sampleIs1: Column): DataFrame = {
+    val cum = twoSampleCum(df, valueCol, sampleIs1)
+    // Totals as a broadcast 1-row aggregate, NOT an unpartitioned
+    // window over the (corpus-sized, continuous-domain) cumulative.
+    val totals = cum.agg(max(col("__cum1")).as("__n1"), max(col("__cum2")).as("__n2"))
+    cum
+      .crossJoin(broadcast(totals))
+      .agg(
+        max(col("__n1")).cast("long").as("n1"),
+        max(col("__n2")).cast("long").as("n2"),
+        max(
+          abs(
+            expr("CAST(__cum1 AS DECIMAL(38,0)) * __n2 - CAST(__cum2 AS DECIMAL(38,0)) * __n1")
+          )
+        ).as("__dn"),
+      )
+      .select(
+        col("n1"),
+        col("n2"),
+        col("__dn").cast("long").as("d_num"),
+        expr("CAST((CAST(__dn AS DECIMAL(38,0)) * 1000000) div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+          .as("d_ppm"),
+      )
+  }
+
+  /** Mann–Whitney U (rank-sum) test between the same two samples —
+    * the nonparametric location test that pairs with [[ksStatistic]]'s
+    * shape test. Tie-exact via the DOUBLED midrank: a tie group of t
+    * values starting after cumulative c has midrank c + (t+1)/2, so
+    * 2·midrank = 2c + t + 1 stays integral; R₁·2 = Σ c₁·(2c + t + 1)
+    * and U₁·2 = R₁·2 − n₁(n₁+1). U₂ follows from U₁ + U₂ = n₁n₂.
+    * Same tiered-cumulative spine, same DECIMAL(38,0) discipline.
+    * Output: 1 row `(n1, n2, u1_x2, u2_x2)`. */
+  def mannWhitneyU(df: DataFrame, valueCol: Column, sampleIs1: Column): DataFrame =
+    twoSampleCum(df, valueCol, sampleIs1)
+      .select(
+        col("__c1"),
+        col("__cum1"),
+        col("__cum2"),
+        expr(
+          """CAST(__c1 AS DECIMAL(38,0)) *
+            |  (2 * (__cum1 + __cum2 - __c1 - __c2) + (__c1 + __c2) + 1)""".stripMargin
+        ).as("__r1x2"),
+      )
+      .agg(
+        max(col("__cum1")).cast("long").as("n1"),
+        max(col("__cum2")).cast("long").as("n2"),
+        sum(col("__r1x2")).as("__rs"),
+      )
+      .select(
+        col("n1"),
+        col("n2"),
+        expr("CAST(__rs - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT)").as("u1_x2"),
+        expr(
+          """CAST(2 * CAST(n1 AS DECIMAL(38,0)) * n2 -
+            |  (__rs - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) AS BIGINT)""".stripMargin
+        ).as("u2_x2"),
+      )
+
+  /** Kendall rank correlation counts between two aligned integral
+    * series — the robust monotone-association test (outlier-immune
+    * where Pearson's r is not; the standard check that two metrics
+    * co-move). All-pairs over the input, so the CONTRACT is a
+    * BOUNDED table (aligned time-series grids, per-entity rollups —
+    * the [[chi2Homogeneity]]/PCA dimension-bounded class, never a raw
+    * corpus); the pair generation is an explicit self-join on
+    * `idCol` inequality, |df|²/2 comparisons. Output: 1 row of exact
+    * integers `(n_pairs, nc, nd, tie_x, tie_y, tie_xy, tau_num)`
+    * with tau_num = nc − nd; the caller forms tau-b's denominator
+    * √((n₀−tx)(n₀−ty)) itself — no floats are emitted. */
+  def kendallCounts(df: DataFrame, idCol: String, xCol: String, yCol: String): DataFrame = {
+    val a = df.select(col(idCol).as("__ia"), col(xCol).as("__xa"), col(yCol).as("__ya"))
+    val b = df.select(col(idCol).as("__ib"), col(xCol).as("__xb"), col(yCol).as("__yb"))
+    val pairs = a.join(b, col("__ia") < col("__ib"))
+    val sx = signum(col("__xa") - col("__xb"))
+    val sy = signum(col("__ya") - col("__yb"))
+    pairs
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(sx * sy > 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(sx * sy < 0, 1L).otherwise(0L)).as("nd"),
+        sum(when(sx === 0 && sy =!= 0, 1L).otherwise(0L)).as("tie_x"),
+        sum(when(sy === 0 && sx =!= 0, 1L).otherwise(0L)).as("tie_y"),
+        sum(when(sx === 0 && sy === 0, 1L).otherwise(0L)).as("tie_xy"),
+      )
+      .select(
+        col("n_pairs"),
+        col("nc"),
+        col("nd"),
+        col("tie_x"),
+        col("tie_y"),
+        col("tie_xy"),
+        (col("nc") - col("nd")).as("tau_num"),
+      )
+  }
+
   def winsorize(df: DataFrame, valueCol: String, ppmLo: Long, ppmHi: Long): DataFrame = {
     val th = quantileThresholds(df, valueCol, ppmLo, ppmHi)
     // least/greatest SKIP nulls (in Spark and DuckDB alike), so without

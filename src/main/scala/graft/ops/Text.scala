@@ -331,6 +331,111 @@ object Text {
       )
   }
 
+  /** Trigram language-model scoring with STUPID BACKOFF (Brants et al.
+    * 2007, "Large Language Models in Machine Translation" §4) — the
+    * web-scale LM quality score: no discounting, no normalization,
+    * just count ratios with a fixed back-off penalty α = 0.4, which at
+    * corpus scale ranks documents as well as smoothed models at a
+    * fraction of the cost. Held-out evaluation: n-gram counts come
+    * from the `!isTest` (train) slice only, scored positions from the
+    * `isTest` slice — on a self-trained model every observed trigram
+    * hits and backoff is dead code (the [[bigramLmScore]] caveat this
+    * op exists to fix).
+    *
+    * Per test trigram (t₁,t₂,t₃), in exact floored integer ppm with
+    * α = 2/5 and α² = 4/25 kept as integer ratios:
+    *
+    *   c₃(t₁t₂t₃) > 0 → 10⁶·c₃/c₂(t₁t₂)         (c₂ > 0 whenever c₃ > 0)
+    *   c₂(t₂t₃) > 0  → (2·(10⁶·c₂(t₂t₃)/c₁(t₂))) / 5
+    *   c₁(t₃) > 0    → (4·(10⁶·c₁(t₃)/N)) / 25
+    *   else          → 0   (out-of-vocabulary)
+    *
+    * Dataflow: three train-side n-gram count tables (vocabulary-sized,
+    * shuffle-keyed on the gram) + a 1-row token total; test positions
+    * left-join each level and take the first hit. Per doc:
+    * (n_trigrams, per-level hit counts, mean score). Everything is
+    * counts and floored divisions — bit-replayable. */
+  def trigramBackoffScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTest: Column,
+  ): DataFrame = {
+    val withToks = docs.select(col(idCol), isTest.as("__test"), tokens(col(textCol)).as("__t"))
+    val train    = withToks.filter(!col("__test"))
+    val uni      = train.select(explode(col("__t")).as("w"))
+    val c1       = uni.groupBy("w").agg(count(lit(1)).as("__c1"))
+    val nTot     = uni.agg(count(lit(1)).as("__n"))
+    val c2 = train
+      .filter(size(col("__t")) >= 2)
+      .select(
+        explode(
+          expr("transform(sequence(1, size(__t) - 1), i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))")
+        ).as("bg")
+      )
+      .groupBy("bg")
+      .agg(count(lit(1)).as("__c2"))
+    val c3 = train
+      .filter(size(col("__t")) >= 3)
+      .select(
+        explode(
+          expr(
+            "transform(sequence(1, size(__t) - 2), i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1), ' ', element_at(__t, i + 2)))"
+          )
+        ).as("tg")
+      )
+      .groupBy("tg")
+      .agg(count(lit(1)).as("__c3"))
+    val positions = withToks
+      .filter(col("__test") && size(col("__t")) >= 3)
+      .select(
+        col(idCol),
+        explode(
+          expr(
+            """transform(sequence(1, size(__t) - 2), i -> struct(
+              |  concat(element_at(__t, i), ' ', element_at(__t, i + 1), ' ', element_at(__t, i + 2)) AS tg,
+              |  concat(element_at(__t, i), ' ', element_at(__t, i + 1)) AS ctx2,
+              |  concat(element_at(__t, i + 1), ' ', element_at(__t, i + 2)) AS bg,
+              |  element_at(__t, i + 1) AS w2,
+              |  element_at(__t, i + 2) AS w3))""".stripMargin
+          )
+        ).as("__q"),
+      )
+      .select(col(idCol), col("__q.tg").as("tg"), col("__q.ctx2").as("ctx2"),
+        col("__q.bg").as("bg"), col("__q.w2").as("w2"), col("__q.w3").as("w3"))
+    val joined = positions
+      .join(c3, Seq("tg"), "left")
+      .join(c2.withColumnRenamed("bg", "ctx2").withColumnRenamed("__c2", "__c2ctx"), Seq("ctx2"), "left")
+      .join(c2.withColumnRenamed("__c2", "__c2b"), Seq("bg"), "left")
+      .join(c1.withColumnRenamed("w", "w2").withColumnRenamed("__c1", "__c1ctx"), Seq("w2"), "left")
+      .join(c1.withColumnRenamed("w", "w3").withColumnRenamed("__c1", "__c1b"), Seq("w3"), "left")
+      .crossJoin(broadcast(nTot))
+    joined
+      .select(
+        col(idCol),
+        expr(
+          """CASE WHEN __c3 IS NOT NULL THEN (__c3 * 1000000L) div __c2ctx
+            |     WHEN __c2b IS NOT NULL THEN (2L * ((__c2b * 1000000L) div __c1ctx)) div 5
+            |     WHEN __c1b IS NOT NULL THEN (4L * ((__c1b * 1000000L) div __n)) div 25
+            |     ELSE 0L END""".stripMargin
+        ).as("__p"),
+        expr(
+          """CASE WHEN __c3 IS NOT NULL THEN 3
+            |     WHEN __c2b IS NOT NULL THEN 2
+            |     WHEN __c1b IS NOT NULL THEN 1 ELSE 0 END""".stripMargin
+        ).as("__lvl"),
+      )
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("__lvl") === 3, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("__lvl") === 2, 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("__lvl") === 1, 1L).otherwise(0L)).as("n_uni"),
+        sum(when(col("__lvl") === 0, 1L).otherwise(0L)).as("n_oov"),
+        expr("sum(__p) div count(1)").as("lm_score_ppm"),
+      )
+  }
+
   /** Top-k characteristic terms per document by tf-idf with a LINEAR
     * inverse document frequency: score = tf · (N / df), no log damping.
     * Every step — counts, one double division, one multiplication — is

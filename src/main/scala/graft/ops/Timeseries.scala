@@ -392,4 +392,176 @@ object Timeseries {
         (col("r.l") + col("r.b")).as("forecast_scaled"),
       )
   }
+
+  /** Autocorrelation function of per-key hourly counts at lags
+    * 1..`maxLag` — the periodicity detector that tells you WHICH
+    * seasonal period [[holtWintersHourly]] should use (a daily cycle
+    * shows as a peak at lag 24). Exact integer ppm: with S = Σx,
+    * Sxx = Σx² over the full n-hour series and, per lag k over the
+    * m = n−k aligned pairs, Sxy = Σ xₜxₜ₊ₖ, Sa = Σ xₜ, Sb = Σ xₜ₊ₖ,
+    * the textbook r_k = Σ(xₜ−x̄)(xₜ₊ₖ−x̄) / Σ(xₜ−x̄)² is cleared of
+    * the rational mean by multiplying both sides by n²:
+    *
+    *   num_k = n²·Sxy − n·S·(Sa+Sb) + m·S²,   den = n²·Sxx − n·S²
+    *   acf_ppm = fd(10⁶·num_k / den)   (NULL for a constant series)
+    *
+    * with fd the shared pmod-subtraction floor (num_k goes negative on
+    * anti-correlated lags) and every product through DECIMAL(38,0).
+    * One corpus pass (the hourly aggregation); the lag alignment is
+    * `lead(n, k)` over a per-key window on the bounded dense grid,
+    * unpivoted with `stack` — no self-join, no per-lag rescan. */
+  def acfHourly(df: DataFrame, keyCol: String, tsCol: String, maxLag: Int = 4): DataFrame =
+    acfFromHourly(hourlyCounts(df, keyCol, tsCol), maxLag)
+
+  /** Post-aggregation stage of [[acfHourly]] over an already bucketed
+    * (key, hour_ts, n) table. */
+  def acfFromHourly(hourly: DataFrame, maxLag: Int = 4): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val grid = denseHourlyGrid(hourly)
+    val w    = Window.partitionBy("key").orderBy("hour_ts")
+    val withLeads = (1 to maxLag).foldLeft(grid) { (g, k) =>
+      g.withColumn(s"__y$k", lead(col("n"), k).over(w))
+    }
+    val stackArgs = (1 to maxLag).map(k => s"${k}L, n, __y$k").mkString(", ")
+    val lagged = withLeads
+      .select(col("key"), expr(s"stack($maxLag, $stackArgs) AS (lag, x, y)"))
+      .filter(col("y").isNotNull)
+      .groupBy("key", "lag")
+      .agg(
+        count(lit(1)).as("m"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(col("x")).as("sa"),
+        sum(col("y")).as("sb"),
+      )
+    val totals = hourlyTotals(grid)
+    val num = "CAST(n AS DECIMAL(38,0)) * n * sxy - CAST(n AS DECIMAL(38,0)) * s * (sa + sb) + " +
+      "CAST(m AS DECIMAL(38,0)) * s * s"
+    val den = "(CAST(n AS DECIMAL(38,0)) * n * sxx - CAST(n AS DECIMAL(38,0)) * s * s)"
+    val v   = s"(($num) * 1000000)"
+    lagged
+      .join(broadcast(totals), Seq("key"))
+      .select(
+        col("key"),
+        col("lag"),
+        col("m").as("n_pairs"),
+        when(expr(den) === 0, lit(null))
+          .otherwise(expr(s"CAST((($v) - pmod($v, $den)) div $den AS BIGINT)"))
+          .as("acf_ppm"),
+      )
+  }
+
+  /** Per-key full-series totals (n, S, Sxx) over the dense grid —
+    * bounded at |keys| rows, broadcast back to the lag table. */
+  private def hourlyTotals(grid: DataFrame): DataFrame =
+    grid
+      .groupBy("key")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n")).as("s"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("sxx"),
+      )
+
+  /** Holt–Winters additive (triple exponential) smoothing over per-key
+    * hourly counts — [[holtHourly]] plus an hour-of-day seasonal term
+    * (period m = 24), the standard forecaster for daily-cycled rates.
+    * Scaled ×10⁶ integer recursion (α, β, γ in ppm), with Sₜ₋ₘ read
+    * m steps back:
+    *
+    *   L₁ = 10⁶·n₁, B₁ = 0, S₁ = 0
+    *   Lₜ = fd(α·(10⁶·nₜ − Sₜ₋ₘ) + (10⁶−α)·(Lₜ₋₁ + Bₜ₋₁))
+    *   Bₜ = fd(β·(Lₜ − Lₜ₋₁) + (10⁶−β)·Bₜ₋₁)
+    *   Sₜ = fd(γ·(10⁶·nₜ − Lₜ) + (10⁶−γ)·Sₜ₋ₘ)
+    *
+    * where Sₜ₋ₘ is taken as 0 while fewer than m rows precede t (the
+    * deterministic cold-start: until one full period has passed the
+    * recursion degenerates to exactly [[holtFromHourly]]'s Holt, and
+    * S accumulates from the γ-weighted level residuals — no separate
+    * initialization pass whose seasonal averages would need their own
+    * flooring policy). fd is the shared pmod-subtraction FLOOR
+    * division (negative trend and seasonal values are routine here),
+    * every product runs through DECIMAL(38,0) (HUGEINT on the oracle
+    * side), and each of L/B/S shares ONE flooring division across its
+    * two terms (the [[Eval.classReport]] F1 rule).
+    *
+    * Same dense-grid + bounded-array-fold shape as [[holtFromHourly]]:
+    * corpus work is the mergeable hourly pre-aggregation; the
+    * sequential recursion runs per key over the bounded (keys × hours)
+    * table, reading Sₜ₋ₘ straight out of the emitted-row accumulator
+    * (`element_at(acc, -m)` — the accumulator IS the last-m seasonal
+    * state, so no second history structure can desynchronize from it).
+    * Lₜ is let-bound via nested 1-element `transform`s (sPrev, then
+    * Lₜ) so each recursion formula exists in exactly one place. */
+  def holtWintersHourly(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      alphaPpm: Int = 300000,
+      betaPpm: Int = 125000,
+      gammaPpm: Int = 200000,
+      period: Int = 24,
+  ): DataFrame =
+    holtWintersFromHourly(hourlyCounts(df, keyCol, tsCol), alphaPpm, betaPpm, gammaPpm, period)
+
+  /** Post-aggregation stage of [[holtWintersHourly]] over an already
+    * bucketed (key, hour_ts, n) table — shared with the streaming
+    * twin. */
+  def holtWintersFromHourly(
+      hourly: DataFrame,
+      alphaPpm: Int = 300000,
+      betaPpm: Int = 125000,
+      gammaPpm: Int = 200000,
+      period: Int = 24,
+  ): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 1000000, s"alphaPpm must be in [1, 1e6], got $alphaPpm")
+    require(betaPpm >= 1 && betaPpm <= 1000000, s"betaPpm must be in [1, 1e6], got $betaPpm")
+    require(gammaPpm >= 1 && gammaPpm <= 1000000, s"gammaPpm must be in [1, 1e6], got $gammaPpm")
+    require(period >= 2, s"period must be >= 2, got $period")
+    val remA = 1000000L - alphaPpm
+    val remB = 1000000L - betaPpm
+    val remG = 1000000L - gammaPpm
+    val series = denseHourlyGrid(hourly)
+      .groupBy("key")
+      .agg(sort_array(collect_list(struct(col("hour_ts"), col("n")))).as("series"))
+    val prevL = "element_at(acc, -1).l"
+    val prevB = "element_at(acc, -1).b"
+    // fd(v) = (v - pmod(v, 1e6)) div 1e6 — v appears twice by SQL-lambda
+    // necessity; keep the two copies adjacent.
+    val vL = s"CAST($alphaPpm AS DECIMAL(38,0)) * (x.n * 1000000L - sp) + " +
+      s"CAST($remA AS DECIMAL(38,0)) * ($prevL + $prevB)"
+    val vB = s"CAST($betaPpm AS DECIMAL(38,0)) * (lt - $prevL) + " +
+      s"CAST($remB AS DECIMAL(38,0)) * $prevB"
+    val vS = s"CAST($gammaPpm AS DECIMAL(38,0)) * (x.n * 1000000L - lt) + " +
+      s"CAST($remG AS DECIMAL(38,0)) * sp"
+    val folded = series.withColumn(
+      "out",
+      expr(
+        s"""aggregate(
+           |  series,
+           |  CAST(array() AS ARRAY<STRUCT<hour_ts TIMESTAMP, n BIGINT, l BIGINT, b BIGINT, s BIGINT>>),
+           |  (acc, x) -> array_append(acc,
+           |    CASE WHEN size(acc) = 0
+           |      THEN struct(x.hour_ts AS hour_ts, x.n AS n, x.n * 1000000L AS l, 0L AS b, 0L AS s)
+           |      ELSE element_at(transform(
+           |        array(CASE WHEN size(acc) >= $period
+           |                THEN element_at(acc, -$period).s ELSE 0L END),
+           |        sp -> element_at(transform(
+           |          array(CAST((($vL) - pmod($vL, 1000000)) div 1000000 AS BIGINT)),
+           |          lt -> struct(x.hour_ts AS hour_ts, x.n AS n, lt AS l,
+           |            CAST((($vB) - pmod($vB, 1000000)) div 1000000 AS BIGINT) AS b,
+           |            CAST((($vS) - pmod($vS, 1000000)) div 1000000 AS BIGINT) AS s)), 1)), 1)
+           |    END),
+           |  acc -> acc)""".stripMargin
+      ),
+    )
+    folded
+      .select(col("key"), explode(col("out")).as("r"))
+      .select(
+        col("key"),
+        col("r.hour_ts").as("hour_ts"),
+        col("r.n").as("n"),
+        col("r.l").as("level_scaled"),
+        col("r.b").as("trend_scaled"),
+        col("r.s").as("seasonal_scaled"),
+      )
+  }
 }

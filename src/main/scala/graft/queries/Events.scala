@@ -848,6 +848,72 @@ object Events {
     Timeseries.holtHourly(events(s, d), "event_type", "ts", alphaPpm = 300000, betaPpm = 125000)
   }
 
+  /** Shared oracle SQL for the batch and streaming Holt–Winters gates.
+    * The recursion needs Sₜ₋₂₄, which a recursive CTE cannot reach by
+    * row reference — so the recursion CARRIES its own seasonal memory:
+    * `shist` is the list of the most recent ≤24 seasonal values
+    * (oldest first; `shist[1]` is Sₜ₋₂₄ exactly when the list is
+    * full, the same cold-start-zero contract as the Spark fold's
+    * `element_at(acc, -24)`). LATERAL let-bindings keep each of the
+    * sp/L/B/S formulas in one place, mirroring the nested-transform
+    * bindings on the Spark side. */
+  private[queries] val holtWintersSql: String =
+    """WITH RECURSIVE
+      |counts AS (SELECT event_type AS key, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(hour_ts) AS h0, max(hour_ts) AS h1 FROM counts),
+      |hours AS (SELECT g AS hour_ts, row_number() OVER (ORDER BY g) AS rn
+      |          FROM (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g FROM span)),
+      |grid AS (SELECT k.key, h.hour_ts, h.rn, coalesce(c.n, 0) AS n
+      |         FROM (SELECT DISTINCT key FROM counts) k
+      |         CROSS JOIN hours h
+      |         LEFT JOIN counts c ON c.key = k.key AND c.hour_ts = h.hour_ts),
+      |rec AS (
+      |  SELECT key, rn, hour_ts, n, n * 1000000 AS l, CAST(0 AS BIGINT) AS b,
+      |    CAST(0 AS BIGINT) AS s, [CAST(0 AS BIGINT)] AS shist
+      |  FROM grid WHERE rn = 1
+      |  UNION ALL
+      |  SELECT g.key, g.rn, g.hour_ts, g.n, lt.l, bb.b, ss.s,
+      |    list_append(CASE WHEN len(r.shist) >= 24 THEN r.shist[2:] ELSE r.shist END, ss.s)
+      |  FROM rec r
+      |  JOIN grid g ON g.key = r.key AND g.rn = r.rn + 1,
+      |  LATERAL (SELECT CASE WHEN len(r.shist) >= 24 THEN r.shist[1]
+      |                       ELSE CAST(0 AS BIGINT) END AS sp) sp,
+      |  LATERAL (SELECT CAST(300000 AS HUGEINT) * (g.n * 1000000 - sp.sp) +
+      |                  CAST(700000 AS HUGEINT) * (r.l + r.b) AS v) vl,
+      |  LATERAL (SELECT CAST((vl.v - ((vl.v % 1000000 + 1000000) % 1000000)) // 1000000
+      |                       AS BIGINT) AS l) lt,
+      |  LATERAL (SELECT CAST(125000 AS HUGEINT) * (lt.l - r.l) +
+      |                  CAST(875000 AS HUGEINT) * r.b AS v) vb,
+      |  LATERAL (SELECT CAST((vb.v - ((vb.v % 1000000 + 1000000) % 1000000)) // 1000000
+      |                       AS BIGINT) AS b) bb,
+      |  LATERAL (SELECT CAST(200000 AS HUGEINT) * (g.n * 1000000 - lt.l) +
+      |                  CAST(800000 AS HUGEINT) * sp.sp AS v) vs,
+      |  LATERAL (SELECT CAST((vs.v - ((vs.v % 1000000 + 1000000) % 1000000)) // 1000000
+      |                       AS BIGINT) AS s) ss)
+      |SELECT key, hour_ts, n, CAST(l AS BIGINT) AS level_scaled,
+      |  CAST(b AS BIGINT) AS trend_scaled, CAST(s AS BIGINT) AS seasonal_scaled
+      |FROM rec""".stripMargin
+
+  /** Holt–Winters additive seasonal smoothing
+    * ([[graft.ops.Timeseries.holtWintersHourly]]): the triple
+    * exponential upgrade of `evt_holt_trend` — an hour-of-day seasonal
+    * term (m = 24) joins the level+trend recursion, so a daily-cycled
+    * rate forecasts its own peak hours instead of alarming on them.
+    * Exact ×10⁶ integer recursion at every sign; the oracle replays it
+    * with the seasonal memory carried as a recursive-CTE list. */
+  private val holtWintersQ = Q("evt_holt_winters", holtWintersSql) { (s, d) =>
+    Timeseries.holtWintersHourly(
+      events(s, d),
+      "event_type",
+      "ts",
+      alphaPpm = 300000,
+      betaPpm = 125000,
+      gammaPpm = 200000,
+      period = 24,
+    )
+  }
+
   /** Shared oracle SQL for the batch and streaming seasonal-outlier
     * gates (the [[cusumSql]]/[[ewmaSql]] convention). */
   private[queries] val seasonalSql: String =
@@ -945,6 +1011,87 @@ object Events {
       )
   }
 
+  /** ACF of the hourly rate series per event type at lags 1..4
+    * ([[graft.ops.Timeseries.acfHourly]]) — the periodicity detector
+    * that picks `evt_holt_winters`' seasonal period. Exact integer
+    * ppm with the rational mean cleared by n² on both sides; the
+    * oracle replays the dense grid, the lead alignment, and the
+    * pmod-floored quotient. */
+  private val acfQ = Q(
+    "evt_acf_lags",
+    """WITH counts AS (SELECT event_type AS key, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+      |                FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(hour_ts) AS h0, max(hour_ts) AS h1 FROM counts),
+      |grid AS (SELECT k.key, h.g AS hour_ts, coalesce(c.n, 0) AS n
+      |         FROM (SELECT DISTINCT key FROM counts) k
+      |         CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g
+      |                     FROM span) h
+      |         LEFT JOIN counts c ON c.key = k.key AND c.hour_ts = h.g),
+      |leads AS (SELECT key, n,
+      |            lead(n, 1) OVER w AS y1, lead(n, 2) OVER w AS y2,
+      |            lead(n, 3) OVER w AS y3, lead(n, 4) OVER w AS y4
+      |          FROM grid WINDOW w AS (PARTITION BY key ORDER BY hour_ts)),
+      |lagged AS (
+      |  SELECT key, lag, count(*) AS m,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy, sum(x) AS sa, sum(y) AS sb
+      |  FROM (
+      |    SELECT key, CAST(1 AS BIGINT) AS lag, n AS x, y1 AS y FROM leads
+      |    UNION ALL SELECT key, 2, n, y2 FROM leads
+      |    UNION ALL SELECT key, 3, n, y3 FROM leads
+      |    UNION ALL SELECT key, 4, n, y4 FROM leads)
+      |  WHERE y IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT key, count(*) AS n, sum(n) AS s,
+      |          sum(CAST(n AS HUGEINT) * n) AS sxx
+      |        FROM grid GROUP BY 1)
+      |SELECT l.key, l.lag, CAST(l.m AS BIGINT) AS n_pairs,
+      |  CASE WHEN dd.den = 0 THEN NULL
+      |       ELSE CAST((vv.v - ((vv.v % dd.den + dd.den) % dd.den)) // dd.den AS BIGINT)
+      |  END AS acf_ppm
+      |FROM lagged l JOIN tot t ON t.key = l.key,
+      |LATERAL (SELECT CAST(t.n AS HUGEINT) * t.n * l.sxy
+      |                - CAST(t.n AS HUGEINT) * t.s * (l.sa + l.sb)
+      |                + CAST(l.m AS HUGEINT) * t.s * t.s AS num,
+      |               CAST(t.n AS HUGEINT) * t.n * t.sxx
+      |                - CAST(t.n AS HUGEINT) * t.s * t.s AS den) dd,
+      |LATERAL (SELECT dd.num * 1000000 AS v) vv""".stripMargin,
+  ) { (s, d) =>
+    Timeseries.acfHourly(events(s, d), "event_type", "ts", maxLag = 4)
+  }
+
+  /** Kendall concordance between two event types' hourly rates
+    * ([[graft.ops.Stats.kendallCounts]]): do error and click traffic
+    * co-move hour by hour? Exact pair census (concordant, discordant,
+    * three tie classes) over the bounded hourly table — the robust
+    * monotone-association twin of `misc_corr_stats`' Pearson moments. */
+  private val kendallQ = Q(
+    "evt_kendall_tau",
+    """WITH h AS (
+      |  SELECT date_trunc('hour', ts) AS t,
+      |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+      |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS y
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT sign(a.x - b.x) AS sx, sign(a.y - b.y) AS sy
+      |  FROM h a JOIN h b ON a.t < b.t)
+      |SELECT count(*) AS n_pairs,
+      |  CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |  CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+      |  CAST(sum(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
+      |  CAST(sum(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tie_y,
+      |  CAST(sum(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tie_xy,
+      |  CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)
+      |    - sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tau_num
+      |FROM p""".stripMargin,
+  ) { (s, d) =>
+    val h = events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("t"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("y"),
+      )
+    graft.ops.Stats.kendallCounts(h, "t", "x", "y")
+  }
+
   /** Theil–Sen trend per event type over the hourly rate series — the
     * robust (median-of-pairwise-slopes) alternative to least squares,
     * immune to the spike hours CUSUM flags. Slopes are integer ppm per
@@ -1040,6 +1187,9 @@ object Events {
     cusumChangepointQ,
     ewmaHourlyQ,
     holtHourlyQ,
+    holtWintersQ,
+    acfQ,
+    kendallQ,
     seasonalOutliersQ,
     pathTrigramsQ,
     rollupCascadeQ,

@@ -524,6 +524,80 @@ object MiscQueries {
     )
   }
 
+  /** Two-sample Kolmogorov–Smirnov over order spend
+    * ([[graft.ops.Stats.ksStatistic]]): URGENT vs LOW priority order
+    * totals in cents — "did this cohort's spend distribution shift?"
+    * as exact cross-multiplied integers (D = max |cum₁·n₂ − cum₂·n₁|
+    * with denominator n₁·n₂, plus the floored ppm quotient). The value
+    * domain is continuous (prices), so the Spark side runs the TIERED
+    * histogram cumulative — the oracle states the same cumulative with
+    * one window, which is fine at oracle scale. */
+  private val ksQ = Q(
+    "misc_ks_orders",
+    """WITH v AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS s,
+      |    (o_orderpriority = '1-URGENT') AS is1
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |h AS (
+      |  SELECT s, sum(CASE WHEN is1 THEN 1 ELSE 0 END) AS c1,
+      |    sum(CASE WHEN is1 THEN 0 ELSE 1 END) AS c2
+      |  FROM v GROUP BY 1),
+      |c AS (
+      |  SELECT s,
+      |    sum(c1) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum1,
+      |    sum(c2) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum2
+      |  FROM h),
+      |t AS (SELECT max(cum1) AS n1, max(cum2) AS n2 FROM c)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(max(abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1)) AS BIGINT) AS d_num,
+      |  CAST(max(abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1)) * 1000000
+      |    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d_ppm
+      |FROM c, t GROUP BY n1, n2""".stripMargin,
+  ) { (s, d) =>
+    val o = orders(s, d).filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    graft.ops.Stats.ksStatistic(
+      o,
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+      col("o_orderpriority") === "1-URGENT",
+    )
+  }
+
+  /** Mann–Whitney U over the same two cohorts
+    * ([[graft.ops.Stats.mannWhitneyU]]) — the nonparametric location
+    * test beside [[ksQ]]'s shape test, tie-exact via the doubled
+    * midrank (2·midrank = 2·cum_before + t + 1 stays integral). */
+  private val mannWhitneyQ = Q(
+    "misc_mannwhitney_orders",
+    """WITH v AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS s,
+      |    (o_orderpriority = '1-URGENT') AS is1
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |h AS (
+      |  SELECT s, sum(CASE WHEN is1 THEN 1 ELSE 0 END) AS c1,
+      |    sum(CASE WHEN is1 THEN 0 ELSE 1 END) AS c2
+      |  FROM v GROUP BY 1),
+      |c AS (
+      |  SELECT s, c1, c2,
+      |    sum(c1) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum1,
+      |    sum(c2) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum2
+      |  FROM h),
+      |a AS (
+      |  SELECT max(cum1) AS n1, max(cum2) AS n2,
+      |    sum(CAST(c1 AS HUGEINT) * (2 * (cum1 + cum2 - c1 - c2) + (c1 + c2) + 1)) AS rs
+      |  FROM c)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(rs - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2,
+      |  CAST(2 * CAST(n1 AS HUGEINT) * n2 - (rs - CAST(n1 AS HUGEINT) * (n1 + 1)) AS BIGINT) AS u2_x2
+      |FROM a""".stripMargin,
+  ) { (s, d) =>
+    val o = orders(s, d).filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    graft.ops.Stats.mannWhitneyU(
+      o,
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+      col("o_orderpriority") === "1-URGENT",
+    )
+  }
+
   /** Bloom membership filter ([[graft.ops.Bloom]]): built over the
     * custkeys that have orders, probed with EVERY customer. md5 bit
     * positions make the filter engine-replayable, so the oracle checks
@@ -2226,5 +2300,5 @@ object MiscQueries {
       corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ,
       labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint,
       kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ,
-      samplePps, hitsTrade)
+      samplePps, hitsTrade, ksQ, mannWhitneyQ)
 }

@@ -1883,11 +1883,58 @@ object SimilarityQueries {
     * trade; a λ change must show up ONLY in the greedy picks. */
   private val mmrTopKWeighted = mmrGate("sim_mmr_topk_weighted", 750000L)
 
+  /** ROC AUC of "dot with a label-0 probe" as a label-0 detector
+    * ([[graft.ops.Eval.rocAuc]]): scores are the exact left-fold dot
+    * against the lowest-vec_id label-0 embedding (a deterministic
+    * 1-row broadcast), positives are the label-0 rows, and the AUC
+    * comes out of the tie-exact doubled-U rank identity — the
+    * threshold-free quality number for an embedding-space filter
+    * model. The oracle replays probe choice, scores, midranks, and
+    * the floored ppm quotient. */
+  private val aucEval = Q(
+    "sim_auc_eval",
+    s"""WITH probe AS (
+       |  SELECT embedding AS pe FROM embeddings WHERE label = 0 ORDER BY vec_id LIMIT 1),
+       |v AS (
+       |  SELECT ${duckDot("embedding", "pe")} AS s, (label = 0) AS is1
+       |  FROM embeddings, probe),
+       |h AS (
+       |  SELECT s, sum(CASE WHEN is1 THEN 1 ELSE 0 END) AS c1,
+       |    sum(CASE WHEN is1 THEN 0 ELSE 1 END) AS c2
+       |  FROM v GROUP BY 1),
+       |c AS (
+       |  SELECT s, c1, c2,
+       |    sum(c1) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum1,
+       |    sum(c2) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum2
+       |  FROM h),
+       |a AS (
+       |  SELECT max(cum1) AS n1, max(cum2) AS n2,
+       |    sum(CAST(c1 AS HUGEINT) * (2 * (cum1 + cum2 - c1 - c2) + (c1 + c2) + 1)) AS rs
+       |  FROM c)
+       |SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n2 AS BIGINT) AS n_neg,
+       |  CAST(rs - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u_x2,
+       |  CAST((rs - CAST(n1 AS HUGEINT) * (n1 + 1)) * 1000000
+       |    // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS auc_ppm
+       |FROM a""".stripMargin,
+  ) { (s, d) =>
+    graft.functions.FloatVecDot.registerOn(s)
+    val emb = embeddings(s, d)
+    val probe = emb
+      .filter(col("label") === 0)
+      .orderBy(col("vec_id"))
+      .limit(1)
+      .select(col("embedding").as("__pe"))
+    val scored = emb
+      .crossJoin(broadcast(probe))
+      .select(expr("float_dot(embedding, __pe)").as("__s"), (col("label") === 0).as("__is1"))
+    graft.ops.Eval.rocAuc(scored, col("__s"), col("__is1"))
+  }
+
   val all: Seq[Q] =
     Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
       annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
       annIvfPqSampledTopK, annIvfAppendTopK, annIvfRefreshTopK, annIvfRefreshDrift,
       annIvfPqResidualTopK, ragChunkTopK, docEmbeddingPool, annRecallEval,
       annBatchedTopK, annIvfStoredTopK, centroidConfusion, centroidEval, hardNegatives, mmrTopK,
-      mmrTopKWeighted, maxSimTopK, pcaPower, mrrEval, mapEval, matryoshkaRecall)
+      mmrTopKWeighted, maxSimTopK, pcaPower, mrrEval, mapEval, matryoshkaRecall, aucEval)
 }

@@ -1019,6 +1019,26 @@ object StreamingQueries {
       .holtFromHourly(hourlyStateTable(s, d, "holt"), alphaPpm = 300000, betaPpm = 125000)
   }
 
+  /** Streaming Holt–Winters monitor — the [[holtStream]] pattern for
+    * [[graft.ops.Timeseries.holtWintersHourly]]: streaming state is
+    * the same mergeable per-(key, hour) counts; the level+trend+
+    * seasonal recursion (sequential, floor-division-exact, seasonal
+    * memory read from the emitted-row accumulator) derives from the
+    * frozen final state per trigger. Oracle: the batch gate's
+    * recursive CTE verbatim. */
+  private val holtWintersStream = Q(
+    "stream_holt_winters",
+    Events.holtWintersSql, // the batch gate's oracle, shared verbatim
+  ) { (s, d) =>
+    graft.ops.Timeseries.holtWintersFromHourly(
+      hourlyStateTable(s, d, "holt_winters"),
+      alphaPpm = 300000,
+      betaPpm = 125000,
+      gammaPpm = 200000,
+      period = 24,
+    )
+  }
+
   /** Streaming seasonal-outlier monitor — the [[cusumStream]]/
     * [[ewmaStream]] pattern for
     * [[graft.ops.Timeseries.seasonalOutliers]]: streaming state is the
@@ -1217,5 +1237,6 @@ object StreamingQueries {
       reservoirStream,
       decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream,
       cmsStream, bpeDriftStream, rateAnomalyStream, profileStream, distDriftStream, ivmStream,
-      cusumStream, ewmaStream, holtStream, seasonalStream, topkStream, approxDistinctStream)
+      cusumStream, ewmaStream, holtStream, holtWintersStream, seasonalStream, topkStream,
+      approxDistinctStream)
 }

@@ -1303,6 +1303,62 @@ object TextQueries {
       )
   }
 
+  /** Trigram stupid-backoff LM over a held-out split
+    * ([[graft.ops.Text.trigramBackoffScore]]): counts from the
+    * doc_id % 10 ≠ 0 train slice, scores on the % 10 = 0 slice, so the
+    * backoff ladder (trigram hit → α·bigram → α²·unigram → OOV zero)
+    * actually fires — [[bigramLm]] scores against self-trained counts
+    * where every observed n-gram hits by construction. α = 2/5 stays
+    * an integer ratio; every level is a floored count quotient, and
+    * the per-level hit census rides along as the diagnostic. */
+  private val trigramBackoffQ = Q(
+    "txt_trigram_backoff",
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents),
+      |tr AS (SELECT doc_id, toks FROM t WHERE doc_id % 10 <> 0),
+      |te AS (SELECT doc_id, toks FROM t WHERE doc_id % 10 = 0 AND len(toks) >= 3),
+      |u AS (SELECT unnest(toks) AS w FROM tr),
+      |c1 AS (SELECT w, count(*) AS c1 FROM u GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM u),
+      |b AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+      |               i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |      FROM tr WHERE len(toks) >= 2),
+      |c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
+      |g AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+      |               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg
+      |      FROM tr WHERE len(toks) >= 3),
+      |c3 AS (SELECT tg, count(*) AS c3 FROM g GROUP BY 1),
+      |q AS (SELECT doc_id,
+      |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tg,
+      |        toks[i] || ' ' || toks[i+1] AS ctx2,
+      |        toks[i+1] || ' ' || toks[i+2] AS bg,
+      |        toks[i+1] AS w2, toks[i+2] AS w3
+      |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM te)),
+      |p AS (SELECT q.doc_id,
+      |        CASE WHEN c3.c3 IS NOT NULL THEN (c3.c3 * 1000000) // cc.c2
+      |             WHEN cb.c2 IS NOT NULL THEN (2 * ((cb.c2 * 1000000) // c1x.c1)) // 5
+      |             WHEN c1y.c1 IS NOT NULL THEN (4 * ((c1y.c1 * 1000000) // nn.n)) // 25
+      |             ELSE 0 END AS p,
+      |        CASE WHEN c3.c3 IS NOT NULL THEN 3
+      |             WHEN cb.c2 IS NOT NULL THEN 2
+      |             WHEN c1y.c1 IS NOT NULL THEN 1 ELSE 0 END AS lvl
+      |      FROM q
+      |      LEFT JOIN c3 ON c3.tg = q.tg
+      |      LEFT JOIN c2 cc ON cc.bg = q.ctx2
+      |      LEFT JOIN c2 cb ON cb.bg = q.bg
+      |      LEFT JOIN c1 c1x ON c1x.w = q.w2
+      |      LEFT JOIN c1 c1y ON c1y.w = q.w3
+      |      CROSS JOIN nn)
+      |SELECT doc_id, count(*) AS n_trigrams,
+      |  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+      |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+      |  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+      |  CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(sum(p) // count(*) AS BIGINT) AS lm_score_ppm
+      |FROM p GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Text.trigramBackoffScore(documents(s, d), "doc_id", "text", expr("doc_id % 10 = 0"))
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
@@ -1310,5 +1366,5 @@ object TextQueries {
       packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ,
       negSamplingQ, skipGramQ, curriculumOrderQ, repeatCollapseQ, preferencePairsQ,
       featureHashQ, sentenceStatsQ, langIdKappaQ, tokenGiniQ, wordpieceQ, readabilityQ,
-      ngramOverlapQ)
+      ngramOverlapQ, trigramBackoffQ)
 }

@@ -2484,6 +2484,70 @@ class OpsSpec extends AnyFunSuite {
     assert(g.length === 3) // hour 02 filled with n=0
   }
 
+  test("Timeseries.holtWintersFromHourly: hand-computed series; seasonal lookback reads m steps back") {
+    // α=β=γ=0.5, period=2; n = 4, 1, 0, 2:
+    //   t1: L=4e6, B=0, S=0
+    //   t2: sp=0 (cold start) → L = fd(.5·1e6 + .5·4e6) = 2500000
+    //       B = fd(.5·(2500000−4000000)) = −750000, S = fd(.5·(1e6−2500000)) = −750000
+    //   t3: sp = S₁ = 0 → L = fd(.5·(2500000−750000)) = 875000
+    //       B = fd(.5·(875000−2500000) + .5·(−750000)) = −1187500
+    //       S = fd(.5·(0−875000)) = −437500
+    //   t4: sp = S₂ = −750000 → L = fd(.5·(2e6+750000) + .5·(875000−1187500)) = 1218750
+    //       B = fd(.5·(1218750−875000) + .5·(−1187500)) = −421875
+    //       S = fd(.5·(2e6−1218750) + .5·(−750000)) = 15625
+    val hourly = Seq(
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 4L),
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 1L),
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 0L),
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 04:00:00"), 2L),
+    ).toDF("key", "hour_ts", "n")
+    val rows = Timeseries
+      .holtWintersFromHourly(hourly, alphaPpm = 500000, betaPpm = 500000,
+        gammaPpm = 500000, period = 2)
+      .collect()
+      .sortBy(_.getAs[java.sql.Timestamp]("hour_ts").getTime)
+    assert(rows.map(_.getAs[Long]("level_scaled")).toSeq ===
+      Seq(4000000L, 2500000L, 875000L, 1218750L))
+    assert(rows.map(_.getAs[Long]("trend_scaled")).toSeq ===
+      Seq(0L, -750000L, -1187500L, -421875L))
+    assert(rows.map(_.getAs[Long]("seasonal_scaled")).toSeq ===
+      Seq(0L, -750000L, -437500L, 15625L))
+    // before a full period has passed the recursion IS Holt (sp = 0):
+    val holt = Timeseries
+      .holtFromHourly(hourly.limit(2), alphaPpm = 500000, betaPpm = 500000)
+      .collect()
+      .sortBy(_.getAs[java.sql.Timestamp]("hour_ts").getTime)
+    assert(holt.map(_.getAs[Long]("level_scaled")).toSeq === Seq(4000000L, 2500000L))
+  }
+
+  test("Stats.ksStatistic + mannWhitneyU: hand-computed two-sample statistics, tie-exact") {
+    // sample1 = {1,2,2}, sample2 = {2,3}: n1=3, n2=2.
+    // cums: v=1 (1,0), v=2 (3,1), v=3 (3,2);
+    // |cum1·n2 − cum2·n1| = 2, 3, 0 → D = 3/6 (ppm 500000).
+    val df = Seq((1L, true), (2L, true), (2L, true), (2L, false), (3L, false))
+      .toDF("v", "is1")
+    val ks = Stats.ksStatistic(df, col("v"), col("is1")).collect().head
+    assert(ks.getAs[Long]("n1") === 3L)
+    assert(ks.getAs[Long]("n2") === 2L)
+    assert(ks.getAs[Long]("d_num") === 3L)
+    assert(ks.getAs[Long]("d_ppm") === 500000L)
+    // doubled midranks: v=1 → 2, v=2 tie group of 3 after cum 1 → 6;
+    // R1·2 = 1·2 + 2·6 = 14; U1·2 = 14 − 3·4 = 2 (U1 = two half-ties);
+    // U2·2 = 2·3·2 − 2 = 10.
+    val mw = Stats.mannWhitneyU(df, col("v"), col("is1")).collect().head
+    assert(mw.getAs[Long]("n1") === 3L)
+    assert(mw.getAs[Long]("n2") === 2L)
+    assert(mw.getAs[Long]("u1_x2") === 2L)
+    assert(mw.getAs[Long]("u2_x2") === 10L)
+    // null values are excluded from both samples, not ranked:
+    val withNull = Seq((Some(1L), true), (None, true), (Some(2L), false))
+      .toDF("v", "is1")
+    val ks2 = Stats.ksStatistic(withNull, col("v"), col("is1")).collect().head
+    assert(ks2.getAs[Long]("n1") === 1L)
+    assert(ks2.getAs[Long]("n2") === 1L)
+    assert(ks2.getAs[Long]("d_num") === 1L)
+  }
+
   test("Similarity.topEigenvector: diagonal Gram converges to the dominant axis; orthogonal start is a stable zero") {
     // 3 copies of (2,0) + 1 copy of (0,1): Gram = [[12,0],[0,1]].
     // v0 = (1e6, 1e6); each round divides dim 1 by 12 (truncating):
