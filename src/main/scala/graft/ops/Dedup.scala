@@ -780,6 +780,53 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Weighted (multiset) Jaccard over word-token HISTOGRAMS for
+    * LSH-surfaced candidate pairs: J_w = Σ_t min(c_a(t), c_b(t)) /
+    * Σ_t max(c_a(t), c_b(t)) — the near-dup measure that still sees
+    * repeated content (boilerplate runs, copy-paste amplification)
+    * where set Jaccard saturates at one occurrence per type. Candidate
+    * generation is the standard MinHash-LSH banding over shingle sets
+    * (never all-pairs); the min-sum is a token-keyed equi-join
+    * restricted to candidates (candidate-proportional, like
+    * [[verifyJaccard]]), and the max-sum needs no second join:
+    * Σmax = S_a + S_b − Σmin. Integer-exact throughout — `wj_ppm` is
+    * the floored ppm quotient any engine replays bit-for-bit.
+    * Output: `(a_id, b_id, inter, uni, wj_ppm)` for wj_ppm ≥ tauPpm. */
+  def weightedJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      rowsPerBand: Int,
+      tauPpm: Long,
+  ): DataFrame = {
+    val cands =
+      lshCandidates(lshBands(minhashSignaturesNative(docs, idCol, textCol, n, k), rowsPerBand))
+    val tok = docs
+      .select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+    val tot = tok.groupBy("doc_id").agg(sum(col("c")).as("s"))
+    val minSums = cands
+      .join(tok.as("ta"), col("a_id") === col("ta.doc_id"))
+      .join(tok.as("tb"), col("b_id") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(least(col("ta.c"), col("tb.c"))).as("__m"))
+    cands
+      .join(minSums, Seq("a_id", "b_id"), "left")
+      .join(tot.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(tot.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        coalesce(col("__m"), lit(0L)).as("inter"),
+        (col("sa.s") + col("sb.s") - coalesce(col("__m"), lit(0L))).as("uni"),
+        expr("coalesce(__m, 0L) * 1000000L div (sa.s + sb.s - coalesce(__m, 0L))").as("wj_ppm"),
+      )
+      .filter(col("wj_ppm") >= tauPpm)
+  }
+
   /** 32-bit SimHash over the shingle set. Bit j of md5(shingle) (taken
     * as hex-nibble high bits) votes ±1; the sign of each position's vote
     * sum becomes signature bit j. Pure integer arithmetic — identical in

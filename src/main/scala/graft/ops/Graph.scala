@@ -172,6 +172,37 @@ object Graph {
     dist
   }
 
+  /** Double-sweep diameter lower bound (the classic 2-BFS heuristic:
+    * Magnien, Latapy & Habib, JEA 2009): BFS from a deterministic seed
+    * (the minimum node id), take the farthest node found (ties → min
+    * id), BFS again from it — the second eccentricity is a lower
+    * bound on the graph diameter that is exact on trees and near-exact
+    * on most real graphs, at the cost of TWO sweeps instead of
+    * all-pairs. Both sweeps are [[bfsHops]] frontier rounds bounded at
+    * `maxHops`, so the reported value is "diameter lower bound within
+    * a hop budget" — exact whenever maxHops ≥ the true eccentricities.
+    * Everything stays a DataFrame: the seed is a 1-row aggregate, each
+    * argmax a TakeOrdered(1), the result a cross join of three 1-row
+    * frames — no corpus-sized driver materialization anywhere.
+    * Output: 1 row `(seed, peripheral, ecc_seed, far_node,
+    * diameter_lb)`. */
+  def diameterSweep(edges: DataFrame, maxHops: Int): DataFrame = {
+    val seed = edges
+      .select(col("a").cast("long").as("node"))
+      .unionAll(edges.select(col("b").cast("long").as("node")))
+      .agg(min(col("node")).as("node"))
+    val far1 = bfsHops(edges, seed, maxHops)
+      .orderBy(col("dist").desc, col("node"))
+      .limit(1)
+    val far2 = bfsHops(edges, far1.select("node"), maxHops)
+      .orderBy(col("dist").desc, col("node"))
+      .limit(1)
+    seed
+      .select(col("node").as("seed"))
+      .crossJoin(far1.select(col("node").as("peripheral"), col("dist").as("ecc_seed")))
+      .crossJoin(far2.select(col("node").as("far_node"), col("dist").as("diameter_lb")))
+  }
+
   /** Bounded-round single/multi-source shortest paths over a WEIGHTED
     * directed edge list — distributed Bellman-Ford on the (min, +)
     * semiring, the weighted sibling of [[bfsHops]] (which is this with

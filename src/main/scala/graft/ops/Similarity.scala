@@ -664,6 +664,78 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** k-NN GRAPH over the embedding corpus — per node, its (up to) k
+    * nearest neighbors by exact cosine among SRP band-collision
+    * candidates at cosine ≥ `tau`, with a `mutual` flag (is the edge
+    * reciprocated in the neighbor's own top-k?). This is the
+    * clustering primitive under SemDeDup-style semantic dedup,
+    * graph-based diversity sampling, and local-manifold diagnostics.
+    * 100 TB posture: candidates come from the banded collision join
+    * ([[embeddingDupPairs]] — never all-pairs); the rank window is
+    * per-node over collision-bounded candidate lists (partitioned by
+    * src, NOT global); symmetrization + the mutual flag are
+    * self-joins of the ≤ k·N edge table. τ > 0 keeps each node's
+    * candidate list near-dup-bounded rather than collision-bounded.
+    * Output: `(src, dst, cos, rnk, mutual)`, rnk 1..k by (cos desc,
+    * dst asc). */
+  def knnGraph(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      tau: Double,
+      nPlanes: Int = 72,
+      bands: Int = 12,
+      dim: Int = 0,
+      probes: Int = 0,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = embeddingDupPairs(df, idCol, embCol, tau, nPlanes, bands, dim, probes)
+    val directed = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"), col("cos"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"), col("cos")))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    val ranked = directed
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .localCheckpoint() // consumed twice (edges + reversed probe)
+    val rev = ranked.select(col("dst").as("src"), col("src").as("dst"), lit(true).as("__m"))
+    ranked
+      .join(rev, Seq("src", "dst"), "left")
+      .select(
+        col("src"),
+        col("dst"),
+        col("cos"),
+        col("rnk"),
+        coalesce(col("__m"), lit(false)).as("mutual"),
+      )
+  }
+
+  /** Mutual-k-NN clusters: connected components of the RECIPROCATED
+    * [[knnGraph]] edges — the standard "semantic cluster" definition
+    * (mutuality prunes hub nodes that would chain unrelated regions
+    * through one popular neighbor). Components run the large-star/
+    * small-star O(log² n) loop ([[Dedup.clusterPairs]]). Output:
+    * `(id, component)` for every node on a mutual edge (isolated
+    * nodes are their own trivial clusters — excluded, matching
+    * [[Dedup.clusterPairs]]). */
+  def mutualKnnClusters(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      tau: Double,
+      nPlanes: Int = 72,
+      bands: Int = 12,
+      dim: Int = 0,
+      probes: Int = 0,
+  ): DataFrame = {
+    val mutualEdges = knnGraph(df, idCol, embCol, k, tau, nPlanes, bands, dim, probes)
+      .filter(col("mutual") && col("src") < col("dst"))
+      .select(col("src").as("a_id"), col("dst").as("b_id"))
+    Dedup.clusterPairs(mutualEdges)
+  }
+
   /** Banding ladder for [[embeddingDupPairsAuto]]: (nPlanes, bands)
     * sized to the corpus. The candidate join has a RANDOM-collision
     * floor of ≈ bands × N² / 2^r pairs (r = bits per band): with the

@@ -599,7 +599,21 @@ object Stats {
         sum(when(sampleIs1, 1L).otherwise(0L)).as("__c1"),
         sum(when(sampleIs1, 0L).otherwise(1L)).as("__c2"),
       )
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    tieredCum(hist, Seq("__c1", "__c2"))
+  }
+
+  /** The tiered-cumulative core under [[twoSampleCum]] and
+    * [[midrank2]]: given a histogram keyed by `__s` with count columns
+    * `countCols`, append an inclusive cumulative `__cum<i>` per count
+    * column WITHOUT any corpus-sized window — range-partition on
+    * `__s`, per-partition running sums in parallel, then broadcast the
+    * P-row per-partition totals back as exclusive offsets (only those
+    * P rows see an unpartitioned window). The localCheckpoint freezes
+    * `spark_partition_id()` so the offsets aggregate and the base join
+    * provably read one materialization (the [[Blocking.snmRank]]
+    * rule). */
+  private def tieredCum(hist: DataFrame, countCols: Seq[String]): DataFrame = {
+    val parts = hist.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = hist
       .repartitionByRange(parts, col("__s"))
       .withColumn("__pid", spark_partition_id())
@@ -608,26 +622,124 @@ object Stats {
       .partitionBy(col("__pid"))
       .orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val local = ranged
-      .withColumn("__l1", sum(col("__c1")).over(wLocal))
-      .withColumn("__l2", sum(col("__c2")).over(wLocal))
+    val local = countCols.zipWithIndex.foldLeft(ranged) { case (d, (c, i)) =>
+      d.withColumn(s"__l${i + 1}", sum(col(c)).over(wLocal))
+    }
     val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local
-      .groupBy(col("__pid"))
-      .agg(sum(col("__c1")).as("__t1"), sum(col("__c2")).as("__t2"))
-      .withColumn("__off1", coalesce(sum(col("__t1")).over(wOff), lit(0L)))
-      .withColumn("__off2", coalesce(sum(col("__t2")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("__off1"), col("__off2"))
+    val offsets = countCols.zipWithIndex
+      .foldLeft(
+        local
+          .groupBy(col("__pid"))
+          .agg(
+            sum(col(countCols.head)).as("__t1"),
+            countCols.tail.zipWithIndex.map { case (c, i) => sum(col(c)).as(s"__t${i + 2}") }: _*,
+          )
+      ) { case (d, (_, i)) =>
+        d.withColumn(s"__off${i + 1}", coalesce(sum(col(s"__t${i + 1}")).over(wOff), lit(0L)))
+      }
+      .select(col("__pid") +: countCols.indices.map(i => col(s"__off${i + 1}")): _*)
     local
       .join(broadcast(offsets), Seq("__pid"))
       .select(
-        col("__s"),
-        col("__c1"),
-        col("__c2"),
-        (col("__off1") + col("__l1")).as("__cum1"),
-        (col("__off2") + col("__l2")).as("__cum2"),
+        (col("__s") +: countCols.map(col)) ++
+          countCols.indices.map(i => (col(s"__off${i + 1}") + col(s"__l${i + 1}")).as(s"__cum${i + 1}")): _*
       )
   }
+
+  /** Doubled midranks of `valueCol` as a histogram-keyed lookup
+    * `(__s, __c, __mr2)`: a tie group of c values ending at inclusive
+    * cumulative `cum` occupies ranks (cum−c+1)..cum, so its midrank is
+    * cum − (c−1)/2 — doubled to `2·cum − c + 1` to stay integral.
+    * Built on [[tieredCum]], so a continuous (corpus-sized) value
+    * domain never sees an unpartitioned window; callers join the
+    * lookup back to rows by value (a co-partitioned equi-join). */
+  private def midrank2(df: DataFrame, valueCol: Column): DataFrame =
+    tieredCum(
+      df.filter(valueCol.isNotNull).groupBy(valueCol.as("__s")).agg(count(lit(1)).as("__c")),
+      Seq("__c"),
+    ).select(col("__s"), col("__c"), (lit(2L) * col("__cum1") - col("__c") + 1L).as("__mr2"))
+
+  /** Spearman rank correlation between two integral columns — the
+    * monotone-association coefficient computed EXACTLY: tie-averaged
+    * midranks (doubled, so integral) come from the tiered histogram
+    * rank ([[midrank2]]), the moments accumulate in DECIMAL(38,0), and
+    * only the final division/sqrt touches doubles — both engines
+    * replay the identical IEEE sequence over identical exact integers,
+    * so even the DOUBLE output is bit-stable. COMPLETE-CASE semantics
+    * (rows with either value null are dropped BEFORE ranking — ranks
+    * must range over the same row set on both sides). Corpus-scale
+    * posture: two histogram groupBys + two co-partitioned join-backs +
+    * one aggregation; no all-pairs stage (that is [[kendallCounts]]'s
+    * bounded-table province), no corpus-sized window.
+    * Output: 1 row `(n, num, den_x, den_y, rho)` where
+    * num = n·Σrxry − Σrx·Σry over doubled midranks and
+    * rho = num / √(den_x·den_y). */
+  def spearmanStats(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val rows = df
+      .filter(xCol.isNotNull && yCol.isNotNull)
+      .select(xCol.as("__x"), yCol.as("__y"))
+    val rx = midrank2(rows, col("__x")).select(col("__s").as("__x"), col("__mr2").as("__rx2"))
+    val ry = midrank2(rows, col("__y")).select(col("__s").as("__y"), col("__mr2").as("__ry2"))
+    rows
+      .join(rx, Seq("__x"))
+      .join(ry, Seq("__y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__rx2").cast("decimal(38,0)")).as("__sx"),
+        sum(col("__ry2").cast("decimal(38,0)")).as("__sy"),
+        sum(expr("CAST(__rx2 AS DECIMAL(38,0)) * __rx2")).as("__sxx"),
+        sum(expr("CAST(__ry2 AS DECIMAL(38,0)) * __ry2")).as("__syy"),
+        sum(expr("CAST(__rx2 AS DECIMAL(38,0)) * __ry2")).as("__sxy"),
+      )
+      .select(
+        col("n"),
+        // Each MOMENT is cast to double individually (all < 2^53 at
+        // oracle scale, hence exact), and the differences/products run
+        // in IEEE doubles — bit-identical in any IEEE engine. Casting
+        // the DECIMAL differences instead would hit values > 2^53
+        // where DuckDB's two-step hugeint→double conversion can be
+        // 1 ulp off a correctly-rounded single conversion.
+        expr("CAST(n AS DOUBLE) * CAST(__sxy AS DOUBLE) - CAST(__sx AS DOUBLE) * CAST(__sy AS DOUBLE)")
+          .as("num"),
+        expr("CAST(n AS DOUBLE) * CAST(__sxx AS DOUBLE) - CAST(__sx AS DOUBLE) * CAST(__sx AS DOUBLE)")
+          .as("den_x"),
+        expr("CAST(n AS DOUBLE) * CAST(__syy AS DOUBLE) - CAST(__sy AS DOUBLE) * CAST(__sy AS DOUBLE)")
+          .as("den_y"),
+        expr(
+          """(CAST(n AS DOUBLE) * CAST(__sxy AS DOUBLE) - CAST(__sx AS DOUBLE) * CAST(__sy AS DOUBLE)) /
+            |  sqrt((CAST(n AS DOUBLE) * CAST(__sxx AS DOUBLE) - CAST(__sx AS DOUBLE) * CAST(__sx AS DOUBLE)) *
+            |       (CAST(n AS DOUBLE) * CAST(__syy AS DOUBLE) - CAST(__sy AS DOUBLE) * CAST(__sy AS DOUBLE)))""".stripMargin
+        ).as("rho"),
+      )
+  }
+
+  /** Cramér's V strength-of-association summary over a contingency
+    * table — the [0, 1]-normalized companion to [[chi2Homogeneity]]
+    * (χ² says "dependent"; V says HOW dependent, comparably across
+    * table shapes — the feature-selection ranking statistic for
+    * categorical columns). Integer-exact: v2_ppm = χ²_ppm div
+    * (n·min(r−1, c−1)), i.e. V²·10⁶ floored. Runs entirely on the
+    * bounded cells frame [[chi2Homogeneity]] already computes.
+    * Output: 1 row `(n, n_rows, n_cols, chi2_ppm, v2_ppm)`; v2_ppm is
+    * null for a degenerate (single-row or single-column) table. */
+  def cramersV(df: DataFrame, rowCol: String, colCol: String): DataFrame =
+    chi2Homogeneity(df, rowCol, colCol)
+      .agg(
+        sum(col("o")).cast("long").as("n"),
+        countDistinct(col("row_v")).as("n_rows"),
+        countDistinct(col("col_v")).as("n_cols"),
+        max(col("chi2_ppm")).as("chi2_ppm"),
+      )
+      .select(
+        col("n"),
+        col("n_rows"),
+        col("n_cols"),
+        col("chi2_ppm"),
+        when(
+          least(col("n_rows"), col("n_cols")) > 1L,
+          expr("chi2_ppm div (n * least(n_rows - 1, n_cols - 1))"),
+        ).as("v2_ppm"),
+      )
 
   /** Two-sample Kolmogorov–Smirnov statistic between the `sampleIs1`
     * and complement rows of `valueCol` — the standard distribution-

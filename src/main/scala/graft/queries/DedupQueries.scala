@@ -336,6 +336,53 @@ object DedupQueries {
     )
   }
 
+  /** Weighted (multiset) Jaccard over token histograms for the same
+    * MinHash-LSH candidates ([[graft.ops.Dedup.weightedJaccardPairs]]):
+    * the repeat-sensitive near-dup verify — Σmin/Σmax over token
+    * COUNTS, integer-exact, candidate-proportional. τ = 0.30. */
+  private val weightedJaccard = Q(
+    "ddp_weighted_jaccard",
+    s"""$shingCte,
+       |mh AS (
+       |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+       |  FROM shing CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+       |  GROUP BY doc_id, seed),
+       |bands AS (
+       |  SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+       |  FROM mh GROUP BY doc_id, seed // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |tokc AS (
+       |  SELECT doc_id, t, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\w+')) AS t FROM documents)
+       |  GROUP BY 1, 2),
+       |tots AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS s FROM tokc GROUP BY 1),
+       |ms AS (
+       |  SELECT a_id, b_id, CAST(sum(least(ta.c, tb.c)) AS BIGINT) AS m
+       |  FROM cand JOIN tokc ta ON ta.doc_id = a_id
+       |       JOIN tokc tb ON tb.doc_id = b_id AND tb.t = ta.t
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  CAST(coalesce(ms.m, 0) AS BIGINT) AS inter,
+       |  CAST(sa.s + sb.s - coalesce(ms.m, 0) AS BIGINT) AS uni,
+       |  CAST(coalesce(ms.m, 0) * 1000000 // (sa.s + sb.s - coalesce(ms.m, 0)) AS BIGINT) AS wj_ppm
+       |FROM cand LEFT JOIN ms USING (a_id, b_id)
+       |     JOIN tots sa ON sa.doc_id = a_id JOIN tots sb ON sb.doc_id = b_id
+       |WHERE coalesce(ms.m, 0) * 1000000 // (sa.s + sb.s - coalesce(ms.m, 0)) >= 300000""".stripMargin,
+  ) { (s, d) =>
+    Dedup.weightedJaccardPairs(
+      documents(s, d),
+      "doc_id",
+      "text",
+      n = 3,
+      k = 16,
+      rowsPerBand = 4,
+      tauPpm = 300000L,
+    )
+  }
+
   /** LSH banding recall/precision eval — the dedup twin of
     * `sim_ann_recall_eval`: how much of the exact-Jaccard truth set
     * (τ = 0.5, the `ddp_jaccard_pairs` chain) does the 4×4 MinHash
@@ -868,6 +915,84 @@ object DedupQueries {
       embeddings(s, d),
       idCol = "vec_id",
       embCol = "embedding",
+      tau = 0.45,
+      nPlanes = 72,
+      bands = 12,
+    )
+  }
+
+  /** k-NN graph over the embedding corpus
+    * ([[graft.ops.Similarity.knnGraph]]): per node, top-3 exact-cosine
+    * neighbors among the SRP band-collision candidates at τ = 0.45,
+    * with the mutuality flag. The oracle replays the identical index,
+    * symmetrization, rank, and reciprocity join. */
+  private val knnGraphQ = Q(
+    "sim_knn_graph",
+    s"""$embCte,
+       |$srpBandCte,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |ep AS ($cosVerifyTail),
+       |directed AS (
+       |  SELECT a_id AS src, b_id AS dst, cos FROM ep
+       |  UNION ALL SELECT b_id, a_id, cos FROM ep),
+       |ranked AS (
+       |  SELECT src, dst, cos,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       |  FROM directed QUALIFY rnk <= 3)
+       |SELECT r.src, r.dst, r.cos, r.rnk,
+       |  (m.src IS NOT NULL) AS mutual
+       |FROM ranked r LEFT JOIN ranked m ON m.src = r.dst AND m.dst = r.src""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Similarity.knnGraph(
+      embeddings(s, d),
+      idCol = "vec_id",
+      embCol = "embedding",
+      k = 3,
+      tau = 0.45,
+      nPlanes = 72,
+      bands = 12,
+    )
+  }
+
+  /** Mutual-k-NN semantic clusters
+    * ([[graft.ops.Similarity.mutualKnnClusters]]): connected components
+    * of the reciprocated k-NN edges — the hub-robust cluster stage
+    * under SemDeDup. Oracle: the same graph through a recursive
+    * reachability closure. */
+  private val knnClustersQ = Q(
+    "sim_knn_mutual_clusters",
+    s"""${embCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$srpBandCte,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |ep AS ($cosVerifyTail),
+       |directed AS (
+       |  SELECT a_id AS src, b_id AS dst, cos FROM ep
+       |  UNION ALL SELECT b_id, a_id, cos FROM ep),
+       |ranked AS (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       |  FROM directed QUALIFY rnk <= 3),
+       |mut AS (
+       |  SELECT r.src AS a_id, r.dst AS b_id
+       |  FROM ranked r JOIN ranked m ON m.src = r.dst AND m.dst = r.src
+       |  WHERE r.src < r.dst),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM mut UNION SELECT b_id, a_id FROM mut),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+       |SELECT s AS doc_id, least(s, min(d)) AS component
+       |FROM reach GROUP BY s""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Similarity.mutualKnnClusters(
+      embeddings(s, d),
+      idCol = "vec_id",
+      embCol = "embedding",
+      k = 3,
       tau = 0.45,
       nPlanes = 72,
       bands = 12,
@@ -1547,11 +1672,12 @@ object DedupQueries {
       chunkDedupQ,
       jaccardPairs,
       jaccardPairsPrefix,
-      jaccardPairsAuto, minhashLsh,
+      jaccardPairsAuto, minhashLsh, weightedJaccard,
       simhashSigs, simhashPairs, simhash64Pairs, simhash64Md5Pairs, jaccardComponents, dedupKeep,
       dedupKeepBest,
       semdedupBest, embeddingPairs,
-      embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, decontaminate,
+      embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, knnGraphQ, knnClustersQ,
+      decontaminate,
       decontaminateFuzzyQ, lshRecallEval, lshBandingSweep, corpusPrepare,
       corpusPrepareEmb, componentSplitQ, corpusMix, snmPairsQ, entityMatchQ, entityMatchJwQ,
       linkageReportQ)

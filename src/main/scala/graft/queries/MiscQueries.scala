@@ -38,7 +38,7 @@ object MiscQueries {
 
   private val copurchaseConsumers =
     Set("misc_triangle_census", "misc_kcore", "misc_bfs_khop", "misc_sssp_bounded",
-      "misc_clustering_coeff", "misc_link_predict")
+      "misc_clustering_coeff", "misc_link_predict", "misc_diameter_sweep")
 
   /** Same contract as [[DedupQueries.prewarmShared]]: build the shared
     * trade projection (and, when its consumers run, the co-purchase
@@ -596,6 +596,80 @@ object MiscQueries {
       expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
       col("o_orderpriority") === "1-URGENT",
     )
+  }
+
+  /** Spearman rank correlation between order value and order width
+    * (lineitem count) — [[graft.ops.Stats.spearmanStats]]. The price
+    * domain is corpus-sized (continuous cents), so the rank stage runs
+    * the tiered midrank, never a corpus window; the oracle states the
+    * same midranks with one window, fine at oracle scale. The moments
+    * are exact integers; every double is derived from < 2^53 exact
+    * casts with the identical IEEE op sequence on both engines. */
+  private val spearmanQ = Q(
+    "misc_spearman_orders",
+    """WITH r AS (
+      |  SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS x, c.y AS y
+      |  FROM orders o JOIN (SELECT l_orderkey, count(*) AS y FROM lineitem GROUP BY 1) c
+      |    ON c.l_orderkey = o.o_orderkey),
+      |hx AS (SELECT x, count(*) AS c FROM r GROUP BY 1),
+      |mx AS (SELECT x, 2 * sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - c + 1 AS rx2 FROM hx),
+      |hy AS (SELECT y, count(*) AS c FROM r GROUP BY 1),
+      |my AS (SELECT y, 2 * sum(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) - c + 1 AS ry2 FROM hy),
+      |j AS (SELECT rx2, ry2 FROM r JOIN mx USING (x) JOIN my USING (y)),
+      |a AS (SELECT count(*) AS n,
+      |    CAST(sum(CAST(rx2 AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(ry2 AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(rx2 AS HUGEINT) * rx2) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(ry2 AS HUGEINT) * ry2) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(rx2 AS HUGEINT) * ry2) AS HUGEINT) AS sxy
+      |  FROM j)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+      |  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den_x,
+      |  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den_y,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
+      |FROM a""".stripMargin,
+  ) { (s, d) =>
+    val widths = lineitem(s, d).groupBy(col("l_orderkey")).agg(count(lit(1)).as("y"))
+    val joined = orders(s, d).join(widths, col("o_orderkey") === col("l_orderkey"))
+    graft.ops.Stats.spearmanStats(
+      joined,
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+      col("y"),
+    )
+  }
+
+  /** Cramér's V over the order status × priority contingency table
+    * ([[graft.ops.Stats.cramersV]]) — the normalized association
+    * strength on top of the χ² machinery, integer-exact. */
+  private val cramersVQ = Q(
+    "misc_cramers_v",
+    """WITH cells AS (
+      |  SELECT o_orderstatus AS row_v, o_orderpriority AS col_v, count(*) AS o
+      |  FROM orders GROUP BY 1, 2),
+      |m AS (
+      |  SELECT row_v, col_v, o,
+      |    sum(o) OVER (PARTITION BY row_v) AS r,
+      |    sum(o) OVER (PARTITION BY col_v) AS c,
+      |    sum(o) OVER () AS n
+      |  FROM cells),
+      |sc AS (
+      |  SELECT row_v, col_v, o,
+      |    CAST(((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+      |          * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) * 1000000)
+      |      // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS contrib_ppm
+      |  FROM m)
+      |SELECT CAST(sum(o) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT row_v) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT col_v) AS BIGINT) AS n_cols,
+      |  CAST(sum(contrib_ppm) AS BIGINT) AS chi2_ppm,
+      |  CAST(sum(contrib_ppm) // (sum(o) * least(count(DISTINCT row_v) - 1,
+      |                                           count(DISTINCT col_v) - 1)) AS BIGINT) AS v2_ppm
+      |FROM sc""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Stats.cramersV(orders(s, d), "o_orderstatus", "o_orderpriority")
   }
 
   /** Bloom membership filter ([[graft.ops.Bloom]]): built over the
@@ -2079,6 +2153,45 @@ object MiscQueries {
     graft.ops.Graph.bfsHops(edges, sources, maxHops = 3)
   }
 
+  /** Double-sweep diameter lower bound over the co-purchase graph
+    * ([[graft.ops.Graph.diameterSweep]]): BFS from the min-id node,
+    * BFS again from the farthest node found — the second eccentricity
+    * bounds the diameter from below, at two sweeps instead of
+    * all-pairs. Hop budget 4; ties break to the min node id, so the
+    * whole artifact is deterministic and the oracle replays both
+    * sweeps as recursive walks. */
+  private val diameterSweepQ = Q(
+    "misc_diameter_sweep",
+    """WITH RECURSIVE
+      |pc AS (
+      |  SELECT DISTINCT l_partkey AS pk, o_custkey AS ck
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |ok AS (SELECT pk FROM pc GROUP BY pk HAVING count(*) <= 20),
+      |e AS (
+      |  SELECT DISTINCT x.ck AS a, y.ck AS b
+      |  FROM pc x JOIN pc y ON x.pk = y.pk AND x.ck < y.ck
+      |  JOIN ok ON ok.pk = x.pk),
+      |sym AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+      |w1(node, d) AS (
+      |  SELECT (SELECT min(s) FROM sym), 0
+      |  UNION
+      |  SELECT sym.t, w.d + 1 FROM w1 w JOIN sym ON sym.s = w.node WHERE w.d < 4),
+      |d1 AS (SELECT node, min(d) AS d FROM w1 GROUP BY 1),
+      |u AS (SELECT node, d FROM d1 ORDER BY d DESC, node LIMIT 1),
+      |w2(node, d) AS (
+      |  SELECT node, 0 FROM u
+      |  UNION
+      |  SELECT sym.t, w.d + 1 FROM w2 w JOIN sym ON sym.s = w.node WHERE w.d < 4),
+      |d2 AS (SELECT node, min(d) AS d FROM w2 GROUP BY 1),
+      |v AS (SELECT node, d FROM d2 ORDER BY d DESC, node LIMIT 1)
+      |SELECT CAST((SELECT min(s) FROM sym) AS BIGINT) AS seed,
+      |  CAST(u.node AS BIGINT) AS peripheral, CAST(u.d AS BIGINT) AS ecc_seed,
+      |  CAST(v.node AS BIGINT) AS far_node, CAST(v.d AS BIGINT) AS diameter_lb
+      |FROM u, v""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Graph.diameterSweep(coPurchaseEdges(s, d).localCheckpoint(), maxHops = 4)
+  }
+
   /** Bounded-round weighted shortest paths
     * ([[graft.ops.Graph.ssspBounded]] — distributed Bellman-Ford on
     * the (min, +) semiring) over the co-purchase graph with distance
@@ -2300,5 +2413,5 @@ object MiscQueries {
       corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ,
       labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint,
       kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ,
-      samplePps, hitsTrade, ksQ, mannWhitneyQ)
+      samplePps, hitsTrade, ksQ, mannWhitneyQ, spearmanQ, cramersVQ, diameterSweepQ)
 }

@@ -1359,6 +1359,28 @@ object TextQueries {
     graft.ops.Text.trigramBackoffScore(documents(s, d), "doc_id", "text", expr("doc_id % 10 = 0"))
   }
 
+  /** Good–Turing frequency-of-frequencies ([[graft.ops.Text.freqOfFreqs]])
+    * over TRIGRAM counts: N_r for r ≤ 10 plus the GT adjusted-count
+    * ppm — the smoothing table an n-gram LM derives its unseen-mass
+    * estimate from. Trigrams, not word tokens, because that is where
+    * the low-r mass lives (the bounded word vocabulary here has no
+    * type rarer than r = 26 — GT over it is an empty table). */
+  private val freqOfFreqsQ = Q(
+    "txt_freq_of_freqs",
+    """WITH toks AS (SELECT regexp_extract_all(text, '\w+') AS toks FROM documents),
+      |sh AS (SELECT unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS t FROM toks),
+      |cnt AS (SELECT t, count(*) AS r FROM sh GROUP BY 1),
+      |nr AS (SELECT r, count(*) AS n_r FROM cnt WHERE r <= 11 GROUP BY 1)
+      |SELECT a.r, a.n_r,
+      |  CAST((a.r + 1) * b.n_r * 1000000 // (a.r * a.n_r) AS BIGINT) AS gt_rstar_ppm
+      |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+      |WHERE a.r <= 10""".stripMargin,
+  ) { (s, d) =>
+    import graft.ops.Text
+    Text.freqOfFreqs(documents(s, d), Text.shingles(Text.tokens(col("text")), 3), maxR = 10)
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
@@ -1366,5 +1388,5 @@ object TextQueries {
       packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ,
       negSamplingQ, skipGramQ, curriculumOrderQ, repeatCollapseQ, preferencePairsQ,
       featureHashQ, sentenceStatsQ, langIdKappaQ, tokenGiniQ, wordpieceQ, readabilityQ,
-      ngramOverlapQ, trigramBackoffQ)
+      ngramOverlapQ, trigramBackoffQ, freqOfFreqsQ)
 }

@@ -2962,4 +2962,110 @@ class OpsSpec extends AnyFunSuite {
     // doc 4 matches neither query
     assert(!got.values.flatten.toSet.contains(4L))
   }
+
+  test("Stats.spearmanStats: perfect monotone is exactly ±1; nulls are complete-case dropped") {
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    val r1 = Stats.spearmanStats(up, col("x"), col("y")).collect().head
+    assert(r1.getAs[Long]("n") === 3L)
+    assert(r1.getAs[Double]("rho") === 1.0)
+    val down = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    assert(Stats.spearmanStats(down, col("x"), col("y")).collect().head
+      .getAs[Double]("rho") === -1.0)
+    // a null on either side drops the ROW (ranks must range over the
+    // same row set); remaining pairs (1,10),(3,30) still perfectly rank
+    val holey = Seq((Some(1L), Some(10L)), (Some(2L), None), (None, Some(5L)), (Some(3L), Some(30L)))
+      .toDF("x", "y")
+    val r2 = Stats.spearmanStats(holey, col("x"), col("y")).collect().head
+    assert(r2.getAs[Long]("n") === 2L)
+    assert(r2.getAs[Double]("rho") === 1.0)
+  }
+
+  test("Stats.cramersV: hand-computed 2x2 association; degenerate table gives null v2") {
+    // cells (a,x)=3,(a,y)=1,(b,x)=1,(b,y)=3: e=2 everywhere, chi2=2,
+    // phi^2 = 2/8 = 0.25.
+    val rows = Seq.fill(3)(("a", "x")) ++ Seq(("a", "y"), ("b", "x")) ++ Seq.fill(3)(("b", "y"))
+    val r = Stats.cramersV(rows.toDF("r", "c"), "r", "c").collect().head
+    assert(r.getAs[Long]("n") === 8L)
+    assert(r.getAs[Long]("n_rows") === 2L)
+    assert(r.getAs[Long]("n_cols") === 2L)
+    assert(r.getAs[Long]("chi2_ppm") === 2000000L)
+    assert(r.getAs[Long]("v2_ppm") === 250000L)
+    // single-column table: min(r-1, c-1) = 0 -> v2 undefined (null)
+    val degen = Stats.cramersV(Seq(("a", "x"), ("b", "x")).toDF("r", "c"), "r", "c")
+      .collect().head
+    assert(degen.isNullAt(degen.fieldIndex("v2_ppm")))
+  }
+
+  test("Text.freqOfFreqs: count-of-counts with Good-Turing ppm; gap gives null") {
+    // tokens: a:2 b:2 c:2 d:1 -> N_1=1, N_2=3; GT r*=1: (1+1)*N_2/N_1 = 6.
+    val docs = Seq("a a b b c", "c d").toDF("text")
+    val got = Text.freqOfFreqs(docs, Text.tokens(col("text")), maxR = 2)
+      .collect()
+      .map(r => r.getAs[Long]("r") -> (r.getAs[Long]("n_r"), Option(r.get(r.fieldIndex("gt_rstar_ppm")))))
+      .toMap
+    assert(got(1L) === ((1L, Some(6000000L))))
+    assert(got(2L) === ((3L, None))) // N_3 absent -> GT null, not 0
+  }
+
+  test("Graph.diameterSweep: path graph finds the true diameter; hop budget clips it") {
+    // path 1-2-3-4-5: seed=1, ecc(1)=4, peripheral=5, ecc(5)=4 = diameter
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val r = Graph.diameterSweep(edges, maxHops = 10).collect().head
+    assert(r.getAs[Long]("seed") === 1L)
+    assert(r.getAs[Long]("peripheral") === 5L)
+    assert(r.getAs[Long]("ecc_seed") === 4L)
+    assert(r.getAs[Long]("far_node") === 1L)
+    assert(r.getAs[Long]("diameter_lb") === 4L)
+    // hop budget 2: first sweep reaches only node 3 (min-id tiebreak
+    // among dist-2 nodes), second sweep from 3 reaches 1 and 5 at 2
+    val clipped = Graph.diameterSweep(edges, maxHops = 2).collect().head
+    assert(clipped.getAs[Long]("peripheral") === 3L)
+    assert(clipped.getAs[Long]("diameter_lb") === 2L)
+  }
+
+  test("Similarity.knnGraph: rank by cosine with id tie-break; mutuality is reciprocal membership") {
+    // Three near-identical vectors + one orthogonal: the trio ranks
+    // each other, the loner has no candidates above tau.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.01f)),
+      (2L, Array(1.0f, 0.0f, 0.02f)),
+      (3L, Array(1.0f, 0.0f, 0.03f)),
+      (4L, Array(0.0f, 1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val g = Similarity
+      .knnGraph(vecs, "vec_id", "embedding", k = 2, tau = 0.9, nPlanes = 8, bands = 2)
+      .collect()
+    val bySrc = g.groupBy(_.getAs[Long]("src"))
+    assert(!bySrc.contains(4L)) // orthogonal vector: no qualifying edges
+    // every edge among the trio is reciprocated (all 3 are in each
+    // other's top-2 of a 2-candidate list)
+    assert(g.forall(_.getAs[Boolean]("mutual")))
+    assert(bySrc(1L).map(_.getAs[Long]("dst")).toSet === Set(2L, 3L))
+    // ranks are 1..k dense per src
+    bySrc.values.foreach(rows => assert(rows.map(_.getAs[Int]("rnk")).sorted.toSeq === (1 to rows.length)))
+    val clusters = Similarity
+      .mutualKnnClusters(vecs, "vec_id", "embedding", k = 2, tau = 0.9, nPlanes = 8, bands = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component"))
+      .toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // one cluster, min-id canon; loner absent
+  }
+
+  test("Dedup.weightedJaccardPairs: identical multisets score 1.0; non-colliding docs never pair") {
+    val docs = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "alpha alpha beta"),
+      (3L, "completely different terms"),
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .weightedJaccardPairs(docs, "doc_id", "text", n = 3, k = 16, rowsPerBand = 4,
+        tauPpm = 300000L)
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) === ((1L, 2L)))
+    assert(r.getAs[Long]("inter") === 3L)
+    assert(r.getAs[Long]("uni") === 3L)
+    assert(r.getAs[Long]("wj_ppm") === 1000000L)
+  }
 }
