@@ -16,6 +16,7 @@ object Bench {
     "ddp_simhash_pairs"       -> "ddp_simhash64_md5_pairs",
     "ddp_embedding_pairs"     -> "ddp_embedding_pairs_auto",
     "ddp_jaccard_pairs_prefix" -> "ddp_jaccard_pairs_auto",
+    "sim_knn_graph"           -> "sim_knn_graph_auto",
   )
 
   def main(args: Array[String]): Unit = {

@@ -803,10 +803,13 @@ object Dedup {
   ): DataFrame = {
     val cands =
       lshCandidates(lshBands(minhashSignaturesNative(docs, idCol, textCol, n, k), rowsPerBand))
+    // consumed three times (both sides of the min-sum join + totals):
+    // materialize so the explode + count aggregation runs once
     val tok = docs
       .select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val tot = tok.groupBy("doc_id").agg(sum(col("c")).as("s"))
     val minSums = cands
       .join(tok.as("ta"), col("a_id") === col("ta.doc_id"))

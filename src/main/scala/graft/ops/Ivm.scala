@@ -115,4 +115,39 @@ object Ivm {
       values: Seq[String],
   ): DataFrame =
     merge(storedAgg, summarize(delta, keys, values), keys, values)
+
+  /** Incremental TOP-K maintenance under APPEND-ONLY inserts — the
+    * leaderboard refresh: the new global top-k is always contained in
+    * (stored top-k ∪ delta), because any corpus row outside the stored
+    * top-k was already beaten by k rows that are all still present
+    * (monotone pruning — inserts can only push rows OUT of the top-k).
+    * So the refresh ranks a (k + |delta|)-row table: the delta is the
+    * only corpus-proportional scan, the sort is a TakeOrdered over it,
+    * and the final rank window runs on k rows. Deletes/updates break
+    * the containment — route them through [[Cdc]]/[[Scd]] and rebuild.
+    * Ordering is (`valueCol` DESC, `tieCol` ASC) — total, so the
+    * result is deterministic and engine-replayable.
+    *
+    * @return the updated top-k with a dense 1..k `rnk`. */
+  def topKMaintain(
+      storedTopK: DataFrame,
+      delta: DataFrame,
+      k: Int,
+      valueCol: String,
+      tieCol: String,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val merged = storedTopK
+      .drop("rnk")
+      .unionByName(delta)
+      .orderBy(col(valueCol).desc, col(tieCol))
+      .limit(k) // TakeOrdered: per-partition heads, k-row driver merge
+    // rank over ≤ k rows — the unpartitioned window is k-bounded
+    merged.withColumn(
+      "rnk",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(valueCol).desc, col(tieCol))
+      ),
+    )
+  }
 }

@@ -50,6 +50,81 @@ object Layout {
     } yield s"(((CAST($c AS BIGINT) >> $i) & 1) << ${i * k + j})").mkString(" + ")
   }
 
+  /** HILBERT curve key for two columns — the locality-preserving
+    * sibling of [[zorderKey]]: consecutive key values are always
+    * Manhattan-adjacent cells (no Z-order "jumps" across the grid), so
+    * range scans over the key touch tighter min/max envelopes in both
+    * clustered dimensions — measurably fewer files for the same
+    * selectivity on skewed range predicates. Classic iterative xy→d
+    * walk (Hilbert 1891; the standard C formulation from Warren's
+    * Hacker's Delight / Wikipedia): per bit level s = 2^(bits−1)..1,
+    * accumulate the quadrant and rotate/reflect the frame.
+    *
+    * Implemented as ONE codegen'd `aggregate` fold over the bit
+    * levels with the whole (x, y, d) state PACKED into a single long
+    * (x + P·y + P²·d, P = 2^bits) — pure integer div/mod/CASE
+    * arithmetic, no UDF, bit-identical in any engine; [[hilbertSql]]
+    * replays it verbatim. Inputs must be non-negative integers in
+    * [0, 2^bits) (the [[zorderKey]] rank-space contract);
+    * bits ≤ 15 keeps d + state inside a long. */
+  def hilbertKey(xCol: Column, yCol: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 15, s"bits must be in [1, 15], got $bits")
+    val p = 1L << bits
+    val levels = (bits - 1 to 0 by -1).map(i => lit(1L << i))
+    val init = (yCol.cast("long") * p + xCol.cast("long")).cast("long")
+    // The fold keeps `st` a lambda VARIABLE (one node, referenced many
+    // times) — an unrolled column fold would re-inline the whole prior
+    // step per reference and blow the expression tree up ~10^bits.
+    // Unpacks by the CONSTANT P are shifts/masks (exact at any
+    // magnitude); the only divisions by the VARIABLE s happen on
+    // values < 2^15, where double division + truncation is exact.
+    val folded = aggregate(
+      array(levels: _*),
+      init,
+      (st, s) => {
+        val x  = st.bitwiseAND(lit(p - 1))
+        val y  = shiftright(st, bits).bitwiseAND(lit(p - 1))
+        val d  = shiftright(st, 2 * bits)
+        val rx = (x / s).cast("long") % 2
+        val ry = (y / s).cast("long") % 2
+        val quad = when(rx === 0 && ry === 0, 0L)
+          .when(rx === 0 && ry === 1, 1L)
+          .when(rx === 1 && ry === 1, 2L)
+          .otherwise(3L)
+        val d2 = d + s * s * quad
+        val xF = when(ry === 0, when(rx === 1, lit(p - 1) - y).otherwise(y)).otherwise(x)
+        val yF = when(ry === 0, when(rx === 1, lit(p - 1) - x).otherwise(x)).otherwise(y)
+        (d2 * p + yF) * p + xF
+      },
+    )
+    shiftright(folded, 2 * bits) // the x and y residues drop out
+  }
+
+  /** The oracle fragment replaying [[hilbertKey]] in DuckDB SQL
+    * (list_reduce over the bit levels with the same packed-long
+    * state), kept beside the implementation so the two can only
+    * drift visibly. */
+  def hilbertSql(x: String, y: String, bits: Int): String = {
+    val p      = 1L << bits
+    val levels = (bits - 1 to 0 by -1).map(i => 1L << i).mkString(", ")
+    // no LET in lambdas: every subterm is inlined
+    val xT  = s"(st % $p)"
+    val yT  = s"((st // $p) % $p)"
+    val dT  = s"(st // ${p * p})"
+    val rxT = s"(($xT // s) % 2)"
+    val ryT = s"(($yT // s) % 2)"
+    val quad =
+      s"(CASE WHEN $rxT = 0 AND $ryT = 0 THEN 0 WHEN $rxT = 0 THEN 1 WHEN $ryT = 1 THEN 2 ELSE 3 END)"
+    val d2 = s"($dT + s * s * $quad)"
+    val xF =
+      s"(CASE WHEN $ryT = 0 THEN (CASE WHEN $rxT = 1 THEN ${p - 1} - $yT ELSE $yT END) ELSE $xT END)"
+    val yF =
+      s"(CASE WHEN $ryT = 0 THEN (CASE WHEN $rxT = 1 THEN ${p - 1} - $xT ELSE $xT END) ELSE $yT END)"
+    s"""(list_reduce(
+       |  list_prepend(CAST($y AS BIGINT) * $p + CAST($x AS BIGINT), [${levels}]),
+       |  (st, s) -> (($d2 * $p + $yF) * $p + $xF)) // ${p * p})""".stripMargin
+  }
+
   /** Range-partition by the Morton key and sort within partitions —
     * one shuffle; each output file covers a compact curve segment, so
     * its min/max envelope is tight in EVERY clustered dimension (the

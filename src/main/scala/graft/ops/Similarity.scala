@@ -736,6 +736,38 @@ object Similarity {
     Dedup.clusterPairs(mutualEdges)
   }
 
+  /** [[knnGraph]] with the banding chosen by the corpus-count probe
+    * ([[chooseBanding]]) — the production path: the fixed 72/12 config
+    * has the documented quadratic random-collision floor past a few
+    * thousand vectors (measured 38× at the 10× corpus), while the
+    * ladder keeps the floor ∝ N. Identical results at gate scale (the
+    * first rung IS 72/12; the verify is exact on every rung). */
+  def knnGraphAuto(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      tau: Double,
+      probes: Int = 0,
+  ): DataFrame = {
+    val (nPlanes, bands) = chooseBanding(df.count())
+    knnGraph(df, idCol, embCol, k, tau, nPlanes, bands, dim = 0, probes = probes)
+  }
+
+  /** [[mutualKnnClusters]] on the auto-banded ladder — see
+    * [[knnGraphAuto]]. */
+  def mutualKnnClustersAuto(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      tau: Double,
+      probes: Int = 0,
+  ): DataFrame = {
+    val (nPlanes, bands) = chooseBanding(df.count())
+    mutualKnnClusters(df, idCol, embCol, k, tau, nPlanes, bands, dim = 0, probes = probes)
+  }
+
   /** Banding ladder for [[embeddingDupPairsAuto]]: (nPlanes, bands)
     * sized to the corpus. The candidate join has a RANDOM-collision
     * floor of ≈ bands × N² / 2^r pairs (r = bits per band): with the

@@ -847,6 +847,156 @@ object Stats {
       )
   }
 
+  /** Equi-depth bucket LOOKUP for a (possibly corpus-sized) value
+    * domain: `(__s, __bucket)` with bucket(v) = ⌊#strictly-less · k / n⌋
+    * — the [[equiDepthHistogram]] rank rule (ties share a bucket, the
+    * floor never exceeds k−1) computed on the TIERED cumulative
+    * ([[tieredCum]]), so a continuous domain never sees an
+    * unpartitioned window. Callers join the lookup back by value. */
+  private def bucketLookup(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"bucket count must be >= 1, got $k")
+    val cum = tieredCum(
+      df.filter(valueCol.isNotNull).groupBy(valueCol.as("__s")).agg(count(lit(1)).as("__c")),
+      Seq("__c"),
+    )
+    val total = cum.agg(max(col("__cum1")).as("__n"))
+    cum
+      .crossJoin(broadcast(total))
+      .select(
+        col("__s"),
+        expr(s"(__cum1 - __c) * ${k}L div __n").as("__bucket"),
+      )
+  }
+
+  /** RFM SEGMENTATION (Recency / Frequency / Monetary quintile scores)
+    * — the classic customer-value stratification, computed exactly at
+    * corpus scale: one groupBy builds the per-entity (r, f, m) raw
+    * triple, then each dimension is scored 1..k by equi-depth rank
+    * over its own value histogram ([[bucketLookup]] — tiered, so the
+    * continuous monetary domain is safe), and the three scores
+    * concatenate into the familiar `rfm` cell (r·100 + f·10 + m for
+    * k ≤ 9). Ties share a score (rank-of-value, not row shuffling), so
+    * the segmentation is deterministic and engine-replayable. Higher
+    * is better on every axis: recency scores the LATEST-activity
+    * entities high, frequency/monetary score volume high.
+    * Output: `(entity, r_raw, f_raw, m_raw, r_score, f_score,
+    * m_score, rfm)`. */
+  def rfmScores(
+      df: DataFrame,
+      entityCol: Column,
+      epochDayCol: Column,
+      valueCol: Column,
+      k: Int = 5,
+  ): DataFrame = {
+    require(1 <= k && k <= 9, s"k must be in [1, 9] for the concatenated cell, got $k")
+    val base = df
+      .groupBy(entityCol.as("entity"))
+      .agg(
+        max(epochDayCol).as("r_raw"),
+        count(lit(1)).as("f_raw"),
+        sum(valueCol.cast("decimal(38,0)")).cast("long").as("m_raw"),
+      )
+      .localCheckpoint() // feeds three bucket lookups + the join spine
+    def scored(raw: String, score: String) =
+      bucketLookup(base, col(raw), k)
+        .select(col("__s").as(raw), (col("__bucket") + 1L).as(score))
+    base
+      .join(scored("r_raw", "r_score"), Seq("r_raw"))
+      .join(scored("f_raw", "f_score"), Seq("f_raw"))
+      .join(scored("m_raw", "m_score"), Seq("m_raw"))
+      .select(
+        col("entity"),
+        col("r_raw"),
+        col("f_raw"),
+        col("m_raw"),
+        col("r_score"),
+        col("f_score"),
+        col("m_score"),
+        (col("r_score") * 100L + col("f_score") * 10L + col("m_score")).as("rfm"),
+      )
+  }
+
+  /** Poisson(1) inverse-CDF thresholds scaled to 2^24 — the weight of
+    * a row in one bootstrap resample is the smallest k whose CDF
+    * exceeds the row's 24-bit md5 uniform. Shared verbatim by the
+    * Spark side and the SQL oracle fragment so they can only drift
+    * visibly. Beyond the table the weight caps at 8 (P ≈ 1e-5). */
+  private val poissonCdf24: Seq[Long] =
+    Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L, 16767247L, 16775819L, 16777044L)
+
+  private def poissonWeight(h: Column): Column =
+    poissonCdf24.zipWithIndex.foldRight(lit(poissonCdf24.size.toLong)) { case ((t, k), e) =>
+      when(h < t, k.toLong).otherwise(e)
+    }
+
+  /** The oracle fragment replaying [[poissonWeight]] (kept beside it,
+    * the [[Layout.zorderSql]] convention). `h` is a 24-bit uniform. */
+  def poissonWeightSql(h: String): String =
+    poissonCdf24.zipWithIndex
+      .map { case (t, k) => s"WHEN $h < $t THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${poissonCdf24.size} END")
+
+  /** POISSON BOOTSTRAP confidence interval for the mean of an integral
+    * column — the bootstrap that actually runs at 100 TB: instead of
+    * materializing B rank-indexed resamples (each needing a global
+    * row-rank lookup), every row independently enters resample b with
+    * weight ~ Poisson(1) (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012). One map-only pass amplifies
+    * each row B times (b = 0..B−1), the weight is a deterministic
+    * md5-derived inverse-CDF draw keyed on (row id, b) — so any engine
+    * replays the exact resamples — and each resample reduces to one
+    * combinable aggregation. The CI is nearest-rank quantiles over the
+    * B-row mean table (bounded: |B| rows, the [[cumOf]] contract).
+    * All arithmetic integral: means are floored ppm quotients.
+    * Output: 1 row `(n, b_count, mean_ppm, ci_lo_ppm, ci_hi_ppm)`;
+    * a resample whose total weight is 0 yields a null mean and is
+    * excluded from the quantile table (b_count counts the rest). */
+  def bootstrapMeanCi(
+      df: DataFrame,
+      idCol: Column,
+      valueCol: Column,
+      b: Int,
+      ppmLo: Long,
+      ppmHi: Long,
+  ): DataFrame = {
+    require(b >= 1, s"need at least one resample, got $b")
+    require(0L <= ppmLo && ppmLo <= ppmHi && ppmHi <= 1000000L, s"bad ppm range $ppmLo..$ppmHi")
+    val rows = df.filter(valueCol.isNotNull).select(idCol.as("__id"), valueCol.as("__v"))
+    val h = conv(
+      substring(
+        md5(concat(col("__id").cast("string"), lit(":"), col("__b").cast("string"))),
+        1,
+        6,
+      ),
+      16,
+      10,
+    ).cast("long")
+    val means = rows
+      .select(col("__id"), col("__v"), explode(sequence(lit(0), lit(b - 1))).as("__b"))
+      .withColumn("__w", poissonWeight(h))
+      .groupBy("__b")
+      .agg(
+        expr("sum(CAST(__w AS DECIMAL(38,0)) * __v)").as("__wv"),
+        sum(col("__w")).as("__wsum"),
+      )
+      .select(expr("CAST(__wv * 1000000 div nullif(__wsum, 0) AS BIGINT)").as("__s"))
+      .filter(col("__s").isNotNull)
+    val ci = cumOf(means.groupBy(col("__s")).agg(count(lit(1)).as("__c")))
+      .agg(
+        max(col("__n")).as("b_count"),
+        rankSelect(ppmLo, "ci_lo_ppm"),
+        rankSelect(ppmHi, "ci_hi_ppm"),
+      )
+    rows
+      .agg(
+        count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(__v AS DECIMAL(38,0))) * 1000000 div count(1) AS BIGINT)")
+          .as("mean_ppm"),
+      )
+      .crossJoin(broadcast(ci))
+      .select(col("n"), col("b_count"), col("mean_ppm"), col("ci_lo_ppm"), col("ci_hi_ppm"))
+  }
+
   def winsorize(df: DataFrame, valueCol: String, ppmLo: Long, ppmHi: Long): DataFrame = {
     val th = quantileThresholds(df, valueCol, ppmLo, ppmHi)
     // least/greatest SKIP nulls (in Spark and DuckDB alike), so without

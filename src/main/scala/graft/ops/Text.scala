@@ -1378,10 +1378,14 @@ object Text {
       .select(explode(termsCol).as("tok"))
       .groupBy("tok")
       .agg(count(lit(1)).as("r"))
+    // ≤ maxR+1 rows, consumed twice (base + shifted self-join):
+    // checkpoint so the corpus-sized term aggregation runs ONCE, not
+    // once per consumer.
     val nr = counts
       .filter(col("r") <= maxR + 1)
       .groupBy("r")
       .agg(count(lit(1)).as("n_r"))
+      .localCheckpoint()
     val next = nr.select((col("r") - 1).as("r"), col("n_r").as("__n_next"))
     nr.filter(col("r") <= maxR)
       .join(broadcast(next), Seq("r"), "left")

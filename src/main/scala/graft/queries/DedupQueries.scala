@@ -956,6 +956,39 @@ object DedupQueries {
     )
   }
 
+  /** [[knnGraphQ]] through the auto-banded ladder
+    * ([[graft.ops.Similarity.knnGraphAuto]]) — the production twin of
+    * the fixed-config demo row (identical at gate scale: the probe
+    * picks the 72/12 rung for ≤ 4000 vectors, which is what the shared
+    * oracle replays). */
+  private val knnGraphAutoQ = Q(
+    "sim_knn_graph_auto",
+    s"""$embCte,
+       |$srpBandCte,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |ep AS ($cosVerifyTail),
+       |directed AS (
+       |  SELECT a_id AS src, b_id AS dst, cos FROM ep
+       |  UNION ALL SELECT b_id, a_id, cos FROM ep),
+       |ranked AS (
+       |  SELECT src, dst, cos,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       |  FROM directed QUALIFY rnk <= 3)
+       |SELECT r.src, r.dst, r.cos, r.rnk,
+       |  (m.src IS NOT NULL) AS mutual
+       |FROM ranked r LEFT JOIN ranked m ON m.src = r.dst AND m.dst = r.src""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Similarity.knnGraphAuto(
+      embeddings(s, d),
+      idCol = "vec_id",
+      embCol = "embedding",
+      k = 3,
+      tau = 0.45,
+    )
+  }
+
   /** Mutual-k-NN semantic clusters
     * ([[graft.ops.Similarity.mutualKnnClusters]]): connected components
     * of the reciprocated k-NN edges — the hub-robust cluster stage
@@ -988,14 +1021,15 @@ object DedupQueries {
        |SELECT s AS doc_id, least(s, min(d)) AS component
        |FROM reach GROUP BY s""".stripMargin,
   ) { (s, d) =>
-    graft.ops.Similarity.mutualKnnClusters(
+    // auto-banded: identical at gate scale (72/12 is the ≤4000-vector
+    // rung the oracle replays); the production collision floor stays
+    // ∝ N — this row needs no fixed-config demo twin.
+    graft.ops.Similarity.mutualKnnClustersAuto(
       embeddings(s, d),
       idCol = "vec_id",
       embCol = "embedding",
       k = 3,
       tau = 0.45,
-      nPlanes = 72,
-      bands = 12,
     )
   }
 
@@ -1676,7 +1710,8 @@ object DedupQueries {
       simhashSigs, simhashPairs, simhash64Pairs, simhash64Md5Pairs, jaccardComponents, dedupKeep,
       dedupKeepBest,
       semdedupBest, embeddingPairs,
-      embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, knnGraphQ, knnClustersQ,
+      embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, knnGraphQ, knnGraphAutoQ,
+      knnClustersQ,
       decontaminate,
       decontaminateFuzzyQ, lshRecallEval, lshBandingSweep, corpusPrepare,
       corpusPrepareEmb, componentSplitQ, corpusMix, snmPairsQ, entityMatchQ, entityMatchJwQ,

@@ -672,6 +672,43 @@ object MiscQueries {
     graft.ops.Stats.cramersV(orders(s, d), "o_orderstatus", "o_orderpriority")
   }
 
+  /** RFM quintile segmentation over customers
+    * ([[graft.ops.Stats.rfmScores]]): recency (latest order day),
+    * frequency (order count), monetary (lifetime cents), each scored
+    * 1..5 by equi-depth rank over its own value histogram — the
+    * monetary domain is corpus-sized, so the Spark side ranks on the
+    * tiered cumulative; the oracle states the same rank with windows,
+    * fine at oracle scale. */
+  private val rfmScoresQ = Q(
+    "misc_rfm_scores",
+    """WITH base AS (
+      |  SELECT o_custkey AS entity,
+      |    CAST(max(date_diff('day', DATE '1970-01-01', o_orderdate)) AS BIGINT) AS r_raw,
+      |    count(*) AS f_raw,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_raw
+      |  FROM orders GROUP BY 1),
+      |s AS (
+      |  SELECT entity, r_raw, f_raw, m_raw,
+      |    ((rank() OVER (ORDER BY r_raw) - 1) * 5) // (count(*) OVER ()) + 1 AS r_score,
+      |    ((rank() OVER (ORDER BY f_raw) - 1) * 5) // (count(*) OVER ()) + 1 AS f_score,
+      |    ((rank() OVER (ORDER BY m_raw) - 1) * 5) // (count(*) OVER ()) + 1 AS m_score
+      |  FROM base)
+      |SELECT entity, r_raw, f_raw, m_raw,
+      |  CAST(r_score AS BIGINT) AS r_score,
+      |  CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+      |FROM s""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Stats.rfmScores(
+      orders(s, d),
+      col("o_custkey"),
+      datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+      k = 5,
+    )
+  }
+
   /** Bloom membership filter ([[graft.ops.Bloom]]): built over the
     * custkeys that have orders, probed with EVERY customer. md5 bit
     * positions make the filter engine-replayable, so the oracle checks
@@ -807,6 +844,74 @@ object MiscQueries {
       graft.ops.Layout
         .zorderKey(Seq(col("p_size"), col("p_partkey") % 1024), 10)
         .as("zkey"),
+    )
+  }
+
+  /** Hilbert curve key over the same rank space as [[zorderKeyQ]]
+    * ([[graft.ops.Layout.hilbertKey]]) — the locality-preserving
+    * layout key (consecutive keys are Manhattan-adjacent cells, no
+    * Z-jumps). The oracle replays the packed-state fold verbatim via
+    * [[graft.ops.Layout.hilbertSql]]. */
+  private val hilbertKeyQ = Q(
+    "misc_hilbert_key",
+    s"""SELECT p_partkey,
+       |  ${graft.ops.Layout.hilbertSql("p_size", "p_partkey % 1024", 10)} AS hkey
+       |FROM part""".stripMargin,
+  ) { (s, d) =>
+    part(s, d).select(
+      col("p_partkey"),
+      graft.ops.Layout
+        .hilbertKey(col("p_size"), col("p_partkey") % 1024, 10)
+        .as("hkey"),
+    )
+  }
+
+  /** Poisson-bootstrap 95% CI for the mean order value
+    * ([[graft.ops.Stats.bootstrapMeanCi]]): 200 deterministic
+    * md5-seeded Poisson(1) resamples, each one combinable aggregation;
+    * nearest-rank quantiles over the 200 resample means. The method
+    * that replaces rank-indexed resampling at corpus scale. */
+  private val bootstrapCiQ = Q(
+    "misc_bootstrap_ci",
+    s"""WITH r AS (
+       |  SELECT o_orderkey AS id, CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+       |d AS (
+       |  SELECT id, v, b,
+       |    CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || b), 1, 6)) AS BIGINT) AS h
+       |  FROM r CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS b) bs),
+       |w AS (SELECT b, v, ${graft.ops.Stats.poissonWeightSql("h")} AS w FROM d),
+       |m AS (
+       |  SELECT b,
+       |    CAST(sum(CAST(w AS HUGEINT) * v) * 1000000 // nullif(sum(w), 0) AS BIGINT) AS s
+       |  FROM w GROUP BY b),
+       |mm AS (SELECT s FROM m WHERE s IS NOT NULL),
+       |c AS (
+       |  SELECT s, count(*) AS cnt FROM mm GROUP BY s),
+       |cc AS (
+       |  SELECT s,
+       |    sum(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(cnt) OVER () AS bn
+       |  FROM c),
+       |ci AS (
+       |  SELECT CAST(max(bn) AS BIGINT) AS b_count,
+       |    min(CASE WHEN cum >= greatest(1, (bn * 25000 + 999999) // 1000000) THEN s END) AS ci_lo_ppm,
+       |    min(CASE WHEN cum >= greatest(1, (bn * 975000 + 999999) // 1000000) THEN s END) AS ci_hi_ppm
+       |  FROM cc),
+       |pt AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(CAST(v AS HUGEINT)) * 1000000 // count(*) AS BIGINT) AS mean_ppm
+       |  FROM r)
+       |SELECT CAST(n AS BIGINT) AS n, b_count, mean_ppm,
+       |  CAST(ci_lo_ppm AS BIGINT) AS ci_lo_ppm, CAST(ci_hi_ppm AS BIGINT) AS ci_hi_ppm
+       |FROM pt, ci""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Stats.bootstrapMeanCi(
+      orders(s, d),
+      col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+      b = 200,
+      ppmLo = 25000L,
+      ppmHi = 975000L,
     )
   }
 
@@ -2413,5 +2518,6 @@ object MiscQueries {
       corrPairwiseQ, driftBySegmentQ, quantileNormalizeByQ, madOutliersQ, kmvOverlapQ, kcoreQ,
       labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint,
       kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ,
-      samplePps, hitsTrade, ksQ, mannWhitneyQ, spearmanQ, cramersVQ, diameterSweepQ)
+      samplePps, hitsTrade, ksQ, mannWhitneyQ, spearmanQ, cramersVQ, diameterSweepQ,
+      hilbertKeyQ, bootstrapCiQ, rfmScoresQ)
 }

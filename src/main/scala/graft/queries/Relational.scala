@@ -430,6 +430,39 @@ object Relational {
       .limit(10)
   }
 
+  /** Incremental TOP-K maintenance ([[graft.ops.Ivm.topKMaintain]]):
+    * the stored pre-1997 top-10 leaderboard refreshed with the newer
+    * orders as an append-only delta — the delta is the only
+    * corpus-proportional scan (monotone pruning: the new top-k ⊆
+    * stored top-k ∪ delta). The oracle is the FULL recompute over all
+    * orders; the containment identity is the thing under test. */
+  private val topkIncrementalMaintain = Q(
+    "rel_topk_incremental_maintain",
+    """SELECT o_orderkey, o_totalprice,
+      |  CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+  ) { (s, d) =>
+    val o      = orders(s, d).select("o_orderkey", "o_totalprice", "o_orderdate")
+    val split  = "1997-01-01"
+    val stored = graft.ops.Ivm.topKMaintain(
+      o.filter(col("o_orderdate") < split).drop("o_orderdate").limit(0), // empty bootstrap
+      o.filter(col("o_orderdate") < split).drop("o_orderdate"),
+      k = 10,
+      valueCol = "o_totalprice",
+      tieCol = "o_orderkey",
+    )
+    graft.ops.Ivm
+      .topKMaintain(
+        stored,
+        o.filter(col("o_orderdate") >= split).drop("o_orderdate"),
+        k = 10,
+        valueCol = "o_totalprice",
+        tieCol = "o_orderkey",
+      )
+      .select(col("o_orderkey"), col("o_totalprice"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Explicit small-dimension cross join (the one place a cartesian
     * product is legitimate: tiny × tiny enumeration). */
   private val crossJoinRegions = Q(
@@ -880,6 +913,7 @@ object Relational {
     orderCountHistogram,
     aggIncrementalMaintain,
     joinIncrementalMaintain,
+    topkIncrementalMaintain,
     scd2Customer,
     scd2HardDelete,
     scd2AsofJoin,

@@ -3007,6 +3007,77 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L) === ((3L, None))) // N_3 absent -> GT null, not 0
   }
 
+  test("Ivm.topKMaintain: refresh equals full recompute; delta-only rows can enter and evict") {
+    val stored = Seq((1L, 100L, 1), (2L, 90L, 2), (3L, 80L, 3)).toDF("id", "v", "rnk")
+    val delta  = Seq((4L, 95L), (5L, 10L)).toDF("id", "v")
+    val got = Ivm
+      .topKMaintain(stored, delta, k = 3, valueCol = "v", tieCol = "id")
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("v"), r.getAs[Int]("rnk")))
+      .sortBy(_._3)
+    // 4 (95) enters at rank 2, 3 (80) is evicted, 5 (10) never ranks
+    assert(got.toSeq === Seq((1L, 100L, 1), (4L, 95L, 2), (2L, 90L, 3)))
+    // tie on value breaks by id ascending
+    val tied = Ivm
+      .topKMaintain(stored, Seq((0L, 90L)).toDF("id", "v"), k = 3, "v", "id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("rnk"))).sortBy(_._2)
+    assert(tied.toSeq === Seq((1L, 1), (0L, 2), (2L, 3)))
+  }
+
+  test("Stats.rfmScores: equal-mass quintiles with ties sharing a score; rfm cell concatenates") {
+    // 10 entities, one event each on day = entity, value = entity cents
+    val df = (1L to 10L).map(i => (i, i, i)).toDF("e", "day", "v")
+    val got = Stats
+      .rfmScores(df, col("e"), col("day"), col("v"), k = 5)
+      .collect()
+      .map(r => r.getAs[Long]("entity") -> (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"), r.getAs[Long]("m_score"), r.getAs[Long]("rfm")))
+      .toMap
+    // r and m: 10 distinct values -> 2 per quintile; f: all tied at 1 ->
+    // every entity shares f_score 1 (strictly-less = 0)
+    assert(got(1L) === ((1L, 1L, 1L, 111L)))
+    assert(got(2L) === ((1L, 1L, 1L, 111L)))
+    assert(got(3L) === ((2L, 1L, 2L, 212L)))
+    assert(got(10L) === ((5L, 1L, 5L, 515L)))
+  }
+
+  test("Layout.hilbertKey: first-order curve, known cell, and Manhattan-adjacency of consecutive keys") {
+    import graft.ops.Layout
+    // order-1 curve: (0,0)->0 (0,1)->1 (1,1)->2 (1,0)->3
+    val b1 = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
+      .select(col("x"), col("y"), Layout.hilbertKey(col("x"), col("y"), 1).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("h")).toMap
+    assert(b1 === Map((0L, 0L) -> 0L, (0L, 1L) -> 1L, (1L, 1L) -> 2L, (1L, 0L) -> 3L))
+    // order-2: every pair of consecutive keys is Manhattan-adjacent —
+    // the locality property Z-order lacks — and the walk is a bijection
+    val cells = for { x <- 0L until 4L; y <- 0L until 4L } yield (x, y)
+    val keyed = cells.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.hilbertKey(col("x"), col("y"), 2).as("h"))
+      .collect().map(r => r.getAs[Long]("h") -> (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(keyed.map(_._1).toSeq === (0L until 16L))
+    keyed.sliding(2).foreach { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      assert((x1 - x2).abs + (y1 - y2).abs === 1L)
+    }
+  }
+
+  test("Stats.bootstrapMeanCi: CI brackets the point mean; weights replay deterministically") {
+    val df = (1L to 400L).map(i => (i, 100L + (i % 7))).toDF("id", "v")
+    val r = Stats
+      .bootstrapMeanCi(df, col("id"), col("v"), b = 50, ppmLo = 25000L, ppmHi = 975000L)
+      .collect().head
+    assert(r.getAs[Long]("n") === 400L)
+    assert(r.getAs[Long]("b_count") === 50L)
+    val (lo, hi, pt) =
+      (r.getAs[Long]("ci_lo_ppm"), r.getAs[Long]("ci_hi_ppm"), r.getAs[Long]("mean_ppm"))
+    assert(lo <= pt && pt <= hi, s"CI [$lo, $hi] must bracket the point mean $pt")
+    assert(lo > 100000000L && hi < 107000000L) // means live in [100, 107] ppm-scaled
+    // identical inputs -> identical resamples (md5-seeded, no RNG)
+    val r2 = Stats
+      .bootstrapMeanCi(df, col("id"), col("v"), b = 50, ppmLo = 25000L, ppmHi = 975000L)
+      .collect().head
+    assert(r2 === r)
+  }
+
   test("Graph.diameterSweep: path graph finds the true diameter; hop budget clips it") {
     // path 1-2-3-4-5: seed=1, ecc(1)=4, peripheral=5, ecc(5)=4 = diameter
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
