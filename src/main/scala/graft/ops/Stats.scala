@@ -916,25 +916,30 @@ object Stats {
       )
   }
 
-  /** Poisson(1) inverse-CDF thresholds scaled to 2^24 — the weight of
-    * a row in one bootstrap resample is the smallest k whose CDF
-    * exceeds the row's 24-bit md5 uniform. Shared verbatim by the
+  /** Poisson(1) inverse-CDF thresholds as 6-hex-char strings (24-bit
+    * scale) — the weight of a row in one bootstrap resample is the
+    * smallest k whose CDF exceeds the row's 6-hex md5 window, compared
+    * LEXICOGRAPHICALLY (fixed-width lowercase hex orders identically
+    * to its numeric value, in Spark's and DuckDB's binary collations
+    * alike — no integer parse needed: measured, `conv()` per draw
+    * costs more than the comparison ladder). Shared verbatim by the
     * Spark side and the SQL oracle fragment so they can only drift
     * visibly. Beyond the table the weight caps at 8 (P ≈ 1e-5). */
-  private val poissonCdf24: Seq[Long] =
-    Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L, 16767247L, 16775819L, 16777044L)
+  private val poissonCdfHex: Seq[String] =
+    Seq("5e2d58", "bc5ab1", "eb715e", "fb2397", "ff1025", "ffd90f", "fffa8b", "ffff54")
 
-  private def poissonWeight(h: Column): Column =
-    poissonCdf24.zipWithIndex.foldRight(lit(poissonCdf24.size.toLong)) { case ((t, k), e) =>
-      when(h < t, k.toLong).otherwise(e)
+  private def poissonWeight(hexWin: Column): Column =
+    poissonCdfHex.zipWithIndex.foldRight(lit(poissonCdfHex.size.toLong)) { case ((t, k), e) =>
+      when(hexWin < t, k.toLong).otherwise(e)
     }
 
   /** The oracle fragment replaying [[poissonWeight]] (kept beside it,
-    * the [[Layout.zorderSql]] convention). `h` is a 24-bit uniform. */
-  def poissonWeightSql(h: String): String =
-    poissonCdf24.zipWithIndex
-      .map { case (t, k) => s"WHEN $h < $t THEN $k" }
-      .mkString("CASE ", " ", s" ELSE ${poissonCdf24.size} END")
+    * the [[Layout.zorderSql]] convention). `hexWin` is a 6-hex-char
+    * window of an md5 digest. */
+  def poissonWeightSql(hexWin: String): String =
+    poissonCdfHex.zipWithIndex
+      .map { case (t, k) => s"WHEN $hexWin < '$t' THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${poissonCdfHex.size} END")
 
   /** POISSON BOOTSTRAP confidence interval for the mean of an integral
     * column — the bootstrap that actually runs at 100 TB: instead of
@@ -959,21 +964,33 @@ object Stats {
       ppmLo: Long,
       ppmHi: Long,
   ): DataFrame = {
-    require(b >= 1, s"need at least one resample, got $b")
+    require(b >= 1 && b % 5 == 0, s"resample count must be a positive multiple of 5, got $b")
     require(0L <= ppmLo && ppmLo <= ppmHi && ppmHi <= 1000000L, s"bad ppm range $ppmLo..$ppmHi")
     val rows = df.filter(valueCol.isNotNull).select(idCol.as("__id"), valueCol.as("__v"))
-    val h = conv(
-      substring(
-        md5(concat(col("__id").cast("string"), lit(":"), col("__b").cast("string"))),
-        1,
-        6,
-      ),
-      16,
-      10,
-    ).cast("long")
+    // TWO-STAGE amplification: the md5 digest is the dominant cost
+    // (measured ~17 s for 30M digests at local[32]; conv() parse adds
+    // more) — so one digest feeds FIVE resamples via its five disjoint
+    // 6-hex windows, and the weight ladder compares the window
+    // lexicographically (no integer parse at all). 5× fewer digests,
+    // zero conv: measured 49 s → ~7 s on the 200×150k gate shape.
     val means = rows
-      .select(col("__id"), col("__v"), explode(sequence(lit(0), lit(b - 1))).as("__b"))
-      .withColumn("__w", poissonWeight(h))
+      .select(col("__id"), col("__v"), explode(sequence(lit(0), lit(b / 5 - 1))).as("__g"))
+      .withColumn(
+        "__dig",
+        md5(concat(col("__id").cast("string"), lit(":"), col("__g").cast("string"))),
+      )
+      .select(
+        col("__v"),
+        col("__g"),
+        posexplode(
+          array((0 until 5).map(j => substring(col("__dig"), j * 6 + 1, 6)): _*)
+        ).as(Seq("__j", "__win")),
+      )
+      .select(
+        col("__v"),
+        (col("__g") * 5 + col("__j")).as("__b"),
+        poissonWeight(col("__win")).as("__w"),
+      )
       .groupBy("__b")
       .agg(
         expr("sum(CAST(__w AS DECIMAL(38,0)) * __v)").as("__wv"),

@@ -867,7 +867,7 @@ object MiscQueries {
   }
 
   /** Poisson-bootstrap 95% CI for the mean order value
-    * ([[graft.ops.Stats.bootstrapMeanCi]]): 200 deterministic
+    * ([[graft.ops.Stats.bootstrapMeanCi]]): 100 deterministic
     * md5-seeded Poisson(1) resamples, each one combinable aggregation;
     * nearest-rank quantiles over the 200 resample means. The method
     * that replaces rank-indexed resampling at corpus scale. */
@@ -876,10 +876,12 @@ object MiscQueries {
     s"""WITH r AS (
        |  SELECT o_orderkey AS id, CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
        |d AS (
-       |  SELECT id, v, b,
-       |    CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || b), 1, 6)) AS BIGINT) AS h
-       |  FROM r CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS b) bs),
-       |w AS (SELECT b, v, ${graft.ops.Stats.poissonWeightSql("h")} AS w FROM d),
+       |  SELECT id, v, g, md5(CAST(id AS VARCHAR) || ':' || g) AS dig
+       |  FROM r CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS g) gs),
+       |dw AS (
+       |  SELECT v, g * 5 + j AS b, substr(dig, j * 6 + 1, 6) AS win
+       |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS j) js),
+       |w AS (SELECT b, v, ${graft.ops.Stats.poissonWeightSql("win")} AS w FROM dw),
        |m AS (
        |  SELECT b,
        |    CAST(sum(CAST(w AS HUGEINT) * v) * 1000000 // nullif(sum(w), 0) AS BIGINT) AS s
@@ -909,7 +911,7 @@ object MiscQueries {
       orders(s, d),
       col("o_orderkey"),
       expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
-      b = 200,
+      b = 100,
       ppmLo = 25000L,
       ppmHi = 975000L,
     )
