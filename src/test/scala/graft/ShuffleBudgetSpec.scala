@@ -65,6 +65,19 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "ddp_snm_pairs"               -> 16995L,
     "sim_ann_ivf_refresh"         -> 451752L,
     "sim_ann_ivf_refresh_drift"   -> 314971L,
+    // r13 additions: the new heavy gates (ShuffleProbe, sf0.001) —
+    // the kNN ladder pair, the candidate×token weighted verify, the
+    // trigram type table, and the tiered-rank stats trio; bootstrap's
+    // tiny bill pins that the 30M-draw amplification stays MAP-ONLY
+    // (weights never shuffle — only the 200 per-resample partials do)
+    "ddp_weighted_jaccard"        -> 179837L,
+    "sim_knn_graph_auto"          -> 199041L,
+    "sim_knn_mutual_clusters"     -> 199525L,
+    "txt_freq_of_freqs"           -> 291914L,
+    "misc_bootstrap_ci"           -> 4876L,
+    "misc_spearman_orders"        -> 79293L,
+    "misc_rfm_scores"             -> 30755L,
+    "misc_diameter_sweep"         -> 29982L,
   )
 
   // at sf0.001 the build's join broadcasts (59 B of exchange); the pin
