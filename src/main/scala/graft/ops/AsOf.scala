@@ -117,4 +117,47 @@ object AsOf {
           payloadCols.map(c => col("__match").getField(c).as(s"$outPrefix$c")): _*
       )
   }
+
+  /** NEAREST-in-time as-of join: for each `left` row, the payload of
+    * the right row whose timestamp is CLOSEST in either direction
+    * within the key group (distance ties break BACKWARD — the past
+    * match wins, the convention that never leaks the future when both
+    * sides are equidistant). Composed from the two linear union-scan
+    * joins ([[joinAtOrBefore]] + [[joinAtOrAfter]]) plus one map-only
+    * pick — still linear in |L|+|R| with two keyed shuffles, never a
+    * range-join explosion. `ts` must be a TIMESTAMP column (the pick
+    * compares microsecond distances). Output: the left row, the
+    * chosen payloads as `{outPrefix}{col}`, the matched timestamp as
+    * `{outPrefix}ts_matched`, and `{outPrefix}side` ('b'/'f', null
+    * when no match exists in either direction). */
+  def joinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      payloadCols: Seq[String],
+      rightTieBreak: String,
+      outPrefix: String = "asof_",
+  ): DataFrame = {
+    val cols = (payloadCols :+ ts).distinct
+    val withB = joinAtOrBefore(left, right, keys, ts, cols, rightTieBreak, "__nb_")
+    val both  = joinAtOrAfter(withB, right, keys, ts, cols, rightTieBreak, "__nf_")
+    val bTs   = col(s"__nb_$ts")
+    val fTs   = col(s"__nf_$ts")
+    val db    = unix_micros(col(ts)) - unix_micros(bTs)
+    val df    = unix_micros(fTs) - unix_micros(col(ts))
+    val pickB = fTs.isNull || (bTs.isNotNull && db <= df)
+    both.select(
+      left.columns.map(col) ++
+        payloadCols.map(c =>
+          when(pickB, col(s"__nb_$c")).otherwise(col(s"__nf_$c")).as(s"$outPrefix$c")
+        ) ++
+        Seq(
+          when(pickB, bTs).otherwise(fTs).as(s"${outPrefix}ts_matched"),
+          when(bTs.isNull && fTs.isNull, lit(null).cast("string"))
+            .otherwise(when(pickB, lit("b")).otherwise(lit("f")))
+            .as(s"${outPrefix}side"),
+        ): _*
+    )
+  }
 }

@@ -1014,6 +1014,51 @@ object Stats {
       .select(col("n"), col("b_count"), col("mean_ppm"), col("ci_lo_ppm"), col("ci_hi_ppm"))
   }
 
+  /** Decision-stump GINI feature screening — the first pass of any
+    * feature-selection / data-curation sweep: for each CATEGORICAL
+    * feature, the class-weighted Gini impurity after splitting on it
+    * (lower = the feature alone separates the label better). Exact
+    * integers with a DEFINED flooring order (per-value term floored by
+    * its own count, the sum floored by n — the oracle replays the same
+    * order): t_v = (n_v² − pos_v² − neg_v²)·10⁶ div n_v, split gini =
+    * Σt_v div n. ONE aggregation pass for all features (the feature
+    * list unpivots map-side via `stack`); the cells frame is bounded
+    * by Σ|domain(f)| — the [[chi2Homogeneity]] bounded-domain
+    * contract, this is not for continuous features (bucketize first).
+    * Output: one row per feature `(feature, n_values, n, pos,
+    * gini_split_ppm)`. */
+  def stumpGini(df: DataFrame, labelCol: Column, features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "need at least one feature column")
+    val stackArgs = features.flatMap { case (n, c) => Seq(lit(n), c.cast("string")) }
+    val cells = df
+      .filter(labelCol.isNotNull)
+      .select(
+        labelCol.as("__y"),
+        stack(lit(features.size) +: stackArgs: _*).as(Seq("feature", "__v")),
+      )
+      .groupBy(col("feature"), col("__v"))
+      .agg(count(lit(1)).as("__n"), sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))
+    cells
+      .select(
+        col("feature"),
+        col("__n"),
+        col("__pos"),
+        expr(
+          """CAST((CAST(__n AS DECIMAL(38,0)) * __n
+            |  - CAST(__pos AS DECIMAL(38,0)) * __pos
+            |  - CAST(__n - __pos AS DECIMAL(38,0)) * (__n - __pos))
+            |  * 1000000 div __n AS BIGINT)""".stripMargin
+        ).as("__t"),
+      )
+      .groupBy(col("feature"))
+      .agg(
+        count(lit(1)).as("n_values"),
+        sum(col("__n")).as("n"),
+        sum(col("__pos")).as("pos"),
+        expr("sum(__t) div sum(__n)").as("gini_split_ppm"),
+      )
+  }
+
   def winsorize(df: DataFrame, valueCol: String, ppmLo: Long, ppmHi: Long): DataFrame = {
     val th = quantileThresholds(df, valueCol, ppmLo, ppmHi)
     // least/greatest SKIP nulls (in Spark and DuckDB alike), so without

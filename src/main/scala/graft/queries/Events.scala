@@ -252,6 +252,48 @@ object Events {
       .select("event_id", "user_id", "click_event_id", "click_value")
   }
 
+  /** Nearest-in-time as-of join ([[graft.ops.AsOf.joinNearest]]): each
+    * error labeled with the CLOSEST click in either direction per user
+    * (distance ties break backward — never leak the future when
+    * equidistant). The oracle composes DuckDB's two ASOF directions
+    * and replays the identical microsecond pick. */
+  private val asofNearestQ = Q(
+    "evt_asof_nearest",
+    """WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+      |c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |b AS (SELECT e.event_id, e.user_id, e.ts, c.event_id AS b_id, c.value AS b_value, c.ts AS b_ts
+      |      FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts),
+      |f AS (SELECT e.event_id, c.event_id AS f_id, c.value AS f_value, c.ts AS f_ts
+      |      FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts <= c.ts)
+      |SELECT b.event_id, b.user_id,
+      |  CASE WHEN (f_ts IS NULL OR (b_ts IS NOT NULL
+      |         AND epoch_us(b.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(b.ts)))
+      |       THEN b_id ELSE f_id END AS near_event_id,
+      |  CASE WHEN (f_ts IS NULL OR (b_ts IS NOT NULL
+      |         AND epoch_us(b.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(b.ts)))
+      |       THEN b_value ELSE f_value END AS near_value,
+      |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+      |       WHEN (f_ts IS NULL OR (b_ts IS NOT NULL
+      |         AND epoch_us(b.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(b.ts)))
+      |       THEN 'b' ELSE 'f' END AS near_side
+      |FROM b JOIN f USING (event_id)""".stripMargin,
+  ) { (s, d) =>
+    val ev     = events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+    val clicks = ev.filter(col("event_type") === "click")
+    graft.ops.AsOf
+      .joinNearest(
+        errors,
+        clicks,
+        keys = Seq("user_id"),
+        ts = "ts",
+        payloadCols = Seq("event_id", "value"),
+        rightTieBreak = "event_id",
+        outPrefix = "near_",
+      )
+      .select("event_id", "user_id", "near_event_id", "near_value", "near_side")
+  }
+
   /** Forward as-of join ([[graft.ops.AsOf.joinAtOrAfter]]): each error
     * labeled with the NEXT view at or after it per user — the
     * "next event after" dual of [[asofErrorClick]], same union–scan
@@ -1209,6 +1251,7 @@ object Events {
     firstMatchPerUser,
     asofErrorClick,
     asofNextView,
+    asofNearestQ,
     sessionize,
     typeOverlap,
     mapFilterCounts,

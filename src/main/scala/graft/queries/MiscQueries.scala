@@ -709,6 +709,51 @@ object MiscQueries {
     )
   }
 
+  /** Decision-stump Gini feature screening
+    * ([[graft.ops.Stats.stumpGini]]): which categorical lineitem
+    * attribute best separates high-value line items on its own (the
+    * quantity bucket should; returnflag should not)? One
+    * aggregation pass for all four features; exact integers with a
+    * defined flooring order the oracle replays. */
+  private val stumpGiniQ = Q(
+    "misc_stump_gini",
+    """WITH r AS (
+      |  SELECT (l_extendedprice > 30000) AS y,
+      |    CAST(CAST(l_quantity AS BIGINT) // 10 AS VARCHAR) AS qty_bucket,
+      |    CAST(CAST(round(l_tax * 100) AS BIGINT) AS VARCHAR) AS tax_pct,
+      |    l_returnflag, l_linestatus
+      |  FROM lineitem),
+      |u AS (
+      |  SELECT 'qty_bucket' AS feature, qty_bucket AS v, y FROM r
+      |  UNION ALL SELECT 'tax_pct', tax_pct, y FROM r
+      |  UNION ALL SELECT 'l_returnflag', CAST(l_returnflag AS VARCHAR), y FROM r
+      |  UNION ALL SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR), y FROM r),
+      |cells AS (
+      |  SELECT feature, v, count(*) AS n,
+      |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      |  FROM u GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT feature, n, pos,
+      |    CAST((CAST(n AS HUGEINT) * n - CAST(pos AS HUGEINT) * pos
+      |          - CAST(n - pos AS HUGEINT) * (n - pos)) * 1000000 // n AS BIGINT) AS t
+      |  FROM cells)
+      |SELECT feature, count(*) AS n_values, CAST(sum(n) AS BIGINT) AS n,
+      |  CAST(sum(pos) AS BIGINT) AS pos,
+      |  CAST(sum(t) // sum(n) AS BIGINT) AS gini_split_ppm
+      |FROM terms GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Stats.stumpGini(
+      lineitem(s, d),
+      col("l_extendedprice") > 30000,
+      Seq(
+        "qty_bucket"   -> expr("CAST(CAST(l_quantity AS BIGINT) div 10 AS STRING)"),
+        "tax_pct"      -> expr("CAST(CAST(round(l_tax * 100) AS BIGINT) AS STRING)"),
+        "l_returnflag" -> col("l_returnflag"),
+        "l_linestatus" -> col("l_linestatus"),
+      ),
+    )
+  }
+
   /** Bloom membership filter ([[graft.ops.Bloom]]): built over the
     * custkeys that have orders, probed with EVERY customer. md5 bit
     * positions make the filter engine-replayable, so the oracle checks
@@ -2521,5 +2566,5 @@ object MiscQueries {
       labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint,
       kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ,
       samplePps, hitsTrade, ksQ, mannWhitneyQ, spearmanQ, cramersVQ, diameterSweepQ,
-      hilbertKeyQ, bootstrapCiQ, rfmScoresQ)
+      hilbertKeyQ, bootstrapCiQ, rfmScoresQ, stumpGiniQ)
 }

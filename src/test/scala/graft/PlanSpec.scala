@@ -1035,4 +1035,38 @@ class PlanSpec extends AnyFunSuite {
     // SortMergeJoin anywhere means a corpus-sized shuffle crept in
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
   }
+
+  test("r13 gates: hilbert is map-only; kNN joins keyed; bootstrap amplification pre-aggregates") {
+    // Hilbert key: a pure projection over the scan — no exchange, no
+    // join, and the packed-state fold stays inside codegen (a UDF or
+    // an expression blowup would show here as interpreter fallback).
+    val hk = planOf("misc_hilbert_key")
+    assert(!hk.contains("Exchange") && !hk.contains("Join"),
+      s"hilbertKey must be map-only:\n$hk")
+    // kNN graph: every join is keyed — the SRP candidate join on
+    // (band, key), the norm join-backs, the reciprocity self-join.
+    // Nothing may plan cartesian or nested-loop.
+    val kg = planOf("sim_knn_graph_auto")
+    assert(!kg.contains("CartesianProduct") && !kg.contains("BroadcastNestedLoopJoin"),
+      s"kNN graph joins must be keyed:\n$kg")
+    // Poisson bootstrap: the 30M-row amplification must reduce through
+    // a map-side partial aggregation (only 2×B partial rows reach the
+    // exchange — the ShuffleBudgetSpec pin proves the byte bill, this
+    // pin proves the plan shape that produces it).
+    val bc = planOf("misc_bootstrap_ci")
+    assert(bc.contains("partial_sum"), s"bootstrap resamples must pre-aggregate:\n$bc")
+    assert(!bc.contains("CartesianProduct") || bc.contains("BroadcastExchange"),
+      s"bootstrap CI cross join must be a 1-row broadcast:\n$bc")
+    // Nearest as-of: two window scans + the pick — no range join, no
+    // cartesian anywhere.
+    val an = planOf("evt_asof_nearest")
+    assert(!an.contains("CartesianProduct") && !an.contains("BroadcastNestedLoopJoin"),
+      s"nearest as-of must stay a union-scan composition:\n$an")
+    // Stump gini: ONE aggregation pass for all features (the unpivot
+    // is map-side stack), so exactly two keyed exchanges: cells and
+    // the per-feature rollup.
+    val sg = planOf("misc_stump_gini")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(sg).length <= 2,
+      s"stumpGini must aggregate all features in one pass:\n$sg")
+  }
 }

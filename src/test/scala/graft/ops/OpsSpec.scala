@@ -3007,6 +3007,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L) === ((3L, None))) // N_3 absent -> GT null, not 0
   }
 
+  test("AsOf.joinNearest: closest wins in either direction; distance ties break backward") {
+    val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (2L, 50L, "l3"))
+      .toDF("k", "t", "lv").withColumn("t", timestamp_millis(col("t")))
+    val right = Seq(
+      (1L, 90L, 1.0),  // 10 before l1
+      (1L, 104L, 2.0), // 4 after l1 -> nearer, forward
+      (1L, 196L, 3.0), // 4 before l2; ties with +4 below -> backward wins
+      (1L, 204L, 4.0),
+    ).toDF("k", "t", "rv").withColumn("t", timestamp_millis(col("t")))
+    val got = AsOf
+      .joinNearest(left, right, Seq("k"), "t", Seq("rv"), rightTieBreak = "rv", outPrefix = "m_")
+      .collect()
+      .map(r => r.getAs[String]("lv") -> (Option(r.get(r.fieldIndex("m_rv"))), r.getAs[String]("m_side")))
+      .toMap
+    assert(got("l1") === ((Some(2.0), "f"))) // forward at distance 4 beats backward 10
+    assert(got("l2") === ((Some(3.0), "b"))) // equidistant -> past wins
+    assert(got("l3") === ((None, null)))     // no right rows for key 2
+  }
+
+  test("Stats.stumpGini: perfect separator scores 0; useless feature scores the base impurity") {
+    // 8 rows, 4 positive. f_good splits them perfectly; f_bad is constant.
+    val rows = Seq(
+      ("a", "x", true), ("a", "x", true), ("a", "x", true), ("a", "x", true),
+      ("b", "x", false), ("b", "x", false), ("b", "x", false), ("b", "x", false),
+    ).toDF("f_good", "f_bad", "y")
+    val got = Stats
+      .stumpGini(rows, col("y"), Seq("f_good" -> col("f_good"), "f_bad" -> col("f_bad")))
+      .collect()
+      .map(r => r.getAs[String]("feature") -> (r.getAs[Long]("n_values"), r.getAs[Long]("gini_split_ppm")))
+      .toMap
+    assert(got("f_good") === ((2L, 0L)))      // pure leaves
+    assert(got("f_bad") === ((1L, 500000L)))  // base gini: 2*0.5*0.5 = 0.5
+  }
+
   test("Ivm.topKMaintain: refresh equals full recompute; delta-only rows can enter and evict") {
     val stored = Seq((1L, 100L, 1), (2L, 90L, 2), (3L, 80L, 3)).toDF("id", "v", "rnk")
     val delta  = Seq((4L, 95L), (5L, 10L)).toDF("id", "v")
