@@ -1372,6 +1372,54 @@ object Text {
     * unigram table, [[shingles]] for the n-gram tables GT smoothing is
     * usually applied to (low-r mass lives in the n-gram space; a
     * bounded word vocabulary may have no rare types at all). */
+  /** Kneser–Ney continuation counts (Kneser & Ney 1995) — the other
+    * half of the LM-smoothing toolkit beside [[freqOfFreqs]]: per
+    * word, the unigram count c(w), the DISTINCT-left-context count
+    * N1+(•w) (how many different words precede it — the KN insight:
+    * "Francisco" is frequent but only ever follows "San", so its
+    * continuation mass should be tiny), the distinct-right-context
+    * count N1+(w •), and the continuation probability
+    * p_cont(w) = N1+(•w) / |distinct bigram types| as a floored ppm.
+    * Corpus-scale posture: one token scan builds within-doc bigrams
+    * map-side (a transform over the token array — no self-join), one
+    * DISTINCT aggregation over bigram types, bounded per-word
+    * rollups; the bigram-type total is a broadcast 1-row aggregate. */
+  def knContinuationCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = docs
+      .select(
+        explode(
+          when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+            .otherwise(
+              transform(
+                sequence(lit(1), size(toks) - 1),
+                i => struct(element_at(toks, i).as("w1"), element_at(toks, i + lit(1)).as("w2")),
+              )
+            )
+        ).as("bg")
+      )
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val types = bigrams.distinct().localCheckpoint() // consumed thrice
+    val total = types.agg(count(lit(1)).as("__t"))
+    val uni = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("c"))
+    val left  = types.groupBy(col("w2").as("word")).agg(count(lit(1)).as("n_left"))
+    val right = types.groupBy(col("w1").as("word")).agg(count(lit(1)).as("n_right"))
+    uni
+      .join(left, Seq("word"), "left")
+      .join(right, Seq("word"), "left")
+      .crossJoin(broadcast(total))
+      .select(
+        col("word"),
+        col("c"),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"),
+        expr("coalesce(n_left, 0L) * 1000000L div __t").as("pcont_ppm"),
+      )
+  }
+
   def freqOfFreqs(docs: DataFrame, termsCol: Column, maxR: Int): DataFrame = {
     require(maxR >= 1, s"maxR must be >= 1, got $maxR")
     val counts = docs

@@ -1381,6 +1381,31 @@ object TextQueries {
     Text.freqOfFreqs(documents(s, d), Text.shingles(Text.tokens(col("text")), 3), maxR = 10)
   }
 
+  /** Kneser–Ney continuation counts
+    * ([[graft.ops.Text.knContinuationCounts]]): distinct-context
+    * censuses per word plus the continuation-probability ppm — the
+    * smoothing table that discounts frequent-but-predictable words. */
+  private val knCountsQ = Q(
+    "txt_kn_counts",
+    """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT toks[i] AS w1, toks[i+1] AS w2
+      |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM t WHERE len(toks) >= 2)),
+      |tt AS (SELECT count(*) AS t FROM bg),
+      |uni AS (SELECT unnest(toks) AS word FROM t),
+      |u AS (SELECT word, count(*) AS c FROM uni GROUP BY 1),
+      |l AS (SELECT w2 AS word, count(*) AS n_left FROM bg GROUP BY 1),
+      |r AS (SELECT w1 AS word, count(*) AS n_right FROM bg GROUP BY 1)
+      |SELECT u.word, u.c,
+      |  coalesce(l.n_left, 0) AS n_left,
+      |  coalesce(r.n_right, 0) AS n_right,
+      |  CAST(coalesce(l.n_left, 0) * 1000000 // tt.t AS BIGINT) AS pcont_ppm
+      |FROM u LEFT JOIN l USING (word) LEFT JOIN r USING (word) CROSS JOIN tt""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Text.knContinuationCounts(documents(s, d), "text")
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
@@ -1388,5 +1413,5 @@ object TextQueries {
       packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ,
       negSamplingQ, skipGramQ, curriculumOrderQ, repeatCollapseQ, preferencePairsQ,
       featureHashQ, sentenceStatsQ, langIdKappaQ, tokenGiniQ, wordpieceQ, readabilityQ,
-      ngramOverlapQ, trigramBackoffQ, freqOfFreqsQ)
+      ngramOverlapQ, trigramBackoffQ, freqOfFreqsQ, knCountsQ)
 }

@@ -2996,6 +2996,21 @@ class OpsSpec extends AnyFunSuite {
     assert(degen.isNullAt(degen.fieldIndex("v2_ppm")))
   }
 
+  test("Text.knContinuationCounts: the Francisco effect — frequent but single-context scores low") {
+    // "san francisco" x3: francisco is frequent (c=3) but has ONE left
+    // context; "b" appears twice with two distinct left contexts.
+    val docs = Seq("san francisco a b", "san francisco c b", "san francisco").toDF("text")
+    val got = Text.knContinuationCounts(docs, "text")
+      .collect()
+      .map(r => r.getAs[String]("word") ->
+        (r.getAs[Long]("c"), r.getAs[Long]("n_left"), r.getAs[Long]("n_right"), r.getAs[Long]("pcont_ppm")))
+      .toMap
+    // distinct bigram types: (san,francisco),(francisco,a),(a,b),(francisco,c),(c,b) = 5
+    assert(got("francisco") === ((3L, 1L, 2L, 200000L))) // frequent, ONE context -> low p_cont
+    assert(got("b") === ((2L, 2L, 0L, 400000L)))          // rarer, MORE contexts -> higher p_cont
+    assert(got("san") === ((3L, 0L, 1L, 0L)))             // never follows anything
+  }
+
   test("Text.freqOfFreqs: count-of-counts with Good-Turing ppm; gap gives null") {
     // tokens: a:2 b:2 c:2 d:1 -> N_1=1, N_2=3; GT r*=1: (1+1)*N_2/N_1 = 6.
     val docs = Seq("a a b b c", "c d").toDF("text")
