@@ -768,6 +768,57 @@ object Similarity {
     mutualKnnClusters(df, idCol, embCol, k, tau, nPlanes, bands, dim = 0, probes = probes)
   }
 
+  /** Cluster-cohesion report over the mutual-k-NN components — the
+    * SemDeDup quality artifact: per semantic cluster, its size and the
+    * MEAN PAIRWISE COSINE among members (how tight is the cluster the
+    * dedup rule is about to collapse?). The per-pair cosine floors to
+    * an integer ppm BEFORE aggregation, so the mean is an
+    * order-independent integer quotient — a distributed double sum
+    * would be bit-nondeterministic across partition orders. The
+    * within-component pair join is keyed on the component id;
+    * component sizes are bounded by the near-dup cluster contract
+    * (this reports on DEDUP clusters, not arbitrary partitions —
+    * a corpus-sized component upstream means τ is set wrong).
+    * Output: `(component, n_members, n_pairs, mean_cos_ppm)`. */
+  def clusterCohesion(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      tau: Double,
+  ): DataFrame = {
+    // auto-banded candidate generation (the production collision
+    // floor stays ∝ N; the ≤4000-vector rung IS the oracle's 72/12)
+    val comps = mutualKnnClustersAuto(df, idCol, embCol, k, tau).localCheckpoint()
+    val e = withNorm(df, embCol)
+      .select(col(idCol).as("__id"), col(embCol).as("__e"), col("nrm").as("__n"))
+    val m = comps
+      .join(e, col("doc_id") === col("__id"))
+      .select(col("component"), col("doc_id"), col("__e"), col("__n"))
+    val pairs = m
+      .as("a")
+      .join(m.as("b"), col("a.component") === col("b.component") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.component").as("component"),
+        floor(cosSafe(dot(col("a.__e"), col("b.__e")), col("a.__n"), col("b.__n")) * 1000000L)
+          .cast("long")
+          .as("__cp"),
+      )
+    comps
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"))
+      .join(
+        pairs.groupBy("component").agg(count(lit(1)).as("n_pairs"), sum(col("__cp")).as("__s")),
+        Seq("component"),
+      )
+      .select(
+        col("component"),
+        col("n_members"),
+        col("n_pairs"),
+        expr("__s div n_pairs").as("mean_cos_ppm"),
+      )
+  }
+
   /** Banding ladder for [[embeddingDupPairsAuto]]: (nPlanes, bands)
     * sized to the corpus. The candidate join has a RANDOM-collision
     * floor of ≈ bands × N² / 2^r pairs (r = bits per band): with the

@@ -1033,6 +1033,60 @@ object DedupQueries {
     )
   }
 
+  /** Cluster-cohesion report over the mutual-k-NN components
+    * ([[graft.ops.Similarity.clusterCohesion]]): per semantic cluster,
+    * size and mean pairwise cosine (floored ppm per pair BEFORE the
+    * sum, so the mean is an order-independent integer quotient) — the
+    * quality artifact that says how tight the clusters SemDeDup is
+    * about to collapse are. */
+  private val clusterCohesionQ = Q(
+    "sim_cluster_cohesion",
+    s"""${embCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$srpBandCte,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |ep AS ($cosVerifyTail),
+       |directed AS (
+       |  SELECT a_id AS src, b_id AS dst, cos FROM ep
+       |  UNION ALL SELECT b_id, a_id, cos FROM ep),
+       |ranked AS (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       |  FROM directed QUALIFY rnk <= 3),
+       |mut AS (
+       |  SELECT r.src AS a_id, r.dst AS b_id
+       |  FROM ranked r JOIN ranked m ON m.src = r.dst AND m.dst = r.src
+       |  WHERE r.src < r.dst),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM mut UNION SELECT b_id, a_id FROM mut),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+       |comp AS (SELECT s AS doc_id, least(s, min(d)) AS component FROM reach GROUP BY s),
+       |mp AS (
+       |  SELECT a.component,
+       |    CAST(floor(list_reduce(list_transform(generate_series(1, len(ea.embedding)),
+       |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y) / (ea.nrm * eb.nrm) * 1000000) AS BIGINT) AS cp
+       |  FROM comp a JOIN comp b ON a.component = b.component AND a.doc_id < b.doc_id
+       |    JOIN e ea ON ea.vec_id = a.doc_id JOIN e eb ON eb.vec_id = b.doc_id)
+       |SELECT c.component, count(*) AS n_members, p.n_pairs, p.mean_cos_ppm
+       |FROM comp c JOIN (
+       |  SELECT component, count(*) AS n_pairs,
+       |    CAST(sum(cp) // count(*) AS BIGINT) AS mean_cos_ppm
+       |  FROM mp GROUP BY 1) p USING (component)
+       |GROUP BY c.component, p.n_pairs, p.mean_cos_ppm""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Similarity.clusterCohesion(
+      embeddings(s, d),
+      idCol = "vec_id",
+      embCol = "embedding",
+      k = 3,
+      tau = 0.45,
+    )
+  }
+
   /** SemDeDup proper, composed in the gate: embedding-cosine near-dup
     * clusters (the SRP-banded pairs above, identically indexed in the
     * oracle) reduced by the quality-aware keep rule — each semantic
@@ -1710,7 +1764,7 @@ object DedupQueries {
       simhashSigs, simhashPairs, simhash64Pairs, simhash64Md5Pairs, jaccardComponents, dedupKeep,
       dedupKeepBest,
       semdedupBest, embeddingPairs,
-      embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, knnGraphQ, knnGraphAutoQ,
+      embeddingPairsMp, embeddingPairsIvf, embeddingPairsAuto, knnGraphQ, knnGraphAutoQ, clusterCohesionQ,
       knnClustersQ,
       decontaminate,
       decontaminateFuzzyQ, lshRecallEval, lshBandingSweep, corpusPrepare,

@@ -498,6 +498,13 @@ class OpsSpec extends AnyFunSuite {
     val (za, zb) = spans(Layout.zorderBy(df, Seq(col("a"), col("b")), 10, 16))
     // 16 curve segments fix the top 2 bits of BOTH dims: span <= ~256 each
     assert(za < 512 && zb < 512, s"z-order spans not bounded: a=$za b=$zb")
+    // Hilbert segments are contiguous curve walks: bounded in both
+    // dims too, and never WORSE than Z-order's total envelope (the
+    // locality claim — no cross-grid jumps at power-of-two boundaries)
+    val (ha, hb) = spans(Layout.hilbertBy(df, col("a"), col("b"), 10, 16))
+    assert(ha < 512 && hb < 512, s"hilbert spans not bounded: a=$ha b=$hb")
+    assert(ha + hb <= (za + zb) * 1.05,
+      s"hilbert total envelope must not exceed z-order's: h=${ha + hb} z=${za + zb}")
     val (sa, sb) = spans(df.repartitionByRange(16, col("a")).sortWithinPartitions("a"))
     assert(sa < 128, s"sort-by-a must cluster a tightly, got $sa")
     assert(sb > 768, s"independent dim under single-col sort should span ~full domain, got $sb")
@@ -3169,6 +3176,25 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component"))
       .toMap
     assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // one cluster, min-id canon; loner absent
+  }
+
+  test("Similarity.clusterCohesion: tight trio scores near 1e6; member and pair counts exact") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.01f)),
+      (2L, Array(1.0f, 0.0f, 0.02f)),
+      (3L, Array(1.0f, 0.0f, 0.03f)),
+      (4L, Array(0.0f, 1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity
+      .clusterCohesion(vecs, "vec_id", "embedding", k = 2, tau = 0.9)
+      .collect()
+    assert(got.length === 1) // one cluster; the orthogonal loner is absent
+    val r = got.head
+    assert(r.getAs[Long]("component") === 1L)
+    assert(r.getAs[Long]("n_members") === 3L)
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    val cp = r.getAs[Long]("mean_cos_ppm")
+    assert(cp > 999000L && cp <= 1000000L, s"near-identical trio should be ~1e6, got $cp")
   }
 
   test("Dedup.weightedJaccardPairs: identical multisets score 1.0; non-colliding docs never pair") {
