@@ -801,8 +801,11 @@ object Dedup {
       rowsPerBand: Int,
       tauPpm: Long,
   ): DataFrame = {
-    val cands =
-      lshCandidates(lshBands(minhashSignaturesNative(docs, idCol, textCol, n, k), rowsPerBand))
+    // consumed twice (min-sum join + the final left join): materialize
+    // so the signature/banding chain runs once, not per consumer
+    val cands = lshCandidates(
+      lshBands(minhashSignaturesNative(docs, idCol, textCol, n, k), rowsPerBand)
+    ).localCheckpoint()
     // consumed three times (both sides of the min-sum join + totals):
     // materialize so the explode + count aggregation runs once
     val tok = docs

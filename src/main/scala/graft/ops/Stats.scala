@@ -592,8 +592,10 @@ object Stats {
     * offsets aggregate and the base join provably read one
     * materialization (the [[Blocking.snmRank]] rule). */
   private def twoSampleCum(df: DataFrame, valueCol: Column, sampleIs1: Column): DataFrame = {
+    // complete-case on BOTH columns (the spearmanStats discipline): a
+    // null sample flag must not silently become a sample-2 observation
     val hist = df
-      .filter(valueCol.isNotNull)
+      .filter(valueCol.isNotNull && sampleIs1.isNotNull)
       .groupBy(valueCol.as("__s"))
       .agg(
         sum(when(sampleIs1, 1L).otherwise(0L)).as("__c1"),

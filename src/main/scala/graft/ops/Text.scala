@@ -1355,23 +1355,6 @@ object Text {
     )
   }
 
-  /** Frequency-of-frequencies table with Good–Turing adjusted counts
-    * (Good 1953) — the LM-smoothing diagnostic: N_r = how many distinct
-    * token types occur exactly r times, and the GT re-estimated count
-    * r* = (r+1)·N_{r+1}/N_r that discounts observed mass toward unseen
-    * events (the singleton count N₁ IS the unseen-mass estimate).
-    * Reported for r ≤ `maxR` as exact integers — `gt_rstar_ppm` is the
-    * floored ppm quotient, null when N_{r+1} is absent (the raw-count
-    * regime where GT is unreliable anyway; smoothing past gaps is the
-    * caller's modeling decision). Corpus-scale posture: one token
-    * groupBy (corpus-sized, plain hash aggregate), one count-of-counts
-    * groupBy (output ≤ maxR+1 rows after the early filter), one
-    * broadcast self-join on r+1 — no windows at all.
-    *
-    * `termsCol` is any array-of-terms expression — word tokens for a
-    * unigram table, [[shingles]] for the n-gram tables GT smoothing is
-    * usually applied to (low-r mass lives in the n-gram space; a
-    * bounded word vocabulary may have no rare types at all). */
   /** Kneser–Ney continuation counts (Kneser & Ney 1995) — the other
     * half of the LM-smoothing toolkit beside [[freqOfFreqs]]: per
     * word, the unigram count c(w), the DISTINCT-left-context count
@@ -1420,6 +1403,23 @@ object Text {
       )
   }
 
+  /** Frequency-of-frequencies table with Good–Turing adjusted counts
+    * (Good 1953) — the LM-smoothing diagnostic: N_r = how many distinct
+    * token types occur exactly r times, and the GT re-estimated count
+    * r* = (r+1)·N_{r+1}/N_r that discounts observed mass toward unseen
+    * events (the singleton count N₁ IS the unseen-mass estimate).
+    * Reported for r ≤ `maxR` as exact integers — `gt_rstar_ppm` is the
+    * floored ppm quotient, null when N_{r+1} is absent (the raw-count
+    * regime where GT is unreliable anyway; smoothing past gaps is the
+    * caller's modeling decision). Corpus-scale posture: one token
+    * groupBy (corpus-sized, plain hash aggregate), one count-of-counts
+    * groupBy (output ≤ maxR+1 rows after the early filter), one
+    * broadcast self-join on r+1 — no windows at all.
+    *
+    * `termsCol` is any array-of-terms expression — word tokens for a
+    * unigram table, [[shingles]] for the n-gram tables GT smoothing is
+    * usually applied to (low-r mass lives in the n-gram space; a
+    * bounded word vocabulary may have no rare types at all). */
   def freqOfFreqs(docs: DataFrame, termsCol: Column, maxR: Int): DataFrame = {
     require(maxR >= 1, s"maxR must be >= 1, got $maxR")
     val counts = docs
@@ -1440,7 +1440,7 @@ object Text {
       .select(
         col("r"),
         col("n_r"),
-        expr("(r + 1) * __n_next * 1000000L div (r * n_r)").as("gt_rstar_ppm"),
+        expr("(r + 1) * __n_next * 1000000L div n_r").as("gt_rstar_ppm"),
       )
   }
 }

@@ -395,8 +395,11 @@ object Timeseries {
 
   /** Autocorrelation function of per-key hourly counts at lags
     * 1..`maxLag` — the periodicity detector that tells you WHICH
-    * seasonal period [[holtWintersHourly]] should use (a daily cycle
-    * shows as a peak at lag 24). Exact integer ppm: with S = Σx,
+    * seasonal period [[holtWintersHourly]] should use: a daily cycle
+    * shows as a peak at lag 24, so detecting one requires maxLag ≥ 24
+    * (the default 4 only sees sub-daily structure; it is sized to the
+    * short synthetic series the gate runs on). Exact integer ppm: with
+    * S = Σx,
     * Sxx = Σx² over the full n-hour series and, per lag k over the
     * m = n−k aligned pairs, Sxy = Σ xₜxₜ₊ₖ, Sa = Σ xₜ, Sb = Σ xₜ₊ₖ,
     * the textbook r_k = Σ(xₜ−x̄)(xₜ₊ₖ−x̄) / Σ(xₜ−x̄)² is cleared of

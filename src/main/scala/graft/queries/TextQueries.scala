@@ -1373,7 +1373,7 @@ object TextQueries {
       |cnt AS (SELECT t, count(*) AS r FROM sh GROUP BY 1),
       |nr AS (SELECT r, count(*) AS n_r FROM cnt WHERE r <= 11 GROUP BY 1)
       |SELECT a.r, a.n_r,
-      |  CAST((a.r + 1) * b.n_r * 1000000 // (a.r * a.n_r) AS BIGINT) AS gt_rstar_ppm
+      |  CAST((a.r + 1) * b.n_r * 1000000 // a.n_r AS BIGINT) AS gt_rstar_ppm
       |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
       |WHERE a.r <= 10""".stripMargin,
   ) { (s, d) =>

@@ -2553,6 +2553,12 @@ class OpsSpec extends AnyFunSuite {
     assert(ks2.getAs[Long]("n1") === 1L)
     assert(ks2.getAs[Long]("n2") === 1L)
     assert(ks2.getAs[Long]("d_num") === 1L)
+    // a NULL sample flag is complete-case dropped, not counted as sample 2:
+    val nullFlag = Seq((Some(1L), Some(true)), (Some(5L), None), (Some(2L), Some(false)))
+      .toDF("v", "is1")
+    val ks3 = Stats.ksStatistic(nullFlag, col("v"), col("is1")).collect().head
+    assert(ks3.getAs[Long]("n1") === 1L)
+    assert(ks3.getAs[Long]("n2") === 1L)
   }
 
   test("Similarity.topEigenvector: diagonal Gram converges to the dominant axis; orthogonal start is a stable zero") {
@@ -3027,6 +3033,18 @@ class OpsSpec extends AnyFunSuite {
       .toMap
     assert(got(1L) === ((1L, Some(6000000L))))
     assert(got(2L) === ((3L, None))) // N_3 absent -> GT null, not 0
+  }
+
+  test("Text.freqOfFreqs: r >= 2 uses the adjusted count r*, not the discount ratio r*/r") {
+    // tokens: a:1 b:2 b c:3 -> N_1=N_2=N_3=1.
+    // r*=1: 2*N_2/N_1 = 2; r*=2: 3*N_3/N_2 = 3 (the r*/r ratio would floor to 1.5e6).
+    val docs = Seq("a b b c c c").toDF("text")
+    val got = Text.freqOfFreqs(docs, Text.tokens(col("text")), maxR = 2)
+      .collect()
+      .map(r => r.getAs[Long]("r") -> Option(r.get(r.fieldIndex("gt_rstar_ppm"))))
+      .toMap
+    assert(got(1L) === Some(2000000L))
+    assert(got(2L) === Some(3000000L))
   }
 
   test("AsOf.joinNearest: closest wins in either direction; distance ties break backward") {
