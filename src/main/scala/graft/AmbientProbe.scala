@@ -85,4 +85,65 @@ object AmbientProbe {
 
   def contended(measured: Double, parallelism: Int): Boolean =
     ratio(measured, parallelism) > contendedThreshold
+
+  // ---------------------------------------------------------------
+  // MEMORY-PATH probe (r13 post-mortem): the ALU probe missed three
+  // contaminated records in a row (r11/r12/r13) because the load that
+  // inflated them was MEMORY-shaped — the r13 driver run carried
+  // txt_freq_of_freqs at 139 s vs 7.9 s idle with `contended: false`
+  // from a probe that only exercises registers. This second probe
+  // exercises the path the inflated queries actually use: a fixed-size
+  // hash aggregation (wide key space → per-partition hash-map build,
+  // a real exchange, allocation/GC, memory bandwidth), pinned like the
+  // ALU probe. A box whose memory subsystem is being churned by a
+  // co-tenant inflates THIS probe even when spare cores keep the ALU
+  // probe green.
+  // ---------------------------------------------------------------
+
+  /** Fixed memory-probe size: 24M rows hashed into a 3M-key space.
+    * Per local[32] partition that is ~750k rows into ~660k distinct
+    * keys — a partial-aggregation hash map that lives in main memory,
+    * then a ~21M-row exchange. ≈1.1 s idle at 32 threads. */
+  val memProbeRows: Long = 24L * 1000 * 1000
+  val memProbeKeys: Long = 3L * 1000 * 1000
+
+  /** Idle-machine min-of-4 of [[timeMem]] at local[32] on the
+    * benchmark box (measured 2026-08, two fresh JVMs via
+    * [[ProbeCalibrate]]: 1.067 / 1.166 s; see PERF.md "Ambient
+    * sentinel"). The 2× tripwire therefore fires at ≥2.2 s. */
+  val pinnedIdleMemSeconds32: Double = 1.10
+
+  /** Same approximate fixed-total-work rescaling as [[expectedIdle]];
+    * the exchange makes it rougher (shuffle setup does not shrink with
+    * thread count), but a 2× tripwire tolerates that. */
+  def expectedIdleMem(parallelism: Int): Double =
+    pinnedIdleMemSeconds32 * 32.0 / math.max(parallelism, 1)
+
+  /** One timed memory-probe run: fixed-range hash aggregation over a
+    * key space far wider than any CPU cache, collapsed to one row so
+    * the driver never materializes the 3M groups. The inner groupBy is
+    * the memory path (hash-map build + exchange); the outer bit_xor of
+    * xxhash64(k, cnt) is ANSI-overflow-safe and forces every group to
+    * be computed. */
+  def runOnceMem(spark: SparkSession, parallelism: Int): Double = {
+    val t0 = System.nanoTime()
+    spark
+      .range(0L, memProbeRows, 1L, parallelism)
+      .selectExpr(s"id % ${memProbeKeys}L AS k")
+      .groupBy("k")
+      .count()
+      .selectExpr("bit_xor(xxhash64(k, count)) AS h")
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Repeat-min of 4, same protocol and rationale as [[time]]. */
+  def timeMem(spark: SparkSession, parallelism: Int): Double =
+    (1 to 4).map(_ => runOnceMem(spark, parallelism)).min
+
+  def ratioMem(measured: Double, parallelism: Int): Double =
+    measured / expectedIdleMem(parallelism)
+
+  def contendedMem(measured: Double, parallelism: Int): Boolean =
+    ratioMem(measured, parallelism) > contendedThreshold
 }

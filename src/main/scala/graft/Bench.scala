@@ -42,19 +42,30 @@ object Bench {
     // Absorb session/codegen warmup outside any query's timing.
     spark.range(1000).selectExpr("sum(id)").collect()
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // AMBIENT SENTINEL (r11 post-mortem): a pinned CPU calibration
-    // probe self-labels a contended record — BENCH_r11.json shipped
-    // 620 s for a 295 s-idle suite with byte-identical shuffle bytes,
-    // and nothing in the artifact said the box was loaded. The ratio
-    // and the `contended` flag land on the summary line below.
-    val calibrationS = AmbientProbe.time(spark, cpus.toInt)
-    val ambientRatio = AmbientProbe.ratio(calibrationS, cpus.toInt)
-    val isContended  = AmbientProbe.contended(calibrationS, cpus.toInt)
+    // AMBIENT SENTINEL (r11 post-mortem, widened r14): pinned
+    // calibration probes self-label a contended record — BENCH_r11.json
+    // shipped 620 s for a 295 s-idle suite with byte-identical shuffle
+    // bytes, and nothing in the artifact said the box was loaded. Two
+    // probes since r14 (the ALU-only probe missed three memory-shaped
+    // contaminations in a row, r11–r13): the register-path hash probe
+    // and a memory-path hash AGGREGATION probe (hash-map build + a real
+    // exchange — spills, GC, bandwidth). Both sampled at both endpoints
+    // (min-of-4) AND every `checkpointEvery` queries mid-run (min-of-2;
+    // the r13 record was clean at BOTH endpoints yet 1.8x inflated —
+    // the load lived entirely between them). The worst ratio anywhere
+    // drives `contended`.
+    val nCpus        = cpus.toInt
+    val calibrationS = AmbientProbe.time(spark, nCpus)
+    val ambientRatio = AmbientProbe.ratio(calibrationS, nCpus)
+    val calibMemS    = AmbientProbe.timeMem(spark, nCpus)
+    val memRatio     = AmbientProbe.ratioMem(calibMemS, nCpus)
+    val isContended =
+      AmbientProbe.contended(calibrationS, nCpus) || AmbientProbe.contendedMem(calibMemS, nCpus)
     if (isContended)
       System.err.println(
-        f"BENCH AMBIENT WARNING: calibration probe $calibrationS%.3f s = " +
-          f"$ambientRatio%.2fx its pinned idle time - timings below are " +
-          "inflated by machine load, not plan changes.")
+        f"BENCH AMBIENT WARNING: calibration probes alu $calibrationS%.3f s " +
+          f"($ambientRatio%.2fx pin) / mem $calibMemS%.3f s ($memRatio%.2fx pin) - " +
+          "timings below are inflated by machine load, not plan changes.")
     // Shared once-per-corpus artifacts (the distinct shingle table, the
     // verified pair list, the corpus survivor set, streaming replay
     // splits) model tables a production pipeline writes once and every
@@ -115,6 +126,10 @@ object Bench {
     val failed        = scala.collection.mutable.ListBuffer.empty[String]
     val flaky         = scala.collection.mutable.ListBuffer.empty[String]
     val shuffleBytes  = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // mid-run ambient checkpoints: (queries completed, alu ratio, mem ratio)
+    val checkpointEvery = 50
+    val ambientSeries   = scala.collection.mutable.ListBuffer.empty[(Int, Double, Double)]
+    var queriesDone     = 0
     val results = selected.flatMap { case (name, fn) =>
       val times = (1 to repeat).flatMap { i =>
         capturedQes.clear()
@@ -140,6 +155,13 @@ object Bench {
             System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
             None
         }
+      }
+      queriesDone += 1
+      if (queriesDone % checkpointEvery == 0) {
+        val a = (1 to 2).map(_ => AmbientProbe.runOnce(spark, nCpus)).min
+        val m = (1 to 2).map(_ => AmbientProbe.runOnceMem(spark, nCpus)).min
+        ambientSeries +=
+          ((queriesDone, AmbientProbe.ratio(a, nCpus), AmbientProbe.ratioMem(m, nCpus)))
       }
       if (times.isEmpty) { failed += name; None }
       else {
@@ -176,31 +198,85 @@ object Bench {
     )
     // Heaviest-10 only (cheapest-first within the object); ~500 chars.
     val top = results.toSeq.sortBy(-_._2).take(10).sortBy(_._2)
-    // END-of-suite probe (r12 post-mortem): BENCH_r12.json recorded
+    // END-of-suite probes (r12 post-mortem): BENCH_r12.json recorded
     // contended:false from its START probe (ratio 0.77) yet carried a
     // 27 s ddp_entity_match that re-measures at 5 s on an idle box with
-    // byte-identical shuffle — contention ARRIVED mid-run and the
-    // single front-door sample never saw it. Sampling both endpoints
-    // bounds the window: a record is `contended` if EITHER probe trips.
-    // Mid-run blips between two clean endpoints remain invisible, but
-    // a load that inflates many queries spans an endpoint in practice.
-    val calibrationEndS = AmbientProbe.time(spark, cpus.toInt)
-    val ambientRatioEnd = AmbientProbe.ratio(calibrationEndS, cpus.toInt)
-    val contendedAny    = isContended || AmbientProbe.contended(calibrationEndS, cpus.toInt)
+    // byte-identical shuffle — contention ARRIVED mid-run. Endpoints +
+    // the mid-run checkpoint series above bound the window; a record is
+    // `contended` if ANY sample of EITHER probe trips.
+    val calibrationEndS = AmbientProbe.time(spark, nCpus)
+    val ambientRatioEnd = AmbientProbe.ratio(calibrationEndS, nCpus)
+    val calibMemEndS    = AmbientProbe.timeMem(spark, nCpus)
+    val memRatioEnd     = AmbientProbe.ratioMem(calibMemEndS, nCpus)
+    val seriesWorst =
+      (ambientSeries.flatMap(c => Seq(c._2, c._3)) ++
+        Seq(ambientRatio, memRatio, ambientRatioEnd, memRatioEnd)).max
+    val contendedAny = seriesWorst > AmbientProbe.contendedThreshold
     if (!isContended && contendedAny)
       System.err.println(
-        f"BENCH AMBIENT WARNING: end-of-suite probe $calibrationEndS%.3f s = " +
-          f"$ambientRatioEnd%.2fx pinned idle - contention arrived mid-run; " +
-          "timings above are partially inflated by machine load.")
+        f"BENCH AMBIENT WARNING: worst probe ratio $seriesWorst%.2fx pinned idle " +
+          "arrived after the start probe - timings above are partially " +
+          "inflated by machine load.")
+    // full checkpoint series on its own line (start/end + every
+    // checkpointEvery queries): the evidence trail that says WHERE in
+    // the run contention lived, not just whether it existed.
+    println(
+      s"""{"metric":"ambient_series","sf":"$sfDir","checkpoint_every":$checkpointEvery,"start":{"alu":${f3(
+          ambientRatio)},"mem":${f3(memRatio)}},"checkpoints":[${ambientSeries
+          .map(c => s"""{"after":${c._1},"alu":${f3(c._2)},"mem":${f3(c._3)}}""")
+          .mkString(",")}],"end":{"alu":${f3(ambientRatioEnd)},"mem":${f3(
+          memRatioEnd)}},"worst":${f3(seriesWorst)}}"""
+    )
+    // PER-QUERY INFLATION self-annotation (r13 post-mortem): wall /
+    // committed best-ever (tools/bench_anchors.json, min over clean
+    // runs at the same SF) — a contaminated record annotates itself
+    // row-by-row even if every probe sample missed the load. Anchors
+    // are advisory: queries without one (new gates, changed SF) are
+    // simply unannotated.
+    val anchors: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_ANCHORS", "tools/bench_anchors.json")
+      scala.util
+        .Try {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val sfOk = """"sf"\s*:\s*"([^"]+)"""".r
+            .findFirstMatchIn(txt)
+            .exists(m => sfDir.endsWith(m.group(1)))
+          if (!sfOk) Map.empty[String, Double]
+          else
+            """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+\.[0-9]+)""".r
+              .findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2).toDouble)
+              .toMap
+        }
+        .getOrElse(Map.empty)
+    }
+    val inflation = results.toSeq
+      .flatMap { case (n, t) => anchors.get(n).filter(_ > 0).map(a => n -> t / a) }
+      .sortBy(-_._2)
+    if (inflation.nonEmpty) {
+      val over2x = inflation.filter(_._2 > 2.0).map(_._1)
+      println(
+        s"""{"metric":"inflation","sf":"$sfDir","anchored":${inflation.size},"over2x":${over2x
+            .map("\"" + _ + "\"")
+            .mkString("[", ",", "]")},"queries":${qmap(inflation)}}"""
+      )
+    }
+    val inflationMed =
+      if (inflation.isEmpty) 0.0 else inflation.map(_._2).sorted.apply(inflation.size / 2)
+    val inflationOver2x = inflation.count(_._2 > 2.0)
     // shared-build decomposition repeats on the SUMMARY line (the only
     // line the driver's 2000-char tail is guaranteed to keep) so the
     // per-artifact accounting can't be truncated away.
     println(
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries_total":${results.size},"failed":${failed.size},"flaky":${flaky.size},"contended":$contendedAny,"ambient_ratio":${f3(
-          ambientRatio
-        )},"calibration_s":${f3(calibrationS)},"ambient_ratio_end":${f3(
-          ambientRatioEnd
-        )},"shared_build_s":${f3(
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries_total":${results.size},"failed":${failed.size},"flaky":${flaky.size},"contended":$contendedAny,"ambient_worst":${f3(
+          seriesWorst
+        )},"ambient_ratio":${f3(ambientRatio)},"mem_ratio":${f3(
+          memRatio
+        )},"ambient_ratio_end":${f3(ambientRatioEnd)},"mem_ratio_end":${f3(
+          memRatioEnd
+        )},"inflation_med":${f3(inflationMed)},"inflation_over2x":$inflationOver2x,"shared_build_s":${f3(
           sharedBuildS
         )},"shared_build":${qmap(sharedArts)},"queries":${qmap(top)},"value":${f3(total)}}"""
     )

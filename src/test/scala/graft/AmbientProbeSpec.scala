@@ -21,6 +21,79 @@ class AmbientProbeSpec extends AnyFunSuite {
     assert(math.abs(AmbientProbe.ratio(idle * 3.0, n) - 3.0) < 1e-9)
   }
 
+  test("memory-probe flag logic: pin rescales, tripwire at 2x") {
+    assert(AmbientProbe.expectedIdleMem(32) === AmbientProbe.pinnedIdleMemSeconds32)
+    assert(AmbientProbe.expectedIdleMem(16) === AmbientProbe.pinnedIdleMemSeconds32 * 2)
+    val idle = AmbientProbe.expectedIdleMem(32)
+    assert(!AmbientProbe.contendedMem(idle * 1.5, 32))
+    assert(AmbientProbe.contendedMem(idle * 2.01, 32))
+    assert(math.abs(AmbientProbe.ratioMem(idle * 3.0, 32) - 3.0) < 1e-9)
+  }
+
+  test("memory probe trips under a deliberate memory hog while the ALU probe stays green") {
+    // The r13 field failure: a memory/GC-shaped co-tenant inflated
+    // hash-aggregation queries 17x while the ALU-only sentinel shipped
+    // `contended: false`. Recreate the signature: under a combined
+    // strided-write + spinner hog, the memory probe's inflation over
+    // its own unloaded steady state crosses the 2x tripwire (at the
+    // bench's 32-thread operating point the pin IS that steady state,
+    // so this is the faithful analogue of ratio-vs-pin) while the ALU
+    // probe's pin-relative ratio stays green — the fixed-work pin at
+    // the spec's local[4] has ~4x headroom, exactly the slack that let
+    // the r11–r13 contamination through. Measured on the benchmark
+    // box: mem slowdown 3.18x, alu pin-ratio 0.78.
+    val threads     = 4
+    val unloadedMem = AmbientProbe.timeMem(spark, threads)
+    val unloadedAlu = AmbientProbe.time(spark, threads)
+    assume(
+      !AmbientProbe.contended(unloadedAlu, threads) &&
+        !AmbientProbe.contendedMem(unloadedMem, threads),
+      f"machine already contended (alu $unloadedAlu%.3f s, mem $unloadedMem%.3f s); skipping",
+    )
+    val cores = Runtime.getRuntime.availableProcessors()
+    val stop  = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val spinners = (1 to cores).map { _ =>
+      val t = new Thread(() => {
+        var x = 0L
+        while (!stop.get()) { x += java.util.concurrent.ThreadLocalRandom.current().nextLong() }
+        if (x == Long.MinValue) println(x)
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    // 64 MB of longs per thread, written at a 4KB stride then shifted:
+    // every store is a fresh cache line AND a fresh page — maximal
+    // bandwidth + TLB pressure per instruction, minimal ALU work.
+    val writers = (1 to cores).map { _ =>
+      val t = new Thread(() => {
+        val a   = new Array[Long](8 * 1024 * 1024)
+        var off = 0
+        var x   = 0L
+        while (!stop.get()) {
+          var i = off
+          while (i < a.length) { a(i) = x; x += 1; i += 512 }
+          off = (off + 1) & 511
+        }
+        if (x == Long.MinValue) println(x)
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    try {
+      val loadedMem = AmbientProbe.timeMem(spark, threads)
+      val loadedAlu = AmbientProbe.time(spark, threads)
+      assert(
+        loadedMem > AmbientProbe.contendedThreshold * unloadedMem,
+        f"memory probe must trip: unloaded=$unloadedMem%.3f loaded=$loadedMem%.3f",
+      )
+      assert(
+        !AmbientProbe.contended(loadedAlu, threads),
+        f"ALU probe should stay green under a memory-shaped hog: loaded=$loadedAlu%.3f",
+      )
+    } finally {
+      stop.set(true)
+      (spinners ++ writers).foreach(_.join(2000))
+    }
+  }
+
   test("probe inflates under deliberate CPU load (the sentinel trips on a loaded box)") {
     val threads = 4 // the shared test session is local[4]
     // steady-state unloaded cost (repeat-min of 4, codegen + C2 absorbed)
