@@ -304,6 +304,45 @@ object Text {
     scored.crossJoin(broadcast(thresh)).filter(col(scoreCol) >= col("__thresh")).drop("__thresh")
   }
 
+  /** [[bigramLmScore]] over a prebuilt [[NgramCounts.NgramTables]]
+    * artifact (the write-once n-gram store): the two vocabulary-sized
+    * count tables come from the shared artifact (summed over the
+    * train/test slice flag — c(w₁·) is the prefix-marginal of the
+    * bigram table, so no unigram scan is needed), leaving ONE corpus
+    * pass (the per-document scoring explode). Bit-identical to
+    * [[bigramLmScore]] (OpsSpec equality pin). */
+  def bigramLmScoreFromTables(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      t: NgramCounts.NgramTables,
+  ): DataFrame = {
+    val withToks = docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val bgs = withToks
+      .select(
+        col(idCol),
+        explode(
+          expr("transform(sequence(1, size(__t) - 1), i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))")
+        ).as("bg"),
+      )
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c2 = t.bi
+      .groupBy(concat_ws(" ", col("w1"), col("w2")).as("bg"))
+      .agg(sum(col("c")).as("__c2"))
+    val c1 = t.bi.groupBy("w1").agg(sum(col("c")).as("__c1"))
+    bgs
+      .join(c2, Seq("bg"))
+      .join(c1, Seq("w1"))
+      .select(col(idCol), expr("(__c2 * 1000000L) div __c1").as("__p"))
+      .groupBy(col(idCol))
+      .agg(
+        expr("sum(__p) div count(1)").as("lm_score_ppm"),
+        count(lit(1)).as("n_bigrams"),
+      )
+  }
+
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withToks = docs
       .select(col(idCol), tokens(col(textCol)).as("__t"))
@@ -355,6 +394,29 @@ object Text {
     * left-join each level and take the first hit. Per doc:
     * (n_trigrams, per-level hit counts, mean score). Everything is
     * counts and floored divisions — bit-replayable. */
+  /** [[trigramBackoffScore]] over a prebuilt
+    * [[NgramCounts.NgramTables]] artifact whose slice flag was built
+    * with the SAME `isTest` predicate: the three train-side count
+    * tables and the token total are slice filters over the artifact
+    * (vocabulary-sized), leaving one corpus pass (the test-position
+    * explode). Bit-identical to [[trigramBackoffScore]] (OpsSpec
+    * equality pin). */
+  def trigramBackoffScoreFromTables(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTest: Column,
+      t: NgramCounts.NgramTables,
+  ): DataFrame = {
+    val c1   = t.uni.filter(!col("is_test")).select(col("w"), col("c").as("__c1"))
+    val nTot = t.uni.filter(!col("is_test")).agg(sum(col("c")).as("__n"))
+    val c2 = t.bi
+      .filter(!col("is_test"))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bg"), col("c").as("__c2"))
+    val c3 = t.tri.filter(!col("is_test")).select(col("tg"), col("c").as("__c3"))
+    backoffScorePositions(docs, idCol, textCol, isTest, c1, nTot, c2, c3)
+  }
+
   def trigramBackoffScore(
       docs: DataFrame,
       idCol: String,
@@ -386,6 +448,25 @@ object Text {
       )
       .groupBy("tg")
       .agg(count(lit(1)).as("__c3"))
+    backoffScorePositions(docs, idCol, textCol, isTest, c1, nTot, c2, c3)
+  }
+
+  /** Shared scoring stage of [[trigramBackoffScore]] /
+    * [[trigramBackoffScoreFromTables]]: explode the test-slice trigram
+    * positions and backoff-join them against the supplied train-side
+    * count tables (`c1(w, __c1)`, `nTot(__n)`, `c2(bg, __c2)`,
+    * `c3(tg, __c3)`). */
+  private def backoffScorePositions(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTest: Column,
+      c1: DataFrame,
+      nTot: DataFrame,
+      c2: DataFrame,
+      c3: DataFrame,
+  ): DataFrame = {
+    val withToks = docs.select(col(idCol), isTest.as("__test"), tokens(col(textCol)).as("__t"))
     val positions = withToks
       .filter(col("__test") && size(col("__t")) >= 3)
       .select(
@@ -1367,6 +1448,34 @@ object Text {
     * map-side (a transform over the token array — no self-join), one
     * DISTINCT aggregation over bigram types, bounded per-word
     * rollups; the bigram-type total is a broadcast 1-row aggregate. */
+  /** [[knContinuationCounts]] over a prebuilt
+    * [[NgramCounts.NgramTables]] artifact: the distinct bigram TYPES
+    * are exactly the rows of the bigram count table (summed over the
+    * slice flag), and the unigram counts its marginal — so the whole
+    * operator becomes vocabulary-sized re-aggregations with no corpus
+    * scan at all. Bit-identical to [[knContinuationCounts]] (OpsSpec
+    * equality pin). */
+  def knContinuationCountsFromTables(t: NgramCounts.NgramTables): DataFrame = {
+    // one row per distinct bigram type; consumed thrice (total, left,
+    // right) — tiny, but checkpoint so the slice re-group runs once
+    val types = t.bi.select("w1", "w2").distinct().localCheckpoint()
+    val total = types.agg(count(lit(1)).as("__t"))
+    val uni   = t.uni.groupBy(col("w").as("word")).agg(sum(col("c")).as("c"))
+    val left  = types.groupBy(col("w2").as("word")).agg(count(lit(1)).as("n_left"))
+    val right = types.groupBy(col("w1").as("word")).agg(count(lit(1)).as("n_right"))
+    uni
+      .join(left, Seq("word"), "left")
+      .join(right, Seq("word"), "left")
+      .crossJoin(broadcast(total))
+      .select(
+        col("word"),
+        col("c"),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"),
+        expr("coalesce(n_left, 0L) * 1000000L div __t").as("pcont_ppm"),
+      )
+  }
+
   def knContinuationCounts(docs: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     val bigrams = docs
@@ -1420,12 +1529,19 @@ object Text {
     * unigram table, [[shingles]] for the n-gram tables GT smoothing is
     * usually applied to (low-r mass lives in the n-gram space; a
     * bounded word vocabulary may have no rare types at all). */
-  def freqOfFreqs(docs: DataFrame, termsCol: Column, maxR: Int): DataFrame = {
+  def freqOfFreqs(docs: DataFrame, termsCol: Column, maxR: Int): DataFrame =
+    freqOfFreqsFromTermCounts(
+      docs.select(explode(termsCol).as("tok")).groupBy("tok").agg(count(lit(1)).as("r")),
+      maxR,
+    )
+
+  /** [[freqOfFreqs]] over a prebuilt per-term count table (column `r`
+    * = the term's full-corpus count) — e.g. the trigram table of a
+    * [[NgramCounts.NgramTables]] artifact summed over its slice flag.
+    * This is the whole operator minus the corpus census, which is the
+    * part a production pipeline writes once. */
+  def freqOfFreqsFromTermCounts(counts: DataFrame, maxR: Int): DataFrame = {
     require(maxR >= 1, s"maxR must be >= 1, got $maxR")
-    val counts = docs
-      .select(explode(termsCol).as("tok"))
-      .groupBy("tok")
-      .agg(count(lit(1)).as("r"))
     // ≤ maxR+1 rows, consumed twice (base + shifted self-join):
     // checkpoint so the corpus-sized term aggregation runs ONCE, not
     // once per consumer.

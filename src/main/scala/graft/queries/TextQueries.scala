@@ -547,7 +547,7 @@ object TextQueries {
       |FROM bw JOIN c2 USING (bg) JOIN c1 USING (w1)
       |GROUP BY doc_id""".stripMargin,
   ) { (s, d) =>
-    graft.ops.Text.bigramLmScore(documents(s, d), "doc_id", "text")
+    graft.ops.Text.bigramLmScoreFromTables(documents(s, d), "doc_id", "text", lmTables(s, d))
   }
 
   /** The k-round BPE oracle: each round is a pair-count CTE, a 1-row
@@ -638,20 +638,55 @@ object TextQueries {
 
   private val bpeMergeConsumers = Set("txt_bpe_tokenize", "txt_bpe_fertility")
 
-  /** Same contract as [[MiscQueries.prewarmShared]]: train the shared
-    * BPE merge table under the bench's `shared_build` accounting when
-    * any consumer gate is selected. (txt_bpe_merges is NOT a consumer:
+  /** The shared n-gram count-table artifact
+    * ([[graft.ops.NgramCounts]]) — the write-once n-gram store the LM
+    * family reads instead of each gate re-censusing the corpus. Sliced
+    * with the txt_trigram_backoff held-out predicate (`doc_id % 10 =
+    * 0`), which is therefore part of the artifact's identity; every
+    * other consumer sums over the flag. Persisted + materialized once
+    * per (session, corpus). */
+  private val lmTablesCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), graft.ops.NgramCounts.NgramTables]
+
+  private[queries] def lmTables(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): graft.ops.NgramCounts.NgramTables =
+    lmTablesCache.getOrElseUpdate(
+      (s, d),
+      graft.ops.NgramCounts
+        .build(documents(s, d), "text", expr("doc_id % 10 = 0"))
+        .persistAll(),
+    )
+
+  private val lmTableConsumers = Set(
+    "txt_bigram_lm_score", "txt_lm_prune", "txt_trigram_backoff",
+    "txt_freq_of_freqs", "txt_kn_counts")
+
+  /** Same contract as [[MiscQueries.prewarmShared]]: build the shared
+    * artifacts under the bench's `shared_build` accounting when any
+    * consumer gate is selected. (txt_bpe_merges is NOT a BPE consumer:
     * it gates [[graft.ops.Bpe.learnMerges]] itself, live.) */
   def prewarmShared(
       s: org.apache.spark.sql.SparkSession,
       d: String,
       selected: Option[Set[String]] = None,
-  ): Seq[(String, Double)] =
-    if (selected.forall(sel => (sel & bpeMergeConsumers).nonEmpty)) {
-      val t0 = System.nanoTime()
-      learnedMerges8(s, d)
-      Seq("bpe_merge_table" -> (System.nanoTime() - t0) / 1e9)
-    } else Seq.empty
+  ): Seq[(String, Double)] = {
+    val bpe =
+      if (selected.forall(sel => (sel & bpeMergeConsumers).nonEmpty)) {
+        val t0 = System.nanoTime()
+        learnedMerges8(s, d)
+        Seq("bpe_merge_table" -> (System.nanoTime() - t0) / 1e9)
+      } else Seq.empty
+    val lm =
+      if (selected.forall(sel => (sel & lmTableConsumers).nonEmpty)) {
+        val t0 = System.nanoTime()
+        lmTables(s, d)
+        Seq("ngram_count_tables" -> (System.nanoTime() - t0) / 1e9)
+      } else Seq.empty
+    bpe ++ lm
+  }
 
   /** BPE vocabulary induction ([[graft.ops.Bpe.learnMerges]]): the
     * first 8 merges learned from the corpus's word-frequency table,
@@ -796,7 +831,9 @@ object TextQueries {
       |SELECT sc.doc_id, sc.lm_score_ppm FROM sc, th WHERE sc.lm_score_ppm >= th.t""".stripMargin,
   ) { (s, d) =>
     graft.ops.Text.pruneByScoreQuantile(
-      graft.ops.Text.bigramLmScore(documents(s, d), "doc_id", "text").select("doc_id", "lm_score_ppm"),
+      graft.ops.Text
+        .bigramLmScoreFromTables(documents(s, d), "doc_id", "text", lmTables(s, d))
+        .select("doc_id", "lm_score_ppm"),
       "lm_score_ppm",
       quantilePpm = 100000L,
     )
@@ -1356,7 +1393,9 @@ object TextQueries {
       |  CAST(sum(p) // count(*) AS BIGINT) AS lm_score_ppm
       |FROM p GROUP BY 1""".stripMargin,
   ) { (s, d) =>
-    graft.ops.Text.trigramBackoffScore(documents(s, d), "doc_id", "text", expr("doc_id % 10 = 0"))
+    graft.ops.Text
+      .trigramBackoffScoreFromTables(
+        documents(s, d), "doc_id", "text", expr("doc_id % 10 = 0"), lmTables(s, d))
   }
 
   /** Good–Turing frequency-of-frequencies ([[graft.ops.Text.freqOfFreqs]])
@@ -1377,8 +1416,10 @@ object TextQueries {
       |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
       |WHERE a.r <= 10""".stripMargin,
   ) { (s, d) =>
-    import graft.ops.Text
-    Text.freqOfFreqs(documents(s, d), Text.shingles(Text.tokens(col("text")), 3), maxR = 10)
+    graft.ops.Text.freqOfFreqsFromTermCounts(
+      lmTables(s, d).tri.groupBy("tg").agg(sum(col("c")).as("r")),
+      maxR = 10,
+    )
   }
 
   /** Kneser–Ney continuation counts
@@ -1403,7 +1444,7 @@ object TextQueries {
       |  CAST(coalesce(l.n_left, 0) * 1000000 // tt.t AS BIGINT) AS pcont_ppm
       |FROM u LEFT JOIN l USING (word) LEFT JOIN r USING (word) CROSS JOIN tt""".stripMargin,
   ) { (s, d) =>
-    graft.ops.Text.knContinuationCounts(documents(s, d), "text")
+    graft.ops.Text.knContinuationCountsFromTables(lmTables(s, d))
   }
 
   val all: Seq[Q] =

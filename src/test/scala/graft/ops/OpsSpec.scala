@@ -3024,6 +3024,36 @@ class OpsSpec extends AnyFunSuite {
     assert(got("san") === ((3L, 0L, 1L, 0L)))             // never follows anything
   }
 
+  test("NgramCounts.FromTables variants are bit-identical to the direct forms") {
+    // mixed doc sizes (0/1/2/3+ tokens), repeated grams, and a
+    // held-out slice that actually splits the corpus
+    val docs = Seq(
+      (0L, "a b c a b c d"),
+      (1L, "b c d d"),
+      (2L, "x"),
+      (3L, ""),
+      (10L, "a b c x y z"), // test slice (doc_id % 10 = 0 picks 0 and 10)
+      (11L, "c d a b"),
+    ).toDF("doc_id", "text")
+    val isTest = expr("doc_id % 10 = 0")
+    val t      = graft.ops.NgramCounts.build(docs, "text", isTest)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(
+      rows(Text.bigramLmScoreFromTables(docs, "doc_id", "text", t)) ===
+        rows(Text.bigramLmScore(docs, "doc_id", "text")))
+    assert(
+      rows(Text.trigramBackoffScoreFromTables(docs, "doc_id", "text", isTest, t)) ===
+        rows(Text.trigramBackoffScore(docs, "doc_id", "text", isTest)))
+    assert(
+      rows(Text.knContinuationCountsFromTables(t)) ===
+        rows(Text.knContinuationCounts(docs, "text")))
+    assert(
+      rows(Text.freqOfFreqsFromTermCounts(
+        t.tri.groupBy("tg").agg(sum(col("c")).as("r")), maxR = 3)) ===
+        rows(Text.freqOfFreqs(docs, Text.shingles(Text.tokens(col("text")), 3), maxR = 3)))
+  }
+
   test("Text.freqOfFreqs: count-of-counts with Good-Turing ppm; gap gives null") {
     // tokens: a:2 b:2 c:2 d:1 -> N_1=1, N_2=3; GT r*=1: (1+1)*N_2/N_1 = 6.
     val docs = Seq("a a b b c", "c d").toDF("text")
