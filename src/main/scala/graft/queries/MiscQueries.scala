@@ -962,6 +962,24 @@ object MiscQueries {
     )
   }
 
+  /** xxhash64 production twin of `misc_bootstrap_ci`
+    * ([[graft.ops.Stats.bootstrapMeanCiXx]]): same Poisson bootstrap,
+    * the draw from xxhash64's 24-bit windows (~17× cheaper per digest
+    * than md5). DuckDB has no xxhash64, so no cross-engine replay —
+    * rows-only here, the resample machinery exact-oracled by the md5
+    * twin, and the OpsSpec pins determinism + the n/mean/b_count
+    * identity against the md5 twin's point fields. */
+  private val bootstrapCiXxQ = Q.noOracle("misc_bootstrap_ci_xx") { (s, d) =>
+    graft.ops.Stats.bootstrapMeanCiXx(
+      orders(s, d),
+      col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+      b = 100,
+      ppmLo = 25000L,
+      ppmHi = 975000L,
+    )
+  }
+
   /** WEIGHTED PageRank: the same integer iteration with rank
     * distributed proportionally to edge weight — here the lineitem
     * count between a supplier and customer, so heavy trade relations
@@ -2566,5 +2584,5 @@ object MiscQueries {
       labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint,
       kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ,
       samplePps, hitsTrade, ksQ, mannWhitneyQ, spearmanQ, cramersVQ, diameterSweepQ,
-      hilbertKeyQ, bootstrapCiQ, rfmScoresQ, stumpGiniQ)
+      hilbertKeyQ, bootstrapCiQ, bootstrapCiXxQ, rfmScoresQ, stumpGiniQ)
 }

@@ -3180,6 +3180,23 @@ class OpsSpec extends AnyFunSuite {
       .bootstrapMeanCi(df, col("id"), col("v"), b = 50, ppmLo = 25000L, ppmHi = 975000L)
       .collect().head
     assert(r2 === r)
+    // xxhash64 production twin: same point fields (n, mean, resample
+    // count), a valid bracketing CI in the same mean range, and the
+    // same no-RNG determinism. The CI endpoints themselves differ (a
+    // different uniform stream is a different resample set).
+    val x = Stats
+      .bootstrapMeanCiXx(df, col("id"), col("v"), b = 50, ppmLo = 25000L, ppmHi = 975000L)
+      .collect().head
+    assert(x.getAs[Long]("n") === r.getAs[Long]("n"))
+    assert(x.getAs[Long]("mean_ppm") === r.getAs[Long]("mean_ppm"))
+    assert(x.getAs[Long]("b_count") === 50L)
+    val (xlo, xhi) = (x.getAs[Long]("ci_lo_ppm"), x.getAs[Long]("ci_hi_ppm"))
+    assert(xlo <= pt && pt <= xhi, s"xx CI [$xlo, $xhi] must bracket the point mean $pt")
+    assert(xlo > 100000000L && xhi < 107000000L)
+    val x2 = Stats
+      .bootstrapMeanCiXx(df, col("id"), col("v"), b = 50, ppmLo = 25000L, ppmHi = 975000L)
+      .collect().head
+    assert(x2 === x)
   }
 
   test("Graph.diameterSweep: path graph finds the true diameter; hop budget clips it") {
