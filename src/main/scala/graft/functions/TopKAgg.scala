@@ -30,9 +30,13 @@ object TopKAgg {
   private def ord: Ordering[Entry] =
     Ordering.by[Entry, (Double, Long)] { case (id, score) => (-score, id) }
 
-  def aggregator(k: Int): Aggregator[Entry, Buf, Array[Long]] = {
+  private def baseAggregator[OUT](
+      k: Int,
+      fin: Buf => OUT,
+      outEnc: Encoder[OUT],
+  ): Aggregator[Entry, Buf, OUT] = {
     require(k >= 1, s"top-k requires k >= 1, got $k")
-    new Aggregator[Entry, Buf, Array[Long]] {
+    new Aggregator[Entry, Buf, OUT] {
       override def zero: Buf = Buf(Nil)
 
       // single linear ordered insert into an (already sorted) <=k list;
@@ -55,17 +59,42 @@ object TopKAgg {
         b1
       }
 
-      override def finish(r: Buf): Array[Long] = r.entries.map(_._1).toArray
+      override def finish(r: Buf): OUT = fin(r)
 
       override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
-      override def outputEncoder: Encoder[Array[Long]] =
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+      override def outputEncoder: Encoder[OUT] = outEnc
     }
   }
+
+  def aggregator(k: Int): Aggregator[Entry, Buf, Array[Long]] =
+    baseAggregator(
+      k,
+      _.entries.map(_._1).toArray,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+    )
+
+  /** The ids-AND-scores twin of [[aggregator]] — same k-bounded buffer
+    * and merge, the finish keeps the (id, score) entries so a consumer
+    * can rebuild ranked ROWS (the incremental top-k maintenance state,
+    * [[graft.ops.Ivm.topKMaintain]]'s streaming form) without a
+    * score-lookup join back to the corpus. */
+  def entriesAggregator(k: Int): Aggregator[Entry, Buf, Array[Entry]] =
+    baseAggregator(
+      k,
+      _.entries.toArray,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Entry]](),
+    )
 
   /** Column API: `top_k_ids(struct(id, score))` per group. */
   def top_k_ids(k: Int)(id: Column, score: Column): Column = {
     val fn = udaf(aggregator(k), Encoders.product[Entry])
+    fn(id, score)
+  }
+
+  /** Column API: sorted array of `(id, score)` structs (fields `_1`,
+    * `_2`), top score first. */
+  def top_k_entries(k: Int)(id: Column, score: Column): Column = {
+    val fn = udaf(entriesAggregator(k), Encoders.product[Entry])
     fn(id, score)
   }
 }

@@ -942,6 +942,38 @@ object StreamingQueries {
     * stateful-aggregation store). State per key is k entries, never
     * the group; the final complete-mode table must equal the batch
     * ordered-list oracle exactly. */
+  /** Streaming incremental top-k MAINTENANCE — the streaming twin of
+    * `rel_topk_incremental_maintain` ([[graft.ops.Ivm.topKMaintain]]):
+    * a GLOBAL leaderboard whose k-row state is merged with each
+    * micro-batch's delta through the stateful aggregation store (the
+    * same monotone-pruning identity: the new top-k ⊆ stored top-k ∪
+    * delta, enforced here by [[graft.functions.TopKAgg]]'s k-bounded
+    * buffer). The entries variant keeps (id, score) so the final state
+    * rebuilds ranked ROWS without a score-lookup join; oracle is the
+    * full batch recompute with the same (value DESC, id) total order. */
+  private val topkMaintainStream = Q(
+    "stream_topk_maintain",
+    """SELECT event_id, value,
+      |  CAST(row_number() OVER (ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+      |FROM events ORDER BY value DESC, event_id LIMIT 10""".stripMargin,
+  ) { (s, d) =>
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    val stream = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+    val agg = stream.agg(
+      graft.functions.TopKAgg.top_k_entries(10)(col("event_id"), col("value")).as("top"))
+    runCompleteStream(s, agg, "topkmaint")
+      .localCheckpoint()
+      .select(posexplode(col("top")).as(Seq("__i", "__e")))
+      .select(
+        col("__e._1").as("event_id"),
+        col("__e._2").as("value"),
+        (col("__i") + 1).cast("long").as("rnk"),
+      )
+  }
+
   private val topkStream = Q(
     "stream_topk",
     """SELECT event_type,
@@ -1238,5 +1270,5 @@ object StreamingQueries {
       decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream,
       cmsStream, bpeDriftStream, rateAnomalyStream, profileStream, distDriftStream, ivmStream,
       cusumStream, ewmaStream, holtStream, holtWintersStream, seasonalStream, topkStream,
-      approxDistinctStream)
+      topkMaintainStream, approxDistinctStream)
 }

@@ -46,6 +46,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(top === List(96L, 193L))
   }
 
+  test("TopKAgg.top_k_entries: same buffer, entries carry the scores") {
+    val df = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (4L, 1.0)).toDF("id", "s")
+    val got = df
+      .agg(TopKAgg.top_k_entries(3)(col("id"), col("s")).as("top"))
+      .head()
+      .getAs[Seq[org.apache.spark.sql.Row]]("top")
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .toList
+    // (score desc, id asc): the 9.0 tie orders 2 before 3
+    assert(got === List((2L, 9.0), (3L, 9.0), (1L, 5.0)))
+  }
+
   test("ShingleGen generator rows equal the shingle_set+explode form on real documents") {
     ShingleGen.registerOn(spark)
     ShingleSetExpr.registerOn(spark, Seq(3))
