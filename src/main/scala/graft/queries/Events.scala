@@ -814,6 +814,55 @@ object Events {
       |SELECT key, hour_ts, n, CAST(s AS BIGINT) AS s_scaled, s > 8 * total AS alarm
       |FROM rec""".stripMargin
 
+  /** Kleinberg 2-state burst detection over per-user inter-arrival
+    * gaps ([[graft.ops.Burst.kleinberg2]]): the exact-integer Viterbi
+    * — per-gap state-cost difference (n·g·10⁶ div T) − ⌊10⁶·ln 2⌋,
+    * transition cost γ·⌊log₂ n⌋·⌊10⁶·ln 2⌋ — replayed by the oracle
+    * as a forward recursive CTE carrying both state costs plus the
+    * recorded back-pointers, then a backward recursive CTE walking
+    * them from the cheaper final state. Exact equality on gaps, costs,
+    * AND the optimal burst labeling. */
+  private val burstDetectQ = Q(
+    "evt_burst_detect",
+    s"""WITH RECURSIVE
+       |seq AS (SELECT user_id AS key, ts,
+       |          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       |          count(*) OVER (PARTITION BY user_id) AS cnt
+       |        FROM events),
+       |g AS (SELECT a.key, CAST(a.rn AS BIGINT) AS pos, epoch_us(b.ts) - epoch_us(a.ts) AS gap
+       |      FROM seq a JOIN seq b ON b.key = a.key AND b.rn = a.rn + 1
+       |      WHERE a.cnt >= 3),
+       |par AS (SELECT key, count(*) AS n, sum(gap) AS tt,
+       |          (length(bin(CAST(count(*) AS BIGINT))) - 1) * ${graft.ops.Burst.ln2Ppm} AS tau
+       |        FROM g GROUP BY 1 HAVING sum(gap) > 0),
+       |es AS (SELECT g.key, g.pos, g.gap, p.tau,
+       |         CAST((CAST(p.n AS HUGEINT) * g.gap * 1000000) // p.tt
+       |              - ${graft.ops.Burst.ln2Ppm} AS BIGINT) AS e
+       |       FROM g JOIN par p USING (key)),
+       |fwd AS (
+       |  SELECT key, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS c0,
+       |         CAST(${graft.ops.Burst.inf} AS BIGINT) AS c1, TRUE AS f0, TRUE AS f1
+       |  FROM par
+       |  UNION ALL
+       |  SELECT e.key, e.pos, least(f.c0, f.c1),
+       |         least(f.c0 + e.tau, f.c1) + e.e,
+       |         f.c0 <= f.c1, f.c0 + e.tau < f.c1
+       |  FROM fwd f JOIN es e ON e.key = f.key AND e.pos = f.pos + 1),
+       |bwd AS (
+       |  SELECT f.key, p.n AS pos, CASE WHEN f.c0 <= f.c1 THEN 0 ELSE 1 END AS st
+       |  FROM fwd f JOIN par p ON p.key = f.key AND f.pos = p.n
+       |  UNION ALL
+       |  SELECT b.key, b.pos - 1,
+       |         CASE WHEN b.st = 0 THEN (CASE WHEN f.f0 THEN 0 ELSE 1 END)
+       |              ELSE (CASE WHEN f.f1 THEN 0 ELSE 1 END) END
+       |  FROM bwd b JOIN fwd f ON f.key = b.key AND f.pos = b.pos
+       |  WHERE b.pos >= 2)
+       |SELECT e.key, e.pos, e.gap AS gap_us, e.e AS e_ppm, b.st = 1 AS burst
+       |FROM es e JOIN bwd b ON b.key = e.key AND b.pos = e.pos""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Burst.kleinberg2(events(s, d), "user_id", "ts", "event_id")
+  }
+
   private val cusumChangepointQ = Q("evt_cusum_changepoint", cusumSql) { (s, d) =>
     Timeseries.cusumHourly(events(s, d), "event_type", "ts", slackNum = 5, slackDen = 4,
       thresholdMult = 2)
@@ -1226,6 +1275,7 @@ object Events {
 
   val all: Seq[Q] = Seq(
     resampleLocfQ,
+    burstDetectQ,
     cusumChangepointQ,
     ewmaHourlyQ,
     holtHourlyQ,

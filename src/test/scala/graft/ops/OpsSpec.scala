@@ -3199,6 +3199,38 @@ class OpsSpec extends AnyFunSuite {
     assert(x2 === x)
   }
 
+  test("Burst.kleinberg2: hand-checked Viterbi - six tight gaps burst, entering costs tau") {
+    // events at 0,8,16,17,18,19,20,21,22,30 s: gaps 8,8,1,1,1,1,1,1,8;
+    // n=9, T=30s, tau = 3*693147 = 2079441.
+    // e(8s) = 9*8e12 div 30e6 - 693147 = 1706853; e(1s) = -393147.
+    // Optimal path (worked by hand): 0,0,1,1,1,1,1,1,0.
+    val ts = Seq(0L, 8L, 16L, 17L, 18L, 19L, 20L, 21L, 22L, 30L).map(_ * 1000000L)
+    val df = ts.zipWithIndex
+      .map { case (t, i) => (1L, t, i.toLong) }
+      .toDF("k", "us", "eid")
+      .withColumn("ts", timestamp_micros(col("us")))
+      // degenerate keys: 2 events (no gaps to model) and zero span
+      .unionByName(
+        Seq((2L, 0L, 100L), (2L, 1000000L, 101L), (3L, 5L, 200L), (3L, 5L, 201L), (3L, 5L, 202L))
+          .toDF("k", "us", "eid")
+          .withColumn("ts", timestamp_micros(col("us"))))
+    val got = Burst
+      .kleinberg2(df, "k", "ts", "eid")
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("key"), r.getAs[Long]("pos")) ->
+          (r.getAs[Long]("gap_us"), r.getAs[Long]("e_ppm"), r.getAs[Boolean]("burst")))
+      .toMap
+    assert(got.keys.map(_._1).toSet === Set(1L)) // keys 2 and 3 dropped
+    assert(got.size === 9)
+    assert(got((1L, 1L)) === ((8000000L, 1706853L, false)))
+    assert(got((1L, 2L)) === ((8000000L, 1706853L, false)))
+    (3L to 8L).foreach { p =>
+      assert(got((1L, p)) === ((1000000L, -393147L, true)), s"pos $p should burst")
+    }
+    assert(got((1L, 9L)) === ((8000000L, 1706853L, false)))
+  }
+
   test("Graph.diameterSweep: path graph finds the true diameter; hop budget clips it") {
     // path 1-2-3-4-5: seed=1, ecc(1)=4, peripheral=5, ecc(5)=4 = diameter
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
