@@ -889,33 +889,56 @@ object Stats {
       epochDayCol: Column,
       valueCol: Column,
       k: Int = 5,
+  ): DataFrame =
+    quantileScores(
+      df,
+      entityCol,
+      Seq(
+        "r" -> max(epochDayCol),
+        "f" -> count(lit(1)),
+        "m" -> sum(valueCol.cast("decimal(38,0)")).cast("long"),
+      ),
+      k,
+    ).withColumnRenamed("cell", "rfm")
+
+  /** [[rfmScores]] generalized to ANY list of score dimensions — the
+    * reusable n-dimensional quantile-scoring operator: one groupBy
+    * builds the per-entity raw vector from the caller's aggregate
+    * expressions, each dimension is scored 1..k by equi-depth rank
+    * over its OWN value histogram ([[bucketLookup]] — tiered, safe on
+    * continuous domains), and the scores concatenate into a decimal
+    * `cell` (first dimension = most significant digit). Ties share a
+    * score (rank-of-value, not row shuffling) — deterministic and
+    * engine-replayable. Output: `(entity, <dim>_raw..., <dim>_score...,
+    * cell)` in the dims order. */
+  def quantileScores(
+      df: DataFrame,
+      entityCol: Column,
+      dims: Seq[(String, Column)],
+      k: Int = 5,
   ): DataFrame = {
     require(1 <= k && k <= 9, s"k must be in [1, 9] for the concatenated cell, got $k")
+    require(dims.nonEmpty && dims.size <= 18, s"need 1..18 dims (cell is a LONG), got ${dims.size}")
     val base = df
       .groupBy(entityCol.as("entity"))
       .agg(
-        max(epochDayCol).as("r_raw"),
-        count(lit(1)).as("f_raw"),
-        sum(valueCol.cast("decimal(38,0)")).cast("long").as("m_raw"),
+        dims.head._2.as(s"${dims.head._1}_raw"),
+        dims.tail.map { case (n, c) => c.as(s"${n}_raw") }: _*,
       )
-      .localCheckpoint() // feeds three bucket lookups + the join spine
-    def scored(raw: String, score: String) =
-      bucketLookup(base, col(raw), k)
-        .select(col("__s").as(raw), (col("__bucket") + 1L).as(score))
-    base
-      .join(scored("r_raw", "r_score"), Seq("r_raw"))
-      .join(scored("f_raw", "f_score"), Seq("f_raw"))
-      .join(scored("m_raw", "m_score"), Seq("m_raw"))
-      .select(
-        col("entity"),
-        col("r_raw"),
-        col("f_raw"),
-        col("m_raw"),
-        col("r_score"),
-        col("f_score"),
-        col("m_score"),
-        (col("r_score") * 100L + col("f_score") * 10L + col("m_score")).as("rfm"),
+      .localCheckpoint() // feeds one bucket lookup per dim + the join spine
+    val joined = dims.foldLeft(base) { case (acc, (n, _)) =>
+      acc.join(
+        bucketLookup(base, col(s"${n}_raw"), k)
+          .select(col("__s").as(s"${n}_raw"), (col("__bucket") + 1L).as(s"${n}_score")),
+        Seq(s"${n}_raw"),
       )
+    }
+    val cell = dims.map(d => col(s"${d._1}_score")).reduceLeft(_ * 10L + _)
+    joined.select(
+      col("entity") +:
+        (dims.map(d => col(s"${d._1}_raw")) ++
+          dims.map(d => col(s"${d._1}_score")) :+ cell.as("cell")): _*
+    )
   }
 
   /** Poisson(1) inverse-CDF thresholds as 6-hex-char strings (24-bit

@@ -709,6 +709,53 @@ object MiscQueries {
     )
   }
 
+  /** N-dimensional quantile scoring
+    * ([[graft.ops.Stats.quantileScores]]) — the [[graft.ops.Stats.rfmScores]]
+    * generalization at 4 dimensions: recency, frequency, monetary,
+    * plus mean order value (an intensity axis RFM's monetary total
+    * conflates with frequency). Each axis scored 1..5 by equi-depth
+    * rank over its own histogram; 4-digit cell. */
+  private val quantileScoresQ = Q(
+    "misc_quantile_scores",
+    """WITH base AS (
+      |  SELECT o_custkey AS entity,
+      |    CAST(max(date_diff('day', DATE '1970-01-01', o_orderdate)) AS BIGINT) AS r_raw,
+      |    count(*) AS f_raw,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_raw,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // count(*) AS BIGINT) AS a_raw
+      |  FROM orders GROUP BY 1),
+      |s AS (
+      |  SELECT entity, r_raw, f_raw, m_raw, a_raw,
+      |    ((rank() OVER (ORDER BY r_raw) - 1) * 5) // (count(*) OVER ()) + 1 AS r_score,
+      |    ((rank() OVER (ORDER BY f_raw) - 1) * 5) // (count(*) OVER ()) + 1 AS f_score,
+      |    ((rank() OVER (ORDER BY m_raw) - 1) * 5) // (count(*) OVER ()) + 1 AS m_score,
+      |    ((rank() OVER (ORDER BY a_raw) - 1) * 5) // (count(*) OVER ()) + 1 AS a_score
+      |  FROM base)
+      |SELECT entity, r_raw, f_raw, m_raw, a_raw,
+      |  CAST(r_score AS BIGINT) AS r_score,
+      |  CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  CAST(a_score AS BIGINT) AS a_score,
+      |  CAST(r_score * 1000 + f_score * 100 + m_score * 10 + a_score AS BIGINT) AS cell
+      |FROM s""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Stats.quantileScores(
+      orders(s, d),
+      col("o_custkey"),
+      Seq(
+        "r" -> max(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")),
+        "f" -> count(lit(1)),
+        // DECIMAL accumulation (the rfmScores discipline): a BIGINT sum
+        // would be ANSI-overflowable at untested SFs
+        "m" -> expr(
+          "CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS BIGINT)"),
+        "a" -> expr(
+          "CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) div count(1) AS BIGINT)"),
+      ),
+      k = 5,
+    )
+  }
+
   /** Decision-stump Gini feature screening
     * ([[graft.ops.Stats.stumpGini]]): which categorical lineitem
     * attribute best separates high-value line items on its own (the
@@ -2584,5 +2631,5 @@ object MiscQueries {
       labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint,
       kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ,
       samplePps, hitsTrade, ksQ, mannWhitneyQ, spearmanQ, cramersVQ, diameterSweepQ,
-      hilbertKeyQ, bootstrapCiQ, bootstrapCiXxQ, rfmScoresQ, stumpGiniQ)
+      hilbertKeyQ, bootstrapCiQ, bootstrapCiXxQ, rfmScoresQ, quantileScoresQ, stumpGiniQ)
 }
