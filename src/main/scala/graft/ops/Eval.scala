@@ -113,6 +113,71 @@ object Eval {
     *               rnk 1-based, rnk ≤ k.
     * @return one row per query: (q_id, n_rel, hits, ap_num, ap_den);
     *         AP = ap_num / ap_den, 0 hits → ap_num 0. */
+  /** ⌊10⁹ / log₂(i+1)⌋ for rank i = 1..10 — the NDCG discount ladder
+    * as PINNED integer constants (the Benford / ln2 precedent: the one
+    * transcendental is evaluated once at 40-digit precision and
+    * hardcoded identically in both engines — no query-time float log).
+    * Shared verbatim by the Spark side and [[ndcgDiscountSql]]. */
+  val ndcgDiscounts: Seq[Long] = Seq(
+    1000000000L, 630929753L, 500000000L, 430676558L, 386852807L,
+    356207187L, 333333333L, 315464876L, 301029995L, 289064826L,
+  )
+
+  /** The oracle fragment replaying the discount lookup: `rnkExpr` is a
+    * 1-based rank ≤ k. */
+  def ndcgDiscountSql(rnkExpr: String, k: Int): String =
+    ndcgDiscounts
+      .take(k)
+      .zipWithIndex
+      .map { case (d, i) => s"WHEN $rnkExpr = ${i + 1} THEN $d" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** NDCG@k with binary relevance, per query — the position-weighted
+    * retrieval eval between [[reciprocalRank]] (only the first hit
+    * counts) and [[averagePrecision]] (all hits, precision-weighted):
+    * DCG = Σ over hit ranks i of 1/log₂(i+1), IDCG the same sum over
+    * the first min(|relevant|, k) ranks (the perfect ranking), both
+    * evaluated on the pinned integer ladder [[ndcgDiscounts]], so the
+    * statistic is exact given the table and bit-replayable. Shape: one
+    * equi-join of the ≤|Q|·k ranking against the truth set + two
+    * bounded aggregations — nothing corpus-sized moves.
+    *
+    * @param truth  (q_id, n_id): the relevant set per query.
+    * @param ranked (q_id, n_id, rnk): the ranking under test, rnk ≤ k.
+    * @return one row per query: (q_id, n_rel, hits, dcg, idcg,
+    *         ndcg_ppm) — ndcg_ppm = dcg·10⁶ div idcg, 0 on no hits. */
+  def ndcgAtK(truth: DataFrame, ranked: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= ndcgDiscounts.size, s"k must be in [1, ${ndcgDiscounts.size}], got $k")
+    val disc = ndcgDiscounts
+      .take(k)
+      .zipWithIndex
+      .foldRight(lit(0L)) { case ((d, i), e) => when(col("rnk") === (i + 1), d).otherwise(e) }
+    val dcg = ranked
+      .select(col("q_id"), col("n_id"), col("rnk"))
+      .filter(col("rnk") <= k)
+      .join(truth.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("hits"), sum(disc).as("dcg"))
+    // IDCG = prefix sum of the ladder at min(n_rel, k) — a k-way CASE
+    // on the bounded per-query relevant count, no ranking needed
+    val prefix = ndcgDiscounts.take(k).scanLeft(0L)(_ + _).tail // prefix sums 1..k
+    val idcg = prefix.zipWithIndex.foldRight(lit(prefix.last)) { case ((p, i), e) =>
+      when(least(col("n_rel"), lit(k.toLong)) === (i + 1), p).otherwise(e)
+    }
+    truth
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_rel"))
+      .join(dcg, Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("dcg"), lit(0L)).as("dcg"),
+        idcg.as("idcg"),
+      )
+      .withColumn("ndcg_ppm", expr("dcg * 1000000L div idcg"))
+  }
+
   def averagePrecision(truth: DataFrame, ranked: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 20, s"k must be in [1, 20], got $k")
     val scale = (1 to k).foldLeft(1L)((l, i) => l / gcd(l, i) * i) // lcm(1..k)

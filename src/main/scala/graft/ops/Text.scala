@@ -790,6 +790,74 @@ object Text {
     * returned k rows get their rank from a window over k rows.
     * Documents shorter than 2 tokens contribute no bigrams (same
     * semantics as the oracle's empty generate_series). */
+  /** Stopword list for [[rakeKeywords]] — pinned and shared verbatim
+    * with the oracle's IN-list (the [[langMarkers]] convention):
+    * candidate phrases are the maximal runs BETWEEN these function
+    * words. */
+  val rakeStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "for", "on", "with", "as",
+    "was", "at", "by", "that", "this", "are", "be", "or", "from", "but", "not", "have", "has",
+  )
+
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents") — the classic
+    * degree/frequency keyword scorer, integer-exact: candidate phrases
+    * are maximal non-stopword token runs; per document each word gets
+    * freq(w) = its occurrence count in phrases and deg(w) = Σ over its
+    * occurrences of the containing phrase's length (RAKE's
+    * co-occurrence degree); word score = deg·10⁶ div freq (floored
+    * per word, the defined order); a phrase scores the sum of its
+    * words' scores (with multiplicity) and the top `topK` DISTINCT
+    * phrases per document win, ties by phrase text.
+    *
+    * Scale shape: one tokenize pass; the phrase segmentation is a
+    * per-document running count of stopword positions (a per-doc
+    * window over token rows — partition-bounded by document length,
+    * never corpus-wide); two keyed aggregations (phrase table,
+    * word-stat table, both ≤ token count) and a k-bounded rank window.
+    *
+    * @return (doc_id, phrase, n_words, score_ppm, rnk). */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val stopArr = array(rakeStopwords.map(lit(_)): _*)
+    val toksDf = docs.select(
+      col(idCol).as("doc_id"),
+      posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "w")),
+    )
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val occ = toksDf
+      .withColumn("__stop", array_contains(stopArr, col("w")))
+      .withColumn("ph", sum(when(col("__stop"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("__stop"))
+      .select("doc_id", "ph", "pos", "w")
+    val plen = occ.groupBy("doc_id", "ph").agg(count(lit(1)).as("plen"))
+    val wstat = occ
+      .join(plen, Seq("doc_id", "ph"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore", expr("deg * 1000000L div freq"))
+    val phrases = occ
+      .join(wstat.select("doc_id", "w", "wscore"), Seq("doc_id", "w"))
+      .groupBy("doc_id", "ph")
+      .agg(
+        expr("array_join(transform(sort_array(collect_list(struct(pos, w))), x -> x.w), ' ')")
+          .as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("wscore")).as("score_ppm"),
+      )
+      .select("doc_id", "phrase", "n_words", "score_ppm")
+      .distinct() // identical phrase instances score identically
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score_ppm").desc, col("phrase"))
+    phrases
+      .withColumn("rnk", row_number().over(rankW).cast("long"))
+      .filter(col("rnk") <= topK)
+  }
+
   def collocations(
       docs: DataFrame,
       textCol: String,

@@ -1388,6 +1388,53 @@ object SimilarityQueries {
     graft.ops.Eval.averagePrecision(truth, ranked, k = 3)
   }
 
+  /** NDCG@3 of the IVF chain against brute-force relevance
+    * ([[graft.ops.Eval.ndcgAtK]]): the position-weighted eval beside
+    * MRR (first hit) and MAP (precision-weighted) — discounts and
+    * ideal-DCG prefix sums come from the pinned integer ladder
+    * ⌊10⁹/log₂(i+1)⌋ shared verbatim with the oracle, so the
+    * statistic is exact given the table. */
+  private val ndcgEval = Q(
+    "sim_ndcg_eval", {
+      val prefix = graft.ops.Eval.ndcgDiscounts.take(3).scanLeft(0L)(_ + _).tail
+      val idcgCase = prefix.zipWithIndex
+        .map { case (p, i) => s"WHEN least(n_rel, 3) = ${i + 1} THEN $p" }
+        .mkString("CASE ", " ", s" ELSE ${prefix.last} END")
+      s"""${annEvalChainSql("rnk <= 3")},
+         |hits AS (
+         |  SELECT i.q_id, i.rnk FROM iv i JOIN bf b ON b.q_id = i.q_id AND b.n_id = i.n_id),
+         |d AS (SELECT q_id, count(*) AS hits,
+         |        sum(${graft.ops.Eval.ndcgDiscountSql("rnk", 3)}) AS dcg
+         |      FROM hits GROUP BY 1),
+         |rel AS (SELECT q_id, count(*) AS n_rel FROM bf GROUP BY 1),
+         |j AS (
+         |  SELECT r.q_id, r.n_rel, coalesce(d.hits, 0) AS hits, coalesce(d.dcg, 0) AS dcg,
+         |    $idcgCase AS idcg
+         |  FROM rel r LEFT JOIN d ON d.q_id = r.q_id)
+         |SELECT q_id, CAST(n_rel AS BIGINT) AS n_rel, CAST(hits AS BIGINT) AS hits,
+         |  CAST(dcg AS BIGINT) AS dcg, CAST(idcg AS BIGINT) AS idcg,
+         |  CAST(dcg * 1000000 // idcg AS BIGINT) AS ndcg_ppm
+         |FROM j""".stripMargin
+    },
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    val truth = Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 3)
+      .select("q_id", "n_id")
+    val ranked = Similarity
+      .ivfTopK(
+        emb,
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+        centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16),
+        nprobe = 2,
+        queryPred = col("vec_id") < 10,
+      )
+      .select("q_id", "n_id", "rnk")
+    graft.ops.Eval.ndcgAtK(truth, ranked, k = 3)
+  }
+
   /** Matryoshka truncation eval (Kusupati 2022): recall@3 of
     * brute-force retrieval over the FIRST 4 dims against the full
     * 8-dim truth — the measurement that justifies serving truncated
@@ -1936,5 +1983,5 @@ object SimilarityQueries {
       annIvfPqSampledTopK, annIvfAppendTopK, annIvfRefreshTopK, annIvfRefreshDrift,
       annIvfPqResidualTopK, ragChunkTopK, docEmbeddingPool, annRecallEval,
       annBatchedTopK, annIvfStoredTopK, centroidConfusion, centroidEval, hardNegatives, mmrTopK,
-      mmrTopKWeighted, maxSimTopK, pcaPower, mrrEval, mapEval, matryoshkaRecall, aucEval)
+      mmrTopKWeighted, maxSimTopK, pcaPower, mrrEval, mapEval, ndcgEval, matryoshkaRecall, aucEval)
 }

@@ -1447,6 +1447,43 @@ object TextQueries {
     graft.ops.Text.knContinuationCountsFromTables(lmTables(s, d))
   }
 
+  /** RAKE keyword extraction ([[graft.ops.Text.rakeKeywords]]): top-3
+    * degree/frequency-scored candidate phrases per document; the
+    * oracle replays the segmentation (running stopword count), both
+    * count tables, the per-word floor, and the rank — stopword list
+    * shared verbatim. */
+  private val rakeKeywordsQ = Q(
+    "txt_rake_keywords", {
+      val stopList = graft.ops.Text.rakeStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM t),
+         |fl AS (SELECT doc_id, pos, toks[pos] AS w, toks[pos] IN ($stopList) AS is_stop FROM tok),
+         |seg AS (SELECT doc_id, pos, w, is_stop,
+         |          sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |            OVER (PARTITION BY doc_id ORDER BY pos) AS ph
+         |        FROM fl),
+         |occ AS (SELECT doc_id, ph, pos, w FROM seg WHERE NOT is_stop),
+         |plen AS (SELECT doc_id, ph, count(*) AS plen FROM occ GROUP BY 1, 2),
+         |wstat AS (
+         |  SELECT o.doc_id, o.w, CAST(sum(p.plen) * 1000000 // count(*) AS BIGINT) AS wscore
+         |  FROM occ o JOIN plen p USING (doc_id, ph) GROUP BY 1, 2),
+         |phr AS (
+         |  SELECT DISTINCT o.doc_id,
+         |    string_agg(o.w, ' ' ORDER BY o.pos) AS phrase,
+         |    count(*) AS n_words,
+         |    CAST(sum(s.wscore) AS BIGINT) AS score_ppm
+         |  FROM occ o JOIN wstat s ON s.doc_id = o.doc_id AND s.w = o.w
+         |  GROUP BY o.doc_id, o.ph),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                   ORDER BY score_ppm DESC, phrase) AS rnk FROM phr)
+         |SELECT doc_id, phrase, CAST(n_words AS BIGINT) AS n_words, score_ppm,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM rk WHERE rnk <= 3""".stripMargin
+    },
+  ) { (s, d) =>
+    graft.ops.Text.rakeKeywords(documents(s, d), "doc_id", "text", topK = 3)
+  }
+
   val all: Seq[Q] =
     Seq(tokenStats, bpeishTokens, quality, langIdAgreement, shingleStats, winnow, packBudget,
       repetition, tfidfTopk, rareTokens, piiMask, frequentShingles, boilerplate, qualityReportQ,
@@ -1454,5 +1491,5 @@ object TextQueries {
       packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ,
       negSamplingQ, skipGramQ, curriculumOrderQ, repeatCollapseQ, preferencePairsQ,
       featureHashQ, sentenceStatsQ, langIdKappaQ, tokenGiniQ, wordpieceQ, readabilityQ,
-      ngramOverlapQ, trigramBackoffQ, freqOfFreqsQ, knCountsQ)
+      ngramOverlapQ, trigramBackoffQ, freqOfFreqsQ, knCountsQ, rakeKeywordsQ)
 }

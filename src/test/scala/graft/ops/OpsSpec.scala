@@ -3199,6 +3199,52 @@ class OpsSpec extends AnyFunSuite {
     assert(x2 === x)
   }
 
+  test("Text.rakeKeywords: degree/frequency scoring, duplicate phrases collapse") {
+    // "deep learning of the deep networks and networks":
+    // phrases {deep learning}, {deep networks}, {networks};
+    // freq deep=2 learning=1 networks=2; deg deep=4 learning=2 networks=3;
+    // wscore deep=2e6 learning=2e6 networks=1.5e6 ->
+    // scores 4e6 / 3.5e6 / 1.5e6.
+    val docs = Seq(
+      (1L, "Deep learning of the deep networks and networks"),
+      (2L, "alpha beta and alpha beta"),
+    ).toDF("doc_id", "text")
+    val got = Text
+      .rakeKeywords(docs, "doc_id", "text", topK = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk")) ->
+        (r.getAs[String]("phrase"), r.getAs[Long]("n_words"), r.getAs[Long]("score_ppm")))
+      .toMap
+    assert(got((1L, 1L)) === (("deep learning", 2L, 4000000L)))
+    assert(got((1L, 2L)) === (("deep networks", 2L, 3500000L)))
+    // identical phrase instances score once: one row, doubled stats
+    assert(got((2L, 1L)) === (("alpha beta", 2L, 4000000L)))
+    assert(got.size === 3)
+  }
+
+  test("Eval.ndcgAtK: pinned discount ladder, hits at 1 and 3, miss query, capped IDCG") {
+    // q1: hits at ranks 1 and 3 of truth {a,b} -> DCG = 1e9 + 5e8,
+    // IDCG(min(2,3)) = 1e9 + 630929753; ndcg = 1.5e15 div 1630929753.
+    // q2: no hits. q3: n_rel = 4 > k -> IDCG capped at the k=3 prefix.
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L), (3L, 31L), (3L, 32L), (3L, 33L))
+      .toDF("q_id", "n_id")
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3),
+      (2L, 98L, 1), (2L, 97L, 2), (2L, 96L, 3),
+      (3L, 30L, 1), (3L, 31L, 2), (3L, 32L, 3),
+    ).toDF("q_id", "n_id", "rnk")
+    val got = Eval
+      .ndcgAtK(truth, ranked, k = 3)
+      .collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("hits"), r.getAs[Long]("dcg"), r.getAs[Long]("idcg"),
+          r.getAs[Long]("ndcg_ppm")))
+      .toMap
+    assert(got(1L) === ((2L, 1500000000L, 1630929753L, 919720L)))
+    assert(got(2L) === ((0L, 0L, 1000000000L, 0L)))
+    assert(got(3L) === ((3L, 2130929753L, 2130929753L, 1000000L))) // perfect prefix
+  }
+
   test("Burst.kleinberg2: hand-checked Viterbi - six tight gaps burst, entering costs tau") {
     // events at 0,8,16,17,18,19,20,21,22,30 s: gaps 8,8,1,1,1,1,1,1,8;
     // n=9, T=30s, tau = 3*693147 = 2079441.
