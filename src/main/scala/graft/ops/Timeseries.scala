@@ -37,6 +37,63 @@ object Timeseries {
     * entity count with a small constant — the same scale class as any
     * per-entity daily rollup.
     */
+  /** Mann–Kendall trend test over per-key DAILY counts (Mann 1945,
+    * Kendall 1975) — the nonparametric monotone-trend detector that
+    * pairs with [[graft.ops.Timeseries]]'s Theil–Sen slope (MK decides
+    * WHETHER a trend exists, Theil–Sen estimates it): S = Σ_{i<j}
+    * sign(x_j − x_i) over the dense daily grid (silent days count as
+    * zero observations, the [[cusumFromHourly]] grid discipline), with
+    * the tie-corrected variance emitted as the EXACT integer
+    * var18 = 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) — no float
+    * anywhere, consumers apply their own normal approximation.
+    *
+    * Scale shape: one daily aggregation; the pair enumeration is a
+    * self-join of the DAY-bounded grid (|days|² per key — days are a
+    * calendar dimension, not a corpus one), the tie census a
+    * value-histogram aggregate. Output: one row per key
+    * `(key, n_days, s_stat, var18)`. */
+  def mannKendallDaily(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = daily
+      .select(col("key"))
+      .distinct()
+      .crossJoin(broadcast(span))
+      .select(col("key"), explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      .join(daily, Seq("key", "day"), "left")
+      .select(col("key"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      .localCheckpoint() // consumed thrice: pairs (both sides) + ties
+    val sByKey = grid
+      .as("a")
+      .join(grid.as("b"), col("a.key") === col("b.key") && col("a.day") < col("b.day"))
+      .groupBy(col("a.key").as("key"))
+      .agg(
+        sum(
+          when(col("b.n") > col("a.n"), 1L)
+            .when(col("b.n") < col("a.n"), -1L)
+            .otherwise(0L)
+        ).as("s_stat")
+      )
+    val ties = grid
+      .groupBy(col("key"), col("n"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("key")
+      .agg(
+        sum(expr("t * (t - 1) * (2 * t + 5)")).as("__tie_term"),
+        sum(col("t")).as("n_days"),
+      )
+    ties
+      .join(sByKey, Seq("key"))
+      .select(
+        col("key"),
+        col("n_days"),
+        col("s_stat"),
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - __tie_term").as("var18"),
+      )
+  }
+
   def resampleDailyLocf(
       df: DataFrame,
       keyCol: String,

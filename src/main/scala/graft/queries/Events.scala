@@ -814,6 +814,96 @@ object Events {
       |SELECT key, hour_ts, n, CAST(s AS BIGINT) AS s_scaled, s > 8 * total AS alarm
       |FROM rec""".stripMargin
 
+  /** Mann–Kendall monotone-trend test per event type over the dense
+    * daily grid ([[graft.ops.Timeseries.mannKendallDaily]]): the
+    * pair-sign statistic S plus the tie-corrected 18·Var(S) as exact
+    * integers — the existence test beside evt_theilsen_trend's slope
+    * estimate. Oracle replays grid, pairs, and tie census directly. */
+  private val mannKendallQ = Q(
+    "evt_mann_kendall",
+    """WITH daily AS (SELECT event_type AS key, CAST(ts AS DATE) AS day, count(*) AS n
+      |              FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |grid AS (SELECT k.key, g.day, coalesce(d.n, 0) AS n
+      |         FROM (SELECT DISTINCT key FROM daily) k
+      |         CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      |                     FROM span) g
+      |         LEFT JOIN daily d ON d.key = k.key AND d.day = g.day),
+      |s AS (SELECT a.key,
+      |        CAST(sum(CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |      FROM grid a JOIN grid b ON b.key = a.key AND a.day < b.day GROUP BY 1),
+      |ties AS (
+      |  SELECT key, CAST(sum(t) AS BIGINT) AS n_days,
+      |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |  FROM (SELECT key, n, count(*) AS t FROM grid GROUP BY 1, 2) GROUP BY 1)
+      |SELECT t.key, t.n_days, s.s_stat,
+      |  CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie_term AS BIGINT) AS var18
+      |FROM ties t JOIN s USING (key)""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Timeseries.mannKendallDaily(events(s, d), "event_type", "ts")
+  }
+
+  /** Kaplan–Meier time-to-purchase curve with administrative
+    * censoring at a 30-day horizon
+    * ([[graft.ops.Survival.kaplanMeier]]): per user, duration = days
+    * from first event to first purchase, observed iff it lands within
+    * the horizon (otherwise censored at 30 — the standard fixed-window
+    * study design, which guarantees both classes exist). The oracle
+    * replays the duration build, the descending at-risk cumulative,
+    * and the scaled product recursion as a recursive CTE — exact on
+    * the whole curve. */
+  private val kaplanMeierQ = Q(
+    "evt_kaplan_meier",
+    """WITH RECURSIVE
+      |u AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS tp
+      |      FROM events e JOIN u ON u.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' GROUP BY 1),
+      |subj AS (
+      |  SELECT u.user_id,
+      |    CASE WHEN p.tp IS NOT NULL
+      |           AND date_diff('day', u.t0, p.tp) <= 30
+      |         THEN date_diff('day', u.t0, p.tp) ELSE 30 END AS dur,
+      |    (p.tp IS NOT NULL AND date_diff('day', u.t0, p.tp) <= 30) AS obs
+      |  FROM u LEFT JOIN p ON p.user_id = u.user_id),
+      |hist AS (SELECT dur AS t, count(*) AS n_at,
+      |           CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |         FROM subj GROUP BY 1),
+      |risk AS (SELECT t, d,
+      |           sum(n_at) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
+      |                           AND CURRENT ROW) AS n_risk
+      |         FROM hist),
+      |ev AS (SELECT t, d, n_risk, row_number() OVER (ORDER BY t) AS rn
+      |       FROM risk WHERE d > 0),
+      |rec AS (
+      |  SELECT rn, t, n_risk, d,
+      |    CAST(CAST(1000000 AS HUGEINT) * (n_risk - d) // n_risk AS BIGINT) AS s
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.rn, e.t, e.n_risk, e.d,
+      |    CAST(CAST(r.s AS HUGEINT) * (e.n_risk - e.d) // e.n_risk AS BIGINT)
+      |  FROM rec r JOIN ev e ON e.rn = r.rn + 1)
+      |SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+      |  d AS d_events, s AS surv_ppm
+      |FROM rec""".stripMargin,
+  ) { (s, d) =>
+    val ev = events(s, d)
+    val u  = ev.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val p = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("tp"))
+    val subj = u
+      .join(p, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        when(col("tp").isNotNull && datediff(col("tp"), col("t0")) <= 30,
+          datediff(col("tp"), col("t0")).cast("long")).otherwise(lit(30L)).as("dur"),
+        (col("tp").isNotNull && datediff(col("tp"), col("t0")) <= 30).as("obs"),
+      )
+    graft.ops.Survival.kaplanMeier(subj, col("dur"), col("obs"))
+  }
+
   /** Kleinberg 2-state burst detection over per-user inter-arrival
     * gaps ([[graft.ops.Burst.kleinberg2]]): the exact-integer Viterbi
     * — per-gap state-cost difference (n·g·10⁶ div T) − ⌊10⁶·ln 2⌋,
@@ -1276,6 +1366,8 @@ object Events {
   val all: Seq[Q] = Seq(
     resampleLocfQ,
     burstDetectQ,
+    mannKendallQ,
+    kaplanMeierQ,
     cusumChangepointQ,
     ewmaHourlyQ,
     holtHourlyQ,

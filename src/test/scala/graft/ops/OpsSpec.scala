@@ -3199,6 +3199,40 @@ class OpsSpec extends AnyFunSuite {
     assert(x2 === x)
   }
 
+  test("Survival.kaplanMeier: hand-checked curve - censored subjects leave the risk set silently") {
+    // durations (dur, observed): 1T 2T 2F 3T 3T 5F -> event times 1,2,3
+    // n_risk 6/5/3, steps 5/6, 4/5, 1/3: s = 833333, 666666, 222222.
+    val subj = Seq((1L, true), (2L, true), (2L, false), (3L, true), (3L, true), (5L, false))
+      .toDF("dur", "obs")
+    val got = Survival
+      .kaplanMeier(subj, col("dur"), col("obs"))
+      .collect()
+      .map(r => r.getAs[Long]("t") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("d_events"), r.getAs[Long]("surv_ppm")))
+      .toMap
+    assert(got === Map(
+      1L -> ((6L, 1L, 833333L)),
+      2L -> ((5L, 1L, 666666L)),
+      3L -> ((3L, 2L, 222222L)),
+    ))
+  }
+
+  test("Timeseries.mannKendallDaily: pair signs over the dense grid, tie-corrected variance") {
+    // k1 daily counts [1,2,0,1] (day 3 silent -> zero): S = -1,
+    // tie_term = 18 (two 1s), var18 = 156 - 18 = 138.
+    // k2 counts [0,1,0,0]: S = -1, tie_term = 66 (three 0s), var18 = 90.
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day%d 12:00:00")
+    val rows = Seq(("k1", t(1)), ("k1", t(2)), ("k1", t(2)), ("k1", t(4)), ("k2", t(2)))
+    val df   = rows.toDF("k", "ts")
+    val got = Timeseries
+      .mannKendallDaily(df, "k", "ts")
+      .collect()
+      .map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("s_stat"), r.getAs[Long]("var18")))
+      .toMap
+    assert(got === Map("k1" -> ((4L, -1L, 138L)), "k2" -> ((4L, -1L, 90L))))
+  }
+
   test("Text.rakeKeywords: degree/frequency scoring, duplicate phrases collapse") {
     // "deep learning of the deep networks and networks":
     // phrases {deep learning}, {deep networks}, {networks};
