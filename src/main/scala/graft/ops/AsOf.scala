@@ -65,6 +65,44 @@ object AsOf {
       )
   }
 
+  /** [[joinAtOrBefore]] with a STALENESS BOUND — the production as-of
+    * form (a quote older than the tolerance is not a usable quote; a
+    * click from last quarter should not label today's error): the
+    * backward match is kept only when `left.ts − match.ts ≤
+    * toleranceUs`; stale matches null out exactly like no-match rows.
+    * Implemented by carrying the matched row's timestamp inside the
+    * payload struct through the same union-scan (still linear, one
+    * key-shuffle, no range-join explosion) and post-filtering
+    * map-side. */
+  def joinAtOrBeforeWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      ts: String,
+      payloadCols: Seq[String],
+      rightTieBreak: String,
+      toleranceUs: Long,
+      outPrefix: String = "asof_",
+  ): DataFrame = {
+    require(toleranceUs >= 0, s"tolerance must be >= 0, got $toleranceUs")
+    val matched = joinAtOrBefore(
+      left,
+      right.withColumn("__rts", col(ts)),
+      keys,
+      ts,
+      payloadCols :+ "__rts",
+      rightTieBreak,
+      outPrefix,
+    )
+    val fresh =
+      unix_micros(col(ts)) - unix_micros(col(s"${outPrefix}__rts")) <= toleranceUs
+    payloadCols
+      .foldLeft(matched) { (d, c) =>
+        d.withColumn(s"$outPrefix$c", when(fresh, col(s"$outPrefix$c")))
+      }
+      .drop(s"${outPrefix}__rts")
+  }
+
   /** The FORWARD as-of join: for each row of `left`, attach the payload
     * of the EARLIEST `right` row with `right.ts >= left.ts` (inclusive)
     * within the same `keys` group — "the next event at or after" (label

@@ -883,6 +883,87 @@ object Stats {
     * entities high, frequency/monetary score volume high.
     * Output: `(entity, r_raw, f_raw, m_raw, r_score, f_score,
     * m_score, rfm)`. */
+  /** SPLIT-CONFORMAL prediction interval for an integral value column
+    * (Vovk et al. 2005; the distribution-free uncertainty wrapper every
+    * model-serving pipeline bolts on): a deterministic hash split
+    * carves out a calibration set; the predictor here is the
+    * calibration mean (the simplest regressor — the op's value is the
+    * INTERVAL machinery, which wraps any point predictor); the
+    * interval half-width q is the ⌈(n_cal+1)·(1−α)⌉-th smallest
+    * absolute residual (nearest rank over the bounded residual
+    * histogram — no sort); coverage is then measured on the held-out
+    * test rows. Finite-sample guarantee: coverage ≥ 1−α in
+    * expectation, exactly the property the gate's test-side census
+    * audits.
+    *
+    * Exact integers throughout: mean and residuals in ×10⁶ ppm with
+    * floored division, the conformal rank ⌈(n_cal+1)·(10⁶−α_ppm)/10⁶⌉;
+    * when that rank exceeds n_cal the interval is infinite by the
+    * standard convention — q_ppm is NULL and every test row counts as
+    * covered. Scale shape: one map-only hash split, two 1-row
+    * aggregates, one residual histogram with the TIERED cumulative
+    * ([[tieredCum]] — residuals inherit the value column's
+    * near-continuous domain, so the [[cumOf]] single-task window would
+    * be a scale-killer here), one map-only test census — nothing
+    * corpus-sized moves except the scans.
+    *
+    * @return 1 row: (n_cal, n_test, mean_ppm, q_ppm, n_covered,
+    *         coverage_ppm). */
+  def conformalMeanInterval(
+      df: DataFrame,
+      idCol: Column,
+      valueCol: Column,
+      alphaPpm: Long,
+      calPpm: Long = 500000L,
+  ): DataFrame = {
+    require(0L < alphaPpm && alphaPpm < 1000000L, s"alphaPpm in (0, 1e6), got $alphaPpm")
+    require(0L < calPpm && calPpm < 1000000L, s"calPpm in (0, 1e6), got $calPpm")
+    val rows = df
+      .filter(valueCol.isNotNull)
+      .select(idCol.as("__id"), valueCol.cast("long").as("__v"))
+      .withColumn("__cal", shiftright(Sampling.hash24(col("__id")) * lit(1000000L), 24) < calPpm)
+    val cal = rows.filter(col("__cal"))
+    val calMean = cal
+      .agg(
+        count(lit(1)).as("n_cal"),
+        expr("CAST(sum(CAST(__v AS DECIMAL(38,0))) * 1000000 div count(1) AS BIGINT)")
+          .as("mean_ppm"),
+      )
+      .localCheckpoint() // feeds the residual pass AND the test census
+    val resid = cal
+      .crossJoin(broadcast(calMean))
+      .select(expr("abs(__v * 1000000L - mean_ppm)").as("__s"))
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__c"))
+    val cum = tieredCum(resid, Seq("__c"))
+    val tot = cum.agg(max(col("__cum1")).as("__n"))
+    val q = cum
+      .crossJoin(broadcast(tot))
+      .agg(
+        min(
+          when(
+            col("__cum1") >= expr(s"((__n + 1) * ${1000000L - alphaPpm}L + 999999L) div 1000000L"),
+            col("__s"),
+          )
+        ).as("q_ppm")
+      )
+    rows
+      .filter(!col("__cal"))
+      .crossJoin(broadcast(calMean))
+      .crossJoin(broadcast(q))
+      .agg(
+        max(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        max(col("mean_ppm")).as("mean_ppm"),
+        max(col("q_ppm")).as("q_ppm"),
+        sum(
+          when(col("q_ppm").isNull || expr("abs(__v * 1000000L - mean_ppm)") <= col("q_ppm"), 1L)
+            .otherwise(0L)
+        ).as("n_covered"),
+      )
+      .withColumn("coverage_ppm", expr("n_covered * 1000000L div n_test"))
+  }
+
   def rfmScores(
       df: DataFrame,
       entityCol: Column,

@@ -252,6 +252,41 @@ object Events {
       .select("event_id", "user_id", "click_event_id", "click_value")
   }
 
+  /** Staleness-bounded as-of join
+    * ([[graft.ops.AsOf.joinAtOrBeforeWithin]]): the error-click
+    * labeling with a 3-day tolerance — a click older than the bound is
+    * not a usable antecedent and nulls out like a no-match. Oracle:
+    * DuckDB ASOF LEFT JOIN plus the identical microsecond staleness
+    * CASE. */
+  private val asofWithinQ = Q(
+    "evt_asof_within",
+    """SELECT event_id, user_id,
+      |  CASE WHEN ok THEN click_event_id END AS click_event_id,
+      |  CASE WHEN ok THEN click_value END AS click_value
+      |FROM (
+      |  SELECT e.event_id, e.user_id, c.event_id AS click_event_id, c.value AS click_value,
+      |    epoch_us(e.ts) - epoch_us(c.ts) <= 259200000000 AS ok
+      |  FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON e.user_id = c.user_id AND e.ts >= c.ts)""".stripMargin,
+  ) { (s, d) =>
+    val ev     = events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+    val clicks = ev.filter(col("event_type") === "click")
+    AsOf
+      .joinAtOrBeforeWithin(
+        errors,
+        clicks,
+        keys = Seq("user_id"),
+        ts = "ts",
+        payloadCols = Seq("event_id", "value"),
+        rightTieBreak = "event_id",
+        toleranceUs = 259200000000L, // 3 days
+        outPrefix = "click_",
+      )
+      .select("event_id", "user_id", "click_event_id", "click_value")
+  }
+
   /** Nearest-in-time as-of join ([[graft.ops.AsOf.joinNearest]]): each
     * error labeled with the CLOSEST click in either direction per user
     * (distance ties break backward — never leak the future when
@@ -1394,6 +1429,7 @@ object Events {
     asofErrorClick,
     asofNextView,
     asofNearestQ,
+    asofWithinQ,
     sessionize,
     typeOverlap,
     mapFilterCounts,

@@ -709,6 +709,47 @@ object MiscQueries {
     )
   }
 
+  /** Split-conformal prediction interval
+    * ([[graft.ops.Stats.conformalMeanInterval]]) at 90% over order
+    * values: hash-split calibration, nearest-rank conformal quantile
+    * of the absolute residuals, held-out coverage census — the whole
+    * chain (split, mean, rank, coverage) replayed exactly. */
+  private val conformalQ = Q(
+    "misc_conformal",
+    """WITH r AS (
+      |  SELECT o_orderkey AS id, CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+      |sp AS (SELECT id, v,
+      |    (CAST(('0x' || substr(md5(coalesce(CAST(id AS VARCHAR), '')), 1, 6)) AS BIGINT)
+      |      * 1000000) // 16777216 < 500000 AS cal
+      |  FROM r),
+      |cm AS (SELECT count(*) AS n_cal,
+      |    CAST(sum(CAST(v AS HUGEINT)) * 1000000 // count(*) AS BIGINT) AS mean_ppm
+      |  FROM sp WHERE cal),
+      |res AS (SELECT abs(v * 1000000 - cm.mean_ppm) AS s FROM sp, cm WHERE cal),
+      |hist AS (SELECT s, count(*) AS c FROM res GROUP BY 1),
+      |cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum, sum(c) OVER () AS n FROM hist),
+      |q AS (SELECT min(CASE WHEN cum >= ((n + 1) * 900000 + 999999) // 1000000 THEN s END) AS q_ppm
+      |      FROM cum)
+      |SELECT CAST(cm.n_cal AS BIGINT) AS n_cal,
+      |  CAST(count(*) AS BIGINT) AS n_test,
+      |  cm.mean_ppm,
+      |  CAST(q.q_ppm AS BIGINT) AS q_ppm,
+      |  CAST(sum(CASE WHEN q.q_ppm IS NULL OR abs(sp.v * 1000000 - cm.mean_ppm) <= q.q_ppm
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      |  CAST(sum(CASE WHEN q.q_ppm IS NULL OR abs(sp.v * 1000000 - cm.mean_ppm) <= q.q_ppm
+      |           THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS coverage_ppm
+      |FROM sp, cm, q WHERE NOT sp.cal
+      |GROUP BY cm.n_cal, cm.mean_ppm, q.q_ppm""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Stats.conformalMeanInterval(
+      orders(s, d),
+      col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+      alphaPpm = 100000L,
+      calPpm = 500000L,
+    )
+  }
+
   /** N-dimensional quantile scoring
     * ([[graft.ops.Stats.quantileScores]]) — the [[graft.ops.Stats.rfmScores]]
     * generalization at 4 dimensions: recency, frequency, monetary,
@@ -2631,5 +2672,5 @@ object MiscQueries {
       labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint,
       kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ,
       samplePps, hitsTrade, ksQ, mannWhitneyQ, spearmanQ, cramersVQ, diameterSweepQ,
-      hilbertKeyQ, bootstrapCiQ, bootstrapCiXxQ, rfmScoresQ, quantileScoresQ, stumpGiniQ)
+      hilbertKeyQ, bootstrapCiQ, bootstrapCiXxQ, rfmScoresQ, quantileScoresQ, conformalQ, stumpGiniQ)
 }

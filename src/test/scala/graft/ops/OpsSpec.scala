@@ -3077,6 +3077,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L) === Some(3000000L))
   }
 
+  test("AsOf.joinAtOrBeforeWithin: stale matches null out like no-match rows") {
+    val left = Seq((1L, 100L, "fresh"), (1L, 500L, "stale"), (2L, 50L, "none"))
+      .toDF("k", "t", "tag").withColumn("t", timestamp_millis(col("t")))
+    val right = Seq((1L, 90L, 7.0)).toDF("k", "t", "rv")
+      .withColumn("t", timestamp_millis(col("t")))
+    val got = AsOf
+      .joinAtOrBeforeWithin(left, right, Seq("k"), "t", Seq("rv"),
+        rightTieBreak = "rv", toleranceUs = 50000L, outPrefix = "m_") // 50 ms
+      .collect()
+      .map(r => r.getAs[String]("tag") -> Option(r.get(r.fieldIndex("m_rv"))))
+      .toMap
+    assert(got === Map(
+      "fresh" -> Some(7.0), // 10 ms back, within bound
+      "stale" -> None,      // 410 ms back: matched but stale -> null
+      "none"  -> None,      // no right row for key 2
+    ))
+    // the carried timestamp never leaks into the output schema
+    val cols = AsOf
+      .joinAtOrBeforeWithin(left, right, Seq("k"), "t", Seq("rv"),
+        rightTieBreak = "rv", toleranceUs = 50000L, outPrefix = "m_")
+      .columns
+    assert(!cols.exists(_.contains("__rts")))
+  }
+
   test("AsOf.joinNearest: closest wins in either direction; distance ties break backward") {
     val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (2L, 50L, "l3"))
       .toDF("k", "t", "lv").withColumn("t", timestamp_millis(col("t")))
@@ -3197,6 +3221,43 @@ class OpsSpec extends AnyFunSuite {
       .bootstrapMeanCiXx(df, col("id"), col("v"), b = 50, ppmLo = 25000L, ppmHi = 975000L)
       .collect().head
     assert(x2 === x)
+  }
+
+  test("Stats.conformalMeanInterval: matches an in-JVM replay; tiny alpha gives the infinite interval") {
+    def h24(id: Long): Long = {
+      val hex = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+        .take(6)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val data = (1L to 40L).map(i => (i, 100L + (i * 7) % 23))
+    val df   = data.toDF("id", "v")
+    // replay the op in plain Scala
+    val (calS, testS) = data.partition { case (id, _) => h24(id) * 1000000L / (1 << 24) < 500000L }
+    val nCal    = calS.size.toLong
+    val meanPpm = calS.map(_._2).map(BigInt(_)).sum * 1000000 / nCal
+    val resid   = calS.map { case (_, v) => (BigInt(v) * 1000000 - meanPpm).abs }.sorted
+    val rank    = ((nCal + 1) * 900000L + 999999L) / 1000000L
+    val qPpm    = resid((rank - 1).toInt)
+    val covered = testS.count { case (_, v) => (BigInt(v) * 1000000 - meanPpm).abs <= qPpm }
+    val r = Stats
+      .conformalMeanInterval(df, col("id"), col("v"), alphaPpm = 100000L)
+      .collect().head
+    assert(r.getAs[Long]("n_cal") === nCal)
+    assert(r.getAs[Long]("n_test") === testS.size.toLong)
+    assert(r.getAs[Long]("mean_ppm") === meanPpm.toLong)
+    assert(r.getAs[Long]("q_ppm") === qPpm.toLong)
+    assert(r.getAs[Long]("n_covered") === covered.toLong)
+    // alpha below 1/(n_cal+1): the conformal rank exceeds n_cal -> the
+    // interval is infinite (NULL q) and every test row is covered
+    val inf = Stats
+      .conformalMeanInterval(df, col("id"), col("v"), alphaPpm = 1000L)
+      .collect().head
+    assert(inf.isNullAt(inf.fieldIndex("q_ppm")))
+    assert(inf.getAs[Long]("coverage_ppm") === 1000000L)
   }
 
   test("Survival.kaplanMeier: hand-checked curve - censored subjects leave the risk set silently") {
