@@ -17,6 +17,7 @@ object Bench {
     "ddp_embedding_pairs"     -> "ddp_embedding_pairs_auto",
     "ddp_jaccard_pairs_prefix" -> "ddp_jaccard_pairs_auto",
     "sim_knn_graph"           -> "sim_knn_graph_auto",
+    "mm_phash_near"           -> "mm_phash_near48",
   )
 
   def main(args: Array[String]): Unit = {

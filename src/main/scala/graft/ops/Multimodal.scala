@@ -443,6 +443,64 @@ object Multimodal {
       .groupBy(col("phash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** NEAR-duplicate perceptual-hash pairs — the multimodal rung above
+    * [[phashGroups]]' exact-signature collapse: pairs whose
+    * [[perceptualHash]] signatures differ in at most `maxHamming`
+    * bits. Candidate generation is the SimHash pigeonhole
+    * ([[Dedup.simhashPairs]]'s discipline applied to the payload
+    * signature): the `cells`-bit hash splits into `bands` disjoint
+    * bands, and any pair within Hamming distance < `bands` shares at
+    * least one intact band — so a band-keyed self-join surfaces every
+    * qualifying pair (complete, never all-pairs), and one
+    * `bit_count(xor)` verifies the exact distance. Requires
+    * `maxHamming < bands` for the pigeonhole to be complete. Payload
+    * bytes never shuffle — only (band value, id) pairs and the
+    * 64-bit signatures.
+    *
+    * @return (a_id, b_id, hamming) with a_id < b_id, hamming ≤
+    *         maxHamming. */
+  def phashNearPairs(
+      media: DataFrame,
+      cells: Int = 16,
+      cellBytes: Int = 64,
+      bands: Int = 4,
+      maxHamming: Int = 3,
+  ): DataFrame = {
+    require(bands >= 1 && cells % bands == 0, s"bands must divide cells, got $bands/$cells")
+    require(
+      maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole completeness needs maxHamming < bands, got $maxHamming/$bands",
+    )
+    val bandBits = cells / bands
+    val mask     = (1L << bandBits) - 1
+    // consumed twice (banding + both verify probes): one signature pass
+    val ph = perceptualHash(media, cells, cellBytes).localCheckpoint()
+    val banded = ph.select(
+      col("doc_id"),
+      posexplode(
+        array((0 until bands).map(b => expr(s"(phash >> ${b * bandBits}) & $mask")): _*)
+      ).as(Seq("band", "bval")),
+    )
+    val cand = banded
+      .as("a")
+      .join(
+        banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"),
+      )
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(ph.select(col("doc_id").as("a_id"), col("phash").as("__pa")), Seq("a_id"))
+      .join(ph.select(col("doc_id").as("b_id"), col("phash").as("__pb")), Seq("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        expr("CAST(bit_count(__pa ^ __pb) AS BIGINT)").as("hamming"),
+      )
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact dedup over the binary payload — the multimodal twin of
     * [[Dedup.exactGroups]]: identical byte streams (re-crawled images,
     * re-encoded copies of the same upload) collapse on their 128-bit

@@ -162,6 +162,85 @@ object MultimodalQueries {
     Multimodal.phashGroups(Multimodal.packDocuments(documents(s, d)))
   }
 
+  /** Near-duplicate perceptual-hash pairs
+    * ([[Multimodal.phashNearPairs]]): SimHash-style pigeonhole banding
+    * over the 16-bit aHash (4 bands of 4 — complete for Hamming ≤ 3)
+    * plus the exact `bit_count(xor)` verify. The oracle replays hash
+    * build, band split, candidate join, and distance. */
+  private val phashNearQ = Q(
+    "mm_phash_near",
+    """WITH b AS (
+      |  SELECT doc_id, CAST((i - 1) // 64 AS INT) AS w,
+      |    ascii(substr(text, CAST(i AS INT), 1)) AS v
+      |  FROM documents, unnest(generate_series(1, octet_length(encode(text)))) AS t(i)),
+      |cell AS (
+      |  SELECT doc_id, w, CAST(sum(v * v) AS BIGINT) AS e
+      |  FROM b WHERE w < 16 GROUP BY 1, 2),
+      |st AS (
+      |  SELECT doc_id, w, e, sum(e) OVER (PARTITION BY doc_id) AS tot,
+      |         count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM cell),
+      |ph AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN e * n > tot THEN (CAST(1 AS BIGINT) << w) ELSE 0 END)
+      |      AS BIGINT) AS phash
+      |  FROM st GROUP BY 1),
+      |banded AS (
+      |  SELECT doc_id, g.band, (phash >> (g.band * 4)) & 15 AS bval
+      |  FROM ph, (SELECT unnest(generate_series(0, 3)) AS band) g),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+      |SELECT c.a_id, c.b_id,
+      |  CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
+      |FROM cand c JOIN ph pa ON pa.doc_id = c.a_id JOIN ph pb ON pb.doc_id = c.b_id
+      |WHERE bit_count(xor(pa.phash, pb.phash)) <= 3""".stripMargin,
+  ) { (s, d) =>
+    Multimodal.phashNearPairs(Multimodal.packDocuments(documents(s, d)))
+  }
+
+  /** Production twin of `mm_phash_near`: a 48-bit signature (48 cells
+    * of 8 bytes — sized so the median payload fills most of the hash,
+    * where the 16×64 demo config leaves most docs under 9 meaningful
+    * bits and collides quadratically) with 12-bit bands. Same
+    * pigeonhole + verify machinery, same exact oracle; the wide hash
+    * space is what keeps the candidate set near-linear at scale. */
+  private val phashNear48Q = Q(
+    "mm_phash_near48",
+    """WITH b AS (
+      |  SELECT doc_id, CAST((i - 1) // 8 AS INT) AS w,
+      |    ascii(substr(text, CAST(i AS INT), 1)) AS v
+      |  FROM documents, unnest(generate_series(1, octet_length(encode(text)))) AS t(i)),
+      |cell AS (
+      |  SELECT doc_id, w, CAST(sum(v * v) AS BIGINT) AS e
+      |  FROM b WHERE w < 48 GROUP BY 1, 2),
+      |st AS (
+      |  SELECT doc_id, w, e, sum(e) OVER (PARTITION BY doc_id) AS tot,
+      |         count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM cell),
+      |ph AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN e * n > tot THEN (CAST(1 AS BIGINT) << w) ELSE 0 END)
+      |      AS BIGINT) AS phash
+      |  FROM st GROUP BY 1),
+      |banded AS (
+      |  SELECT doc_id, g.band, (phash >> (g.band * 12)) & 4095 AS bval
+      |  FROM ph, (SELECT unnest(generate_series(0, 3)) AS band) g),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+      |SELECT c.a_id, c.b_id,
+      |  CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
+      |FROM cand c JOIN ph pa ON pa.doc_id = c.a_id JOIN ph pb ON pb.doc_id = c.b_id
+      |WHERE bit_count(xor(pa.phash, pb.phash)) <= 3""".stripMargin,
+  ) { (s, d) =>
+    Multimodal.phashNearPairs(
+      Multimodal.packDocuments(documents(s, d)),
+      cells = 48, cellBytes = 8, bands = 4, maxHamming = 3)
+  }
+
   /** Shot-boundary (keyframe) detection over the sampled frame track:
     * a frame is a keyframe iff its content differs from the previous
     * frame's — one lag window per media row after the same
@@ -244,5 +323,5 @@ object MultimodalQueries {
 
   val all: Seq[Q] =
     Seq(binaryMeta, features, dedupBinary, frameSampleQ, patchGridQ, audioWindows, phashGroupsQ,
-      keyframesQ, aspectBucketsQ)
+      phashNearQ, phashNear48Q, keyframesQ, aspectBucketsQ)
 }

@@ -1038,6 +1038,24 @@ class OpsSpec extends AnyFunSuite {
       "perceptually identical re-encodes must share a group byte-exact dedup would split")
   }
 
+  test("phashNearPairs: pigeonhole banding surfaces exactly the within-distance pairs") {
+    // 4-cell hashes: A = 0b0001, B = 0b0011 (hamming 1, band 1 intact),
+    // C = 0b1100 (hamming 3 from A, 4 from B - no shared band with B,
+    // candidate with A via no band... bits 2-3 differ, 0-1 differ -> no)
+    val docs = Seq(
+      (1L, "~~~~" + "!" * 12, "s"),        // loud cell 0 -> 0b0001
+      (2L, "~~~~~~~~" + "!" * 8, "s"),     // loud cells 0,1 -> 0b0011
+      (3L, "!" * 8 + "~~~~~~~~", "s"),     // loud cells 2,3 -> 0b1100
+    ).toDF("doc_id", "text", "source")
+    val got = Multimodal
+      .phashNearPairs(Multimodal.packDocuments(docs), cells = 4, cellBytes = 4,
+        bands = 2, maxHamming = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Long]("hamming")))
+      .toSet
+    assert(got === Set((1L, 2L, 1L)))
+  }
+
   test("ivfAppend: incremental index equals from-scratch rebuild; delta-only assignment; probes agree") {
     val gen = new scala.util.Random(7)
     val vecs = (0L until 60L).map(i => (i, Array.fill(16)(gen.nextFloat() * 2 - 1)))
