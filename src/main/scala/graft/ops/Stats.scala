@@ -922,19 +922,39 @@ object Stats {
       .filter(valueCol.isNotNull)
       .select(idCol.as("__id"), valueCol.cast("long").as("__v"))
       .withColumn("__cal", shiftright(Sampling.hash24(col("__id")) * lit(1000000L), 24) < calPpm)
-    val cal = rows.filter(col("__cal"))
-    val calMean = cal
+    val calHist = rows
+      .filter(col("__cal"))
+      .groupBy(col("__v").as("v"))
+      .agg(count(lit(1)).as("c"))
+    conformalFromValueHist(calHist, rows.filter(!col("__cal")).select("__v"), alphaPpm)
+  }
+
+  /** The conformal machinery over a prebuilt calibration VALUE
+    * HISTOGRAM `(v, c)` — the form a STREAMING calibration maintains
+    * (per-value counts are mergeable state where raw rows are not):
+    * mean, residual histogram (weighted by the counts), tiered-rank
+    * conformal quantile, then the coverage census over `testVals`
+    * (one column `__v`). [[conformalMeanInterval]] routes through this
+    * after its hash split, so the batch gate and the streaming twin
+    * share one code path. */
+  def conformalFromValueHist(
+      calHist: DataFrame,
+      testVals: DataFrame,
+      alphaPpm: Long,
+  ): DataFrame = {
+    require(0L < alphaPpm && alphaPpm < 1000000L, s"alphaPpm in (0, 1e6), got $alphaPpm")
+    val calMean = calHist
       .agg(
-        count(lit(1)).as("n_cal"),
-        expr("CAST(sum(CAST(__v AS DECIMAL(38,0))) * 1000000 div count(1) AS BIGINT)")
+        sum(col("c")).as("n_cal"),
+        expr("CAST(sum(CAST(v AS DECIMAL(38,0)) * c) * 1000000 div sum(c) AS BIGINT)")
           .as("mean_ppm"),
       )
       .localCheckpoint() // feeds the residual pass AND the test census
-    val resid = cal
+    val resid = calHist
       .crossJoin(broadcast(calMean))
-      .select(expr("abs(__v * 1000000L - mean_ppm)").as("__s"))
-      .groupBy("__s")
-      .agg(count(lit(1)).as("__c"))
+      .select(expr("abs(v * 1000000L - mean_ppm)").as("__s"), col("c").as("__rc"))
+      .groupBy("__s") // residuals of distinct values can collide after abs
+      .agg(sum(col("__rc")).as("__c"))
     val cum = tieredCum(resid, Seq("__c"))
     val tot = cum.agg(max(col("__cum1")).as("__n"))
     val q = cum
@@ -947,8 +967,7 @@ object Stats {
           )
         ).as("q_ppm")
       )
-    rows
-      .filter(!col("__cal"))
+    testVals
       .crossJoin(broadcast(calMean))
       .crossJoin(broadcast(q))
       .agg(

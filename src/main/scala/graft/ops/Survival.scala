@@ -33,25 +33,44 @@ object Survival {
     * @return one row per distinct OBSERVED-event duration, ascending:
     *         (t, n_risk, d_events, surv_ppm) — surv_ppm the scaled
     *         product after the step at t. */
-  def kaplanMeier(subjects: DataFrame, durCol: Column, observedCol: Column): DataFrame = {
+  def kaplanMeier(subjects: DataFrame, durCol: Column, observedCol: Column): DataFrame =
+    kaplanMeierBy(subjects.withColumn("__g", lit("all")), col("__g"), durCol, observedCol)
+      .drop("key")
+
+  /** GROUPED Kaplan–Meier — one independent curve per `keyCol` value
+    * (the cohort-comparison form: retention per acquisition channel,
+    * churn per plan tier). Same exact-integer machinery as
+    * [[kaplanMeier]]; the at-risk cumulative and the product fold are
+    * simply partitioned by key (both stay bounded: the histogram by
+    * keys × distinct durations, the window within one key's
+    * histogram). Output adds the leading `key` column. */
+  def kaplanMeierBy(
+      subjects: DataFrame,
+      keyCol: Column,
+      durCol: Column,
+      observedCol: Column,
+  ): DataFrame = {
     val hist = subjects
       .filter(durCol.isNotNull)
-      .groupBy(durCol.cast("long").as("t"))
+      .groupBy(keyCol.as("key"), durCol.cast("long").as("t"))
       .agg(
         count(lit(1)).as("__n_at"),
         sum(when(observedCol, 1L).otherwise(0L)).as("d_events"),
       )
-    // at-risk = everyone whose duration reaches t: descending
-    // cumulative over the bounded histogram
+    // at-risk = everyone in the key's cohort whose duration reaches t:
+    // descending cumulative over the bounded per-key histogram
     val wRisk = Window
+      .partitionBy("key")
       .orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val steps = hist
       .withColumn("n_risk", sum(col("__n_at")).over(wRisk))
       .filter(col("d_events") > 0)
+      .groupBy("key")
       .agg(sort_array(collect_list(struct(col("t"), col("n_risk"), col("d_events")))).as("steps"))
     steps
       .select(
+        col("key"),
         explode(
           expr(
             """aggregate(
@@ -65,8 +84,8 @@ object Survival {
               |        CAST(CAST(acc.s AS DECIMAL(38,0)) * (x.n_risk - x.d_events) div x.n_risk AS BIGINT) AS surv_ppm)) AS rows),
               |  acc -> acc.rows)""".stripMargin
           )
-        ).as("r")
+        ).as("r"),
       )
-      .select(col("r.t"), col("r.n_risk"), col("r.d_events"), col("r.surv_ppm"))
+      .select(col("key"), col("r.t"), col("r.n_risk"), col("r.d_events"), col("r.surv_ppm"))
   }
 }

@@ -939,6 +939,63 @@ object Events {
     graft.ops.Survival.kaplanMeier(subj, col("dur"), col("obs"))
   }
 
+  /** GROUPED Kaplan–Meier ([[graft.ops.Survival.kaplanMeierBy]]): one
+    * independent time-to-purchase curve per signup-month cohort — the
+    * cohort-comparison form of evt_kaplan_meier, same 30-day
+    * administrative censoring; the oracle's recursion walks each
+    * cohort's own event-time sequence. */
+  private val kaplanMeierByQ = Q(
+    "evt_kaplan_meier_by",
+    """WITH RECURSIVE
+      |u AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS tp
+      |      FROM events e WHERE e.event_type = 'purchase' GROUP BY 1),
+      |subj AS (
+      |  SELECT CAST(month(u.t0) AS BIGINT) AS key,
+      |    CASE WHEN p.tp IS NOT NULL
+      |           AND date_diff('day', u.t0, p.tp) <= 30
+      |         THEN date_diff('day', u.t0, p.tp) ELSE 30 END AS dur,
+      |    (p.tp IS NOT NULL AND date_diff('day', u.t0, p.tp) <= 30) AS obs
+      |  FROM u LEFT JOIN p ON p.user_id = u.user_id),
+      |hist AS (SELECT key, dur AS t, count(*) AS n_at,
+      |           CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |         FROM subj GROUP BY 1, 2),
+      |risk AS (SELECT key, t, d,
+      |           sum(n_at) OVER (PARTITION BY key ORDER BY t DESC
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      |         FROM hist),
+      |ev AS (SELECT key, t, d, n_risk,
+      |         row_number() OVER (PARTITION BY key ORDER BY t) AS rn
+      |       FROM risk WHERE d > 0),
+      |rec AS (
+      |  SELECT key, rn, t, n_risk, d,
+      |    CAST(CAST(1000000 AS HUGEINT) * (n_risk - d) // n_risk AS BIGINT) AS s
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.key, e.rn, e.t, e.n_risk, e.d,
+      |    CAST(CAST(r.s AS HUGEINT) * (e.n_risk - e.d) // e.n_risk AS BIGINT)
+      |  FROM rec r JOIN ev e ON e.key = r.key AND e.rn = r.rn + 1)
+      |SELECT key, CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+      |  d AS d_events, s AS surv_ppm
+      |FROM rec""".stripMargin,
+  ) { (s, d) =>
+    val ev = events(s, d)
+    val u  = ev.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val p = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("tp"))
+    val subj = u
+      .join(p, Seq("user_id"), "left")
+      .select(
+        month(col("t0")).cast("long").as("cohort"),
+        when(col("tp").isNotNull && datediff(col("tp"), col("t0")) <= 30,
+          datediff(col("tp"), col("t0")).cast("long")).otherwise(lit(30L)).as("dur"),
+        (col("tp").isNotNull && datediff(col("tp"), col("t0")) <= 30).as("obs"),
+      )
+    graft.ops.Survival.kaplanMeierBy(subj, col("cohort"), col("dur"), col("obs"))
+  }
+
   /** Kleinberg 2-state burst detection over per-user inter-arrival
     * gaps ([[graft.ops.Burst.kleinberg2]]): the exact-integer Viterbi
     * — per-gap state-cost difference (n·g·10⁶ div T) − ⌊10⁶·ln 2⌋,
@@ -1403,6 +1460,7 @@ object Events {
     burstDetectQ,
     mannKendallQ,
     kaplanMeierQ,
+    kaplanMeierByQ,
     cusumChangepointQ,
     ewmaHourlyQ,
     holtHourlyQ,

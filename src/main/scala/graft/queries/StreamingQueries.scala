@@ -974,6 +974,70 @@ object StreamingQueries {
       )
   }
 
+  /** Streaming split-conformal calibration
+    * ([[graft.ops.Stats.conformalFromValueHist]]): the calibration
+    * VALUE HISTOGRAM is the streaming state — per-value counts are
+    * mergeable where raw calibration rows are not (and the cent domain
+    * bounds the state) — maintained across the multi-batch replay;
+    * mean, residual histogram, conformal rank, and the held-out
+    * coverage census derive from the frozen final state through the
+    * same code path as the batch gate. Oracle: the full batch replay
+    * (final state ≡ batch calibration histogram, so the interval and
+    * coverage match exactly). */
+  private val conformalStream = Q(
+    "stream_conformal",
+    """WITH r AS (
+      |  SELECT event_id AS id, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |sp AS (SELECT id, v,
+      |    (CAST(('0x' || substr(md5(coalesce(CAST(id AS VARCHAR), '')), 1, 6)) AS BIGINT)
+      |      * 1000000) // 16777216 < 500000 AS cal
+      |  FROM r),
+      |cm AS (SELECT count(*) AS n_cal,
+      |    CAST(sum(CAST(v AS HUGEINT)) * 1000000 // count(*) AS BIGINT) AS mean_ppm
+      |  FROM sp WHERE cal),
+      |res AS (SELECT abs(v * 1000000 - cm.mean_ppm) AS s FROM sp, cm WHERE cal),
+      |hist AS (SELECT s, count(*) AS c FROM res GROUP BY 1),
+      |cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum, sum(c) OVER () AS n FROM hist),
+      |q AS (SELECT min(CASE WHEN cum >= ((n + 1) * 900000 + 999999) // 1000000 THEN s END) AS q_ppm
+      |      FROM cum)
+      |SELECT CAST(cm.n_cal AS BIGINT) AS n_cal,
+      |  CAST(count(*) AS BIGINT) AS n_test,
+      |  cm.mean_ppm,
+      |  CAST(q.q_ppm AS BIGINT) AS q_ppm,
+      |  CAST(sum(CASE WHEN q.q_ppm IS NULL OR abs(sp.v * 1000000 - cm.mean_ppm) <= q.q_ppm
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      |  CAST(sum(CASE WHEN q.q_ppm IS NULL OR abs(sp.v * 1000000 - cm.mean_ppm) <= q.q_ppm
+      |           THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS coverage_ppm
+      |FROM sp, cm, q WHERE NOT sp.cal
+      |GROUP BY cm.n_cal, cm.mean_ppm, q.q_ppm""".stripMargin,
+  ) { (s, d) =>
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    val stream = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+    def isCal(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("value").isNotNull)
+      .withColumn(
+        "__cal",
+        shiftright(
+          conv(substring(md5(coalesce(col("event_id").cast("string"), lit(""))), 1, 6), 16, 10)
+            .cast("long") * lit(1000000L),
+          24,
+        ) < 500000L,
+      )
+    val calHist = isCal(stream)
+      .filter(col("__cal"))
+      .groupBy(expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val frozen = runCompleteStream(s, calHist, "conformal").localCheckpoint()
+    val test = isCal(graft.Tables.events(s, d))
+      .filter(!col("__cal"))
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("__v"))
+    graft.ops.Stats.conformalFromValueHist(frozen, test, alphaPpm = 100000L)
+  }
+
   private val topkStream = Q(
     "stream_topk",
     """SELECT event_type,
@@ -1270,5 +1334,5 @@ object StreamingQueries {
       decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream,
       cmsStream, bpeDriftStream, rateAnomalyStream, profileStream, distDriftStream, ivmStream,
       cusumStream, ewmaStream, holtStream, holtWintersStream, seasonalStream, topkStream,
-      topkMaintainStream, approxDistinctStream)
+      topkMaintainStream, conformalStream, approxDistinctStream)
 }

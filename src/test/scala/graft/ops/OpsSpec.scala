@@ -3296,6 +3296,25 @@ class OpsSpec extends AnyFunSuite {
     ))
   }
 
+  test("Survival.kaplanMeierBy: independent curves per cohort") {
+    val subj = Seq(
+      ("a", 1L, true), ("a", 2L, true), ("a", 2L, false),
+      ("a", 3L, true), ("a", 3L, true), ("a", 5L, false),
+      ("b", 1L, true), // lone subject: curve drops straight to 0
+    ).toDF("k", "dur", "obs")
+    val got = Survival
+      .kaplanMeierBy(subj, col("k"), col("dur"), col("obs"))
+      .collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("t")) ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("surv_ppm")))
+      .toMap
+    assert(got(("a", 1L)) === ((6L, 833333L)))
+    assert(got(("a", 2L)) === ((5L, 666666L)))
+    assert(got(("a", 3L)) === ((3L, 222222L)))
+    assert(got(("b", 1L)) === ((1L, 0L)))
+    assert(got.size === 4)
+  }
+
   test("Timeseries.mannKendallDaily: pair signs over the dense grid, tie-corrected variance") {
     // k1 daily counts [1,2,0,1] (day 3 silent -> zero): S = -1,
     // tie_term = 18 (two 1s), var18 = 156 - 18 = 138.
