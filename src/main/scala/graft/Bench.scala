@@ -241,13 +241,23 @@ object Bench {
           val txt = new String(
             java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
             java.nio.charset.StandardCharsets.UTF_8)
+          // compare the sf BASENAME (trailing-slash-proof — a record
+          // run with SPARK_GRAFT_SF_DIR=/.../sf0.1/ must still
+          // self-annotate) and parse pairs only INSIDE the "anchors"
+          // object so a future top-level numeric field can't be
+          // mis-read as a query anchor
+          val sfBase = sfDir.replaceAll("/+$", "").split('/').last
           val sfOk = """"sf"\s*:\s*"([^"]+)"""".r
             .findFirstMatchIn(txt)
-            .exists(m => sfDir.endsWith(m.group(1)))
+            .exists(_.group(1) == sfBase)
+          val body = txt.indexOf("\"anchors\"") match {
+            case -1 => ""
+            case i  => txt.substring(i)
+          }
           if (!sfOk) Map.empty[String, Double]
           else
             """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+\.[0-9]+)""".r
-              .findAllMatchIn(txt)
+              .findAllMatchIn(body)
               .map(m => m.group(1) -> m.group(2).toDouble)
               .toMap
         }

@@ -94,25 +94,6 @@ object Eval {
           .as("rr_ppm"),
       )
 
-  /** Average precision at k, per query — the MAP building block
-    * (multi-relevant upgrade of [[reciprocalRank]]'s single-truth rr):
-    * AP = (Σ over hit positions i of P@i) / |relevant|, where P@i =
-    * hits-so-far / i. Every P@i has denominator i ≤ k, so scaling by
-    * lcm(1..k) makes each term an EXACT integer — the statistic is
-    * emitted as the rational (ap_num, ap_den = lcm·|relevant|) with NO
-    * flooring anywhere, bit-identical across engines (the float mean
-    * would not be).
-    *
-    * One equi-join of the ≤|Q|·k ranking against the ≤|Q|·k truth set,
-    * then a per-query window over ≤k hit rows — nothing corpus-sized
-    * moves.
-    *
-    * @param truth  (q_id, n_id): the relevant set per query (e.g.
-    *               brute-force top-k).
-    * @param ranked (q_id, n_id, rnk): the system ranking under test,
-    *               rnk 1-based, rnk ≤ k.
-    * @return one row per query: (q_id, n_rel, hits, ap_num, ap_den);
-    *         AP = ap_num / ap_den, 0 hits → ap_num 0. */
   /** ⌊10⁹ / log₂(i+1)⌋ for rank i = 1..10 — the NDCG discount ladder
     * as PINNED integer constants (the Benford / ln2 precedent: the one
     * transcendental is evaluated once at 40-digit precision and
@@ -178,6 +159,25 @@ object Eval {
       .withColumn("ndcg_ppm", expr("dcg * 1000000L div idcg"))
   }
 
+  /** Average precision at k, per query — the MAP building block
+    * (multi-relevant upgrade of [[reciprocalRank]]'s single-truth rr):
+    * AP = (Σ over hit positions i of P@i) / |relevant|, where P@i =
+    * hits-so-far / i. Every P@i has denominator i ≤ k, so scaling by
+    * lcm(1..k) makes each term an EXACT integer — the statistic is
+    * emitted as the rational (ap_num, ap_den = lcm·|relevant|) with NO
+    * flooring anywhere, bit-identical across engines (the float mean
+    * would not be).
+    *
+    * One equi-join of the ≤|Q|·k ranking against the ≤|Q|·k truth set,
+    * then a per-query window over ≤k hit rows — nothing corpus-sized
+    * moves.
+    *
+    * @param truth  (q_id, n_id): the relevant set per query (e.g.
+    *               brute-force top-k).
+    * @param ranked (q_id, n_id, rnk): the system ranking under test,
+    *               rnk 1-based, rnk ≤ k.
+    * @return one row per query: (q_id, n_rel, hits, ap_num, ap_den);
+    *         AP = ap_num / ap_den, 0 hits → ap_num 0. */
   def averagePrecision(truth: DataFrame, ranked: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 20, s"k must be in [1, 20], got $k")
     val scale = (1 to k).foldLeft(1L)((l, i) => l / gcd(l, i) * i) // lcm(1..k)

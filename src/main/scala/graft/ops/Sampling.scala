@@ -35,6 +35,14 @@ object Sampling {
     * decision variable both samplers threshold. */
   def hashFraction(key: Column): Column = hash24(key) / lit(HashSpace)
 
+  /** The ×10⁶-scaled integer form of [[hashFraction]] — ⌊hash24·10⁶ /
+    * 2²⁴⌋, the split decision [[groupDisjointSplit]],
+    * [[Stats.conformalMeanInterval]], and the streaming conformal gate
+    * all threshold. ONE definition so the split can't silently drift
+    * between batch and streaming twins; the oracle fragment is the
+    * misc_split_group_disjoint / misc_conformal SQL. */
+  def hashPpm(key: Column): Column = shiftright(hash24(key) * lit(1000000L), 24)
+
   /** Deterministic Bernoulli sample: keep each row iff
     * hashFraction(key) < rate. */
   def bernoulli(df: DataFrame, keyCol: String, rate: Double): DataFrame =
@@ -98,8 +106,7 @@ object Sampling {
   ): DataFrame = {
     require(testPpm >= 0 && valPpm >= 0 && testPpm + valPpm <= 1000000L,
       s"ppm cuts must be >= 0 and sum <= 1e6, got test=$testPpm val=$valPpm")
-    // exact integer division by 2²⁴ — a right shift (h is non-negative)
-    val ppm = shiftright(hash24(col(groupCol)) * lit(1000000L), 24)
+    val ppm = hashPpm(col(groupCol))
     df.withColumn(
       "split",
       when(ppm < testPpm, lit("test"))

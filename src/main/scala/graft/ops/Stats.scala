@@ -870,19 +870,6 @@ object Stats {
       )
   }
 
-  /** RFM SEGMENTATION (Recency / Frequency / Monetary quintile scores)
-    * — the classic customer-value stratification, computed exactly at
-    * corpus scale: one groupBy builds the per-entity (r, f, m) raw
-    * triple, then each dimension is scored 1..k by equi-depth rank
-    * over its own value histogram ([[bucketLookup]] — tiered, so the
-    * continuous monetary domain is safe), and the three scores
-    * concatenate into the familiar `rfm` cell (r·100 + f·10 + m for
-    * k ≤ 9). Ties share a score (rank-of-value, not row shuffling), so
-    * the segmentation is deterministic and engine-replayable. Higher
-    * is better on every axis: recency scores the LATEST-activity
-    * entities high, frequency/monetary score volume high.
-    * Output: `(entity, r_raw, f_raw, m_raw, r_score, f_score,
-    * m_score, rfm)`. */
   /** SPLIT-CONFORMAL prediction interval for an integral value column
     * (Vovk et al. 2005; the distribution-free uncertainty wrapper every
     * model-serving pipeline bolts on): a deterministic hash split
@@ -921,7 +908,7 @@ object Stats {
     val rows = df
       .filter(valueCol.isNotNull)
       .select(idCol.as("__id"), valueCol.cast("long").as("__v"))
-      .withColumn("__cal", shiftright(Sampling.hash24(col("__id")) * lit(1000000L), 24) < calPpm)
+      .withColumn("__cal", Sampling.hashPpm(col("__id")) < calPpm)
     val calHist = rows
       .filter(col("__cal"))
       .groupBy(col("__v").as("v"))
@@ -983,6 +970,19 @@ object Stats {
       .withColumn("coverage_ppm", expr("n_covered * 1000000L div n_test"))
   }
 
+  /** RFM SEGMENTATION (Recency / Frequency / Monetary quintile scores)
+    * — the classic customer-value stratification, computed exactly at
+    * corpus scale: one groupBy builds the per-entity (r, f, m) raw
+    * triple, then each dimension is scored 1..k by equi-depth rank
+    * over its own value histogram ([[bucketLookup]] — tiered, so the
+    * continuous monetary domain is safe), and the three scores
+    * concatenate into the familiar `rfm` cell (r·100 + f·10 + m for
+    * k ≤ 9). Ties share a score (rank-of-value, not row shuffling), so
+    * the segmentation is deterministic and engine-replayable. Higher
+    * is better on every axis: recency scores the LATEST-activity
+    * entities high, frequency/monetary score volume high.
+    * Output: `(entity, r_raw, f_raw, m_raw, r_score, f_score,
+    * m_score, rfm)`. */
   def rfmScores(
       df: DataFrame,
       entityCol: Column,

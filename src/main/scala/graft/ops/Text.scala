@@ -237,26 +237,6 @@ object Text {
       )
   }
 
-  /** Corpus-trained bigram language-model score — the perplexity-proxy
-    * quality signal (CCNet/Gopher filter by LM perplexity; this is the
-    * n-gram form of that, trained on the corpus itself): per bigram
-    * occurrence the conditional probability P(w₂|w₁) as an integer
-    * ppm, ⌊c(w₁w₂)·10⁶ / c(w₁·)⌋, and per document the mean over its
-    * bigram occurrences, again floored. Predictable text (frequent
-    * continuations) scores high; gibberish and boilerplate-free noise
-    * score low. Deliberately integer end-to-end: log-space perplexity
-    * would drag engine-specific `ln` rounding into the gate, while
-    * floor-ppm arithmetic is bit-identical everywhere and
-    * order-independent (integer sums), so ranking and thresholding
-    * behave the same on any engine or partitioning.
-    *
-    * Scale shape: the "training pass" is one bigram count aggregation
-    * (shuffle keyed on the bigram) plus a prefix-count aggregation —
-    * both vocabulary-sized, reusable across scoring runs; scoring
-    * joins each document's bigram occurrences to the two count tables
-    * (keyed equi-joins, AQE-broadcastable while the vocabulary fits)
-    * and aggregates per document. Documents with < 2 tokens have no
-    * bigrams and are excluded (score undefined, not zero). */
   /** Exact lower-quantile pruning over a BOUNDED-INTEGER score column
     * — drop the worst `quantilePpm`/10⁶ of rows by score (the
     * perplexity-pruning step of CCNet/Gopher-style curation, here on
@@ -343,6 +323,26 @@ object Text {
       )
   }
 
+  /** Corpus-trained bigram language-model score — the perplexity-proxy
+    * quality signal (CCNet/Gopher filter by LM perplexity; this is the
+    * n-gram form of that, trained on the corpus itself): per bigram
+    * occurrence the conditional probability P(w₂|w₁) as an integer
+    * ppm, ⌊c(w₁w₂)·10⁶ / c(w₁·)⌋, and per document the mean over its
+    * bigram occurrences, again floored. Predictable text (frequent
+    * continuations) scores high; gibberish and boilerplate-free noise
+    * score low. Deliberately integer end-to-end: log-space perplexity
+    * would drag engine-specific `ln` rounding into the gate, while
+    * floor-ppm arithmetic is bit-identical everywhere and
+    * order-independent (integer sums), so ranking and thresholding
+    * behave the same on any engine or partitioning.
+    *
+    * Scale shape: the "training pass" is one bigram count aggregation
+    * (shuffle keyed on the bigram) plus a prefix-count aggregation —
+    * both vocabulary-sized, reusable across scoring runs; scoring
+    * joins each document's bigram occurrences to the two count tables
+    * (keyed equi-joins, AQE-broadcastable while the vocabulary fits)
+    * and aggregates per document. Documents with < 2 tokens have no
+    * bigrams and are excluded (score undefined, not zero). */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withToks = docs
       .select(col(idCol), tokens(col(textCol)).as("__t"))
@@ -370,6 +370,29 @@ object Text {
       )
   }
 
+  /** [[trigramBackoffScore]] over a prebuilt
+    * [[NgramCounts.NgramTables]] artifact whose slice flag was built
+    * with the SAME `isTest` predicate: the three train-side count
+    * tables and the token total are slice filters over the artifact
+    * (vocabulary-sized), leaving one corpus pass (the test-position
+    * explode). Bit-identical to [[trigramBackoffScore]] (OpsSpec
+    * equality pin). */
+  def trigramBackoffScoreFromTables(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTest: Column,
+      t: NgramCounts.NgramTables,
+  ): DataFrame = {
+    val c1   = t.uni.filter(!col("is_test")).select(col("w"), col("c").as("__c1"))
+    val nTot = t.uni.filter(!col("is_test")).agg(sum(col("c")).as("__n"))
+    val c2 = t.bi
+      .filter(!col("is_test"))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bg"), col("c").as("__c2"))
+    val c3 = t.tri.filter(!col("is_test")).select(col("tg"), col("c").as("__c3"))
+    backoffScorePositions(docs, idCol, textCol, isTest, c1, nTot, c2, c3)
+  }
+
   /** Trigram language-model scoring with STUPID BACKOFF (Brants et al.
     * 2007, "Large Language Models in Machine Translation" §4) — the
     * web-scale LM quality score: no discounting, no normalization,
@@ -394,29 +417,6 @@ object Text {
     * left-join each level and take the first hit. Per doc:
     * (n_trigrams, per-level hit counts, mean score). Everything is
     * counts and floored divisions — bit-replayable. */
-  /** [[trigramBackoffScore]] over a prebuilt
-    * [[NgramCounts.NgramTables]] artifact whose slice flag was built
-    * with the SAME `isTest` predicate: the three train-side count
-    * tables and the token total are slice filters over the artifact
-    * (vocabulary-sized), leaving one corpus pass (the test-position
-    * explode). Bit-identical to [[trigramBackoffScore]] (OpsSpec
-    * equality pin). */
-  def trigramBackoffScoreFromTables(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      isTest: Column,
-      t: NgramCounts.NgramTables,
-  ): DataFrame = {
-    val c1   = t.uni.filter(!col("is_test")).select(col("w"), col("c").as("__c1"))
-    val nTot = t.uni.filter(!col("is_test")).agg(sum(col("c")).as("__n"))
-    val c2 = t.bi
-      .filter(!col("is_test"))
-      .select(concat_ws(" ", col("w1"), col("w2")).as("bg"), col("c").as("__c2"))
-    val c3 = t.tri.filter(!col("is_test")).select(col("tg"), col("c").as("__c3"))
-    backoffScorePositions(docs, idCol, textCol, isTest, c1, nTot, c2, c3)
-  }
-
   def trigramBackoffScore(
       docs: DataFrame,
       idCol: String,
@@ -1504,18 +1504,6 @@ object Text {
     )
   }
 
-  /** Kneser–Ney continuation counts (Kneser & Ney 1995) — the other
-    * half of the LM-smoothing toolkit beside [[freqOfFreqs]]: per
-    * word, the unigram count c(w), the DISTINCT-left-context count
-    * N1+(•w) (how many different words precede it — the KN insight:
-    * "Francisco" is frequent but only ever follows "San", so its
-    * continuation mass should be tiny), the distinct-right-context
-    * count N1+(w •), and the continuation probability
-    * p_cont(w) = N1+(•w) / |distinct bigram types| as a floored ppm.
-    * Corpus-scale posture: one token scan builds within-doc bigrams
-    * map-side (a transform over the token array — no self-join), one
-    * DISTINCT aggregation over bigram types, bounded per-word
-    * rollups; the bigram-type total is a broadcast 1-row aggregate. */
   /** [[knContinuationCounts]] over a prebuilt
     * [[NgramCounts.NgramTables]] artifact: the distinct bigram TYPES
     * are exactly the rows of the bigram count table (summed over the
@@ -1544,6 +1532,18 @@ object Text {
       )
   }
 
+  /** Kneser–Ney continuation counts (Kneser & Ney 1995) — the other
+    * half of the LM-smoothing toolkit beside [[freqOfFreqs]]: per
+    * word, the unigram count c(w), the DISTINCT-left-context count
+    * N1+(•w) (how many different words precede it — the KN insight:
+    * "Francisco" is frequent but only ever follows "San", so its
+    * continuation mass should be tiny), the distinct-right-context
+    * count N1+(w •), and the continuation probability
+    * p_cont(w) = N1+(•w) / |distinct bigram types| as a floored ppm.
+    * Corpus-scale posture: one token scan builds within-doc bigrams
+    * map-side (a transform over the token array — no self-join), one
+    * DISTINCT aggregation over bigram types, bounded per-word
+    * rollups; the bigram-type total is a broadcast 1-row aggregate. */
   def knContinuationCounts(docs: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     val bigrams = docs

@@ -23,20 +23,6 @@ import org.apache.spark.sql.functions._
   */
 object Timeseries {
 
-  /** Daily resample of per-key event counts over the global day span,
-    * with gap fill and LOCF: every (key, day) cell of the dense grid
-    * gets the key's observed count that day, or the most recent
-    * preceding observed count (`n_filled`), with `observed` telling
-    * them apart. Days before a key's first observation keep NULL —
-    * there is nothing to carry (the standard LOCF contract; no
-    * backfill).
-    *
-    * The LOCF itself is `last(ignoreNulls)` over a per-key window —
-    * one exchange on the key, partition-local sort of |span| rows per
-    * key. At 100 TB the grid is |keys|·|days|, i.e. linear in the
-    * entity count with a small constant — the same scale class as any
-    * per-entity daily rollup.
-    */
   /** Mann–Kendall trend test over per-key DAILY counts (Mann 1945,
     * Kendall 1975) — the nonparametric monotone-trend detector that
     * pairs with [[graft.ops.Timeseries]]'s Theil–Sen slope (MK decides
@@ -94,6 +80,20 @@ object Timeseries {
       )
   }
 
+  /** Daily resample of per-key event counts over the global day span,
+    * with gap fill and LOCF: every (key, day) cell of the dense grid
+    * gets the key's observed count that day, or the most recent
+    * preceding observed count (`n_filled`), with `observed` telling
+    * them apart. Days before a key's first observation keep NULL —
+    * there is nothing to carry (the standard LOCF contract; no
+    * backfill).
+    *
+    * The LOCF itself is `last(ignoreNulls)` over a per-key window —
+    * one exchange on the key, partition-local sort of |span| rows per
+    * key. At 100 TB the grid is |keys|·|days|, i.e. linear in the
+    * entity count with a small constant — the same scale class as any
+    * per-entity daily rollup.
+    */
   def resampleDailyLocf(
       df: DataFrame,
       keyCol: String,

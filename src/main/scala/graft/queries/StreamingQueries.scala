@@ -71,10 +71,16 @@ object StreamingQueries {
     * skip contract). */
   private val srcDirConsumers =
     Set("stream_tumbling_event_counts", "stream_interval_join", "stream_static_enrich")
+  // every gate whose builder reads leftOuterSplitDir (directly or via
+  // hourlyStateTable) — r14 review finding: the list had drifted
+  // behind the gate set, so a narrowed bench paid the split write
+  // inside the first selected query's timed region
   private val timeSplitConsumers = Set(
     "stream_dedup", "stream_funnel_steps", "stream_left_outer_join", "stream_session_window",
     "stream_cms_sketch", "stream_rate_anomaly", "stream_profile", "stream_dist_drift",
-    "stream_agg_maintain",
+    "stream_agg_maintain", "stream_full_outer_join", "stream_cusum", "stream_ewma",
+    "stream_topk", "stream_topk_maintain", "stream_conformal", "stream_approx_distinct",
+    "stream_holt", "stream_holt_winters", "stream_seasonal",
   )
   private val docSplitConsumers =
     Set("stream_decontaminate", "stream_reservoir_sample", "stream_left_outer_join",
@@ -1019,14 +1025,7 @@ object StreamingQueries {
       .parquet(leftOuterSplitDir(s, d))
     def isCal(df: org.apache.spark.sql.DataFrame) = df
       .filter(col("value").isNotNull)
-      .withColumn(
-        "__cal",
-        shiftright(
-          conv(substring(md5(coalesce(col("event_id").cast("string"), lit(""))), 1, 6), 16, 10)
-            .cast("long") * lit(1000000L),
-          24,
-        ) < 500000L,
-      )
+      .withColumn("__cal", graft.ops.Sampling.hashPpm(col("event_id")) < 500000L)
     val calHist = isCal(stream)
       .filter(col("__cal"))
       .groupBy(expr("CAST(round(value * 100) AS BIGINT)").as("v"))

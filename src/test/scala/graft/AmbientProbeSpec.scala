@@ -42,7 +42,14 @@ class AmbientProbeSpec extends AnyFunSuite {
     // the spec's local[4] has ~4x headroom, exactly the slack that let
     // the r11–r13 contamination through. Measured on the benchmark
     // box: mem slowdown 3.18x, alu pin-ratio 0.78.
-    val threads     = 4
+    val threads = 4
+    val cores   = Runtime.getRuntime.availableProcessors()
+    // the assertions encode benchmark-box headroom: the "ALU stays
+    // green" claim needs spare cores beyond the probe's local[4]
+    // threads, and the hog must be able to pressure memory without
+    // merely timesharing the probe — skip on small machines rather
+    // than flake (the r14 review finding)
+    assume(cores >= 16, s"needs >= 16 hardware threads for hog headroom, have $cores")
     val unloadedMem = AmbientProbe.timeMem(spark, threads)
     val unloadedAlu = AmbientProbe.time(spark, threads)
     assume(
@@ -50,7 +57,13 @@ class AmbientProbeSpec extends AnyFunSuite {
         !AmbientProbe.contendedMem(unloadedMem, threads),
       f"machine already contended (alu $unloadedAlu%.3f s, mem $unloadedMem%.3f s); skipping",
     )
-    val cores = Runtime.getRuntime.availableProcessors()
+    // the green-side assertion also needs the unloaded ALU ratio to sit
+    // well under the tripwire — without that headroom a loaded cross is
+    // hardware variance, not a probe defect
+    assume(
+      AmbientProbe.ratio(unloadedAlu, threads) < 1.0,
+      f"unloaded ALU ratio ${AmbientProbe.ratio(unloadedAlu, threads)}%.2f leaves no headroom; skipping",
+    )
     val stop  = new java.util.concurrent.atomic.AtomicBoolean(false)
     val spinners = (1 to cores).map { _ =>
       val t = new Thread(() => {

@@ -50,6 +50,9 @@ def main():
         anchors = json.load(open(args.anchors))
         if anchors.get("sf") != sf:
             sys.exit(f"anchors file is for sf={anchors.get('sf')}, run is {sf}")
+        if not isinstance(anchors.get("anchors"), dict):
+            sys.exit(f"{args.anchors} has no 'anchors' object - refusing to clobber "
+                     "a malformed file (fix or delete it)")
 
     merged, lowered, added = anchors["anchors"], 0, 0
     for name, wall in per_query.get("queries", {}).items():
