@@ -244,16 +244,38 @@ object Bench {
           // compare the sf BASENAME (trailing-slash-proof — a record
           // run with SPARK_GRAFT_SF_DIR=/.../sf0.1/ must still
           // self-annotate) and parse pairs only INSIDE the "anchors"
-          // object so a future top-level numeric field can't be
-          // mis-read as a query anchor
-          val sfBase = sfDir.replaceAll("/+$", "").split('/').last
-          val sfOk = """"sf"\s*:\s*"([^"]+)"""".r
-            .findFirstMatchIn(txt)
-            .exists(_.group(1) == sfBase)
+          // object — sliced at its MATCHING closing brace (anchor
+          // values are flat numerics, so the first unbalanced '}'
+          // closes the object), not to EOF, so a future top-level
+          // `"key": 1.23` after the object can't be mis-read as a
+          // query anchor; the sf key is likewise checked OUTSIDE the
+          // slice so an anchor named "sf" could never satisfy it.
           val body = txt.indexOf("\"anchors\"") match {
             case -1 => ""
-            case i  => txt.substring(i)
+            case i =>
+              val open = txt.indexOf('{', i)
+              if (open == -1) ""
+              else {
+                var depth = 0; var j = open; var end = -1
+                while (end == -1 && j < txt.length) {
+                  txt.charAt(j) match {
+                    case '{' => depth += 1
+                    case '}' => depth -= 1; if (depth == 0) end = j
+                    case _   =>
+                  }
+                  j += 1
+                }
+                if (end == -1) "" else txt.substring(open, end + 1)
+              }
           }
+          val outside = txt.indexOf("\"anchors\"") match {
+            case -1 => txt
+            case i  => txt.substring(0, i)
+          }
+          val sfBase = sfDir.replaceAll("/+$", "").split('/').last
+          val sfOk = """"sf"\s*:\s*"([^"]+)"""".r
+            .findFirstMatchIn(outside)
+            .exists(_.group(1) == sfBase)
           if (!sfOk) Map.empty[String, Double]
           else
             """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+\.[0-9]+)""".r
@@ -266,17 +288,27 @@ object Bench {
     val inflation = results.toSeq
       .flatMap { case (n, t) => anchors.get(n).filter(_ > 0).map(a => n -> t / a) }
       .sortBy(-_._2)
+    // Noise floor (r14 post-mortem): a clean driver run carried
+    // `inflation_over2x: 1` from a sub-second row where 2x of ~0.1 s is
+    // scheduler jitter, not contamination. Rows whose MEASURED wall is
+    // under 0.3 s stay in the per-query inflation series (the evidence
+    // line) but are exempt from the over-2x alarm count — the alarm is
+    // for rows where 2x means seconds of ambient load, so it must not
+    // cry wolf on rows where 2x means milliseconds.
+    val noiseFloorS = 0.3
+    def alarming(n: String, r: Double): Boolean =
+      r > 2.0 && results.get(n).exists(_ >= noiseFloorS)
     if (inflation.nonEmpty) {
-      val over2x = inflation.filter(_._2 > 2.0).map(_._1)
+      val over2x = inflation.collect { case (n, r) if alarming(n, r) => n }
       println(
-        s"""{"metric":"inflation","sf":"$sfDir","anchored":${inflation.size},"over2x":${over2x
+        s"""{"metric":"inflation","sf":"$sfDir","anchored":${inflation.size},"noise_floor_s":$noiseFloorS,"over2x":${over2x
             .map("\"" + _ + "\"")
             .mkString("[", ",", "]")},"queries":${qmap(inflation)}}"""
       )
     }
     val inflationMed =
       if (inflation.isEmpty) 0.0 else inflation.map(_._2).sorted.apply(inflation.size / 2)
-    val inflationOver2x = inflation.count(_._2 > 2.0)
+    val inflationOver2x = inflation.count { case (n, r) => alarming(n, r) }
     // shared-build decomposition repeats on the SUMMARY line (the only
     // line the driver's 2000-char tail is guaranteed to keep) so the
     // per-artifact accounting can't be truncated away.

@@ -61,6 +61,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SimHash64Md5Expr(exprs.head),
       )
     )
+    e.injectFunction(
+      (
+        FunctionIdentifier("dtw_distance"),
+        new ExpressionInfo(classOf[graft.functions.DtwExpr].getName, "dtw_distance"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.DtwExpr(exprs.head, exprs(1), exprs(2)),
+      )
+    )
     Seq(2, 3, 4).foreach { n =>
       e.injectFunction(
         (

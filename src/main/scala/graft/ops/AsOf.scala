@@ -85,22 +85,30 @@ object AsOf {
       outPrefix: String = "asof_",
   ): DataFrame = {
     require(toleranceUs >= 0, s"tolerance must be >= 0, got $toleranceUs")
+    // collision-free carrier for the matched row's timestamp: a plain
+    // withColumn("__rts", ...) would silently REPLACE a caller column
+    // of that name and corrupt the staleness comparison
+    val rts = Iterator
+      .from(0)
+      .map(i => if (i == 0) "__rts" else s"__rts$i")
+      .find(n => !right.columns.contains(n) && !left.columns.contains(s"$outPrefix$n"))
+      .get
     val matched = joinAtOrBefore(
       left,
-      right.withColumn("__rts", col(ts)),
+      right.withColumn(rts, col(ts)),
       keys,
       ts,
-      payloadCols :+ "__rts",
+      payloadCols :+ rts,
       rightTieBreak,
       outPrefix,
     )
     val fresh =
-      unix_micros(col(ts)) - unix_micros(col(s"${outPrefix}__rts")) <= toleranceUs
+      unix_micros(col(ts)) - unix_micros(col(s"$outPrefix$rts")) <= toleranceUs
     payloadCols
       .foldLeft(matched) { (d, c) =>
         d.withColumn(s"$outPrefix$c", when(fresh, col(s"$outPrefix$c")))
       }
-      .drop(s"${outPrefix}__rts")
+      .drop(s"$outPrefix$rts")
   }
 
   /** The FORWARD as-of join: for each row of `left`, attach the payload

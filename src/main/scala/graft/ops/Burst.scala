@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Kleinberg burst detection (Kleinberg 2002, "Bursty and Hierarchical
@@ -28,11 +29,18 @@ import org.apache.spark.sql.functions._
   * Viterbi over 2 states as a per-key sequential fold with recorded
   * back-pointers, then a reverse fold recovers the optimal labels —
   * the [[Timeseries.cusumFromHourly]] bounded-array discipline. The
-  * per-key event sequence is collected, so keys are expected to be
-  * BOUNDED sequences (per-user / per-entity activity streams, the
-  * [[Sessionize]] contract), not corpus-sized partitions. Keys with
-  * fewer than 3 events (< 2 gaps) or zero total span are dropped
-  * (α₀ undefined).
+  * per-key event sequence is collected, so the collect is STRUCTURALLY
+  * bounded by `maxEventsPerKey`: a spillable window rank caps each key
+  * to its FIRST `maxEventsPerKey` events in (ts, tie) order BEFORE any
+  * array materializes (the capped-basket precedent — a hot key with
+  * 10⁸ events is a truncated analysis horizon, never a task OOM), and
+  * the bound also caps the fold's back-pointer append cost, which is
+  * quadratic in the per-key length. Events past the cap are excluded
+  * from that key's analysis — at 10⁴ gaps the horizon already exceeds
+  * any per-entity activity stream this operator is for (the
+  * [[Sessionize]] contract); raise it deliberately for longer
+  * horizons. Keys with fewer than 3 events (< 2 gaps) or zero total
+  * span are dropped (α₀ undefined).
   *
   * Deterministic tie rules, mirrored in the oracle: costs tie → state
   * 0 at the end; stay-transitions win ties in the back-pointers
@@ -59,10 +67,38 @@ object Burst {
       tsCol: String,
       tieCol: String,
       gammaX: Int = 1,
+      maxEventsPerKey: Int = 10000,
   ): DataFrame = {
     require(gammaX >= 1, s"gammaX must be >= 1, got $gammaX")
-    val seqs = df
+    require(maxEventsPerKey >= 3, s"maxEventsPerKey must be >= 3, got $maxEventsPerKey")
+    // cap BEFORE collecting, paying the sort only where it bounds
+    // anything (the AQE-skew-join idiom): a map-side-combinable count
+    // finds the over-cap keys — structurally ≤ |rows|/cap of them, so
+    // the hot-key list always broadcasts — and ONLY their rows go
+    // through the spillable rank window (no in-memory array until
+    // after the ≤cap filter). The overwhelmingly common cold keys keep
+    // the plain one-shuffle collect, whose per-key arrays are ≤cap by
+    // the count's own evidence. A 10⁸-event bot key is a truncated
+    // analysis horizon, never a task OOM — and an all-cold corpus pays
+    // one cheap counting aggregation, not a corpus-wide sort.
+    val base = df
       .select(col(keyCol).as("key"), col(tsCol).as("__ts"), col(tieCol).as("__tie"))
+    val hot = base
+      .groupBy("key")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxEventsPerKey)
+      .select("key")
+    val coldRows = base.join(broadcast(hot), Seq("key"), "left_anti")
+    val hotRows = base
+      .join(broadcast(hot), Seq("key"), "left_semi")
+      .withColumn(
+        "__rn",
+        row_number().over(Window.partitionBy(col("key")).orderBy(col("__ts"), col("__tie"))),
+      )
+      .filter(col("__rn") <= maxEventsPerKey)
+      .drop("__rn")
+    val seqs = coldRows
+      .unionByName(hotRows)
       .groupBy("key")
       .agg(sort_array(collect_list(struct(col("__ts"), col("__tie")))).as("evs"))
       .filter(size(col("evs")) >= 3)

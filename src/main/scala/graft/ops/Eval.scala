@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Classification-evaluation metrics over a (truth, prediction) pair
@@ -155,6 +155,65 @@ object Eval {
         coalesce(col("hits"), lit(0L)).as("hits"),
         coalesce(col("dcg"), lit(0L)).as("dcg"),
         idcg.as("idcg"),
+      )
+      .withColumn("ndcg_ppm", expr("dcg * 1000000L div idcg"))
+  }
+
+  /** NDCG@k with GRADED relevance — the general form [[ndcgAtK]]
+    * specializes (binary grades make gain 1 and the ideal ordering a
+    * prefix count): each relevant doc carries an integer grade ≥ 1,
+    * gain(g) = 2^g − 1 (the standard exponential gain), DCG = Σ over
+    * hit ranks i of gain·discount(i) on the pinned integer ladder
+    * [[ndcgDiscounts]], and IDCG re-ranks the TRUTH set by grade
+    * descending (doc id ascending on ties — deterministic) and sums
+    * the same gains over the first k ideal ranks. Exact-integer end
+    * to end: no float log, no float pow (gains via bit shift).
+    *
+    * Shape: one equi-join of the ≤|Q|·k ranking against the per-query
+    * truth set, plus one window over the truth set — whose size is the
+    * caller's relevance surface, bounded per query by construction
+    * (a graded judgment list, never the corpus).
+    *
+    * @param truth  (q_id, n_id, grade): graded relevant set, grade ≥ 1
+    *               (grade-0 rows are the caller's to drop — they carry
+    *               zero gain in both DCG and IDCG).
+    * @param ranked (q_id, n_id, rnk): the ranking under test, rnk ≤ k.
+    * @return one row per query: (q_id, n_rel, hits, dcg, idcg,
+    *         ndcg_ppm) — ndcg_ppm = dcg·10⁶ div idcg. */
+  def ndcgGradedAtK(truth: DataFrame, ranked: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= ndcgDiscounts.size, s"k must be in [1, ${ndcgDiscounts.size}], got $k")
+    def discAt(rnkCol: Column): Column = ndcgDiscounts
+      .take(k)
+      .zipWithIndex
+      .foldRight(lit(0L)) { case ((d, i), e) => when(rnkCol === (i + 1), d).otherwise(e) }
+    // functions.shiftleft takes a literal bit count; the SQL form
+    // shifts by a column
+    val gain = expr("shiftleft(1L, CAST(grade AS INT)) - 1L")
+    val dcg = ranked
+      .select(col("q_id"), col("n_id"), col("rnk"))
+      .filter(col("rnk") <= k)
+      .join(truth.select(col("q_id"), col("n_id"), col("grade")), Seq("q_id", "n_id"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("hits"), sum(gain * discAt(col("rnk"))).as("dcg"))
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("grade").desc, col("n_id").asc)
+    val idcg = truth
+      .select(col("q_id"), col("n_id"), col("grade"))
+      .withColumn("__irnk", row_number().over(wIdeal))
+      .groupBy("q_id")
+      .agg(
+        count(lit(1)).as("n_rel"),
+        sum(when(col("__irnk") <= k, gain * discAt(col("__irnk"))).otherwise(0L)).as("idcg"),
+      )
+    idcg
+      .join(dcg, Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("dcg"), lit(0L)).as("dcg"),
+        col("idcg"),
       )
       .withColumn("ndcg_ppm", expr("dcg * 1000000L div idcg"))
   }

@@ -99,11 +99,16 @@ object Graph {
         .groupBy("n")
         .agg(count(lit(1)).as("d"))
       val keep = deg.where(col("d") >= k).select("n")
+      // LAZY checkpoint + count = ONE action per round: the count job
+      // both materializes the lineage-cut blocks and delivers the
+      // convergence statistic (the eager form paid a second scheduled
+      // job per round just to read back the cached blocks — measurable
+      // drift on this, the suite's most round-serialized gate)
       val next = e
         .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
         .select("a", "b")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val c = next.count()
       done = c == prev // removal-only ⇒ equal count ⇒ identical edge set
       prev = c

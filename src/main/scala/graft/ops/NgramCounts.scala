@@ -28,9 +28,22 @@ object NgramCounts {
   /** uni: (w, is_test, c); bi: (w1, w2, is_test, c);
     * tri: (tg, is_test, c) with tg the space-joined triple (the join
     * key format every consumer uses — [[Text.shingles]] at n = 3). */
-  final case class NgramTables(uni: DataFrame, bi: DataFrame, tri: DataFrame) {
+  final case class NgramTables(
+      uni: DataFrame,
+      bi: DataFrame,
+      tri: DataFrame,
+      private val toks: DataFrame,
+  ) {
+    /** Persisting the tokenized corpus FIRST is what makes the "one
+      * tokenize pass" claim true: the three count tables materialize as
+      * three independent jobs, and without the cache each would re-scan
+      * and re-tokenize the corpus. The token cache is dropped as soon
+      * as the (vocabulary-sized) counts are pinned — its footprint is
+      * bounded by the three sequential jobs' window, not the caller's. */
     def persistAll(): NgramTables = {
+      toks.persist()
       Seq(uni, bi, tri).foreach { df => df.persist(); df.count(): Unit }
+      toks.unpersist()
       this
     }
     def unpersistAll(): Unit = Seq(uni, bi, tri).foreach(_.unpersist())
@@ -60,6 +73,6 @@ object NgramCounts {
       .select(col("is_test"), explode(Text.shingles(col("__t"), 3)).as("tg"))
       .groupBy("tg", "is_test")
       .agg(count(lit(1)).as("c"))
-    NgramTables(uni, bi, tri)
+    NgramTables(uni, bi, tri, toks)
   }
 }

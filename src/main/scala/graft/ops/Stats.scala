@@ -648,6 +648,51 @@ object Stats {
       )
   }
 
+  /** [[tieredCum]] GENERALIZED to a grouping key: cumulative counts of
+    * `__s` WITHIN each `__k` group, still without any corpus-sized
+    * window — range-partition on (__k, __s) (a segment may span
+    * partitions; within one partition a (pid, __k) pair is
+    * contiguous), per-(pid, key) running sums in parallel, then the
+    * per-(pid, key) totals — P·|keys| rows — see a key-partitioned
+    * window over pid for the exclusive offsets. The per-key analogue
+    * every `-By` operator family (kaplanMeierBy, conformal-by) builds
+    * its rank statistics on. */
+  private def tieredCumBy(hist: DataFrame, countCols: Seq[String]): DataFrame = {
+    val parts = hist.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = hist
+      .repartitionByRange(parts, col("__k"), col("__s"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wLocal = Window
+      .partitionBy(col("__pid"), col("__k"))
+      .orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = countCols.zipWithIndex.foldLeft(ranged) { case (d, (c, i)) =>
+      d.withColumn(s"__l${i + 1}", sum(col(c)).over(wLocal))
+    }
+    val wOff =
+      Window.partitionBy(col("__k")).orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = countCols.zipWithIndex
+      .foldLeft(
+        local
+          .groupBy(col("__pid"), col("__k"))
+          .agg(
+            sum(col(countCols.head)).as("__t1"),
+            countCols.tail.zipWithIndex.map { case (c, i) => sum(col(c)).as(s"__t${i + 2}") }: _*,
+          )
+      ) { case (d, (_, i)) =>
+        d.withColumn(s"__off${i + 1}", coalesce(sum(col(s"__t${i + 1}")).over(wOff), lit(0L)))
+      }
+      .select(col("__pid") +: col("__k") +: countCols.indices.map(i => col(s"__off${i + 1}")): _*)
+    local
+      .join(broadcast(offsets), Seq("__pid", "__k"))
+      .select(
+        (col("__k") +: col("__s") +: countCols.map(col)) ++
+          countCols.indices.map(i =>
+            (col(s"__off${i + 1}") + col(s"__l${i + 1}")).as(s"__cum${i + 1}")): _*
+      )
+  }
+
   /** Doubled midranks of `valueCol` as a histogram-keyed lookup
     * `(__s, __c, __mr2)`: a tie group of c values ending at inclusive
     * cumulative `cum` occupies ranks (cum−c+1)..cum, so its midrank is
@@ -970,6 +1015,96 @@ object Stats {
       .withColumn("coverage_ppm", expr("n_covered * 1000000L div n_test"))
   }
 
+  /** PER-SEGMENT split-conformal intervals — [[conformalMeanInterval]]
+    * generalized by a segment key the way `kaplanMeierBy` generalized
+    * `kaplanMeier`: each segment gets its own calibration mean,
+    * residual quantile, and held-out coverage row, which is the
+    * production form (a global interval over heterogeneous cohorts is
+    * mis-calibrated for every one of them; the per-cohort coverage
+    * report is what a serving dashboard audits). Same exact-integer
+    * arithmetic; the residual rank runs through [[tieredCumBy]] so a
+    * segment's near-continuous residual domain never sees a
+    * corpus-sized window. The segment key is a DIMENSION by contract
+    * (priorities, regions, model versions — the per-(partition, key)
+    * offset table broadcasts at P·|keys| rows). Segments are reported
+    * when they have BOTH calibration and test rows (a segment that
+    * hash-splits entirely to one side has no measurable interval).
+    * Output: one row per key, same columns as the global form. */
+  def conformalMeanIntervalBy(
+      df: DataFrame,
+      keyCol: Column,
+      idCol: Column,
+      valueCol: Column,
+      alphaPpm: Long,
+      calPpm: Long = 500000L,
+  ): DataFrame = {
+    require(0L < alphaPpm && alphaPpm < 1000000L, s"alphaPpm in (0, 1e6), got $alphaPpm")
+    require(0L < calPpm && calPpm < 1000000L, s"calPpm in (0, 1e6), got $calPpm")
+    val rows = df
+      .filter(valueCol.isNotNull && keyCol.isNotNull)
+      .select(keyCol.as("__k"), idCol.as("__id"), valueCol.cast("long").as("__v"))
+      .withColumn("__cal", Sampling.hashPpm(col("__id")) < calPpm)
+    val calHist = rows
+      .filter(col("__cal"))
+      .groupBy(col("__k"), col("__v").as("v"))
+      .agg(count(lit(1)).as("c"))
+    conformalFromValueHistBy(calHist, rows.filter(!col("__cal")).select("__k", "__v"), alphaPpm)
+  }
+
+  /** The per-key conformal machinery over a prebuilt calibration value
+    * histogram `(__k, v, c)` and test rows `(__k, __v)` — the keyed
+    * sibling of [[conformalFromValueHist]] (one code path for the
+    * batch gate and any streaming per-key calibration state). */
+  def conformalFromValueHistBy(
+      calHist: DataFrame,
+      testVals: DataFrame,
+      alphaPpm: Long,
+  ): DataFrame = {
+    require(0L < alphaPpm && alphaPpm < 1000000L, s"alphaPpm in (0, 1e6), got $alphaPpm")
+    val calMean = calHist
+      .groupBy("__k")
+      .agg(
+        sum(col("c")).as("n_cal"),
+        expr("CAST(sum(CAST(v AS DECIMAL(38,0)) * c) * 1000000 div sum(c) AS BIGINT)")
+          .as("mean_ppm"),
+      )
+      .localCheckpoint() // feeds the residual pass AND the test census
+    val resid = calHist
+      .join(broadcast(calMean), Seq("__k"))
+      .select(col("__k"), expr("abs(v * 1000000L - mean_ppm)").as("__s"), col("c").as("__rc"))
+      .groupBy("__k", "__s") // residuals of distinct values can collide after abs
+      .agg(sum(col("__rc")).as("__c"))
+    val cum = tieredCumBy(resid, Seq("__c"))
+    val tot = cum.groupBy("__k").agg(max(col("__cum1")).as("__n"))
+    val q = cum
+      .join(broadcast(tot), Seq("__k"))
+      .groupBy("__k")
+      .agg(
+        min(
+          when(
+            col("__cum1") >= expr(s"((__n + 1) * ${1000000L - alphaPpm}L + 999999L) div 1000000L"),
+            col("__s"),
+          )
+        ).as("q_ppm")
+      )
+    testVals
+      .join(broadcast(calMean), Seq("__k"))
+      .join(broadcast(q), Seq("__k"))
+      .groupBy("__k")
+      .agg(
+        max(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        max(col("mean_ppm")).as("mean_ppm"),
+        max(col("q_ppm")).as("q_ppm"),
+        sum(
+          when(col("q_ppm").isNull || expr("abs(__v * 1000000L - mean_ppm)") <= col("q_ppm"), 1L)
+            .otherwise(0L)
+        ).as("n_covered"),
+      )
+      .withColumn("coverage_ppm", expr("n_covered * 1000000L div n_test"))
+      .withColumnRenamed("__k", "key")
+  }
+
   /** RFM SEGMENTATION (Recency / Frequency / Monetary quintile scores)
     * — the classic customer-value stratification, computed exactly at
     * corpus scale: one groupBy builds the per-entity (r, f, m) raw
@@ -1019,6 +1154,17 @@ object Stats {
   ): DataFrame = {
     require(1 <= k && k <= 9, s"k must be in [1, 9] for the concatenated cell, got $k")
     require(dims.nonEmpty && dims.size <= 18, s"need 1..18 dims (cell is a LONG), got ${dims.size}")
+    // duplicate dim names would produce colliding <n>_raw/<n>_score
+    // columns and silently wrong self-joins; reserved names collide
+    // with the output spine
+    require(
+      dims.map(_._1).distinct.size == dims.size,
+      s"dim names must be distinct, got ${dims.map(_._1).mkString(", ")}",
+    )
+    require(
+      !dims.exists(d => d._1 == "entity" || d._1 == "cell"),
+      "dim names 'entity' and 'cell' are reserved for the output spine",
+    )
     val base = df
       .groupBy(entityCol.as("entity"))
       .agg(

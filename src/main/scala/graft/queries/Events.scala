@@ -1004,8 +1004,10 @@ object Events {
     * recorded back-pointers, then a backward recursive CTE walking
     * them from the cheaper final state. Exact equality on gaps, costs,
     * AND the optimal burst labeling. */
-  private val burstDetectQ = Q(
-    "evt_burst_detect",
+  /** The Kleinberg label pipeline as a CTE block, shared verbatim by
+    * the detect gate and the summary gate's oracle so the two can only
+    * drift visibly (the [[cusumSql]] convention). */
+  private[queries] val burstLabelCtes: String =
     s"""WITH RECURSIVE
        |seq AS (SELECT user_id AS key, ts,
        |          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
@@ -1038,11 +1040,155 @@ object Events {
        |         CASE WHEN b.st = 0 THEN (CASE WHEN f.f0 THEN 0 ELSE 1 END)
        |              ELSE (CASE WHEN f.f1 THEN 0 ELSE 1 END) END
        |  FROM bwd b JOIN fwd f ON f.key = b.key AND f.pos = b.pos
-       |  WHERE b.pos >= 2)
+       |  WHERE b.pos >= 2)""".stripMargin
+
+  private val burstDetectQ = Q(
+    "evt_burst_detect",
+    s"""$burstLabelCtes
        |SELECT e.key, e.pos, e.gap AS gap_us, e.e AS e_ppm, b.st = 1 AS burst
        |FROM es e JOIN bwd b ON b.key = e.key AND b.pos = e.pos""".stripMargin,
   ) { (s, d) =>
     graft.ops.Burst.kleinberg2(events(s, d), "user_id", "ts", "event_id")
+  }
+
+  /** The consumer shape over [[burstDetectQ]]'s labels — per key:
+    * number of maximal burst runs, the longest run (in gaps), and the
+    * burst-mass share (burst-gap time over total gap time, ppm,
+    * DECIMAL(38) product so a corpus-wide span can't overflow the ×10⁶
+    * scaling). Keys whose optimal labeling never bursts still report
+    * (0, 0, 0) — the absence row is the signal a triage list needs.
+    * Runs via the gaps-and-islands identity (pos − running burst
+    * count is constant exactly on a maximal burst run); the per-key
+    * window is bounded by [[graft.ops.Burst.kleinberg2]]'s event cap.
+    * Oracle: the shared label CTEs plus the same islands aggregation
+    * in DuckDB — exact on all three statistics. */
+  private val burstSummaryQ = Q(
+    "evt_burst_summary",
+    s"""$burstLabelCtes,
+       |lab AS (SELECT e.key, e.pos, e.gap, b.st = 1 AS burst
+       |        FROM es e JOIN bwd b ON b.key = e.key AND b.pos = e.pos),
+       |isl AS (SELECT key, pos, gap, burst,
+       |          pos - sum(CASE WHEN burst THEN 1 ELSE 0 END)
+       |                  OVER (PARTITION BY key ORDER BY pos) AS grp
+       |        FROM lab),
+       |runs AS (SELECT key, grp, count(*) AS len, sum(gap) AS mass
+       |         FROM isl WHERE burst GROUP BY 1, 2),
+       |perkey AS (SELECT key, count(*) AS n_bursts, max(len) AS longest_run,
+       |             sum(mass) AS burst_mass
+       |           FROM runs GROUP BY 1),
+       |tot AS (SELECT key, sum(gap) AS t_mass FROM lab GROUP BY 1)
+       |SELECT t.key, coalesce(p.n_bursts, 0) AS n_bursts,
+       |       CAST(coalesce(p.longest_run, 0) AS BIGINT) AS longest_run,
+       |       CAST(coalesce(p.burst_mass, 0) * 1000000 // t.t_mass AS BIGINT) AS burst_share_ppm
+       |FROM tot t LEFT JOIN perkey p USING (key)""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val labels = graft.ops.Burst.kleinberg2(events(s, d), "user_id", "ts", "event_id")
+    val wRun = Window
+      .partitionBy("key")
+      .orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one pass over the labels (no self-join on the Viterbi pipeline):
+    // non-burst gaps land in a NULL run id, so a single (key, run)
+    // rollup carries both the per-run stats and the total gap mass
+    val isl = labels.withColumn(
+      "__grp",
+      when(col("burst"), col("pos") - sum(when(col("burst"), 1L).otherwise(0L)).over(wRun)),
+    )
+    isl
+      .groupBy("key", "__grp")
+      .agg(count(lit(1)).as("__len"), sum("gap_us").as("__mass"))
+      .groupBy("key")
+      .agg(
+        sum(when(col("__grp").isNotNull, 1L).otherwise(0L)).as("n_bursts"),
+        coalesce(max(when(col("__grp").isNotNull, col("__len"))), lit(0L)).as("longest_run"),
+        sum(when(col("__grp").isNotNull, col("__mass")).otherwise(0L)).as("__burst_mass"),
+        sum(col("__mass")).as("__t_mass"),
+      )
+      .select(
+        col("key"),
+        col("n_bursts"),
+        col("longest_run"),
+        expr(
+          "CAST(CAST(__burst_mass AS DECIMAL(38,0)) * 1000000 div __t_mass AS BIGINT)"
+        ).as("burst_share_ppm"),
+      )
+  }
+
+  /** Banded DTW distance between every pair of event types' dense
+    * daily activity series ([[graft.functions.DtwExpr]], Sakoe–Chiba
+    * radius 7 on 30-day grids — the band genuinely prunes): which
+    * activity curves share a shape under local time warping, the
+    * numeric-series member of the edit-distance family. Exact-integer
+    * |Δ| costs, so the oracle replays the IDENTICAL banded DP as a
+    * cell-sequential recursive CTE carrying a sliding (m+2)-cell
+    * buffer (left = buf[m+2], up = buf[2], diag = buf[1]; out-of-band
+    * and boundary cells pinned to the same Long.MaxValue/4 sentinel) —
+    * exact on all pairs. Series are span-bounded (one month of days);
+    * the pair join is 5×5 type rows. */
+  private val dtwPairsQ = Q(
+    "evt_dtw_pairs", {
+      val inf = Long.MaxValue / 4
+      s"""WITH RECURSIVE
+         |daily AS (SELECT event_type AS t,
+         |            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day, count(*) AS n
+         |          FROM events GROUP BY 1, 2),
+         |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         |grid AS (SELECT tt.t, s.day
+         |         FROM (SELECT DISTINCT t FROM daily) tt
+         |         CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS day FROM span) s),
+         |dense AS (SELECT g.t, g.day, coalesce(d.n, 0) AS n
+         |          FROM grid g LEFT JOIN daily d ON d.t = g.t AND d.day = g.day),
+         |ser AS (SELECT t, list(n ORDER BY day) AS arr FROM dense GROUP BY 1),
+         |pairs AS (SELECT a.t AS ta, b.t AS tb, a.arr AS aa, b.arr AS bb,
+         |            len(a.arr) AS n, len(b.arr) AS m
+         |          FROM ser a JOIN ser b ON a.t < b.t),
+         |rec AS (
+         |  SELECT ta, tb, aa, bb, n, m, -1 AS t,
+         |         list_transform(range(m + 2), x -> CAST($inf AS BIGINT)) AS buf
+         |  FROM pairs
+         |  UNION ALL
+         |  SELECT ta, tb, aa, bb, n, m, t + 1,
+         |    list_append(buf[2:],
+         |      CASE WHEN (t+1) // (m+1) = 0 AND (t+1) % (m+1) = 0 THEN 0
+         |           WHEN (t+1) // (m+1) = 0 OR (t+1) % (m+1) = 0 THEN $inf
+         |           WHEN abs((t+1) // (m+1) - (t+1) % (m+1)) > greatest(7, abs(n - m))
+         |             THEN $inf
+         |           ELSE abs(aa[(t+1) // (m+1)] - bb[(t+1) % (m+1)])
+         |                + least(buf[m+2], buf[2], buf[1])
+         |      END)
+         |  FROM rec WHERE t + 1 < (n + 1) * (m + 1))
+         |SELECT ta AS type_a, tb AS type_b, CAST(buf[m+2] AS BIGINT) AS dtw
+         |FROM rec WHERE t = (n + 1) * (m + 1) - 1""".stripMargin
+    },
+  ) { (s, d) =>
+    graft.functions.DtwExpr.registerOn(s)
+    val daily = events(s, d)
+      .groupBy(
+        col("event_type").as("t"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
+      )
+      .agg(count(lit(1)).as("n"))
+    val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val series = daily
+      .groupBy("t")
+      .agg(map_from_entries(collect_list(struct(col("day"), col("n")))).as("m"))
+      .crossJoin(broadcast(span))
+      .select(
+        col("t"),
+        expr("transform(sequence(d0, d1), dd -> coalesce(element_at(m, dd), 0L))").as("arr"),
+      )
+    series
+      .select(col("t").as("type_a"), col("arr").as("__a"))
+      .join(
+        series.select(col("t").as("type_b"), col("arr").as("__b")),
+        col("type_a") < col("type_b"),
+      )
+      .select(
+        col("type_a"),
+        col("type_b"),
+        graft.functions.DtwExpr.dtw_distance(col("__a"), col("__b"), lit(7)).as("dtw"),
+      )
   }
 
   private val cusumChangepointQ = Q("evt_cusum_changepoint", cusumSql) { (s, d) =>
@@ -1458,6 +1604,8 @@ object Events {
   val all: Seq[Q] = Seq(
     resampleLocfQ,
     burstDetectQ,
+    burstSummaryQ,
+    dtwPairsQ,
     mannKendallQ,
     kaplanMeierQ,
     kaplanMeierByQ,

@@ -750,6 +750,58 @@ object MiscQueries {
     )
   }
 
+  /** Per-segment split-conformal intervals
+    * ([[graft.ops.Stats.conformalMeanIntervalBy]]) at 90%, segmented
+    * by order priority: each cohort calibrates its own mean and
+    * residual quantile and reports its own held-out coverage — the
+    * per-cohort audit a serving dashboard actually reads (a global
+    * interval is mis-calibrated for every heterogeneous cohort). The
+    * oracle replays the whole per-key chain: hash split, per-key mean,
+    * key-partitioned residual rank, per-key census. */
+  private val conformalByQ = Q(
+    "misc_conformal_by",
+    """WITH r AS (
+      |  SELECT o_orderpriority AS k, o_orderkey AS id,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders),
+      |sp AS (SELECT k, id, v,
+      |    (CAST(('0x' || substr(md5(coalesce(CAST(id AS VARCHAR), '')), 1, 6)) AS BIGINT)
+      |      * 1000000) // 16777216 < 500000 AS cal
+      |  FROM r),
+      |cm AS (SELECT k, count(*) AS n_cal,
+      |    CAST(sum(CAST(v AS HUGEINT)) * 1000000 // count(*) AS BIGINT) AS mean_ppm
+      |  FROM sp WHERE cal GROUP BY 1),
+      |res AS (SELECT sp.k, abs(sp.v * 1000000 - cm.mean_ppm) AS s
+      |        FROM sp JOIN cm ON cm.k = sp.k WHERE sp.cal),
+      |hist AS (SELECT k, s, count(*) AS c FROM res GROUP BY 1, 2),
+      |cum AS (SELECT k, s, sum(c) OVER (PARTITION BY k ORDER BY s) AS cum,
+      |          sum(c) OVER (PARTITION BY k) AS n
+      |        FROM hist),
+      |q AS (SELECT k,
+      |        min(CASE WHEN cum >= ((n + 1) * 900000 + 999999) // 1000000 THEN s END) AS q_ppm
+      |      FROM cum GROUP BY 1)
+      |SELECT sp.k AS key, CAST(cm.n_cal AS BIGINT) AS n_cal,
+      |  CAST(count(*) AS BIGINT) AS n_test,
+      |  cm.mean_ppm,
+      |  CAST(q.q_ppm AS BIGINT) AS q_ppm,
+      |  CAST(sum(CASE WHEN q.q_ppm IS NULL OR abs(sp.v * 1000000 - cm.mean_ppm) <= q.q_ppm
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      |  CAST(sum(CASE WHEN q.q_ppm IS NULL OR abs(sp.v * 1000000 - cm.mean_ppm) <= q.q_ppm
+      |           THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS coverage_ppm
+      |FROM sp JOIN cm ON cm.k = sp.k JOIN q ON q.k = sp.k
+      |WHERE NOT sp.cal
+      |GROUP BY sp.k, cm.n_cal, cm.mean_ppm, q.q_ppm""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Stats.conformalMeanIntervalBy(
+      orders(s, d),
+      col("o_orderpriority"),
+      col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+      alphaPpm = 100000L,
+      calPpm = 500000L,
+    )
+  }
+
   /** N-dimensional quantile scoring
     * ([[graft.ops.Stats.quantileScores]]) — the [[graft.ops.Stats.rfmScores]]
     * generalization at 4 dimensions: recency, frequency, monetary,
@@ -2672,5 +2724,6 @@ object MiscQueries {
       labelPropQ, bfsKhopQ, assocRulesQ, ssspBoundedQ, fkAuditQ, skewReportQ, splitGroupDisjoint,
       kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ,
       samplePps, hitsTrade, ksQ, mannWhitneyQ, spearmanQ, cramersVQ, diameterSweepQ,
-      hilbertKeyQ, bootstrapCiQ, bootstrapCiXxQ, rfmScoresQ, quantileScoresQ, conformalQ, stumpGiniQ)
+      hilbertKeyQ, bootstrapCiQ, bootstrapCiXxQ, rfmScoresQ, quantileScoresQ, conformalQ,
+      conformalByQ, stumpGiniQ)
 }

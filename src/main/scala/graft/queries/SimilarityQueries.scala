@@ -1435,6 +1435,63 @@ object SimilarityQueries {
     graft.ops.Eval.ndcgAtK(truth, ranked, k = 3)
   }
 
+  /** GRADED NDCG@3 ([[graft.ops.Eval.ndcgGradedAtK]]): the general
+    * form behind [[ndcgEval]]'s binary gate — the truth surface grades
+    * brute-force rank 1 as 2 (the true nearest neighbor) and ranks 2–3
+    * as 1, so gains differ (2²−1 = 3 vs 1) and the ideal ordering is a
+    * genuine re-rank of the truth set by grade, not a prefix count.
+    * Same pinned discount ladder; gains are exact bit shifts in both
+    * engines; IDCG's grade-descending tie order (n_id ascending) is
+    * mirrored in the oracle's window. */
+  private val ndcgGradedEval = Q(
+    "sim_ndcg_graded",
+    s"""${annEvalChainSql("rnk <= 3")},
+       |bfg AS (SELECT q_id, n_id, CASE WHEN rnk = 1 THEN 2 ELSE 1 END AS grade FROM (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM bfp) WHERE rnk <= 3),
+       |hits AS (
+       |  SELECT i.q_id, i.rnk, b.grade
+       |  FROM iv i JOIN bfg b ON b.q_id = i.q_id AND b.n_id = i.n_id),
+       |d AS (SELECT q_id, count(*) AS hits,
+       |        sum(CAST((1 << grade) - 1 AS BIGINT) * ${graft.ops.Eval.ndcgDiscountSql("rnk", 3)}) AS dcg
+       |      FROM hits GROUP BY 1),
+       |ideal AS (SELECT q_id, grade,
+       |            row_number() OVER (PARTITION BY q_id ORDER BY grade DESC, n_id) AS irnk
+       |          FROM bfg),
+       |rel AS (SELECT q_id, count(*) AS n_rel,
+       |          sum(CASE WHEN irnk <= 3
+       |                THEN CAST((1 << grade) - 1 AS BIGINT) * ${graft.ops.Eval.ndcgDiscountSql("irnk", 3)}
+       |                ELSE 0 END) AS idcg
+       |        FROM ideal GROUP BY 1)
+       |SELECT r.q_id, CAST(r.n_rel AS BIGINT) AS n_rel,
+       |  CAST(coalesce(d.hits, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(d.dcg, 0) AS BIGINT) AS dcg, CAST(r.idcg AS BIGINT) AS idcg,
+       |  CAST(coalesce(d.dcg, 0) * 1000000 // r.idcg AS BIGINT) AS ndcg_ppm
+       |FROM rel r LEFT JOIN d ON d.q_id = r.q_id""".stripMargin,
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    val truth = Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 3)
+      .select(
+        col("q_id"),
+        col("n_id"),
+        when(col("rnk") === 1, 2L).otherwise(1L).as("grade"),
+      )
+    val ranked = Similarity
+      .ivfTopK(
+        emb,
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+        centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16),
+        nprobe = 2,
+        queryPred = col("vec_id") < 10,
+      )
+      .select("q_id", "n_id", "rnk")
+    graft.ops.Eval.ndcgGradedAtK(truth, ranked, k = 3)
+  }
+
   /** Matryoshka truncation eval (Kusupati 2022): recall@3 of
     * brute-force retrieval over the FIRST 4 dims against the full
     * 8-dim truth — the measurement that justifies serving truncated
@@ -1983,5 +2040,6 @@ object SimilarityQueries {
       annIvfPqSampledTopK, annIvfAppendTopK, annIvfRefreshTopK, annIvfRefreshDrift,
       annIvfPqResidualTopK, ragChunkTopK, docEmbeddingPool, annRecallEval,
       annBatchedTopK, annIvfStoredTopK, centroidConfusion, centroidEval, hardNegatives, mmrTopK,
-      mmrTopKWeighted, maxSimTopK, pcaPower, mrrEval, mapEval, ndcgEval, matryoshkaRecall, aucEval)
+      mmrTopKWeighted, maxSimTopK, pcaPower, mrrEval, mapEval, ndcgEval, ndcgGradedEval,
+      matryoshkaRecall, aucEval)
 }

@@ -79,8 +79,8 @@ object StreamingQueries {
     "stream_dedup", "stream_funnel_steps", "stream_left_outer_join", "stream_session_window",
     "stream_cms_sketch", "stream_rate_anomaly", "stream_profile", "stream_dist_drift",
     "stream_agg_maintain", "stream_full_outer_join", "stream_cusum", "stream_ewma",
-    "stream_topk", "stream_topk_maintain", "stream_conformal", "stream_approx_distinct",
-    "stream_holt", "stream_holt_winters", "stream_seasonal",
+    "stream_topk", "stream_topk_maintain", "stream_conformal", "stream_conformal_by",
+    "stream_approx_distinct", "stream_holt", "stream_holt_winters", "stream_seasonal",
   )
   private val docSplitConsumers =
     Set("stream_decontaminate", "stream_reservoir_sample", "stream_left_outer_join",
@@ -1037,6 +1037,66 @@ object StreamingQueries {
     graft.ops.Stats.conformalFromValueHist(frozen, test, alphaPpm = 100000L)
   }
 
+  /** Streaming PER-SEGMENT conformal calibration
+    * ([[graft.ops.Stats.conformalFromValueHistBy]]): the per-(segment,
+    * value) calibration histogram is the streaming state — still
+    * mergeable, still cent-domain-bounded per segment — and each
+    * event type derives its own interval and held-out coverage from
+    * the frozen state through the same keyed code path as
+    * `misc_conformal_by`. Oracle: the full per-key batch replay
+    * (final state ≡ per-key batch calibration histogram). */
+  private val conformalByStream = Q(
+    "stream_conformal_by",
+    """WITH r AS (
+      |  SELECT event_type AS k, event_id AS id, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |sp AS (SELECT k, id, v,
+      |    (CAST(('0x' || substr(md5(coalesce(CAST(id AS VARCHAR), '')), 1, 6)) AS BIGINT)
+      |      * 1000000) // 16777216 < 500000 AS cal
+      |  FROM r),
+      |cm AS (SELECT k, count(*) AS n_cal,
+      |    CAST(sum(CAST(v AS HUGEINT)) * 1000000 // count(*) AS BIGINT) AS mean_ppm
+      |  FROM sp WHERE cal GROUP BY 1),
+      |res AS (SELECT sp.k, abs(sp.v * 1000000 - cm.mean_ppm) AS s
+      |        FROM sp JOIN cm ON cm.k = sp.k WHERE sp.cal),
+      |hist AS (SELECT k, s, count(*) AS c FROM res GROUP BY 1, 2),
+      |cum AS (SELECT k, s, sum(c) OVER (PARTITION BY k ORDER BY s) AS cum,
+      |          sum(c) OVER (PARTITION BY k) AS n
+      |        FROM hist),
+      |q AS (SELECT k,
+      |        min(CASE WHEN cum >= ((n + 1) * 900000 + 999999) // 1000000 THEN s END) AS q_ppm
+      |      FROM cum GROUP BY 1)
+      |SELECT sp.k AS key, CAST(cm.n_cal AS BIGINT) AS n_cal,
+      |  CAST(count(*) AS BIGINT) AS n_test,
+      |  cm.mean_ppm,
+      |  CAST(q.q_ppm AS BIGINT) AS q_ppm,
+      |  CAST(sum(CASE WHEN q.q_ppm IS NULL OR abs(sp.v * 1000000 - cm.mean_ppm) <= q.q_ppm
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      |  CAST(sum(CASE WHEN q.q_ppm IS NULL OR abs(sp.v * 1000000 - cm.mean_ppm) <= q.q_ppm
+      |           THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS coverage_ppm
+      |FROM sp JOIN cm ON cm.k = sp.k JOIN q ON q.k = sp.k
+      |WHERE NOT sp.cal
+      |GROUP BY sp.k, cm.n_cal, cm.mean_ppm, q.q_ppm""".stripMargin,
+  ) { (s, d) =>
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    val stream = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+    def isCal(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("value").isNotNull)
+      .withColumn("__cal", graft.ops.Sampling.hashPpm(col("event_id")) < 500000L)
+    val calHist = isCal(stream)
+      .filter(col("__cal"))
+      .groupBy(col("event_type").as("__k"), expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val frozen = runCompleteStream(s, calHist, "conformal_by").localCheckpoint()
+    val test = isCal(graft.Tables.events(s, d))
+      .filter(!col("__cal"))
+      .select(col("event_type").as("__k"), expr("CAST(round(value * 100) AS BIGINT)").as("__v"))
+    graft.ops.Stats.conformalFromValueHistBy(frozen, test, alphaPpm = 100000L)
+  }
+
   private val topkStream = Q(
     "stream_topk",
     """SELECT event_type,
@@ -1333,5 +1393,5 @@ object StreamingQueries {
       decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream,
       cmsStream, bpeDriftStream, rateAnomalyStream, profileStream, distDriftStream, ivmStream,
       cusumStream, ewmaStream, holtStream, holtWintersStream, seasonalStream, topkStream,
-      topkMaintainStream, conformalStream, approxDistinctStream)
+      topkMaintainStream, conformalStream, conformalByStream, approxDistinctStream)
 }

@@ -73,10 +73,15 @@ class AmbientProbeSpec extends AnyFunSuite {
       })
       t.setDaemon(true); t.start(); t
     }
-    // 64 MB of longs per thread, written at a 4KB stride then shifted:
+    // 64 MB of longs per writer, written at a 4KB stride then shifted:
     // every store is a fresh cache line AND a fresh page — maximal
     // bandwidth + TLB pressure per instruction, minimal ALU work.
-    val writers = (1 to cores).map { _ =>
+    // Writer count is capped at 8 (r14 ADVICE): 8 strided writers
+    // already saturate a socket's memory channels, and an uncapped
+    // `cores` writers on a many-core CI box would allocate cores x
+    // 64 MB in the shared test JVM — an OOM the assume-guards above
+    // don't cover. Total hog heap stays <= 512 MB regardless of cores.
+    val writers = (1 to math.min(cores, 8)).map { _ =>
       val t = new Thread(() => {
         val a   = new Array[Long](8 * 1024 * 1024)
         var off = 0

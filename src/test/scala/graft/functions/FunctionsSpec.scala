@@ -279,4 +279,39 @@ class FunctionsSpec extends AnyFunSuite {
       .getDouble(0)
     assert(v === 11.0)
   }
+
+  test("dtw_distance: hand-checked alignment, band clipping, degenerate inputs") {
+    DtwExpr.registerOn(spark)
+    def dtw(a: Seq[Long], b: Seq[Long], w: Int): Option[Long] = {
+      val r = Seq((a, b))
+        .toDF("a", "b")
+        .select(DtwExpr.dtw_distance(col("a"), col("b"), lit(w)).as("d"))
+        .head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    // identical series: 0 at any band
+    assert(dtw(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 0) === Some(0L))
+    // classic warp: [1,2,3] vs [1,2,2,3] aligns the repeated 2 for free
+    assert(dtw(Seq(1L, 2L, 3L), Seq(1L, 2L, 2L, 3L), 3) === Some(0L))
+    // hand-checked non-zero: [0,0,0] vs [1,2,1] full band
+    //   every cell cost |0-b_j|; optimal path diag/straight = 1+2+1 = 4
+    assert(dtw(Seq(0L, 0L, 0L), Seq(1L, 2L, 1L), 3) === Some(4L))
+    // band clipping changes the optimum: a = [0,10,0,0], b = [0,0,10,0].
+    // Unbanded (w>=1) warps both 10s together: cost 0... band 0 forces
+    // the pure diagonal: |0-0|+|10-0|+|0-10|+|0-0| = 20.
+    assert(dtw(Seq(0L, 10L, 0L, 0L), Seq(0L, 0L, 10L, 0L), 1) === Some(0L))
+    assert(dtw(Seq(0L, 10L, 0L, 0L), Seq(0L, 0L, 10L, 0L), 0) === Some(20L))
+    // length mismatch widens the band to |n-m| (a monotone path exists)
+    assert(dtw(Seq(5L), Seq(5L, 5L, 5L, 5L), 0) === Some(0L))
+    // degenerate: both empty -> 0; one empty -> null
+    assert(dtw(Seq.empty, Seq.empty, 2) === Some(0L))
+    assert(dtw(Seq(1L, 2L), Seq.empty, 2) === None)
+    assert(dtw(Seq.empty, Seq(1L), 2) === None)
+    // SQL-text resolution through the session registry + null inputs
+    val viaSql = spark
+      .sql("SELECT dtw_distance(array(1L, 5L, 9L), array(1L, 9L), 2) AS d")
+      .head()
+      .getLong(0)
+    assert(viaSql === 4L) // 0 + min-path through |5-1|/|5-9| band = 4
+  }
 }

@@ -3409,6 +3409,37 @@ class OpsSpec extends AnyFunSuite {
     assert(got((1L, 9L)) === ((8000000L, 1706853L, false)))
   }
 
+  test("Burst.kleinberg2: a 10^6-event hot key is capped structurally, never a task OOM") {
+    // One pathological bot key with 10^6 events (the r14-verdict
+    // scenario: per-user sequences have no structural bound) plus a
+    // small honest key. With the default cap of 10^4, the hot key's
+    // analysis truncates to its FIRST 10^4 events — the collect, the
+    // fold's back-pointer arrays, and the quadratic append cost are all
+    // bounded by the cap — and the labels over that horizon are
+    // BIT-IDENTICAL to running the operator on the pre-truncated
+    // prefix. The honest key (under the cap) is untouched.
+    import org.apache.spark.sql.functions.{col => c}
+    val hot = spark
+      .range(1000000L)
+      .select(
+        lit(1L).as("k"),
+        timestamp_micros(c("id") * 1000000L + (c("id") % 7L) * 100000L).as("ts"),
+        c("id").as("eid"),
+      )
+    val honest = Seq((2L, 0L, 0L), (2L, 8L, 1L), (2L, 9L, 2L), (2L, 10L, 3L), (2L, 30L, 4L))
+      .toDF("k", "us", "eid")
+      .select(c("k"), timestamp_micros(c("us") * 1000000L).as("ts"), c("eid"))
+    val got = Burst.kleinberg2(hot.unionByName(honest), "k", "ts", "eid")
+    val byKey = got.groupBy("key").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hot key: exactly cap-1 gaps; honest key: all 4 gaps
+    assert(byKey === Map(1L -> 9999L, 2L -> 4L))
+    // truncated horizon ≡ operator on the pre-truncated prefix
+    val prefix   = hot.filter(c("eid") < 10000L)
+    val viaCap   = got.filter(c("key") === 1L)
+    val viaSlice = Burst.kleinberg2(prefix, "k", "ts", "eid")
+    assert(viaCap.exceptAll(viaSlice).isEmpty && viaSlice.exceptAll(viaCap).isEmpty)
+  }
+
   test("Graph.diameterSweep: path graph finds the true diameter; hop budget clips it") {
     // path 1-2-3-4-5: seed=1, ecc(1)=4, peripheral=5, ecc(5)=4 = diameter
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
