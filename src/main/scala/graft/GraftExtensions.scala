@@ -63,6 +63,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("lcs_len"),
+        new ExpressionInfo(classOf[graft.functions.LcsLenExpr].getName, "lcs_len"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.LcsLenExpr(exprs.head, exprs(1)),
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("dtw_distance"),
         new ExpressionInfo(classOf[graft.functions.DtwExpr].getName, "dtw_distance"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -1362,6 +1362,80 @@ object Stats {
     * contract, this is not for continuous features (bucketize first).
     * Output: one row per feature `(feature, n_values, n, pos,
     * gini_split_ppm)`. */
+  /** ISOTONIC CALIBRATION (pool-adjacent-violators, Ayer et al. 1955)
+    * of a binary label against a bucketed score — the deterministic,
+    * optimization-free calibration every classifier-thresholding
+    * pipeline wants beside its AUC (Platt scaling needs a solver;
+    * isotonic needs only exact rational pool merges): the empirical
+    * rate per score bucket is replaced by the best monotone
+    * NON-DECREASING fit, pools merging while the left rate ≥ the right
+    * rate, compared by CROSS-MULTIPLICATION (pos·n' ≥ pos'·n — no
+    * float division anywhere, ties merge, so pool boundaries are
+    * deterministic and engine-replayable).
+    *
+    * Scale shape: ONE map-side-combinable histogram aggregation over
+    * the corpus; the PAVA sweep runs on the DRIVER over the collected
+    * bucket histogram — bounded by the CALLER'S QUANTIZATION, not the
+    * corpus (the bucket column is a score quantized to a
+    * dimension-sized grid; the d×d-Gram / driver-CC precedent), and
+    * guarded by an explicit probe so a mis-called corpus-keyed column
+    * fails loudly instead of OOMing the driver. Left-to-right
+    * immediate merging yields the unique isotonic fit; the fitted rate
+    * is ppm with floored division.
+    *
+    * @return one row per final pool:
+    *         (bucket_lo, bucket_hi, pos, n, rate_ppm). */
+  def isotonicFit(
+      df: DataFrame,
+      bucketCol: Column,
+      labelCol: Column,
+      maxBuckets: Int = 100000,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val hist = df
+      .filter(bucketCol.isNotNull && labelCol.isNotNull)
+      .groupBy(bucketCol.as("b"))
+      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("pos"), count(lit(1)).as("n"))
+    val nBuckets = hist.count()
+    require(
+      nBuckets <= maxBuckets,
+      s"isotonicFit collected $nBuckets buckets > maxBuckets=$maxBuckets — " +
+        "quantize the score column to a bounded grid before calling",
+    )
+    val rows = hist.orderBy("b").collect()
+    // stack of pools (lo, hi, pos, n); merge while rate(prev) >= rate(top)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    rows.foreach { r =>
+      stack += ((r.getLong(0), r.getLong(0), r.getLong(1), r.getLong(2)))
+      var merging = true
+      while (merging && stack.size >= 2) {
+        val top  = stack(stack.size - 1)
+        val prev = stack(stack.size - 2)
+        // BigInt cross-product: pooled pos·n can reach corpus scale, so
+        // the comparison must not wrap (the oracle compares in HUGEINT)
+        if (BigInt(prev._3) * top._4 >= BigInt(top._3) * prev._4) {
+          stack.remove(stack.size - 1)
+          stack(stack.size - 1) = (prev._1, top._2, prev._3 + top._3, prev._4 + top._4)
+        } else merging = false
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    spark
+      .createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          stack.map(p => org.apache.spark.sql.Row(p._1, p._2, p._3, p._4)).asJava
+        ),
+        StructType(Seq(
+          StructField("bucket_lo", LongType, nullable = false),
+          StructField("bucket_hi", LongType, nullable = false),
+          StructField("pos", LongType, nullable = false),
+          StructField("n", LongType, nullable = false),
+        )),
+      )
+      .withColumn("rate_ppm", expr("pos * 1000000L div n"))
+  }
+
   def stumpGini(df: DataFrame, labelCol: Column, features: Seq[(String, Column)]): DataFrame = {
     require(features.nonEmpty, "need at least one feature column")
     val stackArgs = features.flatMap { case (n, c) => Seq(lit(n), c.cast("string")) }

@@ -1627,4 +1627,31 @@ object Text {
         expr("(r + 1) * __n_next * 1000000L div n_r").as("gt_rstar_ppm"),
       )
   }
+
+  /** CHAO1 species-richness estimate (Chao 1984, bias-corrected form)
+    * over a term count table `(term, r)` — "how many n-gram types does
+    * the corpus REALLY have, counting the ones we haven't sampled
+    * yet": Ŝ = S_obs + f₁(f₁−1)/(2(f₂+1)), driven entirely by the
+    * singleton/doubleton census that [[freqOfFreqsFromTermCounts]]
+    * already reads — the coverage planner's companion to Good–Turing's
+    * unseen-mass estimate (GT prices the unseen probability, Chao1
+    * counts the unseen TYPES; both say when crawling more of the same
+    * source stops buying vocabulary). Exact integers: the f₁² product
+    * accumulates in DECIMAL(38,0) and the estimate is emitted ×10⁶
+    * with floored division. One aggregation over the (vocabulary-
+    * sized) count table — built for the shared [[NgramCounts]] store.
+    * Output: 1 row (s_obs, f1, f2, chao1_ppm). */
+  def chao1FromTermCounts(counts: DataFrame): DataFrame =
+    counts
+      .agg(
+        count(lit(1)).as("s_obs"),
+        sum(when(col("r") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("r") === 2, 1L).otherwise(0L)).as("f2"),
+      )
+      .withColumn(
+        "chao1_ppm",
+        expr(
+          "CAST(s_obs * 1000000 + CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) * 1000000 div (2 * (f2 + 1)) AS BIGINT)"
+        ),
+      )
 }

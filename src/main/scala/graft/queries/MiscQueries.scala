@@ -849,6 +849,60 @@ object MiscQueries {
     )
   }
 
+  /** Isotonic (PAVA) calibration ([[graft.ops.Stats.isotonicFit]]):
+    * P(urgent priority) as a monotone non-decreasing function of the
+    * $200-bucketed order value — pools merge by exact HUGEINT
+    * cross-multiplication while the left rate ≥ the right rate (ties
+    * merge), so pool boundaries are deterministic. The oracle replays
+    * the IDENTICAL left-to-right immediate-merge sweep as an
+    * operation-sequential recursive CTE (each step either merges the
+    * top two stack pools or shifts the next bucket; ≤ 2·buckets
+    * steps), exact on pools, counts, and fitted ppm rates. */
+  private val isotonicQ = Q(
+    "misc_isotonic",
+    """WITH RECURSIVE
+      |h AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 20000 AS b,
+      |        CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+      |        count(*) AS n
+      |      FROM orders GROUP BY 1),
+      |init AS (SELECT list(struct_pack(lo := b, hi := b, pos := pos, n := n) ORDER BY b) AS rem
+      |         FROM h),
+      |rec AS (
+      |  SELECT rem,
+      |    CAST([] AS STRUCT(lo BIGINT, hi BIGINT, pos BIGINT, n BIGINT)[]) AS stk,
+      |    0 AS step
+      |  FROM init
+      |  UNION ALL
+      |  SELECT
+      |    CASE WHEN viol THEN rem ELSE rem[2:] END,
+      |    CASE WHEN viol
+      |      THEN list_append(stk[:-3],
+      |             struct_pack(lo := stk[-2].lo, hi := stk[-1].hi,
+      |                         pos := stk[-2].pos + stk[-1].pos, n := stk[-2].n + stk[-1].n))
+      |      ELSE list_append(stk, rem[1]) END,
+      |    step + 1
+      |  FROM (
+      |    SELECT rem, stk, step,
+      |      len(stk) >= 2 AND CAST(stk[-2].pos AS HUGEINT) * stk[-1].n
+      |                          >= CAST(stk[-1].pos AS HUGEINT) * stk[-2].n AS viol
+      |    FROM rec)
+      |  WHERE viol OR len(rem) > 0),
+      |fin AS (
+      |  SELECT stk FROM rec
+      |  WHERE len(rem) = 0
+      |    AND NOT (len(stk) >= 2 AND CAST(stk[-2].pos AS HUGEINT) * stk[-1].n
+      |                                 >= CAST(stk[-1].pos AS HUGEINT) * stk[-2].n))
+      |SELECT r.lo AS bucket_lo, r.hi AS bucket_hi, r.pos, r.n,
+      |  CAST(r.pos * 1000000 // r.n AS BIGINT) AS rate_ppm
+      |FROM (SELECT unnest(stk) AS r FROM fin)""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Stats.isotonicFit(
+      orders(s, d),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT) div 20000"),
+      col("o_orderpriority") === "1-URGENT",
+    )
+  }
+
   /** Decision-stump Gini feature screening
     * ([[graft.ops.Stats.stumpGini]]): which categorical lineitem
     * attribute best separates high-value line items on its own (the
@@ -2725,5 +2779,5 @@ object MiscQueries {
       kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ,
       samplePps, hitsTrade, ksQ, mannWhitneyQ, spearmanQ, cramersVQ, diameterSweepQ,
       hilbertKeyQ, bootstrapCiQ, bootstrapCiXxQ, rfmScoresQ, quantileScoresQ, conformalQ,
-      conformalByQ, stumpGiniQ)
+      conformalByQ, isotonicQ, stumpGiniQ)
 }

@@ -1422,6 +1422,32 @@ object TextQueries {
     )
   }
 
+  /** Chao1 richness estimate ([[graft.ops.Text.chao1FromTermCounts]])
+    * over TRIGRAM types (the word vocabulary here has no type rarer
+    * than r = 26 — the singleton/doubleton mass Chao1 feeds on lives
+    * in the n-grams): how many trigram types the corpus has including
+    * the unsampled tail — Good–Turing's companion from the same
+    * shared n-gram store. */
+  private val chao1Q = Q(
+    "txt_chao1",
+    """WITH toks AS (SELECT regexp_extract_all(text, '\w+') AS toks FROM documents),
+      |sh AS (SELECT unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS t FROM toks),
+      |cnt AS (SELECT t, count(*) AS r FROM sh GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS s_obs,
+      |  CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |  CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+      |  CAST(count(*) * 1000000
+      |    + CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+      |      * (sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) - 1) * 1000000
+      |      // (2 * (sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) + 1)) AS BIGINT) AS chao1_ppm
+      |FROM cnt""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Text.chao1FromTermCounts(
+      lmTables(s, d).tri.groupBy("tg").agg(sum(col("c")).as("r"))
+    )
+  }
+
   /** Kneser–Ney continuation counts
     * ([[graft.ops.Text.knContinuationCounts]]): distinct-context
     * censuses per word plus the continuation-probability ppm — the
@@ -1445,6 +1471,60 @@ object TextQueries {
       |FROM u LEFT JOIN l USING (word) LEFT JOIN r USING (word) CROSS JOIN tt""".stripMargin,
   ) { (s, d) =>
     graft.ops.Text.knContinuationCountsFromTables(lmTables(s, d))
+  }
+
+  /** Token-LCS similarity ([[graft.functions.LcsLenExpr]]) between
+    * consecutive-id document pairs over their FIRST 40 tokens (the DP
+    * is quadratic in the prefix lengths — bounding them is the
+    * caller's contract, sliced identically in both engines): the
+    * order-preserving overlap that separates quoted/templated passages
+    * from bag-of-words coincidence. Oracle replays the identical
+    * rolling-row DP as a cell-sequential recursive CTE with the
+    * [[graft.queries.Events]] DTW sliding-buffer convention (left =
+    * buf[m+2], up = buf[2], diag = buf[1], boundaries 0) — exact on
+    * lengths, LCS, and the 2·lcs/(n+m) dice similarity ppm. */
+  private val lcsPairsQ = Q(
+    "txt_lcs_pairs",
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, (regexp_extract_all(text, '\w+'))[1:40] AS toks FROM documents),
+      |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.toks AS aa, b.toks AS bb,
+      |            len(a.toks) AS n, len(b.toks) AS m
+      |          FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      |          WHERE a.doc_id < 40 AND len(a.toks) + len(b.toks) > 0),
+      |rec AS (
+      |  SELECT a_id, b_id, aa, bb, n, m, -1 AS s,
+      |    list_transform(range(m + 2), x -> CAST(0 AS BIGINT)) AS buf
+      |  FROM pairs
+      |  UNION ALL
+      |  SELECT a_id, b_id, aa, bb, n, m, s + 1,
+      |    list_append(buf[2:],
+      |      CASE WHEN (s+1) // (m+1) = 0 OR (s+1) % (m+1) = 0 THEN 0
+      |           WHEN aa[(s+1) // (m+1)] = bb[(s+1) % (m+1)] THEN buf[1] + 1
+      |           ELSE greatest(buf[m+2], buf[2]) END)
+      |  FROM rec WHERE s + 1 < (n + 1) * (m + 1))
+      |SELECT a_id, b_id, CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+      |  CAST(buf[m+2] AS BIGINT) AS lcs,
+      |  CAST(buf[m+2] * 2 * 1000000 // (n + m) AS BIGINT) AS sim_ppm
+      |FROM rec WHERE s = (n + 1) * (m + 1) - 1""".stripMargin,
+  ) { (s, d) =>
+    graft.functions.LcsLenExpr.registerOn(s)
+    val t = documents(s, d)
+      .select(col("doc_id"), slice(graft.ops.Text.tokens(col("text")), 1, 40).as("toks"))
+    t.filter(col("doc_id") < 40)
+      .select(col("doc_id").as("a_id"), col("toks").as("__a"))
+      .join(
+        t.select((col("doc_id") - 1).as("a_id"), col("doc_id").as("b_id"), col("toks").as("__b")),
+        Seq("a_id"),
+      )
+      .filter(size(col("__a")) + size(col("__b")) > 0)
+      .select(
+        col("a_id"),
+        col("b_id"),
+        size(col("__a")).cast("long").as("n_a"),
+        size(col("__b")).cast("long").as("n_b"),
+        graft.functions.LcsLenExpr.lcs_len(col("__a"), col("__b")).as("lcs"),
+        expr("lcs_len(__a, __b) * 2 * 1000000L div (size(__a) + size(__b))").as("sim_ppm"),
+      )
   }
 
   /** RAKE keyword extraction ([[graft.ops.Text.rakeKeywords]]): top-3
@@ -1491,5 +1571,5 @@ object TextQueries {
       packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ,
       negSamplingQ, skipGramQ, curriculumOrderQ, repeatCollapseQ, preferencePairsQ,
       featureHashQ, sentenceStatsQ, langIdKappaQ, tokenGiniQ, wordpieceQ, readabilityQ,
-      ngramOverlapQ, trigramBackoffQ, freqOfFreqsQ, knCountsQ, rakeKeywordsQ)
+      ngramOverlapQ, trigramBackoffQ, freqOfFreqsQ, chao1Q, knCountsQ, rakeKeywordsQ, lcsPairsQ)
 }

@@ -280,6 +280,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(v === 11.0)
   }
 
+  test("lcs_len: hand-checked subsequences; order sensitivity; null elements never match") {
+    LcsLenExpr.registerOn(spark)
+    def lcs(a: Seq[String], b: Seq[String]): Long = Seq((a, b))
+      .toDF("a", "b")
+      .select(LcsLenExpr.lcs_len(col("a"), col("b")).as("d"))
+      .head()
+      .getLong(0)
+    assert(lcs(Seq("a", "b", "c", "d"), Seq("a", "x", "c", "y", "d")) === 3L) // a c d
+    assert(lcs(Seq("a", "b", "c"), Seq("c", "b", "a")) === 1L) // order matters
+    assert(lcs(Seq("a", "b"), Seq("a", "b")) === 2L)
+    assert(lcs(Seq("x"), Seq("y")) === 0L)
+    assert(lcs(Seq.empty, Seq("a")) === 0L)
+    // null tokens follow SQL equality: never equal, even to each other
+    val withNulls = spark
+      .sql("SELECT lcs_len(array('a', CAST(NULL AS STRING), 'b'), array('a', CAST(NULL AS STRING), 'b')) AS d")
+      .head()
+      .getLong(0)
+    assert(withNulls === 2L)
+  }
+
   test("dtw_distance: hand-checked alignment, band clipping, degenerate inputs") {
     DtwExpr.registerOn(spark)
     def dtw(a: Seq[Long], b: Seq[Long], w: Int): Option[Long] = {

@@ -3440,6 +3440,33 @@ class OpsSpec extends AnyFunSuite {
     assert(viaCap.exceptAll(viaSlice).isEmpty && viaSlice.exceptAll(viaCap).isEmpty)
   }
 
+  test("Stats.isotonicFit: hand-checked PAVA pools; ties merge; bucket-count guard trips") {
+    // buckets 1..4 with rates .75, .25, .5, 1.0 — left-to-right:
+    // push(1:.75); push(2:.25) violates -> pool(1-2)=.5; push(3:.5)
+    // TIES (4*4 = 2*8) -> merges -> pool(1-3)=6/12; push(4:1.0) ok.
+    val rows = Seq(
+      (1L, true), (1L, true), (1L, true), (1L, false),
+      (2L, true), (2L, false), (2L, false), (2L, false),
+      (3L, true), (3L, true), (3L, false), (3L, false),
+      (4L, true), (4L, true), (4L, true), (4L, true),
+    ).toDF("b", "y")
+    val got = graft.ops.Stats
+      .isotonicFit(rows, col("b"), col("y"))
+      .orderBy("bucket_lo")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq((1L, 3L, 6L, 12L, 500000L), (4L, 4L, 4L, 4L, 1000000L)))
+    // already-monotone input: one pool per bucket, untouched rates
+    val mono = Seq((1L, false), (1L, true), (2L, true), (2L, true)).toDF("b", "y")
+    val gm = graft.ops.Stats.isotonicFit(mono, col("b"), col("y")).orderBy("bucket_lo").collect()
+    assert(gm.map(_.getLong(4)).toSeq === Seq(500000L, 1000000L))
+    // corpus-keyed misuse fails loudly instead of OOMing the driver
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Stats.isotonicFit(rows, col("b"), col("y"), maxBuckets = 2)
+    }
+    assert(err.getMessage.contains("maxBuckets"))
+  }
+
   test("Graph.diameterSweep: path graph finds the true diameter; hop budget clips it") {
     // path 1-2-3-4-5: seed=1, ecc(1)=4, peripheral=5, ecc(5)=4 = diameter
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
