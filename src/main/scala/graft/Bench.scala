@@ -268,10 +268,15 @@ object Bench {
                 if (end == -1) "" else txt.substring(open, end + 1)
               }
           }
-          val outside = txt.indexOf("\"anchors\"") match {
-            case -1 => txt
-            case i  => txt.substring(0, i)
-          }
+          // "outside" = everything around the anchors OBJECT (prefix
+          // AND suffix), so a re-serialization that reorders top-level
+          // keys can't silently disable the annotation
+          val outside =
+            if (body.isEmpty) txt
+            else {
+              val at = txt.indexOf(body)
+              txt.substring(0, at) + txt.substring(at + body.length)
+            }
           val sfBase = sfDir.replaceAll("/+$", "").split('/').last
           val sfOk = """"sf"\s*:\s*"([^"]+)"""".r
             .findFirstMatchIn(outside)

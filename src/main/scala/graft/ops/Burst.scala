@@ -55,6 +55,11 @@ object Burst {
   /** ⌊10⁶ · ln 2⌋ — the one transcendental, pinned. */
   val ln2Ppm = 693147L
 
+  /** Default per-key event cap — exposed so the gate oracles mirror
+    * the truncation semantics exactly (an over-cap key must truncate
+    * IDENTICALLY in both engines, not fail the differential). */
+  val defaultMaxEventsPerKey = 10000
+
   /** Initial cost of the burst state (sequences start in the base
     * state): far above any reachable cost (|e_t| ≤ n·10⁶ ≤ 10¹²
     * per gap), far below BIGINT overflow when one fold step adds to
@@ -67,7 +72,7 @@ object Burst {
       tsCol: String,
       tieCol: String,
       gammaX: Int = 1,
-      maxEventsPerKey: Int = 10000,
+      maxEventsPerKey: Int = defaultMaxEventsPerKey,
   ): DataFrame = {
     require(gammaX >= 1, s"gammaX must be >= 1, got $gammaX")
     require(maxEventsPerKey >= 3, s"maxEventsPerKey must be >= 3, got $maxEventsPerKey")

@@ -187,8 +187,15 @@ object Eval {
       .zipWithIndex
       .foldRight(lit(0L)) { case ((d, i), e) => when(rnkCol === (i + 1), d).otherwise(e) }
     // functions.shiftleft takes a literal bit count; the SQL form
-    // shifts by a column
-    val gain = expr("shiftleft(1L, CAST(grade AS INT)) - 1L")
+    // shifts by a column. Out-of-contract grades fail LOUDLY: Java's
+    // shift count masks mod 64, so grade 64 would silently gain 0 and
+    // grade -1 would gain Long.MinValue — corrupt statistics, no error.
+    val gain = expr(
+      """CASE WHEN grade >= 1 AND grade <= 62
+        |  THEN shiftleft(1L, CAST(grade AS INT)) - 1L
+        |  ELSE CAST(raise_error(concat('ndcgGradedAtK: grade out of [1, 62]: ',
+        |                               CAST(grade AS STRING))) AS BIGINT) END""".stripMargin
+    )
     val dcg = ranked
       .select(col("q_id"), col("n_id"), col("rnk"))
       .filter(col("rnk") <= k)

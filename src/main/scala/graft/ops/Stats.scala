@@ -1396,13 +1396,16 @@ object Stats {
       .filter(bucketCol.isNotNull && labelCol.isNotNull)
       .groupBy(bucketCol.as("b"))
       .agg(sum(when(labelCol, 1L).otherwise(0L)).as("pos"), count(lit(1)).as("n"))
-    val nBuckets = hist.count()
+    // ONE action: the sorted collect is capped at maxBuckets + 1, so
+    // the guard costs no second corpus aggregation and a mis-called
+    // corpus-keyed column still fails loudly before the driver holds
+    // more than maxBuckets + 1 rows
+    val rows = hist.orderBy("b").limit(maxBuckets + 1).collect()
     require(
-      nBuckets <= maxBuckets,
-      s"isotonicFit collected $nBuckets buckets > maxBuckets=$maxBuckets — " +
+      rows.length <= maxBuckets,
+      s"isotonicFit collected > maxBuckets=$maxBuckets buckets — " +
         "quantize the score column to a bounded grid before calling",
     )
-    val rows = hist.orderBy("b").collect()
     // stack of pools (lo, hi, pos, n); merge while rate(prev) >= rate(top)
     val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     rows.foreach { r =>

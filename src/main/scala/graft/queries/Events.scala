@@ -1006,15 +1006,22 @@ object Events {
     * AND the optimal burst labeling. */
   /** The Kleinberg label pipeline as a CTE block, shared verbatim by
     * the detect gate and the summary gate's oracle so the two can only
-    * drift visibly (the [[cusumSql]] convention). */
+    * drift visibly (the [[cusumSql]] convention). Mirrors the engine's
+    * per-key event cap (`seqc` keeps each key's first
+    * [[graft.ops.Burst.defaultMaxEventsPerKey]] events in (ts, tie)
+    * order, the capped count drives the >= 3 filter and α₀) so an
+    * over-cap key truncates IDENTICALLY in both engines instead of
+    * failing the differential. */
   private[queries] val burstLabelCtes: String =
     s"""WITH RECURSIVE
        |seq AS (SELECT user_id AS key, ts,
        |          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
        |          count(*) OVER (PARTITION BY user_id) AS cnt
        |        FROM events),
+       |seqc AS (SELECT key, ts, rn, least(cnt, ${graft.ops.Burst.defaultMaxEventsPerKey}) AS cnt
+       |         FROM seq WHERE rn <= ${graft.ops.Burst.defaultMaxEventsPerKey}),
        |g AS (SELECT a.key, CAST(a.rn AS BIGINT) AS pos, epoch_us(b.ts) - epoch_us(a.ts) AS gap
-       |      FROM seq a JOIN seq b ON b.key = a.key AND b.rn = a.rn + 1
+       |      FROM seqc a JOIN seqc b ON b.key = a.key AND b.rn = a.rn + 1
        |      WHERE a.cnt >= 3),
        |par AS (SELECT key, count(*) AS n, sum(gap) AS tt,
        |          (length(bin(CAST(count(*) AS BIGINT))) - 1) * ${graft.ops.Burst.ln2Ppm} AS tau

@@ -662,7 +662,7 @@ object TextQueries {
 
   private val lmTableConsumers = Set(
     "txt_bigram_lm_score", "txt_lm_prune", "txt_trigram_backoff",
-    "txt_freq_of_freqs", "txt_kn_counts")
+    "txt_freq_of_freqs", "txt_chao1", "txt_kn_counts")
 
   /** Same contract as [[MiscQueries.prewarmShared]]: build the shared
     * artifacts under the bench's `shared_build` accounting when any
@@ -1404,12 +1404,19 @@ object TextQueries {
     * estimate from. Trigrams, not word tokens, because that is where
     * the low-r mass lives (the bounded word vocabulary here has no
     * type rarer than r = 26 — GT over it is an empty table). */
-  private val freqOfFreqsQ = Q(
-    "txt_freq_of_freqs",
+  /** The trigram-census CTE block (tokens → shingles → per-type count
+    * r), shared verbatim by [[freqOfFreqsQ]] and [[chao1Q]] — both
+    * read the same lmTables artifact, so their oracles must replay the
+    * same census or drift silently (the burstLabelCtes convention). */
+  private val trigramCensusCtes: String =
     """WITH toks AS (SELECT regexp_extract_all(text, '\w+') AS toks FROM documents),
       |sh AS (SELECT unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS t FROM toks),
-      |cnt AS (SELECT t, count(*) AS r FROM sh GROUP BY 1),
+      |cnt AS (SELECT t, count(*) AS r FROM sh GROUP BY 1)""".stripMargin
+
+  private val freqOfFreqsQ = Q(
+    "txt_freq_of_freqs",
+    s"""$trigramCensusCtes,
       |nr AS (SELECT r, count(*) AS n_r FROM cnt WHERE r <= 11 GROUP BY 1)
       |SELECT a.r, a.n_r,
       |  CAST((a.r + 1) * b.n_r * 1000000 // a.n_r AS BIGINT) AS gt_rstar_ppm
@@ -1430,10 +1437,7 @@ object TextQueries {
     * shared n-gram store. */
   private val chao1Q = Q(
     "txt_chao1",
-    """WITH toks AS (SELECT regexp_extract_all(text, '\w+') AS toks FROM documents),
-      |sh AS (SELECT unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
-      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS t FROM toks),
-      |cnt AS (SELECT t, count(*) AS r FROM sh GROUP BY 1)
+    s"""$trigramCensusCtes
       |SELECT CAST(count(*) AS BIGINT) AS s_obs,
       |  CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
       |  CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
@@ -1523,8 +1527,9 @@ object TextQueries {
         size(col("__a")).cast("long").as("n_a"),
         size(col("__b")).cast("long").as("n_b"),
         graft.functions.LcsLenExpr.lcs_len(col("__a"), col("__b")).as("lcs"),
-        expr("lcs_len(__a, __b) * 2 * 1000000L div (size(__a) + size(__b))").as("sim_ppm"),
       )
+      // derive from the computed column — the quadratic DP runs ONCE
+      .withColumn("sim_ppm", expr("lcs * 2 * 1000000L div (n_a + n_b)"))
   }
 
   /** RAKE keyword extraction ([[graft.ops.Text.rakeKeywords]]): top-3
