@@ -1439,6 +1439,70 @@ object Stats {
       .withColumn("rate_ppm", expr("pos * 1000000L div n"))
   }
 
+  /** PER-SEGMENT isotonic calibration — [[isotonicFit]] generalized by
+    * a segment key (the conformal-by / kaplanMeierBy pattern): each
+    * cohort gets its own monotone fit, which is the production form (a
+    * pooled calibration curve is wrong for every heterogeneous cohort
+    * — per-model-version or per-market curves are what a serving
+    * dashboard deploys). One (key, bucket) histogram aggregation; the
+    * driver sweep runs per key over the collected rows, bounded by
+    * `maxBuckets` TOTAL (key × bucket) rows behind the same loud
+    * probe. Same exact cross-multiplication merges, so pools are
+    * deterministic per cohort.
+    *
+    * @return one row per (key, pool):
+    *         (key, bucket_lo, bucket_hi, pos, n, rate_ppm). */
+  def isotonicFitBy(
+      df: DataFrame,
+      keyCol: Column,
+      bucketCol: Column,
+      labelCol: Column,
+      maxBuckets: Int = 100000,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val hist = df
+      .filter(keyCol.isNotNull && bucketCol.isNotNull && labelCol.isNotNull)
+      .groupBy(keyCol.cast("string").as("k"), bucketCol.as("b"))
+      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("pos"), count(lit(1)).as("n"))
+    val rows = hist.orderBy("k", "b").limit(maxBuckets + 1).collect()
+    require(
+      rows.length <= maxBuckets,
+      s"isotonicFitBy collected > maxBuckets=$maxBuckets (key x bucket) rows — " +
+        "quantize the score column or reduce the key cardinality",
+    )
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    rows.groupBy(_.getString(0)).foreach { case (k, rs) =>
+      val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      rs.sortBy(_.getLong(1)).foreach { r =>
+        stack += ((r.getLong(1), r.getLong(1), r.getLong(2), r.getLong(3)))
+        var merging = true
+        while (merging && stack.size >= 2) {
+          val top  = stack(stack.size - 1)
+          val prev = stack(stack.size - 2)
+          if (BigInt(prev._3) * top._4 >= BigInt(top._3) * prev._4) {
+            stack.remove(stack.size - 1)
+            stack(stack.size - 1) = (prev._1, top._2, prev._3 + top._3, prev._4 + top._4)
+          } else merging = false
+        }
+      }
+      stack.foreach(p => out += org.apache.spark.sql.Row(k, p._1, p._2, p._3, p._4))
+    }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    spark
+      .createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](out.asJava),
+        StructType(Seq(
+          StructField("key", StringType, nullable = false),
+          StructField("bucket_lo", LongType, nullable = false),
+          StructField("bucket_hi", LongType, nullable = false),
+          StructField("pos", LongType, nullable = false),
+          StructField("n", LongType, nullable = false),
+        )),
+      )
+      .withColumn("rate_ppm", expr("pos * 1000000L div n"))
+  }
+
   def stumpGini(df: DataFrame, labelCol: Column, features: Seq[(String, Column)]): DataFrame = {
     require(features.nonEmpty, "need at least one feature column")
     val stackArgs = features.flatMap { case (n, c) => Seq(lit(n), c.cast("string")) }

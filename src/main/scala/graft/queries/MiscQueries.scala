@@ -903,6 +903,64 @@ object MiscQueries {
     )
   }
 
+  /** Per-segment isotonic calibration
+    * ([[graft.ops.Stats.isotonicFitBy]]): one monotone urgent-rate
+    * curve per market segment over $500 order-value buckets — the
+    * per-cohort calibration a serving dashboard deploys where the
+    * pooled [[isotonicQ]] curve would be wrong for every cohort.
+    * Oracle: the same operation-sequential merge-or-shift recursion,
+    * keyed — five cohorts recurse independently in one CTE. */
+  private val isotonicByQ = Q(
+    "misc_isotonic_by",
+    """WITH RECURSIVE
+      |h AS (SELECT c.c_mktsegment AS k,
+      |        CAST(round(o.o_totalprice * 100) AS BIGINT) // 50000 AS b,
+      |        CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+      |        count(*) AS n
+      |      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |      GROUP BY 1, 2),
+      |init AS (SELECT k, list(struct_pack(lo := b, hi := b, pos := pos, n := n) ORDER BY b) AS rem
+      |         FROM h GROUP BY 1),
+      |rec AS (
+      |  SELECT k, rem,
+      |    CAST([] AS STRUCT(lo BIGINT, hi BIGINT, pos BIGINT, n BIGINT)[]) AS stk,
+      |    0 AS step
+      |  FROM init
+      |  UNION ALL
+      |  SELECT k,
+      |    CASE WHEN viol THEN rem ELSE rem[2:] END,
+      |    CASE WHEN viol
+      |      THEN list_append(stk[:-3],
+      |             struct_pack(lo := stk[-2].lo, hi := stk[-1].hi,
+      |                         pos := stk[-2].pos + stk[-1].pos, n := stk[-2].n + stk[-1].n))
+      |      ELSE list_append(stk, rem[1]) END,
+      |    step + 1
+      |  FROM (
+      |    SELECT k, rem, stk, step,
+      |      len(stk) >= 2 AND CAST(stk[-2].pos AS HUGEINT) * stk[-1].n
+      |                          >= CAST(stk[-1].pos AS HUGEINT) * stk[-2].n AS viol
+      |    FROM rec)
+      |  WHERE viol OR len(rem) > 0),
+      |fin AS (
+      |  SELECT k, stk FROM rec
+      |  WHERE len(rem) = 0
+      |    AND NOT (len(stk) >= 2 AND CAST(stk[-2].pos AS HUGEINT) * stk[-1].n
+      |                                 >= CAST(stk[-1].pos AS HUGEINT) * stk[-2].n))
+      |SELECT k AS key, r.lo AS bucket_lo, r.hi AS bucket_hi, r.pos, r.n,
+      |  CAST(r.pos * 1000000 // r.n AS BIGINT) AS rate_ppm
+      |FROM (SELECT k, unnest(stk) AS r FROM fin)""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Stats.isotonicFitBy(
+      orders(s, d).join(
+        broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"),
+      ),
+      col("c_mktsegment"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT) div 50000"),
+      col("o_orderpriority") === "1-URGENT",
+    )
+  }
+
   /** Decision-stump Gini feature screening
     * ([[graft.ops.Stats.stumpGini]]): which categorical lineitem
     * attribute best separates high-value line items on its own (the
@@ -2779,5 +2837,5 @@ object MiscQueries {
       kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ,
       samplePps, hitsTrade, ksQ, mannWhitneyQ, spearmanQ, cramersVQ, diameterSweepQ,
       hilbertKeyQ, bootstrapCiQ, bootstrapCiXxQ, rfmScoresQ, quantileScoresQ, conformalQ,
-      conformalByQ, isotonicQ, stumpGiniQ)
+      conformalByQ, isotonicQ, isotonicByQ, stumpGiniQ)
 }

@@ -3465,6 +3465,20 @@ class OpsSpec extends AnyFunSuite {
       graft.ops.Stats.isotonicFit(rows, col("b"), col("y"), maxBuckets = 2)
     }
     assert(err.getMessage.contains("maxBuckets"))
+    // keyed form: cohorts fit independently — a violation in one key
+    // must not merge pools in the other
+    val keyed = rows
+      .withColumn("k", lit("x"))
+      .unionByName(Seq((1L, false), (2L, true)).toDF("b", "y").withColumn("k", lit("z")))
+    val byK = graft.ops.Stats
+      .isotonicFitBy(keyed, col("k"), col("b"), col("y"))
+      .orderBy("key", "bucket_lo")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(byK.toSeq === Seq(
+      ("x", 1L, 3L, 500000L), ("x", 4L, 4L, 1000000L),
+      ("z", 1L, 1L, 0L), ("z", 2L, 2L, 1000000L),
+    ))
   }
 
   test("Graph.diameterSweep: path graph finds the true diameter; hop budget clips it") {
