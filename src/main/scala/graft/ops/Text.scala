@@ -1654,4 +1654,35 @@ object Text {
           "CAST(s_obs * 1000000 + CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) * 1000000 div (2 * (f2 + 1)) AS BIGINT)"
         ),
       )
+
+  /** CORPUS-COVERAGE REPORT — the one row a "crawl more or stop?"
+    * decision reads, composing the two unseen-estimators over a term
+    * count table `(term, r)`: Good–Turing sample coverage
+    * 1 − f₁/N (what fraction of the next token draw is already-seen
+    * types — prices the unseen MASS) and Chao1 completeness
+    * S_obs / Ŝ (what fraction of the type inventory is already
+    * observed — counts the unseen TYPES). Both in exact ppm over one
+    * aggregation of the (vocabulary-sized) count table; built for the
+    * shared [[NgramCounts]] store like [[chao1FromTermCounts]].
+    * Output: 1 row (n_tokens, s_obs, f1, f2, gt_coverage_ppm,
+    * chao1_ppm, completeness_ppm). */
+  def coverageReportFromTermCounts(counts: DataFrame): DataFrame =
+    counts
+      .agg(
+        sum(col("r")).as("n_tokens"),
+        count(lit(1)).as("s_obs"),
+        sum(when(col("r") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("r") === 2, 1L).otherwise(0L)).as("f2"),
+      )
+      .withColumn("gt_coverage_ppm", expr("(n_tokens - f1) * 1000000L div n_tokens"))
+      .withColumn(
+        "chao1_ppm",
+        expr(
+          "CAST(s_obs * 1000000 + CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) * 1000000 div (2 * (f2 + 1)) AS BIGINT)"
+        ),
+      )
+      .withColumn(
+        "completeness_ppm",
+        expr("CAST(CAST(s_obs AS DECIMAL(38,0)) * 1000000 * 1000000 div chao1_ppm AS BIGINT)"),
+      )
 }

@@ -1133,10 +1133,14 @@ object Events {
     * and boundary cells pinned to the same Long.MaxValue/4 sentinel) —
     * exact on all pairs. Series are span-bounded (one month of days);
     * the pair join is 5×5 type rows. */
-  private val dtwPairsQ = Q(
-    "evt_dtw_pairs", {
-      val inf = Long.MaxValue / 4
-      s"""WITH RECURSIVE
+  /** The banded-DTW pair pipeline as a CTE block (daily series → pair
+    * join → cell-sequential DP recursion), shared verbatim by the
+    * pairs gate and the medoid gate's oracle (the burstLabelCtes
+    * convention). The terminal rows are `rec WHERE t = (n+1)*(m+1)-1`
+    * with the distance in `buf[m+2]`. */
+  private[queries] val dtwPairCtes: String = {
+    val inf = Long.MaxValue / 4
+    s"""WITH RECURSIVE
          |daily AS (SELECT event_type AS t,
          |            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day, count(*) AS n
          |          FROM events GROUP BY 1, 2),
@@ -1164,11 +1168,16 @@ object Events {
          |           ELSE abs(aa[(t+1) // (m+1)] - bb[(t+1) % (m+1)])
          |                + least(buf[m+2], buf[2], buf[1])
          |      END)
-         |  FROM rec WHERE t + 1 < (n + 1) * (m + 1))
-         |SELECT ta AS type_a, tb AS type_b, CAST(buf[m+2] AS BIGINT) AS dtw
-         |FROM rec WHERE t = (n + 1) * (m + 1) - 1""".stripMargin
-    },
-  ) { (s, d) =>
+         |  FROM rec WHERE t + 1 < (n + 1) * (m + 1))""".stripMargin
+  }
+
+  /** The Spark side of the DTW pair pipeline, shared by the pairs gate
+    * and the medoid gate: (type_a, type_b, dtw) for all a < b type
+    * pairs over dense daily series, band 7. */
+  private def dtwPairsDf(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame = {
     graft.functions.DtwExpr.registerOn(s)
     val daily = events(s, d)
       .groupBy(
@@ -1196,6 +1205,39 @@ object Events {
         col("type_b"),
         graft.functions.DtwExpr.dtw_distance(col("__a"), col("__b"), lit(7)).as("dtw"),
       )
+  }
+
+  private val dtwPairsQ = Q(
+    "evt_dtw_pairs",
+    s"""$dtwPairCtes
+       |SELECT ta AS type_a, tb AS type_b, CAST(buf[m+2] AS BIGINT) AS dtw
+       |FROM rec WHERE t = (n + 1) * (m + 1) - 1""".stripMargin,
+  )(dtwPairsDf)
+
+  /** DTW MEDOID — the series that best represents the set: the type
+    * minimizing its summed banded-DTW distance to every other type
+    * (type-name tiebreak), computed over [[dtwPairsDf]]'s a < b table
+    * symmetrized — the canonical-shape selection step a curve-
+    * clustering or template-matching pipeline runs after the pairwise
+    * distances. Oracle: the shared DTW CTEs + the same symmetrize /
+    * argmin aggregation. */
+  private val dtwMedoidQ = Q(
+    "evt_dtw_medoid",
+    s"""$dtwPairCtes,
+       |d AS (SELECT ta AS typ, buf[m+2] AS dd FROM rec WHERE t = (n + 1) * (m + 1) - 1
+       |      UNION ALL
+       |      SELECT tb AS typ, buf[m+2] AS dd FROM rec WHERE t = (n + 1) * (m + 1) - 1),
+       |agg AS (SELECT typ AS medoid, CAST(sum(dd) AS BIGINT) AS total_dtw FROM d GROUP BY 1)
+       |SELECT medoid, total_dtw FROM agg ORDER BY total_dtw, medoid LIMIT 1""".stripMargin,
+  ) { (s, d) =>
+    val pairs = dtwPairsDf(s, d)
+    pairs
+      .select(col("type_a").as("medoid"), col("dtw"))
+      .unionByName(pairs.select(col("type_b").as("medoid"), col("dtw")))
+      .groupBy("medoid")
+      .agg(sum("dtw").as("total_dtw"))
+      .orderBy(col("total_dtw"), col("medoid"))
+      .limit(1)
   }
 
   private val cusumChangepointQ = Q("evt_cusum_changepoint", cusumSql) { (s, d) =>
@@ -1613,6 +1655,7 @@ object Events {
     burstDetectQ,
     burstSummaryQ,
     dtwPairsQ,
+    dtwMedoidQ,
     mannKendallQ,
     kaplanMeierQ,
     kaplanMeierByQ,

@@ -662,7 +662,7 @@ object TextQueries {
 
   private val lmTableConsumers = Set(
     "txt_bigram_lm_score", "txt_lm_prune", "txt_trigram_backoff",
-    "txt_freq_of_freqs", "txt_chao1", "txt_kn_counts")
+    "txt_freq_of_freqs", "txt_chao1", "txt_coverage_report", "txt_kn_counts")
 
   /** Same contract as [[MiscQueries.prewarmShared]]: build the shared
     * artifacts under the bench's `shared_build` accounting when any
@@ -1452,6 +1452,32 @@ object TextQueries {
     )
   }
 
+  /** Corpus-coverage report
+    * ([[graft.ops.Text.coverageReportFromTermCounts]]): Good–Turing
+    * sample coverage (unseen MASS) beside Chao1 completeness (unseen
+    * TYPES) over the same trigram census — the one row a
+    * crawl-more-or-stop decision reads. Oracle composes the shared
+    * census CTE with the same exact-integer arithmetic (DuckDB lateral
+    * column aliases mirror the Spark withColumn chain). */
+  private val coverageReportQ = Q(
+    "txt_coverage_report",
+    s"""$trigramCensusCtes
+      |SELECT CAST(sum(r) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS s_obs,
+      |  CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |  CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+      |  CAST((n_tokens - f1) * 1000000 // n_tokens AS BIGINT) AS gt_coverage_ppm,
+      |  CAST(s_obs * 1000000
+      |    + CAST(f1 AS HUGEINT) * (f1 - 1) * 1000000 // (2 * (f2 + 1)) AS BIGINT) AS chao1_ppm,
+      |  CAST(CAST(s_obs AS HUGEINT) * 1000000 * 1000000 // chao1_ppm AS BIGINT)
+      |    AS completeness_ppm
+      |FROM cnt""".stripMargin,
+  ) { (s, d) =>
+    graft.ops.Text.coverageReportFromTermCounts(
+      lmTables(s, d).tri.groupBy("tg").agg(sum(col("c")).as("r"))
+    )
+  }
+
   /** Kneser–Ney continuation counts
     * ([[graft.ops.Text.knContinuationCounts]]): distinct-context
     * censuses per word plus the continuation-probability ppm — the
@@ -1576,5 +1602,5 @@ object TextQueries {
       packManifest, bm25Topk, rrfFusion, bpeFertility, batchPadding, collocationsQ, vocabStatsQ,
       negSamplingQ, skipGramQ, curriculumOrderQ, repeatCollapseQ, preferencePairsQ,
       featureHashQ, sentenceStatsQ, langIdKappaQ, tokenGiniQ, wordpieceQ, readabilityQ,
-      ngramOverlapQ, trigramBackoffQ, freqOfFreqsQ, chao1Q, knCountsQ, rakeKeywordsQ, lcsPairsQ)
+      ngramOverlapQ, trigramBackoffQ, freqOfFreqsQ, chao1Q, coverageReportQ, knCountsQ, rakeKeywordsQ, lcsPairsQ)
 }
