@@ -1230,7 +1230,10 @@ object Events {
        |agg AS (SELECT typ AS medoid, CAST(sum(dd) AS BIGINT) AS total_dtw FROM d GROUP BY 1)
        |SELECT medoid, total_dtw FROM agg ORDER BY total_dtw, medoid LIMIT 1""".stripMargin,
   ) { (s, d) =>
-    val pairs = dtwPairsDf(s, d)
+    // the symmetrizing union consumes the pair table TWICE — freeze the
+    // (pair-count-sized, here 10-row) table so the series/DP pipeline
+    // runs once, not once per union branch
+    val pairs = dtwPairsDf(s, d).localCheckpoint()
     pairs
       .select(col("type_a").as("medoid"), col("dtw"))
       .unionByName(pairs.select(col("type_b").as("medoid"), col("dtw")))
