@@ -1390,12 +1390,22 @@ object Stats {
       bucketCol: Column,
       labelCol: Column,
       maxBuckets: Int = 100000,
-  ): DataFrame = {
-    val spark = df.sparkSession
-    val hist = df
-      .filter(bucketCol.isNotNull && labelCol.isNotNull)
-      .groupBy(bucketCol.as("b"))
-      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("pos"), count(lit(1)).as("n"))
+  ): DataFrame =
+    isotonicFromHist(
+      df.filter(bucketCol.isNotNull && labelCol.isNotNull)
+        .groupBy(bucketCol.as("b"))
+        .agg(sum(when(labelCol, 1L).otherwise(0L)).as("pos"), count(lit(1)).as("n")),
+      maxBuckets,
+    )
+
+  /** The PAVA machinery over a prebuilt bucket histogram `(b, pos, n)`
+    * — the form a STREAMING calibration maintains (per-bucket pos/n
+    * counts are mergeable state where raw rows are not; the
+    * [[conformalFromValueHist]] pattern). [[isotonicFit]] routes
+    * through this after its aggregation, so the batch gate and any
+    * streaming twin share one code path. */
+  def isotonicFromHist(hist: DataFrame, maxBuckets: Int = 100000): DataFrame = {
+    val spark = hist.sparkSession
     // ONE action: the sorted collect is capped at maxBuckets + 1, so
     // the guard costs no second corpus aggregation and a mis-called
     // corpus-keyed column still fails loudly before the driver holds

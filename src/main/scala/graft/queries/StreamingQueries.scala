@@ -79,7 +79,7 @@ object StreamingQueries {
     "stream_dedup", "stream_funnel_steps", "stream_left_outer_join", "stream_session_window",
     "stream_cms_sketch", "stream_rate_anomaly", "stream_profile", "stream_dist_drift",
     "stream_agg_maintain", "stream_full_outer_join", "stream_cusum", "stream_ewma",
-    "stream_topk", "stream_topk_maintain", "stream_conformal", "stream_conformal_by",
+    "stream_topk", "stream_topk_maintain", "stream_conformal", "stream_conformal_by", "stream_isotonic",
     "stream_approx_distinct", "stream_holt", "stream_holt_winters", "stream_seasonal",
   )
   private val docSplitConsumers =
@@ -1097,6 +1097,70 @@ object StreamingQueries {
     graft.ops.Stats.conformalFromValueHistBy(frozen, test, alphaPpm = 100000L)
   }
 
+  /** Streaming isotonic calibration
+    * ([[graft.ops.Stats.isotonicFromHist]]): the per-bucket (pos, n)
+    * histogram is the streaming state — two mergeable sums over a
+    * value-domain-bounded bucket grid — maintained across the
+    * multi-batch replay; the PAVA sweep runs over the frozen final
+    * state through the same code path as the batch gates. Fits
+    * P(purchase) monotone in the $50-bucketed event value. Oracle: the
+    * batch replay of the identical histogram + merge-or-shift
+    * recursion (final state ≡ batch histogram, so pools match
+    * exactly). */
+  private val isotonicStream = Q(
+    "stream_isotonic",
+    """WITH RECURSIVE
+      |h AS (SELECT CAST(round(value * 100) AS BIGINT) // 5000 AS b,
+      |        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+      |        count(*) AS n
+      |      FROM events WHERE value IS NOT NULL GROUP BY 1),
+      |init AS (SELECT list(struct_pack(lo := b, hi := b, pos := pos, n := n) ORDER BY b) AS rem
+      |         FROM h),
+      |rec AS (
+      |  SELECT rem,
+      |    CAST([] AS STRUCT(lo BIGINT, hi BIGINT, pos BIGINT, n BIGINT)[]) AS stk,
+      |    0 AS step
+      |  FROM init
+      |  UNION ALL
+      |  SELECT
+      |    CASE WHEN viol THEN rem ELSE rem[2:] END,
+      |    CASE WHEN viol
+      |      THEN list_append(stk[:-3],
+      |             struct_pack(lo := stk[-2].lo, hi := stk[-1].hi,
+      |                         pos := stk[-2].pos + stk[-1].pos, n := stk[-2].n + stk[-1].n))
+      |      ELSE list_append(stk, rem[1]) END,
+      |    step + 1
+      |  FROM (
+      |    SELECT rem, stk, step,
+      |      len(stk) >= 2 AND CAST(stk[-2].pos AS HUGEINT) * stk[-1].n
+      |                          >= CAST(stk[-1].pos AS HUGEINT) * stk[-2].n AS viol
+      |    FROM rec)
+      |  WHERE viol OR len(rem) > 0),
+      |fin AS (
+      |  SELECT stk FROM rec
+      |  WHERE len(rem) = 0
+      |    AND NOT (len(stk) >= 2 AND CAST(stk[-2].pos AS HUGEINT) * stk[-1].n
+      |                                 >= CAST(stk[-1].pos AS HUGEINT) * stk[-2].n))
+      |SELECT r.lo AS bucket_lo, r.hi AS bucket_hi, r.pos, r.n,
+      |  CAST(r.pos * 1000000 // r.n AS BIGINT) AS rate_ppm
+      |FROM (SELECT unnest(stk) AS r FROM fin)""".stripMargin,
+  ) { (s, d) =>
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    val stream = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+    val hist = stream
+      .filter(col("value").isNotNull)
+      .groupBy(expr("CAST(round(value * 100) AS BIGINT) div 5000").as("b"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("pos"),
+        count(lit(1)).as("n"),
+      )
+    val frozen = runCompleteStream(s, hist, "isotonic").localCheckpoint()
+    graft.ops.Stats.isotonicFromHist(frozen)
+  }
+
   private val topkStream = Q(
     "stream_topk",
     """SELECT event_type,
@@ -1393,5 +1457,5 @@ object StreamingQueries {
       decontaminateStream, dedupStream, staticJoinStream, sessionWindowStream, funnelStream,
       cmsStream, bpeDriftStream, rateAnomalyStream, profileStream, distDriftStream, ivmStream,
       cusumStream, ewmaStream, holtStream, holtWintersStream, seasonalStream, topkStream,
-      topkMaintainStream, conformalStream, conformalByStream, approxDistinctStream)
+      topkMaintainStream, conformalStream, conformalByStream, isotonicStream, approxDistinctStream)
 }
