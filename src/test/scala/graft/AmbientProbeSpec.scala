@@ -95,21 +95,32 @@ class AmbientProbeSpec extends AnyFunSuite {
       })
       t.setDaemon(true); t.start(); t
     }
-    try {
-      val loadedMem = AmbientProbe.timeMem(spark, threads)
-      val loadedAlu = AmbientProbe.time(spark, threads)
-      assert(
-        loadedMem > AmbientProbe.contendedThreshold * unloadedMem,
-        f"memory probe must trip: unloaded=$unloadedMem%.3f loaded=$loadedMem%.3f",
-      )
-      assert(
-        !AmbientProbe.contended(loadedAlu, threads),
-        f"ALU probe should stay green under a memory-shaped hog: loaded=$loadedAlu%.3f",
-      )
-    } finally {
-      stop.set(true)
-      (spinners ++ writers).foreach(_.join(2000))
-    }
+    val (loadedMem, loadedAlu) =
+      try (AmbientProbe.timeMem(spark, threads), AmbientProbe.time(spark, threads))
+      finally {
+        stop.set(true)
+        (spinners ++ writers).foreach(_.join(2000))
+      }
+    // EXTERNAL load can arrive between the pre-check and the loaded
+    // measurement (shared box); if the post-hog baseline no longer
+    // matches the pre-hog one, the measurement is contaminated —
+    // cancel (the sentinel's own discipline) instead of flaking.
+    val unloadedMemAfter = AmbientProbe.timeMem(spark, threads)
+    val unloadedAluAfter = AmbientProbe.time(spark, threads)
+    assume(
+      !AmbientProbe.contendedMem(unloadedMemAfter, threads) &&
+        !AmbientProbe.contended(unloadedAluAfter, threads),
+      f"ambient load arrived mid-test (post baselines mem $unloadedMemAfter%.3f s, " +
+        f"alu $unloadedAluAfter%.3f s); skipping",
+    )
+    assert(
+      loadedMem > AmbientProbe.contendedThreshold * unloadedMem,
+      f"memory probe must trip: unloaded=$unloadedMem%.3f loaded=$loadedMem%.3f",
+    )
+    assert(
+      !AmbientProbe.contended(loadedAlu, threads),
+      f"ALU probe should stay green under a memory-shaped hog: loaded=$loadedAlu%.3f",
+    )
   }
 
   test("probe inflates under deliberate CPU load (the sentinel trips on a loaded box)") {
