@@ -1069,4 +1069,35 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Exchange".r.findAllIn(sg).length <= 2,
       s"stumpGini must aggregate all features in one pass:\n$sg")
   }
+
+  test("kleinberg2 skew cap: the rank window guards only the hot branch; hot list broadcasts") {
+    // the structural per-key cap must not make every corpus row pay a
+    // sort: exactly ONE Window (over the hot semi-join branch, normally
+    // empty) and the over-cap key list reaches it via broadcast joins —
+    // a plan where the window count grows or the joins turn into
+    // shuffles re-introduces the corpus-wide sort the idiom avoids
+    val p = planOf("evt_burst_detect")
+    // formatted mode prints each node twice (tree + "(N) Window" detail
+    // header); count the detail headers, which appear exactly once per node
+    val windows = p.linesIterator.count(_.matches("""\(\d+\) Window"""))
+    assert(windows == 1, s"expected exactly one Window operator (hot branch only), got $windows:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "hot-key list must broadcast into the semi/anti joins:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "hot-key guard joins must not SMJ:\n" + p)
+  }
+
+  test("isotonic fit: one map-side-combinable histogram aggregation feeds the driver sweep") {
+    val hist = graft.ops.Stats
+      .isotonicFit(
+        SparkEntry.queries("rel_agg_pricing_summary")(spark, sf).sparkSession
+          .read.parquet(s"$sf/orders.parquet"),
+        org.apache.spark.sql.functions.expr("CAST(round(o_totalprice * 100) AS BIGINT) div 20000"),
+        org.apache.spark.sql.functions.expr("o_orderpriority = '1-URGENT'"),
+      )
+    // the output itself is a local (driver-built) relation: the corpus
+    // work happened in the ONE aggregation before the bounded collect
+    val plan = hist.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("LocalTableScan") || plan.contains("Scan ExistingRDD"),
+      "isotonic output must be a driver-built bounded relation:\n" + plan)
+  }
 }
