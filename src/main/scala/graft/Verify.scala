@@ -20,6 +20,8 @@ object Verify {
     // Local profiling hook (the driver never sets it): dump only the
     // named queries — for targeted re-checks at expensive scales.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    var dumped = 0
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -42,10 +44,21 @@ object Verify {
           s"top-level complex-typed column(s) ${complex.mkString(", ")} — wrap in to_json",
         )
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        dumped += 1
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
       }
     }
+    // A silently-thin dump would make the downstream differential record
+    // an empty "{}" while git history claims green (round-15 incident).
+    // Fail loudly instead: every registered query must dump, and the
+    // total must match the registry (modulo an explicit ONLY filter).
+    val expected = SparkEntry.queries.count { case (n, _) => only.forall(_.contains(n)) }
+    require(failed.isEmpty, s"[verify] ${failed.size} queries failed to dump: ${failed.mkString(", ")}")
+    require(dumped == expected && dumped > 0,
+      s"[verify] dumped $dumped of $expected registered queries — refusing to emit a thin record")
+    println(s"[verify] dumped $dumped/$expected queries to $outDir")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

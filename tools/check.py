@@ -76,8 +76,9 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
-    n_pass = n_fail = 0
-    for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
+    n_pass = n_fail = n_skip = 0
+    dump_dirs = sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir())
+    for name in dump_dirs:
         if only and name not in only:
             continue
         try:
@@ -90,6 +91,7 @@ def main():
             continue
         if name not in oracle:
             print(f"SKIP {name}: no oracle ({len(got)} rows)")
+            n_skip += 1
             continue
         try:
             # Single execution via arrow: rows AND schema from one
@@ -133,7 +135,26 @@ def main():
             else:
                 print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} no-oracle ==")
+    # Loud-fail on a silently-empty/thin record (the round-15 incident:
+    # CORRECTNESS_r15.json recorded "{}" while the suite actually passed).
+    # Without an explicit name filter, every oracle-bearing gate must have
+    # been compared — anything less means the dump or the compare loop
+    # silently dropped work, which must be a hard failure, not a quiet 0.
+    import os
+    if not only and not os.environ.get("SPARK_GRAFT_ONLY"):
+        if len(oracle) == 0:
+            print("HARD FAIL: oracle_sql.json is empty — no gates compared")
+            return 2
+        compared = n_pass + n_fail
+        if compared < len(oracle):
+            print(f"HARD FAIL: compared {compared} gates but oracle registers "
+                  f"{len(oracle)} — thin record (missing dumps?)")
+            return 2
+        if len(dump_dirs) < len(oracle):
+            print(f"HARD FAIL: only {len(dump_dirs)} dump dirs for "
+                  f"{len(oracle)} oracle entries")
+            return 2
     return 0 if n_fail == 0 else 1
 
 
