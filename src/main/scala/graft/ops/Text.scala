@@ -1648,12 +1648,24 @@ object Text {
         sum(when(col("r") === 1, 1L).otherwise(0L)).as("f1"),
         sum(when(col("r") === 2, 1L).otherwise(0L)).as("f2"),
       )
-      .withColumn(
-        "chao1_ppm",
-        expr(
-          "CAST(s_obs * 1000000 + CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) * 1000000 div (2 * (f2 + 1)) AS BIGINT)"
-        ),
-      )
+      .withColumn("chao1_ppm", expr(chao1PpmSql))
+
+  /** The Chao1 ppm estimate, OVERFLOW-SAFE (r15 ADVICE): the f₁²
+    * quotient stays in DECIMAL(38,0) end-to-end — an IntegralDivide
+    * (`div`) here would emit BIGINT and silently wrap past ~4.3M
+    * singletons in non-ANSI mode while the DuckDB oracle's HUGEINT
+    * errors loudly. Floored division is spelled exactly as
+    * (num − num % den) / den (the division is then exact, so the
+    * decimal(38,6) result carries no rounding), and a raise_error
+    * guard makes a BIGINT-range exit loud instead of corrupt. */
+  private val chao1PpmSql: String = {
+    val num = "CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) * 1000000"
+    val den = "(2 * (f2 + 1))"
+    val est = s"CAST(s_obs AS DECIMAL(38,0)) * 1000000 + CAST(($num - ($num % $den)) / $den AS DECIMAL(38,0))"
+    s"""CASE WHEN $est > CAST(9223372036854775807 AS DECIMAL(38,0))
+       |  THEN CAST(raise_error('chao1_ppm exceeds BIGINT range') AS BIGINT)
+       |  ELSE CAST($est AS BIGINT) END""".stripMargin
+  }
 
   /** CORPUS-COVERAGE REPORT — the one row a "crawl more or stop?"
     * decision reads, composing the two unseen-estimators over a term
@@ -1674,13 +1686,14 @@ object Text {
         sum(when(col("r") === 1, 1L).otherwise(0L)).as("f1"),
         sum(when(col("r") === 2, 1L).otherwise(0L)).as("f2"),
       )
-      .withColumn("gt_coverage_ppm", expr("(n_tokens - f1) * 1000000L div n_tokens"))
+      // (n_tokens − f1) × 10⁶ exceeds BIGINT past ~9.2e12 tokens — a
+      // 100-TB corpus is past that. Numerator in DECIMAL; the quotient
+      // is ≤ 10⁶ so the BIGINT div result cannot wrap.
       .withColumn(
-        "chao1_ppm",
-        expr(
-          "CAST(s_obs * 1000000 + CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) * 1000000 div (2 * (f2 + 1)) AS BIGINT)"
-        ),
+        "gt_coverage_ppm",
+        expr("CAST(CAST(n_tokens - f1 AS DECIMAL(38,0)) * 1000000 div n_tokens AS BIGINT)"),
       )
+      .withColumn("chao1_ppm", expr(chao1PpmSql))
       .withColumn(
         "completeness_ppm",
         expr("CAST(CAST(s_obs AS DECIMAL(38,0)) * 1000000 * 1000000 div chao1_ppm AS BIGINT)"),

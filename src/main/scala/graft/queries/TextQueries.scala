@@ -1546,7 +1546,12 @@ object TextQueries {
         t.select((col("doc_id") - 1).as("a_id"), col("doc_id").as("b_id"), col("toks").as("__b")),
         Seq("a_id"),
       )
-      .filter(size(col("__a")) + size(col("__b")) > 0)
+      // NULL-text pin (r15 ADVICE): Spark's size(NULL) is -1 while the
+      // oracle's len(NULL) predicate is NULL-and-drops — require both
+      // token arrays non-null explicitly so a NULL-text document is
+      // dropped identically in both engines.
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        size(col("__a")) + size(col("__b")) > 0)
       .select(
         col("a_id"),
         col("b_id"),
