@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** KLL mergeable quantile sketch (Karnin, Lang & Liberty, FOCS 2016) —
+  * the bounded-state quantile aggregate for CONTINUOUS UNBOUNDED value
+  * domains, where the repo's exact histogram idiom
+  * ([[graft.ops.Stats]] bounded-domain cumulative) does not apply: at
+  * 100 TB an exact percentile over raw doubles is a full sort, while
+  * this sketch holds O(k·log(n/k)) values per group, partials merge
+  * map-side (Spark's partial aggregation IS the sketch merge), and
+  * only kilobytes cross the wire per group.
+  *
+  * Structure: a ladder of levels; level h holds items each standing
+  * for 2^h input values. Inserts land in level 0; when level h
+  * overflows its capacity (k·(2/3)^(top−h), floored at 8 — the KLL
+  * geometric schedule) the buffer is sorted and every other item is
+  * promoted to level h+1, alternating the kept parity per compaction
+  * (the paper's derandomized coin: unbiased over compactions and
+  * reproducible — no RNG, per the repo-wide determinism discipline).
+  * Each compaction at level h perturbs any rank by at most 2^h, giving
+  * the classical ε ≈ O(1/k) normalized rank error; at the gate's
+  * k = 200 the observed error is well under 1% of rank, checked as an
+  * error-bound differential inside a ±5%-rank exact-quantile envelope
+  * (the `misc_approx_percentile` pattern — estimates themselves stay
+  * out of the compared columns because merge ORDER, which Spark does
+  * not fix, legitimately moves them within the guarantee).
+  *
+  * The finished value is the sketch CONTENTS — array<(v, w)> of
+  * retained items with their weights, ≤ ~k·levels entries — not a
+  * scalar: quantile evaluation is one bounded higher-order fold over
+  * that array ([[estimateSql]]), so one aggregation pass serves any
+  * number of quantiles, and the array itself is persistable/unionable
+  * downstream state (union + re-aggregate = sketch merge).
+  */
+object KllAgg {
+
+  /** One retained item: value + the 2^level weight it stands for. */
+  final case class Item(v: Double, w: Long)
+
+  /** Sketch state: total count + the level ladder + per-level kept
+    * parity. Level h of `levels` holds weight-2^h items; `flips(h)`
+    * is the parity the NEXT compaction of level h keeps. */
+  final case class Buf(
+      var n: Long,
+      var levels: Seq[Seq[Double]],
+      var flips: Seq[Boolean],
+  )
+
+  def aggregator(k: Int): Aggregator[Double, Buf, Seq[Item]] = {
+    require(k >= 8, s"kll requires k >= 8, got $k")
+    new Aggregator[Double, Buf, Seq[Item]] {
+      override def zero: Buf = Buf(0L, Seq(Vector.empty), Seq(false))
+
+      // capacity of level h when `top` is the highest level index:
+      // k * (2/3)^(top - h), floored at 8
+      private def cap(h: Int, top: Int): Int =
+        math.max(math.ceil(k * math.pow(2.0 / 3.0, (top - h).toDouble)).toInt, 8)
+
+      // compact overflowing levels bottom-up until every level fits.
+      // A compaction sorts level h, promotes the kept-parity half to
+      // level h+1 (possibly growing the ladder), clears level h, and
+      // toggles the parity. Promotions only move items UP, so one
+      // bottom-up sweep per normalize call converges (re-loop while
+      // any level still overflows — ladder growth shrinks lower caps).
+      private def normalize(b: Buf): Buf = {
+        var levels = b.levels.map(_.toVector).toVector
+        var flips  = b.flips.toVector
+        var dirty  = true
+        while (dirty) {
+          dirty = false
+          var h = 0
+          while (h < levels.length) {
+            if (levels(h).length > cap(h, levels.length - 1)) {
+              dirty = true
+              val sorted = levels(h).sorted
+              // an odd buffer holds one item out (weight 2^h cannot
+              // split into 2^(h+1) halves) — total weight is preserved
+              // EXACTLY: 2m items at weight w become m at weight 2w
+              val (body, leftover) =
+                if (sorted.length % 2 == 0) (sorted, Vector.empty[Double])
+                else (sorted.init, Vector(sorted.last))
+              val offset = if (flips(h)) 1 else 0
+              val kept   = body.indices.collect { case i if i % 2 == offset => body(i) }
+              if (h + 1 == levels.length) { levels :+= Vector.empty[Double]; flips :+= false }
+              levels = levels
+                .updated(h, leftover)
+                .updated(h + 1, levels(h + 1) ++ kept)
+              flips = flips.updated(h, !flips(h))
+            }
+            h += 1
+          }
+        }
+        b.levels = levels
+        b.flips = flips
+        b
+      }
+
+      override def reduce(b: Buf, a: Double): Buf = {
+        b.n += 1
+        b.levels = b.levels.updated(0, b.levels.head :+ a)
+        if (b.levels.head.lengthCompare(cap(0, b.levels.length - 1)) > 0) normalize(b) else b
+      }
+
+      override def merge(b1: Buf, b2: Buf): Buf = {
+        val h = math.max(b1.levels.length, b2.levels.length)
+        def pad[T](s: Seq[Seq[T]]) = s ++ Seq.fill(h - s.length)(Vector.empty[T])
+        b1.levels = pad(b1.levels).zip(pad(b2.levels)).map { case (x, y) => x ++ y }
+        b1.flips = (0 until h).map(i =>
+          b1.flips.lift(i).getOrElse(false) ^ b2.flips.lift(i).getOrElse(false))
+        b1.n += b2.n
+        normalize(b1)
+      }
+
+      override def finish(r: Buf): Seq[Item] =
+        r.levels.zipWithIndex.flatMap { case (vs, h) => vs.map(Item(_, 1L << h)) }
+
+      override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      override def outputEncoder: Encoder[Seq[Item]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Item]]()
+    }
+  }
+
+  /** Column API: `kll(k)(values)` → array<struct<v double, w bigint>>
+    * of retained weighted items. Callers must feed non-null doubles. */
+  def kll(k: Int)(values: Column): Column = {
+    val fn = udaf(aggregator(k), Encoders.scalaDouble)
+    fn(values)
+  }
+
+  /** Quantile-at-q evaluation over a finished sketch column, as ONE
+    * bounded higher-order fold (no explode, no shuffle): sort items by
+    * value, walk the cumulative weight, return the first value whose
+    * cumulative weight reaches ceil(q·W). `sketchCol` must be the SQL
+    * name of a kll() result column; emits a DOUBLE (NULL on an empty
+    * sketch). */
+  def estimateSql(sketchCol: String, q: Double): String = {
+    require(q > 0.0 && q <= 1.0, s"quantile must be in (0, 1], got $q")
+    val qppm = math.round(q * 1000000L)
+    s"""aggregate(
+       |  array_sort($sketchCol, (a, b) -> CASE WHEN a.v < b.v THEN -1 WHEN a.v > b.v THEN 1 ELSE 0 END),
+       |  struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS DOUBLE) AS ans,
+       |         -- ceil(q * W) in exact integer arithmetic
+       |         CAST((aggregate($sketchCol, CAST(0 AS BIGINT), (a, x) -> a + x.w) * $qppm + 999999)
+       |              div 1000000 AS BIGINT) AS tgt),
+       |  (acc, x) -> IF(acc.ans IS NOT NULL, acc,
+       |    named_struct('cum', acc.cum + x.w,
+       |                 'ans', IF(acc.cum + x.w >= acc.tgt, x.v, CAST(NULL AS DOUBLE)),
+       |                 'tgt', acc.tgt)),
+       |  acc -> acc.ans)""".stripMargin
+  }
+}
