@@ -1171,6 +1171,29 @@ object Events {
          |  FROM rec WHERE t + 1 < (n + 1) * (m + 1))""".stripMargin
   }
 
+  /** The dense daily-series table (t, arr) behind the DTW family —
+    * per-type counts on the shared month grid, zeros filled. */
+  private def dtwSeriesDf(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame = {
+    val daily = events(s, d)
+      .groupBy(
+        col("event_type").as("t"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
+      )
+      .agg(count(lit(1)).as("n"))
+    val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    daily
+      .groupBy("t")
+      .agg(map_from_entries(collect_list(struct(col("day"), col("n")))).as("m"))
+      .crossJoin(broadcast(span))
+      .select(
+        col("t"),
+        expr("transform(sequence(d0, d1), dd -> coalesce(element_at(m, dd), 0L))").as("arr"),
+      )
+  }
+
   /** The Spark side of the DTW pair pipeline, shared by the pairs gate
     * and the medoid gate: (type_a, type_b, dtw) for all a < b type
     * pairs over dense daily series, band 7. */
@@ -1179,21 +1202,7 @@ object Events {
       d: String,
   ): org.apache.spark.sql.DataFrame = {
     graft.functions.DtwExpr.registerOn(s)
-    val daily = events(s, d)
-      .groupBy(
-        col("event_type").as("t"),
-        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
-      )
-      .agg(count(lit(1)).as("n"))
-    val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
-    val series = daily
-      .groupBy("t")
-      .agg(map_from_entries(collect_list(struct(col("day"), col("n")))).as("m"))
-      .crossJoin(broadcast(span))
-      .select(
-        col("t"),
-        expr("transform(sequence(d0, d1), dd -> coalesce(element_at(m, dd), 0L))").as("arr"),
-      )
+    val series = dtwSeriesDf(s, d)
     series
       .select(col("t").as("type_a"), col("arr").as("__a"))
       .join(
@@ -1206,6 +1215,20 @@ object Events {
         graft.functions.DtwExpr.dtw_distance(col("__a"), col("__b"), lit(7)).as("dtw"),
       )
   }
+
+  /** The FROZEN pair table (type-count² rows), shared by the medoid
+    * and barycenter gates — both re-read it several times, and the
+    * underlying series/DP pipeline should run once per (session,
+    * corpus), not once per consumer (the sharedTradeRows contract). */
+  private val dtwPairsCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def dtwPairsCheckpointed(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame =
+    dtwPairsCache.getOrElseUpdate((s, d), dtwPairsDf(s, d).localCheckpoint())
 
   private val dtwPairsQ = Q(
     "evt_dtw_pairs",
@@ -1230,10 +1253,10 @@ object Events {
        |agg AS (SELECT typ AS medoid, CAST(sum(dd) AS BIGINT) AS total_dtw FROM d GROUP BY 1)
        |SELECT medoid, total_dtw FROM agg ORDER BY total_dtw, medoid LIMIT 1""".stripMargin,
   ) { (s, d) =>
-    // the symmetrizing union consumes the pair table TWICE — freeze the
-    // (pair-count-sized, here 10-row) table so the series/DP pipeline
-    // runs once, not once per union branch
-    val pairs = dtwPairsDf(s, d).localCheckpoint()
+    // the symmetrizing union consumes the pair table TWICE — the
+    // frozen shared table ([[dtwPairsCheckpointed]]) runs the
+    // series/DP pipeline once, not once per union branch or consumer
+    val pairs = dtwPairsCheckpointed(s, d)
     pairs
       .select(col("type_a").as("medoid"), col("dtw"))
       .unionByName(pairs.select(col("type_b").as("medoid"), col("dtw")))
@@ -1241,6 +1264,103 @@ object Events {
       .agg(sum("dtw").as("total_dtw"))
       .orderBy(col("total_dtw"), col("medoid"))
       .limit(1)
+  }
+
+  /** One DTW-BARYCENTER-AVERAGING update (Petitjean et al. 2011) over
+    * the medoid's cluster — the step after [[dtwMedoidQ]] a template-
+    * matching pipeline actually ships: initialize the barycenter at
+    * the medoid's series and, for every member (all types, the medoid
+    * aligning to itself along the diagonal), align member → barycenter
+    * with [[graft.functions.DtwPathExpr]] and average the values that
+    * landed on each barycenter coordinate. Exact integers: per-
+    * coordinate count + sum, mean emitted ×10⁶ floored. The alignment
+    * tie order (diag → up → left) is part of the operator contract and
+    * the oracle's backtrack CASE replays it cell for cell over the
+    * full DP matrix (the sliding buffer can compute distances but not
+    * paths). Bounded by construction: member count = |event types|,
+    * path length ≤ n+m on month grids. */
+  private val dtwBarycenterQ = Q(
+    "evt_dtw_barycenter", {
+      val inf = Long.MaxValue / 4
+      s"""$dtwPairCtes,
+         |dsym AS (SELECT ta AS typ, buf[m+2] AS dd FROM rec WHERE t = (n + 1) * (m + 1) - 1
+         |         UNION ALL
+         |         SELECT tb, buf[m+2] FROM rec WHERE t = (n + 1) * (m + 1) - 1),
+         |med AS (SELECT typ AS mt FROM (SELECT typ, sum(dd) AS td FROM dsym GROUP BY 1)
+         |        ORDER BY td, typ LIMIT 1),
+         |mem AS (SELECT s2.t AS typ, ms.arr AS ma, s2.arr AS arr,
+         |          len(ms.arr) AS nn, len(s2.arr) AS mm
+         |        FROM med JOIN ser ms ON ms.t = med.mt CROSS JOIN ser s2),
+         |dp AS (
+         |  SELECT typ, ma, arr, nn, mm, -1 AS c, CAST([] AS BIGINT[]) AS buf
+         |  FROM mem
+         |  UNION ALL
+         |  SELECT typ, ma, arr, nn, mm, c + 1,
+         |    list_append(buf, CASE
+         |      WHEN c + 1 = 0 THEN 0
+         |      WHEN (c+1) // (mm+1) = 0 OR (c+1) % (mm+1) = 0 THEN $inf
+         |      WHEN abs((c+1) // (mm+1) - (c+1) % (mm+1)) > greatest(7, abs(nn - mm))
+         |        THEN $inf
+         |      ELSE abs(ma[(c+1) // (mm+1)] - arr[(c+1) % (mm+1)])
+         |           + least(buf[c - mm], buf[c + 1 - mm], buf[c + 1])
+         |    END)
+         |  FROM dp WHERE c + 1 < (nn + 1) * (mm + 1)),
+         |bt AS (
+         |  SELECT typ, arr, mm, buf, nn AS ci, mm AS cj,
+         |    [struct_pack(i := nn, j := mm)] AS path
+         |  FROM dp WHERE c = (nn + 1) * (mm + 1) - 1
+         |  UNION ALL
+         |  SELECT typ, arr, mm, buf,
+         |    CASE WHEN dg <= up AND dg <= lf THEN ci - 1 WHEN up <= lf THEN ci - 1 ELSE ci END,
+         |    CASE WHEN dg <= up AND dg <= lf THEN cj - 1 WHEN up <= lf THEN cj ELSE cj - 1 END,
+         |    list_prepend(struct_pack(
+         |      i := CASE WHEN dg <= up AND dg <= lf THEN ci - 1
+         |                WHEN up <= lf THEN ci - 1 ELSE ci END,
+         |      j := CASE WHEN dg <= up AND dg <= lf THEN cj - 1
+         |                WHEN up <= lf THEN cj ELSE cj - 1 END), path)
+         |  FROM (
+         |    SELECT typ, arr, mm, buf, ci, cj, path,
+         |      buf[(ci-1)*(mm+1) + cj] AS dg,
+         |      buf[(ci-1)*(mm+1) + cj + 1] AS up,
+         |      buf[ci*(mm+1) + cj] AS lf
+         |    FROM bt WHERE ci > 1 OR cj > 1)),
+         |fin AS (SELECT typ, arr, path FROM bt WHERE ci = 1 AND cj = 1),
+         |al AS (SELECT arr, unnest(path) AS st FROM fin)
+         |SELECT CAST(st.i AS BIGINT) AS pos, CAST(count(*) AS BIGINT) AS n_aligned,
+         |  CAST(sum(arr[st.j]) AS BIGINT) AS sum_n,
+         |  CAST(sum(CAST(arr[st.j] AS HUGEINT)) * 1000000 // count(*) AS BIGINT) AS bary_ppm
+         |FROM al GROUP BY 1""".stripMargin
+    },
+  ) { (s, d) =>
+    graft.functions.DtwPathExpr.registerOn(s)
+    val pairs = dtwPairsCheckpointed(s, d)
+    val medoid = pairs
+      .select(col("type_a").as("t"), col("dtw"))
+      .unionByName(pairs.select(col("type_b").as("t"), col("dtw")))
+      .groupBy("t")
+      .agg(sum("dtw").as("total_dtw"))
+      .orderBy(col("total_dtw"), col("t"))
+      .limit(1)
+      .select(col("t").as("__mt"))
+    // the (|types|-row) series table feeds both the barycenter row and
+    // the member side — freeze it so the events scan runs once
+    val series = dtwSeriesDf(s, d).localCheckpoint()
+    val medArr = series.join(broadcast(medoid), col("t") === col("__mt"))
+      .select(col("arr").as("__ma"))
+    series
+      .crossJoin(broadcast(medArr))
+      .select(
+        col("arr"),
+        explode(graft.functions.DtwPathExpr.dtw_path(col("__ma"), col("arr"), lit(7)))
+          .as("st"),
+      )
+      .select(col("st.i").cast("long").as("pos"), expr("element_at(arr, st.j)").as("v"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n_aligned"), sum("v").as("sum_n"))
+      .withColumn(
+        "bary_ppm",
+        expr("CAST(CAST(sum_n AS DECIMAL(38,0)) * 1000000 div n_aligned AS BIGINT)"),
+      )
   }
 
   private val cusumChangepointQ = Q("evt_cusum_changepoint", cusumSql) { (s, d) =>
@@ -1659,6 +1779,7 @@ object Events {
     burstSummaryQ,
     dtwPairsQ,
     dtwMedoidQ,
+    dtwBarycenterQ,
     mannKendallQ,
     kaplanMeierQ,
     kaplanMeierByQ,

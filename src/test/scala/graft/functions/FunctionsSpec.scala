@@ -334,4 +334,43 @@ class FunctionsSpec extends AnyFunSuite {
       .getLong(0)
     assert(viaSql === 4L) // 0 + min-path through |5-1|/|5-9| band = 4
   }
+
+  test("dtw_path: valid monotone path whose cost equals dtw_distance; pinned ties") {
+    import graft.functions.{DtwExpr, DtwPathExpr}
+    DtwExpr.registerOn(spark)
+    DtwPathExpr.registerOn(spark)
+    def path(a: Seq[Long], b: Seq[Long], w: Int): Option[Seq[(Int, Int)]] = {
+      val r = Seq((a, b))
+        .toDF("a", "b")
+        .select(DtwPathExpr.dtw_path(col("a"), col("b"), lit(w)).as("p"))
+        .head()
+      if (r.isNullAt(0)) None
+      else Some(r.getSeq[org.apache.spark.sql.Row](0).map(s => (s.getInt(0), s.getInt(1))))
+    }
+    // identity alignment: the tie order (diag first) pins the diagonal
+    assert(path(Seq(3L, 3L, 3L), Seq(3L, 3L, 3L), 2) === Some(Seq((1, 1), (2, 2), (3, 3))))
+    // the classic warp dwells on the repeated element
+    assert(path(Seq(1L, 2L, 3L), Seq(1L, 2L, 2L, 3L), 3) ===
+      Some(Seq((1, 1), (2, 2), (2, 3), (3, 4))))
+    // validity + cost identity on an irregular pair: starts (1,1), ends
+    // (n,m), steps ∈ {(1,0),(0,1),(1,1)}, and |Δ| summed along the path
+    // equals dtw_distance
+    val a = Seq(4L, 0L, 7L, 7L, 2L, 9L)
+    val b = Seq(4L, 7L, 1L, 9L, 9L)
+    val p = path(a, b, 2).get
+    assert(p.head === ((1, 1)) && p.last === ((a.length, b.length)))
+    p.sliding(2).foreach { case Seq((i0, j0), (i1, j1)) =>
+      assert((i1 - i0, j1 - j0) match {
+        case (1, 0) | (0, 1) | (1, 1) => true
+        case _                        => false
+      })
+    }
+    val pathCost = p.map { case (i, j) => math.abs(a(i - 1) - b(j - 1)) }.sum
+    val dist = Seq((a, b)).toDF("a", "b")
+      .select(DtwExpr.dtw_distance(col("a"), col("b"), lit(2))).head().getLong(0)
+    assert(pathCost === dist)
+    // degenerates mirror dtw_distance
+    assert(path(Seq.empty, Seq.empty, 1) === Some(Seq.empty))
+    assert(path(Seq(1L), Seq.empty, 1) === None)
+  }
 }
