@@ -314,6 +314,11 @@ object Bench {
     val inflationMed =
       if (inflation.isEmpty) 0.0 else inflation.map(_._2).sorted.apply(inflation.size / 2)
     val inflationOver2x = inflation.count { case (n, r) => alarming(n, r) }
+    // The offending rows must survive on the SUMMARY line (r15 verdict
+    // #4: the full inflation line got truncated out of the driver's
+    // tail, leaving `inflation_over2x: 10` unadjudicable). Bounded: the
+    // worst 20 alarming rows with their ratios.
+    val over2xRows = inflation.filter { case (n, r) => alarming(n, r) }.take(20)
     // shared-build decomposition repeats on the SUMMARY line (the only
     // line the driver's 2000-char tail is guaranteed to keep) so the
     // per-artifact accounting can't be truncated away.
@@ -324,7 +329,9 @@ object Bench {
           memRatio
         )},"ambient_ratio_end":${f3(ambientRatioEnd)},"mem_ratio_end":${f3(
           memRatioEnd
-        )},"inflation_med":${f3(inflationMed)},"inflation_over2x":$inflationOver2x,"shared_build_s":${f3(
+        )},"inflation_med":${f3(inflationMed)},"inflation_over2x":$inflationOver2x,"inflation_over2x_rows":${qmap(
+          over2xRows
+        )},"shared_build_s":${f3(
           sharedBuildS
         )},"shared_build":${qmap(sharedArts)},"queries":${qmap(top)},"value":${f3(total)}}"""
     )
