@@ -647,7 +647,11 @@ object StreamingQueries {
       .parquet(leftOuterSplitDir(s, d))
     val updates = graft.ops.Funnel
       .streamingFunnel3(stream, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
-    runStream(s, updates.toDF(), "funnel", "update")
+    // finalNoDataBatch = false: the funnel emits only in update mode on
+    // data, and its EventTimeTimeout horizon (30 idle days) sits far
+    // past the replay's watermark — the watermark-flush batch can emit
+    // nothing here, so skipping it trims one full commit cycle
+    runStream(s, updates.toDF(), "funnel", "update", finalNoDataBatch = false)
       .groupBy("user_id")
       .agg(
         min("step1_us").as("u1"),
@@ -861,9 +865,29 @@ object StreamingQueries {
       df: org.apache.spark.sql.DataFrame,
       prefix: String,
       mode: String,
+      finalNoDataBatch: Boolean = true,
   ): org.apache.spark.sql.DataFrame = {
     val name = synchronized { streamN += 1; s"graft_stream_${prefix}_$streamN" }
+    // A stateful stream with a watermark runs one extra NO-DATA batch
+    // after the last file so watermark-gated state can flush — ~0.4 s
+    // of pure commit cadence at replay scale (measured: batch 3,
+    // rows=0, triggerExecution 380–460 ms on the funnel). Append-mode
+    // windows NEED it (closed sessions emit on that flush); a gate
+    // whose state cannot emit on watermark advance (update-mode
+    // emissions with a timeout horizon far past the data) passes
+    // finalNoDataBatch = false to skip it, scoped to this run via the
+    // withStatePartitions set/restore convention.
+    def withNoDataConf[T](body: => T): T =
+      if (finalNoDataBatch) body
+      else {
+        val key  = "spark.sql.streaming.noDataMicroBatches.enabled"
+        val prev = s.conf.get(key)
+        s.conf.set(key, "false")
+        try body
+        finally s.conf.set(key, prev)
+      }
     withStatePartitions(s, 4) {
+      withNoDataConf {
       withScratchCheckpoint(s"graft_ckpt_$prefix") { ckpt =>
         val q = df.writeStream
           .format("memory")
@@ -873,6 +897,14 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        if (sys.env.contains("SPARK_GRAFT_STREAM_PROFILE")) {
+          q.recentProgress.foreach { p =>
+            System.err.println(
+              s"[stream-profile] $name batch=${p.batchId} rows=${p.numInputRows} " +
+                s"durations=${p.durationMs}")
+          }
+        }
+      }
       }
     }
     s.table(name)
