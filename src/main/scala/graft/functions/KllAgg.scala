@@ -138,17 +138,23 @@ object KllAgg {
     * sketch). */
   def estimateSql(sketchCol: String, q: Double): String = {
     require(q > 0.0 && q <= 1.0, s"quantile must be in (0, 1], got $q")
-    val qppm = math.round(q * 1000000L)
+    estimateAtPpmSql(sketchCol, math.round(q * 1000000L).toString)
+  }
+
+  /** [[estimateSql]] with the quantile as a ppm-valued SQL expression
+    * instead of a literal — one fold per row, so a generator over
+    * split indices can evaluate a DIFFERENT quantile per row from the
+    * same sketch (the [[graft.ops.Layout.rangeSplitPoints]] shape). */
+  def estimateAtPpmSql(sketchCol: String, qppm: String): String =
     s"""aggregate(
        |  array_sort($sketchCol, (a, b) -> CASE WHEN a.v < b.v THEN -1 WHEN a.v > b.v THEN 1 ELSE 0 END),
        |  struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS DOUBLE) AS ans,
        |         -- ceil(q * W) in exact integer arithmetic
-       |         CAST((aggregate($sketchCol, CAST(0 AS BIGINT), (a, x) -> a + x.w) * $qppm + 999999)
+       |         CAST((aggregate($sketchCol, CAST(0 AS BIGINT), (a, x) -> a + x.w) * ($qppm) + 999999)
        |              div 1000000 AS BIGINT) AS tgt),
        |  (acc, x) -> IF(acc.ans IS NOT NULL, acc,
        |    named_struct('cum', acc.cum + x.w,
        |                 'ans', IF(acc.cum + x.w >= acc.tgt, x.v, CAST(NULL AS DOUBLE)),
        |                 'tgt', acc.tgt)),
        |  acc -> acc.ans)""".stripMargin
-  }
 }

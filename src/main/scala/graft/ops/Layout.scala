@@ -191,4 +191,34 @@ object Layout {
       .withColumn("bin", expr(s"__cum div ${targetBytes}L"))
       .drop("__cum")
   }
+
+  /** RANGE-PARTITION SPLIT POINTS from a mergeable quantile sketch —
+    * what `repartitionByRange` does with driver-side reservoir
+    * sampling, re-expressed as ONE bounded aggregation: a
+    * [[graft.functions.KllAgg]] sketch over the sort key, then the
+    * n−1 interior quantiles i/n evaluated per split index from the
+    * same finished sketch. Why this matters at 100 TB: Spark's
+    * RangePartitioner samples `sampleSizePerPartition · partitions`
+    * rows to the DRIVER per job; the sketch is a few KB per partial,
+    * merges map-side, is PERSISTABLE (compute once, reuse across the
+    * day's layout jobs on the same key), and carries the KLL ≈1/k
+    * rank-error bound, so every output file's row count lands within
+    * εN of N/n by construction. The split values are sketch-dependent
+    * (within the bound, not bit-pinned) — acceptance checks balance,
+    * not values, exactly like the engine's own sampled splits.
+    *
+    * @return n−1 rows (split_idx 1..n−1, split_value) ascending; rows
+    *         with key < split_value belong to files 0..split_idx−1. */
+  def rangeSplitPoints(df: DataFrame, keyCol: Column, n: Int, k: Int = 200): DataFrame = {
+    require(n >= 2, s"need at least 2 partitions, got $n")
+    df.agg(graft.functions.KllAgg.kll(k)(keyCol.cast("double")).as("__sk"))
+      .select(explode(sequence(lit(1), lit(n - 1))).as("split_idx"), col("__sk"))
+      .select(
+        col("split_idx").cast("long").as("split_idx"),
+        expr(
+          graft.functions.KllAgg
+            .estimateAtPpmSql("__sk", s"(split_idx * 1000000) div $n")
+        ).as("split_value"),
+      )
+  }
 }

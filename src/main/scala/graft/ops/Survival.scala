@@ -50,22 +50,7 @@ object Survival {
       durCol: Column,
       observedCol: Column,
   ): DataFrame = {
-    val hist = subjects
-      .filter(durCol.isNotNull)
-      .groupBy(keyCol.as("key"), durCol.cast("long").as("t"))
-      .agg(
-        count(lit(1)).as("__n_at"),
-        sum(when(observedCol, 1L).otherwise(0L)).as("d_events"),
-      )
-    // at-risk = everyone in the key's cohort whose duration reaches t:
-    // descending cumulative over the bounded per-key histogram
-    val wRisk = Window
-      .partitionBy("key")
-      .orderBy(col("t").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val steps = hist
-      .withColumn("n_risk", sum(col("__n_at")).over(wRisk))
-      .filter(col("d_events") > 0)
+    val steps = riskTable(subjects, keyCol, durCol, observedCol)
       .groupBy("key")
       .agg(sort_array(collect_list(struct(col("t"), col("n_risk"), col("d_events")))).as("steps"))
     steps
@@ -87,5 +72,72 @@ object Survival {
         ).as("r"),
       )
       .select(col("key"), col("r.t"), col("r.n_risk"), col("r.d_events"), col("r.surv_ppm"))
+  }
+
+  /** The shared risk table behind both estimators: one row per
+    * (key, observed-event duration) with the at-risk and event counts
+    * — a subject-keyed aggregation to the bounded duration histogram,
+    * then the descending at-risk cumulative over it (the only window,
+    * on the histogram, never the cohort). */
+  private def riskTable(
+      subjects: DataFrame,
+      keyCol: Column,
+      durCol: Column,
+      observedCol: Column,
+  ): DataFrame = {
+    val hist = subjects
+      .filter(durCol.isNotNull)
+      .groupBy(keyCol.as("key"), durCol.cast("long").as("t"))
+      .agg(
+        count(lit(1)).as("__n_at"),
+        sum(when(observedCol, 1L).otherwise(0L)).as("d_events"),
+      )
+    // at-risk = everyone in the key's cohort whose duration reaches t:
+    // descending cumulative over the bounded per-key histogram
+    val wRisk = Window
+      .partitionBy("key")
+      .orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n_risk", sum(col("__n_at")).over(wRisk))
+      .filter(col("d_events") > 0)
+  }
+
+  /** Nelson–Aalen cumulative hazard (Nelson 1972, Aalen 1978) — the
+    * additive companion to [[kaplanMeier]]: Ĥ(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ,
+    * the estimator hazard-ratio diagnostics and Breslow baselines
+    * read. Sums are BETTER than products for exact replay: each step
+    * contributes ⌊dᵢ·10⁶/nᵢ⌋ and the curve is one ascending cumulative
+    * over the bounded risk table — no recursion at all, so the oracle
+    * is a plain windowed SQL query, and at scale the whole estimator
+    * is two bounded-histogram windows.
+    *
+    * @return one row per distinct observed-event duration, ascending:
+    *         (t, n_risk, d_events, haz_step_ppm, cumhaz_ppm). */
+  def nelsonAalen(subjects: DataFrame, durCol: Column, observedCol: Column): DataFrame =
+    nelsonAalenBy(subjects.withColumn("__g", lit("all")), col("__g"), durCol, observedCol)
+      .drop("key")
+
+  /** Grouped [[nelsonAalen]] — one independent hazard per `keyCol`. */
+  def nelsonAalenBy(
+      subjects: DataFrame,
+      keyCol: Column,
+      durCol: Column,
+      observedCol: Column,
+  ): DataFrame = {
+    val wCum = Window
+      .partitionBy("key")
+      .orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    riskTable(subjects, keyCol, durCol, observedCol)
+      .withColumn(
+        "haz_step_ppm",
+        expr("CAST(CAST(d_events AS DECIMAL(38,0)) * 1000000 div n_risk AS BIGINT)"),
+      )
+      .withColumn("cumhaz_ppm", sum(col("haz_step_ppm")).over(wCum))
+      .select(
+        col("key"), col("t"), col("n_risk"), col("d_events"),
+        col("haz_step_ppm"), col("cumhaz_ppm"),
+      )
   }
 }

@@ -996,6 +996,59 @@ object Events {
     graft.ops.Survival.kaplanMeierBy(subj, col("cohort"), col("dur"), col("obs"))
   }
 
+  /** Nelson–Aalen cumulative hazard
+    * ([[graft.ops.Survival.nelsonAalen]]) over the SAME subjects as
+    * `evt_kaplan_meier` (time-to-first-purchase, 30-day administrative
+    * censoring): Ĥ(t) = Σ ⌊dᵢ·10⁶/nᵢ⌋ — the additive estimator needs
+    * no recursion at all, so the oracle is the shared subject CTEs
+    * plus two plain windowed cumulatives. Exact equality on steps and
+    * the cumulative curve. */
+  private val nelsonAalenQ = Q(
+    "evt_nelson_aalen",
+    """WITH
+      |u AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS tp
+      |      FROM events e WHERE e.event_type = 'purchase' GROUP BY 1),
+      |subj AS (
+      |  SELECT u.user_id,
+      |    CASE WHEN p.tp IS NOT NULL
+      |           AND date_diff('day', u.t0, p.tp) <= 30
+      |         THEN date_diff('day', u.t0, p.tp) ELSE 30 END AS dur,
+      |    (p.tp IS NOT NULL AND date_diff('day', u.t0, p.tp) <= 30) AS obs
+      |  FROM u LEFT JOIN p ON p.user_id = u.user_id),
+      |hist AS (SELECT dur AS t, count(*) AS n_at,
+      |           CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |         FROM subj GROUP BY 1),
+      |risk AS (SELECT t, d,
+      |           sum(n_at) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
+      |                           AND CURRENT ROW) AS n_risk
+      |         FROM hist),
+      |steps AS (SELECT t, n_risk, d,
+      |            CAST(CAST(d AS HUGEINT) * 1000000 // n_risk AS BIGINT) AS haz
+      |          FROM risk WHERE d > 0)
+      |SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+      |  d AS d_events, haz AS haz_step_ppm,
+      |  CAST(sum(haz) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+      |       AND CURRENT ROW) AS BIGINT) AS cumhaz_ppm
+      |FROM steps""".stripMargin,
+  ) { (s, d) =>
+    val ev = events(s, d)
+    val u  = ev.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val p = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("tp"))
+    val subj = u
+      .join(p, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        when(col("tp").isNotNull && datediff(col("tp"), col("t0")) <= 30,
+          datediff(col("tp"), col("t0")).cast("long")).otherwise(lit(30L)).as("dur"),
+        (col("tp").isNotNull && datediff(col("tp"), col("t0")) <= 30).as("obs"),
+      )
+    graft.ops.Survival.nelsonAalen(subj, col("dur"), col("obs"))
+  }
+
   /** Kleinberg 2-state burst detection over per-user inter-arrival
     * gaps ([[graft.ops.Burst.kleinberg2]]): the exact-integer Viterbi
     * — per-gap state-cost difference (n·g·10⁶ div T) − ⌊10⁶·ln 2⌋,
@@ -1783,6 +1836,7 @@ object Events {
     mannKendallQ,
     kaplanMeierQ,
     kaplanMeierByQ,
+    nelsonAalenQ,
     cusumChangepointQ,
     ewmaHourlyQ,
     holtHourlyQ,

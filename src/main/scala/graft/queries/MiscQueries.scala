@@ -1384,6 +1384,45 @@ object MiscQueries {
       )
   }
 
+  /** KLL-driven range-partition split points
+    * ([[graft.ops.Layout.rangeSplitPoints]] — repartitionByRange's
+    * driver-side sampling replaced by the mergeable sketch): 7 interior
+    * split points for an 8-way layout of order values. Checked as a
+    * BALANCE differential — for every split index i, the exact
+    * fraction of rows strictly below the chosen split value must land
+    * within ±3% of i/8 (KLL at k = 200 carries ≈0.5% rank error, so
+    * the boolean has 6× margin against merge-order movement). The
+    * split values themselves stay out of the compared columns
+    * (sketch-dependent within the bound, like the engine's own sampled
+    * splits); the oracle re-derives the exact row count and literal
+    * TRUE per index. */
+  private val kllSplitsQ = Q(
+    "misc_kll_splits",
+    """SELECT CAST(s AS BIGINT) AS split_idx,
+      |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_total,
+      |  TRUE AS within_balance
+      |FROM (SELECT unnest(generate_series(1, 7)) AS s)""".stripMargin,
+  ) { (s, d) =>
+    val rows = orders(s, d)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("__v"))
+    val splits = graft.ops.Layout.rangeSplitPoints(rows, col("__v"), n = 8)
+    rows
+      .crossJoin(broadcast(splits))
+      .groupBy("split_idx")
+      .agg(
+        sum(when(col("__v") < col("split_value"), 1L).otherwise(0L)).as("__n_below"),
+        count(lit(1)).as("n_total"),
+      )
+      .select(
+        col("split_idx"),
+        col("n_total"),
+        expr(
+          """abs(CAST(CAST(__n_below AS DECIMAL(38,0)) * 1000000 div n_total AS BIGINT)
+            |    - (split_idx * 1000000) div 8) <= 30000""".stripMargin
+        ).as("within_balance"),
+      )
+  }
+
   /** Integer-arithmetic PageRank ([[graft.ops.PageRank]]) over the
     * symmetric supplier↔customer trade graph (distinct pairs from
     * lineitem ⋈ orders, both directions, so no dangling nodes): 3
@@ -2896,5 +2935,5 @@ object MiscQueries {
       kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ,
       samplePps, hitsTrade, ksQ, mannWhitneyQ, spearmanQ, cramersVQ, diameterSweepQ,
       hilbertKeyQ, bootstrapCiQ, bootstrapCiXxQ, rfmScoresQ, quantileScoresQ, conformalQ,
-      conformalByQ, isotonicQ, isotonicByQ, stumpGiniQ, kllQuantilesQ)
+      conformalByQ, isotonicQ, isotonicByQ, stumpGiniQ, kllQuantilesQ, kllSplitsQ)
 }

@@ -539,6 +539,29 @@ class OpsSpec extends AnyFunSuite {
     // target once its successor starts (no premature bin break)
   }
 
+  test("rangeSplitPoints: ascending sketch splits partition a skewed key near-evenly") {
+    import graft.ops.Layout
+    // a skewed (quadratic) key — uniform splits of the VALUE range
+    // would put ~71% of rows in the first of 4 files; quantile splits
+    // must still cut at ~25/50/75% of ROWS
+    val df = spark.range(0, 40000).select((col("id") * col("id")).as("v"))
+    val splits = Layout
+      .rangeSplitPoints(df, col("v"), n = 4)
+      .orderBy("split_idx")
+      .collect()
+      .map(r => r.getAs[Long]("split_idx") -> r.getAs[Double]("split_value"))
+    assert(splits.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(splits.map(_._2).toSeq === splits.map(_._2).sorted.toSeq)
+    splits.foreach { case (i, sv) =>
+      // exact rank of the split value (v = id², so rank = ⌈√sv⌉)
+      val frac = math.ceil(math.sqrt(sv)) / 40000.0
+      assert(
+        math.abs(frac - i / 4.0) < 0.03,
+        s"split $i at $sv covers ${frac * 100}%% of rows, want ${i * 25}%%",
+      )
+    }
+  }
+
   test("winsorize: nearest-rank thresholds from the histogram, clamp respects ties") {
     import graft.ops.Stats
     // uniform 1..100 → p01 rank ⌈100·0.01⌉=1 → lo=1; p99 rank 99 → hi=99
@@ -3313,6 +3336,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("a", 3L)) === ((3L, 222222L)))
     assert(got(("b", 1L)) === ((1L, 0L)))
     assert(got.size === 4)
+  }
+
+  test("Survival.nelsonAalen: hand-checked additive hazard on the KM fixture") {
+    // same fixture as the KM test: event times 1,2,3 with n_risk 6/5/3
+    // and d 1/1/2 -> steps ⌊1e6/6⌋=166666, ⌊1e6/5⌋=200000,
+    // ⌊2e6/3⌋=666666; cumulative 166666, 366666, 1033332
+    val subj = Seq((1L, true), (2L, true), (2L, false), (3L, true), (3L, true), (5L, false))
+      .toDF("dur", "obs")
+    val got = Survival
+      .nelsonAalen(subj, col("dur"), col("obs"))
+      .collect()
+      .map(r => r.getAs[Long]("t") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("d_events"),
+          r.getAs[Long]("haz_step_ppm"), r.getAs[Long]("cumhaz_ppm")))
+      .toMap
+    assert(got === Map(
+      1L -> ((6L, 1L, 166666L, 166666L)),
+      2L -> ((5L, 1L, 200000L, 366666L)),
+      3L -> ((3L, 2L, 666666L, 1033332L)),
+    ))
+    // per-cohort independence through the same risk table
+    val byK = Survival
+      .nelsonAalenBy(
+        Seq(("a", 1L, true), ("a", 2L, true), ("b", 1L, true)).toDF("k", "dur", "obs"),
+        col("k"), col("dur"), col("obs"))
+      .collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("t")) -> r.getAs[Long]("cumhaz_ppm"))
+      .toMap
+    assert(byK === Map(("a", 1L) -> 500000L, ("a", 2L) -> 1500000L, ("b", 1L) -> 1000000L))
   }
 
   test("Timeseries.mannKendallDaily: pair signs over the dense grid, tie-corrected variance") {
