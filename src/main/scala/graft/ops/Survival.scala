@@ -140,4 +140,75 @@ object Survival {
         col("haz_step_ppm"), col("cumhaz_ppm"),
       )
   }
+
+  /** TWO-SAMPLE LOG-RANK TEST (Mantel 1966) — "do these two cohorts
+    * convert/churn at the same rate?", the hypothesis test a survival
+    * comparison ships after the curves: at each pooled event time,
+    * group 1's observed events d₁ compare against the hypergeometric
+    * expectation E = d·n₁/n and variance
+    * V = d·n₁·(n−n₁)·(n−d) / (n²·(n−1)); the statistic
+    * (ΣO−ΣE)²/ΣV is asymptotically χ²₁.
+    *
+    * Exact integers: E and V accumulate as ×10⁶ floored rationals
+    * through DECIMAL(38,0) (per-step flooring is part of the operator
+    * contract, replayed verbatim by a HUGEINT oracle; the n³·d·10⁶
+    * products bound the cohort at ~10⁸ subjects per distinct event
+    * time before DECIMAL(38) saturates — beyond any per-step risk set
+    * this engine's duration grids produce). Single-event times with
+    * n = 1 contribute zero variance (the n−1 guard).
+    *
+    * Scale shape: one aggregation to the pooled duration histogram
+    * (carrying per-group event/at-risk partials), one descending
+    * cumulative over that bounded table, one scalar rollup.
+    *
+    * @param groupCol boolean — true marks cohort 1.
+    * @return 1 row: (n_steps, o1_events, e1_ppm, o_minus_e_ppm,
+    *         var_ppm, chi2_ppm) with chi2_ppm = (O−E)²/V ×10⁶. */
+  def logRank(
+      subjects: DataFrame,
+      groupCol: Column,
+      durCol: Column,
+      observedCol: Column,
+  ): DataFrame = {
+    val hist = subjects
+      .filter(durCol.isNotNull)
+      .groupBy(durCol.cast("long").as("t"))
+      .agg(
+        count(lit(1)).as("__n_at"),
+        sum(when(groupCol, 1L).otherwise(0L)).as("__n1_at"),
+        sum(when(observedCol, 1L).otherwise(0L)).as("d"),
+        sum(when(observedCol && groupCol, 1L).otherwise(0L)).as("d1"),
+      )
+    val wRisk = Window
+      .orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n", sum(col("__n_at")).over(wRisk))
+      .withColumn("n1", sum(col("__n1_at")).over(wRisk))
+      .filter(col("d") > 0)
+      .select(
+        col("t"), col("d"), col("d1"), col("n"), col("n1"),
+        expr("CAST(CAST(d AS DECIMAL(38,0)) * n1 * 1000000 div n AS BIGINT)").as("__e1"),
+        expr(
+          """CASE WHEN n > 1 THEN CAST(CAST(d AS DECIMAL(38,0)) * n1 * (n - n1) * (n - d)
+            |  * 1000000 div (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) AS BIGINT)
+            |ELSE CAST(0 AS BIGINT) END""".stripMargin
+        ).as("__v"),
+      )
+      .agg(
+        count(lit(1)).as("n_steps"),
+        sum(col("d1")).as("o1_events"),
+        sum(col("__e1")).as("e1_ppm"),
+        sum(col("d1") * 1000000L - col("__e1")).as("o_minus_e_ppm"),
+        sum(col("__v")).as("var_ppm"),
+      )
+      .withColumn(
+        "chi2_ppm",
+        expr(
+          """CASE WHEN var_ppm > 0
+            |  THEN CAST(CAST(o_minus_e_ppm AS DECIMAL(38,0)) * o_minus_e_ppm div var_ppm AS BIGINT)
+            |  ELSE CAST(0 AS BIGINT) END""".stripMargin
+        ),
+      )
+  }
 }

@@ -3338,6 +3338,36 @@ class OpsSpec extends AnyFunSuite {
     assert(got.size === 4)
   }
 
+  test("Survival.logRank: matches an in-JVM BigInt replay; identical cohorts give chi2 = 0") {
+    // cohort 1: (1,T), (3,T); cohort 0: (1,T), (2,F), (3,T), (3,F)
+    val subj = Seq(
+      (true, 1L, true), (true, 3L, true),
+      (false, 1L, true), (false, 2L, false), (false, 3L, true), (false, 3L, false),
+    ).toDF("g", "dur", "obs")
+    val r = Survival.logRank(subj, col("g"), col("dur"), col("obs")).collect().head
+    // replay: pooled steps (t, n, n1, d, d1) = (1, 6, 2, 2, 1), (3, 3, 1, 2, 1)
+    val steps = Seq((6L, 2L, 2L, 1L), (3L, 1L, 2L, 1L))
+    def e1(n: Long, n1: Long, d: Long)  = BigInt(d) * n1 * 1000000 / n
+    def v(n: Long, n1: Long, d: Long)   =
+      BigInt(d) * n1 * (n - n1) * (n - d) * 1000000 / (BigInt(n) * n * (n - 1))
+    val e1Sum  = steps.map { case (n, n1, d, _) => e1(n, n1, d) }.sum
+    val oMinusE = steps.map { case (n, n1, d, d1) => BigInt(d1) * 1000000 - e1(n, n1, d) }.sum
+    val vSum   = steps.map { case (n, n1, d, _) => v(n, n1, d) }.sum
+    assert(r.getAs[Long]("n_steps") === 2L)
+    assert(r.getAs[Long]("o1_events") === 2L)
+    assert(r.getAs[Long]("e1_ppm") === e1Sum.toLong)
+    assert(r.getAs[Long]("o_minus_e_ppm") === oMinusE.toLong)
+    assert(r.getAs[Long]("var_ppm") === vSum.toLong)
+    assert(r.getAs[Long]("chi2_ppm") === (oMinusE * oMinusE / vSum).toLong)
+    // identical cohorts: O == E at every step -> chi2 exactly 0
+    val same = Seq(
+      (true, 1L, true), (true, 2L, true), (false, 1L, true), (false, 2L, true),
+    ).toDF("g", "dur", "obs")
+    val r0 = Survival.logRank(same, col("g"), col("dur"), col("obs")).collect().head
+    assert(r0.getAs[Long]("o_minus_e_ppm") === 0L)
+    assert(r0.getAs[Long]("chi2_ppm") === 0L)
+  }
+
   test("Survival.nelsonAalen: hand-checked additive hazard on the KM fixture") {
     // same fixture as the KM test: event times 1,2,3 with n_risk 6/5/3
     // and d 1/1/2 -> steps ⌊1e6/6⌋=166666, ⌊1e6/5⌋=200000,
