@@ -130,6 +130,51 @@ object KllAgg {
     fn(values)
   }
 
+  /** REBUILD-MERGE from finished sketch items — the sketch-store path:
+    * persist per-shard/per-day (v, w) arrays as plain parquet, then
+    * re-aggregate the exploded items to one combined sketch later.
+    * Each item re-enters the ladder at level log₂(w) (weights are
+    * powers of two by construction), which is exactly the KLL merge
+    * decomposition, so accuracy composes like any other merge order.
+    * Loud on a non-power-of-two weight — that is corrupted store data,
+    * not a sketch. */
+  def mergeAggregator(k: Int): Aggregator[(Double, Long), Buf, Seq[Item]] = {
+    val base = aggregator(k)
+    new Aggregator[(Double, Long), Buf, Seq[Item]] {
+      override def zero: Buf = base.zero
+
+      override def reduce(b: Buf, a: (Double, Long)): Buf = {
+        val (v, w) = a
+        require(w > 0 && (w & (w - 1)) == 0, s"kll item weight must be a power of two, got $w")
+        val h = java.lang.Long.numberOfTrailingZeros(w)
+        val grown =
+          if (h < b.levels.length) b
+          else {
+            val pad = h + 1 - b.levels.length
+            b.levels = b.levels ++ Seq.fill(pad)(Vector.empty[Double])
+            b.flips = b.flips ++ Seq.fill(pad)(false)
+            b
+          }
+        grown.n += w
+        grown.levels = grown.levels.updated(h, grown.levels(h) :+ v)
+        // reuse the base merge's normalize via a no-op merge with an
+        // empty buffer (normalize itself is private to the base)
+        base.merge(grown, base.zero)
+      }
+
+      override def merge(b1: Buf, b2: Buf): Buf = base.merge(b1, b2)
+      override def finish(r: Buf): Seq[Item] = base.finish(r)
+      override def bufferEncoder: Encoder[Buf] = base.bufferEncoder
+      override def outputEncoder: Encoder[Seq[Item]] = base.outputEncoder
+    }
+  }
+
+  /** Column API: `kll_merge(k)(v, w)` over exploded sketch items. */
+  def kll_merge(k: Int)(v: Column, w: Column): Column = {
+    val fn = udaf(mergeAggregator(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    fn(v, w)
+  }
+
   /** Quantile-at-q evaluation over a finished sketch column, as ONE
     * bounded higher-order fold (no explode, no shuffle): sort items by
     * value, walk the cumulative weight, return the first value whose

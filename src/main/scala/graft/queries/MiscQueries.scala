@@ -1384,6 +1384,58 @@ object MiscQueries {
       )
   }
 
+  /** KLL SKETCH-STORE ROUND TRIP ([[graft.functions.KllAgg.kll_merge]]):
+    * sketch four disjoint hash shards of orders independently (the
+    * per-day/per-shard sketches a store persists as plain (v, w)
+    * parquet), then REBUILD one combined sketch by re-aggregating the
+    * exploded items — each re-enters the ladder at level log₂(w), the
+    * KLL merge decomposition. Checked with the `misc_kll_quantiles`
+    * envelope on the MERGED sketch plus the exact invariant that
+    * no row is lost or double-counted across the shard split + merge
+    * (total weight ≡ full table count). */
+  private val kllMergeQ = Q(
+    "misc_kll_merge",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT)::DOUBLE, 0.5) AS exact_p50,
+      |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT)::DOUBLE, 0.9) AS exact_p90,
+      |  TRUE AS weight_matches_n, TRUE AS p50_within_bound, TRUE AS p90_within_bound
+      |FROM orders""".stripMargin,
+  ) { (s, d) =>
+    val rows = orders(s, d)
+      .select(
+        expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)").as("__v"),
+        (col("o_orderkey") % 4).as("__shard"),
+      )
+    val shardItems = rows
+      .groupBy("__shard")
+      .agg(graft.functions.KllAgg.kll(200)(col("__v")).as("__sk"))
+      .select(explode(col("__sk")).as("__it"))
+    val merged = shardItems
+      .agg(graft.functions.KllAgg.kll_merge(200)(col("__it.v"), col("__it.w")).as("__sk"))
+    val exact = rows.agg(
+      count(lit(1)).as("n"),
+      expr("percentile(__v, 0.5)").as("exact_p50"),
+      expr("percentile(__v, 0.9)").as("exact_p90"),
+      expr("percentile(__v, 0.45)").as("__lo50"),
+      expr("percentile(__v, 0.55)").as("__hi50"),
+      expr("percentile(__v, 0.85)").as("__lo90"),
+      expr("percentile(__v, 0.95)").as("__hi90"),
+    )
+    merged
+      .crossJoin(broadcast(exact)) // both sides single-row
+      .select(
+        col("n"),
+        col("exact_p50"),
+        col("exact_p90"),
+        (expr("aggregate(__sk, CAST(0 AS BIGINT), (a, x) -> a + x.w)") === col("n"))
+          .as("weight_matches_n"),
+        expr(graft.functions.KllAgg.estimateSql("__sk", 0.5))
+          .between(col("__lo50"), col("__hi50")).as("p50_within_bound"),
+        expr(graft.functions.KllAgg.estimateSql("__sk", 0.9))
+          .between(col("__lo90"), col("__hi90")).as("p90_within_bound"),
+      )
+  }
+
   /** KLL-driven range-partition split points
     * ([[graft.ops.Layout.rangeSplitPoints]] — repartitionByRange's
     * driver-side sampling replaced by the mergeable sketch): 7 interior
@@ -2935,5 +2987,5 @@ object MiscQueries {
       kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ,
       samplePps, hitsTrade, ksQ, mannWhitneyQ, spearmanQ, cramersVQ, diameterSweepQ,
       hilbertKeyQ, bootstrapCiQ, bootstrapCiXxQ, rfmScoresQ, quantileScoresQ, conformalQ,
-      conformalByQ, isotonicQ, isotonicByQ, stumpGiniQ, kllQuantilesQ, kllSplitsQ)
+      conformalByQ, isotonicQ, isotonicByQ, stumpGiniQ, kllQuantilesQ, kllSplitsQ, kllMergeQ)
 }

@@ -59,6 +59,34 @@ class KllAggSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("rebuild-merge from finished items preserves weight and stays within the error bound") {
+    // shard, sketch, explode, re-aggregate — the sketch-store round trip
+    val df = spark.range(0, 80000, 1, 5)
+      .select((col("id") % 8).as("g"), ((col("id") * 31) % 50021).cast("double").as("v"))
+    val items = df.groupBy("g")
+      .agg(graft.functions.KllAgg.kll(128)(col("v")).as("__sk"))
+      .select(explode(col("__sk")).as("it"))
+    val merged = items
+      .agg(graft.functions.KllAgg.kll_merge(128)(col("it.v"), col("it.w")).as("__sk"))
+      .select(
+        expr("aggregate(__sk, CAST(0 AS BIGINT), (a, x) -> a + x.w)").as("w"),
+        expr(graft.functions.KllAgg.estimateSql("__sk", 0.5)).as("e50"),
+      )
+      .head()
+    assert(merged.getLong(0) === 80000L)
+    // values are ~uniform over 0..50020 (31 coprime to 50021): the
+    // merged median must land within 4% of rank (merge-of-merges
+    // composes error, hence the wider band than the direct sketch)
+    assert(math.abs(merged.getDouble(1) - 25010.0) < 0.04 * 50021.0)
+    // corrupted store data (non-power-of-two weight) fails loudly
+    val bad = intercept[Exception] {
+      spark.range(1).select(lit(1.0).as("v"), lit(3L).as("w"))
+        .agg(graft.functions.KllAgg.kll_merge(16)(col("v"), col("w")))
+        .head()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("empty input yields an empty sketch and a NULL estimate") {
     val out = spark.range(0).select(col("id").cast("double").as("v"))
       .agg(graft.functions.KllAgg.kll(16)(col("v")).as("__sk"))
