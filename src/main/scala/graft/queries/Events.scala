@@ -43,18 +43,32 @@ object Events {
 
   private val transitionConsumers = Set("evt_transition_matrix", "misc_markov_steady")
 
+  private val dtwConsumers = Set("evt_dtw_pairs", "evt_dtw_medoid", "evt_dtw_barycenter")
+
   /** Same contract as [[MiscQueries.prewarmShared]]: build the shared
-    * transition edges under the bench's `shared_build` accounting. */
+    * transition edges (and the frozen DTW series + pair tables when
+    * their consumers run) under the bench's `shared_build` accounting
+    * instead of charging the first consumer. */
   def prewarmShared(
       s: org.apache.spark.sql.SparkSession,
       d: String,
       selected: Option[Set[String]] = None,
-  ): Seq[(String, Double)] =
-    if (selected.forall(sel => (sel & transitionConsumers).nonEmpty)) {
-      val t0 = System.nanoTime()
-      sharedTransitionPairs(s, d).count()
-      Seq("transition_pairs" -> (System.nanoTime() - t0) / 1e9)
-    } else Seq.empty
+  ): Seq[(String, Double)] = {
+    val transition =
+      if (selected.forall(sel => (sel & transitionConsumers).nonEmpty)) {
+        val t0 = System.nanoTime()
+        sharedTransitionPairs(s, d).count()
+        Seq("transition_pairs" -> (System.nanoTime() - t0) / 1e9)
+      } else Seq.empty
+    val dtw =
+      if (selected.forall(sel => (sel & dtwConsumers).nonEmpty)) {
+        val t0 = System.nanoTime()
+        dtwSeriesDf(s, d)
+        dtwPairsCheckpointed(s, d)
+        Seq("dtw_series_pairs" -> (System.nanoTime() - t0) / 1e9)
+      } else Seq.empty
+    transition ++ dtw
+  }
 
   /** P1 dynamic JSON path extraction from a string column. */
   private val jsonExtractGroup = Q(
@@ -1295,8 +1309,24 @@ object Events {
   }
 
   /** The dense daily-series table (t, arr) behind the DTW family —
-    * per-type counts on the shared month grid, zeros filled. */
+    * per-type counts on the shared month grid, zeros filled. FROZEN
+    * per (session, corpus): the |types|-row table feeds the pair DP,
+    * the medoid argmin AND the barycenter alignment, and its one
+    * events scan + daily aggregation is the only corpus-proportional
+    * work in the family — it must not repeat per consumer (birth
+    * slope of the barycenter gate dropped from 2.9× to the scan's own
+    * slope once shared). */
+  private val dtwSeriesCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
   private def dtwSeriesDf(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame =
+    dtwSeriesCache.getOrElseUpdate((s, d), dtwSeriesBuild(s, d).localCheckpoint())
+
+  private def dtwSeriesBuild(
       s: org.apache.spark.sql.SparkSession,
       d: String,
   ): org.apache.spark.sql.DataFrame = {
@@ -1358,7 +1388,7 @@ object Events {
     s"""$dtwPairCtes
        |SELECT ta AS type_a, tb AS type_b, CAST(buf[m+2] AS BIGINT) AS dtw
        |FROM rec WHERE t = (n + 1) * (m + 1) - 1""".stripMargin,
-  )(dtwPairsDf)
+  )(dtwPairsCheckpointed)
 
   /** DTW MEDOID — the series that best represents the set: the type
     * minimizing its summed banded-DTW distance to every other type
@@ -1465,9 +1495,9 @@ object Events {
       .orderBy(col("total_dtw"), col("t"))
       .limit(1)
       .select(col("t").as("__mt"))
-    // the (|types|-row) series table feeds both the barycenter row and
-    // the member side — freeze it so the events scan runs once
-    val series = dtwSeriesDf(s, d).localCheckpoint()
+    // the (|types|-row) series table is already frozen and shared
+    // with the pair/medoid pipeline ([[dtwSeriesDf]])
+    val series = dtwSeriesDf(s, d)
     val medArr = series.join(broadcast(medoid), col("t") === col("__mt"))
       .select(col("arr").as("__ma"))
     series

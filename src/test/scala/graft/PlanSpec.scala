@@ -1100,4 +1100,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LocalTableScan") || plan.contains("Scan ExistingRDD"),
       "isotonic output must be a driver-built bounded relation:\n" + plan)
   }
+
+  test("r16 KLL gates: two-phase partial aggregation; splits/acceptance joins broadcast") {
+    // the sketch must combine map-side (partial ObjectHashAggregate
+    // before the exchange) — a single-phase plan would ship every raw
+    // value to one reducer, which is exactly what the sketch exists to
+    // avoid at 100 TB
+    val pq = planOf("misc_kll_quantiles")
+    assert(pq.split("ObjectHashAggregate").length - 1 >= 2,
+      s"expected partial+final sketch phases:\n$pq")
+    assert(pq.contains("partial_"), pq)
+    // split points: the n−1-row split table reaches the corpus-side
+    // acceptance count via broadcast, never a shuffle or cartesian
+    val ps = planOf("misc_kll_splits")
+    assert(ps.contains("BroadcastNestedLoopJoin") || ps.contains("BroadcastExchange"), ps)
+    assert(!ps.contains("SortMergeJoin"), s"splits acceptance must not SMJ:\n$ps")
+  }
+
+  test("dtw barycenter: series and medoid sides broadcast; no sort-merge join anywhere") {
+    val p = planOf("evt_dtw_barycenter")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "medoid/series sides must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), s"type-count-bounded joins must not SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
