@@ -141,6 +141,48 @@ object Survival {
       )
   }
 
+  /** RESTRICTED MEAN SURVIVAL TIME (Irwin 1949; Royston & Parmar
+    * 2013) — the area under the Kaplan–Meier curve up to horizon τ:
+    * "average event-free time in the first τ days", the single number
+    * a retention comparison reports when median survival is undefined
+    * (curve never crosses 50%). Piecewise-constant integration of
+    * [[kaplanMeier]]'s step curve: an S = 10⁶ segment from 0 to the
+    * first event time, then each step's surv_ppm × clamped interval —
+    * all exact integer products over the bounded step table, one
+    * window (lead) on it.
+    *
+    * @return 1 row: (tau, n_steps, rmst_ppm) with rmst_ppm the mean
+    *         ×10⁶ in the duration unit. */
+  def rmst(
+      subjects: DataFrame,
+      durCol: Column,
+      observedCol: Column,
+      tau: Long,
+  ): DataFrame = {
+    require(tau > 0, s"horizon must be positive, got $tau")
+    val km = kaplanMeier(subjects, durCol, observedCol)
+      .select(col("t"), col("surv_ppm"))
+      .unionByName(
+        subjects.sparkSession.range(1).select(lit(0L).as("t"), lit(1000000L).as("surv_ppm"))
+      )
+      // a REAL step at t = 0 (events at duration zero) collides with
+      // the synthetic S = 10⁶ anchor; min(s) keeps the post-step
+      // survival, which is the correct value on [0, t₁) — and is a
+      // deterministic tie-break any engine replays (a lead() over the
+      // tied pair is not)
+      .groupBy("t")
+      .agg(min(col("surv_ppm")).as("surv_ppm"))
+    val wLead = Window.orderBy(col("t"))
+    km
+      .filter(col("t") < tau)
+      .withColumn("__next", least(coalesce(lead(col("t"), 1).over(wLead), lit(tau)), lit(tau)))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("surv_ppm") * (col("__next") - col("t"))).as("rmst_ppm"),
+      )
+      .select(lit(tau).as("tau"), col("n_segments"), col("rmst_ppm"))
+  }
+
   /** TWO-SAMPLE LOG-RANK TEST (Mantel 1966) — "do these two cohorts
     * convert/churn at the same rate?", the hypothesis test a survival
     * comparison ships after the curves: at each pooled event time,

@@ -1063,6 +1063,71 @@ object Events {
     graft.ops.Survival.nelsonAalen(subj, col("dur"), col("obs"))
   }
 
+  /** Restricted mean survival time ([[graft.ops.Survival.rmst]], τ =
+    * 30 days) over the Kaplan–Meier subjects: the area under the step
+    * curve — "average purchase-free days in the first month" — as
+    * exact surv_ppm × interval products over the bounded step table.
+    * Oracle: the KM recursive CTE extended with the identical
+    * piecewise rollup. */
+  private val rmstQ = Q(
+    "evt_rmst",
+    """WITH RECURSIVE
+      |u AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS tp
+      |      FROM events e WHERE e.event_type = 'purchase' GROUP BY 1),
+      |subj AS (
+      |  SELECT u.user_id,
+      |    CASE WHEN p.tp IS NOT NULL
+      |           AND date_diff('day', u.t0, p.tp) <= 30
+      |         THEN date_diff('day', u.t0, p.tp) ELSE 30 END AS dur,
+      |    (p.tp IS NOT NULL AND date_diff('day', u.t0, p.tp) <= 30) AS obs
+      |  FROM u LEFT JOIN p ON p.user_id = u.user_id),
+      |hist AS (SELECT dur AS t, count(*) AS n_at,
+      |           CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |         FROM subj GROUP BY 1),
+      |risk AS (SELECT t, d,
+      |           sum(n_at) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
+      |                           AND CURRENT ROW) AS n_risk
+      |         FROM hist),
+      |ev AS (SELECT t, d, n_risk, row_number() OVER (ORDER BY t) AS rn
+      |       FROM risk WHERE d > 0),
+      |rec AS (
+      |  SELECT rn, t, n_risk, d,
+      |    CAST(CAST(1000000 AS HUGEINT) * (n_risk - d) // n_risk AS BIGINT) AS s
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.rn, e.t, e.n_risk, e.d,
+      |    CAST(CAST(r.s AS HUGEINT) * (e.n_risk - e.d) // e.n_risk AS BIGINT)
+      |  FROM rec r JOIN ev e ON e.rn = r.rn + 1),
+      |curve AS (SELECT t, s FROM rec UNION ALL SELECT 0, 1000000),
+      |dedup AS (SELECT t, min(s) AS s FROM curve GROUP BY 1),
+      |seg AS (SELECT t, s,
+      |          least(coalesce(lead(t) OVER (ORDER BY t), 30), 30) AS nxt
+      |        FROM dedup WHERE t < 30)
+      |SELECT CAST(30 AS BIGINT) AS tau,
+      |  CAST(count(*) AS BIGINT) AS n_segments,
+      |  CAST(sum(s * (nxt - t)) AS BIGINT) AS rmst_ppm
+      |FROM seg""".stripMargin,
+  ) { (s, d) =>
+    val ev = events(s, d)
+    val u  = ev.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val subj = u
+      .join(
+        ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("tp")),
+        Seq("user_id"),
+        "left",
+      )
+      .select(
+        col("user_id"),
+        when(col("tp").isNotNull && datediff(col("tp"), col("t0")) <= 30,
+          datediff(col("tp"), col("t0")).cast("long")).otherwise(lit(30L)).as("dur"),
+        (col("tp").isNotNull && datediff(col("tp"), col("t0")) <= 30).as("obs"),
+      )
+    graft.ops.Survival.rmst(subj, col("dur"), col("obs"), tau = 30L)
+  }
+
   /** Two-sample log-rank test ([[graft.ops.Survival.logRank]]) between
     * the even- and odd-user cohorts on the same time-to-purchase
     * subjects as the Kaplan–Meier gates: the χ²₁ statistic a survival
@@ -1938,6 +2003,7 @@ object Events {
     kaplanMeierByQ,
     nelsonAalenQ,
     logRankQ,
+    rmstQ,
     cusumChangepointQ,
     ewmaHourlyQ,
     holtHourlyQ,

@@ -3368,6 +3368,25 @@ class OpsSpec extends AnyFunSuite {
     assert(r0.getAs[Long]("chi2_ppm") === 0L)
   }
 
+  test("Survival.rmst: hand-checked area under the KM steps; zero-duration step replaces the anchor") {
+    // KM fixture curve: S = 833333 on [1,2), 666666 on [2,3), 222222 on
+    // [3,tau); anchor S = 1e6 on [0,1). tau = 5:
+    // 1e6·1 + 833333·1 + 666666·1 + 222222·2 = 2944443
+    val subj = Seq((1L, true), (2L, true), (2L, false), (3L, true), (3L, true), (5L, false))
+      .toDF("dur", "obs")
+    val r = Survival.rmst(subj, col("dur"), col("obs"), tau = 5L).collect().head
+    assert(r.getAs[Long]("tau") === 5L)
+    assert(r.getAs[Long]("n_segments") === 4L)
+    assert(r.getAs[Long]("rmst_ppm") === 2944443L)
+    // a REAL step at t = 0 must replace the synthetic anchor, not tie
+    // with it: (0,T),(1,F) -> S = 500000 on [0,1), rmst = 500000·1 over
+    // tau = 1 with ONE segment
+    val zero = Seq((0L, true), (1L, false)).toDF("dur", "obs")
+    val rz = Survival.rmst(zero, col("dur"), col("obs"), tau = 1L).collect().head
+    assert(rz.getAs[Long]("n_segments") === 1L)
+    assert(rz.getAs[Long]("rmst_ppm") === 500000L)
+  }
+
   test("Survival.nelsonAalen: hand-checked additive hazard on the KM fixture") {
     // same fixture as the KM test: event times 1,2,3 with n_risk 6/5/3
     // and d 1/1/2 -> steps ⌊1e6/6⌋=166666, ⌊1e6/5⌋=200000,
