@@ -50,14 +50,7 @@ object Verify {
         failed += name
       }
     }
-    // A silently-thin dump would make the downstream differential record
-    // an empty "{}" while git history claims green (round-15 incident).
-    // Fail loudly instead: every registered query must dump, and the
-    // total must match the registry (modulo an explicit ONLY filter).
     val expected = SparkEntry.queries.count { case (n, _) => only.forall(_.contains(n)) }
-    require(failed.isEmpty, s"[verify] ${failed.size} queries failed to dump: ${failed.mkString(", ")}")
-    require(dumped == expected && dumped > 0,
-      s"[verify] dumped $dumped of $expected registered queries — refusing to emit a thin record")
     println(s"[verify] dumped $dumped/$expected queries to $outDir")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -75,5 +68,20 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // A silently-thin dump would make the downstream differential
+    // record an empty "{}" while git history claims green (the
+    // round-15 incident). Exit non-zero — LOUDLY — but only after the
+    // partial dump and oracle_sql.json are on disk, so the failure is
+    // diagnosable from the artifacts instead of zeroing them.
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] HARD FAIL: ${failed.size} queries failed to dump: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
+    if (dumped != expected || dumped == 0) {
+      System.err.println(
+        s"[verify] HARD FAIL: dumped $dumped of $expected registered queries — thin record")
+      sys.exit(2)
+    }
   }
 }

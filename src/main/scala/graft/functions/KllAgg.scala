@@ -49,15 +49,17 @@ object KllAgg {
       var flips: Seq[Boolean],
   )
 
+  /** Capacity of level h when `top` is the highest level index:
+    * k · (2/3)^(top − h), floored at 8 — the KLL geometric schedule. */
+  private[functions] def cap(k: Int, h: Int, top: Int): Int =
+    math.max(math.ceil(k * math.pow(2.0 / 3.0, (top - h).toDouble)).toInt, 8)
+
   def aggregator(k: Int): Aggregator[Double, Buf, Seq[Item]] = {
     require(k >= 8, s"kll requires k >= 8, got $k")
     new Aggregator[Double, Buf, Seq[Item]] {
       override def zero: Buf = Buf(0L, Seq(Vector.empty), Seq(false))
 
-      // capacity of level h when `top` is the highest level index:
-      // k * (2/3)^(top - h), floored at 8
-      private def cap(h: Int, top: Int): Int =
-        math.max(math.ceil(k * math.pow(2.0 / 3.0, (top - h).toDouble)).toInt, 8)
+      private def cap(h: Int, top: Int): Int = KllAgg.cap(k, h, top)
 
       // compact overflowing levels bottom-up until every level fits.
       // A compaction sorts level h, promotes the kept-parity half to
@@ -157,9 +159,14 @@ object KllAgg {
           }
         grown.n += w
         grown.levels = grown.levels.updated(h, grown.levels(h) :+ v)
-        // reuse the base merge's normalize via a no-op merge with an
-        // empty buffer (normalize itself is private to the base)
-        base.merge(grown, base.zero)
+        // normalize (via a no-op merge with an empty buffer — the
+        // base's normalize is private) ONLY when the touched level
+        // overflows its capacity: an every-item normalize copies the
+        // whole ladder per item, turning a large store re-aggregation
+        // quadratic in retained items
+        if (grown.levels(h).lengthCompare(KllAgg.cap(k, h, grown.levels.length - 1)) > 0)
+          base.merge(grown, base.zero)
+        else grown
       }
 
       override def merge(b1: Buf, b2: Buf): Buf = base.merge(b1, b2)
@@ -194,9 +201,12 @@ object KllAgg {
     s"""aggregate(
        |  array_sort($sketchCol, (a, b) -> CASE WHEN a.v < b.v THEN -1 WHEN a.v > b.v THEN 1 ELSE 0 END),
        |  struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS DOUBLE) AS ans,
-       |         -- ceil(q * W) in exact integer arithmetic
-       |         CAST((aggregate($sketchCol, CAST(0 AS BIGINT), (a, x) -> a + x.w) * ($qppm) + 999999)
-       |              div 1000000 AS BIGINT) AS tgt),
+       |         -- ceil(q * W) exactly; W × qppm through DECIMAL — in
+       |         -- BIGINT it wraps past W ≈ 9.2e12 rows (a 100-TB
+       |         -- corpus), the same silent-overflow class as the
+       |         -- chao1 finding; the quotient ≤ W fits BIGINT again
+       |         CAST((CAST(aggregate($sketchCol, CAST(0 AS BIGINT), (a, x) -> a + x.w) AS DECIMAL(38,0))
+       |               * ($qppm) + 999999) div 1000000 AS BIGINT) AS tgt),
        |  (acc, x) -> IF(acc.ans IS NOT NULL, acc,
        |    named_struct('cum', acc.cum + x.w,
        |                 'ans', IF(acc.cum + x.w >= acc.tgt, x.v, CAST(NULL AS DOUBLE)),
