@@ -80,7 +80,7 @@ object StreamingQueries {
     "stream_cms_sketch", "stream_rate_anomaly", "stream_profile", "stream_dist_drift",
     "stream_agg_maintain", "stream_full_outer_join", "stream_cusum", "stream_ewma",
     "stream_topk", "stream_topk_maintain", "stream_conformal", "stream_conformal_by", "stream_isotonic",
-    "stream_kll",
+    "stream_kll", "stream_kll_by",
     "stream_approx_distinct", "stream_holt", "stream_holt_winters", "stream_seasonal",
   )
   private val docSplitConsumers =
@@ -1248,6 +1248,56 @@ object StreamingQueries {
       )
   }
 
+  /** Per-key streaming KLL ([[kllStream]]'s keyed form, the
+    * `stream_conformal_by` convention): one sketch per event type as
+    * complete-mode keyed aggregation state; per-key quantiles off the
+    * frozen state against each key's own exact envelope. */
+  private val kllByStream = Q(
+    "stream_kll_by",
+    """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n,
+      |  quantile_cont(CAST(value AS DOUBLE), 0.5) AS exact_p50,
+      |  quantile_cont(CAST(value AS DOUBLE), 0.9) AS exact_p90,
+      |  TRUE AS weight_matches_n, TRUE AS p50_within_bound, TRUE AS p90_within_bound
+      |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    val rewrittenSchema = graft.Tables.events(s, d).schema
+    val stream = s.readStream
+      .schema(rewrittenSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(leftOuterSplitDir(s, d))
+    val sketch = stream
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type").as("key"))
+      .agg(graft.functions.KllAgg.kll(200)(col("value").cast("double")).as("__sk"))
+    val frozen = runCompleteStream(s, sketch, "kll_by").localCheckpoint()
+    val exact = graft.Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type").as("key"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(CAST(value AS DOUBLE), 0.5)").as("exact_p50"),
+        expr("percentile(CAST(value AS DOUBLE), 0.9)").as("exact_p90"),
+        expr("percentile(CAST(value AS DOUBLE), 0.45)").as("__lo50"),
+        expr("percentile(CAST(value AS DOUBLE), 0.55)").as("__hi50"),
+        expr("percentile(CAST(value AS DOUBLE), 0.85)").as("__lo90"),
+        expr("percentile(CAST(value AS DOUBLE), 0.95)").as("__hi90"),
+      )
+    frozen
+      .join(exact, Seq("key")) // keys are the handful of event types
+      .select(
+        col("key"),
+        col("n"),
+        col("exact_p50"),
+        col("exact_p90"),
+        (expr("aggregate(__sk, CAST(0 AS BIGINT), (a, x) -> a + x.w)") === col("n"))
+          .as("weight_matches_n"),
+        expr(graft.functions.KllAgg.estimateSql("__sk", 0.5))
+          .between(col("__lo50"), col("__hi50")).as("p50_within_bound"),
+        expr(graft.functions.KllAgg.estimateSql("__sk", 0.9))
+          .between(col("__lo90"), col("__hi90")).as("p90_within_bound"),
+      )
+  }
+
   private val topkStream = Q(
     "stream_topk",
     """SELECT event_type,
@@ -1545,5 +1595,5 @@ object StreamingQueries {
       cmsStream, bpeDriftStream, rateAnomalyStream, profileStream, distDriftStream, ivmStream,
       cusumStream, ewmaStream, holtStream, holtWintersStream, seasonalStream, topkStream,
       topkMaintainStream, conformalStream, conformalByStream, isotonicStream, approxDistinctStream,
-      kllStream)
+      kllStream, kllByStream)
 }
