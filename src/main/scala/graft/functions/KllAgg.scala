@@ -149,24 +149,16 @@ object KllAgg {
         val (v, w) = a
         require(w > 0 && (w & (w - 1)) == 0, s"kll item weight must be a power of two, got $w")
         val h = java.lang.Long.numberOfTrailingZeros(w)
-        val grown =
-          if (h < b.levels.length) b
-          else {
-            val pad = h + 1 - b.levels.length
-            b.levels = b.levels ++ Seq.fill(pad)(Vector.empty[Double])
-            b.flips = b.flips ++ Seq.fill(pad)(false)
-            b
-          }
-        grown.n += w
-        grown.levels = grown.levels.updated(h, grown.levels(h) :+ v)
+        KllAgg.insertAtLevel(b, v, h)
+        b.n += w
         // normalize (via a no-op merge with an empty buffer — the
         // base's normalize is private) ONLY when the touched level
         // overflows its capacity: an every-item normalize copies the
         // whole ladder per item, turning a large store re-aggregation
         // quadratic in retained items
-        if (grown.levels(h).lengthCompare(KllAgg.cap(k, h, grown.levels.length - 1)) > 0)
-          base.merge(grown, base.zero)
-        else grown
+        if (b.levels(h).lengthCompare(KllAgg.cap(k, h, b.levels.length - 1)) > 0)
+          base.merge(b, base.zero)
+        else b
       }
 
       override def merge(b1: Buf, b2: Buf): Buf = base.merge(b1, b2)
@@ -179,6 +171,62 @@ object KllAgg {
   /** Column API: `kll_merge(k)(v, w)` over exploded sketch items. */
   def kll_merge(k: Int)(v: Column, w: Column): Column = {
     val fn = udaf(mergeAggregator(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    fn(v, w)
+  }
+
+  /** Append `v` to level h, growing the ladder as needed. */
+  private[functions] def insertAtLevel(b: Buf, v: Double, h: Int): Unit = {
+    if (h >= b.levels.length) {
+      val pad = h + 1 - b.levels.length
+      b.levels = b.levels ++ Seq.fill(pad)(Vector.empty[Double])
+      b.flips = b.flips ++ Seq.fill(pad)(false)
+    }
+    b.levels = b.levels.updated(h, b.levels(h) :+ v)
+  }
+
+  /** WEIGHTED KLL — quantiles of the WEIGHTED distribution (each row
+    * counts `w` times): the form token-budget planning reads, e.g.
+    * "the document-length quantile weighted by token count" when
+    * packing context windows. Arbitrary positive weights insert by
+    * BINARY DECOMPOSITION — one copy of `v` at level b for every set
+    * bit of w — which is exact on total weight (Σ2^b = w, preserving
+    * the weight≡Σw invariant the unweighted gates pin) and inherits
+    * the standard KLL bound with n replaced by total weight. At most
+    * 64 inserts per row, independent of w's magnitude — a row with
+    * w = 10⁹ costs ~30 appends, not 10⁹. */
+  def weightedAggregator(k: Int): Aggregator[(Double, Long), Buf, Seq[Item]] = {
+    val base = aggregator(k)
+    new Aggregator[(Double, Long), Buf, Seq[Item]] {
+      override def zero: Buf = base.zero
+
+      override def reduce(b: Buf, a: (Double, Long)): Buf = {
+        val (v, w) = a
+        require(w >= 0, s"kll weight must be non-negative, got $w")
+        var rem      = w
+        var h        = 0
+        var overflow = false
+        while (rem != 0L) {
+          if ((rem & 1L) == 1L) {
+            KllAgg.insertAtLevel(b, v, h)
+            overflow ||= b.levels(h).lengthCompare(KllAgg.cap(k, h, b.levels.length - 1)) > 0
+          }
+          rem >>>= 1
+          h += 1
+        }
+        b.n += w
+        if (overflow) base.merge(b, base.zero) else b
+      }
+
+      override def merge(b1: Buf, b2: Buf): Buf = base.merge(b1, b2)
+      override def finish(r: Buf): Seq[Item] = base.finish(r)
+      override def bufferEncoder: Encoder[Buf] = base.bufferEncoder
+      override def outputEncoder: Encoder[Seq[Item]] = base.outputEncoder
+    }
+  }
+
+  /** Column API: `kll_weighted(k)(v, w)` — w ≥ 0 per row. */
+  def kll_weighted(k: Int)(v: Column, w: Column): Column = {
+    val fn = udaf(weightedAggregator(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
     fn(v, w)
   }
 

@@ -1384,6 +1384,70 @@ object MiscQueries {
       )
   }
 
+  /** WEIGHTED KLL ([[graft.functions.KllAgg.kll_weighted]] — binary-
+    * decomposition inserts, ≤64 appends per row regardless of weight):
+    * quantiles of l_extendedprice under l_quantity weighting per
+    * return flag — "the price quantile weighted by units moved", the
+    * weighted form token-budget planning reads. Envelope booleans
+    * against the EXACT weighted quantiles from the bounded-domain
+    * histogram ([[graft.ops.Stats.weightedQuantiles]], the
+    * `misc_weighted_quantiles` machinery) at ±5% weighted rank, plus
+    * the exact invariant that retained weight ≡ Σ l_quantity. */
+  private val kllWeightedQ = Q(
+    "misc_kll_weighted",
+    """WITH h AS (
+      |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS s,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS c
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT l_returnflag, s, c,
+      |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM h)
+      |SELECT l_returnflag,
+      |  CAST(max(n) AS BIGINT) AS total_w,
+      |  min(CASE WHEN cum >= greatest(1, ((n * 500000) + 999999) // 1000000) THEN s END) AS exact_wp50_cents,
+      |  min(CASE WHEN cum >= greatest(1, ((n * 900000) + 999999) // 1000000) THEN s END) AS exact_wp90_cents,
+      |  TRUE AS weight_matches_total, TRUE AS p50_within_bound, TRUE AS p90_within_bound
+      |FROM cum GROUP BY 1""".stripMargin,
+  ) { (s, d) =>
+    val rows = lineitem(s, d)
+      .filter(col("l_extendedprice").isNotNull)
+      .select(
+        col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"),
+      )
+    val sk = rows
+      .groupBy("l_returnflag")
+      .agg(
+        graft.functions.KllAgg
+          .kll_weighted(200)(col("cents").cast("double"), col("qty")).as("__sk"),
+        sum(col("qty")).as("total_w"),
+      )
+    val exact = graft.ops.Stats.weightedQuantiles(
+      rows,
+      groupCols = Seq("l_returnflag"),
+      valueCol = "cents",
+      weightCol = "qty",
+      ppms = Seq(500000L -> "exact_wp50_cents", 900000L -> "exact_wp90_cents",
+        450000L -> "__lo50", 550000L -> "__hi50", 850000L -> "__lo90", 950000L -> "__hi90"),
+    )
+    sk.join(exact, Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"),
+        col("total_w"),
+        col("exact_wp50_cents"),
+        col("exact_wp90_cents"),
+        (expr("aggregate(__sk, CAST(0 AS BIGINT), (a, x) -> a + x.w)") === col("total_w"))
+          .as("weight_matches_total"),
+        expr(graft.functions.KllAgg.estimateSql("__sk", 0.5))
+          .between(col("__lo50"), col("__hi50")).as("p50_within_bound"),
+        expr(graft.functions.KllAgg.estimateSql("__sk", 0.9))
+          .between(col("__lo90"), col("__hi90")).as("p90_within_bound"),
+      )
+  }
+
   /** KLL SKETCH-STORE ROUND TRIP ([[graft.functions.KllAgg.kll_merge]]):
     * sketch four disjoint hash shards of orders independently (the
     * per-day/per-shard sketches a store persists as plain (v, w)
@@ -2987,5 +3051,5 @@ object MiscQueries {
       kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ,
       samplePps, hitsTrade, ksQ, mannWhitneyQ, spearmanQ, cramersVQ, diameterSweepQ,
       hilbertKeyQ, bootstrapCiQ, bootstrapCiXxQ, rfmScoresQ, quantileScoresQ, conformalQ,
-      conformalByQ, isotonicQ, isotonicByQ, stumpGiniQ, kllQuantilesQ, kllSplitsQ, kllMergeQ)
+      conformalByQ, isotonicQ, isotonicByQ, stumpGiniQ, kllQuantilesQ, kllSplitsQ, kllMergeQ, kllWeightedQ)
 }

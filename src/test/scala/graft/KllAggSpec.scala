@@ -87,6 +87,27 @@ class KllAggSpec extends AnyFunSuite {
     assert(bad.getMessage != null)
   }
 
+  test("weighted inserts: binary decomposition preserves total weight; quantile tracks the weighted rank") {
+    // value i with weight i over 1..1000: total W = 500500; weighted
+    // median = smallest v with cumweight >= W/2 -> v ≈ 1000/√2 ≈ 707
+    val df = spark.range(1, 1001).select(col("id").cast("double").as("v"), col("id").as("w"))
+    val r = df
+      .agg(graft.functions.KllAgg.kll_weighted(200)(col("v"), col("w")).as("__sk"))
+      .select(
+        expr("aggregate(__sk, CAST(0 AS BIGINT), (a, x) -> a + x.w)").as("wsum"),
+        expr(graft.functions.KllAgg.estimateSql("__sk", 0.5)).as("e50"),
+      )
+      .head()
+    assert(r.getLong(0) === 500500L)
+    assert(math.abs(r.getDouble(1) - 707.0) < 40.0, s"weighted median ${r.getDouble(1)}")
+    // zero-weight rows contribute nothing
+    val z = spark.range(3)
+      .select(col("id").cast("double").as("v"), lit(0L).as("w"))
+      .agg(graft.functions.KllAgg.kll_weighted(16)(col("v"), col("w")).as("__sk"))
+      .select(expr("size(__sk)")).head()
+    assert(z.getInt(0) === 0)
+  }
+
   test("empty input yields an empty sketch and a NULL estimate") {
     val out = spark.range(0).select(col("id").cast("double").as("v"))
       .agg(graft.functions.KllAgg.kll(16)(col("v")).as("__sk"))
