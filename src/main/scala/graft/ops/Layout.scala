@@ -221,4 +221,31 @@ object Layout {
         ).as("split_value"),
       )
   }
+
+  /** QUANTILE BINNING from the same sketch splits — the GBDT-style
+    * feature transform ("which of n equal-mass buckets does this value
+    * fall in") at corpus scale: [[rangeSplitPoints]] gives the n−1
+    * ascending boundaries, collected to ONE bounded array and folded
+    * per row (bucket = #splits ≤ v, a ≤64-element HOF fold — map-only,
+    * no join, no shuffle beyond the sketch's own aggregation).
+    * Returns `df` plus `bucket` (0-based). */
+  def sketchQuantileBins(
+      df: DataFrame,
+      keyCol: Column,
+      n: Int,
+      k: Int = 200,
+  ): DataFrame = {
+    val splits = rangeSplitPoints(df, keyCol, n, k)
+      .agg(sort_array(collect_list(col("split_value"))).as("__splits"))
+    df.crossJoin(broadcast(splits))
+      .withColumn(
+        "bucket",
+        aggregate(
+          col("__splits"),
+          lit(0L),
+          (acc, s) => acc + when(keyCol.cast("double") >= s, 1L).otherwise(0L),
+        ),
+      )
+      .drop("__splits")
+  }
 }

@@ -1448,6 +1448,37 @@ object MiscQueries {
       )
   }
 
+  /** SKETCH QUANTILE BINNING ([[graft.ops.Layout.sketchQuantileBins]]):
+    * assign every order to one of 8 equal-mass value buckets via the
+    * broadcast split array — the GBDT-style feature transform, map-
+    * only per row. Balance differential: every bucket's exact share
+    * must land within ±3% of 1/8 (the split-point bound transfers
+    * directly), the bucket ids are exactly 0..7, and no row is lost
+    * (Σ bucket counts ≡ table count, exact). */
+  private val kllBinningQ = Q(
+    "misc_kll_binning",
+    """SELECT CAST(b AS BIGINT) AS bucket,
+      |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_total,
+      |  TRUE AS within_balance
+      |FROM (SELECT unnest(generate_series(0, 7)) AS b)""".stripMargin,
+  ) { (s, d) =>
+    val rows = orders(s, d)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("__v"))
+    graft.ops.Layout
+      .sketchQuantileBins(rows, col("__v"), n = 8)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("__n_in"))
+      .crossJoin(broadcast(rows.agg(count(lit(1)).as("n_total"))))
+      .select(
+        col("bucket"),
+        col("n_total"),
+        expr(
+          """abs(CAST(CAST(__n_in AS DECIMAL(38,0)) * 1000000 div n_total AS BIGINT)
+            |    - 125000) <= 30000""".stripMargin
+        ).as("within_balance"),
+      )
+  }
+
   /** KLL SKETCH-STORE ROUND TRIP ([[graft.functions.KllAgg.kll_merge]]):
     * sketch four disjoint hash shards of orders independently (the
     * per-day/per-shard sketches a store persists as plain (v, w)
@@ -3051,5 +3082,5 @@ object MiscQueries {
       kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ,
       samplePps, hitsTrade, ksQ, mannWhitneyQ, spearmanQ, cramersVQ, diameterSweepQ,
       hilbertKeyQ, bootstrapCiQ, bootstrapCiXxQ, rfmScoresQ, quantileScoresQ, conformalQ,
-      conformalByQ, isotonicQ, isotonicByQ, stumpGiniQ, kllQuantilesQ, kllSplitsQ, kllMergeQ, kllWeightedQ)
+      conformalByQ, isotonicQ, isotonicByQ, stumpGiniQ, kllQuantilesQ, kllSplitsQ, kllMergeQ, kllWeightedQ, kllBinningQ)
 }

@@ -562,6 +562,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketchQuantileBins: buckets are 0..n-1, near-equal mass, and monotone in the key") {
+    import graft.ops.Layout
+    val df = spark.range(0, 20000).select(((col("id") * 48271) % 99991).cast("long").as("v"))
+    val binned = Layout.sketchQuantileBins(df, col("v"), n = 4)
+    val counts = binned.groupBy("bucket").count().collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("count")).toMap
+    assert(counts.keySet === Set(0L, 1L, 2L, 3L))
+    counts.values.foreach(c => assert(math.abs(c - 5000L) < 600L, s"counts $counts"))
+    // monotone: a bucket's max value never exceeds the next bucket's min
+    val spans = binned.groupBy("bucket")
+      .agg(min("v").as("lo"), max("v").as("hi"))
+      .orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    spans.sliding(2).foreach { case Array((_, hi0), (lo1, _)) => assert(hi0 < lo1) }
+  }
+
   test("winsorize: nearest-rank thresholds from the histogram, clamp respects ties") {
     import graft.ops.Stats
     // uniform 1..100 → p01 rank ⌈100·0.01⌉=1 → lo=1; p99 rank 99 → hi=99
