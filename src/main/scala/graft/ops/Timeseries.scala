@@ -189,6 +189,57 @@ object Timeseries {
       .withColumn("n", coalesce(col("n"), lit(0L)))
   }
 
+  /** HAMPEL FILTER over per-key hourly rates (Hampel 1974; Pearson
+    * 2002 for the moving-window form) — the ROBUST outlier detector of
+    * the hourly family: flag hour t when |nₜ − med| > t·MAD over the
+    * centered (2r+1)-hour window, immune to the exact problem that
+    * breaks mean/σ detectors (the outlier inflating its own
+    * threshold). All integer-exact: the window lands in ONE bounded
+    * sorted array per row (collect_list over a ±r frame on the dense
+    * grid — never the corpus), medians are emitted ×2 (odd length:
+    * 2·mid; even: sum of the two mids — no float interpolation
+    * anywhere), MAD ×4, and the test compares 2·|2n − med2| against
+    * t·mad4. A constant window (mad4 = 0) flags any deviation, the
+    * classical degenerate-window convention. Threshold is raw-MAD
+    * (no 1.4826 Gaussian consistency factor — exactness over
+    * asymptotics; pick t accordingly).
+    *
+    * @return one row per (key, hour): (key, hour_ts, n, med2, mad4,
+    *         is_outlier). */
+  def hampelHourly(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      radius: Int = 2,
+      t: Int = 3,
+  ): DataFrame = hampelFromHourly(hourlyCounts(df, keyCol, tsCol), radius, t)
+
+  /** [[hampelHourly]] over an already bucketed (key, hour_ts, n) table
+    * (the streaming-state twin contract of the other FromHourly
+    * forms). */
+  def hampelFromHourly(hourly: DataFrame, radius: Int = 2, t: Int = 3): DataFrame = {
+    require(radius >= 1, s"window radius must be >= 1, got $radius")
+    require(t >= 1, s"threshold multiplier must be >= 1, got $t")
+    def med2(c: String) =
+      s"""IF(size($c) % 2 = 1, 2 * element_at($c, CAST((size($c) + 1) div 2 AS INT)),
+         |   element_at($c, CAST(size($c) div 2 AS INT))
+         |   + element_at($c, CAST(size($c) div 2 + 1 AS INT)))""".stripMargin
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key")
+      .orderBy("hour_ts")
+      .rowsBetween(-radius, radius)
+    denseHourlyGrid(hourly)
+      .withColumn("__win", sort_array(collect_list(col("n")).over(w)))
+      .withColumn("med2", expr(med2("__win")))
+      .withColumn("__devs", expr("sort_array(transform(__win, x -> abs(2 * x - med2)))"))
+      .withColumn("mad4", expr(med2("__devs")))
+      .select(
+        col("key"), col("hour_ts"), col("n"), col("med2"), col("mad4"),
+        expr(s"IF(mad4 = 0, abs(2 * n - med2) > 0, 2 * abs(2 * n - med2) > $t * mad4)")
+          .as("is_outlier"),
+      )
+  }
+
   /** The post-aggregation stage of [[cusumHourly]], over an already
     * bucketed (key, hour_ts, n) table — shared with the streaming twin,
     * where the hourly counts are maintained by a streaming aggregation

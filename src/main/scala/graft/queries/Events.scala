@@ -1586,6 +1586,53 @@ object Events {
       thresholdMult = 2)
   }
 
+  /** Hampel rolling-median outliers
+    * ([[graft.ops.Timeseries.hampelHourly]], ±2-hour window, t = 3):
+    * the ROBUST member of the hourly anomaly family next to
+    * CUSUM/EWMA/seasonal — the detector an hourly spike cannot blind
+    * by inflating its own threshold. All-integer doubled medians (no
+    * float interpolation), so the oracle replays the identical sorted-
+    * window arithmetic over the same dense grid — exact on every
+    * (key, hour) row. */
+  private[queries] val hampelSql: String =
+    """WITH counts AS (
+      |  SELECT event_type AS key, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(hour_ts) AS h0, max(hour_ts) AS h1 FROM counts),
+      |grid AS (
+      |  SELECT k.key, h.g AS hour_ts, coalesce(c.n, 0) AS n
+      |  FROM (SELECT DISTINCT key FROM counts) k
+      |  CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g FROM span) h
+      |  LEFT JOIN counts c ON c.key = k.key AND c.hour_ts = h.g),
+      |win AS (
+      |  SELECT key, hour_ts, n,
+      |    list_sort(list(n) OVER (PARTITION BY key ORDER BY hour_ts
+      |                            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) AS w
+      |  FROM grid),
+      |med AS (
+      |  SELECT key, hour_ts, n, w,
+      |    CASE WHEN len(w) % 2 = 1 THEN 2 * w[(len(w) + 1) // 2]
+      |         ELSE w[len(w) // 2] + w[len(w) // 2 + 1] END AS med2
+      |  FROM win),
+      |dev AS (
+      |  SELECT key, hour_ts, n, med2,
+      |    list_sort(list_transform(w, x -> abs(2 * x - med2))) AS dv
+      |  FROM med),
+      |mad AS (
+      |  SELECT key, hour_ts, n, med2,
+      |    CASE WHEN len(dv) % 2 = 1 THEN 2 * dv[(len(dv) + 1) // 2]
+      |         ELSE dv[len(dv) // 2] + dv[len(dv) // 2 + 1] END AS mad4
+      |  FROM dev)
+      |SELECT key, hour_ts, CAST(n AS BIGINT) AS n, CAST(med2 AS BIGINT) AS med2,
+      |  CAST(mad4 AS BIGINT) AS mad4,
+      |  CASE WHEN mad4 = 0 THEN abs(2 * n - med2) > 0
+      |       ELSE 2 * abs(2 * n - med2) > 3 * mad4 END AS is_outlier
+      |FROM mad""".stripMargin
+
+  private val hampelQ = Q("evt_hampel_outliers", hampelSql) { (s, d) =>
+    Timeseries.hampelHourly(events(s, d), "event_type", "ts", radius = 2, t = 3)
+  }
+
   /** Integer-exact EWMA over per-type hourly rates
     * ([[graft.ops.Timeseries.ewmaHourly]], α = 0.3 in ppm): the
     * smoothing statistic under adaptive rate thresholds, bit-identical
@@ -2005,6 +2052,7 @@ object Events {
     logRankQ,
     rmstQ,
     cusumChangepointQ,
+    hampelQ,
     ewmaHourlyQ,
     holtHourlyQ,
     holtWintersQ,

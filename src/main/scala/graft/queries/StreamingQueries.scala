@@ -78,7 +78,7 @@ object StreamingQueries {
   private val timeSplitConsumers = Set(
     "stream_dedup", "stream_funnel_steps", "stream_left_outer_join", "stream_session_window",
     "stream_cms_sketch", "stream_rate_anomaly", "stream_profile", "stream_dist_drift",
-    "stream_agg_maintain", "stream_full_outer_join", "stream_cusum", "stream_ewma",
+    "stream_agg_maintain", "stream_full_outer_join", "stream_cusum", "stream_ewma", "stream_hampel",
     "stream_topk", "stream_topk_maintain", "stream_conformal", "stream_conformal_by", "stream_isotonic",
     "stream_kll", "stream_kll_by",
     "stream_approx_distinct", "stream_holt", "stream_holt_winters", "stream_seasonal",
@@ -959,6 +959,17 @@ object StreamingQueries {
         thresholdMult = 2)
   }
 
+  /** Streaming Hampel outliers — the [[cusumStream]] pattern for
+    * [[graft.ops.Timeseries.hampelFromHourly]]: mergeable per-(key,
+    * hour) counts as streaming state, the robust rolling-median test
+    * derived from the frozen bounded table per trigger. */
+  private val hampelStream = Q(
+    "stream_hampel",
+    Events.hampelSql, // the batch gate's oracle, shared verbatim
+  ) { (s, d) =>
+    graft.ops.Timeseries.hampelFromHourly(hourlyStateTable(s, d, "hampel"), radius = 2, t = 3)
+  }
+
   /** Streaming EWMA rate smoother — the [[cusumStream]] pattern for
     * [[graft.ops.Timeseries.ewmaFromHourly]]: the streaming aggregation
     * maintains the mergeable per-(key, hour) counts (bounded at keys ×
@@ -1595,5 +1606,5 @@ object StreamingQueries {
       cmsStream, bpeDriftStream, rateAnomalyStream, profileStream, distDriftStream, ivmStream,
       cusumStream, ewmaStream, holtStream, holtWintersStream, seasonalStream, topkStream,
       topkMaintainStream, conformalStream, conformalByStream, isotonicStream, approxDistinctStream,
-      kllStream, kllByStream)
+      kllStream, kllByStream, hampelStream)
 }

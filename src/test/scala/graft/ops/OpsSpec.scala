@@ -3354,6 +3354,32 @@ class OpsSpec extends AnyFunSuite {
     assert(got.size === 4)
   }
 
+  test("Timeseries.hampelFromHourly: spike flagged, its neighbors not; doubled medians exact") {
+    import graft.ops.Timeseries
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(i: Int) = new java.sql.Timestamp(h0.getTime + i * 3600L * 1000)
+    // steady 10s with one 100 spike at hour 4 of 0..8
+    val hourly = (0 to 8).map(i => ("k", ts(i), if (i == 4) 100L else 10L))
+      .toDF("key", "hour_ts", "n")
+    val out = Timeseries.hampelFromHourly(hourly, radius = 2, t = 3)
+      .collect()
+      .map(r => r.getAs[java.sql.Timestamp]("hour_ts") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("med2"), r.getAs[Long]("mad4"),
+          r.getAs[Boolean]("is_outlier")))
+      .toMap
+    // hour 4's window [10,10,100,10,10] -> med2 = 20, devs2 [0,0,0,0,180]
+    // -> mad4 = 0 -> degenerate rule flags the spike
+    assert(out(ts(4)) === ((100L, 20L, 0L, true)))
+    // neighbors: window holds the spike but median stays 10 -> not
+    // flagged (the robustness a mean/sigma detector lacks)
+    assert(out(ts(3)) === ((10L, 20L, 0L, false)))
+    assert(out(ts(5)) === ((10L, 20L, 0L, false)))
+    // even-length EDGE window (hours 5..8, 4 cells) at hour 7:
+    // med2 = 10 + 10 = 20, exact integer (no float interpolation)
+    assert(out(ts(7))._2 === 20L)
+    assert(out.size === 9)
+  }
+
   test("Survival.logRank: matches an in-JVM BigInt replay; identical cohorts give chi2 = 0") {
     // cohort 1: (1,T), (3,T); cohort 0: (1,T), (2,F), (3,T), (3,F)
     val subj = Seq(
