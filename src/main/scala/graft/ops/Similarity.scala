@@ -1012,8 +1012,10 @@ object Similarity {
       centroids: DataFrame,
       nprobe: Int,
       queryPred: Column,
+      candidatePred: Column = lit(true),
   ): DataFrame =
-    ivfTopKFromIndex(ivfIndex(df, idCol, embCol, centroids), idCol, embCol, k, centroids, nprobe, queryPred)
+    ivfTopKFromIndex(ivfIndex(df, idCol, embCol, centroids), idCol, embCol, k, centroids,
+      nprobe, queryPred, candidatePred)
 
   /** The PERSISTED form of the IVF index: one `(id, emb, nrm, cent_id)`
     * row per vector, coarse assignment frozen at build time. Write it
@@ -1103,12 +1105,22 @@ object Similarity {
       centroids: DataFrame,
       nprobe: Int,
       queryPred: Column,
+      candidatePred: Column = lit(true),
   ): DataFrame = {
     // the documented standalone use is a FRESH session querying a
     // persisted index — register the native dot here, not only in the
     // build-side entry points
     graft.functions.FloatVecDot.registerOn(index.sparkSession)
+    // FILTERED vector search, single-stage form: the metadata
+    // predicate lands on the index rows BEFORE the probe join, so a
+    // probed cell contributes exactly its matching members — no
+    // post-filter oversampling heuristics, no recall cliff when the
+    // predicate is selective (the candidate set within probed cells is
+    // exact; the only approximation remains the cell probe itself).
+    // At scale the predicate rides the same scan as the cent_id
+    // pruning, pushed to parquet.
     val cand = index
+      .filter(candidatePred)
       .select(col(idCol).as("n_id"), col(embCol).as("n_emb"), col("nrm").as("n_nrm"), col("cent_id"))
     val qry = ivfAssign(index.filter(queryPred).drop("cent_id"), centroids, idCol, embCol, nprobe = nprobe)
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"), col("nrm").as("q_nrm"), col("cent_id"))

@@ -171,6 +171,54 @@ object SimilarityQueries {
       .select("q_id", "n_id", "cos", "rnk")
   }
 
+  /** FILTERED vector search ([[graft.ops.Similarity.ivfTopKFromIndex]]
+    * with `candidatePred`, single-stage form): the metadata predicate
+    * (here the id-parity stand-in `vec_id % 3 = 0`) filters index rows
+    * BEFORE the probe join, so probed cells contribute exactly their
+    * matching members — the selective-filter regime where post-filter
+    * oversampling collapses. Same exact-replay oracle as
+    * `sim_ann_ivf_topk` with the predicate mirrored in the `cand` CTE. */
+  private val annIvfFilteredTopK = Q(
+    "sim_ann_ivf_filtered_topk",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT vec_id, cent_id, ccos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |  FROM (
+       |    SELECT e.vec_id, cent_id,
+       |      ${duckDot("e.embedding", "cemb")} / (e.nrm * cnrm) AS ccos
+       |    FROM e CROSS JOIN cent)),
+       |cand AS (SELECT vec_id, cent_id FROM asg WHERE crk = 1 AND vec_id % 3 = 0),
+       |qry AS (SELECT vec_id, cent_id FROM asg WHERE crk <= 2 AND vec_id < 10),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${duckDot("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm) AS cos
+       |  FROM qry q JOIN cand c ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+       |    JOIN e qe ON qe.vec_id = q.vec_id JOIN e ce ON ce.vec_id = c.vec_id)
+       |SELECT q_id, n_id, cos, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM pairs)
+       |WHERE rnk <= 3""".stripMargin,
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    Similarity
+      .ivfTopK(
+        emb,
+        idCol = "vec_id",
+        embCol = "embedding",
+        k = 3,
+        centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16),
+        nprobe = 2,
+        queryPred = col("vec_id") < 10,
+        candidatePred = col("vec_id") % 3 === 0,
+      )
+      .select("q_id", "n_id", "cos", "rnk")
+  }
+
   /** IVF ANN over a Lloyd-REFINED codebook: one refinement iteration
     * (assign to the 16 sampled seeds, per-cell per-dimension mean
     * through DECIMAL(38,12) sums — order-independent, so the refined
@@ -2035,7 +2083,7 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] =
-    Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
+    Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfFilteredTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
       annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
       annIvfPqSampledTopK, annIvfAppendTopK, annIvfRefreshTopK, annIvfRefreshDrift,
       annIvfPqResidualTopK, ragChunkTopK, docEmbeddingPool, annRecallEval,
