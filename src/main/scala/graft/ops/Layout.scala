@@ -222,6 +222,34 @@ object Layout {
       )
   }
 
+  /** WEIGHTED split points — boundaries of n equal-MASS shards where
+    * mass is a per-row weight, not a row count: the packing-shard
+    * planner's form ("cut the corpus into shards of equal TOKEN
+    * budget, keyed by doc length"), via [[graft.functions.KllAgg.kll_weighted]]
+    * binary-decomposition inserts. Same contract as
+    * [[rangeSplitPoints]] with the balance bound on Σweight per shard
+    * instead of row count. */
+  def weightedRangeSplitPoints(
+      df: DataFrame,
+      keyCol: Column,
+      weightCol: Column,
+      n: Int,
+      k: Int = 200,
+  ): DataFrame = {
+    require(n >= 2, s"need at least 2 partitions, got $n")
+    df.agg(
+      graft.functions.KllAgg.kll_weighted(k)(keyCol.cast("double"), weightCol.cast("long"))
+        .as("__sk"))
+      .select(explode(sequence(lit(1), lit(n - 1))).as("split_idx"), col("__sk"))
+      .select(
+        col("split_idx").cast("long").as("split_idx"),
+        expr(
+          graft.functions.KllAgg
+            .estimateAtPpmSql("__sk", s"(split_idx * 1000000) div $n")
+        ).as("split_value"),
+      )
+  }
+
   /** QUANTILE BINNING from the same sketch splits — the GBDT-style
     * feature transform ("which of n equal-mass buckets does this value
     * fall in") at corpus scale: [[rangeSplitPoints]] gives the n−1

@@ -1479,6 +1479,43 @@ object MiscQueries {
       )
   }
 
+  /** WEIGHTED SPLIT POINTS
+    * ([[graft.ops.Layout.weightedRangeSplitPoints]]): boundaries of 8
+    * equal-TOKEN-mass shards over the documents table keyed by
+    * document length and weighted by the same character count — the
+    * packing-shard planner's cut (equal character budget per shard).
+    * Balance differential: the exact character mass
+    * strictly below each split must land within ±4% of i/8 (weighted
+    * rank error composes the sketch bound with weight skew, hence the
+    * slightly wider band than the unweighted gate). */
+  private val kllWeightedSplitsQ = Q(
+    "misc_kll_weighted_splits",
+    """SELECT CAST(s AS BIGINT) AS split_idx,
+      |  CAST((SELECT sum(n_chars) FROM documents) AS BIGINT) AS total_chars,
+      |  TRUE AS within_balance
+      |FROM (SELECT unnest(generate_series(1, 7)) AS s)""".stripMargin,
+  ) { (s, d) =>
+    val rows = graft.Tables.documents(s, d)
+      .select(col("n_chars").cast("long").as("__len"), col("n_chars").cast("long").as("__w"))
+    val splits = graft.ops.Layout
+      .weightedRangeSplitPoints(rows, col("__len"), col("__w"), n = 8)
+    rows
+      .crossJoin(broadcast(splits))
+      .groupBy("split_idx")
+      .agg(
+        sum(when(col("__len") < col("split_value"), col("__w")).otherwise(0L)).as("__w_below"),
+        sum(col("__w")).as("total_chars"),
+      )
+      .select(
+        col("split_idx"),
+        col("total_chars"),
+        expr(
+          """abs(CAST(CAST(__w_below AS DECIMAL(38,0)) * 1000000 div total_chars AS BIGINT)
+            |    - (split_idx * 1000000) div 8) <= 40000""".stripMargin
+        ).as("within_balance"),
+      )
+  }
+
   /** KLL SKETCH-STORE ROUND TRIP ([[graft.functions.KllAgg.kll_merge]]):
     * sketch four disjoint hash shards of orders independently (the
     * per-day/per-shard sketches a store persists as plain (v, w)
@@ -3082,5 +3119,5 @@ object MiscQueries {
       kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ,
       samplePps, hitsTrade, ksQ, mannWhitneyQ, spearmanQ, cramersVQ, diameterSweepQ,
       hilbertKeyQ, bootstrapCiQ, bootstrapCiXxQ, rfmScoresQ, quantileScoresQ, conformalQ,
-      conformalByQ, isotonicQ, isotonicByQ, stumpGiniQ, kllQuantilesQ, kllSplitsQ, kllMergeQ, kllWeightedQ, kllBinningQ)
+      conformalByQ, isotonicQ, isotonicByQ, stumpGiniQ, kllQuantilesQ, kllSplitsQ, kllMergeQ, kllWeightedQ, kllBinningQ, kllWeightedSplitsQ)
 }
