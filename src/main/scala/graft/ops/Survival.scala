@@ -211,17 +211,38 @@ object Survival {
       groupCol: Column,
       durCol: Column,
       observedCol: Column,
+  ): DataFrame =
+    logRankStratified(subjects.withColumn("__st", lit("all")), col("__st"),
+      groupCol, durCol, observedCol)
+      .drop("n_strata")
+
+  /** STRATIFIED (Mantel–Haenszel) log-rank — the adjusted comparison:
+    * O−E and V accumulate WITHIN each stratum (each stratum's own risk
+    * sets, so a confounder that shifts baseline hazard between strata
+    * — signup cohort, region, plan tier — cannot manufacture or mask
+    * a difference) and the χ²₁ statistic composes over the summed
+    * stratum contributions. [[logRank]] is the single-stratum case.
+    * Output adds n_strata; same exactness contract. */
+  def logRankStratified(
+      subjects: DataFrame,
+      strataCol: Column,
+      groupCol: Column,
+      durCol: Column,
+      observedCol: Column,
   ): DataFrame = {
     val hist = subjects
       .filter(durCol.isNotNull)
-      .groupBy(durCol.cast("long").as("t"))
+      .groupBy(strataCol.as("__st"), durCol.cast("long").as("t"))
       .agg(
         count(lit(1)).as("__n_at"),
         sum(when(groupCol, 1L).otherwise(0L)).as("__n1_at"),
         sum(when(observedCol, 1L).otherwise(0L)).as("d"),
         sum(when(observedCol && groupCol, 1L).otherwise(0L)).as("d1"),
       )
+    // each stratum carries its OWN risk sets: the descending cumulative
+    // partitions by stratum (still a bounded strata × durations table)
     val wRisk = Window
+      .partitionBy("__st")
       .orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hist
@@ -229,7 +250,7 @@ object Survival {
       .withColumn("n1", sum(col("__n1_at")).over(wRisk))
       .filter(col("d") > 0)
       .select(
-        col("t"), col("d"), col("d1"), col("n"), col("n1"),
+        col("__st"), col("t"), col("d"), col("d1"), col("n"), col("n1"),
         expr("CAST(CAST(d AS DECIMAL(38,0)) * n1 * 1000000 div n AS BIGINT)").as("__e1"),
         expr(
           """CASE WHEN n > 1 THEN CAST(CAST(d AS DECIMAL(38,0)) * n1 * (n - n1) * (n - d)
@@ -238,6 +259,7 @@ object Survival {
         ).as("__v"),
       )
       .agg(
+        countDistinct(col("__st")).as("n_strata"),
         count(lit(1)).as("n_steps"),
         sum(col("d1")).as("o1_events"),
         sum(col("__e1")).as("e1_ppm"),

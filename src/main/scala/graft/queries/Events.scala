@@ -1198,6 +1198,80 @@ object Events {
     graft.ops.Survival.logRank(subj, col("g"), col("dur"), col("obs"))
   }
 
+  /** Stratified (Mantel–Haenszel) log-rank
+    * ([[graft.ops.Survival.logRankStratified]]): the parity-cohort
+    * comparison ADJUSTED for signup month — O−E and V accumulate
+    * within each month's own risk sets, so a seasonal baseline shift
+    * cannot manufacture or mask the group difference. Oracle: the
+    * same per-stratum hypergeometric arithmetic with the stratum in
+    * every partition key, exact on all composed fields. */
+  private val logRankStratQ = Q(
+    "evt_logrank_strat",
+    """WITH
+      |u AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS tp
+      |      FROM events e WHERE e.event_type = 'purchase' GROUP BY 1),
+      |subj AS (
+      |  SELECT CAST(month(u.t0) AS BIGINT) AS st, (u.user_id % 2 = 1) AS g,
+      |    CASE WHEN p.tp IS NOT NULL
+      |           AND date_diff('day', u.t0, p.tp) <= 30
+      |         THEN date_diff('day', u.t0, p.tp) ELSE 30 END AS dur,
+      |    (p.tp IS NOT NULL AND date_diff('day', u.t0, p.tp) <= 30) AS obs
+      |  FROM u LEFT JOIN p ON p.user_id = u.user_id),
+      |hist AS (SELECT st, dur AS t, count(*) AS n_at,
+      |           CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1_at,
+      |           CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |           CAST(sum(CASE WHEN obs AND g THEN 1 ELSE 0 END) AS BIGINT) AS d1
+      |         FROM subj GROUP BY 1, 2),
+      |risk AS (SELECT st, t, d, d1,
+      |           sum(n_at) OVER (PARTITION BY st ORDER BY t DESC
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+      |           sum(n1_at) OVER (PARTITION BY st ORDER BY t DESC
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1
+      |         FROM hist),
+      |steps AS (
+      |  SELECT st, d, d1,
+      |    CAST(CAST(d AS HUGEINT) * n1 * 1000000 // n AS BIGINT) AS e1,
+      |    CASE WHEN n > 1
+      |      THEN CAST(CAST(d AS HUGEINT) * n1 * (n - n1) * (n - d) * 1000000
+      |                // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
+      |      ELSE 0 END AS v
+      |  FROM risk WHERE d > 0),
+      |agg AS (
+      |  SELECT CAST(count(DISTINCT st) AS BIGINT) AS n_strata,
+      |    CAST(count(*) AS BIGINT) AS n_steps,
+      |    CAST(sum(d1) AS BIGINT) AS o1_events,
+      |    CAST(sum(e1) AS BIGINT) AS e1_ppm,
+      |    CAST(sum(d1 * 1000000 - e1) AS BIGINT) AS o_minus_e_ppm,
+      |    CAST(sum(v) AS BIGINT) AS var_ppm
+      |  FROM steps)
+      |SELECT n_strata, n_steps, o1_events, e1_ppm, o_minus_e_ppm, var_ppm,
+      |  CASE WHEN var_ppm > 0
+      |    THEN CAST(CAST(o_minus_e_ppm AS HUGEINT) * o_minus_e_ppm // var_ppm AS BIGINT)
+      |    ELSE 0 END AS chi2_ppm
+      |FROM agg""".stripMargin,
+  ) { (s, d) =>
+    val ev = events(s, d)
+    val u  = ev.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val subj = u
+      .join(
+        ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("tp")),
+        Seq("user_id"),
+        "left",
+      )
+      .select(
+        month(col("t0")).cast("long").as("st"),
+        (col("user_id") % 2 === 1).as("g"),
+        when(col("tp").isNotNull && datediff(col("tp"), col("t0")) <= 30,
+          datediff(col("tp"), col("t0")).cast("long")).otherwise(lit(30L)).as("dur"),
+        (col("tp").isNotNull && datediff(col("tp"), col("t0")) <= 30).as("obs"),
+      )
+    graft.ops.Survival
+      .logRankStratified(subj, col("st"), col("g"), col("dur"), col("obs"))
+  }
+
   /** Kleinberg 2-state burst detection over per-user inter-arrival
     * gaps ([[graft.ops.Burst.kleinberg2]]): the exact-integer Viterbi
     * — per-gap state-cost difference (n·g·10⁶ div T) − ⌊10⁶·ln 2⌋,
@@ -2050,6 +2124,7 @@ object Events {
     kaplanMeierByQ,
     nelsonAalenQ,
     logRankQ,
+    logRankStratQ,
     rmstQ,
     cusumChangepointQ,
     hampelQ,

@@ -3410,6 +3410,29 @@ class OpsSpec extends AnyFunSuite {
     assert(r0.getAs[Long]("chi2_ppm") === 0L)
   }
 
+  test("Survival.logRankStratified: Simpson-style confound vanishes within strata") {
+    // two strata with different baseline hazards but IDENTICAL group
+    // behavior within each stratum; stratum A is all group-1, B all
+    // group-0. An UNSTRATIFIED test confounds group with stratum
+    // (group 1 looks faster only because its stratum converts faster);
+    // within strata each risk set is single-group, so E = d1 exactly
+    // and the adjusted statistic is 0.
+    val subj = Seq(
+      ("A", true, 1L, true), ("A", true, 1L, true), ("A", true, 2L, true),
+      ("B", false, 5L, true), ("B", false, 6L, true), ("B", false, 6L, true),
+    ).toDF("st", "g", "dur", "obs")
+    val strat = Survival
+      .logRankStratified(subj, col("st"), col("g"), col("dur"), col("obs"))
+      .collect().head
+    assert(strat.getAs[Long]("n_strata") === 2L)
+    assert(strat.getAs[Long]("o_minus_e_ppm") === 0L)
+    assert(strat.getAs[Long]("chi2_ppm") === 0L)
+    val pooled = Survival
+      .logRank(subj, col("g"), col("dur"), col("obs"))
+      .collect().head
+    assert(pooled.getAs[Long]("chi2_ppm") > 0L, "pooled test must show the confound")
+  }
+
   test("Survival.rmst: hand-checked area under the KM steps; zero-duration step replaces the anchor") {
     // KM fixture curve: S = 833333 on [1,2), 666666 on [2,3), 222222 on
     // [3,tau); anchor S = 1e6 on [0,1). tau = 5:
