@@ -219,6 +219,96 @@ object SimilarityQueries {
       .select("q_id", "n_id", "cos", "rnk")
   }
 
+  /** FILTERED-ANN RECALL-vs-SELECTIVITY SWEEP (the
+    * `ddp_lsh_banding_sweep` acceptance-artifact pattern): one shared
+    * index, three predicate selectivities (id mod 2/4/8 ≈ 50/25/12%),
+    * each config's single-stage filtered probe scored against the
+    * EXACT filtered brute-force truth — the curve an operator reads
+    * before picking nprobe for a filtered workload (single-stage
+    * filtering degrades only through cell misses, so recall should
+    * hold as selectivity tightens; a post-filter design would
+    * collapse). Everything is deterministic, so the oracle replays
+    * both paths and the exact hit counts. */
+  private val annIvfFilteredSweep = Q(
+    "sim_ann_filtered_sweep", {
+      def cfg(m: Int): String =
+        s"""truth_$m AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+           |    FROM e q JOIN e c ON c.vec_id <> q.vec_id AND c.vec_id % $m = 0
+           |    WHERE q.vec_id < 10)
+           |  WHERE rnk <= 3),
+           |ann_$m AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${duckDot("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm) DESC, c.vec_id) AS rnk
+           |    FROM (SELECT vec_id, cent_id FROM asg WHERE crk <= 2 AND vec_id < 10) q
+           |    JOIN (SELECT vec_id, cent_id FROM asg WHERE crk = 1 AND vec_id % $m = 0) c
+           |      ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+           |    JOIN e qe ON qe.vec_id = q.vec_id JOIN e ce ON ce.vec_id = c.vec_id)
+           |  WHERE rnk <= 3),
+           |row_$m AS (
+           |  SELECT CAST($m AS BIGINT) AS modulus,
+           |    (SELECT count(*) FROM truth_$m) AS n_truth,
+           |    (SELECT count(*) FROM ann_$m) AS n_ann,
+           |    (SELECT count(*) FROM truth_$m t JOIN ann_$m a USING (q_id, n_id)) AS n_hit)"""
+          .stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT vec_id, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+         |  FROM (
+         |    SELECT e.vec_id, cent_id,
+         |      ${duckDot("e.embedding", "cemb")} / (e.nrm * cnrm) AS ccos
+         |    FROM e CROSS JOIN cent)),
+         |${cfg(2)},
+         |${cfg(4)},
+         |${cfg(8)}
+         |SELECT modulus, CAST(n_truth AS BIGINT) AS n_truth, CAST(n_ann AS BIGINT) AS n_ann,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(n_hit * 1000000 // nullif(n_truth, 0) AS BIGINT) AS recall_ppm
+         |FROM (SELECT * FROM row_2 UNION ALL SELECT * FROM row_4 UNION ALL SELECT * FROM row_8)"""
+        .stripMargin
+    },
+  ) { (s, d) =>
+    val emb   = embeddings(s, d)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", cents).localCheckpoint()
+    val rows = Seq(2, 4, 8).map { m =>
+      val pred = col("vec_id") % m === 0
+      val truth = Similarity
+        .bruteForceTopK(emb.filter(col("vec_id") < 10), emb.filter(pred),
+          "vec_id", "embedding", k = 3)
+        .select(col("q_id"), col("n_id"), lit(1L).as("__t"))
+      val ann = Similarity
+        .ivfTopKFromIndex(index, "vec_id", "embedding", k = 3, cents,
+          nprobe = 2, queryPred = col("vec_id") < 10, candidatePred = pred)
+        .select(col("q_id"), col("n_id"), lit(1L).as("__a"))
+      truth
+        .join(ann, Seq("q_id", "n_id"), "full_outer")
+        .agg(
+          sum(col("__t")).as("n_truth"),
+          sum(col("__a")).as("n_ann"),
+          sum(col("__t") * col("__a")).as("n_hit"),
+        )
+        .select(
+          lit(m.toLong).as("modulus"),
+          coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+          coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        )
+        .withColumn("recall_ppm", expr("n_hit * 1000000L div nullif(n_truth, 0)"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** IVF ANN over a Lloyd-REFINED codebook: one refinement iteration
     * (assign to the 16 sampled seeds, per-cell per-dimension mean
     * through DECIMAL(38,12) sums — order-independent, so the refined
@@ -2083,7 +2173,7 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] =
-    Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfFilteredTopK, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
+    Seq(norms, cosineTopK, annSrpTopK, annIvfTopK, annIvfFilteredTopK, annIvfFilteredSweep, annIvfRefinedTopK, quantizeInt8, annInt8TopK,
       annRerankTopK, annIvfInt8TopK, annPqTopK, annIvfPqTopK, annIvfPqTrainedTopK,
       annIvfPqSampledTopK, annIvfAppendTopK, annIvfRefreshTopK, annIvfRefreshDrift,
       annIvfPqResidualTopK, ragChunkTopK, docEmbeddingPool, annRecallEval,
