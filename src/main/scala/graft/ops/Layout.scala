@@ -250,6 +250,32 @@ object Layout {
       )
   }
 
+  /** [[sketchQuantileBins]] with equal-MASS buckets: boundaries from
+    * [[weightedRangeSplitPoints]], assignment by the same bounded
+    * broadcast fold — rows land in buckets of near-equal Σweight
+    * (character/token budget), the packing-shard ASSIGNMENT step after
+    * the planner's cut. */
+  def weightedSketchQuantileBins(
+      df: DataFrame,
+      keyCol: Column,
+      weightCol: Column,
+      n: Int,
+      k: Int = 200,
+  ): DataFrame = {
+    val splits = weightedRangeSplitPoints(df, keyCol, weightCol, n, k)
+      .agg(sort_array(collect_list(col("split_value"))).as("__splits"))
+    df.crossJoin(broadcast(splits))
+      .withColumn(
+        "bucket",
+        aggregate(
+          col("__splits"),
+          lit(0L),
+          (acc, s) => acc + when(keyCol.cast("double") >= s, 1L).otherwise(0L),
+        ),
+      )
+      .drop("__splits")
+  }
+
   /** QUANTILE BINNING from the same sketch splits — the GBDT-style
     * feature transform ("which of n equal-mass buckets does this value
     * fall in") at corpus scale: [[rangeSplitPoints]] gives the n−1

@@ -1516,6 +1516,39 @@ object MiscQueries {
       )
   }
 
+  /** WEIGHTED BINNING
+    * ([[graft.ops.Layout.weightedSketchQuantileBins]]): assign every
+    * document to one of 8 near-equal-character-mass shards — the
+    * packing-shard ASSIGNMENT step after the planner's cut. Balance
+    * differential: each bucket's exact character share within ±4.5% of
+    * 1/8 (boundary-value ties hold a whole length-class together,
+    * widening the band vs the row-count gate), exact id set, no mass
+    * lost (Σ per-bucket mass ≡ corpus mass by construction of the
+    * aggregation). */
+  private val kllWeightedBinningQ = Q(
+    "misc_kll_weighted_binning",
+    """SELECT CAST(b AS BIGINT) AS bucket,
+      |  CAST((SELECT sum(n_chars) FROM documents) AS BIGINT) AS total_chars,
+      |  TRUE AS within_balance
+      |FROM (SELECT unnest(generate_series(0, 7)) AS b)""".stripMargin,
+  ) { (s, d) =>
+    val rows = graft.Tables.documents(s, d)
+      .select(col("n_chars").cast("long").as("__len"), col("n_chars").cast("long").as("__w"))
+    graft.ops.Layout
+      .weightedSketchQuantileBins(rows, col("__len"), col("__w"), n = 8)
+      .groupBy("bucket")
+      .agg(sum(col("__w")).as("__w_in"))
+      .crossJoin(broadcast(rows.agg(sum(col("__w")).as("total_chars"))))
+      .select(
+        col("bucket"),
+        col("total_chars"),
+        expr(
+          """abs(CAST(CAST(__w_in AS DECIMAL(38,0)) * 1000000 div total_chars AS BIGINT)
+            |    - 125000) <= 45000""".stripMargin
+        ).as("within_balance"),
+      )
+  }
+
   /** KLL SKETCH-STORE ROUND TRIP ([[graft.functions.KllAgg.kll_merge]]):
     * sketch four disjoint hash shards of orders independently (the
     * per-day/per-shard sketches a store persists as plain (v, w)
@@ -3119,5 +3152,5 @@ object MiscQueries {
       kAnonymityQ, sampleEpochs, linkPredictQ, purgedFoldsQ, markovSteadyQ, benfordQ,
       samplePps, hitsTrade, ksQ, mannWhitneyQ, spearmanQ, cramersVQ, diameterSweepQ,
       hilbertKeyQ, bootstrapCiQ, bootstrapCiXxQ, rfmScoresQ, quantileScoresQ, conformalQ,
-      conformalByQ, isotonicQ, isotonicByQ, stumpGiniQ, kllQuantilesQ, kllSplitsQ, kllMergeQ, kllWeightedQ, kllBinningQ, kllWeightedSplitsQ)
+      conformalByQ, isotonicQ, isotonicByQ, stumpGiniQ, kllQuantilesQ, kllSplitsQ, kllMergeQ, kllWeightedQ, kllBinningQ, kllWeightedSplitsQ, kllWeightedBinningQ)
 }
