@@ -1117,6 +1117,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!ps.contains("SortMergeJoin"), s"splits acceptance must not SMJ:\n$ps")
   }
 
+  test("hampel: every window partitions by key (no corpus-wide sort); grid span broadcasts") {
+    val p = planOf("evt_hampel_outliers")
+    // formatted mode: each Window detail header lists its partition
+    // spec — none may be empty (a global window would sort the corpus
+    // through one partition at scale)
+    val windowDetails = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowDetails.nonEmpty, s"expected window details:\n$p")
+    windowDetails.foreach(l =>
+      assert(l.contains("key#") || l.contains("partitionby"),
+        s"window must partition by key:\n$l"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row span must broadcast into the grid:\n" + p)
+  }
+
+  test("filtered ivf: predicate composes with the probe join without SMJ or cartesian") {
+    val p = planOf("sim_ann_ivf_filtered_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast into probed cells:\n" + p)
+  }
+
   test("dtw barycenter: series and medoid sides broadcast; no sort-merge join anywhere") {
     val p = planOf("evt_dtw_barycenter")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
