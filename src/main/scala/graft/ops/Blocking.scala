@@ -196,18 +196,23 @@ object Blocking {
     *         — `n_candidates` counts threshold survivors; ties on sim
     *         break by smallest canon id (deterministic both engines). */
   def matchBest(dirty: DataFrame, canon: DataFrame, minSimPpm: Long): DataFrame = {
-    def proj(df: DataFrame, idAs: String, tokAs: String) =
+    def proj(df: DataFrame, idAs: String, tokAs: String, nAs: String) =
       df.select(
         col("id").as(idAs),
         array_distinct(split(col("name"), " ")).as(tokAs),
         col("block"),
-      )
-    val pairs = proj(dirty, "dirty_id", "__da")
-      .join(proj(canon, "canon_id", "__ca"), Seq("block"))
+      ).withColumn(nAs, size(col(tokAs)).cast("long"))
+    // |A ∪ B| = |A| + |B| − |A ∩ B| for the DISTINCT token arrays —
+    // the set sizes are projected map-side (once per record), so each
+    // candidate pair pays one array_intersect instead of an intersect
+    // AND a union materialization (r16 optimization round; the
+    // candidate count is Σ_block |D_b|·|C_b| — 2.7M pairs on the part
+    // fixture's 150 blocks — so per-pair cost IS the operator's cost).
+    val pairs = proj(dirty, "dirty_id", "__da", "__na")
+      .join(proj(canon, "canon_id", "__ca", "__nb"), Seq("block"))
       // token-set Jaccard in integer ppm — flooring div, not float /
       .withColumn("__i", size(array_intersect(col("__da"), col("__ca"))).cast("long"))
-      .withColumn("__u", size(array_union(col("__da"), col("__ca"))).cast("long"))
-      .withColumn("sim_ppm", expr("(__i * 1000000) div __u"))
+      .withColumn("sim_ppm", expr("(__i * 1000000) div (__na + __nb - __i)"))
       .filter(col("sim_ppm") >= minSimPpm)
     pairs
       .groupBy("dirty_id")

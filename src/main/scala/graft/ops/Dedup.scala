@@ -663,6 +663,22 @@ object Dedup {
     verifyJaccard(cands, shingles, minJaccard)
   }
 
+  /** [[minhashLshPairsNative]] over a PREBUILT signature table — the
+    * entry point for pipelines that materialize the (doc, mh0..mh{k-1})
+    * signatures once per corpus and fan several banding/verify jobs off
+    * the one table (the shared-artifact discipline: the signature pass
+    * is the dominant map cost, and every consumer re-deriving it pays
+    * it once per PLAN SUBTREE — a candidate self-join alone evaluates
+    * it twice). Dataflow and results identical to
+    * [[minhashLshPairsNative]] given equal signatures. */
+  def minhashLshPairsFromSigs(
+      sigs: DataFrame,
+      shingles: DataFrame,
+      rowsPerBand: Int,
+      minJaccard: Double,
+  ): DataFrame =
+    verifyJaccard(lshCandidates(lshBands(sigs, rowsPerBand)), shingles, minJaccard)
+
   /** Production-path MinHash signatures: xxhash64 (codegen'd, integer
     * output, no string materialization) instead of md5 hex. Same
     * dataflow as [[minhashSignatures]] — one aggregation pass, k min
@@ -800,12 +816,26 @@ object Dedup {
       k: Int,
       rowsPerBand: Int,
       tauPpm: Long,
+  ): DataFrame =
+    weightedJaccardPairsFromSigs(
+      docs, idCol, textCol,
+      minhashSignaturesNative(docs, idCol, textCol, n, k),
+      rowsPerBand, tauPpm)
+
+  /** [[weightedJaccardPairs]] over a PREBUILT signature table (the
+    * [[minhashLshPairsFromSigs]] discipline) — candidate generation
+    * reads the shared signatures instead of re-hashing the corpus. */
+  def weightedJaccardPairsFromSigs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sigs: DataFrame,
+      rowsPerBand: Int,
+      tauPpm: Long,
   ): DataFrame = {
     // consumed twice (min-sum join + the final left join): materialize
     // so the signature/banding chain runs once, not per consumer
-    val cands = lshCandidates(
-      lshBands(minhashSignaturesNative(docs, idCol, textCol, n, k), rowsPerBand)
-    ).localCheckpoint()
+    val cands = lshCandidates(lshBands(sigs, rowsPerBand)).localCheckpoint()
     // consumed three times (both sides of the min-sum join + totals):
     // materialize so the explode + count aggregation runs once
     val tok = docs

@@ -87,7 +87,8 @@ object Graph {
   def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k-core needs k >= 1, got $k")
     require(rounds >= 1, s"k-core needs rounds >= 1, got $rounds")
-    var e = edges.select(col("a"), col("b")).localCheckpoint()
+    // lazy + count = one setup action (same cadence as the rounds)
+    var e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
     var prev = e.count()
     var done = false
     var i    = 0
@@ -145,32 +146,52 @@ object Graph {
     *                general form; a single seed is a 1-row frame).
     * @return (`node`, `dist`): every node within `maxHops` of a seed,
     *         with its exact BFS distance (seeds at 0). */
-  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame =
+    bfsHopsSym(
+      edges
+        .select(col("a").cast("long").as("s"), col("b").cast("long").as("t"))
+        .unionAll(edges.select(col("b").cast("long").as("s"), col("a").cast("long").as("t")))
+        .localCheckpoint(eager = false), // materializes in hop 1's job
+      sources,
+      maxHops,
+    )
+
+  /** [[bfsHops]] over a prebuilt (already materialized) SYMMETRIC edge
+    * list `(s, t)` — callers running several sweeps over one graph
+    * (the double-sweep diameter) build the symmetric list once. */
+  private[graft] def bfsHopsSym(
+      sym: DataFrame,
+      sources: DataFrame,
+      maxHops: Int,
+  ): DataFrame = {
     require(maxHops >= 0, s"BFS needs maxHops >= 0, got $maxHops")
-    val sym = edges
-      .select(col("a").cast("long").as("s"), col("b").cast("long").as("t"))
-      .unionAll(edges.select(col("b").cast("long").as("s"), col("a").cast("long").as("t")))
-      .localCheckpoint()
     var dist = sources
       .select(col("node").cast("long").as("node"))
       .distinct()
       .select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var frontier = dist.select("node")
     var hop      = 0L
     var done     = false
     while (hop < maxHops && !done) {
       hop += 1
+      // LAZY checkpoint + count = ONE action per hop (the kcore
+      // cadence, r16 optimization round): the count job materializes
+      // the frontier's lineage-cut blocks AND delivers the
+      // empty-frontier exit test. `dist` stays a union of checkpointed
+      // frontier scans (depth ≤ maxHops, every leaf a cached RDD) —
+      // the eager form re-materialized the WHOLE distance table every
+      // hop (O(reach · hops) copies) and paid 3 scheduled jobs per hop.
       val next = frontier
         .join(sym, col("node") === col("s"))
         .select(col("t").as("node"))
         .distinct()
         .join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(hop).as("dist"))
-        .localCheckpoint()
-      if (next.isEmpty) done = true
+        .localCheckpoint(eager = false)
+      if (next.count() == 0L) done = true
       else {
-        dist = dist.unionAll(next).localCheckpoint()
+        dist = dist.unionAll(next)
         frontier = next.select("node")
       }
     }
@@ -192,14 +213,17 @@ object Graph {
     * Output: 1 row `(seed, peripheral, ecc_seed, far_node,
     * diameter_lb)`. */
   def diameterSweep(edges: DataFrame, maxHops: Int): DataFrame = {
-    val seed = edges
-      .select(col("a").cast("long").as("node"))
-      .unionAll(edges.select(col("b").cast("long").as("node")))
-      .agg(min(col("node")).as("node"))
-    val far1 = bfsHops(edges, seed, maxHops)
+    // both sweeps walk one materialized symmetric list (the un-hoisted
+    // form built and checkpointed it once per sweep)
+    val sym = edges
+      .select(col("a").cast("long").as("s"), col("b").cast("long").as("t"))
+      .unionAll(edges.select(col("b").cast("long").as("s"), col("a").cast("long").as("t")))
+      .localCheckpoint()
+    val seed = sym.agg(min(col("s")).as("node"))
+    val far1 = bfsHopsSym(sym, seed, maxHops)
       .orderBy(col("dist").desc, col("node"))
       .limit(1)
-    val far2 = bfsHops(edges, far1.select("node"), maxHops)
+    val far2 = bfsHopsSym(sym, far1.select("node"), maxHops)
       .orderBy(col("dist").desc, col("node"))
       .limit(1)
     seed
@@ -230,23 +254,27 @@ object Graph {
     *         from any seed; unreachable-within-budget nodes absent. */
   def ssspBounded(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"SSSP needs rounds >= 1, got $rounds")
+    // lazy setup + the every-3rd-round checkpoint cadence
+    // ([[PageRank.pageRank]]'s loop discipline, r16 optimization
+    // round): relaxation is integer (min, +) — order-free — so
+    // batching three rounds into one job cannot change a distance.
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
         col("w").cast("long").as("w"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var dist = sources
       .select(col("node").cast("long").as("node"))
       .distinct()
       .select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint()
-    for (_ <- 1 to rounds) {
+      .localCheckpoint(eager = false)
+    for (i <- 1 to rounds) {
       dist = dist
         .join(e, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .unionAll(dist)
         .groupBy("node")
         .agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+      if (i % 3 == 0 || i == rounds) dist = dist.localCheckpoint()
     }
     dist
   }
@@ -293,7 +321,10 @@ object Graph {
   ): DataFrame = {
     require(rounds >= 1, s"label propagation needs rounds >= 1, got $rounds")
     val e0 = edges.select(col("src"), col("dst"))
-    val e  = (if (edgesDistinct) e0 else e0.dropDuplicates("src", "dst")).localCheckpoint()
+    // lazy: materializes inside round 1's checkpoint job
+    val e =
+      (if (edgesDistinct) e0 else e0.dropDuplicates("src", "dst"))
+        .localCheckpoint(eager = false)
     // Round 1 from identity labels NEVER needs the vote table: every
     // neighbor label is that neighbor's id, each occurs exactly once
     // (the edge list is deduplicated, no self-loops), and the
@@ -565,7 +596,9 @@ object Graph {
     * @return one row per node: (id, hub_ppm, auth_ppm). */
   def hits(edges: DataFrame, rounds: Int = 2): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // e materializes inside the nodes checkpoint's job (lazy setup —
+    // the [[PageRank.pageRank]] r16 cadence)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
     val nodes = e
       .select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
@@ -585,7 +618,15 @@ object Graph {
     }
     var auth = nodes.withColumn("auth", lit(1000000L))
     var hub  = nodes.withColumn("hub", lit(1000000L))
-    for (i <- 1 to rounds) {
+    for (_ <- 1 to rounds) {
+      // Each raw vector is LINEAGE-CUT before its L∞ normalization:
+      // `normalized` consumes its input twice (the max aggregate + the
+      // rescale projection) and the next half-round builds on the
+      // result, so the un-cut form DOUBLED the live plan per half-round
+      // — at rounds=2 the final plan re-evaluated the early joins 16×
+      // (264 Exchange nodes, r16 plan audit). Cutting at the raw vector
+      // (node-sized, two longs) bounds every job to one round's joins;
+      // integer arithmetic, so results are bit-identical.
       val hubRaw = nodes
         .join(
           e.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
@@ -595,6 +636,7 @@ object Graph {
           "left",
         )
         .select(col("id"), coalesce(col("__s"), lit(0L)).as("hub"))
+        .localCheckpoint()
       hub = normalized(hubRaw, "hub")
       val authRaw = nodes
         .join(
@@ -605,8 +647,8 @@ object Graph {
           "left",
         )
         .select(col("id"), coalesce(col("__s"), lit(0L)).as("auth"))
+        .localCheckpoint()
       auth = normalized(authRaw, "auth")
-      if (i % 3 == 0) { hub = hub.localCheckpoint(); auth = auth.localCheckpoint() }
     }
     nodes
       .join(hub, Seq("id"))
@@ -622,9 +664,10 @@ object Graph {
       rounds: Int = 3,
   ): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
+    // e materializes inside the states checkpoint's job (lazy setup)
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"), col(nCol).as("n"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val outs = e.groupBy("src").agg(sum(col("n")).as("out_n"))
     val states = e
       .select(col("src").as("state"))

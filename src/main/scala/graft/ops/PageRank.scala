@@ -67,9 +67,15 @@ object PageRank {
     // positive integer edge weights — contribution ⌊r·w / W(u)⌋ with
     // W(u) the total out-weight; the unweighted form is w ≡ 1.
     // Still all-integer, still order-free.
+    // LAZY checkpoints on the setup frames (r16 optimization round):
+    // `e` materializes inside the edgesDeg checkpoint's own job and
+    // `nodes` inside the first round-batch job — the eager form paid
+    // one scheduled job per frame (3 setup jobs) to build tables the
+    // next job would have materialized anyway. Same blocks, same
+    // lineage cuts, 1 setup action instead of 3.
     val e = edges
       .select(col("src") +: col("dst") +: weightCol.map(w => col(w).cast("long").as("__w")).toSeq: _*)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val deg = e
       .groupBy("src")
       .agg(weightCol.map(_ => sum(col("__w"))).getOrElse(count(lit(1))).as("__d"))
@@ -77,12 +83,12 @@ object PageRank {
     // single probe of the rank vector (degrees never change)
     val edgesDeg = e.join(deg, Seq("src")).localCheckpoint()
     val nodes =
-      if (noDangling) e.select(col("src").as("id")).distinct().localCheckpoint()
+      if (noDangling) e.select(col("src").as("id")).distinct().localCheckpoint(eager = false)
       else
         e.select(col("src").as("id"))
           .union(e.select(col("dst").as("id")))
           .distinct()
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
     val newRank =
       (lit(basePpm) + expr(s"(${dampingPpt}L * coalesce(__m, 0L)) div 1000L")).as("rank_ppm")
     var ranks = nodes.withColumn("rank_ppm", lit(r0Ppm))
@@ -134,7 +140,9 @@ object PageRank {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPpt >= 0 && dampingPpt <= 1000, s"dampingPpt in [0,1000], got $dampingPpt")
     val basePpm = r0Ppm * (1000L - dampingPpt) / 1000L
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // lazy setup checkpoints — the [[pageRank]] r16 cadence: one
+    // materializing action (edgesDeg) instead of three
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
     val deg      = e.groupBy("src").agg(count(lit(1)).as("__d"))
     val edgesDeg = e.join(deg, Seq("src")).localCheckpoint()
     val nodes = e
@@ -143,7 +151,7 @@ object PageRank {
       .distinct()
       .join(sources.select(col("id")).distinct().withColumn("__s", lit(1)), Seq("id"), "left")
       .select(col("id"), coalesce(col("__s"), lit(0)).as("__s"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val restart = when(col("__s") === 1, lit(basePpm)).otherwise(lit(0L))
     val newRank =
       (restart + expr(s"(${dampingPpt}L * coalesce(__m, 0L)) div 1000L")).as("rank_ppm")

@@ -688,9 +688,17 @@ object Similarity {
       bands: Int = 12,
       dim: Int = 0,
       probes: Int = 0,
-  ): DataFrame = {
+  ): DataFrame =
+    knnGraphFromPairs(embeddingDupPairs(df, idCol, embCol, tau, nPlanes, bands, dim, probes), k)
+
+  /** [[knnGraph]] over a PREBUILT verified pair table `(a_id, b_id,
+    * cos)` — the entry point for pipelines that materialize the
+    * near-dup pair list once per corpus and fan the graph/cluster/
+    * cohesion consumers off the one table (the shared-artifact
+    * discipline; r16 optimization round, guide §2.4). Dataflow and
+    * results identical to [[knnGraph]] given equal pairs. */
+  def knnGraphFromPairs(pairs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val pairs = embeddingDupPairs(df, idCol, embCol, tau, nPlanes, bands, dim, probes)
     val directed = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"), col("cos"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"), col("cos")))
@@ -729,8 +737,16 @@ object Similarity {
       bands: Int = 12,
       dim: Int = 0,
       probes: Int = 0,
-  ): DataFrame = {
-    val mutualEdges = knnGraph(df, idCol, embCol, k, tau, nPlanes, bands, dim, probes)
+  ): DataFrame =
+    mutualKnnClustersFromPairs(
+      embeddingDupPairs(df, idCol, embCol, tau, nPlanes, bands, dim, probes),
+      k,
+    )
+
+  /** [[mutualKnnClusters]] over a PREBUILT verified pair table (the
+    * [[knnGraphFromPairs]] discipline). */
+  def mutualKnnClustersFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+    val mutualEdges = knnGraphFromPairs(pairs, k)
       .filter(col("mutual") && col("src") < col("dst"))
       .select(col("src").as("a_id"), col("dst").as("b_id"))
     Dedup.clusterPairs(mutualEdges)
@@ -786,16 +802,32 @@ object Similarity {
       embCol: String,
       k: Int,
       tau: Double,
-  ): DataFrame = {
+  ): DataFrame =
     // auto-banded candidate generation (the production collision
     // floor stays ∝ N; the ≤4000-vector rung IS the oracle's 72/12)
-    val comps = mutualKnnClustersAuto(df, idCol, embCol, k, tau).localCheckpoint()
+    clusterCohesionFromPairs(
+      df, idCol, embCol,
+      embeddingDupPairsAuto(df, idCol, embCol, tau),
+      k,
+    )
+
+  /** [[clusterCohesion]] over a PREBUILT verified pair table (the
+    * [[knnGraphFromPairs]] discipline) — `df` still supplies the
+    * embeddings for the within-component cosine pairs. */
+  def clusterCohesionFromPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      pairs: DataFrame,
+      k: Int,
+  ): DataFrame = {
+    val comps = mutualKnnClustersFromPairs(pairs, k).localCheckpoint()
     val e = withNorm(df, embCol)
       .select(col(idCol).as("__id"), col(embCol).as("__e"), col("nrm").as("__n"))
     val m = comps
       .join(e, col("doc_id") === col("__id"))
       .select(col("component"), col("doc_id"), col("__e"), col("__n"))
-    val pairs = m
+    val cosPairs = m
       .as("a")
       .join(m.as("b"), col("a.component") === col("b.component") && col("a.doc_id") < col("b.doc_id"))
       .select(
@@ -808,7 +840,7 @@ object Similarity {
       .groupBy("component")
       .agg(count(lit(1)).as("n_members"))
       .join(
-        pairs.groupBy("component").agg(count(lit(1)).as("n_pairs"), sum(col("__cp")).as("__s")),
+        cosPairs.groupBy("component").agg(count(lit(1)).as("n_pairs"), sum(col("__cp")).as("__s")),
         Seq("component"),
       )
       .select(

@@ -693,23 +693,12 @@ object Stats {
       )
   }
 
-  /** Doubled midranks of `valueCol` as a histogram-keyed lookup
-    * `(__s, __c, __mr2)`: a tie group of c values ending at inclusive
-    * cumulative `cum` occupies ranks (cum−c+1)..cum, so its midrank is
-    * cum − (c−1)/2 — doubled to `2·cum − c + 1` to stay integral.
-    * Built on [[tieredCum]], so a continuous (corpus-sized) value
-    * domain never sees an unpartitioned window; callers join the
-    * lookup back to rows by value (a co-partitioned equi-join). */
-  private def midrank2(df: DataFrame, valueCol: Column): DataFrame =
-    tieredCum(
-      df.filter(valueCol.isNotNull).groupBy(valueCol.as("__s")).agg(count(lit(1)).as("__c")),
-      Seq("__c"),
-    ).select(col("__s"), col("__c"), (lit(2L) * col("__cum1") - col("__c") + 1L).as("__mr2"))
-
   /** Spearman rank correlation between two integral columns — the
     * monotone-association coefficient computed EXACTLY: tie-averaged
-    * midranks (doubled, so integral) come from the tiered histogram
-    * rank ([[midrank2]]), the moments accumulate in DECIMAL(38,0), and
+    * midranks (doubled, so integral: 2·cum − c + 1 for a tie group of
+    * c values at inclusive cumulative cum) come from ONE stacked
+    * tiered histogram rank ([[tieredCumBy]], both columns in one
+    * pass), the moments accumulate in DECIMAL(38,0), and
     * only the final division/sqrt touches doubles — both engines
     * replay the identical IEEE sequence over identical exact integers,
     * so even the DOUBLE output is bit-stable. COMPLETE-CASE semantics
@@ -725,8 +714,29 @@ object Stats {
     val rows = df
       .filter(xCol.isNotNull && yCol.isNotNull)
       .select(xCol.as("__x"), yCol.as("__y"))
-    val rx = midrank2(rows, col("__x")).select(col("__s").as("__x"), col("__mr2").as("__rx2"))
-    val ry = midrank2(rows, col("__y")).select(col("__s").as("__y"), col("__mr2").as("__ry2"))
+    // ONE keyed histogram + ONE tiered cumulative for BOTH columns
+    // (r16 optimization round, guide §2.3/2.4): the per-column
+    // midrank2 form paid two histogram exchanges and two tiered
+    // pipelines (each with its own range-sampling pass and
+    // checkpoint); stacking (__k ∈ x/y, __s = value) ranks both
+    // columns in one. Midranks are computed within __k, so the values
+    // are identical to the per-column form; both columns are integral
+    // by contract, so the stack's common long type is lossless. The
+    // lookup is checkpointed: both filter-consumers read one
+    // materialization.
+    val hist = rows
+      .select(
+        stack(lit(2), lit("x"), col("__x").cast("long"), lit("y"), col("__y").cast("long"))
+          .as(Seq("__k", "__s")))
+      .groupBy(col("__k"), col("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val mr = tieredCumBy(hist, Seq("__c"))
+      .select(col("__k"), col("__s"), (lit(2L) * col("__cum1") - col("__c") + 1L).as("__mr2"))
+      .localCheckpoint()
+    val rx =
+      mr.filter(col("__k") === "x").select(col("__s").as("__x"), col("__mr2").as("__rx2"))
+    val ry =
+      mr.filter(col("__k") === "y").select(col("__s").as("__y"), col("__mr2").as("__ry2"))
     rows
       .join(rx, Seq("__x"))
       .join(ry, Seq("__y"))
@@ -894,27 +904,6 @@ object Stats {
       )
   }
 
-  /** Equi-depth bucket LOOKUP for a (possibly corpus-sized) value
-    * domain: `(__s, __bucket)` with bucket(v) = ⌊#strictly-less · k / n⌋
-    * — the [[equiDepthHistogram]] rank rule (ties share a bucket, the
-    * floor never exceeds k−1) computed on the TIERED cumulative
-    * ([[tieredCum]]), so a continuous domain never sees an
-    * unpartitioned window. Callers join the lookup back by value. */
-  private def bucketLookup(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
-    require(k >= 1, s"bucket count must be >= 1, got $k")
-    val cum = tieredCum(
-      df.filter(valueCol.isNotNull).groupBy(valueCol.as("__s")).agg(count(lit(1)).as("__c")),
-      Seq("__c"),
-    )
-    val total = cum.agg(max(col("__cum1")).as("__n"))
-    cum
-      .crossJoin(broadcast(total))
-      .select(
-        col("__s"),
-        expr(s"(__cum1 - __c) * ${k}L div __n").as("__bucket"),
-      )
-  }
-
   /** SPLIT-CONFORMAL prediction interval for an integral value column
     * (Vovk et al. 2005; the distribution-free uncertainty wrapper every
     * model-serving pipeline bolts on): a deterministic hash split
@@ -970,11 +959,15 @@ object Stats {
     * after its hash split, so the batch gate and the streaming twin
     * share one code path. */
   def conformalFromValueHist(
-      calHist: DataFrame,
+      calHist0: DataFrame,
       testVals: DataFrame,
       alphaPpm: Long,
   ): DataFrame = {
     require(0L < alphaPpm && alphaPpm < 1000000L, s"alphaPpm in (0, 1e6), got $alphaPpm")
+    // the histogram feeds the mean AND the residual pass; lazy
+    // checkpoint materializes it inside the calMean job (one corpus
+    // aggregation instead of two — r16 optimization round)
+    val calHist = calHist0.localCheckpoint(eager = false)
     val calMean = calHist
       .agg(
         sum(col("c")).as("n_cal"),
@@ -987,7 +980,8 @@ object Stats {
       .select(expr("abs(v * 1000000L - mean_ppm)").as("__s"), col("c").as("__rc"))
       .groupBy("__s") // residuals of distinct values can collide after abs
       .agg(sum(col("__rc")).as("__c"))
-    val cum = tieredCum(resid, Seq("__c"))
+    // consumed by the total AND the rank selection — one window pass
+    val cum = tieredCum(resid, Seq("__c")).localCheckpoint(eager = false)
     val tot = cum.agg(max(col("__cum1")).as("__n"))
     val q = cum
       .crossJoin(broadcast(tot))
@@ -1056,11 +1050,14 @@ object Stats {
     * sibling of [[conformalFromValueHist]] (one code path for the
     * batch gate and any streaming per-key calibration state). */
   def conformalFromValueHistBy(
-      calHist: DataFrame,
+      calHist0: DataFrame,
       testVals: DataFrame,
       alphaPpm: Long,
   ): DataFrame = {
     require(0L < alphaPpm && alphaPpm < 1000000L, s"alphaPpm in (0, 1e6), got $alphaPpm")
+    // lazy-checkpointed: the mean AND the residual pass read one
+    // materialization (the [[conformalFromValueHist]] r16 shape)
+    val calHist = calHist0.localCheckpoint(eager = false)
     val calMean = calHist
       .groupBy("__k")
       .agg(
@@ -1074,7 +1071,8 @@ object Stats {
       .select(col("__k"), expr("abs(v * 1000000L - mean_ppm)").as("__s"), col("c").as("__rc"))
       .groupBy("__k", "__s") // residuals of distinct values can collide after abs
       .agg(sum(col("__rc")).as("__c"))
-    val cum = tieredCumBy(resid, Seq("__c"))
+    // consumed by the per-key total AND the rank selection
+    val cum = tieredCumBy(resid, Seq("__c")).localCheckpoint(eager = false)
     val tot = cum.groupBy("__k").agg(max(col("__cum1")).as("__n"))
     val q = cum
       .join(broadcast(tot), Seq("__k"))
@@ -1171,11 +1169,37 @@ object Stats {
         dims.head._2.as(s"${dims.head._1}_raw"),
         dims.tail.map { case (n, c) => c.as(s"${n}_raw") }: _*,
       )
-      .localCheckpoint() // feeds one bucket lookup per dim + the join spine
+      .localCheckpoint() // feeds the stacked histogram + the join spine
+    // ONE keyed histogram + ONE tiered cumulative for ALL dims (r16
+    // optimization round, guide §2.3/2.4): the per-dim bucketLookup
+    // form paid |dims| histogram exchanges and |dims| tiered-cumulative
+    // pipelines over the same checkpointed base; stacking the dims into
+    // (__k = dim, __s = value) runs the identical rank arithmetic once.
+    // Dim values are integral by contract (every caller passes BIGINT
+    // aggregates — the concatenated `cell` demands it), so the stack's
+    // common long type is lossless and the join-back keys compare
+    // exactly.
+    val stackArgs =
+      dims.flatMap { case (n, _) => Seq(lit(n), col(s"${n}_raw").cast("long")) }
+    val hist = base
+      .select(stack(lit(dims.size) +: stackArgs: _*).as(Seq("__k", "__s")))
+      .filter(col("__s").isNotNull)
+      .groupBy(col("__k"), col("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = tieredCumBy(hist, Seq("__c")).localCheckpoint()
+    val totals = cum.groupBy(col("__k")).agg(max(col("__cum1")).as("__n"))
+    val lookup = cum
+      .join(broadcast(totals), Seq("__k"))
+      .select(
+        col("__k"),
+        col("__s"),
+        (expr(s"(__cum1 - __c) * ${k}L div __n") + 1L).as("__score"),
+      )
     val joined = dims.foldLeft(base) { case (acc, (n, _)) =>
       acc.join(
-        bucketLookup(base, col(s"${n}_raw"), k)
-          .select(col("__s").as(s"${n}_raw"), (col("__bucket") + 1L).as(s"${n}_score")),
+        lookup
+          .filter(col("__k") === n)
+          .select(col("__s").as(s"${n}_raw"), col("__score").as(s"${n}_score")),
         Seq(s"${n}_raw"),
       )
     }
@@ -1257,25 +1281,35 @@ object Stats {
     // 6-hex windows, and the weight ladder compares the window
     // lexicographically (no integer parse at all). 5× fewer digests,
     // zero conv: measured 49 s → ~7 s on the 200×150k gate shape.
-    val means = rows
+    // Per-window weights computed INLINE on the (row × group) frame and
+    // partially aggregated BEFORE any unpivot (r16 optimization round,
+    // guide §2.3 — aggregate before you amplify): the posexplode form
+    // materialized 5× more generator rows just to route each window
+    // through the same groupBy. Identical resamples: the same digest
+    // windows feed the same ladder, summed per (group, window) and
+    // unpivoted to the same B-row means table.
+    val winSums = rows
       .select(col("__id"), col("__v"), explode(sequence(lit(0), lit(b / 5 - 1))).as("__g"))
       .withColumn(
         "__dig",
         md5(concat(col("__id").cast("string"), lit(":"), col("__g").cast("string"))),
       )
       .select(
-        col("__v"),
-        col("__g"),
-        posexplode(
-          array((0 until 5).map(j => substring(col("__dig"), j * 6 + 1, 6)): _*)
-        ).as(Seq("__j", "__win")),
+        col("__v") +: col("__g") +:
+          (0 until 5).map(j =>
+            poissonWeight(substring(col("__dig"), j * 6 + 1, 6)).as(s"__w$j")): _*
       )
-      .select(
-        col("__v"),
-        (col("__g") * 5 + col("__j")).as("__b"),
-        poissonWeight(col("__win")).as("__w"),
+      .groupBy(col("__g"))
+      .agg(
+        expr("sum(CAST(__w0 AS DECIMAL(38,0)) * __v)").as("__wv0"),
+        (Seq(sum(col("__w0")).as("__ws0")) ++
+          (1 until 5).flatMap(j =>
+            Seq(
+              expr(s"sum(CAST(__w$j AS DECIMAL(38,0)) * __v)").as(s"__wv$j"),
+              sum(col(s"__w$j")).as(s"__ws$j"),
+            ))): _*
       )
-    bootstrapCiTail(rows, means, ppmLo, ppmHi)
+    bootstrapCiFromWindowSums(rows, winSums, 5, ppmLo, ppmHi)
   }
 
   /** xxhash64 production twin of [[bootstrapMeanCi]] — same Poisson
@@ -1297,40 +1331,46 @@ object Stats {
     require(b >= 1 && b % 2 == 0, s"resample count must be a positive multiple of 2, got $b")
     require(0L <= ppmLo && ppmLo <= ppmHi && ppmHi <= 1000000L, s"bad ppm range $ppmLo..$ppmHi")
     val rows = df.filter(valueCol.isNotNull).select(idCol.as("__id"), valueCol.as("__v"))
-    val weights = rows
+    // Inline per-window weights + pre-unpivot partial aggregation (the
+    // [[bootstrapMeanCi]] r16 shape): identical resamples, half the
+    // generator rows.
+    val winSums = rows
       .select(col("__id"), col("__v"), explode(sequence(lit(0), lit(b / 2 - 1))).as("__g"))
       .withColumn("__h", xxhash64(col("__id"), col("__g")))
       .select(
         col("__v"),
         col("__g"),
-        posexplode(
-          array(expr("__h & 16777215"), expr("(__h >> 24) & 16777215"))
-        ).as(Seq("__j", "__win")),
+        poissonWeightInt(expr("__h & 16777215")).as("__w0"),
+        poissonWeightInt(expr("(__h >> 24) & 16777215")).as("__w1"),
       )
-      .select(
-        col("__v"),
-        (col("__g") * 2 + col("__j")).as("__b"),
-        poissonWeightInt(col("__win")).as("__w"),
+      .groupBy(col("__g"))
+      .agg(
+        expr("sum(CAST(__w0 AS DECIMAL(38,0)) * __v)").as("__wv0"),
+        sum(col("__w0")).as("__ws0"),
+        expr("sum(CAST(__w1 AS DECIMAL(38,0)) * __v)").as("__wv1"),
+        sum(col("__w1")).as("__ws1"),
       )
-    bootstrapCiTail(rows, weights, ppmLo, ppmHi)
+    bootstrapCiFromWindowSums(rows, winSums, 2, ppmLo, ppmHi)
   }
 
-  /** Shared reduction of the bootstrap twins: per-resample weighted
-    * means (one combinable aggregation), nearest-rank CI over the
-    * B-row mean table, point estimate joined as a broadcast 1-row
-    * aggregate. `weights` carries (__v, __b, __w). */
-  private def bootstrapCiTail(
+  /** Shared reduction of the bootstrap twins: `winSums` carries one
+    * row per digest group with `windows` resamples' pre-aggregated
+    * (`__wv<j>` = Σw·v in DECIMAL(38,0), `__ws<j>` = Σw) pairs; the
+    * unpivot to the B-row means table, nearest-rank CI, and the
+    * broadcast 1-row point estimate follow. */
+  private def bootstrapCiFromWindowSums(
       rows: DataFrame,
-      weights: DataFrame,
+      winSums: DataFrame,
+      windows: Int,
       ppmLo: Long,
       ppmHi: Long,
   ): DataFrame = {
-    val means = weights
-      .groupBy("__b")
-      .agg(
-        expr("sum(CAST(__w AS DECIMAL(38,0)) * __v)").as("__wv"),
-        sum(col("__w")).as("__wsum"),
-      )
+    // one (group) row carries `windows` resamples' (Σw·v, Σw) pairs;
+    // the unpivot to the B-row means table happens AFTER the corpus
+    // aggregation, so it amplifies B/windows rows, not the corpus
+    val stackArgs = (0 until windows).flatMap(j => Seq(col(s"__wv$j"), col(s"__ws$j")))
+    val means = winSums
+      .select(stack(lit(windows) +: stackArgs: _*).as(Seq("__wv", "__wsum")))
       .select(expr("CAST(__wv * 1000000 div nullif(__wsum, 0) AS BIGINT)").as("__s"))
       .filter(col("__s").isNotNull)
     val ci = cumOf(means.groupBy(col("__s")).agg(count(lit(1)).as("__c")))

@@ -1369,10 +1369,23 @@ object Text {
     * rank windows run over those bounded tables — the [[Stats]]
     * bounded-domain discipline (a natural-language vocabulary is
     * Heaps-law-bounded, not corpus-proportional). */
-  def wordpieceVocab(occ: DataFrame, topWords: Int, topPrefixes: Int): DataFrame = {
+  def wordpieceVocab(occ: DataFrame, topWords: Int, topPrefixes: Int): DataFrame =
+    wordpieceVocabFromHist(
+      occ.groupBy(col("word")).agg(count(lit(1)).as("__c")).localCheckpoint(),
+      topWords,
+      topPrefixes,
+    )
+
+  /** [[wordpieceVocab]] over a PREBUILT word histogram `(word, __c)` —
+    * the entry point for callers that already materialized the corpus
+    * word census (tokenize gates need the distinct-word table anyway;
+    * deriving both vocab and tokenizer input from ONE histogram saves
+    * a full corpus explode — guide §2.4). The histogram must be
+    * distinct by `word`; pass a checkpointed frame, it is consumed by
+    * several derived tops. */
+  def wordpieceVocabFromHist(hist: DataFrame, topWords: Int, topPrefixes: Int): DataFrame = {
     require(topWords >= 0 && topPrefixes >= 0, s"negative top-k: $topWords/$topPrefixes")
     import org.apache.spark.sql.expressions.Window
-    val hist  = occ.groupBy(col("word")).agg(count(lit(1)).as("__c")).localCheckpoint()
     val words = hist.select(col("word"))
     val singles = words
       .select(
@@ -1461,7 +1474,14 @@ object Text {
     var done     = init.filter(col("failed")).localCheckpoint()
     var frontier = init.filter(!col("failed")).localCheckpoint()
     var round    = 0
-    while (round < maxWordLen && !frontier.isEmpty) {
+    var live     = !frontier.isEmpty
+    while (round < maxWordLen && live) {
+      // LAZY checkpoint + frontier count = ONE action per round (the
+      // kcore cadence, r16 optimization round): the count job both
+      // materializes the lineage-cut blocks and delivers the
+      // loop-continuation statistic — the eager-checkpoint + isEmpty
+      // form paid a second scheduled job per round on the suite's most
+      // round-serialized text gate.
       val stepped = frontier
         .join(
           broadcast(v),
@@ -1489,9 +1509,11 @@ object Text {
             .as("pieces"),
           col("__best").isNull.as("failed"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      val next = stepped.filter(!col("failed") && col("pos") < col("wlen"))
+      live = next.count() > 0
       done = done.unionByName(stepped.filter(col("failed") || col("pos") >= col("wlen")))
-      frontier = stepped.filter(!col("failed") && col("pos") < col("wlen"))
+      frontier = next
       round += 1
     }
     // pos advances >= 1 per round, so maxWordLen rounds always drain

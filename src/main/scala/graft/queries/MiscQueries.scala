@@ -2879,7 +2879,9 @@ object MiscQueries {
       |  SELECT sym.t, w.d + 1 FROM walk w JOIN sym ON sym.s = w.node WHERE w.d < 3)
       |SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
   ) { (s, d) =>
-    val edges = coPurchaseEdges(s, d).localCheckpoint()
+    // coPurchaseEdges is already persisted (shared_build) — a further
+    // localCheckpoint would re-materialize the same blocks
+    val edges = coPurchaseEdges(s, d)
     // Seeds drawn from edge SOURCES only (every node appears as a
     // source in the symmetric list, so this is all graph nodes).
     val sources = edges

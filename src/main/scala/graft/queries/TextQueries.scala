@@ -1328,8 +1328,16 @@ object TextQueries {
   ) { (s, d) =>
     val occ = documents(s, d)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
-    val vocab = Text.wordpieceVocab(occ, topWords = 8, topPrefixes = 8)
-    val wp    = Text.wordpieceTokenize(occ.select("word"), vocab, maxWordLen = 6)
+    // ONE corpus word census feeds both the vocab derivation and the
+    // tokenizer's distinct-word input (the un-shared form exploded the
+    // corpus three times: vocab hist, tokenizer distinct, final join —
+    // r16 optimization round, guide §2.4)
+    val hist = occ
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val vocab = Text.wordpieceVocabFromHist(hist, topWords = 8, topPrefixes = 8)
+    val wp    = Text.wordpieceTokenize(hist.select("word"), vocab, maxWordLen = 6)
     occ
       .join(broadcast(wp), Seq("word"))
       .groupBy(col("doc_id"))
