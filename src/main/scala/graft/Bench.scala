@@ -186,6 +186,25 @@ object Bench {
     println(
       s"""{"metric":"per_query","sf":"$sfDir","failed":$fs,"flaky":$fl,"demo_fixed_config":${demoJson},"queries":${qmap(results.toSeq.sortBy(_._2))}}"""
     )
+    // FULL per-query map persisted to a committed artifact (r16 verdict
+    // item 6): the driver's 2000-char tail keeps only the 10 heaviest
+    // timings, so round-over-round comparison was blind for ~97% of the
+    // suite. One file per core count (the driver benches at two), so
+    // the scaling run can't overwrite the main record. Best-effort: a
+    // read-only working dir must not fail the bench.
+    try {
+      val outPath = sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", s"tools/bench_last_c$cpus.json")
+      val fullJson =
+        s"""{"sf":"$sfDir","cpus":$cpus,"failed":$fs,"flaky":$fl,
+           |"shared_build":${qmap(sharedArts)},
+           |"queries":${qmap(results.toSeq.sortBy(_._1))}}""".stripMargin.replace("\n", "")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH WARN: could not persist full per-query map: ${e.getMessage}")
+    }
     // the exchange bill, per query (bytes written to shuffle; cold first
     // run of each): its own full line for the judge/humans, plus the
     // suite total and heaviest-10 — the number a 100 TB capacity plan
@@ -333,7 +352,8 @@ object Bench {
           over2xRows
         )},"shared_build_s":${f3(
           sharedBuildS
-        )},"shared_build":${qmap(sharedArts)},"queries":${qmap(top)},"value":${f3(total)}}"""
+        )},"shared_build":${qmap(sharedArts)},"queries":${qmap(top)},"value":${f3(
+          total)},"value_total":${f3(total + sharedBuildS)}}"""
     )
     spark.stop()
     if (failed.nonEmpty || flaky.nonEmpty) sys.exit(1)

@@ -596,9 +596,7 @@ object Graph {
     * @return one row per node: (id, hub_ppm, auth_ppm). */
   def hits(edges: DataFrame, rounds: Int = 2): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
-    // e materializes inside the nodes checkpoint's job (lazy setup —
-    // the [[PageRank.pageRank]] r16 cadence)
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e
       .select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
@@ -618,15 +616,19 @@ object Graph {
     }
     var auth = nodes.withColumn("auth", lit(1000000L))
     var hub  = nodes.withColumn("hub", lit(1000000L))
-    for (_ <- 1 to rounds) {
-      // Each raw vector is LINEAGE-CUT before its L∞ normalization:
-      // `normalized` consumes its input twice (the max aggregate + the
-      // rescale projection) and the next half-round builds on the
-      // result, so the un-cut form DOUBLED the live plan per half-round
-      // — at rounds=2 the final plan re-evaluated the early joins 16×
-      // (264 Exchange nodes, r16 plan audit). Cutting at the raw vector
-      // (node-sized, two longs) bounds every job to one round's joins;
-      // integer arithmetic, so results are bit-identical.
+    for (i <- 1 to rounds) {
+      // The 264-Exchange plan this loop builds at rounds=2 LOOKS like
+      // 16× re-evaluation of the first-round joins, and round 16 cut it
+      // with a localCheckpoint per raw half-round vector. Re-measured
+      // quiet in r17, that cure was the regression: identical Exchange
+      // subtrees inside ONE plan (including the L∞-max broadcast
+      // builds, which are part of the same plan tree) collapse via
+      // ReusedExchange at execution, so the uncut form computes each
+      // join once — while the per-half-round cuts paid 4 scheduler
+      // round-trips per round (eager: 6.8 s cold / 3.3 s warm; lazy:
+      // 5.3 / 2.6; uncut: 1.0 s ≈ the pre-r16 anchor, bit-identical
+      // results). The i%3 cadence below still bounds the PLANNING-time
+      // growth for high round counts; rounds is capped at 20.
       val hubRaw = nodes
         .join(
           e.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
@@ -636,7 +638,6 @@ object Graph {
           "left",
         )
         .select(col("id"), coalesce(col("__s"), lit(0L)).as("hub"))
-        .localCheckpoint()
       hub = normalized(hubRaw, "hub")
       val authRaw = nodes
         .join(
@@ -647,8 +648,8 @@ object Graph {
           "left",
         )
         .select(col("id"), coalesce(col("__s"), lit(0L)).as("auth"))
-        .localCheckpoint()
       auth = normalized(authRaw, "auth")
+      if (i % 3 == 0) { hub = hub.localCheckpoint(); auth = auth.localCheckpoint() }
     }
     nodes
       .join(hub, Seq("id"))

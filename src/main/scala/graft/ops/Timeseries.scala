@@ -33,45 +33,66 @@ object Timeseries {
     * var18 = 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) — no float
     * anywhere, consumers apply their own normal approximation.
     *
-    * Scale shape: one daily aggregation; the pair enumeration is a
-    * self-join of the DAY-bounded grid (|days|² per key — days are a
-    * calendar dimension, not a corpus one), the tie census a
-    * value-histogram aggregate. Output: one row per key
-    * `(key, n_days, s_stat, var18)`. */
+    * Scale shape: one daily aggregation, then ONE keyed aggregation
+    * that lands each key's dense day series in a bounded array (days
+    * are a calendar dimension, not a corpus one — the
+    * [[cusumFromHourly]] bounded-array-fold discipline). S is a prefix
+    * fold over the day-ordered array (identical pair-sign sum, no
+    * |days|²-row self-join through an exchange), the tie census a
+    * run-length fold over the value-sorted copy. Output: one row per
+    * key `(key, n_days, s_stat, var18)`. */
   def mannKendallDaily(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val daily = df
       .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n"))
     val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-    val grid = daily
-      .select(col("key"))
-      .distinct()
-      .crossJoin(broadcast(span))
-      .select(col("key"), explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
-      .join(daily, Seq("key", "day"), "left")
-      .select(col("key"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
-      .localCheckpoint() // consumed thrice: pairs (both sides) + ties
-    val sByKey = grid
-      .as("a")
-      .join(grid.as("b"), col("a.key") === col("b.key") && col("a.day") < col("b.day"))
-      .groupBy(col("a.key").as("key"))
-      .agg(
-        sum(
-          when(col("b.n") > col("a.n"), 1L)
-            .when(col("b.n") < col("a.n"), -1L)
-            .otherwise(0L)
-        ).as("s_stat")
-      )
-    val ties = grid
-      .groupBy(col("key"), col("n"))
-      .agg(count(lit(1)).as("t"))
+    // The span covers every observed day (null keys included, as the
+    // join form's did); a null key itself produced no pair rows under
+    // the old key-equi self-join, so it stays excluded from the output.
+    val series = daily
+      .filter(col("key").isNotNull)
       .groupBy("key")
-      .agg(
-        sum(expr("t * (t - 1) * (2 * t + 5)")).as("__tie_term"),
-        sum(col("t")).as("n_days"),
+      .agg(map_from_entries(collect_list(struct(col("day"), col("n")))).as("m"))
+      .crossJoin(broadcast(span))
+      // sequence() is day-ascending, so `vals` IS the day-ordered dense
+      // series — silent days filled with 0, no grid join, no sort.
+      .select(
+        col("key"),
+        expr("transform(sequence(d0, d1, interval 1 day), dd -> coalesce(element_at(m, dd), 0L))")
+          .as("vals"),
       )
-    ties
-      .join(sByKey, Seq("key"))
+    // S = Σ_{i<j} sign(x_j − x_i): fold left-to-right, scoring each
+    // element against the prefix — the same pair set, summed in a
+    // different (order-free: integer addition) order.
+    val sFold =
+      """aggregate(
+        |  vals,
+        |  struct(CAST(0 AS BIGINT) AS s, CAST(array() AS ARRAY<BIGINT>) AS prev),
+        |  (acc, x) -> struct(
+        |    acc.s + aggregate(acc.prev, CAST(0 AS BIGINT),
+        |      (a, p) -> a + CASE WHEN x > p THEN 1L WHEN x < p THEN -1L ELSE 0L END) AS s,
+        |    array_append(acc.prev, x) AS prev),
+        |  acc -> acc.s)""".stripMargin
+    // Σ_t t(t−1)(2t+5) over the value multiplicities: run-length fold
+    // over the value-sorted copy (counts are ≥ 0, so −1 is a safe
+    // "no previous value" sentinel).
+    val tieFold =
+      """aggregate(
+        |  sort_array(vals),
+        |  struct(CAST(-1 AS BIGINT) AS prev, CAST(0 AS BIGINT) AS run, CAST(0 AS BIGINT) AS tot),
+        |  (acc, x) -> CASE
+        |    WHEN x = acc.prev THEN struct(x AS prev, acc.run + 1L AS run, acc.tot AS tot)
+        |    ELSE struct(x AS prev, 1L AS run,
+        |                acc.tot + acc.run * (acc.run - 1) * (2 * acc.run + 5) AS tot)
+        |  END,
+        |  acc -> acc.tot + acc.run * (acc.run - 1) * (2 * acc.run + 5))""".stripMargin
+    series
+      .select(
+        col("key"),
+        expr("CAST(size(vals) AS BIGINT)").as("n_days"),
+        expr(sFold).as("s_stat"),
+        expr(tieFold).as("__tie_term"),
+      )
       .select(
         col("key"),
         col("n_days"),
