@@ -109,7 +109,9 @@ object PageRank {
       // letting three rounds chain keeps plans shallow enough for the
       // optimizer while cutting the materialization count 3×. The
       // arithmetic is integer (order-free), so batching rounds into one
-      // job cannot change a single rank value.
+      // job cannot change a single rank value. (r17 re-measured the
+      // all-lazy single-job form: a wash here, a clear loss on the
+      // personalized/markov shapes — kept eager.)
       if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
     ranks

@@ -86,6 +86,11 @@ object StreamingQueries {
   private val docSplitConsumers =
     Set("stream_decontaminate", "stream_reservoir_sample", "stream_left_outer_join",
       "stream_bpe_drift")
+  // every gate whose builder reads the shared maintained hourly state
+  // table (hourlyStateTable) — the six FromHourly streaming twins
+  private val hourlyStateConsumers = Set(
+    "stream_cusum", "stream_hampel", "stream_ewma", "stream_holt",
+    "stream_holt_winters", "stream_seasonal")
 
   def prewarmShared(
       s: org.apache.spark.sql.SparkSession,
@@ -107,6 +112,11 @@ object StreamingQueries {
       }),
       Option.when(wanted(docSplitConsumers))(timed("documents_split") {
         documentsSplitDir(s, d)
+      }),
+      // runs after events_time_split above, so this artifact's cost is
+      // the one streaming replay itself, not the split write
+      Option.when(wanted(hourlyStateConsumers))(timed("events_hourly_state") {
+        hourlyStateTable(s, d, "hourly_state").count(): Unit
       }),
     ).flatten
   }
@@ -925,21 +935,37 @@ object StreamingQueries {
     * several times (span, keys, grid join) — one snapshot, many
     * reads. One definition so the three twins cannot drift on the
     * state recipe. */
+  /** FROZEN once per (session, corpus) — r17: the six FromHourly twins
+    * (cusum, hampel, ewma, holt, holt_winters, seasonal) each replayed
+    * the IDENTICAL stream (same split, same aggregation, complete
+    * mode) to maintain the same state table, so five of the six
+    * replays were pure re-computation. One streaming aggregation
+    * maintains the per-(key, hour) counts; every statistic derives
+    * from that one maintained state — exactly the production shape
+    * (one state store, many dashboard readers), and the same
+    * once-per-corpus CSE convention as `minhash_sigs`/`emb_pairs`.
+    * Built under the bench's `shared_build` accounting
+    * (`events_hourly_state`), which `value_total` now includes. */
+  private val hourlyStateCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
   private def hourlyStateTable(
       s: org.apache.spark.sql.SparkSession,
       d: String,
       prefix: String,
-  ): org.apache.spark.sql.DataFrame = {
-    val rewrittenSchema = graft.Tables.events(s, d).schema
-    val stream = s.readStream
-      .schema(rewrittenSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(leftOuterSplitDir(s, d))
-    val hourly = stream
-      .groupBy(col("event_type").as("key"), date_trunc("hour", col("ts")).as("hour_ts"))
-      .agg(count(lit(1)).as("n"))
-    runCompleteStream(s, hourly, prefix).localCheckpoint()
-  }
+  ): org.apache.spark.sql.DataFrame =
+    hourlyStateCache.getOrElseUpdate((s, d), {
+      val rewrittenSchema = graft.Tables.events(s, d).schema
+      val stream = s.readStream
+        .schema(rewrittenSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(leftOuterSplitDir(s, d))
+      val hourly = stream
+        .groupBy(col("event_type").as("key"), date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("n"))
+      runCompleteStream(s, hourly, prefix).localCheckpoint()
+    })
 
   /** Streaming CUSUM change-point monitor — the [[rateAnomalyStream]]
     * pattern applied to [[graft.ops.Timeseries]]: the streaming
