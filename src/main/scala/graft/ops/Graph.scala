@@ -171,17 +171,16 @@ object Graph {
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(eager = false)
     var frontier = dist.select("node")
-    var hop      = 0L
-    var done     = false
-    while (hop < maxHops && !done) {
-      hop += 1
-      // LAZY checkpoint + count = ONE action per hop (the kcore
-      // cadence, r16 optimization round): the count job materializes
-      // the frontier's lineage-cut blocks AND delivers the
-      // empty-frontier exit test. `dist` stays a union of checkpointed
-      // frontier scans (depth ≤ maxHops, every leaf a cached RDD) —
-      // the eager form re-materialized the WHOLE distance table every
-      // hop (O(reach · hops) copies) and paid 3 scheduled jobs per hop.
+    // ZERO actions in the loop (r17): a saturated frontier makes every
+    // later hop's `next` EMPTY (the anti-join removes everything), and
+    // unioning empty frames is a no-op on the result — so the
+    // empty-frontier exit test the r16 form paid one count job per hop
+    // to read is not needed for correctness, only as a work-saver, and
+    // at these hop budgets the no-op hops are empty cached scans. All
+    // lineage cuts are lazy; the consumer's one action materializes
+    // the whole chain, each frontier persisting at first touch (it is
+    // consumed by the next hop's join AND the dist union).
+    for (hop <- 1L to maxHops.toLong) {
       val next = frontier
         .join(sym, col("node") === col("s"))
         .select(col("t").as("node"))
@@ -189,11 +188,8 @@ object Graph {
         .join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(hop).as("dist"))
         .localCheckpoint(eager = false)
-      if (next.count() == 0L) done = true
-      else {
-        dist = dist.unionAll(next)
-        frontier = next.select("node")
-      }
+      dist = dist.unionAll(next)
+      frontier = next.select("node")
     }
     dist
   }
@@ -214,11 +210,12 @@ object Graph {
     * diameter_lb)`. */
   def diameterSweep(edges: DataFrame, maxHops: Int): DataFrame = {
     // both sweeps walk one materialized symmetric list (the un-hoisted
-    // form built and checkpointed it once per sweep)
+    // form built and checkpointed it once per sweep); lazy — the one
+    // consumer job materializes it at first touch
     val sym = edges
       .select(col("a").cast("long").as("s"), col("b").cast("long").as("t"))
       .unionAll(edges.select(col("b").cast("long").as("s"), col("a").cast("long").as("t")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val seed = sym.agg(min(col("s")).as("node"))
     val far1 = bfsHopsSym(sym, seed, maxHops)
       .orderBy(col("dist").desc, col("node"))
@@ -274,7 +271,9 @@ object Graph {
         .unionAll(dist)
         .groupBy("node")
         .agg(min(col("dist")).as("dist"))
-      if (i % 3 == 0 || i == rounds) dist = dist.localCheckpoint()
+      // lazy cuts (r17): fixed round count, no convergence read — the
+      // consumer's one action runs the whole chain
+      if (i % 3 == 0 || i == rounds) dist = dist.localCheckpoint(eager = false)
     }
     dist
   }

@@ -1471,17 +1471,21 @@ object Text {
         expr("CAST(array() AS ARRAY<STRING>)").as("pieces"),
         (length(col("word")) > maxWordLen).as("failed"),
       )
-    var done     = init.filter(col("failed")).localCheckpoint()
-    var frontier = init.filter(!col("failed")).localCheckpoint()
+    var done     = init.filter(col("failed")).localCheckpoint(eager = false)
+    var frontier = init.filter(!col("failed")).localCheckpoint(eager = false)
     var round    = 0
-    var live     = !frontier.isEmpty
-    while (round < maxWordLen && live) {
-      // LAZY checkpoint + frontier count = ONE action per round (the
-      // kcore cadence, r16 optimization round): the count job both
-      // materializes the lineage-cut blocks and delivers the
-      // loop-continuation statistic — the eager-checkpoint + isEmpty
-      // form paid a second scheduled job per round on the suite's most
-      // round-serialized text gate.
+    // ZERO actions in the loop (r17): `pos` advances >= 1 per round, so
+    // exactly maxWordLen rounds provably drain any frontier — no
+    // data-dependent exit exists to read, hence no per-round count job.
+    // Every lineage cut is lazy; the consumer's one action materializes
+    // the whole chain (each cut persists at first touch, and `stepped`
+    // is consumed twice per round — retire filter + frontier filter —
+    // so the cut still computes it once). Rounds past the drain join an
+    // EMPTY cached frame: no-op stages, and provably no-op on the
+    // result. The r16 lazy-checkpoint+count form paid maxWordLen
+    // scheduler round-trips for a statistic the drain argument already
+    // pins.
+    while (round < maxWordLen) {
       val stepped = frontier
         .join(
           broadcast(v),
@@ -1510,10 +1514,8 @@ object Text {
           col("__best").isNull.as("failed"),
         )
         .localCheckpoint(eager = false)
-      val next = stepped.filter(!col("failed") && col("pos") < col("wlen"))
-      live = next.count() > 0
       done = done.unionByName(stepped.filter(col("failed") || col("pos") >= col("wlen")))
-      frontier = next
+      frontier = stepped.filter(!col("failed") && col("pos") < col("wlen"))
       round += 1
     }
     // pos advances >= 1 per round, so maxWordLen rounds always drain
