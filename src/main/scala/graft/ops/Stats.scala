@@ -619,7 +619,10 @@ object Stats {
     val ranged = hist
       .repartitionByRange(parts, col("__s"))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      // lazy (r17): the offsets broadcast build materializes it; the
+      // rank join-back then reads the persisted blocks — the eager cut
+      // paid one scheduled job per tieredCum call
+      .localCheckpoint(eager = false)
     val wLocal = Window
       .partitionBy(col("__pid"))
       .orderBy(col("__s"))
@@ -662,7 +665,7 @@ object Stats {
     val ranged = hist
       .repartitionByRange(parts, col("__k"), col("__s"))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // lazy — the [[tieredCum]] r17 note
     val wLocal = Window
       .partitionBy(col("__pid"), col("__k"))
       .orderBy(col("__s"))
@@ -974,7 +977,10 @@ object Stats {
         expr("CAST(sum(CAST(v AS DECIMAL(38,0)) * c) * 1000000 div sum(c) AS BIGINT)")
           .as("mean_ppm"),
       )
-      .localCheckpoint() // feeds the residual pass AND the test census
+      // lazy (r17): both consumers read it through broadcast builds —
+      // the first build materializes and persists, the second reads
+      // cache; the eager cut paid a scheduled job for a 1-row frame
+      .localCheckpoint(eager = false)
     val resid = calHist
       .crossJoin(broadcast(calMean))
       .select(expr("abs(v * 1000000L - mean_ppm)").as("__s"), col("c").as("__rc"))
@@ -1065,7 +1071,10 @@ object Stats {
         expr("CAST(sum(CAST(v AS DECIMAL(38,0)) * c) * 1000000 div sum(c) AS BIGINT)")
           .as("mean_ppm"),
       )
-      .localCheckpoint() // feeds the residual pass AND the test census
+      // lazy (r17): both consumers read it through broadcast builds —
+      // the first build materializes and persists, the second reads
+      // cache; the eager cut paid a scheduled job for a 1-row frame
+      .localCheckpoint(eager = false)
     val resid = calHist
       .join(broadcast(calMean), Seq("__k"))
       .select(col("__k"), expr("abs(v * 1000000L - mean_ppm)").as("__s"), col("c").as("__rc"))
@@ -1186,7 +1195,7 @@ object Stats {
       .filter(col("__s").isNotNull)
       .groupBy(col("__k"), col("__s"))
       .agg(count(lit(1)).as("__c"))
-    val cum = tieredCumBy(hist, Seq("__c")).localCheckpoint()
+    val cum = tieredCumBy(hist, Seq("__c")).localCheckpoint(eager = false)
     val totals = cum.groupBy(col("__k")).agg(max(col("__cum1")).as("__n"))
     val lookup = cum
       .join(broadcast(totals), Seq("__k"))
