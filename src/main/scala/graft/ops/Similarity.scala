@@ -628,7 +628,7 @@ object Similarity {
     // localCheckpoint materializes it once (nPlanes dots per row) so the
     // probe and exact sides read cached partitions instead of
     // recomputing the projection.
-    val keys = srpBandKeys(df, idCol, embCol, nPlanes, bands, dim).localCheckpoint()
+    val keys = srpBandKeys(df, idCol, embCol, nPlanes, bands, dim).localCheckpoint(eager = false)
     val probeSide =
       if (probes == 0) keys.select(col(idCol).as("a_id"), col("band"), col("key"))
       else {
@@ -706,7 +706,7 @@ object Similarity {
     val ranked = directed
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .localCheckpoint() // consumed twice (edges + reversed probe)
+      .localCheckpoint(eager = false) // consumed twice (edges + reversed probe)
     val rev = ranked.select(col("dst").as("src"), col("src").as("dst"), lit(true).as("__m"))
     ranked
       .join(rev, Seq("src", "dst"), "left")
@@ -821,7 +821,7 @@ object Similarity {
       pairs: DataFrame,
       k: Int,
   ): DataFrame = {
-    val comps = mutualKnnClustersFromPairs(pairs, k).localCheckpoint()
+    val comps = mutualKnnClustersFromPairs(pairs, k).localCheckpoint(eager = false)
     val e = withNorm(df, embCol)
       .select(col(idCol).as("__id"), col(embCol).as("__e"), col("nrm").as("__n"))
     val m = comps
@@ -906,7 +906,7 @@ object Similarity {
     // just rank 1 of the nprobe assignment, so the cand side is a
     // filter, not a second N×C scoring pass.
     val asg = ivfAssign(base, centroids, idCol, embCol, nprobe = nprobe, keepRank = true)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val cand = asg
       .filter(col("cent_rank") === 1)
       .select(col(idCol).as("b_id"), col(embCol).as("__eb"), col("nrm").as("__nb"), col("cent_id"))
@@ -1415,7 +1415,7 @@ object Similarity {
   ): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     if (iters == 0) return codebook
-    val subs = pqSubvectors(df, idCol, embCol, m, dim / m).localCheckpoint()
+    val subs = pqSubvectors(df, idCol, embCol, m, dim / m).localCheckpoint(eager = false)
     pqRefineFromSubs(subs, codebook, idCol, iters)
   }
 
@@ -1466,7 +1466,7 @@ object Similarity {
           col("code_id"),
           coalesce(col("__new"), col("code")).as("code"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     cb
   }
@@ -1740,7 +1740,7 @@ object Similarity {
     // consumed twice (codebook seed scan + candidate encode): materialize
     // the full-corpus assignment/residual pass once, like the sibling
     // paths' shared tables
-    val cres = resid(ivfAssign(base, centroids, idCol, embCol, nprobe = 1)).localCheckpoint()
+    val cres = resid(ivfAssign(base, centroids, idCol, embCol, nprobe = 1)).localCheckpoint(eager = false)
     val cb   = pqTrainInt8Dim(cres, idCol, "res", m, ksub, dim)
     val cbArr = codebookArray(cb, m).map(_.map(_.toArray).toArray).toArray
     require(cbArr(0)(0).length == dsub, s"codebook dsub ${cbArr(0)(0).length} != dim/m = $dsub")
