@@ -835,14 +835,14 @@ object Dedup {
   ): DataFrame = {
     // consumed twice (min-sum join + the final left join): materialize
     // so the signature/banding chain runs once, not per consumer
-    val cands = lshCandidates(lshBands(sigs, rowsPerBand)).localCheckpoint()
+    val cands = lshCandidates(lshBands(sigs, rowsPerBand)).localCheckpoint(eager = false)
     // consumed three times (both sides of the min-sum join + totals):
     // materialize so the explode + count aggregation runs once
     val tok = docs
       .select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val tot = tok.groupBy("doc_id").agg(sum(col("c")).as("s"))
     val minSums = cands
       .join(tok.as("ta"), col("a_id") === col("ta.doc_id"))

@@ -735,7 +735,7 @@ object Stats {
       .agg(count(lit(1)).as("__c"))
     val mr = tieredCumBy(hist, Seq("__c"))
       .select(col("__k"), col("__s"), (lit(2L) * col("__cum1") - col("__c") + 1L).as("__mr2"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val rx =
       mr.filter(col("__k") === "x").select(col("__s").as("__x"), col("__mr2").as("__rx2"))
     val ry =
@@ -1178,7 +1178,7 @@ object Stats {
         dims.head._2.as(s"${dims.head._1}_raw"),
         dims.tail.map { case (n, c) => c.as(s"${n}_raw") }: _*,
       )
-      .localCheckpoint() // feeds the stacked histogram + the join spine
+      .localCheckpoint(eager = false) // feeds the stacked histogram + the join spine
     // ONE keyed histogram + ONE tiered cumulative for ALL dims (r16
     // optimization round, guide §2.3/2.4): the per-dim bucketLookup
     // form paid |dims| histogram exchanges and |dims| tiered-cumulative

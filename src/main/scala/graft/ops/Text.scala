@@ -872,7 +872,7 @@ object Text {
       .select(explode(col("__t")).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // vocab-bounded; consumed 3× below
+      .localCheckpoint(eager = false) // vocab-bounded; consumed 3× below
     val tot = uni.agg(sum(col("c")).as("nt"))
     val big = toks
       // a <2-token doc has no bigrams; sequence(1, size-1) would
@@ -1371,7 +1371,7 @@ object Text {
     * Heaps-law-bounded, not corpus-proportional). */
   def wordpieceVocab(occ: DataFrame, topWords: Int, topPrefixes: Int): DataFrame =
     wordpieceVocabFromHist(
-      occ.groupBy(col("word")).agg(count(lit(1)).as("__c")).localCheckpoint(),
+      occ.groupBy(col("word")).agg(count(lit(1)).as("__c")).localCheckpoint(eager = false),
       topWords,
       topPrefixes,
     )
@@ -1538,7 +1538,7 @@ object Text {
   def knContinuationCountsFromTables(t: NgramCounts.NgramTables): DataFrame = {
     // one row per distinct bigram type; consumed thrice (total, left,
     // right) — tiny, but checkpoint so the slice re-group runs once
-    val types = t.bi.select("w1", "w2").distinct().localCheckpoint()
+    val types = t.bi.select("w1", "w2").distinct().localCheckpoint(eager = false)
     val total = types.agg(count(lit(1)).as("__t"))
     val uni   = t.uni.groupBy(col("w").as("word")).agg(sum(col("c")).as("c"))
     val left  = types.groupBy(col("w2").as("word")).agg(count(lit(1)).as("n_left"))
@@ -1583,7 +1583,7 @@ object Text {
         ).as("bg")
       )
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val types = bigrams.distinct().localCheckpoint() // consumed thrice
+    val types = bigrams.distinct().localCheckpoint(eager = false) // consumed thrice
     val total = types.agg(count(lit(1)).as("__t"))
     val uni = docs
       .select(explode(tokens(col(textCol))).as("word"))
@@ -1641,7 +1641,7 @@ object Text {
       .filter(col("r") <= maxR + 1)
       .groupBy("r")
       .agg(count(lit(1)).as("n_r"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val next = nr.select((col("r") - 1).as("r"), col("n_r").as("__n_next"))
     nr.filter(col("r") <= maxR)
       .join(broadcast(next), Seq("r"), "left")
