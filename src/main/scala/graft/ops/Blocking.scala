@@ -61,7 +61,7 @@ object Blocking {
     // that, but nothing pins it; materializing once makes the shared
     // `__pid` values a fact, not a plan-shape accident. Cost: one
     // histogram-sized (|distinct keys| rows, 4 narrow columns) RDD.
-    val local = snmLocalCumulative(nn, keyCol).localCheckpoint()
+    val local = snmLocalCumulative(nn, keyCol).localCheckpoint(eager = false)
     val wOff = Window
       .orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)

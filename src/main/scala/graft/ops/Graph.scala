@@ -337,7 +337,7 @@ object Graph {
       .groupBy(col("dst"))
       .agg(min(col("src")).as("__m"))
       .select(col("dst").as("id"), least(col("__m"), col("dst")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (i <- 2 to rounds) {
       val votes = e
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))

@@ -474,7 +474,7 @@ object Multimodal {
     val bandBits = cells / bands
     val mask     = (1L << bandBits) - 1
     // consumed twice (banding + both verify probes): one signature pass
-    val ph = perceptualHash(media, cells, cellBytes).localCheckpoint()
+    val ph = perceptualHash(media, cells, cellBytes).localCheckpoint(eager = false)
     val banded = ph.select(
       col("doc_id"),
       posexplode(

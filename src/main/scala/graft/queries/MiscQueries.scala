@@ -1988,6 +1988,25 @@ object MiscQueries {
     scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
+  private[queries] def probeTradeEdges(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame = {
+    val pairs = sharedTradeRows(s, d).select(col("sk"), col("ck")).distinct()
+    val sNode = (col("sk") * 2).cast("long")
+    val cNode = (col("ck") * 2 + 1).cast("long")
+    pairs
+      .select(explode(array(
+        struct(sNode.as("src"), cNode.as("dst")),
+        struct(cNode.as("src"), sNode.as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+  }
+
+  private[queries] def probeCopurchaseEdges(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame = coPurchaseEdges(s, d)
+
   private def coPurchaseEdges(
       s: org.apache.spark.sql.SparkSession,
       d: String,
@@ -2928,7 +2947,7 @@ object MiscQueries {
       |  CAST(v.node AS BIGINT) AS far_node, CAST(v.d AS BIGINT) AS diameter_lb
       |FROM u, v""".stripMargin,
   ) { (s, d) =>
-    graft.ops.Graph.diameterSweep(coPurchaseEdges(s, d).localCheckpoint(), maxHops = 4)
+    graft.ops.Graph.diameterSweep(coPurchaseEdges(s, d), maxHops = 4)
   }
 
   /** Bounded-round weighted shortest paths
@@ -2966,7 +2985,7 @@ object MiscQueries {
     val sym = wp
       .select(col("a").as("src"), col("b").as("dst"), w)
       .unionAll(wp.select(col("b").as("src"), col("a").as("dst"), w))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val sources = sym.select(col("src").as("node")).where(col("node") % 97 === 0).distinct()
     graft.ops.Graph.ssspBounded(sym, sources, rounds = 3)
   }

@@ -280,7 +280,7 @@ object SimilarityQueries {
   ) { (s, d) =>
     val emb   = embeddings(s, d)
     val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
-    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", cents).localCheckpoint()
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", cents).localCheckpoint(eager = false)
     val rows = Seq(2, 4, 8).map { m =>
       val pred = col("vec_id") % m === 0
       val truth = Similarity

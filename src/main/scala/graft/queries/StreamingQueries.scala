@@ -1041,7 +1041,7 @@ object StreamingQueries {
     val agg = stream.agg(
       graft.functions.TopKAgg.top_k_entries(10)(col("event_id"), col("value")).as("top"))
     runCompleteStream(s, agg, "topkmaint")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
       .select(posexplode(col("top")).as(Seq("__i", "__e")))
       .select(
         col("__e._1").as("event_id"),
@@ -1100,7 +1100,7 @@ object StreamingQueries {
       .filter(col("__cal"))
       .groupBy(expr("CAST(round(value * 100) AS BIGINT)").as("v"))
       .agg(count(lit(1)).as("c"))
-    val frozen = runCompleteStream(s, calHist, "conformal").localCheckpoint()
+    val frozen = runCompleteStream(s, calHist, "conformal").localCheckpoint(eager = false)
     val test = isCal(graft.Tables.events(s, d))
       .filter(!col("__cal"))
       .select(expr("CAST(round(value * 100) AS BIGINT)").as("__v"))
@@ -1160,7 +1160,7 @@ object StreamingQueries {
       .filter(col("__cal"))
       .groupBy(col("event_type").as("__k"), expr("CAST(round(value * 100) AS BIGINT)").as("v"))
       .agg(count(lit(1)).as("c"))
-    val frozen = runCompleteStream(s, calHist, "conformal_by").localCheckpoint()
+    val frozen = runCompleteStream(s, calHist, "conformal_by").localCheckpoint(eager = false)
     val test = isCal(graft.Tables.events(s, d))
       .filter(!col("__cal"))
       .select(col("event_type").as("__k"), expr("CAST(round(value * 100) AS BIGINT)").as("__v"))
@@ -1227,7 +1227,7 @@ object StreamingQueries {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("pos"),
         count(lit(1)).as("n"),
       )
-    val frozen = runCompleteStream(s, hist, "isotonic").localCheckpoint()
+    val frozen = runCompleteStream(s, hist, "isotonic").localCheckpoint(eager = false)
     graft.ops.Stats.isotonicFromHist(frozen)
   }
 
@@ -1258,7 +1258,7 @@ object StreamingQueries {
     val sketch = stream
       .filter(col("value").isNotNull)
       .agg(graft.functions.KllAgg.kll(200)(col("value").cast("double")).as("__sk"))
-    val frozen = runCompleteStream(s, sketch, "kll").localCheckpoint()
+    val frozen = runCompleteStream(s, sketch, "kll").localCheckpoint(eager = false)
     val exact = graft.Tables.events(s, d)
       .filter(col("value").isNotNull)
       .agg(
@@ -1306,7 +1306,7 @@ object StreamingQueries {
       .filter(col("value").isNotNull)
       .groupBy(col("event_type").as("key"))
       .agg(graft.functions.KllAgg.kll(200)(col("value").cast("double")).as("__sk"))
-    val frozen = runCompleteStream(s, sketch, "kll_by").localCheckpoint()
+    val frozen = runCompleteStream(s, sketch, "kll_by").localCheckpoint(eager = false)
     val exact = graft.Tables.events(s, d)
       .filter(col("value").isNotNull)
       .groupBy(col("event_type").as("key"))
@@ -1354,7 +1354,7 @@ object StreamingQueries {
           ",",
         ).as("top_events")
       )
-    runCompleteStream(s, agg, "topk").localCheckpoint()
+    runCompleteStream(s, agg, "topk").localCheckpoint(eager = false)
   }
 
   /** Streaming approximate distinct: HLL++ buffers as streaming

@@ -135,7 +135,7 @@ object TextQueries {
     val cm = documents(s, d)
       .groupBy(col("lang"), Text.langId(col("text")).as("pred"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // bounded |langs|² table, read three ways below
+      .localCheckpoint(eager = false) // bounded |langs|² table, read three ways below
     val rows  = cm.groupBy(col("lang").as("k")).agg(sum(col("n")).as("row_n"))
     val cols  = cm.groupBy(col("pred").as("k")).agg(sum(col("n")).as("col_n"))
     val cross = rows
@@ -1335,7 +1335,7 @@ object TextQueries {
     val hist = occ
       .groupBy(col("word"))
       .agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val vocab = Text.wordpieceVocabFromHist(hist, topWords = 8, topPrefixes = 8)
     val wp    = Text.wordpieceTokenize(hist.select("word"), vocab, maxWordLen = 6)
     occ
