@@ -1988,25 +1988,6 @@ object MiscQueries {
     scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
-  private[queries] def probeTradeEdges(
-      s: org.apache.spark.sql.SparkSession,
-      d: String,
-  ): org.apache.spark.sql.DataFrame = {
-    val pairs = sharedTradeRows(s, d).select(col("sk"), col("ck")).distinct()
-    val sNode = (col("sk") * 2).cast("long")
-    val cNode = (col("ck") * 2 + 1).cast("long")
-    pairs
-      .select(explode(array(
-        struct(sNode.as("src"), cNode.as("dst")),
-        struct(cNode.as("src"), sNode.as("dst")))).as("e"))
-      .select(col("e.src"), col("e.dst"))
-  }
-
-  private[queries] def probeCopurchaseEdges(
-      s: org.apache.spark.sql.SparkSession,
-      d: String,
-  ): org.apache.spark.sql.DataFrame = coPurchaseEdges(s, d)
-
   private def coPurchaseEdges(
       s: org.apache.spark.sql.SparkSession,
       d: String,
