@@ -91,6 +91,9 @@ object StreamingQueries {
   private val hourlyStateConsumers = Set(
     "stream_cusum", "stream_hampel", "stream_ewma", "stream_holt",
     "stream_holt_winters", "stream_seasonal")
+  // every gate whose builder reads the shared maintained calibration
+  // histogram (conformalStateTable) — the two conformal streaming twins
+  private val conformalStateConsumers = Set("stream_conformal", "stream_conformal_by")
 
   def prewarmShared(
       s: org.apache.spark.sql.SparkSession,
@@ -117,6 +120,9 @@ object StreamingQueries {
       // the one streaming replay itself, not the split write
       Option.when(wanted(hourlyStateConsumers))(timed("events_hourly_state") {
         hourlyStateTable(s, d, "hourly_state").count(): Unit
+      }),
+      Option.when(wanted(conformalStateConsumers))(timed("events_conformal_state") {
+        conformalStateTable(s, d, "conformal_state").count(): Unit
       }),
     ).flatten
   }
@@ -1050,16 +1056,51 @@ object StreamingQueries {
       )
   }
 
+  /** Shared FROZEN calibration-histogram state of the two conformal
+    * streaming twins (r17, the [[hourlyStateTable]] convention): both
+    * gates replayed the IDENTICAL stream (same split, same calibration
+    * split, complete mode) to maintain the same per-(segment, value)
+    * count state — the global gate's value histogram is exactly that
+    * state marginalized over the segment (integer counts, additive, so
+    * the roll-up is bit-identical to maintaining the coarser key). One
+    * streaming aggregation maintains the finest state; both intervals
+    * derive from it — one state store, many readers. Built under the
+    * bench's `shared_build` accounting (`events_conformal_state`),
+    * which `value_total` includes. */
+  private val conformalStateCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def conformalStateTable(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      prefix: String,
+  ): org.apache.spark.sql.DataFrame =
+    conformalStateCache.getOrElseUpdate((s, d), {
+      val rewrittenSchema = graft.Tables.events(s, d).schema
+      val stream = s.readStream
+        .schema(rewrittenSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(leftOuterSplitDir(s, d))
+      val calHist = stream
+        .filter(col("value").isNotNull)
+        .filter(graft.ops.Sampling.hashPpm(col("event_id")) < 500000L)
+        .groupBy(col("event_type").as("__k"), expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+        .agg(count(lit(1)).as("c"))
+      runCompleteStream(s, calHist, prefix).localCheckpoint()
+    })
+
   /** Streaming split-conformal calibration
     * ([[graft.ops.Stats.conformalFromValueHist]]): the calibration
     * VALUE HISTOGRAM is the streaming state — per-value counts are
     * mergeable where raw calibration rows are not (and the cent domain
-    * bounds the state) — maintained across the multi-batch replay;
-    * mean, residual histogram, conformal rank, and the held-out
-    * coverage census derive from the frozen final state through the
-    * same code path as the batch gate. Oracle: the full batch replay
-    * (final state ≡ batch calibration histogram, so the interval and
-    * coverage match exactly). */
+    * bounds the state) — maintained across the multi-batch replay (via
+    * the shared [[conformalStateTable]], marginalized over the
+    * segment); mean, residual histogram, conformal rank, and the
+    * held-out coverage census derive from the frozen final state
+    * through the same code path as the batch gate. Oracle: the full
+    * batch replay (final state ≡ batch calibration histogram, so the
+    * interval and coverage match exactly). */
   private val conformalStream = Q(
     "stream_conformal",
     """WITH r AS (
@@ -1088,28 +1129,20 @@ object StreamingQueries {
       |FROM sp, cm, q WHERE NOT sp.cal
       |GROUP BY cm.n_cal, cm.mean_ppm, q.q_ppm""".stripMargin,
   ) { (s, d) =>
-    val rewrittenSchema = graft.Tables.events(s, d).schema
-    val stream = s.readStream
-      .schema(rewrittenSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(leftOuterSplitDir(s, d))
-    def isCal(df: org.apache.spark.sql.DataFrame) = df
+    val frozen = conformalStateTable(s, d, "conformal")
+      .groupBy("v")
+      .agg(sum(col("c")).as("c"))
+    val test = graft.Tables.events(s, d)
       .filter(col("value").isNotNull)
-      .withColumn("__cal", graft.ops.Sampling.hashPpm(col("event_id")) < 500000L)
-    val calHist = isCal(stream)
-      .filter(col("__cal"))
-      .groupBy(expr("CAST(round(value * 100) AS BIGINT)").as("v"))
-      .agg(count(lit(1)).as("c"))
-    val frozen = runCompleteStream(s, calHist, "conformal").localCheckpoint(eager = false)
-    val test = isCal(graft.Tables.events(s, d))
-      .filter(!col("__cal"))
+      .filter(!(graft.ops.Sampling.hashPpm(col("event_id")) < 500000L))
       .select(expr("CAST(round(value * 100) AS BIGINT)").as("__v"))
     graft.ops.Stats.conformalFromValueHist(frozen, test, alphaPpm = 100000L)
   }
 
   /** Streaming PER-SEGMENT conformal calibration
     * ([[graft.ops.Stats.conformalFromValueHistBy]]): the per-(segment,
-    * value) calibration histogram is the streaming state — still
+    * value) calibration histogram is the streaming state (the shared
+    * [[conformalStateTable]], consumed at its native key) — still
     * mergeable, still cent-domain-bounded per segment — and each
     * event type derives its own interval and held-out coverage from
     * the frozen state through the same keyed code path as
@@ -1148,21 +1181,10 @@ object StreamingQueries {
       |WHERE NOT sp.cal
       |GROUP BY sp.k, cm.n_cal, cm.mean_ppm, q.q_ppm""".stripMargin,
   ) { (s, d) =>
-    val rewrittenSchema = graft.Tables.events(s, d).schema
-    val stream = s.readStream
-      .schema(rewrittenSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(leftOuterSplitDir(s, d))
-    def isCal(df: org.apache.spark.sql.DataFrame) = df
+    val frozen = conformalStateTable(s, d, "conformal_by")
+    val test = graft.Tables.events(s, d)
       .filter(col("value").isNotNull)
-      .withColumn("__cal", graft.ops.Sampling.hashPpm(col("event_id")) < 500000L)
-    val calHist = isCal(stream)
-      .filter(col("__cal"))
-      .groupBy(col("event_type").as("__k"), expr("CAST(round(value * 100) AS BIGINT)").as("v"))
-      .agg(count(lit(1)).as("c"))
-    val frozen = runCompleteStream(s, calHist, "conformal_by").localCheckpoint(eager = false)
-    val test = isCal(graft.Tables.events(s, d))
-      .filter(!col("__cal"))
+      .filter(!(graft.ops.Sampling.hashPpm(col("event_id")) < 500000L))
       .select(col("event_type").as("__k"), expr("CAST(round(value * 100) AS BIGINT)").as("__v"))
     graft.ops.Stats.conformalFromValueHistBy(frozen, test, alphaPpm = 100000L)
   }
